@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/compare.py <sfdir> <verify_out_dir>
+
+Reads each <name>/ parquet result written by graft.Verify plus
+oracle_sql.json, runs the oracle in DuckDB against the same parquet tables,
+sorts columns by name and rows by all columns, and diffs values exactly.
+"""
+import json, math, sys
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonical row order: sort by all columns (stringified for mixed types)
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+        if bool(pd.isna(a)) != bool(pd.isna(b)):
+            return False
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def main(sfdir: str, outdir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_df = pq.read_table(f"{outdir}/{name}").to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: no spark result ({e})")
+            failures += 1
+            continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        s, d = normalize(spark_df), normalize(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}")
+            failures += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}")
+            failures += 1
+            continue
+        bad = None
+        for col in s.columns:
+            sv, dv = s[col].tolist(), d[col].tolist()
+            for i, (a, b) in enumerate(zip(sv, dv)):
+                if not values_equal(a, b):
+                    bad = (col, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, a, b = bad
+            print(f"FAIL {name}: value mismatch col={col} row={i}: spark={a!r} duck={b!r}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(s)} rows)")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
