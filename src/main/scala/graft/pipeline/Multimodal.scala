@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `binary` columns
+  * with typed metadata, and partition-wise decode/feature plumbing.
+  *
+  * The Spark-side mechanics are real and tested — binary columns, metadata
+  * struct schema, `mapPartitions` batch iteration (the Scala analog of
+  * `mapInPandas`: one iterator per partition, so a decoder can amortize
+  * per-batch setup such as codec contexts) and frame-sampling explosion.
+  * The actual byte decoding is a clearly marked STUB (deterministic fake) —
+  * image/audio codecs are not available in this environment; swap
+  * [[decodeStub]] for a real codec call in production.
+  */
+object Multimodal {
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("size_bytes", LongType)))
+
+  /** STUB decode: derives deterministic fake dimensions from the byte
+    * length. Replace with a real codec (e.g. TwelveMonkeys/JavaCV) — the
+    * signature (bytes → meta Row) is the real contract. */
+  def decodeStub(kind: String, bytes: Array[Byte]): Row = {
+    val len = if (bytes == null) 0L else bytes.length.toLong
+    Row(kind, (len % 640 + 16).toInt, (len % 480 + 16).toInt, (len % 30 + 1).toInt, len)
+  }
+
+  /** Attach a `content: binary` column from any string column (stand-in for
+    * reading real media files via `spark.read.format("binaryFile")`). */
+  def withBinaryContent(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("content", F.col(srcCol).cast(BinaryType))
+
+  /** Partition-wise decode: iterator-in/iterator-out over each partition —
+    * the shape that lets a real decoder reuse native contexts per batch and
+    * keeps memory bounded to one row group at a time. */
+  def decodePartitions(df: DataFrame, kind: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("media_meta", mediaMetaSchema))
+    val contentIdx = inSchema.fieldIndex("content")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { rows =>
+      // per-partition setup would open codec contexts here (STUB: none)
+      rows.map { r =>
+        val meta = decodeStub(kind, r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
+  /** Resize stub: records the requested dims in metadata; a real kernel
+    * would transform `content`. Pure column work, stays in codegen. */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("media_meta", F.struct(
+      F.col("media_meta.kind").as("kind"),
+      F.lit(w).as("width"),
+      F.lit(h).as("height"),
+      F.col("media_meta.n_frames").as("n_frames"),
+      F.col("media_meta.size_bytes").as("size_bytes")))
+
+  /** Frame sampling: explode every_nth frame indices from the metadata —
+    * (doc, frame_idx) rows ready for a per-frame feature extractor. */
+  def sampleFrames(df: DataFrame, everyNth: Int): DataFrame =
+    df.withColumn("frame_idx",
+      F.explode(F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(everyNth))))
+}

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the corpus, one pass, no shuffle until the per-query top-k.
+  * Scale path: random-hyperplane LSH bucketing so only bucket-mates are
+  * compared (IVF-style routing falls out of the same shape with learned
+  * centroids instead of hyperplanes).
+  */
+object Similarity {
+  /** Cosine similarity of two float vectors, computed in double precision
+    * with a sequential left-to-right fold (deterministic association). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = F.aggregate(F.zip_with(a, b,
+      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      F.lit(0.0), (acc, v) => acc + v)
+    val na = F.sqrt(F.aggregate(F.transform(a,
+      x => x.cast(DoubleType) * x.cast(DoubleType)), F.lit(0.0), (acc, v) => acc + v))
+    val nb = F.sqrt(F.aggregate(F.transform(b,
+      x => x.cast(DoubleType) * x.cast(DoubleType)), F.lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      F.lit(0.0), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: every query vector against the whole corpus.
+    * The query side is expected to be small and is broadcast, so the corpus
+    * is read exactly once with no shuffle; the only exchange is the
+    * per-query top-k window. Exact — the oracle for ANN variants. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("nbr_id"), F.col(vecCol).as("cv"))
+    val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"))
+    val scored = c.join(F.broadcast(q), F.col("query_id") =!= F.col("nbr_id"))
+      .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos").desc, F.col("nbr_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash of (plane, dim)
+    * mapped to [-0.5, 0.5]. Reproducible across executors with no state. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (F.pmod(F.xxhash64(F.lit(plane), dim), F.lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
+
+  /** nbits-bit random-hyperplane LSH bucket id for a vector. */
+  def lshBucket(vec: Column, nbits: Int = 8): Column = {
+    val bits = (0 until nbits).map { p =>
+      val proj = F.aggregate(
+        F.zip_with(vec, F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+          j => planeComponent(p, j)), (x, w) => x.cast(DoubleType) * w),
+        F.lit(0.0), (acc, v) => acc + v)
+      F.when(proj > 0, 1L << p).otherwise(0L)
+    }
+    bits.reduce((a: Column, b: Column) => a + b)
+  }
+
+  /** LSH-bucketed approximate top-k: queries only meet corpus vectors in the
+    * same bucket. One shuffle on bucket id; recall trades off with nbits. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, nbits: Int = 8): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("nbr_id"), F.col(vecCol).as("cv"),
+      lshBucket(F.col(vecCol), nbits).as("bucket"))
+    val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"),
+      lshBucket(F.col(vecCol), nbits).as("bucket"))
+    val scored = c.join(F.broadcast(q), Seq("bucket"))
+      .filter(F.col("query_id") =!= F.col("nbr_id"))
+      .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos").desc, F.col("nbr_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+}

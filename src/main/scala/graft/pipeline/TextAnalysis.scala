@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.types._
+
+/** Text analysis operators for training-data pipelines: token statistics,
+  * heuristic language ID, quality scoring, fingerprinting. All pure
+  * `functions._` compositions — codegen'd, no UDFs, linear scans. */
+object TextAnalysis {
+  /** Whitespace tokens (lowercased). */
+  def tokens(text: Column): Column = F.split(F.lower(F.trim(text)), "\\s+")
+
+  /** Token count via regex match count (robust to repeated whitespace). */
+  def tokenCount(text: Column): Column = F.regexp_count(text, F.lit("\\S+"))
+
+  /** BPE-ish subword count estimate: words + digit runs + punctuation marks
+    * each count as a token boundary heuristic. */
+  def subwordCountEstimate(text: Column): Column =
+    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  def charCount(text: Column): Column = F.char_length(text)
+  def distinctTokenCount(text: Column): Column = F.size(F.array_distinct(tokens(text)))
+  /** Mean token length in chars, double. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.char_length(t)).cast(DoubleType) /
+      F.size(toks)
+  }
+
+  /** Small per-language stopword marker sets for the n-gram-free heuristic
+    * language ID. Deliberately tiny — the operator shape (score-and-argmax
+    * over token membership) is what scales, the lists are swappable. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  /** Per-language marker hit count. */
+  def langScore(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    F.size(F.filter(tokens(text), t => t.isin(words: _*)))
+  }
+
+  /** Heuristic language ID: argmax of marker counts, ties broken by the
+    * declared language precedence, "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (lang, _) => lang -> langScore(text, lang) }
+    val best = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
+    val pick = scores.reverse.foldLeft(F.lit("und")) { case (acc, (lang, sc)) =>
+      F.when(sc === best && best > 0, lang).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality features + composite keep-score in [0,1]:
+    * length band, alpha ratio, stopword ratio, repetition (distinct/total). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val nChar = charCount(text).cast(DoubleType)
+    val alphaChars = F.char_length(F.regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
+    val stopHits = langScore(text, "en").cast(DoubleType)
+    val distinctRatio = distinctTokenCount(text).cast(DoubleType) / nTok
+    val lengthOk = F.when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
+    val alphaRatio = alphaChars / nChar
+    val stopRatio = F.least(stopHits / nTok * 5.0, F.lit(1.0))
+    (lengthOk + alphaRatio + stopRatio + distinctRatio) / 4.0
+  }
+
+  /** Document fingerprint: md5 over the first n normalized tokens — a cheap
+    * prefix fingerprint for clustering boilerplate. */
+  def prefixFingerprint(text: Column, n: Int = 8): Column =
+    F.md5(F.array_join(F.slice(tokens(text), 1, n), " ").cast(BinaryType))
+
+  /** Rolling-hash content fingerprint: xxhash64 of every w-token window,
+    * keep the minimum (a 1-of-n winnowing sketch). */
+  def winnowFingerprint(text: Column, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val windows = F.transform(F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(0))),
+      i => F.xxhash64(F.array_join(F.slice(toks, i + 1, F.lit(w)), " ")))
+    F.array_min(windows)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+/** DuckDB oracles for the SQL-expressible pipeline queries. Hash-based ops
+  * (minhash/simhash/winnow/LSH: engine-specific xxhash64) are intentionally
+  * absent → driver records rows-only checks for them. */
+object PipelineOracles {
+  /** Shared CTE: tokens + distinct 3-gram shingles per document, with the
+    * short-doc fallback mirroring Dedup.shingles. */
+  private val shinglesCte =
+    """WITH w AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w
+      |           FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM w WHERE len(w) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, [array_to_string(w, ' ')] AS s FROM w WHERE len(w) < 3),
+      |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh)""".stripMargin
+
+  private val cosExpr = (a: String, b: String) =>
+    s"""list_reduce(list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
+       | / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
+       |  * sqrt(list_reduce(list_transform(generate_series(1,64), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""$shinglesCte,
+         |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 1000),
+         |kept AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN keep USING (shingle)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         |sided AS (SELECT k.doc_id, s.n_sh, k.shingle FROM kept k JOIN sz s USING (doc_id))
+         |SELECT a, b, jaccard FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS DOUBLE) / (any_value(x.n_sh) + any_value(y.n_sh) - count(*)) AS jaccard
+         |  FROM sided x JOIN sided y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id) t
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""SELECT a, b, cos FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${cosExpr("x.embedding", "y.embedding")} AS cos
+         |  FROM embeddings x JOIN embeddings y
+         |    ON x.label = y.label AND x.vec_id < y.vec_id) t
+         |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""SELECT query_id, rank, nbr_id, cos FROM (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
+         |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |    WHERE q.vec_id <> c.vec_id) s) r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS INTEGER) AS n_distinct,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(string_split_regex(lower(trim(text)), '\s+'), t -> CAST(length(t) AS BIGINT))),
+        |       (x,y) -> x+y) AS DOUBLE)
+        |    / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('el','la','de','que','y','en','un','los'))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('der','die','das','und','ist','von','ein','zu'))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('le','la','de','et','est','un','une','dans'))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('的','是','在','了','和','有','我','不'))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred,
+        |  CAST(s_en AS INTEGER) AS score_en
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+        |    CAST(length(text) AS DOUBLE) AS n_char,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) AS stop_hits,
+        |    CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE) AS n_distinct
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    (((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END
+        |      + alpha_chars / n_char)
+        |      + least(stop_hits / n_tok * 5.0, 1.0))
+        |      + n_distinct / n_tok) / 4.0 AS quality
+        |  FROM f)
+        |SELECT doc_id, quality, quality >= 0.5 AS keep FROM q ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ')) AS prefix_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_events_json" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

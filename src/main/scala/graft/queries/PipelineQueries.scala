@@ -1,14 +1,135 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
 
-/** Large-scale training-data pipeline operators (dedup, similarity search,
-  * text analysis, multimodal) — filled in by graft.pipeline.*. */
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Large-scale training-data pipeline operators as gate queries: dedup
+  * (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding), similarity
+  * search (brute-force + LSH ANN), text analysis (tokens, language-ID,
+  * quality, fingerprints), multimodal metadata plumbing, JSON/event
+  * processing. Probabilistic/hash-specific ops (minhash, simhash, LSH) have
+  * no DuckDB-expressible oracle → rows-only checks. */
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-}
 
-object PipelineOracles {
-  val oracleSql: Map[String, String] = Map()
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // ns-precision parquet timestamps arrive as Long (nanosAsLong); convert
+      // with integer division — double division would lose sub-µs precision
+      df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else df
+  }
+
+  val queries: Map[String, Q] = Map(
+    // --- dedup ---
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("keep_id")
+    }),
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      // LSH recall is hash-dependent → no SQL oracle; rows-only check
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 32, bands = 8, n = 3, threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", threshold = 0.35)
+        .orderBy("a", "b")
+    }),
+
+    // --- similarity search ---
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      // bucket membership is hash-dependent → rows-only check
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", k = 10, nbits = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- text analysis ---
+    "q_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        F.col("doc_id"),
+        TextAnalysis.tokenCount(F.col("text")).as("n_tokens"),
+        F.char_length(F.col("text")).as("n_chars_m"),
+        TextAnalysis.distinctTokenCount(F.col("text")).as("n_distinct"),
+        TextAnalysis.meanTokenLength(F.col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    }),
+    "q_text_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        F.col("doc_id"), F.col("lang"),
+        TextAnalysis.langId(F.col("text")).as("lang_pred"),
+        TextAnalysis.langScore(F.col("text"), "en").as("score_en"))
+        .orderBy("doc_id")
+    }),
+    "q_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        F.col("doc_id"),
+        TextAnalysis.qualityScore(F.col("text")).as("quality"),
+        (TextAnalysis.qualityScore(F.col("text")) >= 0.5).as("keep"))
+        .orderBy("doc_id")
+    }),
+    "q_text_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        F.col("doc_id"),
+        TextAnalysis.prefixFingerprint(F.col("text"), 8).as("prefix_fp"))
+        .orderBy("doc_id")
+    }),
+    "q_text_winnow" -> ((s, dir) => {
+      // xxhash-based winnowing sketch → rows-only check
+      val d = t(s, dir, "documents")
+      d.select(F.col("doc_id"),
+        TextAnalysis.winnowFingerprint(F.col("text"), 4).as("winnow_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // --- multimodal plumbing ---
+    "q_multimodal_meta" -> ((s, dir) => {
+      val d = Multimodal.withBinaryContent(t(s, dir, "documents"), "text")
+      Multimodal.decodePartitions(d, "image")
+        .select(F.col("doc_id"),
+          F.col("media_meta.width").as("width"),
+          F.col("media_meta.height").as("height"),
+          F.col("media_meta.n_frames").as("n_frames"),
+          F.col("media_meta.size_bytes").as("size_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // --- events / JSON ---
+    "q_events_json" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast(IntegerType))
+        .withColumn("hour_epoch", F.unix_timestamp(F.date_trunc("HOUR", F.col("ts"))))
+        .groupBy("hour_epoch", "event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("k").cast(LongType)).as("k_sum"),
+          F.sum(F.col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("value_sum"))
+        .orderBy("hour_epoch", "event_type")
+    })
+  )
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import TestSession.sf
+
+  def docs = spark.read.parquet(s"$sf/documents.parquet")
+  def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps one row per distinct text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() == docs.select("text").distinct().count())
+    assert(out.agg(F.sum("n_copies")).head().getLong(0) == docs.count())
+  }
+
+  test("minhash LSH candidates recover high-jaccard pairs found exactly") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 32, 8, 3, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification makes precision exact; recall at j>=0.9 with 8x4 bands ≈ 1
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
+  test("simhash: identical texts get identical signatures, hamming works") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "entirely different words here now")).toDF("id", "text")
+    val sigs = df.select(F.col("id"), Dedup.simhash64(F.col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val d = df.limit(1).select(
+      Dedup.hamming64(F.lit(sigs(1L)), F.lit(sigs(3L)))).head().getInt(0)
+    assert(d > 0 && d <= 64)
+  }
+
+  test("brute-force ANN: top-1 of a vector that exists twice is itself-like") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") < 3),
+      "vec_id", "embedding", "vec_id", 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    // ranks are 1..5 per query, cosine non-increasing within a query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5))
+      val cosines = sorted.map(_.getDouble(3)).toSeq
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH ANN returns a subset ranking consistent with brute force") {
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") === 0),
+      "vec_id", "embedding", "vec_id", 50).select("nbr_id")
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, emb.filter(F.col("vec_id") === 0),
+      "vec_id", "embedding", "vec_id", 10, nbits = 4)
+    // every LSH result is a real corpus vector with a valid rank
+    val rows = lsh.collect()
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 10))
+    assert(rows.nonEmpty)
+    assert(bf.nonEmpty)
+  }
+
+  test("multimodal: binary plumbing + partition decode + frame sampling") {
+    val withBin = Multimodal.withBinaryContent(docs.limit(20), "text")
+    assert(withBin.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val decoded = Multimodal.decodePartitions(withBin, "video")
+    val m = decoded.select("media_meta.kind", "media_meta.size_bytes",
+      "media_meta.n_frames").head()
+    assert(m.getString(0) == "video" && m.getLong(1) > 0)
+    val frames = Multimodal.sampleFrames(decoded, everyNth = 5)
+    val fcount = frames.groupBy("doc_id").count().head().getLong(1)
+    assert(fcount >= 1)
+    val resized = Multimodal.resizeStub(decoded, 224, 224)
+    assert(resized.select("media_meta.width").head().getInt(0) == 224)
+  }
+
+  test("language id prefers en on mixed stopwords, und on none") {
+    import spark.implicits._
+    val df = Seq("the cat and the dog", "xyzzy qwerty", "el perro y la gata de")
+      .toDF("text")
+    val got = df.select(TextAnalysis.langId(F.col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "en")
+    assert(got(1) == "und")
+    assert(got(2) == "es")
+  }
+
+  test("quality score is in [0,1] and penalizes repetition") {
+    import spark.implicits._
+    val df = Seq("the of and is that in a to good normal text here",
+      "spam spam spam spam spam spam spam spam").toDF("text")
+    val s = df.select(TextAnalysis.qualityScore(F.col("text"))).collect().map(_.getDouble(0))
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s(0) > s(1))
+  }
+}
