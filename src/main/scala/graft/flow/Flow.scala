@@ -1,0 +1,156 @@
+package graft.flow
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{SysCtx, TableFrame}
+import graft.store.{TableRef, TableStore}
+
+/** The three function roles (reference:
+  * client/td-sdk/tabsdata/_decorators.py:42,102,156). */
+object Role extends Enumeration { val Publisher, Transformer, Subscriber = Value }
+
+/** A registered pub/sub function.
+  *
+  * @param inputs    table refs (may carry `@HEAD~n` selectors) — empty for
+  *                  publishers, whose data comes from a [[Source]]
+  * @param outputs   table names this function produces (same collection)
+  * @param triggerBy tables whose new versions trigger this function; None →
+  *                  all input dependencies (reference: _decorators.py:59-62)
+  */
+final case class FlowFunction(
+    name: String,
+    collection: String,
+    role: Role.Value,
+    inputs: Seq[String],
+    outputs: Seq[String],
+    triggerBy: Option[Seq[String]],
+    fn: FlowContext => Seq[TableFrame])
+
+/** Per-run context handed to the user function: resolved input frames plus
+  * incremental-offset state (reference: _io/plugin.py:260-300 offsets). */
+final class FlowContext(
+    val spark: SparkSession,
+    val inputs: Seq[Option[TableFrame]],
+    val offsets: Map[String, String],
+    sink: mutable.Map[String, String]) {
+  def input(i: Int): TableFrame = inputs(i).getOrElse(
+    throw new NoSuchElementException(s"input $i not available"))
+  /** Record an offset value persisted for the next run of this function. */
+  def setOffset(key: String, value: String): Unit = sink(key) = value
+}
+
+/** In-process pub/sub engine: the function/table dependency DAG with
+  * trigger propagation and transactional multi-table publication.
+  *
+  * Re-expresses the reference's execution planner (ExecutionGraph with
+  * Output/Trigger/Dependency edges, server/libraries/td-objects/src/
+  * execution/graph.rs:60-110; planning td-execution/src/planner.rs:20-55;
+  * transactions ta-execution/src/transaction.rs:24-90): a commit of table
+  * versions triggers downstream functions breadth-first, each run's outputs
+  * published atomically through the store's transaction marker.
+  */
+final class FlowEngine(val store: TableStore, spark: SparkSession) {
+  private val functions = mutable.LinkedHashMap[String, FlowFunction]()
+
+  def register(f: FlowFunction): Unit = {
+    require(!functions.contains(f.name), s"function ${f.name} already registered")
+    functions(f.name) = f
+  }
+
+  def publisher(name: String, collection: String, outputs: Seq[String])(
+      fn: FlowContext => Seq[TableFrame]): Unit =
+    register(FlowFunction(name, collection, Role.Publisher, Nil, outputs, None, fn))
+
+  def transformer(name: String, collection: String, inputs: Seq[String],
+      outputs: Seq[String], triggerBy: Option[Seq[String]] = None)(
+      fn: FlowContext => Seq[TableFrame]): Unit =
+    register(FlowFunction(name, collection, Role.Transformer, inputs, outputs, triggerBy, fn))
+
+  def subscriber(name: String, collection: String, inputs: Seq[String],
+      triggerBy: Option[Seq[String]] = None)(
+      fn: FlowContext => Seq[TableFrame]): Unit =
+    register(FlowFunction(name, collection, Role.Subscriber, inputs, Nil, triggerBy, fn))
+
+  /** Functions triggered by a new version of `collection/table`. */
+  private def dependents(collection: String, table: String): Seq[FlowFunction] =
+    functions.values.toSeq.filter { f =>
+      val trig = f.triggerBy.getOrElse(f.inputs).map(s => TableRef.parse(s, f.collection))
+      trig.exists(r => r.collection == collection && r.table == table)
+    }
+
+  /** Run one function: resolve inputs, execute, publish outputs atomically,
+    * persist offsets, return the tables that got new versions. */
+  def runFunction(f: FlowFunction, executionId: String): Seq[(String, String)] = {
+    val offsets = Offsets.load(store.root, f.name)
+    val sink = mutable.Map[String, String](offsets.toSeq: _*)
+    val inputs = f.inputs.map(s => store.scan(TableRef.parse(s, f.collection)))
+    val ctx = new FlowContext(spark, inputs, offsets, sink)
+    val results = f.fn(ctx)
+    require(results.length == f.outputs.length,
+      s"${f.name}: produced ${results.length} outputs, declared ${f.outputs.length}")
+    // one transaction spanning all outputs (all-or-nothing publication)
+    val txid = store.newId()
+    val entries = f.outputs.zip(results).map { case (table, tf) =>
+      val ctx2 = SysCtx(executionId, txid, store.newId(),
+        new java.sql.Timestamp(System.currentTimeMillis()))
+      (table, store.stageWrite(f.collection, table, tf.df, ctx2))
+    }
+    store.commitTransaction(txid)
+    Offsets.save(store.root, f.name, sink.toMap)
+    entries.map { case (t, _) => (f.collection, t) }
+  }
+
+  /** Manual trigger: run `name`, then propagate to dependents breadth-first
+    * (each function runs at most once per execution, matching the planner's
+    * once-per-plan semantics). */
+  def trigger(name: String): Seq[String] = {
+    val executionId = store.newId()
+    val ran = mutable.LinkedHashSet[String]()
+    val queue = mutable.Queue[FlowFunction](functions(name))
+    while (queue.nonEmpty) {
+      val f = queue.dequeue()
+      if (!ran.contains(f.name)) {
+        ran += f.name
+        val published = runFunction(f, executionId)
+        published.foreach { case (coll, table) =>
+          dependents(coll, table).foreach { d =>
+            if (!ran.contains(d.name)) queue.enqueue(d)
+          }
+        }
+      }
+    }
+    ran.toSeq
+  }
+}
+
+/** Per-function offset state: a tiny JSON map in the store, written by
+  * atomic rename (reference: _tabsserver/function/offset_utils.py:42-280). */
+object Offsets {
+  private def path(root: String, fn: String) = Paths.get(root, "_offsets", s"$fn.json")
+
+  def load(root: String, fn: String): Map[String, String] = {
+    val p = path(root, fn)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val s = Files.readString(p, StandardCharsets.UTF_8)
+      "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  def save(root: String, fn: String, offsets: Map[String, String]): Unit = {
+    if (offsets.isEmpty) return
+    val p = path(root, fn)
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(s".${fn}.tmp")
+    val body = offsets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    Files.writeString(tmp, body, StandardCharsets.UTF_8)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

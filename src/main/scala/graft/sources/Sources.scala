@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+import graft.core.TableFrame
+
+/** Connector API: user-extensible sources and destinations (reference:
+  * _io/plugin.py:93-260 `SourcePlugin`, :310-435 `DestinationPlugin`).
+  * A Source yields one DataFrame per declared output table; a Sink consumes
+  * one. Incremental state rides on the flow engine's offset map. */
+trait Source {
+  def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame]
+  /** Offset values to persist after a successful run. */
+  def nextOffsets(dfs: Seq[DataFrame]): Map[String, String] = Map.empty
+}
+
+trait Sink {
+  def write(df: DataFrame): Unit
+}
+
+/** File ingestion (reference: _io/inputs/file_inputs.py — LocalFileSource /
+  * S3Source / AzureSource / GCSSource share this shape; cloud variants are
+  * the same Spark reader against an `s3a://`/`abfss://`/`gs://` URI once the
+  * corresponding Hadoop FS connector jars are on the cluster classpath).
+  *
+  * - `pattern` supports `*`/`?` globs (Spark path globbing, mirroring the
+  *   reference's wildcard handling, file_inputs.py:580)
+  * - `modifiedAfter` (ISO-8601) is the incremental `initial_last_modified`
+  *   filter (file_inputs.py:1120-1178) — pushed to the file listing, not a
+  *   post-filter
+  * - formats: csv (full-file schema inference, matching the transporter's
+  *   `infer_schema_length=None`), json/ndjson, parquet, orc, text/log
+  */
+final case class FileSource(
+    pattern: String,
+    format: String = "csv",
+    options: Map[String, String] = Map.empty,
+    modifiedAfter: Option[String] = None) extends Source {
+
+  override def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame] = {
+    var r: DataFrameReader = spark.read
+    val lastMod = offsets.get("last_modified").orElse(modifiedAfter)
+    lastMod.foreach(ts => r = r.option("modifiedAfter", ts))
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val df = format match {
+      case "csv" =>
+        r.option("header", options.getOrElse("header", "true"))
+          .option("inferSchema", "true").csv(pattern)
+      case "json" | "ndjson" => r.json(pattern)
+      case "parquet"         => r.parquet(pattern)
+      case "orc"             => r.orc(pattern)
+      case "text" | "log"    => r.text(pattern)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    Seq(df)
+  }
+
+  /** Advance the incremental watermark to now (file listing already filtered
+    * by the previous one). */
+  override def nextOffsets(dfs: Seq[DataFrame]): Map[String, String] =
+    Map("last_modified" -> java.time.Instant.now().toString)
+}
+
+/** JDBC source: one SQL query per output table, with offset values
+  * substituted into `$offset$`-parameterized queries for incremental loads
+  * (reference: _io/inputs/sql_inputs.py — MySQL/MariaDB/Oracle/Postgres all
+  * reduce to this against Spark's JDBC reader). */
+final case class JdbcSource(
+    url: String,
+    queries: Seq[String],
+    properties: Map[String, String] = Map.empty,
+    offsetKey: String = "offset",
+    initialOffset: String = "0") extends Source {
+
+  override def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame] = {
+    val off = offsets.getOrElse(offsetKey, initialOffset)
+    queries.map { q =>
+      val sql = q.replace("$offset$", off)
+      var r = spark.read.format("jdbc").option("url", url).option("query", sql)
+      properties.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+  }
+}
+
+/** File destination (reference: _io/outputs/file_outputs.py — local + cloud
+  * variants; jsonl == Spark json lines output). */
+final case class FileSink(
+    path: String,
+    format: String = "parquet",
+    mode: String = "overwrite",
+    options: Map[String, String] = Map.empty) extends Sink {
+
+  override def write(df: DataFrame): Unit = {
+    var w = df.write.mode(mode)
+    options.foreach { case (k, v) => w = w.option(k, v) }
+    format match {
+      case "csv"              => w.option("header", "true").csv(path)
+      case "json" | "ndjson" | "jsonl" => w.json(path)
+      case "parquet"          => w.parquet(path)
+      case "orc"              => w.orc(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+}
+
+/** JDBC destination (reference: _io/outputs/sql_outputs.py; append/replace). */
+final case class JdbcSink(
+    url: String,
+    table: String,
+    mode: String = "append",
+    properties: Map[String, String] = Map.empty) extends Sink {
+  override def write(df: DataFrame): Unit = {
+    var w = df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table)
+    properties.foreach { case (k, v) => w = w.option(k, v) }
+    w.save()
+  }
+}
+
+object Sources {
+  /** Wrap a source's output as raw TableFrames (mode="raw": fresh system
+    * columns — reference: execution_utils.py:213-282 publisher path). */
+  def loadRaw(src: Source, spark: SparkSession,
+      offsets: Map[String, String] = Map.empty): Seq[TableFrame] =
+    src.load(spark, offsets).map(df => TableFrame.fromRaw(df))
+}

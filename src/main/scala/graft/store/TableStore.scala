@@ -1,0 +1,167 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ThreadLocalRandom
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{SysCtx, SystemColumns, TableFrame}
+import graft.expressions.UuidV7
+
+/** One committed table version (a line in the table's metadata log). */
+final case class VersionEntry(
+    id: String,
+    execution: String,
+    transaction: String,
+    timestampMs: Long,
+    schemaHash: String,
+    rows: Long)
+
+/** Versioned, transactional Parquet table store.
+  *
+  * The Spark re-expression of the reference's storage model (SURVEY §1.5):
+  * every function run writes new immutable versions at
+  * `<root>/<collection>/<table>/<versionId>/` (reference URI shape
+  * `.../e/<work>/r/<idx>.t`, _tabsserver/function/execution_utils.py:237-240)
+  * with an append-only JSONL metadata log per table replacing the reference's
+  * SQLite metadata DB (version_resolver.rs). Multi-table atomicity comes from
+  * a transaction marker committed by atomic rename — versions belonging to
+  * uncommitted transactions are invisible to readers (mirrors the
+  * all-or-nothing publication of ta-execution/src/transaction.rs:24-90).
+  *
+  * Scale note: the *data* path is pure distributed Parquet I/O; only the
+  * tiny metadata log is driver-side. On a real deployment the same layout
+  * works on any Hadoop FS URI; the log commit then needs an FS with atomic
+  * rename (HDFS/ABFS) or a small DB, same as every table-format metadata
+  * layer.
+  */
+final class TableStore(val root: String, spark: SparkSession) {
+  private def tableDir(coll: String, table: String): Path = Paths.get(root, coll, table)
+  private def logPath(coll: String, table: String): Path = tableDir(coll, table).resolve("_log.jsonl")
+  private def txnDir: Path = Paths.get(root, "_transactions")
+
+  def newId(): String = UuidV7.next(ThreadLocalRandom.current())
+
+  // ---- metadata log ----
+  private def readLog(coll: String, table: String): Seq[VersionEntry] = {
+    val p = logPath(coll, table)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(parseEntry)
+  }
+
+  private def parseEntry(line: String): VersionEntry = {
+    def field(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*(\"([^\"]*)\"|\\d+)").r
+      m.findFirstMatchIn(line) match {
+        case Some(mm) => if (mm.group(2) != null) mm.group(2) else mm.group(1)
+        case None => throw new IllegalStateException(s"corrupt log line: $line")
+      }
+    }
+    VersionEntry(field("id"), field("execution"), field("transaction"),
+      field("ts").toLong, field("schemaHash"), field("rows").toLong)
+  }
+
+  private def renderEntry(e: VersionEntry): String =
+    s"""{"id":"${e.id}","execution":"${e.execution}","transaction":"${e.transaction}","ts":${e.timestampMs},"schemaHash":"${e.schemaHash}","rows":${e.rows}}"""
+
+  private def appendLog(coll: String, table: String, e: VersionEntry): Unit = {
+    Files.createDirectories(tableDir(coll, table))
+    Files.writeString(logPath(coll, table), renderEntry(e) + "\n",
+      StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  // ---- transactions ----
+  private def txnMarker(txid: String): Path = txnDir.resolve(s"$txid.json")
+  def commitTransaction(txid: String): Unit = {
+    Files.createDirectories(txnDir)
+    val tmp = txnDir.resolve(s".$txid.tmp")
+    Files.writeString(tmp, s"""{"txid":"$txid","status":"committed"}""")
+    Files.move(tmp, txnMarker(txid), StandardCopyOption.ATOMIC_MOVE)
+  }
+  def isCommitted(txid: String): Boolean = Files.exists(txnMarker(txid))
+
+  /** Committed (visible) versions, oldest → newest. */
+  def versions(coll: String, table: String): Seq[VersionEntry] =
+    readLog(coll, table).filter(e => isCommitted(e.transaction))
+
+  // ---- write path ----
+  /** Stage a new version's data (distributed parquet write). Invisible until
+    * its transaction commits. Returns the log entry to commit. */
+  def stageWrite(coll: String, table: String, df: DataFrame, ctx: SysCtx): VersionEntry = {
+    val versionId = ctx.version
+    val dir = tableDir(coll, table).resolve(versionId)
+    val stamped = SystemColumns.addSys(df, ctx)
+    stamped.write.mode("overwrite").parquet(dir.toString)
+    val rows = spark.read.parquet(dir.toString).count()
+    val schemaHash = Integer.toHexString(df.schema.filterNot(f =>
+      SystemColumns.isSystem(f.name)).map(f => (f.name, f.dataType.sql)).hashCode())
+    val e = VersionEntry(versionId, ctx.execution, ctx.transaction,
+      ctx.timestamp.getTime, schemaHash, rows)
+    appendLog(coll, table, e)
+    e
+  }
+
+  /** Write one table in its own single-version transaction. */
+  def write(coll: String, table: String, df: DataFrame): VersionEntry = {
+    val ctx = SysCtx.fresh().copy(version = newId())
+    val e = stageWrite(coll, table, df, ctx)
+    commitTransaction(ctx.transaction)
+    e
+  }
+
+  // ---- read path / version resolution (mirrors version_resolver.rs) ----
+  def resolveOne(coll: String, table: String, v: Version): Option[VersionEntry] = {
+    val vs = versions(coll, table)
+    v match {
+      case Version.Head(back)       => vs.reverse.lift(back)
+      case Version.Initial(forward) => vs.lift(forward)
+      case Version.Fixed(id)        => vs.find(_.id == id)
+    }
+  }
+
+  def resolve(coll: String, table: String, versions0: Versions): Seq[VersionEntry] =
+    versions0 match {
+      case Versions.Single(v) => resolveOne(coll, table, v).toSeq
+      case Versions.VList(vs) => vs.flatMap(v => resolveOne(coll, table, v))
+      case Versions.VRange(from, to) =>
+        val vs = versions(coll, table)
+        (resolveOne(coll, table, from), resolveOne(coll, table, to)) match {
+          case (Some(a), Some(b)) =>
+            val ia = vs.indexWhere(_.id == a.id)
+            val ib = vs.indexWhere(_.id == b.id)
+            if (ia <= ib) vs.slice(ia, ib + 1) else vs.slice(ib, ia + 1).reverse
+          case _ => Seq.empty
+        }
+    }
+
+  def pathOf(coll: String, table: String, e: VersionEntry): String =
+    tableDir(coll, table).resolve(e.id).toString
+
+  /** Scan a table reference; multiple versions union vertically. Returns a
+    * TableFrame in mode="tab" (system columns preserved from storage). */
+  def scan(ref: TableRef): Option[TableFrame] = {
+    val es = resolve(ref.collection, ref.table, ref.versions)
+    if (es.isEmpty) None
+    else Some(TableFrame.fromTable(
+      es.map(e => spark.read.parquet(pathOf(ref.collection, ref.table, e)))
+        .reduce(_ unionByName _)))
+  }
+
+  def scan(refStr: String): Option[TableFrame] = scan(TableRef.parse(refStr))
+
+  /** Table sample slice (reference: api/tabsdata_server.py:2476-2527). */
+  def sample(ref: TableRef, offset: Int, len: Int): Option[DataFrame] =
+    scan(ref).map(_.df.offset(offset).limit(len))
+
+  def listTables(coll: String): Seq[String] = {
+    val d = Paths.get(root, coll)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming layer.
+  *
+  * The reference's "streaming" is micro-batch pub/sub of table versions plus
+  * incremental source offsets (SURVEY §2.9) — no watermarks or event-time
+  * state of its own. Here that maps onto Structured Streaming: a table
+  * directory is a file-stream source (each committed version directory's
+  * files become a micro-batch), transforms are ordinary DataFrame logic, and
+  * sinks ride `writeStream`. Beyond parity we expose the event-time
+  * machinery a training-data pipeline needs: watermarked windowed
+  * aggregation and keyed session state.
+  */
+object Streams {
+  /** Stream a directory of parquet (e.g. a store table's version dirs via
+    * glob). Schema must be supplied — streaming sources don't infer. */
+  def readParquetStream(spark: SparkSession, pathGlob: String, schema: StructType,
+      maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(pathGlob)
+
+  /** Watermarked sliding-window aggregation: count + sum(valueCol) per
+    * (window, keys). Late data beyond the watermark is dropped — state stays
+    * bounded no matter how long the stream runs. */
+  def windowedAgg(df: DataFrame, tsCol: String, valueCol: String,
+      window: String, slide: String, watermark: String, keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window, slide) +: keys.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col(valueCol)).as("value_sum"))
+
+  /** Run a (bounded) streaming query into an in-memory table and block until
+    * all available input is processed — the micro-batch harness used by the
+    * local tests and the pub/sub continuous mode. */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Continuous pub/sub: stream a source table directory into a sink
+    * directory as parquet micro-batches. */
+  def pipeToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  final case class SessionUpdate(key: String, events: Long, valueSum: Double)
+
+  /** Keyed running state via mapGroupsWithState: per-key event count and
+    * value sum, updated each micro-batch (the custom-state escape hatch —
+    * KeyValueGroupedDataset.mapGroupsWithState). */
+  def runningTotals(ds: Dataset[(String, Double)]): Dataset[SessionUpdate] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[SessionUpdate, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[SessionUpdate]) =>
+          val prev = state.getOption.getOrElse(SessionUpdate(key, 0L, 0.0))
+          var n = prev.events
+          var s = prev.valueSum
+          rows.foreach { r => n += 1; s += r._2 }
+          val next = SessionUpdate(key, n, s)
+          state.update(next)
+          next
+      }
+  }
+}

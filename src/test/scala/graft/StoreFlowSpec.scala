@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableFrame
+import graft.flow.FlowEngine
+import graft.sources.{FileSink, FileSource, Sources}
+import graft.store._
+
+class StoreFlowSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import TestSession.sf
+
+  def freshStore(): TableStore =
+    new TableStore(Files.createTempDirectory("graft-store").toString, spark)
+
+  test("version grammar parses all selector forms") {
+    import Version._
+    assert(Version.parse("HEAD") == Head(0))
+    assert(Version.parse("HEAD^") == Head(1))
+    assert(Version.parse("HEAD^^") == Head(2))
+    assert(Version.parse("HEAD~3") == Head(3))
+    assert(Version.parse("INITIAL") == Initial(0))
+    assert(Version.parse("INITIAL~2") == Initial(2))
+    assert(Version.parse("0123456789abcdefghijklmnop") == Fixed("0123456789abcdefghijklmnop"))
+    intercept[IllegalArgumentException](Version.parse("HEAD~x"))
+    assert(Versions.parse("HEAD,HEAD^") ==
+      Versions.VList(Seq(Head(0), Head(1))))
+    assert(Versions.parse("INITIAL..HEAD") ==
+      Versions.VRange(Initial(0), Head(0)))
+    val r = TableRef.parse("sales/orders@HEAD~1")
+    assert(r.collection == "sales" && r.table == "orders" &&
+      r.versions == Versions.Single(Head(1)))
+  }
+
+  test("store: versions resolve HEAD/INITIAL/fixed/range across writes") {
+    val store = freshStore()
+    import spark.implicits._
+    val v1 = store.write("c", "t", Seq(1, 2, 3).toDF("x"))
+    val v2 = store.write("c", "t", Seq(4, 5).toDF("x"))
+    val v3 = store.write("c", "t", Seq(6).toDF("x"))
+    assert(store.versions("c", "t").map(_.id) == Seq(v1.id, v2.id, v3.id))
+    assert(store.resolveOne("c", "t", Version.Head(0)).get.id == v3.id)
+    assert(store.resolveOne("c", "t", Version.Head(2)).get.id == v1.id)
+    assert(store.resolveOne("c", "t", Version.Initial(0)).get.id == v1.id)
+    assert(store.resolveOne("c", "t", Version.Initial(1)).get.id == v2.id)
+    assert(store.resolveOne("c", "t", Version.Fixed(v2.id)).get.id == v2.id)
+    assert(store.resolveOne("c", "t", Version.Head(5)).isEmpty)
+    val range = store.resolve("c", "t", Versions.parse("INITIAL..HEAD"))
+    assert(range.map(_.id) == Seq(v1.id, v2.id, v3.id))
+    // scan HEAD sees only v3's rows; user columns preserved, system added
+    val head = store.scan("c/t").get
+    assert(head.df.select("x").collect().map(_.getInt(0)).sorted.toSeq == Seq(6))
+    assert(head.columns("system").nonEmpty)
+    // multi-version scan unions
+    val both = store.scan("c/t@HEAD,HEAD^").get
+    assert(both.df.count() == 3)
+  }
+
+  test("store: uncommitted transactions are invisible") {
+    val store = freshStore()
+    import spark.implicits._
+    store.write("c", "t", Seq(1).toDF("x"))
+    val ctx = graft.core.SysCtx.fresh()
+    store.stageWrite("c", "t", Seq(2).toDF("x"), ctx) // never committed
+    assert(store.versions("c", "t").length == 1)
+    assert(store.scan("c/t").get.df.select("x").head().getInt(0) == 1)
+    store.commitTransaction(ctx.transaction)
+    assert(store.versions("c", "t").length == 2)
+  }
+
+  test("flow: publisher -> transformer -> subscriber with trigger propagation") {
+    val store = freshStore()
+    val engine = new FlowEngine(store, spark)
+    val outDir = Files.createTempDirectory("graft-sub-out").toString
+    var subscriberRuns = 0
+
+    engine.publisher("pub_orders", "sales", Seq("orders_raw")) { ctx =>
+      val df = spark.read.parquet(s"$sf/orders.parquet")
+      Seq(TableFrame.fromRaw(df))
+    }
+    engine.transformer("big_orders", "sales", Seq("orders_raw"), Seq("orders_big")) { ctx =>
+      Seq(ctx.input(0).filter(td.col("o_totalprice") > 200000.0))
+    }
+    engine.subscriber("sub_out", "sales", Seq("orders_big")) { ctx =>
+      subscriberRuns += 1
+      FileSink(s"$outDir/run$subscriberRuns", "parquet").write(
+        ctx.input(0).selectCols("o_orderkey", "o_totalprice").df)
+      Seq.empty
+    }
+
+    val ran = engine.trigger("pub_orders")
+    assert(ran == Seq("pub_orders", "big_orders", "sub_out"))
+    assert(subscriberRuns == 1)
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(F.col("o_totalprice") > 200000.0).count()
+    assert(store.scan("sales/orders_big").get.count() == expected)
+    assert(spark.read.parquet(s"$outDir/run1").count() == expected)
+    // second trigger: new versions everywhere, HEAD^ still the old one
+    engine.trigger("pub_orders")
+    assert(store.versions("sales", "orders_big").length == 2)
+    assert(store.scan("sales/orders_big@HEAD^").get.count() == expected)
+  }
+
+  test("flow: trigger_by subsets stop propagation") {
+    val store = freshStore()
+    val engine = new FlowEngine(store, spark)
+    import spark.implicits._
+    engine.publisher("pub_a", "c", Seq("a")) { _ => Seq(TableFrame.fromRaw(Seq(1).toDF("x"))) }
+    engine.publisher("pub_b", "c", Seq("b")) { _ => Seq(TableFrame.fromRaw(Seq(2).toDF("x"))) }
+    // depends on a+b but only b triggers it (reference: trigger_by subset)
+    engine.transformer("join_ab", "c", Seq("a", "b"), Seq("ab"),
+        triggerBy = Some(Seq("b"))) { ctx =>
+      Seq(TableFrame.concat(Seq(
+        ctx.input(0).selectCols("x"), ctx.input(1).selectCols("x")), "vertical"))
+    }
+    assert(engine.trigger("pub_a") == Seq("pub_a")) // no propagation via a
+    assert(engine.trigger("pub_b") == Seq("pub_b", "join_ab"))
+    assert(store.scan("c/ab").get.count() == 2)
+  }
+
+  test("flow: offsets persist between runs (incremental publisher)") {
+    val store = freshStore()
+    val engine = new FlowEngine(store, spark)
+    import spark.implicits._
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    engine.publisher("incr", "c", Seq("t")) { ctx =>
+      val last = ctx.offsets.getOrElse("cursor", "0")
+      seen += last
+      ctx.setOffset("cursor", (last.toInt + 10).toString)
+      Seq(TableFrame.fromRaw(Seq(last.toInt).toDF("from_cursor")))
+    }
+    engine.trigger("incr"); engine.trigger("incr"); engine.trigger("incr")
+    assert(seen.toSeq == Seq("0", "10", "20"))
+  }
+
+  test("file source: csv round-trip with inference and glob") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("part1.csv"), "id,name\n1,alpha\n2,beta\n")
+    Files.writeString(dir.resolve("part2.csv"), "id,name\n3,gamma\n")
+    val tfs = Sources.loadRaw(FileSource(s"$dir/part*.csv", "csv"), spark)
+    assert(tfs.length == 1)
+    val tf = tfs.head
+    assert(tf.count() == 3)
+    assert(tf.df.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(tf.columns("system").nonEmpty) // raw wrap stamped fresh ids
+  }
+}
