@@ -16,9 +16,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalOracles.oracleSql ++
-      graft.queries.PipelineOracles.oracleSql
+      graft.queries.PipelineOracles.oracleSql ++
+      graft.queries.ExtendedOracles.oracleSql
 }

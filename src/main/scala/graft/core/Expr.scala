@@ -141,10 +141,14 @@ final case class Expr(col: Column) {
     else wrap(F.when(col < 0, col.cast(DecimalType(20, 0)) + F.lit(BigDecimal(2).pow(64).bigDecimal))
       .otherwise(col.cast(DecimalType(20, 0))))
   def round(decimals: Int = 0): Expr = wrap(F.round(col, decimals))
-  /** round to significant figures (expr.py:1993) — formula per SURVEY §2.7. */
-  def round_sig_figs(digits: Int): Expr =
-    wrap(F.when(col === 0, col).otherwise(
-      F.round(col, F.lit(digits - 1) - F.floor(F.log10(F.abs(col))).cast(IntegerType))))
+  /** round to significant figures (expr.py:1993). Spark's round() requires a
+    * foldable scale, so this scales by a power of ten instead:
+    * e = floor(log10(|x|)) - (digits-1); round(x/10^e) * 10^e. */
+  def round_sig_figs(digits: Int): Expr = {
+    val e = F.floor(F.log10(F.abs(col))) - (digits - 1)
+    val p = F.pow(F.lit(10.0), e)
+    wrap(F.when(col === 0, col).otherwise(F.round(col / p) * p))
+  }
   def sign: Expr = wrap(F.signum(col))
   def sin: Expr = wrap(F.sin(col))
   def sinh: Expr = wrap(F.sinh(col))

@@ -156,17 +156,21 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
     require(strategy == "cross" || lk.nonEmpty, "join requires keys (or how=cross)")
     require(lk.length == rk.length, "left_on/right_on length mismatch")
 
-    // pre-join rename pass: Spark has no suffix option (SURVEY §2.3)
+    // pre-join rename pass: Spark has no suffix option (SURVEY §2.3).
+    // A USING-style join (plain equality keys) needs no rename for the key
+    // columns; every other shape (null-safe keys, full joins) compares
+    // explicit columns, so same-named right keys must be suffixed first.
     val keepRightKeys = strategy == "full" || strategy == "outer" || on.isEmpty
+    val usingJoin = on.nonEmpty && !keepRightKeys && !joinNulls
     val leftUser = df.columns.toSet
     val collide = other.df.columns.filter(n =>
-      leftUser.contains(n) && !(on.contains(n) && !keepRightKeys))
+      leftUser.contains(n) && !(on.contains(n) && usingJoin))
     val renamed = collide.foldLeft(other.df)((d, n) => d.withColumnRenamed(n, n + suffix))
     def rname(n: String): String = if (collide.contains(n)) n + suffix else n
 
     val joined =
       if (strategy == "cross") df.crossJoin(renamed)
-      else if (on.nonEmpty && !keepRightKeys && !joinNulls) {
+      else if (usingJoin) {
         // USING-style join: single key column out, no dup — cheapest plan
         df.join(renamed, on, strategy)
       } else {
@@ -177,13 +181,16 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
         df.join(renamed, cond, strategy)
       }
 
-    // coalesce keys into one column (Polars coalesce=True default for outer+on)
+    // merge duplicated key columns back into one (Polars coalesce semantics:
+    // default true for `on` joins)
     val doCoalesce = coalesceKeys.getOrElse(on.nonEmpty)
     val out =
-      if ((strategy == "full" || strategy == "outer") && on.nonEmpty && doCoalesce) {
+      if (!usingJoin && strategy != "cross" && on.nonEmpty && doCoalesce) {
         on.foldLeft(joined) { (d, k) =>
-          d.withColumn(k, F.coalesce(F.col(s"`$k`"), F.col(s"`${k + suffix}`")))
-            .drop(k + suffix)
+          if (joined.columns.contains(k + suffix))
+            d.withColumn(k, F.coalesce(F.col(s"`$k`"), F.col(s"`${k + suffix}`")))
+              .drop(k + suffix)
+          else d
         }
       } else joined
 

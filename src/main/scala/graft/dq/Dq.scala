@@ -1,0 +1,54 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, functions => F}
+
+import graft.core.{Expr, TableFrame}
+
+/** Data-quality namespace (reference: tableframe/dq/engine.py:22-310 —
+  * `tf._dq`: null/nan/sign/membership/range checks materialized as boolean
+  * result columns with a postfix). Thin library over Column predicates;
+  * every check is codegen'd. */
+object Dq {
+  val DefaultPostfix = "_dq"
+
+  final case class Check(name: String, predicate: Column => Column)
+
+  def is_null: Check = Check("is_null", _.isNull)
+  def is_not_null: Check = Check("is_not_null", _.isNotNull)
+  def is_nan: Check = Check("is_nan", F.isnan(_))
+  def is_not_nan: Check = Check("is_not_nan", c => !F.isnan(c))
+  def is_null_or_nan: Check = Check("is_null_or_nan", c => c.isNull || F.isnan(c))
+  def is_not_null_or_nan: Check = Check("is_not_null_or_nan", c => !(c.isNull || F.isnan(c)))
+  def is_in(values: Seq[Any]): Check = Check("is_in", _.isin(values: _*))
+  def is_not_in(values: Seq[Any]): Check = Check("is_not_in", c => !c.isin(values: _*))
+  def is_positive: Check = Check("is_positive", _ > 0)
+  def is_positive_or_zero: Check = Check("is_positive_or_zero", _ >= 0)
+  def is_negative: Check = Check("is_negative", _ < 0)
+  def is_negative_or_zero: Check = Check("is_negative_or_zero", _ <= 0)
+  def is_zero: Check = Check("is_zero", _ === 0)
+  def is_between(lo: Any, hi: Any): Check =
+    Check("is_between", c => c >= F.lit(lo) && c <= F.lit(hi))
+  def is_not_between(lo: Any, hi: Any): Check =
+    Check("is_not_between", c => !(c >= F.lit(lo) && c <= F.lit(hi)))
+  /** Arbitrary predicate check (reference: dq/engine.py `expr`/`fn`). */
+  def expr(name: String, e: Expr): Check = Check(name, _ => e.col)
+
+  /** Apply checks to a column, appending `<col>_<check><postfix>` boolean
+    * columns. */
+  def apply(tf: TableFrame, column: String, checks: Seq[Check],
+      postfix: String = DefaultPostfix): TableFrame = {
+    val named = checks.map(ch =>
+      s"$column${if (ch.name.isEmpty) "" else "_" + ch.name}$postfix" ->
+        Expr(ch.predicate(F.col(s"`$column`"))))
+    tf.with_columns(named: _*)
+  }
+
+  /** Row-level validity: AND of all checks on their columns → one column. */
+  def validate(tf: TableFrame, columnChecks: Seq[(String, Check)],
+      as: String = "dq_valid"): TableFrame = {
+    val combined = columnChecks
+      .map { case (c, ch) => ch.predicate(F.col(s"`$c`")) }
+      .reduce(_ && _)
+    tf.with_columns(as -> Expr(combined))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+/** DuckDB oracles for [[ExtendedQueries]]. `q_stream_window` runs through
+  * Structured Streaming on the Spark side but its bounded result equals this
+  * plain batch aggregation. */
+object ExtendedOracles {
+  val oracleSql: Map[String, String] = Map(
+    "q_udf_scalar" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS net_price,
+        |  CASE WHEN l_extendedprice * (1.0 - l_discount) > 30000.0 THEN 'high' ELSE 'low' END AS price_label
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 400""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT c_custkey,
+        |  c_acctbal < 0 AS c_acctbal_is_negative_dq,
+        |  c_acctbal >= 0.0 AND c_acctbal <= 5000.0 AS c_acctbal_is_between_dq,
+        |  c_acctbal IS NOT NULL AS c_acctbal_is_not_null_dq,
+        |  c_acctbal IS NOT NULL AND c_custkey > 0 AS dq_valid
+        |FROM customer ORDER BY c_custkey LIMIT 400""".stripMargin,
+    "q_fill_forward" ->
+      """SELECT c_custkey,
+        |  last_value(bal IGNORE NULLS) OVER (ORDER BY c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+        |FROM (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
+        |      FROM customer) t
+        |ORDER BY c_custkey LIMIT 400""".stripMargin,
+    "q_rank_variants" ->
+      """SELECT s_suppkey,
+        |  CAST(2 * rank() OVER (ORDER BY s_acctbal ASC)
+        |       + count(*) OVER (PARTITION BY s_acctbal) - 1 AS DOUBLE) / 2 AS rank_avg,
+        |  rank() OVER (ORDER BY s_acctbal ASC)
+        |    + count(*) OVER (PARTITION BY s_acctbal) - 1 AS rank_max
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_concat_relaxed" ->
+      """SELECT CAST(n_nationkey AS DOUBLE) AS v FROM nation
+        |UNION ALL
+        |SELECT c_acctbal AS v FROM customer WHERE c_custkey <= 50
+        |ORDER BY v ASC NULLS FIRST""".stripMargin,
+    "q_selectors" ->
+      """SELECT
+        |  CAST(sum(CAST(p_partkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_p_partkey,
+        |  CAST(sum(CAST(p_size AS DECIMAL(18,2))) AS DOUBLE) AS sum_p_size,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p_retailprice
+        |FROM part""".stripMargin,
+    "q_join_nulls" ->
+      """SELECT count(*) AS n_pairs,
+        |  sum(CASE WHEN x.nk IS NULL THEN 1 ELSE 0 END) AS n_null_pairs
+        |FROM (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer) x
+        |JOIN (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer) y
+        |  ON x.nk IS NOT DISTINCT FROM y.nk""".stripMargin,
+    "q_unique_first" ->
+      """SELECT o_orderkey, o_custkey FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q_tail" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10) t
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_str_more" ->
+      """SELECT p_partkey,
+        |  CASE WHEN starts_with(p_type, 'STANDARD ') THEN substring(p_type, 10) ELSE p_type END AS type_stripped,
+        |  lpad(p_name, 30, '*') AS name_padded,
+        |  CASE WHEN strpos(p_type, 'ED') > 0 THEN CAST(strpos(p_type, 'ED') - 1 AS INTEGER) END AS ed_pos,
+        |  reverse(p_brand) AS brand_rev,
+        |  CASE WHEN length(p_brand) <= 2 THEN p_brand ELSE right(p_brand, 2) END AS brand_tail,
+        |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS BIGINT) AS brand_num,
+        |  trim(p_name, 'aeiou ') AS name_stripped
+        |FROM part ORDER BY p_partkey LIMIT 400""".stripMargin,
+    "q_dt_more" ->
+      """SELECT o_orderkey,
+        |  CAST(isoyear(o_orderdate) AS INTEGER) AS iso_y,
+        |  (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+        |    OR year(o_orderdate) % 400 = 0 AS leap,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  epoch_ms(o_orderdate) AS epoch_ms,
+        |  date_trunc('month', o_orderdate) + (o_orderdate - date_trunc('day', o_orderdate)) AS m_start,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) + (o_orderdate - date_trunc('day', o_orderdate)) AS m_end,
+        |  o_orderdate + INTERVAL 2 HOUR AS plus_2h,
+        |  CAST(ceil(year(o_orderdate) / 1000.0) AS INTEGER) AS mil,
+        |  CAST(ceil(year(o_orderdate) / 100.0) AS INTEGER) AS cen
+        |FROM orders ORDER BY o_orderkey LIMIT 400""".stripMargin,
+    "q_dt_time_parts" ->
+      """SELECT event_id,
+        |  CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(minute(ts) AS INTEGER) AS mi,
+        |  CAST(floor(second(ts)) AS INTEGER) AS sec,
+        |  CAST((epoch_us(ts) % 1000000) // 1000 AS INTEGER) AS ms,
+        |  CAST(epoch_us(ts) % 1000000 AS INTEGER) AS us,
+        |  ((epoch_us(ts) // 1000000) % 86400) * 1000000000
+        |    + (epoch_us(ts) % 1000000) * 1000 AS ns_of_day,
+        |  epoch_us(ts) AS epoch_us
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q_math_more" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  greatest(least(l_quantity, 40.0), 5.0) AS qty_clip,
+        |  round(l_extendedprice / power(10, floor(log10(abs(l_extendedprice))) - 2))
+        |    * power(10, floor(log10(abs(l_extendedprice))) - 2) AS price_3sf,
+        |  round(cbrt(l_quantity), 4) AS qty_cbrt,
+        |  round(power(l_discount, 2), 6) AS disc_sq,
+        |  round(sin(l_quantity / 7.0), 4) AS qty_sin,
+        |  round(cos(l_quantity / 7.0), 4) AS qty_cos,
+        |  round(atan(l_quantity / 7.0), 4) AS qty_atan,
+        |  CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+        |  l_linenumber % 3 AS line_mod3
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 400""".stripMargin,
+    "q_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stateful_counts" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

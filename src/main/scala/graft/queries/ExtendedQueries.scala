@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+
+import graft.core.{Expr, Selectors, TableFrame}
+import graft.dq.Dq
+import graft.td
+import graft.udf.Udf
+
+/** Third coverage batch: UDF surface, DQ namespace, fill strategies, rank
+  * variants, relaxed concat, selectors, null-safe joins, keep=first dedup,
+  * tail, extended string/datetime/math functions, and a gated streaming
+  * window (run through Structured Streaming, checked against a batch SQL
+  * oracle). */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): TableFrame =
+    TableFrame.fromDF(
+      if (name == "events") {
+        val df = s.read.parquet(s"$dir/$name.parquet")
+        if (df.schema("ts").dataType == LongType)
+          df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else df
+      } else s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Example multi-output scalar UDF (discount math + a label). */
+  private class PricingUdf extends Udf(Seq(
+      "net_price" -> DoubleType, "price_label" -> StringType)) {
+    override def onElement(values: Seq[Any]): Seq[Any] = {
+      val price = values(0).asInstanceOf[Double]
+      val disc = values(1).asInstanceOf[Double]
+      val net = price * (1.0 - disc)
+      Seq(net, if (net > 30000.0) "high" else "low")
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_udf_scalar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Udf(li, Seq(F.col("l_extendedprice"), F.col("l_discount")), new PricingUdf)
+        .selectCols("l_orderkey", "l_linenumber", "net_price", "price_label")
+        .sort(Seq("l_orderkey", "l_linenumber")).limit(400).df
+    }),
+    "q_dq_checks" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val checked = Dq(c, "c_acctbal",
+        Seq(Dq.is_negative, Dq.is_between(0.0, 5000.0), Dq.is_not_null))
+      Dq.validate(checked, Seq("c_acctbal" -> Dq.is_not_null, "c_custkey" -> Dq.is_positive))
+        .selectCols("c_custkey", "c_acctbal_is_negative_dq",
+          "c_acctbal_is_between_dq", "c_acctbal_is_not_null_dq", "dq_valid")
+        .sort(Seq("c_custkey")).limit(400).df
+    }),
+    "q_fill_forward" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .with_columns("bal" -> Expr(F.when(F.col("c_custkey") % 5 === 0, null)
+          .otherwise(F.col("c_acctbal"))))
+        .sort(Seq("c_custkey"))
+        .fill_null_strategy("bal", "forward")
+        .selectCols("c_custkey", "bal")
+        .sort(Seq("c_custkey")).limit(400).df
+    }),
+    "q_rank_variants" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .with_columns(
+          "rank_avg" -> td.col("s_acctbal").rank("average"),
+          "rank_max" -> td.col("s_acctbal").rank("max"))
+        .selectCols("s_suppkey", "rank_avg", "rank_max")
+        .sort(Seq("s_suppkey")).df
+    }),
+    "q_concat_relaxed" -> ((s, dir) => {
+      val a = t(s, dir, "nation").select(td.col("n_nationkey").as("v"))
+      val b = t(s, dir, "customer").limit(0)
+        .select(td.col("c_acctbal").as("v"))
+      val c = t(s, dir, "customer")
+        .filter(td.col("c_custkey") <= 50).select(td.col("c_acctbal").as("v"))
+      TableFrame.concat(Seq(a, b, c), how = "vertical_relaxed")
+        .sort(Seq("v")).df
+    }),
+    "q_selectors" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val numericNames = p.userSchema.fields.toSeq
+        .filter(Selectors.numeric.matches).map(_.name)
+      p.agg(numericNames.map(n =>
+        Expr(F.sum(F.col(n).cast(DecimalType(18, 2))).cast(DoubleType))
+          .as(s"sum_$n")): _*).df
+    }),
+    "q_join_nulls" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .with_columns("nk" -> Expr(F.when(F.col("c_nationkey") % 7 === 0, null)
+          .otherwise(F.col("c_nationkey"))))
+        .selectCols("c_custkey", "nk")
+      val joined = c.join(c.rename("c_custkey" -> "c_custkey2"),
+        on = Seq("nk"), joinNulls = true)
+      joined.agg(
+        td.lit(1).len.as("n_pairs"),
+        Expr(F.sum(F.when(F.col("nk").isNull, 1L).otherwise(0L)).as("n_null_pairs"))).df
+    }),
+    "q_unique_first" -> ((s, dir) => {
+      t(s, dir, "orders").sort(Seq("o_orderkey"))
+        .unique(Seq("o_custkey"), keep = "first")
+        .selectCols("o_orderkey", "o_custkey")
+        .sort(Seq("o_orderkey")).df
+    }),
+    "q_tail" -> ((s, dir) => {
+      t(s, dir, "orders").sort(Seq("o_orderkey")).tail(10)
+        .selectCols("o_orderkey", "o_totalprice")
+        .sort(Seq("o_orderkey")).df
+    }),
+    "q_str_more" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          td.col("p_partkey"),
+          td.col("p_type").str.strip_prefix("STANDARD ").as("type_stripped"),
+          td.col("p_name").str.pad_start(30, "*").as("name_padded"),
+          td.col("p_type").str.find("ED", literal = true).as("ed_pos"),
+          td.col("p_brand").str.reverse.as("brand_rev"),
+          td.col("p_brand").str.tail(2).as("brand_tail"),
+          td.col("p_brand").str.extract("(\\d+)", 1).str.to_integer().as("brand_num"),
+          td.col("p_name").str.strip_chars("aeiou ").as("name_stripped"))
+        .sort(Seq("p_partkey")).limit(400).df
+    }),
+    "q_dt_more" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          td.col("o_orderkey"),
+          td.col("o_orderdate").dt.iso_year.as("iso_y"),
+          td.col("o_orderdate").dt.is_leap_year.as("leap"),
+          td.col("o_orderdate").dt.epoch("s").as("epoch_s"),
+          td.col("o_orderdate").dt.epoch("ms").as("epoch_ms"),
+          td.col("o_orderdate").dt.month_start.as("m_start"),
+          td.col("o_orderdate").dt.month_end.as("m_end"),
+          td.col("o_orderdate").dt.offset_by("2h").as("plus_2h"),
+          td.col("o_orderdate").dt.millennium.as("mil"),
+          td.col("o_orderdate").dt.century.as("cen"))
+        .sort(Seq("o_orderkey")).limit(400).df
+    }),
+    "q_dt_time_parts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          td.col("event_id"),
+          td.col("ts").dt.hour.as("h"),
+          td.col("ts").dt.minute.as("mi"),
+          td.col("ts").dt.second().as("sec"),
+          td.col("ts").dt.millisecond.as("ms"),
+          td.col("ts").dt.microsecond.as("us"),
+          td.col("ts").dt.time.as("ns_of_day"),
+          td.col("ts").dt.epoch("us").as("epoch_us"))
+        .sort(Seq("event_id")).limit(500).df
+    }),
+    "q_math_more" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          td.col("l_orderkey"), td.col("l_linenumber"),
+          td.col("l_quantity").clip(5.0, 40.0).as("qty_clip"),
+          td.col("l_extendedprice").round_sig_figs(3).as("price_3sf"),
+          td.col("l_quantity").cbrt.round(4).as("qty_cbrt"),
+          td.col("l_discount").pow(2).round(6).as("disc_sq"),
+          (td.col("l_quantity") / 7.0).sin.round(4).as("qty_sin"),
+          (td.col("l_quantity") / 7.0).cos.round(4).as("qty_cos"),
+          (td.col("l_quantity") / 7.0).arctan.round(4).as("qty_atan"),
+          td.col("l_quantity").floordiv(7).as("qty_div7"),
+          (td.col("l_linenumber") % 3).as("line_mod3"))
+        .sort(Seq("l_orderkey", "l_linenumber")).limit(400).df
+    }),
+    "q_stream_window" -> ((s, dir) => {
+      // run the hourly aggregation THROUGH Structured Streaming (complete
+      // mode => all windows emitted), then hand back the bounded result
+      val ev = t(s, dir, "events").df
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q-stream")
+      ev.write.mode("overwrite").parquet(tmp.toString)
+      val schema = s.read.parquet(tmp.toString).schema
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp.toString, schema)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val name = "q_stream_window_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-q-stream-ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("event_type"), F.col("n"))
+        .orderBy("hour_epoch", "event_type")
+    }),
+    "q_stateful_counts" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").df
+        .select(F.col("user_id").cast(StringType).as("k"), F.col("value"))
+        .as[(String, Double)]
+      graft.streaming.Streams.runningTotals(ev)
+        .toDF().select(F.col("key"), F.col("events"))
+        .orderBy("key")
+    })
+  )
+}
