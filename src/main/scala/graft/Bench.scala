@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: JVM/codegen/parquet-footer costs shouldn't land on the first
+    // measured query
+    try {
+      spark.range(1000000L).selectExpr("id % 10 as k", "id")
+        .groupBy("k").count().count()
+      SparkEntry.queries.get("q_agg_shortcut_minmax").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

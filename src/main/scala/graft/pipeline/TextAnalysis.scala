@@ -19,13 +19,15 @@ object TextAnalysis {
     F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
   def charCount(text: Column): Column = F.char_length(text)
-  def distinctTokenCount(text: Column): Column = F.size(F.array_distinct(tokens(text)))
-  /** Mean token length in chars, double. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
+  def distinctTokenCount(text: Column): Column = distinctTokenCountFromTokens(tokens(text))
+  def distinctTokenCountFromTokens(toks: Column): Column = F.size(F.array_distinct(toks))
+  /** Mean token length in chars, double. Prefer the FromTokens variant with a
+    * materialized token column on hot paths — an inline `split` here would be
+    * re-evaluated inside the (interpreted) aggregate lambda. */
+  def meanTokenLength(text: Column): Column = meanTokenLengthFromTokens(tokens(text))
+  def meanTokenLengthFromTokens(toks: Column): Column =
     F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.char_length(t)).cast(DoubleType) /
       F.size(toks)
-  }
 
   /** Small per-language stopword marker sets for the n-gram-free heuristic
     * language ID. Deliberately tiny — the operator shape (score-and-argmax
@@ -38,30 +40,33 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
 
   /** Per-language marker hit count. */
-  def langScore(text: Column, lang: String): Column = {
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(tokens(text), lang)
+  def langScoreFromTokens(toks: Column, lang: String): Column = {
     val words = stopwords.toMap.apply(lang)
-    F.size(F.filter(tokens(text), t => t.isin(words: _*)))
+    F.size(F.filter(toks, t => t.isin(words: _*)))
   }
 
   /** Heuristic language ID: argmax of marker counts, ties broken by the
     * declared language precedence, "und" when nothing matches. */
-  def langId(text: Column): Column = {
-    val scores = stopwords.map { case (lang, _) => lang -> langScore(text, lang) }
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = stopwords.map { case (lang, _) => lang -> langScoreFromTokens(toks, lang) }
     val best = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
-    val pick = scores.reverse.foldLeft(F.lit("und")) { case (acc, (lang, sc)) =>
+    scores.reverse.foldLeft(F.lit("und")) { case (acc, (lang, sc)) =>
       F.when(sc === best && best > 0, lang).otherwise(acc)
     }
-    pick
   }
 
   /** Quality features + composite keep-score in [0,1]:
     * length band, alpha ratio, stopword ratio, repetition (distinct/total). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val nTok = tokenCount(text).cast(DoubleType)
     val nChar = charCount(text).cast(DoubleType)
     val alphaChars = F.char_length(F.regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
-    val stopHits = langScore(text, "en").cast(DoubleType)
-    val distinctRatio = distinctTokenCount(text).cast(DoubleType) / nTok
+    val stopHits = langScoreFromTokens(toks, "en").cast(DoubleType)
+    val distinctRatio = distinctTokenCountFromTokens(toks).cast(DoubleType) / nTok
     val lengthOk = F.when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
     val alphaRatio = alphaChars / nChar
     val stopRatio = F.least(stopHits / nTok * 5.0, F.lit(1.0))

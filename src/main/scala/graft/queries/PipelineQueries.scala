@@ -68,29 +68,38 @@ object PipelineQueries {
 
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) => {
+      // tokens materialized once — inline split would re-run inside the
+      // interpreted aggregate lambda (same trap as shingling)
       val d = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("text"),
+          TextAnalysis.tokens(F.col("text")).as("toks"))
       d.select(
         F.col("doc_id"),
         TextAnalysis.tokenCount(F.col("text")).as("n_tokens"),
         F.char_length(F.col("text")).as("n_chars_m"),
-        TextAnalysis.distinctTokenCount(F.col("text")).as("n_distinct"),
-        TextAnalysis.meanTokenLength(F.col("text")).as("mean_tok_len"))
+        TextAnalysis.distinctTokenCountFromTokens(F.col("toks")).as("n_distinct"),
+        TextAnalysis.meanTokenLengthFromTokens(F.col("toks")).as("mean_tok_len"))
         .orderBy("doc_id")
     }),
     "q_text_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("lang"),
+          TextAnalysis.tokens(F.col("text")).as("toks"))
       d.select(
         F.col("doc_id"), F.col("lang"),
-        TextAnalysis.langId(F.col("text")).as("lang_pred"),
-        TextAnalysis.langScore(F.col("text"), "en").as("score_en"))
+        TextAnalysis.langIdFromTokens(F.col("toks")).as("lang_pred"),
+        TextAnalysis.langScoreFromTokens(F.col("toks"), "en").as("score_en"))
         .orderBy("doc_id")
     }),
     "q_text_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("text"),
+          TextAnalysis.tokens(F.col("text")).as("toks"))
+        .withColumn("quality",
+          TextAnalysis.qualityScoreFromTokens(F.col("text"), F.col("toks")))
       d.select(
-        F.col("doc_id"),
-        TextAnalysis.qualityScore(F.col("text")).as("quality"),
-        (TextAnalysis.qualityScore(F.col("text")) >= 0.5).as("keep"))
+        F.col("doc_id"), F.col("quality"),
+        (F.col("quality") >= 0.5).as("keep"))
         .orderBy("doc_id")
     }),
     "q_text_fingerprint" -> ((s, dir) => {
