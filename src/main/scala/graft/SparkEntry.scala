@@ -17,10 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.ParityQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalOracles.oracleSql ++
       graft.queries.PipelineOracles.oracleSql ++
-      graft.queries.ExtendedOracles.oracleSql
+      graft.queries.ExtendedOracles.oracleSql ++
+      graft.queries.ParityOracles.oracleSql
 }
