@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
@@ -297,16 +297,88 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
   def withOrdinal(name: String = "$td.__ord"): TableFrame =
     wrap(df.withColumn(name, F.monotonically_increasing_id()))
 
+  // ---- schema predicates (frame.py:597-813) ----
+  def has_same_schema(other: TableFrame): Boolean =
+    userSchema.map(f => (f.name, f.dataType)) ==
+      other.userSchema.map(f => (f.name, f.dataType))
+  def has_cols(names: Seq[String]): Boolean = names.forall(columns("user").contains)
+  def assert_has_cols(names: Seq[String]): Unit = {
+    val missing = names.filterNot(columns("user").contains)
+    require(missing.isEmpty, s"missing columns: $missing")
+  }
+
+  /** shrink_dtype (expr.py:2040): narrow integral columns to the smallest
+    * type holding their actual min/max. One aggregate pass (driver-side
+    * schema decision, distributed scan), then a cast projection. */
+  def shrink_dtype(cols: Seq[String] = Nil): TableFrame = {
+    val intTypes: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val target = (if (cols.isEmpty) columns("user") else cols)
+      .filter(n => intTypes.contains(df.schema(n).dataType))
+    if (target.isEmpty) this
+    else {
+      val aggs = target.flatMap(n => Seq(F.min(bq(n)).as(s"min_$n"), F.max(bq(n)).as(s"max_$n")))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val casts = target.flatMap { n =>
+        val (lo, hi) = (Option(row.getAs[Any](s"min_$n")), Option(row.getAs[Any](s"max_$n")))
+        (lo, hi) match {
+          case (Some(l), Some(h)) =>
+            val (lv, hv) = (l.toString.toLong, h.toString.toLong)
+            val t =
+              if (lv >= Byte.MinValue && hv <= Byte.MaxValue) ByteType
+              else if (lv >= Short.MinValue && hv <= Short.MaxValue) ShortType
+              else if (lv >= Int.MinValue && hv <= Int.MaxValue) IntegerType
+              else LongType
+            if (t != df.schema(n).dataType) Some(n -> bq(n).cast(t)) else None
+          case _ => None
+        }
+      }
+      if (casts.isEmpty) this else wrap(df.withColumns(casts.toMap))
+    }
+  }
+
+  /** Render the optimized plan (frame.py:545-585 explain/show_graph). */
+  def explain_plan(mode: String = "formatted"): Unit = df.explain(mode)
+
   // ---- eager escape hatches (frame.py:232-269) ----
   def collectRows(): Seq[Row] = df.collect().toSeq
   def to_dict(): Map[String, Seq[Any]] = {
     val rows = df.collect()
     df.columns.zipWithIndex.map { case (n, i) => n -> rows.map(_.get(i)).toSeq }.toMap
   }
+  /** Row-slice extraction (frame.py:2579-2674 extract_as_rows). */
+  def extract_rows(offset: Int, len: Int): Seq[Row] = slice(offset, len).collectRows()
   def count(): Long = df.count()
 }
 
 object TableFrame {
+  /** Constructors (frame.py:126-229 from_dict/from_polars/empty). */
+  def fromSeq[A <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, rows: Seq[A]): TableFrame = {
+    import spark.implicits._
+    fromDF(spark.createDataFrame(rows))
+  }
+  def fromDict(spark: SparkSession, columns: Seq[(String, Seq[Any])]): TableFrame = {
+    require(columns.nonEmpty && columns.map(_._2.size).distinct.size == 1,
+      "from_dict: equal-length non-empty columns required")
+    val rows = columns.head._2.indices.map(i => Row.fromSeq(columns.map(_._2(i))))
+    val fields = columns.map { case (n, vs) =>
+      val dt = vs.find(_ != null).map {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _: Double => DoubleType
+        case _: Boolean => BooleanType
+        case _: java.sql.Timestamp => TimestampType
+        case _: java.sql.Date => DateType
+        case _ => StringType
+      }.getOrElse(NullType)
+      StructField(n, dt)
+    }
+    fromDF(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), StructType(fields)))
+  }
+  def empty(spark: SparkSession, schema: StructType): TableFrame =
+    fromDF(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+
   /** Wrap an external/raw frame: validate names, stamp fresh system columns
     * (mode="raw", reference: _common.py:82-147). */
   def fromRaw(df: DataFrame, ctx: SysCtx = SysCtx.fresh()): TableFrame = {

@@ -118,6 +118,22 @@ final case class JdbcSink(
   }
 }
 
+/** Catalog-registering sink (reference: file_outputs.py:97-420 AWSGlue —
+  * written data registered as a catalog table for downstream engines). Here
+  * it targets the session catalog; on a Glue/Iceberg-enabled cluster the
+  * same `saveAsTable` goes through `spark.sql.catalog.*` configuration. */
+final case class CatalogSink(
+    table: String,
+    format: String = "parquet",
+    mode: String = "overwrite",
+    partitionBy: Seq[String] = Nil) extends Sink {
+  override def write(df: DataFrame): Unit = {
+    var w = df.write.format(format).mode(mode)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.saveAsTable(table)
+  }
+}
+
 object Sources {
   /** Wrap a source's output as raw TableFrames (mode="raw": fresh system
     * columns — reference: execution_utils.py:213-282 publisher path). */
