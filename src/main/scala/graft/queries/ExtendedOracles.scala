@@ -48,6 +48,16 @@ object ExtendedOracles {
         |FROM (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer) x
         |JOIN (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer) y
         |  ON x.nk IS NOT DISTINCT FROM y.nk""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unique_last" ->
+      """SELECT o_orderkey, o_custkey FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "q_unique_first" ->
       """SELECT o_orderkey, o_custkey FROM (
         |  SELECT o_orderkey, o_custkey,

@@ -97,6 +97,20 @@ object ExtendedQueries {
         td.lit(1).len.as("n_pairs"),
         Expr(F.sum(F.when(F.col("nk").isNull, 1L).otherwise(0L)).as("n_null_pairs"))).df
     }),
+    "q_join_right" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"), how = "right")
+        .group_by("c_custkey")
+        .agg(Expr(F.count(F.col("o_orderkey")).as("n_orders")))
+        .sort(Seq("c_custkey")).df
+    }),
+    "q_unique_last" -> ((s, dir) => {
+      t(s, dir, "orders").sort(Seq("o_orderkey"))
+        .unique(Seq("o_custkey"), keep = "last")
+        .selectCols("o_orderkey", "o_custkey")
+        .sort(Seq("o_orderkey")).df
+    }),
     "q_unique_first" -> ((s, dir) => {
       t(s, dir, "orders").sort(Seq("o_orderkey"))
         .unique(Seq("o_custkey"), keep = "first")
