@@ -240,7 +240,9 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
   // ---- null/nan handling (frame.py:1648-1977) ----
   def drop_nulls(subset: Seq[String] = Nil): TableFrame = {
     val sub = if (subset.isEmpty) columns("user") else subset
-    wrap(df.na.drop(sub))
+    // NOT df.na.drop: Spark's na.drop also removes NaN rows, but the
+    // reference's drop_nulls keeps NaN (null and NaN are distinct, §1.3)
+    wrap(df.filter(sub.map(n => bq(n).isNotNull).reduce(_ && _)))
   }
   def drop_nans(subset: Seq[String] = Nil): TableFrame = {
     val sub = if (subset.isEmpty) floatCols else subset
