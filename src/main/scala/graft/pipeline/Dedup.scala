@@ -87,15 +87,9 @@ object Dedup {
   }
 
   /** All ordered pairs (i<j) from a sorted (id, n_sh) struct array:
-    * [(a, b, na, nb)]. */
+    * [(a, b, na, nb)] — native kernel, see expressions.PairCombos. */
   private def pairCombos(docs: Column): Column =
-    F.flatten(F.transform(F.sequence(F.lit(0), F.size(docs) - 2), i =>
-      F.transform(F.sequence(i + 1, F.size(docs) - 1), j =>
-        F.struct(
-          F.element_at(docs, i + 1).getField("id").as("a"),
-          F.element_at(docs, j + 1).getField("id").as("b"),
-          F.element_at(docs, i + 1).getField("n_sh").as("na"),
-          F.element_at(docs, j + 1).getField("n_sh").as("nb")))))
+    graft.expressions.PairCombos(docs)
 
   /** MinHash signature: k minimums of seeded xxhash64 over the shingle set.
     * Pure expression work — evaluated inside whole-stage codegen per row. */
