@@ -109,6 +109,8 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
     * (each function runs at most once per execution, matching the planner's
     * once-per-plan semantics). */
   def trigger(name: String): Seq[String] = {
+    require(functions.contains(name),
+      s"no registered function '$name' (registered: ${functions.keys.mkString(", ")})")
     val executionId = store.newId()
     val ran = mutable.LinkedHashSet[String]()
     val queue = mutable.Queue[FlowFunction](functions(name))

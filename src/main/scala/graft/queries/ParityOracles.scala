@@ -81,6 +81,9 @@ object ParityOracles {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |ORDER BY o_orderkey LIMIT 400""".stripMargin,
+    "q_unnest" ->
+      """SELECT c_custkey, c_name AS cn, c_acctbal * 2 AS bal2
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin,
     "q_clear" ->
       "SELECT n_nationkey, n_name FROM nation WHERE false"
   )

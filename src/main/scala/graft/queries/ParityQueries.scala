@@ -117,6 +117,14 @@ object ParityQueries {
         .selectCols("o_orderkey", "o_orderpriority", "left_open", "right_open")
         .sort(Seq("o_orderkey")).limit(400).df
     }),
+    "q_unnest" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .with_columns("packed" -> Expr(F.struct(
+          F.col("c_name").as("cn"), (F.col("c_acctbal") * 2).as("bal2"))))
+        .selectCols("c_custkey", "packed")
+        .unnest("packed")
+        .sort(Seq("c_custkey")).limit(300).df
+    }),
     "q_clear" -> ((s, dir) => {
       t(s, dir, "nation").clear().selectCols("n_nationkey", "n_name").df
     })

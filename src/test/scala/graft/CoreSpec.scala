@@ -183,6 +183,35 @@ class CoreSpec extends AnyFunSuite {
     assert((string & !by_name("p_name")).resolve(p).size == 2)
   }
 
+  test("group_by all-column shortcuts") {
+    val o = TableFrame.fromDF(spark.read.parquet(s"$sf/orders.parquet"))
+      .selectCols("o_orderstatus", "o_totalprice", "o_custkey")
+    val sums = o.group_by("o_orderstatus").sum()
+    assert(sums.columns("user").toSet == Set("o_orderstatus", "o_totalprice", "o_custkey"))
+    val lens = o.group_by("o_orderstatus").len()
+    assert(lens.df.columns.toSeq == Seq("o_orderstatus", "len"))
+    assert(lens.df.agg(org.apache.spark.sql.functions.sum("len")).head().getLong(0) == o.count())
+    val nuniq = o.group_by("o_orderstatus").n_unique()
+    assert(nuniq.columns("user").contains("o_custkey"))
+  }
+
+  test("timezone introspection and conversion") {
+    import spark.implicits._
+    val df = Seq("2024-07-01 12:00:00", "2024-01-01 12:00:00").toDF("s")
+    val tf = TableFrame.fromDF(df)
+      .with_columns("ts" -> td.col("s").str.to_datetime("%Y-%m-%d %H:%M:%S"))
+    val rows = tf.select(
+      td.col("ts").dt.base_utc_offset("America/New_York").as("base"),
+      td.col("ts").dt.dst_offset("America/New_York").as("dst"),
+      td.col("ts").dt.replace_time_zone("America/New_York").as("as_ny"))
+      .df.collect()
+    assert(rows(0).getInt(0) == -5 * 3600 && rows(0).getInt(1) == 3600) // July: EDT
+    assert(rows(1).getInt(0) == -5 * 3600 && rows(1).getInt(1) == 0)    // Jan: EST
+    // wall clock 12:00 interpreted in NY → 17:00/16:00 UTC instants
+    assert(rows(0).getTimestamp(2).toString.startsWith("2024-07-01 16:00:00"))
+    assert(rows(1).getTimestamp(2).toString.startsWith("2024-01-01 17:00:00"))
+  }
+
   test("business days") {
     import spark.implicits._
     import graft.functions.BusinessDays
