@@ -51,8 +51,10 @@ final case class Expr(col: Column) {
   def arcsinh: Expr = wrap(F.asinh(col))
   def arctan: Expr = wrap(F.atan(col))
   def arctanh: Expr = wrap(F.atanh(col))
-  /** strict=true → ANSI-style failing cast; strict=false → try_cast null-on-error.
-    * (expr.py:474; Polars strict cast raises, non-strict yields null.) */
+  /** strict=false → try_cast (null on error, Polars non-strict). strict=true
+    * → plain cast, which raises only under `spark.sql.ansi.enabled`; without
+    * ANSI it nulls invalid values — enable ANSI per-session for Polars'
+    * raising strict-cast behavior (expr.py:474). */
   def cast(t: DataType, strict: Boolean = false): Expr =
     if (strict) wrap(col.cast(t)) else wrap(col.try_cast(t))
   def cast(name: String): Expr = cast(Dtypes.byName(name))
@@ -231,13 +233,15 @@ final class StrNs(private val col: Column) {
     val p = if (literal) java.util.regex.Pattern.quote(pattern) else pattern
     wrap(F.regexp_count(col, F.lit(p)))
   }
-  /** Replace first n matches; Polars replace replaces 1 by default. */
+  /** Replace the FIRST match only (Polars replace semantics). The `^(.*?)`
+    * anchor confines regexp_replace to a single leftmost match — without the
+    * anchor it would re-match after each replacement and hit every one. */
   def replace(pattern: String, value: String, literal: Boolean = false): Expr =
     if (literal) {
       val p = java.util.regex.Pattern.quote(pattern)
       val v = java.util.regex.Matcher.quoteReplacement(value)
-      wrap(F.regexp_replace(col, "(?s)(.*?)" + p, "$1" + v))
-    } else wrap(F.regexp_replace(col, "(?s)(.*?)" + pattern, "$1" + value))
+      wrap(F.regexp_replace(col, "(?s)^(.*?)" + p, "$1" + v))
+    } else wrap(F.regexp_replace(col, "(?s)^(.*?)" + pattern, "$1" + value))
   def replace_all(pattern: String, value: String, literal: Boolean = false): Expr =
     if (literal) wrap(F.replace(col, F.lit(pattern), F.lit(value)))
     else wrap(F.regexp_replace(col, pattern, value))

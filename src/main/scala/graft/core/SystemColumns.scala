@@ -106,16 +106,4 @@ object SystemColumns {
     arrange(df.drop(rightSys.toSeq: _*))
   }
 
-  /** Projection fixup: silently re-add REQUIRED columns dropped by a select
-    * (reference: frame.py:2101-2121) — caller passes the pre-select frame. */
-  def reattach(selected: DataFrame, original: DataFrame): DataFrame = {
-    val missing = systemColumns(original).filterNot(selected.columns.contains)
-    if (missing.isEmpty) arrange(selected)
-    else {
-      // re-join is wrong (no key): instead the TableFrame select path carries
-      // system columns through the projection itself; this is a fallback for
-      // frames that still have them.
-      arrange(selected)
-    }
-  }
 }

@@ -90,7 +90,10 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
   def tail(n: Int = 5): TableFrame = {
     // distributed tail: total count is one cheap job; avoids driver collect
     val total = df.count()
-    wrap(df.offset(math.max(0, total - n).toInt))
+    val off = math.max(0L, total - n)
+    require(off <= Int.MaxValue,
+      s"tail: offset $off exceeds Int range; tail of a >2B-row frame needs an explicit sort")
+    wrap(df.offset(off.toInt))
   }
   def first(): TableFrame = limit(1)
   def last(): TableFrame = tail(1)
@@ -218,22 +221,31 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
       maintainOrder: Boolean = false): TableFrame = {
     val userCols = columns("user")
     val sub = if (subset.isEmpty) userCols else subset
+    val ord = "$td.__ord"
+    def keptByPosition(takeFirst: Boolean): DataFrame = {
+      val w = Window.partitionBy(sub.map(bq): _*)
+        .orderBy(if (takeFirst) F.col(s"`$ord`").asc else F.col(s"`$ord`").desc)
+      val kept = df.withColumn(ord, F.monotonically_increasing_id())
+        .withColumn("$td.__rn", F.row_number().over(w))
+        .filter(F.col("`$td.__rn`") === 1)
+        .drop("$td.__rn")
+      val ordered = if (maintainOrder) kept.sort(F.col(s"`$ord`").asc) else kept
+      ordered.drop(ord)
+    }
     keep match {
       case "any" =>
-        wrap(df.dropDuplicates(sub))
-      case "first" | "last" =>
-        val ord = "$td.__ord"
-        val w = Window.partitionBy(sub.map(bq): _*)
-          .orderBy(if (keep == "first") F.col(s"`$ord`").asc else F.col(s"`$ord`").desc)
-        wrap(df.withColumn(ord, F.monotonically_increasing_id())
-          .withColumn("$td.__rn", F.row_number().over(w))
-          .filter(F.col("`$td.__rn`") === 1)
-          .drop(ord, "$td.__rn"))
+        // maintain_order needs a deterministic representative → first-occurrence
+        if (maintainOrder) wrap(keptByPosition(takeFirst = true))
+        else wrap(df.dropDuplicates(sub))
+      case "first" => wrap(keptByPosition(takeFirst = true))
+      case "last"  => wrap(keptByPosition(takeFirst = false))
       case "none" =>
         val w = Window.partitionBy(sub.map(bq): _*)
-        wrap(df.withColumn("$td.__cnt", F.count(F.lit(1)).over(w))
+        val base = df.withColumn(ord, F.monotonically_increasing_id())
+          .withColumn("$td.__cnt", F.count(F.lit(1)).over(w))
           .filter(F.col("`$td.__cnt`") === 1)
-          .drop("$td.__cnt"))
+          .drop("$td.__cnt")
+        wrap((if (maintainOrder) base.sort(F.col(s"`$ord`").asc) else base).drop(ord))
     }
   }
 
@@ -261,7 +273,10 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
   }
   /** fill_null(strategy=forward/backward/min/max/mean/zero/one) for one column
     * (reference: expr.py:868, strategies typing.py:77-85). Window-based;
-    * forward/backward use an input-ordinal frame order. */
+    * forward/backward use an input-ordinal frame order.
+    * SCALE NOTE: frame-order fills need a global unpartitioned window (single
+    * reducer) — at cluster scale prefer a keyed variant (partitionBy a
+    * sessioning key) or a sort-merge formulation; same caveat as rank(). */
   def fill_null_strategy(column: String, strategy: String): TableFrame = strategy match {
     case "zero" => with_columns(column -> Expr(F.coalesce(bq(column), F.lit(0).cast(df.schema(column).dataType))))
     case "one"  => with_columns(column -> Expr(F.coalesce(bq(column), F.lit(1).cast(df.schema(column).dataType))))
@@ -435,8 +450,6 @@ object TableFrame {
 /** group_by().agg() surface (reference: tableframe/lazyframe/group_by.py). */
 final class TableFrameGroupBy(tf: TableFrame, by: Seq[Expr]) {
   private def grouped = tf.df.groupBy(by.map(_.col): _*)
-  private def userAggCols: Seq[String] =
-    tf.columns("user").filterNot(n => by.exists(_.col.toString.contains(n)))
 
   def agg(exprs: Expr*): TableFrame =
     TableFrame(grouped.agg(exprs.head.col, exprs.tail.map(_.col): _*), tf.origin)

@@ -9,12 +9,16 @@ package graft.functions
   * This is the shared translator (SURVEY §2.7 "chrono→Java format translator").
   */
 object ChronoFormat {
+  /** Week-based chrono specifiers have no legal Java pattern in Spark ≥ 3.0
+    * (DateTimeFormatterHelper bans Y/W/w/u/e/c) — reject them loudly instead
+    * of emitting a pattern that throws deep inside an executor. */
+  private val unsupportedWeekBased = Set('U', 'W', 'V', 'G', 'u', 'w')
+
   private val mapping: Map[Char, String] = Map(
     'Y' -> "yyyy", 'y' -> "yy", 'C' -> "",   // %C century handled below
     'm' -> "MM", 'b' -> "MMM", 'h' -> "MMM", 'B' -> "MMMM",
     'd' -> "dd", 'e' -> "d", 'a' -> "EEE", 'A' -> "EEEE",
-    'j' -> "DDD", 'U' -> "ww", 'W' -> "ww", 'V' -> "ww", 'G' -> "YYYY",
-    'u' -> "e", 'w' -> "e",
+    'j' -> "DDD",
     'H' -> "HH", 'k' -> "H", 'I' -> "hh", 'l' -> "h",
     'M' -> "mm", 'S' -> "ss",
     'p' -> "a", 'P' -> "a",
@@ -59,6 +63,10 @@ object ChronoFormat {
             }
           case '3' | '6' | '9' if i < chrono.length && chrono.charAt(i) == 'f' =>
             flush(); out.append("S" * (n - '0')); i += 1
+          case other if unsupportedWeekBased(other) =>
+            throw new IllegalArgumentException(
+              s"chrono specifier %$other is week-based; Spark ≥ 3.0 rejects week-based " +
+                "datetime patterns — use dt.week/dt.iso_year instead")
           case other =>
             mapping.get(other) match {
               case Some(p) => flush(); out.append(p)

@@ -59,7 +59,25 @@ object GrokFunctions {
   /** A compiled grok pattern: final regex + ordered (name, sparkType). */
   final case class Compiled(regex: String, fields: Seq[(String, DataType)])
 
-  def compile(pattern: String): Compiled = {
+  /** Neutralize user-written capturing groups: field extraction relies on
+    * capture-group i+1 belonging to field i, so a raw `(` in the pattern
+    * would shift every field onto the wrong group. Escaped `\(` and
+    * already-non-capturing `(?` are left alone. */
+  private def neutralizeUserGroups(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) { sb.append(c).append(p.charAt(i + 1)); i += 2 }
+      else if (c == '(' && (i + 1 >= p.length || p.charAt(i + 1) != '?')) {
+        sb.append("(?:"); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def compile(pattern0: String): Compiled = {
+    val pattern = neutralizeUserGroups(pattern0)
     val fields = mutable.ArrayBuffer[(String, DataType)]()
     def expand(p: String, depth: Int): String = {
       require(depth < 20, "grok pattern recursion too deep")

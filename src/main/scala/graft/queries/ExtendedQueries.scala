@@ -17,13 +17,7 @@ object ExtendedQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def t(s: SparkSession, dir: String, name: String): TableFrame =
-    TableFrame.fromDF(
-      if (name == "events") {
-        val df = s.read.parquet(s"$dir/$name.parquet")
-        if (df.schema("ts").dataType == LongType)
-          df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else df
-      } else s.read.parquet(s"$dir/$name.parquet"))
+    Tables.frame(s, dir, name)
 
   /** Example multi-output scalar UDF (discount math + a label). */
   private class PricingUdf extends Udf(Seq(

@@ -14,13 +14,7 @@ object ParityQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def t(s: SparkSession, dir: String, name: String): TableFrame =
-    TableFrame.fromDF(
-      if (name == "events") {
-        val df = s.read.parquet(s"$dir/$name.parquet")
-        if (df.schema("ts").dataType == LongType)
-          df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else df
-      } else s.read.parquet(s"$dir/$name.parquet"))
+    Tables.frame(s, dir, name)
 
   val queries: Map[String, Q] = Map(
     "q_nan_handling" -> ((s, dir) => {

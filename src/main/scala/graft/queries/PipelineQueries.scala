@@ -14,14 +14,8 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // ns-precision parquet timestamps arrive as Long (nanosAsLong); convert
-      // with integer division — double division would lose sub-µs precision
-      df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else df
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
 
   val queries: Map[String, Q] = Map(
     // --- dedup ---

@@ -53,7 +53,7 @@ object Demo {
     catch { case e: IllegalArgumentException => println("PROBE bad selector -> " + e.getMessage) }
     println("PROBE missing table -> " + store.scan("sales/nothing"))
     try engine.trigger("ghost")
-    catch { case e: NoSuchElementException => println("PROBE unknown function -> " + e.getMessage) }
+    catch { case e: IllegalArgumentException => println("PROBE unknown function -> " + e.getMessage) }
     spark.stop()
   }
 }
