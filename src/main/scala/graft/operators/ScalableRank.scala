@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+/** Distributed whole-column rank without a single-reducer global window.
+  *
+  * `Expr.rank` matches the reference's semantics with `Window.orderBy(col)`
+  * — correct, but Spark executes an unpartitioned window on ONE task. This
+  * is the 100 TB formulation:
+  *
+  *  1. range-repartition by the rank key (equal keys land in one partition,
+  *     so ties never straddle partition boundaries);
+  *  2. rank within each partition (parallel windows);
+  *  3. one tiny aggregate of per-partition row counts → cumulative offsets,
+  *     broadcast back;
+  *  4. global rank = partition offset + within-partition rank.
+  *
+  * The only global data movement is the range shuffle Spark would need for
+  * any total ordering; the offsets table is `numPartitions` rows.
+  */
+object ScalableRank {
+  /** Append a global rank column. Methods: min | dense | ordinal.
+    * For `ordinal`, supply deterministic `tiebreakers` to fix an order on
+    * equal keys (otherwise ties get an arbitrary stable-per-run order). */
+  def withRank(df: DataFrame, key: String, as: String = "rank",
+      method: String = "min", descending: Boolean = false,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    val keyCol = if (descending) F.col(key).desc else F.col(key).asc
+    val tiebreak = tiebreakers.map(F.col)
+    // min/dense: ties MUST share a partition → range-partition by key alone;
+    // ordinal orders ties too, so tiebreakers may join the partitioner.
+    // The directional column steers the range partitioner so partition ids
+    // follow the requested global order for descending ranks as well.
+    val partCols =
+      if (method == "ordinal") keyCol +: tiebreak.map(_.asc) else Seq(keyCol)
+    val parted = df
+      .repartitionByRange(partCols: _*)
+      .sortWithinPartitions(keyCol +: tiebreak.map(_.asc): _*)
+      .withColumn("$td.__pid", F.spark_partition_id())
+    // within-partition window: parallel across partitions
+    val w = Window.partitionBy(F.col("`$td.__pid`")).orderBy(keyCol +: tiebreak.map(_.asc): _*)
+    val local = method match {
+      case "min"     => F.rank().over(w).cast(LongType)
+      case "dense"   => F.dense_rank().over(w).cast(LongType)
+      case "ordinal" => F.row_number().over(w).cast(LongType)
+      case other     => throw new IllegalArgumentException(s"rank method: $other")
+    }
+    val withLocal = parted.withColumn("$td.__local", local)
+    // per-partition sizes: rows for min/ordinal, distinct keys for dense
+    val sizeAgg = method match {
+      case "dense" => F.countDistinct(F.col(key))
+      case _       => F.count(F.lit(1))
+    }
+    val offsets = withLocal.groupBy(F.col("`$td.__pid`").as("pid"))
+      .agg(sizeAgg.as("sz"))
+      .withColumn("offset",
+        F.coalesce(F.sum("sz").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
+      .select("pid", "offset")
+    // offsets has numPartitions rows → broadcast join, no extra shuffle of data
+    withLocal
+      .join(F.broadcast(offsets), F.col("`$td.__pid`") === F.col("pid"))
+      .withColumn(as, F.col("offset") + F.col("`$td.__local`"))
+      .drop("$td.__pid", "$td.__local", "pid", "offset")
+  }
+}

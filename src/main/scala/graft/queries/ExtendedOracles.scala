@@ -24,6 +24,9 @@ object ExtendedOracles {
         |FROM (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
         |      FROM customer) t
         |ORDER BY c_custkey LIMIT 400""".stripMargin,
+    "q_rank_scalable" ->
+      """SELECT o_orderkey, rank() OVER (ORDER BY o_totalprice ASC) AS r
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_rank_variants" ->
       """SELECT s_suppkey,
         |  CAST(2 * rank() OVER (ORDER BY s_acctbal ASC)

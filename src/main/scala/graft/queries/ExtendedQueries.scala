@@ -55,6 +55,14 @@ object ExtendedQueries {
         .selectCols("c_custkey", "bal")
         .sort(Seq("c_custkey")).limit(400).df
     }),
+    "q_rank_scalable" -> ((s, dir) => {
+      // distributed rank (no single-reducer window) over all orders —
+      // must equal the plain SQL window rank
+      graft.operators.ScalableRank.withRank(
+          t(s, dir, "orders").df, "o_totalprice", as = "r", method = "min")
+        .select(F.col("o_orderkey"), F.col("r"))
+        .orderBy("o_orderkey")
+    }),
     "q_rank_variants" -> ((s, dir) => {
       t(s, dir, "supplier")
         .with_columns(

@@ -91,12 +91,18 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   // ---- write path ----
   /** Stage a new version's data (distributed parquet write). Invisible until
-    * its transaction commits. Returns the log entry to commit. */
-  def stageWrite(coll: String, table: String, df: DataFrame, ctx: SysCtx): VersionEntry = {
+    * its transaction commits. Returns the log entry to commit.
+    * `partitionBy` produces hive-style partition directories inside the
+    * version, so downstream scans get static partition pruning on those
+    * columns — the knob that matters once a table is 100s of TB. */
+  def stageWrite(coll: String, table: String, df: DataFrame, ctx: SysCtx,
+      partitionBy: Seq[String] = Nil): VersionEntry = {
     val versionId = ctx.version
     val dir = tableDir(coll, table).resolve(versionId)
     val stamped = SystemColumns.addSys(df, ctx)
-    stamped.write.mode("overwrite").parquet(dir.toString)
+    val writer = stamped.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir.toString)
     val rows = spark.read.parquet(dir.toString).count()
     val schemaHash = Integer.toHexString(df.schema.filterNot(f =>
       SystemColumns.isSystem(f.name)).map(f => (f.name, f.dataType.sql)).hashCode())
