@@ -147,7 +147,8 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
     * (broadcast / SMJ / shuffled-hash) and AQE re-plans at runtime. */
   def join(other: TableFrame, on: Seq[String] = Nil, leftOn: Seq[String] = Nil,
       rightOn: Seq[String] = Nil, how: String = "inner", suffix: String = "_right",
-      joinNulls: Boolean = false, coalesceKeys: Option[Boolean] = None): TableFrame = {
+      joinNulls: Boolean = false, coalesceKeys: Option[Boolean] = None,
+      broadcastRight: Boolean = false): TableFrame = {
     val strategy = how match {
       case "inner" | "left" | "right" | "full" | "outer" | "cross" => how
       case "semi" => "left_semi"
@@ -168,7 +169,10 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
     val leftUser = df.columns.toSet
     val collide = other.df.columns.filter(n =>
       leftUser.contains(n) && !(on.contains(n) && usingJoin))
-    val renamed = collide.foldLeft(other.df)((d, n) => d.withColumnRenamed(n, n + suffix))
+    // Spark-first extension: explicit broadcast hint for known-small dims
+    // (Catalyst/AQE auto-broadcasts below the threshold; this forces it)
+    val renamed0 = collide.foldLeft(other.df)((d, n) => d.withColumnRenamed(n, n + suffix))
+    val renamed = if (broadcastRight) F.broadcast(renamed0) else renamed0
     def rname(n: String): String = if (collide.contains(n)) n + suffix else n
 
     val joined =

@@ -24,6 +24,20 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(pathGlob)
 
+  /** Continuous pub/sub source over a versioned store table: every committed
+    * version directory's files surface as a micro-batch (the streaming analog
+    * of the reference's version-commit triggers). Schema comes from the
+    * current HEAD. */
+  def tableStream(store: graft.store.TableStore, collection: String,
+      table: String, maxFilesPerTrigger: Int = 100): DataFrame = {
+    val head = store.scan(s"$collection/$table").getOrElse(
+      throw new IllegalArgumentException(s"no committed versions in $collection/$table"))
+    val spark = head.df.sparkSession
+    spark.readStream.schema(head.df.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"${store.root}/$collection/$table/*")
+  }
+
   /** Watermarked sliding-window aggregation: count + sum(valueCol) per
     * (window, keys). Late data beyond the watermark is dropped — state stays
     * bounded no matter how long the stream runs. */

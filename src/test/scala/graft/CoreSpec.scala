@@ -73,6 +73,15 @@ class CoreSpec extends AnyFunSuite {
     assert(n.join(empty, leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey"), how = "anti").count() == 25)
   }
 
+  test("broadcastRight forces a broadcast hash join") {
+    val n = nation
+    val r = TableFrame.fromDF(spark.read.parquet(s"$sf/region.parquet"))
+    val j = n.join(r, leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey"),
+      broadcastRight = true)
+    assert(j.count() == 25)
+    assert(j.df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("join suffix renames right-side collisions") {
     val a = nation.selectCols("n_nationkey", "n_name")
     val b = nation.selectCols("n_nationkey", "n_name")

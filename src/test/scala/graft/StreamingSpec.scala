@@ -40,6 +40,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotRows.subsetOf(expRows))
   }
 
+  test("store table versions stream as micro-batches") {
+    val store = new graft.store.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-stream-store").toString, spark)
+    import spark.implicits._
+    store.write("c", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.write("c", "t", Seq((3L, "c")).toDF("id", "v"))
+    val stream = Streams.tableStream(store, "c", "t")
+      .select("id", "v")
+    val q = Streams.runToMemory(stream, "store_stream")
+    q.stop()
+    // both committed versions' rows arrive through the stream
+    assert(spark.table("store_stream").count() == 3)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val ds = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDS()
