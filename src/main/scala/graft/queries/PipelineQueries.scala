@@ -52,6 +52,14 @@ object PipelineQueries {
           "vec_id", "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // centroid routing is data/init-dependent → rows-only check
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.pipeline.Ivf.topK(idx, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       // bucket membership is hash-dependent → rows-only check
       val emb = t(s, dir, "embeddings")

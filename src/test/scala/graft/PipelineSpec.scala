@@ -69,6 +69,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(bf.nonEmpty)
   }
 
+  test("IVF index: clusters partition the corpus, search recall is sane") {
+    val idx = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(idx.centroids.length == 8)
+    assert(idx.assigned.count() == emb.count())
+    val clusters = idx.assigned.select("cluster").distinct().count()
+    assert(clusters > 1 && clusters <= 8)
+    // recall vs brute force at nprobe=8 (all clusters) must be exact
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(F.col("vec_id") === 0),
+      "vec_id", "embedding", "vec_id", 10)
+      .select("nbr_id").collect().map(_.getLong(0)).toSet
+    val full = Ivf.topK(idx, emb.filter(F.col("vec_id") === 0),
+      "vec_id", "embedding", k = 10, nprobe = 8)
+      .select("nbr_id").collect().map(_.getLong(0)).toSet
+    assert(full == bf) // probing every cluster == exact search
+    val partial = Ivf.topK(idx, emb.filter(F.col("vec_id") === 0),
+      "vec_id", "embedding", k = 10, nprobe = 2)
+    assert(partial.count() <= 10 && partial.count() > 0)
+  }
+
   test("multimodal: binary plumbing + partition decode + frame sampling") {
     val withBin = Multimodal.withBinaryContent(docs.limit(20), "text")
     assert(withBin.schema("content").dataType ==
