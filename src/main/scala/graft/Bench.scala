@@ -24,10 +24,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the tail of the process output; a JSON line
+    // listing every gate query overflows that buffer and fails to parse
+    // (round 1). Report per-query times for a headline subset only and keep
+    // the line short; "value" is still the total across ALL gate queries.
+    val headline = Seq(
+      "q_agg_pricing", "q_join_three_way", "q_join_left", "q_rank_scalable",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
+      "q_ann_bruteforce", "q_ann_ivf", "q_text_stats", "q_stream_window",
+      "q_filter_project", "q_events_json", "q_unique_first",
+      "q_concat_vertical", "q_fill_forward")
+    val qs = headline.flatMap(h => results.get(h).map(v =>
+        s"\"" + h + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,10 +48,15 @@ object ScalableRank {
       case other     => throw new IllegalArgumentException(s"rank method: $other")
     }
     val withLocal = parted.withColumn("$td.__local", local)
-    // per-partition sizes: rows for min/ordinal, distinct keys for dense
+    // per-partition sizes: rows for min/ordinal, distinct keys for dense.
+    // countDistinct ignores NULLs, but dense_rank gives the null group a
+    // rank — count it explicitly or every partition after the nulls would
+    // have an offset one too small.
     val sizeAgg = method match {
-      case "dense" => F.countDistinct(F.col(key))
-      case _       => F.count(F.lit(1))
+      case "dense" =>
+        F.countDistinct(F.col(key)) +
+          F.max(F.when(F.col(key).isNull, 1L).otherwise(0L))
+      case _ => F.count(F.lit(1))
     }
     val offsets = withLocal.groupBy(F.col("`$td.__pid`").as("pid"))
       .agg(sizeAgg.as("sz"))

@@ -43,9 +43,10 @@ object Ivf {
       k: Int = 16, iters: Int = 3): Index = {
     val spark = corpus.sparkSession
     val v = corpus.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    // cast first so float32 and float64 embedding columns both collect cleanly
     var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
-      .select("v").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(F.col("v").cast(ArrayType(DoubleType))).collect()
+      .map(_.getSeq[Double](0).toArray)
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       assigned = v.withColumn("cluster", assignExpr(F.col("v"), centroids))
@@ -76,15 +77,19 @@ object Ivf {
   }
 
   /** Approximate top-k: queries meet only the corpus vectors in their probed
-    * clusters; exact cosine re-ranks within. */
+    * clusters; exact cosine re-ranks within.
+    *
+    * `excludeSelf` drops corpus rows whose id equals the query id — right for
+    * self-search over the corpus; set it false when querying with an external
+    * set whose id space merely overlaps the corpus ids. */
   def topK(index: Index, queries: DataFrame, queryIdCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"))
       .withColumn("cluster",
         F.explode(probeExpr(F.col("qv"), index.centroids, nprobe)))
-    val scored = index.assigned
-      .join(F.broadcast(q), Seq("cluster"))
-      .filter(F.col("query_id") =!= F.col("id"))
+    val joined = index.assigned.join(F.broadcast(q), Seq("cluster"))
+    val scored = (if (excludeSelf) joined.filter(F.col("query_id") =!= F.col("id"))
+                  else joined)
       .withColumn("cos", Similarity.cosine(F.col("qv"), F.col("v")))
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cos").desc, F.col("id").asc)

@@ -47,7 +47,7 @@ object ExtendedOracles {
         |FROM part""".stripMargin,
     "q_join_nulls" ->
       """SELECT count(*) AS n_pairs,
-        |  sum(CASE WHEN x.nk IS NULL THEN 1 ELSE 0 END) AS n_null_pairs
+        |  CAST(sum(CASE WHEN x.nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pairs
         |FROM (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer) x
         |JOIN (SELECT c_custkey, CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk FROM customer) y
         |  ON x.nk IS NOT DISTINCT FROM y.nk""".stripMargin,

@@ -120,7 +120,7 @@ object PipelineOracles {
     "q_events_json" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |  count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )

@@ -11,14 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{SysCtx, SystemColumns, TableFrame}
 import graft.expressions.UuidV7
 
-/** One committed table version (a line in the table's metadata log). */
+/** One committed table version (a line in the table's metadata log).
+  * `schemaB64` carries the staged schema (base64 of `StructType.json`) so
+  * readers never re-infer types — in particular hive partition-directory
+  * values, which plain `spark.read.parquet` would re-type from the directory
+  * names (string "01" → int 1). */
 final case class VersionEntry(
     id: String,
     execution: String,
     transaction: String,
     timestampMs: Long,
     schemaHash: String,
-    rows: Long)
+    rows: Long,
+    schemaB64: Option[String] = None) {
+  def schema: Option[org.apache.spark.sql.types.StructType] = schemaB64.map { b =>
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+}
 
 /** Versioned, transactional Parquet table store.
   *
@@ -54,19 +65,22 @@ final class TableStore(val root: String, spark: SparkSession) {
   }
 
   private def parseEntry(line: String): VersionEntry = {
-    def field(k: String): String = {
+    def fieldOpt(k: String): Option[String] = {
       val m = ("\"" + k + "\"\\s*:\\s*(\"([^\"]*)\"|\\d+)").r
-      m.findFirstMatchIn(line) match {
-        case Some(mm) => if (mm.group(2) != null) mm.group(2) else mm.group(1)
-        case None => throw new IllegalStateException(s"corrupt log line: $line")
-      }
+      m.findFirstMatchIn(line).map(mm =>
+        if (mm.group(2) != null) mm.group(2) else mm.group(1))
     }
+    def field(k: String): String = fieldOpt(k).getOrElse(
+      throw new IllegalStateException(s"corrupt log line: $line"))
     VersionEntry(field("id"), field("execution"), field("transaction"),
-      field("ts").toLong, field("schemaHash"), field("rows").toLong)
+      field("ts").toLong, field("schemaHash"), field("rows").toLong,
+      fieldOpt("schema"))
   }
 
-  private def renderEntry(e: VersionEntry): String =
-    s"""{"id":"${e.id}","execution":"${e.execution}","transaction":"${e.transaction}","ts":${e.timestampMs},"schemaHash":"${e.schemaHash}","rows":${e.rows}}"""
+  private def renderEntry(e: VersionEntry): String = {
+    val schemaPart = e.schemaB64.map(b => s""","schema":"$b"""").getOrElse("")
+    s"""{"id":"${e.id}","execution":"${e.execution}","transaction":"${e.transaction}","ts":${e.timestampMs},"schemaHash":"${e.schemaHash}","rows":${e.rows}$schemaPart}"""
+  }
 
   private def appendLog(coll: String, table: String, e: VersionEntry): Unit = {
     Files.createDirectories(tableDir(coll, table))
@@ -77,7 +91,20 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   // ---- transactions ----
   private def txnMarker(txid: String): Path = txnDir.resolve(s"$txid.json")
+  // staged version dirs awaiting their transaction's commit: txid → moves
+  private val stagedMoves =
+    scala.collection.mutable.Map.empty[String, List[(Path, Path)]]
+
   def commitTransaction(txid: String): Unit = {
+    // publish data first: move each staged version dir into its final
+    // location (dot-prefixed staging dirs are hidden from Spark's file
+    // listing, so uncommitted data is invisible even to raw directory
+    // globs, e.g. the store→stream bridge)
+    stagedMoves.synchronized {
+      stagedMoves.remove(txid).getOrElse(Nil).foreach { case (from, to) =>
+        if (Files.exists(from)) Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
     Files.createDirectories(txnDir)
     val tmp = txnDir.resolve(s".$txid.tmp")
     Files.writeString(tmp, s"""{"txid":"$txid","status":"committed"}""")
@@ -98,16 +125,25 @@ final class TableStore(val root: String, spark: SparkSession) {
   def stageWrite(coll: String, table: String, df: DataFrame, ctx: SysCtx,
       partitionBy: Seq[String] = Nil): VersionEntry = {
     val versionId = ctx.version
-    val dir = tableDir(coll, table).resolve(versionId)
+    val finalDir = tableDir(coll, table).resolve(versionId)
+    // stage under a dot-prefixed dir: hidden from Spark listings until the
+    // transaction commit moves it into place
+    val dir = tableDir(coll, table).resolve(".staging").resolve(versionId)
     val stamped = SystemColumns.addSys(df, ctx)
     val writer = stamped.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir.toString)
-    val rows = spark.read.parquet(dir.toString).count()
+    val rows = spark.read.schema(stamped.schema).parquet(dir.toString).count()
     val schemaHash = Integer.toHexString(df.schema.filterNot(f =>
       SystemColumns.isSystem(f.name)).map(f => (f.name, f.dataType.sql)).hashCode())
+    val schemaB64 = java.util.Base64.getEncoder.encodeToString(
+      stamped.schema.json.getBytes(StandardCharsets.UTF_8))
     val e = VersionEntry(versionId, ctx.execution, ctx.transaction,
-      ctx.timestamp.getTime, schemaHash, rows)
+      ctx.timestamp.getTime, schemaHash, rows, Some(schemaB64))
+    stagedMoves.synchronized {
+      stagedMoves(ctx.transaction) =
+        (dir, finalDir) :: stagedMoves.getOrElse(ctx.transaction, Nil)
+    }
     appendLog(coll, table, e)
     e
   }
@@ -149,13 +185,21 @@ final class TableStore(val root: String, spark: SparkSession) {
     tableDir(coll, table).resolve(e.id).toString
 
   /** Scan a table reference; multiple versions union vertically. Returns a
-    * TableFrame in mode="tab" (system columns preserved from storage). */
+    * TableFrame in mode="tab" (system columns preserved from storage).
+    * Each version is read with its staged schema from the log, so hive
+    * partition-directory values keep their written types instead of being
+    * re-inferred from directory names. */
   def scan(ref: TableRef): Option[TableFrame] = {
     val es = resolve(ref.collection, ref.table, ref.versions)
     if (es.isEmpty) None
     else Some(TableFrame.fromTable(
-      es.map(e => spark.read.parquet(pathOf(ref.collection, ref.table, e)))
-        .reduce(_ unionByName _)))
+      es.map { e =>
+        val path = pathOf(ref.collection, ref.table, e)
+        e.schema match {
+          case Some(s) => spark.read.schema(s).parquet(path)
+          case None    => spark.read.parquet(path)
+        }
+      }.reduce(_ unionByName _)))
   }
 
   def scan(refStr: String): Option[TableFrame] = scan(TableRef.parse(refStr))

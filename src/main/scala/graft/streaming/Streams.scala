@@ -27,7 +27,13 @@ object Streams {
   /** Continuous pub/sub source over a versioned store table: every committed
     * version directory's files surface as a micro-batch (the streaming analog
     * of the reference's version-commit triggers). Schema comes from the
-    * current HEAD. */
+    * current HEAD.
+    *
+    * Visibility: the store stages version data under a dot-prefixed
+    * `.staging` dir (hidden from Spark's file listing) and moves it into the
+    * table dir only at transaction commit, so this glob sees committed
+    * versions exclusively — staged, aborted, or orphaned writes never
+    * surface as micro-batches. */
   def tableStream(store: graft.store.TableStore, collection: String,
       table: String, maxFilesPerTrigger: Int = 100): DataFrame = {
     val head = store.scan(s"$collection/$table").getOrElse(

@@ -34,6 +34,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotOrd == expectOrd)
   }
 
+  test("scalable rank handles null keys (dense offsets count the null group)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+      .select(F.col("c_custkey"),
+        F.when(F.col("c_custkey") % 5 === 0, null)
+          .otherwise(F.col("c_acctbal")).as("bal"))
+    for (m <- Seq("min", "dense")) {
+      val fn = if (m == "min") F.rank() else F.dense_rank()
+      val expect = df.withColumn("r", fn.over(Window.orderBy("bal")))
+        .select("c_custkey", "r").collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val got = ScalableRank.withRank(df, "bal", "r", m)
+        .select("c_custkey", "r").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"method=$m")
+    }
+  }
+
   test("salted join matches plain join on skewed data") {
     import spark.implicits._
     // hot key: 90% of left rows share key 1

@@ -31,6 +31,9 @@ def values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # driver hashes values, so int64 60025 vs float64 60025.0 is a mismatch
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     try:
         if pd.isna(a) and pd.isna(b):
             return True
