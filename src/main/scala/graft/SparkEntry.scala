@@ -18,11 +18,13 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.ParityQueries.queries
+      graft.queries.ParityQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalOracles.oracleSql ++
       graft.queries.PipelineOracles.oracleSql ++
       graft.queries.ExtendedOracles.oracleSql ++
-      graft.queries.ParityOracles.oracleSql
+      graft.queries.ParityOracles.oracleSql ++
+      graft.queries.ScaleOracles.oracleSql
 }

@@ -357,6 +357,52 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
     }
   }
 
+  // ---- beyond-surface series/scale operators (reference excludes these
+  // from TableFrame — UNSUPPORTED_METHODS — but Polars users have them;
+  // delegating to graft.operators keeps one scale-grade implementation) ----
+
+  /** As-of join (Polars `join_asof`): latest/nearest `other` row per time
+    * key. Delegates to [[graft.operators.AsofJoin]] (union + keyed window,
+    * no join node). */
+  def join_asof(other: TableFrame, on: String, by: Seq[String] = Nil,
+      strategy: String = "backward", toleranceMax: Option[Long] = None): TableFrame =
+    wrap(graft.operators.AsofJoin.asofJoin(
+      df, other.df.drop(other.sysCols: _*), on, by, strategy, toleranceMax))
+
+  /** Melt/unpivot (Polars `melt`/`unpivot`): wide → long. System columns
+    * ride along as ids. */
+  def unpivot(ids: Seq[String], values: Seq[String],
+      variableName: String = "variable", valueName: String = "value"): TableFrame =
+    wrap(df.unpivot((ids ++ sysCols).map(bq).toArray, values.map(bq).toArray,
+      variableName, valueName))
+
+  /** Whole-frame top-k by a key: sort+limit, which Catalyst plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def top_k(k: Int, by: String, descending: Boolean = true): TableFrame =
+    wrap(df.orderBy(if (descending) bq(by).desc else bq(by).asc).limit(k))
+  def bottom_k(k: Int, by: String): TableFrame = top_k(k, by, descending = false)
+
+  /** Contiguous row index along an explicit order (distributed, no
+    * single-reducer stage) — see [[graft.operators.SeriesOps.withRowIndex]]. */
+  def with_row_index(orderBy: Seq[String], name: String = "index",
+      offset: Long = 0L): TableFrame =
+    wrap(graft.operators.SeriesOps.withRowIndex(df, orderBy, name, offset))
+
+  /** Linear interpolation of nulls along an order column (Polars
+    * `interpolate`). */
+  def interpolate(valueCol: String, orderCol: String,
+      by: Seq[String] = Nil): TableFrame =
+    wrap(graft.operators.SeriesOps.interpolate(df, valueCol, orderCol, by))
+
+  /** merge_sorted: union + re-sort on the key. */
+  def merge_sorted(other: TableFrame, key: String): TableFrame =
+    wrap(graft.operators.SeriesOps.mergeSorted(df, other.df, key))
+
+  /** approx_n_unique (HyperLogLog++): the sketch-based distinct count the
+    * reference exposes on Expr — constant memory per group at any scale. */
+  def approx_n_unique(col: String, rsd: Double = 0.05): TableFrame =
+    wrap(df.agg(F.approx_count_distinct(bq(col), rsd).as("approx_n_unique")))
+
   /** Render the optimized plan (frame.py:545-585 explain/show_graph). */
   def explain_plan(mode: String = "formatted"): Unit = df.explain(mode)
 

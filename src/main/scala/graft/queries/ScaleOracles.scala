@@ -1,0 +1,101 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the scale-operator gates. Parity notes: epoch()
+  * returns DOUBLE, so the second index is floor(epoch(ts)) cast BIGINT
+  * (Spark: timestamp cast to long truncates, equal for positive epochs);
+  * integer sums are cast BIGINT (DuckDB HUGEINT → pandas float64
+  * otherwise); double sums route through DECIMAL. */
+object ScaleOracles {
+  private val purchases =
+    """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |       max(value) AS purchase_value
+      |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin
+  private val eventsSec =
+    """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |FROM events""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_join_asof" ->
+      s"""WITH p AS ($purchases), e AS ($eventsSec)
+         |SELECT e.event_id, p.purchase_value
+         |FROM e ASOF LEFT JOIN p
+         |  ON e.user_id = p.user_id AND e.sec >= p.sec
+         |ORDER BY e.event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      s"""WITH p AS ($purchases), e AS ($eventsSec)
+         |SELECT e.event_id,
+         |  CASE WHEN p.sec - e.sec <= 3600 THEN p.purchase_value END AS purchase_value
+         |FROM e ASOF LEFT JOIN p
+         |  ON e.user_id = p.user_id AND e.sec <= p.sec
+         |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders o
+        |JOIN (SELECT c_custkey, c_acctbal * 10 AS lo, c_acctbal * 10 + 5000 AS hi
+        |      FROM customer WHERE c_custkey <= 50 AND c_acctbal > 0) c
+        |  ON o.o_totalprice BETWEEN c.lo AND c.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_sum
+        |FROM (SELECT event_id, user_id, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_group_dynamic" ->
+      """SELECT event_type,
+        |  CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 900) AS BIGINT) * 900 AS bucket_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size_d' AS variable, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value
+        |FROM part
+        |ORDER BY p_partkey, variable""".stripMargin,
+    "q_row_index" ->
+      """SELECT c_custkey,
+        |  CAST(row_number() OVER (ORDER BY c_acctbal ASC, c_custkey ASC) - 1 AS BIGINT) AS idx
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |s AS (
+        |  SELECT event_id, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN CAST(event_id AS DOUBLE) END IGNORE NULLS) OVER wb AS prev_x,
+        |    first_value(v IGNORE NULLS) OVER wf AS next_v,
+        |    first_value(CASE WHEN v IS NOT NULL THEN CAST(event_id AS DOUBLE) END IGNORE NULLS) OVER wf AS next_x
+        |  FROM e
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY event_id ASC
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE prev_v + (next_v - prev_v) * (CAST(event_id AS DOUBLE) - prev_x) / (next_x - prev_x)
+        |  END AS vi
+        |FROM s ORDER BY event_id""".stripMargin,
+    "q_topk_group" ->
+      """SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
+    "q_merge_sorted" ->
+      """SELECT c_custkey, c_acctbal FROM (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 1)
+        |ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC""".stripMargin
+  )
+}

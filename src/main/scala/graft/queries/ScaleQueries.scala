@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.core.{Expr, TableFrame}
+import graft.operators.{AsofJoin, RangeJoin, Rolling, SeriesOps}
+
+/** Gate queries for the beyond-surface scale operators (as-of join, range
+  * join, rolling/dynamic group-by, unpivot, row index, interpolate,
+  * per-group top-k, merge_sorted, approx distinct). */
+object ScaleQueries {
+  private def t(s: SparkSession, dir: String, name: String): TableFrame =
+    Tables.frame(s, dir, name)
+  private def d(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // purchases deduped to one row per (user_id, sec) so as-of tie-breaking
+  // is well-defined on both engines
+  private def purchases(s: SparkSession, dir: String): DataFrame =
+    d(s, dir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .withColumn("sec", F.col("ts").cast(LongType))
+      .groupBy("user_id", "sec")
+      .agg(F.max("value").as("purchase_value"))
+
+  private def eventsSec(s: SparkSession, dir: String): DataFrame =
+    d(s, dir, "events")
+      .withColumn("sec", F.col("ts").cast(LongType))
+      .select("event_id", "user_id", "sec")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof" -> ((s, dir) => {
+      AsofJoin.asofJoin(eventsSec(s, dir), purchases(s, dir),
+          on = "sec", by = Seq("user_id"), strategy = "backward")
+        .select("event_id", "purchase_value")
+        .orderBy("event_id")
+    }),
+    "q_join_asof_fwd" -> ((s, dir) => {
+      AsofJoin.asofJoin(eventsSec(s, dir), purchases(s, dir),
+          on = "sec", by = Seq("user_id"), strategy = "forward",
+          toleranceMax = Some(3600L))
+        .select("event_id", "purchase_value")
+        .orderBy("event_id")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      val bands = d(s, dir, "customer")
+        .filter(F.col("c_custkey") <= 50 && F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey"),
+          (F.col("c_acctbal") * 10).as("lo"),
+          (F.col("c_acctbal") * 10 + 5000).as("hi"))
+      RangeJoin.rangeJoin(d(s, dir, "orders"), "o_totalprice",
+          bands, "lo", "hi", bucketWidth = 5000L, by = Nil)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("price_sum"))
+        .orderBy("c_custkey")
+    }),
+    "q_rolling" -> ((s, dir) => {
+      Rolling.rolling(
+          d(s, dir, "events").withColumn("sec", F.col("ts").cast(LongType)),
+          indexCol = "sec", period = 3600L, by = Seq("user_id"),
+          valueCol = "value",
+          aggs = Map(
+            "n" -> ((_, w) => F.count(F.lit(1)).over(w)),
+            "value_sum" -> ((c, w) =>
+              F.sum(c.cast(DecimalType(18, 4))).over(w).cast(DoubleType))))
+        .select("event_id", "n", "value_sum")
+        .orderBy("event_id")
+    }),
+    "q_group_dynamic" -> ((s, dir) => {
+      Rolling.groupByDynamic(
+          d(s, dir, "events").withColumn("sec", F.col("ts").cast(LongType)),
+          indexCol = "sec", every = 900L, by = Seq("event_type"),
+          aggs = Seq(F.count(F.lit(1)).as("n"),
+            F.sum(F.col("value").cast(DecimalType(18, 4)))
+              .cast(DoubleType).as("value_sum")))
+        .orderBy("event_type", "bucket_start")
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .with_columns("p_size_d" -> Expr(F.col("p_size").cast(DoubleType)))
+        .unpivot(ids = Seq("p_partkey"), values = Seq("p_size_d", "p_retailprice"))
+        .sort(Seq("p_partkey", "variable")).df
+    }),
+    "q_row_index" -> ((s, dir) => {
+      SeriesOps.withRowIndex(
+          d(s, dir, "customer").select("c_custkey", "c_acctbal"),
+          orderBy = Seq("c_acctbal", "c_custkey"), as = "idx")
+        .select("c_custkey", "idx")
+        .orderBy("c_custkey")
+    }),
+    "q_interpolate" -> ((s, dir) => {
+      val e = d(s, dir, "events")
+        .withColumn("v",
+          F.when(F.col("event_type") === "view", F.lit(null).cast(DoubleType))
+            .otherwise(F.col("value")))
+      SeriesOps.interpolate(e, "v", "event_id", by = Seq("user_id"), as = Some("vi"))
+        .select("event_id", "vi")
+        .orderBy("event_id")
+    }),
+    "q_topk_group" -> ((s, dir) => {
+      SeriesOps.topKPerGroup(d(s, dir, "orders"),
+          by = Seq("o_orderstatus"), orderCol = "o_totalprice", k = 3,
+          descending = true, tiebreakers = Seq("o_orderkey"))
+        .select(F.col("o_orderstatus"), F.col("rk").cast(LongType).as("rk"),
+          F.col("o_orderkey"), F.col("o_totalprice"))
+        .orderBy("o_orderstatus", "rk")
+    }),
+    "q_merge_sorted" -> ((s, dir) => {
+      val c = t(s, dir, "customer").selectCols("c_custkey", "c_acctbal")
+      val a = c.filter(Expr(F.col("c_custkey") % 2 === 0))
+      val b = c.filter(Expr(F.col("c_custkey") % 2 === 1))
+      a.merge_sorted(b, "c_acctbal")
+        .sort(Seq("c_acctbal", "c_custkey")).df
+    }),
+    // rows-only gate: the HLL estimate is engine-specific; PipelineSpec
+    // bounds its error against the exact count
+    "q_approx_nunique" -> ((s, dir) => {
+      t(s, dir, "lineitem").approx_n_unique("l_partkey").df
+    })
+  )
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{ScalableRank, SkewJoin}
+import graft.operators.{AsofJoin, RangeJoin, Rolling, ScalableRank, SeriesOps, SkewJoin}
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -63,6 +63,87 @@ class OperatorsSpec extends AnyFunSuite {
     val plainLeft = left.join(right.filter($"k" > 500), Seq("k"), "left").count()
     val saltedLeft = SkewJoin.saltedJoin(left, right.filter($"k" > 500), Seq("k"), "left").count()
     assert(saltedLeft == plainLeft)
+  }
+
+  test("asof join matches brute-force semantics for all strategies") {
+    import spark.implicits._
+    val left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 25L, "c"), (2, 5L, "d"),
+      (2, 100L, "e"), (3, 7L, "f")).toDF("k", "t", "lv")
+    val right = Seq((1, 5L, 1.0), (1, 20L, 2.0), (1, 30L, 3.0), (2, 50L, 4.0))
+      .toDF("k", "t", "rv")
+    def got(strategy: String, tol: Option[Long] = None): Map[String, Option[Double]] =
+      AsofJoin.asofJoin(left, right, "t", Seq("k"), strategy, tol)
+        .collect().map(r => r.getAs[String]("lv") ->
+          Option(r.getAs[Any]("rv")).map(_.asInstanceOf[Double])).toMap
+    // backward: latest right with rt <= lt
+    assert(got("backward") == Map("a" -> Some(1.0), "b" -> Some(2.0),
+      "c" -> Some(2.0), "d" -> None, "e" -> Some(4.0), "f" -> None))
+    // forward: earliest right with rt >= lt
+    assert(got("forward") == Map("a" -> Some(2.0), "b" -> Some(2.0),
+      "c" -> Some(3.0), "d" -> Some(4.0), "e" -> None, "f" -> None))
+    // nearest: closer of the two, ties backward (t=25: back@20 dist 5, fwd@30 dist 5)
+    assert(got("nearest") == Map("a" -> Some(1.0), "b" -> Some(2.0),
+      "c" -> Some(2.0), "d" -> Some(4.0), "e" -> Some(4.0), "f" -> None))
+    // tolerance nulls matches farther than the bound
+    assert(got("backward", Some(3L)) == Map("a" -> None, "b" -> Some(2.0),
+      "c" -> None, "d" -> None, "e" -> None, "f" -> None))
+    // left row count is always preserved
+    assert(AsofJoin.asofJoin(left, right, "t", Seq("k"), "nearest").count() == left.count())
+  }
+
+  test("range join equals cross-join + between filter") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val bands = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(F.col("c_custkey") <= 30 && F.col("c_acctbal") > 0)
+      .select(F.col("c_custkey"), (F.col("c_acctbal") * 10).as("lo"),
+        (F.col("c_acctbal") * 10 + 2000).as("hi"))
+    val expect = orders.crossJoin(bands)
+      .filter(F.col("o_totalprice") >= F.col("lo") && F.col("o_totalprice") <= F.col("hi"))
+      .count()
+    for (w <- Seq(100L, 2000L, 100000L))
+      assert(RangeJoin.rangeJoin(orders, "o_totalprice", bands, "lo", "hi", w).count()
+        == expect, s"bucketWidth=$w")
+  }
+
+  test("interpolate fills between knowns, leaves edges null") {
+    import spark.implicits._
+    val df = Seq((1, 1L, Some(10.0)), (1, 2L, None), (1, 3L, None),
+      (1, 4L, Some(40.0)), (1, 5L, None), (2, 1L, None), (2, 2L, Some(7.0)))
+      .toDF("k", "t", "v")
+    val out = SeriesOps.interpolate(df, "v", "t", Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        Option(r.getAs[Any]("v")).map(_.asInstanceOf[Double])).toMap
+    assert(out((1, 2L)) == Some(20.0) && out((1, 3L)) == Some(30.0))
+    assert(out((1, 5L)).isEmpty && out((2, 1L)).isEmpty)
+    assert(out((1, 1L)) == Some(10.0) && out((2, 2L)) == Some(7.0))
+  }
+
+  test("row index is contiguous and order-correct; approx distinct within rsd") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val idx = SeriesOps.withRowIndex(c, Seq("c_acctbal", "c_custkey"), "idx")
+      .orderBy("idx").select("idx").collect().map(_.getLong(0))
+    assert(idx.toSeq == (0L until c.count()).toSeq)
+
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.select(F.countDistinct("l_partkey")).head().getLong(0)
+    val approx = li.select(F.approx_count_distinct("l_partkey", 0.05)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("rolling range window and dynamic buckets agree with brute force") {
+    import spark.implicits._
+    val df = Seq((1, 0L, 1.0), (1, 10L, 2.0), (1, 11L, 3.0), (1, 30L, 4.0),
+      (2, 5L, 5.0)).toDF("k", "t", "v")
+    val roll = Rolling.rolling(df, "t", 20L, Seq("k"), "v",
+        Map("s" -> ((c, w) => F.sum(c).over(w))))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Double]("s")).toMap
+    assert(roll((1, 11L)) == 6.0) // frame [-8,11] → t=0,10,11 → 1+2+3
+    assert(roll((1, 30L)) == 7.0) // frame [11,30] → t=11,30 → 3+4
+    val dyn = Rolling.groupByDynamic(df, "t", 15L, Seq("k"),
+        Seq(F.sum("v").as("s")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Double]("s")).toMap
+    assert(dyn((1, 0L)) == 6.0 && dyn((1, 30L)) == 4.0 && dyn((2, 0L)) == 5.0)
   }
 
   test("partitioned store write prunes on the partition column") {
