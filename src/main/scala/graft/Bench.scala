@@ -39,6 +39,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // local profiling aid: full per-query dump to a file (never stdout — the
+    // driver parses the single contract line below)
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
+      val full = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",\n ", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
+    }
     println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
