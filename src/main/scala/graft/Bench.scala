@@ -19,10 +19,27 @@ object Bench {
         .groupBy("k").count().count()
       SparkEntry.queries.get("q_agg_shortcut_minmax").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Fixed sorted run order + median of n repeats: round 2 measured a 3.2×
+    // swing on an unchanged query because the unordered-Map iteration let
+    // run-order/JIT/GC interference land differently between rounds.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val results: Seq[(String, Double)] = ordered.map { case (name, fn) =>
+      val times = (0 until repeats).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable =>
+          if (!failed.contains(name)) failed += name
+          None
+        }
+      }
+      val median =
+        if (times.isEmpty) 0.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     // The driver captures only the tail of the process output; a JSON line
     // listing every gate query overflows that buffer and fails to parse
@@ -34,19 +51,21 @@ object Bench {
       "q_ann_bruteforce", "q_ann_ivf", "q_text_stats", "q_stream_window",
       "q_filter_project", "q_events_json", "q_unique_first",
       "q_concat_vertical", "q_fill_forward")
-    val qs = headline.flatMap(h => results.get(h).map(v =>
+    val byName = results.toMap
+    val qs = headline.flatMap(h => byName.get(h).map(v =>
         s"\"" + h + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val totalR = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // local profiling aid: full per-query dump to a file (never stdout — the
     // driver parses the single contract line below)
     sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
-      val full = results.toSeq.sortBy(-_._2)
+      val full = results.sortBy(-_._2)
         .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",\n ", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
     }
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_repeats":$repeats,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,10 +23,10 @@ object Ivf {
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
   private def sqDistTo(vec: Column, centroid: Array[Double]): Column = {
+    // native codegen'd kernel; the HOF zip_with formulation evaluates its
+    // lambda interpreted once per (row, centroid) — k× per row in assignExpr
     val c = F.array(centroid.map(F.lit): _*)
-    F.aggregate(F.zip_with(vec, c,
-      (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
-      F.lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorKernels.sqdist(vec, c)
   }
 
   /** Nearest-centroid id (0-based) for a vector. */

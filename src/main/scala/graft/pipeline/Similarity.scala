@@ -14,21 +14,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
   /** Cosine similarity of two float vectors, computed in double precision
-    * with a sequential left-to-right fold (deterministic association). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = F.aggregate(F.zip_with(a, b,
-      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      F.lit(0.0), (acc, v) => acc + v)
-    val na = F.sqrt(F.aggregate(F.transform(a,
-      x => x.cast(DoubleType) * x.cast(DoubleType)), F.lit(0.0), (acc, v) => acc + v))
-    val nb = F.sqrt(F.aggregate(F.transform(b,
-      x => x.cast(DoubleType) * x.cast(DoubleType)), F.lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+    * with a sequential left-to-right fold (deterministic association).
+    * Native codegen'd kernel — the HOF `aggregate(zip_with(...))`
+    * formulation evaluates its lambdas interpreted, measured ~4× slower on
+    * the ANN gates (see expressions.VectorKernels). */
+  def cosine(a: Column, b: Column): Column = graft.expressions.VectorKernels.cosine(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      F.lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorKernels.dot(a, b)
 
   /** Brute-force cosine top-k: every query vector against the whole corpus.
     * The query side is expected to be small and is broadcast, so the corpus
