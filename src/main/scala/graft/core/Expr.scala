@@ -118,7 +118,8 @@ final case class Expr(col: Column) {
   /** Whole-column rank (expr.py:1843); methods average/min/max/dense/ordinal
     * (typing.py:86). NOTE: unpartitioned window — single-reducer at scale; for
     * 100 TB-scale ranking use TableFrame.withRank (sort-based). */
-  def rank(method: String = "average", descending: Boolean = false): Expr = {
+  def rank(method: String = "average", descending: Boolean = false,
+      seed: Long = 0L): Expr = {
     val w = Window.orderBy(if (descending) col.desc else col.asc)
     method match {
       case "min"     => wrap(F.rank().over(w))
@@ -129,6 +130,9 @@ final case class Expr(col: Column) {
       case "average" =>
         wrap((F.rank().over(w) * 2 + F.count(F.lit(1)).over(Window.partitionBy(col)) - 1)
           .cast(DoubleType) / 2)
+      case "random"  => // ties broken by a seeded per-row draw (typing.py:86)
+        wrap(F.row_number().over(
+          Window.orderBy(if (descending) col.desc else col.asc, F.rand(seed))))
       case other => throw new IllegalArgumentException(s"rank method: $other")
     }
   }
@@ -365,6 +369,45 @@ final class DtNs(private val col: Column) {
   def combine(time: Expr): Expr =
     wrap(F.timestamp_add("SECOND", (time.col / 1000000000L).cast(LongType),
       col.cast(DateType).cast(TimestampType)))
+  /** Replace individual datetime components (datetime.py:46). Unset args
+    * keep the input's component; args may be Int literals or Exprs. Always
+    * yields a timestamp — `.date` it back for Date columns. */
+  def replace(year: Any = null, month: Any = null, day: Any = null,
+      hour: Any = null, minute: Any = null, second: Any = null,
+      microsecond: Any = null): Expr = {
+    def part(over: Any, cur: Column): Column = over match {
+      case null    => cur
+      case e: Expr => e.col
+      case v       => F.lit(v)
+    }
+    val ts = col.cast(TimestampType)
+    val secs = (part(second, F.second(ts)).cast(DecimalType(16, 6)) +
+      part(microsecond, F.unix_micros(ts) % 1000000L).cast(DecimalType(16, 6)) / 1000000L)
+    wrap(F.make_timestamp(
+      part(year, F.year(ts)), part(month, F.month(ts)), part(day, F.dayofmonth(ts)),
+      part(hour, F.hour(ts)), part(minute, F.minute(ts)), secs))
+  }
+  /** Reinterpret the stored count in a new unit — changes the instant
+    * (datetime.py:180). Spark stores micros; `ms` means "this micros count
+    * was actually millis", etc. */
+  def with_time_unit(unit: String): Expr = {
+    val us = F.unix_micros(col.cast(TimestampType))
+    unit match {
+      case "us" => wrap(col.cast(TimestampType))
+      case "ms" => wrap(F.timestamp_micros(us * 1000L))
+      case "ns" => wrap(F.timestamp_micros((us / 1000L).cast(LongType)))
+      case other => throw new IllegalArgumentException(s"time unit: $other")
+    }
+  }
+  /** Convert the representation unit, preserving the instant (datetime.py:
+    * 184). Spark holds a single micros representation, so `ms` truncates
+    * sub-millisecond precision and `us`/`ns` are identity (ns precision is
+    * not representable in TimestampType). */
+  def cast_time_unit(unit: String): Expr = unit match {
+    case "ms"        => wrap(F.date_trunc("MILLISECOND", col.cast(TimestampType)))
+    case "us" | "ns" => wrap(col.cast(TimestampType))
+    case other       => throw new IllegalArgumentException(s"time unit: $other")
+  }
 }
 
 object DtNs {

@@ -62,6 +62,9 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
     functions(f.name) = f
   }
 
+  /** Registered function by name (for manual re-runs at a chosen cutoff). */
+  def fn(name: String): FlowFunction = functions(name)
+
   def publisher(name: String, collection: String, outputs: Seq[String])(
       fn: FlowContext => Seq[TableFrame]): Unit =
     register(FlowFunction(name, collection, Role.Publisher, Nil, outputs, None, fn))
@@ -83,12 +86,28 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
       trig.exists(r => r.collection == collection && r.table == table)
     }
 
-  /** Run one function: resolve inputs, execute, publish outputs atomically,
-    * persist offsets, return the tables that got new versions. */
-  def runFunction(f: FlowFunction, executionId: String): Seq[(String, String)] = {
+  /** Run one function: resolve inputs (at the execution's trigger-time
+    * cutoff), execute, publish outputs atomically, persist offsets, return
+    * the tables that got new versions.
+    *
+    * `executionTs` is the plan's `triggered_on` (version_resolver.rs:29-37):
+    * relative selectors resolve against versions stamped at-or-before it,
+    * and this run's own outputs are stamped with it — so a downstream
+    * function in the same execution sees them, while versions committed by
+    * unrelated later executions stay invisible to a re-run of this plan.
+    *
+    * Offsets are persisted after the commit: a crash between the two replays
+    * the source against the old offset on the next run (at-least-once). The
+    * replayed run writes a NEW version with the same rows — consumers
+    * reading HEAD see the latest replay, not duplicated rows; only the
+    * version history carries the duplicate. Exactly-once would need the
+    * offset write inside the transaction marker. */
+  def runFunction(f: FlowFunction, executionId: String,
+      executionTs: Long = System.currentTimeMillis()): Seq[(String, String)] = {
     val offsets = Offsets.load(store.root, f.name)
     val sink = mutable.Map[String, String](offsets.toSeq: _*)
-    val inputs = f.inputs.map(s => store.scan(TableRef.parse(s, f.collection)))
+    val inputs = f.inputs.map(s =>
+      store.scan(TableRef.parse(s, f.collection), Some(executionTs)))
     val ctx = new FlowContext(spark, inputs, offsets, sink)
     val results = f.fn(ctx)
     require(results.length == f.outputs.length,
@@ -97,7 +116,7 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
     val txid = store.newId()
     val entries = f.outputs.zip(results).map { case (table, tf) =>
       val ctx2 = SysCtx(executionId, txid, store.newId(),
-        new java.sql.Timestamp(System.currentTimeMillis()))
+        new java.sql.Timestamp(executionTs))
       (table, store.stageWrite(f.collection, table, tf.df, ctx2))
     }
     store.commitTransaction(txid)
@@ -112,13 +131,14 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
     require(functions.contains(name),
       s"no registered function '$name' (registered: ${functions.keys.mkString(", ")})")
     val executionId = store.newId()
+    val executionTs = System.currentTimeMillis() // the plan's triggered_on
     val ran = mutable.LinkedHashSet[String]()
     val queue = mutable.Queue[FlowFunction](functions(name))
     while (queue.nonEmpty) {
       val f = queue.dequeue()
       if (!ran.contains(f.name)) {
         ran += f.name
-        val published = runFunction(f, executionId)
+        val published = runFunction(f, executionId, executionTs)
         published.foreach { case (coll, table) =>
           dependents(coll, table).foreach { d =>
             if (!ran.contains(d.name)) queue.enqueue(d)

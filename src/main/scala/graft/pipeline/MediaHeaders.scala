@@ -1,0 +1,82 @@
+package graft.pipeline
+
+/** Pure-JVM image header decoding: format sniff by magic bytes + dimension
+  * extraction from the container header (no full pixel decode, no ImageIO
+  * plugin registry — deterministic across executors, ~ns per row).
+  *
+  * Covers the containers a training-data pipeline actually meets in bulk:
+  * PNG (IHDR), JPEG (SOFn scan), GIF (logical screen descriptor), BMP
+  * (BITMAPINFOHEADER). Anything else returns None and the caller falls back
+  * to its stub/opaque path (audio/video stay stubbed in this environment).
+  */
+object MediaHeaders {
+  final case class ImageDims(format: String, width: Int, height: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  def sniff(bytes: Array[Byte]): Option[ImageDims] = {
+    if (bytes == null || bytes.length < 10) return None
+    if (isPng(bytes)) pngDims(bytes)
+    else if (isGif(bytes)) Some(ImageDims("gif", le16(bytes, 6), le16(bytes, 8)))
+    else if (isJpeg(bytes)) jpegDims(bytes)
+    else if (isBmp(bytes)) bmpDims(bytes)
+    else None
+  }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a
+
+  private def pngDims(b: Array[Byte]): Option[ImageDims] =
+    // bytes 8-15 are the IHDR chunk length + type; IHDR is mandatory-first
+    if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(ImageDims("png", be32(b, 16), be32(b, 20)))
+    else None
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+
+  private def bmpDims(b: Array[Byte]): Option[ImageDims] = {
+    val hdrSize = le32(b, 14)
+    if (hdrSize >= 40 && b.length >= 26)
+      Some(ImageDims("bmp", le32(b, 18), math.abs(le32(b, 22)))) // height<0 = top-down DIB
+    else if (hdrSize == 12 && b.length >= 22) // BITMAPCOREHEADER
+      Some(ImageDims("bmp", le16(b, 18), le16(b, 20)))
+    else None
+  }
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff
+
+  /** Walk JPEG segments to the first SOFn frame header (C0-CF minus the
+    * non-frame C4/C8/CC): height/width are big-endian at +5/+7. */
+  private def jpegDims(b: Array[Byte]): Option[ImageDims] = {
+    var i = 2
+    while (i + 9 < b.length) {
+      if (u8(b, i) != 0xff) return None // lost sync
+      var marker = u8(b, i + 1)
+      while (marker == 0xff && i + 2 < b.length) { i += 1; marker = u8(b, i + 1) } // fill bytes
+      if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        return Some(ImageDims("jpeg", be16(b, i + 7), be16(b, i + 5)))
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        i += 2 // standalone marker, no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / entropy-coded data reached without a SOF
+      } else {
+        i += 2 + be16(b, i + 2)
+      }
+    }
+    None
+  }
+}

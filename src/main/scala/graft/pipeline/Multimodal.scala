@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   * struct schema, `mapPartitions` batch iteration (the Scala analog of
   * `mapInPandas`: one iterator per partition, so a decoder can amortize
   * per-batch setup such as codec contexts) and frame-sampling explosion.
-  * The actual byte decoding is a clearly marked STUB (deterministic fake) —
-  * image/audio codecs are not available in this environment; swap
-  * [[decodeStub]] for a real codec call in production.
+  *
+  * Image decoding is REAL for PNG/JPEG/GIF/BMP containers: header-level
+  * dimension extraction via [[MediaHeaders]] (pure JVM, no pixel decode).
+  * Bytes that don't sniff as a known image — and audio/video, whose codecs
+  * are not available in this environment — fall back to the clearly marked
+  * [[decodeStub]] deterministic fake.
   */
 object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -24,12 +27,24 @@ object Multimodal {
     StructField("size_bytes", LongType)))
 
   /** STUB decode: derives deterministic fake dimensions from the byte
-    * length. Replace with a real codec (e.g. TwelveMonkeys/JavaCV) — the
-    * signature (bytes → meta Row) is the real contract. */
+    * length. Used for audio/video (codecs unavailable here) and for bytes
+    * that don't sniff as a known image container — the signature
+    * (bytes → meta Row) is the real contract. */
   def decodeStub(kind: String, bytes: Array[Byte]): Row = {
     val len = if (bytes == null) 0L else bytes.length.toLong
     Row(kind, (len % 640 + 16).toInt, (len % 480 + 16).toInt, (len % 30 + 1).toInt, len)
   }
+
+  /** Decode media metadata. Images (PNG/JPEG/GIF/BMP) get their true
+    * dimensions from the container header; anything else falls back to the
+    * stub. `n_frames` is 1 for stills; GIF frame counting would need a full
+    * block walk, left to the stub fallback contract. */
+  def decode(kind: String, bytes: Array[Byte]): Row =
+    MediaHeaders.sniff(bytes) match {
+      case Some(d) => Row(d.format, d.width, d.height, 1,
+        if (bytes == null) 0L else bytes.length.toLong)
+      case None => decodeStub(kind, bytes)
+    }
 
   /** Attach a `content: binary` column from any string column (stand-in for
     * reading real media files via `spark.read.format("binaryFile")`). */
@@ -45,9 +60,9 @@ object Multimodal {
     val contentIdx = inSchema.fieldIndex("content")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.mapPartitions { rows =>
-      // per-partition setup would open codec contexts here (STUB: none)
+      // per-partition setup would open audio/video codec contexts here
       rows.map { r =>
-        val meta = decodeStub(kind, r.getAs[Array[Byte]](contentIdx))
+        val meta = decode(kind, r.getAs[Array[Byte]](contentIdx))
         Row.fromSeq(r.toSeq :+ meta)
       }
     }

@@ -105,6 +105,17 @@ object ExtendedOracles {
         |    + (epoch_us(ts) % 1000000) * 1000 AS ns_of_day,
         |  epoch_us(ts) AS epoch_us
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q_dt_replace" ->
+      """SELECT event_id,
+        |  make_timestamp(2000, month(ts), day(ts), hour(ts), minute(ts),
+        |    CAST(floor(second(ts)) AS DOUBLE)) AS y2000,
+        |  make_timestamp(year(ts), 1, 15, hour(ts), minute(ts),
+        |    CAST(floor(second(ts)) AS DOUBLE)) AS jan15,
+        |  date_trunc('day', ts) AS midnight,
+        |  date_trunc('milliseconds', ts) AS ms_trunc,
+        |  epoch_us(ts) * 1000 AS reint_ms_us,
+        |  epoch_us(ts) // 1000 AS reint_ns_us
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
     "q_math_more" ->
       """SELECT l_orderkey, l_linenumber,
         |  greatest(least(l_quantity, 40.0), 5.0) AS qty_clip,

@@ -165,6 +165,21 @@ object ExtendedQueries {
           td.col("ts").dt.epoch("us").as("epoch_us"))
         .sort(Seq("event_id")).limit(500).df
     }),
+    "q_dt_replace" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          td.col("event_id"),
+          td.col("ts").dt.replace(year = 2000, microsecond = 0).as("y2000"),
+          td.col("ts").dt.replace(month = 1, day = 15, microsecond = 0).as("jan15"),
+          td.col("ts").dt.replace(hour = 0, minute = 0, second = 0, microsecond = 0)
+            .as("midnight"),
+          td.col("ts").dt.cast_time_unit("ms").as("ms_trunc"),
+          // reinterpreted instants compared as epoch micros: the ms
+          // direction lands far outside pandas' ns-timestamp range
+          td.col("ts").dt.with_time_unit("ms").dt.epoch("us").as("reint_ms_us"),
+          td.col("ts").dt.with_time_unit("ns").dt.epoch("us").as("reint_ns_us"))
+        .sort(Seq("event_id")).limit(500).df
+    }),
     "q_math_more" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(

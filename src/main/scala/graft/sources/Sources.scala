@@ -50,6 +50,7 @@ final case class FileSource(
       case "parquet"         => r.parquet(pattern)
       case "orc"             => r.orc(pattern)
       case "text" | "log"    => r.text(pattern)
+      case "avro"            => AvroFiles.read(spark, pattern)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
     Seq(df)
@@ -99,6 +100,7 @@ final case class FileSink(
       case "json" | "ndjson" | "jsonl" => w.json(path)
       case "parquet"          => w.parquet(path)
       case "orc"              => w.orc(path)
+      case "avro"             => AvroFiles.write(df, path, mode)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }

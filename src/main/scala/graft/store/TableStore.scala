@@ -112,9 +112,14 @@ final class TableStore(val root: String, spark: SparkSession) {
   }
   def isCommitted(txid: String): Boolean = Files.exists(txnMarker(txid))
 
-  /** Committed (visible) versions, oldest → newest. */
-  def versions(coll: String, table: String): Seq[VersionEntry] =
-    readLog(coll, table).filter(e => isCommitted(e.transaction))
+  /** Committed (visible) versions, oldest → newest. `asOf` is the
+    * trigger-time cutoff (epoch ms, inclusive): versions stamped after it
+    * are invisible, so a function re-run against a past execution resolves
+    * the same inputs the original plan saw (version_resolver.rs:29-37
+    * resolves every selector "at" the execution's `triggered_on`). */
+  def versions(coll: String, table: String, asOf: Option[Long] = None): Seq[VersionEntry] =
+    readLog(coll, table).filter(e =>
+      isCommitted(e.transaction) && asOf.forall(e.timestampMs <= _))
 
   // ---- write path ----
   /** Stage a new version's data (distributed parquet write). Invisible until
@@ -157,8 +162,9 @@ final class TableStore(val root: String, spark: SparkSession) {
   }
 
   // ---- read path / version resolution (mirrors version_resolver.rs) ----
-  def resolveOne(coll: String, table: String, v: Version): Option[VersionEntry] = {
-    val vs = versions(coll, table)
+  def resolveOne(coll: String, table: String, v: Version,
+      asOf: Option[Long] = None): Option[VersionEntry] = {
+    val vs = versions(coll, table, asOf)
     v match {
       case Version.Head(back)       => vs.reverse.lift(back)
       case Version.Initial(forward) => vs.lift(forward)
@@ -166,20 +172,44 @@ final class TableStore(val root: String, spark: SparkSession) {
     }
   }
 
-  def resolve(coll: String, table: String, versions0: Versions): Seq[VersionEntry] =
+  /** Resolve a version selector set at an optional trigger-time cutoff.
+    *
+    * Reference parity (version_resolver.rs): a fixed id that doesn't resolve
+    * is an error, not an empty result (:70-84 "We fail if fixed not found",
+    * list variant :1016); a descending range yields no versions (:1336,
+    * :1371), or an error when `errorOnDescRange` (:1930 InvalidRange). */
+  def resolve(coll: String, table: String, versions0: Versions,
+      asOf: Option[Long] = None, errorOnDescRange: Boolean = false): Seq[VersionEntry] = {
+    def requireFixedFound(vs: Seq[Version], found: Seq[Option[VersionEntry]]): Unit = {
+      val missing = vs.zip(found).collect {
+        case (Version.Fixed(id), None) => id
+      }
+      if (missing.nonEmpty) throw new NoSuchElementException(
+        s"fixed table data versions not found: ${missing.mkString(", ")}")
+    }
     versions0 match {
-      case Versions.Single(v) => resolveOne(coll, table, v).toSeq
-      case Versions.VList(vs) => vs.flatMap(v => resolveOne(coll, table, v))
+      case Versions.Single(v) =>
+        val r = resolveOne(coll, table, v, asOf)
+        requireFixedFound(Seq(v), Seq(r))
+        r.toSeq
+      case Versions.VList(vs) =>
+        val rs = vs.map(v => resolveOne(coll, table, v, asOf))
+        requireFixedFound(vs, rs)
+        rs.flatten
       case Versions.VRange(from, to) =>
-        val vs = versions(coll, table)
-        (resolveOne(coll, table, from), resolveOne(coll, table, to)) match {
+        val vs = versions(coll, table, asOf)
+        (resolveOne(coll, table, from, asOf), resolveOne(coll, table, to, asOf)) match {
           case (Some(a), Some(b)) =>
             val ia = vs.indexWhere(_.id == a.id)
             val ib = vs.indexWhere(_.id == b.id)
-            if (ia <= ib) vs.slice(ia, ib + 1) else vs.slice(ib, ia + 1).reverse
+            if (ia <= ib) vs.slice(ia, ib + 1)
+            else if (errorOnDescRange) throw new IllegalArgumentException(
+              s"invalid range: left version must be older than the right version ($versions0)")
+            else Seq.empty
           case _ => Seq.empty
         }
     }
+  }
 
   def pathOf(coll: String, table: String, e: VersionEntry): String =
     tableDir(coll, table).resolve(e.id).toString
@@ -189,8 +219,10 @@ final class TableStore(val root: String, spark: SparkSession) {
     * Each version is read with its staged schema from the log, so hive
     * partition-directory values keep their written types instead of being
     * re-inferred from directory names. */
-  def scan(ref: TableRef): Option[TableFrame] = {
-    val es = resolve(ref.collection, ref.table, ref.versions)
+  def scan(ref: TableRef): Option[TableFrame] = scan(ref, None)
+
+  def scan(ref: TableRef, asOf: Option[Long]): Option[TableFrame] = {
+    val es = resolve(ref.collection, ref.table, ref.versions, asOf)
     if (es.isEmpty) None
     else Some(TableFrame.fromTable(
       es.map { e =>

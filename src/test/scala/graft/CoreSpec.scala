@@ -183,6 +183,40 @@ class CoreSpec extends AnyFunSuite {
     assert(r.getTimestamp(2).toLocalDateTime.getDayOfMonth == 1)
   }
 
+  test("dt.replace preserves unset components incl. microseconds") {
+    import spark.implicits._
+    val df = Seq("2024-03-05 10:20:30.123456").toDF("s")
+      .select(F.to_timestamp(F.col("s")).as("ts"))
+    val tf = TableFrame.fromDF(df)
+    val r = tf.select(
+      td.col("ts").dt.replace(year = 1999, day = 1).as("a"),
+      td.col("ts").dt.replace(hour = 23).as("b"),
+      td.col("ts").dt.with_time_unit("us").as("c"),
+      td.col("ts").dt.cast_time_unit("ms").as("d")).df.head()
+    assert(r.getTimestamp(0).toLocalDateTime.toString == "1999-03-01T10:20:30.123456")
+    assert(r.getTimestamp(1).toLocalDateTime.toString == "2024-03-05T23:20:30.123456")
+    assert(r.getTimestamp(2) == r.getTimestamp(2)) // identity unit
+    assert(r.getTimestamp(3).toLocalDateTime.toString == "2024-03-05T10:20:30.123")
+  }
+
+  test("rank(random, seed): permutation with ties in contiguous blocks") {
+    import spark.implicits._
+    val vals = Seq(5, 1, 5, 3, 1, 5, 2, 3)
+    val tf = TableFrame.fromDF(vals.toDF("v"))
+    val got = tf.select(td.col("v"), td.col("v").rank("random", seed = 42).as("r"))
+      .df.collect().map(r => (r.getInt(0), r.getInt(1)))
+    // ranks are a permutation of 1..n
+    assert(got.map(_._2).sorted.toSeq == (1 to vals.size).toSeq)
+    // within a tie group, assigned ranks form the contiguous range that
+    // min/max rank would bound (random only permutes inside the tie block)
+    val sortedVals = vals.sorted
+    got.groupBy(_._1).foreach { case (v, rows) =>
+      val lo = sortedVals.indexOf(v) + 1
+      val hi = sortedVals.lastIndexOf(v) + 1
+      assert(rows.map(_._2).sorted.toSeq == (lo to hi).toSeq, s"v=$v")
+    }
+  }
+
   test("selectors resolve against schema") {
     val p = TableFrame.fromDF(spark.read.parquet(s"$sf/part.parquet"))
     import Selectors._

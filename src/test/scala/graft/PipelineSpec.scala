@@ -103,6 +103,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.select("media_meta.width").head().getInt(0) == 224)
   }
 
+  test("multimodal: real header decode for generated PNG/JPEG/GIF/BMP bytes") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.fillRect(0, 0, w, h); g.dispose()
+      val out = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val cases = Seq(
+      ("png", 320, 200), ("jpg", 127, 33), ("gif", 64, 48), ("bmp", 17, 257))
+    // direct sniff
+    cases.foreach { case (fmt, w, h) =>
+      val d = MediaHeaders.sniff(imageBytes(fmt, w, h))
+      assert(d.isDefined, fmt)
+      assert(d.get.width == w && d.get.height == h, s"$fmt ${d.get}")
+    }
+    assert(MediaHeaders.sniff("plain text, not an image".getBytes).isEmpty)
+    assert(MediaHeaders.sniff(null).isEmpty)
+    // through the distributed decode path
+    val rows = cases.map { case (fmt, w, h) => (fmt, imageBytes(fmt, w, h), w, h) }
+    import spark.implicits._
+    val df = rows.toDF("fmt", "content", "w", "h")
+    val decoded = Multimodal.decodePartitions(df, "image")
+      .select("fmt", "media_meta.kind", "media_meta.width", "media_meta.height", "w", "h")
+      .collect()
+    decoded.foreach { r =>
+      val fmt = if (r.getString(0) == "jpg") "jpeg" else r.getString(0)
+      assert(r.getString(1) == fmt, r.toString)
+      assert(r.getInt(2) == r.getInt(4) && r.getInt(3) == r.getInt(5), r.toString)
+    }
+  }
+
   test("language id prefers en on mixed stopwords, und on none") {
     import spark.implicits._
     val df = Seq("the cat and the dog", "xyzzy qwerty", "el perro y la gata de")
