@@ -120,19 +120,104 @@ final case class JdbcSink(
   }
 }
 
-/** Catalog-registering sink (reference: file_outputs.py:97-420 AWSGlue —
-  * written data registered as a catalog table for downstream engines). Here
-  * it targets the session catalog; on a Glue/Iceberg-enabled cluster the
-  * same `saveAsTable` goes through `spark.sql.catalog.*` configuration. */
+/** Catalog-registering sink (reference: file_outputs.py:97-420 AWSGlue +
+  * the pyiceberg write path at :1650-1708). Targets the session catalog; on
+  * a Glue/Iceberg-enabled cluster the same calls route through
+  * `spark.sql.catalog.*` configuration.
+  *
+  * Semantics ported from the reference:
+  *   - missing table: created when `autoCreate` (reference `auto_create_at`,
+  *     :1659-1667 — location optional), else NoSuchTable error (:1669-1673)
+  *   - `ifTableExists = "append"`: add the new files, existing rows kept
+  *   - `ifTableExists = "replace"`: `trx.delete("True")` + add = truncate
+  *     then insert; forbidden on partitioned tables (DECE39, :160-169)
+  *   - `ifTableExists = "replace_partitions"`: the partition-replace mode a
+  *     partitioned table needs instead — dynamic partition overwrite:
+  *     only partitions present in the incoming frame are rewritten, all
+  *     others are left intact
+  *   - `schemaStrategy = "update"`: union-by-name evolution
+  *     (`update_schema.union_by_name`, :1677-1688): new incoming columns
+  *     are added to the table (ALTER TABLE ADD COLUMNS), table columns
+  *     absent from the frame are filled with nulls
+  *   - `schemaStrategy = "strict"`: schema untouched; incoming columns not
+  *     in the table are an error
+  *   - type conflicts error unless `allowIncompatibleChanges`, which casts
+  *     the incoming column to the table's type (:1681 semantics)
+  *
+  * Scale note: every path is a distributed write (`insertInto`); the only
+  * driver-side work is catalog DDL. Dynamic partition overwrite commits
+  * per-partition, so replacing one day of a 10-year table moves 1/3650 of
+  * the data. */
 final case class CatalogSink(
     table: String,
     format: String = "parquet",
-    mode: String = "overwrite",
-    partitionBy: Seq[String] = Nil) extends Sink {
+    ifTableExists: String = "append",
+    partitionBy: Seq[String] = Nil,
+    autoCreate: Boolean = true,
+    location: Option[String] = None,
+    schemaStrategy: String = "update",
+    allowIncompatibleChanges: Boolean = false) extends Sink {
+  require(Set("append", "replace", "replace_partitions")(ifTableExists),
+    s"ifTableExists must be append|replace|replace_partitions, got: $ifTableExists")
+  require(Set("update", "strict")(schemaStrategy),
+    s"schemaStrategy must be update|strict, got: $schemaStrategy")
+  if (ifTableExists == "replace" && partitionBy.nonEmpty)
+    throw new IllegalArgumentException(
+      "replace on a partitioned table is not allowed (use replace_partitions)")
+
   override def write(df: DataFrame): Unit = {
-    var w = df.write.format(format).mode(mode)
-    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    w.saveAsTable(table)
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      if (!autoCreate) throw new java.util.NoSuchElementException(
+        s"catalog table '$table' not found and autoCreate is disabled")
+      var w = df.write.format(format)
+      if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+      location.foreach(l => w = w.option("path", l))
+      w.saveAsTable(table)
+      return
+    }
+
+    // ---- schema reconciliation against the existing table ----
+    val tableSchema = spark.table(table).schema
+    val tableCols = tableSchema.map(f => f.name.toLowerCase -> f).toMap
+    val incoming = df.schema
+    val extras = incoming.filterNot(f => tableCols.contains(f.name.toLowerCase))
+    if (extras.nonEmpty) schemaStrategy match {
+      case "strict" => throw new IllegalArgumentException(
+        s"strict schema: incoming columns not in '$table': " +
+          extras.map(_.name).mkString(", "))
+      case "update" =>
+        val ddl = extras.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+    }
+    val targetSchema = spark.table(table).schema
+    // align by name to the table's column order (insertInto is positional);
+    // absent columns → null, type conflicts → error or cast
+    import org.apache.spark.sql.{functions => F}
+    val aligned = df.select(targetSchema.map { f =>
+      incoming.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None => F.lit(null).cast(f.dataType).as(f.name)
+        case Some(in) if in.dataType == f.dataType => df.col(in.name).as(f.name)
+        case Some(in) if allowIncompatibleChanges =>
+          df.col(in.name).cast(f.dataType).as(f.name)
+        case Some(in) => throw new IllegalArgumentException(
+          s"column '${f.name}': incoming ${in.dataType.sql} != table " +
+            s"${f.dataType.sql} (set allowIncompatibleChanges to cast)")
+      }
+    }: _*)
+
+    val overwrite = ifTableExists != "append"
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        if (ifTableExists == "replace_partitions") "dynamic" else "static")
+      aligned.write.mode(if (overwrite) "overwrite" else "append").insertInto(table)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
   }
 }
 

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Connectors, JdbcSink, JdbcSource}
+
+/** Live JDBC round-trips against embedded Derby (ships in /opt/spark/jars
+  * for the Hive metastore, so it is on the classpath everywhere Spark is).
+  * Proves the JdbcSource/JdbcSink paths the reference exercises against
+  * MySQL/MariaDB/Oracle/Postgres (`_io/inputs/sql_inputs.py`,
+  * `_io/outputs/sql_outputs.py:900`) actually execute: append/replace
+  * writes, query reads, and `$offset$` incremental re-runs
+  * (sql_inputs.py:752-764). */
+class JdbcSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def freshDb(): String = {
+    val dir = Files.createTempDirectory("graft-derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("JdbcSink append + JdbcSource query round-trip") {
+    import spark.implicits._
+    val url = freshDb()
+    val df = Seq((1, "alpha", 10.5), (2, "beta", 20.0), (3, "gamma", 7.25))
+      .toDF("id", "name", "score")
+
+    JdbcSink(url, "items", mode = "append").write(df)
+    val back = JdbcSource(url,
+      Seq("""SELECT "id", "name", "score" FROM items"""))
+      .load(spark, Map.empty).head
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(back.toSeq == Seq((1, "alpha", 10.5), (2, "beta", 20.0), (3, "gamma", 7.25)))
+
+    // append again → rows double
+    JdbcSink(url, "items", mode = "append").write(df)
+    val n = JdbcSource(url, Seq("""SELECT COUNT(*) AS n FROM items"""))
+      .load(spark, Map.empty).head.head.getInt(0) // Derby COUNT(*) is INTEGER
+    assert(n == 6)
+  }
+
+  test("JdbcSink replace (overwrite) drops previous contents") {
+    import spark.implicits._
+    val url = freshDb()
+    JdbcSink(url, "t", mode = "append")
+      .write(Seq((1, "old")).toDF("id", "v"))
+    JdbcSink(url, "t", mode = "overwrite")
+      .write(Seq((7, "new"), (8, "newer")).toDF("id", "v"))
+    val rows = JdbcSource(url, Seq("""SELECT "id", "v" FROM t"""))
+      .load(spark, Map.empty).head
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((7, "new"), (8, "newer")))
+  }
+
+  test("JdbcSource $offset$ substitution drives incremental re-runs") {
+    import spark.implicits._
+    val url = freshDb()
+    JdbcSink(url, "events", mode = "append")
+      .write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("seq", "payload"))
+
+    val src = JdbcSource(url,
+      Seq("""SELECT "seq", "payload" FROM events WHERE "seq" > $offset$"""))
+
+    // first run: initial offset 0 → all rows
+    val first = src.load(spark, Map.empty).head
+    assert(first.count() == 3)
+
+    // simulate the engine persisting max(seq) as the new offset, then new
+    // rows arriving upstream
+    JdbcSink(url, "events", mode = "append")
+      .write(Seq((4, "d"), (5, "e")).toDF("seq", "payload"))
+    val second = src.load(spark, Map("offset" -> "3")).head
+      .collect().map(_.getInt(0)).sorted
+    assert(second.toSeq == Seq(4, 5))
+  }
+
+  test("connector presets construct vendor JDBC configs") {
+    val src = Connectors.jdbcSource(Connectors.MsSql,
+      "host:1433;databaseName=db", Seq("SELECT 1"), "u", "p")
+    assert(src.url == "jdbc:sqlserver://host:1433;databaseName=db")
+    assert(src.properties("driver") == "com.microsoft.sqlserver.jdbc.SQLServerDriver")
+    assert(src.properties("encrypt") == "true")
+
+    val snk = Connectors.jdbcSink(Connectors.Databricks,
+      "host:443/default;httpPath=/sql/1.0/warehouses/abc", "out_t",
+      "token", "secret", ifTableExists = "replace")
+    assert(snk.mode == "overwrite")
+    assert(snk.url.startsWith("jdbc:databricks://"))
+    intercept[IllegalArgumentException] {
+      Connectors.jdbcSink(Connectors.MsSql, "h", "t", "u", "p", "upsert")
+    }
+
+    val sf = Connectors.snowflakeSink(
+      Map("sfUrl" -> "acct.snowflakecomputing.com", "sfWarehouse" -> "wh"),
+      "target", ifTableExists = "append")
+    assert(sf.format == "snowflake" && sf.mode == "append")
+    assert(sf.options("dbtable") == "target")
+
+    val bq = Connectors.bigQuerySink("proj", "ds", "tbl", "gs://stage")
+    assert(bq.options("table") == "proj.ds.tbl")
+    assert(bq.options("temporaryGcsBucket") == "gs://stage")
+
+    val mg = Connectors.mongoSink("mongodb://h", "db", "coll",
+      idField = Some("_id"), ifCollectionExists = "replace")
+    assert(mg.options("operationType") == "replace" && mg.mode == "overwrite")
+  }
+
+  test("salesforce staged-extract source: $lastModified token + watermark") {
+    val dir = Files.createTempDirectory("graft-sf").toString
+    val captured = scala.collection.mutable.ArrayBuffer[String]()
+    val fetch: String => String = { soql =>
+      captured += soql
+      val p = s"$dir/extract.jsonl"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        """{"Id":"001","Name":"n1","SystemModstamp":"2024-01-02T00:00:00.000+0000"}
+          |{"Id":"002","Name":"n2","SystemModstamp":"2024-03-04T00:00:00.000+0000"}
+          |""".stripMargin)
+      p
+    }
+    val src = Connectors.SalesforceSource(
+      Seq("SELECT Id, Name FROM Account WHERE SystemModstamp > $lastModified"),
+      fetch, initialLastModified = "2023-12-31T00:00:00.000+0000")
+
+    val dfs = src.load(spark, Map.empty)
+    assert(captured.head ==
+      "SELECT Id, Name FROM Account WHERE SystemModstamp > 2023-12-31T00:00:00.000+0000")
+    assert(dfs.head.count() == 2)
+    // watermark advances to the max SystemModstamp seen
+    assert(src.nextOffsets(dfs) ==
+      Map("last_modified" -> "2024-03-04T00:00:00.000+0000"))
+    // a later run substitutes the persisted watermark
+    src.load(spark, Map("last_modified" -> "2024-03-04T00:00:00.000+0000"))
+    assert(captured.last.contains("> 2024-03-04T00:00:00.000+0000"))
+  }
+
+  test("derby is usable directly for seeding (sanity)") {
+    val url = freshDb()
+    val c = DriverManager.getConnection(url)
+    try {
+      c.createStatement().execute("CREATE TABLE raw (k INT, v VARCHAR(10))")
+      c.createStatement().execute("INSERT INTO raw VALUES (1, 'x'), (2, 'y')")
+    } finally c.close()
+    val rows = JdbcSource(url, Seq("""SELECT k, v FROM raw"""))
+      .load(spark, Map.empty).head.count()
+    assert(rows == 2)
+  }
+}
