@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Encoders, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableFrame
+import graft.flow.FlowEngine
+import graft.sources.{AvroFiles, FileSink, FileSource}
+import graft.store.{TableRef, TableStore}
+
+/** End-to-end golden-output corpus, porting the reference's
+  * `testing_resources/<case>/` pattern (`tests_tabsdata/testing_resources`:
+  * each case = input data + a small function + `expected_result.json` with
+  * `$td.*` masked). The comparison mirrors `conftest.py:345-360`
+  * (`read_json_and_clean`/`clean_polars_df`): drop `$td.*` system columns,
+  * sort columns by name, sort rows, then compare values.
+  *
+  * Inputs live in `src/test/resources/golden/<case>/`; binary-format inputs
+  * (avro, parquet) are staged from literal rows at test time since they
+  * don't belong in text resources. */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val golden = "src/test/resources/golden"
+
+  /** Canonical form: drop system columns, route both sides through JSON
+    * type inference so dtypes unify, sort columns and rows. */
+  private def canon(df: DataFrame): Seq[String] = {
+    val clean = df.drop(df.columns.filter(_.startsWith("$td")).toSeq: _*)
+    val json = spark.read.json(
+      spark.createDataset(clean.toJSON.collect().toSeq)(Encoders.STRING))
+    val cols = json.columns.sorted.toSeq
+    json.select(cols.map(F.col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def expected(path: String): Seq[String] =
+    canon(spark.read.option("multiLine", "true").json(path))
+
+  private def check(produced: DataFrame, expectedPath: String): Unit =
+    assert(canon(produced) == expected(expectedPath))
+
+  private def readCase(dir: String, file: String, format: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    FileSource(s"$golden/$dir/$file", format, options)
+      .load(spark, Map.empty).head
+
+  test("golden: csv with modified separator, drop_nulls") {
+    val tf = TableFrame.fromRaw(readCase("csv_separator_drop_nulls", "data.csv",
+      "csv", Map("sep" -> ";")))
+    check(tf.drop_nulls().df, s"$golden/csv_separator_drop_nulls/expected_result.json")
+  }
+
+  test("golden: csv full-file dtype inference passthrough") {
+    val df = readCase("csv_dtype_inference", "data.csv", "csv")
+    // inference must land on long/double/boolean/date, not strings
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("id") == "integer" || types("id") == "long")
+    assert(types("amount") == "double" && types("flag") == "boolean")
+    check(df, s"$golden/csv_dtype_inference/expected_result.json")
+  }
+
+  test("golden: ndjson ingest + with_columns derived total") {
+    import graft.td
+    val tf = TableFrame.fromRaw(readCase("ndjson_with_columns", "data.ndjson", "ndjson"))
+    val out = tf.with_columns("total" -> (td.col("qty") * td.col("price")))
+    check(out.df, s"$golden/ndjson_with_columns/expected_result.json")
+  }
+
+  test("golden: log ingest + grok typed captures") {
+    val tf = TableFrame.fromRaw(readCase("log_grok", "data.log", "log"))
+    val out = tf
+      .grok("value",
+        "%{WORD:level} job=%{WORD:job} rows=%{INT:rows:int} took=%{NUMBER:took:float}")
+      .selectCols("level", "job", "rows", "took")
+    check(out.df, s"$golden/log_grok/expected_result.json")
+  }
+
+  test("golden: wildcard glob concatenates part files") {
+    val df = readCase("wildcard_concat", "parts/*.csv", "csv")
+    check(df, s"$golden/wildcard_concat/expected_result.json")
+  }
+
+  test("golden: jsonl file output round-trips") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-golden-jsonl").toString
+    val df = Seq(("EU", 300.5), ("US", 120.25), ("APAC", 990.0))
+      .toDF("region", "sales")
+    FileSink(s"$out/sales", format = "jsonl").write(df)
+    check(spark.read.json(s"$out/sales"),
+      s"$golden/output_jsonl/expected_result.json")
+  }
+
+  test("golden: avro ingest + filter") {
+    import graft.td
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-avro").toString
+    AvroFiles.write(
+      Seq(("alice", 61.0), ("bob", 70.5), ("carol", 88.5), ("dave", 92.0))
+        .toDF("name", "score"),
+      s"$stage/people", "overwrite")
+    val tf = TableFrame.fromRaw(
+      FileSource(s"$stage/people", "avro").load(spark, Map.empty).head)
+    check(tf.filter(td.col("score") > 80.0).df,
+      s"$golden/avro_filter/expected_result.json")
+  }
+
+  test("golden: parquet ingest + column projection") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-parquet").toString
+    Seq(("osaka", 2691, "jp"), ("lyon", 513, "fr"), ("quito", 2011, "ec"))
+      .toDF("city", "pop", "cc").write.parquet(s"$stage/cities")
+    val tf = TableFrame.fromRaw(
+      FileSource(s"$stage/cities", "parquet").load(spark, Map.empty).head)
+    check(tf.selectCols("city", "pop").df,
+      s"$golden/parquet_passthrough/expected_result.json")
+  }
+
+  test("golden: two-hop flow (publisher -> transformer) publishes golden output") {
+    import graft.td
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-store").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "sales", Seq("raw")) { ctx =>
+      Seq(TableFrame.fromRaw(
+        FileSource(s"$golden/flow_two_hop/source.csv", "csv")
+          .load(spark, Map.empty).head))
+    }
+    engine.transformer("tx", "sales", Seq("raw"), Seq("revenue")) { ctx =>
+      Seq(ctx.input(0)
+        .with_columns("revenue" -> (td.col("units") * td.col("unit_price")))
+        .selectCols("sku", "revenue"))
+    }
+    engine.trigger("pub")
+    val out = store.scan(TableRef.parse("revenue", "sales")).get
+    check(out.df, s"$golden/flow_two_hop/expected_result.json")
+    // trigger propagated: both tables got exactly one committed version,
+    // stamped with the same execution
+    assert(store.versions("sales", "raw").size == 1)
+    assert(store.versions("sales", "revenue").size == 1)
+  }
+
+  test("golden: multi-output transformer commits both tables in one transaction") {
+    import graft.td
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-store2").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "shop", Seq("orders")) { _ =>
+      Seq(TableFrame.fromRaw(
+        FileSource(s"$golden/multi_output_txn/data.csv", "csv")
+          .load(spark, Map.empty).head))
+    }
+    engine.transformer("split", "shop", Seq("orders"), Seq("high", "by_cat")) { ctx =>
+      val in = ctx.input(0)
+      Seq(
+        in.filter(td.col("amount") >= 20.0),
+        in.group_by("category").agg(td.col("amount").sum.as("total")))
+    }
+    engine.trigger("pub")
+    check(store.scan(TableRef.parse("high", "shop")).get.df,
+      s"$golden/multi_output_txn/expected_high.json")
+    check(store.scan(TableRef.parse("by_cat", "shop")).get.df,
+      s"$golden/multi_output_txn/expected_by_cat.json")
+    // atomicity: one transaction id spans both outputs
+    val tx1 = store.versions("shop", "high").head.transaction
+    val tx2 = store.versions("shop", "by_cat").head.transaction
+    assert(tx1 == tx2)
+  }
+}
