@@ -19,12 +19,14 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.ParityQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.QualityQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalOracles.oracleSql ++
       graft.queries.PipelineOracles.oracleSql ++
       graft.queries.ExtendedOracles.oracleSql ++
       graft.queries.ParityOracles.oracleSql ++
-      graft.queries.ScaleOracles.oracleSql
+      graft.queries.ScaleOracles.oracleSql ++
+      graft.queries.QualityOracles.oracleSql
 }

@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * documents shorter than n tokens yield a single shingle of all tokens
   * joined.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "shingle size must be >= 1")
 
@@ -37,7 +37,7 @@ case class WordShingles(child: Expression, n: Int)
       var i = 0
       while (i < len) { parts(i) = arr.getUTF8String(i); i += 1 }
       new GenericArrayData(Array[Any](UTF8String.concatWs(sep, parts: _*)))
-    } else {
+    } else if (distinct) {
       val seen = new java.util.LinkedHashSet[UTF8String]()
       val window = new Array[UTF8String](n)
       var i = 0
@@ -52,6 +52,19 @@ case class WordShingles(child: Expression, n: Int)
       var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
       new GenericArrayData(out)
+    } else {
+      // keep duplicates + positions: the repetition counters (top-n-gram
+      // frequency) need every occurrence, not the distinct set
+      val out = new Array[Any](len - n + 1)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sep, window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
   }
 
@@ -63,4 +76,7 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
   def apply(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
+  /** Every n-gram occurrence in order (no dedup) — for frequency counts. */
+  def all(tokens: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(tokens), n, distinct = false))
 }

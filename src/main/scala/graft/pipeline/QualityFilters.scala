@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+import graft.expressions.WordShingles
+
+/** Training-corpus quality filtering and text-cleaning operators: the
+  * document-level signals a 100 TB pretraining pipeline runs before dedup —
+  * Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models",
+  * §A1.1), C4-style line filtering (Raffel et al. 2020, §2.2), repetition
+  * counters, PII scrubbing, URL normalization and HTML stripping.
+  *
+  * Scale design: every per-document signal is a pure column expression
+  * evaluated in the scan's projection (no shuffle, no UDF); the one
+  * corpus-level operator (duplicate-line analysis) and the per-document
+  * top-n-gram counter are single-shuffle groupBys on bounded keys. Where a
+  * signal needs per-token work that HOF lambdas would evaluate interpreted,
+  * it is re-expressed over whole-string regex counters (codegen'd) or the
+  * native [[WordShingles]] kernel.
+  */
+object QualityFilters {
+
+  // ---------------------------------------------------------- word signals
+
+  /** Words = maximal non-space runs, the tokenizer all counters share. */
+  def wordCount(text: Column): Column = F.regexp_count(text, F.lit("\\S+"))
+
+  /** Mean word length without materializing a token array: non-whitespace
+    * chars / words. */
+  def meanWordLength(text: Column): Column =
+    F.char_length(F.regexp_replace(text, "\\s+", "")).cast("double") /
+      F.nullif(wordCount(text), F.lit(0))
+
+  /** Gopher's symbol-to-word ratio: '#' and ellipsis occurrences per word. */
+  def symbolWordRatio(text: Column): Column =
+    (F.regexp_count(text, F.lit("#")) +
+      F.regexp_count(text, F.lit("\\.\\.\\.|…"))).cast("double") /
+      F.nullif(wordCount(text), F.lit(0))
+
+  /** Words containing at least one alphabetic character. Counted with a
+    * word-boundary regex, not a per-token lambda. */
+  def alphaWordCount(text: Column): Column =
+    F.regexp_count(text, F.lit("\\S*[A-Za-z]\\S*"))
+
+  /** Distinct stopwords present (Gopher requires >= 2). `array_intersect`
+    * is a native collection op — no lambda. */
+  val Stopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def stopwordHits(text: Column): Column =
+    F.size(F.array_intersect(
+      F.array_distinct(F.split(F.lower(text), "\\s+")),
+      F.array(Stopwords.map(F.lit): _*)))
+
+  /** Gopher-style document quality flags + pass verdict (thresholds from
+    * the paper, word-count bounds relaxed for short synthetic docs). */
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val wc = wordCount(text)
+    val mwl = meanWordLength(text)
+    val sym = symbolWordRatio(text)
+    val alphaFrac = alphaWordCount(text).cast("double") / F.nullif(wc, F.lit(0))
+    val stops = stopwordHits(text)
+    Seq(
+      "word_count" -> wc,
+      "mean_word_len" -> mwl,
+      "symbol_ratio" -> sym,
+      "alpha_word_frac" -> alphaFrac,
+      "stopword_hits" -> stops,
+      "passes_gopher" -> (wc.between(10, 100000) &&
+        mwl.between(2.0, 12.0) && (sym < 0.1) &&
+        (alphaFrac > 0.8) && (stops >= 2)))
+  }
+
+  // ----------------------------------------------------------- repetition
+
+  /** Per-document top word-n-gram and the fraction of characters it covers
+    * (Gopher's duplicate/top n-gram fraction family). One shuffle on
+    * (doc, gram); ties broken by gram lexicographically for determinism.
+    *
+    * Returns (idCol, top_gram, top_gram_count, top_gram_char_frac). */
+  def topNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val toks = F.split(F.lower(F.trim(F.col(textCol))), "\\s+")
+    val grams = df
+      .select(F.col(idCol), F.char_length(F.col(textCol)).as("n_chars_total"),
+        F.explode(WordShingles.all(toks, n)).as("gram"))
+    val counts = grams.groupBy(idCol, "n_chars_total", "gram").count()
+    val w = Window.partitionBy(idCol)
+      .orderBy(F.col("count").desc, F.col("gram").asc)
+    counts
+      .withColumn("rn", F.row_number().over(w))
+      .where(F.col("rn") === 1)
+      .select(F.col(idCol), F.col("gram").as("top_gram"),
+        F.col("count").as("top_gram_count"),
+        (F.char_length(F.col("gram")) * F.col("count")).cast("double")
+          ./(F.col("n_chars_total")).as("top_gram_char_frac"))
+  }
+
+  // ----------------------------------------------------------- scrubbing
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace emails/phones/IPv4s with typed placeholders; order matters
+    * (emails first so their digits don't half-match the phone pattern). */
+  def scrubPii(text: Column): Column = {
+    val e = F.regexp_replace(text, EmailRe, "<EMAIL>")
+    val p = F.regexp_replace(e, PhoneRe, "<PHONE>")
+    F.regexp_replace(p, Ipv4Re, "<IP>")
+  }
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> F.regexp_count(text, F.lit(EmailRe)),
+    "n_phones" -> F.regexp_count(text, F.lit(PhoneRe)),
+    "n_ips" -> F.regexp_count(text, F.lit(Ipv4Re)))
+
+  // ------------------------------------------------------------- URL ops
+
+  /** Canonical URL: lowercase, scheme and www. stripped, query/fragment
+    * dropped, trailing slash removed. */
+  def normalizeUrl(url: Column): Column = {
+    val lower = F.lower(url)
+    val noScheme = F.regexp_replace(lower, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = F.regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = F.regexp_replace(noWww, "[?#].*$", "")
+    F.regexp_replace(noQuery, "/$", "")
+  }
+
+  /** Registrable host part of a normalized URL. */
+  def urlDomain(url: Column): Column =
+    F.regexp_extract(normalizeUrl(url), "^([^/]+)", 1)
+
+  // ------------------------------------------------------------ HTML ops
+
+  /** Strip tags, decode the common entities, collapse whitespace. Pure
+    * regexp_replace chain — stays inside codegen. */
+  def stripHtml(html: Column): Column = {
+    val noTags = F.regexp_replace(html, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        F.regexp_replace(c, java.util.regex.Pattern.quote(ent), ch) }
+    F.trim(F.regexp_replace(decoded, "\\s+", " "))
+  }
+  def htmlTagCount(html: Column): Column =
+    F.regexp_count(html, F.lit("<[^>]*>"))
+
+  // ------------------------------------------------------- line filtering
+
+  /** C4-style line filter: keep lines with >= minWords words that end in
+    * terminal punctuation; returns (kept_text, n_lines_total, n_lines_kept).
+    *
+    * The per-line predicate runs as an array HOF — acceptable here because
+    * it is a single shallow lambda per document (C4's own filter is a
+    * per-line Python loop); the heavy per-token work stays in the regex
+    * counters above. */
+  def c4LineFilter(text: Column, minWords: Int = 5): Seq[(String, Column)] = {
+    val lines = F.split(text, "\n")
+    val kept = F.filter(lines, l =>
+      (F.regexp_count(l, F.lit("\\S+")) >= minWords) &&
+        l.rlike("[.!?]\\s*$"))
+    Seq(
+      "kept_text" -> F.array_join(kept, "\n"),
+      "n_lines_total" -> F.size(lines),
+      "n_lines_kept" -> F.size(kept))
+  }
+
+  // ------------------------------------------- corpus-level line dedup
+
+  /** Global duplicate-line analysis (the line/paragraph analog of exact
+    * document dedup): explode lines, one shuffle on the line text, report
+    * each duplicated line with its first-owner doc and occurrence count.
+    * Keep-first is deterministic on (docId, position). */
+  def duplicateLines(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 1): DataFrame = {
+    val lines = df.select(F.col(idCol),
+      F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("pos", "line")))
+      .where(F.char_length(F.trim(F.col("line"))) >= minLen)
+    lines.groupBy("line").agg(
+      F.count(F.lit(1)).as("n_occurrences"),
+      F.min(F.struct(F.col(idCol), F.col("pos"))).as("first"))
+      .where(F.col("n_occurrences") > 1)
+      .select(F.col("line"), F.col("n_occurrences"),
+        F.col(s"first.$idCol").as("first_doc"),
+        F.col("first.pos").as("first_pos"))
+  }
+}

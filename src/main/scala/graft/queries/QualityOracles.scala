@@ -1,0 +1,136 @@
+package graft.queries
+
+/** DuckDB oracles for [[QualityQueries]]. RE2 notes: no lookarounds used;
+  * regexp_replace needs the explicit 'g' flag to match Spark's
+  * replace-all; counts come from len(regexp_extract_all(...)). */
+object QualityOracles {
+  val oracleSql: Map[String, String] = Map(
+    "q_quality_gopher" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS word_count,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS symbol_ratio,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS alpha_word_frac,
+        |    CAST(len(list_intersect(
+        |      list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['the','be','to','of','and','that','have','with'])) AS INTEGER)
+        |      AS stopword_hits
+        |  FROM documents)
+        |SELECT doc_id, word_count, mean_word_len, symbol_ratio,
+        |  alpha_word_frac, stopword_hits,
+        |  (word_count BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+        |   AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+        |   AND stopword_hits >= 2) AS passes_gopher
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_repetition_topgram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, length(text) AS n_chars_total,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 2),
+        |grams AS (
+        |  SELECT doc_id, n_chars_total,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM toks),
+        |counts AS (
+        |  SELECT doc_id, n_chars_total, gram, COUNT(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY c DESC, gram ASC) AS rn
+        |  FROM counts)
+        |SELECT doc_id, gram AS top_gram, c AS top_gram_count,
+        |  CAST(length(gram) * c AS DOUBLE) / n_chars_total AS top_gram_char_frac
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips
+        |FROM a ORDER BY doc_id LIMIT 2000""".stripMargin,
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://WWW.Example.com/Path/' || CAST(doc_id AS VARCHAR)
+        |      || '/?utm_source=x&ref=' || lang || '#frag' AS url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |      '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''), '[?#].*$', ''),
+        |      '/$', '') AS url_norm
+        |  FROM u)
+        |SELECT doc_id, url, url_norm,
+        |  regexp_extract(url_norm, '^([^/]+)', 1) AS domain
+        |FROM n ORDER BY doc_id LIMIT 2000""".stripMargin,
+    "q_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p class="intro">' || substr(text, 1, 80)
+        |      || ' &amp; tail &lt;x&gt;</p><br/></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+        |    '\s+', ' ', 'g')) AS clean,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INTEGER) AS n_tags
+        |FROM h ORDER BY doc_id LIMIT 2000""".stripMargin,
+    "q_c4_lines" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' (table|value) ', '.' || chr(10), 'g') AS multi
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, string_split(multi, chr(10)) AS lines FROM m),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, x ->
+        |      len(regexp_extract_all(x, '\S+')) >= 5
+        |      AND regexp_matches(x, '[.!?]\s*$')) AS kept
+        |  FROM l)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+        |  CAST(len(lines) AS INTEGER) AS n_lines_total,
+        |  CAST(len(kept) AS INTEGER) AS n_lines_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q_dup_lines" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' (table|value) ', '.' || chr(10), 'g') AS multi
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(multi, chr(10)),
+        |      (x, i) -> {'line': x, 'pos': i - 1})) AS ent
+        |  FROM m),
+        |lf AS (
+        |  SELECT doc_id, ent.line AS line, CAST(ent.pos AS INTEGER) AS pos
+        |  FROM e WHERE length(trim(ent.line)) >= 1)
+        |SELECT line, COUNT(*) AS n_occurrences,
+        |  (min({'d': doc_id, 'p': pos})).d AS first_doc,
+        |  (min({'d': doc_id, 'p': pos})).p AS first_pos
+        |FROM lf GROUP BY line HAVING COUNT(*) > 1
+        |ORDER BY n_occurrences DESC, line LIMIT 5000""".stripMargin
+  )
+}

@@ -155,4 +155,96 @@ class PipelineSpec extends AnyFunSuite {
     assert(s.forall(v => v >= 0.0 && v <= 1.0))
     assert(s(0) > s(1))
   }
+
+  test("gopher signals: quality flags react to degenerate documents") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and that is fine to be sure of it have with",
+      "### ### ### ### ### ### ### ### ### ### ### ###",
+      "a b c").toDF("text")
+    val sig = QualityFilters.gopherSignals(F.col("text"))
+    val rows = docs.select(sig.map { case (n, c) => c.as(n) }: _*).collect()
+    assert(rows(0).getAs[Boolean]("passes_gopher"))
+    // symbol-only doc: alpha fraction 0, symbol ratio >= 1 -> fails
+    assert(rows(1).getAs[Double]("symbol_ratio") >= 1.0)
+    assert(!rows(1).getAs[Boolean]("passes_gopher"))
+    // too short
+    assert(!rows(2).getAs[Boolean]("passes_gopher"))
+  }
+
+  test("top-ngram fraction finds the dominant bigram deterministically") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val docs = Seq((1L, "x y x y x y z w")).toDF("doc_id", "text")
+    val r = QualityFilters.topNgramFraction(docs, "doc_id", "text", 2).head()
+    assert(r.getAs[String]("top_gram") == "x y")
+    assert(r.getAs[Long]("top_gram_count") == 3L)
+  }
+
+  test("pii scrub replaces emails, phones, ips and counts them") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val df = Seq("mail a.b+c@ex-ample.org call 555-1234 host 192.168.0.12 end")
+      .toDF("t")
+    val out = df.select(
+      QualityFilters.scrubPii(F.col("t")).as("s") +:
+        QualityFilters.piiCounts(F.col("t")).map { case (n, c) => c.as(n) }: _*).head()
+    assert(out.getAs[String]("s") == "mail <EMAIL> call <PHONE> host <IP> end")
+    assert(out.getAs[Int]("n_emails") == 1)
+    assert(out.getAs[Int]("n_phones") == 1)
+    assert(out.getAs[Int]("n_ips") == 1)
+  }
+
+  test("url normalize strips scheme/www/query/fragment/trailing slash") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val df = Seq(
+      "HTTPS://WWW.Example.COM/A/B/?q=1#top",
+      "http://sub.site.org/path/",
+      "ftp://files.net").toDF("u")
+    val got = df.select(QualityFilters.normalizeUrl(F.col("u")).as("n"),
+      QualityFilters.urlDomain(F.col("u")).as("d")).collect()
+    assert(got(0).getString(0) == "example.com/a/b" && got(0).getString(1) == "example.com")
+    assert(got(1).getString(0) == "sub.site.org/path" && got(1).getString(1) == "sub.site.org")
+    assert(got(2).getString(0) == "files.net")
+  }
+
+  test("html strip removes tags, decodes entities, collapses whitespace") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val df = Seq("<div><p>A &amp; B</p>  <br/> &lt;tag&gt; &quot;q&quot;</div>").toDF("h")
+    val out = df.select(QualityFilters.stripHtml(F.col("h")).as("c"),
+      QualityFilters.htmlTagCount(F.col("h")).as("n")).head()
+    assert(out.getString(0) == "A & B <tag> \"q\"")
+    assert(out.getInt(1) == 5)
+  }
+
+  test("c4 line filter keeps long terminal-punctuated lines only") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val text = "one two three four five six.\nshort line.\nno punctuation here at all though long\nanother good line with enough words!"
+    val df = Seq(text).toDF("t")
+    val parts = QualityFilters.c4LineFilter(F.col("t"), minWords = 5)
+    val out = df.select(parts.map { case (n, c) => c.as(n) }: _*).head()
+    assert(out.getAs[Int]("n_lines_total") == 4)
+    assert(out.getAs[Int]("n_lines_kept") == 2)
+    assert(out.getAs[String]("kept_text") ==
+      "one two three four five six.\nanother good line with enough words!")
+  }
+
+  test("duplicate lines: global keep-first attribution over one shuffle") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),
+      (3L, "beta\nalpha")).toDF("doc_id", "text")
+    val dups = QualityFilters.duplicateLines(df, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(dups.toSeq == Seq(
+      ("alpha", 2L, 1L, 0),   // first seen in doc 1 at position 0
+      ("beta", 3L, 1L, 1)))   // in all three docs; first in doc 1 pos 1
+  }
 }
