@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.ParityQueries.queries ++
       graft.queries.ScaleQueries.queries ++
-      graft.queries.QualityQueries.queries
+      graft.queries.QualityQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalOracles.oracleSql ++
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.ExtendedOracles.oracleSql ++
       graft.queries.ParityOracles.oracleSql ++
       graft.queries.ScaleOracles.oracleSql ++
-      graft.queries.QualityOracles.oracleSql
+      graft.queries.QualityOracles.oracleSql ++
+      graft.queries.AnalyticsOracles.oracleSql
 }

@@ -1,0 +1,52 @@
+package graft.queries
+
+/** DuckDB oracles for [[AnalyticsQueries]]. Revenue is exact DECIMAL(18,2)
+  * arithmetic cast to DOUBLE at the end, so the sum is order-independent
+  * and hash-matches Spark bit-for-bit. */
+object AnalyticsOracles {
+  private val rev =
+    """sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST($rev AS DOUBLE) AS rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-06-01'
+         |  AND l_shipdate > TIMESTAMP '1995-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY rev DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      s"""SELECT n_name, CAST($rev AS DOUBLE) AS rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+         |  AND o_orderdate < TIMESTAMP '1995-01-01'
+         |GROUP BY n_name
+         |ORDER BY rev DESC, n_name ASC""".stripMargin,
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST($rev AS DOUBLE) AS rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1994-10-01'
+         |  AND o_orderdate < TIMESTAMP '1995-01-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+
+import graft.core.TableFrame
+import graft.td
+
+/** Full analytical query shapes (TPC-H Q3/Q5/Q10 silhouettes over the
+  * driver's TPC-H-ish tables) plus streaming exact dedup. These exercise
+  * multi-way join planning end-to-end: dimension sides are broadcast, the
+  * fact-side filters sit in the parquet scan (PlanSpec asserts both), and
+  * revenue sums run in exact DECIMAL so the oracle hash-matches.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): TableFrame =
+    TableFrame.fromDF(Tables.load(s, dir, name))
+
+  /** extendedprice * (1 - discount) in exact decimal (order-independent sum). */
+  private def revenue: org.apache.spark.sql.Column =
+    F.col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (F.lit(1).cast(DecimalType(18, 2)) -
+        F.col("l_discount").cast(DecimalType(18, 2)))
+
+  val queries: Map[String, Q] = Map(
+    // Q3 silhouette: segment customers' urgent unshipped orders by revenue
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = F.lit("1995-06-01").cast(TimestampType)
+      val cust = t(s, dir, "customer")
+        .filter(td.col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(td.col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(td.col("l_shipdate") > cutoff)
+      li.join(ord, leftOn = Seq("l_orderkey"), rightOn = Seq("o_orderkey"))
+        .join(cust, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"),
+          broadcastRight = true)
+        .df
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").as("rev"))
+        .orderBy(F.col("rev").desc, F.col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // Q5 silhouette: revenue by nation for one region/year, suppliers local
+    // to the customer's nation
+    "q_tpch_q5" -> ((s, dir) => {
+      val y0 = F.lit("1994-01-01").cast(TimestampType)
+      val y1 = F.lit("1995-01-01").cast(TimestampType)
+      val region = t(s, dir, "region").filter(td.col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+        .join(region, leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey"),
+          broadcastRight = true)
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(td.col("o_orderdate") >= y0, td.col("o_orderdate") < y1)
+      val supp = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, leftOn = Seq("l_orderkey"), rightOn = Seq("o_orderkey"))
+        .join(supp, leftOn = Seq("l_suppkey"), rightOn = Seq("s_suppkey"),
+          broadcastRight = true)
+        .join(cust, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"))
+        .filter(graft.core.Expr(F.col("c_nationkey") === F.col("s_nationkey")))
+        .join(nation, leftOn = Seq("s_nationkey"), rightOn = Seq("n_nationkey"),
+          broadcastRight = true)
+        .df
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").as("rev"))
+        .orderBy(F.col("rev").desc, F.col("n_name").asc)
+    }),
+    // Q10 silhouette: revenue lost to returned items per customer
+    "q_tpch_q10" -> ((s, dir) => {
+      val q0 = F.lit("1994-10-01").cast(TimestampType)
+      val q1 = F.lit("1995-01-01").cast(TimestampType)
+      val ord = t(s, dir, "orders")
+        .filter(td.col("o_orderdate") >= q0, td.col("o_orderdate") < q1)
+      val li = t(s, dir, "lineitem").filter(td.col("l_returnflag") === "R")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      li.join(ord, leftOn = Seq("l_orderkey"), rightOn = Seq("o_orderkey"))
+        .join(cust, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"))
+        .join(nation, leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+          broadcastRight = true)
+        .df
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").as("rev"))
+        .orderBy(F.col("rev").desc, F.col("c_custkey").asc)
+        .limit(20)
+    }),
+    // Streaming exact dedup: the corpus-dedup counter run THROUGH
+    // Structured Streaming (AvailableNow over a parquet stream,
+    // dropDuplicates on the content hash). Emits a deterministic aggregate
+    // so the oracle can hash-match.
+    "q_stream_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q-sdedup")
+      docs.write.mode("overwrite").parquet(tmp.toString)
+      val schema = s.read.parquet(tmp.toString).schema
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp.toString, schema)
+      val deduped = stream
+        .withColumn("h", F.md5(F.col("text")))
+        .dropDuplicates("lang", "h") // per-lang content dedup: deterministic
+        .groupBy(F.col("lang"))
+        .agg(F.count(F.lit(1)).as("n_unique_docs"))
+      val name = "q_stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-q-sdedup-ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).orderBy("lang")
+    })
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableFrame
+import graft.td
+
+/** Automated plan-quality gate: asserts the physical-plan properties the
+  * 100 TB design depends on — filter/projection pushdown into the parquet
+  * scan, broadcast joins for dimension sides, map-side partial
+  * aggregation, whole-stage codegen over the quality-signal projections,
+  * and shuffle counts for the hand-built operators. A regression that
+  * turns a broadcast into a sort-merge join or un-pushes a filter fails
+  * here, not in a profiler three rounds later. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import TestSession.sf
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("filter and projection reach the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(F.col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    // ReadSchema prunes to exactly the two referenced columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"))
+  }
+
+  test("TPC-H Q5 broadcasts every dimension side, shuffles only facts") {
+    val df = graft.queries.AnalyticsQueries.queries("q_tpch_q5")(spark, sf)
+    val p = plan(df)
+    // supplier, nation(+region), and the explicit-hint sides broadcast
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    // the only sort-merge-eligible joins are fact-to-fact
+    assert(count(p, "SortMergeJoin") <= 2, p)
+  }
+
+  test("group-by aggregation is partial (map-side combine) then final") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    val p = plan(df)
+    assert(count(p, "HashAggregate") == 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("gopher quality signals stay inside whole-stage codegen") {
+    import graft.pipeline.QualityFilters
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = QualityFilters.gopherSignals(F.col("text"))
+    val df = docs.select(F.col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+    val p = plan(df)
+    // "*(1)" prefixes = whole-stage-codegen stage 1; every operator above
+    // the columnar scan carries it, and the repeated word-count subterm is
+    // CSE'd into a _common_expr projection (also codegen'd)
+    assert(p.contains("*(1) Project"), p)
+    assert(!p.contains("CodegenFallback"), p)
+    // a single stage: scan -> project, no exchange at all
+    assert(count(p, "Exchange") == 0, p)
+  }
+
+  test("as-of join plans with zero join nodes (union + keyed window)") {
+    import graft.operators.AsofJoin
+    val quotes = spark.range(100).select(
+      (F.col("id") % 5).as("sym"), F.col("id").as("t"), F.rand(7).as("px"))
+    val trades = spark.range(50).select(
+      (F.col("id") % 5).as("sym"), (F.col("id") * 2).as("t"))
+    val joined = AsofJoin.asofJoin(trades, quotes,
+      on = "t", by = Seq("sym"), strategy = "backward")
+    val p = plan(joined)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("exact dedup is a single shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Dedup.exact(docs, "text", "doc_id")
+    val p = plan(df)
+    assert(count(p, "Exchange") == 1, p)
+  }
+
+  test("store partition pruning: partition filter never reaches row scan") {
+    // partitioned write + partition-column filter => PartitionFilters
+    // carries the predicate and PushedFilters stays empty
+    val dir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    spark.range(100)
+      .select((F.col("id") % 4).as("p"), F.col("id").as("v"))
+      .write.partitionBy("p").parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t").where(F.col("p") === 2)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(p"), p)
+    assert(p.contains("PushedFilters: []"), p)
+  }
+}
