@@ -10,10 +10,21 @@ import org.apache.spark.sql.types._
   *
   * Build: k-means with deterministic initialization (the k lowest-id
   * vectors) — each Lloyd iteration is one linear assignment pass over the
-  * corpus (centroids broadcast as literals, distances evaluated per row)
-  * plus one aggregation (posexplode → groupBy(cluster, dim).avg). Centroids
-  * are tiny (k × dim doubles) and live on the driver between passes, the
-  * corpus is never collected.
+  * corpus plus one aggregation (posexplode → groupBy(cluster, dim).avg).
+  * Centroids are tiny (k × dim doubles) and live on the driver between
+  * passes; the corpus is never collected.
+  *
+  * Assignment has two physical strategies, auto-selected on k:
+  *   - k <= [[JoinThreshold]]: centroids inlined as plan literals, nearest
+  *     centroid via `array_min` over k codegen'd distance kernels — zero
+  *     extra rows, but plan size grows O(k · dim);
+  *   - k > threshold: centroids as a BROADCAST-JOINED table — the corpus
+  *     crosses the (k-row) centroid relation, distance per pair, min-by
+  *     per id. k × N intermediate rows, but plan size is O(1) in k, so k
+  *     can be thousands (the regime a 100 TB corpus needs: N/k vectors
+  *     per inverted list).
+  * Both produce identical assignments (ties to the lowest cluster id; see
+  * PipelineSpec).
   *
   * Search: a query probes only its `nprobe` nearest centroids' inverted
   * lists, so the exact-cosine work drops from O(N) to O(N · nprobe / k)
@@ -22,6 +33,10 @@ import org.apache.spark.sql.types._
 object Ivf {
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** Above this k, assignment/probing switch from plan-literal centroids to
+    * the broadcast-join strategy. */
+  val JoinThreshold = 128
+
   private def sqDistTo(vec: Column, centroid: Array[Double]): Column = {
     // native codegen'd kernel; the HOF zip_with formulation evaluates its
     // lambda interpreted once per (row, centroid) — k× per row in assignExpr
@@ -29,7 +44,7 @@ object Ivf {
     graft.expressions.VectorKernels.sqdist(vec, c)
   }
 
-  /** Nearest-centroid id (0-based) for a vector. */
+  /** Nearest-centroid id (0-based) for a vector — literal strategy. */
   private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       F.struct(sqDistTo(vec, c).as("d"), F.lit(i).as("i"))
@@ -38,18 +53,43 @@ object Ivf {
     F.array_min(F.array(dists: _*)).getField("i")
   }
 
-  /** Build the index: deterministic seed centroids, `iters` Lloyd passes. */
+  /** Centroids as a (cluster, cv) relation for the broadcast strategies. */
+  private def centroidDf(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "cv")
+  }
+
+  /** Nearest-centroid assignment via broadcast join — plan size O(1) in k. */
+  private def assignViaJoin(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val pairs = v.crossJoin(F.broadcast(centroidDf(v, centroids)))
+      .withColumn("d", graft.expressions.VectorKernels.sqdist(F.col("v"), F.col("cv")))
+    pairs.groupBy("id").agg(
+      F.min(F.struct(F.col("d"), F.col("cluster"))).as("best"),
+      F.first(F.col("v")).as("v")) // v identical across the k rows of a group
+      .select(F.col("id"), F.col("v"), F.col("best.cluster").as("cluster"))
+  }
+
+  private def assign(v: DataFrame, centroids: Array[Array[Double]],
+      viaJoin: Option[Boolean]): DataFrame =
+    if (!viaJoin.getOrElse(centroids.length > JoinThreshold))
+      v.withColumn("cluster", assignExpr(F.col("v"), centroids))
+    else assignViaJoin(v, centroids)
+
+  /** Build the index: deterministic seed centroids, `iters` Lloyd passes.
+    * `viaJoin` overrides the k-based strategy auto-selection (tests prove
+    * both strategies assign identically). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3): Index = {
-    val spark = corpus.sparkSession
+      k: Int = 16, iters: Int = 3, viaJoin: Option[Boolean] = None): Index = {
     val v = corpus.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
     // cast first so float32 and float64 embedding columns both collect cleanly
     var centroids: Array[Array[Double]] = v.orderBy("id").limit(k)
       .select(F.col("v").cast(ArrayType(DoubleType))).collect()
       .map(_.getSeq[Double](0).toArray)
-    var assigned: DataFrame = null
     for (_ <- 0 until iters) {
-      assigned = v.withColumn("cluster", assignExpr(F.col("v"), centroids))
+      val assigned = assign(v, centroids, viaJoin)
       val means = assigned
         .select(F.col("cluster"), F.posexplode(F.col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
@@ -64,16 +104,34 @@ object Ivf {
         }
       }.toArray
     }
-    Index(centroids, v.withColumn("cluster", assignExpr(F.col("v"), centroids)))
+    Index(centroids, assign(v, centroids, viaJoin))
   }
 
-  /** `nprobe` nearest cluster ids for a query vector, as an array column. */
+  /** `nprobe` nearest cluster ids for a query vector — literal strategy. */
   private def probeExpr(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       F.struct(sqDistTo(vec, c).as("d"), F.lit(i).as("i"))
     }
     F.slice(F.transform(F.array_sort(F.array(dists: _*)), s => s.getField("i")),
       1, nprobe)
+  }
+
+  /** Probed (query_id, qv, cluster) rows, strategy-selected on k. */
+  private def probed(queries: DataFrame, queryIdCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nprobe: Int,
+      viaJoin: Option[Boolean]): DataFrame = {
+    val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"))
+    if (!viaJoin.getOrElse(centroids.length > JoinThreshold))
+      q.withColumn("cluster", F.explode(probeExpr(F.col("qv"), centroids, nprobe)))
+    else {
+      val pairs = q.crossJoin(F.broadcast(centroidDf(q, centroids)))
+        .withColumn("d", graft.expressions.VectorKernels.sqdist(F.col("qv"), F.col("cv")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("d").asc, F.col("cluster").asc)
+      pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("query_id"), F.col("qv"), F.col("cluster"))
+    }
   }
 
   /** Approximate top-k: queries meet only the corpus vectors in their probed
@@ -83,10 +141,9 @@ object Ivf {
     * self-search over the corpus; set it false when querying with an external
     * set whose id space merely overlaps the corpus ids. */
   def topK(index: Index, queries: DataFrame, queryIdCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"))
-      .withColumn("cluster",
-        F.explode(probeExpr(F.col("qv"), index.centroids, nprobe)))
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true,
+      viaJoin: Option[Boolean] = None): DataFrame = {
+    val q = probed(queries, queryIdCol, vecCol, index.centroids, nprobe, viaJoin)
     val joined = index.assigned.join(F.broadcast(q), Seq("cluster"))
     val scored = (if (excludeSelf) joined.filter(F.col("query_id") =!= F.col("id"))
                   else joined)

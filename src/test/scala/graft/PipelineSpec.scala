@@ -247,4 +247,32 @@ class PipelineSpec extends AnyFunSuite {
       ("alpha", 2L, 1L, 0),   // first seen in doc 1 at position 0
       ("beta", 3L, 1L, 1)))   // in all three docs; first in doc 1 pos 1
   }
+
+  test("ivf: broadcast-join assignment strategy matches plan-literal strategy") {
+    import spark.implicits._
+    import graft.pipeline.Ivf
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 120)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextDouble()).toSeq))
+      .toDF("id", "vec")
+    val lit = Ivf.build(corpus, "id", "vec", k = 10, iters = 2,
+      viaJoin = Some(false))
+    val jn = Ivf.build(corpus, "id", "vec", k = 10, iters = 2,
+      viaJoin = Some(true))
+    // same centroids after identical Lloyd passes, modulo ULP noise: the
+    // two strategies feed avg() in different partition orders
+    lit.centroids.zip(jn.centroids).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // identical final assignment
+    def asn(ix: Ivf.Index) = ix.assigned.select("id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(asn(lit) == asn(jn))
+    // identical search results through both probe strategies
+    val queries = corpus.limit(5)
+    def res(v: Option[Boolean]) =
+      Ivf.topK(lit, queries, "id", "vec", k = 3, nprobe = 3, viaJoin = v)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(res(Some(false)) == res(Some(true)))
+  }
 }
