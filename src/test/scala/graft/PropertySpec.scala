@@ -1,0 +1,148 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableFrame
+import graft.operators.{AsofJoin, RangeJoin, ScalableRank}
+import graft.td
+
+/** Property-based differential tests: the hand-built scale operators must
+  * agree with driver-side brute-force formulations on RANDOM inputs, not
+  * just the curated fixtures in OperatorsSpec. Uses raw ScalaCheck
+  * generators with a fixed seed (scalatestplus is not in the offline
+  * cache) — deterministic across runs, a handful of samples per property
+  * because each sample is a Spark job. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def samples[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val keyed: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, 4)
+      v <- Gen.choose(-100, 100)
+    } yield (k, v))
+  } yield rows
+
+  test("scalable rank == single-window rank on random data (min/dense/ordinal)") {
+    for (rows <- samples(keyed)) {
+      import spark.implicits._
+      val df = rows.map(_._2).toDF("v")
+      for (method <- Seq("min", "dense", "ordinal")) {
+        val viaWindow = TableFrame.fromDF(df)
+          .select(td.col("v"), td.col("v").rank(method).as("r"))
+          .df.collect().map(r => (r.getInt(0), r.get(1).toString))
+        val viaScale = ScalableRank.withRank(df, "v", method = method)
+          .select("v", "rank")
+          .collect().map(r => (r.getInt(0), r.get(1).toString))
+        // same multiset of (value, rank) pairs (ordinal breaks ties
+        // arbitrarily on both sides — the multiset is still unique)
+        assert(viaWindow.groupBy(identity).view.mapValues(_.length).toMap ==
+          viaScale.groupBy(identity).view.mapValues(_.length).toMap,
+          s"method=$method rows=$rows")
+      }
+    }
+  }
+
+  test("asof join == brute force on random series (backward/forward/nearest)") {
+    val gen = for {
+      left <- Gen.listOfN(12, Gen.zip(Gen.choose(0, 1), Gen.choose(0L, 50L)))
+      right <- Gen.listOfN(12, Gen.zip(Gen.choose(0, 1), Gen.choose(0L, 50L)))
+    } yield (left.distinct,
+      // right timestamps distinct per group: duplicate (group, ts) right
+      // rows have no deterministic winner in either formulation
+      right.groupBy(identity).keys.toList.sorted)
+    for ((l, r) <- samples(gen) if l.nonEmpty && r.nonEmpty) {
+      import spark.implicits._
+      val left = l.toDF("by", "t")
+      val right = r.zipWithIndex
+        .map { case ((b, t), i) => (b, t, i.toLong) }.toDF("by", "t", "v")
+      for (strategy <- Seq("backward", "forward", "nearest")) {
+        val got = AsofJoin.asofJoin(left, right, on = "t", by = Seq("by"),
+          strategy = strategy)
+          .select("by", "t", "v")
+          .collect().map(x => (x.getInt(0), x.getLong(1),
+            if (x.isNullAt(2)) -1L else x.getLong(2))).sorted.toSeq
+        val expect = l.map { case (b, t) =>
+          val cands = r.zipWithIndex.collect {
+            case ((rb, rt), i) if rb == b => (rt, i.toLong)
+          }
+          val pick = strategy match {
+            case "backward" =>
+              cands.filter(_._1 <= t).sortBy(_._1).lastOption.map(_._2)
+            case "forward" =>
+              cands.filter(_._1 >= t).sortBy(_._1).headOption.map(_._2)
+            case "nearest" => // ties at equal distance go backward (lower ts)
+              if (cands.isEmpty) None
+              else Some(cands.minBy(x => (math.abs(x._1 - t), x._1))._2)
+          }
+          (b, t, pick.getOrElse(-1L))
+        }.sorted
+        assert(got == expect, s"strategy=$strategy l=$l r=$r")
+      }
+    }
+  }
+
+  test("range join == cross join + between filter on random intervals") {
+    val gen = for {
+      pts <- Gen.listOfN(15, Gen.choose(0L, 100L))
+      ivs <- Gen.listOfN(8, for {
+        lo <- Gen.choose(0L, 90L)
+        len <- Gen.choose(0L, 20L)
+      } yield (lo, lo + len))
+    } yield (pts, ivs)
+    for ((pts, ivs) <- samples(gen)) {
+      import spark.implicits._
+      val points = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("pid", "p")
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = RangeJoin.rangeJoin(points, "p", intervals, "lo", "hi",
+        bucketWidth = 8)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = (for {
+        (p, pi) <- pts.zipWithIndex
+        ((lo, hi), ii) <- ivs.zipWithIndex
+        if p >= lo && p <= hi
+      } yield (pi.toLong, ii.toLong)).sorted
+      assert(got == expect)
+    }
+  }
+
+  test("unique keep modes: counts and first-row semantics on random duplicates") {
+    for (rows <- samples(keyed)) {
+      import spark.implicits._
+      val df = rows.toDF("k", "v")
+      val tf = TableFrame.fromDF(df)
+      val distinctK = rows.map(_._1).distinct.size
+      assert(tf.unique(Seq("k"), "any").df.count() == distinctK)
+      assert(tf.unique(Seq("k"), "first").df.count() == distinctK)
+      assert(tf.unique(Seq("k"), "last").df.count() == distinctK)
+      val onceKeys = rows.groupBy(_._1).filter(_._2.size == 1).keySet
+      assert(tf.unique(Seq("k"), "none").df.count() == onceKeys.size)
+      // first/last pick the actual first/last row per key in frame order
+      val firsts = tf.unique(Seq("k"), "first").df.select("k", "v").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(firsts == rows.groupBy(_._1).view.mapValues(_.head._2).toMap)
+      val lasts = tf.unique(Seq("k"), "last").df.select("k", "v").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(lasts == rows.groupBy(_._1).view.mapValues(_.last._2).toMap)
+    }
+  }
+
+  test("concat vertical + unique(any) == distinct union on random frames") {
+    for ((a, b) <- samples(Gen.zip(keyed, keyed))) {
+      import spark.implicits._
+      val fa = TableFrame.fromDF(a.toDF("k", "v"))
+      val fb = TableFrame.fromDF(b.toDF("k", "v"))
+      val u = TableFrame.concat(Seq(fa, fb), "vertical").unique(Seq("k", "v"), "any")
+      assert(u.df.count() == (a ++ b).distinct.size)
+    }
+  }
+}
