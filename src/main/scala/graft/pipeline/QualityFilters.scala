@@ -53,22 +53,54 @@ object QualityFilters {
       F.array(Stopwords.map(F.lit): _*)))
 
   /** Gopher-style document quality flags + pass verdict (thresholds from
-    * the paper, word-count bounds relaxed for short synthetic docs). */
+    * the paper, word-count bounds relaxed for short synthetic docs).
+    * Single-column composable form, built from the regex counters — for
+    * whole-frame scoring prefer [[withGopherSignals]], which computes all
+    * counters in one pass over the text. */
   def gopherSignals(text: Column): Seq[(String, Column)] = {
     val wc = wordCount(text)
     val mwl = meanWordLength(text)
     val sym = symbolWordRatio(text)
     val alphaFrac = alphaWordCount(text).cast("double") / F.nullif(wc, F.lit(0))
     val stops = stopwordHits(text)
-    Seq(
-      "word_count" -> wc,
-      "mean_word_len" -> mwl,
-      "symbol_ratio" -> sym,
-      "alpha_word_frac" -> alphaFrac,
-      "stopword_hits" -> stops,
-      "passes_gopher" -> (wc.between(10, 100000) &&
-        mwl.between(2.0, 12.0) && (sym < 0.1) &&
-        (alphaFrac > 0.8) && (stops >= 2)))
+    gopherVerdict(wc, mwl, sym, alphaFrac, stops)
+  }
+
+  private def gopherVerdict(wc: Column, mwl: Column, sym: Column,
+      alphaFrac: Column, stops: Column): Seq[(String, Column)] = Seq(
+    "word_count" -> wc,
+    "mean_word_len" -> mwl,
+    "symbol_ratio" -> sym,
+    "alpha_word_frac" -> alphaFrac,
+    "stopword_hits" -> stops,
+    "passes_gopher" -> (wc.between(10, 100000) &&
+      mwl.between(2.0, 12.0) && (sym < 0.1) &&
+      (alphaFrac > 0.8) && (stops >= 2)))
+
+  /** Frame-level Gopher scoring through the single-pass
+    * [[graft.expressions.TextQualityStats]] kernel: ~5 regex scans per doc
+    * collapse into one character scan. The struct is materialized in its
+    * own projection — CollapseProject does not inline a non-cheap alias
+    * referenced eight times, so the kernel runs ONCE per row (PlanSpec
+    * asserts exactly one occurrence in the plan) and the ratio arithmetic
+    * in the outer projection stays codegen'd. Output values are
+    * bit-identical to [[gopherSignals]]; the q_quality_gopher oracle is
+    * shared. */
+  def withGopherSignals(df: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame = {
+    val stats = "$td.__tqs"
+    val staged = df.select(keep.map(F.col) :+
+      graft.expressions.TextQualityStats(F.col(textCol), Stopwords).as(stats): _*)
+    val st = F.col(s"`$stats`")
+    val wc = st.getField("word_count")
+    val wcN = F.nullif(wc, F.lit(0))
+    val sig = gopherVerdict(
+      wc,
+      st.getField("nonws_chars").cast("double") / wcN,
+      st.getField("symbol_count").cast("double") / wcN,
+      st.getField("alpha_words").cast("double") / wcN,
+      st.getField("stopword_hits"))
+    staged.select(keep.map(F.col) ++ sig.map { case (n, c) => c.as(n) }: _*)
   }
 
   // ----------------------------------------------------------- repetition

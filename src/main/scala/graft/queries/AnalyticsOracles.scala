@@ -45,6 +45,23 @@ object AnalyticsOracles {
          |  AND o_orderdate < TIMESTAMP '1995-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

