@@ -62,6 +62,13 @@ object AnalyticsOracles {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_join" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        | AND a.event_id < b.event_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

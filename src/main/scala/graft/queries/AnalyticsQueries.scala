@@ -104,6 +104,41 @@ object AnalyticsQueries {
           F.col("n_events"))
         .orderBy("user_id", "session_start")
     }),
+    // Watermarked stream-stream interval join: each event matched to
+    // later events of the same user within 30 minutes, both sides
+    // streaming with 1-hour watermarks (the state-cleanup contract a
+    // 100 TB stream needs), AvailableNow to bound the run. Inner interval
+    // joins emit each pair exactly once, so the post-hoc aggregate is
+    // deterministic and oracle-checkable.
+    "q_stream_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q-sjoin")
+      ev.write.mode("overwrite").parquet(tmp.toString)
+      val schema = s.read.parquet(tmp.toString).schema
+      def side(prefix: String) =
+        graft.streaming.Streams.readParquetStream(s, tmp.toString, schema)
+          .select(
+            F.col("event_id").as(s"${prefix}_id"),
+            F.col("user_id").as(s"${prefix}_user"),
+            F.col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("a").join(side("b"),
+        F.expr("""a_user = b_user
+                 |AND b_ts >= a_ts AND b_ts <= a_ts + interval 30 minutes
+                 |AND a_id < b_id""".stripMargin))
+        .select(F.col("a_user").as("user_id"))
+      val name = "q_stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-q-sjoin-ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
     // Streaming exact dedup: the corpus-dedup counter run THROUGH
     // Structured Streaming (AvailableNow over a parquet stream,
     // dropDuplicates on the content hash). Emits a deterministic aggregate
