@@ -29,8 +29,8 @@ object AnalyticsOracles {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1994-01-01'
-         |  AND o_orderdate < TIMESTAMP '1995-01-01'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
          |ORDER BY rev DESC, n_name ASC""".stripMargin,
     "q_tpch_q10" ->
@@ -41,8 +41,8 @@ object AnalyticsOracles {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |WHERE l_returnflag = 'R'
-         |  AND o_orderdate >= TIMESTAMP '1994-10-01'
-         |  AND o_orderdate < TIMESTAMP '1995-01-01'
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q_sessionize" ->

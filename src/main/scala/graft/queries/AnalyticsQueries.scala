@@ -44,8 +44,11 @@ object AnalyticsQueries {
     // Q5 silhouette: revenue by nation for one region/year, suppliers local
     // to the customer's nation
     "q_tpch_q5" -> ((s, dir) => {
-      val y0 = F.lit("1994-01-01").cast(TimestampType)
-      val y1 = F.lit("1995-01-01").cast(TimestampType)
+      // 1996 window: the driver's o_orderdate spans 1995-01..2001-08, so
+      // this selects a real slice (the classic 1994 window would be empty
+      // here and the gate vacuous).
+      val y0 = F.lit("1996-01-01").cast(TimestampType)
+      val y1 = F.lit("1997-01-01").cast(TimestampType)
       val region = t(s, dir, "region").filter(td.col("r_name") === "ASIA")
       val nation = t(s, dir, "nation")
         .join(region, leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey"),
@@ -69,8 +72,9 @@ object AnalyticsQueries {
     }),
     // Q10 silhouette: revenue lost to returned items per customer
     "q_tpch_q10" -> ((s, dir) => {
-      val q0 = F.lit("1994-10-01").cast(TimestampType)
-      val q1 = F.lit("1995-01-01").cast(TimestampType)
+      // In-range quarter (see q_tpch_q5 note on the data's date span).
+      val q0 = F.lit("1996-10-01").cast(TimestampType)
+      val q1 = F.lit("1997-01-01").cast(TimestampType)
       val ord = t(s, dir, "orders")
         .filter(td.col("o_orderdate") >= q0, td.col("o_orderdate") < q1)
       val li = t(s, dir, "lineitem").filter(td.col("l_returnflag") === "R")

@@ -67,7 +67,8 @@ object RelationalOracles {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT p_partkey, p_retailprice FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 45)
         |ORDER BY p_partkey""".stripMargin,
     "q_join_full_coalesce" ->
       """SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey,

@@ -138,8 +138,12 @@ object RelationalQueries {
         .selectCols("c_custkey", "c_name").sort(Seq("c_custkey")).df
     }),
     "q_join_anti" -> ((s, dir) => {
+      // Right side restricted to bulk shipments (l_quantity >= 45) so the
+      // anti-join selects a real, non-empty proper subset of part — every
+      // part appears in unrestricted lineitem, which would make the gate
+      // pass vacuously on 0 = 0 rows.
       val p = t(s, dir, "part")
-      val l = t(s, dir, "lineitem")
+      val l = t(s, dir, "lineitem").filter(td.col("l_quantity") >= 45)
       p.join(l, leftOn = Seq("p_partkey"), rightOn = Seq("l_partkey"), how = "anti")
         .selectCols("p_partkey", "p_retailprice").sort(Seq("p_partkey")).df
     }),
