@@ -1,0 +1,204 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd hash-sketch kernels: 64-bit SimHash over a token array and the
+  * random-hyperplane LSH bucket id over an embedding vector.
+  *
+  * Both replace higher-order-function formulations
+  * (`aggregate`/`zip_with`/`transform` chains) whose lambda bodies evaluate
+  * interpreted — a 64-wide boxed loop per token for SimHash, one
+  * interpreted pass per hyperplane for LSH — the same constant-factor trap
+  * [[VectorKernels]] removed from the cosine/dot path. Each kernel is one
+  * primitive loop inside whole-stage codegen.
+  *
+  * Bit-parity with the HOF formulations is contractual (the dedup/ANN gates
+  * must keep producing identical sketches), so both kernels reuse Spark's
+  * own [[XXH64]] with the default `xxhash64` seed 42 and reproduce the HOF
+  * null semantics exactly:
+  *  - SimHash: a NULL token array (NULL text) folds to signature 0L, and a
+  *    NULL token hashes as the bare seed (42L) — `xxhash64` leaves the seed
+  *    untouched for a null child.
+  *  - LSH: a NULL vector or any NULL element poisons every plane's
+  *    projection to NULL, which the HOF's `when(proj > 0, …).otherwise(0)`
+  *    collapses to bucket 0L.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got $t")
+  }
+
+  private def compute(a: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val h = if (a.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(a.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val xxh = classOf[XXH64].getName
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val votes = ctx.freshName("votes"); val h = ctx.freshName("h")
+    val i = ctx.freshName("i"); val b = ctx.freshName("b")
+    val code = code"""
+      ${c.code}
+      long ${ev.value} = 0L;
+      if (!${c.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${c.value};
+        final int $n = $a.numElements();
+        final int[] $votes = new int[64];
+        for (int $i = 0; $i < $n; $i++) {
+          final long $h = $a.isNullAt($i) ? 42L
+            : $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+          for (int $b = 0; $b < 64; $b++) {
+            $votes[$b] += (($h >>> $b) & 1L) != 0L ? 1 : -1;
+          }
+        }
+        for (int $b = 0; $b < 64; $b++) {
+          if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+        }
+      }
+    """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** `nbits`-bit random-hyperplane LSH bucket id. Plane weights are the same
+  * deterministic pseudo-random components as the HOF formulation:
+  * `pmod(xxhash64(plane, dim), 100000) / 100000.0 - 0.5`, with the plane
+  * half of the hash (`hashInt(plane, 42)`) folded at plan time into a
+  * per-plane seed constant. One pass over the vector accumulates all
+  * `nbits` projections (element order — and thus float summation order —
+  * identical to the per-plane HOF passes). */
+case class LshBucketExpr(child: Expression, nbits: Int) extends UnaryExpression {
+  require(nbits > 0 && nbits < 64, s"nbits must be in [1, 63], got $nbits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> input, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** hashInt(plane, 42) — the plane half of xxhash64(lit(plane), dim). */
+  private lazy val planeSeeds: Array[Long] =
+    Array.tabulate(nbits)(p => XXH64.hashInt(p, 42L))
+
+  private def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    val proj = new Array[Double](nbits)
+    val float = isFloat
+    var j = 0
+    while (j < n) {
+      if (a.isNullAt(j)) return 0L // null element poisons every plane → 0
+      val x = if (float) a.getFloat(j).toDouble else a.getDouble(j)
+      var p = 0
+      while (p < nbits) {
+        val hh = XXH64.hashInt(j, planeSeeds(p))
+        val w = (((hh % 100000L) + 100000L) % 100000L).toDouble / 100000.0 - 0.5
+        proj(p) += x * w
+        p += 1
+      }
+      j += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < nbits) { if (proj(p) > 0) bucket |= (1L << p); p += 1 }
+    bucket
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val xxh = classOf[XXH64].getName
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    val seeds = ctx.addReferenceObj("planeSeeds", planeSeeds, "long[]")
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val proj = ctx.freshName("proj"); val x = ctx.freshName("x")
+    val hh = ctx.freshName("hh"); val w = ctx.freshName("w")
+    val j = ctx.freshName("j"); val p = ctx.freshName("p")
+    val ok = ctx.freshName("ok")
+    val code = code"""
+      ${c.code}
+      long ${ev.value} = 0L;
+      if (!${c.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${c.value};
+        final int $n = $a.numElements();
+        final double[] $proj = new double[$nbits];
+        boolean $ok = true;
+        for (int $j = 0; $j < $n && $ok; $j++) {
+          if ($a.isNullAt($j)) { $ok = false; break; }
+          final double $x = (double) $a.$getter($j);
+          for (int $p = 0; $p < $nbits; $p++) {
+            final long $hh = $xxh.hashInt($j, $seeds[$p]);
+            final double $w =
+              ((($hh % 100000L) + 100000L) % 100000L) / 100000.0 - 0.5;
+            $proj[$p] += $x * $w;
+          }
+        }
+        if ($ok) {
+          for (int $p = 0; $p < $nbits; $p++) {
+            if ($proj[$p] > 0) ${ev.value} |= (1L << $p);
+          }
+        }
+      }
+    """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
+object HashKernels {
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+  def lshBucket(vec: Column, nbits: Int): Column =
+    Bridge.column(LshBucketExpr(Bridge.expression(vec), nbits))
+}

@@ -160,8 +160,15 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: per-token xxhash64 votes ±1 on each bit
     * position; the sign of each accumulated vote becomes the signature bit.
-    * Whole computation is array expressions inside codegen. */
-  def simhash64(text: Column): Column = {
+    * One codegen'd kernel ([[graft.expressions.SimHash64Expr]]); bit-parity
+    * with the HOF formulation below is asserted in KernelParitySpec. */
+  def simhash64(text: Column): Column =
+    graft.expressions.HashKernels.simhash64(tokens(text))
+
+  /** Reference HOF formulation of [[simhash64]] (interpreted lambdas — a
+    * 64-wide boxed loop per token). Kept only as the parity oracle for the
+    * kernel; not used in any pipeline. */
+  private[graft] def simhash64Hof(text: Column): Column = {
     val toks = tokens(text)
     // the Scala shiftright/shiftleft wrappers only take Int shifts; the SQL
     // expressions accept column shifts, needed for the lambda bit index

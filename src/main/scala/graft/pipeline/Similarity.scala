@@ -44,8 +44,15 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (F.pmod(F.xxhash64(F.lit(plane), dim), F.lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
 
-  /** nbits-bit random-hyperplane LSH bucket id for a vector. */
-  def lshBucket(vec: Column, nbits: Int = 8): Column = {
+  /** nbits-bit random-hyperplane LSH bucket id for a vector. One codegen'd
+    * kernel ([[graft.expressions.LshBucketExpr]]); bit-parity with the HOF
+    * formulation below is asserted in KernelParitySpec. */
+  def lshBucket(vec: Column, nbits: Int = 8): Column =
+    graft.expressions.HashKernels.lshBucket(vec, nbits)
+
+  /** Reference HOF formulation of [[lshBucket]] (interpreted lambdas, one
+    * pass per hyperplane). Kept only as the parity oracle for the kernel. */
+  private[graft] def lshBucketHof(vec: Column, nbits: Int = 8): Column = {
     val bits = (0 until nbits).map { p =>
       val proj = F.aggregate(
         F.zip_with(vec, F.transform(F.sequence(F.lit(0), F.size(vec) - 1),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Bit-parity of the codegen'd hash-sketch kernels (SimHash64Expr,
+  * LshBucketExpr) against their interpreted HOF reference formulations —
+  * on the real documents/embeddings tables plus the null/empty edge cases
+  * whose semantics the kernels contractually reproduce. */
+class KernelParitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import TestSession.sf
+
+  test("simhash64 kernel == HOF formulation on the documents corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = docs.select(
+        Dedup.simhash64(F.col("text")).as("k"),
+        Dedup.simhash64Hof(F.col("text")).as("h"))
+      .filter(F.col("k") =!= F.col("h") || F.col("k").isNull =!= F.col("h").isNull)
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("simhash64 kernel edge cases: null text and empty text fold to 0 votes") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one"))
+      .toDF("id", "text")
+    val rows = df.select(F.col("id"),
+        Dedup.simhash64(F.col("text")).as("k"),
+        Dedup.simhash64Hof(F.col("text")).as("h"))
+      .collect()
+    rows.foreach { r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}") }
+    // null text → 0L signature (HOF folds a null votes array to 0)
+    assert(rows.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
+  }
+
+  test("lshBucket kernel == HOF formulation on the embeddings table") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Seq(1, 4, 8, 16).foreach { nbits =>
+      val mismatches = emb.select(
+          Similarity.lshBucket(F.col("embedding"), nbits).as("k"),
+          Similarity.lshBucketHof(F.col("embedding"), nbits).as("h"))
+        .filter(F.col("k") =!= F.col("h"))
+        .count()
+      assert(mismatches == 0, s"nbits=$nbits")
+    }
+  }
+
+  test("lshBucket kernel edge cases: null vector, null element, empty, double") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, null: Array[java.lang.Double]),
+      (2L, Array[java.lang.Double](1.0, null, 3.0)),
+      (3L, Array[java.lang.Double]()),
+      (4L, Array[java.lang.Double](0.5, -1.5, 2.5, 0.0))
+    ).toDF("id", "v")
+    val rows = df.select(F.col("id"),
+        Similarity.lshBucket(F.col("v"), 8).as("k"),
+        Similarity.lshBucketHof(F.col("v"), 8).as("h"))
+      .collect()
+    rows.foreach { r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}") }
+    // null vector and null element both collapse to bucket 0
+    assert(rows.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
+    assert(rows.find(_.getLong(0) == 2L).get.getLong(1) == 0L)
+  }
+}

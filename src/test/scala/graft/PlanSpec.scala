@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 1, p)
   }
 
+  test("simhash and LSH-bucket plans contain no interpreted lambdas") {
+    // the sketch kernels are single codegen'd expressions — a regression
+    // back to aggregate/zip_with/transform HOFs shows up as lambdafunction
+    // nodes in the optimized plan (the r2 bench-regression class of defect)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sim = docs.select(graft.pipeline.Dedup.simhash64(F.col("text")))
+    val lsh = emb.select(graft.pipeline.Similarity.lshBucket(F.col("embedding"), 8))
+    Seq(sim, lsh).foreach { df =>
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("lambdafunction"), opt)
+    }
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
