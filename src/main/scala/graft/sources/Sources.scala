@@ -40,6 +40,19 @@ final case class FileSource(
   override def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame] = {
     var r: DataFrameReader = spark.read
     val lastMod = offsets.get("last_modified").orElse(modifiedAfter)
+    // Incremental guard: with a watermark set, an empty match means
+    // "nothing new this run" — return no frames (the reference's None,
+    // file_inputs.py) instead of letting csv/json schema inference throw
+    // UNABLE_TO_INFER_SCHEMA on a zero-file listing.
+    lastMod.foreach { ts =>
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(pattern)
+      val fs = p.getFileSystem(conf)
+      val cutoff = parseWatermark(ts)
+      val anyNew = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        .exists(_.getModificationTime > cutoff)
+      if (!anyNew) return Seq.empty
+    }
     lastMod.foreach(ts => r = r.option("modifiedAfter", ts))
     options.foreach { case (k, v) => r = r.option(k, v) }
     val df = format match {
@@ -56,10 +69,35 @@ final case class FileSource(
     Seq(df)
   }
 
-  /** Advance the incremental watermark to now (file listing already filtered
-    * by the previous one). */
-  override def nextOffsets(dfs: Seq[DataFrame]): Map[String, String] =
-    Map("last_modified" -> java.time.Instant.now().toString)
+  /** ISO-8601 watermark → epoch millis; zone-less timestamps are read as
+    * UTC, matching the sessions' spark.sql.session.timeZone. */
+  private def parseWatermark(ts: String): Long =
+    try java.time.Instant.parse(ts).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(ts)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
+  /** Advance the incremental watermark to the max mtime actually observed
+    * among the files this run read (reference derives it the same way,
+    * file_inputs.py:1120-1178) — NOT to now(): a file landing between the
+    * listing and now() would be skipped by this run yet excluded from the
+    * next run's `modifiedAfter`, i.e. silently lost. With the observed max,
+    * that file's mtime exceeds the watermark and the next run picks it up.
+    * No files read → no watermark advance. */
+  override def nextOffsets(dfs: Seq[DataFrame]): Map[String, String] = {
+    val files = dfs.flatMap(_.inputFiles)
+    if (files.isEmpty) Map.empty
+    else {
+      val conf = dfs.head.sparkSession.sessionState.newHadoopConf()
+      val maxMtime = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getModificationTime
+      }.max
+      Map("last_modified" -> java.time.Instant.ofEpochMilli(maxMtime).toString)
+    }
+  }
 }
 
 /** JDBC source: one SQL query per output table, with offset values

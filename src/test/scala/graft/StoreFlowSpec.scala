@@ -137,6 +137,55 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq("0", "10", "20"))
   }
 
+  test("version log round-trips entries whose strings carry quotes/backslashes") {
+    val store = freshStore()
+    val e = VersionEntry(
+      id = """v"1\x""", execution = """e\"q""", transaction = "t1",
+      timestampMs = 1234L, schemaHash = """h"h""", rows = 7L,
+      schemaB64 = Some("""b64"with\"quotes"""))
+    assert(store.parseEntry(store.renderEntry(e)) == e)
+    // plain entries from the pre-Jackson writer still parse
+    val legacy = """{"id":"v1","execution":"e1","transaction":"t1","ts":99,"schemaHash":"ab","rows":3}"""
+    assert(store.parseEntry(legacy) ==
+      VersionEntry("v1", "e1", "t1", 99L, "ab", 3L, None))
+    intercept[IllegalStateException](store.parseEntry("""{"id":"v1"}"""))
+    intercept[IllegalStateException](store.parseEntry("not json"))
+  }
+
+  test("file source watermark: file landing during a run is not lost") {
+    // run 1 reads A; B lands "during" run 1 (its mtime is after A's but
+    // before run 1 finished). A now()-stamped watermark would exclude B
+    // from run 2's modifiedAfter listing; the observed-max-mtime watermark
+    // picks it up.
+    val dir = Files.createTempDirectory("graft-wm")
+    val a = dir.resolve("a.csv"); val b = dir.resolve("b.csv")
+    Files.writeString(a, "id\n1\n")
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    Files.setLastModifiedTime(a, java.nio.file.attribute.FileTime.from(t0))
+    val src = FileSource(s"$dir/*.csv", "csv")
+
+    val run1 = src.load(spark, Map.empty)
+    assert(run1.head.count() == 1)
+    val off1 = src.nextOffsets(run1)
+    // watermark is A's mtime, not wall-clock now
+    assert(off1("last_modified") == t0.toString)
+
+    // B lands with an mtime 2s after A (still far in the "past" vs now())
+    Files.writeString(b, "id\n2\n")
+    Files.setLastModifiedTime(b, java.nio.file.attribute.FileTime.from(t0.plusSeconds(2)))
+    val run2 = src.load(spark, off1)
+    val ids = run2.head.select("id").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(2), s"run 2 must see exactly the late file, got $ids")
+    // and the watermark advances to B's mtime
+    assert(src.nextOffsets(run2)("last_modified") == t0.plusSeconds(2).toString)
+
+    // nothing new → no frames at all (not a schema-inference crash), and
+    // no watermark advance (empty map keeps the old offset)
+    val run3 = src.load(spark, src.nextOffsets(run2))
+    assert(run3.isEmpty)
+    assert(src.nextOffsets(run3).isEmpty)
+  }
+
   test("file source: csv round-trip with inference and glob") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.writeString(dir.resolve("part1.csv"), "id,name\n1,alpha\n2,beta\n")
