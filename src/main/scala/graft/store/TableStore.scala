@@ -64,22 +64,32 @@ final class TableStore(val root: String, spark: SparkSession) {
       .filter(_.nonEmpty).map(parseEntry)
   }
 
-  private def parseEntry(line: String): VersionEntry = {
-    def fieldOpt(k: String): Option[String] = {
-      val m = ("\"" + k + "\"\\s*:\\s*(\"([^\"]*)\"|\\d+)").r
-      m.findFirstMatchIn(line).map(mm =>
-        if (mm.group(2) != null) mm.group(2) else mm.group(1))
+  // real JSON parse/render (Jackson ships with Spark) — a regex scrape
+  // would mis-split the moment any string field carries an escaped quote
+  private[graft] def parseEntry(line: String): VersionEntry = {
+    val n =
+      try TableStore.jsonMapper.readTree(line)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(s"corrupt log line: $line", e) }
+    def str(k: String): String = {
+      val v = n.get(k)
+      if (v == null) throw new IllegalStateException(s"corrupt log line: $line")
+      v.asText()
     }
-    def field(k: String): String = fieldOpt(k).getOrElse(
-      throw new IllegalStateException(s"corrupt log line: $line"))
-    VersionEntry(field("id"), field("execution"), field("transaction"),
-      field("ts").toLong, field("schemaHash"), field("rows").toLong,
-      fieldOpt("schema"))
+    VersionEntry(str("id"), str("execution"), str("transaction"),
+      str("ts").toLong, str("schemaHash"), str("rows").toLong,
+      Option(n.get("schema")).map(_.asText()))
   }
 
-  private def renderEntry(e: VersionEntry): String = {
-    val schemaPart = e.schemaB64.map(b => s""","schema":"$b"""").getOrElse("")
-    s"""{"id":"${e.id}","execution":"${e.execution}","transaction":"${e.transaction}","ts":${e.timestampMs},"schemaHash":"${e.schemaHash}","rows":${e.rows}$schemaPart}"""
+  private[graft] def renderEntry(e: VersionEntry): String = {
+    val n = TableStore.jsonMapper.createObjectNode()
+    n.put("id", e.id).put("execution", e.execution)
+      .put("transaction", e.transaction)
+    n.put("ts", e.timestampMs)
+    n.put("schemaHash", e.schemaHash)
+    n.put("rows", e.rows)
+    e.schemaB64.foreach(b => n.put("schema", b))
+    TableStore.jsonMapper.writeValueAsString(n)
   }
 
   private def appendLog(coll: String, table: String, e: VersionEntry): Unit = {
@@ -246,4 +256,9 @@ final class TableStore(val root: String, spark: SparkSession) {
     else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
       .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
   }
+}
+
+object TableStore {
+  /** Shared mapper for the version log (thread-safe after configuration). */
+  private[store] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

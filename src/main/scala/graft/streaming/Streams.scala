@@ -39,9 +39,12 @@ object Streams {
     val head = store.scan(s"$collection/$table").getOrElse(
       throw new IllegalArgumentException(s"no committed versions in $collection/$table"))
     val spark = head.df.sparkSession
+    // version dirs are UUIDv7 (hex-leading), so this glob structurally
+    // excludes the `_log.jsonl` sibling and the `.staging` dir rather than
+    // relying on Spark's hidden-file filtering of `_`/`.` prefixes
     spark.readStream.schema(head.df.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"${store.root}/$collection/$table/*")
+      .parquet(s"${store.root}/$collection/$table/[0-9a-f]*")
   }
 
   /** Watermarked sliding-window aggregation: count + sum(valueCol) per
