@@ -207,12 +207,24 @@ final class TableStore(val root: String, spark: SparkSession) {
         requireFixedFound(vs, rs)
         rs.flatten
       case Versions.VRange(from, to) =>
+        // Positional range semantics (version_resolver.rs:1291,1886): each
+        // bound maps to a position in an index space that extends past both
+        // ends of history (HEAD~5 over 2 versions is a virtual slot before
+        // INITIAL). The reference returns one slot per position with None
+        // where no version exists; flattened to data, that means a range is
+        // the overlap of [from..to] with real history — NOT empty just
+        // because one bound fell off the end.
         val vs = versions(coll, table, asOf)
-        (resolveOne(coll, table, from, asOf), resolveOne(coll, table, to, asOf)) match {
+        val m = vs.length
+        def pos(v: Version): Option[Int] = v match {
+          case Version.Head(back)       => Some(m - 1 - back)
+          case Version.Initial(forward) => Some(forward)
+          case Version.Fixed(id) =>
+            vs.indexWhere(_.id == id) match { case -1 => None; case i => Some(i) }
+        }
+        (pos(from), pos(to)) match {
           case (Some(a), Some(b)) =>
-            val ia = vs.indexWhere(_.id == a.id)
-            val ib = vs.indexWhere(_.id == b.id)
-            if (ia <= ib) vs.slice(ia, ib + 1)
+            if (a <= b) vs.slice(math.max(a, 0), math.max(b + 1, 0))
             else if (errorOnDescRange) throw new IllegalArgumentException(
               s"invalid range: left version must be older than the right version ($versions0)")
             else Seq.empty

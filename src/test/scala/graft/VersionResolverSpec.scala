@@ -153,6 +153,112 @@ class VersionResolverSpec extends AnyFunSuite {
       Seq(v(2).id))
   }
 
+  test("default selector (Versions::None ≡ HEAD) tracks triggered_on (rs:449,514)") {
+    val (s, v) = seeded(2)
+    // at each version's own triggered_on, that version is HEAD (inclusive)
+    assert(s.resolveOne("c", "t", Version.Head(0), asOf = Some(1000L)).get.id == v(0).id)
+    assert(s.resolveOne("c", "t", Version.Head(0), asOf = Some(2000L)).get.id == v(1).id)
+    // and "now" (no cutoff) resolves the latest
+    assert(s.resolveOne("c", "t", Version.Head(0)).get.id == v(1).id)
+  }
+
+  test("resolution is per-table: sibling tables never leak in (rs:477)") {
+    val (s, v) = seeded(1)
+    import spark.implicits._
+    Seq("other_1", "other_2").foreach { t =>
+      val ctx = SysCtx.fresh().copy(version = s.newId(),
+        timestamp = new java.sql.Timestamp(500L))
+      s.stageWrite("c", t, Seq(99).toDF("v"), ctx)
+      s.commitTransaction(ctx.transaction)
+    }
+    val got = s.resolve("c", "t", Versions.Single(Version.Head(0)))
+    assert(ids(got) == Seq(v(0).id))
+    assert(s.resolve("c", "other_1", Versions.Single(Version.Head(0))).head.id != v(0).id)
+  }
+
+  test("range with a pre-history HEAD bound clips to real history (rs:1291)") {
+    val (s, v) = seeded(2)
+    // HEAD~2..HEAD over 2 versions: the reference yields 3 positional slots
+    // [None, v1, v2]; flattened to data that is both real versions
+    assert(ids(s.resolve("c", "t", Versions.VRange(Version.Head(2), Version.Head(0)))) ==
+      Seq(v(0).id, v(1).id))
+    // HEAD~5..fixed(v1): 5 slots, only the fixed endpoint exists (rs:1886)
+    assert(ids(s.resolve("c", "t", Versions.VRange(Version.Head(5), Version.Fixed(v(0).id)))) ==
+      Seq(v(0).id))
+  }
+
+  test("range with a post-history INITIAL bound clips to real history") {
+    val (s, v) = seeded(2)
+    assert(ids(s.resolve("c", "t", Versions.VRange(Version.Initial(0), Version.Initial(5)))) ==
+      ids(v))
+  }
+
+  test("inverse fixed range resolves to nothing (rs:1458)") {
+    val (s, v) = seeded(3)
+    assert(s.resolve("c", "t",
+      Versions.VRange(Version.Fixed(v(2).id), Version.Fixed(v(0).id))).isEmpty)
+  }
+
+  test("same-bound ranges entirely outside history yield no data (rs:1574,1610)") {
+    val (s, _) = seeded(2)
+    // reference returns a single None slot for both; no data either way
+    assert(s.resolve("c", "t", Versions.VRange(Version.Head(3), Version.Head(3))).isEmpty)
+    assert(s.resolve("c", "t", Versions.VRange(Version.Initial(3), Version.Initial(3))).isEmpty)
+  }
+
+  test("fixed..INITIAL+n range (rs:1727)") {
+    val (s, v) = seeded(2)
+    assert(ids(s.resolve("c", "t", Versions.VRange(Version.Fixed(v(0).id), Version.Initial(1)))) ==
+      Seq(v(0).id, v(1).id))
+  }
+
+  test("matching bounds across selector kinds (rs:1809,1847)") {
+    val (s, v) = seeded(2)
+    // INITIAL..HEAD~1 meet at the first version
+    assert(ids(s.resolve("c", "t", Versions.VRange(Version.Initial(0), Version.Head(1)))) ==
+      Seq(v(0).id))
+    // INITIAL..fixed(first) likewise
+    assert(ids(s.resolve("c", "t", Versions.VRange(Version.Initial(0), Version.Fixed(v(0).id)))) ==
+      Seq(v(0).id))
+  }
+
+  test("range cutoff composes with positional bounds (rs:1173 × cutoff)") {
+    val (s, v) = seeded(3)
+    // under cutoff 2000 history is [v0, v1]; HEAD~2..HEAD clips to both
+    assert(ids(s.resolve("c", "t", Versions.VRange(Version.Head(2), Version.Head(0)),
+      asOf = Some(2000L))) == Seq(v(0).id, v(1).id))
+    // fixed bound not visible under the cutoff → no data
+    assert(s.resolve("c", "t", Versions.VRange(Version.Fixed(v(2).id), Version.Head(0)),
+      asOf = Some(2000L)).isEmpty)
+  }
+
+  test("list mixing ranges' bounds under cutoff stays positional (rs:852 × cutoff)") {
+    val (s, v) = seeded(3)
+    val got = s.resolve("c", "t",
+      Versions.VList(Seq(Version.Head(0), Version.Initial(0))), asOf = Some(2000L))
+    assert(ids(got) == Seq(v(1).id, v(0).id))
+  }
+
+  test("INITIAL arithmetic past HEAD resolves empty, never wraps") {
+    val (s, _) = seeded(2)
+    assert(s.resolveOne("c", "t", Version.Initial(2)).isEmpty)
+    assert(s.resolveOne("c", "t", Version.Initial(100)).isEmpty)
+    // and in a list position it is simply absent
+    assert(s.resolve("c", "t",
+      Versions.VList(Seq(Version.Initial(0), Version.Initial(50)))).length == 1)
+  }
+
+  test("empty history: every selector resolves to nothing, fixed errors") {
+    val store = new TableStore(Files.createTempDirectory("graft-vr").toString, spark)
+    assert(store.resolveOne("c", "t", Version.Head(0)).isEmpty)
+    assert(store.resolveOne("c", "t", Version.Initial(0)).isEmpty)
+    assert(store.resolve("c", "t",
+      Versions.VRange(Version.Initial(0), Version.Head(0))).isEmpty)
+    intercept[NoSuchElementException] {
+      store.resolve("c", "t", Versions.Single(Version.Fixed("0" * 26)))
+    }
+  }
+
   test("flow re-run at the original trigger time sees the original inputs") {
     val store = new TableStore(Files.createTempDirectory("graft-vr").toString, spark)
     val engine = new FlowEngine(store, spark)
