@@ -406,6 +406,11 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
   /** Render the optimized plan (frame.py:545-585 explain/show_graph). */
   def explain_plan(mode: String = "formatted"): Unit = df.explain(mode)
 
+  /** User-facing projection for external sinks: drops `$td.*` system
+    * columns (reference subscribers never export them — the destination
+    * write path strips system columns, _io/outputs/file_outputs.py). */
+  def toExport: DataFrame = df.select(columns("user").map(df.apply): _*)
+
   // ---- eager escape hatches (frame.py:232-269) ----
   def collectRows(): Seq[Row] = df.collect().toSeq
   def to_dict(): Map[String, Seq[Any]] = {

@@ -86,6 +86,19 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
       trig.exists(r => r.collection == collection && r.table == table)
     }
 
+  /** Empty frame for a `None` output slot: previous HEAD's user schema if
+    * the table exists, else zero user columns (system columns are stamped
+    * at stage time either way). */
+  private def emptyFrame(collection: String, table: String): TableFrame = {
+    val schema = store.scan(s"$collection/$table") match {
+      case Some(prev) => org.apache.spark.sql.types.StructType(
+        prev.df.schema.filterNot(f => graft.core.SystemColumns.isSystem(f.name)))
+      case None => org.apache.spark.sql.types.StructType(Nil)
+    }
+    TableFrame.fromRaw(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+  }
+
   /** Run one function: resolve inputs (at the execution's trigger-time
     * cutoff), execute, publish outputs atomically, persist offsets, return
     * the tables that got new versions.
@@ -114,7 +127,12 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
       s"${f.name}: produced ${results.length} outputs, declared ${f.outputs.length}")
     // one transaction spanning all outputs (all-or-nothing publication)
     val txid = store.newId()
-    val entries = f.outputs.zip(results).map { case (table, tf) =>
+    val entries = f.outputs.zip(results).map { case (table, tf0) =>
+      // a null slot is the reference's `return None` (testing_resources
+      // test_output_*_with_none): the table still gets a committed version,
+      // but an empty one — schema carried over from the previous HEAD so
+      // readers of the version range keep a stable shape
+      val tf = Option(tf0).getOrElse(emptyFrame(f.collection, table))
       val ctx2 = SysCtx(executionId, txid, store.newId(),
         new java.sql.Timestamp(executionTs))
       (table, store.stageWrite(f.collection, table, tf.df, ctx2))

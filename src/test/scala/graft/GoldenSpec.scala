@@ -140,6 +140,164 @@ class GoldenSpec extends AnyFunSuite {
     assert(store.versions("sales", "revenue").size == 1)
   }
 
+  test("golden: ndjson full dtype inference (long/double/boolean/null)") {
+    val df = readCase("ndjson_dtype_inference", "data.ndjson", "ndjson")
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("id") == "long" && types("price") == "double" &&
+      types("active") == "boolean")
+    check(df, s"$golden/ndjson_dtype_inference/expected_result.json")
+  }
+
+  test("golden: log wildcard glob + grok over multiple files") {
+    val tf = TableFrame.fromRaw(readCase("log_wildcard", "logs/*.log", "log"))
+    val out = tf.grok("value",
+        "%{WORD:level} job=%{WORD:job} rows=%{INT:rows:int} took=%{NUMBER:took:float}")
+      .selectCols("level", "job", "rows", "took")
+    check(out.df, s"$golden/log_wildcard/expected_result.json")
+  }
+
+  test("golden: avro wildcard concatenates sibling directories") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-avrow").toString
+    AvroFiles.write(Seq(("alice", 61.0), ("bob", 70.5)).toDF("name", "score"),
+      s"$stage/people1", "overwrite")
+    AvroFiles.write(Seq(("carol", 88.5), ("dave", 92.0)).toDF("name", "score"),
+      s"$stage/people2", "overwrite")
+    val df = FileSource(s"$stage/people*", "avro").load(spark, Map.empty).head
+    check(df, s"$golden/avro_wildcard/expected_result.json")
+  }
+
+  test("golden: input file not found fails cleanly, naming the path") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      FileSource(s"$golden/no_such_case/missing*.csv", "csv")
+        .load(spark, Map.empty).head.collect()
+    }
+    assert(err.getMessage.contains("no_such_case"))
+  }
+
+  test("golden: two inputs, two outputs in one transformer (rs multiple_inputs_multiple_outputs)") {
+    import graft.td
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-mio").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("p_orders", "shop", Seq("orders")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("multi_io", "orders.csv", "csv")))
+    }
+    engine.publisher("p_cust", "shop", Seq("customers")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("multi_io", "customers.csv", "csv")))
+    }
+    // trigger only once both inputs exist
+    engine.transformer("tx", "shop", Seq("orders", "customers"),
+        Seq("joined", "totals"), triggerBy = Some(Seq("customers"))) { ctx =>
+      val joined = ctx.input(0).join(ctx.input(1), on = Seq("cust_id"))
+        .selectCols("order_id", "name", "amount")
+      val totals = joined.group_by("name")
+        .agg(td.col("amount").sum.as("total"))
+      Seq(joined, totals)
+    }
+    engine.trigger("p_orders")
+    engine.trigger("p_cust")
+    check(store.scan("shop/joined").get.df, s"$golden/multi_io/expected_joined.json")
+    check(store.scan("shop/totals").get.df, s"$golden/multi_io/expected_totals.json")
+  }
+
+  test("golden: None output slot commits an empty version with carried schema") {
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-none").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    var giveData = true
+    engine.publisher("pub", "c", Seq("raw")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("with_none", "data.csv", "csv")))
+    }
+    engine.transformer("maybe", "c", Seq("raw"), Seq("out")) { ctx =>
+      if (giveData) Seq(ctx.input(0)) else Seq(null)
+    }
+    engine.trigger("pub")
+    assert(store.scan("c/out").get.df.count() == 2)
+    giveData = false
+    engine.runFunction(engine.fn("maybe"), store.newId())
+    val head = store.scan("c/out").get.df
+    check(head, s"$golden/with_none/expected_result.json")
+    // schema carried over from the previous version, not collapsed to zero cols
+    assert(head.columns.count(!_.startsWith("$td")) == 2)
+    assert(store.versions("c", "out").size == 2)
+  }
+
+  test("golden: jdbc-backed incremental flow — re-run loads only new rows") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-derby")}/db;create=true"
+    JdbcSink(url, "src_rows", mode = "append")
+      .write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("seq", "val"))
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-jdbcflow").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val src = JdbcSource(url,
+      Seq("""SELECT "seq" AS "id", "val" FROM src_rows WHERE "seq" > $offset$"""))
+    engine.publisher("pub", "c", Seq("t")) { ctx =>
+      val df = src.load(spark, ctx.offsets).head
+      val mx = df.agg(F.max("id")).head()
+      if (!mx.isNullAt(0)) ctx.setOffset("offset", mx.getInt(0).toString)
+      Seq(TableFrame.fromRaw(df))
+    }
+    engine.trigger("pub")
+    check(store.scan("c/t").get.df, s"$golden/jdbc_flow/expected_run1.json")
+    // new upstream rows arrive; the persisted offset makes run 2 incremental
+    JdbcSink(url, "src_rows", mode = "append")
+      .write(Seq((4, "d"), (5, "e")).toDF("seq", "val"))
+    engine.trigger("pub")
+    check(store.scan("c/t").get.df, s"$golden/jdbc_flow/expected_run2.json")
+  }
+
+  test("golden: jdbc subscriber writes a store table out to a live database") {
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-derby2")}/db;create=true"
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-jdbcsub").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "inv", Seq("stock")) { _ =>
+      import spark.implicits._
+      Seq(TableFrame.fromRaw(Seq(("A1", 4), ("B2", 9)).toDF("sku", "qty")))
+    }
+    engine.subscriber("sub", "inv", Seq("stock")) { ctx =>
+      JdbcSink(url, "stock_out", mode = "overwrite").write(ctx.input(0).toExport)
+      Nil
+    }
+    engine.trigger("pub")
+    val back = JdbcSource(url, Seq("""SELECT "sku", "qty" FROM stock_out"""))
+      .load(spark, Map.empty).head
+    check(back, s"$golden/jdbc_subscriber/expected_result.json")
+  }
+
+  test("golden: subscriber fans one table out to csv and jsonl files") {
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-fan").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val out = Files.createTempDirectory("graft-golden-fanout").toString
+    engine.publisher("pub", "sales", Seq("s")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("subscriber_files", "data.csv", "csv")))
+    }
+    engine.subscriber("sub", "sales", Seq("s")) { ctx =>
+      val export = ctx.input(0).toExport
+      FileSink(s"$out/as_csv", format = "csv").write(export)
+      FileSink(s"$out/as_jsonl", format = "jsonl").write(export)
+      Nil
+    }
+    engine.trigger("pub")
+    check(spark.read.option("header", "true").option("inferSchema", "true").csv(s"$out/as_csv"),
+      s"$golden/subscriber_files/expected_result.json")
+    check(spark.read.json(s"$out/as_jsonl"),
+      s"$golden/subscriber_files/expected_result.json")
+  }
+
+  test("golden: quality pipeline — gopher signals over a deterministic corpus") {
+    import graft.pipeline.QualityFilters
+    val docs = readCase("quality_pipeline", "docs.ndjson", "ndjson")
+    val out = QualityFilters.withGopherSignals(docs, "text", keep = Seq("doc_id"))
+      .select("doc_id", "word_count", "stopword_hits", "passes_gopher")
+    check(out, s"$golden/quality_pipeline/expected_result.json")
+  }
+
   test("golden: multi-output transformer commits both tables in one transaction") {
     import graft.td
     val store = new TableStore(

@@ -137,6 +137,31 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq("0", "10", "20"))
   }
 
+  test("flow: offsets freeze when a run fails (initial_values_freeze)") {
+    // reference test_initial_values_freeze: a failing run must not advance
+    // the persisted offsets, so the retry re-reads the same increment
+    val store = freshStore()
+    val engine = new FlowEngine(store, spark)
+    import spark.implicits._
+    var boom = false
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    engine.publisher("p", "c", Seq("t")) { ctx =>
+      val cur = ctx.offsets.getOrElse("cursor", "0")
+      seen += cur
+      if (boom) throw new RuntimeException("upstream down")
+      ctx.setOffset("cursor", (cur.toInt + 1).toString)
+      Seq(TableFrame.fromRaw(Seq(cur.toInt).toDF("v")))
+    }
+    engine.trigger("p")                                   // cursor 0 → 1
+    boom = true
+    intercept[RuntimeException](engine.trigger("p"))      // fails at cursor 1
+    boom = false
+    engine.trigger("p")                                   // retries cursor 1
+    assert(seen.toSeq == Seq("0", "1", "1"))
+    // the failed run also published no version
+    assert(store.versions("c", "t").size == 2)
+  }
+
   test("version log round-trips entries whose strings carry quotes/backslashes") {
     val store = freshStore()
     val e = VersionEntry(
