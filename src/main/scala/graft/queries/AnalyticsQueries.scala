@@ -115,12 +115,10 @@ object AnalyticsQueries {
     // joins emit each pair exactly once, so the post-hoc aggregate is
     // deterministic and oracle-checkable.
     "q_stream_join" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q-sjoin")
-      ev.write.mode("overwrite").parquet(tmp.toString)
-      val schema = s.read.parquet(tmp.toString).schema
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events-ids",
+        Tables.load(s, dir, "events").select("event_id", "user_id", "ts"))
       def side(prefix: String) =
-        graft.streaming.Streams.readParquetStream(s, tmp.toString, schema)
+        graft.streaming.Streams.readParquetStream(s, tmp, schema)
           .select(
             F.col("event_id").as(s"${prefix}_id"),
             F.col("user_id").as(s"${prefix}_user"),
@@ -131,15 +129,8 @@ object AnalyticsQueries {
                  |AND b_ts >= a_ts AND b_ts <= a_ts + interval 30 minutes
                  |AND a_id < b_id""".stripMargin))
         .select(F.col("a_user").as("user_id"))
-      val name = "q_stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-q-sjoin-ckpt").toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      s.table(name).groupBy("user_id")
+      graft.streaming.StreamStage.runToMemory(joined, "q_stream_join_", "append")
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
@@ -148,25 +139,16 @@ object AnalyticsQueries {
     // dropDuplicates on the content hash). Emits a deterministic aggregate
     // so the oracle can hash-match.
     "q_stream_dedup" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q-sdedup")
-      docs.write.mode("overwrite").parquet(tmp.toString)
-      val schema = s.read.parquet(tmp.toString).schema
-      val stream = graft.streaming.Streams.readParquetStream(s, tmp.toString, schema)
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/documents",
+        Tables.load(s, dir, "documents"))
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
       val deduped = stream
         .withColumn("h", F.md5(F.col("text")))
         .dropDuplicates("lang", "h") // per-lang content dedup: deterministic
         .groupBy(F.col("lang"))
         .agg(F.count(F.lit(1)).as("n_unique_docs"))
-      val name = "q_stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-q-sdedup-ckpt").toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      s.table(name).orderBy("lang")
+      graft.streaming.StreamStage.runToMemory(deduped, "q_stream_dedup_", "complete")
+        .orderBy("lang")
     })
   )
 }

@@ -198,24 +198,14 @@ object ExtendedQueries {
     "q_stream_window" -> ((s, dir) => {
       // run the hourly aggregation THROUGH Structured Streaming (complete
       // mode => all windows emitted), then hand back the bounded result
-      val ev = t(s, dir, "events").df
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q-stream")
-      ev.write.mode("overwrite").parquet(tmp.toString)
-      val schema = s.read.parquet(tmp.toString).schema
-      val stream = graft.streaming.Streams.readParquetStream(s, tmp.toString, schema)
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).as("n"))
-      val name = "q_stream_window_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-q-stream-ckpt").toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      s.table(name)
+      graft.streaming.StreamStage.runToMemory(agg, "q_stream_window_", "complete")
         .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
           F.col("event_type"), F.col("n"))
         .orderBy("hour_epoch", "event_type")
