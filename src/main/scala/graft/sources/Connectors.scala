@@ -60,18 +60,23 @@ object Connectors {
     * generic SQL sources use, reference `sql_inputs.py:752-764`). */
   def jdbcSource(vendor: JdbcVendor, hostAndDb: String, queries: Seq[String],
       user: String, password: String,
+      fetchSize: Int = 50000,
       extra: Map[String, String] = Map.empty): JdbcSource =
     JdbcSource(
       url = vendor.urlPrefix + hostAndDb,
       queries = queries,
       properties = vendor.defaults ++ Map(
-        "driver" -> vendor.driver, "user" -> user, "password" -> password) ++ extra)
+        "driver" -> vendor.driver, "user" -> user, "password" -> password,
+        // the reference's chunk_size (rows fetched per cursor round-trip,
+        // `_connector.py:44`); Spark's JDBC reader knob is fetchsize
+        "fetchsize" -> fetchSize.toString) ++ extra)
 
   /** Build a [[JdbcSink]] for a vendor. `ifTableExists` follows the
     * reference's append/replace strategy (`_connector.py:294`):
     * append → JDBC append; replace → overwrite (drop + recreate). */
   def jdbcSink(vendor: JdbcVendor, hostAndDb: String, table: String,
       user: String, password: String, ifTableExists: String = "append",
+      batchSize: Int = 50000,
       extra: Map[String, String] = Map.empty): JdbcSink = {
     val mode = ifTableExists match {
       case "append"  => "append"
@@ -84,7 +89,10 @@ object Connectors {
       table = table,
       mode = mode,
       properties = vendor.defaults ++ Map(
-        "driver" -> vendor.driver, "user" -> user, "password" -> password) ++ extra)
+        "driver" -> vendor.driver, "user" -> user, "password" -> password,
+        // chunk_size analog on the write path (`_connector.py:295`):
+        // rows per JDBC executeBatch
+        "batchsize" -> batchSize.toString) ++ extra)
   }
 
   /** Format-based source: `spark.read.format(fmt).options(...)`, one
@@ -145,7 +153,8 @@ object Connectors {
     * field via the connector's `idFieldList` replace semantics). */
   def mongoSink(uri: String, database: String, collection: String,
       idField: Option[String] = None,
-      ifCollectionExists: String = "append"): FormatSink =
+      ifCollectionExists: String = "append",
+      updateExisting: Boolean = true): FormatSink =
     FormatSink("mongodb",
       Map(
         "connection.uri" -> uri,
@@ -153,7 +162,10 @@ object Connectors {
         "collection" -> collection) ++
         idField.map(f => Map(
           "idFieldList" -> f,
-          "operationType" -> "replace")).getOrElse(Map.empty),
+          // reference `update_existing` (`_connector.py:41,85`): true →
+          // replace documents matching the id field, false → insert-only
+          "operationType" -> (if (updateExisting) "replace" else "insert"))
+        ).getOrElse(Map.empty),
       if (ifCollectionExists == "replace") "overwrite" else "append")
 
   def mongoSource(uri: String, database: String,

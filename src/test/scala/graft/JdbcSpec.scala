@@ -108,6 +108,31 @@ class JdbcSpec extends AnyFunSuite {
     assert(mg.options("operationType") == "replace" && mg.mode == "overwrite")
   }
 
+  test("connector chunk-size tails: fetchsize/batchsize presets + live batched write") {
+    // preset surface: the reference's chunk_size maps to Spark's
+    // fetchsize (read) and batchsize (write) JDBC knobs
+    val src = Connectors.jdbcSource(Connectors.MsSql, "h:1433;databaseName=db",
+      Seq("SELECT 1"), "u", "p", fetchSize = 10000)
+    assert(src.properties("fetchsize") == "10000")
+    val snk = Connectors.jdbcSink(Connectors.MsSql, "h", "t", "u", "p",
+      batchSize = 2500)
+    assert(snk.properties("batchsize") == "2500")
+    // mongo update_existing=false → insert-only operation
+    val mg = Connectors.mongoSink("mongodb://h", "db", "c",
+      idField = Some("_id"), updateExisting = false)
+    assert(mg.options("operationType") == "insert")
+
+    // and a live write through a small batchsize still lands every row
+    import spark.implicits._
+    val url = freshDb()
+    JdbcSink(url, "chunked", mode = "append",
+        properties = Map("batchsize" -> "3"))
+      .write((1 to 10).map(i => (i, s"r$i")).toDF("id", "v"))
+    val n = JdbcSource(url, Seq("""SELECT COUNT(*) AS n FROM chunked"""))
+      .load(spark, Map.empty).head.head().getInt(0)
+    assert(n == 10)
+  }
+
   test("salesforce staged-extract source: $lastModified token + watermark") {
     val dir = Files.createTempDirectory("graft-sf").toString
     val captured = scala.collection.mutable.ArrayBuffer[String]()
