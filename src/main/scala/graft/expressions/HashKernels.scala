@@ -196,9 +196,95 @@ case class LshBucketExpr(child: Expression, nbits: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** k-slot MinHash signature over a shingle array, one pass, zero shuffle.
+  *
+  * Slot i is `min over shingles of xxhash64(lit(i), shingle)` — bit-identical
+  * to both the per-slot `array_min(transform(...))` HOF form and the
+  * explode + `min(...)` aggregate form (`hashInt(i, 42)` is the folded seed
+  * literal, then `hashUTF8String` per element; a null element contributes
+  * the bare seed, exactly as `xxhash64` skips null children). Replacing the
+  * aggregate formulation removes the signature shuffle entirely: the
+  * signature becomes a per-row projection, and the exploded inverted index
+  * is only needed for candidate verification.
+  *
+  * Null input → NULL; empty input → k null slots (array_min of empty). */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 1024, s"k must be in [1, 1024], got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got $t")
+  }
+
+  /** xxhash64(lit(i), …) folds the int literal first: hashInt(i, 42). */
+  private lazy val slotSeeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val isNull = a.isNullAt(j)
+      val s = if (isNull) null else a.getUTF8String(j)
+      var i = 0
+      while (i < k) {
+        val h = if (isNull) slotSeeds(i) else XXH64.hashUTF8String(s, slotSeeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val seeds = ctx.addReferenceObj("slotSeeds", slotSeeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[$k]);
+         |} else {
+         |  final long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    final org.apache.spark.unsafe.types.UTF8String $s =
+         |      $a.isNullAt($j) ? null : $a.getUTF8String($j);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      final long $h = $s == null ? $seeds[$i]
+         |        : $xxh.hashUTF8String($s, $seeds[$i]);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 object HashKernels {
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
   def lshBucket(vec: Column, nbits: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(vec), nbits))
+  def minhashSig(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(shingles), k))
 }

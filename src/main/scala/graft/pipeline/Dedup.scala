@@ -92,12 +92,12 @@ object Dedup {
     graft.expressions.PairCombos(docs)
 
   /** MinHash signature: k minimums of seeded xxhash64 over the shingle set.
-    * Pure expression work — evaluated inside whole-stage codegen per row. */
-  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    F.array((0 until k).map(seed =>
-      F.array_min(F.transform(sh, s => F.xxhash64(F.lit(seed), s)))): _*)
-  }
+    * Pure expression work — one codegen'd pass over the shingle set
+    * ([[graft.expressions.MinHashSigExpr]]); slot values are bit-identical
+    * to the former per-slot `array_min(transform(...))` HOF form (which
+    * evaluated interpreted, k passes per row). NULL text → NULL signature. */
+  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column =
+    graft.expressions.HashKernels.minhashSig(shingles(text, n), k)
 
   /** LSH banding of a minhash signature: `bands` hashes, each over
     * `k/bands` consecutive signature slots. */
@@ -110,40 +110,48 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
     *
-    * Shape chosen for scale AND to keep Catalyst honest: shingles are
-    * exploded **once** into (id, shingle) rows, the k signature slots are
-    * `min(xxhash64(seed, shingle))` aggregates over that one pass (map-side
-    * partial min → one shuffle on id), and bands hash 4 signature columns
-    * each. The naive all-array formulation (signature as a nested array
-    * expression) gets inlined by CollapseProject into every band consumer
-    * and recomputes the shingle set hundreds of times per row — measured
-    * 250s → ~5s on the sf0.1 corpus for this restructuring.
+    * Shape chosen for scale AND to keep Catalyst honest: the k signature
+    * slots come from ONE codegen'd pass over each row's shingle set
+    * ([[graft.expressions.MinHashSigExpr]]) — a pure projection, zero
+    * shuffle (the former explode + k min-aggregates formulation paid a
+    * corpus-wide shuffle on id just to build signatures; slot values are
+    * bit-identical). Shingles are exploded into an inverted index only for
+    * verification, and only for candidate documents. The naive all-array
+    * HOF formulation (signature as a nested array expression) is worse
+    * still: CollapseProject inlines it into every band consumer and
+    * recomputes the shingle set hundreds of times per row — measured 250s
+    * → ~5s on the sf0.1 corpus when first restructured.
     *
     * Candidates come only from shared LSH buckets; verification recounts
-    * common shingles through the same inverted index (semi-joined down to
-    * candidate ids). Recall ≈ 1-(1-t^r)^b at similarity t; precision exact. */
+    * common shingles through the candidate-only inverted index.
+    * Recall ≈ 1-(1-t^r)^b at similarity t; precision exact. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val r = k / bands
-    val exploded = shingled(df, textCol, idCol, n)
-    // k minhash slots as plain aggregates over the single exploded pass
-    val sig = exploded.groupBy("id").agg(
-      F.min(F.xxhash64(F.lit(0), F.col("shingle"))).as("h0"),
-      (1 until k).map(i =>
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).as(s"h$i")): _*)
+    // per-row signature; docs with no shingles have none (as when explode
+    // dropped them)
+    val sig = df
+      .select(F.col(idCol).as("id"), tokens(F.col(textCol)).as("toks"))
+      .select(F.col("id"), shinglesFromTokens(F.col("toks"), n).as("sh"))
+      .where(F.size(F.col("sh")) > 0)
+      .select(F.col("id"),
+        graft.expressions.HashKernels.minhashSig(F.col("sh"), k).as("sig"))
     val bandCols = (0 until bands).map { bnd =>
       F.struct(F.lit(bnd).as("band"),
-        F.xxhash64((0 until r).map(i => F.col(s"h${bnd * r + i}")): _*).as("bh")).as(s"b$bnd")
+        F.xxhash64((0 until r).map(i =>
+          F.element_at(F.col("sig"), bnd * r + i + 1)): _*).as("bh")).as(s"b$bnd")
     }
     val banded = sig.select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bb"))
       .select(F.col("id"), F.col("bb.band").as("band"), F.col("bb.bh").as("bh"))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(F.col("x.id") < F.col("y.id"))
       .select(F.col("x.id").as("a"), F.col("y.id").as("b")).distinct()
-    // verify: exact jaccard via the same inverted index, candidates only
+    // verify: exact jaccard via an inverted index over candidate docs only
     val candIds = cand.select(F.col("a").as("id"))
       .union(cand.select(F.col("b"))).distinct()
-    val candShingles = exploded.join(candIds, Seq("id"))
+    val candDocs = df.select(F.col(idCol).as("id"), F.col(textCol))
+      .join(candIds, Seq("id"))
+    val candShingles = shingled(candDocs, textCol, "id", n)
     val sizes = candShingles.groupBy("id").agg(F.count(F.lit(1)).as("n_sh"))
     val sided = candShingles.join(sizes, Seq("id"))
     val common = sided.as("p").join(sided.as("q"), Seq("shingle"))

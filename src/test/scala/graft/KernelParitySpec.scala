@@ -36,6 +36,37 @@ class KernelParitySpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
   }
 
+  test("minhashSig kernel == HOF formulation on the documents corpus") {
+    import graft.expressions.HashKernels
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs
+      .select(F.col("doc_id"), Dedup.tokens(F.col("text")).as("toks"))
+      .select(F.col("doc_id"), Dedup.shinglesFromTokens(F.col("toks"), 3).as("sh"))
+    val k = 32
+    val hof = F.array((0 until k).map(seed =>
+      F.array_min(F.transform(F.col("sh"), s => F.xxhash64(F.lit(seed), s)))): _*)
+    val mismatches = sh.select(
+        HashKernels.minhashSig(F.col("sh"), k).as("kk"), hof.as("hh"))
+      .filter(F.col("kk") =!= F.col("hh"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("minhashSig kernel edge cases: empty shingles → null slots; null → null") {
+    import graft.expressions.HashKernels
+    import spark.implicits._
+    val df = Seq((1L, Array("a b c", "b c d")), (2L, Array.empty[String]),
+      (3L, null: Array[String])).toDF("id", "sh")
+    val rows = df.select(F.col("id"), HashKernels.minhashSig(F.col("sh"), 4).as("s"))
+      .collect()
+    assert(rows.find(_.getLong(0) == 1L).get.getSeq[Long](1).length == 4)
+    // empty → 4 null slots (array_min-of-empty semantics per slot)
+    assert(rows.find(_.getLong(0) == 2L).get.getSeq[Any](1).forall(_ == null))
+    // null input → null signature (kernel-documented; the old HOF form gave
+    // an array of nulls here — minhashLshPairs filters these out either way)
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(1))
+  }
+
   test("lshBucket kernel == HOF formulation on the embeddings table") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     Seq(1, 4, 8, 16).foreach { nbits =>
