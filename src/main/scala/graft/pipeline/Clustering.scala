@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Connected components over near-duplicate pair lists — the step that
+  * turns dedup PAIRS (minhash/jaccard/embedding) into dedup CLUSTERS with
+  * one representative per group.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SOCC'14 — a public
+  * algorithm). Each round is two shuffles over the edge set; the edge set
+  * contracts toward a star forest whose centers are the component minima in
+  * O(log²) rounds (a handful in practice). No driver-side graph, no
+  * O(diameter) label propagation — a 100-million-node chain converges in
+  * ~7 rounds, not 10⁸.
+  *
+  * Reference anchor: the reference exposes pairwise dedup only; clustering
+  * is the composition its users run downstream (SURVEY §2.10 scale ops).
+  */
+object Clustering {
+
+  /** (node, component) for every node in `edges` (plus `nodes` if given —
+    * isolated nodes map to themselves). Component id = min node id in the
+    * component. Node ids must be castable to long. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: Option[DataFrame] = None, maxRounds: Int = 30): DataFrame = {
+    val u = F.col("u"); val v = F.col("v")
+    // canonical undirected edge set: (min, max), no loops, distinct
+    def canon(e: DataFrame): DataFrame =
+      e.select(F.least(u, v).as("u"), F.greatest(u, v).as("v"))
+        .where(u =!= v).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.select(u, v).union(e.select(v.as("u"), u.as("v")))
+
+    var e = canon(edges.select(
+        F.col(srcCol).cast("long").as("u"), F.col(dstCol).cast("long").as("v")))
+      .localCheckpoint() // truncate lineage per round: plans stay O(1)
+    var converged = e.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbor larger than u attaches to u's minimum
+      val s1 = sym(e)
+      val m1 = s1.groupBy("u").agg(F.least(F.min(v), u).as("m"))
+      val e1 = canon(s1.join(m1, "u").where(v > u)
+        .select(v.as("u"), F.col("m").as("v")))
+      // small-star: every neighbor not larger than u attaches to that
+      // minimum (each edge considered once, under its larger endpoint)
+      val s2 = sym(e1).where(v < u)
+      val m2 = s2.groupBy("u").agg(F.min(v).as("m"))
+      val e2 = canon(
+        s2.join(m2, "u").select(v.as("u"), F.col("m").as("v"))
+          .union(m2.select(u, F.col("m").as("v"))))
+        .localCheckpoint()
+      // converged when the canonical edge set is unchanged
+      converged = e2.union(e).distinct().count() == e.count()
+      e = e2
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds")
+    // star forest: every edge is (center=min, leaf); centers map to
+    // themselves, isolated nodes likewise
+    val assign = e.select(v.as("node"), u.as("component"))
+      .union(e.select(u.as("node"), u.as("component")).distinct())
+    nodes match {
+      case None => assign
+      case Some(ns) =>
+        val all = ns.select(F.col(ns.columns.head).cast("long").as("node"))
+        all.join(assign, Seq("node"), "left")
+          .select(F.col("node"),
+            F.coalesce(F.col("component"), F.col("node")).as("component"))
+    }
+  }
+
+  /** Dedup clusters straight from near-dup pairs: every document keyed to
+    * its cluster representative (min id); `keep = (node == component)`
+    * marks the survivor of each cluster. */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      nodes: Option[DataFrame] = None): DataFrame =
+    connectedComponents(pairs, aCol, bCol, nodes)
+      .withColumn("keep", F.col("node") === F.col("component"))
+}

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Deterministic corpus mixing: downsample each source/domain/language
+  * slice to a target weight with a pure row-local decision — the "data
+  * mixture" step of a training pipeline (domain reweighting à la
+  * Pile/RefinedWeb recipes; public methodology).
+  *
+  * The keep decision hashes the document id with a Knuth multiplicative
+  * hash on a prime-folded id:
+  * `((id % 1000003) * 2654435761) % 1_000_000 < weight * 1_000_000`.
+  * Properties that matter at 100 TB:
+  *   - zero shuffle, zero state: a pure filter inside whole-stage codegen;
+  *   - reproducible across runs, engines, and partitionings (no RNG, no
+  *     row ordering dependence — the same id always makes the same cut);
+  *   - expressible in ANSI SQL, so the mix is auditable outside Spark
+  *     (the gate's DuckDB oracle runs the identical arithmetic).
+  * The prime fold keeps the product within 2^63 so the arithmetic never
+  * overflows in engines that raise on bigint overflow.
+  */
+object DataMix {
+  private val Fold = 1000003L        // prime > the hash bucket count
+  private val Mult = 2654435761L     // Knuth's 2^32 golden-ratio multiplier
+  private val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) for a long id — row-local, overflow-safe. */
+  def bucket(id: Column): Column =
+    F.pmod((F.pmod(id.cast("long"), F.lit(Fold))) * Mult, F.lit(Buckets))
+
+  /** Keep each row of group g with probability ~weights(g) (exact per-id
+    * determinism, not sampling). Groups without a weight keep
+    * `defaultWeight`. */
+  def sampleByWeights(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "weights must be in [0, 1]")
+    val wmap = F.map(weights.toSeq.sortBy(_._1).flatMap { case (k, w) =>
+      Seq(F.lit(k), F.lit((w * Buckets).toLong)) }: _*)
+    val threshold = F.coalesce(
+      F.element_at(wmap, F.col(groupCol)),
+      F.lit((defaultWeight * Buckets).toLong))
+    df.where(bucket(F.col(idCol)) < threshold)
+  }
+
+  /** Per-group kept/total counts for a candidate mix — the audit table a
+    * mixing decision is reviewed on. */
+  def mixReport(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    val kept = sampleByWeights(df, idCol, groupCol, weights, defaultWeight)
+      .groupBy(groupCol).agg(F.count(F.lit(1)).as("n_kept"))
+    df.groupBy(groupCol).agg(F.count(F.lit(1)).as("n_total"))
+      .join(kept, Seq(groupCol), "left")
+      .select(F.col(groupCol),
+        F.col("n_total"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"))
+  }
+}

@@ -122,6 +122,38 @@ object PipelineOracles {
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // components of the consecutive-id-within-block-of-100 chain graph,
+    // via gaps-and-islands (no recursion needed for a path graph)
+    "q_dedup_clusters" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+        |              AND doc_id % 100 <> 0 THEN 0 ELSE 1 END AS brk
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |        sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM o)
+        |SELECT doc_id AS node,
+        |  min(doc_id) OVER (PARTITION BY grp) AS component
+        |FROM g ORDER BY node""".stripMargin,
+    "q_decontaminate" ->
+      s"""$shinglesCte,
+         |eg AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 20),
+         |hits AS (SELECT DISTINCT ex.doc_id FROM ex JOIN eg USING (shingle))
+         |SELECT d.doc_id AS id,
+         |  d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+         |FROM documents d ORDER BY id""".stripMargin,
+    "q_data_mix" ->
+      """WITH b AS (SELECT lang, ((doc_id % 1000003) * 2654435761) % 1000000 AS bk
+        |           FROM documents),
+        |k AS (SELECT lang, count(*) AS n_kept FROM b
+        |      WHERE bk < CASE lang WHEN 'en' THEN 500000
+        |                           WHEN 'de' THEN 250000
+        |                           ELSE 750000 END
+        |      GROUP BY lang)
+        |SELECT t.lang, t.n_total, COALESCE(k.n_kept, 0) AS n_kept
+        |FROM (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang) t
+        |LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin
   )
 }

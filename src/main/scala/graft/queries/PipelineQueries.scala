@@ -131,6 +131,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // --- dedup clustering / decontamination / mixing ---
+    "q_dedup_clusters" -> ((s, dir) => {
+      // deterministic multi-hop edge set: consecutive doc ids chain within
+      // blocks of 100 → components are 100-node paths, which forces the
+      // star algorithm through its O(log) contraction rounds (a star-shaped
+      // dup group would converge trivially)
+      val d = t(s, dir, "documents").select("doc_id")
+      val edges = d.as("a").join(d.as("b"),
+          F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+            F.col("a.doc_id") % 100 =!= 99)
+        .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+      graft.pipeline.Clustering
+        .connectedComponents(edges, "src", "dst", nodes = Some(d))
+        .orderBy("node")
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evals = docs.where(F.col("doc_id") < 20)
+      graft.pipeline.Decontaminate
+        .overlapFlags(docs, "text", "doc_id", evals, "text", n = 3)
+        .orderBy("id")
+    }),
+    "q_data_mix" -> ((s, dir) => {
+      graft.pipeline.DataMix.mixReport(t(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultWeight = 0.75)
+        .orderBy("lang")
+    }),
+
     // --- events / JSON ---
     "q_events_json" -> ((s, dir) => {
       val e = t(s, dir, "events")

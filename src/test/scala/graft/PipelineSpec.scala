@@ -12,6 +12,91 @@ class PipelineSpec extends AnyFunSuite {
   def docs = spark.read.parquet(s"$sf/documents.parquet")
   def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("connected components match union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map(i => i.toLong -> {
+        // component = min node id reachable — min over members of the root's set
+        val r = find(i)
+        (0 until n).filter(j => find(j) == r).min.toLong
+      }).toMap
+      val got = graft.pipeline.Clustering.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst",
+          nodes = Some((0L until n.toLong).toDF("node")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("connected components: long chain converges in logarithmic rounds") {
+    import spark.implicits._
+    // a 200-node path: label propagation would need 200 rounds; the star
+    // algorithm must finish within the 30-round guard or throw
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = graft.pipeline.Clustering.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(comp.toSeq == Seq(0L))
+  }
+
+  test("dedup clusters: minhash pairs collapse to one representative per group") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", 32, 8, 3, 0.9)
+    val ids = docs.select("doc_id")
+    val clusters = graft.pipeline.Clustering.dedupClusters(
+      pairs, "a", "b", nodes = Some(ids))
+    // every doc assigned; representatives are exactly the component minima
+    assert(clusters.count() == docs.count())
+    val bad = clusters.filter(F.col("keep") =!= (F.col("node") === F.col("component"))).count()
+    assert(bad == 0)
+    // survivors + members partition the corpus
+    val survivors = clusters.filter(F.col("keep")).count()
+    val members = clusters.select("component").distinct().count()
+    assert(survivors == members)
+  }
+
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words appear here"),
+      (3L, "another text with quick brown fox inside it"),
+      (4L, "short one")).toDF("doc_id", "text")
+    val evals = Seq((100L, "a quick brown fox story")).toDF("eval_id", "text")
+    val flags = graft.pipeline.Decontaminate
+      .overlapFlags(corpus, "text", "doc_id", evals, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    val clean = graft.pipeline.Decontaminate
+      .removeContaminated(corpus, "text", "doc_id", evals, "text", n = 3)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("data mix: deterministic, partition-independent, weight-proportional") {
+    val report = graft.pipeline.DataMix.mixReport(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), defaultWeight = 0.75)
+    val rows = report.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // kept fraction lands near the weight for the big en slice
+    val (enTotal, enKept) = rows("en")
+    assert(math.abs(enKept.toDouble / enTotal - 0.5) < 0.15, rows("en"))
+    // same decision regardless of partitioning
+    val a = graft.pipeline.DataMix.sampleByWeights(docs, "doc_id", "lang",
+      Map("en" -> 0.5)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.pipeline.DataMix.sampleByWeights(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.5)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val out = Dedup.exact(docs, "text", "doc_id")
     assert(out.count() == docs.select("text").distinct().count())
