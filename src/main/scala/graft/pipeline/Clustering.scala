@@ -32,10 +32,22 @@ object Clustering {
     def sym(e: DataFrame): DataFrame =
       e.select(u, v).union(e.select(v.as("u"), u.as("v")))
 
+    // order-independent edge-set signature, computed in ONE job per round
+    // (count + xxhash64 XOR over the canonical distinct set; XOR cannot
+    // overflow under ANSI mode and is partition-order independent). A
+    // colliding signature on a changed set would stop a round early —
+    // astronomically unlikely over distinct 64-bit edge hashes, and the
+    // union-find differential spec guards the semantics.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     var e = canon(edges.select(
         F.col(srcCol).cast("long").as("u"), F.col(dstCol).cast("long").as("v")))
       .localCheckpoint() // truncate lineage per round: plans stay O(1)
-    var converged = e.isEmpty
+    var sig = signature(e)
+    var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
       // large-star: every neighbor larger than u attaches to u's minimum
@@ -51,8 +63,9 @@ object Clustering {
         s2.join(m2, "u").select(v.as("u"), F.col("m").as("v"))
           .union(m2.select(u, F.col("m").as("v"))))
         .localCheckpoint()
-      // converged when the canonical edge set is unchanged
-      converged = e2.union(e).distinct().count() == e.count()
+      val sig2 = signature(e2)
+      converged = sig2 == sig
+      sig = sig2
       e = e2
       round += 1
     }
