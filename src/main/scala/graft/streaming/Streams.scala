@@ -56,6 +56,20 @@ object Streams {
       .groupBy(F.window(F.col(tsCol), window, slide) +: keys.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("n"), F.sum(F.col(valueCol)).as("value_sum"))
 
+  /** Gap-based streaming sessionization: the streaming face of the batch
+    * `session_window` operator (q_sessionize) — a session extends while
+    * consecutive events per key arrive < gap apart. Under append mode the
+    * watermark both finalizes sessions and bounds state; StreamingSpec
+    * proves the emitted sessions equal the batch computation. */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+      watermark: String, keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(F.session_window(F.col(tsCol), gap) +: keys.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_events"), F.max(F.col(tsCol)).as("last_ts"))
+      .select(keys.map(F.col) ++ Seq(
+        F.col("session_window.start").as("session_start"),
+        F.col("last_ts"), F.col("n_events")): _*)
+
   /** Run a (bounded) streaming query into an in-memory table and block until
     * all available input is processed — the micro-batch harness used by the
     * local tests and the pub/sub continuous mode. */

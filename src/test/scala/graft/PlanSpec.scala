@@ -110,6 +110,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: eval grams broadcast; corpus side never shuffles before the match") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evals = docs.where(F.col("doc_id") < 20)
+    val flags = graft.pipeline.Decontaminate.overlapFlags(
+      docs, "text", "doc_id", evals, "text", 3)
+    val p = plan(flags)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the contamination match itself must not shuffle the corpus: the only
+    // exchanges are the hit-distinct and the final left join, downstream of
+    // the broadcast match
+    val beforeJoin = p.substring(0, p.indexOf("BroadcastHashJoin"))
+    assert(!beforeJoin.contains("Exchange"), p)
+  }
+
+  test("data mix: pure filter, zero exchanges, inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mixed = graft.pipeline.DataMix.sampleByWeights(
+      docs, "doc_id", "lang", Map("en" -> 0.5), 0.75)
+    val p = plan(mixed)
+    assert(count(p, "Exchange") == 0, p)
+    // "*(1) Filter" is the whole-stage-codegen marker in executedPlan toString
+    assert(p.contains("*(1) Filter"), p)
+  }
+
+  test("minhash signature stage is a projection — no aggregate, no lambda") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = docs.select(
+      graft.pipeline.Dedup.minhashSignature(F.col("text"), 32, 3))
+    val opt = sig.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("lambdafunction"), opt)
+    val p = plan(sig)
+    assert(count(p, "Exchange") == 0, p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty

@@ -40,6 +40,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotRows.subsetOf(expRows))
   }
 
+  test("streaming sessionization matches the batch session_window computation") {
+    val dir = Files.createTempDirectory("graft-stream-sess")
+    val batch = eventsBatch.select("user_id", "ts")
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val sess = Streams.sessionAgg(stream, "ts", "30 minutes", "1 hour", "user_id")
+    val q = Streams.runToMemory(sess, "sess_stream", outputMode = "append")
+    q.stop()
+
+    val expected = batch
+      .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.max("ts").as("last_ts"))
+      .select(F.col("user_id"), F.col("session_window.start").as("session_start"),
+        F.col("last_ts"), F.col("n_events"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val got = rows(spark.table("sess_stream"))
+    val exp = rows(expected)
+    // append mode finalizes sessions as the watermark passes; everything
+    // emitted must be a batch session, and nearly all sessions must emit
+    // (only sessions ending within the final watermark delay are held back)
+    assert(got.nonEmpty)
+    assert(got.subsetOf(exp))
+    assert(got.size >= (exp.size * 9) / 10, s"${got.size} of ${exp.size} emitted")
+  }
+
   test("store table versions stream as micro-batches") {
     val store = new graft.store.TableStore(
       java.nio.file.Files.createTempDirectory("graft-stream-store").toString, spark)
