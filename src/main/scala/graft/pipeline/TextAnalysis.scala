@@ -21,13 +21,13 @@ object TextAnalysis {
   def charCount(text: Column): Column = F.char_length(text)
   def distinctTokenCount(text: Column): Column = distinctTokenCountFromTokens(tokens(text))
   def distinctTokenCountFromTokens(toks: Column): Column = F.size(F.array_distinct(toks))
-  /** Mean token length in chars, double. Prefer the FromTokens variant with a
-    * materialized token column on hot paths — an inline `split` here would be
-    * re-evaluated inside the (interpreted) aggregate lambda. */
+  /** Mean token length in chars, double. Total token chars =
+    * `char_length(array_join(toks, ""))` — same value as the former
+    * `aggregate` fold (sum of per-token lengths) but a codegen'd builtin
+    * instead of an interpreted lambda. */
   def meanTokenLength(text: Column): Column = meanTokenLengthFromTokens(tokens(text))
   def meanTokenLengthFromTokens(toks: Column): Column =
-    F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.char_length(t)).cast(DoubleType) /
-      F.size(toks)
+    F.char_length(F.array_join(toks, "")).cast(DoubleType) / F.size(toks)
 
   /** Small per-language stopword marker sets for the n-gram-free heuristic
     * language ID. Deliberately tiny — the operator shape (score-and-argmax
@@ -42,10 +42,8 @@ object TextAnalysis {
   /** Per-language marker hit count. */
   def langScore(text: Column, lang: String): Column =
     langScoreFromTokens(tokens(text), lang)
-  def langScoreFromTokens(toks: Column, lang: String): Column = {
-    val words = stopwords.toMap.apply(lang)
-    F.size(F.filter(toks, t => t.isin(words: _*)))
-  }
+  def langScoreFromTokens(toks: Column, lang: String): Column =
+    graft.expressions.TextKernels.tokenSetHits(toks, stopwords.toMap.apply(lang))
 
   /** Heuristic language ID: argmax of marker counts, ties broken by the
     * declared language precedence, "und" when nothing matches. */
@@ -79,8 +77,15 @@ object TextAnalysis {
     F.md5(F.array_join(F.slice(tokens(text), 1, n), " ").cast(BinaryType))
 
   /** Rolling-hash content fingerprint: xxhash64 of every w-token window,
-    * keep the minimum (a 1-of-n winnowing sketch). */
-  def winnowFingerprint(text: Column, w: Int = 4): Column = {
+    * keep the minimum (a 1-of-n winnowing sketch). One kernel pass
+    * ([[graft.expressions.WinnowMinHash]]); bit-parity with the former
+    * transform/slice HOF chain is asserted in KernelParitySpec. */
+  def winnowFingerprint(text: Column, w: Int = 4): Column =
+    graft.expressions.TextKernels.winnowMinHash(tokens(text), w)
+
+  /** Reference HOF formulation of [[winnowFingerprint]] — parity oracle
+    * only (interpreted lambdas, fresh slice per window). */
+  private[graft] def winnowFingerprintHof(text: Column, w: Int = 4): Column = {
     val toks = tokens(text)
     val windows = F.transform(F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(0))),
       i => F.xxhash64(F.array_join(F.slice(toks, i + 1, F.lit(w)), " ")))

@@ -61,6 +61,27 @@ object ScalingProbe {
       ("gopher", 100, { d =>
         graft.pipeline.QualityFilters.withGopherSignals(d, "text", Seq("doc_id"))
           .filter(F.col("passes_gopher")).count()
+      }),
+      ("clusters", 100, { d =>
+        // chain edges within blocks of 100 (the q_dedup_clusters shape);
+        // copies' id-shift keeps edges intra-copy → edge count linear in n
+        val ids = d.select("doc_id")
+        val edges = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        graft.pipeline.Clustering.connectedComponents(edges, "src", "dst").count()
+      }),
+      ("decontaminate", 100, { d =>
+        val evals = base.where(F.col("doc_id") < 20)
+        graft.pipeline.Decontaminate
+          .overlapFlags(d, "text", "doc_id", evals, "text", 3)
+          .where(F.col("contaminated")).count()
+      }),
+      ("datamix", 100, { d =>
+        graft.pipeline.DataMix.sampleByWeights(
+          d.withColumn("lang", F.lit("en")), "doc_id", "lang",
+          Map("en" -> 0.5), 0.75).count()
       }))
 
     val ops = if (opFilter.isEmpty) ops0 else ops0.filter(o => opFilter(o._1))

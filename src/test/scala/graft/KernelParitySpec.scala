@@ -67,6 +67,33 @@ class KernelParitySpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 3L).get.isNullAt(1))
   }
 
+  test("winnow and token-set-hits kernels == HOF formulations on the corpus") {
+    import graft.pipeline.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(1, 4, 9).foreach { w =>
+      val mm = docs.select(
+          TextAnalysis.winnowFingerprint(F.col("text"), w).as("k"),
+          TextAnalysis.winnowFingerprintHof(F.col("text"), w).as("h"))
+        .filter(F.col("k") =!= F.col("h")).count()
+      assert(mm == 0, s"w=$w")
+    }
+    // token-set hits vs the filter/isin form, occurrences included
+    val toks = TextAnalysis.tokens(F.col("text"))
+    val words = TextAnalysis.stopwords.toMap.apply("en")
+    val mm2 = docs.select(
+        graft.expressions.TextKernels.tokenSetHits(toks, words).as("k"),
+        F.size(F.filter(toks, t => t.isin(words: _*))).as("h"))
+      .filter(F.col("k") =!= F.col("h")).count()
+    assert(mm2 == 0)
+    // mean token length: array_join total == aggregate fold total
+    val mm3 = docs.select(
+        TextAnalysis.meanTokenLength(F.col("text")).as("k"),
+        (F.aggregate(toks, F.lit(0L), (acc, t) => acc + F.char_length(t))
+          .cast("double") / F.size(toks)).as("h"))
+      .filter(F.col("k") =!= F.col("h")).count()
+    assert(mm3 == 0)
+  }
+
   test("lshBucket kernel == HOF formulation on the embeddings table") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     Seq(1, 4, 8, 16).foreach { nbits =>
