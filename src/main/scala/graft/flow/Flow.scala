@@ -177,9 +177,14 @@ object Offsets {
     val p = path(root, fn)
     if (!Files.exists(p)) Map.empty
     else {
-      val s = Files.readString(p, StandardCharsets.UTF_8)
-      "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(s)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      // real JSON parse (same reasoning as the store's version log): a
+      // regex scrape breaks on escaped quotes in offset values
+      val n = graft.store.TableStore.jsonMapper
+        .readTree(Files.readString(p, StandardCharsets.UTF_8))
+      val it = n.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
     }
   }
 
@@ -188,8 +193,9 @@ object Offsets {
     val p = path(root, fn)
     Files.createDirectories(p.getParent)
     val tmp = p.getParent.resolve(s".${fn}.tmp")
-    val body = offsets.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    val node = graft.store.TableStore.jsonMapper.createObjectNode()
+    offsets.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val body = graft.store.TableStore.jsonMapper.writeValueAsString(node)
     Files.writeString(tmp, body, StandardCharsets.UTF_8)
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }

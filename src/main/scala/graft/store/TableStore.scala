@@ -272,5 +272,5 @@ final class TableStore(val root: String, spark: SparkSession) {
 
 object TableStore {
   /** Shared mapper for the version log (thread-safe after configuration). */
-  private[store] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[graft] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

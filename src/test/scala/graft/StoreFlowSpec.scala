@@ -162,6 +162,13 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(store.versions("c", "t").size == 2)
   }
 
+  test("offsets round-trip values carrying quotes/backslashes") {
+    val root = Files.createTempDirectory("graft-off").toString
+    val offs = Map("cursor" -> """he said "42\"""", "wm" -> "2026-01-01T00:00:00Z")
+    graft.flow.Offsets.save(root, "fn1", offs)
+    assert(graft.flow.Offsets.load(root, "fn1") == offs)
+  }
+
   test("version log round-trips entries whose strings carry quotes/backslashes") {
     val store = freshStore()
     val e = VersionEntry(
