@@ -125,18 +125,24 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
     val results = f.fn(ctx)
     require(results.length == f.outputs.length,
       s"${f.name}: produced ${results.length} outputs, declared ${f.outputs.length}")
-    // one transaction spanning all outputs (all-or-nothing publication)
+    // one transaction spanning all outputs (all-or-nothing publication);
+    // a failure mid-stage aborts it — staged dirs are deleted, the
+    // appended log entries stay invisible forever (their txn never commits)
     val txid = store.newId()
-    val entries = f.outputs.zip(results).map { case (table, tf0) =>
-      // a null slot is the reference's `return None` (testing_resources
-      // test_output_*_with_none): the table still gets a committed version,
-      // but an empty one — schema carried over from the previous HEAD so
-      // readers of the version range keep a stable shape
-      val tf = Option(tf0).getOrElse(emptyFrame(f.collection, table))
-      val ctx2 = SysCtx(executionId, txid, store.newId(),
-        new java.sql.Timestamp(executionTs))
-      (table, store.stageWrite(f.collection, table, tf.df, ctx2))
-    }
+    val entries =
+      try f.outputs.zip(results).map { case (table, tf0) =>
+        // a null slot is the reference's `return None` (testing_resources
+        // test_output_*_with_none): the table still gets a committed
+        // version, but an empty one — schema carried over from the
+        // previous HEAD so readers of the version range keep a stable shape
+        val tf = Option(tf0).getOrElse(emptyFrame(f.collection, table))
+        val ctx2 = SysCtx(executionId, txid, store.newId(),
+          new java.sql.Timestamp(executionTs))
+        (table, store.stageWrite(f.collection, table, tf.df, ctx2))
+      } catch { case e: Throwable =>
+        store.abortTransaction(txid)
+        throw e
+      }
     store.commitTransaction(txid)
     Offsets.save(store.root, f.name, sink.toMap)
     entries.map { case (t, _) => (f.collection, t) }

@@ -163,6 +163,22 @@ final class TableStore(val root: String, spark: SparkSession) {
     e
   }
 
+  /** Abort a transaction: drop its staged version dirs from disk and the
+    * pending-move map. The log entries it appended stay — they reference a
+    * transaction that never commits, so `versions()` filters them out
+    * forever (same tombstone shape as the reference's uncommitted
+    * transactions). Without this, a failed run leaks its staged data under
+    * `.staging/` indefinitely. */
+  def abortTransaction(txid: String): Unit = {
+    val moves = stagedMoves.synchronized { stagedMoves.remove(txid).getOrElse(Nil) }
+    moves.foreach { case (from, _) =>
+      if (Files.exists(from)) {
+        Files.walk(from).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** Write one table in its own single-version transaction. */
   def write(coll: String, table: String, df: DataFrame): VersionEntry = {
     val ctx = SysCtx.fresh().copy(version = newId())

@@ -136,6 +136,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling window == brute-force double loop on random series") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val series: Gen[List[(Int, Long, Double)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 2)
+        t <- Gen.choose(0L, 50L)
+        v <- Gen.choose(-100, 100)
+      } yield (g, t, v.toDouble))
+    } yield rows
+    for (rows <- samples(series)) {
+      val period = 5L
+      val df = rows.toDF("g", "t", "v")
+      val got = graft.operators.Rolling.rolling(df, "t", period, Seq("g"), "v",
+          Map("s" -> ((c, w) => F.sum(c).over(w)),
+              "n" -> ((c, w) => F.count(c).over(w))))
+        .select("g", "t", "v", "s", "n")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).toList.sorted
+      // brute force: for each row, all rows of the group within (t-period, t]
+      val expect = rows.map { case (g, t, v) =>
+        val in = rows.filter { case (g2, t2, _) => g2 == g && t2 > t - period && t2 <= t }
+        (g, t, v, in.map(_._3).sum, in.size.toLong)
+      }.sorted
+      assert(got == expect)
+    }
+  }
+
+  test("interpolate == manual linear interpolation on random gappy series") {
+    import spark.implicits._
+    val series: Gen[List[(Long, Option[Double])]] = for {
+      n <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.option(Gen.choose(-50, 50).map(_.toDouble))
+      } yield v)
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (rows <- samples(series)) {
+      val df = rows.map { case (t, v) => (t, v.map(Double.box).orNull) }
+        .toDF("t", "v").selectExpr("t", "CAST(v AS DOUBLE) AS v")
+      val got = graft.operators.SeriesOps.interpolate(df, "v", "t")
+        .orderBy("t").collect()
+        .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toList
+      // manual: null gets prev + (next-prev)*(t-pt)/(nt-pt); edge nulls stay
+      val known = rows.collect { case (t, Some(v)) => (t, v) }
+      val expect = rows.map {
+        case (_, Some(v)) => Some(v)
+        case (t, None) =>
+          val prev = known.filter(_._1 < t).lastOption
+          val next = known.find(_._1 > t)
+          (prev, next) match {
+            case (Some((pt, pv)), Some((nt, nv))) =>
+              Some(pv + (nv - pv) * (t - pt).toDouble / (nt - pt))
+            case _ => None
+          }
+      }
+      got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+        (g, e) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"row $i")
+          case (a, b) => assert(a == b, s"row $i")
+        }
+      }
+    }
+  }
+
   test("concat vertical + unique(any) == distinct union on random frames") {
     for ((a, b) <- samples(Gen.zip(keyed, keyed))) {
       import spark.implicits._

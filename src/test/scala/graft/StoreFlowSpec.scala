@@ -162,6 +162,33 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(store.versions("c", "t").size == 2)
   }
 
+  test("failed run aborts its transaction: staged dirs removed, no version visible") {
+    val store = freshStore()
+    val engine = new FlowEngine(store, spark)
+    import spark.implicits._
+    // second output's frame fails at write time (exploding UDF), AFTER the
+    // first output has already staged
+    val boom = F.udf(() => {
+      throw new RuntimeException("boom"); 1
+    })
+    engine.publisher("p", "c", Seq("good", "bad")) { _ =>
+      Seq(
+        TableFrame.fromRaw(Seq(1).toDF("v")),
+        TableFrame.fromRaw(spark.range(1).select(boom().as("v"))))
+    }
+    intercept[Exception](engine.trigger("p"))
+    // nothing visible, nothing staged on disk
+    assert(store.scan("c/good").isEmpty && store.scan("c/bad").isEmpty)
+    val staging = java.nio.file.Paths.get(store.root, "c", "good", ".staging")
+    assert(!Files.exists(staging) || Files.list(staging).count() == 0)
+    // and a later successful run proceeds normally
+    engine.register(graft.flow.FlowFunction("p2", "c", graft.flow.Role.Publisher,
+      Nil, Seq("good"), None,
+      _ => Seq(TableFrame.fromRaw(Seq(3).toDF("v")))))
+    engine.trigger("p2")
+    assert(store.scan("c/good").get.df.count() == 1)
+  }
+
   test("offsets round-trip values carrying quotes/backslashes") {
     val root = Files.createTempDirectory("graft-off").toString
     val offs = Map("cursor" -> """he said "42\"""", "wm" -> "2026-01-01T00:00:00Z")
