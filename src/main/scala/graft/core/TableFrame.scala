@@ -406,6 +406,23 @@ final case class TableFrame(df: DataFrame, origin: Origin.Value = Origin.Transfo
   /** Render the optimized plan (frame.py:545-585 explain/show_graph). */
   def explain_plan(mode: String = "formatted"): Unit = df.explain(mode)
 
+  /** User-column dtypes in declaration order (frame.py:422 dtypes). */
+  def dtypes: Seq[org.apache.spark.sql.types.DataType] = userSchema.map(_.dataType)
+
+  /** User-column count (frame.py:430 width). */
+  def width: Int = userSchema.length
+
+  /** True iff the frame has no rows (frame.py:661 is_empty). */
+  def is_empty: Boolean = df.isEmpty
+
+  /** Debug passthrough: print a sample, return the frame unchanged
+    * (frame.py:588 inspect — the reference formats through Polars'
+    * inspect; here `show` renders the user columns). */
+  def inspect(n: Int = 5): TableFrame = {
+    df.select(columns("user").map(bq): _*).show(n, truncate = false)
+    this
+  }
+
   /** User-facing projection for external sinks: drops `$td.*` system
     * columns (reference subscribers never export them — the destination
     * write path strips system columns, _io/outputs/file_outputs.py). */

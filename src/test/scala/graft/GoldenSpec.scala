@@ -384,6 +384,30 @@ class GoldenSpec extends AnyFunSuite {
     check(store.scan("c/t").get.df, s"$golden/file_incremental/expected_run2.json")
   }
 
+  test("golden: source plugin with multiple outputs feeds multiple tables") {
+    // reference test_input_plugin_multiple_inputs: one SourcePlugin run
+    // yields several frames, each landing in its own declared table
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-pmulti").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val src = new graft.sources.Source {
+      override def load(s: org.apache.spark.sql.SparkSession,
+          offsets: Map[String, String]) = Seq(
+        Seq((1, "a"), (2, "b")).toDF("id", "v"),
+        Seq(("X", 7), ("Y", 9)).toDF("code", "n"))
+    }
+    engine.publisher("pub", "c", Seq("t1", "t2")) { ctx =>
+      src.load(spark, ctx.offsets).map(TableFrame.fromRaw(_))
+    }
+    engine.trigger("pub")
+    check(store.scan("c/t1").get.df, s"$golden/plugin_multi/expected_t1.json")
+    check(store.scan("c/t2").get.df, s"$golden/plugin_multi/expected_t2.json")
+    // both landed in one transaction
+    assert(store.versions("c", "t1").head.transaction ==
+      store.versions("c", "t2").head.transaction)
+  }
+
   test("golden: multi-output transformer commits both tables in one transaction") {
     import graft.td
     val store = new TableStore(

@@ -68,7 +68,8 @@ class SurfaceSpec extends AnyFunSuite {
       "item", "clear", "cast", "sort", "join", "group_by", "agg", "unique",
       "drop_nulls", "drop_nans", "fill_null", "fill_nan", "fill_null_strategy",
       "grok", "columns", "schema", "has_same_schema", "has_cols",
-      "assert_has_cols", "shrink_dtype", "to_dict", "extract_rows")
+      "assert_has_cols", "shrink_dtype", "to_dict", "extract_rows",
+      "dtypes", "width", "is_empty", "inspect", "toExport")
     val missing = required -- m
     assert(missing.isEmpty, s"TableFrame missing: $missing")
   }
@@ -85,5 +86,9 @@ class SurfaceSpec extends AnyFunSuite {
     val e = TableFrame.empty(spark, tf.userSchema)
     assert(e.count() == 0 && e.has_same_schema(tf))
     assert(tf.extract_rows(1, 1).head.get(0) == 2)
+    assert(tf.width == 2 && !tf.is_empty && e.is_empty)
+    assert(tf.dtypes == Seq(org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.StringType))
+    assert(tf.inspect(1) eq tf) // passthrough returns the same frame
   }
 }
