@@ -48,6 +48,23 @@ object Dedup {
     df.groupBy(F.md5(F.col(textCol)).as("text_hash"))
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
 
+  /** Blocked fuzzy duplicate pairs (record linkage): candidate pairs form
+    * only inside a normalized-prefix block, then exact Levenshtein keeps
+    * pairs within `maxDist` edits. Blocking is what keeps this from going
+    * quadratic at scale — the join shuffles on the block key, and the
+    * O(block²) term is bounded by the block granularity the caller picks
+    * (same contract as [[embeddingNearDupPairs]]'s block column). */
+  def fuzzyPairs(df: DataFrame, col: String, idCol: String,
+      blockLen: Int = 8, maxDist: Int = 2): DataFrame = {
+    val b = df.select(F.col(idCol).as("id"), F.col(col).as("s"),
+      F.substring(F.lower(F.trim(F.col(col))), 1, blockLen).as("blk"))
+    b.as("x").join(b.as("y"),
+        F.col("x.blk") === F.col("y.blk") && F.col("x.id") < F.col("y.id"))
+      .withColumn("dist", F.levenshtein(F.col("x.s"), F.col("y.s")))
+      .where(F.col("dist") <= maxDist)
+      .select(F.col("x.id").as("a"), F.col("y.id").as("b"), F.col("dist"))
+  }
+
   /** Exact n-gram Jaccard pairs via an inverted shingle index:
     * explode(shingles) → self-join on shingle → count common shingles per
     * pair → jaccard = common / (|A|+|B|-common). Returns pairs (a < b) with

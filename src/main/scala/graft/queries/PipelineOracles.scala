@@ -137,6 +137,14 @@ object PipelineOracles {
         |SELECT doc_id AS node,
         |  min(doc_id) OVER (PARTITION BY grp) AS component
         |FROM g ORDER BY node""".stripMargin,
+    "q_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substr(lower(trim(a.c_name)), 1, 17) = substr(lower(trim(b.c_name)), 1, 17)
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a, b""".stripMargin,
     "q_decontaminate" ->
       s"""$shinglesCte,
          |eg AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 20),

@@ -146,6 +146,11 @@ object PipelineQueries {
         .connectedComponents(edges, "src", "dst", nodes = Some(d))
         .orderBy("node")
     }),
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      Dedup.fuzzyPairs(t(s, dir, "customer"), "c_name", "c_custkey",
+          blockLen = 17, maxDist = 1)
+        .orderBy("a", "b")
+    }),
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val evals = docs.where(F.col("doc_id") < 20)

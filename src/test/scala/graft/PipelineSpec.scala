@@ -64,6 +64,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors == members)
   }
 
+  test("fuzzy pairs: blocked levenshtein finds exactly the near-identical names") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Acme Corp"), (2L, "Acme Corp."), (3L, "Acme Company"),
+      (4L, "Beta LLC"), (5L, "Beta LLC"), (6L, "Zeta Ltd")).toDF("id", "name")
+    val pairs = Dedup.fuzzyPairs(df, "name", "id", blockLen = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2): 1 edit; (4,5): identical; (1,3)/(2,3): > 2 edits; Zeta alone
+    assert(pairs == Set((1L, 2L, 1), (4L, 5L, 0)))
+  }
+
   test("decontamination flags exactly the docs sharing an eval n-gram") {
     import spark.implicits._
     val corpus = Seq(
