@@ -50,11 +50,15 @@ object Clustering {
     var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
-      // large-star: every neighbor larger than u attaches to u's minimum
+      // large-star: every neighbor larger than u attaches to u's minimum.
+      // No distinct here — duplicate edges don't change small-star's min
+      // aggregation, and skipping the dedup saves one shuffle per round
+      // (the round's final canon() dedups once).
       val s1 = sym(e)
       val m1 = s1.groupBy("u").agg(F.least(F.min(v), u).as("m"))
-      val e1 = canon(s1.join(m1, "u").where(v > u)
-        .select(v.as("u"), F.col("m").as("v")))
+      val e1 = s1.join(m1, "u").where(v > u)
+        .select(F.least(v, F.col("m")).as("u"), F.greatest(v, F.col("m")).as("v"))
+        .where(u =!= v)
       // small-star: every neighbor not larger than u attaches to that
       // minimum (each edge considered once, under its larger endpoint)
       val s2 = sym(e1).where(v < u)
