@@ -49,8 +49,14 @@ final case class FileSource(
       val p = new org.apache.hadoop.fs.Path(pattern)
       val fs = p.getFileSystem(conf)
       val cutoff = parseWatermark(ts)
-      val anyNew = Option(fs.globStatus(p)).getOrElse(Array.empty)
-        .exists(_.getModificationTime > cutoff)
+      // compare FILE mtimes, descending one level into matched directories:
+      // a file rewritten in place does not bump its parent directory's
+      // mtime, so testing the matched status alone would miss it
+      def newer(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).exists(_.getModificationTime > cutoff)
+        else st.getModificationTime > cutoff
+      val anyNew = Option(fs.globStatus(p)).getOrElse(Array.empty).exists(newer)
       if (!anyNew) return Seq.empty
     }
     lastMod.foreach(ts => r = r.option("modifiedAfter", ts))

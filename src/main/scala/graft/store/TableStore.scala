@@ -146,8 +146,18 @@ final class TableStore(val root: String, spark: SparkSession) {
     val dir = tableDir(coll, table).resolve(".staging").resolve(versionId)
     val stamped = SystemColumns.addSys(df, ctx)
     val writer = stamped.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dir.toString)
+    try {
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(dir.toString)
+    } catch { case e: Throwable =>
+      // a half-written staging dir would otherwise leak: the pending move
+      // is only registered below, so abortTransaction can't see it
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      throw e
+    }
     val rows = spark.read.schema(stamped.schema).parquet(dir.toString).count()
     val schemaHash = Integer.toHexString(df.schema.filterNot(f =>
       SystemColumns.isSystem(f.name)).map(f => (f.name, f.dataType.sql)).hashCode())

@@ -177,10 +177,13 @@ class StoreFlowSpec extends AnyFunSuite {
         TableFrame.fromRaw(spark.range(1).select(boom().as("v"))))
     }
     intercept[Exception](engine.trigger("p"))
-    // nothing visible, nothing staged on disk
+    // nothing visible, nothing staged on disk — including the half-written
+    // dir of the output whose write itself failed
     assert(store.scan("c/good").isEmpty && store.scan("c/bad").isEmpty)
-    val staging = java.nio.file.Paths.get(store.root, "c", "good", ".staging")
-    assert(!Files.exists(staging) || Files.list(staging).count() == 0)
+    Seq("good", "bad").foreach { t =>
+      val staging = java.nio.file.Paths.get(store.root, "c", t, ".staging")
+      assert(!Files.exists(staging) || Files.list(staging).count() == 0, t)
+    }
     // and a later successful run proceeds normally
     engine.register(graft.flow.FlowFunction("p2", "c", graft.flow.Role.Publisher,
       Nil, Seq("good"), None,
@@ -243,6 +246,32 @@ class StoreFlowSpec extends AnyFunSuite {
     val run3 = src.load(spark, src.nextOffsets(run2))
     assert(run3.isEmpty)
     assert(src.nextOffsets(run3).isEmpty)
+  }
+
+  test("file source watermark: in-place rewrite under a directory pattern is seen") {
+    // the incremental guard must compare FILE mtimes: rewriting a.csv in
+    // place does not bump the parent dir's mtime, and a directory pattern
+    // matches the dir, not its files
+    val dir = Files.createTempDirectory("graft-wm2")
+    val sub = dir.resolve("data"); Files.createDirectory(sub)
+    val t0 = java.time.Instant.parse("2026-02-01T00:00:00Z")
+    Files.writeString(sub.resolve("a.csv"), "id\n1\n")
+    Files.setLastModifiedTime(sub.resolve("a.csv"),
+      java.nio.file.attribute.FileTime.from(t0))
+    Files.setLastModifiedTime(sub, java.nio.file.attribute.FileTime.from(t0))
+    val src = FileSource(sub.toString, "csv") // directory pattern, no glob
+    val run1 = src.load(spark, Map.empty)
+    val off1 = src.nextOffsets(run1)
+    assert(off1("last_modified") == t0.toString)
+    // rewrite the same file with newer content/mtime; pin the DIR mtime
+    // back to t0 to model the no-bump case
+    Files.writeString(sub.resolve("a.csv"), "id\n1\n2\n")
+    Files.setLastModifiedTime(sub.resolve("a.csv"),
+      java.nio.file.attribute.FileTime.from(t0.plusSeconds(5)))
+    Files.setLastModifiedTime(sub, java.nio.file.attribute.FileTime.from(t0))
+    val run2 = src.load(spark, off1)
+    assert(run2.nonEmpty, "rewritten file must be seen by the incremental guard")
+    assert(run2.head.count() == 2)
   }
 
   test("file source: csv round-trip with inference and glob") {
