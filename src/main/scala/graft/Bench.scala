@@ -50,7 +50,8 @@ object Bench {
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
       "q_ann_bruteforce", "q_ann_ivf", "q_text_stats", "q_stream_window",
       "q_filter_project", "q_events_json", "q_unique_first",
-      "q_concat_vertical", "q_fill_forward")
+      "q_concat_vertical", "q_fill_forward",
+      "q_dedup_clusters", "q_fuzzy_pairs", "q_decontaminate", "q_data_mix")
     val byName = results.toMap
     val qs = headline.flatMap(h => byName.get(h).map(v =>
         s"\"" + h + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
