@@ -145,6 +145,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("fuzzy pairs: blocked equi-join — never a cartesian/nested-loop product") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val p = plan(graft.pipeline.Dedup.fuzzyPairs(cust, "c_name", "c_custkey", 16, 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the block key is the join key (id inequality and distance are filters)
+    assert(p.contains("Join") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
