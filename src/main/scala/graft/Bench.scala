@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/parquet-footer costs shouldn't land on the first
@@ -51,7 +52,8 @@ object Bench {
       "q_ann_bruteforce", "q_ann_ivf", "q_text_stats", "q_stream_window",
       "q_filter_project", "q_events_json", "q_unique_first",
       "q_concat_vertical", "q_fill_forward",
-      "q_dedup_clusters", "q_fuzzy_pairs", "q_decontaminate", "q_data_mix")
+      "q_dedup_clusters", "q_fuzzy_pairs", "q_decontaminate", "q_data_mix",
+      "q_dedup_semantic", "q_dedup_incremental", "q_tpch_q18")
     val byName = results.toMap
     val qs = headline.flatMap(h => byName.get(h).map(v =>
         s"\"" + h + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)))

@@ -48,6 +48,31 @@ object Dedup {
     df.groupBy(F.md5(F.col(textCol)).as("text_hash"))
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: the ids of `batch` rows that are (a) novel
+    * w.r.t. an already-ingested `history` corpus and (b) first (lowest id)
+    * among their in-batch copies — the per-ingest step of a continuously
+    * fed corpus, where re-deduplicating the full history every run would
+    * be O(corpus) instead of O(batch).
+    *
+    * Shape for 100 TB of history: both sides reduce to md5 keys before
+    * anything wide happens; the in-batch winner is a hash aggregation
+    * (map-side combinable) and the novelty check an anti-join on the same
+    * key, so the exchange introduced for the groupBy is reused by the join
+    * (one shuffle of the batch, total). The history side ships only its
+    * distinct hashes — at Spark's defaults the optimizer further prunes
+    * that exchange with a runtime bloom filter when the batch is small.
+    * Exactness is the contract (hash equality, no false drops), which is
+    * what makes the gate oracle-checkable in SQL. */
+  def incrementalNew(history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val histKeys = history.select(F.md5(F.col(textCol)).as("text_hash")).distinct()
+    batch
+      .groupBy(F.md5(F.col(textCol)).as("text_hash"))
+      .agg(F.min(F.col(idCol)).as("keep_id"))
+      .join(histKeys, Seq("text_hash"), "anti")
+      .select(F.col("keep_id").as("id"))
+  }
+
   /** Blocked fuzzy duplicate pairs (record linkage): candidate pairs form
     * only inside a normalized-prefix block, then exact Levenshtein keeps
     * pairs within `maxDist` edits. Blocking is what keeps this from going

@@ -103,6 +103,65 @@ object QualityFilters {
     staged.select(keep.map(F.col) ++ sig.map { case (n, c) => c.as(n) }: _*)
   }
 
+  // ------------------------------------------------------ quality scoring
+
+  /** Linear quality score in [0, 1] over the Gopher signal family — a
+    * fastText-shaped linear scorer with fixed, documented weights instead
+    * of learned ones (no model artifact in this environment). Deliberately
+    * pure rational arithmetic — no exp/log — so the identical SQL
+    * formulation produces bit-equal doubles and the gate hash-matches
+    * against the DuckDB oracle.
+    *
+    * Components (each clamped to [0, 1]):
+    *   length    — saturating word count, full credit at 256 words;
+    *   word len  — closeness of mean word length to 5 chars (English-ish);
+    *   symbols   — 1 − 10× the symbol-to-word ratio, floored at 0;
+    *   alpha     — fraction of words containing a letter;
+    *   stopwords — distinct stopword hits, full credit at 4.
+    * Weights 0.15/0.15/0.2/0.3/0.2. Empty documents (0 words) score an
+    * EXPLICIT null: `least` in both Spark and DuckDB ignores nulls rather
+    * than propagating them, so without the guard an empty doc would
+    * silently collect the alpha term's full credit. */
+  def scoreFromSignals(wc: Column, mwl: Column, sym: Column,
+      alphaFrac: Column, stops: Column): Column = {
+    val lenScore   = F.least(wc, F.lit(256)).cast("double") / F.lit(256.0)
+    val mwlScore   = F.lit(1.0) - F.least(F.abs(mwl - F.lit(5.0)), F.lit(5.0)) / F.lit(5.0)
+    val symScore   = F.lit(1.0) - F.least(sym * F.lit(10.0), F.lit(1.0))
+    val alphaScore = F.least(alphaFrac, F.lit(1.0))
+    val stopScore  = F.least(stops, F.lit(4)).cast("double") / F.lit(4.0)
+    F.when(wc > 0,
+      F.lit(0.15) * lenScore + F.lit(0.15) * mwlScore + F.lit(0.2) * symScore +
+        F.lit(0.3) * alphaScore + F.lit(0.2) * stopScore)
+      .otherwise(F.lit(null).cast("double"))
+  }
+
+  /** Pass threshold for [[scoreFromSignals]]. */
+  val ScoreThreshold = 0.6
+
+  /** Frame-level quality scoring through the single-pass
+    * [[graft.expressions.TextQualityStats]] kernel (same staging trick as
+    * [[withGopherSignals]]: the kernel runs once per row, the score
+    * arithmetic stays codegen'd). Appends `quality_score` and
+    * `passes_quality`. */
+  def withQualityScore(df: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame = {
+    val stats = "$td.__tqs"
+    val staged = df.select(keep.map(F.col) :+
+      graft.expressions.TextQualityStats(F.col(textCol), Stopwords).as(stats): _*)
+    val st = F.col(s"`$stats`")
+    val wc = st.getField("word_count")
+    val wcN = F.nullif(wc, F.lit(0))
+    val score = scoreFromSignals(
+      wc,
+      st.getField("nonws_chars").cast("double") / wcN,
+      st.getField("symbol_count").cast("double") / wcN,
+      st.getField("alpha_words").cast("double") / wcN,
+      st.getField("stopword_hits"))
+    staged.select(keep.map(F.col) ++ Seq(
+      score.as("quality_score"),
+      (score >= ScoreThreshold).as("passes_quality")): _*)
+  }
+
   // ----------------------------------------------------------- repetition
 
   /** Per-document top word-n-gram and the fraction of characters it covers

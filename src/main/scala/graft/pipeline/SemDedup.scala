@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+import graft.expressions.VectorKernels
+
+/** Semantic deduplication: remove documents whose EMBEDDINGS are
+  * near-identical even when their text is not (boilerplate rewrites,
+  * templated articles, translations) — the SemDeDup recipe (Abbas et al.,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", 2023; public methodology).
+  *
+  * The quadratic pair search is confined to k-means clusters: an embedding
+  * only compares against its own cluster's members, so the cost is
+  * Σ|cluster|² instead of N². Cluster granularity is the caller's scale
+  * knob exactly like the block column of
+  * [[Dedup.embeddingNearDupPairs]] — but here the blocks come from the
+  * geometry itself (k-means over the embedding space, reusing [[Ivf]]'s
+  * deterministic Lloyd build), so near-dups that share no key still land
+  * in the same bucket.
+  *
+  * Shape for 100 TB: clustering never collects the corpus (centroids are
+  * k × dim doubles on the driver); the pair join shuffles both sides on
+  * the cluster id once; per-cluster fan-out is bounded by N/k, which the
+  * caller sizes via k (SemDeDup used k ≈ 11k clusters for LAION-scale).
+  */
+object SemDedup {
+
+  /** (a, b, cos) candidate pairs: same k-means cluster, cosine ≥
+    * `threshold`, a < b. Cosine runs in the codegen'd [[VectorKernels]]
+    * kernel, not an interpreted HOF lambda. */
+  def pairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3, threshold: Double = 0.995): DataFrame = {
+    val assigned = Ivf.build(df, idCol, vecCol, k, iters).assigned
+    val l = assigned.select(F.col("id").as("a"), F.col("v").as("va"), F.col("cluster"))
+    val r = assigned.select(F.col("id").as("b"), F.col("v").as("vb"), F.col("cluster"))
+    l.join(r, Seq("cluster"))
+      .where(F.col("a") < F.col("b"))
+      .withColumn("cos", VectorKernels.cosine(F.col("va"), F.col("vb")))
+      .where(F.col("cos") >= threshold)
+      .select(F.col("a"), F.col("b"), F.col("cos"))
+  }
+
+  /** (node, component, keep) for every document: semantic duplicate groups
+    * via connected components over the pair graph, `keep` marking each
+    * group's lowest-id representative (isolated documents keep
+    * themselves). */
+  def dedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3, threshold: Double = 0.995): DataFrame =
+    Clustering.dedupClusters(
+      pairs(df, idCol, vecCol, k, iters, threshold), "a", "b",
+      nodes = Some(df.select(idCol)))
+}

@@ -45,6 +45,17 @@ object AnalyticsOracles {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts,

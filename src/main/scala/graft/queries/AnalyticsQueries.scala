@@ -90,6 +90,31 @@ object AnalyticsQueries {
         .orderBy(F.col("rev").desc, F.col("c_custkey").asc)
         .limit(20)
     }),
+    // Q18 silhouette: large-volume customers — orders whose total quantity
+    // clears a threshold, via a semi-join against an aggregated subquery
+    // (the distinctive Q18 plan shape: agg → semi-join → re-agg). Quantity
+    // sums run in exact DECIMAL so the double cast at the end is
+    // order-independent; threshold 300 selects ~0.1% of orders in the
+    // driver's data (verified non-vacuous at sf0.01 and sf0.1).
+    "q_tpch_q18" -> ((s, dir) => {
+      val qty = F.sum(F.col("l_quantity").cast(DecimalType(18, 2)))
+      val li = t(s, dir, "lineitem")
+      val big = TableFrame.fromDF(
+        li.df.groupBy("l_orderkey").agg(qty.as("oq"))
+          .where(F.col("oq") > 300).select("l_orderkey"))
+      li.join(big, leftOn = Seq("l_orderkey"), rightOn = Seq("l_orderkey"),
+          how = "semi")
+        .join(t(s, dir, "orders"), leftOn = Seq("l_orderkey"),
+          rightOn = Seq("o_orderkey"))
+        .join(t(s, dir, "customer"), leftOn = Seq("o_custkey"),
+          rightOn = Seq("c_custkey"))
+        .df
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(qty.cast("double").as("total_qty"))
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+        .limit(100)
+    }),
     // Gap-based sessionization via Spark's native session_window: a
     // session extends while consecutive events are < gap apart; the
     // oracle reproduces it with lag + running-sum window SQL. The

@@ -26,6 +26,19 @@ object PipelineOracles {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents
+        |  WHERE doc_id BETWEEN 400 AND 449),
+        |b AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM batch GROUP BY 1)
+        |SELECT keep_id AS id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
+        |ORDER BY id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""$shinglesCte,
          |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 1000),

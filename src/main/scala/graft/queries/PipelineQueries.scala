@@ -23,6 +23,28 @@ object PipelineQueries {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("keep_id")
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // The driver's documents have no natural exact dups, so the gate
+      // constructs the three paths it must prove: ids 200-299 overlap the
+      // history (a re-delivered partition → anti-join rejects), ids
+      // 400-449 re-enter the batch under shifted ids (in-batch copies →
+      // min-id wins), ids 300-499 are novel (pass). Expected: exactly the
+      // 200 novel ids survive. The oracle runs the identical construction.
+      val docs = t(s, dir, "documents")
+      val history = docs.where(F.col("doc_id") < 300)
+      val batch = docs.where(F.col("doc_id") >= 200)
+        .select(F.col("doc_id"), F.col("text"))
+        .unionAll(docs.where(F.col("doc_id").between(400, 449))
+          .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text")))
+      Dedup.incrementalNew(history, batch, "text", "doc_id").orderBy("id")
+    }),
+    "q_dedup_semantic" -> ((s, dir) => {
+      // k-means cluster routing is data/init-dependent → rows-only check;
+      // PipelineSpec holds the differential against brute-force pairs
+      graft.pipeline.SemDedup.dedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, iters = 2, threshold = 0.35)
+        .orderBy("node")
+    }),
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 3, threshold = 0.5)

@@ -27,6 +27,40 @@ object QualityOracles {
         |   AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
         |   AND stopword_hits >= 2) AS passes_gopher
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      // Same signal CTE as q_quality_gopher; the score arithmetic uses
+      // e-notation literals (256e0 …) so DuckDB computes in DOUBLE (its
+      // plain decimal literals are DECIMAL-typed, which would diverge from
+      // Spark's double arithmetic). Term order mirrors the Scala
+      // expression tree exactly — bit-equal doubles, no rounding needed.
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS word_count,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS symbol_ratio,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS alpha_word_frac,
+        |    CAST(len(list_intersect(
+        |      list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['the','be','to','of','and','that','have','with'])) AS INTEGER)
+        |      AS stopword_hits
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN word_count > 0 THEN
+        |      0.15e0 * (least(word_count, 256) / 256e0)
+        |      + 0.15e0 * (1e0 - least(abs(mean_word_len - 5e0), 5e0) / 5e0)
+        |      + 0.2e0 * (1e0 - least(symbol_ratio * 10e0, 1e0))
+        |      + 0.3e0 * least(alpha_word_frac, 1e0)
+        |      + 0.2e0 * (least(stopword_hits, 4) / 4e0)
+        |    END AS quality_score
+        |  FROM s)
+        |SELECT doc_id, quality_score,
+        |  quality_score >= 0.6e0 AS passes_quality
+        |FROM q ORDER BY doc_id""".stripMargin,
     "q_repetition_topgram" ->
       """WITH toks AS (
         |  SELECT doc_id, length(text) AS n_chars_total,

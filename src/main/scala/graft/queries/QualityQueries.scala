@@ -34,6 +34,10 @@ object QualityQueries {
       QualityFilters.withGopherSignals(t(s, dir, "documents"), "text",
         keep = Seq("doc_id")).orderBy("doc_id")
     }),
+    "q_quality_score" -> ((s, dir) => {
+      QualityFilters.withQualityScore(t(s, dir, "documents"), "text",
+        keep = Seq("doc_id")).orderBy("doc_id")
+    }),
     "q_repetition_topgram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .where(QualityFilters.wordCount(F.col("text")) >= 2)

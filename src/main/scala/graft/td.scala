@@ -28,6 +28,12 @@ object td {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce post-shuffle partitions to the advisory size instead of
+      // maximizing parallelism — Spark's own recommendation for busy
+      // clusters, and it stops small intermediate shuffles (iterative
+      // connected-components rounds, dimension-side aggregates) from
+      // scheduling 32 near-empty tasks each.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // ns-precision parquet timestamps (e.g. the events table) read as Long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -371,4 +371,80 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
     assert(res(Some(false)) == res(Some(true)))
   }
+
+  test("incremental dedup: history rejection + in-batch collapse, exactly") {
+    import spark.implicits._
+    val history = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "text")
+    val batch = Seq((10L, "bb"), (14L, "aa"), // already in history → rejected
+        (12L, "dd"), (11L, "dd"),            // in-batch copies → min id wins
+        (13L, "ee"))                         // novel → kept
+      .toDF("id", "text")
+    val got = Dedup.incrementalNew(history, batch, "text", "id")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L, 13L))
+    // an empty history keeps every in-batch winner (bb, aa, dd, ee)
+    val cold = Dedup.incrementalNew(history.limit(0), batch, "text", "id")
+    assert(cold.count() == 4)
+  }
+
+  test("semantic dedup: exact recall on separable clusters, sound pairs") {
+    import spark.implicits._
+    // two tight direction groups, ids interleaved so the deterministic
+    // k-means init (the k lowest-id vectors) seeds one centroid per group
+    def v(base: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(6)(d => (if (d == base) 1.0 else 0.0) + eps * (d + 1))
+    val rows = (0 until 10).map { i =>
+      (i.toLong, v(if (i % 2 == 0) 0 else 3, 0.001 * (i / 2)))
+    }
+    val df = rows.toDF("id", "vec")
+    val thr = 0.999
+    val got = SemDedup.pairs(df, "id", "vec", k = 2, iters = 2, threshold = thr)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle over all pairs
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = (for {
+      (i, vi) <- rows; (j, vj) <- rows if i < j && cos(vi, vj) >= thr
+    } yield (i, j)).toSet
+    assert(expect.nonEmpty)
+    assert(got == expect) // clean geometry → within-cluster search is exact
+    // cluster collapse keeps each group's min id
+    val kept = SemDedup.dedup(df, "id", "vec", k = 2, iters = 2, threshold = thr)
+      .where(F.col("keep")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L))
+  }
+
+  test("quality score: null on empty, [0,1] bounds, ranks clean over noise") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and that " +
+        "dog would have been quicker to move with better warning."),
+      (2L, "### ### ### ... ... 123 456 #####"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.withQualityScore(texts, "text", Seq("doc_id"))
+      .orderBy("doc_id").collect()
+    val clean = out(0).getDouble(1)
+    val noise = out(1).getDouble(1)
+    assert(clean > noise)
+    assert(clean >= 0.0 && clean <= 1.0 && noise >= 0.0 && noise <= 1.0)
+    assert(out(0).getBoolean(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // 0 words → null score
+    // frame-level kernel path ≡ composable column path, bit-for-bit
+    val viaCols = texts.select(F.col("doc_id"),
+      QualityFilters.scoreFromSignals(
+        QualityFilters.wordCount(F.col("text")),
+        QualityFilters.meanWordLength(F.col("text")),
+        QualityFilters.symbolWordRatio(F.col("text")),
+        QualityFilters.alphaWordCount(F.col("text")).cast("double") /
+          F.nullif(QualityFilters.wordCount(F.col("text")), F.lit(0)),
+        QualityFilters.stopwordHits(F.col("text"))).as("s"))
+      .orderBy("doc_id").collect()
+    out.zip(viaCols).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1)) assert(a.getDouble(1) == b.getDouble(1))
+    }
+  }
 }

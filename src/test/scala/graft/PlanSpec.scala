@@ -154,6 +154,52 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("incremental dedup: aggregate's exchange is reused by the anti-join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.pipeline.Dedup.incrementalNew(
+      docs.where(F.col("doc_id") < 250), docs.where(F.col("doc_id") >= 250),
+      "text", "doc_id")
+    val p = plan(df)
+    // both sides hash to the md5 key: batch partial-agg exchange + history
+    // distinct exchange at most — no third shuffle appears for the
+    // anti-join itself (broadcast below the threshold, co-partitioned
+    // above it)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("partial_min") || p.contains("partial_first"), p)
+  }
+
+  test("TPC-H Q18: the quantity threshold runs as an aggregated semi-join") {
+    val df = graft.queries.AnalyticsQueries.queries("q_tpch_q18")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), p)
+    // both aggregations combine map-side
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("semantic dedup pairs: cluster-keyed join, never a cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.pipeline.SemDedup.pairs(emb, "vec_id", "embedding",
+      k = 4, iters = 1, threshold = 0.35)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // no interpreted lambdas in the cosine
+    assert(!df.queryExecution.optimizedPlan.toString.contains("lambdafunction"))
+  }
+
+  test("quality score: one kernel eval, zero exchanges, codegen arithmetic") {
+    import graft.pipeline.QualityFilters
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = QualityFilters.withQualityScore(docs, "text", keep = Seq("doc_id"))
+    val p = plan(df)
+    assert(count(p, "text_quality_stats") == 1, p)
+    assert(count(p, "Exchange") == 0, p)
+    // "*(N)" prefixes mark whole-stage-codegen stages: the score
+    // arithmetic projection must be inside one
+    assert(p.contains("*(2) Project") || p.contains("*(1) Project"), p)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
