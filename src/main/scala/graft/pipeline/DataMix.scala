@@ -43,6 +43,21 @@ object DataMix {
     df.where(bucket(F.col(idCol)) < threshold)
   }
 
+  /** Deterministic train/val/test split on the same Knuth-hash bucket as
+    * [[sampleByWeights]] — a row's split never changes with partitioning,
+    * run order, or corpus growth (new ids land in splits at the target
+    * rates; existing ids never migrate between splits). */
+  def split(df: DataFrame, idCol: String,
+      valFrac: Double = 0.01, testFrac: Double = 0.01): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      "fractions must be non-negative and sum to <= 1")
+    val b = bucket(F.col(idCol))
+    val vCut = (valFrac * Buckets).toLong
+    val tCut = vCut + (testFrac * Buckets).toLong
+    df.withColumn("split",
+      F.when(b < vCut, "val").when(b < tCut, "test").otherwise("train"))
+  }
+
   /** Per-group kept/total counts for a candidate mix — the audit table a
     * mixing decision is reviewed on. */
   def mixReport(df: DataFrame, idCol: String, groupCol: String,

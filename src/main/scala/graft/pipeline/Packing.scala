@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing: assign documents to fixed-budget training sequences
+  * ("packs") — the step that turns a deduplicated, filtered corpus into
+  * model-ready context windows (greedy contiguous packing in a
+  * deterministic document order; the packing strategy used by most public
+  * LLM data pipelines, e.g. GPT-NeoX / T5-style concat-and-chunk).
+  *
+  * A document's pack is `floor(exclusive_prefix_sum(tokens) / budget)` in
+  * `idCol` order, and its offset within the pack is the remainder — pure
+  * integer arithmetic, so the assignment is reproducible across engines
+  * and partitionings, and the gate oracle is a window prefix-sum in SQL.
+  * A document longer than the budget starts in its own pack and logically
+  * spans following ones; slicing it is the tokenizer stage's job.
+  *
+  * Scale shape: a naive `sum() OVER (ORDER BY id)` is a single-reducer
+  * global window. This implementation uses the same two-phase
+  * range-partition + broadcast-offsets formulation as
+  * [[graft.operators.ScalableRank]]: local prefix sums run in parallel
+  * per partition, and only the numPartitions-row per-partition totals pass
+  * through a driver-side window before broadcasting back — no global
+  * sort-merge of the corpus on one reducer.
+  */
+object Packing {
+
+  /** Append `pack_id` (0-based sequence number) and `pack_pos` (token
+    * offset of the document's start within its pack). `tokenCol` must be
+    * non-negative; `idCol` must give a deterministic total order. */
+  def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    val pid = "$td.__pid"; val cum = "$td.__cum"
+    val parted = df
+      .repartitionByRange(F.col(idCol).asc)
+      .sortWithinPartitions(F.col(idCol).asc)
+      .withColumn(pid, F.spark_partition_id())
+    val w = Window.partitionBy(F.col(s"`$pid`")).orderBy(F.col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = parted.withColumn(cum,
+      F.coalesce(F.sum(F.col(tokenCol).cast("long")).over(w), F.lit(0L)))
+    // per-partition token totals → exclusive prefix over pid (numPartitions
+    // rows, trivially small) → broadcast join back
+    val offsets = withLocal.groupBy(F.col(s"`$pid`").as("pid"))
+      .agg(F.sum(F.col(tokenCol).cast("long")).as("sz"))
+      .withColumn("offset",
+        F.coalesce(F.sum("sz").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          F.lit(0L)))
+      .select("pid", "offset")
+    withLocal
+      .join(F.broadcast(offsets), F.col(s"`$pid`") === F.col("pid"))
+      .withColumn("$td.__gcum", F.col("offset") + F.col(s"`$cum`"))
+      .withColumn("pack_id", F.expr(s"`$$td.__gcum` div $budget"))
+      .withColumn("pack_pos", F.pmod(F.col("`$td.__gcum`"), F.lit(budget)))
+      .drop(pid, cum, "pid", "offset", "$td.__gcum")
+  }
+
+  /** Per-pack audit: documents per pack, token fill, and fill fraction
+    * against the budget (packs other than the last should be ~full when
+    * documents are small relative to the budget). */
+  def packStats(packed: DataFrame, tokenCol: String, budget: Long): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col(tokenCol).cast("long")).as("tokens_started"))
+      .select(F.col("pack_id"), F.col("n_docs"), F.col("tokens_started"))
+}

@@ -165,6 +165,26 @@ object PipelineOracles {
          |SELECT d.doc_id AS id,
          |  d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
          |FROM documents d ORDER BY id""".stripMargin,
+    "q_pack_sequences" ->
+      // CAST the window sum: DuckDB sum(BIGINT) widens to HUGEINT
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum // 4096 AS pack_id, cum % 4096 AS pack_pos
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_split_train" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000000 < 100000
+        |         THEN 'val'
+        |         WHEN ((doc_id % 1000003) * 2654435761) % 1000000 < 200000
+        |         THEN 'test' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, min(doc_id) AS first_id
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
     "q_data_mix" ->
       """WITH b AS (SELECT lang, ((doc_id % 1000003) * 2654435761) % 1000000 AS bk
         |           FROM documents),

@@ -180,6 +180,19 @@ object PipelineQueries {
         .overlapFlags(docs, "text", "doc_id", evals, "text", n = 3)
         .orderBy("id")
     }),
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.pipeline.Packing.packByBudget(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", budget = 4096)
+        .orderBy("doc_id")
+    }),
+    "q_split_train" -> ((s, dir) => {
+      graft.pipeline.DataMix.split(t(s, dir, "documents"), "doc_id",
+          valFrac = 0.1, testFrac = 0.1)
+        .groupBy("split").agg(F.count(F.lit(1)).as("n"),
+          F.min("doc_id").as("first_id"))
+        .orderBy("split")
+    }),
     "q_data_mix" -> ((s, dir) => {
       graft.pipeline.DataMix.mixReport(t(s, dir, "documents"),
           "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultWeight = 0.75)

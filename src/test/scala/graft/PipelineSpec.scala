@@ -416,6 +416,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L))
   }
 
+  test("packing: exact prefix-sum assignment, partitioning-independent") {
+    import spark.implicits._
+    val rows = Seq((1L, 100L), (2L, 3000L), (3L, 2000L), (4L, 500L),
+      (5L, 5000L), (6L, 10L)).toDF("id", "tok")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Packing.packByBudget(df, "id", "tok", 4096L)
+        .select("id", "pack_id", "pack_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val got = run(rows)
+    // exclusive cums: 0,100,3100,5100,5600,10600 at budget 4096
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 0L, 3100L),
+      (4L, 1L, 1004L), (5L, 1L, 1504L), (6L, 2L, 2408L)))
+    // shuffled input partitioning must not change the assignment
+    assert(run(rows.repartition(7)) == got)
+  }
+
+  test("split: stable per-id assignment, rates near targets") {
+    val s = DataMix.split(docs, "doc_id", 0.1, 0.1)
+    val counts = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // subsetting the corpus never moves an id to a different split
+    val sub = DataMix.split(docs.limit(100), "doc_id", 0.1, 0.1)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = s.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
+
   test("quality score: null on empty, [0,1] bounds, ranks clean over noise") {
     import spark.implicits._
     val texts = Seq(

@@ -200,6 +200,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(2) Project") || p.contains("*(1) Project"), p)
   }
 
+  test("packing: corpus windows stay per-partition; offsets broadcast back") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars")
+    val df = graft.pipeline.Packing.packByBudget(docs, "doc_id", "n_chars", 4096L)
+    val p = plan(df)
+    // the only global (empty-partitionSpec) window runs over the
+    // numPartitions-row offsets relation, which rejoins via broadcast —
+    // the corpus itself never funnels through one reducer
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
