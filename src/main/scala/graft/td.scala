@@ -28,12 +28,12 @@ object td {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // Coalesce post-shuffle partitions to the advisory size instead of
-      // maximizing parallelism — Spark's own recommendation for busy
-      // clusters, and it stops small intermediate shuffles (iterative
-      // connected-components rounds, dimension-side aggregates) from
-      // scheduling 32 near-empty tasks each.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE coalescing stays parallelism-first (the default): measured on
+      // the dedup layer, size-first coalescing (parallelismFirst=false)
+      // under-parallelized the CPU-dense shingle/pair shuffles — n-gram
+      // Jaccard regressed ~2× at sf0.1 because its shuffled bytes are small
+      // relative to its per-row compute. Size-first is a per-cluster
+      // utilization knob, not a per-query win.
       // ns-precision parquet timestamps (e.g. the events table) read as Long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -82,6 +82,21 @@ object ScalingProbe {
         graft.pipeline.DataMix.sampleByWeights(
           d.withColumn("lang", F.lit("en")), "doc_id", "lang",
           Map("en" -> 0.5), 0.75).count()
+      }),
+      ("incremental", 100, { d =>
+        // history = even ids, batch = odd ids (both scale with the corpus)
+        graft.pipeline.Dedup.incrementalNew(
+          d.where(F.col("doc_id") % 2 === 0), d.where(F.col("doc_id") % 2 === 1),
+          "text", "doc_id").count()
+      }),
+      ("packing", 100, { d =>
+        graft.pipeline.Packing.packByBudget(
+          d.withColumn("n", F.length(F.col("text"))), "doc_id", "n", 4096L)
+          .count()
+      }),
+      ("quality_score", 100, { d =>
+        graft.pipeline.QualityFilters.withQualityScore(d, "text", Seq("doc_id"))
+          .where(F.col("passes_quality")).count()
       }))
 
     val ops = if (opFilter.isEmpty) ops0 else ops0.filter(o => opFilter(o._1))

@@ -212,6 +212,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    // the pre-shuffled layout a recurring 100 TB fact-fact join should use:
+    // both sides bucketed on the key -> the join consumes the bucket
+    // partitioning directly, no runtime shuffle of either side
+    val thresh = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thresh)
+    spark.conf.set(thresh, "-1") // force the non-broadcast path
+    try {
+      spark.range(1000).select(F.col("id").as("k"), (F.col("id") * 2).as("x"))
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("ps_bucketed_a")
+      spark.range(1000).select(F.col("id").as("k"), (F.col("id") * 3).as("y"))
+        .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+        .saveAsTable("ps_bucketed_b")
+      val j = spark.table("ps_bucketed_a").join(spark.table("ps_bucketed_b"), "k")
+      val p = plan(j)
+      assert(count(p, "Exchange hashpartitioning") == 0, p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(count(p, "SelectedBucketsCount") == 2, p)
+    } finally {
+      spark.conf.set(thresh, old)
+      spark.sql("DROP TABLE IF EXISTS ps_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS ps_bucketed_b")
+    }
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
