@@ -290,6 +290,39 @@ class GoldenSpec extends AnyFunSuite {
       s"$golden/subscriber_files/expected_result.json")
   }
 
+  test("golden: corpus curation flow — incremental dedup, score, split, pack") {
+    // the full training-data curation chain run THROUGH the store/flow
+    // machinery: publisher lands the raw batch + a history table, one
+    // transformer rejects history dups (id 2) and in-batch copies (id 4
+    // loses to id 1), quality-scores, splits, and packs the survivors;
+    // every expected value is hand-computed in the case's expected json
+    import graft.pipeline.{DataMix, Dedup, Packing, QualityFilters}
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-curation").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "c", Seq("docs", "history")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("curation_flow", "docs.ndjson", "ndjson")),
+        TableFrame.fromRaw(readCase("curation_flow", "history.ndjson", "ndjson")))
+    }
+    engine.transformer("curate", "c", Seq("docs", "history"), Seq("curated")) { ctx =>
+      val docs = ctx.input(0).df
+      val hist = ctx.input(1).df
+      val keep = Dedup.incrementalNew(hist, docs, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+      val fresh = docs.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("n_chars", F.char_length(F.col("text")).cast("long"))
+      val scored = QualityFilters.withQualityScore(fresh, "text",
+        keep = Seq("doc_id", "n_chars"))
+      val split = DataMix.split(scored, "doc_id", valFrac = 0.1, testFrac = 0.1)
+      val packed = Packing.packByBudget(split, "doc_id", "n_chars", budget = 64)
+      Seq(TableFrame.fromRaw(packed.select(
+        "doc_id", "n_chars", "passes_quality", "split", "pack_id", "pack_pos")))
+    }
+    engine.trigger("pub")
+    check(store.scan("c/curated").get.df,
+      s"$golden/curation_flow/expected_result.json")
+  }
+
   test("golden: quality pipeline — gopher signals over a deterministic corpus") {
     import graft.pipeline.QualityFilters
     val docs = readCase("quality_pipeline", "docs.ndjson", "ndjson")
