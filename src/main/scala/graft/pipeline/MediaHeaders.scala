@@ -1,16 +1,20 @@
 package graft.pipeline
 
-/** Pure-JVM image header decoding: format sniff by magic bytes + dimension
-  * extraction from the container header (no full pixel decode, no ImageIO
-  * plugin registry — deterministic across executors, ~ns per row).
+/** Pure-JVM media header decoding: format sniff by magic bytes + metadata
+  * extraction from the container header (no full decode, no codec/plugin
+  * registry — deterministic across executors, ~ns per row).
   *
   * Covers the containers a training-data pipeline actually meets in bulk:
   * PNG (IHDR), JPEG (SOFn scan), GIF (logical screen descriptor), BMP
-  * (BITMAPINFOHEADER). Anything else returns None and the caller falls back
-  * to its stub/opaque path (audio/video stay stubbed in this environment).
+  * (BITMAPINFOHEADER), and WAV/RIFF audio (fmt + data chunk walk — sample
+  * rate, channels, bit depth, sample-frame count). Anything else returns
+  * None and the caller falls back to its stub/opaque path (compressed
+  * audio and video codecs stay stubbed in this environment).
   */
 object MediaHeaders {
   final case class ImageDims(format: String, width: Int, height: Int)
+  final case class AudioMeta(format: String, sampleRate: Int, channels: Int,
+    bitsPerSample: Int, nSampleFrames: Long)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
@@ -53,6 +57,35 @@ object MediaHeaders {
     else if (hdrSize == 12 && b.length >= 22) // BITMAPCOREHEADER
       Some(ImageDims("bmp", le16(b, 18), le16(b, 20)))
     else None
+  }
+
+  /** WAV/RIFF header walk: chunks are (id, le32 size, payload) from byte
+    * 12, word-aligned. Works on a header-only prefix — the data chunk's
+    * SIZE field is the metadata, its payload need not be present. */
+  def sniffWav(b: Array[Byte]): Option[AudioMeta] = {
+    if (b == null || b.length < 36) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var dataSize = -1L; var haveFmt = false
+    while (i + 8 <= b.length && !(haveFmt && dataSize >= 0)) {
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
+          i + 24 <= b.length) {
+        ch = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+        haveFmt = true
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataSize = sz
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // word alignment
+      if (i <= 0) return None // corrupt size wrapped the cursor
+    }
+    if (haveFmt && rate > 0 && ch > 0 && bits > 0) {
+      val blockAlign = math.max(1, ch * bits / 8)
+      val frames = if (dataSize >= 0) dataSize / blockAlign else 0L
+      Some(AudioMeta("wav", rate, ch, bits, frames))
+    } else None
   }
 
   private def isJpeg(b: Array[Byte]): Boolean =

@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one iterator per partition, so a decoder can amortize
   * per-batch setup such as codec contexts) and frame-sampling explosion.
   *
-  * Image decoding is REAL for PNG/JPEG/GIF/BMP containers: header-level
-  * dimension extraction via [[MediaHeaders]] (pure JVM, no pixel decode).
-  * Bytes that don't sniff as a known image — and audio/video, whose codecs
-  * are not available in this environment — fall back to the clearly marked
-  * [[decodeStub]] deterministic fake.
+  * Decoding is REAL for PNG/JPEG/GIF/BMP containers (header-level
+  * dimension extraction) and for WAV/RIFF audio (sample rate, channels,
+  * bit depth, sample-frame count) via [[MediaHeaders]] — pure JVM, no
+  * pixel/codec decode. Bytes that sniff as neither — and compressed
+  * audio/video, whose codecs are not available in this environment — fall
+  * back to the clearly marked [[decodeStub]] deterministic fake.
   */
 object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -24,27 +25,39 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
-    StructField("size_bytes", LongType)))
+    StructField("size_bytes", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType)))
 
   /** STUB decode: derives deterministic fake dimensions from the byte
-    * length. Used for audio/video (codecs unavailable here) and for bytes
-    * that don't sniff as a known image container — the signature
+    * length. Used for compressed audio/video (codecs unavailable here) and
+    * for bytes that don't sniff as a known container — the signature
     * (bytes → meta Row) is the real contract. */
   def decodeStub(kind: String, bytes: Array[Byte]): Row = {
     val len = if (bytes == null) 0L else bytes.length.toLong
-    Row(kind, (len % 640 + 16).toInt, (len % 480 + 16).toInt, (len % 30 + 1).toInt, len)
+    Row(kind, (len % 640 + 16).toInt, (len % 480 + 16).toInt, (len % 30 + 1).toInt,
+      len, null, null, null)
   }
 
   /** Decode media metadata. Images (PNG/JPEG/GIF/BMP) get their true
-    * dimensions from the container header; anything else falls back to the
-    * stub. `n_frames` is 1 for stills; GIF frame counting would need a full
-    * block walk, left to the stub fallback contract. */
-  def decode(kind: String, bytes: Array[Byte]): Row =
+    * dimensions from the container header; WAV audio gets true sample
+    * rate/channels/bit depth and its sample-frame count as `n_frames`;
+    * anything else falls back to the stub. `n_frames` is 1 for stills; GIF
+    * frame counting would need a full block walk, left to the stub
+    * fallback contract. */
+  def decode(kind: String, bytes: Array[Byte]): Row = {
+    val len = if (bytes == null) 0L else bytes.length.toLong
     MediaHeaders.sniff(bytes) match {
-      case Some(d) => Row(d.format, d.width, d.height, 1,
-        if (bytes == null) 0L else bytes.length.toLong)
-      case None => decodeStub(kind, bytes)
+      case Some(d) => Row(d.format, d.width, d.height, 1, len, null, null, null)
+      case None => MediaHeaders.sniffWav(bytes) match {
+        case Some(a) => Row(a.format, null, null,
+          math.min(a.nSampleFrames, Int.MaxValue.toLong).toInt, len,
+          a.sampleRate, a.channels, a.bitsPerSample)
+        case None => decodeStub(kind, bytes)
+      }
     }
+  }
 
   /** Attach a `content: binary` column from any string column (stand-in for
     * reading real media files via `spark.read.format("binaryFile")`). */
@@ -76,7 +89,10 @@ object Multimodal {
       F.lit(w).as("width"),
       F.lit(h).as("height"),
       F.col("media_meta.n_frames").as("n_frames"),
-      F.col("media_meta.size_bytes").as("size_bytes")))
+      F.col("media_meta.size_bytes").as("size_bytes"),
+      F.col("media_meta.sample_rate").as("sample_rate"),
+      F.col("media_meta.channels").as("channels"),
+      F.col("media_meta.bits_per_sample").as("bits_per_sample")))
 
   /** Frame sampling: explode every_nth frame indices from the metadata —
     * (doc, frame_idx) rows ready for a per-frame feature extractor. */

@@ -372,6 +372,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(res(Some(false)) == res(Some(true)))
   }
 
+  test("multimodal: real WAV header decode (rate/channels/bits/frames)") {
+    // hand-built canonical PCM WAV: 2ch, 44100 Hz, 16-bit, 8 sample frames
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dataBytes = 8 * 2 * 2
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+        le32(44100 * 2 * 2) ++ le16(4) ++ le16(16) ++
+        "data".getBytes ++ le32(dataBytes) ++ Array.fill(dataBytes)(0.toByte)
+    val m = MediaHeaders.sniffWav(wav).get
+    assert(m == MediaHeaders.AudioMeta("wav", 44100, 2, 16, 8L))
+    // header-only prefix (no data payload) still yields the format fields
+    val hdrOnly = MediaHeaders.sniffWav(wav.take(44)).get
+    assert(hdrOnly.sampleRate == 44100 && hdrOnly.channels == 2)
+    // through the partition decoder: audio fields populated, dims null
+    val row = Multimodal.decode("audio", wav)
+    assert(row.getString(0) == "wav" && row.isNullAt(1) && row.isNullAt(2))
+    assert(row.getInt(3) == 8 && row.getInt(5) == 44100 &&
+      row.getInt(6) == 2 && row.getInt(7) == 16)
+    // garbage bytes fall back to the stub, audio fields null
+    val stub = Multimodal.decode("audio", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    assert(stub.getString(0) == "audio" && stub.isNullAt(5))
+  }
+
   test("incremental dedup: history rejection + in-batch collapse, exactly") {
     import spark.implicits._
     val history = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "text")
