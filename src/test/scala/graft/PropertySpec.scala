@@ -210,4 +210,44 @@ class PropertySpec extends AnyFunSuite {
       assert(u.df.count() == (a ++ b).distinct.size)
     }
   }
+
+  test("packing == driver-side prefix sum on random token sizes") {
+    // zeros, budget-sized docs, and budget-straddlers all appear
+    val tokensGen: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 60)
+      ts <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 30L), Gen.const(64L),
+        Gen.choose(50L, 200L)))
+    } yield ts
+    for (ts <- samples(tokensGen)) {
+      import spark.implicits._
+      val rows = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.pipeline.Packing
+        .packByBudget(rows.toDF("id", "tok"), "id", "tok", 64L)
+        .select("id", "pack_id", "pack_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      var cum = 0L
+      val expect = rows.map { case (id, t) =>
+        val r = (id, cum / 64L, cum % 64L); cum += t; r
+      }
+      assert(got == expect)
+    }
+  }
+
+  test("incremental dedup == driver-side set difference on random batches") {
+    val batchGen: Gen[(List[Int], List[Int])] =
+      Gen.zip(Gen.listOf(Gen.choose(0, 15)), Gen.listOf(Gen.choose(0, 15)))
+    for ((hist, batch) <- samples(batchGen) if batch.nonEmpty) {
+      import spark.implicits._
+      val h = hist.zipWithIndex.map { case (t, i) => (i.toLong, s"t$t") }
+      val b = batch.zipWithIndex.map { case (t, i) => (1000L + i, s"t$t") }
+      val got = graft.pipeline.Dedup
+        .incrementalNew(h.toDF("id", "text"), b.toDF("id", "text"), "text", "id")
+        .collect().map(_.getLong(0)).toSet
+      val histSet = hist.map(t => s"t$t").toSet
+      val expect = b.groupBy(_._2).collect {
+        case (t, rows) if !histSet.contains(t) => rows.map(_._1).min
+      }.toSet
+      assert(got == expect)
+    }
+  }
 }
