@@ -84,6 +84,12 @@ object ScaleOracles {
         |       ELSE prev_v + (next_v - prev_v) * (CAST(event_id AS DOUBLE) - prev_x) / (next_x - prev_x)
         |  END AS vi
         |FROM s ORDER BY event_id""".stripMargin,
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n, max(d.n_orders) AS n_orders
+        |FROM orders o JOIN dim d USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_topk_group" ->
       """SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
         |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,

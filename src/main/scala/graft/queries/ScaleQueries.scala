@@ -100,6 +100,20 @@ object ScaleQueries {
         .select("event_id", "vi")
         .orderBy("event_id")
     }),
+    "q_skew_join" -> ((s, dir) => {
+      // salted equi-join on a 5-value hot key: the salt spreads each hot
+      // key over `saltFactor` reducers, and because the right side is
+      // exploded across every salt, the JOIN RESULT is salt-independent —
+      // which is what makes this oracle-checkable against a plain join
+      val orders = d(s, dir, "orders")
+      val dim = orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n_orders"))
+      graft.operators.SkewJoin.saltedJoin(orders, dim,
+          Seq("o_orderpriority"), "inner", saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n"), F.max("n_orders").as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
     "q_topk_group" -> ((s, dir) => {
       SeriesOps.topKPerGroup(d(s, dir, "orders"),
           by = Seq("o_orderstatus"), orderCol = "o_totalprice", k = 3,

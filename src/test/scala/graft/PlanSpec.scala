@@ -212,6 +212,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("grouped top-k: map-side WindowGroupLimit before the exchange") {
+    // the rank<=k filter must compile to a PARTIAL WindowGroupLimit below
+    // the shuffle (each map partition keeps only its own top k) and a
+    // Final one above — the difference between shuffling k rows per group
+    // per partition and shuffling the whole corpus
+    val df = graft.operators.SeriesOps.topKPerGroup(
+      spark.read.parquet(s"$sf/orders.parquet"),
+      Seq("o_orderstatus"), "o_totalprice", 3,
+      descending = true, tiebreakers = Seq("o_orderkey"))
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the pre-shuffled layout a recurring 100 TB fact-fact join should use:
     // both sides bucketed on the key -> the join consumes the bucket
