@@ -211,6 +211,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup pairs: sound on random vectors (recomputed cosine)") {
+    // soundness must hold on ARBITRARY geometry, not just separable
+    // clusters: every emitted pair really is >= threshold (recall is the
+    // clustering's documented approximation; precision is exact)
+    val vecGen: Gen[List[List[Double]]] = for {
+      n <- Gen.choose(8, 30)
+      vs <- Gen.listOfN(n, Gen.listOfN(5, Gen.choose(-1.0, 1.0)))
+    } yield vs
+    for (vs <- samples(vecGen, 3)) {
+      import spark.implicits._
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "vec")
+      val byId = rows.toMap
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val thr = 0.6
+      graft.pipeline.SemDedup.pairs(df, "id", "vec", k = 4, iters = 2, threshold = thr)
+        .collect().foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          assert(a < b)
+          assert(cos(byId(a), byId(b)) >= thr - 1e-9, s"pair ($a,$b)")
+        }
+    }
+  }
+
   test("packing == driver-side prefix sum on random token sizes") {
     // zeros, budget-sized docs, and budget-straddlers all appear
     val tokensGen: Gen[List[Long]] = for {

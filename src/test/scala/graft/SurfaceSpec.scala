@@ -91,4 +91,21 @@ class SurfaceSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StringType))
     assert(tf.inspect(1) eq tf) // passthrough returns the same frame
   }
+
+  test("gate contract: every oracle has a gate; rows-only set is exactly the documented ops") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // an oracle whose gate name drifted would silently vanish from the
+    // driver's hash check — fail here instead
+    assert((o -- q).isEmpty, s"oracles without a gate query: ${(o -- q).toSeq.sorted}")
+    assert(q.size >= 114, s"gate count dropped to ${q.size}")
+    // only the hash-seeded/probabilistic/centroid-routed ops may skip the
+    // value-hash oracle; anything else appearing here is a coverage bug
+    val rowsOnly = q -- o
+    val justified = Set("q_ann_ivf", "q_ann_lsh", "q_approx_nunique",
+      "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic")
+    assert(rowsOnly == justified,
+      s"unexpected rows-only gates: ${(rowsOnly -- justified).toSeq.sorted}; " +
+        s"missing: ${(justified -- rowsOnly).toSeq.sorted}")
+  }
 }
