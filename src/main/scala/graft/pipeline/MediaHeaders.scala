@@ -66,10 +66,13 @@ object MediaHeaders {
     if (b == null || b.length < 36) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var i = 12
+    // Long cursor: a corrupt chunk size near 2^32 must walk the cursor
+    // past the buffer and end the loop, not wrap an Int back into range
+    var cur = 12L
     var rate = 0; var ch = 0; var bits = 0
     var dataSize = -1L; var haveFmt = false
-    while (i + 8 <= b.length && !(haveFmt && dataSize >= 0)) {
+    while (cur + 8 <= b.length && !(haveFmt && dataSize >= 0)) {
+      val i = cur.toInt
       val sz = le32(b, i + 4).toLong & 0xffffffffL
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
           i + 24 <= b.length) {
@@ -78,8 +81,7 @@ object MediaHeaders {
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
         dataSize = sz
       }
-      i += 8 + sz.toInt + (sz.toInt & 1) // word alignment
-      if (i <= 0) return None // corrupt size wrapped the cursor
+      cur += 8L + sz + (sz & 1L) // word alignment
     }
     if (haveFmt && rate > 0 && ch > 0 && bits > 0) {
       val blockAlign = math.max(1, ch * bits / 8)

@@ -396,6 +396,12 @@ class PipelineSpec extends AnyFunSuite {
     // garbage bytes fall back to the stub, audio fields null
     val stub = Multimodal.decode("audio", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
     assert(stub.getString(0) == "audio" && stub.isNullAt(5))
+    // corrupt chunk size near 2^32 must terminate, not loop: RIFF/WAVE with
+    // a chunk whose le32 size is 0xFFFFFFF8
+    val corrupt: Array[Byte] =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "junk".getBytes ++ le32(0xFFFFFFF8.toInt) ++ Array.fill(32)(0.toByte)
+    assert(MediaHeaders.sniffWav(corrupt).isEmpty)
   }
 
   test("incremental dedup: history rejection + in-batch collapse, exactly") {
