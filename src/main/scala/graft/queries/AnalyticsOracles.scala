@@ -73,6 +73,12 @@ object AnalyticsOracles {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_join" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs
         |FROM events a JOIN events b

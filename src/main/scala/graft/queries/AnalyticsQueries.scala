@@ -159,6 +159,24 @@ object AnalyticsQueries {
         .agg(F.count(F.lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
+    // Stream-static enrichment join: the streaming side joins a broadcast
+    // dimension table (no state, no watermark needed — the static side is
+    // re-read per micro-batch). Value sums run in exact integer cents so
+    // the aggregate is order-independent and oracle-checkable.
+    "q_stream_enrich" -> ((s, dir) => {
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        Tables.load(s, dir, "events"))
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val cust = Tables.load(s, dir, "customer")
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+      val joined = stream
+        .join(F.broadcast(cust), F.col("user_id") === F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.sum(F.floor(F.col("value") * 100).cast("long")).as("value_cents"))
+      graft.streaming.StreamStage.runToMemory(joined, "q_stream_enrich_", "complete")
+        .orderBy("c_mktsegment")
+    }),
     // Streaming exact dedup: the corpus-dedup counter run THROUGH
     // Structured Streaming (AvailableNow over a parquet stream,
     // dropDuplicates on the content hash). Emits a deterministic aggregate
