@@ -103,4 +103,18 @@ object Clustering {
       nodes: Option[DataFrame] = None): DataFrame =
     connectedComponents(pairs, aCol, bCol, nodes)
       .withColumn("keep", F.col("node") === F.col("component"))
+
+  /** Survivorship policy: instead of the min-id representative, keep each
+    * cluster's highest-`scoreCol` member (ties → lowest id) — "keep the
+    * best copy", the policy real curation pipelines want when duplicates
+    * differ in quality. `scores` maps `idCol` → `scoreCol`; one hash
+    * aggregation over the assignment (map-side combinable max_by). */
+  def bestPerCluster(assign: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    assign.join(scores.select(F.col(idCol).cast("long").as("node"),
+        F.col(scoreCol).as("$td.__score")), Seq("node"))
+      .groupBy("component")
+      .agg(F.max_by(F.col("node"),
+        F.struct(F.col("`$td.__score`"), (-F.col("node")).as("nid"))).as("keep_id"),
+        F.count(F.lit(1)).as("cluster_size"))
 }

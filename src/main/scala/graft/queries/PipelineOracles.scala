@@ -39,6 +39,13 @@ object PipelineOracles {
         |SELECT keep_id AS id FROM b
         |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
         |ORDER BY id""".stripMargin,
+    "q_dedup_keep_best" ->
+      // chain edges within 100-id blocks => component = floor(id/100)*100
+      """SELECT (doc_id // 100) * 100 AS component,
+        |  (array_agg(doc_id ORDER BY doc_id % 7 DESC, doc_id ASC))[1]
+        |    AS keep_id,
+        |  count(*) AS cluster_size
+        |FROM documents GROUP BY 1 ORDER BY component""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""$shinglesCte,
          |keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 1000),

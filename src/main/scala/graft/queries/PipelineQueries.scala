@@ -168,6 +168,23 @@ object PipelineQueries {
         .connectedComponents(edges, "src", "dst", nodes = Some(d))
         .orderBy("node")
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // same deterministic chain-block edge set as q_dedup_clusters, so
+      // components are provably the 100-id blocks and the oracle can name
+      // them in SQL; survivor = highest (doc_id % 7), ties to lowest id
+      val d = t(s, dir, "documents").select("doc_id")
+      val edges = d.as("a").join(d.as("b"),
+          F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+            F.col("a.doc_id") % 100 =!= 99)
+        .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+      val assign = graft.pipeline.Clustering
+        .connectedComponents(edges, "src", "dst", nodes = Some(d))
+      graft.pipeline.Clustering.bestPerCluster(assign,
+          t(s, dir, "documents").select(F.col("doc_id"),
+            F.pmod(F.col("doc_id"), F.lit(7)).as("score")),
+          "doc_id", "score")
+        .orderBy("component")
+    }),
     "q_fuzzy_pairs" -> ((s, dir) => {
       Dedup.fuzzyPairs(t(s, dir, "customer"), "c_name", "c_custkey",
           blockLen = 17, maxDist = 1)
