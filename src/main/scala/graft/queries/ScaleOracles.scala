@@ -84,6 +84,21 @@ object ScaleOracles {
         |       ELSE prev_v + (next_v - prev_v) * (CAST(event_id AS DOUBLE) - prev_x) / (next_x - prev_x)
         |  END AS vi
         |FROM s ORDER BY event_id""".stripMargin,
+    "q_pivot" ->
+      // nullif: Spark's pivot yields NULL for an absent (status, priority)
+      // combination where a conditional count would yield 0
+      """SELECT o_orderstatus,
+        |  nullif(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0)
+        |    AS "1-URGENT",
+        |  nullif(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0)
+        |    AS "2-HIGH",
+        |  nullif(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0)
+        |    AS "3-MEDIUM",
+        |  nullif(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0)
+        |    AS "4-NOT SPECIFIED",
+        |  nullif(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0)
+        |    AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_join" ->
       """WITH dim AS (
         |  SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1)

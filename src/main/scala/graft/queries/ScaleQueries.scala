@@ -100,6 +100,16 @@ object ScaleQueries {
         .select("event_id", "vi")
         .orderBy("event_id")
     }),
+    "q_pivot" -> ((s, dir) => {
+      // wide pivot with EXPLICIT values: no value-discovery job, plan and
+      // output schema are static — the form that scales (a discovery pivot
+      // collects the distinct values to the driver first)
+      d(s, dir, "orders").groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderstatus")
+    }),
     "q_skew_join" -> ((s, dir) => {
       // salted equi-join on a 5-value hot key: the salt spreads each hot
       // key over `saltFactor` reducers, and because the right side is
