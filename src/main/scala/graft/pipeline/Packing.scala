@@ -66,4 +66,23 @@ object Packing {
       .agg(F.count(F.lit(1)).as("n_docs"),
         F.sum(F.col(tokenCol).cast("long")).as("tokens_started"))
       .select(F.col("pack_id"), F.col("n_docs"), F.col("tokens_started"))
+
+  /** Overlapping character windows per document — the chunking step of an
+    * embedding/retrieval pipeline: (id, chunk_idx, chunk) with windows of
+    * `size` chars starting every `size - overlap` chars. Pure
+    * sequence/explode/substr projection (codegen, zero shuffle); empty and
+    * null documents yield no chunks. `chunk_idx` is derivable as
+    * `(start - 1) / step`, which is what makes the SQL oracle exact. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val step = size - overlap
+    val len = F.char_length(F.col(textCol))
+    val starts = F.when(len > 0, F.sequence(F.lit(1), len, F.lit(step)))
+      .otherwise(F.array())
+    df.select(F.col(idCol), F.col(textCol), F.posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(F.col(idCol), F.col("chunk_idx"),
+        F.col(textCol).substr(F.col("start"), F.lit(size)).as("chunk"))
+  }
 }

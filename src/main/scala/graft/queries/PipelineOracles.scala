@@ -182,6 +182,16 @@ object PipelineOracles {
         |  FROM documents)
         |SELECT doc_id, n_chars, cum // 4096 AS pack_id, cum % 4096 AS pack_pos
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      // step = size - overlap = 64; chunk_idx = (start-1) / step
+      """SELECT doc_id,
+        |  CAST((start - 1) // 64 AS INTEGER) AS chunk_idx,
+        |  substr(text, CAST(start AS INTEGER), 80) AS chunk
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1, 64)) AS start
+        |  FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_split_train" ->
       """WITH b AS (
         |  SELECT doc_id,

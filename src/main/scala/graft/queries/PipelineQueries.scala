@@ -203,6 +203,12 @@ object PipelineQueries {
           "doc_id", "n_chars", budget = 4096)
         .orderBy("doc_id")
     }),
+    "q_chunk_docs" -> ((s, dir) => {
+      graft.pipeline.Packing.chunkDocuments(
+          t(s, dir, "documents").where(F.col("doc_id") < 50),
+          "doc_id", "text", size = 80, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q_split_train" -> ((s, dir) => {
       graft.pipeline.DataMix.split(t(s, dir, "documents"), "doc_id",
           valFrac = 0.1, testFrac = 0.1)

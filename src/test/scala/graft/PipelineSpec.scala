@@ -464,6 +464,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(rows.repartition(7)) == got)
   }
 
+  test("chunking: overlapping windows, tail clamp, empty and null docs") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, ""), (3L, null: String), (4L, "xy"))
+      .toDF("id", "text")
+    val got = graft.pipeline.Packing.chunkDocuments(df, "id", "text",
+        size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // step 3: starts 1,4,7,10 -> abcd, defg, ghij, j (tail clamped)
+    assert(got == Seq((1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"),
+      (1L, 3, "j"), (4L, 0, "xy")))
+  }
+
   test("split: stable per-id assignment, rates near targets") {
     val s = DataMix.split(docs, "doc_id", 0.1, 0.1)
     val counts = s.groupBy("split").count().collect()
