@@ -40,8 +40,8 @@ object PipelineOracles {
         |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
         |ORDER BY id""".stripMargin,
     "q_dedup_keep_best" ->
-      // chain edges within 100-id blocks => component = floor(id/100)*100
-      """SELECT (doc_id // 100) * 100 AS component,
+      // chain edges within 10-id blocks => component = floor(id/10)*10
+      """SELECT (doc_id // 10) * 10 AS component,
         |  (array_agg(doc_id ORDER BY doc_id % 7 DESC, doc_id ASC))[1]
         |    AS keep_id,
         |  count(*) AS cluster_size

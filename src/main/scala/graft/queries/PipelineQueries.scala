@@ -169,13 +169,15 @@ object PipelineQueries {
         .orderBy("node")
     }),
     "q_dedup_keep_best" -> ((s, dir) => {
-      // same deterministic chain-block edge set as q_dedup_clusters, so
-      // components are provably the 100-id blocks and the oracle can name
-      // them in SQL; survivor = highest (doc_id % 7), ties to lowest id
+      // deterministic chain edges within 10-id blocks: components are
+      // provably the blocks, so the oracle can name them in SQL; the gate's
+      // subject is the survivorship AGGREGATION (highest doc_id % 7, ties
+      // to lowest id) — contraction depth is q_dedup_clusters' job, so the
+      // chains here are short
       val d = t(s, dir, "documents").select("doc_id")
       val edges = d.as("a").join(d.as("b"),
           F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
-            F.col("a.doc_id") % 100 =!= 99)
+            F.col("a.doc_id") % 10 =!= 9)
         .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
       val assign = graft.pipeline.Clustering
         .connectedComponents(edges, "src", "dst", nodes = Some(d))
