@@ -107,6 +107,30 @@ object Ivf {
     Index(centroids, assign(v, centroids, viaJoin))
   }
 
+  /** Persist an index: centroids as a tiny (cluster, cv) parquet, the
+    * assigned inverted lists partitioned BY CLUSTER — so a loaded index
+    * serves `topK` with partition pruning on the probed clusters (a query
+    * touches nprobe directories, not the corpus). Build once per corpus
+    * version, reuse across query batches — at 100 TB the build dominates
+    * a single query batch by orders of magnitude. */
+  def save(index: Index, path: String): Unit = {
+    centroidDf(index.assigned, index.centroids)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted index. The centroid relation is k×dim doubles —
+    * driver-side by design, same as after a build. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(F.col("id"), F.col("v"), F.col("cluster").cast("int").as("cluster"))
+    Index(centroids, assigned)
+  }
+
   /** `nprobe` nearest cluster ids for a query vector — literal strategy. */
   private def probeExpr(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>

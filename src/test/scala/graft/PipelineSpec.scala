@@ -344,6 +344,28 @@ class PipelineSpec extends AnyFunSuite {
       ("beta", 3L, 1L, 1)))   // in all three docs; first in doc 1 pos 1
   }
 
+  test("ivf: save/load round-trip serves identical searches, cluster-partitioned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val built = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.save(built, dir)
+    val loaded = Ivf.load(spark, dir)
+    assert(loaded.centroids.length == built.centroids.length)
+    built.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq) // exact doubles through parquet
+    }
+    def res(ix: Ivf.Index) =
+      Ivf.topK(ix, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(res(loaded) == res(built))
+    // inverted lists land as cluster= partition directories (the layout
+    // that gives probed scans partition pruning)
+    val parts = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cluster="))
+    assert(parts.nonEmpty)
+  }
+
   test("ivf: broadcast-join assignment strategy matches plan-literal strategy") {
     import spark.implicits._
     import graft.pipeline.Ivf
