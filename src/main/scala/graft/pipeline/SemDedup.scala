@@ -30,8 +30,14 @@ object SemDedup {
     * `threshold`, a < b. Cosine runs in the codegen'd [[VectorKernels]]
     * kernel, not an interpreted HOF lambda. */
   def pairs(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3, threshold: Double = 0.995): DataFrame = {
-    val assigned = Ivf.build(df, idCol, vecCol, k, iters).assigned
+      k: Int = 16, iters: Int = 3, threshold: Double = 0.995): DataFrame =
+    pairsWithIndex(Ivf.build(df, idCol, vecCol, k, iters), threshold)
+
+  /** Pair search over a prebuilt (or [[Ivf.load]]ed) index — the reuse
+    * path: cluster once per corpus version, sweep thresholds or re-dedup
+    * incrementally without re-running Lloyd. */
+  def pairsWithIndex(index: Ivf.Index, threshold: Double): DataFrame = {
+    val assigned = index.assigned
     val l = assigned.select(F.col("id").as("a"), F.col("v").as("va"), F.col("cluster"))
     val r = assigned.select(F.col("id").as("b"), F.col("v").as("vb"), F.col("cluster"))
     l.join(r, Seq("cluster"))
