@@ -73,6 +73,45 @@ object AnalyticsOracles {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_quality" ->
+      // copies share text+lang, so any-survivor dedup (rn=1) matches the
+      // stream's arrival-order dropDuplicates for this aggregate
+      """WITH all_docs AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id < 100),
+        |uniq AS (
+        |  SELECT lang, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM all_docs),
+        |s AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS word_count,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |       + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS symbol_ratio,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS DOUBLE)
+        |      / nullif(len(regexp_extract_all(text, '\S+')), 0) AS alpha_word_frac,
+        |    CAST(len(list_intersect(
+        |      list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['the','be','to','of','and','that','have','with'])) AS INTEGER)
+        |      AS stopword_hits
+        |  FROM uniq WHERE rn = 1),
+        |q AS (
+        |  SELECT lang,
+        |    CASE WHEN word_count > 0 THEN
+        |      0.15e0 * (least(word_count, 256) / 256e0)
+        |      + 0.15e0 * (1e0 - least(abs(mean_word_len - 5e0), 5e0) / 5e0)
+        |      + 0.2e0 * (1e0 - least(symbol_ratio * 10e0, 1e0))
+        |      + 0.3e0 * least(alpha_word_frac, 1e0)
+        |      + 0.2e0 * (least(stopword_hits, 4) / 4e0)
+        |    END AS quality_score
+        |  FROM s)
+        |SELECT lang, count(*) AS n_quality_docs
+        |FROM q WHERE quality_score >= 0.6e0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)

@@ -177,6 +177,30 @@ object AnalyticsQueries {
       graft.streaming.StreamStage.runToMemory(joined, "q_stream_enrich_", "complete")
         .orderBy("c_mktsegment")
     }),
+    // Streaming curation composition: content dedup + the TextQualityStats
+    // kernel + linear score filter, all inside one micro-batch plan — the
+    // custom Catalyst expression proving itself under Structured Streaming.
+    // The staged input re-delivers ids <100 under shifted ids so the
+    // streaming dedup has real work; copies share text (and lang), so the
+    // per-lang aggregate is invariant to which copy survives and the batch
+    // oracle can hash-match.
+    "q_stream_quality" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val staged = docs.select("doc_id", "lang", "text")
+        .unionAll(docs.where(F.col("doc_id") < 100)
+          .select((F.col("doc_id") + 10000).as("doc_id"),
+            F.col("lang"), F.col("text")))
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s,
+        s"$dir/documents-dup", staged)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val curated = graft.pipeline.QualityFilters.withQualityScore(
+          stream.withColumn("h", F.md5(F.col("text"))).dropDuplicates("h"),
+          "text", keep = Seq("doc_id", "lang"))
+        .where(F.col("passes_quality"))
+        .groupBy("lang").agg(F.count(F.lit(1)).as("n_quality_docs"))
+      graft.streaming.StreamStage.runToMemory(curated, "q_stream_quality_",
+        "complete").orderBy("lang")
+    }),
     // Streaming exact dedup: the corpus-dedup counter run THROUGH
     // Structured Streaming (AvailableNow over a parquet stream,
     // dropDuplicates on the content hash). Emits a deterministic aggregate
