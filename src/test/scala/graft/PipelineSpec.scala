@@ -499,6 +499,22 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 3, "j"), (4L, 0, "xy")))
   }
 
+  test("argument contracts: packing/chunking/split reject invalid configs") {
+    import spark.implicits._
+    val df = Seq((1L, 10L)).toDF("id", "tok")
+    intercept[IllegalArgumentException](
+      graft.pipeline.Packing.packByBudget(df, "id", "tok", 0L))
+    val t = Seq((1L, "x")).toDF("id", "text")
+    intercept[IllegalArgumentException](
+      graft.pipeline.Packing.chunkDocuments(t, "id", "text", size = 4, overlap = 4))
+    intercept[IllegalArgumentException](
+      graft.pipeline.Packing.chunkDocuments(t, "id", "text", size = 0, overlap = 0))
+    intercept[IllegalArgumentException](
+      DataMix.split(t, "id", valFrac = 0.6, testFrac = 0.6))
+    intercept[IllegalArgumentException](
+      DataMix.sampleByWeights(t, "id", "text", Map("x" -> 1.5)))
+  }
+
   test("split: stable per-id assignment, rates near targets") {
     val s = DataMix.split(docs, "doc_id", 0.1, 0.1)
     val counts = s.groupBy("split").count().collect()
