@@ -150,6 +150,65 @@ object Dedup {
     }: _*)
   }
 
+  /** Persistable LSH bucket index over a corpus: one (id, band, bh) row
+    * per band per document with ≥1 shingle. The k-hash signature pass is
+    * the expensive part of MinHash dedup — build this once per corpus
+    * version, persist it as parquet, and every incoming batch probes it
+    * ([[incrementalNearDupPairs]]) without touching history text except
+    * for the few candidate docs. */
+  def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
+    val r = k / bands
+    val sig = df
+      .select(F.col(idCol).as("id"), tokens(F.col(textCol)).as("toks"))
+      .select(F.col("id"), shinglesFromTokens(F.col("toks"), n).as("sh"))
+      .where(F.size(F.col("sh")) > 0)
+      .select(F.col("id"),
+        graft.expressions.HashKernels.minhashSig(F.col("sh"), k).as("sig"))
+    val bandCols = (0 until bands).map { bnd =>
+      F.struct(F.lit(bnd).as("band"),
+        F.xxhash64((0 until r).map(i =>
+          F.element_at(F.col("sig"), bnd * r + i + 1)): _*).as("bh")).as(s"b$bnd")
+    }
+    sig.select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bb"))
+      .select(F.col("id"), F.col("bb.band").as("band"), F.col("bb.bh").as("bh"))
+  }
+
+  /** Incremental near-dup detection: (batch_id, hist_id, jaccard) for
+    * every batch document whose exact n-gram Jaccard against an INDEXED
+    * history document clears `threshold` — the near-dup analog of
+    * [[incrementalNew]]. Candidates come from shared (band, bh) buckets
+    * (the persisted [[minhashBandIndex]]), so the cost is
+    * O(batch + candidates), never O(history); history TEXT is read only
+    * for the candidate docs (semi-joined before shingling). Same
+    * recall ≈ 1-(1-t^r)^b contract as [[minhashLshPairs]]; precision
+    * exact. */
+  def incrementalNearDupPairs(index: DataFrame, history: DataFrame,
+      batch: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = minhashBandIndex(batch, textCol, idCol, k, bands, n)
+      .join(index.select(F.col("id").as("hist_id"), F.col("band"), F.col("bh")),
+        Seq("band", "bh"))
+      .select(F.col("id").as("batch_id"), F.col("hist_id")).distinct()
+    def sideShingles(src: DataFrame, ids: DataFrame, as: String): DataFrame =
+      shingled(src.select(F.col(idCol).as("id"), F.col(textCol))
+          .join(ids, Seq("id"), "left_semi"), textCol, "id", n)
+        .withColumnRenamed("id", as)
+    val bSh = sideShingles(batch, cand.select(F.col("batch_id").as("id")).distinct(), "batch_id")
+    val hSh = sideShingles(history, cand.select(F.col("hist_id").as("id")).distinct(), "hist_id")
+    val bSz = bSh.groupBy("batch_id").agg(F.count(F.lit(1)).as("nb"))
+    val hSz = hSh.groupBy("hist_id").agg(F.count(F.lit(1)).as("nh"))
+    val common = bSh.join(hSh, Seq("shingle"))
+      .groupBy("batch_id", "hist_id").agg(F.count(F.lit(1)).as("common"))
+    cand.join(common, Seq("batch_id", "hist_id"))
+      .join(bSz, Seq("batch_id")).join(hSz, Seq("hist_id"))
+      .withColumn("jaccard", F.col("common").cast(DoubleType) /
+        (F.col("nb") + F.col("nh") - F.col("common")))
+      .filter(F.col("jaccard") >= threshold)
+      .select(F.col("batch_id"), F.col("hist_id"), F.col("jaccard"))
+  }
+
   /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
     *
     * Shape chosen for scale AND to keep Catalyst honest: the k signature
@@ -169,22 +228,7 @@ object Dedup {
     * Recall ≈ 1-(1-t^r)^b at similarity t; precision exact. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val r = k / bands
-    // per-row signature; docs with no shingles have none (as when explode
-    // dropped them)
-    val sig = df
-      .select(F.col(idCol).as("id"), tokens(F.col(textCol)).as("toks"))
-      .select(F.col("id"), shinglesFromTokens(F.col("toks"), n).as("sh"))
-      .where(F.size(F.col("sh")) > 0)
-      .select(F.col("id"),
-        graft.expressions.HashKernels.minhashSig(F.col("sh"), k).as("sig"))
-    val bandCols = (0 until bands).map { bnd =>
-      F.struct(F.lit(bnd).as("band"),
-        F.xxhash64((0 until r).map(i =>
-          F.element_at(F.col("sig"), bnd * r + i + 1)): _*).as("bh")).as(s"b$bnd")
-    }
-    val banded = sig.select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bb"))
-      .select(F.col("id"), F.col("bb.band").as("band"), F.col("bb.bh").as("bh"))
+    val banded = minhashBandIndex(df, textCol, idCol, k, bands, n)
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(F.col("x.id") < F.col("y.id"))
       .select(F.col("x.id").as("a"), F.col("y.id").as("b")).distinct()

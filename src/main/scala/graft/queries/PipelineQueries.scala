@@ -38,6 +38,22 @@ object PipelineQueries {
           .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text")))
       Dedup.incrementalNew(history, batch, "text", "doc_id").orderBy("id")
     }),
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      // batch = appended-suffix rewrites of history docs (guaranteed
+      // near-dups of their sources) + untouched novel docs; candidates via
+      // the persisted-index path. Hash-routed recall → rows-only check;
+      // PipelineSpec holds the brute-force differential.
+      val docs = t(s, dir, "documents")
+      val history = docs.where(F.col("doc_id") < 250)
+      val batch = docs.where(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 10000).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" trailing audit note")).as("text"))
+        .unionAll(docs.where(F.col("doc_id") >= 400).select("doc_id", "text"))
+      val index = Dedup.minhashBandIndex(history, "text", "doc_id")
+      Dedup.incrementalNearDupPairs(index, history, batch, "text", "doc_id",
+          threshold = 0.5)
+        .orderBy("batch_id", "hist_id")
+    }),
     "q_dedup_semantic" -> ((s, dir) => {
       // k-means cluster routing is data/init-dependent → rows-only check;
       // PipelineSpec holds the differential against brute-force pairs

@@ -441,6 +441,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(cold.count() == 4)
   }
 
+  test("incremental near-dup: index-probed pairs match brute-force jaccard") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark physical planning rules"),
+      (3L, "a third unrelated document mentioning minhash banding recall"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river edge"), // ~dup of 1
+      (11L, "nothing like anything in the history corpus at all whatsoever"),
+      (12L, "completely different content about spark physical planning rules")) // exact dup of 2
+      .toDF("id", "text")
+    val index = Dedup.minhashBandIndex(history, "text", "id")
+    val got = Dedup.incrementalNearDupPairs(index, history, batch, "text", "id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: exact jaccard across the full cross product
+    def sh(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val expect = (for {
+      (b, bt) <- Seq((10L, "the quick brown fox jumps over the lazy dog near the river edge"),
+        (11L, "nothing like anything in the history corpus at all whatsoever"),
+        (12L, "completely different content about spark physical planning rules"))
+      (h, ht) <- Seq((1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "completely different content about spark physical planning rules"),
+        (3L, "a third unrelated document mentioning minhash banding recall"))
+      inter = sh(bt).intersect(sh(ht)).size
+      j = inter.toDouble / (sh(bt).size + sh(ht).size - inter)
+      if j >= 0.5
+    } yield (b, h)).toSet
+    assert(expect.nonEmpty)
+    assert(got == expect) // high-similarity pairs: banding recall ≈ 1 here
+  }
+
   test("semantic dedup: exact recall on separable clusters, sound pairs") {
     import spark.implicits._
     // two tight direction groups, ids interleaved so the deterministic

@@ -103,7 +103,8 @@ class SurfaceSpec extends AnyFunSuite {
     // value-hash oracle; anything else appearing here is a coverage bug
     val rowsOnly = q -- o
     val justified = Set("q_ann_ivf", "q_ann_lsh", "q_approx_nunique",
-      "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic")
+      "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic",
+      "q_dedup_incremental_near")
     assert(rowsOnly == justified,
       s"unexpected rows-only gates: ${(rowsOnly -- justified).toSeq.sorted}; " +
         s"missing: ${(justified -- rowsOnly).toSeq.sorted}")
