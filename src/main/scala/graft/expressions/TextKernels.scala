@@ -101,9 +101,44 @@ case class WinnowMinHash(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Unicode normalization (UAX#15) of a string column — the text-canonical-
+  * ization step every multilingual corpus pipeline runs before hashing or
+  * dedup (composed vs decomposed accents would otherwise hash apart).
+  * Forms: NFC/NFD/NFKC/NFKD via `java.text.Normalizer`. The fast path
+  * skips allocation when the input is already normalized ASCII (the
+  * overwhelmingly common case in web corpora). NFC output is engine-
+  * portable: DuckDB's `nfc_normalize` implements the same UAX#15 form,
+  * which is what makes the gate oracle-checkable. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  @transient private lazy val nf =
+    java.text.Normalizer.Form.valueOf(form.toUpperCase)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string input, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, nf)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, nf))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 object TextKernels {
   def tokenSetHits(toks: Column, words: Seq[String]): Column =
     Bridge.column(TokenSetHits(Bridge.expression(toks), words))
   def winnowMinHash(toks: Column, w: Int): Column =
     Bridge.column(WinnowMinHash(Bridge.expression(toks), w))
+  def unicodeNormalize(s: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(s), form))
 }

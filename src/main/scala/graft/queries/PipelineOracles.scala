@@ -172,6 +172,15 @@ object PipelineOracles {
          |SELECT d.doc_id AS id,
          |  d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
          |FROM documents d ORDER BY id""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))
+        |    AS norm,
+        |  CAST(length(regexp_replace(text, 'a', 'a' || chr(769), 'g'))
+        |    AS INTEGER) AS n_decomposed,
+        |  CAST(length(nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g')))
+        |    AS INTEGER) AS n_composed
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       // CAST the window sum: DuckDB sum(BIGINT) widens to HUGEINT
       """WITH c AS (

@@ -215,6 +215,19 @@ object PipelineQueries {
         .overlapFlags(docs, "text", "doc_id", evals, "text", n = 3)
         .orderBy("id")
     }),
+    "q_text_normalize" -> ((s, dir) => {
+      // inject combining accents ('a' -> 'a' + U+0301) so NFC has real
+      // composition work; DuckDB's nfc_normalize implements the same
+      // UAX#15 form, so the normalized strings hash-match
+      val decomposed = F.regexp_replace(F.col("text"), "a", "a\u0301")
+      t(s, dir, "documents").where(F.col("doc_id") < 50)
+        .select(F.col("doc_id"),
+          graft.expressions.TextKernels.unicodeNormalize(decomposed).as("norm"),
+          F.char_length(decomposed).as("n_decomposed"),
+          F.char_length(graft.expressions.TextKernels.unicodeNormalize(decomposed))
+            .as("n_composed"))
+        .orderBy("doc_id")
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       graft.pipeline.Packing.packByBudget(
           t(s, dir, "documents").select("doc_id", "n_chars"),

@@ -441,6 +441,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(cold.count() == 4)
   }
 
+  test("unicode normalize: NFC composes accents, NFKC folds ligatures, idempotent") {
+    import spark.implicits._
+    import graft.expressions.TextKernels.unicodeNormalize
+    val df = Seq(
+      (1L, "café"),          // e + combining acute -> é
+      (2L, "\ufb01nance"),   // fi ligature (NFKC folds to "fi")
+      (3L, "plain ascii"),
+      (4L, null: String))
+      .toDF("id", "s")
+    val out = df.select(F.col("id"),
+        unicodeNormalize(F.col("s")).as("nfc"),
+        unicodeNormalize(F.col("s"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "caf\u00e9" && out(0).getString(2) == "caf\u00e9")
+    assert(out(1).getString(1) == "\ufb01nance") // NFC keeps the ligature
+    assert(out(1).getString(2) == "finance")     // NFKC folds it
+    assert(out(2).getString(1) == "plain ascii")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    // idempotence: normalizing the normalized form changes nothing
+    val twice = df.where(F.col("s").isNotNull).select(
+      (unicodeNormalize(unicodeNormalize(F.col("s"))) ===
+        unicodeNormalize(F.col("s"))).as("eq")).collect()
+    assert(twice.forall(_.getBoolean(0)))
+  }
+
   test("incremental near-dup: index-probed pairs match brute-force jaccard") {
     import spark.implicits._
     val history = Seq(
