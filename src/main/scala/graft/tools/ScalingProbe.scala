@@ -97,6 +97,22 @@ object ScalingProbe {
       ("quality_score", 100, { d =>
         graft.pipeline.QualityFilters.withQualityScore(d, "text", Seq("doc_id"))
           .where(F.col("passes_quality")).count()
+      }),
+      ("incremental_near", 30, { d =>
+        // history = even ids (indexed), batch = odd ids probing it
+        val hist = d.where(F.col("doc_id") % 2 === 0)
+        val index = graft.pipeline.Dedup.minhashBandIndex(hist, "text", "doc_id")
+        graft.pipeline.Dedup.incrementalNearDupPairs(index, hist,
+          d.where(F.col("doc_id") % 2 === 1), "text", "doc_id",
+          threshold = 0.8).count()
+      }),
+      ("chunking", 100, { d =>
+        graft.pipeline.Packing.chunkDocuments(d, "doc_id", "text",
+          size = 256, overlap = 32).count()
+      }),
+      ("normalize", 100, { d =>
+        d.select(graft.expressions.TextKernels.unicodeNormalize(
+          F.col("text")).as("n")).where(F.length(F.col("n")) > 0).count()
       }))
 
     val ops = if (opFilter.isEmpty) ops0 else ops0.filter(o => opFilter(o._1))
