@@ -137,6 +137,51 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq("0", "10", "20"))
   }
 
+  test("flow: nightly ingest — exact + near-dup dedup against the stored corpus") {
+    // the continuous-ingest composition: each night's batch is deduped
+    // against the CURRENT stored corpus (exact via md5 anti-join, near-dup
+    // via the MinHash band index built from the store) and only survivors
+    // append — corpus versions grow monotonically, dups never land
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val store = freshStore()
+    val engine = new FlowEngine(store, spark)
+    var batch: Seq[(Long, String)] = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely original second document about spark planning"))
+    engine.publisher("land", "c", Seq("staged")) { _ =>
+      Seq(TableFrame.fromRaw(batch.toDF("doc_id", "text")))
+    }
+    engine.transformer("curate", "c", Seq("staged"), Seq("corpus")) { ctx =>
+      val staged = ctx.input(0).df.select("doc_id", "text")
+      val history = store.scan("c/corpus").map(_.df.select("doc_id", "text"))
+        .getOrElse(staged.limit(0))
+      val exactNew = Dedup.incrementalNew(history, staged, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+      val fresh = staged.join(exactNew, Seq("doc_id"), "left_semi")
+      val nearDup =
+        if (history.isEmpty) fresh.limit(0).select(F.col("doc_id"))
+        else Dedup.incrementalNearDupPairs(
+          Dedup.minhashBandIndex(history, "text", "doc_id"),
+          history, fresh, "text", "doc_id", threshold = 0.6)
+          .select(F.col("batch_id").as("doc_id")).distinct()
+      val survivors = fresh.join(nearDup, Seq("doc_id"), "left_anti")
+      Seq(TableFrame.fromRaw(history.unionByName(survivors)))
+    }
+    engine.trigger("land") // night 1: empty history, both docs land
+    assert(store.scan("c/corpus").get.df.count() == 2)
+    batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (11L, "completely original second document about spark planning"), // exact dup of 2
+      (12L, "a genuinely novel third document mentioning nothing prior"))
+    engine.trigger("land") // night 2: only the novel doc survives
+    val ids = store.scan("c/corpus").get.df
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 12L))
+    // the corpus table carries one committed version per night
+    assert(store.versions("c", "corpus").size == 2)
+  }
+
   test("flow: offsets freeze when a run fails (initial_values_freeze)") {
     // reference test_initial_values_freeze: a failing run must not advance
     // the persisted offsets, so the retry re-reads the same increment
