@@ -35,10 +35,19 @@ object ScalableRank {
     // follow the requested global order for descending ranks as well.
     val partCols =
       if (method == "ordinal") keyCol +: tiebreak.map(_.asc) else Seq(keyCol)
+    // localCheckpoint: the pid-tagged relation feeds TWO plan branches
+    // (the rank join and the offsets aggregate). Without materialization
+    // each branch re-executes its own range exchange, and the range
+    // partitioner samples bounds with an RDD-id-derived seed — identical
+    // on small data, divergent at scale, which would pair offsets with the
+    // wrong partitions. One materialized execution pins the pids. (Keys
+    // here can be any orderable type, so the quantile-split trick
+    // Packing.packByBudget uses for numeric ids does not apply.)
     val parted = df
       .repartitionByRange(partCols: _*)
       .sortWithinPartitions(keyCol +: tiebreak.map(_.asc): _*)
       .withColumn("$td.__pid", F.spark_partition_id())
+      .localCheckpoint()
     // within-partition window: parallel across partitions
     val w = Window.partitionBy(F.col("`$td.__pid`")).orderBy(keyCol +: tiebreak.map(_.asc): _*)
     val local = method match {

@@ -108,13 +108,17 @@ object Clustering {
     * cluster's highest-`scoreCol` member (ties → lowest id) — "keep the
     * best copy", the policy real curation pipelines want when duplicates
     * differ in quality. `scores` maps `idCol` → `scoreCol`; one hash
-    * aggregation over the assignment (map-side combinable max_by). */
+    * aggregation over the assignment (map-side combinable max_by).
+    * Members MISSING from `scores` (or with a null score) still count in
+    * `cluster_size` and lose survivorship to any scored member — an inner
+    * join here would silently erase them from both. */
   def bestPerCluster(assign: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String): DataFrame =
     assign.join(scores.select(F.col(idCol).cast("long").as("node"),
-        F.col(scoreCol).as("$td.__score")), Seq("node"))
+        F.col(scoreCol).as("$td.__score")), Seq("node"), "left")
       .groupBy("component")
       .agg(F.max_by(F.col("node"),
-        F.struct(F.col("`$td.__score`"), (-F.col("node")).as("nid"))).as("keep_id"),
+        F.struct(F.col("`$td.__score`").isNotNull.as("scored"),
+          F.col("`$td.__score`"), (-F.col("node")).as("nid"))).as("keep_id"),
         F.count(F.lit(1)).as("cluster_size"))
 }

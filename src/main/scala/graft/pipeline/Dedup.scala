@@ -170,8 +170,26 @@ object Dedup {
         F.xxhash64((0 until r).map(i =>
           F.element_at(F.col("sig"), bnd * r + i + 1)): _*).as("bh")).as(s"b$bnd")
     }
+    // stamp the sketch parameters into the bh column's metadata: it
+    // survives a parquet round-trip, so a probe with mismatched k/bands/n
+    // fails loudly instead of silently matching zero buckets
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("minhash_k", k).putLong("minhash_bands", bands)
+      .putLong("shingle_n", n).build()
     sig.select(F.col("id"), F.explode(F.array(bandCols: _*)).as("bb"))
-      .select(F.col("id"), F.col("bb.band").as("band"), F.col("bb.bh").as("bh"))
+      .select(F.col("id"), F.col("bb.band").as("band"),
+        F.col("bb.bh").as("bh", meta))
+  }
+
+  private def requireIndexParams(index: DataFrame, k: Int, bands: Int, n: Int): Unit = {
+    val m = index.schema.find(_.name == "bh").map(_.metadata)
+    m.filter(_.contains("minhash_k")).foreach { md =>
+      val (ik, ib, in) = (md.getLong("minhash_k"), md.getLong("minhash_bands"),
+        md.getLong("shingle_n"))
+      require(ik == k && ib == bands && in == n,
+        s"band index was built with (k=$ik, bands=$ib, n=$in) but probed with " +
+          s"(k=$k, bands=$bands, n=$n) — mismatched sketches share no buckets")
+    }
   }
 
   /** Incremental near-dup detection: (batch_id, hist_id, jaccard) for
@@ -187,6 +205,7 @@ object Dedup {
       batch: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    requireIndexParams(index, k, bands, n)
     val cand = minhashBandIndex(batch, textCol, idCol, k, bands, n)
       .join(index.select(F.col("id").as("hist_id"), F.col("band"), F.col("bh")),
         Seq("band", "bh"))

@@ -95,8 +95,13 @@ object Multimodal {
       F.col("media_meta.bits_per_sample").as("bits_per_sample")))
 
   /** Frame sampling: explode every_nth frame indices from the metadata —
-    * (doc, frame_idx) rows ready for a per-frame feature extractor. */
-  def sampleFrames(df: DataFrame, everyNth: Int): DataFrame =
+    * (doc, frame_idx) rows ready for a per-frame feature extractor.
+    * Zero-frame media (e.g. a WAV with an empty data chunk) yields no
+    * rows rather than an illegal sequence(0, -1). */
+  def sampleFrames(df: DataFrame, everyNth: Int): DataFrame = {
+    val n = F.col("media_meta.n_frames")
     df.withColumn("frame_idx",
-      F.explode(F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(everyNth))))
+      F.explode(F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(everyNth)))
+        .otherwise(F.array())))
+  }
 }

@@ -17,26 +17,41 @@ import org.apache.spark.sql.expressions.Window
   * spans following ones; slicing it is the tokenizer stage's job.
   *
   * Scale shape: a naive `sum() OVER (ORDER BY id)` is a single-reducer
-  * global window. This implementation uses the same two-phase
-  * range-partition + broadcast-offsets formulation as
-  * [[graft.operators.ScalableRank]]: local prefix sums run in parallel
-  * per partition, and only the numPartitions-row per-partition totals pass
-  * through a driver-side window before broadcasting back — no global
-  * sort-merge of the corpus on one reducer.
+  * global window. This implementation is two-phase like
+  * [[graft.operators.ScalableRank]]: ids bucket against driver-held
+  * quantile split points, local prefix sums run in parallel per bucket,
+  * and only the numPartitions-row per-bucket totals pass through a global
+  * window before broadcasting back — no global sort-merge of the corpus
+  * on one reducer.
   */
 object Packing {
 
   /** Append `pack_id` (0-based sequence number) and `pack_pos` (token
     * offset of the document's start within its pack). `tokenCol` must be
-    * non-negative; `idCol` must give a deterministic total order. */
+    * non-negative; `idCol` must be numeric and give a deterministic total
+    * order.
+    *
+    * The partition id is derived FROM THE DATA (id compared against
+    * driver-held quantile split points from a deterministic
+    * Greenwald-Khanna sketch), not from `spark_partition_id()` after a
+    * range shuffle: the corpus-side window and the offsets aggregate sit
+    * in two plan branches, and two separate range exchanges sample their
+    * bounds with RDD-id-derived seeds — identical on small data, silently
+    * divergent at scale, which would misattribute every boundary row's
+    * offset. A data-derived pid cannot disagree between branches. */
   def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "pack budget must be positive")
     val pid = "$td.__pid"; val cum = "$td.__cum"
-    val parted = df
-      .repartitionByRange(F.col(idCol).asc)
-      .sortWithinPartitions(F.col(idCol).asc)
-      .withColumn(pid, F.spark_partition_id())
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bounds: Array[Long] =
+      if (p <= 1) Array.empty
+      else df.stat.approxQuantile(idCol,
+        (1 until p).map(_.toDouble / p).toArray, 0.001).map(_.toLong).distinct.sorted
+    val pidCol = bounds.foldLeft(F.lit(0)) { (acc, b) =>
+      acc + F.when(F.col(idCol) > b, 1).otherwise(0)
+    }
+    val parted = df.withColumn(pid, pidCol)
     val w = Window.partitionBy(F.col(s"`$pid`")).orderBy(F.col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = parted.withColumn(cum,
@@ -58,14 +73,16 @@ object Packing {
       .drop(pid, cum, "pid", "offset", "$td.__gcum")
   }
 
-  /** Per-pack audit: documents per pack, token fill, and fill fraction
-    * against the budget (packs other than the last should be ~full when
-    * documents are small relative to the budget). */
+  /** Per-pack audit: documents per pack, tokens starting in the pack, and
+    * fill fraction against the budget (can exceed 1 when a doc started in
+    * this pack spills into the next; packs other than the last should be
+    * ~full when documents are small relative to the budget). */
   def packStats(packed: DataFrame, tokenCol: String, budget: Long): DataFrame =
     packed.groupBy("pack_id")
       .agg(F.count(F.lit(1)).as("n_docs"),
         F.sum(F.col(tokenCol).cast("long")).as("tokens_started"))
-      .select(F.col("pack_id"), F.col("n_docs"), F.col("tokens_started"))
+      .select(F.col("pack_id"), F.col("n_docs"), F.col("tokens_started"),
+        (F.col("tokens_started").cast("double") / budget).as("fill_frac"))
 
   /** Overlapping character windows per document — the chunking step of an
     * embedding/retrieval pipeline: (id, chunk_idx, chunk) with windows of
