@@ -63,8 +63,12 @@ final case class FileSource(
     options.foreach { case (k, v) => r = r.option(k, v) }
     val df = format match {
       case "csv" =>
+        // inferSchema defaults on (transporter's infer_schema_length=None);
+        // "false" gives the reference's String-format mode: every column
+        // arrives as a string for the caller to cast explicitly
         r.option("header", options.getOrElse("header", "true"))
-          .option("inferSchema", "true").csv(pattern)
+          .option("inferSchema", options.getOrElse("inferSchema", "true"))
+          .csv(pattern)
       case "json" | "ndjson" => r.json(pattern)
       case "parquet"         => r.parquet(pattern)
       case "orc"             => r.orc(pattern)

@@ -140,6 +140,14 @@ class GoldenSpec extends AnyFunSuite {
     assert(store.versions("sales", "revenue").size == 1)
   }
 
+  test("golden: csv string format — inference off, every column a string") {
+    val df = readCase("csv_string_format", "data.csv", "csv",
+      Map("inferSchema" -> "false"))
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    check(df, s"$golden/csv_string_format/expected_result.json")
+  }
+
   test("golden: ndjson full dtype inference (long/double/boolean/null)") {
     val df = readCase("ndjson_dtype_inference", "data.ndjson", "ndjson")
     val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
