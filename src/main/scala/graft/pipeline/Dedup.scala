@@ -183,7 +183,14 @@ object Dedup {
 
   private def requireIndexParams(index: DataFrame, k: Int, bands: Int, n: Int): Unit = {
     val m = index.schema.find(_.name == "bh").map(_.metadata)
-    m.filter(_.contains("minhash_k")).foreach { md =>
+      .filter(_.contains("minhash_k"))
+    require(m.nonEmpty,
+      "band index carries no minhash_k/minhash_bands/shingle_n metadata on its `bh` " +
+        "column — an unstamped index cannot prove its sketch parameters, and a " +
+        "mismatched probe silently matches zero buckets. Rebuild it with " +
+        "minhashBandIndex (parquet round-trips preserve the stamp), or re-stamp the " +
+        "column via withMetadata before probing")
+    m.foreach { md =>
       val (ik, ib, in) = (md.getLong("minhash_k"), md.getLong("minhash_bands"),
         md.getLong("shingle_n"))
       require(ik == k && ib == bands && in == n,
@@ -218,9 +225,19 @@ object Dedup {
     val hSh = sideShingles(history, cand.select(F.col("hist_id").as("id")).distinct(), "hist_id")
     val bSz = bSh.groupBy("batch_id").agg(F.count(F.lit(1)).as("nb"))
     val hSz = hSh.groupBy("hist_id").agg(F.count(F.lit(1)).as("nh"))
-    val common = bSh.join(hSh, Seq("shingle"))
+    // pair-keyed common count: route each batch shingle to its candidate
+    // partners FIRST, then probe the history side on (hist_id, shingle). A
+    // plain shingle-keyed join of all batch × history candidate shingles
+    // blows up on a stop-shingle shared across many candidate docs (toward
+    // |candidates|² intermediate rows); this shape is bounded by
+    // Σ_pairs |shingles(batch doc)| — the advertised O(candidates) cost.
+    // Shingles are distinct per doc, so the (hist_id, shingle) probe matches
+    // each routed row at most once. Pairs without a shared shingle drop out
+    // here exactly as they did under the old inner join to `common`.
+    val common = bSh.join(cand, Seq("batch_id"))
+      .join(hSh, Seq("hist_id", "shingle"))
       .groupBy("batch_id", "hist_id").agg(F.count(F.lit(1)).as("common"))
-    cand.join(common, Seq("batch_id", "hist_id"))
+    common
       .join(bSz, Seq("batch_id")).join(hSz, Seq("hist_id"))
       .withColumn("jaccard", F.col("common").cast(DoubleType) /
         (F.col("nb") + F.col("nh") - F.col("common")))

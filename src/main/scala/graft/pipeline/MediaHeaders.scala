@@ -69,13 +69,16 @@ object MediaHeaders {
     // Long cursor: a corrupt chunk size near 2^32 must walk the cursor
     // past the buffer and end the loop, not wrap an Int back into range
     var cur = 12L
-    var rate = 0; var ch = 0; var bits = 0
+    var rate = 0; var ch = 0; var bits = 0; var fmtTag = 0
     var dataSize = -1L; var haveFmt = false
     while (cur + 8 <= b.length && !(haveFmt && dataSize >= 0)) {
       val i = cur.toInt
       val sz = le32(b, i + 4).toLong & 0xffffffffL
+      // a fmt chunk declares at least 16 payload bytes; a corrupt smaller
+      // size would silently read the next chunk's bytes as format fields
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ' &&
-          i + 24 <= b.length) {
+          sz >= 16 && i + 24 <= b.length) {
+        fmtTag = le16(b, i + 8)
         ch = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
         haveFmt = true
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
@@ -84,8 +87,13 @@ object MediaHeaders {
       cur += 8L + sz + (sz & 1L) // word alignment
     }
     if (haveFmt && rate > 0 && ch > 0 && bits > 0) {
+      // dataSize/blockAlign only counts sample frames for uncompressed
+      // payloads: PCM (1), IEEE float (3), or EXTENSIBLE (0xFFFE, which
+      // wraps one of those); ADPCM etc. store compressed bytes, so report
+      // frames = 0 rather than a wrong count
+      val uncompressed = fmtTag == 1 || fmtTag == 3 || fmtTag == 0xfffe
       val blockAlign = math.max(1, ch * bits / 8)
-      val frames = if (dataSize >= 0) dataSize / blockAlign else 0L
+      val frames = if (dataSize >= 0 && uncompressed) dataSize / blockAlign else 0L
       Some(AudioMeta("wav", rate, ch, bits, frames))
     } else None
   }

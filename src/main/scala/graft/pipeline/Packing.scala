@@ -57,20 +57,24 @@ object Packing {
     val withLocal = parted.withColumn(cum,
       F.coalesce(F.sum(F.col(tokenCol).cast("long")).over(w), F.lit(0L)))
     // per-partition token totals → exclusive prefix over pid (numPartitions
-    // rows, trivially small) → broadcast join back
-    val offsets = withLocal.groupBy(F.col(s"`$pid`").as("pid"))
-      .agg(F.sum(F.col(tokenCol).cast("long")).as("sz"))
-      .withColumn("offset",
-        F.coalesce(F.sum("sz").over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+    // rows, trivially small) → broadcast join back. The offsets relation's
+    // columns share the $td.__ namespace of the other helper columns: bare
+    // names would make an input 'pid' ambiguous and silently drop an input
+    // 'offset' in the final drop.
+    val opid = "$td.__offset_pid"; val off = "$td.__offset"
+    val offsets = withLocal.groupBy(F.col(s"`$pid`").as(opid))
+      .agg(F.sum(F.col(tokenCol).cast("long")).as("$td.__sz"))
+      .withColumn(off,
+        F.coalesce(F.sum(F.col("`$td.__sz`")).over(
+          Window.orderBy(F.col(s"`$opid`")).rowsBetween(Window.unboundedPreceding, -1)),
           F.lit(0L)))
-      .select("pid", "offset")
+      .select(F.col(s"`$opid`"), F.col(s"`$off`"))
     withLocal
-      .join(F.broadcast(offsets), F.col(s"`$pid`") === F.col("pid"))
-      .withColumn("$td.__gcum", F.col("offset") + F.col(s"`$cum`"))
+      .join(F.broadcast(offsets), F.col(s"`$pid`") === F.col(s"`$opid`"))
+      .withColumn("$td.__gcum", F.col(s"`$off`") + F.col(s"`$cum`"))
       .withColumn("pack_id", F.expr(s"`$$td.__gcum` div $budget"))
       .withColumn("pack_pos", F.pmod(F.col("`$td.__gcum`"), F.lit(budget)))
-      .drop(pid, cum, "pid", "offset", "$td.__gcum")
+      .drop(pid, cum, opid, off, "$td.__gcum")
   }
 
   /** Per-pack audit: documents per pack, tokens starting in the pack, and

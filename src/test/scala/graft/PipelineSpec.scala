@@ -620,4 +620,47 @@ class PipelineSpec extends AnyFunSuite {
       if (!a.isNullAt(1)) assert(a.getDouble(1) == b.getDouble(1))
     }
   }
+
+  test("wav guards: short fmt chunk rejected, compressed payloads report 0 frames") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(fmtTag: Int, fmtSz: Int): Array[Byte] =
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(fmtSz) ++ le16(fmtTag) ++ le16(2) ++ le32(44100) ++
+        le32(44100 * 2 * 2) ++ le16(4) ++ le16(16) ++
+        "data".getBytes ++ le32(32) ++ Array.fill(32)(0.toByte)
+    // a fmt chunk declaring < 16 payload bytes is corrupt: the walk must not
+    // read format fields from it (the declared 8 bytes end mid-field), so the
+    // fmt never registers and the sniff fails instead of returning garbage
+    assert(MediaHeaders.sniffWav(wav(1, 8)).isEmpty)
+    // ADPCM (tag 2): dataSize counts compressed bytes, frames must be 0
+    val adpcm = MediaHeaders.sniffWav(wav(2, 16)).get
+    assert(adpcm.sampleRate == 44100 && adpcm.channels == 2 && adpcm.nSampleFrames == 0L)
+    // IEEE float (tag 3) and EXTENSIBLE (0xFFFE) stay uncompressed: 32 bytes / 4 = 8
+    assert(MediaHeaders.sniffWav(wav(3, 16)).get.nSampleFrames == 8L)
+    assert(MediaHeaders.sniffWav(wav(0xfffe, 16)).get.nSampleFrames == 8L)
+  }
+
+  test("packing: input columns named pid/offset survive untouched") {
+    import spark.implicits._
+    val rows = Seq((1L, 100L, "p1", 7L), (2L, 3000L, "p2", 8L), (3L, 2000L, "p3", 9L))
+      .toDF("id", "tok", "pid", "offset")
+    val got = graft.pipeline.Packing.packByBudget(rows, "id", "tok", 2048L)
+      .orderBy("id").collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("p1", "p2", "p3"))
+    assert(got.map(_.getLong(3)).toSeq == Seq(7L, 8L, 9L))
+    assert(got.map(r => r.getLong(r.fieldIndex("pack_id"))).toSeq == Seq(0L, 0L, 1L))
+  }
+
+  test("incremental near-dup: an unstamped band index fails loudly") {
+    import spark.implicits._
+    val history = Seq((1L, "some history document text here")).toDF("id", "text")
+    val batch = Seq((10L, "some batch document text here")).toDF("id", "text")
+    val stripped = Dedup.minhashBandIndex(history, "text", "id")
+      .select(F.col("id"), F.col("band"), F.col("bh").cast("long").as("bh"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalNearDupPairs(stripped, history, batch, "text", "id"))
+    assert(e.getMessage.contains("unstamped"))
+  }
 }
