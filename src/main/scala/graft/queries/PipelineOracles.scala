@@ -75,6 +75,60 @@ object PipelineOracles {
          |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
          |    WHERE q.vec_id <> c.vec_id) s) r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // IVF with nprobe = k probes every inverted list → identical to brute
+    // force (same ordering, same cosine arithmetic)
+    "q_ann_ivf_exact" ->
+      s"""SELECT query_id, rank, nbr_id, cos FROM (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
+         |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |    WHERE q.vec_id <> c.vec_id) s) r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // SemDedup with k = 1 is exact all-pairs cosine
+    "q_dedup_semantic_exact" ->
+      s"""SELECT a, b, cos FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${cosExpr("x.embedding", "y.embedding")} AS cos
+         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) t
+         |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
+    // bands = k → candidate recall ≈ 1, verification exact → the gate equals
+    // this exact batch × history Jaccard join (same construction as the gate)
+    "q_dedup_incremental_near_exact" ->
+      """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text || ' trailing audit note' AS text
+        |  FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+        |hw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM hist),
+        |bw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM batch),
+        |hsh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM hw WHERE len(w) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, [array_to_string(w, ' ')] AS s FROM hw WHERE len(w) < 3),
+        |bsh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM bw WHERE len(w) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, [array_to_string(w, ' ')] AS s FROM bw WHERE len(w) < 3),
+        |hex AS (SELECT doc_id AS hist_id, len(s) AS nh, unnest(s) AS shingle FROM hsh),
+        |bex AS (SELECT doc_id AS batch_id, len(s) AS nb, unnest(s) AS shingle FROM bsh),
+        |j AS (
+        |  SELECT batch_id, hist_id, any_value(nb) AS nb, any_value(nh) AS nh,
+        |    count(*) AS common
+        |  FROM bex JOIN hex USING (shingle)
+        |  GROUP BY batch_id, hist_id)
+        |SELECT batch_id, hist_id,
+        |  CAST(common AS DOUBLE) / (nb + nh - common) AS jaccard
+        |FROM j
+        |WHERE CAST(common AS DOUBLE) / (nb + nh - common) >= 0.5
+        |ORDER BY batch_id, hist_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,

@@ -98,6 +98,45 @@ object PipelineQueries {
           "vec_id", "embedding", k = 10, nprobe = 3)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf_exact" -> ((s, dir) => {
+      // nprobe = k probes every centroid's inverted list, so IVF degenerates
+      // to exact brute force REGARDLESS of how the k-means routing split the
+      // corpus — which turns the approximate operator's machinery (probe →
+      // broadcast → per-cluster rerank) into a hash-matchable oracle gate;
+      // q_ann_ivf keeps the approximate configuration under its recall spec
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.pipeline.Ivf.topK(idx, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+    "q_dedup_semantic_exact" -> ((s, dir) => {
+      // k = 1 puts the whole corpus in one cluster: the pair search is exact
+      // all-pairs cosine, oracle-checkable as a cross join — the demo-scale
+      // escape hatch of the clustered operator (sound only at gate scale;
+      // q_dedup_semantic keeps the clustered configuration)
+      graft.pipeline.SemDedup.pairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 1, iters = 1, threshold = 0.35)
+        .orderBy("a", "b")
+    }),
+    "q_dedup_incremental_near_exact" -> ((s, dir) => {
+      // bands = k makes every signature slot its own band: a qualifying pair
+      // (jaccard ≥ 0.5) is missed only if all 32 independent minhash slots
+      // differ — probability ≤ (1-0.5)^32 ≈ 2e-10 — so the output equals the
+      // exact Jaccard join the SQL oracle computes; precision is exact by
+      // construction (candidates are re-verified with true Jaccard)
+      val docs = t(s, dir, "documents")
+      val history = docs.where(F.col("doc_id") < 250)
+      val batch = docs.where(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 10000).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" trailing audit note")).as("text"))
+        .unionAll(docs.where(F.col("doc_id") >= 400).select("doc_id", "text"))
+      val index = Dedup.minhashBandIndex(history, "text", "doc_id",
+        k = 32, bands = 32)
+      Dedup.incrementalNearDupPairs(index, history, batch, "text", "doc_id",
+          k = 32, bands = 32, threshold = 0.5)
+        .orderBy("batch_id", "hist_id")
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       // bucket membership is hash-dependent → rows-only check
       val emb = t(s, dir, "embeddings")
