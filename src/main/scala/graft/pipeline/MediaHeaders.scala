@@ -6,15 +6,23 @@ package graft.pipeline
   *
   * Covers the containers a training-data pipeline actually meets in bulk:
   * PNG (IHDR), JPEG (SOFn scan), GIF (logical screen descriptor), BMP
-  * (BITMAPINFOHEADER), and WAV/RIFF audio (fmt + data chunk walk — sample
-  * rate, channels, bit depth, sample-frame count). Anything else returns
-  * None and the caller falls back to its stub/opaque path (compressed
-  * audio and video codecs stay stubbed in this environment).
+  * (BITMAPINFOHEADER), WAV/RIFF audio (fmt + data chunk walk — sample
+  * rate, channels, bit depth, sample-frame count), MP3 (MPEG audio frame
+  * header walk — sample rate, channels, mean bitrate, frame count; public
+  * layout per ISO/IEC 11172-3), and MP4/ISO-BMFF video (box walk to
+  * moov/mvhd duration, tkhd dims, stbl/stts sample count; public layout
+  * per ISO/IEC 14496-12). Anything else returns None and the caller falls
+  * back to its stub/opaque path. No payload is ever decoded — headers
+  * only, so a corrupt stream degrades to None, never an exception.
   */
 object MediaHeaders {
   final case class ImageDims(format: String, width: Int, height: Int)
   final case class AudioMeta(format: String, sampleRate: Int, channels: Int,
     bitsPerSample: Int, nSampleFrames: Long)
+  final case class Mp3Meta(sampleRate: Int, channels: Int, bitrateKbps: Int,
+    nFrames: Int)
+  final case class VideoMeta(format: String, width: Int, height: Int,
+    durationMs: Long, nSamples: Long)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
@@ -96,6 +104,145 @@ object MediaHeaders {
       val frames = if (dataSize >= 0 && uncompressed) dataSize / blockAlign else 0L
       Some(AudioMeta("wav", rate, ch, bits, frames))
     } else None
+  }
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xffffffffL) << 32) | (be32(b, i + 4).toLong & 0xffffffffL)
+
+  private final case class Mp3Frame(sampleRate: Int, channels: Int,
+    bitrateKbps: Int, frameLen: Int)
+
+  /** One MPEG audio frame header (4 bytes, big-endian bit layout):
+    * 11 sync bits, version, layer, bitrate index, sample-rate index,
+    * padding, channel mode. Rejects reserved version/layer/rate codes and
+    * free/bad bitrates (whose frame length is undefined without parsing
+    * the payload). */
+  private def parseMp3Frame(b: Array[Byte], i: Int): Option[Mp3Frame] = {
+    if (i < 0 || i + 4 > b.length) return None
+    if (u8(b, i) != 0xff || (u8(b, i + 1) & 0xe0) != 0xe0) return None
+    val ver = (u8(b, i + 1) >> 3) & 3   // 0=MPEG2.5 1=reserved 2=MPEG2 3=MPEG1
+    val layer = (u8(b, i + 1) >> 1) & 3 // 0=reserved 1=III 2=II 3=I
+    if (ver == 1 || layer == 0) return None
+    val brIdx = (u8(b, i + 2) >> 4) & 15
+    val srIdx = (u8(b, i + 2) >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val padding = (u8(b, i + 2) >> 1) & 1
+    val channels = if (((u8(b, i + 3) >> 6) & 3) == 3) 1 else 2
+    val sampleRate = (ver match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val v1 = ver == 3
+    val bitrate = (layer match {
+      case 3 => if (v1) Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+                else Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+      case 2 => if (v1) Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+                else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+      case _ => if (v1) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+                else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    })(brIdx)
+    val frameLen = layer match {
+      case 3 => (12 * bitrate * 1000 / sampleRate + padding) * 4 // Layer I, 4-byte slots
+      case 2 => 144 * bitrate * 1000 / sampleRate + padding      // Layer II
+      case _ =>                                                  // Layer III
+        (if (v1) 144 else 72) * bitrate * 1000 / sampleRate + padding
+    }
+    Some(Mp3Frame(sampleRate, channels, bitrate, frameLen))
+  }
+
+  /** MP3 sniff + frame walk: an optional ID3v2 tag (syncsafe size), then
+    * consecutive MPEG audio frames from the very next byte — no resync
+    * scan, so arbitrary binary that merely contains a sync-like word
+    * somewhere does not false-positive. Returns the first frame's sample
+    * rate/channels, the mean bitrate over walked frames (VBR-aware), and
+    * the number of frame headers present in the buffer. */
+  def sniffMp3(b: Array[Byte]): Option[Mp3Meta] = {
+    if (b == null || b.length < 4) return None
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      i = 10 + sz
+    }
+    parseMp3Frame(b, i).map { first =>
+      var frames = 0; var brSum = 0L; var cur = i; var ok = true
+      while (ok) {
+        parseMp3Frame(b, cur) match {
+          case Some(f) if f.frameLen > 4 =>
+            frames += 1; brSum += f.bitrateKbps; cur += f.frameLen
+          case _ => ok = false
+        }
+      }
+      Mp3Meta(first.sampleRate, first.channels, (brSum / frames).toInt, frames)
+    }
+  }
+
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private val Mp4TopLevel =
+    Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pdin", "styp", "sidx", "moof")
+  private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** MP4 / ISO-BMFF box walk: boxes are (be32 size, 4cc type, payload);
+    * size 1 → 64-bit largesize follows, size 0 → to end of enclosure.
+    * Collects mvhd timescale+duration, the first tkhd's 16.16-fixed
+    * width/height, and the total stts sample count (= frame count for a
+    * video track). The first box must carry a sane size and a known
+    * top-level type — ASCII text (whose leading 4 bytes read as a huge
+    * be32) never qualifies, and a moov is required, so header-less
+    * fragments fall through to the caller's stub. Works on a header-only
+    * prefix: an mdat declaring more bytes than present just ends the
+    * walk. */
+  def sniffMp4(b: Array[Byte]): Option[VideoMeta] = {
+    if (b == null || b.length < 16) return None
+    val sz0 = be32(b, 0).toLong & 0xffffffffL
+    if (sz0 < 8 || sz0 > b.length || !Mp4TopLevel(boxType(b, 4))) return None
+    var timescale = 0L; var duration = 0L
+    var width = 0; var height = 0; var samples = 0L
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var cur = start
+      while (cur + 8 <= end) {
+        val i = cur.toInt
+        var sz = be32(b, i).toLong & 0xffffffffL
+        val t = boxType(b, i + 4)
+        var hdr = 8L
+        if (sz == 1 && cur + 16 <= end) { sz = be64(b, i + 8); hdr = 16 }
+        else if (sz == 0) sz = end - cur
+        if (sz < hdr || sz > end - cur) return // truncated/corrupt: stop
+        val p = cur + hdr
+        if (Mp4Containers(t) && depth < 8) walk(p, cur + sz, depth + 1)
+        else if (t == "mvhd" && p + 4 <= end) {
+          val ver = u8(b, p.toInt)
+          if (ver == 1 && p + 32 <= end) {
+            timescale = be32(b, p.toInt + 20).toLong & 0xffffffffL
+            duration = be64(b, p.toInt + 24)
+          } else if (ver == 0 && p + 20 <= end) {
+            timescale = be32(b, p.toInt + 12).toLong & 0xffffffffL
+            duration = be32(b, p.toInt + 16).toLong & 0xffffffffL
+          }
+        } else if (t == "tkhd" && p + 4 <= end && width == 0 && height == 0) {
+          val off = if (u8(b, p.toInt) == 1) 88 else 76
+          if (p + off + 8 <= end) {
+            width = be32(b, (p + off).toInt) >>> 16  // 16.16 fixed point
+            height = be32(b, (p + off + 4).toInt) >>> 16
+          }
+        } else if (t == "stts" && p + 8 <= end) {
+          val n = be32(b, p.toInt + 4)
+          var e = 0; var q = p + 8
+          while (e < n && q + 8 <= end) {
+            samples += be32(b, q.toInt).toLong & 0xffffffffL
+            q += 8; e += 1 // each entry: (sample_count, sample_delta)
+          }
+        }
+        cur += sz
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (timescale > 0)
+      Some(VideoMeta("mp4", width, height, duration * 1000L / timescale, samples))
+    else None
   }
 
   private def isJpeg(b: Array[Byte]): Boolean =

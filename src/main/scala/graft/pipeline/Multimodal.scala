@@ -13,11 +13,12 @@ import org.apache.spark.sql.types._
   * per-batch setup such as codec contexts) and frame-sampling explosion.
   *
   * Decoding is REAL for PNG/JPEG/GIF/BMP containers (header-level
-  * dimension extraction) and for WAV/RIFF audio (sample rate, channels,
-  * bit depth, sample-frame count) via [[MediaHeaders]] — pure JVM, no
-  * pixel/codec decode. Bytes that sniff as neither — and compressed
-  * audio/video, whose codecs are not available in this environment — fall
-  * back to the clearly marked [[decodeStub]] deterministic fake.
+  * dimension extraction), WAV/RIFF audio (sample rate, channels, bit
+  * depth, sample-frame count), MP3 (MPEG frame-header walk) and MP4/
+  * ISO-BMFF (mvhd duration, tkhd dims, stts sample count) via
+  * [[MediaHeaders]] — pure JVM, headers only, no pixel/codec decode.
+  * Bytes that sniff as none of those fall back to the clearly marked
+  * [[decodeStub]] deterministic fake.
   */
 object Multimodal {
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -31,8 +32,8 @@ object Multimodal {
     StructField("bits_per_sample", IntegerType)))
 
   /** STUB decode: derives deterministic fake dimensions from the byte
-    * length. Used for compressed audio/video (codecs unavailable here) and
-    * for bytes that don't sniff as a known container — the signature
+    * length. Used only for bytes that sniff as none of the supported
+    * containers (PNG/JPEG/GIF/BMP/WAV/MP3/MP4) — the signature
     * (bytes → meta Row) is the real contract. */
   def decodeStub(kind: String, bytes: Array[Byte]): Row = {
     val len = if (bytes == null) 0L else bytes.length.toLong
@@ -40,23 +41,31 @@ object Multimodal {
       len, null, null, null)
   }
 
-  /** Decode media metadata. Images (PNG/JPEG/GIF/BMP) get their true
-    * dimensions from the container header; WAV audio gets true sample
-    * rate/channels/bit depth and its sample-frame count as `n_frames`;
-    * anything else falls back to the stub. `n_frames` is 1 for stills; GIF
-    * frame counting would need a full block walk, left to the stub
-    * fallback contract. */
+  private def clampInt(v: Long): Int = math.min(v, Int.MaxValue.toLong).toInt
+
+  /** Decode media metadata — all real header walks, no codec libraries:
+    * images (PNG/JPEG/GIF/BMP) get true dimensions; WAV gets sample
+    * rate/channels/bit depth with the sample-frame count as `n_frames`;
+    * MP3 gets sample rate/channels with the MPEG frame count as
+    * `n_frames`; MP4 gets tkhd dimensions with the stts sample count as
+    * `n_frames`. Only unrecognized bytes fall back to the stub.
+    * `n_frames` is 1 for stills; GIF frame counting would need a full
+    * block walk, left to the stub fallback contract. */
   def decode(kind: String, bytes: Array[Byte]): Row = {
     val len = if (bytes == null) 0L else bytes.length.toLong
-    MediaHeaders.sniff(bytes) match {
-      case Some(d) => Row(d.format, d.width, d.height, 1, len, null, null, null)
-      case None => MediaHeaders.sniffWav(bytes) match {
-        case Some(a) => Row(a.format, null, null,
-          math.min(a.nSampleFrames, Int.MaxValue.toLong).toInt, len,
-          a.sampleRate, a.channels, a.bitsPerSample)
-        case None => decodeStub(kind, bytes)
-      }
-    }
+    MediaHeaders.sniff(bytes).map { d =>
+      Row(d.format, d.width, d.height, 1, len, null, null, null)
+    }.orElse(MediaHeaders.sniffWav(bytes).map { a =>
+      Row(a.format, null, null, clampInt(a.nSampleFrames), len,
+        a.sampleRate, a.channels, a.bitsPerSample)
+    }).orElse(MediaHeaders.sniffMp3(bytes).map { m =>
+      Row("mp3", null, null, m.nFrames, len, m.sampleRate, m.channels, null)
+    }).orElse(MediaHeaders.sniffMp4(bytes).map { v =>
+      Row(v.format,
+        if (v.width > 0) v.width else null,
+        if (v.height > 0) v.height else null,
+        clampInt(v.nSamples), len, null, null, null)
+    }).getOrElse(decodeStub(kind, bytes))
   }
 
   /** Attach a `content: binary` column from any string column (stand-in for

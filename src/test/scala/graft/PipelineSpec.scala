@@ -642,6 +642,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaHeaders.sniffWav(wav(0xfffe, 16)).get.nSampleFrames == 8L)
   }
 
+  test("multimodal: real MP3 frame-header walk (rate/channels/bitrate/frames)") {
+    // MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo, no padding:
+    // header FF FB 90 40, frame length = 144*128000/44100 = 417 bytes
+    val frame = Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte) ++
+      Array.fill(417 - 4)(0x55.toByte)
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+      Array[Byte](0, 0, 0, 20) ++ Array.fill(20)(0.toByte) // syncsafe size 20
+    val mp3 = id3 ++ frame ++ frame ++ frame
+    assert(MediaHeaders.sniffMp3(mp3).get ==
+      MediaHeaders.Mp3Meta(44100, 2, 128, 3))
+    // without the ID3 tag, frames from byte 0
+    assert(MediaHeaders.sniffMp3(frame ++ frame).get.nFrames == 2)
+    // VBR: a 160 kbps frame (idx 10 -> A0) follows -> mean bitrate 144
+    val frame160 = Array(0xff, 0xfb, 0xa0, 0x40).map(_.toByte) ++
+      Array.fill((144 * 160000 / 44100) - 4)(0x55.toByte)
+    val vbr = MediaHeaders.sniffMp3(frame ++ frame160).get
+    assert(vbr.bitrateKbps == 144 && vbr.nFrames == 2)
+    // mono: mode bits 11 -> channels 1
+    val mono = Array(0xff, 0xfb, 0x90, 0xc0).map(_.toByte) ++ Array.fill(413)(0.toByte)
+    assert(MediaHeaders.sniffMp3(mono).get.channels == 1)
+    // text and garbage never sniff (no resync scan; reserved codes rejected)
+    assert(MediaHeaders.sniffMp3("plain text document".getBytes).isEmpty)
+    assert(MediaHeaders.sniffMp3(Array(0xff, 0xe0, 0x90, 0x40).map(_.toByte)
+      ++ Array.fill(100)(0.toByte)).isEmpty) // reserved layer code
+    // through the partition decoder: audio fields, frame count, null bits
+    val row = Multimodal.decode("audio", mp3)
+    assert(row.getString(0) == "mp3" && row.getInt(3) == 3 &&
+      row.getInt(5) == 44100 && row.getInt(6) == 2 && row.isNullAt(7))
+  }
+
+  test("multimodal: real MP4 box walk (dims/duration/sample count)") {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ t.getBytes ++ payload
+    // mvhd v0: flags + creation + modification + timescale 1000 + duration 5000
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000) ++
+      Array.fill(80)(0.toByte))
+    // tkhd v0: width/height 16.16-fixed at payload offsets 76/80
+    val tkhd = box("tkhd", Array.fill(76)(0.toByte) ++ be32(640 << 16) ++ be32(360 << 16))
+    // stts: two entries, 100 + 50 samples
+    val stts = box("stts", be32(0) ++ be32(2) ++
+      be32(100) ++ be32(512) ++ be32(50) ++ be32(512))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++
+      box("mdia", box("minf", box("stbl", stts)))))
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isomiso2".getBytes)
+    val mp4 = ftyp ++ moov ++ box("mdat", Array.fill(32)(0.toByte))
+    assert(MediaHeaders.sniffMp4(mp4).get ==
+      MediaHeaders.VideoMeta("mp4", 640, 360, 5000L, 150L))
+    // header-only prefix: mdat declares 1 MB that isn't present — the walk
+    // ends at the truncation, moov metadata already collected
+    val prefix = ftyp ++ moov ++ (be32(1048576) ++ "mdat".getBytes)
+    assert(MediaHeaders.sniffMp4(prefix).get.durationMs == 5000L)
+    // no moov (fragment), text, and corrupt sizes all fall through
+    assert(MediaHeaders.sniffMp4(ftyp ++ box("mdat", Array.fill(8)(0.toByte))).isEmpty)
+    assert(MediaHeaders.sniffMp4("a text document long enough to matter".getBytes).isEmpty)
+    assert(MediaHeaders.sniffMp4(be32(3) ++ "moov".getBytes ++ Array.fill(16)(0.toByte)).isEmpty)
+    // through the partition decoder: dims + sample count as frames
+    val row = Multimodal.decode("video", mp4)
+    assert(row.getString(0) == "mp4" && row.getInt(1) == 640 &&
+      row.getInt(2) == 360 && row.getInt(3) == 150 && row.isNullAt(5))
+  }
+
   test("packing: input columns named pid/offset survive untouched") {
     import spark.implicits._
     val rows = Seq((1L, 100L, "p1", 7L), (2L, 3000L, "p2", 8L), (3L, 2000L, "p3", 9L))
