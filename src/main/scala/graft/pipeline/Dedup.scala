@@ -78,12 +78,23 @@ object Dedup {
     * pairs within `maxDist` edits. Blocking is what keeps this from going
     * quadratic at scale — the join shuffles on the block key, and the
     * O(block²) term is bounded by the block granularity the caller picks
-    * (same contract as [[embeddingNearDupPairs]]'s block column). */
+    * (same contract as [[embeddingNearDupPairs]]'s block column).
+    *
+    * `maxBlock` is the structural skew guard (the mirror of
+    * [[ngramJaccardPairs]]'s `maxDf`): a block with more than that many
+    * members — every "https://…" URL sharing one 8-char prefix — would
+    * alone contribute |block|² pairs, so oversized blocks are dropped via
+    * a broadcast anti-join before pairing. A stop-prefix that hot carries
+    * no linkage signal; callers that truly need those pairs should block
+    * on a longer/likelier-unique key instead. */
   def fuzzyPairs(df: DataFrame, col: String, idCol: String,
-      blockLen: Int = 8, maxDist: Int = 2): DataFrame = {
+      blockLen: Int = 8, maxDist: Int = 2, maxBlock: Long = 1000): DataFrame = {
     val b = df.select(F.col(idCol).as("id"), F.col(col).as("s"),
       F.substring(F.lower(F.trim(F.col(col))), 1, blockLen).as("blk"))
-    b.as("x").join(b.as("y"),
+    val hot = b.groupBy("blk").agg(F.count(F.lit(1)).as("n"))
+      .filter(F.col("n") > maxBlock).select("blk")
+    val kept = b.join(F.broadcast(hot), Seq("blk"), "left_anti")
+    kept.as("x").join(kept.as("y"),
         F.col("x.blk") === F.col("y.blk") && F.col("x.id") < F.col("y.id"))
       .withColumn("dist", F.levenshtein(F.col("x.s"), F.col("y.s")))
       .where(F.col("dist") <= maxDist)

@@ -26,12 +26,38 @@ import graft.expressions.VectorKernels
   */
 object SemDedup {
 
+  /** Sentinel for `k`: derive the cluster count from the corpus size via
+    * [[autoK]] instead of a fixed demo-scale constant. */
+  val AutoK: Int = -1
+
+  /** Cluster-count heuristic: enough clusters that the expected cluster
+    * holds ~`targetClusterSize` vectors, floored at 16. Σ|cluster|² work
+    * then stays ~N · targetClusterSize instead of drifting quadratic as
+    * the corpus grows under a fixed k — the SemDeDup paper sized k the
+    * same way (≈11k clusters against LAION-scale corpora; Abbas et al.
+    * 2023 §3). The default target of 4096 is deliberately conservative:
+    * per-cluster pair work is bounded by targetClusterSize², the term a
+    * caller is actually budgeting. */
+  def autoK(n: Long, targetClusterSize: Long = 4096): Int = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    math.min(math.max(16L, (n + targetClusterSize - 1) / targetClusterSize),
+      Int.MaxValue.toLong).toInt
+  }
+
   /** (a, b, cos) candidate pairs: same k-means cluster, cosine ≥
     * `threshold`, a < b. Cosine runs in the codegen'd [[VectorKernels]]
-    * kernel, not an interpreted HOF lambda. */
+    * kernel, not an interpreted HOF lambda.
+    *
+    * `k` defaults to [[AutoK]]: one extra count job derives the cluster
+    * count from the corpus size, so growing data cannot silently slide a
+    * fixed demo-scale k into quadratic per-cluster work. Pass an explicit
+    * k to pin the geometry (tests, threshold sweeps over a prebuilt
+    * index). */
   def pairs(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3, threshold: Double = 0.995): DataFrame =
-    pairsWithIndex(Ivf.build(df, idCol, vecCol, k, iters), threshold)
+      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.995): DataFrame = {
+    val kk = if (k == AutoK) autoK(df.count()) else k
+    pairsWithIndex(Ivf.build(df, idCol, vecCol, kk, iters), threshold)
+  }
 
   /** Pair search over a prebuilt (or [[Ivf.load]]ed) index — the reuse
     * path: cluster once per corpus version, sweep thresholds or re-dedup
@@ -52,7 +78,7 @@ object SemDedup {
     * group's lowest-id representative (isolated documents keep
     * themselves). */
   def dedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3, threshold: Double = 0.995): DataFrame =
+      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.995): DataFrame =
     Clustering.dedupClusters(
       pairs(df, idCol, vecCol, k, iters, threshold), "a", "b",
       nodes = Some(df.select(idCol)))

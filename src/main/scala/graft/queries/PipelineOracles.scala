@@ -211,13 +211,18 @@ object PipelineOracles {
         |SELECT doc_id AS node,
         |  min(doc_id) OVER (PARTITION BY grp) AS component
         |FROM g ORDER BY node""".stripMargin,
+    // the keep CTE mirrors fuzzyPairs' maxBlock guard (blocks > 1000 drop)
     "q_fuzzy_pairs" ->
-      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+      """WITH blk AS (
+        |  SELECT c_custkey, c_name,
+        |    substr(lower(trim(c_name)), 1, 17) AS blk
+        |  FROM customer),
+        |keep AS (SELECT blk FROM blk GROUP BY blk HAVING count(*) <= 1000)
+        |SELECT a.c_custkey AS a, b.c_custkey AS b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-        |FROM customer a JOIN customer b
-        |  ON substr(lower(trim(a.c_name)), 1, 17) = substr(lower(trim(b.c_name)), 1, 17)
-        | AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |FROM blk a JOIN keep USING (blk) JOIN blk b USING (blk)
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a, b""".stripMargin,
     "q_decontaminate" ->
       s"""$shinglesCte,

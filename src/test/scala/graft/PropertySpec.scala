@@ -260,6 +260,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy pairs: a 10k shared-prefix block is dropped, not made quadratic") {
+    import spark.implicits._
+    // every URL shares the 8-char prefix "https://" → one block of 10k rows
+    // would alone mean ~5*10^7 Levenshtein pairs; the maxBlock guard drops
+    // the hot block structurally, and the distinct-prefix rows still pair
+    val urls = (0 until 10000).map(i => (i.toLong, s"https://host-$i.example/path"))
+    val named = Seq((20001L, "acct-alpha-1"), (20002L, "acct-alpha-2"))
+    val df = (urls ++ named).toDF("id", "s")
+    val got = graft.pipeline.Dedup
+      .fuzzyPairs(df, "s", "id", blockLen = 8, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((20001L, 20002L)))
+    // raising maxBlock past the block size restores the exhaustive contract
+    val loose = graft.pipeline.Dedup
+      .fuzzyPairs(df.limit(20), "s", "id", blockLen = 8, maxDist = 2,
+        maxBlock = 100)
+      .count()
+    assert(loose > 0)
+  }
+
+  test("semdedup autoK: corpus-sized cluster count, pairs stay sound") {
+    import spark.implicits._
+    // heuristic floor and growth
+    assert(graft.pipeline.SemDedup.autoK(100) == 16)
+    assert(graft.pipeline.SemDedup.autoK(100000) == 25)           // ceil(1e5/4096)
+    assert(graft.pipeline.SemDedup.autoK(450000000L, 40000) == 11250) // paper regime
+    // default-k path (AutoK) on a small corpus: every reported pair is a
+    // true cosine near-dup (soundness is cluster-independent)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val base = Array.tabulate(8)(d => if (d == i % 4) 1.0 else 0.0)
+      (i.toLong, base.map(_ + rnd.nextDouble() * 0.01).toSeq)
+    }
+    val df = rows.toDF("id", "vec")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = rows.toMap
+    graft.pipeline.SemDedup.pairs(df, "id", "vec", threshold = 0.99)
+      .collect().foreach { r =>
+        assert(cos(byId(r.getLong(0)), byId(r.getLong(1))) >= 0.99 - 1e-9)
+      }
+  }
+
   test("incremental dedup == driver-side set difference on random batches") {
     val batchGen: Gen[(List[Int], List[Int])] =
       Gen.zip(Gen.listOf(Gen.choose(0, 15)), Gen.listOf(Gen.choose(0, 15)))
