@@ -425,6 +425,145 @@ class GoldenSpec extends AnyFunSuite {
     check(store.scan("c/t").get.df, s"$golden/file_incremental/expected_run2.json")
   }
 
+  test("golden: a failed run advances neither the offset nor the table (rs failed_execution)") {
+    // ports the reference's failure semantics: a function that raises must
+    // leave no committed version AND no advanced offset, so the retry sees
+    // exactly the data the failed run saw (offset_utils.py: offsets persist
+    // only after a successful run; _tabsserver error-code contract)
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-retry").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    var poison = true
+    engine.publisher("pub", "c", Seq("t")) { ctx =>
+      val prev = ctx.offsets.getOrElse("max_id", "0").toLong
+      val df = readCase("offset_retry", "data.ndjson", "ndjson")
+        .where(F.col("id") > prev)
+      val mx = df.agg(F.max("id")).head()
+      if (!mx.isNullAt(0)) ctx.setOffset("max_id", mx.getLong(0).toString)
+      if (poison) throw new RuntimeException("downstream exploded")
+      Seq(TableFrame.fromRaw(df))
+    }
+    intercept[RuntimeException](engine.trigger("pub"))
+    // nothing moved: no committed version, offset file still empty
+    assert(store.scan("c/t").isEmpty)
+    assert(graft.flow.Offsets.load(store.root, "pub").isEmpty)
+    // the retry reads the SAME rows the failed run saw and commits them
+    poison = false
+    engine.trigger("pub")
+    check(store.scan("c/t").get.df, s"$golden/offset_retry/expected_result.json")
+    assert(graft.flow.Offsets.load(store.root, "pub") == Map("max_id" -> "3"))
+    // an idle re-run (no rows past the offset) keeps the offset frozen
+    engine.trigger("pub")
+    assert(graft.flow.Offsets.load(store.root, "pub") == Map("max_id" -> "3"))
+  }
+
+  test("golden: trigger chain across three collections runs in dependency order") {
+    import graft.td
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-chain").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val out = Files.createTempDirectory("graft-golden-chainout").toString
+    engine.publisher("pub", "ingest", Seq("raw")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("trigger_chain", "raw.csv", "csv")))
+    }
+    // cross-collection input: analytics reads ingest/raw
+    engine.transformer("tx", "analytics", Seq("ingest/raw"), Seq("revenue")) { ctx =>
+      Seq(ctx.input(0)
+        .with_columns("revenue" -> (td.col("units") * td.col("unit_price")))
+        .selectCols("sku", "revenue"))
+    }
+    // and exports subscribes to analytics/revenue
+    engine.subscriber("sub", "exports", Seq("analytics/revenue")) { ctx =>
+      val top = ctx.input(0).sort(Seq("revenue"), descending = Seq(true)).head(2)
+      FileSink(s"$out/top", format = "jsonl").write(top.toExport)
+      Nil
+    }
+    val ran = engine.trigger("pub")
+    assert(ran == Seq("pub", "tx", "sub")) // BFS dependency order
+    check(store.scan("analytics/revenue").get.df,
+      s"$golden/trigger_chain/expected_revenue.json")
+    check(spark.read.json(s"$out/top"), s"$golden/trigger_chain/expected_top.json")
+    // one execution: all three stamped, each table exactly one version
+    assert(store.versions("ingest", "raw").size == 1)
+    assert(store.versions("analytics", "revenue").size == 1)
+  }
+
+  test("golden: format conversion matrix — one source through every sink format") {
+    // rs format-conversion breadth: the same frame written and re-read
+    // through each sink format must canon-equal the same expected output
+    val src = readCase("format_matrix", "data.csv", "csv")
+    val stage = Files.createTempDirectory("graft-golden-matrix").toString
+    for (fmt <- Seq("csv", "jsonl", "parquet", "orc", "avro")) {
+      FileSink(s"$stage/$fmt", format = fmt).write(src)
+      val back = FileSource(s"$stage/$fmt",
+        if (fmt == "jsonl") "ndjson" else fmt).load(spark, Map.empty).head
+      check(back, s"$golden/format_matrix/expected_result.json")
+    }
+  }
+
+  test("golden: ndjson string format — primitives arrive as strings") {
+    val df = readCase("ndjson_string_format", "data.ndjson", "ndjson",
+      Map("primitivesAsString" -> "true"))
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    check(TableFrame.fromRaw(df).drop_nulls().df,
+      s"$golden/ndjson_string_format/expected_result.json")
+  }
+
+  test("golden: parquet string format — typed columns cast to strings") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-pqsf").toString
+    Seq(("saw", 310, Option(1.4)), ("plane", 240, Option(0.9)),
+        ("adze", 150, Option.empty[Double]))
+      .toDF("tool", "len_mm", "weight_kg").write.parquet(s"$stage/tools")
+    val typed = FileSource(s"$stage/tools", "parquet").load(spark, Map.empty).head
+    val asStrings = typed.select(typed.columns.map(c =>
+      F.col(c).cast(org.apache.spark.sql.types.StringType).as(c)).toSeq: _*)
+    check(TableFrame.fromRaw(asStrings).drop_nulls().df,
+      s"$golden/parquet_string_format/expected_result.json")
+  }
+
+  test("golden: ndjson wildcard concatenates part files") {
+    val df = readCase("ndjson_wildcard", "parts/*.ndjson", "ndjson")
+    check(df, s"$golden/ndjson_wildcard/expected_result.json")
+  }
+
+  test("golden: parquet wildcard concatenates sibling directories") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-pqw").toString
+    Seq(("lyon", 513), ("osaka", 2691)).toDF("city", "pop")
+      .write.parquet(s"$stage/cities1")
+    Seq(("quito", 2011)).toDF("city", "pop").write.parquet(s"$stage/cities2")
+    val df = FileSource(s"$stage/cities*", "parquet").load(spark, Map.empty).head
+    check(df, s"$golden/ndjson_wildcard/expected_result.json")
+  }
+
+  test("golden: literal-constructed frame through publish (rs input_output_dataframe)") {
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-iodf").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "c", Seq("sales")) { _ =>
+      Seq(TableFrame.fromRaw(
+        Seq(("EU", 300.5), ("US", 120.25), ("APAC", 990.0)).toDF("region", "sales")))
+    }
+    engine.trigger("pub")
+    check(store.scan("c/sales").get.df,
+      s"$golden/input_output_dataframe/expected_result.json")
+  }
+
+  test("golden: csv modified format — pipe separator, comments, multi null markers") {
+    import graft.sources.{CsvFormat, FileFormatSpec}
+    val df = FileFormatSpec.read(spark, s"$golden/csv_modified_format/data.csv",
+      CsvFormat(separator = "|", inputCommentPrefix = Some("#"),
+        inputNullValues = Seq("NA", "null")))
+    // the secondary null marker re-inference must land stock on a numeric type
+    assert(df.schema("stock").dataType !=
+      org.apache.spark.sql.types.StringType)
+    check(TableFrame.fromRaw(df).drop_nulls().df,
+      s"$golden/csv_modified_format/expected_result.json")
+  }
+
   test("golden: source plugin with multiple outputs feeds multiple tables") {
     // reference test_input_plugin_multiple_inputs: one SourcePlugin run
     // yields several frames, each landing in its own declared table
