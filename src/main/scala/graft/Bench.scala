@@ -68,7 +68,46 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_repeats":$repeats,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val regressions = regressionsVsPrevRound(byName)
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"n_repeats":$repeats,"failed":$failedJson,"queries":$qs,$regressions"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Regression tripwire: compare this run's per-query medians against the
+    * newest `BENCH_r*.json` in the working directory (the driver's record of
+    * the previous round; override with SPARK_GRAFT_BENCH_PREV). A query is
+    * flagged when it is both >1.5× and >0.25 s slower — the absolute floor
+    * keeps sub-second jitter out. Emits `"regressions":{"q":[prev,now]},`
+    * (empty object when clean, empty string when no prior file), turning
+    * the per-round forensic diffing (r2 mystery, r4 outlier) into an
+    * automatic signal in the contract line. */
+  private def regressionsVsPrevRound(now: Map[String, Double]): String = {
+    val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+          .sorted.lastOption.map(java.nio.file.Paths.get(_))
+      }
+    prevFile.filter(java.nio.file.Files.exists(_)).map { p =>
+      val text = java.nio.file.Files.readString(p)
+      // the driver file wraps the contract line inside a "tail" string;
+      // recover the per-query map from the LAST "queries":{...} span
+      val tag = "\\\"queries\\\":{"
+      val start = math.max(text.lastIndexOf("\"queries\":{"),
+        text.lastIndexOf(tag))
+      if (start < 0) "" else {
+        val span = text.substring(start, math.min(text.length,
+          text.indexOf("}", start).max(start) + 1))
+        val m = java.util.regex.Pattern.compile("\"(q_\\w+)\\\\?\":([0-9.]+)").matcher(span)
+        val prev = scala.collection.mutable.Map[String, Double]()
+        while (m.find()) prev(m.group(1)) = m.group(2).toDouble
+        val flagged = prev.toSeq.sortBy(_._1).flatMap { case (q, pv) =>
+          now.get(q).filter(nv => nv > pv * 1.5 && nv - pv > 0.25)
+            .map(nv => s""""$q":[${BigDecimal(pv).setScale(3, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(nv).setScale(3, BigDecimal.RoundingMode.HALF_UP)}]""")
+        }
+        s""""regressions_vs":"${p.getFileName}","regressions":${flagged.mkString("{", ",", "}")},"""
+      }
+    }.getOrElse("")
   }
 }
