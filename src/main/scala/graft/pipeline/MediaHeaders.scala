@@ -16,7 +16,8 @@ package graft.pipeline
   * only, so a corrupt stream degrades to None, never an exception.
   */
 object MediaHeaders {
-  final case class ImageDims(format: String, width: Int, height: Int)
+  final case class ImageDims(format: String, width: Int, height: Int,
+    nFrames: Int = 1)
   final case class AudioMeta(format: String, sampleRate: Int, channels: Int,
     bitsPerSample: Int, nSampleFrames: Long)
   final case class Mp3Meta(sampleRate: Int, channels: Int, bitrateKbps: Int,
@@ -35,10 +36,48 @@ object MediaHeaders {
   def sniff(bytes: Array[Byte]): Option[ImageDims] = {
     if (bytes == null || bytes.length < 10) return None
     if (isPng(bytes)) pngDims(bytes)
-    else if (isGif(bytes)) Some(ImageDims("gif", le16(bytes, 6), le16(bytes, 8)))
+    else if (isGif(bytes))
+      Some(ImageDims("gif", le16(bytes, 6), le16(bytes, 8), gifFrames(bytes)))
     else if (isJpeg(bytes)) jpegDims(bytes)
     else if (isBmp(bytes)) bmpDims(bytes)
     else None
+  }
+
+  /** GIF frame count via the real data-stream block walk (GIF89a spec,
+    * public): skip the global color table, then iterate blocks — 0x21
+    * extensions (label + length-prefixed sub-blocks), 0x2C image
+    * descriptors (each one frame; skip its local color table + LZW
+    * sub-blocks), 0x3B trailer. Truncated or corrupt streams stop the
+    * walk with the frames counted so far; a stream with no countable
+    * descriptor reports 1 (still image), matching the other stills. */
+  private def gifFrames(b: Array[Byte]): Int = {
+    var i = 13 // header (6) + logical screen descriptor (7)
+    val packed = u8(b, 10)
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // GCT
+    var frames = 0
+    var done = false
+    while (!done && i < b.length) {
+      u8(b, i) match {
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1 // block terminator
+        case 0x2c => // image descriptor: one frame
+          frames += 1
+          if (i + 10 > b.length) done = true
+          else {
+            val p = u8(b, i + 9)
+            i += 10
+            if ((p & 0x80) != 0) i += 3 * (1 << ((p & 7) + 1)) // LCT
+            i += 1 // LZW minimum code size
+            while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+            i += 1
+          }
+        case 0x3b => done = true // trailer
+        case _ => done = true    // corrupt/unknown block: stop counting
+      }
+    }
+    math.max(frames, 1)
   }
 
   private def isPng(b: Array[Byte]): Boolean =

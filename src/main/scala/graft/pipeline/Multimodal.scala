@@ -48,13 +48,13 @@ object Multimodal {
     * rate/channels/bit depth with the sample-frame count as `n_frames`;
     * MP3 gets sample rate/channels with the MPEG frame count as
     * `n_frames`; MP4 gets tkhd dimensions with the stts sample count as
-    * `n_frames`. Only unrecognized bytes fall back to the stub.
-    * `n_frames` is 1 for stills; GIF frame counting would need a full
-    * block walk, left to the stub fallback contract. */
+    * `n_frames`; GIF gets its real frame count from the data-stream block
+    * walk (1 for stills). Only unrecognized bytes fall back to the
+    * stub. */
   def decode(kind: String, bytes: Array[Byte]): Row = {
     val len = if (bytes == null) 0L else bytes.length.toLong
     MediaHeaders.sniff(bytes).map { d =>
-      Row(d.format, d.width, d.height, 1, len, null, null, null)
+      Row(d.format, d.width, d.height, d.nFrames, len, null, null, null)
     }.orElse(MediaHeaders.sniffWav(bytes).map { a =>
       Row(a.format, null, null, clampInt(a.nSampleFrames), len,
         a.sampleRate, a.channels, a.bitsPerSample)

@@ -642,6 +642,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaHeaders.sniffWav(wav(0xfffe, 16)).get.nSampleFrames == 8L)
   }
 
+  test("multimodal: GIF frame count from the data-stream block walk") {
+    // hand-built GIF89a, 3x2, no color tables, two frames each preceded by
+    // a graphic control extension; LZW payload is length-skipped garbage
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val gce = Array(0x21, 0xf9, 0x04, 0x00, 0x0a, 0x00, 0x00, 0x00).map(_.toByte)
+    val frame = gce ++
+      (Array(0x2c).map(_.toByte) ++ le16(0) ++ le16(0) ++ le16(3) ++ le16(2) ++
+        Array(0x00, 0x02, 0x02, 0x4c, 0x01, 0x00).map(_.toByte))
+    val anim = "GIF89a".getBytes ++ le16(3) ++ le16(2) ++
+      Array(0x00, 0x00, 0x00).map(_.toByte) ++ frame ++ frame ++
+      Array(0x3b.toByte)
+    val d = MediaHeaders.sniff(anim).get
+    assert(d == MediaHeaders.ImageDims("gif", 3, 2, 2))
+    // truncated mid-second-frame: counts what it saw
+    assert(MediaHeaders.sniff(anim.dropRight(12)).get.nFrames >= 1)
+    // a still written by ImageIO (with global color table) reports 1
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    assert(MediaHeaders.sniff(out.toByteArray).get ==
+      MediaHeaders.ImageDims("gif", 8, 8, 1))
+    // decode row carries the real frame count
+    assert(Multimodal.decode("image", anim).getInt(3) == 2)
+  }
+
   test("multimodal: real MP3 frame-header walk (rate/channels/bitrate/frames)") {
     // MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo, no padding:
     // header FF FB 90 40, frame length = 144*128000/44100 = 417 bytes
