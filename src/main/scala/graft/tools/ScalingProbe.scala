@@ -106,6 +106,22 @@ object ScalingProbe {
           d.where(F.col("doc_id") % 2 === 1), "text", "doc_id",
           threshold = 0.8).count()
       }),
+      ("fuzzy", 30, { d =>
+        // record-linkage shape: short keys, prefix blocks, maxBlock guard
+        // active. The key is COPY-INVARIANT — a fixed-width copy tag plus
+        // the first 20 chars of the de-tagged text, blocked on tag+8 — so
+        // each synthetic copy reproduces exactly the x1 block structure:
+        // block sizes stay constant and only the block count grows. (A
+        // first attempt keyed on the raw tagged text measured 122x at x30
+        // — the per-word salt ate prefix chars, coarsening blocks as n
+        // grew, a probe artifact rather than an operator cost.)
+        val copy = F.lpad((F.col("doc_id") / 10000000L).cast("long").cast("string"), 4, "0")
+        val stripped = F.regexp_replace(F.col("text"), "c[0-9]+", "")
+        graft.pipeline.Dedup.fuzzyPairs(
+          d.select(F.col("doc_id"),
+            F.concat(copy, F.substring(stripped, 1, 20)).as("k")),
+          "k", "doc_id", blockLen = 12, maxDist = 2).count()
+      }),
       ("chunking", 100, { d =>
         graft.pipeline.Packing.chunkDocuments(d, "doc_id", "text",
           size = 256, overlap = 32).count()
