@@ -564,6 +564,70 @@ class GoldenSpec extends AnyFunSuite {
       s"$golden/csv_modified_format/expected_result.json")
   }
 
+  test("golden: avro string format — typed container cast to strings") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-avsf").toString
+    AvroFiles.write(
+      Seq(("s1", Option(21.5), Option(true)), ("s2", Option.empty[Double], Option(true)),
+          ("s3", Option(19.0), Option(false)))
+        .toDF("sensor", "reading", "ok"),
+      s"$stage/sensors", "overwrite")
+    val typed = FileSource(s"$stage/sensors", "avro").load(spark, Map.empty).head
+    val asStrings = typed.select(typed.columns.map(c =>
+      F.col(c).cast(org.apache.spark.sql.types.StringType).as(c)).toSeq: _*)
+    check(TableFrame.fromRaw(asStrings).drop_nulls().df,
+      s"$golden/avro_string_format/expected_result.json")
+  }
+
+  test("golden: log string format — raw lines arrive untyped and untouched") {
+    val df = readCase("log_string_format", "data.log", "log")
+    assert(df.schema.fields.toSeq.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("value", "string")))
+    check(df, s"$golden/log_string_format/expected_result.json")
+  }
+
+  test("golden: csv modified path — glob descends into dated subdirectories") {
+    val df = readCase("csv_modified_path", "y*/[ab].csv", "csv")
+    check(df, s"$golden/csv_modified_path/expected_result.json")
+  }
+
+  test("golden: one output slot fed by a frame list written as sibling files (rs frame_list)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-golden-framelist").toString
+    val src = Seq(("x", 2L), ("y", 9L), ("z", 4L)).toDF("k", "size")
+    // the reference's frame-list output: each frame lands in its own file
+    // under one destination; readers see the concatenation via the glob
+    val small = src.where(F.col("size") < 5)
+      .agg(F.lit("small").as("bucket"), F.count(F.lit(1)).as("n"))
+    val large = src.where(F.col("size") >= 5)
+      .agg(F.lit("large").as("bucket"), F.count(F.lit(1)).as("n"))
+    FileSink(s"$out/buckets/part0", format = "jsonl").write(small)
+    FileSink(s"$out/buckets/part1", format = "jsonl").write(large)
+    check(spark.read.json(s"$out/buckets/part*"),
+      s"$golden/output_frame_list/expected_result.json")
+  }
+
+  test("golden: zone-less watermark reads as UTC (rs select_datetime_timezone)") {
+    val in = Files.createTempDirectory("graft-golden-wmtz")
+    val t0 = java.time.Instant.parse("2026-03-01T12:00:00Z")
+    Files.writeString(in.resolve("old.csv"), "id,v\n1,a\n2,b\n")
+    Files.setLastModifiedTime(in.resolve("old.csv"),
+      java.nio.file.attribute.FileTime.from(t0))
+    Files.writeString(in.resolve("new.csv"), "id,v\n3,c\n")
+    Files.setLastModifiedTime(in.resolve("new.csv"),
+      java.nio.file.attribute.FileTime.from(t0.plusSeconds(3600)))
+    // zone-less ISO timestamp between the two mtimes: parsed as UTC, it
+    // must admit only the newer file — a zone-shifted reading would let
+    // both (or neither) through
+    val dfs = FileSource(s"$in/*.csv", "csv",
+      modifiedAfter = Some("2026-03-01T12:30:00")).load(spark, Map.empty)
+    check(dfs.head, s"$golden/file_watermark_tz/expected_result.json")
+    // and a watermark after both mtimes loads nothing (no frames, not a
+    // schema-inference crash)
+    assert(FileSource(s"$in/*.csv", "csv",
+      modifiedAfter = Some("2026-03-01T14:00:00")).load(spark, Map.empty).isEmpty)
+  }
+
   test("golden: source plugin with multiple outputs feeds multiple tables") {
     // reference test_input_plugin_multiple_inputs: one SourcePlugin run
     // yields several frames, each landing in its own declared table
