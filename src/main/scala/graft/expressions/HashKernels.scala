@@ -105,9 +105,11 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * half of the hash (`hashInt(plane, 42)`) folded at plan time into a
   * per-plane seed constant. One pass over the vector accumulates all
   * `nbits` projections (element order — and thus float summation order —
-  * identical to the per-plane HOF passes). */
+  * identical to the per-plane HOF passes). `nbits = 0` is the documented
+  * degenerate mode: every vector lands in bucket 0, turning an LSH-routed
+  * search into an exact one (the oracle configuration of q_ann_lsh_exact). */
 case class LshBucketExpr(child: Expression, nbits: Int) extends UnaryExpression {
-  require(nbits > 0 && nbits < 64, s"nbits must be in [1, 63], got $nbits")
+  require(nbits >= 0 && nbits < 64, s"nbits must be in [0, 63], got $nbits")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

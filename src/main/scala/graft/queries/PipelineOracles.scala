@@ -94,6 +94,28 @@ object PipelineOracles {
          |    ${cosExpr("x.embedding", "y.embedding")} AS cos
          |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) t
          |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
+    // LSH with nbits = 0 → one bucket → brute force
+    "q_ann_lsh_exact" ->
+      s"""SELECT query_id, rank, nbr_id, cos FROM (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
+         |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |    WHERE q.vec_id <> c.vec_id) s) r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // bands = k → candidate recall ≈ 1, verification exact → all-pairs
+    // Jaccard over the UNFILTERED shingle sets (no maxDf cap here, unlike
+    // q_dedup_ngram_jaccard)
+    "q_dedup_minhash_exact" ->
+      s"""$shinglesCte
+         |SELECT a, b, jaccard FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS DOUBLE) / (any_value(x.n_sh) + any_value(y.n_sh) - count(*)) AS jaccard
+         |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id) t
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
     // bands = k → candidate recall ≈ 1, verification exact → the gate equals
     // this exact batch × history Jaccard join (same construction as the gate)
     "q_dedup_incremental_near_exact" ->

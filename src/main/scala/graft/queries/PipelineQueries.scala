@@ -145,6 +145,27 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_lsh_exact" -> ((s, dir) => {
+      // nbits = 0 is the documented degenerate mode: one bucket, so the
+      // LSH plumbing (bucket join, broadcast queries, per-bucket rerank)
+      // runs brute-force-equal and hash-matches the exact oracle;
+      // q_ann_lsh keeps the bucketed configuration under its recall spec
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", k = 10, nbits = 0)
+        .orderBy("query_id", "rank")
+    }),
+    "q_dedup_minhash_exact" -> ((s, dir) => {
+      // bands = k: a pair with jaccard >= 0.5 is missed only if all 32
+      // independent minhash slots differ (p <= 2^-32); verification is
+      // exact Jaccard, so the output equals the all-pairs shingle join
+      // the SQL oracle computes — q_dedup_minhash keeps the banded
+      // configuration under its KernelParitySpec/recall bounds
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 32, bands = 32, n = 3, threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) => {
       // tokens materialized once — inline split would re-run inside the

@@ -642,6 +642,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaHeaders.sniffWav(wav(0xfffe, 16)).get.nSampleFrames == 8L)
   }
 
+  test("lsh nbits=0: one bucket, routed search equals brute force exactly") {
+    val corpus = emb.limit(60).cache()
+    val queries = corpus.limit(4)
+    assert(corpus.select(Similarity.lshBucket(F.col("embedding"), 0).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val viaLsh = res(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nbits = 0))
+    val viaBrute = res(Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", "vec_id", k = 5))
+    assert(viaLsh == viaBrute)
+    corpus.unpersist()
+  }
+
   test("multimodal: GIF frame count from the data-stream block walk") {
     // hand-built GIF89a, 3x2, no color tables, two frames each preceded by
     // a graphic control extension; LZW payload is length-skipped garbage
