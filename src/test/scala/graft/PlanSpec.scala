@@ -145,6 +145,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("exact-twin gates keep the scale plan shape (broadcast probe, no cartesian)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // LSH nbits=0: still the bucket-join plan (queries broadcast), not a
+    // cartesian rewrite — the exact mode must exercise the routed machinery
+    val lsh = graft.pipeline.Similarity.lshTopK(
+      emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+      k = 10, nbits = 0)
+    val pl = plan(lsh)
+    assert(pl.contains("BroadcastHashJoin"), pl)
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"), pl)
+    // MinHash bands=k: the signature stage stays a pure projection (no
+    // interpreted lambdas, no aggregate) even at 32 bands
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val banded = graft.pipeline.Dedup.minhashBandIndex(docs, "text", "doc_id",
+      k = 32, bands = 32)
+    val opt = banded.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("lambdafunction"), opt)
+    assert(count(plan(banded), "Exchange") == 0, plan(banded))
+  }
+
   test("fuzzy pairs: blocked equi-join — never a cartesian/nested-loop product") {
     val cust = spark.read.parquet(s"$sf/customer.parquet")
     val p = plan(graft.pipeline.Dedup.fuzzyPairs(cust, "c_name", "c_custkey", 16, 1))
