@@ -85,9 +85,11 @@ object Bench {
     val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .map(java.nio.file.Paths.get(_))
       .orElse {
+        // numeric round order, not lexicographic: r10 must beat r9
         Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
-          .sorted.lastOption.map(java.nio.file.Paths.get(_))
+          .maxByOption(n => n.replaceAll("\\D", "").toInt)
+          .map(java.nio.file.Paths.get(_))
       }
     prevFile.filter(java.nio.file.Files.exists(_)).map { p =>
       val text = java.nio.file.Files.readString(p)

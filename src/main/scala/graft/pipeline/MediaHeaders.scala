@@ -51,6 +51,10 @@ object MediaHeaders {
     * walk with the frames counted so far; a stream with no countable
     * descriptor reports 1 (still image), matching the other stills. */
   private def gifFrames(b: Array[Byte]): Int = {
+    // sniff only guarantees 10 bytes; the walk needs the full logical
+    // screen descriptor — a shorter prefix is a still by contract, not an
+    // ArrayIndexOutOfBounds
+    if (b.length < 14) return 1
     var i = 13 // header (6) + logical screen descriptor (7)
     val packed = u8(b, 10)
     if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // GCT
@@ -222,7 +226,7 @@ object MediaHeaders {
 
   private val Mp4TopLevel =
     Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pdin", "styp", "sidx", "moof")
-  private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+  private val Mp4Containers = Set("moov", "mdia", "minf", "stbl")
 
   /** MP4 / ISO-BMFF box walk: boxes are (be32 size, 4cc type, payload);
     * size 1 → 64-bit largesize follows, size 0 → to end of enclosure.
@@ -240,6 +244,10 @@ object MediaHeaders {
     if (sz0 < 8 || sz0 > b.length || !Mp4TopLevel(boxType(b, 4))) return None
     var timescale = 0L; var duration = 0L
     var width = 0; var height = 0; var samples = 0L
+    // per-trak state: stts counts only become frames when the trak's hdlr
+    // declares a video handler — otherwise a 30 fps clip with AAC audio
+    // would report video+audio sample counts summed
+    var trakSamples = 0L; var trakIsVideo = false
     def walk(start: Long, end: Long, depth: Int): Unit = {
       var cur = start
       while (cur + 8 <= end) {
@@ -251,7 +259,16 @@ object MediaHeaders {
         else if (sz == 0) sz = end - cur
         if (sz < hdr || sz > end - cur) return // truncated/corrupt: stop
         val p = cur + hdr
-        if (Mp4Containers(t) && depth < 8) walk(p, cur + sz, depth + 1)
+        if (t == "trak" && depth < 8) {
+          trakSamples = 0L; trakIsVideo = false
+          walk(p, cur + sz, depth + 1)
+          if (trakIsVideo) samples += trakSamples
+        }
+        else if (Mp4Containers(t) && depth < 8) walk(p, cur + sz, depth + 1)
+        else if (t == "hdlr" && p + 12 <= end) {
+          // version/flags(4) + pre_defined(4) + handler_type(4)
+          trakIsVideo = trakIsVideo || boxType(b, (p + 8).toInt) == "vide"
+        }
         else if (t == "mvhd" && p + 4 <= end) {
           val ver = u8(b, p.toInt)
           if (ver == 1 && p + 32 <= end) {
@@ -271,7 +288,7 @@ object MediaHeaders {
           val n = be32(b, p.toInt + 4)
           var e = 0; var q = p + 8
           while (e < n && q + 8 <= end) {
-            samples += be32(b, q.toInt).toLong & 0xffffffffL
+            trakSamples += be32(b, q.toInt).toLong & 0xffffffffL
             q += 8; e += 1 // each entry: (sample_count, sample_delta)
           }
         }

@@ -51,7 +51,8 @@ object Similarity {
     graft.expressions.HashKernels.lshBucket(vec, nbits)
 
   /** Reference HOF formulation of [[lshBucket]] (interpreted lambdas, one
-    * pass per hyperplane). Kept only as the parity oracle for the kernel. */
+    * pass per hyperplane). Kept only as the parity oracle for the kernel —
+    * including the nbits=0 single-bucket mode (constant 0). */
   private[graft] def lshBucketHof(vec: Column, nbits: Int = 8): Column = {
     val bits = (0 until nbits).map { p =>
       val proj = F.aggregate(
@@ -60,7 +61,8 @@ object Similarity {
         F.lit(0.0), (acc, v) => acc + v)
       F.when(proj > 0, 1L << p).otherwise(0L)
     }
-    bits.reduce((a: Column, b: Column) => a + b)
+    if (bits.isEmpty) F.lit(0L)
+    else bits.reduce((a: Column, b: Column) => a + b)
   }
 
   /** LSH-bucketed approximate top-k: queries only meet corpus vectors in the

@@ -22,6 +22,20 @@ object PipelineOracles {
        | / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
        |  * sqrt(list_reduce(list_transform(generate_series(1,64), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
 
+  /** The exact top-k cosine oracle, shared verbatim by q_ann_bruteforce and
+    * the two exact-twin gates (IVF nprobe=k, LSH nbits=0) — one text, so
+    * the tie-break/query-subset construction cannot silently diverge. */
+  private val exactAnnOracle: String =
+    s"""SELECT query_id, rank, nbr_id, cos FROM (
+       |  SELECT query_id, nbr_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |      ${cosExpr("q.embedding", "c.embedding")} AS cos
+       |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+       |    WHERE q.vec_id <> c.vec_id) s) r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -65,28 +79,10 @@ object PipelineOracles {
          |  FROM embeddings x JOIN embeddings y
          |    ON x.label = y.label AND x.vec_id < y.vec_id) t
          |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
-    "q_ann_bruteforce" ->
-      s"""SELECT query_id, rank, nbr_id, cos FROM (
-         |  SELECT query_id, nbr_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
-         |  FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
-         |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
-         |    WHERE q.vec_id <> c.vec_id) s) r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_bruteforce" -> exactAnnOracle,
     // IVF with nprobe = k probes every inverted list → identical to brute
     // force (same ordering, same cosine arithmetic)
-    "q_ann_ivf_exact" ->
-      s"""SELECT query_id, rank, nbr_id, cos FROM (
-         |  SELECT query_id, nbr_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
-         |  FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
-         |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
-         |    WHERE q.vec_id <> c.vec_id) s) r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_exact" -> exactAnnOracle,
     // SemDedup with k = 1 is exact all-pairs cosine
     "q_dedup_semantic_exact" ->
       s"""SELECT a, b, cos FROM (
@@ -95,16 +91,7 @@ object PipelineOracles {
          |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) t
          |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
     // LSH with nbits = 0 → one bucket → brute force
-    "q_ann_lsh_exact" ->
-      s"""SELECT query_id, rank, nbr_id, cos FROM (
-         |  SELECT query_id, nbr_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
-         |  FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
-         |    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
-         |    WHERE q.vec_id <> c.vec_id) s) r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh_exact" -> exactAnnOracle,
     // bands = k → candidate recall ≈ 1, verification exact → all-pairs
     // Jaccard over the UNFILTERED shingle sets (no maxDf cap here, unlike
     // q_dedup_ngram_jaccard)

@@ -96,7 +96,7 @@ class KernelParitySpec extends AnyFunSuite {
 
   test("lshBucket kernel == HOF formulation on the embeddings table") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    Seq(1, 4, 8, 16).foreach { nbits =>
+    Seq(0, 1, 4, 8, 16).foreach { nbits => // 0 = single-bucket exact mode
       val mismatches = emb.select(
           Similarity.lshBucket(F.col("embedding"), nbits).as("k"),
           Similarity.lshBucketHof(F.col("embedding"), nbits).as("h"))

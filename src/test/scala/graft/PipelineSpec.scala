@@ -673,6 +673,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(d == MediaHeaders.ImageDims("gif", 3, 2, 2))
     // truncated mid-second-frame: counts what it saw
     assert(MediaHeaders.sniff(anim.dropRight(12)).get.nFrames >= 1)
+    // a 10-byte prefix (exactly sniff's minimum) is a still, not an
+    // out-of-bounds read
+    assert(MediaHeaders.sniff("GIF89a".getBytes ++ le16(3) ++ le16(2)).get ==
+      MediaHeaders.ImageDims("gif", 3, 2, 1))
     // a still written by ImageIO (with global color table) reports 1
     val img = new java.awt.image.BufferedImage(8, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -726,8 +730,14 @@ class PipelineSpec extends AnyFunSuite {
     // stts: two entries, 100 + 50 samples
     val stts = box("stts", be32(0) ++ be32(2) ++
       be32(100) ++ be32(512) ++ be32(50) ++ be32(512))
-    val moov = box("moov", mvhd ++ box("trak", tkhd ++
-      box("mdia", box("minf", box("stbl", stts)))))
+    def hdlr(kind: String) = box("hdlr", be32(0) ++ be32(0) ++ kind.getBytes)
+    val videoTrak = box("trak", tkhd ++
+      box("mdia", hdlr("vide") ++ box("minf", box("stbl", stts))))
+    // an audio trak with its own 431-sample stts: must NOT count as frames
+    val audioStts = box("stts", be32(0) ++ be32(1) ++ be32(431) ++ be32(1024))
+    val audioTrak = box("trak", Array.fill(0)(0.toByte) ++
+      box("mdia", hdlr("soun") ++ box("minf", box("stbl", audioStts))))
+    val moov = box("moov", mvhd ++ videoTrak ++ audioTrak)
     val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isomiso2".getBytes)
     val mp4 = ftyp ++ moov ++ box("mdat", Array.fill(32)(0.toByte))
     assert(MediaHeaders.sniffMp4(mp4).get ==

@@ -14,7 +14,7 @@ mkdir -p "$DEST"
 
 SPARK_BINARY="2.13"          # Scala binary version
 HADOOP_AWS="3.4.1"           # matches Spark 4.x's bundled Hadoop client
-ICEBERG="1.8.1"              # iceberg-spark-runtime for Spark 4.x
+ICEBERG="1.10.0"             # first iceberg line shipping a Spark 4.0 runtime
 SNOWFLAKE_JDBC="3.19.0"
 SNOWFLAKE_SPARK="3.1.1"
 MONGO_SPARK="10.4.1"
@@ -22,16 +22,20 @@ MONGO_DRIVER="5.2.1"
 BQ_CONNECTOR="0.42.0"
 
 fetch() {
-  # coursier resolves transitive deps; fall back to `cs` naming
-  local coord="$1"
-  if command -v cs >/dev/null 2>&1; then
-    cs fetch "$coord" | while read -r jar; do cp -n "$jar" "$DEST"/; done
-  elif command -v coursier >/dev/null 2>&1; then
-    coursier fetch "$coord" | while read -r jar; do cp -n "$jar" "$DEST"/; done
+  # coursier resolves transitive deps; fall back to `cs` naming. Copies
+  # are skip-if-present by hand: `cp -n` exits 1 on skip under newer
+  # coreutils, which would kill the script via set -e on the first jar
+  # that two coordinates share transitively (snowflake-jdbc, mongo driver)
+  local coord="$1" cmd
+  if command -v cs >/dev/null 2>&1; then cmd=cs
+  elif command -v coursier >/dev/null 2>&1; then cmd=coursier
   else
     echo "need coursier (cs) on PATH — https://get-coursier.io" >&2
     exit 1
   fi
+  "$cmd" fetch "$coord" | while read -r jar; do
+    [ -e "$DEST/$(basename "$jar")" ] || cp "$jar" "$DEST"/
+  done
 }
 
 # cloud filesystems (s3a://): hadoop-aws + the AWS SDK v2 bundle it needs
