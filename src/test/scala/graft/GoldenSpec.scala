@@ -628,6 +628,85 @@ class GoldenSpec extends AnyFunSuite {
       modifiedAfter = Some("2026-03-01T14:00:00")).load(spark, Map.empty).isEmpty)
   }
 
+  test("golden: a custom exception propagates out of trigger with type+message (rs custom_execution_exception)") {
+    class PipelineContractViolation(msg: String) extends RuntimeException(msg)
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-exc").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "c", Seq("t")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("custom_exception", "data.csv", "csv")))
+    }
+    engine.transformer("tx", "c", Seq("t"), Seq("out")) { _ =>
+      throw new PipelineContractViolation("rows failed the contract: 7")
+    }
+    // the user's exception type and message survive the engine untouched —
+    // the reference surfaces them through its error-code/report path
+    val e = intercept[PipelineContractViolation](engine.trigger("pub"))
+    assert(e.getMessage == "rows failed the contract: 7")
+    // upstream publication committed before the failure; the failed
+    // function's own output did not
+    assert(store.scan("c/t").isDefined && store.scan("c/out").isEmpty)
+  }
+
+  test("golden: csv output datetime format via chrono specifiers") {
+    import spark.implicits._
+    import graft.sources.{CsvFormat, FileFormatSpec}
+    val out = Files.createTempDirectory("graft-golden-csvdt").toString
+    val df = Seq(
+      ("boot", java.sql.Timestamp.valueOf("2026-03-01 08:30:00")),
+      ("sync", java.sql.Timestamp.valueOf("2026-03-02 17:45:00")))
+      .toDF("event", "at")
+    // the reference's chrono (Rust strftime) specifiers, translated
+    FileFormatSpec.write(df, s"$out/events",
+      CsvFormat(outputDatetimeFormat = Some("%Y/%m/%d %H:%M")))
+    val back = FileSource(s"$out/events", "csv",
+      Map("inferSchema" -> "false")).load(spark, Map.empty).head
+    check(back, s"$golden/csv_output_datetime/expected_result.json")
+  }
+
+  test("golden: jdbc replace mode — second write replaces, not appends (rs table_replace)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-derby3")}/db;create=true"
+    JdbcSink(url, "stock", mode = "overwrite")
+      .write(Seq(("A1", 4)).toDF("sku", "qty"))
+    JdbcSink(url, "stock", mode = "overwrite")
+      .write(Seq(("B2", 12), ("C3", 1)).toDF("sku", "qty"))
+    val back = JdbcSource(url, Seq("""SELECT "sku", "qty" FROM stock"""))
+      .load(spark, Map.empty).head
+    check(back, s"$golden/jdbc_replace/expected_result.json")
+  }
+
+  test("golden: source plugin with offsets — second run yields only new rows (rs plugin_initial_values)") {
+    import spark.implicits._
+    val upstream = scala.collection.mutable.ArrayBuffer(
+      (1L, "p1"), (2L, "p2"))
+    val src = new graft.sources.Source {
+      override def load(s: org.apache.spark.sql.SparkSession,
+          offsets: Map[String, String]) = {
+        val from = offsets.getOrElse("seq", "0").toLong
+        Seq(upstream.filter(_._1 > from).toSeq.toDF("seq", "payload"))
+      }
+      override def nextOffsets(dfs: Seq[org.apache.spark.sql.DataFrame]) = {
+        val mx = dfs.head.agg(F.max("seq")).head()
+        if (mx.isNullAt(0)) Map.empty else Map("seq" -> mx.getLong(0).toString)
+      }
+    }
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-plugoff").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "c", Seq("t")) { ctx =>
+      val dfs = src.load(spark, ctx.offsets)
+      src.nextOffsets(dfs).foreach { case (k, v) => ctx.setOffset(k, v) }
+      dfs.map(TableFrame.fromRaw(_))
+    }
+    engine.trigger("pub")
+    check(store.scan("c/t").get.df, s"$golden/plugin_offsets/expected_run1.json")
+    upstream += ((3L, "p3"))
+    engine.trigger("pub")
+    check(store.scan("c/t").get.df, s"$golden/plugin_offsets/expected_run2.json")
+  }
+
   test("golden: source plugin with multiple outputs feeds multiple tables") {
     // reference test_input_plugin_multiple_inputs: one SourcePlugin run
     // yields several frames, each landing in its own declared table
