@@ -288,6 +288,21 @@ final class TableStore(val root: String, spark: SparkSession) {
   def sample(ref: TableRef, offset: Int, len: Int): Option[DataFrame] =
     scan(ref).map(_.df.offset(offset).limit(len))
 
+  /** Table schema from the version log alone (the reference serves its
+    * schema endpoint from stored metadata the same way,
+    * api/tabsdata_server.py:2476-2527) — O(1) driver-side, no parquet
+    * footer reads, no Spark job: the shape a catalog/UI probe needs.
+    * Multi-version refs report the newest resolved version's schema.
+    * Reported `asNullable`: Spark file sources relax nullability on read,
+    * so that is the shape a scan actually returns. */
+  def schema(ref: TableRef, asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
+    resolve(ref.collection, ref.table, ref.versions, asOf)
+      .lastOption.flatMap(_.schema)
+      .map(s => TableStore.relaxNullability(s).asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  def schema(refStr: String): Option[org.apache.spark.sql.types.StructType] =
+    schema(TableRef.parse(refStr))
+
   def listTables(coll: String): Seq[String] = {
     val d = Paths.get(root, coll)
     if (!Files.exists(d)) Seq.empty
@@ -299,4 +314,19 @@ final class TableStore(val root: String, spark: SparkSession) {
 object TableStore {
   /** Shared mapper for the version log (thread-safe after configuration). */
   private[graft] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Deep nullable=true, mirroring what Spark's file sources do to a
+    * user-provided read schema (StructType.asNullable is private[sql]). */
+  private[store] def relaxNullability(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = relaxNullability(a.elementType),
+        containsNull = true)
+      case m: MapType => m.copy(valueType = relaxNullability(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+  }
 }

@@ -60,6 +60,19 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(both.df.count() == 3)
   }
 
+  test("store: schema probe answers from the log, matches the scanned frame") {
+    val store = freshStore()
+    import spark.implicits._
+    store.write("c", "t", Seq((1, "a")).toDF("x", "label"))
+    store.write("c", "t", Seq((2, "b", 0.5)).toDF("x", "label", "score"))
+    // metadata-only probe == the schema a reader actually gets
+    assert(store.schema("c/t").get == store.scan("c/t").get.df.schema)
+    // version selectors resolve: the previous version lacks `score`
+    val prev = store.schema(graft.store.TableRef.parse("c/t@HEAD^")).get
+    assert(!prev.fieldNames.contains("score"))
+    assert(store.schema("c/missing").isEmpty)
+  }
+
   test("store: uncommitted transactions are invisible") {
     val store = freshStore()
     import spark.implicits._
