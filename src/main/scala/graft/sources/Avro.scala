@@ -243,7 +243,15 @@ object AvroFiles {
     spark.createDataFrame(rows, sparkSchema)
   }
 
-  def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+  /** Write a DataFrame as Avro container files, one (or more) per
+    * partition. `maxRecordsPerFile > 0` rolls to a new container file
+    * every that-many rows WITHIN each partition — the Spark-native port of
+    * the reference's `AvroFormat(chunk_size)` (_format.py:75): bounded
+    * rows per file bounds a downstream reader's batch the same way the
+    * reference's write chunking does, with no extra shuffle (rolling is
+    * executor-local). */
+  def write(df: DataFrame, path: String, mode: String = "overwrite",
+      maxRecordsPerFile: Long = 0L): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val out = new Path(path)
@@ -259,19 +267,51 @@ object AvroFiles {
     val avroSchema = toAvroSchema(df.schema)
     val schemaJson = avroSchema.toString
     val sparkSchema = df.schema
-    val job = Job.getInstance(hconf)
-    AvroJob.setOutputKeySchema(job, avroSchema)
-    df.rdd.mapPartitions { it =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      it.map { row =>
-        val rec = sparkToAvro(row, sparkSchema, schema).asInstanceOf[GenericRecord]
-        (new AvroKey[GenericRecord](rec), NullWritable.get())
-      }
-    }.saveAsNewAPIHadoopFile(
-      path,
-      classOf[AvroKey[GenericRecord]],
-      classOf[NullWritable],
-      classOf[AvroKeyOutputFormat[GenericRecord]],
-      job.getConfiguration)
+    if (maxRecordsPerFile > 0) {
+      val pathStr = path
+      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val schema = new Schema.Parser().parse(schemaJson)
+          // executor-side conf from the classpath defaults — same FS
+          // resolution newAPIHadoopFile tasks use for the path URI
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val dir = new Path(pathStr)
+          val dfs = dir.getFileSystem(conf)
+          var chunk = -1; var written = 0L
+          var w: org.apache.avro.file.DataFileWriter[GenericRecord] = null
+          def roll(): Unit = {
+            if (w != null) w.close()
+            chunk += 1; written = 0L
+            w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+            w.create(schema, dfs.create(new Path(dir, f"part-$pid%05d-c$chunk%04d.avro"), true))
+          }
+          roll()
+          it.foreach { row =>
+            if (written >= maxRecordsPerFile) roll()
+            w.append(sparkToAvro(row, sparkSchema, schema).asInstanceOf[GenericRecord])
+            written += 1
+          }
+          w.close()
+          Iterator.empty
+        }
+      }.count() // action: runs the distributed write
+    } else {
+      val job = Job.getInstance(hconf)
+      AvroJob.setOutputKeySchema(job, avroSchema)
+      df.rdd.mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        it.map { row =>
+          val rec = sparkToAvro(row, sparkSchema, schema).asInstanceOf[GenericRecord]
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }.saveAsNewAPIHadoopFile(
+        path,
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+    }
   }
 }

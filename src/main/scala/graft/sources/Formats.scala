@@ -142,8 +142,15 @@ final case class ParquetFormat() extends FileFormatSpec {
 final case class OrcFormat() extends FileFormatSpec {
   override def formatName: String = "orc"
 }
-final case class AvroFormat() extends FileFormatSpec {
+/** `chunkSize` ports the reference's AvroFormat(chunk_size) (_format.py:75):
+  * there it bounds rows per read/write batch; the Spark-native analog on
+  * the write path is rows per output file (`maxRecordsPerFile`), which is
+  * what bounds a downstream reader's batch memory the same way. Read-side
+  * batching is Spark's own columnar batch sizing — no option to map. */
+final case class AvroFormat(chunkSize: Int = 50000) extends FileFormatSpec {
   override def formatName: String = "avro"
+  override def writerOptions: Map[String, String] =
+    Map("maxRecordsPerFile" -> chunkSize.toString)
 }
 
 object FileFormatSpec {

@@ -148,7 +148,8 @@ final case class FileSink(
       case "json" | "ndjson" | "jsonl" => w.json(path)
       case "parquet"          => w.parquet(path)
       case "orc"              => w.orc(path)
-      case "avro"             => AvroFiles.write(df, path, mode)
+      case "avro"             => AvroFiles.write(df, path, mode,
+        options.get("maxRecordsPerFile").map(_.toLong).getOrElse(0L))
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, functions => F}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{AvroFiles, FileSink, FileSource}
+import graft.sources.{AvroFiles, AvroFormat, FileFormatSpec, FileSink, FileSource}
 
 /** Avro container-file round-trips over the avro-mapred Hadoop formats
   * (reference semantics: file_inputs.py:1277-1332, file_outputs.py:1864-1905). */
@@ -104,5 +104,27 @@ class AvroSpec extends AnyFunSuite {
     val parts = new java.io.File(path).listFiles()
       .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
     assert(parts == 8)
+  }
+
+  test("avro chunked write rolls files at maxRecordsPerFile, round-trips") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "v").coalesce(1)
+    val path = tmp()
+    // 5 rows / cap 2 → 3 container files from the single partition
+    AvroFiles.write(df, path, maxRecordsPerFile = 2L)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getName).sorted
+    assert(files.length == 3, files.toSeq)
+    val back = AvroFiles.read(spark, path)
+    assert(back.count() == 5)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // the typed format spec carries the reference default (50000) through
+    // the sink option surface
+    assert(AvroFormat().writerOptions("maxRecordsPerFile") == "50000")
+    val viaSink = tmp()
+    FileFormatSpec.write(df, viaSink, AvroFormat(chunkSize = 2))
+    assert(new java.io.File(viaSink).listFiles()
+      .count(_.getName.endsWith(".avro")) == 3)
   }
 }
