@@ -144,6 +144,45 @@ object Dedup {
   private def pairCombos(docs: Column): Column =
     graft.expressions.PairCombos(docs)
 
+  /** Exact duplicated-span detection (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — public methodology,
+    * token-window variant): every position whose n-token window's text
+    * occurs at ≥2 positions corpus-wide (across documents or repeated
+    * within one) is flagged, with the corpus-wide occurrence count.
+    * This is the position-level complement of [[TextAnalysis]]'s winnowing
+    * sketch: spans, not fingerprints, so a caller can excise the
+    * duplicated regions rather than drop whole documents.
+    *
+    * Scale shape: explode to one row per token position (linear), count
+    * occurrences per window hash (map-side-combinable single shuffle),
+    * join flagged hashes back (reuses the count's exchange). There is NO
+    * quadratic term — unlike pair generation, hot boilerplate windows are
+    * the TARGET here and cost stays linear in their occurrence count, so
+    * no df cap is needed or taken. Windows are compared by xxhash64 of
+    * the window text (never surfaced in the output; a 64-bit collision
+    * would need ~2^32 distinct windows). */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 10): DataFrame = {
+    val grams = df
+      .select(F.col(idCol).as("id"), tokens(F.col(textCol)).as("toks"))
+      .where(F.size(F.col("toks")) >= n)
+      .select(F.col("id"), F.posexplode(
+        graft.expressions.WordShingles.all(F.col("toks"), n)).as(Seq("pos", "gram")))
+      .select(F.col("id"), F.col("pos"), F.xxhash64(F.col("gram")).as("gh"))
+    val hot = grams.groupBy("gh").agg(F.count(F.lit(1)).as("occ"))
+      .where(F.col("occ") > 1)
+    grams.join(hot, Seq("gh")).select("id", "pos", "occ")
+  }
+
+  /** Per-document rollup of [[duplicateSpans]]: how many of the document's
+    * n-token windows are duplicated, and where the first one starts —
+    * the triage view a curation pipeline filters on. */
+  def duplicateSpanSummary(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 10): DataFrame =
+    duplicateSpans(df, textCol, idCol, n)
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_dup_windows"), F.min("pos").as("first_dup_pos"))
+
   /** MinHash signature: k minimums of seeded xxhash64 over the shingle set.
     * Pure expression work — one codegen'd pass over the shingle set
     * ([[graft.expressions.MinHashSigExpr]]); slot values are bit-identical

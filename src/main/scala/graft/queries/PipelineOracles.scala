@@ -92,6 +92,27 @@ object PipelineOracles {
          |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
     // LSH with nbits = 0 → one bucket → brute force
     "q_ann_lsh_exact" -> exactAnnOracle,
+    // duplicated 10-token windows, counted exactly over the constructed
+    // corpus (originals + prefixed copies of ids < 30)
+    "q_dedup_substring" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'syndicated copy follows ' || text
+        |  FROM documents WHERE doc_id < 30),
+        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |      FROM corpus),
+        |gr AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(w) - 9),
+        |           i -> array_to_string(w[i:i+9], ' ')) AS g
+        |  FROM w WHERE len(w) >= 10),
+        |ex AS (SELECT doc_id, unnest(generate_series(1, len(g))) AS i, g FROM gr),
+        |pos AS (SELECT doc_id, i - 1 AS pos, g[i] AS gram FROM ex),
+        |hot AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1)
+        |SELECT doc_id, count(*) AS n_dup_windows,
+        |  CAST(min(pos) AS INTEGER) AS first_dup_pos
+        |FROM pos JOIN hot USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bands = k → candidate recall ≈ 1, verification exact → all-pairs
     // Jaccard over the UNFILTERED shingle sets (no maxDf cap here, unlike
     // q_dedup_ngram_jaccard)

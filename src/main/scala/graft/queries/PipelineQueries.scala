@@ -54,6 +54,21 @@ object PipelineQueries {
           threshold = 0.5)
         .orderBy("batch_id", "hist_id")
     }),
+    "q_dedup_substring" -> ((s, dir) => {
+      // construct guaranteed repeated spans: ids < 30 re-enter under
+      // shifted ids with a prefix, so every window of the original text
+      // occurs in (at least) two documents; novel docs flag only where
+      // the corpus naturally repeats a 10-token window. Exact counting →
+      // full SQL oracle.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionAll(
+        docs.where(F.col("doc_id") < 30)
+          .select((F.col("doc_id") + 10000).as("doc_id"),
+            F.concat(F.lit("syndicated copy follows "), F.col("text")).as("text")))
+      Dedup.duplicateSpanSummary(corpus, "text", "doc_id", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_dedup_semantic" -> ((s, dir) => {
       // k-means cluster routing is data/init-dependent → rows-only check;
       // PipelineSpec holds the differential against brute-force pairs

@@ -642,6 +642,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaHeaders.sniffWav(wav(0xfffe, 16)).get.nSampleFrames == 8L)
   }
 
+  test("duplicate spans: window positions and counts, within and across docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),     // windows: "a b c"(0) "b c d"(1) "c d e"(2)
+      (2L, "x b c d y"),     // "x b c"(0) "b c d"(1) "c d y"(2)
+      (3L, "p q p q p q"),   // "p q p"(0,2) "q p q"(1,3) — within-doc repeats
+      (4L, "one two"))       // < n tokens: no windows
+      .toDF("id", "text")
+    val spans = Dedup.duplicateSpans(df, "text", "id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(spans == Set(
+      (1L, 1, 2L), (2L, 1, 2L),                        // shared "b c d"
+      (3L, 0, 2L), (3L, 2, 2L), (3L, 1, 2L), (3L, 3, 2L))) // self-repeats
+    val summary = Dedup.duplicateSpanSummary(df, "text", "id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(summary == Set((1L, 1L, 1), (2L, 1L, 1), (3L, 4L, 0)))
+  }
+
   test("lsh nbits=0: one bucket, routed search equals brute force exactly") {
     val corpus = emb.limit(60).cache()
     val queries = corpus.limit(4)
