@@ -165,6 +165,15 @@ class PlanSpec extends AnyFunSuite {
     assert(count(plan(banded), "Exchange") == 0, plan(banded))
   }
 
+  test("duplicate spans: linear shape — count exchange + hash join, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Dedup.duplicateSpans(docs, "text", "doc_id", 10))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // partial aggregation combines map-side before the single count shuffle
+    assert(p.contains("HashAggregate"), p)
+    assert(count(p, "Exchange") <= 3, p) // gh count + join co-partitioning, no more
+  }
+
   test("fuzzy pairs: blocked equi-join — never a cartesian/nested-loop product") {
     val cust = spark.read.parquet(s"$sf/customer.parquet")
     val p = plan(graft.pipeline.Dedup.fuzzyPairs(cust, "c_name", "c_custkey", 16, 1))
