@@ -110,6 +110,32 @@ final case class FileSource(
   }
 }
 
+/** Multi-URI file input (reference: file_inputs.py URI-list form,
+  * `test_input_s3_uri_list`): several locations feed ONE table — frames
+  * are concatenated by column name. Each URI keeps [[FileSource]]'s glob
+  * and incremental-watermark semantics; a run where no URI has new files
+  * yields no frames, and the watermark advances to the max mtime observed
+  * across all of them. */
+final case class MultiFileSource(
+    patterns: Seq[String],
+    format: String = "csv",
+    options: Map[String, String] = Map.empty,
+    modifiedAfter: Option[String] = None) extends Source {
+  require(patterns.nonEmpty, "MultiFileSource needs at least one URI")
+  private def parts = patterns.map(FileSource(_, format, options, modifiedAfter))
+
+  override def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame] = {
+    val dfs = parts.flatMap(_.load(spark, offsets))
+    if (dfs.isEmpty) Seq.empty
+    else Seq(dfs.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  override def nextOffsets(dfs: Seq[DataFrame]): Map[String, String] = {
+    val advanced = dfs.flatMap(df => parts.head.nextOffsets(Seq(df)).get("last_modified"))
+    if (advanced.isEmpty) Map.empty else Map("last_modified" -> advanced.max)
+  }
+}
+
 /** JDBC source: one SQL query per output table, with offset values
   * substituted into `$offset$`-parameterized queries for incremental loads
   * (reference: _io/inputs/sql_inputs.py — MySQL/MariaDB/Oracle/Postgres all

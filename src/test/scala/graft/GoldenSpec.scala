@@ -707,6 +707,19 @@ class GoldenSpec extends AnyFunSuite {
     check(store.scan("c/t").get.df, s"$golden/plugin_offsets/expected_run2.json")
   }
 
+  test("golden: URI-list input concatenates locations into one table (rs s3_uri_list)") {
+    import graft.sources.MultiFileSource
+    val df = MultiFileSource(Seq(
+        s"$golden/input_uri_list/a/*.csv", s"$golden/input_uri_list/b/*.csv"))
+      .load(spark, Map.empty).head
+    check(df, s"$golden/input_uri_list/expected_result.json")
+    // watermark semantics survive the list: nothing new → no frames
+    val wm = MultiFileSource(Seq(
+        s"$golden/input_uri_list/a/*.csv", s"$golden/input_uri_list/b/*.csv"),
+      modifiedAfter = Some("2099-01-01T00:00:00Z"))
+    assert(wm.load(spark, Map.empty).isEmpty)
+  }
+
   test("golden: source plugin with multiple outputs feeds multiple tables") {
     // reference test_input_plugin_multiple_inputs: one SourcePlugin run
     // yields several frames, each landing in its own declared table
