@@ -16,6 +16,10 @@ trait Source {
 
 trait Sink {
   def write(df: DataFrame): Unit
+  /** A `None` result slot writes nothing — no table touched, no error
+    * (reference: store_results_utils.py:776-877 "Result is None. No data
+    * stored", exercised by test_output_sql_none / test_output_*_with_none). */
+  final def write(df: Option[DataFrame]): Unit = df.foreach(write)
 }
 
 /** File ingestion (reference: _io/inputs/file_inputs.py — LocalFileSource /
@@ -39,6 +43,17 @@ final case class FileSource(
 
   override def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame] = {
     var r: DataFrameReader = spark.read
+    // A location that matches nothing is a None input, not an error
+    // (reference: test_input_file_not_found — the function receives df=None
+    // and publishes an empty version). Distinguishes from a format error:
+    // only the LISTING may come up empty; a matched file that fails to parse
+    // still throws.
+    locally {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(pattern)
+      val matched = Option(p.getFileSystem(conf).globStatus(p)).getOrElse(Array.empty)
+      if (matched.isEmpty) return Seq.empty
+    }
     val lastMod = offsets.get("last_modified").orElse(modifiedAfter)
     // Incremental guard: with a watermark set, an empty match means
     // "nothing new this run" — return no frames (the reference's None,
@@ -139,18 +154,36 @@ final case class MultiFileSource(
 /** JDBC source: one SQL query per output table, with offset values
   * substituted into `$offset$`-parameterized queries for incremental loads
   * (reference: _io/inputs/sql_inputs.py — MySQL/MariaDB/Oracle/Postgres all
-  * reduce to this against Spark's JDBC reader). */
+  * reduce to this against Spark's JDBC reader).
+  *
+  * `initialValues` is the reference's named-parameter form
+  * (sql_inputs.py:69-93 `initial_values`, substituted at
+  * sql_inputs.py:780-789 `_replace_initial_values`): each `:key` token in a
+  * query is replaced with the parameter's current value. The declared map
+  * seeds the FIRST run only; once the flow engine has persisted offsets for
+  * the function, the stored values win (plugin.py:112-116 — the server
+  * overwrites the decorator values with the current offset). The returned-
+  * offset channel is the flow's `ctx.setOffset`: not calling it freezes the
+  * values for the next run (offset_utils.py:121-163 `"SAME"`), and its
+  * `String` key type makes the reference's invalid-key-type error
+  * (offset_utils.py:138-149) unrepresentable by construction. */
 final case class JdbcSource(
     url: String,
     queries: Seq[String],
     properties: Map[String, String] = Map.empty,
     offsetKey: String = "offset",
-    initialOffset: String = "0") extends Source {
+    initialOffset: String = "0",
+    initialValues: Map[String, String] = Map.empty) extends Source {
 
   override def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame] = {
     val off = offsets.getOrElse(offsetKey, initialOffset)
+    // stored offsets override declared initial values; longest key first so
+    // `:number` is never clipped by a shorter parameter named `:num`
+    val params = (initialValues ++ offsets).toSeq.sortBy(-_._1.length)
     queries.map { q =>
-      val sql = q.replace("$offset$", off)
+      val sql = params.foldLeft(q.replace("$offset$", off)) {
+        case (acc, (k, v)) => acc.replace(s":$k", v)
+      }
       var r = spark.read.format("jdbc").option("url", url).option("query", sql)
       properties.foreach { case (k, v) => r = r.option(k, v) }
       r.load()

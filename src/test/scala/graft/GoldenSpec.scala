@@ -175,12 +175,18 @@ class GoldenSpec extends AnyFunSuite {
     check(df, s"$golden/avro_wildcard/expected_result.json")
   }
 
-  test("golden: input file not found fails cleanly, naming the path") {
-    val err = intercept[org.apache.spark.sql.AnalysisException] {
-      FileSource(s"$golden/no_such_case/missing*.csv", "csv")
-        .load(spark, Map.empty).head.collect()
+  test("golden: missing location is None, matched-but-unparsable still throws") {
+    // reference: test_input_file_not_found — a listing that matches nothing
+    // is a None input, not an error...
+    assert(FileSource(s"$golden/no_such_case/missing*.csv", "csv")
+      .load(spark, Map.empty).isEmpty)
+    // ...but a file that MATCHES and fails to parse is still a loud failure:
+    // the empty-listing path must never swallow format errors
+    val stage = Files.createTempDirectory("graft-golden-junk")
+    Files.write(stage.resolve("junk.avro"), "not an avro container".getBytes)
+    intercept[Throwable] {
+      FileSource(s"$stage/junk.avro", "avro").load(spark, Map.empty).head.collect()
     }
-    assert(err.getMessage.contains("no_such_case"))
   }
 
   test("golden: two inputs, two outputs in one transformer (rs multiple_inputs_multiple_outputs)") {
@@ -275,6 +281,121 @@ class GoldenSpec extends AnyFunSuite {
     val back = JdbcSource(url, Seq("""SELECT "sku", "qty" FROM stock_out"""))
       .load(spark, Map.empty).head
     check(back, s"$golden/jdbc_subscriber/expected_result.json")
+  }
+
+  test("golden: sql source with named initial values — stored offsets take over") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    // reference: test_input_sql_initial_values — `:number` seeded from the
+    // declared initial_values on run 1; the function's returned {"number": 3}
+    // (our ctx.setOffset) governs run 2
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-iv")}/db;create=true"
+    JdbcSink(url, "INVOICE_HEADER", mode = "append").write(Seq(
+      (1, "Arvind"), (2, "Tucu"), (3, "Dimas"),
+      (4, "Joaquin"), (5, "Jennifer"), (6, "Aleix")).toDF("id", "name"))
+    JdbcSink(url, "INVOICE_ITEM", mode = "append").write(Seq(
+      (1, "Leonardo"), (2, "Donatello"), (3, "Michelangelo"),
+      (4, "Raphael"), (5, "Splinter")).toDF("id", "name"))
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-ivstore").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val src = JdbcSource(url,
+      Seq("""SELECT "id", "name" FROM INVOICE_HEADER WHERE "id" > :number""",
+        """SELECT "id", "name" FROM INVOICE_ITEM WHERE "id" > :number"""),
+      initialValues = Map("number" -> "2"))
+    engine.publisher("pub", "c", Seq("headers", "items")) { ctx =>
+      val dfs = src.load(spark, ctx.offsets)
+      ctx.setOffset("number", "3")
+      dfs.map(df => TableFrame.fromRaw(df))
+    }
+    engine.trigger("pub")
+    check(store.scan("c/headers").get.df,
+      s"$golden/sql_initial_values/expected_headers_run1.json")
+    check(store.scan("c/items").get.df,
+      s"$golden/sql_initial_values/expected_items_run1.json")
+    engine.trigger("pub")
+    check(store.scan("c/headers").get.df,
+      s"$golden/sql_initial_values/expected_headers_run2.json")
+    check(store.scan("c/items").get.df,
+      s"$golden/sql_initial_values/expected_items_run2.json")
+  }
+
+  test("golden: initial values freeze — untouched offsets repeat the run") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    // reference: test_initial_values_freeze — the function returns "SAME"
+    // (here: never calls setOffset), so run 2 sees the same `:number` and
+    // yields the same rows as run 1
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-frz")}/db;create=true"
+    JdbcSink(url, "INVOICE_HEADER", mode = "append").write(Seq(
+      (1, "Arvind"), (2, "Tucu"), (3, "Dimas"),
+      (4, "Joaquin"), (5, "Jennifer"), (6, "Aleix")).toDF("id", "name"))
+    JdbcSink(url, "INVOICE_ITEM", mode = "append").write(Seq(
+      (1, "Leonardo"), (2, "Donatello"), (3, "Michelangelo"),
+      (4, "Raphael"), (5, "Splinter")).toDF("id", "name"))
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-frzstore").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val src = JdbcSource(url,
+      Seq("""SELECT "id", "name" FROM INVOICE_HEADER WHERE "id" > :number""",
+        """SELECT "id", "name" FROM INVOICE_ITEM WHERE "id" > :number"""),
+      initialValues = Map("number" -> "2"))
+    engine.publisher("pub", "c", Seq("headers", "items")) { ctx =>
+      src.load(spark, ctx.offsets).map(df => TableFrame.fromRaw(df))
+    }
+    engine.trigger("pub")
+    engine.trigger("pub")
+    check(store.scan("c/headers").get.df,
+      s"$golden/initial_values_freeze/expected_result1.json")
+    check(store.scan("c/items").get.df,
+      s"$golden/initial_values_freeze/expected_result2.json")
+    assert(store.versions("c", "headers").size == 2)
+  }
+
+  test("golden: missing input location — no frame, empty version published") {
+    // reference: test_input_file_not_found — the function receives df=None
+    // (here: an empty load) and the output still commits a version
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-nf").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val src = FileSource(s"$golden/input_not_found/not_found", "csv")
+    engine.publisher("pub", "c", Seq("out")) { ctx =>
+      val dfs = src.load(spark, ctx.offsets)
+      assert(dfs.isEmpty)
+      Seq(null)
+    }
+    engine.trigger("pub")
+    val out = store.scan("c/out").get.df
+    assert(out.count() == 0)
+    check(out, s"$golden/input_not_found/expected_result.json")
+  }
+
+  test("golden: None result for a SQL destination slot — write skipped") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-sqlnone")}/db;create=true"
+    val snk = JdbcSink(url, "stock", mode = "append")
+    snk.write(Seq(("a", 1), ("b", 2)).toDF("sku", "qty"))
+    snk.write(None) // the reference's None slot: no rows added, no error
+    val back = JdbcSource(url, Seq("""SELECT "sku", "qty" FROM stock"""))
+      .load(spark, Map.empty).head
+    check(back, s"$golden/sql_output_none/expected_result.json")
+  }
+
+  test("golden: wrong JDBC driver class fails loudly") {
+    import spark.implicits._
+    import graft.sources.JdbcSink
+    // reference: test_output_sql_wrong_driver_fails
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-baddrv")}/db;create=true"
+    val e = intercept[Throwable] {
+      JdbcSink(url, "t", properties = Map("driver" -> "com.example.MissingDriver"))
+        .write(Seq((1, "a")).toDF("id", "v"))
+    }
+    val expectedClass = spark.read.option("multiLine", "true")
+      .json(s"$golden/sql_wrong_driver/expected_error.json")
+      .head().getString(0)
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+    assert(chain.exists(_.getClass.getName.contains(expectedClass)))
   }
 
   test("golden: subscriber fans one table out to csv and jsonl files") {
