@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
@@ -65,6 +66,11 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
   /** Registered function by name (for manual re-runs at a chosen cutoff). */
   def fn(name: String): FlowFunction = functions(name)
 
+  /** Registered functions of one collection (reference:
+    * apiserver.py `/collections/{c}/functions` list). */
+  def functionsIn(collection: String): Seq[FlowFunction] =
+    functions.values.toSeq.filter(_.collection == collection)
+
   def publisher(name: String, collection: String, outputs: Seq[String])(
       fn: FlowContext => Seq[TableFrame]): Unit =
     register(FlowFunction(name, collection, Role.Publisher, Nil, outputs, None, fn))
@@ -117,6 +123,26 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
     * offset write inside the transaction marker. */
   def runFunction(f: FlowFunction, executionId: String,
       executionTs: Long = System.currentTimeMillis()): Seq[(String, String)] = {
+    val t0 = System.currentTimeMillis()
+    try {
+      val out = runFunctionInner(f, executionId, executionTs)
+      ExecutionLog.append(store.root, ExecutionRecord(executionId, f.name,
+        f.collection, "done", executionTs, System.currentTimeMillis() - t0, None))
+      out
+    } catch { case e: Throwable =>
+      // the failed run is journaled BEFORE the rethrow: the reference's
+      // execution/function_run listing shows failures (status_utils), and
+      // a crash between journal and offset write is at-least-once like the
+      // offset path itself
+      ExecutionLog.append(store.root, ExecutionRecord(executionId, f.name,
+        f.collection, "failed", executionTs, System.currentTimeMillis() - t0,
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
+      throw e
+    }
+  }
+
+  private def runFunctionInner(f: FlowFunction, executionId: String,
+      executionTs: Long): Seq[(String, String)] = {
     val offsets = Offsets.load(store.root, f.name)
     val sink = mutable.Map[String, String](offsets.toSeq: _*)
     val inputs = f.inputs.map(s =>
@@ -171,6 +197,51 @@ final class FlowEngine(val store: TableStore, spark: SparkSession) {
       }
     }
     ran.toSeq
+  }
+}
+
+/** One function run in the execution journal (reference models this as a
+  * `function_run` row in the server metadata DB — api/apiserver.py
+  * `/function_runs`, `/executions`, `/collections/{c}/functions/{f}/history`). */
+final case class ExecutionRecord(
+    execution: String,
+    function: String,
+    collection: String,
+    status: String, // done | failed
+    triggeredOn: Long,
+    durationMs: Long,
+    error: Option[String])
+
+/** Append-only JSONL run journal in the store root — the library-side stand-in
+  * for the reference server's execution bookkeeping. One line per function
+  * run; an execution (one trigger) spans several lines sharing its id. */
+object ExecutionLog {
+  private def path(root: String) = Paths.get(root, "_executions", "log.jsonl")
+
+  def append(root: String, r: ExecutionRecord): Unit = {
+    val p = path(root)
+    Files.createDirectories(p.getParent)
+    val n = graft.store.TableStore.jsonMapper.createObjectNode()
+    n.put("execution", r.execution).put("function", r.function)
+      .put("collection", r.collection).put("status", r.status)
+      .put("triggered_on", r.triggeredOn).put("duration_ms", r.durationMs)
+    r.error.foreach(n.put("error", _))
+    Files.writeString(p, graft.store.TableStore.jsonMapper.writeValueAsString(n) + "\n",
+      StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def read(root: String): Seq[ExecutionRecord] = {
+    val p = path(root)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val n = graft.store.TableStore.jsonMapper.readTree(line)
+        ExecutionRecord(n.get("execution").asText(), n.get("function").asText(),
+          n.get("collection").asText(), n.get("status").asText(),
+          n.get("triggered_on").asLong(), n.get("duration_ms").asLong(),
+          Option(n.get("error")).map(_.asText()))
+      }
   }
 }
 

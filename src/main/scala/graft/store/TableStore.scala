@@ -122,6 +122,15 @@ final class TableStore(val root: String, spark: SparkSession) {
   }
   def isCommitted(txid: String): Boolean = Files.exists(txnMarker(txid))
 
+  /** Committed transaction ids, newest last (reference: apiserver.py
+    * `/transactions` list). */
+  def listTransactions(): Seq[String] = {
+    if (!Files.exists(txnDir)) Seq.empty
+    else Files.list(txnDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).toSeq.sorted
+  }
+
   /** Committed (visible) versions, oldest → newest. `asOf` is the
     * trigger-time cutoff (epoch ms, inclusive): versions stamped after it
     * are invisible, so a function re-run against a past execution resolves
@@ -302,6 +311,31 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   def schema(refStr: String): Option[org.apache.spark.sql.types.StructType] =
     schema(TableRef.parse(refStr))
+
+  /** Collections = first-level store directories (reference:
+    * apiserver.py `/collections` list). */
+  def listCollections(): Seq[String] = {
+    val d = Paths.get(root)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
+  }
+
+  /** Drop a table: data, version log, everything (reference:
+    * apiserver.py:936-944 table_delete). Returns false if absent. */
+  def deleteTable(coll: String, table: String): Boolean = {
+    val d = tableDir(coll, table)
+    if (!Files.exists(d)) false
+    else {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(d)
+      true
+    }
+  }
 
   def listTables(coll: String): Seq[String] = {
     val d = Paths.get(root, coll)
