@@ -55,6 +55,38 @@ class JdbcSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((7, "new"), (8, "newer")))
   }
 
+  test("named :param substitution — prefix collision resolved longest-first") {
+    import spark.implicits._
+    val url = freshDb()
+    JdbcSink(url, "vals", mode = "append").write(
+      (1 to 6).map(i => (i, s"v$i")).toDF("id", "v"))
+    // :num and :number share a prefix: shortest-first substitution would
+    // mangle ":number" into "1ber" and fail in the database
+    val rows = JdbcSource(url,
+      Seq("""SELECT "id" FROM vals WHERE "id" > :num AND "id" < :number"""),
+      initialValues = Map("num" -> "1", "number" -> "5"))
+      .load(spark, Map.empty).head
+      .collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq == Seq(2, 3, 4))
+  }
+
+  test("schema-qualified destination table (rs output_postgres_schema)") {
+    import spark.implicits._
+    val url = freshDb()
+    // the reference writes into an existing database schema; Derby schemas
+    // exist once created, then a qualified dbtable routes the write
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute("CREATE SCHEMA WAREHOUSE")
+    finally conn.close()
+    JdbcSink(url, "WAREHOUSE.stock", mode = "append")
+      .write(Seq(("a", 4), ("b", 9)).toDF("sku", "qty"))
+    val back = JdbcSource(url,
+      Seq("""SELECT "sku", "qty" FROM WAREHOUSE.stock"""))
+      .load(spark, Map.empty).head
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(back.toSeq == Seq(("a", 4), ("b", 9)))
+  }
+
   test("JdbcSource $offset$ substitution drives incremental re-runs") {
     import spark.implicits._
     val url = freshDb()
