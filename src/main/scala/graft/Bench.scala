@@ -53,7 +53,8 @@ object Bench {
       "q_concat_vertical", "q_fill_forward",
       "q_dedup_clusters", "q_fuzzy_pairs", "q_decontaminate", "q_data_mix",
       "q_dedup_semantic", "q_dedup_incremental", "q_tpch_q18",
-      "q_pack_sequences", "q_dedup_keep_best", "q_stream_enrich")
+      "q_pack_sequences", "q_dedup_keep_best", "q_stream_enrich",
+      "q_quality_unigram_lm")
     val byName = results.toMap
     val qs = headline.flatMap(h => byName.get(h).map(v =>
         s"\"" + h + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)))

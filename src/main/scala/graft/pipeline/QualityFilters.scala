@@ -162,6 +162,47 @@ object QualityFilters {
       (score >= ScoreThreshold).as("passes_quality")): _*)
   }
 
+  // ------------------------------------------------ perplexity-proxy LM
+
+  /** CCNet-style perplexity-proxy scoring (Wenzek et al., LREC 2020 —
+    * bucket/filter documents by language-model score). The stand-in LM is
+    * an add-one-smoothed unigram model estimated from the corpus itself:
+    * `score(doc) = mean over tokens of -ln p(tok)` with
+    * `p(tok) = (c+1)/(T+V+1)`, `c` the token's corpus count (0 outside the
+    * vocabulary), `T` total tokens, `V` retained vocabulary size. Lower =
+    * more typical text; token-less documents score null.
+    *
+    * Scale: the LM estimate is one map-side-combined count aggregation.
+    * The vocabulary keeps the `vocabSize` most frequent tokens (ties
+    * broken lexicographically), so the per-token probe is a broadcast
+    * hash join — no shuffle of the token stream for the lookup; the only
+    * token-level exchange is the per-document regroup. The per-document
+    * mean folds an `array_sort`ed list sequentially, so the double sum is
+    * order-deterministic under any partitioning (the same discipline as
+    * the cosine kernel); the fold is one interpreted HOF per document —
+    * per-doc cost, not per-token, and only in the final aggregation
+    * projection. T and V are O(1) driver scalars (Ivf-centroid class). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 100000, out: String = "avg_nll"): DataFrame = {
+    val tok = "$td.__tok"
+    val nll = "$td.__nll"
+    val toks = docs.select(F.col(idCol),
+        F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+")).as(tok))
+      .where(F.col(s"`$tok`") =!= "")
+    val counts = toks.groupBy(F.col(s"`$tok`")).agg(F.count(F.lit(1)).as("c"))
+    val vocab = counts.orderBy(F.col("c").desc, F.col(s"`$tok`").asc).limit(vocabSize)
+    val totalT = counts.agg(F.sum("c")).head.getLong(0)
+    val vSize = vocab.count()
+    val scored = toks.join(F.broadcast(vocab), Seq(tok), "left")
+      .withColumn(nll, -F.log(
+        (F.coalesce(F.col("c"), F.lit(0L)) + F.lit(1L)).cast("double") /
+          F.lit((totalT + vSize + 1).toDouble)))
+      .groupBy(F.col(idCol)).agg(
+        (F.aggregate(F.array_sort(F.collect_list(F.col(s"`$nll`"))),
+          F.lit(0.0), (acc, x) => acc + x) / F.count(F.lit(1))).as(out))
+    docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
   // ----------------------------------------------------------- repetition
 
   /** Per-document top word-n-gram and the fraction of characters it covers

@@ -61,6 +61,32 @@ object QualityOracles {
         |SELECT doc_id, quality_score,
         |  quality_score >= 0.6e0 AS passes_quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_quality_unigram_lm" ->
+      // Same smoothing arithmetic as the Scala op; the per-document sum
+      // folds a sorted list left-to-right on both sides (list_prepend 0 +
+      // list_reduce ≡ Spark aggregate(seed 0.0)), so the doubles are
+      // bit-equal without rounding.
+      """WITH toks AS (
+        |  SELECT doc_id, t AS tok
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM cnt),
+        |vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 2000),
+        |vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |nl AS (SELECT t.doc_id,
+        |         -ln(CAST(coalesce(vb.c, 0) + 1 AS DOUBLE)
+        |             / CAST(t_total + v + 1 AS DOUBLE)) AS nll
+        |       FROM toks t LEFT JOIN vocab vb USING (tok), tot, vsz),
+        |ag AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(nll))),
+        |                     (x, y) -> x + y) / count(*) AS avg_nll
+        |       FROM nl GROUP BY doc_id)
+        |SELECT d.doc_id, ag.avg_nll
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_repetition_topgram" ->
       """WITH toks AS (
         |  SELECT doc_id, length(text) AS n_chars_total,

@@ -38,6 +38,10 @@ object QualityQueries {
       QualityFilters.withQualityScore(t(s, dir, "documents"), "text",
         keep = Seq("doc_id")).orderBy("doc_id")
     }),
+    "q_quality_unigram_lm" -> ((s, dir) => {
+      QualityFilters.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 2000).orderBy("doc_id")
+    }),
     "q_repetition_topgram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .where(QualityFilters.wordCount(F.col("text")) >= 2)

@@ -621,6 +621,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram LM: rare text scores above common text; OOV above in-vocab; empty null") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the cat sat again"),
+      (3L, "the cat sat on the mat and the cat sat again"),
+      (4L, "zyx qwv jkl zyx qwv"), // tokens seen only here → rare
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.unigramLogProb(texts, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val common = out(0).getDouble(1)
+    val rare = out(3).getDouble(1)
+    assert(rare > common, s"rare=$rare common=$common")
+    assert(out(0).getDouble(1) == out(1).getDouble(1)) // identical docs, identical score
+    assert(out(4).isNullAt(1)) // no tokens → null
+
+    // capping the vocab to 1 pushes everything but 'the' out of vocabulary:
+    // OOV smoothing must score strictly above the retained token
+    val capped = QualityFilters.unigramLogProb(texts, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").collect()
+    assert(capped(3).getDouble(1) > capped(0).getDouble(1))
+
+    // exact hand-check on a one-doc corpus "a b": counts 1 each, T=2, V=2
+    // → p=(1+1)/(2+2+1)=0.4 for both tokens, mean nll = -ln(0.4)
+    val one = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = QualityFilters.unigramLogProb(one, "doc_id", "text")
+      .collect()(0).getDouble(1)
+    assert(math.abs(got - (-math.log(2.0 / 5.0))) < 1e-12)
+  }
+
   test("wav guards: short fmt chunk rejected, compressed payloads report 0 frames") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

@@ -124,6 +124,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!beforeJoin.contains("Exchange"), p)
   }
 
+  test("unigram LM: vocab probe is a broadcast join, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.pipeline.QualityFilters.unigramLogProb(
+      docs, "doc_id", "text", vocabSize = 2000)
+    val p = plan(scored)
+    // the token->vocab lookup must broadcast the capped vocabulary, never
+    // shuffle the token stream for it, and never degrade to a cartesian
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("data mix: pure filter, zero exchanges, inside whole-stage codegen") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val mixed = graft.pipeline.DataMix.sampleByWeights(
