@@ -122,6 +122,10 @@ object ScalingProbe {
             F.concat(copy, F.substring(stripped, 1, 20)).as("k")),
           "k", "doc_id", blockLen = 12, maxDist = 2).count()
       }),
+      ("unigram_lm", 100, { d =>
+        graft.pipeline.QualityFilters.unigramLogProb(d, "doc_id", "text",
+          vocabSize = 100000).where(F.col("avg_nll") > 0).count()
+      }),
       ("chunking", 100, { d =>
         graft.pipeline.Packing.chunkDocuments(d, "doc_id", "text",
           size = 256, overlap = 32).count()
