@@ -43,6 +43,46 @@ object DataMix {
     df.where(bucket(F.col(idCol)) < threshold)
   }
 
+  /** Temperature-flattened mixture rates (the multilingual-pretraining
+    * recipe — XLM-R's alpha exponent, Conneau et al. 2020 §3.1: sample
+    * group g with probability proportional to `(n_g/N)^alpha`, boosting
+    * low-resource groups as alpha → 0). With a total budget of
+    * `keepFraction * N` rows, group g keeps
+    * `min(1, keepFraction * N * p_g / n_g)` of its rows where
+    * `p_g = (n_g/N)^alpha / Z`.
+    *
+    * The k per-group counts are an O(k) driver collect (Ivf-centroid
+    * class); Z folds the group-sorted terms sequentially so the double is
+    * order-deterministic, and the per-row keep decision reuses the
+    * engine-portable Knuth-hash [[bucket]] — zero shuffle on the corpus,
+    * auditable in ANSI SQL outside Spark. */
+  def temperatureRates(df: DataFrame, groupCol: String,
+      alpha: Double, keepFraction: Double): Seq[(String, Double)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val counts = df.groupBy(groupCol).agg(F.count(F.lit(1)).as("n"))
+      .orderBy(groupCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nTotal = counts.map(_._2).sum
+    val pg = counts.map { case (g, n) => (g, math.pow(n.toDouble / nTotal, alpha)) }
+    val z = pg.foldLeft(0.0) { case (acc, (_, p)) => acc + p } // group-sorted order
+    pg.zip(counts).map { case ((g, p), (_, n)) =>
+      g -> math.min(1.0, keepFraction * nTotal * (p / z) / n)
+    }.toSeq
+  }
+
+  /** Filter the corpus to the [[temperatureRates]] mixture — same row-local
+    * hash-keep as [[sampleByWeights]] (thresholds floored to the bucket
+    * grid, so the SQL oracle's `floor` reproduces them exactly). */
+  def sampleByTemperature(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, keepFraction: Double): DataFrame = {
+    val rates = temperatureRates(df, groupCol, alpha, keepFraction)
+    val wmap = F.map(rates.flatMap { case (g, r) =>
+      Seq(F.lit(g), F.lit(math.floor(r * Buckets).toLong)) }: _*)
+    df.where(bucket(F.col(idCol)) < F.element_at(wmap, F.col(groupCol)))
+  }
+
   /** Deterministic train/val/test split on the same Knuth-hash bucket as
     * [[sampleByWeights]] — a row's split never changes with partitioning,
     * run order, or corpus growth (new ids land in splits at the target

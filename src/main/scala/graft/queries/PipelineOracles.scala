@@ -300,6 +300,28 @@ object PipelineOracles {
         |  FROM documents)
         |SELECT split, count(*) AS n, min(doc_id) AS first_id
         |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    "q_data_mix_temperature" ->
+      // Mirrors DataMix.temperatureRates step for step: pow in DOUBLE
+      // (e-notation literals), Z as a group-sorted sequential fold, rate
+      // arithmetic in the Scala expression's association order, thresholds
+      // floored to the bucket grid, then the same Knuth-hash keep.
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+        |p AS (SELECT lang, n, pow(CAST(n AS DOUBLE) / nt, 0.5e0) AS pg
+        |      FROM c, tot),
+        |z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list(pg ORDER BY lang)), (x, y) -> x + y) AS zv FROM p),
+        |th AS (SELECT lang,
+        |         CAST(floor(least(1.0e0,
+        |           ((0.5e0 * nt) * (pg / zv)) / n) * 1000000e0) AS BIGINT) AS thr
+        |       FROM p, z, tot),
+        |kept AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        |         FROM documents d JOIN th USING (lang)
+        |         WHERE ((doc_id % 1000003) * 2654435761) % 1000000 < thr
+        |         GROUP BY d.lang)
+        |SELECT c.lang, c.n AS n_total, COALESCE(kept.n_kept, 0) AS n_kept
+        |FROM c LEFT JOIN kept USING (lang) ORDER BY c.lang""".stripMargin,
     "q_data_mix" ->
       """WITH b AS (SELECT lang, ((doc_id % 1000003) * 2654435761) % 1000000 AS bk
         |           FROM documents),

@@ -327,6 +327,17 @@ object PipelineQueries {
           "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultWeight = 0.75)
         .orderBy("lang")
     }),
+    "q_data_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.pipeline.DataMix.sampleByTemperature(
+          docs, "doc_id", "lang", alpha = 0.5, keepFraction = 0.5)
+        .groupBy("lang").agg(F.count(F.lit(1)).as("n_kept"))
+      docs.groupBy("lang").agg(F.count(F.lit(1)).as("n_total"))
+        .join(kept, Seq("lang"), "left")
+        .select(F.col("lang"), F.col("n_total"),
+          F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
 
     // --- events / JSON ---
     "q_events_json" -> ((s, dir) => {

@@ -621,6 +621,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixing: flattens toward low-resource groups; alpha=1 is plain") {
+    import spark.implicits._
+    // 900 'big' rows vs 100 'small' rows
+    val df = (0L until 1000L).map(i =>
+      (i, if (i < 900) "big" else "small")).toDF("doc_id", "grp")
+    val rates = graft.pipeline.DataMix
+      .temperatureRates(df, "grp", alpha = 0.3, keepFraction = 0.5).toMap
+    // flattening: the small group keeps a strictly larger fraction
+    assert(rates("small") > rates("big"))
+    // alpha=1 makes p_g proportional to n_g, so every group's rate is
+    // exactly the keep fraction
+    val flat = graft.pipeline.DataMix
+      .temperatureRates(df, "grp", alpha = 1.0, keepFraction = 0.5).toMap
+    assert(math.abs(flat("big") - 0.5) < 1e-12 &&
+      math.abs(flat("small") - 0.5) < 1e-12)
+    // the filtered frame respects the rates on the hash grid (exact count
+    // check: thresholds are deterministic, so the kept set is fixed)
+    val kept = graft.pipeline.DataMix
+      .sampleByTemperature(df, "doc_id", "grp", alpha = 0.3, keepFraction = 0.5)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("small").toDouble / 100 > byGrp("big").toDouble / 900)
+    assert(kept.count() <= 1000)
+  }
+
   test("unigram LM: rare text scores above common text; OOV above in-vocab; empty null") {
     import spark.implicits._
     val texts = Seq(

@@ -143,6 +143,13 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Exchange") == 0, p)
     // "*(1) Filter" is the whole-stage-codegen marker in executedPlan toString
     assert(p.contains("*(1) Filter"), p)
+    // the temperature variant plans the same shape: the rate derivation is
+    // an O(k) driver step at build time, the corpus path stays a pure filter
+    val temp = graft.pipeline.DataMix.sampleByTemperature(
+      docs, "doc_id", "lang", alpha = 0.5, keepFraction = 0.5)
+    val pt = plan(temp)
+    assert(count(pt, "Exchange") == 0, pt)
+    assert(pt.contains("*(1) Filter"), pt)
   }
 
   test("minhash signature stage is a projection — no aggregate, no lambda") {
