@@ -73,6 +73,63 @@ object Dedup {
       .select(F.col("keep_id").as("id"))
   }
 
+  /** Build a reusable Bloom membership index over the history's text
+    * hashes — the build-once artifact for [[incrementalNewBloom]], same
+    * role the persisted band index plays for the near-dup path. `fpp` sizes
+    * the filter (1% default); `expectedItems <= 0` derives the count with
+    * one extra aggregation. Serialize with [[saveBloomIndex]] /
+    * [[loadBloomIndex]] so nightly batches probe without touching history
+    * at all for the definite-new decision. */
+  def buildBloomIndex(history: DataFrame, textCol: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val keys = history.select(F.md5(F.col(textCol)).as("text_hash"))
+    val n = if (expectedItems > 0) expectedItems else keys.distinct().count()
+    keys.stat.bloomFilter("text_hash", math.max(n, 1L), fpp)
+  }
+
+  def saveBloomIndex(bf: org.apache.spark.util.sketch.BloomFilter, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val out = java.nio.file.Files.newOutputStream(p)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  def loadBloomIndex(path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** [[incrementalNew]] with an explicit Bloom pre-filter: batch keys the
+    * filter rejects are DEFINITELY new and skip the anti-join entirely;
+    * only possible members (true duplicates + ~fpp of the new keys) carry
+    * on to the exact check, so the history-side exchange is driven by the
+    * small possible set instead of the whole batch. The output is EXACTLY
+    * [[incrementalNew]]'s for any filter contents — the Bloom side can
+    * only prune definite non-members, never change the result — which is
+    * why the gate shares the plain incremental oracle.
+    *
+    * At nightly-ingest shape the filter is the persisted artifact: build
+    * once per history version (one pass), probe every batch against the
+    * broadcast bitset (O(batch) map work, no shuffle), and rebuild only on
+    * history compaction. The probe is a UDF by necessity — Spark's
+    * might_contain expression is internal to runtime filtering — but it is
+    * one bitset lookup per row on an already-computed hash. */
+  def incrementalNewBloom(bloom: org.apache.spark.util.sketch.BloomFilter,
+      history: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val spark = history.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = F.udf((h: String) => bc.value.mightContainString(h))
+    val winners = batch
+      .groupBy(F.md5(F.col(textCol)).as("text_hash"))
+      .agg(F.min(F.col(idCol)).as("keep_id"))
+    val histKeys = history.select(F.md5(F.col(textCol)).as("text_hash")).distinct()
+    val definiteNew = winners.where(!might(F.col("text_hash")))
+    val possible = winners.where(might(F.col("text_hash")))
+      .join(histKeys, Seq("text_hash"), "anti")
+    definiteNew.unionByName(possible).select(F.col("keep_id").as("id"))
+  }
+
   /** Blocked fuzzy duplicate pairs (record linkage): candidate pairs form
     * only inside a normalized-prefix block, then exact Levenshtein keeps
     * pairs within `maxDist` edits. Blocking is what keeps this from going

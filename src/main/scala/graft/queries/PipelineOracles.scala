@@ -53,6 +53,22 @@ object PipelineOracles {
         |SELECT keep_id AS id FROM b
         |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
         |ORDER BY id""".stripMargin,
+    "q_dedup_incremental_bloom" ->
+      // Identical to q_dedup_incremental's oracle: the Bloom pre-filter is
+      // an exactness-preserving optimization, so the same SQL is the truth
+      // for both formulations.
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 300),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents
+        |  WHERE doc_id BETWEEN 400 AND 449),
+        |b AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM batch GROUP BY 1)
+        |SELECT keep_id AS id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)
+        |ORDER BY id""".stripMargin,
     "q_dedup_keep_best" ->
       // chain edges within 10-id blocks => component = floor(id/10)*10
       """SELECT (doc_id // 10) * 10 AS component,

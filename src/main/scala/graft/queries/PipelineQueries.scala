@@ -38,6 +38,20 @@ object PipelineQueries {
           .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text")))
       Dedup.incrementalNew(history, batch, "text", "doc_id").orderBy("id")
     }),
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      // Same construction as q_dedup_incremental, probed through the
+      // build-once Bloom index. The filter can only prune definite
+      // non-members, so the result is bit-identical to the exact path —
+      // one shared oracle proves both.
+      val docs = t(s, dir, "documents")
+      val history = docs.where(F.col("doc_id") < 300)
+      val batch = docs.where(F.col("doc_id") >= 200)
+        .select(F.col("doc_id"), F.col("text"))
+        .unionAll(docs.where(F.col("doc_id").between(400, 449))
+          .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text")))
+      val bf = Dedup.buildBloomIndex(history, "text")
+      Dedup.incrementalNewBloom(bf, history, batch, "text", "doc_id").orderBy("id")
+    }),
     "q_dedup_incremental_near" -> ((s, dir) => {
       // batch = appended-suffix rewrites of history docs (guaranteed
       // near-dups of their sources) + untouched novel docs; candidates via

@@ -621,6 +621,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom incremental: exact at any fpp, save/load round-trips, prunes work") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"document body number ${i % 300}"))
+      .toDF("doc_id", "text") // ids 300+ repeat texts 0-99 → in-batch dups
+    val history = docs.where(F.col("doc_id") < 200)
+    val batch = docs.where(F.col("doc_id") >= 150)
+    val exact = Dedup.incrementalNew(history, batch, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // tight filter AND an adversarially collision-heavy one (fpp=0.5):
+    // the output must be bit-identical to the exact path either way
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bf = Dedup.buildBloomIndex(history, "text", fpp = fpp)
+      val got = Dedup.incrementalNewBloom(bf, history, batch, "text", "doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == exact.toSeq, s"fpp=$fpp")
+    }
+    // persistence: a loaded index answers like the built one
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val bf = Dedup.buildBloomIndex(history, "text")
+    Dedup.saveBloomIndex(bf, s"$dir/hist.bloom")
+    val loaded = Dedup.loadBloomIndex(s"$dir/hist.bloom")
+    val got = Dedup.incrementalNewBloom(loaded, history, batch, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == exact.toSeq)
+    // and the filter actually prunes: a fully-novel batch has zero
+    // possible-members, so nothing reaches the anti-join
+    val novel = Seq((9001L, "entirely new text alpha"), (9002L, "entirely new text beta"))
+      .toDF("doc_id", "text")
+    val novelKeys = novel.select(F.md5(F.col("text")).as("h")).collect().map(_.getString(0))
+    assert(novelKeys.forall(h => !bf.mightContainString(h)))
+  }
+
   test("temperature mixing: flattens toward low-resource groups; alpha=1 is plain") {
     import spark.implicits._
     // 900 'big' rows vs 100 'small' rows
