@@ -312,6 +312,21 @@ final class TableStore(val root: String, spark: SparkSession) {
   def schema(refStr: String): Option[org.apache.spark.sql.types.StructType] =
     schema(TableRef.parse(refStr))
 
+  /** Register every table of a collection as a session temp view named
+    * `<collection>_<table>` (resolved at HEAD, or at `asOf` when given), so
+    * `spark.sql` can query the store directly — the SQL-side companion of
+    * [[scan]]. Views capture the version resolved NOW: re-register after
+    * new commits to advance, or keep the view for a frozen snapshot read.
+    * Returns the view names created. */
+  def registerViews(coll: String, asOf: Option[Long] = None): Seq[String] =
+    listTables(coll).flatMap { t =>
+      scan(TableRef.parse(t, coll), asOf).map { tf =>
+        val view = s"${coll}_$t"
+        tf.df.createOrReplaceTempView(view)
+        view
+      }
+    }
+
   /** Collections = first-level store directories (reference:
     * apiserver.py `/collections` list). */
   def listCollections(): Seq[String] = {

@@ -62,6 +62,26 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(ids.forall(_.length == 26))
   }
 
+  test("store views: spark.sql reads versioned tables, frozen at registration") {
+    import spark.implicits._
+    val store = new graft.store.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-sqlviews").toString, spark)
+    store.write("c", "people", Seq(("ann", 1), ("bo", 2)).toDF("name", "v"))
+    val views = store.registerViews("c")
+    assert(views == Seq("c_people"))
+    assert(spark.sql("SELECT count(*) AS n FROM c_people").head().getLong(0) == 2)
+    // a view is a frozen snapshot: a new commit doesn't change it until
+    // re-registration advances HEAD
+    store.write("c", "people", Seq(("cy", 3)).toDF("name", "v"))
+    assert(spark.sql("SELECT count(*) AS n FROM c_people").head().getLong(0) == 2)
+    store.registerViews("c")
+    assert(spark.sql("SELECT count(*) AS n FROM c_people").head().getLong(0) == 1)
+    // and the kernels compose with the store views in one SQL statement
+    val sh = spark.sql(
+      "SELECT graft_simhash64(split(name, '')) AS h FROM c_people").collect()
+    assert(sh.length == 1)
+  }
+
   test("sketch parameters must be literals — a column there is an error") {
     docs
     val e = intercept[Exception] {
