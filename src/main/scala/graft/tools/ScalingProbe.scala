@@ -122,6 +122,13 @@ object ScalingProbe {
             F.concat(copy, F.substring(stripped, 1, 20)).as("k")),
           "k", "doc_id", blockLen = 12, maxDist = 2).count()
       }),
+      ("incremental_bloom", 100, { d =>
+        // same split as the exact incremental probe, through the filter
+        val hist = d.where(F.col("doc_id") % 2 === 0)
+        val bf = graft.pipeline.Dedup.buildBloomIndex(hist, "text")
+        graft.pipeline.Dedup.incrementalNewBloom(bf, hist,
+          d.where(F.col("doc_id") % 2 === 1), "text", "doc_id").count()
+      }),
       ("unigram_lm", 100, { d =>
         graft.pipeline.QualityFilters.unigramLogProb(d, "doc_id", "text",
           vocabSize = 100000).where(F.col("avg_nll") > 0).count()
