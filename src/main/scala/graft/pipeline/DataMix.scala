@@ -98,6 +98,31 @@ object DataMix {
       F.when(b < vCut, "val").when(b < tCut, "test").otherwise("train"))
   }
 
+  /** Deterministic fixed-size sample: the `n` rows with the smallest
+    * `(hash-bucket, id)` key. Unlike `df.sample`, the selection is exactly
+    * `n` rows (when the corpus has them), stable under partitioning and
+    * reruns, and hash-shuffled rather than order-biased — the primitive
+    * for carving a fixed-size eval set out of a corpus. Plans as a
+    * distributed top-n (TakeOrderedAndProject): each partition keeps its
+    * n best, only those reach the driver-side merge — no full sort. */
+  def sampleExactN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    df.orderBy(bucket(F.col(idCol)), F.col(idCol)).limit(n)
+  }
+
+  /** Per-group [[sampleExactN]]: the `n` hash-smallest rows of EACH group
+    * (stratified fixed-size sampling). One shuffle on the group key; the
+    * rank is a windowed row_number, map-side-limited by Spark's
+    * WindowGroupLimit before the exchange. */
+  def sampleExactNPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(groupCol)).orderBy(bucket(F.col(idCol)), F.col(idCol))
+    df.withColumn("$td.__rn", F.row_number().over(rn))
+      .where(F.col("`$td.__rn`") <= n).drop("$td.__rn")
+  }
+
   /** Per-group kept/total counts for a candidate mix — the audit table a
     * mixing decision is reviewed on. */
   def mixReport(df: DataFrame, idCol: String, groupCol: String,

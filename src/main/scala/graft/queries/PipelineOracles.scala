@@ -316,6 +316,14 @@ object PipelineOracles {
         |  FROM documents)
         |SELECT split, count(*) AS n, min(doc_id) AS first_id
         |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    "q_sample_exact_n" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_data_mix_temperature" ->
       // Mirrors DataMix.temperatureRates step for step: pow in DOUBLE
       // (e-notation literals), Z as a group-sorted sequential fold, rate

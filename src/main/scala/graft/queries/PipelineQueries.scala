@@ -341,6 +341,13 @@ object PipelineQueries {
           "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultWeight = 0.75)
         .orderBy("lang")
     }),
+    "q_sample_exact_n" -> ((s, dir) => {
+      // 20 hash-smallest docs per language: a deterministic stratified
+      // eval-set carve, reproducible in ANSI SQL
+      graft.pipeline.DataMix.sampleExactNPerGroup(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 20)
+        .orderBy("lang", "doc_id")
+    }),
     "q_data_mix_temperature" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val kept = graft.pipeline.DataMix.sampleByTemperature(

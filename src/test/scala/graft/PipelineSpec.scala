@@ -621,6 +621,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-n sampling: size exact, partition-invariant, stratified per group") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, if (i % 5 == 0) "a" else "b"))
+      .toDF("doc_id", "grp")
+    val pick = graft.pipeline.DataMix.sampleExactN(df, "doc_id", 37)
+      .collect().map(_.getLong(0)).sorted
+    assert(pick.length == 37)
+    // the same 37 rows under a different partitioning
+    val repicked = graft.pipeline.DataMix.sampleExactN(df.repartition(7), "doc_id", 37)
+      .collect().map(_.getLong(0)).sorted
+    assert(repicked.toSeq == pick.toSeq)
+    // stratified: exactly n per group (both groups have enough rows)
+    val strat = graft.pipeline.DataMix
+      .sampleExactNPerGroup(df, "doc_id", "grp", 25)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat == Map("a" -> 25L, "b" -> 25L))
+    // a group smaller than n yields all its rows, not an error
+    val tiny = graft.pipeline.DataMix.sampleExactNPerGroup(
+      df.where(F.col("doc_id") < 3), "doc_id", "grp", 25)
+    assert(tiny.count() == 3)
+  }
+
   test("bloom incremental: exact at any fpp, save/load round-trips, prunes work") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, s"document body number ${i % 300}"))

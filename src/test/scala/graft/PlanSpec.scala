@@ -273,6 +273,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Final"), p)
   }
 
+  test("exact-n sampling: global plans distributed top-n; per-group map-limits") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang")
+    // global: TakeOrderedAndProject — per-partition top-n, no full sort
+    val g = plan(graft.pipeline.DataMix.sampleExactN(docs, "doc_id", 50))
+    assert(g.contains("TakeOrderedAndProject"), g)
+    // stratified: the rn<=n filter map-limits below the exchange
+    val s = plan(graft.pipeline.DataMix.sampleExactNPerGroup(docs, "doc_id", "lang", 20))
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"), s)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the pre-shuffled layout a recurring 100 TB fact-fact join should use:
     // both sides bucketed on the key -> the join consumes the bucket
