@@ -61,7 +61,11 @@ object DataMix {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(keepFraction > 0 && keepFraction <= 1,
       s"keepFraction must be in (0, 1], got $keepFraction")
-    val counts = df.groupBy(groupCol).agg(F.count(F.lit(1)).as("n"))
+    // a null group cannot be a map key (Spark NULL_MAP_KEY) and carries no
+    // domain label to weight — null-group rows are excluded from the
+    // mixture by contract (same rows sampleByTemperature drops)
+    val counts = df.where(F.col(groupCol).isNotNull)
+      .groupBy(groupCol).agg(F.count(F.lit(1)).as("n"))
       .orderBy(groupCol).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val nTotal = counts.map(_._2).sum
@@ -80,7 +84,8 @@ object DataMix {
     val rates = temperatureRates(df, groupCol, alpha, keepFraction)
     val wmap = F.map(rates.flatMap { case (g, r) =>
       Seq(F.lit(g), F.lit(math.floor(r * Buckets).toLong)) }: _*)
-    df.where(bucket(F.col(idCol)) < F.element_at(wmap, F.col(groupCol)))
+    df.where(F.col(groupCol).isNotNull &&
+      bucket(F.col(idCol)) < F.element_at(wmap, F.col(groupCol)))
   }
 
   /** Deterministic train/val/test split on the same Knuth-hash bucket as

@@ -119,7 +119,10 @@ object Dedup {
       textCol: String, idCol: String): DataFrame = {
     val spark = history.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
-    val might = F.udf((h: String) => bc.value.mightContainString(h))
+    // null text → null hash: route it to the exact check (the anti-join
+    // never matches a null key, so it survives as new — exactly what
+    // incrementalNew does with the same row) instead of NPE-ing the probe
+    val might = F.udf((h: String) => h == null || bc.value.mightContainString(h))
     val winners = batch
       .groupBy(F.md5(F.col(textCol)).as("text_hash"))
       .agg(F.min(F.col(idCol)).as("keep_id"))

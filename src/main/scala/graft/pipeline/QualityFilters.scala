@@ -191,7 +191,9 @@ object QualityFilters {
       .where(F.col(s"`$tok`") =!= "")
     val counts = toks.groupBy(F.col(s"`$tok`")).agg(F.count(F.lit(1)).as("c"))
     val vocab = counts.orderBy(F.col("c").desc, F.col(s"`$tok`").asc).limit(vocabSize)
-    val totalT = counts.agg(F.sum("c")).head.getLong(0)
+    // sum over an empty counts frame is a null cell, not 0
+    val totalRow = counts.agg(F.sum("c")).head
+    val totalT = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val vSize = vocab.count()
     val scored = toks.join(F.broadcast(vocab), Seq(tok), "left")
       .withColumn(nll, -F.log(

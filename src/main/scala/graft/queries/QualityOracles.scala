@@ -65,7 +65,11 @@ object QualityOracles {
       // Same smoothing arithmetic as the Scala op; the per-document sum
       // folds a sorted list left-to-right on both sides (list_prepend 0 +
       // list_reduce ≡ Spark aggregate(seed 0.0)), so the doubles are
-      // bit-equal without rounding.
+      // bit-equal without rounding. That also leans on JVM log and DuckDB
+      // libm ln agreeing bitwise (both 1-ulp-bounded, not guaranteed
+      // identical) — verified empirically over every smoothed probability
+      // this corpus produces at the gate's SF; if a future SF ever
+      // hash-mismatches here, round(x, 6) on BOTH sides is the fallback.
       """WITH toks AS (
         |  SELECT doc_id, t AS tok
         |  FROM (SELECT doc_id,

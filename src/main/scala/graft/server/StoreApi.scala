@@ -173,9 +173,9 @@ final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
         val offset = q.get("offset").map(_.toInt).getOrElse(0)
         val len = q.get("len").map(_.toInt).getOrElse(100)
         require(offset >= 0 && len >= 0, s"offset/len must be >= 0, got $offset/$len")
-        scanAt(c, t, q) match {
+        store.sample(TableRef.parse(t, c), offset, len, q.get("at").map(_.toLong)) match {
           case None => respondJson(ex, 404, s"""{"error":"table not found: $c/$t"}""")
-          case Some(df) => respondParquet(ex, df.offset(offset).limit(len))
+          case Some(df) => respondParquet(ex, df)
         }
 
       case ("GET", Seq("collections", c, "tables", t, "download")) =>
@@ -230,19 +230,13 @@ final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
     try {
       val out = tmp.resolve("out").toString
       df.coalesce(1).write.parquet(out)
-      val part = Files.list(Path.of(out)).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
+      val part = Using.resource(Files.list(Path.of(out)))(
+        _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")))
         .getOrElse(throw new IllegalStateException("no parquet part written"))
       val bytes = Files.readAllBytes(part)
       ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.parquet")
       ex.sendResponseHeaders(200, bytes.length)
       Using.resource(ex.getResponseBody)(_.write(bytes))
-    } finally deleteRecursively(tmp)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Using.resource(Files.list(p))(_.iterator().asScala.toSeq.foreach(deleteRecursively))
-    Files.deleteIfExists(p)
+    } finally TableStore.deleteTree(tmp)
   }
 }

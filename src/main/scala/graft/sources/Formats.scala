@@ -179,7 +179,13 @@ object FileFormatSpec {
         csv.postRead(r.csv(ds))
       case _ =>
         val src = FileSource(pattern, fmt.formatName, fmt.readerOptions)
-        fmt.postRead(src.load(spark, Map.empty).head)
+        val frames = src.load(spark, Map.empty)
+        // a typed-format read is an explicit single-table request: a
+        // missing location is an error naming the path here, unlike the
+        // flow-engine source path where it means a None input
+        if (frames.isEmpty) throw new java.io.FileNotFoundException(
+          s"no files match: $pattern")
+        fmt.postRead(frames.head)
     }
 
   def write(df: DataFrame, path: String, fmt: FileFormatSpec,

@@ -47,22 +47,19 @@ final case class FileSource(
     // (reference: test_input_file_not_found — the function receives df=None
     // and publishes an empty version). Distinguishes from a format error:
     // only the LISTING may come up empty; a matched file that fails to parse
-    // still throws.
-    locally {
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(pattern)
-      val matched = Option(p.getFileSystem(conf).globStatus(p)).getOrElse(Array.empty)
-      if (matched.isEmpty) return Seq.empty
-    }
+    // still throws. One listing serves both this check and the watermark
+    // guard below — remote stores pay a single LIST round-trip here.
+    val conf = spark.sessionState.newHadoopConf()
+    val globPath = new org.apache.hadoop.fs.Path(pattern)
+    val fs = globPath.getFileSystem(conf)
+    val matched = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+    if (matched.isEmpty) return Seq.empty
     val lastMod = offsets.get("last_modified").orElse(modifiedAfter)
     // Incremental guard: with a watermark set, an empty match means
     // "nothing new this run" — return no frames (the reference's None,
     // file_inputs.py) instead of letting csv/json schema inference throw
     // UNABLE_TO_INFER_SCHEMA on a zero-file listing.
     lastMod.foreach { ts =>
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(pattern)
-      val fs = p.getFileSystem(conf)
       val cutoff = parseWatermark(ts)
       // compare FILE mtimes, descending one level into matched directories:
       // a file rewritten in place does not bump its parent directory's
@@ -71,8 +68,7 @@ final case class FileSource(
         if (st.isDirectory)
           fs.listStatus(st.getPath).exists(_.getModificationTime > cutoff)
         else st.getModificationTime > cutoff
-      val anyNew = Option(fs.globStatus(p)).getOrElse(Array.empty).exists(newer)
-      if (!anyNew) return Seq.empty
+      if (!matched.exists(newer)) return Seq.empty
     }
     lastMod.foreach(ts => r = r.option("modifiedAfter", ts))
     options.foreach { case (k, v) => r = r.option(k, v) }
@@ -177,12 +173,18 @@ final case class JdbcSource(
 
   override def load(spark: SparkSession, offsets: Map[String, String]): Seq[DataFrame] = {
     val off = offsets.getOrElse(offsetKey, initialOffset)
-    // stored offsets override declared initial values; longest key first so
-    // `:number` is never clipped by a shorter parameter named `:num`
+    // stored offsets override declared initial values. Substitution is
+    // token-bounded (a lookahead forbids a following word character), so a
+    // declared `:num` can never clip a longer `:numeric_id` in the query —
+    // whether or not the longer name is itself declared. (The reference
+    // does a plain substring replace, sql_inputs.py:780-789; the bounded
+    // form is strictly safer and identical on well-formed queries.)
     val params = (initialValues ++ offsets).toSeq.sortBy(-_._1.length)
     queries.map { q =>
       val sql = params.foldLeft(q.replace("$offset$", off)) {
-        case (acc, (k, v)) => acc.replace(s":$k", v)
+        case (acc, (k, v)) => acc.replaceAll(
+          ":" + java.util.regex.Pattern.quote(k) + "(?![A-Za-z0-9_])",
+          java.util.regex.Matcher.quoteReplacement(v))
       }
       var r = spark.read.format("jdbc").option("url", url).option("query", sql)
       properties.foreach { case (k, v) => r = r.option(k, v) }

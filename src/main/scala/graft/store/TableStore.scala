@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.ThreadLocalRandom
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -126,9 +127,9 @@ final class TableStore(val root: String, spark: SparkSession) {
     * `/transactions` list). */
   def listTransactions(): Seq[String] = {
     if (!Files.exists(txnDir)) Seq.empty
-    else Files.list(txnDir).iterator().asScala
+    else Using.resource(Files.list(txnDir))(_.iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json")).toSeq.sorted
+      .map(_.stripSuffix(".json")).toSeq.sorted)
   }
 
   /** Committed (visible) versions, oldest → newest. `asOf` is the
@@ -161,10 +162,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     } catch { case e: Throwable =>
       // a half-written staging dir would otherwise leak: the pending move
       // is only registered below, so abortTransaction can't see it
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      if (Files.exists(dir)) TableStore.deleteTree(dir)
       throw e
     }
     val rows = spark.read.schema(stamped.schema).parquet(dir.toString).count()
@@ -191,10 +189,7 @@ final class TableStore(val root: String, spark: SparkSession) {
   def abortTransaction(txid: String): Unit = {
     val moves = stagedMoves.synchronized { stagedMoves.remove(txid).getOrElse(Nil) }
     moves.foreach { case (from, _) =>
-      if (Files.exists(from)) {
-        Files.walk(from).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      if (Files.exists(from)) TableStore.deleteTree(from)
     }
   }
 
@@ -293,9 +288,11 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   def scan(refStr: String): Option[TableFrame] = scan(TableRef.parse(refStr))
 
-  /** Table sample slice (reference: api/tabsdata_server.py:2476-2527). */
-  def sample(ref: TableRef, offset: Int, len: Int): Option[DataFrame] =
-    scan(ref).map(_.df.offset(offset).limit(len))
+  /** Table sample slice (reference: api/tabsdata_server.py:2476-2527);
+    * `asOf` is the trigger-time cutoff the HTTP endpoint's `at=` maps to. */
+  def sample(ref: TableRef, offset: Int, len: Int,
+      asOf: Option[Long] = None): Option[DataFrame] =
+    scan(ref, asOf).map(_.df.offset(offset).limit(len))
 
   /** Table schema from the version log alone (the reference serves its
     * schema endpoint from stored metadata the same way,
@@ -329,12 +326,7 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   /** Collections = first-level store directories (reference:
     * apiserver.py `/collections` list). */
-  def listCollections(): Seq[String] = {
-    val d = Paths.get(root)
-    if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
-  }
+  def listCollections(): Seq[String] = listDirs(Paths.get(root))
 
   /** Drop a table: data, version log, everything (reference:
     * apiserver.py:936-944 table_delete). Returns false if absent. */
@@ -342,25 +334,31 @@ final class TableStore(val root: String, spark: SparkSession) {
     val d = tableDir(coll, table)
     if (!Files.exists(d)) false
     else {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala.toSeq.foreach(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(d)
+      TableStore.deleteTree(d)
       true
     }
   }
 
-  def listTables(coll: String): Seq[String] = {
-    val d = Paths.get(root, coll)
+  def listTables(coll: String): Seq[String] = listDirs(Paths.get(root, coll))
+
+  /** Non-hidden child directories, stream closed (these back per-request
+    * HTTP listings — an unclosed DirectoryStream leaks an fd per call). */
+  private def listDirs(d: Path): Seq[String] = {
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
+    else Using.resource(Files.list(d))(_.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted)
   }
 }
 
 object TableStore {
+  /** Recursive delete, depth-first, stream closed — the one tree-removal
+    * used by staging cleanup, transaction aborts, and table drops. */
+  private[graft] def deleteTree(dir: Path): Unit =
+    Using.resource(Files.walk(dir))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p)))
+
   /** Shared mapper for the version log (thread-safe after configuration). */
   private[graft] val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

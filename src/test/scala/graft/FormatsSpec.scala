@@ -17,6 +17,13 @@ class FormatsSpec extends AnyFunSuite {
     s"$dir/$name"
   }
 
+  test("typed-format read of a missing location errors naming the path") {
+    val e = intercept[java.io.FileNotFoundException] {
+      FileFormatSpec.read(spark, "/no/such/dir/*.ndjson", NdjsonFormat())
+    }
+    assert(e.getMessage.contains("/no/such/dir"))
+  }
+
   test("csv: separator, quote, comment prefix, multiple null values") {
     val p = writeFile(
       """#generated file

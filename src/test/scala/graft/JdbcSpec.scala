@@ -70,6 +70,21 @@ class JdbcSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(2, 3, 4))
   }
 
+  test(":param substitution is token-bounded — longer undeclared tokens untouched") {
+    import spark.implicits._
+    val url = freshDb()
+    JdbcSink(url, "vals2", mode = "append").write(
+      (1 to 4).map(i => (i, s"v$i")).toDF("id", "v"))
+    // ':numx' lives inside a string literal: a plain substring replace of
+    // ':num' would corrupt it to '5x'; the bounded form must leave it be
+    val rows = JdbcSource(url,
+      Seq("""SELECT "id", ':numx' AS tag FROM vals2 WHERE "id" > :num"""),
+      initialValues = Map("num" -> "2"))
+      .load(spark, Map.empty).head
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((3, ":numx"), (4, ":numx")))
+  }
+
   test("schema-qualified destination table (rs output_postgres_schema)") {
     import spark.implicits._
     val url = freshDb()

@@ -621,6 +621,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("review fixes: null text through bloom, null group in temperature, empty LM corpus") {
+    import spark.implicits._
+    // a null batch text must not NPE the bloom probe, and the output must
+    // still equal the exact path (the identity contract)
+    val hist = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, null: String))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalNew(hist, batch, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val bf = Dedup.buildBloomIndex(hist, "text")
+    val got = Dedup.incrementalNewBloom(bf, hist, batch, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == exact.toSeq && got.contains(12L))
+
+    // null group rows are dropped from the temperature mixture, not a crash
+    val mixed = Seq((1L, "en"), (2L, "en"), (3L, null: String))
+      .toDF("doc_id", "lang")
+    val kept = graft.pipeline.DataMix.sampleByTemperature(
+      mixed, "doc_id", "lang", alpha = 0.5, keepFraction = 1.0)
+    assert(!kept.collect().map(r => Option(r.getString(1))).contains(None))
+
+    // an all-empty corpus scores every document null, no NPE on the T sum
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val scored = QualityFilters.unigramLogProb(empty, "doc_id", "text").collect()
+    assert(scored.length == 2 && scored.forall(_.isNullAt(1)))
+  }
+
   test("exact-n sampling: size exact, partition-invariant, stratified per group") {
     import spark.implicits._
     val df = (0L until 500L).map(i => (i, if (i % 5 == 0) "a" else "b"))
