@@ -49,11 +49,20 @@ final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   Seq("/collections", "/transactions", "/status", "/executions", "/function_runs")
     .foreach(p => server.createContext(p, (ex: HttpExchange) => safely(ex)(route(ex))))
-  server.setExecutor(null) // serve on the dispatch thread; Spark is thread-safe here
+  // a small fixed pool, not setExecutor(null): on the dispatch thread one
+  // slow `download` (a full-table parquet rewrite) serializes every other
+  // endpoint behind it, including the `/status` health probe. Spark is
+  // thread-safe across concurrent actions; 4 daemon workers keep probes and
+  // listings responsive without inviting unbounded concurrent table scans.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-store-api"); t.setDaemon(true); t
+    })
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   private def safely(ex: HttpExchange)(body: => Unit): Unit =
     try body catch {

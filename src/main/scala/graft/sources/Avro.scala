@@ -269,31 +269,60 @@ object AvroFiles {
     val sparkSchema = df.schema
     if (maxRecordsPerFile > 0) {
       val pathStr = path
+      // ship the driver's session Hadoop conf (spark.hadoop.* credentials,
+      // fs.s3a.*, defaultFS) as plain entries — a bare executor-side
+      // `new Configuration()` sees only classpath defaults, so writes to any
+      // configured remote FS would resolve wrongly; this matches what the
+      // saveAsNewAPIHadoopFile path gets via the serialized Job conf
+      val confEntries: Array[(String, String)] = {
+        val b = Array.newBuilder[(String, String)]
+        val it = hconf.iterator()
+        while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+        b.result()
+      }
       df.rdd.mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
           val schema = new Schema.Parser().parse(schemaJson)
-          // executor-side conf from the classpath defaults — same FS
-          // resolution newAPIHadoopFile tasks use for the path URI
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
           val dir = new Path(pathStr)
           val dfs = dir.getFileSystem(conf)
           var chunk = -1; var written = 0L
           var w: org.apache.avro.file.DataFileWriter[GenericRecord] = null
+          var tmp: Path = null
+          var fin: Path = null
+          // each chunk writes to a dot-prefixed temp (hidden from Hadoop/
+          // Spark listings) and renames on close — a failed attempt leaves
+          // no readable partial .avro, the poor man's commit protocol the
+          // OutputFormat path gets from its committer
+          def closeCommit(): Unit = if (w != null) {
+            w.close(); w = null
+            if (!dfs.rename(tmp, fin)) throw new java.io.IOException(
+              s"avro chunk commit failed: rename $tmp -> $fin")
+          }
           def roll(): Unit = {
-            if (w != null) w.close()
+            closeCommit()
             chunk += 1; written = 0L
+            fin = new Path(dir, f"part-$pid%05d-c$chunk%04d.avro")
+            tmp = new Path(dir, f".part-$pid%05d-c$chunk%04d.avro.tmp")
             w = new org.apache.avro.file.DataFileWriter(
               new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
-            w.create(schema, dfs.create(new Path(dir, f"part-$pid%05d-c$chunk%04d.avro"), true))
+            w.create(schema, dfs.create(tmp, true))
           }
-          roll()
-          it.foreach { row =>
-            if (written >= maxRecordsPerFile) roll()
-            w.append(sparkToAvro(row, sparkSchema, schema).asInstanceOf[GenericRecord])
-            written += 1
+          try {
+            roll()
+            it.foreach { row =>
+              if (written >= maxRecordsPerFile) roll()
+              w.append(sparkToAvro(row, sparkSchema, schema).asInstanceOf[GenericRecord])
+              written += 1
+            }
+            closeCommit()
+          } catch { case t: Throwable =>
+            if (w != null) { try w.close() catch { case _: Throwable => () } }
+            if (tmp != null) { try dfs.delete(tmp, false) catch { case _: Throwable => () } }
+            throw t
           }
-          w.close()
           Iterator.empty
         }
       }.count() // action: runs the distributed write

@@ -51,7 +51,11 @@ final case class VersionEntry(
   * layer.
   */
 final class TableStore(val root: String, spark: SparkSession) {
-  private def tableDir(coll: String, table: String): Path = Paths.get(root, coll, table)
+  private def tableDir(coll: String, table: String): Path = {
+    TableStore.requireSafeName("collection", coll)
+    TableStore.requireSafeName("table", table)
+    Paths.get(root, coll, table)
+  }
   private def logPath(coll: String, table: String): Path = tableDir(coll, table).resolve("_log.jsonl")
   private def txnDir: Path = Paths.get(root, "_transactions")
 
@@ -309,16 +313,34 @@ final class TableStore(val root: String, spark: SparkSession) {
   def schema(refStr: String): Option[org.apache.spark.sql.types.StructType] =
     schema(TableRef.parse(refStr))
 
+  // view name → (collection, table) it serves; names containing underscores
+  // can collide across pairs (coll "a_b"/table "c" vs "a"/"b_c" both mangle
+  // to "a_b_c") — registering a DIFFERENT pair under a taken name is an
+  // error instead of a silent replace
+  private val registeredViews =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
   /** Register every table of a collection as a session temp view named
     * `<collection>_<table>` (resolved at HEAD, or at `asOf` when given), so
     * `spark.sql` can query the store directly — the SQL-side companion of
     * [[scan]]. Views capture the version resolved NOW: re-register after
     * new commits to advance, or keep the view for a frozen snapshot read.
-    * Returns the view names created. */
+    * Returns the view names created. Re-registering the same table replaces
+    * its view; a name collision with a different (collection, table) pair
+    * throws rather than silently shadowing the earlier view. */
   def registerViews(coll: String, asOf: Option[Long] = None): Seq[String] =
     listTables(coll).flatMap { t =>
       scan(TableRef.parse(t, coll), asOf).map { tf =>
         val view = s"${coll}_$t"
+        registeredViews.synchronized {
+          registeredViews.get(view) match {
+            case Some(prev) if prev != ((coll, t)) =>
+              throw new IllegalArgumentException(
+                s"view name collision: '$view' already serves table " +
+                s"'${prev._1}/${prev._2}', cannot also serve '$coll/$t'")
+            case _ => registeredViews(view) = (coll, t)
+          }
+        }
         tf.df.createOrReplaceTempView(view)
         view
       }
@@ -339,7 +361,10 @@ final class TableStore(val root: String, spark: SparkSession) {
     }
   }
 
-  def listTables(coll: String): Seq[String] = listDirs(Paths.get(root, coll))
+  def listTables(coll: String): Seq[String] = {
+    TableStore.requireSafeName("collection", coll)
+    listDirs(Paths.get(root, coll))
+  }
 
   /** Non-hidden child directories, stream closed (these back per-request
     * HTTP listings — an unclosed DirectoryStream leaks an fd per call). */
@@ -352,6 +377,18 @@ final class TableStore(val root: String, spark: SparkSession) {
 }
 
 object TableStore {
+  /** Collection/table names become filesystem path segments under the store
+    * root, and the HTTP layer feeds them straight from percent-decoded URL
+    * segments — so `..`, `.`, separators, or hidden-prefix names would walk
+    * or shadow the store layout (`.staging`, `_log.jsonl`, `_transactions`).
+    * One rule, enforced at every path construction: first char alphanumeric,
+    * rest alphanumeric/dot/underscore/dash. */
+  private val SafeName = java.util.regex.Pattern.compile("[A-Za-z0-9][A-Za-z0-9._-]*")
+  private[graft] def requireSafeName(kind: String, s: String): Unit =
+    if (s == null || !SafeName.matcher(s).matches())
+      throw new IllegalArgumentException(
+        s"invalid $kind name '$s': must match ${SafeName.pattern}")
+
   /** Recursive delete, depth-first, stream closed — the one tree-removal
     * used by staging cleanup, transaction aborts, and table drops. */
   private[graft] def deleteTree(dir: Path): Unit =

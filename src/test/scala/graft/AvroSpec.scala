@@ -127,4 +127,20 @@ class AvroSpec extends AnyFunSuite {
     assert(new java.io.File(viaSink).listFiles()
       .count(_.getName.endsWith(".avro")) == 3)
   }
+
+  test("failed chunked write leaves no readable partial .avro files") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val boom = F.udf((i: Int) =>
+      if (i >= 1) throw new RuntimeException("synthetic write failure") else i)
+    val df = (1 to 5).toDF("id").coalesce(1).withColumn("id", boom($"id"))
+    val path = tmp()
+    intercept[org.apache.spark.SparkException] {
+      AvroFiles.write(df, path, maxRecordsPerFile = 2L)
+    }
+    val left = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    // chunk temp was cleaned up, nothing was renamed into a readable name
+    assert(!left.exists(_.getName.endsWith(".avro")), left.toSeq)
+    assert(!left.exists(_.getName.endsWith(".tmp")), left.toSeq)
+  }
 }

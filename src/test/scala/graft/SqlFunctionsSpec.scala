@@ -82,6 +82,22 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(sh.length == 1)
   }
 
+  test("store views: colliding mangled names error instead of silently shadowing") {
+    import spark.implicits._
+    val store = new graft.store.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-sqlviews-clash").toString, spark)
+    // 'a_b'/'c' and 'a'/'b_c' both mangle to view name a_b_c
+    store.write("a_b", "c", Seq((1, "x")).toDF("id", "tag"))
+    store.write("a", "b_c", Seq((2, "y"), (3, "z")).toDF("id", "tag"))
+    store.registerViews("a_b")
+    val e = intercept[IllegalArgumentException](store.registerViews("a"))
+    assert(e.getMessage.contains("view name collision"))
+    // the earlier registration is still the one served
+    assert(spark.sql("SELECT count(*) AS n FROM a_b_c").head().getLong(0) == 1)
+    // re-registering the SAME pair is a replace, not a collision
+    store.registerViews("a_b")
+  }
+
   test("sketch parameters must be literals — a column there is an error") {
     docs
     val e = intercept[Exception] {

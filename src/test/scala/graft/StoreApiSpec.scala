@@ -201,6 +201,67 @@ class StoreApiSpec extends AnyFunSuite {
     }
   }
 
+  test("path traversal in URL segments is rejected, store left intact") {
+    import spark.implicits._
+    val store = freshStore()
+    store.write("c", "t", Seq((1, "a")).toDF("id", "tag"))
+    withApi(store) { port =>
+      // DELETE /collections/c/tables/.. would resolve to the store root;
+      // %2e%2e survives client/server parsing and percent-decodes in getPath
+      assert(delete(port, "/collections/c/tables/%2e%2e").statusCode() == 400)
+      assert(delete(port, "/collections/%2e%2e/tables/c").statusCode() == 400)
+      assert(get(port, "/collections/%2e%2e/tables").statusCode() == 400)
+      assert(get(port, "/collections/c/tables/%2e%2e/schema").statusCode() == 400)
+      // an encoded slash adds a path segment: either rejected as a bad name
+      // (400) or unroutable (404) — never resolved against the filesystem
+      assert(Set(400, 404)(
+        get(port, "/collections/c/tables/%2e%2e%2fsecret/download").statusCode()))
+      // store untouched by the attempts
+      assert(store.listTables("c") == Seq("t"))
+      assert(store.scan("c/t").get.df.count() == 1)
+    }
+    // the guard lives in TableStore, so non-HTTP callers are covered too
+    intercept[IllegalArgumentException](store.deleteTable("..", "t"))
+    intercept[IllegalArgumentException](store.deleteTable("c", "."))
+    intercept[IllegalArgumentException](store.deleteTable("c", "a/b"))
+    intercept[IllegalArgumentException](store.deleteTable("c", ""))
+    intercept[IllegalArgumentException](store.listTables("_transactions"))
+    intercept[IllegalArgumentException](store.write("c", ".staging",
+      Seq((1, "a")).toDF("id", "tag")))
+  }
+
+  test("a slow request does not block the health probe (worker pool)") {
+    import spark.implicits._
+    val store = freshStore()
+    val engine = new graft.flow.FlowEngine(store, spark)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    engine.publisher("slow", "c", Seq("out")) { _ =>
+      entered.countDown()
+      Thread.sleep(3000)
+      Seq(graft.core.TableFrame.fromRaw(Seq((1, "a")).toDF("id", "tag")))
+    }
+    val api = new StoreApi(store, Some(engine))
+    api.start()
+    try {
+      val port = api.boundPort
+      val slow = http.sendAsync(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/collections/c/functions/slow/execute"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      // the slow handler is now parked on a worker thread for 3 s; with
+      // setExecutor(null) every request below would queue behind it
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      val t0 = System.nanoTime()
+      assert(get(port, "/status").statusCode() == 200)
+      assert(get(port, "/collections/c/tables").statusCode() == 200)
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      assert(probeSec < 2.0,
+        f"probes took $probeSec%.2f s — blocked behind the slow request")
+      assert(slow.join().statusCode() == 200)
+    } finally api.stop()
+  }
+
   test("bad params are a 400, not a 500") {
     import spark.implicits._
     val store = freshStore()
