@@ -38,7 +38,7 @@ object DataMix {
     val wmap = F.map(weights.toSeq.sortBy(_._1).flatMap { case (k, w) =>
       Seq(F.lit(k), F.lit((w * Buckets).toLong)) }: _*)
     val threshold = F.coalesce(
-      F.element_at(wmap, F.col(groupCol)),
+      F.element_at(wmap, F.col(groupCol).cast("string")),
       F.lit((defaultWeight * Buckets).toLong))
     df.where(bucket(F.col(idCol)) < threshold)
   }
@@ -63,10 +63,13 @@ object DataMix {
       s"keepFraction must be in (0, 1], got $keepFraction")
     // a null group cannot be a map key (Spark NULL_MAP_KEY) and carries no
     // domain label to weight — null-group rows are excluded from the
-    // mixture by contract (same rows sampleByTemperature drops)
+    // mixture by contract (same rows sampleByTemperature drops).
+    // The group key is cast to string so non-string group columns (int
+    // language ids, date partitions) get their canonical string label
+    // instead of a ClassCastException; for StringType the cast folds away.
     val counts = df.where(F.col(groupCol).isNotNull)
-      .groupBy(groupCol).agg(F.count(F.lit(1)).as("n"))
-      .orderBy(groupCol).collect()
+      .groupBy(F.col(groupCol).cast("string").as("__g")).agg(F.count(F.lit(1)).as("n"))
+      .orderBy("__g").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val nTotal = counts.map(_._2).sum
     val pg = counts.map { case (g, n) => (g, math.pow(n.toDouble / nTotal, alpha)) }
@@ -84,8 +87,9 @@ object DataMix {
     val rates = temperatureRates(df, groupCol, alpha, keepFraction)
     val wmap = F.map(rates.flatMap { case (g, r) =>
       Seq(F.lit(g), F.lit(math.floor(r * Buckets).toLong)) }: _*)
+    // same string canonicalization as temperatureRates' keys
     df.where(F.col(groupCol).isNotNull &&
-      bucket(F.col(idCol)) < F.element_at(wmap, F.col(groupCol)))
+      bucket(F.col(idCol)) < F.element_at(wmap, F.col(groupCol).cast("string")))
   }
 
   /** Deterministic train/val/test split on the same Knuth-hash bucket as
@@ -103,16 +107,49 @@ object DataMix {
       F.when(b < vCut, "val").when(b < tCut, "test").otherwise("train"))
   }
 
+  /** Above this `n`, [[sampleExactN]] switches from the top-n plan
+    * (TakeOrderedAndProject funnels the n winners through a single merge
+    * point) to the bucket-histogram plan, whose single-point term is one
+    * boundary bucket (~corpus/1e6 rows), not n. */
+  val TopNMaxN: Int = 1 << 20
+
   /** Deterministic fixed-size sample: the `n` rows with the smallest
     * `(hash-bucket, id)` key. Unlike `df.sample`, the selection is exactly
     * `n` rows (when the corpus has them), stable under partitioning and
     * reruns, and hash-shuffled rather than order-biased — the primitive
-    * for carving a fixed-size eval set out of a corpus. Plans as a
-    * distributed top-n (TakeOrderedAndProject): each partition keeps its
-    * n best, only those reach the driver-side merge — no full sort. */
-  def sampleExactN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    * for carving a fixed-size eval set out of a corpus.
+    *
+    * Physical strategy switches on `n` (override the cutover with
+    * `topNMaxN`):
+    *   - small n: distributed top-n (TakeOrderedAndProject) — each
+    *     partition keeps its n best, the n winners merge at one point;
+    *     exactly right until n itself is too big to funnel;
+    *   - large n: one exact histogram over the 1e6 hash buckets picks the
+    *     boundary bucket t with its below-t cumulative count; every row
+    *     with `bucket < t` is kept by a plain filter (no sort, no limit,
+    *     no single point), and only the boundary bucket — ~corpus/1e6
+    *     rows, independent of n — runs a top-(n-below) to break id ties.
+    *     The histogram is O(#buckets) driver metadata (Ivf-centroid
+    *     class), corpus-size-independent. A 100M-row eval carve never
+    *     funnels 100M rows anywhere. */
+  def sampleExactN(df: DataFrame, idCol: String, n: Int,
+      topNMaxN: Int = TopNMaxN): DataFrame = {
     require(n >= 0, s"n must be >= 0, got $n")
-    df.orderBy(bucket(F.col(idCol)), F.col(idCol)).limit(n)
+    if (n <= topNMaxN) df.orderBy(bucket(F.col(idCol)), F.col(idCol)).limit(n)
+    else {
+      val b = bucket(F.col(idCol))
+      val hist = df.groupBy(b.as("__b")).agg(F.count(F.lit(1)).as("__n"))
+        .orderBy("__b").collect()
+      var cum = 0L; var i = 0; var t = -1L; var below = 0L
+      while (i < hist.length && t < 0) {
+        val cnt = hist(i).getLong(1)
+        if (cum + cnt >= n) { t = hist(i).getLong(0); below = cum }
+        cum += cnt; i += 1
+      }
+      if (t < 0) df // corpus has <= n rows: the sample is the corpus
+      else df.where(b < t).unionAll(
+        df.where(b === t).orderBy(F.col(idCol)).limit((n - below).toInt))
+    }
   }
 
   /** Per-group [[sampleExactN]]: the `n` hash-smallest rows of EACH group

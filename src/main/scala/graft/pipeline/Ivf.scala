@@ -31,7 +31,14 @@ import org.apache.spark.sql.types._
   * per query at the cost of recall.
   */
 object Ivf {
-  final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
+  /** `nVectors` is the corpus size the index was built over when known
+    * (stamped by [[save]]/[[load]]; -1 on a fresh in-memory build) — it
+    * lets AutoK consumers ([[SemDedup.pairsWithIndex]]) validate the
+    * cluster geometry without re-counting the corpus. */
+  final case class Index(centroids: Array[Array[Double]], assigned: DataFrame,
+      nVectors: Long = -1L) {
+    def k: Int = centroids.length
+  }
 
   /** Above this k, assignment/probing switch from plan-literal centroids to
     * the broadcast-join strategy. */
@@ -112,23 +119,50 @@ object Ivf {
     * serves `topK` with partition pruning on the probed clusters (a query
     * touches nprobe directories, not the corpus). Build once per corpus
     * version, reuse across query batches — at 100 TB the build dominates
-    * a single query batch by orders of magnitude. */
+    * a single query batch by orders of magnitude.
+    *
+    * Alongside the data, `meta.json` stamps the index parameters (k, dim,
+    * corpus size) — the analog of the band index's sketch-parameter column
+    * stamp ([[Dedup.minhashBandIndex]]): a loaded index then *proves* its
+    * geometry instead of consumers re-deriving it with extra corpus jobs,
+    * and a k that doesn't match the stored centroids fails loudly. The
+    * corpus size is counted here (one job at save time, once per corpus
+    * version) unless the index already carries it. */
   def save(index: Index, path: String): Unit = {
+    val n = if (index.nVectors >= 0) index.nVectors else index.assigned.count()
+    val dim = index.centroids.headOption.map(_.length).getOrElse(0)
     centroidDf(index.assigned, index.centroids)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     index.assigned.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "meta.json"),
+      s"""{"k":${index.k},"dim":$dim,"n_vectors":$n}""")
   }
 
   /** Load a persisted index. The centroid relation is k×dim doubles —
-    * driver-side by design, same as after a build. */
+    * driver-side by design, same as after a build. When `meta.json` is
+    * present (every index [[save]]d since it was introduced), the stored
+    * centroids must match its stamped k/dim — a truncated or hand-edited
+    * index fails here, not as silently-wrong cluster routing. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cluster").collect()
       .map(_.getSeq[Double](1).toArray)
     val assigned = spark.read.parquet(s"$path/assigned")
       .select(F.col("id"), F.col("v"), F.col("cluster").cast("int").as("cluster"))
-    Index(centroids, assigned)
+    val metaPath = java.nio.file.Paths.get(path, "meta.json")
+    val n = if (java.nio.file.Files.exists(metaPath)) {
+      val meta = graft.store.TableStore.jsonMapper
+        .readTree(java.nio.file.Files.readString(metaPath))
+      val k = meta.get("k").asInt(); val dim = meta.get("dim").asInt()
+      if (k != centroids.length || centroids.exists(_.length != dim))
+        throw new IllegalStateException(
+          s"IVF index at $path is inconsistent with its meta.json stamp: " +
+          s"stamped k=$k dim=$dim, stored ${centroids.length} centroids" +
+          centroids.headOption.map(c => s" of dim ${c.length}").getOrElse(""))
+      meta.get("n_vectors").asLong(-1L)
+    } else -1L
+    Index(centroids, assigned, n)
   }
 
   /** `nprobe` nearest cluster ids for a query vector — literal strategy. */

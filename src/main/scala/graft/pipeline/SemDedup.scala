@@ -48,15 +48,21 @@ object SemDedup {
     * `threshold`, a < b. Cosine runs in the codegen'd [[VectorKernels]]
     * kernel, not an interpreted HOF lambda.
     *
-    * `k` defaults to [[AutoK]]: one extra count job derives the cluster
-    * count from the corpus size, so growing data cannot silently slide a
-    * fixed demo-scale k into quadratic per-cluster work. Pass an explicit
-    * k to pin the geometry (tests, threshold sweeps over a prebuilt
-    * index). */
+    * `k` defaults to [[AutoK]]: derive the cluster count from the corpus
+    * size, so growing data cannot silently slide a fixed demo-scale k into
+    * quadratic per-cluster work. The size comes from `knownN` when the
+    * caller already has it (a store version log, a prior job's count —
+    * zero extra jobs), else from ONE count job; either way the built index
+    * carries it ([[Ivf.Index.nVectors]]), so threshold sweeps over
+    * [[pairsWithIndex]] and a [[Ivf.save]] stamp never re-count. Pass an
+    * explicit k to pin the geometry (tests, prebuilt-index parity). */
   def pairs(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.995): DataFrame = {
-    val kk = if (k == AutoK) autoK(df.count()) else k
-    pairsWithIndex(Ivf.build(df, idCol, vecCol, kk, iters), threshold)
+      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.995,
+      knownN: Long = -1L): DataFrame = {
+    val n = if (knownN >= 0) knownN else if (k == AutoK) df.count() else -1L
+    val kk = if (k == AutoK) autoK(n) else k
+    pairsWithIndex(
+      Ivf.build(df, idCol, vecCol, kk, iters).copy(nVectors = n), threshold)
   }
 
   /** Pair search over a prebuilt (or [[Ivf.load]]ed) index — the reuse
@@ -73,13 +79,34 @@ object SemDedup {
       .select(F.col("a"), F.col("b"), F.col("cos"))
   }
 
+  /** Validate that a (possibly [[Ivf.load]]ed) index's cluster geometry is
+    * the one [[autoK]] would choose for its stamped corpus size — the
+    * guard for the reuse path: an index built under AutoK for one corpus
+    * version silently re-used against a much larger corpus would degrade
+    * toward quadratic per-cluster work; this fails loudly instead.
+    * No-ops (returns the index) when the index carries no size stamp or k
+    * was pinned explicitly — only stamped AutoK geometry is checkable. */
+  def requireAutoKGeometry(index: Ivf.Index,
+      targetClusterSize: Long = 4096): Ivf.Index = {
+    if (index.nVectors >= 0) {
+      val want = autoK(index.nVectors, targetClusterSize)
+      if (index.k != want) throw new IllegalStateException(
+        s"IVF index k=${index.k} does not match AutoK geometry for its " +
+        s"stamped corpus size n=${index.nVectors} (expected k=$want, " +
+        s"targetClusterSize=$targetClusterSize) — rebuild the index or pass " +
+        "an explicit k to pin the geometry")
+    }
+    index
+  }
+
   /** (node, component, keep) for every document: semantic duplicate groups
     * via connected components over the pair graph, `keep` marking each
     * group's lowest-id representative (isolated documents keep
     * themselves). */
   def dedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.995): DataFrame =
+      k: Int = AutoK, iters: Int = 3, threshold: Double = 0.995,
+      knownN: Long = -1L): DataFrame =
     Clustering.dedupClusters(
-      pairs(df, idCol, vecCol, k, iters, threshold), "a", "b",
+      pairs(df, idCol, vecCol, k, iters, threshold, knownN), "a", "b",
       nodes = Some(df.select(idCol)))
 }

@@ -364,6 +364,29 @@ class PipelineSpec extends AnyFunSuite {
     val parts = new java.io.File(s"$dir/assigned").listFiles()
       .filter(_.getName.startsWith("cluster="))
     assert(parts.nonEmpty)
+
+    // the parameter stamp: k/dim/corpus-size persisted with the index,
+    // loaded back, and a stamp inconsistent with the stored centroids
+    // fails at load instead of routing queries through wrong geometry
+    val metaPath = java.nio.file.Paths.get(dir, "meta.json")
+    assert(java.nio.file.Files.exists(metaPath))
+    assert(loaded.nVectors == emb.count() && loaded.k == 8)
+    val metaText = java.nio.file.Files.readString(metaPath)
+    java.nio.file.Files.writeString(metaPath, metaText.replace("\"k\":8", "\"k\":9"))
+    val e = intercept[IllegalStateException](Ivf.load(spark, dir))
+    assert(e.getMessage.contains("meta.json"))
+    java.nio.file.Files.writeString(metaPath, metaText) // restore
+
+    // AutoK geometry guard: a stamped index whose k is not what autoK
+    // would choose for its corpus size fails loudly on the reuse path
+    val restored = Ivf.load(spark, dir)
+    val mism = intercept[IllegalStateException](
+      graft.pipeline.SemDedup.requireAutoKGeometry(restored))
+    assert(mism.getMessage.contains("AutoK"))
+    graft.pipeline.SemDedup.requireAutoKGeometry(
+      restored.copy(centroids = Array.fill(16)(Array(0.0)))) // autoK floor = 16
+    // an unstamped (fresh-build) index is not checkable — no-op, no throw
+    graft.pipeline.SemDedup.requireAutoKGeometry(built)
   }
 
   test("ivf: broadcast-join assignment strategy matches plan-literal strategy") {
@@ -527,6 +550,14 @@ class PipelineSpec extends AnyFunSuite {
     val kept = SemDedup.dedup(df, "id", "vec", k = 2, iters = 2, threshold = thr)
       .where(F.col("keep")).collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 1L))
+    // a caller-supplied corpus size (store version log, prior job) replaces
+    // AutoK's count job and picks the identical geometry/pairs
+    val viaKnown = SemDedup
+      .pairs(df, "id", "vec", threshold = thr, knownN = df.count())
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCount = SemDedup.pairs(df, "id", "vec", threshold = thr)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaKnown == viaCount)
   }
 
   test("packing: exact prefix-sum assignment, partitioning-independent") {
@@ -670,6 +701,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("exact-n sampling: histogram path picks the identical rows as top-n") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val topn = graft.pipeline.DataMix.sampleExactN(df, "doc_id", 777)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // topNMaxN = 0 forces the bucket-histogram plan (filter + boundary
+    // bucket top-up) that a >1M-row carve takes at scale
+    val hist = graft.pipeline.DataMix.sampleExactN(df, "doc_id", 777, topNMaxN = 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hist == topn)
+    // partition-invariant like the small path
+    val hist2 = graft.pipeline.DataMix
+      .sampleExactN(df.repartition(13), "doc_id", 777, topNMaxN = 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hist2 == topn)
+    // n >= corpus: the sample is the whole corpus
+    assert(graft.pipeline.DataMix
+      .sampleExactN(df, "doc_id", 5000, topNMaxN = 0).count() == 2000)
+  }
+
   test("bloom incremental: exact at any fpp, save/load round-trips, prunes work") {
     import spark.implicits._
     val docs = (0L until 400L).map(i => (i, s"document body number ${i % 300}"))
@@ -725,6 +776,24 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byGrp("small").toDouble / 100 > byGrp("big").toDouble / 900)
     assert(kept.count() <= 1000)
+  }
+
+  test("mixing accepts non-string group columns (int ids, dates)") {
+    import spark.implicits._
+    // int group labels: 90 of group 7, 10 of group 12
+    val df = (0L until 100L).map(i => (i, if (i < 90) 7 else 12)).toDF("doc_id", "lang_id")
+    val rates = graft.pipeline.DataMix
+      .temperatureRates(df, "lang_id", alpha = 0.3, keepFraction = 0.5).toMap
+    assert(rates.keySet == Set("7", "12") && rates("12") > rates("7"))
+    val kept = graft.pipeline.DataMix
+      .sampleByTemperature(df, "doc_id", "lang_id", alpha = 0.3, keepFraction = 0.5)
+    assert(kept.count() > 0 && kept.count() < 100)
+    // string-keyed weights address the int groups by their canonical label
+    val weighted = graft.pipeline.DataMix
+      .sampleByWeights(df, "doc_id", "lang_id", Map("7" -> 0.1, "12" -> 1.0))
+    val byGrp = weighted.groupBy("lang_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byGrp(12) == 10 && byGrp.getOrElse(7, 0L) < 90)
   }
 
   test("unigram LM: rare text scores above common text; OOV above in-vocab; empty null") {

@@ -281,6 +281,13 @@ class PlanSpec extends AnyFunSuite {
     // stratified: the rn<=n filter map-limits below the exchange
     val s = plan(graft.pipeline.DataMix.sampleExactNPerGroup(docs, "doc_id", "lang", 20))
     assert(s.contains("WindowGroupLimit") && s.contains("Partial"), s)
+    // above the cutover, no top-n of size n exists anywhere in the plan:
+    // the bulk is a plain filter (bucket < boundary), and the only ordered
+    // limit is the boundary bucket's top-up, far smaller than n
+    val n = 50
+    val big = plan(graft.pipeline.DataMix.sampleExactN(docs, "doc_id", n, topNMaxN = 0))
+    assert(!big.contains(s"TakeOrderedAndProject(limit=$n"), big)
+    assert(big.contains("Union"), big)
   }
 
   test("bucketed tables join with zero exchanges (co-located join)") {
