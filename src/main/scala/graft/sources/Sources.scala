@@ -205,7 +205,10 @@ final case class FileSink(
     var w = df.write.mode(mode)
     options.foreach { case (k, v) => w = w.option(k, v) }
     format match {
-      case "csv"              => w.option("header", "true").csv(path)
+      // header defaults on but must not stomp a caller's explicit choice
+      // (CsvFormat.outputIncludeHeader=false arrives via `options`)
+      case "csv" =>
+        (if (options.contains("header")) w else w.option("header", "true")).csv(path)
       case "json" | "ndjson" | "jsonl" => w.json(path)
       case "parquet"          => w.parquet(path)
       case "orc"              => w.orc(path)

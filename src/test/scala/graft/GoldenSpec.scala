@@ -891,4 +891,266 @@ class GoldenSpec extends AnyFunSuite {
     val tx2 = store.versions("shop", "by_cat").head.transaction
     assert(tx1 == tx2)
   }
+
+  test("golden: initial values declaring the wrong key fail loudly (rs initial_values_wrong_key_type)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-wrongkey")}/db;create=true"
+    JdbcSink(url, "T", mode = "append").write(Seq((1, "a")).toDF("id", "name"))
+    // the query names :number, the declared initial values a typo'd `numbr`:
+    // the placeholder survives substitution and the database rejects it —
+    // a loud failure, never an empty/silently-wrong result
+    val src = JdbcSource(url,
+      Seq("""SELECT "id", "name" FROM T WHERE "id" > :number"""),
+      initialValues = Map("numbr" -> "2"))
+    val e = intercept[Throwable](src.load(spark, Map.empty).head.collect())
+    val expectedClass = spark.read.option("multiLine", "true")
+      .json(s"$golden/sql_initial_values_wrong_key/expected_error.json")
+      .head().getString(0)
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+    assert(chain.exists(_.getClass.getName.contains(expectedClass)))
+  }
+
+  test("golden: modified JDBC connection params load the same rows (rs sql_modified_params)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-modparam")}/db;create=true"
+    JdbcSink(url, "T", mode = "append").write(
+      Seq((1, "Arvind"), (2, "Tucu"), (3, "Dimas")).toDF("id", "name"))
+    val back = JdbcSource(url, Seq("""SELECT "id", "name" FROM T"""),
+        properties = Map("fetchsize" -> "2", "queryTimeout" -> "30"))
+      .load(spark, Map.empty).head
+    check(back, s"$golden/sql_modified_params/expected_result.json")
+  }
+
+  test("golden: frame list to a list of SQL tables, None slots skipped (rs output_sql_list/_none)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-sqllist")}/db;create=true"
+    val frames: Seq[Option[DataFrame]] = Seq(
+      Some(Seq(("A1", 4), ("B2", 9)).toDF("sku", "qty")),
+      None, // reference: the None element writes nothing and is not an error
+      Some(Seq(("X", 7), ("Y", 9)).toDF("code", "n")))
+    val tables = Seq("OUT_A", "OUT_SKIPPED", "OUT_B")
+    tables.zip(frames).foreach { case (t, f) => JdbcSink(url, t).write(f) }
+    check(JdbcSource(url, Seq("""SELECT "sku", "qty" FROM OUT_A"""))
+      .load(spark, Map.empty).head, s"$golden/sql_output_list/expected_a.json")
+    check(JdbcSource(url, Seq("""SELECT "code", "n" FROM OUT_B"""))
+      .load(spark, Map.empty).head, s"$golden/sql_output_list/expected_b.json")
+    // the None slot's table was never created
+    intercept[Throwable](JdbcSource(url, Seq("SELECT * FROM OUT_SKIPPED"))
+      .load(spark, Map.empty).head.collect())
+  }
+
+  test("golden: frame list to a list of file paths, None slots skipped (rs output_file_multiple_files_with_none)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-golden-filelist").toString
+    val frames: Seq[Option[DataFrame]] = Seq(
+      Some(Seq(("EU", 300.5), ("US", 120.25)).toDF("region", "sales")),
+      None,
+      Some(Seq(("APAC", 990.0)).toDF("region", "sales")))
+    val paths = Seq(s"$out/first", s"$out/second", s"$out/third")
+    paths.zip(frames).foreach { case (p, f) =>
+      FileSink(p, format = "jsonl").write(f)
+    }
+    check(spark.read.json(s"$out/first"),
+      s"$golden/output_file_list_none/expected_first.json")
+    check(spark.read.json(s"$out/third"),
+      s"$golden/output_file_list_none/expected_third.json")
+    assert(!new java.io.File(s"$out/second").exists())
+  }
+
+  test("golden: multi-output transformer with a None slot — empty version beside data (rs output_table_multiple_with_none)") {
+    import graft.td
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-tmn").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "shop", Seq("orders")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("table_multi_none", "data.csv", "csv")))
+    }
+    engine.transformer("split", "shop", Seq("orders"), Seq("high", "low")) { ctx =>
+      Seq(ctx.input(0).filter(td.col("amount") >= 20.0), null)
+    }
+    engine.trigger("pub")
+    check(store.scan("shop/high").get.df,
+      s"$golden/table_multi_none/expected_high.json")
+    // the None slot commits an EMPTY version in the same transaction
+    assert(store.scan("shop/low").get.df.count() == 0)
+    assert(store.versions("shop", "high").head.transaction ==
+      store.versions("shop", "low").head.transaction)
+  }
+
+  test("golden: one function joins a table's HEAD against its HEAD~1 (rs input_table_multiple_tables)") {
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-vj").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    var rows = Seq(("A", 10.0), ("B", 20.0))
+    engine.publisher("pub", "c", Seq("prices")) { _ =>
+      Seq(TableFrame.fromRaw(rows.toDF("sku", "price")))
+    }
+    engine.trigger("pub")
+    rows = Seq(("A", 11.0), ("B", 22.0))
+    engine.trigger("pub")
+    // both versions of the same table as two inputs of one function
+    engine.transformer("delta", "c", Seq("prices", "prices@HEAD~1"),
+        Seq("price_delta")) { ctx =>
+      Seq(ctx.input(0).join(
+        ctx.input(1).rename("price" -> "prev_price"), on = Seq("sku")))
+    }
+    engine.runFunction(engine.fn("delta"), store.newId())
+    check(store.scan("c/price_delta").get.df.select("sku", "price", "prev_price"),
+      s"$golden/version_join/expected_result.json")
+  }
+
+  test("golden: one malformed file inside a matched folder is loud (rs failing_file_in_folder)") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-failfolder").toString
+    AvroFiles.write(Seq(("ok", 1)).toDF("k", "v"), s"$stage/good", "overwrite")
+    // drop the junk beside the good container files
+    val junk = java.nio.file.Paths.get(stage, "good",  "zz-junk.avro")
+    Files.copy(java.nio.file.Paths.get(s"$golden/failing_file_in_folder/junk.avro"), junk)
+    intercept[Throwable] {
+      FileSource(s"$stage/good", "avro").load(spark, Map.empty).head.collect()
+    }
+  }
+
+  test("golden: diamond trigger graph — one execution, join waits for both branches") {
+    import graft.td
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-diamond").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "c", Seq("raw")) { _ =>
+      Seq(TableFrame.fromRaw(readCase("trigger_diamond", "raw.csv", "csv")))
+    }
+    engine.transformer("rev", "c", Seq("raw"), Seq("revenue")) { ctx =>
+      Seq(ctx.input(0)
+        .with_columns("revenue" -> (td.col("units") * td.col("unit_price")))
+        .selectCols("sku", "revenue"))
+    }
+    engine.transformer("disc", "c", Seq("raw"), Seq("discounted")) { ctx =>
+      Seq(ctx.input(0)
+        .with_columns("discounted" -> (td.col("units") * td.col("unit_price") * 0.9))
+        .selectCols("sku", "discounted"))
+    }
+    // the join point: triggered by either branch, runs once per execution
+    engine.transformer("final", "c", Seq("revenue", "discounted"),
+        Seq("combined")) { ctx =>
+      Seq(ctx.input(0).join(ctx.input(1), on = Seq("sku")))
+    }
+    val ran = engine.trigger("pub")
+    assert(ran.head == "pub" && ran.count(_ == "final") == 1,
+      s"run order: $ran")
+    check(store.scan("c/combined").get.df.select("sku", "revenue", "discounted"),
+      s"$golden/trigger_diamond/expected_result.json")
+    assert(store.versions("c", "combined").size == 1)
+  }
+
+  test("golden: overwrite-then-append mixture accumulates from the overwrite point (rs drop/append mixtures)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-appendmix")}/db;create=true"
+    JdbcSink(url, "stock", mode = "overwrite")
+      .write(Seq(("OLD", 99)).toDF("sku", "qty"))
+    JdbcSink(url, "stock", mode = "overwrite")  // drops OLD
+      .write(Seq(("A1", 4)).toDF("sku", "qty"))
+    JdbcSink(url, "stock", mode = "append")
+      .write(Seq(("B2", 12)).toDF("sku", "qty"))
+    JdbcSink(url, "stock", mode = "append")
+      .write(Seq(("C3", 1)).toDF("sku", "qty"))
+    check(JdbcSource(url, Seq("""SELECT "sku", "qty" FROM stock"""))
+      .load(spark, Map.empty).head, s"$golden/jdbc_append_mix/expected_result.json")
+  }
+
+  test("golden: csv output with modified separator and null marker round-trips") {
+    import spark.implicits._
+    import graft.sources.{CsvFormat, FileFormatSpec}
+    val out = Files.createTempDirectory("graft-golden-csvsep").toString
+    val df = Seq(("osaka", 2691, Option.empty[String]),
+        ("lyon", 513, Option("old town")), ("quito", 2011, Option.empty[String]))
+      .toDF("city", "pop", "note")
+    FileFormatSpec.write(df, s"$out/cities",
+      CsvFormat(separator = ";", outputNullValue = Some("NONE")))
+    // read back WITHOUT null re-inference: the NONE marker must be visible
+    val back = FileFormatSpec.read(spark, s"$out/cities",
+      CsvFormat(separator = ";"))
+    check(back, s"$golden/csv_output_separator/expected_result.json")
+  }
+
+  test("golden: a function returning the wrong output arity fails and commits nothing (rs plugin_wrong_method_overwrite)") {
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-arity").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "c", Seq("t1", "t2")) { _ =>
+      Seq(TableFrame.fromRaw(Seq((1, "a")).toDF("id", "v"))) // declared 2, returned 1
+    }
+    val e = intercept[IllegalArgumentException](engine.trigger("pub"))
+    val expectedClass = spark.read.option("multiLine", "true")
+      .json(s"$golden/plugin_wrong_arity/expected_error.json")
+      .head().getString(0)
+    assert(e.getClass.getName.contains(expectedClass))
+    assert(store.scan("c/t1").isEmpty && store.scan("c/t2").isEmpty)
+  }
+
+  test("golden: headerless csv output and input (rs csv no-header variants)") {
+    import spark.implicits._
+    import graft.sources.{CsvFormat, FileFormatSpec}
+    val out = Files.createTempDirectory("graft-golden-nohdr").toString
+    val df = Seq(("saw", 310), ("plane", 240), ("adze", 150)).toDF("tool", "len_mm")
+    FileFormatSpec.write(df, s"$out/tools", CsvFormat(outputIncludeHeader = false))
+    val back = FileFormatSpec.read(spark, s"$out/tools",
+      CsvFormat(inputHasHeader = false))
+    // headerless read → positional column names, data rows intact
+    assert(back.columns.toSeq == Seq("_c0", "_c1"))
+    check(back, s"$golden/csv_headerless/expected_result.json")
+  }
+
+  test("golden: chunked avro output lands multiple container files, reads whole") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-golden-avchunk").toString
+    val df = (0 until 10).map(i => (i, s"g${i % 3}")).toDF("id", "grp").coalesce(1)
+    FileSink(s"$out/rows", format = "avro",
+      options = Map("maxRecordsPerFile" -> "4")).write(df)
+    assert(new java.io.File(s"$out/rows").listFiles()
+      .count(_.getName.endsWith(".avro")) == 3) // 4+4+2
+    check(FileSource(s"$out/rows", "avro").load(spark, Map.empty).head,
+      s"$golden/output_avro_chunked/expected_result.json")
+  }
+
+  test("golden: delete table then re-publish starts a fresh version history") {
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-delrec").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    var rows = Seq(("O1", 1), ("O2", 2))
+    engine.publisher("pub", "c", Seq("stock")) { _ =>
+      Seq(TableFrame.fromRaw(rows.toDF("sku", "qty")))
+    }
+    engine.trigger("pub")
+    engine.trigger("pub")
+    assert(store.versions("c", "stock").size == 2)
+    assert(store.deleteTable("c", "stock"))
+    assert(store.scan("c/stock").isEmpty && store.versions("c", "stock").isEmpty)
+    // re-publish: history restarts at one version, new data served
+    rows = Seq(("N1", 7), ("N2", 3))
+    engine.trigger("pub")
+    assert(store.versions("c", "stock").size == 1)
+    check(store.scan("c/stock").get.df,
+      s"$golden/table_delete_recreate/expected_result.json")
+  }
+
+  test("golden: replace_partitions rewrites only incoming partitions (rs catalog_partition)") {
+    import spark.implicits._
+    val table = s"golden_events_${System.nanoTime()}"
+    val sink = graft.sources.CatalogSink(table,
+      ifTableExists = "replace_partitions", partitionBy = Seq("day"))
+    sink.write(Seq(("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"),
+      ("2024-01-02", 3, "c")).toDF("day", "id", "v"))
+    // second write touches only day=2024-01-02; day=01 rows must survive
+    sink.write(Seq(("2024-01-02", 9, "z")).toDF("day", "id", "v"))
+    check(spark.table(table),
+      s"$golden/catalog_replace_partitions/expected_result.json")
+    spark.sql(s"DROP TABLE $table")
+  }
 }
