@@ -348,6 +348,26 @@ object PipelineQueries {
           t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 20)
         .orderBy("lang", "doc_id")
     }),
+    "q_bm25" -> ((s, dir) => {
+      // BM25 scoring over the corpus for a fixed 3-term query. k1=1.5 and
+      // b=0.75 are exactly representable doubles, every reduction folds in
+      // sorted order, and N/avgdl derive from exact integer sums — so the
+      // score hash-matches DuckDB's identical formula bit for bit.
+      val idx = graft.pipeline.Retrieval.buildBm25(
+        t(s, dir, "documents"), "text", "doc_id")
+      graft.pipeline.Retrieval.scoreQuery(
+          idx, Seq("spark", "customer", "vector"), k1 = 1.5, b = 0.75)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q_sample_exact_n_global" -> ((s, dir) => {
+      // the large-n bucket-histogram plan (topNMaxN=0 forces it): selection
+      // must be row-identical to ORDER BY (bucket, id) LIMIT n — the oracle
+      // states exactly that, proving the scale path end-to-end vs DuckDB
+      graft.pipeline.DataMix.sampleExactN(
+          t(s, dir, "documents").select("doc_id"), "doc_id", 200, topNMaxN = 0)
+        .orderBy("doc_id")
+    }),
     "q_data_mix_temperature" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val kept = graft.pipeline.DataMix.sampleByTemperature(

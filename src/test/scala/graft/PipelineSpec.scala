@@ -701,6 +701,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("libm ln kernel: equals Math.log pointwise, null propagates") {
+    import spark.implicits._
+    val xs = Seq(Some(1.2700126742712294), Some(0.001), Some(1.0), Some(math.E),
+      Some(123456.789), None)
+    val got = xs.toDF("x")
+      .select(graft.expressions.MathKernels.ln(F.col("x")).as("y"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    xs.zip(got).foreach {
+      case (Some(x), Some(y)) => assert(y == java.lang.Math.log(x), s"x=$x")
+      case (None, y) => assert(y.isEmpty)
+      case other => fail(other.toString)
+    }
+  }
+
+  test("bm25: hand-computed scores, ranking, and partition invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian durian")).toDF("doc_id", "text")
+    val idx = Retrieval.buildBm25(docs, "text", "doc_id")
+    assert(idx.nDocs == 3 && idx.avgDl == 3.0) // (3+2+4)/3
+    val scored = Retrieval.scoreQuery(idx, Seq("apple", "banana"),
+        k1 = 1.5, b = 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // hand computation: idf(apple)=ln(1+2.5/1.5), idf(banana)=ln(1+1.5/2.5);
+    // d1 has dl=3=avgdl so the length norm is 1: tfc = tf*2.5/(tf+1.5)
+    val idfA = math.log(1.0 + 2.5 / 1.5); val idfB = math.log(1.0 + 1.5 / 2.5)
+    val d1 = Seq(idfA * (5.0 / 3.5), idfB * (2.5 / 2.5)).sorted.sum
+    assert(scored(1L)._1 == 2 && math.abs(scored(1L)._2 - d1) < 1e-12)
+    assert(scored(2L)._1 == 1) // banana only
+    assert(!scored.contains(3L)) // no query term
+    assert(scored(1L)._2 > scored(2L)._2)
+    // top-k order and partition invariance of the folded score
+    val top = Retrieval.topK(idx, Seq("apple", "banana"), 2, k1 = 1.5, b = 0.75)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+    val re = Retrieval.buildBm25(docs.repartition(7), "text", "doc_id")
+    val rescored = Retrieval.scoreQuery(re, Seq("apple", "banana"),
+        k1 = 1.5, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rescored(1L) == scored(1L)._2 && rescored(2L) == scored(2L)._2)
+  }
+
   test("exact-n sampling: histogram path picks the identical rows as top-n") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
