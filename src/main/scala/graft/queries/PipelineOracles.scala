@@ -324,6 +324,30 @@ object PipelineOracles {
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "q_dsir" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |             string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |big AS (SELECT doc_id, lang,
+        |          list_transform(generate_series(1, len(w) - 1),
+        |            i -> w[i] || ' ' || w[i+1]) AS g
+        |        FROM w WHERE len(w) >= 2),
+        |feat AS (SELECT doc_id, lang, substr(md5(unnest(g)), 1, 4) AS bucket
+        |         FROM big),
+        |tcnt AS (SELECT bucket, count(*) AS ct FROM feat
+        |         WHERE lang = 'de' GROUP BY 1),
+        |ttot AS (SELECT count(*) AS t FROM feat WHERE lang = 'de'),
+        |rcnt AS (SELECT bucket, count(*) AS cr FROM feat GROUP BY 1),
+        |rtot AS (SELECT count(*) AS r FROM feat),
+        |sc AS (SELECT f.doc_id,
+        |    ln((COALESCE(tc.ct + 1, 1) / CAST(tt.t + 65536 AS DOUBLE)) /
+        |       (COALESCE(rc.cr + 1, 1) / CAST(rt.r + 65536 AS DOUBLE))) AS lr
+        |  FROM feat f LEFT JOIN tcnt tc USING (bucket)
+        |  LEFT JOIN rcnt rc USING (bucket), ttot tt, rtot rt)
+        |SELECT doc_id, count(*) AS n_features,
+        |  list_reduce(list_prepend(0.0e0, list_sort(list(lr))), (x, y) -> x + y)
+        |    AS weight
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |           FROM documents),

@@ -348,6 +348,17 @@ object PipelineQueries {
           t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 20)
         .orderBy("lang", "doc_id")
     }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weights of every document against the German
+      // slice as the target distribution. Feature hashing is md5-prefix
+      // (engine-portable), probabilities are exact-count divisions, ln is
+      // the libm kernel, sums fold sorted — hash-matches DuckDB exactly.
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Dsir.importanceWeights(
+          docs, docs.where(F.col("lang") === "de"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_bm25" -> ((s, dir) => {
       // BM25 scoring over the corpus for a fixed 3-term query. k1=1.5 and
       // b=0.75 are exactly representable doubles, every reduction folds in

@@ -701,6 +701,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("dsir: target-like docs outweigh off-domain docs; invariant under partitioning") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "quantum physics lecture notes on entanglement"),
+      (2L, "quantum entanglement experiments and physics theory"),
+      (3L, "cheap pills buy now best price pills"),
+      (4L, "buy cheap watches now lowest price guaranteed"),
+      (5L, "physics of sailing and fluid dynamics"),
+      (6L, "x")).toDF("doc_id", "text") // single token -> no bigram features
+    val target = raw.where($"doc_id".isin(1L, 2L)) // the in-domain slice
+    val w = graft.pipeline.Dsir.importanceWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // feature counts are tokens-1
+    assert(w(1L)._1 == 5 && w(3L)._1 == 6)
+    assert(!w.contains(6L)) // featureless doc has no weight row
+    // both in-domain docs outweigh both spam docs; the physics-adjacent
+    // doc 5 sits between
+    assert(w(1L)._2 > w(5L)._2 && w(2L)._2 > w(5L)._2)
+    assert(w(5L)._2 > w(3L)._2 && w(5L)._2 > w(4L)._2)
+    // bit-identical under a different partitioning (sorted fold)
+    val re = graft.pipeline.Dsir.importanceWeights(
+        raw.repartition(7), target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    w.foreach { case (id, (_, wt)) => assert(re(id) == wt) }
+    // selection keeps the top-weighted rows with their original columns
+    val top = graft.pipeline.Dsir.selectTopN(raw, target, "text", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L))
+  }
+
   test("libm ln kernel: equals Math.log pointwise, null propagates") {
     import spark.implicits._
     val xs = Seq(Some(1.2700126742712294), Some(0.001), Some(1.0), Some(math.E),
