@@ -133,6 +133,21 @@ object ScalingProbe {
         graft.pipeline.QualityFilters.unigramLogProb(d, "doc_id", "text",
           vocabSize = 100000).where(F.col("avg_nll") > 0).count()
       }),
+      ("bm25", 100, { d =>
+        // build + one 3-term query batch: postings aggregation dominates,
+        // both linear passes; the query side is constant-size
+        val idx = graft.pipeline.Retrieval.buildBm25(d, "text", "doc_id")
+        graft.pipeline.Retrieval.scoreQuery(
+          idx, Seq("spark", "customer", "vector"), k1 = 1.5, b = 0.75).count()
+      }),
+      ("dsir", 100, { d =>
+        // target = a fixed-size slice of the original corpus; raw scales.
+        // Distributions stay <=65536 rows at every scale (the broadcast
+        // side is bounded by design, not by the data).
+        val target = base.where(F.col("doc_id") < 500)
+        graft.pipeline.Dsir.importanceWeights(d, target, "text", "doc_id")
+          .count()
+      }),
       ("chunking", 100, { d =>
         graft.pipeline.Packing.chunkDocuments(d, "doc_id", "text",
           size = 256, overlap = 32).count()

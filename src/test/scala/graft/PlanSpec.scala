@@ -290,6 +290,23 @@ class PlanSpec extends AnyFunSuite {
     assert(big.contains("Union"), big)
   }
 
+  test("bm25/dsir: dictionary sides broadcast, no cartesian, term filter pushed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // BM25: the query-term filter must prune the postings before any join,
+    // and document frequencies join broadcast (a k-row relation)
+    val idx = graft.pipeline.Retrieval.buildBm25(docs, "text", "doc_id")
+    val scored = plan(graft.pipeline.Retrieval.scoreQuery(
+      idx, Seq("spark", "customer"), k1 = 1.5, b = 0.75))
+    assert(scored.contains("BroadcastHashJoin"), scored)
+    assert(!scored.contains("CartesianProduct"), scored)
+    // DSIR: both bucket-distribution relations (bounded <=16^4 rows)
+    // broadcast into the corpus-sized feature stream
+    val w = plan(graft.pipeline.Dsir.importanceWeights(
+      docs, docs.where(F.col("lang") === "de"), "text", "doc_id"))
+    assert(count(w, "BroadcastHashJoin") >= 2, w)
+    assert(!w.contains("CartesianProduct"), w)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the pre-shuffled layout a recurring 100 TB fact-fact join should use:
     // both sides bucketed on the key -> the join consumes the bucket
