@@ -45,7 +45,7 @@ import graft.store.{TableRef, TableStore}
   * stays the distributed parquet under the store root; a cluster consumer
   * should read those files, not this endpoint. */
 final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
-    port: Int = 0) {
+    port: Int = 0, authToken: Option[String] = None) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   Seq("/collections", "/transactions", "/status", "/executions", "/function_runs")
     .foreach(p => server.createContext(p, (ex: HttpExchange) => safely(ex)(route(ex))))
@@ -65,10 +65,28 @@ final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
   def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   private def safely(ex: HttpExchange)(body: => Unit): Unit =
-    try body catch {
+    try { if (authorized(ex)) body else respondJson(ex, 401,
+      """{"error":"missing or invalid bearer token"}""") }
+    catch {
       case e: IllegalArgumentException => respondJson(ex, 400, errorJson(e))
       case e: Throwable => respondJson(ex, 500, errorJson(e))
     } finally ex.close()
+
+  /** Static bearer-token auth, the minimal port of the reference
+    * apiserver's token layer (api/apiserver.py users/roles/tokens — the
+    * full login/refresh flow is out of scope for a query-capability port).
+    * Unset token → open server (the localhost dev default); set → every
+    * endpoint except the `/status` health probe requires
+    * `Authorization: Bearer <token>`, compared constant-time. */
+  private def authorized(ex: HttpExchange): Boolean = authToken match {
+    case None => true
+    case Some(_) if ex.getRequestURI.getPath.stripSuffix("/") == "/status" => true
+    case Some(tok) =>
+      val got = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val want = s"Bearer $tok"
+      java.security.MessageDigest.isEqual(
+        got.getBytes(StandardCharsets.UTF_8), want.getBytes(StandardCharsets.UTF_8))
+  }
 
   private def errorJson(e: Throwable): String = {
     val n = TableStore.jsonMapper.createObjectNode()

@@ -262,6 +262,34 @@ class StoreApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("bearer-token auth: 401 without the token, data with it, /status open") {
+    import spark.implicits._
+    val store = freshStore()
+    store.write("c", "t", Seq((1, "a")).toDF("id", "tag"))
+    val api = new StoreApi(store, authToken = Some("s3cret-token"))
+    api.start()
+    try {
+      val port = api.boundPort
+      def withAuth(path: String, token: String) =
+        http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .header("Authorization", s"Bearer $token").build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+      // no token / wrong token / wrong scheme → 401, and no data leaks
+      assert(get(port, "/collections").statusCode() == 401)
+      assert(withAuth("/collections", "wrong").statusCode() == 401)
+      assert(delete(port, "/collections/c/tables/t").statusCode() == 401)
+      assert(store.scan("c/t").isDefined) // the unauthorized delete did nothing
+      // the right token serves normally
+      val ok = withAuth("/collections/c/tables", "s3cret-token")
+      assert(ok.statusCode() == 200)
+      assert(json(ok).get("data").get(0).get("name").asText() == "t")
+      // health probe stays open for unauthenticated liveness checks
+      assert(get(port, "/status").statusCode() == 200)
+    } finally api.stop()
+    // default construction stays open (localhost dev mode)
+    withApi(store) { port => assert(get(port, "/collections").statusCode() == 200) }
+  }
+
   test("bad params are a 400, not a 500") {
     import spark.implicits._
     val store = freshStore()
