@@ -41,4 +41,34 @@ object Decontaminate {
       overlapFlags(docs, textCol, idCol, evals, evalTextCol, n)
         .where(F.col("contaminated")).select(F.col("id").as(idCol)),
       Seq(idCol), "anti")
+
+  /** Semantic decontamination: (id, eval_id, max_cos, contaminated) for
+    * every corpus document — the embedding-space complement of the n-gram
+    * flags, catching paraphrased/translated eval leakage that shares no
+    * n-gram with the benchmark (the SemDeDup insight applied to the
+    * decontamination problem). `eval_id` is the nearest eval item
+    * (highest cosine, ties to the highest id — the lexicographic struct
+    * max, reproduced exactly by the gate's SQL oracle).
+    *
+    * Shape: the eval side broadcasts (benchmark suites are small), cosine
+    * runs in the codegen'd [[graft.expressions.VectorKernels]] kernel, and
+    * the only shuffle is the per-doc max — the corpus is read once. This
+    * exact pass is O(N·|evals|); for corpus-scale eval sets route through
+    * [[Ivf.topK]] (nprobe clusters per eval item) and threshold the
+    * result instead. */
+  def semanticOverlapFlags(docs: DataFrame, idCol: String, vecCol: String,
+      evals: DataFrame, evalIdCol: String, evalVecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val e = evals.select(F.col(evalIdCol).as("eval_id"), F.col(evalVecCol).as("ev"))
+    docs.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+      .crossJoin(F.broadcast(e))
+      .where(F.col("id") =!= F.col("eval_id"))
+      .withColumn("cos",
+        graft.expressions.VectorKernels.cosine(F.col("v"), F.col("ev")))
+      .groupBy("id")
+      .agg(F.max(F.struct(F.col("cos"), F.col("eval_id"))).as("best"))
+      .select(F.col("id"), F.col("best.eval_id").as("eval_id"),
+        F.col("best.cos").as("max_cos"),
+        (F.col("best.cos") >= threshold).as("contaminated"))
+  }
 }

@@ -324,6 +324,18 @@ object PipelineOracles {
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "q_decontaminate_semantic" ->
+      s"""WITH p AS (
+         |  SELECT c.vec_id AS vec_id, q.vec_id AS eval_id,
+         |    ${cosExpr("c.embedding", "q.embedding")} AS cos
+         |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |  WHERE c.vec_id <> q.vec_id),
+         |r AS (SELECT vec_id, eval_id, cos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, eval_id DESC) AS rn
+         |      FROM p)
+         |SELECT vec_id, eval_id, cos AS max_cos, (cos >= 0.35) AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_dsir" ->
       """WITH w AS (SELECT doc_id, lang,
         |             string_split_regex(lower(trim(text)), '\s+') AS w

@@ -348,6 +348,18 @@ object PipelineQueries {
           t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 20)
         .orderBy("lang", "doc_id")
     }),
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: nearest eval item + threshold
+      // flag per corpus vector. Cosine is the codegen kernel whose fold
+      // order bit-matches the SQL oracle; max/compare add no arithmetic.
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Decontaminate.semanticOverlapFlags(
+          emb, "vec_id", "embedding",
+          emb.where(F.col("vec_id") < 5), "vec_id", "embedding",
+          threshold = 0.35)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weights of every document against the German
       // slice as the target distribution. Feature hashing is md5-prefix

@@ -701,6 +701,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("semantic decontamination: planted paraphrase flagged, orthogonal doc clean, self excluded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),  // exact duplicate of eval 1 (a "paraphrase")
+      (11L, Seq(0.8, 0.6, 0.0)),  // cos 0.8 to eval 1 — near but sub-threshold
+      (12L, Seq(0.0, 0.0, 1.0)),  // orthogonal to both evals
+      (1L, Seq(1.0, 0.0, 0.0))    // IS eval 1 — must not match itself
+    ).toDF("vec_id", "embedding")
+    val evals = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = graft.pipeline.Decontaminate.semanticOverlapFlags(
+        corpus, "vec_id", "embedding", evals, "vec_id", "embedding",
+        threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(10L) == ((1L, 1.0, true)))
+    assert(got(11L)._1 == 1L && !got(11L)._3 && got(11L)._2 == 0.8)
+    assert(got(12L)._2 == 0.0 && !got(12L)._3)
+    // id 1 equals eval 1: the self pair is excluded, so its best match is
+    // eval 2 at cosine 0 — not a self-flag at 1.0
+    assert(got(1L) == ((2L, 0.0, false)))
+  }
+
   test("dsir: target-like docs outweigh off-domain docs; invariant under partitioning") {
     import spark.implicits._
     val raw = Seq(
