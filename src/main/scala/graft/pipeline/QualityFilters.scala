@@ -195,10 +195,72 @@ object QualityFilters {
     val totalRow = counts.agg(F.sum("c")).head
     val totalT = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val vSize = vocab.count()
+    // libm-consistent ln kernel, not F.log: Spark's log codegens to
+    // StrictMath.log, 1 ulp off glibc on some arguments — this gate's
+    // arguments happened to agree, but the BM25 gate proved the hazard
+    // is real, so every oracle-compared log goes through the kernel
     val scored = toks.join(F.broadcast(vocab), Seq(tok), "left")
-      .withColumn(nll, -F.log(
-        (F.coalesce(F.col("c"), F.lit(0L)) + F.lit(1L)).cast("double") /
-          F.lit((totalT + vSize + 1).toDouble)))
+      .withColumn(nll, -graft.expressions.MathKernels.ln(
+        ((F.coalesce(F.col("c"), F.lit(0L)) + F.lit(1L)).cast("double") /
+          F.lit((totalT + vSize + 1).toDouble)).cast("double")))
+      .groupBy(F.col(idCol)).agg(
+        (F.aggregate(F.array_sort(F.collect_list(F.col(s"`$nll`"))),
+          F.lit(0.0), (acc, x) => acc + x) / F.count(F.lit(1))).as(out))
+    docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** Interpolated bigram LM scoring — the next rung above
+    * [[unigramLogProb]] on the CCNet ladder (Jelinek-Mercer mixture
+    * smoothing, Chen & Goodman 1998):
+    *
+    *   p(w2|w1) = λ·c(w1w2)/c(w1·) + (1-λ)·p_uni(w2)
+    *   score(doc) = mean over bigram instances of -ln p
+    *
+    * with the same add-one-smoothed capped-vocab unigram as the fallback
+    * term. Documents with <2 tokens score null. λ defaults to 0.75
+    * (exactly representable, so the gate's SQL oracle folds identically).
+    *
+    * Scale: bigram counts are one map-side-combined aggregation shuffled
+    * on (w1,w2); the context totals c(w1·) derive FROM that relation (no
+    * second corpus pass); the unigram vocab broadcasts. The probe joins
+    * the doc bigram stream to the count relations on their natural keys —
+    * Catalyst broadcasts them while they fit and sort-merges beyond.
+    * Per-doc means fold sorted, so scores are partition-invariant. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 100000, lambda: Double = 0.75,
+      out: String = "avg_nll2"): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val toksArr = F.filter(
+      F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => t =!= "")
+    val bigrams = F.when(F.size(toksArr) >= 2,
+      F.transform(F.sequence(F.lit(0), F.size(toksArr) - 2),
+        i => F.struct(F.element_at(toksArr, i + 1).as("w1"),
+          F.element_at(toksArr, i + 2).as("w2"))))
+      .otherwise(F.array())
+    val big = docs.select(F.col(idCol), F.explode(bigrams).as("bg"))
+      .select(F.col(idCol), F.col("bg.w1").as("w1"), F.col("bg.w2").as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(F.sum("c12").as("c1"))
+    // unigram fallback: identical estimate to unigramLogProb
+    val tok = "$td.__tok"
+    val toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(textCol))), "\\s+")).as(tok))
+      .where(F.col(s"`$tok`") =!= "")
+    val counts = toks.groupBy(F.col(s"`$tok`")).agg(F.count(F.lit(1)).as("cu"))
+    val vocab = counts.orderBy(F.col("cu").desc, F.col(s"`$tok`").asc).limit(vocabSize)
+    val totalRow = counts.agg(F.sum("cu")).head
+    val totalT = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val vSize = vocab.count()
+    val pUni = (F.coalesce(F.col("cu"), F.lit(0L)) + F.lit(1L)).cast("double") /
+      F.lit((totalT + vSize + 1).toDouble)
+    val pMl = F.col("c12").cast("double") / F.col("c1").cast("double")
+    val nll = "$td.__nll2"
+    val scored = big
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(F.broadcast(vocab.withColumnRenamed(tok, "w2")), Seq("w2"), "left")
+      .withColumn(nll, -graft.expressions.MathKernels.ln(
+        ((F.lit(lambda) * pMl) + (F.lit(1.0 - lambda) * pUni)).cast("double")))
       .groupBy(F.col(idCol)).agg(
         (F.aggregate(F.array_sort(F.collect_list(F.col(s"`$nll`"))),
           F.lit(0.0), (acc, x) => acc + x) / F.count(F.lit(1))).as(out))

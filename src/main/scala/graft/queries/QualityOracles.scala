@@ -91,6 +91,40 @@ object QualityOracles {
         |SELECT d.doc_id, ag.avg_nll
         |FROM documents d LEFT JOIN ag USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_quality_bigram_lm" ->
+      // Jelinek-Mercer bigram mixture, same parity discipline as the
+      // unigram gate: exact-count divisions, exactly-representable
+      // lambda (0.75/0.25), sorted-fold means, libm ln on both sides.
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+        |       FROM w0 WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |toks AS (SELECT unnest(w) AS tok FROM w0),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t_total FROM cnt),
+        |vocab AS (SELECT tok, cu FROM cnt ORDER BY cu DESC, tok ASC LIMIT 2000),
+        |vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |nl AS (SELECT b.doc_id,
+        |         -ln((0.75e0 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))) +
+        |             (0.25e0 * (CAST(coalesce(vb.cu, 0) + 1 AS DOUBLE)
+        |                        / CAST(t_total + v + 1 AS DOUBLE)))) AS nll
+        |       FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |       LEFT JOIN vocab vb ON vb.tok = b.w2, tot, vsz),
+        |ag AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(nll))),
+        |                     (x, y) -> x + y) / count(*) AS avg_nll2
+        |       FROM nl GROUP BY doc_id)
+        |SELECT d.doc_id, ag.avg_nll2
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_repetition_topgram" ->
       """WITH toks AS (
         |  SELECT doc_id, length(text) AS n_chars_total,

@@ -701,6 +701,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("bigram LM: predictable text scores below shuffled text; short docs null; invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the"),  // same unigrams, unseen bigram order
+      (5L, "zzz")                      // one token: no bigrams -> null
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.QualityFilters
+      .bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // the thrice-repeated phrase has high-count bigrams -> low NLL; the
+    // shuffled doc's bigrams are mostly singletons -> strictly higher
+    assert(got(1L).get < got(4L).get)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(5L).isEmpty)
+    val re = graft.pipeline.QualityFilters
+      .bigramLogProb(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(re == got) // bit-identical under repartitioning
+  }
+
   test("sharded export: row-bounded shards, exact manifest, lossless round-trip") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-export").toString + "/corpus"
