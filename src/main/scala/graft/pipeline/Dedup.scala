@@ -243,6 +243,59 @@ object Dedup {
       .groupBy("id")
       .agg(F.count(F.lit(1)).as("n_dup_windows"), F.min("pos").as("first_dup_pos"))
 
+  /** Excise duplicated spans, keeping ONE copy corpus-wide — the removal
+    * step of Lee et al. 2021's ExactSubstr dedup (the paper deletes the
+    * repeated substring from all but one occurrence rather than dropping
+    * documents). The canonical occurrence of a duplicated n-token window
+    * is its (id, pos)-minimum; every token covered by a NON-canonical
+    * duplicated occurrence is removed, and the surviving tokens are
+    * re-joined in order. The output text is therefore the normalized
+    * token stream (lowercased, single-spaced) — the form the rest of the
+    * dedup layer already operates on.
+    *
+    * Scale shape: [[duplicateSpans]]' linear explode + one
+    * map-side-combined count per window hash, a min-struct to pick
+    * canonicals (same exchange), and a doc-local coverage anti-join whose
+    * span side is bounded by the duplication volume, not the corpus. The
+    * rebuild sorts each doc's kept tokens inside one aggregation — no
+    * corpus-wide sort.
+    *
+    * Returns (id, clean_text, n_removed). Documents with no duplicated
+    * coverage pass through with n_removed = 0. */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 10): DataFrame = {
+    val toks = df.select(F.col(idCol).as("id"), tokens(F.col(textCol)).as("toks"))
+    val grams = toks
+      .where(F.size(F.col("toks")) >= n)
+      .select(F.col("id"), F.posexplode(
+        graft.expressions.WordShingles.all(F.col("toks"), n)).as(Seq("pos", "gram")))
+      .select(F.col("id"), F.col("pos"), F.xxhash64(F.col("gram")).as("gh"))
+    val hot = grams.groupBy("gh").agg(
+      F.count(F.lit(1)).as("occ"),
+      F.min(F.struct(F.col("id"), F.col("pos"))).as("canon"))
+      .where(F.col("occ") > 1)
+    val spans = grams.join(hot, Seq("gh"))
+      .where(!(F.col("id") === F.col("canon.id") && F.col("pos") === F.col("canon.pos")))
+      .select(F.col("id"), F.col("pos").as("start"), (F.col("pos") + n - 1).as("end"))
+    val tokenRows = toks.select(F.col("id"),
+      F.posexplode(F.col("toks")).as(Seq("tpos", "tok")))
+    val kept = tokenRows.join(spans,
+        tokenRows("id") === spans("id") &&
+          F.col("tpos") >= F.col("start") && F.col("tpos") <= F.col("end"),
+        "left_anti")
+      .groupBy("id").agg(
+        F.concat_ws(" ", F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("tpos"), F.col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        F.count(F.lit(1)).as("n_kept"))
+    toks.select(F.col("id"), F.size(F.col("toks")).as("n_toks"))
+      .join(kept, Seq("id"), "left")
+      .select(F.col("id"),
+        F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"),
+        (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0L))).cast("long")
+          .as("n_removed"))
+  }
+
   /** MinHash signature: k minimums of seeded xxhash64 over the shingle set.
     * Pure expression work — one codegen'd pass over the shingle set
     * ([[graft.expressions.MinHashSigExpr]]); slot values are bit-identical

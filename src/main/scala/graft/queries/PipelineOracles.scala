@@ -129,6 +129,38 @@ object PipelineOracles {
         |  CAST(min(pos) AS INTEGER) AS first_dup_pos
         |FROM pos JOIN hot USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_substring_remove" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'syndicated copy follows ' || text
+        |  FROM documents WHERE doc_id < 30),
+        |w0 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |       FROM corpus),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+9], ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 9)) AS i
+        |            FROM w0 WHERE len(w) >= 10)),
+        |o AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY gram) AS occ,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |      FROM g),
+        |spans AS (SELECT doc_id, pos AS s, pos + 9 AS e FROM o
+        |          WHERE occ > 1 AND rn > 1),
+        |tok AS (SELECT doc_id, i - 1 AS tpos, w[i] AS tok
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |              FROM w0)),
+        |kept AS (SELECT t.doc_id, t.tpos, t.tok FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = t.doc_id AND t.tpos BETWEEN s.s AND s.e)),
+        |agg AS (SELECT doc_id,
+        |          array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(w) AS n_toks FROM w0)
+        |SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  CAST(b.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // bands = k → candidate recall ≈ 1, verification exact → all-pairs
     // Jaccard over the UNFILTERED shingle sets (no maxDf cap here, unlike
     // q_dedup_ngram_jaccard)

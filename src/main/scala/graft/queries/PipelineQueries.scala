@@ -83,6 +83,22 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "q_dedup_substring_remove" -> ((s, dir) => {
+      // the EXCISION step over the q_dedup_substring corpus: prefixed
+      // copies of ids < 30 re-enter, so every window of those originals
+      // is duplicated; the copy (higher id) loses the covered tokens,
+      // the canonical original keeps them. Exact span arithmetic → full
+      // SQL oracle (the oracle groups windows by text where the operator
+      // uses xxhash64 — identical absent a 64-bit collision).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionAll(
+        docs.where(F.col("doc_id") < 30)
+          .select((F.col("doc_id") + 10000).as("doc_id"),
+            F.concat(F.lit("syndicated copy follows "), F.col("text")).as("text")))
+      Dedup.removeDuplicateSpans(corpus, "text", "doc_id", n = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_dedup_semantic" -> ((s, dir) => {
       // k-means cluster routing is data/init-dependent → rows-only check;
       // PipelineSpec holds the differential against brute-force pairs

@@ -701,6 +701,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("duplicate-span removal: one copy survives corpus-wide, canonical untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),                      // canonical source
+      (2L, "x y a b c d e f g h i j z"),                    // embeds 1's window
+      (3L, "p q r s t u v w u1 u2 p q r s t u v w u1 u2"),  // self-repeat
+      (4L, "totally unrelated short text")                  // < n tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 holds the canonical (min id, min pos) occurrence — untouched
+    assert(got(1L) == (("a b c d e f g h i j k l", 0L)))
+    // doc 2's copy of the window is excised; its own tokens survive
+    assert(got(2L) == (("x y z", 10L)))
+    // within-doc repeat: the second occurrence goes, the first stays
+    assert(got(3L) == (("p q r s t u v w u1 u2", 10L)))
+    // sub-window doc passes through (normalized token stream)
+    assert(got(4L) == (("totally unrelated short text", 0L)))
+  }
+
   test("bigram LM: predictable text scores below shuffled text; short docs null; invariant") {
     import spark.implicits._
     val docs = Seq(
