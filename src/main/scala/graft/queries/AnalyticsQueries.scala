@@ -216,6 +216,26 @@ object AnalyticsQueries {
         .agg(F.count(F.lit(1)).as("n_unique_docs"))
       graft.streaming.StreamStage.runToMemory(deduped, "q_stream_dedup_", "complete")
         .orderBy("lang")
+    }),
+    // Streaming NEAR-dup at ingestion: stateful LSH buckets flag each
+    // arriving rewrite against its bucket's min-id canonical with the
+    // Broder slot-match estimate. Estimates are xxhash64-seeded →
+    // rows-only check; StreamingSpec holds the batch-band-index
+    // differential. Corpus: documents + appended-suffix rewrites of ids
+    // < 100 (guaranteed near-dups of their sources).
+    "q_stream_neardup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionAll(
+        docs.where(F.col("doc_id") < 100)
+          .select((F.col("doc_id") + 10000).as("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing audit note")).as("text")))
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/documents_ndup",
+        corpus)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val verdicts = graft.streaming.Streams.nearDupVerdicts(
+        graft.streaming.Streams.nearDupHits(stream, "text", "doc_id"), minEst = 0.5)
+      graft.streaming.StreamStage.runToMemory(verdicts, "q_stream_neardup_", "complete")
+        .orderBy("id")
     })
   )
 }

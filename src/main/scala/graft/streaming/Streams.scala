@@ -93,6 +93,83 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  final case class BucketState(firstId: Long, sig: Array[Long])
+  final case class BandHit(id: Long, matchId: Long, est: Double)
+
+  /** Streaming near-duplicate detection at ingestion: every arriving
+    * document's MinHash signature is banded into LSH buckets whose STATE
+    * remembers the bucket's canonical document (min id) and its full
+    * signature; a document landing in an occupied bucket is flagged with
+    * the Broder slot-match estimate of its Jaccard similarity against
+    * that canonical (matching signature slots / k — the standard MinHash
+    * similarity estimator). Downstream, max-reduce the per-band hits by
+    * id ([[nearDupVerdicts]]) for one verdict row per document.
+    *
+    * Semantics: within a micro-batch, each bucket's rows are processed in
+    * id order and the minimum id becomes (or stays) canonical, so a
+    * single-batch run is deterministic under any partitioning — the
+    * streaming analog of the batch band index's min-id convention. Across
+    * batches, earlier arrivals win (ingestion-order semantics, exactly
+    * what an incremental curation stream wants). State per bucket is one
+    * id + k longs; hot boilerplate buckets cost one comparison per
+    * arrival, never a pairwise term.
+    *
+    * Like every LSH path, hits are CANDIDATES with an estimated
+    * similarity — precision comes from the estimate threshold the caller
+    * applies; the batch twin (`Dedup.incrementalNearDupPairs`) does exact
+    * verification where a second pass over history text is affordable. */
+  def nearDupHits(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, n: Int = 3): Dataset[BandHit] = {
+    val sigd = docs.select(F.col(idCol).cast("long").as("id"),
+        graft.pipeline.Dedup.minhashSignature(F.col(textCol), k, n).as("sig"))
+      .where(F.col("sig").isNotNull)
+    nearDupHitsImpl(sigd, k, bands)
+  }
+
+  private def nearDupHitsImpl(sigd: DataFrame, k: Int,
+      bands: Int): Dataset[BandHit] = {
+    val spark = sigd.sparkSession
+    import spark.implicits._
+    val banded = sigd.select(F.col("id"),
+        F.col("sig").cast("array<long>").as("sig"),
+        F.posexplode(graft.pipeline.Dedup.lshBands(F.col("sig"), k, bands)
+          .cast("array<long>")).as(Seq("band", "bh")))
+      .as[(Long, Array[Long], Int, Long)]
+    banded.groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[BucketState, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          // id order inside the batch → deterministic canonical (min id)
+          val sorted = rows.toSeq.sortBy(_._1)
+          val out = scala.collection.mutable.ArrayBuffer[BandHit]()
+          var cur = state.getOption.orNull
+          sorted.foreach { case (id, sig, _, _) =>
+            if (cur == null) { cur = BucketState(id, sig); out += BandHit(id, -1L, 0.0) }
+            else if (id == cur.firstId) ()
+            else {
+              val matches = sig.zip(cur.sig).count { case (a, b) => a == b }
+              out += BandHit(id, cur.firstId, matches.toDouble / sig.length)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** One verdict per document over [[nearDupHits]]: the best candidate
+    * match (max estimate, ties to the LOWER match id) and whether it
+    * clears `minEst`. Documents whose buckets were all fresh report
+    * match_id -1, est 0. */
+  def nearDupVerdicts(hits: Dataset[BandHit], minEst: Double = 0.5): DataFrame =
+    hits.toDF()
+      .groupBy("id")
+      .agg(F.max(F.struct(F.col("est"), (-F.col("matchId")).as("negMatch")))
+        .as("best"))
+      .select(F.col("id"),
+        (-F.col("best.negMatch")).cast("long").as("match_id"),
+        F.col("best.est").as("est"),
+        (F.col("best.est") >= minEst).as("is_near_dup"))
+
   final case class SessionUpdate(key: String, events: Long, valueSum: Double)
 
   /** Keyed running state via mapGroupsWithState: per-key event count and

@@ -90,6 +90,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == (1L, 2.0))
   }
 
+  test("streaming near-dup: rewrites flagged against the min-id canonical; differential vs batch band index") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sleepy badgers watch from a mossy log near the winding river path today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " appended audit note"),        // near-dup of 0
+      (2L, "completely different content about tax accounting rules and " +
+        "quarterly depreciation schedules for industrial machinery assets"),
+      (3L, base)                                   // exact copy of 0
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-stream-ndup")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val verdicts = Streams.nearDupVerdicts(
+      Streams.nearDupHits(stream, "text", "doc_id"), minEst = 0.5)
+    val q = Streams.runToMemory(verdicts, "ndup_verdicts", "complete")
+    q.stop()
+    val got = spark.table("ndup_verdicts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // doc 0 is the canonical: clean. Exact copy 3 matches it at est 1.0.
+    assert(got(0L) == ((-1L, 0.0, false)))
+    assert(got(3L) == ((0L, 1.0, true)))
+    // the rewrite shares most signature slots with the canonical
+    assert(got(1L)._1 == 0L && got(1L)._2 >= 0.5 && got(1L)._3)
+    // unrelated doc lands in fresh buckets
+    assert(got(2L) == ((-1L, 0.0, false)))
+
+    // differential vs the batch band index: a doc has a streaming match
+    // iff it shares >=1 (band, bh) bucket with a lower-id doc
+    val index = graft.pipeline.Dedup.minhashBandIndex(docs, "text", "doc_id")
+    val batchCand = index.as("x").join(index.as("y"), Seq("band", "bh"))
+      .where(F.col("x.id") < F.col("y.id"))
+      .select(F.col("y.id").as("id")).distinct()
+      .as[Long].collect().toSet
+    val streamCand = got.filter { case (_, (m, _, _)) => m >= 0 }.keySet
+    assert(streamCand == batchCand)
+  }
+
   test("pub/sub piping: stream a table dir into a sink dir") {
     val in = Files.createTempDirectory("graft-pipe-in")
     val out = Files.createTempDirectory("graft-pipe-out")

@@ -104,7 +104,10 @@ class SurfaceSpec extends AnyFunSuite {
     val rowsOnly = q -- o
     val justified = Set("q_ann_ivf", "q_ann_lsh", "q_approx_nunique",
       "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic",
-      "q_dedup_incremental_near")
+      "q_dedup_incremental_near",
+      // xxhash64-seeded signature estimates; StreamingSpec holds the
+      // batch-band-index differential and the planted-rewrite assertions
+      "q_stream_neardup")
     assert(rowsOnly == justified,
       s"unexpected rows-only gates: ${(rowsOnly -- justified).toSeq.sorted}; " +
         s"missing: ${(justified -- rowsOnly).toSeq.sorted}")
