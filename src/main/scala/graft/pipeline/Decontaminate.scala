@@ -56,13 +56,18 @@ object Decontaminate {
     * exact pass is O(N·|evals|); for corpus-scale eval sets route through
     * [[Ivf.topK]] (nprobe clusters per eval item) and threshold the
     * result instead. */
+  /** `excludeSelf` drops (doc, eval) pairs with equal ids — set it ONLY
+    * when the eval set is a subset of the corpus sharing its id space
+    * (self-search), never for an independent benchmark whose ids merely
+    * happen to overlap the corpus ids: there it would silently skip real
+    * comparisons. Same contract as [[Ivf.topK]]'s flag. */
   def semanticOverlapFlags(docs: DataFrame, idCol: String, vecCol: String,
       evals: DataFrame, evalIdCol: String, evalVecCol: String,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, excludeSelf: Boolean = false): DataFrame = {
     val e = evals.select(F.col(evalIdCol).as("eval_id"), F.col(evalVecCol).as("ev"))
-    docs.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    val paired = docs.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
       .crossJoin(F.broadcast(e))
-      .where(F.col("id") =!= F.col("eval_id"))
+    (if (excludeSelf) paired.where(F.col("id") =!= F.col("eval_id")) else paired)
       .withColumn("cos",
         graft.expressions.VectorKernels.cosine(F.col("v"), F.col("ev")))
       .groupBy("id")

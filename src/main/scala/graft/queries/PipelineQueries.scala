@@ -372,7 +372,7 @@ object PipelineQueries {
       graft.pipeline.Decontaminate.semanticOverlapFlags(
           emb, "vec_id", "embedding",
           emb.where(F.col("vec_id") < 5), "vec_id", "embedding",
-          threshold = 0.35)
+          threshold = 0.35, excludeSelf = true)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),

@@ -295,9 +295,18 @@ object AvroFiles {
           // each chunk writes to a dot-prefixed temp (hidden from Hadoop/
           // Spark listings) and renames on close — a failed attempt leaves
           // no readable partial .avro, the poor man's commit protocol the
-          // OutputFormat path gets from its committer
+          // OutputFormat path gets from its committer. The rename OVERWRITES
+          // an existing destination (delete-then-rename): a retried task
+          // must be able to replace chunks a failed attempt already
+          // committed — HDFS rename returns false onto an existing file,
+          // which would otherwise fail every retry permanently. Chunk names
+          // are deterministic per (partition, chunk index), so the retry
+          // rewrites exactly the same file set.
           def closeCommit(): Unit = if (w != null) {
             w.close(); w = null
+            if (dfs.exists(fin) && !dfs.delete(fin, false))
+              throw new java.io.IOException(
+                s"avro chunk commit failed: cannot replace existing $fin")
             if (!dfs.rename(tmp, fin)) throw new java.io.IOException(
               s"avro chunk commit failed: rename $tmp -> $fin")
           }

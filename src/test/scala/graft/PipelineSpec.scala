@@ -780,7 +780,7 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val got = graft.pipeline.Decontaminate.semanticOverlapFlags(
         corpus, "vec_id", "embedding", evals, "vec_id", "embedding",
-        threshold = 0.95)
+        threshold = 0.95, excludeSelf = true)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
     assert(got(10L) == ((1L, 1.0, true)))
