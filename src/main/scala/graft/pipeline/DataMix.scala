@@ -30,7 +30,16 @@ object DataMix {
 
   /** Keep each row of group g with probability ~weights(g) (exact per-id
     * determinism, not sampling). Groups without a weight keep
-    * `defaultWeight`. */
+    * `defaultWeight`.
+    *
+    * Weight keys match the group column's CANONICAL STRING CAST: the group
+    * value is cast to string for the map lookup, so for non-string group
+    * columns the keys must be written in Spark's cast form — DoubleType 7
+    * is "7.0" (not "7"), dates are "yyyy-MM-dd", timestamps Spark's
+    * timestamp rendering. A key in any other spelling silently falls
+    * through to `defaultWeight`; [[unreachableWeightKeys]] is the audit
+    * for that (one distinct-labels job, opt-in — this operator itself is
+    * row-local and stays zero-shuffle). */
   def sampleByWeights(df: DataFrame, idCol: String, groupCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
@@ -41,6 +50,19 @@ object DataMix {
       F.element_at(wmap, F.col(groupCol).cast("string")),
       F.lit((defaultWeight * Buckets).toLong))
     df.where(bucket(F.col(idCol)) < threshold)
+  }
+
+  /** Weight keys that match NO group label under the canonical string
+    * cast — the misconfiguration audit for [[sampleByWeights]] (e.g. a
+    * DoubleType group keyed as "7" instead of "7.0"). One
+    * distinct-cast-labels aggregation over the group column; run it once
+    * per weights config, not per sampling call. */
+  def unreachableWeightKeys(df: DataFrame, groupCol: String,
+      weights: Map[String, Double]): Set[String] = {
+    val labels = df.select(F.col(groupCol).cast("string").as("g"))
+      .where(F.col("g").isNotNull).distinct()
+      .collect().map(_.getString(0)).toSet
+    weights.keySet.diff(labels)
   }
 
   /** Temperature-flattened mixture rates (the multilingual-pretraining

@@ -277,10 +277,28 @@ object Dedup {
     val spans = grams.join(hot, Seq("gh"))
       .where(!(F.col("id") === F.col("canon.id") && F.col("pos") === F.col("canon.pos")))
       .select(F.col("id"), F.col("pos").as("start"), (F.col("pos") + n - 1).as("end"))
+    // merge overlapping/adjacent spans per doc BEFORE the coverage
+    // anti-join: raw spans overlap heavily (every duplicated window of a
+    // long duplicated run is its own span), so the tokens×spans anti-join
+    // on a pathologically duplicated doc would cost tokens×windows — after
+    // merging, spans are disjoint runs (a fully-duplicated doc collapses
+    // to ONE span) and the probe is linear in doc length. One window pass
+    // over the duplication-bounded span relation; the covered-token union
+    // is unchanged, so the output is bit-identical.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("start")
+    val merged = spans
+      .withColumn("prev_max_end",
+        F.max("end").over(w.rowsBetween(Long.MinValue, -1)))
+      .withColumn("grp", F.sum(
+        F.when(F.col("prev_max_end").isNull ||
+          F.col("start") > F.col("prev_max_end") + 1, 1).otherwise(0)).over(w))
+      .groupBy("id", "grp")
+      .agg(F.min("start").as("start"), F.max("end").as("end"))
     val tokenRows = toks.select(F.col("id"),
       F.posexplode(F.col("toks")).as(Seq("tpos", "tok")))
-    val kept = tokenRows.join(spans,
-        tokenRows("id") === spans("id") &&
+    val kept = tokenRows.join(merged,
+        tokenRows("id") === merged("id") &&
           F.col("tpos") >= F.col("start") && F.col("tpos") <= F.col("end"),
         "left_anti")
       .groupBy("id").agg(

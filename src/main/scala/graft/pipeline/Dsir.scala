@@ -56,36 +56,57 @@ object Dsir {
     df.select(F.col(idCol).as("id"),
         F.explode(featureBuckets(F.col(textCol), chars)).as("bucket"))
 
-  /** (bucket, cnt) exact feature counts plus the corpus feature total —
-    * the sufficient statistics of a smoothed bucket distribution. The
-    * relation is ≤16^chars rows, and the total is summed FROM that
-    * relation, not by a second pass over the corpus: one tokenization per
-    * distribution (measured 12.5 s → 5.7 s warm on the sf0.1 gate). */
-  def bucketCounts(df: DataFrame, textCol: String, idCol: String,
-      chars: Int = 4): (DataFrame, Long) = {
-    val counts = features(df, textCol, idCol, chars)
-      .groupBy("bucket").agg(F.count(F.lit(1)).as("cnt"))
-    // cache: the weighting join consumes this same ≤16^chars-row relation,
-    // so the corpus-sized aggregation underneath runs once, not twice
-    counts.cache()
-    val row = counts.agg(F.sum("cnt")).head()
-    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-    (counts, total)
+  /** (bucket, cnt) exact feature counts plus the corpus feature total from
+    * an existing (id, bucket) features relation — the sufficient statistics
+    * of a smoothed bucket distribution, in ONE job: the ≤16^chars count
+    * rows (bounded metadata, IVF-centroid class) are collected and the
+    * total summed driver-side, then re-planted as a local relation for the
+    * broadcast join. No cached relation is left behind — the former
+    * cache-then-sum shape leaked two cached DataFrames per
+    * [[importanceWeights]] call for the session lifetime. */
+  def bucketCountsOf(feat: DataFrame): (DataFrame, Long) = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val rows = feat.groupBy("bucket").agg(F.count(F.lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (rows.toDF("bucket", "cnt"), rows.map(_._2).sum)
   }
+
+  /** [[bucketCountsOf]] over a raw document table (one tokenization). */
+  def bucketCounts(df: DataFrame, textCol: String, idCol: String,
+      chars: Int = 4): (DataFrame, Long) =
+    bucketCountsOf(features(df, textCol, idCol, chars))
 
   /** (id, n_features, weight) for every raw document with ≥1 feature:
     * the DSIR importance weight of the doc under `target` vs `raw`.
-    * Buckets unseen in a corpus get the add-one floor 1/(total+B). */
+    * Buckets unseen in a corpus get the add-one floor 1/(total+B).
+    *
+    * The raw corpus is tokenized ONCE: its features relation is
+    * materialized (eager local checkpoint) and both the raw distribution
+    * and the probe stream derive from it. At full scale, persist
+    * [[features]] as a parquet artifact per corpus version instead and
+    * call [[importanceWeightsFrom]] — a local checkpoint lives in
+    * executor storage and does not survive executor loss. */
   def importanceWeights(raw: DataFrame, target: DataFrame,
-      textCol: String, idCol: String, chars: Int = 4): DataFrame = {
+      textCol: String, idCol: String, chars: Int = 4): DataFrame =
+    importanceWeightsFrom(
+      features(raw, textCol, idCol, chars).localCheckpoint(),
+      features(target, textCol, idCol, chars), chars)
+
+  /** [[importanceWeights]] over pre-built (id, bucket) features relations
+    * (from [[features]], a persisted parquet artifact, or a checkpoint).
+    * `rawFeatures` is consumed twice — distribution and probe stream —
+    * so pass a materialized relation to avoid re-tokenizing. */
+  def importanceWeightsFrom(rawFeatures: DataFrame, targetFeatures: DataFrame,
+      chars: Int = 4): DataFrame = {
     val b = nBuckets(chars)
-    val (tCnt, tTot) = bucketCounts(target, textCol, idCol, chars)
-    val (rCnt, rTot) = bucketCounts(raw, textCol, idCol, chars)
+    val (tCnt, tTot) = bucketCountsOf(targetFeatures)
+    val (rCnt, rTot) = bucketCountsOf(rawFeatures)
     val tDenom = (tTot + b).toDouble
     val rDenom = (rTot + b).toDouble
     val pt = F.coalesce(F.col("tcnt") + 1L, F.lit(1L)) / F.lit(tDenom)
     val pr = F.coalesce(F.col("rcnt") + 1L, F.lit(1L)) / F.lit(rDenom)
-    features(raw, textCol, idCol, chars)
+    rawFeatures
       .join(F.broadcast(tCnt.withColumnRenamed("cnt", "tcnt")), Seq("bucket"), "left")
       .join(F.broadcast(rCnt.withColumnRenamed("cnt", "rcnt")), Seq("bucket"), "left")
       .withColumn("lr",

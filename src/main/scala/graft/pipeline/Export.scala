@@ -47,7 +47,14 @@ object Export {
     * counts from one scan of the written output, byte sizes from the
     * filesystem listing. Also the validation tool for an existing export:
     * a shard that vanished or was truncated shows up as a count/byte
-    * mismatch against a stored manifest. */
+    * mismatch against a stored manifest.
+    *
+    * Shard keys are paths RELATIVE TO THE EXPORT ROOT, not basenames:
+    * under `partitionBy`, Spark's dynamic-partition writer resets its file
+    * counter per partition directory, so identically-named part files
+    * exist in every partition dir — basename keys would merge their counts
+    * and fan out the byte join, silently corrupting the manifest for any
+    * partitioned export. */
   def buildManifest(spark: SparkSession, path: String,
       format: String = "jsonl"): DataFrame = {
     val reader = format match {
@@ -58,13 +65,20 @@ object Export {
       case other => throw new IllegalArgumentException(
         s"unsupported export format: $other")
     }
+    // input_file_name() is a full URI whose scheme/authority rendering can
+    // differ from the user-supplied `path` string; the URI *path* portion
+    // contains the root verbatim, so everything after `<rootPath>/` is the
+    // root-relative shard key (partition dirs included)
+    val rootPath = new Path(path).toUri.getPath
     val counts = reader
-      .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).as("shard"))
+      .groupBy(F.substring_index(F.input_file_name(), rootPath + "/", -1)
+        .as("shard"))
       .agg(F.count(F.lit(1)).as("rows"))
     // byte sizes: one driver-side listing, O(#shards) entries
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val sizes = collectFiles(fs, new Path(path))
+    val rootQual = fs.makeQualified(new Path(path))
+    val sizes = collectFiles(fs, rootQual, rootQual.toUri.getPath)
     import spark.implicits._
     counts.join(
       F.broadcast(sizes.toDF("shard", "bytes")), Seq("shard"), "left")
@@ -73,20 +87,20 @@ object Export {
       .orderBy("shard")
   }
 
-  /** Recursive (fileName, bytes) listing of data files — skips hidden
-    * files and the manifest itself. */
+  /** Recursive (rootRelativePath, bytes) listing of data files — skips
+    * hidden files and the manifest itself. */
   private def collectFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Seq[(String, Long)] = {
+      dir: Path, rootPath: String): Seq[(String, Long)] = {
     val st = fs.listStatus(dir).toSeq
     st.flatMap {
       case d if d.isDirectory =>
         if (d.getPath.getName.startsWith("_") || d.getPath.getName.startsWith("."))
           Nil
-        else collectFiles(fs, d.getPath)
+        else collectFiles(fs, d.getPath, rootPath)
       case f =>
         val n = f.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
-        else Seq((n, f.getLen))
+        else Seq((f.getPath.toUri.getPath.stripPrefix(rootPath + "/"), f.getLen))
     }
   }
 }

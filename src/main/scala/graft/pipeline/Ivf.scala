@@ -135,8 +135,17 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     index.assigned.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path, "meta.json"),
-      s"""{"k":${index.k},"dim":$dim,"n_vectors":$n}""")
+    // meta.json goes through the path's Hadoop FS like the data relations —
+    // a java.nio write would land the stamp on a bogus LOCAL path for
+    // hdfs://-e/s3a://-style index stores, silently disabling the geometry
+    // validation it exists to enforce
+    val spark = index.assigned.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"k":${index.k},"dim":$dim,"n_vectors":$n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Load a persisted index. The centroid relation is k×dim doubles —
@@ -150,10 +159,15 @@ object Ivf {
       .map(_.getSeq[Double](1).toArray)
     val assigned = spark.read.parquet(s"$path/assigned")
       .select(F.col("id"), F.col("v"), F.col("cluster").cast("int").as("cluster"))
-    val metaPath = java.nio.file.Paths.get(path, "meta.json")
-    val n = if (java.nio.file.Files.exists(metaPath)) {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val n = if (fs.exists(metaPath)) {
+      val bytes = {
+        val in = fs.open(metaPath)
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      }
       val meta = graft.store.TableStore.jsonMapper
-        .readTree(java.nio.file.Files.readString(metaPath))
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       val k = meta.get("k").asInt(); val dim = meta.get("dim").asInt()
       if (k != centroids.length || centroids.exists(_.length != dim))
         throw new IllegalStateException(

@@ -310,11 +310,20 @@ object AvroFiles {
             if (!dfs.rename(tmp, fin)) throw new java.io.IOException(
               s"avro chunk commit failed: rename $tmp -> $fin")
           }
+          // the temp name carries the task ATTEMPT id: under speculative
+          // execution (or a zombie first attempt) two attempts of the same
+          // partition run concurrently, and a shared temp path would let one
+          // attempt's close-and-rename commit the other's in-progress
+          // (truncated) file as the final .avro. Final names stay
+          // deterministic per (partition, chunk) so a retry replaces exactly
+          // the same file set.
+          val attemptId =
+            Option(org.apache.spark.TaskContext.get).map(_.taskAttemptId).getOrElse(0L)
           def roll(): Unit = {
             closeCommit()
             chunk += 1; written = 0L
             fin = new Path(dir, f"part-$pid%05d-c$chunk%04d.avro")
-            tmp = new Path(dir, f".part-$pid%05d-c$chunk%04d.avro.tmp")
+            tmp = new Path(dir, f".part-$pid%05d-c$chunk%04d-a$attemptId.avro.tmp")
             w = new org.apache.avro.file.DataFileWriter(
               new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
             w.create(schema, dfs.create(tmp, true))

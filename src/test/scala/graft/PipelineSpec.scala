@@ -373,6 +373,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(loaded.nVectors == emb.count() && loaded.k == 8)
     val metaText = java.nio.file.Files.readString(metaPath)
     java.nio.file.Files.writeString(metaPath, metaText.replace("\"k\":8", "\"k\":9"))
+    // the stamp is written through the Hadoop FS, so the local FS left a
+    // .crc sidecar; a hand-edit invalidates it — drop it like any
+    // out-of-band edit would on a store without client checksums
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".meta.json.crc"))
     val e = intercept[IllegalStateException](Ivf.load(spark, dir))
     assert(e.getMessage.contains("meta.json"))
     java.nio.file.Files.writeString(metaPath, metaText) // restore
@@ -1153,6 +1157,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_.getString(2)).toSeq == Seq("p1", "p2", "p3"))
     assert(got.map(_.getLong(3)).toSeq == Seq(7L, 8L, 9L))
     assert(got.map(r => r.getLong(r.fieldIndex("pack_id"))).toSeq == Seq(0L, 0L, 1L))
+  }
+
+  test("sharded export with partitionBy: root-relative shard keys, exact manifest") {
+    import spark.implicits._
+    // two partition dirs, small maxRecordsPerFile -> Spark's dynamic-
+    // partition writer emits identically-NAMED part files in both dirs;
+    // basename keys would merge their counts and fan out the byte join
+    val out = java.nio.file.Files.createTempDirectory("graft-export-p").toString + "/corpus"
+    val df = (0L until 20L).map(i => (i, if (i < 12) "en" else "de", s"doc $i"))
+      .toDF("doc_id", "lang", "text").coalesce(1)
+    val manifest = graft.pipeline.Export.writeSharded(
+        df, out, format = "jsonl", maxRecordsPerFile = 5L,
+        partitionBy = Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 12 en rows -> 3 files, 8 de rows -> 2 files; every key distinct and
+    // prefixed by its partition dir; counts sum to the corpus exactly
+    assert(manifest.length == 5, manifest.mkString(","))
+    assert(manifest.map(_._1).distinct.length == 5)
+    assert(manifest.count(_._1.startsWith("lang=en/")) == 3)
+    assert(manifest.count(_._1.startsWith("lang=de/")) == 2)
+    assert(manifest.map(_._2).sum == 20L)
+    assert(manifest.forall(_._3 > 0L)) // every byte size resolved (no fan-out)
+    // round-trip is lossless including the partition column
+    val back = spark.read.json(out).select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == (0L until 20L).map(i =>
+      (i, if (i < 12) "en" else "de", s"doc $i")).toSet)
+  }
+
+  test("weight keys use the canonical string cast; unreachableWeightKeys audits misspellings") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 90) 7.0 else 12.5))
+      .toDF("doc_id", "score_band")
+    // DoubleType 7 casts to "7.0" — a key written "7" never matches and
+    // silently falls through to defaultWeight
+    assert(graft.pipeline.DataMix.unreachableWeightKeys(
+      df, "score_band", Map("7" -> 0.1, "12.5" -> 1.0)) == Set("7"))
+    assert(graft.pipeline.DataMix.unreachableWeightKeys(
+      df, "score_band", Map("7.0" -> 0.1, "12.5" -> 1.0)).isEmpty)
+    val kept = graft.pipeline.DataMix.sampleByWeights(
+        df, "doc_id", "score_band", Map("7.0" -> 0.1, "12.5" -> 1.0),
+        defaultWeight = 0.0)
+      .groupBy("score_band").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(kept(12.5) == 10L && kept.getOrElse(7.0, 0L) < 90L)
+  }
+
+  test("span removal: fully-duplicated doc collapses to merged spans, output unchanged") {
+    import spark.implicits._
+    // doc 2 is a verbatim copy of doc 1 (> 2n tokens): every one of its
+    // windows is a duplicated span, and the raw spans overlap heavily —
+    // the merge pass collapses them to ONE span covering the whole doc
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, body),
+      (3L, s"unique prefix here $body and a unique suffix tail")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ((body, 0L)))          // canonical copy untouched
+    assert(got(2L) == (("", 30L)))           // full excision, one merged span
+    // doc 3 keeps its unique frame; the embedded copy is excised
+    assert(got(3L) == (("unique prefix here and a unique suffix tail", 30L)))
   }
 
   test("incremental near-dup: an unstamped band index fails loudly") {
