@@ -41,10 +41,78 @@ object Retrieval {
 
   /** A built BM25 index: the postings relation, per-document lengths, and
     * the two corpus scalars. `postings`/`docLen` are lazy plans — persist
-    * them (parquet, partitioned by a term hash) to reuse across query
-    * batches without re-tokenizing the corpus. */
+    * them with [[saveBm25]] (parquet, partitioned by a term hash) to reuse
+    * across query batches without re-tokenizing the corpus. A loaded index
+    * carries `termBuckets`, and [[scoreQuery]] then adds the bucket
+    * predicate so the postings scan PRUNES to the query terms' partitions
+    * — at 100 TB a query touches |terms| directories, not the corpus. */
   final case class Bm25Index(postings: DataFrame, docLen: DataFrame,
-      nDocs: Long, avgDl: Double)
+      nDocs: Long, avgDl: Double, termBuckets: Option[Int] = None)
+
+  /** Driver-side twin of the `pmod(xxhash64(term), buckets)` partition
+    * expression [[saveBm25]] writes — same seed-42 XxHash64 Catalyst
+    * kernel, evaluated on the literal, so routing is bit-consistent with
+    * the stored layout. */
+  private def termBucket(term: String, buckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(term)), 42L)
+      .eval(null).asInstanceOf[Long]
+    ((h % buckets) + buckets) % buckets
+  }
+
+  /** Persist an index partitioned by term hash. Postings land under
+    * `buckets` partition directories keyed `term_bucket`; docLen is a flat
+    * parquet; `meta.json` stamps the corpus scalars and the bucket count
+    * through the path's Hadoop FS (remote stores keep their stamp — same
+    * contract as [[Ivf.save]]). N and avgdl are NOT recomputed at load, so
+    * a loaded index scores bit-identically to the index it was saved
+    * from. */
+  def saveBm25(index: Bm25Index, path: String, termBuckets: Int = 64): Unit = {
+    require(termBuckets > 0, s"termBuckets must be positive, got $termBuckets")
+    index.postings
+      .withColumn("term_bucket",
+        F.pmod(F.xxhash64(F.col("term")), F.lit(termBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    index.docLen.write.mode("overwrite").parquet(s"$path/doclen")
+    val spark = index.postings.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(
+      s"""{"n_docs":${index.nDocs},"avg_dl":${index.avgDl},"term_buckets":$termBuckets}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted index. `meta.json` is REQUIRED — an index without
+    * its stamp cannot prove its corpus scalars, and recomputing N/avgdl
+    * from the postings would silently diverge from the build-time values
+    * the saved scores used. Fails loudly instead. */
+  def loadBm25(spark: SparkSession, path: String): Bm25Index = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(metaPath),
+      s"$path/meta.json is missing — not a saveBm25 index (the stamp carries " +
+        "n_docs/avg_dl/term_buckets; without it a load cannot reproduce the " +
+        "build-time scores). Re-save the index with saveBm25")
+    val meta = {
+      val in = fs.open(metaPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def field(name: String): String =
+      s""""$name":([-0-9.eE]+)""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path/meta.json lacks field '$name': $meta"))
+        .group(1)
+    Bm25Index(
+      postings = spark.read.parquet(s"$path/postings"),
+      docLen = spark.read.parquet(s"$path/doclen"),
+      nDocs = field("n_docs").toLong,
+      avgDl = field("avg_dl").toDouble,
+      termBuckets = Some(field("term_buckets").toDouble.toInt))
+  }
 
   /** Build the index: one tokenization pass; N and avgdl come from exact
     * long sums (sum of longs is partition-order-invariant), so the derived
@@ -69,7 +137,15 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
     val q = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
-    val matched = index.postings.where(F.col("term").isin(q: _*))
+    // on a loaded (partitioned) index, the bucket predicate is a partition
+    // filter: the scan prunes to the terms' directories before any IO
+    val pruned = index.termBuckets match {
+      case Some(b) => index.postings.where(
+        F.col("term_bucket").isin(q.map(termBucket(_, b)).distinct: _*))
+      case None => index.postings
+    }
+    val matched = pruned.where(F.col("term").isin(q: _*))
+      .select("id", "term", "tf")
     val docFreq = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     // graft.expressions.MathKernels.ln, not F.log: Spark's log codegens to
     // StrictMath.log (fdlibm), 1 ulp off the platform libm on some

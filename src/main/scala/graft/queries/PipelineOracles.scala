@@ -36,6 +36,31 @@ object PipelineOracles {
        |    WHERE q.vec_id <> c.vec_id) s) r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** One oracle text for q_bm25 AND q_bm25_persisted: a saved-then-loaded
+    * index must score bit-identically to the index it was built from, so
+    * the two gates share this SQL verbatim. */
+  private val bm25Sql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |           FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |       WHERE len(term) > 0 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |       FROM dl),
+      |q AS (SELECT unnest(['spark', 'customer', 'vector']) AS term),
+      |dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    ln(1.0e0 + (CAST(s.n AS DOUBLE) - d.df + 0.5e0) / (d.df + 0.5e0)) *
+      |    ((t.tf * 2.5e0) / (t.tf + 1.5e0 * (0.25e0 + (0.75e0 * l.dl) / s.avgdl)))
+      |      AS ts
+      |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), st s)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  list_reduce(list_prepend(0.0e0, list_sort(list(ts))), (x, y) -> x + y)
+      |    AS score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -392,27 +417,8 @@ object PipelineOracles {
         |  list_reduce(list_prepend(0.0e0, list_sort(list(lr))), (x, y) -> x + y)
         |    AS weight
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_bm25" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |           FROM documents),
-        |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |       WHERE len(term) > 0 GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |       FROM dl),
-        |q AS (SELECT unnest(['spark', 'customer', 'vector']) AS term),
-        |dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
-        |scored AS (
-        |  SELECT t.doc_id,
-        |    ln(1.0e0 + (CAST(s.n AS DOUBLE) - d.df + 0.5e0) / (d.df + 0.5e0)) *
-        |    ((t.tf * 2.5e0) / (t.tf + 1.5e0 * (0.25e0 + (0.75e0 * l.dl) / s.avgdl)))
-        |      AS ts
-        |  FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), st s)
-        |SELECT doc_id, count(*) AS n_terms,
-        |  list_reduce(list_prepend(0.0e0, list_sort(list(ts))), (x, y) -> x + y)
-        |    AS score
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bm25" -> bm25Sql,
+    "q_bm25_persisted" -> bm25Sql,
     "q_sample_exact_n_global" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id FROM documents

@@ -399,6 +399,23 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "q_bm25_persisted" -> ((s, dir) => {
+      // the persistence round trip under the SAME oracle as q_bm25: build,
+      // save partitioned by term hash, load (scalars from the meta.json
+      // stamp, never recomputed), score with partition-pruned postings —
+      // the loaded index must hash-match the in-memory one bit for bit
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bm25-idx").toString
+      graft.pipeline.Retrieval.saveBm25(
+        graft.pipeline.Retrieval.buildBm25(
+          t(s, dir, "documents"), "text", "doc_id"),
+        tmp, termBuckets = 16)
+      graft.pipeline.Retrieval.scoreQuery(
+          graft.pipeline.Retrieval.loadBm25(s, tmp),
+          Seq("spark", "customer", "vector"), k1 = 1.5, b = 0.75)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_sample_exact_n_global" -> ((s, dir) => {
       // the large-n bucket-histogram plan (topNMaxN=0 forces it): selection
       // must be row-identical to ORDER BY (bucket, id) LIMIT n — the oracle

@@ -182,10 +182,12 @@ object FileFormatSpec {
         val frames = src.load(spark, Map.empty)
         // a typed-format read is an explicit single-table request: a
         // missing location is an error naming the path here, unlike the
-        // flow-engine source path where it means a None input
+        // flow-engine source path where it means a None input — and a
+        // glob's per-file frames (FileSource list semantics) concatenate
+        // back into the one table the caller asked for
         if (frames.isEmpty) throw new java.io.FileNotFoundException(
           s"no files match: $pattern")
-        fmt.postRead(frames.head)
+        fmt.postRead(frames.reduce(_.unionByName(_)))
     }
 
   def write(df: DataFrame, path: String, fmt: FileFormatSpec,

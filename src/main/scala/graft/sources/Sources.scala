@@ -55,39 +55,48 @@ final case class FileSource(
     val matched = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
     if (matched.isEmpty) return Seq.empty
     val lastMod = offsets.get("last_modified").orElse(modifiedAfter)
-    // Incremental guard: with a watermark set, an empty match means
-    // "nothing new this run" — return no frames (the reference's None,
-    // file_inputs.py) instead of letting csv/json schema inference throw
-    // UNABLE_TO_INFER_SCHEMA on a zero-file listing.
-    lastMod.foreach { ts =>
-      val cutoff = parseWatermark(ts)
-      // compare FILE mtimes, descending one level into matched directories:
-      // a file rewritten in place does not bump its parent directory's
-      // mtime, so testing the matched status alone would miss it
-      def newer(st: org.apache.hadoop.fs.FileStatus): Boolean =
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).exists(_.getModificationTime > cutoff)
-        else st.getModificationTime > cutoff
-      if (!matched.exists(newer)) return Seq.empty
+    val cutoff = lastMod.map(parseWatermark)
+    // Incremental guard: with a watermark set, only matches with newer
+    // content produce frames; none newer means "nothing new this run" —
+    // return no frames (the reference's None, file_inputs.py) instead of
+    // letting csv/json schema inference throw UNABLE_TO_INFER_SCHEMA on a
+    // zero-file listing. Compare FILE mtimes, descending one level into
+    // matched directories: a file rewritten in place does not bump its
+    // parent directory's mtime, so testing the matched status alone would
+    // miss it.
+    def newer(st: org.apache.hadoop.fs.FileStatus): Boolean = cutoff.forall { c =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).exists(_.getModificationTime > c)
+      else st.getModificationTime > c
     }
+    val live = matched.filter(newer)
+    if (live.isEmpty) return Seq.empty
     lastMod.foreach(ts => r = r.option("modifiedAfter", ts))
     options.foreach { case (k, v) => r = r.option(k, v) }
-    val df = format match {
+    def readOne(path: String): DataFrame = format match {
       case "csv" =>
         // inferSchema defaults on (transporter's infer_schema_length=None);
         // "false" gives the reference's String-format mode: every column
         // arrives as a string for the caller to cast explicitly
         r.option("header", options.getOrElse("header", "true"))
           .option("inferSchema", options.getOrElse("inferSchema", "true"))
-          .csv(pattern)
-      case "json" | "ndjson" => r.json(pattern)
-      case "parquet"         => r.parquet(pattern)
-      case "orc"             => r.orc(pattern)
-      case "text" | "log"    => r.text(pattern)
-      case "avro"            => AvroFiles.read(spark, pattern)
+          .csv(path)
+      case "json" | "ndjson" => r.json(path)
+      case "parquet"         => r.parquet(path)
+      case "orc"             => r.orc(path)
+      case "text" | "log"    => r.text(path)
+      case "avro"            => AvroFiles.read(spark, path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
-    Seq(df)
+    // Reference semantics (file_inputs.py:1239-1247, _is_wildcard_pattern
+    // :1406): a pattern containing `*`/`?` binds a LIST to its input slot —
+    // one frame per matched path, in lexicographic path order (the
+    // transporter reports matches sorted), so `input_file_wildcard`-style
+    // functions receive len(matches) frames and join/concat explicitly. A
+    // literal path stays a single frame over the whole location.
+    if (pattern.exists(c => c == '*' || c == '?'))
+      live.map(_.getPath.toString).sorted.map(readOne).toSeq
+    else Seq(readOne(pattern))
   }
 
   /** ISO-8601 watermark → epoch millis; zone-less timestamps are read as
@@ -230,6 +239,91 @@ final case class JdbcSink(
       .option("url", url).option("dbtable", table)
     properties.foreach { case (k, v) => w = w.option(k, v) }
     w.save()
+  }
+}
+
+/** Transactional multi-table JDBC destination (reference:
+  * test_output_sql_transaction and sql_outputs.py list destinations —
+  * a destination naming SEVERAL tables commits all frames or none; a
+  * frame that cannot be serialized to the database rolls the whole set
+  * back, so the first table is never left holding data the second
+  * failed to pair with).
+  *
+  * Spark's JDBC writer opens one connection per partition, so a naive
+  * per-table loop cannot be atomic. Shape chosen for scale AND
+  * atomicity: each frame lands DISTRIBUTED in a per-table staging
+  * table (`<table>_TDSTG`, Spark parallel write), then ONE driver-side
+  * transaction moves every staged set into its target (`INSERT INTO t
+  * (cols) SELECT cols FROM staging` — in-database row movement, no
+  * driver materialization) and commits once. Any failure — including
+  * a non-relational dtype (array/map/struct), caught up-front before
+  * any staging IO — leaves every target untouched. Staging tables are
+  * dropped in all cases. Requires transactional DML on the target
+  * database (true of Derby/Postgres/Oracle/MSSQL). */
+final case class JdbcTxnSink(
+    url: String,
+    tables: Seq[String],
+    mode: String = "append",
+    properties: Map[String, String] = Map.empty) {
+  require(Set("append", "overwrite")(mode), s"mode must be append|overwrite: $mode")
+
+  def writeAll(frames: Seq[Option[DataFrame]]): Unit = {
+    require(frames.length == tables.length,
+      s"${frames.length} frames for ${tables.length} tables")
+    // fail BEFORE any IO on dtypes no relational column can hold — the
+    // reference's rollback trigger (a list column) surfaces here
+    for ((f, t) <- frames.zip(tables); df <- f; fld <- df.schema.fields)
+      fld.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType =>
+          throw new IllegalArgumentException(
+            s"table $t column '${fld.name}': ${fld.dataType.sql} has no JDBC " +
+              "representation — transaction aborted, nothing written")
+        case _ => ()
+      }
+    val staged = tables.zip(frames).collect { case (t, Some(df)) => (t, s"${t}_TDSTG", df) }
+    if (staged.isEmpty) return
+    // distributed staging writes (outside the transaction — staging tables
+    // are invisible to readers of the targets)
+    staged.foreach { case (_, stg, df) =>
+      var w = df.write.format("jdbc").mode("overwrite")
+        .option("url", url).option("dbtable", stg)
+      properties.foreach { case (k, v) => w = w.option(k, v) }
+      w.save()
+    }
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        staged.foreach { case (t, stg, _) =>
+          val meta = conn.getMetaData
+          val exists = { val rs = meta.getTables(null, null, t.toUpperCase, null)
+            try rs.next() finally rs.close() }
+          if (!exists)
+            st.executeUpdate(s"CREATE TABLE $t AS SELECT * FROM $stg WITH NO DATA")
+          else if (mode == "overwrite") st.executeUpdate(s"DELETE FROM $t")
+          val cols = { val rs = meta.getColumns(null, null, stg.toUpperCase, null)
+            val b = Seq.newBuilder[String]
+            try { while (rs.next()) b += rs.getString("COLUMN_NAME") } finally rs.close()
+            b.result() }
+          val colList = cols.map(c => s""""$c"""").mkString(", ")
+          st.executeUpdate(s"INSERT INTO $t ($colList) SELECT $colList FROM $stg")
+        }
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally {
+        conn.setAutoCommit(true)
+        staged.foreach { case (_, stg, _) =>
+          try st.executeUpdate(s"DROP TABLE $stg") catch { case _: Exception => () }
+        }
+        st.close()
+      }
+    } finally conn.close()
   }
 }
 

@@ -93,7 +93,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  final case class BucketState(firstId: Long, sig: Array[Long])
+  final case class BucketState(firstId: Long, sig: Array[Long], lastMs: Long = 0L)
   final case class BandHit(id: Long, matchId: Long, est: Double)
 
   /** Streaming near-duplicate detection at ingestion: every arriving
@@ -117,17 +117,41 @@ object Streams {
     * Like every LSH path, hits are CANDIDATES with an estimated
     * similarity — precision comes from the estimate threshold the caller
     * applies; the batch twin (`Dedup.incrementalNearDupPairs`) does exact
-    * verification where a second pass over history text is affordable. */
+    * verification where a second pass over history text is affordable.
+    *
+    * State lifecycle: by default (`stateTtlMs = None`) buckets live
+    * forever — correct for dedup-against-all-history, but on an unbounded
+    * ingestion stream the state store grows one entry per distinct
+    * (band, bh) bucket with no ceiling. For such streams pass
+    * `stateTtlMs = Some(ms)`: a bucket idle (no arrivals) for longer than
+    * the TTL is evicted via `ProcessingTimeTimeout` (freeing state-store
+    * memory), and a canonical older than the TTL no longer matches — the
+    * next arrival re-seeds the bucket (staleness is checked lazily at
+    * arrival time too, so correctness never waits on the engine firing
+    * the timeout). TTL is sliding: every arrival in the bucket refreshes
+    * it. Choose the TTL as the window within which near-dup rewrites
+    * realistically arrive (e.g. days), and run the periodic batch sweep
+    * (`Dedup.incrementalNearDupPairs` over the persisted band index) for
+    * full-history guarantees — the streaming path is the low-latency
+    * screen, the batch index is the archive.
+    *
+    * Trigger caveat: with `ProcessingTimeTimeout` Spark's
+    * FlatMapGroupsWithStateExec requests another micro-batch whenever
+    * processing time advanced, so `Trigger.AvailableNow` +
+    * `processAllAvailable()` loops empty batches indefinitely. Pair the
+    * TTL with a processing-time trigger on a continuous stream, or
+    * `Trigger.Once` for bounded replays (StreamingSpec does). */
   def nearDupHits(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 32, bands: Int = 8, n: Int = 3): Dataset[BandHit] = {
+      k: Int = 32, bands: Int = 8, n: Int = 3,
+      stateTtlMs: Option[Long] = None): Dataset[BandHit] = {
     val sigd = docs.select(F.col(idCol).cast("long").as("id"),
         graft.pipeline.Dedup.minhashSignature(F.col(textCol), k, n).as("sig"))
       .where(F.col("sig").isNotNull)
-    nearDupHitsImpl(sigd, k, bands)
+    nearDupHitsImpl(sigd, k, bands, stateTtlMs)
   }
 
-  private def nearDupHitsImpl(sigd: DataFrame, k: Int,
-      bands: Int): Dataset[BandHit] = {
+  private def nearDupHitsImpl(sigd: DataFrame, k: Int, bands: Int,
+      ttlMs: Option[Long]): Dataset[BandHit] = {
     val spark = sigd.sparkSession
     import spark.implicits._
     val banded = sigd.select(F.col("id"),
@@ -135,25 +159,74 @@ object Streams {
         F.posexplode(graft.pipeline.Dedup.lshBands(F.col("sig"), k, bands)
           .cast("array<long>")).as(Seq("band", "bh")))
       .as[(Long, Array[Long], Int, Long)]
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey { case (_, _, band, bh) => (band, bh) }
       .flatMapGroupsWithState[BucketState, BandHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[BucketState]) if state.hasTimedOut =>
+          // idle past the TTL: evict the bucket from the state store
+          state.remove()
+          Iterator.empty
         case (_, rows, state: GroupState[BucketState]) =>
+          val now = ttlMs.map(_ => state.getCurrentProcessingTimeMs()).getOrElse(0L)
           // id order inside the batch → deterministic canonical (min id)
           val sorted = rows.toSeq.sortBy(_._1)
           val out = scala.collection.mutable.ArrayBuffer[BandHit]()
-          var cur = state.getOption.orNull
+          // a canonical idle past the TTL is stale: the bucket re-seeds
+          var cur = state.getOption
+            .filter(s => ttlMs.forall(t => now - s.lastMs <= t)).orNull
           sorted.foreach { case (id, sig, _, _) =>
-            if (cur == null) { cur = BucketState(id, sig); out += BandHit(id, -1L, 0.0) }
+            if (cur == null) { cur = BucketState(id, sig, now); out += BandHit(id, -1L, 0.0) }
             else if (id == cur.firstId) ()
             else {
               val matches = sig.zip(cur.sig).count { case (a, b) => a == b }
               out += BandHit(id, cur.firstId, matches.toDouble / sig.length)
             }
           }
-          if (cur != null) state.update(cur)
+          if (cur != null) {
+            state.update(cur.copy(lastMs = now))
+            ttlMs.foreach(state.setTimeoutDuration)
+          }
           out.iterator
       }
+  }
+
+  /** Batch replay of [[nearDupHits]]' exact streaming semantics: the
+    * canonical of each (band, bh) bucket is the global min id, every
+    * other occupant is flagged with the slot-match estimate against the
+    * canonical's signature, and each canonical emits one fresh-bucket row
+    * (id, -1, 0) per bucket it seeds. When ids are monotone in ingestion
+    * order (the usual curation-stream contract — and UUIDv7 doc ids
+    * satisfy it), this equals the streaming result under ANY micro-batch
+    * partitioning of the corpus, which is precisely what StreamingSpec's
+    * differential asserts. Estimates are integer-ratio doubles, so the
+    * equality is bit-exact, not approximate. */
+  def nearDupHitsReplay(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
+    val sigd = docs.select(F.col(idCol).cast("long").as("id"),
+        graft.pipeline.Dedup.minhashSignature(F.col(textCol), k, n).as("sig"))
+      .where(F.col("sig").isNotNull)
+    val banded = sigd.select(F.col("id"),
+      F.col("sig").cast("array<long>").as("sig"),
+      F.posexplode(graft.pipeline.Dedup.lshBands(F.col("sig"), k, bands)
+        .cast("array<long>")).as(Seq("band", "bh")))
+    val canon = banded.groupBy("band", "bh").agg(F.min("id").as("cid"))
+    val canonSig = canon.join(
+      banded.select(F.col("id").as("cid"), F.col("band"), F.col("bh"),
+        F.col("sig").as("csig")),
+      Seq("band", "bh", "cid"))
+    banded.join(canonSig, Seq("band", "bh"))
+      .select(F.col("id"),
+        F.when(F.col("id") === F.col("cid"), F.lit(-1L))
+          .otherwise(F.col("cid")).as("matchId"),
+        F.when(F.col("id") === F.col("cid"), F.lit(0.0))
+          .otherwise(F.aggregate(
+            F.zip_with(F.col("sig"), F.col("csig"),
+              (a, b) => F.when(a === b, 1).otherwise(0)),
+            F.lit(0), (acc, x) => acc + x).cast("double") / F.lit(k.toDouble))
+          .as("est"))
   }
 
   /** One verdict per document over [[nearDupHits]]: the best candidate

@@ -155,6 +155,13 @@ object ScalingProbe {
       ("normalize", 100, { d =>
         d.select(graft.expressions.TextKernels.unicodeNormalize(
           F.col("text")).as("n")).where(F.length(F.col("n")) > 0).count()
+      }),
+      ("excision", 30, { d =>
+        // Lee et al. removal step: linear explode + one counted shuffle +
+        // doc-local coverage anti-join over MERGED spans (r8 guard — raw
+        // overlapping spans made a fully-duplicated doc cost tokens×windows)
+        graft.pipeline.Dedup.removeDuplicateSpans(d, "text", "doc_id")
+          .where(F.col("n_removed") > 0).count()
       }))
 
     val ops = if (opFilter.isEmpty) ops0 else ops0.filter(o => opFilter(o._1))

@@ -88,7 +88,7 @@ class AvroSpec extends AnyFunSuite {
     val path = tmp()
     FileSink(path, format = "avro").write(df.toDF())
     val viaGlob = FileSource(path + "/part-*", format = "avro")
-      .load(spark, Map.empty).head
+      .load(spark, Map.empty).reduce(_.union(_)) // one frame per part file
     assert(viaGlob.count() == 100)
     assert(viaGlob.agg(F.sum("id")).head().getLong(0) == 4950L)
     // overwrite mode replaces prior contents

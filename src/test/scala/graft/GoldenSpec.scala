@@ -76,9 +76,24 @@ class GoldenSpec extends AnyFunSuite {
     check(out.df, s"$golden/log_grok/expected_result.json")
   }
 
-  test("golden: wildcard glob concatenates part files") {
-    val df = readCase("wildcard_concat", "parts/*.csv", "csv")
-    check(df, s"$golden/wildcard_concat/expected_result.json")
+  test("golden: wildcard glob yields per-file frames; explicit concat (rs log_wildcard shape)") {
+    val dfs = FileSource(s"$golden/wildcard_concat/parts/*.csv", "csv")
+      .load(spark, Map.empty)
+    assert(dfs.length == 2) // one frame per matched file, reference list semantics
+    check(dfs.reduce(_.unionByName(_)),
+      s"$golden/wildcard_concat/expected_result.json")
+  }
+
+  test("golden: wildcard frames joined by ID; non-matching sibling excluded (rs input_file_wildcard)") {
+    // reference contract: source_*.csv binds a LIST of frames (len 2 — the
+    // function raises unless exactly the two matches arrive; another_file
+    // .csv sits beside them and must NOT match), joined inner on ID
+    val dfs = FileSource(s"$golden/file_wildcard/source_*.csv", "csv")
+      .load(spark, Map.empty)
+    assert(dfs.length == 2, s"expected exactly 2 matched frames, got ${dfs.length}")
+    val joined = TableFrame.fromRaw(dfs.head)
+      .join(TableFrame.fromRaw(dfs(1)), on = Seq("ID"), how = "inner")
+    check(joined.df, s"$golden/file_wildcard/expected_result.json")
   }
 
   test("golden: jsonl file output round-trips") {
@@ -157,7 +172,10 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   test("golden: log wildcard glob + grok over multiple files") {
-    val tf = TableFrame.fromRaw(readCase("log_wildcard", "logs/*.log", "log"))
+    val frames = FileSource(s"$golden/log_wildcard/logs/*.log", "log")
+      .load(spark, Map.empty)
+    assert(frames.length == 2) // per-file frames; td.concat is explicit
+    val tf = TableFrame.fromRaw(frames.reduce(_.unionByName(_)))
     val out = tf.grok("value",
         "%{WORD:level} job=%{WORD:job} rows=%{INT:rows:int} took=%{NUMBER:took:float}")
       .selectCols("level", "job", "rows", "took")
@@ -171,8 +189,9 @@ class GoldenSpec extends AnyFunSuite {
       s"$stage/people1", "overwrite")
     AvroFiles.write(Seq(("carol", 88.5), ("dave", 92.0)).toDF("name", "score"),
       s"$stage/people2", "overwrite")
-    val df = FileSource(s"$stage/people*", "avro").load(spark, Map.empty).head
-    check(df, s"$golden/avro_wildcard/expected_result.json")
+    val dfs = FileSource(s"$stage/people*", "avro").load(spark, Map.empty)
+    assert(dfs.length == 2) // one frame per matched directory
+    check(dfs.reduce(_.unionByName(_)), s"$golden/avro_wildcard/expected_result.json")
   }
 
   test("golden: missing location is None, matched-but-unparsable still throws") {
@@ -644,19 +663,24 @@ class GoldenSpec extends AnyFunSuite {
       s"$golden/parquet_string_format/expected_result.json")
   }
 
-  test("golden: ndjson wildcard concatenates part files") {
-    val df = readCase("ndjson_wildcard", "parts/*.ndjson", "ndjson")
-    check(df, s"$golden/ndjson_wildcard/expected_result.json")
+  test("golden: ndjson wildcard per-file frames, concatenated") {
+    val dfs = FileSource(s"$golden/ndjson_wildcard/parts/*.ndjson", "ndjson")
+      .load(spark, Map.empty)
+    assert(dfs.length == 2)
+    check(dfs.reduce(_.unionByName(_)),
+      s"$golden/ndjson_wildcard/expected_result.json")
   }
 
-  test("golden: parquet wildcard concatenates sibling directories") {
+  test("golden: parquet wildcard frames over sibling directories, concatenated") {
     import spark.implicits._
     val stage = Files.createTempDirectory("graft-golden-pqw").toString
     Seq(("lyon", 513), ("osaka", 2691)).toDF("city", "pop")
       .write.parquet(s"$stage/cities1")
     Seq(("quito", 2011)).toDF("city", "pop").write.parquet(s"$stage/cities2")
-    val df = FileSource(s"$stage/cities*", "parquet").load(spark, Map.empty).head
-    check(df, s"$golden/ndjson_wildcard/expected_result.json")
+    val dfs = FileSource(s"$stage/cities*", "parquet").load(spark, Map.empty)
+    assert(dfs.length == 2)
+    check(dfs.reduce(_.unionByName(_)),
+      s"$golden/ndjson_wildcard/expected_result.json")
   }
 
   test("golden: literal-constructed frame through publish (rs input_output_dataframe)") {
@@ -708,8 +732,11 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   test("golden: csv modified path — glob descends into dated subdirectories") {
-    val df = readCase("csv_modified_path", "y*/[ab].csv", "csv")
-    check(df, s"$golden/csv_modified_path/expected_result.json")
+    val dfs = FileSource(s"$golden/csv_modified_path/y*/[ab].csv", "csv")
+      .load(spark, Map.empty)
+    assert(dfs.length == 2) // y2025/a.csv and y2026/b.csv, one frame each
+    check(dfs.reduce(_.unionByName(_)),
+      s"$golden/csv_modified_path/expected_result.json")
   }
 
   test("golden: one output slot fed by a frame list written as sibling files (rs frame_list)") {
@@ -767,6 +794,48 @@ class GoldenSpec extends AnyFunSuite {
     // upstream publication committed before the failure; the failed
     // function's own output did not
     assert(store.scan("c/t").isDefined && store.scan("c/out").isEmpty)
+  }
+
+  test("golden: a plain exception propagates the same way (rs general_execution_exception)") {
+    // the generic-path twin of the custom-exception case: a bare
+    // RuntimeException (the reference's `raise Exception(...)`) must ride
+    // the identical surface — same type, same message, no wrapping — and
+    // the failed function's outputs must not commit
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-genexc").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub", "c", Seq("t")) { _ =>
+      throw new RuntimeException("This is a test exception")
+    }
+    val e = intercept[RuntimeException](engine.trigger("pub"))
+    assert(e.getMessage == "This is a test exception")
+    assert(e.getClass == classOf[RuntimeException]) // not wrapped
+    assert(store.scan("c/t").isEmpty)
+  }
+
+  test("golden: extension-less file with an explicit format override (rs s3_explicit_format)") {
+    // the reference reads `data_no_extension` from a bucket with
+    // format="csv" forced; the same contract locally — the reader must
+    // trust the declared format, never the (absent) extension
+    val dir = Files.createTempDirectory("graft-golden-explfmt")
+    Files.writeString(dir.resolve("data_no_extension"),
+      "ID,Name,Qty\n1,widget,4\n2,gear,\n3,bolt,9\n")
+    val df = FileSource(s"$dir/data_no_extension", "csv")
+      .load(spark, Map.empty).head
+    check(TableFrame.fromRaw(df).drop_nulls().df,
+      s"$golden/explicit_format/expected_result.json")
+  }
+
+  test("golden: single-element table list is still the list shape (rs output_sql_list_single_element)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSource, JdbcTxnSink}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-sql1")}/db;create=true"
+    // a 1-element list destination must behave exactly like the n-element
+    // one (list plumbing, staging, txn), not degrade to the scalar path
+    JdbcTxnSink(url, Seq("SOLO_OUT"))
+      .writeAll(Seq(Some(Seq(("A1", 4), ("B2", 9)).toDF("sku", "qty"))))
+    check(JdbcSource(url, Seq("""SELECT "sku", "qty" FROM SOLO_OUT"""))
+      .load(spark, Map.empty).head, s"$golden/sql_output_list/expected_a.json")
   }
 
   test("golden: csv output datetime format via chrono specifiers") {
@@ -939,6 +1008,44 @@ class GoldenSpec extends AnyFunSuite {
       .load(spark, Map.empty).head, s"$golden/sql_output_list/expected_b.json")
     // the None slot's table was never created
     intercept[Throwable](JdbcSource(url, Seq("SELECT * FROM OUT_SKIPPED"))
+      .load(spark, Map.empty).head.collect())
+  }
+
+  test("golden: multi-table SQL write is transactional — a failing frame commits nothing (rs output_sql_transaction)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSource, JdbcTxnSink}
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-sqltxn")}/db;create=true"
+    val good = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    // the reference's rollback trigger: a frame with a list column cannot
+    // be serialized to SQL; the FIRST frame must not be stored either
+    val bad = Seq((Seq(1), 4), (Seq(2), 5)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      JdbcTxnSink(url, Seq("TXN_FIRST", "TXN_SECOND"))
+        .writeAll(Seq(Some(good), Some(bad)))
+    }
+    intercept[Throwable](JdbcSource(url, Seq("SELECT * FROM TXN_FIRST"))
+      .load(spark, Map.empty).head.collect())
+    // mid-transaction failure rolls BOTH back: pre-create the second target
+    // with an incompatible shape so its staged INSERT fails after the first
+    // target's statements succeeded
+    JdbcTxnSink(url, Seq("TXN_SECOND")).writeAll(Seq(Some(Seq(Tuple1(9)).toDF("only"))))
+    intercept[Throwable] {
+      JdbcTxnSink(url, Seq("TXN_FIRST", "TXN_SECOND"))
+        .writeAll(Seq(Some(good), Some(good)))
+    }
+    intercept[Throwable](JdbcSource(url, Seq("SELECT * FROM TXN_FIRST"))
+      .load(spark, Map.empty).head.collect())
+    // happy path: both frames commit in one transaction
+    JdbcTxnSink(url, Seq("TXN_A", "TXN_B")).writeAll(Seq(Some(good), Some(good)))
+    assert(JdbcSource(url, Seq("""SELECT "id", "v" FROM TXN_A"""))
+      .load(spark, Map.empty).head.count() == 3)
+    assert(JdbcSource(url, Seq("""SELECT "id", "v" FROM TXN_B"""))
+      .load(spark, Map.empty).head.count() == 3)
+    // None slots write nothing and are not an error (rs output_sql_none)
+    JdbcTxnSink(url, Seq("TXN_A", "TXN_NONE")).writeAll(Seq(Some(good), None))
+    assert(JdbcSource(url, Seq("""SELECT "id" FROM TXN_A"""))
+      .load(spark, Map.empty).head.count() == 6) // append mode accumulated
+    intercept[Throwable](JdbcSource(url, Seq("SELECT * FROM TXN_NONE"))
       .load(spark, Map.empty).head.collect())
   }
 

@@ -869,6 +869,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rescored(1L) == scored(1L)._2 && rescored(2L) == scored(2L)._2)
   }
 
+  test("bm25: save/load round trip scores bit-identically; unstamped load fails loudly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian durian")).toDF("doc_id", "text")
+    val idx = Retrieval.buildBm25(docs, "text", "doc_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-rt").toString
+    Retrieval.saveBm25(idx, tmp, termBuckets = 8)
+    val loaded = Retrieval.loadBm25(spark, tmp)
+    assert(loaded.nDocs == idx.nDocs && loaded.avgDl == idx.avgDl &&
+      loaded.termBuckets.contains(8))
+    def rows(i: Retrieval.Bm25Index) =
+      Retrieval.scoreQuery(i, Seq("apple", "banana"), k1 = 1.5, b = 0.75)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(loaded) == rows(idx)) // bit-exact: same scalars, same fold
+    // a directory without the meta.json stamp is not a loadable index
+    val bare = java.nio.file.Files.createTempDirectory("graft-bm25-bare").toString
+    idx.postings.write.mode("overwrite").parquet(s"$bare/postings")
+    assertThrows[IllegalArgumentException](Retrieval.loadBm25(spark, bare))
+  }
+
   test("exact-n sampling: histogram path picks the identical rows as top-n") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")

@@ -333,6 +333,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted BM25 postings scan prunes to the query terms' partitions") {
+    import graft.pipeline.Retrieval
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-plan").toString
+    Retrieval.saveBm25(Retrieval.buildBm25(docs, "text", "doc_id"), tmp,
+      termBuckets = 16)
+    val idx = Retrieval.loadBm25(spark, tmp)
+    val scored = Retrieval.scoreQuery(idx, Seq("spark", "customer"))
+    val p = plan(scored)
+    // the bucket predicate is a PARTITION filter on the postings scan —
+    // directories for other buckets are never listed, let alone read
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("term_bucket"), p)
+    // and the term predicate pushes into the files that remain
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("term"), p)
+    // IO-level proof: the pruned scan touches strictly fewer files than the
+    // full postings relation (same xxhash64 bucket expression as saveBm25)
+    val buckets = Seq("spark", "customer").map { t =>
+      spark.range(1).select(F.pmod(F.xxhash64(F.lit(t)), F.lit(16L)))
+        .head().getLong(0)
+    }.distinct
+    val all = spark.read.parquet(s"$tmp/postings")
+    val prunedFiles = all.where(F.col("term_bucket").isin(buckets: _*))
+      .select(F.input_file_name()).distinct().count()
+    val totalFiles = all.select(F.input_file_name()).distinct().count()
+    assert(prunedFiles < totalFiles, s"$prunedFiles vs $totalFiles files")
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty

@@ -337,9 +337,9 @@ class StoreFlowSpec extends AnyFunSuite {
     Files.writeString(dir.resolve("part1.csv"), "id,name\n1,alpha\n2,beta\n")
     Files.writeString(dir.resolve("part2.csv"), "id,name\n3,gamma\n")
     val tfs = Sources.loadRaw(FileSource(s"$dir/part*.csv", "csv"), spark)
-    assert(tfs.length == 1)
+    assert(tfs.length == 2) // wildcard binds a list: one frame per file
+    assert(tfs.map(_.count()).sorted == Seq(1L, 2L))
     val tf = tfs.head
-    assert(tf.count() == 3)
     assert(tf.df.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
     assert(tf.columns("system").nonEmpty) // raw wrap stamped fresh ids
   }

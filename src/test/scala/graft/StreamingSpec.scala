@@ -130,6 +130,177 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCand == batchCand)
   }
 
+  // ---- streaming near-dup: batch-equivalence differential + state lifecycle ----
+
+  /** Write `docs` as ONE parquet file named `name` in `dir` with an explicit
+    * modification time — FileStreamSource orders files by mtime, so these
+    * files become deterministic, ordered micro-batches. */
+  private def writeDocFile(dir: java.nio.file.Path, docs: Seq[(Long, String)],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-ndup-stage")
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.toFile.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val dst = dir.resolve(name)
+    java.nio.file.Files.copy(part.toPath, dst)
+    assert(dst.toFile.setLastModified(mtime))
+  }
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  /** Run nearDupHits over `dir` into a parquet sink once, blocking until
+    * drained; restartable via the shared checkpoint. TTL runs use
+    * single-batch Trigger.Once semantics: with ProcessingTimeTimeout,
+    * FlatMapGroupsWithStateExec reports shouldRunAnotherBatch whenever
+    * processing time advanced, so an AvailableNow drain would loop empty
+    * batches forever (see the nearDupHits scaladoc) — one bounded batch
+    * per restart is exactly the TTL lifecycle contract anyway. */
+  @annotation.nowarn("cat=deprecation")
+  private def runHitsOnce(dir: String, out: String, ckpt: String,
+      ttlMs: Option[Long] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = Streams.readParquetStream(spark, dir, docSchema, maxFilesPerTrigger = 1)
+    val hits = Streams.nearDupHits(stream, "text", "doc_id", stateTtlMs = ttlMs)
+    val trigger =
+      if (ttlMs.isDefined) org.apache.spark.sql.streaming.Trigger.Once()
+      else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    val q = hits.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(trigger).start()
+    if (ttlMs.isDefined) q.awaitTermination() else q.processAllAvailable()
+    q
+  }
+
+  /** 30-doc corpus with cross-batch near-dups: ids 10-19 are appended-suffix
+    * rewrites of ids 0-9 (arriving several micro-batches later), ids 20-29
+    * are unrelated. Ids are monotone in ingestion order — the replay
+    * contract. */
+  private def ndupCorpus: Seq[(Long, String)] = {
+    val bases = (0 until 10).map { i =>
+      i.toLong -> (s"document number $i about topic ${"abcdefghij" (i)} with a " +
+        s"long enough body of text to shingle cleanly across many tokens " +
+        s"including details ${i * 7} and ${i * 13} plus shared boilerplate clause")
+    }
+    val rewrites = bases.map { case (id, t) => (id + 10) -> (t + " trailing audit note") }
+    val others = (20 until 30).map { i =>
+      i.toLong -> (s"entirely distinct subject matter ${i * 31} covering " +
+        s"unrelated themes of ${"qrstuvwxyz" (i - 20)} metallurgy logistics " +
+        s"astronomy and recipe number ${i * 17} with no overlap at all here")
+    }
+    bases ++ rewrites ++ others
+  }
+
+  test("streaming near-dup over many micro-batches equals the batch replay bit-exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ndup-diff")
+    val corpus = ndupCorpus
+    corpus.sortBy(_._1).grouped(3).zipWithIndex.foreach { case (g, i) =>
+      writeDocFile(dir, g, f"batch-$i%05d.parquet", 1700000000000L + i * 60000L)
+    }
+    val stream = Streams.readParquetStream(spark, dir.toString, docSchema, maxFilesPerTrigger = 1)
+    val verdicts = Streams.nearDupVerdicts(
+      Streams.nearDupHits(stream, "text", "doc_id"), minEst = 0.5)
+    val q = Streams.runToMemory(verdicts, "ndup_diff", "complete")
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val got = rows(spark.table("ndup_diff"))
+    val exp = rows(Streams.nearDupVerdicts(
+      Streams.nearDupHitsReplay(corpus.toDF("doc_id", "text"), "text", "doc_id")
+        .as[Streams.BandHit], minEst = 0.5))
+    assert(got == exp)
+    // and the corpus actually exercises cross-batch matches: every rewrite
+    // (ids 10-19) arrived batches after its source yet flagged against it
+    (10L until 20L).foreach { id =>
+      val v = got.find(_._1 == id).get
+      assert(v._2 == id - 10 && v._4, s"doc $id: $v")
+    }
+  }
+
+  test("streaming near-dup survives checkpoint restart with verdicts unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ndup-ckpt-in")
+    val out = Files.createTempDirectory("graft-ndup-ckpt-out").toString
+    val ckpt = Files.createTempDirectory("graft-ndup-ckpt").toString
+    val corpus = ndupCorpus
+    val files = corpus.sortBy(_._1).grouped(3).toSeq.zipWithIndex
+    val (firstHalf, secondHalf) = files.splitAt(files.size / 2)
+    firstHalf.foreach { case (g, i) =>
+      writeDocFile(dir, g, f"batch-$i%05d.parquet", 1700000000000L + i * 60000L)
+    }
+    runHitsOnce(dir.toString, out, ckpt).stop() // run 1: first half, then killed
+    secondHalf.foreach { case (g, i) =>
+      writeDocFile(dir, g, f"batch-$i%05d.parquet", 1700000000000L + i * 60000L)
+    }
+    runHitsOnce(dir.toString, out, ckpt).stop() // run 2: restored state resumes
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val got = rows(Streams.nearDupVerdicts(
+      spark.read.parquet(out).as[Streams.BandHit], minEst = 0.5))
+    val exp = rows(Streams.nearDupVerdicts(
+      Streams.nearDupHitsReplay(corpus.toDF("doc_id", "text"), "text", "doc_id")
+        .as[Streams.BandHit], minEst = 0.5))
+    assert(got == exp)
+  }
+
+  test("streaming near-dup TTL evicts idle buckets and expires stale canonicals") {
+    import spark.implicits._
+    val textX = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega words"
+    val textY = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty more"
+    val ttl = Some(500L)
+
+    // Scenario 1 — eviction: doc 0 (X) in run 1; after the TTL, run 2 sees
+    // only unrelated doc 11 (Y). Doc 0's idle buckets are timed out and
+    // REMOVED, so the state store holds only Y's buckets afterwards.
+    val dir1 = Files.createTempDirectory("graft-ndup-ttl1")
+    val out1 = Files.createTempDirectory("graft-ndup-ttl1-out").toString
+    val ck1 = Files.createTempDirectory("graft-ndup-ttl1-ck").toString
+    writeDocFile(dir1, Seq(0L -> textX), "b0.parquet", 1700000000000L)
+    runHitsOnce(dir1.toString, out1, ck1, ttl).stop()
+    Thread.sleep(1200)
+    writeDocFile(dir1, Seq(11L -> textY), "b1.parquet", 1700000060000L)
+    val q1 = runHitsOnce(dir1.toString, out1, ck1, ttl)
+    val stateRows = q1.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    q1.stop()
+    // 8 bands per doc: only Y's 8 buckets remain (X's were evicted);
+    // without eviction there would be 16
+    assert(stateRows.contains(8L), s"state rows after TTL eviction: $stateRows")
+
+    // Scenario 2 — stale canonical: an exact copy arriving after the TTL
+    // re-seeds the bucket instead of matching the expired canonical…
+    val dir2 = Files.createTempDirectory("graft-ndup-ttl2")
+    val out2 = Files.createTempDirectory("graft-ndup-ttl2-out").toString
+    val ck2 = Files.createTempDirectory("graft-ndup-ttl2-ck").toString
+    writeDocFile(dir2, Seq(0L -> textX), "b0.parquet", 1700000000000L)
+    runHitsOnce(dir2.toString, out2, ck2, ttl).stop()
+    Thread.sleep(1200)
+    writeDocFile(dir2, Seq(10L -> textX), "b1.parquet", 1700000060000L)
+    runHitsOnce(dir2.toString, out2, ck2, ttl).stop()
+    val hits2 = spark.read.parquet(out2).where(F.col("id") === 10L).collect()
+    assert(hits2.nonEmpty && hits2.forall(_.getLong(1) == -1L),
+      s"expired canonical must re-seed, got ${hits2.mkString(",")}")
+
+    // …while within the TTL window (generous TTL, same gap) the copy still
+    // matches the canonical at est 1.0 — TTL ≠ semantics change in-window.
+    val dir3 = Files.createTempDirectory("graft-ndup-ttl3")
+    val out3 = Files.createTempDirectory("graft-ndup-ttl3-out").toString
+    val ck3 = Files.createTempDirectory("graft-ndup-ttl3-ck").toString
+    writeDocFile(dir3, Seq(0L -> textX), "b0.parquet", 1700000000000L)
+    runHitsOnce(dir3.toString, out3, ck3, Some(3600000L)).stop()
+    Thread.sleep(600)
+    writeDocFile(dir3, Seq(10L -> textX), "b1.parquet", 1700000060000L)
+    runHitsOnce(dir3.toString, out3, ck3, Some(3600000L)).stop()
+    val hits3 = spark.read.parquet(out3).where(F.col("id") === 10L).collect()
+    assert(hits3.nonEmpty && hits3.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 1.0),
+      s"in-window copy must match canonical, got ${hits3.mkString(",")}")
+  }
+
   test("pub/sub piping: stream a table dir into a sink dir") {
     val in = Files.createTempDirectory("graft-pipe-in")
     val out = Files.createTempDirectory("graft-pipe-out")
