@@ -166,6 +166,55 @@ object Retrieval {
           F.lit(0.0), (acc, x) => acc + x).as("score"))
   }
 
+  /** Score a BATCH of queries in one pass — the shape retrieval-based
+    * decontamination takes at scale (thousands of eval questions against
+    * the corpus at once, instead of one scan per query).
+    *
+    * `queries` is (qidCol, termsCol: array<string>). The union of query
+    * terms is collected driver-side — O(Σ|terms|) metadata, the same class
+    * as IVF centroids — to build the literal IN (and, on a loaded index,
+    * the partition-pruning bucket list) exactly as [[scoreQuery]] does;
+    * the postings then join the BROADCAST exploded (qid, term) relation,
+    * so the corpus-sized side shuffles once on term and fans out only to
+    * the queries that contain the term. Scores fold sorted per (qid, id):
+    * bit-identical to calling [[scoreQuery]] per query, and to the DuckDB
+    * oracle.
+    *
+    * Returns (qid, id, n_terms, score) for every (query, document) pair
+    * sharing ≥1 term. */
+  def scoreQueryBatch(index: Bm25Index, queries: DataFrame, qidCol: String,
+      termsCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(F.col(qidCol).as("qid"),
+        F.explode(F.array_distinct(F.transform(F.col(termsCol),
+          t => F.lower(F.trim(t))))).as("term"))
+      .where(F.length(F.col("term")) > 0).distinct()
+    val termList = qt.select("term").distinct().collect().map(_.getString(0)).toSeq
+    require(termList.nonEmpty, "query batch has no non-empty terms")
+    val pruned = index.termBuckets match {
+      case Some(bk) => index.postings.where(
+        F.col("term_bucket").isin(termList.map(termBucket(_, bk)).distinct: _*))
+      case None => index.postings
+    }
+    val matched = pruned.where(F.col("term").isin(termList: _*))
+      .select("id", "term", "tf")
+    val docFreq = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val idf = graft.expressions.MathKernels.ln(
+      (F.lit(1.0) + (F.lit(index.nDocs.toDouble) - F.col("df") + F.lit(0.5)) /
+        (F.col("df") + F.lit(0.5))).cast(DoubleType))
+    val tfc = (F.col("tf") * F.lit(k1 + 1.0)) /
+      (F.col("tf") + F.lit(k1) *
+        (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.lit(index.avgDl)))
+    matched
+      .join(F.broadcast(docFreq), Seq("term"))
+      .join(F.broadcast(qt), Seq("term"))
+      .join(index.docLen, Seq("id"))
+      .withColumn("ts", (idf * tfc).cast(DoubleType))
+      .groupBy("qid", "id")
+      .agg(F.count(F.lit(1)).as("n_terms"),
+        F.aggregate(F.array_sort(F.collect_list(F.col("ts"))),
+          F.lit(0.0), (acc, x) => acc + x).as("score"))
+  }
+
   /** Top-k retrieval: highest BM25 score first, id as the tiebreaker.
     * Plans as a distributed top-k (per-partition limit before the merge). */
   def topK(index: Bm25Index, terms: Seq[String], k: Int,

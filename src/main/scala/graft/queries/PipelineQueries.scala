@@ -399,6 +399,23 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "q_bm25_batch" -> ((s, dir) => {
+      // thousands-of-queries retrieval shape: one corpus pass scores a
+      // whole query batch (broadcast (qid, term) relation into the
+      // postings); per-(qid, doc) sorted folds keep it bit-equal to both
+      // the per-query path and the DuckDB oracle
+      import s.implicits._
+      val qs = Seq(
+        ("q1", Seq("spark", "customer")),
+        ("q2", Seq("vector", "spark", "union")),
+        ("q3", Seq("customer"))).toDF("qid", "terms")
+      val idx = graft.pipeline.Retrieval.buildBm25(
+        t(s, dir, "documents"), "text", "doc_id")
+      graft.pipeline.Retrieval.scoreQueryBatch(
+          idx, qs, "qid", "terms", k1 = 1.5, b = 0.75)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("qid", "doc_id")
+    }),
     "q_bm25_persisted" -> ((s, dir) => {
       // the persistence round trip under the SAME oracle as q_bm25: build,
       // save partitioned by term hash, load (scalars from the meta.json

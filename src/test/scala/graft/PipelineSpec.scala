@@ -869,6 +869,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(rescored(1L) == scored(1L)._2 && rescored(2L) == scored(2L)._2)
   }
 
+  test("bm25: batch scoring equals the per-query path bit-exactly, on built and loaded indexes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian durian"),
+      (4L, "cherry apple durian")).toDF("doc_id", "text")
+    val qs = Seq(
+      ("qa", Seq("apple", "banana")),
+      ("qb", Seq("cherry")),
+      ("qc", Seq("durian", "apple"))).toDF("qid", "terms")
+    def batchRows(i: Retrieval.Bm25Index) =
+      Retrieval.scoreQueryBatch(i, qs, "qid", "terms", k1 = 1.5, b = 0.75)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val idx = Retrieval.buildBm25(docs, "text", "doc_id")
+    val perQuery = Seq("qa" -> Seq("apple", "banana"), "qb" -> Seq("cherry"),
+      "qc" -> Seq("durian", "apple")).flatMap { case (qid, terms) =>
+      Retrieval.scoreQuery(idx, terms, k1 = 1.5, b = 0.75)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(batchRows(idx) == perQuery)
+    // and identically through the persisted (partition-pruned) index
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-batch").toString
+    Retrieval.saveBm25(idx, tmp, termBuckets = 8)
+    assert(batchRows(Retrieval.loadBm25(spark, tmp)) == perQuery)
+  }
+
   test("bm25: save/load round trip scores bit-identically; unstamped load fails loudly") {
     import spark.implicits._
     val docs = Seq(
