@@ -151,7 +151,9 @@ object Streams {
   }
 
   private def nearDupHitsImpl(sigd: DataFrame, k: Int, bands: Int,
-      ttlMs: Option[Long]): Dataset[BandHit] = {
+      ttlMs: Option[Long],
+      initial: Option[org.apache.spark.sql.KeyValueGroupedDataset[(Int, Long), BucketState]] = None)
+      : Dataset[BandHit] = {
     val spark = sigd.sparkSession
     import spark.implicits._
     val banded = sigd.select(F.col("id"),
@@ -162,35 +164,88 @@ object Streams {
     val timeoutConf =
       if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    banded.groupByKey { case (_, _, band, bh) => (band, bh) }
-      .flatMapGroupsWithState[BucketState, BandHit](
-        OutputMode.Append(), timeoutConf) {
-        case (_, _, state: GroupState[BucketState]) if state.hasTimedOut =>
-          // idle past the TTL: evict the bucket from the state store
-          state.remove()
-          Iterator.empty
-        case (_, rows, state: GroupState[BucketState]) =>
-          val now = ttlMs.map(_ => state.getCurrentProcessingTimeMs()).getOrElse(0L)
-          // id order inside the batch → deterministic canonical (min id)
-          val sorted = rows.toSeq.sortBy(_._1)
-          val out = scala.collection.mutable.ArrayBuffer[BandHit]()
-          // a canonical idle past the TTL is stale: the bucket re-seeds
-          var cur = state.getOption
-            .filter(s => ttlMs.forall(t => now - s.lastMs <= t)).orNull
-          sorted.foreach { case (id, sig, _, _) =>
-            if (cur == null) { cur = BucketState(id, sig, now); out += BandHit(id, -1L, 0.0) }
-            else if (id == cur.firstId) ()
-            else {
-              val matches = sig.zip(cur.sig).count { case (a, b) => a == b }
-              out += BandHit(id, cur.firstId, matches.toDouble / sig.length)
-            }
+    val func: ((Int, Long), Iterator[(Long, Array[Long], Int, Long)],
+        GroupState[BucketState]) => Iterator[BandHit] = {
+      case (_, _, state: GroupState[BucketState]) if state.hasTimedOut =>
+        // idle past the TTL: evict the bucket from the state store
+        state.remove()
+        Iterator.empty
+      case (_, rows, state: GroupState[BucketState]) =>
+        val now = ttlMs.map(_ => state.getCurrentProcessingTimeMs()).getOrElse(0L)
+        // id order inside the batch → deterministic canonical (min id)
+        val sorted = rows.toSeq.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer[BandHit]()
+        // a canonical idle past the TTL is stale: the bucket re-seeds
+        var cur = state.getOption
+          .filter(s => ttlMs.forall(t => now - s.lastMs <= t)).orNull
+        sorted.foreach { case (id, sig, _, _) =>
+          if (cur == null) { cur = BucketState(id, sig, now); out += BandHit(id, -1L, 0.0) }
+          else if (id == cur.firstId) ()
+          else {
+            val matches = sig.zip(cur.sig).count { case (a, b) => a == b }
+            out += BandHit(id, cur.firstId, matches.toDouble / sig.length)
           }
-          if (cur != null) {
-            state.update(cur.copy(lastMs = now))
-            ttlMs.foreach(state.setTimeoutDuration)
-          }
-          out.iterator
-      }
+        }
+        if (cur != null) {
+          state.update(cur.copy(lastMs = now))
+          ttlMs.foreach(state.setTimeoutDuration)
+        }
+        out.iterator
+    }
+    val grouped = banded.groupByKey { case (_, _, band, bh) => (band, bh) }
+    initial match {
+      case Some(init) => grouped.flatMapGroupsWithState[BucketState, BandHit](
+        OutputMode.Append(), timeoutConf, init)(func)
+      case None => grouped.flatMapGroupsWithState[BucketState, BandHit](
+        OutputMode.Append(), timeoutConf)(func)
+    }
+  }
+
+  /** [[nearDupHits]] with its bucket state SEEDED from a batch history
+    * corpus — the unification of the streaming screen and the incremental
+    * batch story: a newly started stream immediately flags arrivals
+    * against ALL of history (each history bucket's min-id canonical and
+    * signature become the initial state, exactly as if the stream had
+    * ingested history first), instead of only against documents seen
+    * since the stream started. Combine with `stateTtlMs` to bound growth
+    * afterwards: history canonicals idle past the TTL age out the same
+    * way streamed ones do.
+    *
+    * The seed is computed with the same one-pass MinHash kernel the
+    * stream uses — one batch job over history at query START, zero cost
+    * per micro-batch. Spark's initial-state API
+    * (KeyValueGroupedDataset.flatMapGroupsWithState with initialState,
+    * public since 3.2) merges it into the state store on first use of
+    * each key. */
+  def nearDupHitsSeeded(docs: DataFrame, history: DataFrame, textCol: String,
+      idCol: String, k: Int = 32, bands: Int = 8, n: Int = 3,
+      stateTtlMs: Option[Long] = None): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val histBanded = history.select(F.col(idCol).cast("long").as("id"),
+        graft.pipeline.Dedup.minhashSignature(F.col(textCol), k, n).as("sig"))
+      .where(F.col("sig").isNotNull)
+      .select(F.col("id"), F.col("sig").cast("array<long>").as("sig"),
+        F.posexplode(graft.pipeline.Dedup.lshBands(F.col("sig"), k, bands)
+          .cast("array<long>")).as(Seq("band", "bh")))
+    // min-id canonical per bucket, carrying its signature — the state the
+    // stream would have built had it ingested history in id order
+    val seedRows = histBanded
+      .groupBy("band", "bh")
+      .agg(F.min(F.struct(F.col("id"), F.col("sig"))).as("c"))
+      .select(F.col("band"), F.col("bh"),
+        F.col("c.id").as("firstId"), F.col("c.sig").as("sig"))
+      .as[(Int, Long, Long, Array[Long])]
+    // under a TTL, history canonicals start their idle clock at stream
+    // start (not epoch 0, which would make every seed instantly stale)
+    val seedMs = if (stateTtlMs.isDefined) System.currentTimeMillis() else 0L
+    val initialState = seedRows
+      .groupByKey { case (band, bh, _, _) => (band, bh) }
+      .mapValues { case (_, _, id, sig) => BucketState(id, sig, seedMs) }
+    val sigd = docs.select(F.col(idCol).cast("long").as("id"),
+        graft.pipeline.Dedup.minhashSignature(F.col(textCol), k, n).as("sig"))
+      .where(F.col("sig").isNotNull)
+    nearDupHitsImpl(sigd, k, bands, stateTtlMs, Some(initialState))
   }
 
   /** Batch replay of [[nearDupHits]]' exact streaming semantics: the

@@ -220,6 +220,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("history-seeded streaming near-dup flags arrivals against ALL history (initial state)") {
+    import spark.implicits._
+    val corpus = ndupCorpus
+    val hist = corpus.filter(_._1 < 10)      // the sources, never streamed
+    val streamed = corpus.filter(_._1 >= 10) // rewrites 10-19 + unrelated 20-29
+    val dir = Files.createTempDirectory("graft-ndup-seed")
+    streamed.sortBy(_._1).grouped(4).zipWithIndex.foreach { case (g, i) =>
+      writeDocFile(dir, g, f"b-$i%05d.parquet", 1700000000000L + i * 60000L)
+    }
+    val stream = Streams.readParquetStream(spark, dir.toString, docSchema, maxFilesPerTrigger = 1)
+    val verdicts = Streams.nearDupVerdicts(
+      Streams.nearDupHitsSeeded(stream, hist.toDF("doc_id", "text"),
+        "text", "doc_id"), minEst = 0.5)
+    val q = Streams.runToMemory(verdicts, "ndup_seeded", "complete")
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val got = rows(spark.table("ndup_seeded"))
+    // must equal the replay over history ∪ stream, restricted to the
+    // streamed ids — i.e. the stream behaves as if it had ingested all of
+    // history first
+    val exp = rows(Streams.nearDupVerdicts(
+      Streams.nearDupHitsReplay(corpus.toDF("doc_id", "text"), "text", "doc_id")
+        .as[Streams.BandHit], minEst = 0.5)
+      .where(F.col("id") >= 10))
+    assert(got == exp)
+    // every rewrite is flagged against its never-streamed history source
+    (10L until 20L).foreach { id =>
+      val v = got.find(_._1 == id).get
+      assert(v._2 == id - 10 && v._4, s"doc $id: $v")
+    }
+  }
+
   test("streaming near-dup survives checkpoint restart with verdicts unchanged") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ndup-ckpt-in")
