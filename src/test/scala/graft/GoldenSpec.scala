@@ -1260,4 +1260,69 @@ class GoldenSpec extends AnyFunSuite {
       s"$golden/catalog_replace_partitions/expected_result.json")
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("golden: parquet wildcard binds exactly the matched frames, sibling excluded (rs input_file_parquet_wildcard)") {
+    // parquet twin of file_wildcard: source_*.parquet binds a LIST of
+    // frames (the reference function raises unless len == 2; another_file
+    // .parquet sits beside them and must NOT match), joined inner on ID.
+    // Binary inputs are staged from literal rows, per the harness contract.
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-golden-pqwild").toString
+    Seq((11, "anvil"), (12, "brace"), (13, "clamp"))
+      .toDF("ID", "Name").write.parquet(s"$stage/source_1.parquet")
+    Seq((11, 4), (12, 9), (14, 2))
+      .toDF("ID", "Qty").write.parquet(s"$stage/source_2.parquet")
+    Seq((99, "must-not-match"))
+      .toDF("ID", "Name").write.parquet(s"$stage/another_file.parquet")
+    val dfs = FileSource(s"$stage/source_*.parquet", "parquet")
+      .load(spark, Map.empty)
+    assert(dfs.length == 2, s"expected exactly 2 matched frames, got ${dfs.length}")
+    val joined = TableFrame.fromRaw(dfs.head)
+      .join(TableFrame.fromRaw(dfs(1)), on = Seq("ID"), how = "inner")
+    check(joined.df, s"$golden/parquet_wildcard/expected_result.json")
+  }
+
+  test("golden: version RANGE input rides beside a plain input in one function (rs input_table_multiple_tables)") {
+    // the reference function takes `headers` and `items@HEAD^..HEAD` (a
+    // LIST of versions) and returns (headers, concat(items-list)); a range
+    // scan here is the vertical union of the versions it covers, so the
+    // concat is the binding itself
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-vrange").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    engine.publisher("pub_h", "c", Seq("headers")) { _ =>
+      Seq(TableFrame.fromRaw(Seq(("inv-1", "acme"), ("inv-2", "globex"))
+        .toDF("invoice", "customer")))
+    }
+    var items = Seq(("inv-1", "widget", 25.0), ("inv-1", "gadget", 40.0))
+    engine.publisher("pub_i", "c", Seq("items")) { _ =>
+      Seq(TableFrame.fromRaw(items.toDF("invoice", "item", "amount")))
+    }
+    engine.trigger("pub_h")
+    engine.trigger("pub_i") // items v1 (HEAD^)
+    items = Seq(("inv-2", "sprocket", 12.5), ("inv-2", "flange", 99.0))
+    engine.trigger("pub_i") // items v2 (HEAD)
+    engine.transformer("merge", "c",
+        Seq("headers", "items@HEAD^..HEAD"), Seq("out_h", "out_i")) { ctx =>
+      Seq(ctx.input(0), ctx.input(1))
+    }
+    engine.runFunction(engine.fn("merge"), store.newId())
+    check(store.scan("c/out_h").get.df,
+      s"$golden/table_version_range/expected_headers.json")
+    check(store.scan("c/out_i").get.df,
+      s"$golden/table_version_range/expected_items.json")
+  }
+
+  test("golden: one frame fans out to a LIST of file destinations (rs output_file_multiple_files)") {
+    // the reference subscriber returns (df, df) against a two-path
+    // LocalFileDestination: both paths receive the full frame
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-golden-multifile").toString
+    val df = Seq(("osaka", 2691), ("lyon", 513)).toDF("city", "pop")
+    val paths = Seq(s"$out/first", s"$out/second")
+    paths.foreach(p => FileSink(p, format = "jsonl").write(df))
+    paths.foreach(p => check(spark.read.json(p),
+      s"$golden/output_multiple_files/expected_result.json"))
+  }
 }
