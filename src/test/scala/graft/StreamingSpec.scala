@@ -11,8 +11,10 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import TestSession.sf
 
-  private def eventsBatch = spark.read.parquet(s"$sf/events.parquet")
-    .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+  // Watermarks demand TIMESTAMP (ltz) — the testdata's parquet ts arrives
+  // as TIMESTAMP_NTZ; the session tz is UTC so the cast is value-identity.
+  private def eventsBatch = graft.queries.Tables.load(spark, sf, "events")
+    .withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
 
   test("windowed streaming agg matches the batch computation") {
     val dir = Files.createTempDirectory("graft-stream-in")
