@@ -22,6 +22,32 @@ trait Sink {
   final def write(df: Option[DataFrame]): Unit = df.foreach(write)
 }
 
+/** One result slot handed to a [[DestinationPlugin]]: the reference passes
+  * each function result through to `stream` as a frame, a frame LIST, or
+  * None (_io/plugin.py:346-368 — TableFrame → converted frame, list → list
+  * of converted frames, None → None; anything else is a TypeError raised
+  * before the plugin runs). */
+sealed trait ResultSlot
+object ResultSlot {
+  case object NoneSlot extends ResultSlot
+  final case class One(df: DataFrame) extends ResultSlot
+  final case class Many(dfs: Seq[DataFrame]) extends ResultSlot
+}
+
+/** Destination plugin: unlike a per-slot [[Sink]], `stream` is called ONCE
+  * per function run with EVERY result slot (reference _io/plugin.py:310-435
+  * `DestinationPlugin.stream(working_dir, *results)`), so a plugin can
+  * coordinate across slots — write all files, then publish one manifest.
+  * None slots ARRIVE as [[ResultSlot.NoneSlot]] rather than being skipped:
+  * the plugin decides what a missing result means (plugin.py:346, exercised
+  * by test_output_plugin_with_none / _multiple_with_none, whose reference
+  * plugins assert the value IS None). `workingDir` is scratch space the
+  * engine provisions for staging (plugin.py:373 execution_context.paths
+  * .output_folder). */
+trait DestinationPlugin {
+  def stream(workingDir: String, results: Seq[ResultSlot]): Unit
+}
+
 /** File ingestion (reference: _io/inputs/file_inputs.py — LocalFileSource /
   * S3Source / AzureSource / GCSSource share this shape; cloud variants are
   * the same Spark reader against an `s3a://`/`abfss://`/`gs://` URI once the

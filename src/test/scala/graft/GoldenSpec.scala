@@ -1314,6 +1314,78 @@ class GoldenSpec extends AnyFunSuite {
       s"$golden/table_version_range/expected_items.json")
   }
 
+  test("golden: destination plugin streams the whole result set in one call (rs output_plugin)") {
+    // the reference plugin's stream(working_dir, *results) sinks results[0]
+    // as ndjson; the subscriber body is drop_nulls over the fitness csv
+    import graft.sources.{DestinationPlugin, FileSink, ResultSlot}
+    val out = Files.createTempDirectory("graft-golden-outplugin").toString
+    val plugin = new DestinationPlugin {
+      def stream(workingDir: String, results: Seq[ResultSlot]): Unit =
+        results.head match {
+          case ResultSlot.One(df) => FileSink(s"$out/sunk", format = "jsonl").write(df)
+          case other => fail(s"expected One, got $other")
+        }
+    }
+    val result = TableFrame.fromRaw(
+      readCase("output_plugin", "data.csv", "csv")).drop_nulls()
+    plugin.stream(out, Seq(ResultSlot.One(result.df)))
+    check(spark.read.json(s"$out/sunk"),
+      s"$golden/output_plugin/expected_result.json")
+  }
+
+  test("golden: destination plugin fans two result slots to two files (rs output_plugin_multiple_outputs)") {
+    import spark.implicits._
+    import graft.sources.{DestinationPlugin, FileSink, ResultSlot}
+    val out = Files.createTempDirectory("graft-golden-outplugin2").toString
+    val plugin = new DestinationPlugin {
+      def stream(workingDir: String, results: Seq[ResultSlot]): Unit = {
+        val Seq(ResultSlot.One(a), ResultSlot.One(b)) = results
+        FileSink(s"$out/first", format = "jsonl").write(a)
+        FileSink(s"$out/second", format = "jsonl").write(b)
+      }
+    }
+    plugin.stream(out, Seq(
+      ResultSlot.One(Seq(("osaka", 2691), ("lyon", 513)).toDF("city", "pop")),
+      ResultSlot.One(Seq(("osaka", "large"), ("lyon", "small")).toDF("city", "tier"))))
+    check(spark.read.json(s"$out/first"),
+      s"$golden/output_plugin_multi/expected_first.json")
+    check(spark.read.json(s"$out/second"),
+      s"$golden/output_plugin_multi/expected_second.json")
+  }
+
+  test("golden: None slots REACH the destination plugin, not skipped (rs output_plugin_with_none/_multiple_with_none)") {
+    // the reference's with_none plugins assert their slots ARE None — a
+    // per-slot Sink skips None, but a plugin is handed the whole result
+    // set and decides; both single- and double-None shapes in one pass
+    import graft.sources.{DestinationPlugin, ResultSlot}
+    var seen: Seq[Seq[graft.sources.ResultSlot]] = Nil
+    val plugin = new DestinationPlugin {
+      def stream(workingDir: String, results: Seq[ResultSlot]): Unit = {
+        results.foreach(r => assert(r == ResultSlot.NoneSlot,
+          s"plugin slot should be None, got $r"))
+        seen = seen :+ results
+      }
+    }
+    plugin.stream("/tmp", Seq(ResultSlot.NoneSlot))
+    plugin.stream("/tmp", Seq(ResultSlot.NoneSlot, ResultSlot.NoneSlot))
+    assert(seen.map(_.length) == Seq(1, 2))
+  }
+
+  test("golden: explicit JDBC driver class provided and honored (rs output_sql_driver_provided)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    // positive twin of wrong_driver_fails: the reference URL names its
+    // driver (mysql+mysqlconnector); here the Derby embedded driver is
+    // passed explicitly and the write round-trips
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-drv")}/db;create=true"
+    JdbcSink(url, "stock", mode = "append",
+        properties = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      .write(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("sku", "qty"))
+    val back = JdbcSource(url, Seq("""SELECT "sku", "qty" FROM stock"""))
+      .load(spark, Map.empty).head
+    check(back, s"$golden/sql_output_driver/expected_result.json")
+  }
+
   test("golden: one frame fans out to a LIST of file destinations (rs output_file_multiple_files)") {
     // the reference subscriber returns (df, df) against a two-path
     // LocalFileDestination: both paths receive the full frame
