@@ -187,6 +187,38 @@ object DataMix {
       .where(F.col("`$td.__rn`") <= n).drop("$td.__rn")
   }
 
+  /** Deterministic epoch shuffle: assign every row a (shard, pos)
+    * coordinate that is a pure function of (id, seed) — the "global
+    * shuffle" step before sharded training-data export. A new seed (e.g.
+    * the epoch number) yields a fresh permutation; the same seed is
+    * bit-identical across runs, partitionings, and engines, because the
+    * ordering key is the md5 hex of "id:seed" (no engine-private RNG, no
+    * zipWithIndex order dependence).
+    *
+    * Scale shape: `shard` is the key's first 4 hex chars mod `numShards`,
+    * so rows scatter uniformly and `pos` is a row_number windowed over
+    * ONE shard — at 100 TB, numShards is set to O(total cores) and each
+    * window sorts ~corpus/numShards rows; there is exactly one shuffle
+    * (on shard) and no global single-reducer ordering. Downstream,
+    * `repartition(col("shard"))` + `sortWithinPartitions("pos")` (or
+    * [[Export.writeSharded]] partitioned by shard) materializes the
+    * epoch order without any further wide exchange. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val key = F.md5(F.concat(F.col(idCol).cast("string"),
+      F.lit(":" + seed.toString)).cast("binary"))
+    val shard = F.pmod(F.conv(F.substring(key, 1, 4), 16, 10).cast("long"),
+      F.lit(numShards.toLong)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("shard"))
+      .orderBy(F.col("`$td.__ekey`"), F.col(idCol))
+    df.withColumn("$td.__ekey", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", F.row_number().over(w) - 1)
+      .drop("$td.__ekey")
+  }
+
   /** Per-group kept/total counts for a candidate mix — the audit table a
     * mixing decision is reviewed on. */
   def mixReport(df: DataFrame, idCol: String, groupCol: String,

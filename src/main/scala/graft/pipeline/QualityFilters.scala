@@ -381,4 +381,49 @@ object QualityFilters {
         F.col(s"first.$idCol").as("first_doc"),
         F.col("first.pos").as("first_pos"))
   }
+
+  /** CCNet-style common-paragraph removal (Wenzek et al. 2020 §4.1; also
+    * the Dolma "paragraph dedup" pass): drop every line that occurs in
+    * >= `maxDocs` DISTINCT documents corpus-wide, reassemble each
+    * document from its surviving lines in original order, and report
+    * kept/total line counts. Unlike [[duplicateLines]] (the detection
+    * report), this is the transform a pipeline actually applies —
+    * boilerplate navigation/footer paragraphs vanish from every page
+    * that carries them.
+    *
+    * Scale shape: lines group on the md5 of the line text, not the text
+    * itself — a 32-char shuffle key regardless of paragraph length.
+    * Two shuffles total (hash-keyed distinct-doc count, then the doc
+    * reassembly groupBy); the count join is hash-keyed equi so the
+    * common-line set never needs to fit anywhere whole. Lines shorter
+    * than `minLen` after trim pass through uncounted but are preserved
+    * in the reassembled text only if `keepShort` (CCNet drops empty
+    * lines; keeping them is the lossless default here). */
+  def removeCommonLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Int = 2, minLen: Int = 1, keepShort: Boolean = true): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = df.select(F.col(idCol),
+      F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("short", F.char_length(F.trim(F.col("line"))) < minLen)
+      .withColumn("h", F.md5(F.col("line").cast("binary")))
+    val common = lines.where(!F.col("short"))
+      .groupBy("h")
+      .agg(F.count_distinct(F.col(idCol)).as("n_docs"))
+      .where(F.col("n_docs") >= maxDocs)
+      .select(F.col("h"), F.lit(true).as("common"))
+    lines.join(common, Seq("h"), "left")
+      .withColumn("keep",
+        F.when(F.col("short"), F.lit(keepShort))
+          .otherwise(F.col("common").isNull))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(
+              F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line"))))),
+            s => s("line")),
+          "\n").as("kept_text"),
+        F.count(F.lit(1)).as("n_lines_total"),
+        F.count(F.when(F.col("keep"), 1)).as("n_lines_kept"))
+  }
 }

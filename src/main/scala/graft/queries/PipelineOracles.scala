@@ -482,6 +482,17 @@ object PipelineOracles {
         |      GROUP BY lang)
         |SELECT t.lang, t.n_total, COALESCE(k.n_kept, 0) AS n_kept
         |FROM (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang) t
-        |LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin
+        |LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+    "q_shuffle_epoch" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR || ':7') AS key FROM documents),
+        |s AS (
+        |  SELECT doc_id, key,
+        |    CAST(('0x' || substr(key, 1, 4))::BIGINT % 32 AS INTEGER) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+        |    AS INTEGER) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin
   )
 }

@@ -364,6 +364,16 @@ object PipelineQueries {
           t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 20)
         .orderBy("lang", "doc_id")
     }),
+    "q_shuffle_epoch" -> ((s, dir) => {
+      // deterministic training-epoch shuffle: (shard, pos) is a pure
+      // function of (id, seed) — same seed bit-identical across engines,
+      // new seed a fresh permutation; windows sort one shard each
+      graft.pipeline.DataMix.epochShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          seed = 7L, numShards = 32)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
     "q_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: nearest eval item + threshold
       // flag per corpus vector. Cosine is the codegen kernel whose fold

@@ -229,6 +229,33 @@ object QualityOracles {
         |  (min({'d': doc_id, 'p': pos})).d AS first_doc,
         |  (min({'d': doc_id, 'p': pos})).p AS first_pos
         |FROM lf GROUP BY line HAVING COUNT(*) > 1
-        |ORDER BY n_occurrences DESC, line LIMIT 5000""".stripMargin
+        |ORDER BY n_occurrences DESC, line LIMIT 5000""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, ' (table|value) ', '.' || chr(10), 'g') AS multi
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(multi, chr(10)),
+        |      (x, i) -> {'line': x, 'pos': i - 1})) AS ent
+        |  FROM m),
+        |l AS (
+        |  SELECT doc_id, ent.line AS line, CAST(ent.pos AS INTEGER) AS pos,
+        |    length(trim(ent.line)) < 1 AS short
+        |  FROM e),
+        |c AS (
+        |  SELECT md5(line) AS h FROM l WHERE NOT short
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |f AS (
+        |  SELECT l.doc_id, l.line, l.pos,
+        |    CASE WHEN l.short THEN TRUE ELSE c.h IS NULL END AS keep
+        |  FROM l LEFT JOIN c ON md5(l.line) = c.h)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |    ORDER BY pos), '') AS kept_text,
+        |  count(*) AS n_lines_total,
+        |  count(CASE WHEN keep THEN 1 END) AS n_lines_kept
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

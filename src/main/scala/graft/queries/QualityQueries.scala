@@ -92,6 +92,11 @@ object QualityQueries {
       QualityFilters.duplicateLines(m, "doc_id", "multi")
         .orderBy(F.col("n_occurrences").desc, F.col("line"))
         .limit(5000)
+    }),
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val m = t(s, dir, "documents").select(F.col("doc_id"), multiLine.as("multi"))
+      QualityFilters.removeCommonLines(m, "doc_id", "multi", maxDocs = 3)
+        .orderBy("doc_id")
     })
   )
 }

@@ -705,6 +705,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("common-line removal: corpus-wide boilerplate excised, order and shorts preserved") {
+    import spark.implicits._
+    import graft.pipeline.QualityFilters
+    val df = Seq(
+      (1L, "follow us on example\nreal content one\n\nmore one"),
+      (2L, "follow us on example\nreal content two"),
+      (3L, "follow us on example\nreal content three")).toDF("doc_id", "text")
+    val out = QualityFilters.removeCommonLines(df, "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the 3-doc boilerplate line is gone everywhere; per-doc lines and the
+    // empty line (short, keepShort default) survive in original order
+    assert(out(1L) == ("real content one\n\nmore one", 4L, 3L))
+    assert(out(2L) == ("real content two", 2L, 1L))
+    assert(out(3L) == ("real content three", 2L, 1L))
+    // raising the bar to 4 docs keeps everything
+    val kept = QualityFilters.removeCommonLines(df, "doc_id", "text", maxDocs = 4)
+      .agg(F.sum("n_lines_kept")).collect()(0).getLong(0)
+    assert(kept == 8L)
+  }
+
+  test("epoch shuffle: deterministic per seed, fresh permutation per epoch, dense shard positions") {
+    import spark.implicits._
+    val df = spark.range(500).toDF("doc_id")
+    val e0 = graft.pipeline.DataMix.epochShuffle(df, "doc_id", seed = 0L, numShards = 8)
+    val rows = e0.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // a permutation: every row exactly once, shards within range
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are dense 0..n-1 within each shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0 until g.length)) }
+    // same seed is partitioning-invariant; a different seed reorders
+    val again = graft.pipeline.DataMix
+      .epochShuffle(df.repartition(7), "doc_id", seed = 0L, numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(again.toSeq == rows.sorted.toSeq)
+    val e1 = graft.pipeline.DataMix.epochShuffle(df, "doc_id", seed = 1L, numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(e1.toSeq != rows.sorted.toSeq)
+  }
+
   test("duplicate-span removal: one copy survives corpus-wide, canonical untouched") {
     import spark.implicits._
     val docs = Seq(

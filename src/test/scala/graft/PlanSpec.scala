@@ -290,6 +290,28 @@ class PlanSpec extends AnyFunSuite {
     assert(big.contains("Union"), big)
   }
 
+  test("epoch shuffle: one shard-keyed exchange, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val p = plan(graft.pipeline.DataMix.epochShuffle(docs, "doc_id", 7L, 32))
+    // the only wide op is the window's hashpartitioning on shard —
+    // positions come from per-shard sorts, never a single global ordering
+    assert(count(p, "Exchange") == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("common-line removal: md5-keyed line agg, no text-keyed shuffle, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.QualityFilters.removeCommonLines(
+      docs, "doc_id", "text", maxDocs = 3))
+    // the distinct-doc count and the count join key on the 32-char md5,
+    // not the raw paragraph text; partial aggregation runs map-side
+    assert(p.contains("hashpartitioning(h"), p)
+    assert(!p.contains("hashpartitioning(line"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("bm25/dsir: dictionary sides broadcast, no cartesian, term filter pushed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // BM25: the query-term filter must prune the postings before any join,
