@@ -219,6 +219,37 @@ object DataMix {
       .drop("$td.__ekey")
   }
 
+  /** Weighted sampling WITHOUT replacement of exactly `n` rows
+    * (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws a
+    * deterministic uniform u from the md5 of "id:salt" (24 hex bits →
+    * the exact dyadic rational (b+0.5)/2^24), and the n rows with the
+    * LARGEST u^(1/w) win — equivalently the largest ln(u)/w, which is
+    * the form computed here because ln routes through the libm-consistent
+    * kernel ([[graft.expressions.MathKernels.ln]]) and division is
+    * single-rounded, so the key (and therefore the sample) is
+    * bit-reproducible across engines, runs, and partitionings.
+    *
+    * A row's inclusion probability is proportional to its weight in the
+    * without-replacement sense — the standard "sample high-quality docs
+    * more" step of a curated-corpus carve. Rows with weight <= 0 or null
+    * never win. Plans as a distributed top-n (TakeOrderedAndProject):
+    * per-partition heads only, no global sort, no shuffle of the corpus. */
+  def sampleWeightedN(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, salt: String = "es"): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    val b = F.conv(F.substring(
+      F.md5(F.concat(F.col(idCol).cast("string"), F.lit(":" + salt))
+        .cast("binary")), 1, 6), 16, 10).cast("long")
+    val u = (b.cast("double") + F.lit(0.5)) / F.lit((1L << 24).toDouble)
+    val key = graft.expressions.MathKernels.ln(u) /
+      F.col(weightCol).cast("double")
+    df.where(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
+      .withColumn("$td.__eskey", key)
+      .orderBy(F.col("`$td.__eskey`").desc, F.col(idCol))
+      .limit(n)
+      .drop("$td.__eskey")
+  }
+
   /** Per-group kept/total counts for a candidate mix — the audit table a
     * mixing decision is reviewed on. */
   def mixReport(df: DataFrame, idCol: String, groupCol: String,

@@ -47,7 +47,8 @@ object Retrieval {
     * predicate so the postings scan PRUNES to the query terms' partitions
     * — at 100 TB a query touches |terms| directories, not the corpus. */
   final case class Bm25Index(postings: DataFrame, docLen: DataFrame,
-      nDocs: Long, avgDl: Double, termBuckets: Option[Int] = None)
+      nDocs: Long, avgDl: Double, termBuckets: Option[Int] = None,
+      totalTokens: Long = -1L)
 
   /** Driver-side twin of the `pmod(xxhash64(term), buckets)` partition
     * expression [[saveBm25]] writes — same seed-42 XxHash64 Catalyst
@@ -78,9 +79,17 @@ object Retrieval {
     val spark = index.postings.sparkSession
     val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    writeMeta(fs, metaPath, index.nDocs, index.avgDl, termBuckets,
+      index.totalTokens)
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      metaPath: org.apache.hadoop.fs.Path, nDocs: Long, avgDl: Double,
+      termBuckets: Int, totalTokens: Long): Unit = {
     val out = fs.create(metaPath, true)
     try out.write(
-      s"""{"n_docs":${index.nDocs},"avg_dl":${index.avgDl},"term_buckets":$termBuckets}"""
+      (s"""{"n_docs":$nDocs,"avg_dl":$avgDl,"term_buckets":$termBuckets,""" +
+        s""""total_tokens":$totalTokens}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -111,7 +120,10 @@ object Retrieval {
       docLen = spark.read.parquet(s"$path/doclen"),
       nDocs = field("n_docs").toLong,
       avgDl = field("avg_dl").toDouble,
-      termBuckets = Some(field("term_buckets").toDouble.toInt))
+      termBuckets = Some(field("term_buckets").toDouble.toInt),
+      totalTokens =
+        s""""total_tokens":([-0-9]+)""".r.findFirstMatchIn(meta)
+          .map(_.group(1).toLong).getOrElse(-1L))
   }
 
   /** Build the index: one tokenization pass; N and avgdl come from exact
@@ -122,8 +134,67 @@ object Retrieval {
     val docLen = postings.groupBy("id").agg(F.sum("tf").as("dl"))
     val row = docLen.agg(F.count(F.lit(1)).as("n"), F.sum("dl").as("toks")).head()
     val n = row.getLong(0)
-    val avgDl = if (n == 0) 0.0 else row.getLong(1).toDouble / n
-    Bm25Index(postings, docLen, n, avgDl)
+    val toks = if (n == 0) 0L else row.getLong(1)
+    val avgDl = if (n == 0) 0.0 else toks.toDouble / n
+    Bm25Index(postings, docLen, n, avgDl, totalTokens = toks)
+  }
+
+  /** Incremental index maintenance: append a batch of NEW documents to a
+    * persisted index without re-tokenizing the existing corpus — the
+    * shape index upkeep takes at 100 TB, where a corpus refresh adds a
+    * few percent and a from-scratch rebuild would re-read everything.
+    *
+    *   - only the delta is tokenized; its postings land in the SAME
+    *     term-hash partition directories (dynamic-partition append), so a
+    *     query's partition pruning sees old and new postings alike;
+    *   - the corpus scalars restamp from exact long arithmetic
+    *     (`total_tokens + Δtokens`, `n_docs + Δdocs`), which is the very
+    *     sum a from-scratch build computes — a loaded appended index
+    *     scores BIT-IDENTICALLY to an index built on the union corpus
+    *     (gate q_bm25_incremental shares q_bm25's oracle verbatim);
+    *   - ids in the delta must be new; pass `checkDisjoint = true` to
+    *     spend one semi-join count proving it (ids already indexed would
+    *     double-count their doc lengths in avgdl).
+    *
+    * Not atomic: postings/doclen append first, the meta stamp rewrites
+    * last, so a crash mid-append leaves orphan postings that the stale
+    * stamp's scalars don't cover — re-build or re-save after a failed
+    * append (same recovery contract as a failed store transaction, but
+    * without the `.staging` rename because dynamic-partition appends
+    * scatter across existing directories). */
+  def appendBm25(spark: SparkSession, path: String, df: DataFrame,
+      textCol: String, idCol: String, checkDisjoint: Boolean = false): Unit = {
+    val old = loadBm25(spark, path)
+    require(old.totalTokens >= 0L,
+      s"$path/meta.json lacks total_tokens — re-save the index with " +
+        "saveBm25 before appending (exact restamp needs the long sum, " +
+        "not avgdl*n rounding)")
+    if (checkDisjoint) {
+      val clash = old.docLen.join(
+        df.select(F.col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "appendBm25 delta contains ids already in the index")
+    }
+    val delta = termFrequencies(df, textCol, idCol)
+    val deltaLen = delta.groupBy("id").agg(F.sum("tf").as("dl"))
+    val row = deltaLen.agg(
+      F.count(F.lit(1)).as("n"), F.sum("dl").as("toks")).head()
+    val dN = row.getLong(0)
+    if (dN > 0) {
+      val buckets = old.termBuckets.getOrElse(64)
+      delta
+        .withColumn("term_bucket",
+          F.pmod(F.xxhash64(F.col("term")), F.lit(buckets.toLong)))
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(s"$path/postings")
+      deltaLen.write.mode("append").parquet(s"$path/doclen")
+      val n = old.nDocs + dN
+      val toks = old.totalTokens + row.getLong(1)
+      val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+      writeMeta(metaPath.getFileSystem(spark.sessionState.newHadoopConf()),
+        metaPath, n, toks.toDouble / n, buckets, toks)
+    }
   }
 
   /** (id, n_terms, score) for every document matching ≥1 query term.

@@ -36,9 +36,10 @@ object PipelineOracles {
        |    WHERE q.vec_id <> c.vec_id) s) r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  /** One oracle text for q_bm25 AND q_bm25_persisted: a saved-then-loaded
-    * index must score bit-identically to the index it was built from, so
-    * the two gates share this SQL verbatim. */
+  /** One oracle text for q_bm25, q_bm25_persisted AND q_bm25_incremental:
+    * a saved-then-loaded index must score bit-identically to the index it
+    * was built from, and a delta-appended index to a from-scratch build on
+    * the union corpus — so all three gates share this SQL verbatim. */
   private val bm25Sql: String =
     """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       |           FROM documents),
@@ -419,6 +420,7 @@ object PipelineOracles {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bm25" -> bm25Sql,
     "q_bm25_persisted" -> bm25Sql,
+    "q_bm25_incremental" -> bm25Sql,
     "q_bm25_batch" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |           FROM documents),
@@ -483,6 +485,17 @@ object PipelineOracles {
         |SELECT t.lang, t.n_total, COALESCE(k.n_kept, 0) AS n_kept
         |FROM (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang) t
         |LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS wt,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':es'), 1, 6))::BIGINT AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, wt,
+        |    ln((CAST(b AS DOUBLE) + 0.5e0) / 16777216.0e0) / wt AS key
+        |  FROM w WHERE wt > 0),
+        |top AS (SELECT doc_id, wt FROM k ORDER BY key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, wt FROM top ORDER BY doc_id""".stripMargin,
     "q_shuffle_epoch" ->
       """WITH k AS (
         |  SELECT doc_id, md5(doc_id::VARCHAR || ':7') AS key FROM documents),

@@ -364,6 +364,17 @@ object PipelineQueries {
           t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 20)
         .orderBy("lang", "doc_id")
     }),
+    "q_sample_weighted" -> ((s, dir) => {
+      // quality-weighted carve (A-ES without replacement): longer docs
+      // proportionally likelier. The key ln(u)/w routes ln through the
+      // libm kernel and u is an exact dyadic rational, so the winner set
+      // is bit-reproducible and fully oracle-checkable
+      val docs = t(s, dir, "documents")
+        .withColumn("wt", F.char_length(F.col("text")).cast("double"))
+      graft.pipeline.DataMix.sampleWeightedN(docs, "doc_id", "wt", 100)
+        .select("doc_id", "wt")
+        .orderBy("doc_id")
+    }),
     "q_shuffle_epoch" -> ((s, dir) => {
       // deterministic training-epoch shuffle: (shard, pos) is a pure
       // function of (id, seed) — same seed bit-identical across engines,
@@ -425,6 +436,27 @@ object PipelineQueries {
           idx, qs, "qid", "terms", k1 = 1.5, b = 0.75)
         .withColumnRenamed("id", "doc_id")
         .orderBy("qid", "doc_id")
+    }),
+    "q_bm25_incremental" -> ((s, dir) => {
+      // incremental index upkeep under the SAME oracle as q_bm25: index
+      // the first 250 docs, delta-append the rest (only the delta is
+      // tokenized; scalars restamp from exact long sums), load, score —
+      // must hash-match a from-scratch build on the whole corpus
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bm25-inc").toString
+      graft.pipeline.Retrieval.saveBm25(
+        graft.pipeline.Retrieval.buildBm25(
+          docs.where(F.col("doc_id") < 250), "text", "doc_id"),
+        tmp, termBuckets = 16)
+      graft.pipeline.Retrieval.appendBm25(s, tmp,
+        docs.where(F.col("doc_id") >= 250), "text", "doc_id",
+        checkDisjoint = true)
+      graft.pipeline.Retrieval.scoreQuery(
+          graft.pipeline.Retrieval.loadBm25(s, tmp),
+          Seq("spark", "customer", "vector"), k1 = 1.5, b = 0.75)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }),
     "q_bm25_persisted" -> ((s, dir) => {
       // the persistence round trip under the SAME oracle as q_bm25: build,

@@ -705,6 +705,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("weighted sampling: proportional representation, partitioning-invariant, zero-weight excluded") {
+    import spark.implicits._
+    // two weight classes, 10:1 — heavy rows should dominate the sample
+    val df = spark.range(2000).toDF("doc_id")
+      .withColumn("wt", F.when(F.col("doc_id") % 2 === 0, 10.0).otherwise(1.0))
+    val pick = graft.pipeline.DataMix.sampleWeightedN(df, "doc_id", "wt", 200)
+      .collect().map(_.getLong(0)).sorted
+    assert(pick.length == 200)
+    val heavy = pick.count(_ % 2 == 0)
+    assert(heavy > 150, s"10x-weighted rows under-represented: $heavy/200")
+    // identical winners under a different partitioning
+    val again = graft.pipeline.DataMix
+      .sampleWeightedN(df.repartition(7), "doc_id", "wt", 200)
+      .collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == pick.toSeq)
+    // zero/null weights never win
+    val z = df.withColumn("wt",
+      F.when(F.col("doc_id") < 1000, F.lit(null)).otherwise(F.lit(0.0)))
+    assert(graft.pipeline.DataMix.sampleWeightedN(z, "doc_id", "wt", 10).count() == 0)
+  }
+
+  test("bm25 append: disjointness check rejects re-indexed ids; unstamped index refuses append") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-app").toString
+    Retrieval.saveBm25(Retrieval.buildBm25(docs, "text", "doc_id"), dir, termBuckets = 4)
+    val clash = intercept[IllegalArgumentException] {
+      Retrieval.appendBm25(spark, dir, docs.where(F.col("doc_id") === 2L),
+        "text", "doc_id", checkDisjoint = true)
+    }
+    assert(clash.getMessage.contains("already in the index"))
+    // empty delta is a no-op, not a corrupt stamp
+    Retrieval.appendBm25(spark, dir, docs.where(F.lit(false)), "text", "doc_id")
+    assert(Retrieval.loadBm25(spark, dir).nDocs == 2L)
+  }
+
   test("common-line removal: corpus-wide boilerplate excised, order and shorts preserved") {
     import spark.implicits._
     import graft.pipeline.QualityFilters

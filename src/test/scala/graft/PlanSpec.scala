@@ -290,6 +290,14 @@ class PlanSpec extends AnyFunSuite {
     assert(big.contains("Union"), big)
   }
 
+  test("weighted sampling: distributed top-n, no global sort, no shuffle of the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("wt", F.char_length(F.col("text")).cast("double"))
+    val p = plan(graft.pipeline.DataMix.sampleWeightedN(docs, "doc_id", "wt", 100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("epoch shuffle: one shard-keyed exchange, no global sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
     val p = plan(graft.pipeline.DataMix.epochShuffle(docs, "doc_id", 7L, 32))
