@@ -294,4 +294,43 @@ object Retrieval {
     scoreQuery(index, terms, k1, b)
       .orderBy(F.col("score").desc, F.col("id").asc).limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N ranked
+    * retrieval lists — the standard hybrid-retrieval combiner (BM25 +
+    * dense-embedding lists fused without score calibration, since only
+    * RANKS enter the formula):
+    *
+    *   rrf(d) = Σ_i 1 / (kRrf + rank_i(d)),   rank = 1-based ordinal by
+    *   (score desc, id asc); a document absent from list i contributes 0.
+    *
+    * Each input is (idCol, scoreCol). Output: (id, rank_0..rank_{n-1},
+    * rrf) — absent ranks are NULL. Deterministic bit-for-bit: ranks are
+    * exact integers, each term 1.0/(kRrf+rank) is one correctly-rounded
+    * IEEE division, and the sum folds in fixed list order — which is what
+    * makes the q_retrieval_rrf gate a full value-hash oracle.
+    *
+    * Shape for 100 TB: ranking each list goes through
+    * [[graft.operators.ScalableRank]] (range-repartition + per-partition
+    * windows + a broadcast offsets join — no single-reducer global
+    * window), and the fusion is a series of full-outer hash joins on id.
+    * In practice the inputs are top-k candidate lists (bounded), so the
+    * joins are small; the distributed rank keeps corpus-wide lists safe
+    * too. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      graft.operators.ScalableRank.withRank(
+          df.select(F.col(idCol).as("id"), F.col(scoreCol).as("score")),
+          "score", as = s"rank_$i", method = "ordinal",
+          descending = true, tiebreakers = Seq("id"))
+        .select(F.col("id"), F.col(s"rank_$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = lists.indices
+      .map(i => F.coalesce(
+        F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col(s"rank_$i")), F.lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf", rrf.cast(DoubleType))
+  }
 }

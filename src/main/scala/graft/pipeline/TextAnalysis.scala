@@ -71,6 +71,23 @@ object TextAnalysis {
     (lengthOk + alphaRatio + stopRatio + distinctRatio) / 4.0
   }
 
+  /** CCNet-style normalization (Wenzek et al. 2020 §4.1) — the canonical
+    * text key used before hashing for deduplication, so near-identical
+    * documents differing only in case, digits, punctuation, or spacing
+    * collapse to one key: lowercase, every digit → `0`, Unicode
+    * punctuation/symbols stripped, whitespace runs collapsed, trimmed.
+    *
+    * Pure regexp_replace chain — codegen'd, row-local, zero shuffle. The
+    * character classes are limited to ones Java regex and RE2 interpret
+    * identically (`[0-9]`, `\p{P}`, `\p{S}`, `\s`), which is what keeps a
+    * normalized-key dedup oracle-checkable across engines. */
+  def normalizeText(text: Column): Column =
+    F.trim(F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(F.lower(text), "[0-9]", "0"),
+        "[\\p{P}\\p{S}]", ""),
+      "\\s+", " "))
+
   /** Document fingerprint: md5 over the first n normalized tokens — a cheap
     * prefix fingerprint for clustering boilerplate. */
   def prefixFingerprint(text: Column, n: Int = 8): Column =

@@ -506,6 +506,65 @@ object PipelineOracles {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
         |    AS INTEGER) AS pos
-        |FROM s ORDER BY shard, pos""".stripMargin
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "q_text_normalize" ->
+      // the same three regexp_replace passes in the same order; DuckDB
+      // needs the explicit 'g' flag where Spark's regexp_replace is
+      // always global
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[0-9]', '0', 'g'), '[\p{P}\p{S}]', '', 'g'), '\s+', ' ', 'g'))
+        |    AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact_normalized" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |      '[0-9]', '0', 'g'), '[\p{P}\p{S}]', '', 'g'), '\s+', ' ', 'g'))
+        |      AS norm
+        |  FROM documents)
+        |SELECT md5(norm) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM n GROUP BY norm ORDER BY text_hash""".stripMargin,
+    "q_retrieval_rrf" ->
+      s"""WITH bm AS ($bm25Sql),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |      AS BIGINT) AS rank_0
+         |  FROM bm),
+         |dn AS (
+         |  SELECT c.vec_id AS id,
+         |    ${cosExpr("c.embedding", "q.embedding")} AS score
+         |  FROM embeddings c,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE c.vec_id <> 0),
+         |dr AS (
+         |  SELECT id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, id ASC)
+         |      AS BIGINT) AS rank_1
+         |  FROM dn)
+         |SELECT COALESCE(l.id, d.id) AS doc_id, l.rank_0, d.rank_1,
+         |  COALESCE(1.0e0 / (60.0e0 + l.rank_0), 0.0e0) +
+         |  COALESCE(1.0e0 / (60.0e0 + d.rank_1), 0.0e0) AS rrf
+         |FROM lex l FULL OUTER JOIN dr d ON l.id = d.id
+         |ORDER BY doc_id""".stripMargin,
+    "q_zorder_key" -> {
+      // identical quantize-then-interleave arithmetic, generated from the
+      // same (bits, dims) loop as ZOrder.zKey
+      def quant(col: String, lo: Double, hi: Double) =
+        s"CAST(floor((least(greatest(CAST($col AS DOUBLE), $lo), $hi) - $lo)" +
+          s" / ${hi - lo} * 255.0) AS BIGINT)"
+      val terms = for { b <- 0 until 8; j <- 0 until 2 }
+        yield s"(((q$j >> $b) & 1) << ${b * 2 + j})"
+      s"""WITH qz AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ${quant("l_extendedprice", 900.0, 105000.0)} AS q0,
+         |    ${quant("l_discount", 0.0, 0.11)} AS q1
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS z_key
+         |FROM qz ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }
   )
 }

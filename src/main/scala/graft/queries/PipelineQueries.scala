@@ -495,6 +495,58 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // --- normalization / hybrid retrieval / layout ---
+    "q_text_normalize" -> ((s, dir) => {
+      // CCNet canonical text key: lower, digits→0, Unicode punct/symbols
+      // stripped, whitespace collapsed — restricted to regex classes Java
+      // and RE2 interpret identically, so the key hash-matches DuckDB
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          TextAnalysis.normalizeText(F.col("text")).as("norm"))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_exact_normalized" -> ((s, dir) => {
+      // exact dedup over the normalized key: case/digit/punct/spacing
+      // variants collapse to one group; same map-side-combine shape as
+      // q_dedup_exact, the key expression is the only difference
+      val norm = t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          TextAnalysis.normalizeText(F.col("text")).as("norm"))
+      Dedup.exact(norm, "norm", "doc_id")
+        .orderBy("text_hash")
+    }),
+    "q_retrieval_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical list fused with a dense cosine list
+      // by reciprocal-rank fusion. Ranks are exact ints (distributed rank,
+      // id tiebreak), each contribution is one IEEE division, the sum
+      // folds in fixed list order → full value-hash oracle.
+      val idx = graft.pipeline.Retrieval.buildBm25(
+        t(s, dir, "documents"), "text", "doc_id")
+      val lexical = graft.pipeline.Retrieval.scoreQuery(
+          idx, Seq("spark", "customer", "vector"), k1 = 1.5, b = 0.75)
+        .select("id", "score")
+      val q0 = t(s, dir, "embeddings").where(F.col("vec_id") === 0)
+        .select(F.col("embedding").as("q_emb"))
+      val dense = t(s, dir, "embeddings").where(F.col("vec_id") =!= 0)
+        .crossJoin(F.broadcast(q0))
+        .select(F.col("vec_id").as("id"),
+          Similarity.cosine(F.col("embedding"), F.col("q_emb")).as("score"))
+      graft.pipeline.Retrieval.rrfFuse(Seq(lexical, dense), "id", "score")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q_zorder_key" -> ((s, dir) => {
+      // Morton key over (price, discount): row-local exact arithmetic
+      // after one floor-quantization — the layout key behind
+      // multi-dimension file skipping, checked bit-for-bit vs DuckDB
+      t(s, dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          graft.operators.ZOrder.zKey(
+            Seq(F.col("l_extendedprice"), F.col("l_discount")),
+            Seq((900.0, 105000.0), (0.0, 0.11)), bits = 8).as("z_key"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // --- events / JSON ---
     "q_events_json" -> ((s, dir) => {
       val e = t(s, dir, "events")

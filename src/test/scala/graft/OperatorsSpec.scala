@@ -146,6 +146,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dyn((1, 0L)) == 6.0 && dyn((1, 30L)) == 4.0 && dyn((2, 0L)) == 5.0)
   }
 
+  test("z-order key matches a bit-twiddling reference implementation") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val bits = 8
+    val bounds = Seq((0.0, 100.0), (0.0, 1.0))
+    def refQuant(x: Double, lo: Double, hi: Double): Long =
+      math.floor((math.min(math.max(x, lo), hi) - lo) / (hi - lo)
+        * ((1L << bits) - 1)).toLong
+    def refKey(x: Double, y: Double): Long = {
+      val (qx, qy) = (refQuant(x, 0.0, 100.0), refQuant(y, 0.0, 1.0))
+      (0 until bits).map(b =>
+        (((qx >> b) & 1L) << (b * 2)) | (((qy >> b) & 1L) << (b * 2 + 1))).sum
+    }
+    val pts = Seq((0.0, 0.0), (100.0, 1.0), (50.0, 0.5), (99.99, 0.01),
+      (13.7, 0.42), (-5.0, 2.0) /* clamps to corners */)
+    val got = pts.toDF("x", "y")
+      .select(ZOrder.zKey(Seq(F.col("x"), F.col("y")), bounds, bits).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pts.map { case (x, y) => refKey(x, y) })
+    // full-scale corner interleaves to all ones across both dims; the
+    // out-of-bounds row clamps to the (lo, hi) corner = y-bits only
+    assert(refKey(100.0, 1.0) == (1L << (2 * bits)) - 1)
+    assert(got(1) == (1L << (2 * bits)) - 1)
+    assert(got(5) == refKey(0.0, 1.0))
+  }
+
+  test("z-order clustering tightens per-partition envelopes in BOTH dims") {
+    import graft.operators.ZOrder
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_extendedprice", "l_discount")
+    val bounds = Seq((900.0, 105000.0), (0.0, 0.11))
+    val parts = 16
+    val clustered = ZOrder.clusterByZOrder(li,
+      Seq("l_extendedprice", "l_discount"), bounds, bits = 8,
+      numPartitions = Some(parts))
+    // the one shuffle is a range exchange on the key
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange on z_key, plan:\n$plan")
+    val ranges = clustered
+      .groupBy(F.spark_partition_id().as("pid"))
+      .agg((F.max("l_extendedprice") - F.min("l_extendedprice")).as("pr"),
+        (F.max("l_discount") - F.min("l_discount")).as("dr"))
+      .collect()
+    // every z-contiguous partition must be tight in at least the coarse
+    // (high-order) bits of both dimensions: mean envelope well under the
+    // global range — the property min/max file skipping relies on
+    val meanPr = ranges.map(_.getAs[Double]("pr")).sum / ranges.length
+    val meanDr = ranges.map(_.getAs[Double]("dr")).sum / ranges.length
+    assert(meanPr < (105000.0 - 900.0) / 2.0,
+      s"price envelopes not tightened: mean $meanPr")
+    assert(meanDr < 0.11 / 2.0,
+      s"discount envelopes not tightened: mean $meanDr")
+  }
+
+  test("z-order argument validation") {
+    import graft.operators.ZOrder
+    intercept[IllegalArgumentException](
+      ZOrder.zKey(Seq(F.col("x")), Seq((0.0, 1.0), (0.0, 1.0)), 8))
+    intercept[IllegalArgumentException](
+      ZOrder.zKey(Seq(F.col("x"), F.col("y")), Seq((0.0, 1.0), (0.0, 1.0)), 32))
+    intercept[IllegalArgumentException](ZOrder.quantize(F.col("x"), 1.0, 1.0, 8))
+  }
+
   test("partitioned store write prunes on the partition column") {
     val store = new graft.store.TableStore(
       java.nio.file.Files.createTempDirectory("graft-part-store").toString, spark)

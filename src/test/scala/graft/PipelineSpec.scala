@@ -1351,6 +1351,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) == (("unique prefix here and a unique suffix tail", 30L)))
   }
 
+  test("rrf fusion: known ranks, absent docs contribute zero, exact doubles") {
+    import spark.implicits._
+    val lex = Seq((1L, 10.0), (2L, 5.0)).toDF("id", "score")
+    val dense = Seq((2L, 0.9), (3L, 0.8)).toDF("id", "score")
+    val got = Retrieval.rrfFuse(Seq(lex, dense), "id", "score", kRrf = 60)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getAs[Double]("rrf"))).toMap
+    // doc 1: rank 1 lexical only; doc 2: rank 2 + rank 1; doc 3: dense only
+    assert(got(1L) == ((Some(1L), None, 1.0 / 61.0 + 0.0)))
+    assert(got(2L) == ((Some(2L), Some(1L), 1.0 / 62.0 + 1.0 / 61.0)))
+    assert(got(3L) == ((None, Some(2L), 0.0 + 1.0 / 62.0)))
+  }
+
+  test("rrf fusion: score ties break by id, ranks are a permutation") {
+    import spark.implicits._
+    val tied = Seq((5L, 1.0), (3L, 1.0), (9L, 2.0), (1L, 1.0)).toDF("id", "score")
+    val ranks = Retrieval.rrfFuse(Seq(tied), "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks == Map(9L -> 1L, 1L -> 2L, 3L -> 3L, 5L -> 4L))
+  }
+
+  test("normalizeText: CCNet canonical key semantics") {
+    import spark.implicits._
+    val got = Seq(
+      "Hello, World!  123",
+      "  spaced\tout\ttext  ",
+      "price: $45.99 (sale)",
+      "UPPER lower MiXeD").toDF("t")
+      .select(TextAnalysis.normalizeText(F.col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "hello world 000",
+      "spaced out text",
+      "price 0000 sale",
+      "upper lower mixed"))
+  }
+
   test("incremental near-dup: an unstamped band index fails loudly") {
     import spark.implicits._
     val history = Seq((1L, "some history document text here")).toDF("id", "text")

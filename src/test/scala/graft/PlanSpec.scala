@@ -392,6 +392,44 @@ class PlanSpec extends AnyFunSuite {
     assert(prunedFiles < totalFiles, s"$prunedFiles vs $totalFiles files")
   }
 
+  test("z-order key: row-local expression, zero exchanges before the re-layout") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val keyed = li.select(F.col("l_orderkey"),
+      graft.operators.ZOrder.zKey(
+        Seq(F.col("l_extendedprice"), F.col("l_discount")),
+        Seq((900.0, 105000.0), (0.0, 0.11)), bits = 8).as("z"))
+    val p = plan(keyed)
+    // pure projection over the scan: no exchange, no window, stays in one
+    // whole-stage-codegen span (the `*(1)` prefix in the executed plan)
+    assert(count(p, "Exchange") == 0, p)
+    assert(p.contains("*(1) Project"), p)
+    // the clustering form adds exactly the one range exchange any
+    // re-layout needs
+    val clustered = plan(graft.operators.ZOrder.clusterByZOrder(
+      li, Seq("l_extendedprice", "l_discount"),
+      Seq((900.0, 105000.0), (0.0, 0.11)), bits = 8))
+    assert(count(clustered, "Exchange") == 1, clustered)
+    assert(clustered.contains("rangepartitioning(z_key"), clustered)
+  }
+
+  test("rrf fusion: distributed ranks (range exchange), no single-reducer window") {
+    import spark.implicits._
+    val a = spark.read.parquet(s"$sf/documents.parquet")
+      .select(F.col("doc_id").as("id"),
+        F.col("n_chars").cast("double").as("score"))
+    val b = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(F.col("vec_id").as("id"),
+        F.col("label").cast("double").as("score"))
+    val p = plan(graft.pipeline.Retrieval.rrfFuse(Seq(a, b), "id", "score"))
+    // each list ranks via ScalableRank, whose range exchange materializes
+    // inside a localCheckpoint — what the final plan must show is the
+    // WITHIN-PARTITION window (partitioned by the checkpoint-pinned pid),
+    // never an unpartitioned row_number over the whole list
+    assert(p.contains("windowspecdefinition($td.__pid"), p)
+    assert(!p.contains("windowspecdefinition(score"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
