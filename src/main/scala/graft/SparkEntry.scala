@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.ParityQueries.queries ++
       graft.queries.ScaleQueries.queries ++
       graft.queries.QualityQueries.queries ++
+      graft.queries.CurationQueries.queries ++
       graft.queries.AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.ParityOracles.oracleSql ++
       graft.queries.ScaleOracles.oracleSql ++
       graft.queries.QualityOracles.oracleSql ++
+      graft.queries.CurationOracles.oracleSql ++
       graft.queries.AnalyticsOracles.oracleSql
 }

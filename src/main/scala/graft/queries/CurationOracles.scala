@@ -1,0 +1,62 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[CurationQueries]]. The URL synthesis, host
+  * extraction, and registered-domain rule are expressed with the same
+  * engine-portable string operations as the Spark side. */
+object CurationOracles {
+
+  /** Shared CTE chain: synthesized url → host → registered domain. */
+  private val DomainCtes: String =
+    """WITH u AS (
+      |  SELECT doc_id, text,
+      |    'HTTPS://'
+      |      || CASE WHEN doc_id % 5 = 0 THEN 'u:pw@' ELSE '' END
+      |      || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+      |           WHEN 2 THEN 'a.b.' ELSE '' END
+      |      || 'site' || CAST(doc_id % 11 AS VARCHAR) || '.'
+      |      || CASE doc_id % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+      |           ELSE 'org' END
+      |      || CASE WHEN doc_id % 6 = 0 THEN ':8443' ELSE '' END
+      |      || '/p/' || CAST(doc_id AS VARCHAR)
+      |      || CASE WHEN doc_id % 7 = 0 THEN '?x=1' ELSE '' END AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract(regexp_replace(regexp_replace(lower(url),
+      |      '^[a-z][a-z0-9+.-]*://', ''), '^[^/@]*@', ''),
+      |      '^([^/:?#]+)', 1) AS host
+      |  FROM u),
+      |p AS (
+      |  SELECT doc_id, text, host, string_split(host, '.') AS parts FROM h),
+      |r AS (
+      |  SELECT doc_id, text, host,
+      |    CASE WHEN len(parts) >= 3 AND parts[len(parts)-1] IN
+      |           ('ac','co','com','edu','gov','net','org')
+      |      THEN array_to_string(parts[len(parts)-2:len(parts)], '.')
+      |      WHEN len(parts) >= 2
+      |      THEN array_to_string(parts[len(parts)-1:len(parts)], '.')
+      |      ELSE host END AS domain
+      |  FROM p)""".stripMargin
+
+  // NOTE: DomainCtes contains `||` at line starts, so the final strings are
+  // plain-concatenated — re-running stripMargin over the combined text
+  // would eat the first `|` of each concatenation operator.
+  val oracleSql: Map[String, String] = Map(
+    "q_domain_stats" -> (DomainCtes + "\n" +
+      """SELECT domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin),
+    "q_domain_cap" -> (DomainCtes + ",\n" +
+      """rn AS (
+        |  SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+        |  FROM r)
+        |SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM rn WHERE rk <= 5 ORDER BY domain, rk""".stripMargin),
+    "q_domain_blocklist" -> (DomainCtes + "\n" +
+      """SELECT doc_id, domain FROM r
+        |WHERE domain NOT IN ('site1.com', 'site4.co.uk', 'site7.org')
+        |ORDER BY doc_id""".stripMargin))
+}

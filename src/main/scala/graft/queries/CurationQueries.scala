@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types.LongType
+
+import graft.pipeline.Domains
+
+/** Domain-level curation gates: registered-domain extraction, per-domain
+  * corpus statistics, per-domain contribution caps, and blocklist
+  * filtering — the host-side steps of a C4/RefinedWeb-style web-corpus
+  * pipeline. The documents table carries no URL column, so one is
+  * synthesized deterministically from `doc_id` on BOTH the Spark and
+  * DuckDB sides, mixing subdomain depth, userinfo, ports, query strings,
+  * and two-label public-suffix TLDs so the extraction logic is exercised
+  * on realistic shapes. */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic URL synthesized from doc_id (same formula in the
+    * oracle SQL): rotates subdomain prefix (incl. a two-level one),
+    * site number, TLD (incl. `co.uk`), userinfo, port, and query. */
+  private def synthUrl: Column = {
+    val id = F.col("doc_id")
+    F.concat(F.lit("HTTPS://"),
+      F.when(id % 5 === 0, F.lit("u:pw@")).otherwise(F.lit("")),
+      F.when(id % 4 === 0, F.lit("www."))
+        .when(id % 4 === 1, F.lit("blog."))
+        .when(id % 4 === 2, F.lit("a.b."))
+        .otherwise(F.lit("")),
+      F.lit("site"), (id % 11).cast("string"), F.lit("."),
+      F.when(id % 3 === 0, F.lit("co.uk"))
+        .when(id % 3 === 1, F.lit("com"))
+        .otherwise(F.lit("org")),
+      F.when(id % 6 === 0, F.lit(":8443")).otherwise(F.lit("")),
+      F.lit("/p/"), id.cast("string"),
+      F.when(id % 7 === 0, F.lit("?x=1")).otherwise(F.lit("")))
+  }
+
+  private def withUrl(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(F.col("doc_id"), F.col("text"), synthUrl.as("url"))
+
+  val queries: Map[String, Q] = Map(
+    "q_domain_stats" -> ((s, dir) => {
+      Domains.domainStats(withUrl(s, dir), "url", "text")
+        .orderBy("domain")
+    }),
+    "q_domain_cap" -> ((s, dir) => {
+      Domains.capPerDomain(withUrl(s, dir), "url", "doc_id", maxDocs = 5)
+        .select(F.col("domain"), F.col("rk").cast(LongType).as("rk"),
+          F.col("doc_id"))
+        .orderBy("domain", "rk")
+    }),
+    "q_domain_blocklist" -> ((s, dir) => {
+      Domains.filterBlockedDomains(withUrl(s, dir), "url",
+          blocked = Seq("site1.com", "site4.co.uk", "site7.org"))
+        .select(F.col("doc_id"), F.col("domain"))
+        .orderBy("doc_id")
+    }))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Domains
+
+/** Domain-level curation: registered-domain extraction edge cases, cap
+  * determinism, and the broadcast shape of the table-blocklist filter. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("registeredDomain: PSL heuristic, subdomains, userinfo, ports, bare hosts") {
+    val cases = Seq(
+      "https://WWW.Example.COM/path?q=1"      -> "example.com",
+      "http://a.b.news.example.co.uk:8080/x"  -> "example.co.uk",
+      "https://u:pw@deep.sub.site.org/"       -> "site.org",
+      "ftp://files.example.net"               -> "example.net",
+      "example.com/no-scheme"                 -> "example.com",
+      "https://localhost/x"                   -> "localhost",
+      "https://api.gov.au/x"                  -> "api.gov.au",
+      "https://example.ac.jp"                 -> "example.ac.jp")
+    val got = cases.map(_._1).toDF("url")
+      .select(Domains.registeredDomainOfUrl(F.col("url")).as("d"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("capPerDomain keeps the lowest-id docs and numbers them 1..n") {
+    val docs = Seq(
+      (3L, "https://a.example.com/1"), (1L, "https://b.example.com/2"),
+      (2L, "https://example.com/3"), (9L, "https://other.org/4"),
+      (5L, "https://example.com/5"))
+      .toDF("id", "url")
+    val capped = Domains.capPerDomain(docs, "url", "id", maxDocs = 2)
+      .select("domain", "rk", "id").as[(String, Int, Long)].collect().toSet
+    assert(capped == Set(("example.com", 1, 1L), ("example.com", 2, 2L),
+      ("other.org", 1, 9L)))
+  }
+
+  test("blocklist filters match subdomain variants of the registered domain") {
+    val docs = Seq(
+      (1L, "https://www.bad.com/x"), (2L, "https://deep.sub.bad.com/y"),
+      (3L, "https://bad.com.good.org/z"), (4L, "https://good.org/w"))
+      .toDF("id", "url")
+    val kept = Domains.filterBlockedDomains(docs, "url", Seq("BAD.com"))
+      .select("id").as[Long].collect().toSet
+    // 3 survives: its registered domain is good.org (bad.com is a subdomain label)
+    assert(kept == Set(3L, 4L))
+    val keptDf = Domains.filterBlockedDomainsDf(docs, "url",
+      Seq("bad.com").toDF("d"), "d").select("id").as[Long].collect().toSet
+    assert(keptDf == Set(3L, 4L))
+  }
+
+  test("table-blocklist filter plans as a broadcast anti-join") {
+    val docs = Seq((1L, "https://a.com/x")).toDF("id", "url")
+    val plan = Domains.filterBlockedDomainsDf(docs, "url",
+      Seq("b.com").toDF("d"), "d").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti join, got:\n$plan")
+  }
+}
