@@ -1,0 +1,226 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Embedding quantization for memory-bounded similarity search — the
+  * standard compression ladder for vector corpora too large to hold in
+  * float32 (Jégou, Douze & Schmid 2011, "Product Quantization for
+  * Nearest Neighbor Search"):
+  *
+  *   - SQ8: per-dimension scalar quantization to 8-bit codes (4×
+  *     compression). Search is ASYMMETRIC (Jégou et al. §III.B): the
+  *     query stays full-precision, only the corpus side is
+  *     quantize→dequantize — so the only error is the corpus rounding,
+  *     and the whole pipeline stays a closed-form expression both
+  *     engines can evaluate: q_ann_sq8 carries a full DuckDB value
+  *     oracle, bit for bit.
+  *   - PQ: product quantization — the vector splits into `m` subvectors,
+  *     each encoded as the id of its nearest per-subspace centroid
+  *     (`ks` per subspace, trained by Lloyd iterations), for
+  *     m·log2(ks) bits per vector (e.g. 64-dim float32 → 8 bytes at
+  *     m=8, ks=256: 32×). Search scores codes against a per-query
+  *     distance table without reconstructing vectors.
+  *
+  * Scale shape: training statistics are bounded metadata (dim rows for
+  * SQ8, m·ks·dsub doubles for PQ) collected once and re-planted as plan
+  * literals; the corpus is never collected and never shuffles except the
+  * per-query top-k window that every ANN path here shares.
+  */
+object Quantize {
+
+  // ------------------------------------------------------------------
+  // SQ8 — per-dimension 8-bit scalar quantization
+  // ------------------------------------------------------------------
+
+  /** Per-dimension [min, max] ranges; codes are 0..255 over that range. */
+  final case class Sq8Params(mins: Array[Double], maxs: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** Train SQ8 ranges: one posexplode → groupBy(dim) min/max aggregation.
+    * Output is `dim` rows — bounded metadata (IVF-centroid class), the
+    * corpus is read once and never collected. */
+  def trainSq8(corpus: DataFrame, vecCol: String): Sq8Params = {
+    val rows = corpus
+      .select(F.posexplode(F.col(vecCol).cast(ArrayType(DoubleType))).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(F.min("x").as("mn"), F.max("x").as("mx"))
+      .orderBy("dim").collect()
+    Sq8Params(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** 8-bit codes of a vector: round(255·(x−mn)/(mx−mn)) per dimension
+    * (0 where the dimension is constant). Codegen'd transform over
+    * literal range arrays — zero shuffle. */
+  def encodeSq8(vec: Column, p: Sq8Params): Column = {
+    val mins = F.array(p.mins.map(F.lit): _*)
+    val maxs = F.array(p.maxs.map(F.lit): _*)
+    F.transform(F.sequence(F.lit(0), F.lit(p.dim - 1)), i => {
+      val x = F.element_at(vec, i + 1).cast(DoubleType)
+      val mn = F.element_at(mins, i + 1)
+      val mx = F.element_at(maxs, i + 1)
+      F.when(mx === mn, F.lit(0))
+        .otherwise(F.round((x - mn) / (mx - mn) * 255.0).cast(IntegerType))
+    })
+  }
+
+  /** Reconstructed (dequantized) vector from SQ8 codes:
+    * mn + code·(mx−mn)/255 per dimension. */
+  def dequantSq8(codes: Column, p: Sq8Params): Column = {
+    val mins = F.array(p.mins.map(F.lit): _*)
+    val maxs = F.array(p.maxs.map(F.lit): _*)
+    F.transform(F.sequence(F.lit(0), F.lit(p.dim - 1)), i => {
+      val code = F.element_at(codes, i + 1).cast(DoubleType)
+      val mn = F.element_at(mins, i + 1)
+      val mx = F.element_at(maxs, i + 1)
+      mn + code * (mx - mn) / 255.0
+    })
+  }
+
+  /** Asymmetric SQ8 top-k: full-precision queries against the
+    * quantize→dequantize corpus — [[Similarity.bruteForceTopK]]'s exact
+    * shape (broadcast query side, corpus read once, per-query top-k
+    * window), with the corpus side carrying only its 8-bit codes. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, p: Sq8Params): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("nbr_id"),
+      dequantSq8(encodeSq8(F.col(vecCol), p), p).as("cv"))
+    val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"))
+    val scored = c.join(F.broadcast(q), F.col("query_id") =!= F.col("nbr_id"))
+      .withColumn("cos", Similarity.cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos").desc, F.col("nbr_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
+  // ------------------------------------------------------------------
+  // PQ — product quantization
+  // ------------------------------------------------------------------
+
+  /** Per-subspace codebooks: centroids(sub)(code) is a dsub-dim vector. */
+  final case class PqCodebook(m: Int, ks: Int, dim: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    def dsub: Int = dim / m
+  }
+
+  /** (id, sub, sv) subvector rows: sub ∈ [0, m), sv the dsub-dim slice. */
+  private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): DataFrame =
+    corpus.select(F.col(idCol).as("id"),
+        F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+          s => F.slice(F.col(vecCol).cast(ArrayType(DoubleType)),
+            s * dsub + 1, F.lit(dsub)))).as(Seq("sub", "sv")))
+
+  /** Codebook relation (sub, code, cv) for broadcast joins. */
+  private def codebookDf(df: DataFrame, cb: PqCodebook): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    (for (s <- 0 until cb.m; c <- 0 until cb.ks)
+      yield (s, c, cb.centroids(s)(c).toSeq)).toDF("sub", "code", "cv")
+  }
+
+  /** Nearest-centroid code per (id, sub): broadcast join against the
+    * codebook, min-by (distance, code) — ties to the lowest code id,
+    * deterministic under any partitioning. */
+  private def assignCodes(sv: DataFrame, cb: PqCodebook): DataFrame =
+    sv.join(F.broadcast(codebookDf(sv, cb)), Seq("sub"))
+      .withColumn("d", graft.expressions.VectorKernels.sqdist(F.col("sv"), F.col("cv")))
+      .groupBy("id", "sub")
+      .agg(F.min(F.struct(F.col("d"), F.col("code"))).as("best"))
+      .select(F.col("id"), F.col("sub"), F.col("best.code").as("code"))
+
+  /** Train per-subspace codebooks: deterministic init (each subspace's
+    * seed centroids are the `ks` lowest-id vectors' subvectors), then
+    * `iters` Lloyd passes. ALL m subspaces train in the same distributed
+    * jobs — one assignment join and one (sub, code, dim) mean
+    * aggregation per iteration, never m separate k-means runs. Centroids
+    * (m·ks·dsub doubles) live on the driver between passes; the corpus
+    * is never collected. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, iters: Int = 3): PqCodebook = {
+    val dim = corpus.select(F.size(F.col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val sv = subvectors(corpus, idCol, vecCol, m, dsub)
+    val seeds = corpus.orderBy(idCol).limit(ks)
+      .select(F.col(vecCol).cast(ArrayType(DoubleType))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ks, s"corpus has ${seeds.length} < ks=$ks vectors")
+    var centroids: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ks)((s, c) => seeds(c).slice(s * dsub, (s + 1) * dsub))
+    var cb = PqCodebook(m, ks, dim, centroids)
+    for (_ <- 0 until iters) {
+      val means = assignCodes(sv, cb)
+        .join(sv, Seq("id", "sub"))
+        .select(F.col("sub"), F.col("code"), F.posexplode(F.col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "code", "dim")
+        .agg(F.avg("x").as("mean"))
+        .collect()
+      val byCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      centroids = Array.tabulate(m, ks) { (s, c) =>
+        byCell.get((s, c)) match {
+          case Some(rows) => rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          case None => centroids(s)(c) // empty cell keeps its centroid
+        }
+      }
+      cb = PqCodebook(m, ks, dim, centroids)
+    }
+    cb
+  }
+
+  /** PQ-encode a corpus: (id, codes array<int> of length m, normsq) —
+    * `normsq` is ‖x̂‖² = Σ_sub ‖centroid(sub)(code)‖², precomputed at
+    * encode time so cosine search never reconstructs vectors. */
+  def encodePq(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook): DataFrame = {
+    val sv = subvectors(corpus, idCol, vecCol, cb.m, cb.dsub)
+    val cellNorm = F.array((0 until cb.m).map(s => F.array(
+      (0 until cb.ks).map(c => F.lit(cb.centroids(s)(c).map(x => x * x).sum)): _*)): _*)
+    assignCodes(sv, cb)
+      .groupBy("id")
+      .agg(F.transform(F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
+        x => x.getField("code")).as("codes"))
+      .withColumn("normsq", F.aggregate(
+        F.sequence(F.lit(0), F.lit(cb.m - 1)), F.lit(0.0),
+        (acc, s) => acc + F.element_at(F.element_at(cellNorm, s + 1),
+          F.element_at(F.col("codes"), s + 1) + 1)))
+  }
+
+  /** Asymmetric-distance PQ top-k over an encoded corpus: each (query,
+    * code-vector) pair scores as
+    *   cos ≈ Σ_sub ⟨q_sub, centroid(sub)(code_sub)⟩ / (‖q‖·‖x̂‖)
+    * — the codebook rides the plan as a literal m×ks×dsub array, the
+    * query side is broadcast, and the per-pair sum folds sub = 0..m−1
+    * sequentially (deterministic association, same contract as the exact
+    * cosine kernel). Approximate BY DESIGN: recall vs [[Similarity
+    * .bruteForceTopK]] is pinned by RecallSpec, and ks = corpus-size
+    * degenerates it to exact (every vector its own centroid). */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, queryIdCol: String,
+      vecCol: String, k: Int, cb: PqCodebook): DataFrame = {
+    val cbLit = F.array((0 until cb.m).map(s => F.array(
+      (0 until cb.ks).map(c => F.array(cb.centroids(s)(c).map(F.lit): _*)): _*)): _*)
+    val q = queries.select(F.col(queryIdCol).as("query_id"),
+      F.col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
+    val dot = F.aggregate(F.sequence(F.lit(0), F.lit(cb.m - 1)), F.lit(0.0),
+      (acc, s) => {
+        val cell = F.element_at(F.element_at(cbLit, s + 1),
+          F.element_at(F.col("codes"), s + 1) + 1)
+        val sub = F.slice(F.col("qv"), s * cb.dsub + 1, F.lit(cb.dsub))
+        acc + F.aggregate(F.zip_with(sub, cell, (a, b) => a * b),
+          F.lit(0.0), (a2, x) => a2 + x)
+      })
+    val qnorm = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), (a, x) => a + x * x))
+    val scored = encoded.join(F.broadcast(q), F.col("query_id") =!= F.col("id"))
+      .withColumn("cos", dot / (qnorm * F.sqrt(F.col("normsq"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos").desc, F.col("id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("rank"), F.col("id").as("nbr_id"), F.col("cos"))
+  }
+}

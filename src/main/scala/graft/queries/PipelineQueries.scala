@@ -135,6 +135,27 @@ object PipelineQueries {
           "vec_id", "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_sq8" -> ((s, dir) => {
+      // asymmetric scalar quantization: corpus side 8-bit codes, query
+      // full precision — closed-form, so the gate is a FULL value oracle
+      val emb = t(s, dir, "embeddings")
+      val p = graft.pipeline.Quantize.trainSq8(emb, "embedding")
+      graft.pipeline.Quantize.sq8TopK(emb, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", k = 10, p)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_pq" -> ((s, dir) => {
+      // product quantization: Lloyd-trained per-subspace codebooks → codes
+      // are init/data-dependent → rows-only check; RecallSpec pins measured
+      // recall vs brute force and the ks=N exact degeneracy
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+        m = 8, ks = 16, iters = 2)
+      val enc = graft.pipeline.Quantize.encodePq(emb, "vec_id", "embedding", cb)
+      graft.pipeline.Quantize.pqTopK(enc, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, cb)
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // centroid routing is data/init-dependent → rows-only check
       val emb = t(s, dir, "embeddings")
