@@ -150,7 +150,7 @@ object PipelineQueries {
       // recall vs brute force and the ks=N exact degeneracy
       val emb = t(s, dir, "embeddings")
       val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
-        m = 8, ks = 16, iters = 2)
+        m = 16, ks = 128, iters = 2)
       val enc = graft.pipeline.Quantize.encodePq(emb, "vec_id", "embedding", cb)
       graft.pipeline.Quantize.pqTopK(enc, emb.filter(F.col("vec_id") < 5),
           "vec_id", "embedding", k = 10, cb)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Quantize, Similarity}
+
+/** SQ8/PQ quantization: round-trip error bounds, code ranges, the ks=N
+  * exact degeneracy, and measured PQ recall vs brute force on the
+  * deterministic test embeddings. */
+class QuantizeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import TestSession.sf
+
+  def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("sq8 codes are in [0,255] and round-trip error is within half a step") {
+    val p = Quantize.trainSq8(emb, "embedding")
+    val stats = emb.select(
+        Quantize.encodeSq8(F.col("embedding"), p).as("codes"),
+        F.col("embedding").cast("array<double>").as("v"))
+      .select(F.col("codes"),
+        Quantize.dequantSq8(F.col("codes"), p).as("deq"), F.col("v"))
+      .select(
+        F.array_min(F.col("codes")).as("cmin"),
+        F.array_max(F.col("codes")).as("cmax"),
+        F.array_max(F.transform(F.zip_with(F.col("v"), F.col("deq"),
+          (a, b) => F.abs(a - b)), x => x)).as("err"))
+      .agg(F.min("cmin"), F.max("cmax"), F.max("err"))
+      .head()
+    assert(stats.getInt(0) >= 0 && stats.getInt(1) <= 255)
+    // max reconstruction error ≤ half a quantization step of the widest dim
+    val p2 = Quantize.trainSq8(emb, "embedding")
+    val maxStep = p2.maxs.zip(p2.mins).map { case (mx, mn) => (mx - mn) / 255.0 }.max
+    assert(stats.getDouble(2) <= maxStep / 2 + 1e-12,
+      s"err ${stats.getDouble(2)} > half-step ${maxStep / 2}")
+  }
+
+  test("sq8 top-k ranks close to brute force on the test corpus (recall@10 ≥ 0.9)") {
+    val p = Quantize.trainSq8(emb, "embedding")
+    val q = emb.filter(F.col("vec_id") < 5)
+    val approx = Quantize.sq8TopK(emb, q, "vec_id", "embedding", "vec_id", 10, p)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
+  }
+
+  test("pq with ks = corpus size degenerates to exact brute-force ranks") {
+    // every vector is its own centroid per subspace after 1 Lloyd pass on
+    // distinct seeds → zero quantization error → identical top-k set
+    val small = emb.filter(F.col("vec_id") < 40)
+    val n = small.count().toInt
+    val cb = Quantize.trainPq(small, "vec_id", "embedding", m = 8, ks = n, iters = 1)
+    val enc = Quantize.encodePq(small, "vec_id", "embedding", cb)
+    val q = small.filter(F.col("vec_id") < 3)
+    val approx = Quantize.pqTopK(enc, q, "vec_id", "embedding", 5, cb)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(small, q, "vec_id", "embedding", "vec_id", 5)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == exact, s"pq ks=N diverged: ${approx.diff(exact)} / ${exact.diff(approx)}")
+  }
+
+  test("pq recall@10 vs brute force is a measured constant ≥ 0.6 at m=16 ks=128") {
+    // deterministic corpus + deterministic init → recall is a constant,
+    // not a sample: a drop here means the codebook/ADC machinery changed.
+    // The test embeddings are near-random (no cluster structure), the
+    // hardest case for PQ — measured: 0.36 @ m=8/ks=16, 0.76 @ m=16/
+    // ks=128, 0.84 @ m=32/ks=64; real text embeddings do far better.
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 16, ks = 128, iters = 2)
+    val enc = Quantize.encodePq(emb, "vec_id", "embedding", cb)
+    val q = emb.filter(F.col("vec_id") < 5)
+    val approx = Quantize.pqTopK(enc, q, "vec_id", "embedding", 10, cb)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@10 = $recall")
+    info(f"PQ m=16 ks=128 recall@10 = $recall%.2f")
+  }
+
+  test("pq codes relation: one m-length code array per id, codes in [0, ks)") {
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
+    val enc = Quantize.encodePq(emb, "vec_id", "embedding", cb)
+    val bad = enc.filter(F.size(F.col("codes")) =!= 8 ||
+      F.array_min(F.col("codes")) < 0 || F.array_max(F.col("codes")) >= 16).count()
+    assert(bad == 0)
+    assert(enc.count() == emb.count())
+  }
+}
