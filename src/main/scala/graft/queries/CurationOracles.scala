@@ -58,5 +58,30 @@ object CurationOracles {
     "q_domain_blocklist" -> (DomainCtes + "\n" +
       """SELECT doc_id, domain FROM r
         |WHERE domain NOT IN ('site1.com', 'site4.co.uk', 'site7.org')
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+    "q_vocab_coverage" ->
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT unnest(w) AS token FROM w),
+        |tc AS (SELECT token, count(*) AS cnt FROM tok
+        |       WHERE length(token) > 0 GROUP BY 1),
+        |c AS (SELECT token, cnt,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum,
+        |        (SELECT sum(cnt) FROM tc) AS total
+        |      FROM tc)
+        |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(cum AS BIGINT) AS cum
+        |FROM c
+        |WHERE CAST(cum - cnt AS DOUBLE) < 0.95 * CAST(total AS DOUBLE)
+        |ORDER BY cnt DESC, token""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT unnest(w) AS token FROM w),
+        |tc AS (SELECT token, count(*) AS cnt FROM tok
+        |       WHERE length(token) > 0 GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM tc)
+        |SELECT token, CAST(cnt AS BIGINT) AS cnt
+        |FROM tc, t
+        |WHERE CAST(cnt AS DOUBLE) >= 0.001 * CAST(total AS DOUBLE)
+        |ORDER BY cnt DESC, token""".stripMargin)
 }

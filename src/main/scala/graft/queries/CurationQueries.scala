@@ -58,5 +58,13 @@ object CurationQueries {
           blocked = Seq("site1.com", "site4.co.uk", "site7.org"))
         .select(F.col("doc_id"), F.col("domain"))
         .orderBy("doc_id")
+    }),
+    "q_vocab_coverage" -> ((s, dir) => {
+      graft.pipeline.Vocab.byCoverage(docs(s, dir), "text", coverage = 0.95)
+        .orderBy(F.col("cnt").desc, F.col("token"))
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      graft.pipeline.Vocab.heavyHitters(docs(s, dir), "text", minFrac = 0.001)
+        .orderBy(F.col("cnt").desc, F.col("token"))
     }))
 }

@@ -53,6 +53,32 @@ class CurationSpec extends AnyFunSuite {
     assert(keptDf == Set(3L, 4L))
   }
 
+  test("vocab cumulative sum equals a single-window computation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq("a a a b b c", "a b d", "e e c a").toDF("text")
+    val (got, total) = graft.pipeline.Vocab.withCumulative(
+      graft.pipeline.Vocab.tokenCounts(docs, "text"))
+    val naive = graft.pipeline.Vocab.tokenCounts(docs, "text")
+      .withColumn("cum", F.sum("cnt").over(
+        Window.orderBy(F.col("cnt").desc, F.col("token").asc)))
+      .select("token", "cnt", "cum").as[(String, Long, Long)].collect().toSet
+    assert(got.select("token", "cnt", "cum").as[(String, Long, Long)]
+      .collect().toSet == naive)
+    assert(total == 13L)
+  }
+
+  test("byCoverage returns the minimal head covering the mass") {
+    // counts: a=5 b=3 e=2 c=2 d=1 (ties by token asc) — cum 5,8,10,12,13
+    val docs = Seq("a a a b b c", "a b d", "e e c a").toDF("text")
+    val kept = graft.pipeline.Vocab.byCoverage(docs, "text", coverage = 0.75)
+      .select("token").as[String].collect().toSet
+    // 0.75·13 = 9.75: a (0<9.75), b (5<9.75), c (8<9.75); e excluded (10≥9.75)
+    assert(kept == Set("a", "b", "c"))
+    val all = graft.pipeline.Vocab.byCoverage(docs, "text", coverage = 1.0)
+      .count()
+    assert(all == 5)
+  }
+
   test("table-blocklist filter plans as a broadcast anti-join") {
     val docs = Seq((1L, "https://a.com/x")).toDF("id", "url")
     val plan = Domains.filterBlockedDomainsDf(docs, "url",
