@@ -17,6 +17,16 @@ object PipelineOracles {
       |  SELECT doc_id, [array_to_string(w, ' ')] AS s FROM w WHERE len(w) < 3),
       |ex AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh)""".stripMargin
 
+  /** One text for q_decontaminate AND q_stream_decontaminate: the
+    * at-ingestion flags must equal the batch computation bit for bit. */
+  private val decontaminateSql: String =
+    s"""$shinglesCte,
+       |eg AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 20),
+       |hits AS (SELECT DISTINCT ex.doc_id FROM ex JOIN eg USING (shingle))
+       |SELECT d.doc_id AS id,
+       |  d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+       |FROM documents d ORDER BY id""".stripMargin
+
   private val cosExpr = (a: String, b: String) =>
     s"""list_reduce(list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)
        | / (sqrt(list_reduce(list_transform(generate_series(1,64), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE)), (x,y) -> x+y))
@@ -357,13 +367,10 @@ object PipelineOracles {
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a, b""".stripMargin,
-    "q_decontaminate" ->
-      s"""$shinglesCte,
-         |eg AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 20),
-         |hits AS (SELECT DISTINCT ex.doc_id FROM ex JOIN eg USING (shingle))
-         |SELECT d.doc_id AS id,
-         |  d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
-         |FROM documents d ORDER BY id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // the streaming gate must reproduce the batch verdicts exactly —
+    // one oracle text for both
+    "q_stream_decontaminate" -> decontaminateSql,
     "q_text_normalize" ->
       """SELECT doc_id,
         |  nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))

@@ -341,6 +341,21 @@ object PipelineQueries {
         .overlapFlags(docs, "text", "doc_id", evals, "text", n = 3)
         .orderBy("id")
     }),
+    // The SAME decontamination verdicts computed AT INGESTION: stateless
+    // stream-static overlap flags per arriving document. Shares
+    // q_decontaminate's oracle SQL verbatim — streaming and batch must
+    // agree bit for bit.
+    "q_stream_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evals = docs.where(F.col("doc_id") < 20)
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/documents",
+        docs)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val flags = graft.streaming.Streams.decontaminateStream(
+        stream, evals, "text", "doc_id", "text", n = 3)
+      graft.streaming.StreamStage.runToMemory(flags, "q_stream_decon_", "append")
+        .orderBy("id")
+    }),
     "q_text_normalize" -> ((s, dir) => {
       // inject combining accents ('a' -> 'a' + U+0301) so NFC has real
       // composition work; DuckDB's nfc_normalize implements the same

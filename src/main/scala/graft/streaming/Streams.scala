@@ -298,6 +298,33 @@ object Streams {
         F.col("best.est").as("est"),
         (F.col("best.est") >= minEst).as("is_near_dup"))
 
+  /** Stateless streaming decontamination: every arriving document gets
+    * its n-gram eval-overlap flag (the GPT-3-style guard, batch form in
+    * [[graft.pipeline.Decontaminate.overlapFlags]]) the moment it is
+    * ingested. The eval corpus's distinct shingles are packed into ONE
+    * broadcast row and the verdict is a per-row `arrays_overlap` — no
+    * streaming state, no watermark, append mode; the flags equal the
+    * batch computation exactly (StreamingSpec differential, and the gate
+    * shares q_decontaminate's oracle SQL verbatim).
+    *
+    * Scale: the packed gram set is eval-corpus-sized (benchmark suites —
+    * thousands of docs, ~10⁵ grams) and is re-read per micro-batch like
+    * any stream-static side. For eval sets too large to pack in one row,
+    * explode + broadcast-semi-join per micro-batch (the batch shape) and
+    * accept the per-batch doc-level distinct. */
+  def decontaminateStream(docs: DataFrame, evals: DataFrame, textCol: String,
+      idCol: String, evalTextCol: String, n: Int = 3): DataFrame = {
+    val packed = evals
+      .select(F.explode(graft.pipeline.Dedup.shingles(F.col(evalTextCol), n)).as("g"))
+      .agg(F.collect_set("g").as("eval_grams"))
+    docs.select(F.col(idCol).as("id"),
+        graft.pipeline.Dedup.shingles(F.col(textCol), n).as("sh"))
+      .crossJoin(F.broadcast(packed))
+      .select(F.col("id"),
+        F.coalesce(F.arrays_overlap(F.col("sh"), F.col("eval_grams")),
+          F.lit(false)).as("contaminated"))
+  }
+
   final case class SessionUpdate(key: String, events: Long, valueSum: Double)
 
   /** Keyed running state via mapGroupsWithState: per-key event count and

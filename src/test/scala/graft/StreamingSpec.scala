@@ -84,6 +84,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("store_stream").count() == 3)
   }
 
+  test("streaming decontamination flags equal the batch computation exactly") {
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val evals = docs.where(F.col("doc_id") < 15)
+    val dir = Files.createTempDirectory("graft-stream-decon")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema,
+      maxFilesPerTrigger = 1) // several micro-batches, not one
+    val flags = Streams.decontaminateStream(stream, evals, "text", "doc_id", "text", n = 3)
+    val q = Streams.runToMemory(flags, "decon_stream", outputMode = "append")
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val got = rows(spark.table("decon_stream").select("id", "contaminated"))
+    val exp = rows(graft.pipeline.Decontaminate
+      .overlapFlags(docs, "text", "doc_id", evals, "text", n = 3))
+    assert(got == exp)
+    assert(got.exists(_._2) && got.exists(!_._2)) // both verdicts occur
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     import spark.implicits._
     val ds = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDS()
