@@ -105,6 +105,12 @@ object ScaleOracles {
         |SELECT o.o_orderpriority, count(*) AS n, max(d.n_orders) AS n_orders
         |FROM orders o JOIN dim d USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_topk_group" ->
       """SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
         |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,

@@ -124,6 +124,28 @@ object ScaleQueries {
         .agg(F.count(F.lit(1)).as("n"), F.max("n_orders").as("n_orders"))
         .orderBy("o_orderpriority")
     }),
+    "q_join_bucketed" -> ((s, dir) => {
+      // both sides written bucketBy(8, custkey) into the session catalog,
+      // then joined WITHOUT any exchange (PlanSpec asserts zero Exchange
+      // operators) — pay the shuffle once at write time, never per join.
+      // The RESULT is an ordinary equi-join, so the gate hash-matches a
+      // plain SQL oracle; value sums in exact integer cents.
+      val orders = d(s, dir, "orders")
+        .select(F.col("o_custkey"),
+          F.floor(F.col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val cust = d(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.operators.Bucketing.writeBucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "graft_bkt_orders", buckets = 8, keys = Seq("custkey"))
+      graft.operators.Bucketing.writeBucketed(
+        cust.withColumnRenamed("c_custkey", "custkey"),
+        "graft_bkt_customer", buckets = 8, keys = Seq("custkey"))
+      graft.operators.Bucketing.bucketedJoin(s,
+          "graft_bkt_orders", "graft_bkt_customer", Seq("custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_orders"), F.sum("cents").as("cents"))
+        .orderBy("c_mktsegment")
+    }),
     "q_topk_group" -> ((s, dir) => {
       SeriesOps.topKPerGroup(d(s, dir, "orders"),
           by = Seq("o_orderstatus"), orderCol = "o_totalprice", k = 3,
