@@ -189,7 +189,7 @@ object Ivf {
   }
 
   /** Probed (query_id, qv, cluster) rows, strategy-selected on k. */
-  private def probed(queries: DataFrame, queryIdCol: String, vecCol: String,
+  private[pipeline] def probed(queries: DataFrame, queryIdCol: String, vecCol: String,
       centroids: Array[Array[Double]], nprobe: Int,
       viaJoin: Option[Boolean]): DataFrame = {
     val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"))

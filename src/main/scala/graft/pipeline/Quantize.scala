@@ -202,10 +202,19 @@ object Quantize {
     * degenerates it to exact (every vector its own centroid). */
   def pqTopK(encoded: DataFrame, queries: DataFrame, queryIdCol: String,
       vecCol: String, k: Int, cb: PqCodebook): DataFrame = {
-    val cbLit = F.array((0 until cb.m).map(s => F.array(
-      (0 until cb.ks).map(c => F.array(cb.centroids(s)(c).map(F.lit): _*)): _*)): _*)
     val q = queries.select(F.col(queryIdCol).as("query_id"),
       F.col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
+    val scored = encoded.join(F.broadcast(q), F.col("query_id") =!= F.col("id"))
+      .withColumn("cos", adcCosine(cb))
+    rankTopK(scored, k)
+  }
+
+  /** Approximate cosine of the bound columns (qv, codes, normsq) under
+    * codebook `cb`: Σ_sub ⟨q_sub, centroid(sub)(code_sub)⟩ over ‖q‖·‖x̂‖,
+    * folding sub = 0..m−1 sequentially (deterministic association). */
+  private def adcCosine(cb: PqCodebook): org.apache.spark.sql.Column = {
+    val cbLit = F.array((0 until cb.m).map(s => F.array(
+      (0 until cb.ks).map(c => F.array(cb.centroids(s)(c).map(F.lit): _*)): _*)): _*)
     val dot = F.aggregate(F.sequence(F.lit(0), F.lit(cb.m - 1)), F.lit(0.0),
       (acc, s) => {
         val cell = F.element_at(F.element_at(cbLit, s + 1),
@@ -215,12 +224,49 @@ object Quantize {
           F.lit(0.0), (a2, x) => a2 + x)
       })
     val qnorm = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), (a, x) => a + x * x))
-    val scored = encoded.join(F.broadcast(q), F.col("query_id") =!= F.col("id"))
-      .withColumn("cos", dot / (qnorm * F.sqrt(F.col("normsq"))))
+    dot / (qnorm * F.sqrt(F.col("normsq")))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cos").desc, F.col("id").asc)
     scored.withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select(F.col("query_id"), F.col("rank"), F.col("id").as("nbr_id"), F.col("cos"))
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ — centroid routing + code-level scoring (FAISS IndexIVFPQ
+  // composition: Jégou et al. 2011 §V): the inverted file cuts the
+  // candidate set to nprobe cells, PQ codes cut the per-candidate memory
+  // 16-32× — together the standard shape for billion-vector search.
+  // ------------------------------------------------------------------
+
+  /** PQ-encode an IVF index's corpus, keeping each vector's cell:
+    * (id, cluster, codes, normsq). Build once per corpus version. */
+  def encodePqWithCells(index: Ivf.Index, cb: PqCodebook): DataFrame =
+    encodePq(index.assigned, "id", "v", cb)
+      .join(index.assigned.select("id", "cluster"), Seq("id"))
+
+  /** IVF-routed PQ top-k: a query meets only the PQ codes in its `nprobe`
+    * nearest cells (same probing as [[Ivf.topK]]), scored by asymmetric
+    * distance — never reconstructing vectors, never reading unprobed
+    * cells. With nprobe = index.k AND ks = corpus size the composition
+    * degenerates to exact brute force (both approximations vanish), which
+    * is the oracle twin gate; the approximate config carries a measured
+    * recall spec. */
+  def ivfPqTopK(index: Ivf.Index, encoded: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int, nprobe: Int,
+      cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {
+    // probed keeps qv in the corpus element type; ADC folds must run in
+    // double — a float qv would square in FLOAT precision inside the
+    // qnorm fold (float*float multiplies before widening) and break the
+    // bit-parity the exact-twin oracle asserts
+    val q = Ivf.probed(queries, queryIdCol, vecCol, index.centroids, nprobe, None)
+      .withColumn("qv", F.col("qv").cast(ArrayType(DoubleType)))
+    val joined = encoded.join(F.broadcast(q), Seq("cluster"))
+    val filtered =
+      if (excludeSelf) joined.filter(F.col("query_id") =!= F.col("id")) else joined
+    rankTopK(filtered.withColumn("cos", adcCosine(cb)), k)
   }
 }

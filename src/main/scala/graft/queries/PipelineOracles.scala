@@ -164,6 +164,9 @@ object PipelineOracles {
     // IVF with nprobe = k probes every inverted list → identical to brute
     // force (same ordering, same cosine arithmetic)
     "q_ann_ivf_exact" -> exactAnnOracle,
+    // IVF-PQ with nprobe = k AND m = 1, ks = N: both approximations vanish
+    // and the ADC arithmetic reduces to the same flat fold → brute force
+    "q_ann_ivfpq_exact" -> exactAnnOracle,
     // SemDedup with k = 1 is exact all-pairs cosine
     "q_dedup_semantic_exact" ->
       s"""SELECT a, b, cos FROM (

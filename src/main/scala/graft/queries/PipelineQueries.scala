@@ -156,6 +156,38 @@ object PipelineQueries {
           "vec_id", "embedding", k = 10, cb)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // FAISS-style IVF-PQ composition: centroid routing cuts candidates
+      // to nprobe cells, PQ codes cut per-candidate memory — codes are
+      // init/data-dependent → rows-only; QuantizeSpec pins recall and the
+      // exact twin below pins the machinery
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+        m = 16, ks = 128, iters = 2)
+      val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
+      graft.pipeline.Quantize.ivfPqTopK(idx, enc,
+          emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, cb)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_ivfpq_exact" -> ((s, dir) => {
+      // BOTH approximations degenerate: nprobe = k probes every cell, and
+      // m = 1 with ks = N makes every vector its own (1-subspace) centroid
+      // — zero quantization error AND the same flat seed-0 left-fold
+      // association as the exact cosine oracle, so the composed ADC +
+      // routing machinery hash-matches the brute-force oracle verbatim
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count().toInt
+      val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+        m = 1, ks = n, iters = 1)
+      val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
+      graft.pipeline.Quantize.ivfPqTopK(idx, enc,
+          emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 8, cb)
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // centroid routing is data/init-dependent → rows-only check
       val emb = t(s, dir, "embeddings")

@@ -80,6 +80,32 @@ class QuantizeSpec extends AnyFunSuite {
     info(f"PQ m=16 ks=128 recall@10 = $recall%.2f")
   }
 
+  test("ivf-pq: routed ADC search recall is a measured constant; exact config equals brute force") {
+    import graft.pipeline.Ivf
+    val idx = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val q = emb.filter(F.col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", 10)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate config: nprobe 3 of 8 cells, 16×4-dim codebooks
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 16, ks = 128, iters = 2)
+    val enc = Quantize.encodePqWithCells(idx, cb)
+    val approx = Quantize.ivfPqTopK(idx, enc, q, "vec_id", "embedding", 10, 3, cb)
+      .select("query_id", "nbr_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall@10 = $recall") // nprobe 3/8 alone bounds ~0.4
+    info(f"IVF-PQ nprobe=3/8 m=16 ks=128 recall@10 = $recall%.2f")
+    // exact config: nprobe = k, m = 1, ks = N → identical top-k SET and
+    // bit-identical cos (the gate twin asserts this against DuckDB too)
+    val n = emb.count().toInt
+    val cbx = Quantize.trainPq(emb, "vec_id", "embedding", m = 1, ks = n, iters = 1)
+    val encx = Quantize.encodePqWithCells(idx, cbx)
+    val gotx = Quantize.ivfPqTopK(idx, encx, q, "vec_id", "embedding", 10, 8, cbx)
+      .select("query_id", "rank", "nbr_id", "cos").collect().toSeq
+    val expx = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "vec_id", 10)
+      .select("query_id", "rank", "nbr_id", "cos").collect().toSeq
+    assert(gotx.toSet == expx.toSet)
+  }
+
   test("pq codes relation: one m-length code array per id, codes in [0, ks)") {
     val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
     val enc = Quantize.encodePq(emb, "vec_id", "embedding", cb)

@@ -102,7 +102,8 @@ class SurfaceSpec extends AnyFunSuite {
     // only the hash-seeded/probabilistic/centroid-routed ops may skip the
     // value-hash oracle; anything else appearing here is a coverage bug
     val rowsOnly = q -- o
-    val justified = Set("q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_approx_nunique",
+    val justified = Set("q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq",
+      "q_approx_nunique",
       "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic",
       "q_dedup_incremental_near",
       // xxhash64-seeded signature estimates; StreamingSpec holds the
