@@ -255,6 +255,62 @@ object Quantize {
     * degenerates to exact brute force (both approximations vanish), which
     * is the oracle twin gate; the approximate config carries a measured
     * recall spec. */
+  /** Persist a PQ-encoded corpus: the codebook as a tiny (sub, code, cv)
+    * parquet, the code relation partitioned BY CLUSTER when it carries
+    * one (so a loaded IVF-PQ index serves [[ivfPqTopK]] with partition
+    * pruning on the probed cells), and a meta.json parameter stamp
+    * (m, ks, dim, n) through the path's Hadoop FS — the same contract as
+    * [[Ivf.save]]: a loaded index proves its geometry, a codebook that
+    * does not match its stamp fails loudly, never as silently-wrong
+    * scores. Build once per corpus version; at 100 TB the encode pass
+    * dominates any query batch by orders of magnitude. */
+  def savePq(cb: PqCodebook, encoded: DataFrame, path: String): Unit = {
+    val spark = encoded.sparkSession
+    codebookDf(encoded, cb)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val w = encoded.write.mode("overwrite")
+    (if (encoded.columns.contains("cluster")) w.partitionBy("cluster") else w)
+      .parquet(s"$path/codes")
+    val n = encoded.count()
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"m":${cb.m},"ks":${cb.ks},"dim":${cb.dim},"n_vectors":$n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted PQ index: (codebook, code relation). The codebook
+    * must match its meta.json stamp (m, ks, dim) or the load fails. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (PqCodebook, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    val dsub = rows.head._3.length
+    val byCell = rows.map(r => ((r._1, r._2), r._3)).toMap
+    val centroids = Array.tabulate(m, ks)((s, c) => byCell((s, c)))
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(metaPath)) {
+      val bytes = {
+        val in = fs.open(metaPath)
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      }
+      val meta = graft.store.TableStore.jsonMapper
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val (sm, sks, sdim) =
+        (meta.get("m").asInt(), meta.get("ks").asInt(), meta.get("dim").asInt())
+      if (sm != m || sks != ks || sdim != m * dsub)
+        throw new IllegalStateException(
+          s"PQ index at $path is inconsistent with its meta.json stamp: " +
+          s"stamped m=$sm ks=$sks dim=$sdim, stored m=$m ks=$ks dim=${m * dsub}")
+    }
+    (PqCodebook(m, ks, m * dsub, centroids), spark.read.parquet(s"$path/codes"))
+  }
+
   def ivfPqTopK(index: Ivf.Index, encoded: DataFrame, queries: DataFrame,
       queryIdCol: String, vecCol: String, k: Int, nprobe: Int,
       cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {

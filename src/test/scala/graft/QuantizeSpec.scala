@@ -106,6 +106,38 @@ class QuantizeSpec extends AnyFunSuite {
     assert(gotx.toSet == expx.toSet)
   }
 
+  test("pq save/load round-trips: identical search results, cluster-partitioned codes, loud stamp mismatch") {
+    import graft.pipeline.Ivf
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    val idx = Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
+    val enc = Quantize.encodePqWithCells(idx, cb)
+    Quantize.savePq(cb, enc, dir)
+    val (cb2, enc2) = Quantize.loadPq(spark, dir)
+    assert(cb2.m == cb.m && cb2.ks == cb.ks && cb2.dim == cb.dim)
+    assert((0 until cb.m).forall(s => (0 until cb.ks).forall(c =>
+      java.util.Arrays.equals(cb2.centroids(s)(c), cb.centroids(s)(c)))))
+    val q = emb.filter(F.col("vec_id") < 3)
+    val a = Quantize.ivfPqTopK(idx, enc, q, "vec_id", "embedding", 5, 2, cb)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Quantize.ivfPqTopK(idx, enc2, q, "vec_id", "embedding", 5, 2, cb2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // codes are laid out one directory per cluster → probed cells prune
+    val cells = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).sorted
+    assert(cells.length == 4, cells.mkString(","))
+    // a stamp that disagrees with the stored codebook fails loudly
+    // (tamper through the Hadoop FS so its sibling .crc stays consistent)
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write("""{"m":8,"ks":99,"dim":64,"n_vectors":500}""".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException](Quantize.loadPq(spark, dir))
+    assert(e.getMessage.contains("inconsistent"))
+  }
+
   test("pq codes relation: one m-length code array per id, codes in [0, ks)") {
     val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
     val enc = Quantize.encodePq(emb, "vec_id", "embedding", cb)
