@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** EXACT distributed quantiles — order statistics over a corpus-sized
+  * column without a single-reducer sort and without the approximation of
+  * `percentile_approx`.
+  *
+  * Contract: quantile q is the k-th smallest value with
+  * k = max(1, ceil(q·n)) under the total order (valueCol asc,
+  * tiebreakers asc) — a plain order statistic, so the result is a value
+  * that actually occurs in the data and the DuckDB oracle can state the
+  * same definition as an explicit row_number query (no reliance on any
+  * engine's quantile interpolation flavor).
+  *
+  * Shape: one count job for n, then ONE range shuffle through
+  * [[ScalableRank.withRank]] (parallel per-partition windows + broadcast
+  * prefix offsets) and a filter to the |qs| requested ranks. The length
+  * distribution of a 100 TB corpus costs the same as any total ordering
+  * of it — there is no cheaper exact answer, and the approximate answer
+  * already exists as `percentile_approx`.
+  */
+object Quantiles {
+
+  /** (q, value) for each requested quantile of `valueCol`. Supply
+    * `tiebreakers` to pin which of several equal-rank candidates is
+    * reported when `valueCol` has duplicates (any deterministic unique
+    * key works; the VALUE reported is the same either way — only the
+    * physical row picked differs). */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    require(n > 0, "exactQuantiles over an empty relation")
+    val qk = qs.distinct.sorted
+      .map(q => (q, math.max(1L, math.ceil(q * n).toLong)))
+    val ranked = ScalableRank.withRank(df, valueCol, "$td.__rk", "ordinal",
+      tiebreakers = tiebreakers)
+    ranked
+      .join(F.broadcast(qk.toDF("q", "$td.__rk")), Seq("$td.__rk"))
+      .select(F.col("q"), F.col(valueCol).as("value"))
+  }
+}

@@ -105,6 +105,20 @@ object ScaleOracles {
         |SELECT o.o_orderpriority, count(*) AS n, max(d.n_orders) AS n_orders
         |FROM orders o JOIN dim d USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_exact_quantiles" ->
+      """WITH s AS (
+        |  SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |n AS (SELECT count(*) AS c FROM documents),
+        |qk AS (
+        |  -- CAST the unnested literals: a DuckDB decimal q would compare
+        |  -- as Decimal vs Spark's double and quantize k differently
+        |  SELECT CAST(q AS DOUBLE) AS q,
+        |    GREATEST(1, CAST(ceil(CAST(q AS DOUBLE) * c) AS BIGINT)) AS k
+        |  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.95, 0.99]) AS q), n)
+        |SELECT qk.q AS q, s.n_chars AS value
+        |FROM qk JOIN s ON s.rk = qk.k ORDER BY q""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_orders,

@@ -124,6 +124,17 @@ object ScaleQueries {
         .agg(F.count(F.lit(1)).as("n"), F.max("n_orders").as("n_orders"))
         .orderBy("o_orderpriority")
     }),
+    "q_exact_quantiles" -> ((s, dir) => {
+      // EXACT order-statistic quantiles of the document length
+      // distribution — one range shuffle, no single-reducer sort, no
+      // percentile_approx error; the oracle states the same k = ceil(q·n)
+      // definition as an explicit row_number query
+      graft.operators.Quantiles.exactQuantiles(
+          d(s, dir, "documents"), "n_chars",
+          qs = Seq(0.25, 0.5, 0.9, 0.95, 0.99),
+          tiebreakers = Seq("doc_id"))
+        .orderBy("q")
+    }),
     "q_join_bucketed" -> ((s, dir) => {
       // both sides written bucketBy(8, custkey) into the session catalog,
       // then joined WITHOUT any exchange (PlanSpec asserts zero Exchange

@@ -162,6 +162,48 @@ object ScalingProbe {
         // overlapping spans made a fully-duplicated doc cost tokens×windows)
         graft.pipeline.Dedup.removeDuplicateSpans(d, "text", "doc_id")
           .where(F.col("n_removed") > 0).count()
+      }),
+      ("domain_cap", 100, { d =>
+        // registered-domain extract + keyed row_number cap: one shuffle on
+        // the domain key; 1000 synthetic domains keep per-key sorts bounded
+        val urls = d.select(F.col("doc_id"),
+          F.concat(F.lit("https://s"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string")).as("url"))
+        graft.pipeline.Domains.capPerDomain(urls, "url", "doc_id", 5).count()
+      }),
+      ("vocab_coverage", 100, { d =>
+        // explode + keyed count + range-partitioned cumulative sum — the
+        // distinct-token relation grows with the salted copies, probing the
+        // cumsum machinery, not just the count shuffle
+        graft.pipeline.Vocab.byCoverage(d, "text", 0.95).count()
+      }))
+
+    // embedding-side ops scale over a self-unioned embeddings table
+    // (queries stay the constant-size base slice)
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def scaledEmb(n: Int): DataFrame =
+      (0 until n).map { i =>
+        embBase.select((F.col("vec_id") + F.lit(i.toLong * 1000000L)).as("vec_id"),
+          F.col("embedding"))
+      }.reduce(_ union _)
+    val embQ = embBase.where(F.col("vec_id") < 5)
+    val embOps: Seq[(String, Int, DataFrame => Long)] = Seq(
+      ("ann_sq8", 100, { e =>
+        // range training (one agg) + asymmetric scan: both linear passes
+        val p = graft.pipeline.Quantize.trainSq8(e, "embedding")
+        graft.pipeline.Quantize.sq8TopK(e, embQ,
+          "vec_id", "embedding", "vec_id", 10, p).count()
+      }),
+      ("ann_ivfpq", 100, { e =>
+        // IVF build + PQ train + encode + routed ADC search — the encode
+        // pass dominates and is linear; search reads nprobe/k of the codes
+        val idx = graft.pipeline.Ivf.build(e, "vec_id", "embedding", k = 16, iters = 1)
+        val cb = graft.pipeline.Quantize.trainPq(e, "vec_id", "embedding",
+          m = 16, ks = 64, iters = 1)
+        val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
+        graft.pipeline.Quantize.ivfPqTopK(idx, enc, embQ,
+          "vec_id", "embedding", 10, 4, cb).count()
       }))
 
     val ops = if (opFilter.isEmpty) ops0 else ops0.filter(o => opFilter(o._1))
@@ -172,6 +214,13 @@ object ScalingProbe {
       val (t1, _) = time(op(scaled(1)))
       val (t10, _) = time(op(scaled(10)))
       val (tBig, nBig) = time(op(scaled(big)))
+      println(f"$name%-14s $t1%9.2fs $t10%9.2fs $tBig%9.2fs  ${t10 / t1}%7.1fx ${tBig / t1}%8.1fx   (big=x$big rows=$nBig)")
+    }
+    for ((name, big, op) <- if (opFilter.isEmpty) embOps else embOps.filter(o => opFilter(o._1))) {
+      op(scaledEmb(1))
+      val (t1, _) = time(op(scaledEmb(1)))
+      val (t10, _) = time(op(scaledEmb(10)))
+      val (tBig, nBig) = time(op(scaledEmb(big)))
       println(f"$name%-14s $t1%9.2fs $t10%9.2fs $tBig%9.2fs  ${t10 / t1}%7.1fx ${tBig / t1}%8.1fx   (big=x$big rows=$nBig)")
     }
     spark.stop()

@@ -9,6 +9,24 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import TestSession.sf
 
+  test("exact quantiles are the k = ceil(q·n) order statistics") {
+    import spark.implicits._
+    val df = Seq(5L, 1L, 9L, 3L, 3L, 7L, 2L, 8L, 4L, 6L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = graft.operators.Quantiles
+      .exactQuantiles(df, "v", Seq(0.1, 0.25, 0.5, 1.0), tiebreakers = Seq("id"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // sorted: 1,2,3,3,4,5,6,7,8,9 (n=10); k = ceil(q*10)
+    assert(got == Map(0.1 -> 1L, 0.25 -> 3L, 0.5 -> 4L, 1.0 -> 9L))
+    // duplicates: the reported VALUE is rank-determined regardless of tiebreak
+    val dup = Seq.fill(100)(42L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val q50 = graft.operators.Quantiles
+      .exactQuantiles(dup, "v", Seq(0.5), tiebreakers = Seq("id"))
+      .collect().head.getLong(1)
+    assert(q50 == 42L)
+  }
+
   test("scalable rank equals the single-window rank for all methods") {
     val df = spark.read.parquet(s"$sf/customer.parquet")
       .select("c_custkey", "c_acctbal")
