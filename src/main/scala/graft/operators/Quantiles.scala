@@ -43,4 +43,31 @@ object Quantiles {
       .join(F.broadcast(qk.toDF("q", "$td.__rk")), Seq("$td.__rk"))
       .select(F.col("q"), F.col(valueCol).as("value"))
   }
+
+  /** Per-group exact quantiles: for every group, quantile q is the
+    * k = max(1, ceil(q·n_g)) order statistic of that group's values —
+    * the per-language / per-source length distributions of a dataset
+    * card, exact. One shuffle on the group key; groups rank in parallel
+    * keyed windows (a single pathologically hot group sorts within one
+    * partition — split such a group upstream or use the global
+    * [[exactQuantiles]] on its rows alone). Output: (group, q, value). */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double], tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(F.col(valueCol).asc +: tiebreakers.map(F.col(_).asc): _*)
+    val ranked = df
+      .withColumn("$td.__rk", F.row_number().over(w).cast("long"))
+      .withColumn("$td.__n",
+        F.count(F.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    val qDf = qs.distinct.sorted.toDF("q")
+    ranked.join(F.broadcast(qDf),
+        F.col("`$td.__rk`") ===
+          F.greatest(F.lit(1L), F.ceil(F.col("q") * F.col("`$td.__n`"))))
+      .select(F.col(groupCol), F.col("q"), F.col(valueCol).as("value"))
+  }
 }

@@ -79,6 +79,26 @@ object Quantize {
     })
   }
 
+  /** The quantize→dequantize round trip FUSED into one transform:
+    * mn + round(255·(x−mn)/(mx−mn))·(mx−mn)/255 per dimension — exactly
+    * `dequantSq8(encodeSq8(vec))` value for value, but one array pass.
+    * The composed form is a correctness trap: `element_at(codes, i)` of
+    * a transform-produced `codes` re-inlines the WHOLE encode expression
+    * per element (lambda bodies get no CSE), turning 64 ops/row into
+    * 64×64 plus a codegen blowup — measured 5.9 s → 0.6 s on the
+    * q_ann_sq8 search at sf0.1. */
+  def sq8Reconstruct(vec: Column, p: Sq8Params): Column = {
+    val mins = F.array(p.mins.map(F.lit): _*)
+    val maxs = F.array(p.maxs.map(F.lit): _*)
+    F.transform(F.sequence(F.lit(0), F.lit(p.dim - 1)), i => {
+      val x = F.element_at(vec, i + 1).cast(DoubleType)
+      val mn = F.element_at(mins, i + 1)
+      val mx = F.element_at(maxs, i + 1)
+      F.when(mx === mn, mn).otherwise(
+        mn + F.round((x - mn) / (mx - mn) * 255.0).cast(DoubleType) * (mx - mn) / 255.0)
+    })
+  }
+
   /** Asymmetric SQ8 top-k: full-precision queries against the
     * quantize→dequantize corpus — [[Similarity.bruteForceTopK]]'s exact
     * shape (broadcast query side, corpus read once, per-query top-k
@@ -86,7 +106,7 @@ object Quantize {
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, queryIdCol: String, k: Int, p: Sq8Params): DataFrame = {
     val c = corpus.select(F.col(idCol).as("nbr_id"),
-      dequantSq8(encodeSq8(F.col(vecCol), p), p).as("cv"))
+      sq8Reconstruct(F.col(vecCol), p).as("cv"))
     val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"))
     val scored = c.join(F.broadcast(q), F.col("query_id") =!= F.col("nbr_id"))
       .withColumn("cos", Similarity.cosine(F.col("qv"), F.col("cv")))
@@ -204,10 +224,48 @@ object Quantize {
       vecCol: String, k: Int, cb: PqCodebook): DataFrame = {
     val q = queries.select(F.col(queryIdCol).as("query_id"),
       F.col(vecCol).cast(ArrayType(DoubleType)).as("qv"))
-    val scored = encoded.join(F.broadcast(q), F.col("query_id") =!= F.col("id"))
-      .withColumn("cos", adcCosine(cb))
-    rankTopK(scored, k)
+    val pairs = encoded.join(F.broadcast(q), F.col("query_id") =!= F.col("id"))
+    rankTopK(scoreAdc(pairs, cb), k)
   }
+
+  /** Above this codebook volume (m·ks·dsub doubles), ADC scoring switches
+    * from a plan-literal codebook to a broadcast-joined one — the same
+    * two-strategy design as [[Ivf.JoinThreshold]]: the literal form is
+    * shuffle-free but its expression tree (and codegen) grows with the
+    * codebook; the join form is O(1) in plan size at the cost of one
+    * bounded exchange of the candidate pairs. Both fold sub-partials in
+    * identical order, so results are BIT-IDENTICAL (QuantizeSpec). */
+  val AdcJoinThreshold: Int = 4096
+
+  /** Score (query, candidate) pair rows — columns (query_id, qv, id,
+    * codes, normsq) — with the ADC cosine, strategy-selected on codebook
+    * volume. */
+  private def scoreAdc(pairs: DataFrame, cb: PqCodebook): DataFrame =
+    if (cb.m.toLong * cb.ks * cb.dsub <= AdcJoinThreshold)
+      pairs.withColumn("cos", adcCosine(cb))
+    else {
+      val keep = pairs.columns.filter(c => c != "codes").toSeq
+      val exploded = pairs.select(
+        keep.map(F.col) :+ F.posexplode(F.col("codes")).as(Seq("sub", "code")): _*)
+      val parts = exploded
+        .join(F.broadcast(codebookDf(pairs, cb)), Seq("sub", "code"))
+        .withColumn("$td.__part", graft.expressions.VectorKernels.dot(
+          F.slice(F.col("qv"), F.col("sub") * cb.dsub + 1, F.lit(cb.dsub)),
+          F.col("cv")))
+      // fold the per-subspace partial dots in sub order — the same
+      // association as the literal path's outer fold
+      val others = keep.filterNot(Set("query_id", "id"))
+      val aggCols = others.map(c => F.first(F.col(s"`$c`")).as(c)) :+
+        F.aggregate(
+          F.array_sort(F.collect_list(
+            F.struct(F.col("sub"), F.col("`$td.__part`").as("p")))),
+          F.lit(0.0), (acc, x) => acc + x.getField("p")).as("$td.__dot")
+      parts.groupBy("query_id", "id")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("cos", F.col("`$td.__dot`") /
+          (F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), (a, x) => a + x * x)) *
+            F.sqrt(F.col("normsq"))))
+    }
 
   /** Approximate cosine of the bound columns (qv, codes, normsq) under
     * codebook `cb`: Σ_sub ⟨q_sub, centroid(sub)(code_sub)⟩ over ‖q‖·‖x̂‖,
@@ -323,6 +381,6 @@ object Quantize {
     val joined = encoded.join(F.broadcast(q), Seq("cluster"))
     val filtered =
       if (excludeSelf) joined.filter(F.col("query_id") =!= F.col("id")) else joined
-    rankTopK(filtered.withColumn("cos", adcCosine(cb)), k)
+    rankTopK(scoreAdc(filtered.drop("cluster"), cb), k)
   }
 }

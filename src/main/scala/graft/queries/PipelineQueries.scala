@@ -180,8 +180,10 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val n = emb.count().toInt
       val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      // iters = 0: the seed centroids ARE the corpus vectors (ks = N), so
+      // the Lloyd pass would only reproduce them — skip it
       val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
-        m = 1, ks = n, iters = 1)
+        m = 1, ks = n, iters = 0)
       val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
       graft.pipeline.Quantize.ivfPqTopK(idx, enc,
           emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",

@@ -119,6 +119,16 @@ object ScaleOracles {
         |  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.95, 0.99]) AS q), n)
         |SELECT qk.q AS q, s.n_chars AS value
         |FROM qk JOIN s ON s.rk = qk.k ORDER BY q""".stripMargin,
+    "q_group_quantiles" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT lang, q, n_chars AS value
+        |FROM s JOIN qv ON s.rk = GREATEST(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY lang, q""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_orders,

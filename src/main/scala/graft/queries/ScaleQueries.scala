@@ -135,6 +135,15 @@ object ScaleQueries {
           tiebreakers = Seq("doc_id"))
         .orderBy("q")
     }),
+    "q_group_quantiles" -> ((s, dir) => {
+      // per-language exact length percentiles (dataset-card stats):
+      // keyed windows rank groups in parallel, same order-statistic
+      // definition as q_exact_quantiles
+      graft.operators.Quantiles.exactQuantilesByGroup(
+          d(s, dir, "documents"), "lang", "n_chars",
+          qs = Seq(0.5, 0.9, 0.99), tiebreakers = Seq("doc_id"))
+        .orderBy("lang", "q")
+    }),
     "q_join_bucketed" -> ((s, dir) => {
       // both sides written bucketBy(8, custkey) into the session catalog,
       // then joined WITHOUT any exchange (PlanSpec asserts zero Exchange

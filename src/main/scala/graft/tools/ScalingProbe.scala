@@ -167,8 +167,8 @@ object ScalingProbe {
         // registered-domain extract + keyed row_number cap: one shuffle on
         // the domain key; 1000 synthetic domains keep per-key sorts bounded
         val urls = d.select(F.col("doc_id"),
-          F.concat(F.lit("https://s"), (F.col("doc_id") % 1000).cast("string"),
-            F.lit(".example.com/p/"), F.col("doc_id").cast("string")).as("url"))
+          F.concat(F.lit("https://www.site"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string")).as("url"))
         graft.pipeline.Domains.capPerDomain(urls, "url", "doc_id", 5).count()
       }),
       ("vocab_coverage", 100, { d =>

@@ -27,6 +27,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q50 == 42L)
   }
 
+  test("grouped exact quantiles pick per-group order statistics") {
+    import spark.implicits._
+    val df = (Seq.tabulate(10)(i => ("a", i.toLong, (i + 1).toLong * 10)) ++
+      Seq(("b", 100L, 7L), ("b", 101L, 3L), ("b", 102L, 5L)))
+      .toDF("g", "id", "v")
+    val got = graft.operators.Quantiles
+      .exactQuantilesByGroup(df, "g", "v", Seq(0.5, 1.0), tiebreakers = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // a: 10..100 → p50 = 5th = 50, p100 = 100; b: 3,5,7 → p50 = ceil(1.5)=2nd = 5
+    assert(got == Map(("a", 0.5) -> 50L, ("a", 1.0) -> 100L,
+      ("b", 0.5) -> 5L, ("b", 1.0) -> 7L))
+  }
+
   test("scalable rank equals the single-window rank for all methods") {
     val df = spark.read.parquet(s"$sf/customer.parquet")
       .select("c_custkey", "c_acctbal")

@@ -16,6 +16,12 @@ class QuantizeSpec extends AnyFunSuite {
 
   test("sq8 codes are in [0,255] and round-trip error is within half a step") {
     val p = Quantize.trainSq8(emb, "embedding")
+    // the fused reconstruct must equal the encode→dequant composition
+    val fusedDiff = emb.select(
+        Quantize.sq8Reconstruct(F.col("embedding"), p).as("a"),
+        Quantize.dequantSq8(Quantize.encodeSq8(F.col("embedding"), p), p).as("b"))
+      .where(F.col("a") =!= F.col("b")).count()
+    assert(fusedDiff == 0)
     val stats = emb.select(
         Quantize.encodeSq8(F.col("embedding"), p).as("codes"),
         F.col("embedding").cast("array<double>").as("v"))
