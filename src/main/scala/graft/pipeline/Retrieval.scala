@@ -286,6 +286,34 @@ object Retrieval {
           F.lit(0.0), (acc, x) => acc + x).as("score"))
   }
 
+  /** BM25 hard-negative mining — the standard negative-construction step
+    * for embedding/reranker training data (in-batch negatives are easy;
+    * lexically-close BM25 hits that are NOT the labeled positive are the
+    * hard ones — e.g. the DPR recipe, Karpukhin et al. 2020 §3.2). For
+    * every (query, positive) row of `pairs`, returns the `k` top-scoring
+    * documents excluding the positive, ranked.
+    *
+    * One corpus pass for the whole pair batch ([[scoreQueryBatch]]);
+    * positives broadcast; the per-query top-k is the same bounded window
+    * every retrieval path here uses. Output: (qid, pos_id, rank, neg_id,
+    * score). */
+  def hardNegatives(index: Bm25Index, pairs: DataFrame, qidCol: String,
+      termsCol: String, posIdCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = scoreQueryBatch(index, pairs, qidCol, termsCol, k1, b)
+    val pos = pairs.select(F.col(qidCol).as("qid"), F.col(posIdCol).as("pos_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "pos_id")
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    scored.join(F.broadcast(pos), Seq("qid"))
+      .where(F.col("id") =!= F.col("pos_id"))
+      .withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select(F.col("qid"), F.col("pos_id"), F.col("rank"),
+        F.col("id").as("neg_id"), F.col("score"))
+  }
+
   /** Top-k retrieval: highest BM25 score first, id as the tiebreaker.
     * Plans as a distributed top-k (per-partition limit before the merge). */
   def topK(index: Bm25Index, terms: Seq[String], k: Int,

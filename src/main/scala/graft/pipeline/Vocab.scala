@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
+
 
 /** Corpus vocabulary statistics — the token-frequency steps of tokenizer
   * construction and frequency-based filtering (the count table a
@@ -25,34 +25,11 @@ object Vocab {
       .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
 
   /** Counts plus the running total `cum` in (cnt desc, token asc) order,
-    * and the corpus token total — the distributed cumulative sum:
-    * range-partition on the order key, window-sum within partitions in
-    * parallel, then add each partition's broadcast prefix offset. The
-    * per-partition sums are numPartitions rows — the only driver-side
-    * data. (localCheckpoint pins partition ids across the two plan
-    * branches, same reasoning as ScalableRank.withRank.) */
-  def withCumulative(counts: DataFrame): (DataFrame, Long) = {
-    val spark = counts.sparkSession
-    import spark.implicits._
-    val ord = Seq(F.col("cnt").desc, F.col("token").asc)
-    val parted = counts
-      .repartitionByRange(ord: _*)
-      .sortWithinPartitions(ord: _*)
-      .withColumn("$td.__pid", F.spark_partition_id())
-      .localCheckpoint()
-    val w = Window.partitionBy(F.col("`$td.__pid`")).orderBy(ord: _*)
-    val sums = parted.groupBy(F.col("`$td.__pid`")).agg(F.sum("cnt").as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offs = sums.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
-    val offDf = offs.toSeq.toDF("$td.__pid", "$td.__off")
-    val out = parted
-      .withColumn("$td.__lcum", F.sum(F.col("cnt")).over(w))
-      .join(F.broadcast(offDf), Seq("$td.__pid"))
-      .withColumn("cum", F.col("`$td.__lcum`") + F.col("`$td.__off`"))
-      .drop("$td.__pid", "$td.__lcum", "$td.__off")
-    (out, acc)
-  }
+    * and the corpus token total — [[graft.operators.RunningSum]]'s
+    * distributed cumulative sum over the frequency ranking. */
+  def withCumulative(counts: DataFrame): (DataFrame, Long) =
+    graft.operators.RunningSum.withRunningSum(counts,
+      Seq(F.col("cnt").desc, F.col("token").asc), "cnt")
 
   /** The most frequent tokens whose cumulative frequency reaches
     * `coverage` of all token occurrences: a token is kept while the

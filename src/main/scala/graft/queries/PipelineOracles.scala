@@ -485,6 +485,41 @@ object PipelineOracles {
         |  list_reduce(list_prepend(0.0e0, list_sort(list(ts))), (x, y) -> x + y)
         |    AS score
         |FROM scored GROUP BY qid, doc_id ORDER BY qid, doc_id""".stripMargin,
+    "q_bm25_negatives" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE len(term) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |       FROM dl),
+        |qd AS (SELECT 'q1' AS qid, unnest(['spark', 'customer']) AS term
+        |       UNION ALL SELECT 'q2', unnest(['vector', 'spark', 'union'])
+        |       UNION ALL SELECT 'q3', unnest(['customer'])),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN (SELECT term FROM qd) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.qid, t.doc_id,
+        |    ln(1.0e0 + (CAST(s.n AS DOUBLE) - d.df + 0.5e0) / (d.df + 0.5e0)) *
+        |    ((t.tf * 2.5e0) / (t.tf + 1.5e0 * (0.25e0 + (0.75e0 * l.dl) / s.avgdl)))
+        |      AS ts
+        |  FROM tf t JOIN dfq d USING (term) JOIN qd q USING (term)
+        |    JOIN dl l USING (doc_id), st s),
+        |agg AS (
+        |  SELECT qid, doc_id,
+        |    list_reduce(list_prepend(0.0e0, list_sort(list(ts))), (x, y) -> x + y)
+        |      AS score
+        |  FROM scored GROUP BY qid, doc_id),
+        |pos AS (SELECT 'q1' AS qid, CAST(5 AS BIGINT) AS pos_id
+        |        UNION ALL SELECT 'q2', 17 UNION ALL SELECT 'q3', 29),
+        |rn AS (
+        |  SELECT a.qid, p.pos_id, a.doc_id AS neg_id, a.score,
+        |    CAST(row_number() OVER (PARTITION BY a.qid, p.pos_id
+        |      ORDER BY a.score DESC, a.doc_id ASC) AS INTEGER) AS rank
+        |  FROM agg a JOIN pos p USING (qid) WHERE a.doc_id <> p.pos_id)
+        |SELECT qid, pos_id, rank, neg_id, score FROM rn
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_sample_exact_n_global" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id FROM documents

@@ -507,6 +507,21 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("qid", "doc_id")
     }),
+    "q_bm25_negatives" -> ((s, dir) => {
+      // hard-negative mining for retrieval training pairs: top-k BM25
+      // hits per query excluding the labeled positive — same scoring
+      // machinery as q_bm25_batch, so the oracle extends that SQL
+      import s.implicits._
+      val pairs = Seq(
+        ("q1", Seq("spark", "customer"), 5L),
+        ("q2", Seq("vector", "spark", "union"), 17L),
+        ("q3", Seq("customer"), 29L)).toDF("qid", "terms", "pos_id")
+      val idx = graft.pipeline.Retrieval.buildBm25(
+        t(s, dir, "documents"), "text", "doc_id")
+      graft.pipeline.Retrieval.hardNegatives(
+          idx, pairs, "qid", "terms", "pos_id", k = 5, k1 = 1.5, b = 0.75)
+        .orderBy("qid", "rank")
+    }),
     "q_bm25_incremental" -> ((s, dir) => {
       // incremental index upkeep under the SAME oracle as q_bm25: index
       // the first 250 docs, delta-append the rest (only the delta is

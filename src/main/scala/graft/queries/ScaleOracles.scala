@@ -119,6 +119,14 @@ object ScaleOracles {
         |  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.95, 0.99]) AS q), n)
         |SELECT qk.q AS q, s.n_chars AS value
         |FROM qk JOIN s ON s.rk = qk.k ORDER BY q""".stripMargin,
+    "q_select_budget" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC)
+        |      AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum FROM c
+        |WHERE cum - n_chars < 100000 ORDER BY cum""".stripMargin,
     "q_group_quantiles" ->
       """WITH s AS (
         |  SELECT lang, doc_id, n_chars,

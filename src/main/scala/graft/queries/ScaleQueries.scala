@@ -135,6 +135,17 @@ object ScaleQueries {
           tiebreakers = Seq("doc_id"))
         .orderBy("q")
     }),
+    "q_select_budget" -> ((s, dir) => {
+      // token-budget corpus selection: fill a 100k-char training budget
+      // from the longest documents down (n_chars doubles as the
+      // deterministic quality score here) — the greedy step after any
+      // quality scorer; cum is the distributed running total
+      graft.operators.RunningSum.selectByBudget(
+          d(s, dir, "documents").select("doc_id", "n_chars"),
+          order = Seq(F.col("n_chars").desc, F.col("doc_id").asc),
+          costCol = "n_chars", budget = 100000L)
+        .orderBy(F.col("cum"))
+    }),
     "q_group_quantiles" -> ((s, dir) => {
       // per-language exact length percentiles (dataset-card stats):
       // keyed windows rank groups in parallel, same order-statistic
