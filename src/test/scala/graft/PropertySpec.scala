@@ -29,6 +29,48 @@ class PropertySpec extends AnyFunSuite {
     } yield (k, v))
   } yield rows
 
+  test("exact quantiles == sorted-list order statistics on random data") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v.toLong) }.toDF("id", "v")
+      val qs = Seq(0.01, 0.33, 0.5, 0.77, 1.0)
+      val got = graft.operators.Quantiles
+        .exactQuantiles(df, "v", qs, tiebreakers = Seq("id"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val sorted = rows.map(_._2.toLong).sorted
+      val exp = qs.map(q =>
+        q -> sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)).toMap
+      assert(got == exp, s"sample=$si rows=${rows.size}")
+    }
+  }
+
+  test("running sum + budget selection == driver-side prefix scan on random data") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      // cost must be nonnegative for a budget walk
+      val data = rows.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, math.abs(v).toLong) }
+      val df = data.toDF("id", "cost")
+      val budget = math.max(1L, data.map(_._2).sum / 2)
+      import org.apache.spark.sql.{functions => F}
+      val got = graft.operators.RunningSum
+        .selectByBudget(df, Seq(F.col("cost").desc, F.col("id").asc),
+          "cost", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap // id -> cum
+      var acc = 0L
+      val exp = data.sortBy { case (id, c) => (-c, id) }
+        .takeWhile { case (_, c) => val before = acc; acc += c; before < budget }
+        .map { case (id, c) => id }
+      // recompute cums for the kept prefix
+      var acc2 = 0L
+      val expCum = data.sortBy { case (id, c) => (-c, id) }
+        .map { case (id, c) => acc2 += c; id -> acc2 }.toMap
+      assert(got.keySet == exp.toSet, s"sample=$si")
+      got.foreach { case (id, cum) => assert(cum == expCum(id), s"sample=$si id=$id") }
+    }
+  }
+
   test("scalable rank == single-window rank on random data (min/dense/ordinal)") {
     for (rows <- samples(keyed)) {
       import spark.implicits._
