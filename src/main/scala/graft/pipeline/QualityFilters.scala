@@ -426,4 +426,40 @@ object QualityFilters {
         F.count(F.lit(1)).as("n_lines_total"),
         F.count(F.when(F.col("keep"), 1)).as("n_lines_kept"))
   }
+
+  /** Deflate compression ratio of the UTF-8 text: compressed bytes /
+    * original bytes. The classic machine-generated/boilerplate signal
+    * (RefinedWeb/MassiveText-family pipelines drop documents that
+    * compress too well — heavy repetition — or too poorly — binary
+    * noise). A scalar UDF is justified here the same way as the Bloom
+    * probe: there is no codegen'd deflate, and the per-row cost IS the
+    * deflate itself, not boxing. Fixed level 6 + raw deflate → a
+    * deterministic function of the bytes for a given JDK zlib; the gate
+    * is rows-only by contract (not expressible in the DuckDB oracle),
+    * with PipelineSpec pinning known-ratio orderings. Empty/null → 1.0. */
+  val compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, true)
+        try {
+          d.setInput(in); d.finish()
+          val buf = new Array[Byte](8192)
+          var out = 0L
+          while (!d.finished()) out += d.deflate(buf)
+          out.toDouble / in.length
+        } finally d.end()
+      }
+    }
+
+  /** (id, n_bytes, ratio, passes) compression-window filter: keep
+    * documents whose ratio lies in [minRatio, maxRatio]. */
+  def withCompressionRatio(df: DataFrame, textCol: String, idCol: String,
+      minRatio: Double = 0.15, maxRatio: Double = 0.95): DataFrame =
+    df.select(F.col(idCol).as("id"),
+        F.octet_length(F.col(textCol)).cast("long").as("n_bytes"),
+        compressionRatio(F.col(textCol)).as("ratio"))
+      .withColumn("passes",
+        F.col("ratio") >= minRatio && F.col("ratio") <= maxRatio)
 }

@@ -29,6 +29,48 @@ object TextAnalysis {
   def meanTokenLengthFromTokens(toks: Column): Column =
     F.char_length(F.array_join(toks, "")).cast(DoubleType) / F.size(toks)
 
+  /** Unicode script blocks as EXPLICIT code-point ranges — written as
+    * literal ranges (not `\p{Script=...}` classes) so the Java-regex
+    * Spark side and the RE2 DuckDB side compile the identical character
+    * sets and the script-mix gate carries a full value oracle. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    // \x{...} escapes: the range syntax Java regex and RE2 share
+    // (\uXXXX is Java-only and would silently diverge in the oracle)
+    "latin"    -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek"    -> "\\x{0370}-\\x{03FF}",
+    "arabic"   -> "\\x{0600}-\\x{06FF}",
+    "cjk"      -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}",
+    "digit"    -> "0-9")
+
+  /** Count of characters in one script range. */
+  def scriptCharCount(text: Column, range: String): Column =
+    F.regexp_count(text, F.lit(s"[$range]"))
+
+  /** (name, fraction-of-chars) columns for every [[ScriptRanges]] entry —
+    * the script-mix profile of a document (the writing-system signal a
+    * multilingual curation pass filters/routes on; complements the
+    * stopword [[langId]], which only sees space-separated scripts).
+    * Fractions are over total char count; zero-length docs yield 0. */
+  def scriptFractions(text: Column): Seq[(String, Column)] = {
+    val total = F.greatest(F.char_length(text), F.lit(1)).cast(DoubleType)
+    ScriptRanges.map { case (name, range) =>
+      s"frac_$name" -> (scriptCharCount(text, range).cast(DoubleType) / total)
+    }
+  }
+
+  /** Dominant script of a document: the [[ScriptRanges]] entry with the
+    * highest char count (ties to the earlier entry), or "other" when no
+    * listed script matches a single char. */
+  def dominantScript(text: Column): Column = {
+    val counts = ScriptRanges.zipWithIndex.map { case ((name, range), i) =>
+      F.struct(scriptCharCount(text, range).as("n"), F.lit(-i).as("ni"),
+        F.lit(name).as("s"))
+    }
+    val best = F.array_max(F.array(counts: _*))
+    F.when(best.getField("n") > 0, best.getField("s")).otherwise(F.lit("other"))
+  }
+
   /** Small per-language stopword marker sets for the n-gram-free heuristic
     * language ID. Deliberately tiny — the operator shape (score-and-argmax
     * over token membership) is what scales, the lists are swappable. */

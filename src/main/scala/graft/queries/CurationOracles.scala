@@ -59,6 +59,46 @@ object CurationOracles {
       """SELECT doc_id, domain FROM r
         |WHERE domain NOT IN ('site1.com', 'site4.co.uk', 'site7.org')
         |ORDER BY doc_id""".stripMargin),
+    "q_text_scripts" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || CASE doc_id % 4
+        |      WHEN 0 THEN ' Привет мир 123'
+        |      WHEN 1 THEN ' 你好世界'
+        |      WHEN 2 THEN ' مرحبا بالعالم'
+        |      ELSE ' αβγ δέλτα' END AS aug
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(aug, '[A-Za-z\x{00C0}-\x{024F}]')) AS c_latin,
+        |    len(regexp_extract_all(aug, '[\x{0400}-\x{04FF}]')) AS c_cyrillic,
+        |    len(regexp_extract_all(aug, '[\x{0370}-\x{03FF}]')) AS c_greek,
+        |    len(regexp_extract_all(aug, '[\x{0600}-\x{06FF}]')) AS c_arabic,
+        |    len(regexp_extract_all(aug, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS c_cjk,
+        |    len(regexp_extract_all(aug, '[0-9]')) AS c_digit,
+        |    CAST(GREATEST(length(aug), 1) AS DOUBLE) AS total
+        |  FROM a),
+        |g AS (
+        |  SELECT doc_id, total, c_latin, c_cyrillic, c_greek, c_arabic,
+        |    c_cjk, c_digit,
+        |    GREATEST(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_digit)
+        |      AS m
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN m = 0 THEN 'other'
+        |       WHEN c_latin = m THEN 'latin'
+        |       WHEN c_cyrillic = m THEN 'cyrillic'
+        |       WHEN c_greek = m THEN 'greek'
+        |       WHEN c_arabic = m THEN 'arabic'
+        |       WHEN c_cjk = m THEN 'cjk'
+        |       ELSE 'digit' END AS script,
+        |  CAST(c_latin AS DOUBLE) / total AS frac_latin,
+        |  CAST(c_cyrillic AS DOUBLE) / total AS frac_cyrillic,
+        |  CAST(c_greek AS DOUBLE) / total AS frac_greek,
+        |  CAST(c_arabic AS DOUBLE) / total AS frac_arabic,
+        |  CAST(c_cjk AS DOUBLE) / total AS frac_cjk,
+        |  CAST(c_digit AS DOUBLE) / total AS frac_digit
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_vocab_coverage" ->
       """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
         |           FROM documents),

@@ -59,6 +59,31 @@ object CurationQueries {
         .select(F.col("doc_id"), F.col("domain"))
         .orderBy("doc_id")
     }),
+    "q_text_scripts" -> ((s, dir) => {
+      // script-mix profiling: per-doc writing-system fractions + dominant
+      // script over deterministically mixed-script text (the documents
+      // table is ASCII, so non-Latin snippets are appended by doc_id)
+      import graft.pipeline.TextAnalysis
+      val aug = F.concat(F.col("text"),
+        F.when(F.col("doc_id") % 4 === 0, F.lit(" Привет мир 123"))
+          .when(F.col("doc_id") % 4 === 1, F.lit(" 你好世界"))
+          .when(F.col("doc_id") % 4 === 2, F.lit(" مرحبا بالعالم"))
+          .otherwise(F.lit(" αβγ δέλτα")))
+      val d0 = docs(s, dir).select(F.col("doc_id"), aug.as("aug"))
+      d0.select(
+          F.col("doc_id") +:
+            TextAnalysis.dominantScript(F.col("aug")).as("script") +:
+            TextAnalysis.scriptFractions(F.col("aug"))
+              .map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+    "q_compression_ratio" -> ((s, dir) => {
+      // deflate ratio window filter — no SQL analog (rows-only gate by
+      // contract, like q_text_winnow); PipelineSpec pins known orderings
+      graft.pipeline.QualityFilters.withCompressionRatio(
+          docs(s, dir), "text", "doc_id")
+        .orderBy("id")
+    }),
     "q_vocab_coverage" -> ((s, dir) => {
       graft.pipeline.Vocab.byCoverage(docs(s, dir), "text", coverage = 0.95)
         .orderBy(F.col("cnt").desc, F.col("token"))

@@ -79,6 +79,42 @@ class CurationSpec extends AnyFunSuite {
     assert(all == 5)
   }
 
+  test("script detection: dominant script and fractions on known mixed text") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "hello world"),            // latin
+      (2L, "Привет мир"),             // cyrillic
+      (3L, "你好世界"),                 // cjk
+      (4L, "مرحبا"),                  // arabic
+      (5L, "αβγ"),                    // greek
+      (6L, "12345"),                  // digit
+      (7L, "!!! ???"))                // none → other
+      .toDF("id", "t")
+    val got = rows.select(F.col("id"),
+        TextAnalysis.dominantScript(F.col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "latin", 2L -> "cyrillic", 3L -> "cjk",
+      4L -> "arabic", 5L -> "greek", 6L -> "digit", 7L -> "other"))
+    val fr = rows.where(F.col("id") === 3L).select(
+      TextAnalysis.scriptFractions(F.col("t"))
+        .find(_._1 == "frac_cjk").get._2).head().getDouble(0)
+    assert(fr == 1.0)
+  }
+
+  test("compression ratio orders repetitive below diverse text; bounds hold") {
+    import graft.pipeline.QualityFilters
+    val rep = "spam ham " * 500
+    val div = (1 to 500).map(i => s"w${i * 7919}").mkString(" ")
+    val out = Seq((1L, rep), (2L, div), (3L, ""), (4L, null: String))
+      .toDF("id", "t")
+    val r = QualityFilters.withCompressionRatio(out, "t", "id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) < 0.05, s"repetitive ratio ${r(1L)}")
+    assert(r(2L) > 0.3, s"diverse ratio ${r(2L)}")
+    assert(r(3L) == 1.0 && r(4L) == 1.0)
+    assert(r.values.forall(v => v > 0 && v <= 1.5))
+  }
+
   test("table-blocklist filter plans as a broadcast anti-join") {
     val docs = Seq((1L, "https://a.com/x")).toDF("id", "url")
     val plan = Domains.filterBlockedDomainsDf(docs, "url",

@@ -103,6 +103,8 @@ class SurfaceSpec extends AnyFunSuite {
     // value-hash oracle; anything else appearing here is a coverage bug
     val rowsOnly = q -- o
     val justified = Set("q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq",
+      // deflate has no SQL analog; CurationSpec pins known-ratio orderings
+      "q_compression_ratio",
       "q_approx_nunique",
       "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic",
       "q_dedup_incremental_near",
