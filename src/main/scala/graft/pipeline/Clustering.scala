@@ -104,6 +104,19 @@ object Clustering {
     connectedComponents(pairs, aCol, bCol, nodes)
       .withColumn("keep", F.col("node") === F.col("component"))
 
+  /** (anchor, positive) training pairs from duplicate clusters: every
+    * non-canonical member pairs with its cluster's canonical (the min-id
+    * component representative) — the standard self-supervised positive-
+    * pair construction for embedding training (near-duplicates are
+    * semantic positives by construction; in-batch items from other
+    * clusters serve as negatives). One pair per member, never the
+    * quadratic all-pairs within a cluster. */
+  def contrastivePairs(pairs: DataFrame, aCol: String, bCol: String,
+      nodes: Option[DataFrame] = None): DataFrame =
+    connectedComponents(pairs, aCol, bCol, nodes)
+      .where(F.col("node") =!= F.col("component"))
+      .select(F.col("node").as("anchor"), F.col("component").as("positive"))
+
   /** Survivorship policy: instead of the min-id representative, keep each
     * cluster's highest-`scoreCol` member (ties → lowest id) — "keep the
     * best copy", the policy real curation pipelines want when duplicates

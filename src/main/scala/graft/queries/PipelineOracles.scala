@@ -357,6 +357,19 @@ object PipelineOracles {
         |SELECT doc_id AS node,
         |  min(doc_id) OVER (PARTITION BY grp) AS component
         |FROM g ORDER BY node""".stripMargin,
+    "q_contrastive_pairs" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+        |              AND doc_id % 100 <> 0 THEN 0 ELSE 1 END AS brk
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |        sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM o),
+        |cc AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS component
+        |       FROM g)
+        |SELECT doc_id AS anchor, component AS positive FROM cc
+        |WHERE doc_id <> component ORDER BY anchor""".stripMargin,
     // the keep CTE mirrors fuzzyPairs' maxBlock guard (blocks > 1000 drop)
     "q_fuzzy_pairs" ->
       """WITH blk AS (

@@ -344,6 +344,18 @@ object PipelineQueries {
         .connectedComponents(edges, "src", "dst", nodes = Some(d))
         .orderBy("node")
     }),
+    "q_contrastive_pairs" -> ((s, dir) => {
+      // anchor→positive pairs from the same deterministic cluster chains
+      // as q_dedup_clusters: one pair per non-canonical member
+      val d = t(s, dir, "documents").select("doc_id")
+      val edges = d.as("a").join(d.as("b"),
+          F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+            F.col("a.doc_id") % 100 =!= 99)
+        .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+      graft.pipeline.Clustering
+        .contrastivePairs(edges, "src", "dst", nodes = Some(d))
+        .orderBy("anchor")
+    }),
     "q_dedup_keep_best" -> ((s, dir) => {
       // deterministic chain edges within 10-id blocks: components are
       // provably the blocks, so the oracle can name them in SQL; the gate's

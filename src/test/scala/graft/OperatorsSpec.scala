@@ -27,6 +27,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q50 == 42L)
   }
 
+  test("percentile_approx brackets the exact order statistics on real data") {
+    // the exact operator is the ground truth the approximate one is
+    // judged against — rank error must stay within the accuracy contract
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    val qs = Seq(0.25, 0.5, 0.9)
+    val exact = graft.operators.Quantiles
+      .exactQuantiles(docs, "n_chars", qs, tiebreakers = Seq("doc_id"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val approx = docs.select(
+        F.percentile_approx(F.col("n_chars"), F.array(qs.map(F.lit): _*),
+          F.lit(100)).as("p")).head().getSeq[Long](0)
+    qs.zip(approx).foreach { case (q, a) =>
+      // values at ranks within n/100 of the exact rank bracket the answer
+      val sorted = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+      val k = math.max(1, math.ceil(q * n).toInt)
+      val lo = sorted(math.max(0, k - 1 - (n / 100).toInt))
+      val hi = sorted(math.min(sorted.length - 1, k - 1 + (n / 100).toInt))
+      assert(a >= lo && a <= hi, s"q=$q approx=$a not in [$lo, $hi] (exact=${exact(q)})")
+    }
+  }
+
   test("grouped exact quantiles pick per-group order statistics") {
     import spark.implicits._
     val df = (Seq.tabulate(10)(i => ("a", i.toLong, (i + 1).toLong * 10)) ++
