@@ -337,6 +337,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!w.contains("CartesianProduct"), w)
   }
 
+  test("domain cap: one hash exchange on the domain key, nothing more") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("url", F.concat(F.lit("https://www.site"),
+        (F.col("doc_id") % 50).cast("string"), F.lit(".com/p")))
+    val p = plan(graft.pipeline.Domains.capPerDomain(docs, "url", "doc_id", 5))
+    assert(count(p, "Exchange") == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("vocab coverage: no single-partition global window anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Vocab.byCoverage(docs, "text", 0.95))
+    // the cumulative sum must ride the range shuffle + per-partition
+    // windows + broadcast offsets — a SinglePartition exchange would mean
+    // the single-reducer global window snuck back in
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("ivf-pq join-strategy scoring: broadcast joins only, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+      m = 16, ks = 128, iters = 1) // volume 8192 > threshold → join strategy
+    val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
+    val p = plan(graft.pipeline.Quantize.ivfPqTopK(idx, enc,
+      emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", 5, 2, cb))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     // the pre-shuffled layout a recurring 100 TB fact-fact join should use:
     // both sides bucketed on the key -> the join consumes the bucket
