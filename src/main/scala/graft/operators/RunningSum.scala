@@ -54,4 +54,18 @@ object RunningSum {
     val (c, _) = withRunningSum(df, order, costCol)
     c.where((F.col("cum") - F.col(costCol)) < budget)
   }
+
+  /** Per-group budgeted selection: each group independently fills its own
+    * `budget` in `order` — "at most N tokens per domain/language", the
+    * grouped form of [[selectByBudget]]. Keyed windows, one shuffle on
+    * the group key, groups fill in parallel; rows keep their columns plus
+    * the within-group running total `cum`. */
+  def selectByBudgetPerGroup(df: DataFrame, groupCol: String,
+      order: Seq[Column], costCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val w = Window.partitionBy(groupCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", F.sum(F.col(costCol)).over(w))
+      .where((F.col("cum") - F.col(costCol)) < budget)
+  }
 }

@@ -117,6 +117,43 @@ object Quantize {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Persist SQ8 ranges as a tiny (dim, mn, mx) parquet with a meta.json
+    * dim stamp — same contract as [[savePq]]/[[Ivf.save]]: build once per
+    * corpus version, and a loaded range table that disagrees with its
+    * stamp fails loudly. */
+  def saveSq8(p: Sq8Params, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    p.mins.indices.map(i => (i, p.mins(i), p.maxs(i))).toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ranges")
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"dim":${p.dim}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def loadSq8(spark: org.apache.spark.sql.SparkSession, path: String): Sq8Params = {
+    val rows = spark.read.parquet(s"$path/ranges").orderBy("dim").collect()
+    val p = Sq8Params(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(metaPath)) {
+      val bytes = {
+        val in = fs.open(metaPath)
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      }
+      val dim = graft.store.TableStore.jsonMapper
+        .readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        .get("dim").asInt()
+      if (dim != p.dim) throw new IllegalStateException(
+        s"SQ8 ranges at $path are inconsistent with their meta.json stamp: " +
+        s"stamped dim=$dim, stored ${p.dim}")
+    }
+    p
+  }
+
   // ------------------------------------------------------------------
   // PQ — product quantization
   // ------------------------------------------------------------------

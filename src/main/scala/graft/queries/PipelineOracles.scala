@@ -46,6 +46,38 @@ object PipelineOracles {
        |    WHERE q.vec_id <> c.vec_id) s) r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** One text for q_ann_sq8 AND q_ann_sq8_persisted: saved-then-loaded
+    * ranges must score bit-identically to the ranges they were built
+    * from. Asymmetric SQ8: corpus side round-trips through per-dimension
+    * 8-bit codes, query side full precision — same arithmetic order as
+    * the Spark side, so both gates hash-match. */
+  private val sq8Sql: String =
+    s"""WITH dims AS (
+       |  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+       |  GROUP BY i),
+       |codes AS (
+       |  SELECT e.vec_id, d.i,
+       |    CASE WHEN d.mx = d.mn THEN 0
+       |         ELSE CAST(round((CAST(e.embedding[d.i] AS DOUBLE) - d.mn)
+       |                         / (d.mx - d.mn) * 255.0) AS INTEGER) END AS code
+       |  FROM embeddings e CROSS JOIN dims d),
+       |deq AS (
+       |  SELECT c.vec_id, c.i,
+       |    d.mn + CAST(c.code AS DOUBLE) * (d.mx - d.mn) / 255.0 AS x
+       |  FROM codes c JOIN dims d USING (i)),
+       |cvec AS (SELECT vec_id, list(x ORDER BY i) AS v FROM deq GROUP BY vec_id),
+       |qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+       |SELECT query_id, rank, nbr_id, cos FROM (
+       |  SELECT query_id, nbr_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |      ${cosExpr("q.embedding", "c.v")} AS cos
+       |    FROM cvec c, qs q WHERE q.vec_id <> c.vec_id) s) r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** One oracle text for q_bm25, q_bm25_persisted AND q_bm25_incremental:
     * a saved-then-loaded index must score bit-identically to the index it
     * was built from, and a delta-appended index to a from-scratch build on
@@ -135,32 +167,9 @@ object PipelineOracles {
     // asymmetric SQ8: corpus side round-trips through per-dimension 8-bit
     // codes (ranges trained on the same corpus), query side full precision
     // — same arithmetic order as the Spark side, so the gate hash-matches
-    "q_ann_sq8" ->
-      s"""WITH dims AS (
-         |  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
-         |         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
-         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
-         |  GROUP BY i),
-         |codes AS (
-         |  SELECT e.vec_id, d.i,
-         |    CASE WHEN d.mx = d.mn THEN 0
-         |         ELSE CAST(round((CAST(e.embedding[d.i] AS DOUBLE) - d.mn)
-         |                         / (d.mx - d.mn) * 255.0) AS INTEGER) END AS code
-         |  FROM embeddings e CROSS JOIN dims d),
-         |deq AS (
-         |  SELECT c.vec_id, c.i,
-         |    d.mn + CAST(c.code AS DOUBLE) * (d.mx - d.mn) / 255.0 AS x
-         |  FROM codes c JOIN dims d USING (i)),
-         |cvec AS (SELECT vec_id, list(x ORDER BY i) AS v FROM deq GROUP BY vec_id),
-         |qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
-         |SELECT query_id, rank, nbr_id, cos FROM (
-         |  SELECT query_id, nbr_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
-         |  FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-         |      ${cosExpr("q.embedding", "c.v")} AS cos
-         |    FROM cvec c, qs q WHERE q.vec_id <> c.vec_id) s) r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_sq8" -> sq8Sql,
+    // saved-then-loaded ranges must score bit-identically: same oracle text
+    "q_ann_sq8_persisted" -> sq8Sql,
     // IVF with nprobe = k probes every inverted list → identical to brute
     // force (same ordering, same cosine arithmetic)
     "q_ann_ivf_exact" -> exactAnnOracle,

@@ -144,6 +144,21 @@ object PipelineQueries {
           "vec_id", "embedding", "vec_id", k = 10, p)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_sq8_persisted" -> ((s, dir) => {
+      // ranges saved and loaded back must score bit-identically — the
+      // gate shares q_ann_sq8's oracle text (same contract as
+      // q_bm25_persisted)
+      val emb = t(s, dir, "embeddings")
+      val dir0 = graft.streaming.StreamStage.stage(s, s"$dir/sq8_idx_seed",
+        emb.limit(0))._1 // stable per-JVM temp root
+      val path = dir0 + "/sq8"
+      graft.pipeline.Quantize.saveSq8(
+        graft.pipeline.Quantize.trainSq8(emb, "embedding"), s, path)
+      val p = graft.pipeline.Quantize.loadSq8(s, path)
+      graft.pipeline.Quantize.sq8TopK(emb, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", k = 10, p)
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_pq" -> ((s, dir) => {
       // product quantization: Lloyd-trained per-subspace codebooks → codes
       // are init/data-dependent → rows-only check; RecallSpec pins measured

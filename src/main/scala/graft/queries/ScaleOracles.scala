@@ -127,6 +127,15 @@ object ScaleOracles {
         |  FROM documents)
         |SELECT doc_id, n_chars, cum FROM c
         |WHERE cum - n_chars < 100000 ORDER BY cum""".stripMargin,
+    "q_select_budget_group" ->
+      """WITH c AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, cum FROM c
+        |WHERE cum - n_chars < 30000 ORDER BY lang, cum""".stripMargin,
     "q_group_quantiles" ->
       """WITH s AS (
         |  SELECT lang, doc_id, n_chars,

@@ -146,6 +146,16 @@ object ScaleQueries {
           costCol = "n_chars", budget = 100000L)
         .orderBy(F.col("cum"))
     }),
+    "q_select_budget_group" -> ((s, dir) => {
+      // per-language token budgets: every lang independently fills 30k
+      // chars from its longest documents down — keyed windows, groups
+      // fill in parallel
+      graft.operators.RunningSum.selectByBudgetPerGroup(
+          d(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", order = Seq(F.col("n_chars").desc, F.col("doc_id").asc),
+          costCol = "n_chars", budget = 30000L)
+        .orderBy("lang", "cum")
+    }),
     "q_group_quantiles" -> ((s, dir) => {
       // per-language exact length percentiles (dataset-card stats):
       // keyed windows rank groups in parallel, same order-statistic
