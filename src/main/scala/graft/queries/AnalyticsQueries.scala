@@ -25,6 +25,43 @@ object AnalyticsQueries {
         F.col("l_discount").cast(DecimalType(18, 2)))
 
   val queries: Map[String, Q] = Map(
+    // Q1 proper: the full pricing-summary report (sum/avg per flag+status
+    // over a shipdate horizon) in exact DECIMAL so every aggregate is
+    // order-independent and the oracle hash-matches
+    "q_tpch_q1" -> ((s, dir) => {
+      val dec = DecimalType(18, 2)
+      val one = F.lit(1).cast(dec)
+      val disc = F.col("l_discount").cast(dec)
+      val price = F.col("l_extendedprice").cast(dec)
+      val tax = F.col("l_tax").cast(dec)
+      t(s, dir, "lineitem").df
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.sum(F.col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+          F.sum(price).cast(DoubleType).as("sum_base_price"),
+          F.sum(price * (one - disc)).cast(DoubleType).as("sum_disc_price"),
+          F.sum(price * (one - disc) * (one + tax)).cast(DoubleType).as("sum_charge"),
+          (F.sum(F.col("l_quantity").cast(dec)).cast(DoubleType) /
+            F.count(F.lit(1))).as("avg_qty"),
+          (F.sum(price).cast(DoubleType) / F.count(F.lit(1))).as("avg_price"),
+          (F.sum(disc).cast(DoubleType) / F.count(F.lit(1))).as("avg_disc"),
+          F.count(F.lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // Q6 proper: the forecasting-revenue-change filter-and-sum — the
+    // selective-scan shape whose filters must ALL reach the parquet scan
+    "q_tpch_q6" -> ((s, dir) => {
+      val dec = DecimalType(18, 2)
+      t(s, dir, "lineitem").df
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast(TimestampType) &&
+          F.col("l_shipdate") < F.lit("1997-01-01").cast(TimestampType) &&
+          F.col("l_discount").between(0.03, 0.07) &&
+          F.col("l_quantity") < 24)
+        .agg(F.sum(F.col("l_extendedprice").cast(dec) *
+            F.col("l_discount").cast(dec)).cast(DoubleType).as("revenue"),
+          F.count(F.lit(1)).as("n_rows"))
+    }),
     // Q3 silhouette: segment customers' urgent unshipped orders by revenue
     "q_tpch_q3" -> ((s, dir) => {
       val cutoff = F.lit("1995-06-01").cast(TimestampType)

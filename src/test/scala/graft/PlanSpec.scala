@@ -337,6 +337,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!w.contains("CartesianProduct"), w)
   }
 
+  test("tpch q6: every selective filter reaches the parquet scan") {
+    val p = plan(graft.SparkEntry.queries("q_tpch_q6")(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.split("PushedFilters").last.contains(c), s"$c not pushed:\n$p")
+  }
+
   test("domain cap: one hash exchange on the domain key, nothing more") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("url", F.concat(F.lit("https://www.site"),
