@@ -59,6 +59,26 @@ object CurationOracles {
       """SELECT doc_id, domain FROM r
         |WHERE domain NOT IN ('site1.com', 'site4.co.uk', 'site7.org')
         |ORDER BY doc_id""".stripMargin),
+    "q_corpus_card" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, length(text) AS len FROM documents),
+        |st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len) AS BIGINT) AS n_chars,
+        |    CAST(sum(len) AS DOUBLE) / count(*) AS mean_chars
+        |  FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT lang, len,
+        |    row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s),
+        |q50 AS (SELECT lang, CAST(len AS BIGINT) AS p50_chars FROM r
+        |        WHERE rk = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))),
+        |q95 AS (SELECT lang, CAST(len AS BIGINT) AS p95_chars FROM r
+        |        WHERE rk = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)))
+        |SELECT st.lang, n_docs, n_chars, mean_chars, p50_chars, p95_chars
+        |FROM st JOIN q50 USING (lang) JOIN q95 USING (lang)
+        |ORDER BY lang""".stripMargin,
     "q_text_scripts" ->
       """WITH a AS (
         |  SELECT doc_id,

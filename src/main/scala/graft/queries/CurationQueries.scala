@@ -59,6 +59,12 @@ object CurationQueries {
         .select(F.col("doc_id"), F.col("domain"))
         .orderBy("doc_id")
     }),
+    "q_corpus_card" -> ((s, dir) => {
+      // per-language dataset card: counts, totals, and EXACT p50/p95
+      // length order statistics
+      graft.pipeline.Report.corpusCard(docs(s, dir), "lang", "text", "doc_id")
+        .orderBy("lang")
+    }),
     "q_text_scripts" -> ((s, dir) => {
       // script-mix profiling: per-doc writing-system fractions + dominant
       // script over deterministically mixed-script text (the documents
