@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.ScaleQueries.queries ++
       graft.queries.QualityQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.TpchQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalOracles.oracleSql ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.ScaleOracles.oracleSql ++
       graft.queries.QualityOracles.oracleSql ++
       graft.queries.CurationOracles.oracleSql ++
-      graft.queries.AnalyticsOracles.oracleSql
+      graft.queries.AnalyticsOracles.oracleSql ++
+      graft.queries.TpchOracles.oracleSql
 }

@@ -468,6 +468,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tpch full suite: dims broadcast, no cartesian beyond 1-row scalars") {
+    // Q9: part (LIKE-filtered), supplier, nation all broadcast; the only
+    // sort-merge-eligible join is the orders fact side
+    val q9 = plan(graft.SparkEntry.queries("q_tpch_q9")(spark, sf))
+    assert(count(q9, "BroadcastHashJoin") >= 3, q9)
+    assert(!q9.contains("CartesianProduct"), q9)
+    // Q21: EXISTS/NOT EXISTS compile to equi-keyed LeftSemi/LeftAnti hash
+    // joins (key = orderkey, inequality as residual condition) — never a
+    // nested-loop over the fact table
+    val q21 = plan(graft.SparkEntry.queries("q_tpch_q21")(spark, sf))
+    assert(q21.contains("LeftSemi"), q21)
+    assert(q21.contains("LeftAnti"), q21)
+    assert(!q21.contains("BroadcastNestedLoopJoin"), q21)
+    assert(!q21.contains("CartesianProduct"), q21)
+    // Q11: the global-total threshold crosses in as a broadcast 1-row side
+    // (BNLJ over a single row is O(n)); the fact side is never replicated
+    val q11 = plan(graft.SparkEntry.queries("q_tpch_q11")(spark, sf))
+    assert(!q11.contains("CartesianProduct"), q11)
+    assert(count(q11, "BroadcastNestedLoopJoin") <= 1, q11)
+    // Q2: derived supply relation aggregates once; supplier-geo and the
+    // filtered part side broadcast into it
+    val q2 = plan(graft.SparkEntry.queries("q_tpch_q2")(spark, sf))
+    assert(count(q2, "BroadcastHashJoin") >= 2, q2)
+    assert(!q2.contains("CartesianProduct"), q2)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
