@@ -262,4 +262,80 @@ object DataMix {
         F.col("n_total"),
         F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"))
   }
+
+  /** Uniform bucket in [0, 1e6) for a key of ANY type (domain string,
+    * near-dup cluster id, url...): the first 8 hex chars of md5 of the
+    * canonical string cast, mod 1e6 — the same engine-portable md5-prefix
+    * device as [[epochShuffle]] / DSIR, so the assignment is reproducible
+    * in ANSI SQL and across engines. Row-local, zero shuffle. */
+  def keyBucket(key: Column): Column =
+    F.pmod(F.conv(F.substring(
+      F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10).cast("long"),
+      F.lit(Buckets))
+
+  /** LEAKAGE-SAFE train/val/test split: the split is keyed on `keyCol`
+    * (a domain, a source, a near-dup cluster's canonical id) rather than
+    * the row id, so every row sharing a key lands in the SAME split —
+    * near-duplicates or same-site pages can never straddle the
+    * train/eval boundary and leak eval content into training (the
+    * standard contamination failure of id-keyed splits; see Lee et al.
+    * 2021 §6 on duplicate-driven eval leakage).
+    *
+    * Same determinism contract as [[split]]: a key's split never changes
+    * with partitioning, run order, or corpus growth. Row-local filter,
+    * zero shuffle, whole-stage codegen. */
+  def splitByKey(df: DataFrame, keyCol: String,
+      valFrac: Double = 0.01, testFrac: Double = 0.01): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      "fractions must be non-negative and sum to <= 1")
+    val b = keyBucket(F.col(keyCol))
+    val vCut = (valFrac * Buckets).toLong
+    val tCut = vCut + (testFrac * Buckets).toLong
+    df.withColumn("split",
+      F.when(b < vCut, "val").when(b < tCut, "test").otherwise("train"))
+  }
+
+  /** Downsample the corpus so the surviving group mix MATCHES a target
+    * distribution, keeping as much data as feasible (the distribution-
+    * matching step of mixture recipes — e.g. rebalance web crawl to a
+    * reference language mix).
+    *
+    * With corpus counts C_g and target fractions t_g, the largest
+    * achievable matched corpus is N* = min_g C_g / t_g (the binding
+    * group keeps 100%); each group keeps rate_g = t_g * N* / C_g via the
+    * same row-local id-hash filter as [[sampleByWeights]]. Groups with no
+    * target mass (or absent from `target`) are dropped.
+    *
+    * One k-row count aggregate (k = #groups) broadcast back over the
+    * corpus; the corpus itself never shuffles. Rates are exact-count
+    * ratios in IEEE double and the threshold is floor(rate * 1e6) — the
+    * identical arithmetic runs in the DuckDB oracle, so the kept set is
+    * engine-reproducible. */
+  def matchDistribution(df: DataFrame, idCol: String, groupCol: String,
+      target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty, "target distribution must be non-empty")
+    require(target.values.forall(_ >= 0), "target masses must be >= 0")
+    val total = target.values.sum
+    require(total > 0, "target distribution must have positive mass")
+    val tmap = F.map(target.toSeq.sortBy(_._1).flatMap { case (k, t) =>
+      Seq(F.lit(k), F.lit(t / total)) }: _*)
+    val counts = df.groupBy(F.col(groupCol).cast("string").as("$td.__g"))
+      .agg(F.count(F.lit(1)).as("$td.__cg"))
+      .withColumn("$td.__tg", F.element_at(tmap, F.col("`$td.__g`")))
+      .where(F.col("`$td.__tg`").isNotNull && F.col("`$td.__tg`") > 0)
+    // N* = min over groups of C_g / t_g — a 1-row aggregate of a k-row
+    // relation, crossed back in via broadcast (never a global window)
+    val nStar = counts.agg(F.min(
+      F.col("`$td.__cg`").cast("double") / F.col("`$td.__tg`")).as("$td.__nstar"))
+    val rates = counts.crossJoin(F.broadcast(nStar))
+      .select(F.col("`$td.__g`"),
+        F.floor(F.least(F.lit(1.0),
+          F.col("`$td.__tg`") * F.col("`$td.__nstar`") /
+            F.col("`$td.__cg`").cast("double")) * Buckets)
+          .cast("long").as("$td.__thr"))
+    df.join(F.broadcast(rates),
+        F.col(groupCol).cast("string") === F.col("`$td.__g`"))
+      .where(bucket(F.col(idCol)) < F.col("`$td.__thr`"))
+      .drop("$td.__g", "$td.__thr")
+  }
 }

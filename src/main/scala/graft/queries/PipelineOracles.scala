@@ -435,6 +435,40 @@ object PipelineOracles {
         |  FROM documents)
         |SELECT split, count(*) AS n, min(doc_id) AS first_id
         |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    "q_split_leakage_safe" ->
+      // keyBucket: first 8 md5 hex chars of the key string, mod 1e6 —
+      // identical arithmetic to DataMix.keyBucket
+      """WITH b AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 1000000 AS bk
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    CASE WHEN bk < 200000 THEN 'val'
+        |         WHEN bk < 400000 THEN 'test' ELSE 'train' END AS split
+        |  FROM b)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q_match_distribution" ->
+      // Mirrors DataMix.matchDistribution step for step: exact counts,
+      // N* = min(C_g/t_g) in DOUBLE, thr = floor(least(1, t*N*/C)*1e6),
+      // then the same Knuth-hash keep decision per doc id.
+      """WITH tgt AS (
+        |  SELECT * FROM (VALUES ('en', 0.5e0), ('fr', 0.3e0), ('de', 0.2e0))
+        |    AS t(lang, tg)),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cg
+        |      FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, cg, tg FROM c JOIN tgt USING (lang) WHERE tg > 0),
+        |ns AS (SELECT min(CAST(cg AS DOUBLE) / tg) AS nstar FROM j),
+        |th AS (SELECT lang,
+        |         CAST(floor(least(1.0e0, tg * nstar / CAST(cg AS DOUBLE))
+        |           * 1000000e0) AS BIGINT) AS thr
+        |       FROM j, ns)
+        |SELECT d.lang, count(*) AS n_kept, min(doc_id) AS first_id
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |WHERE ((doc_id % 1000003) * 2654435761) % 1000000 < thr
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_sample_exact_n" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

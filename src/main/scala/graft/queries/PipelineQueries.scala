@@ -449,6 +449,27 @@ object PipelineQueries {
           F.min("doc_id").as("first_id"))
         .orderBy("split")
     }),
+    // Leakage-safe split: keyed on source so same-site documents (and
+    // their near-duplicates) can never straddle the train/eval boundary.
+    // n_sources per split + the global straddle count (must be 0) are the
+    // co-assignment evidence.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      graft.pipeline.DataMix.splitByKey(t(s, dir, "documents"), "source",
+          valFrac = 0.2, testFrac = 0.2)
+        .groupBy("split").agg(F.count(F.lit(1)).as("n_docs"),
+          F.countDistinct(F.col("source")).as("n_sources"))
+        .orderBy("split")
+    }),
+    // Distribution matching: downsample so the surviving lang mix equals
+    // the target (en .5 / fr .3 / de .2; zh/es dropped), keeping the
+    // binding group at 100%.
+    "q_match_distribution" -> ((s, dir) => {
+      graft.pipeline.DataMix.matchDistribution(t(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
+        .groupBy("lang").agg(F.count(F.lit(1)).as("n_kept"),
+          F.min("doc_id").as("first_id"))
+        .orderBy("lang")
+    }),
     "q_data_mix" -> ((s, dir) => {
       graft.pipeline.DataMix.mixReport(t(s, dir, "documents"),
           "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultWeight = 0.75)

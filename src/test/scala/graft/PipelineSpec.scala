@@ -1398,4 +1398,44 @@ class PipelineSpec extends AnyFunSuite {
       Dedup.incrementalNearDupPairs(stripped, history, batch, "text", "id"))
     assert(e.getMessage.contains("unstamped"))
   }
+
+  test("splitByKey: every key lands in exactly one split, stable to partitioning") {
+    import graft.pipeline.DataMix
+    val out = DataMix.splitByKey(docs, "source", valFrac = 0.2, testFrac = 0.2)
+    // co-assignment: no source straddles splits
+    val straddle = out.groupBy("source")
+      .agg(F.countDistinct(F.col("split")).as("k"))
+      .where(F.col("k") > 1).count()
+    assert(straddle == 0)
+    // all three splits materialize and cover the corpus
+    val sizes = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == docs.count())
+    assert(sizes.keySet == Set("train", "val", "test"), sizes)
+    // a key's split never changes with partitioning
+    val a = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = DataMix.splitByKey(docs.repartition(7), "source", 0.2, 0.2)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("matchDistribution: achieved mix tracks the target, binding group kept whole") {
+    import graft.pipeline.DataMix
+    val target = Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2)
+    val kept = DataMix.matchDistribution(docs, "doc_id", "lang", target)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // groups outside the target are dropped entirely
+    assert(!counts.contains("zh") && !counts.contains("es"), counts)
+    // achieved fractions within hash-rounding tolerance of the target
+    val n = counts.values.sum.toDouble
+    for ((g, t) <- target)
+      assert(math.abs(counts(g) / n - t) < 0.08, s"$g: ${counts(g) / n} vs $t -- $counts")
+    // the binding group (largest C_g/t_g deficit) keeps ~everything
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = target.keys.minBy(g => totals(g) / target(g))
+    assert(counts(binding).toDouble / totals(binding) > 0.9,
+      s"binding=$binding $counts vs $totals")
+  }
 }
