@@ -392,6 +392,53 @@ object PipelineOracles {
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a, b""".stripMargin,
+    "q_curation_e2e" ->
+      // dedup keep-ids + quality CTE (same arithmetic as q_stream_quality)
+      // + 3-gram decontamination (shared shingles CTE) + md5 source split
+      s"""$shinglesCte,
+         |eg AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 20),
+         |hits AS (SELECT DISTINCT ex.doc_id FROM ex JOIN eg USING (shingle)),
+         |keepids AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d1 AS (SELECT d.doc_id, d.lang, d.source, d.text
+         |       FROM documents d JOIN keepids USING (doc_id)),
+         |s AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS word_count,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |      / nullif(len(regexp_extract_all(text, '\\S+')), 0) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+         |      / nullif(len(regexp_extract_all(text, '\\S+')), 0) AS symbol_ratio,
+         |    CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS DOUBLE)
+         |      / nullif(len(regexp_extract_all(text, '\\S+')), 0) AS alpha_word_frac,
+         |    CAST(len(list_intersect(
+         |      list_distinct(string_split_regex(lower(text), '\\s+')),
+         |      ['the','be','to','of','and','that','have','with'])) AS INTEGER)
+         |      AS stopword_hits
+         |  FROM d1),
+         |q AS (
+         |  SELECT doc_id, lang, source,
+         |    CASE WHEN word_count > 0 THEN
+         |      0.15e0 * (least(word_count, 256) / 256e0)
+         |      + 0.15e0 * (1e0 - least(abs(mean_word_len - 5e0), 5e0) / 5e0)
+         |      + 0.2e0 * (1e0 - least(symbol_ratio * 10e0, 1e0))
+         |      + 0.3e0 * least(alpha_word_frac, 1e0)
+         |      + 0.2e0 * (least(stopword_hits, 4) / 4e0)
+         |    END AS quality_score
+         |  FROM s),
+         |clean AS (
+         |  SELECT doc_id, lang, source FROM q
+         |  WHERE quality_score >= 0.6e0
+         |    AND doc_id NOT IN (SELECT doc_id FROM hits)),
+         |sp AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 1000000
+         |              < 100000 THEN 'val'
+         |         WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 1000000
+         |              < 200000 THEN 'test' ELSE 'train' END AS split
+         |  FROM clean)
+         |SELECT split, lang, count(*) AS n_docs, min(doc_id) AS first_id
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     // the streaming gate must reproduce the batch verdicts exactly —
     // one oracle text for both

@@ -395,6 +395,30 @@ object PipelineQueries {
           blockLen = 17, maxDist = 1)
         .orderBy("a", "b")
     }),
+    // End-to-end curation composition — the full pre-training data path in
+    // ONE plan: exact dedup (keep min id) -> single-pass quality-kernel
+    // filter -> n-gram decontamination against an eval slice ->
+    // leakage-safe source-keyed split -> per (split, lang) accounting.
+    // Every stage is the already-gated operator; the value here is the
+    // COMPOSITION: one DAG, no materialization barriers between stages,
+    // fully reproduced by the DuckDB oracle.
+    "q_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepIds = graft.pipeline.Dedup.exact(docs, "text", "doc_id")
+        .select(F.col("keep_id").as("doc_id"))
+      val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      val scored = graft.pipeline.QualityFilters.withQualityScore(deduped,
+          "text", keep = Seq("doc_id", "lang", "source", "text"))
+        .where(F.col("passes_quality"))
+      val evals = docs.where(F.col("doc_id") < 20)
+      val clean = graft.pipeline.Decontaminate.removeContaminated(
+        scored, "text", "doc_id", evals, "text", n = 3)
+      graft.pipeline.DataMix.splitByKey(clean, "source",
+          valFrac = 0.1, testFrac = 0.1)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).as("n_docs"), F.min("doc_id").as("first_id"))
+        .orderBy("split", "lang")
+    }),
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val evals = docs.where(F.col("doc_id") < 20)
