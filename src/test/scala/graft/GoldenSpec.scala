@@ -897,6 +897,30 @@ class GoldenSpec extends AnyFunSuite {
     check(store.scan("c/t").get.df, s"$golden/plugin_offsets/expected_run2.json")
   }
 
+  test("golden: schema-qualified JDBC destination writes into its schema (rs output_postgres_schema)") {
+    import spark.implicits._
+    import graft.sources.{JdbcSink, JdbcSource}
+    // the reference writes to "testing_schema.output_postgres_schema" on a
+    // database where the schema pre-exists; mirror with an explicit Derby
+    // schema and a schema-qualified dbtable through the same sink
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-sch")}/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate("CREATE SCHEMA TESTSCH")
+    finally conn.close()
+    JdbcSink(url, "TESTSCH.stock", mode = "append")
+      .write(Seq(("A1", 4), ("B2", 12)).toDF("sku", "qty"))
+    val back = JdbcSource(url, Seq("""SELECT "sku", "qty" FROM TESTSCH.stock"""))
+      .load(spark, Map.empty).head
+    check(back, s"$golden/jdbc_schema/expected_result.json")
+    // the unqualified name resolves to the default schema, which must NOT
+    // have received the rows
+    val leaked = intercept[Exception] {
+      JdbcSource(url, Seq("""SELECT "sku" FROM stock""")).load(spark, Map.empty)
+        .head.collect()
+    }
+    assert(leaked != null)
+  }
+
   test("golden: URI-list input concatenates locations into one table (rs s3_uri_list)") {
     import graft.sources.MultiFileSource
     val df = MultiFileSource(Seq(
