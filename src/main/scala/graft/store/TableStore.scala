@@ -152,7 +152,11 @@ final class TableStore(val root: String, spark: SparkSession) {
     * version, so downstream scans get static partition pruning on those
     * columns — the knob that matters once a table is 100s of TB. */
   def stageWrite(coll: String, table: String, df: DataFrame, ctx: SysCtx,
-      partitionBy: Seq[String] = Nil): VersionEntry = {
+      partitionBy: Seq[String] = Nil): VersionEntry =
+    stageWrite(coll, table, df, ctx, partitionBy, appendLogEntry = true)
+
+  private def stageWrite(coll: String, table: String, df: DataFrame, ctx: SysCtx,
+      partitionBy: Seq[String], appendLogEntry: Boolean): VersionEntry = {
     val versionId = ctx.version
     val finalDir = tableDir(coll, table).resolve(versionId)
     // stage under a dot-prefixed dir: hidden from Spark listings until the
@@ -180,8 +184,44 @@ final class TableStore(val root: String, spark: SparkSession) {
       stagedMoves(ctx.transaction) =
         (dir, finalDir) :: stagedMoves.getOrElse(ctx.transaction, Nil)
     }
-    appendLog(coll, table, e)
+    if (appendLogEntry) appendLog(coll, table, e)
     e
+  }
+
+  /** Exactly-once write for a REPLAYABLE producer (streaming foreachBatch,
+    * a retried job): the caller supplies a deterministic transaction id —
+    * e.g. derived from (query name, micro-batch id) — and re-delivery of
+    * the same unit of work becomes a no-op instead of a duplicate version.
+    *
+    * Idempotence across every crash window:
+    *   - txid already committed → `None`, nothing touched (the normal
+    *     foreachBatch re-delivery after a post-commit failure);
+    *   - crashed between log append and commit → the version id is also
+    *     txid-derived, so the retry overwrites the SAME staged dir and
+    *     skips the duplicate log append; the single entry becomes visible
+    *     exactly once at commit;
+    *   - crashed mid-staging → the partial staged dir is hidden under
+    *     `.staging` and simply overwritten by the retry.
+    *
+    * The data path stays fully distributed (same staged parquet write as
+    * [[stageWrite]]); only the txid/versionId derivation is new. */
+  def writeIdempotent(coll: String, table: String, df: DataFrame,
+      txid: String): Option[VersionEntry] = {
+    if (isCommitted(txid)) None
+    else {
+      // hex md5 of the txid: deterministic, filename-safe, hex-leading
+      // (the store→stream glob `[0-9a-f]*` must see it)
+      val versionId = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(txid.getBytes(StandardCharsets.UTF_8))
+        d.map("%02x".format(_)).mkString
+      }
+      val already = readLog(coll, table).exists(_.id == versionId)
+      val ctx = SysCtx.fresh().copy(transaction = txid, version = versionId)
+      val e = stageWrite(coll, table, df, ctx, Nil, appendLogEntry = !already)
+      commitTransaction(txid)
+      Some(e)
+    }
   }
 
   /** Abort a transaction: drop its staged version dirs from disk and the

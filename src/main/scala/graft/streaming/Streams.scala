@@ -93,6 +93,35 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** EXACTLY-ONCE streaming sink into the versioned store: each micro-batch
+    * commits as one store transaction whose id derives deterministically
+    * from `(queryName, batchId)`. Structured Streaming's foreachBatch can
+    * re-deliver the last batch after a failure or checkpoint-less restart;
+    * [[graft.store.TableStore.writeIdempotent]] sees the already-committed
+    * transaction and no-ops, so a batch is never published twice — the
+    * standard batchId-keyed idempotent-sink recipe, with the store's
+    * staged-write transaction as the atomic commit point.
+    *
+    * Each micro-batch becomes one DELTA version (so `name@HEAD~n` walks
+    * ingestion history and a version-range selector reads a window of the
+    * ingested stream; `@HEAD` alone is the latest increment, matching the
+    * store's snapshot-per-version read model). The data path inside a
+    * batch is the store's distributed staged parquet write — no driver
+    * materialization. `queryName` must be stable across restarts; it is
+    * the identity under which batch ids dedupe. */
+  def sinkToStore(df: DataFrame, store: graft.store.TableStore,
+      collection: String, table: String, queryName: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.writeIdempotent(collection, table, batch,
+          txid = s"stream-$queryName-$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class BucketState(firstId: Long, sig: Array[Long], lastMs: Long = 0L)
   final case class BandHit(id: Long, matchId: Long, est: Double)
 

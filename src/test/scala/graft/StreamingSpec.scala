@@ -357,6 +357,73 @@ class StreamingSpec extends AnyFunSuite {
       s"in-window copy must match canonical, got ${hits3.mkString(",")}")
   }
 
+  test("exactly-once store sink: one version per batch, replay publishes nothing") {
+    import graft.store.TableStore
+    val in = Files.createTempDirectory("graft-sink-in")
+    val data = eventsBatch.limit(90).select("event_id", "event_type", "value")
+    // three files => three micro-batches at maxFilesPerTrigger=1
+    data.repartition(3).write.mode("overwrite").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+    val store = new TableStore(
+      Files.createTempDirectory("graft-sink-store").toString, spark)
+
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val q = Streams.sinkToStore(stream, store, "c", "ev", "ingest", ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    val ckpt1 = Files.createTempDirectory("graft-sink-ckpt1").toString
+    run(ckpt1)
+    val v1 = store.versions("c", "ev")
+    assert(v1.size == 3, s"expected one version per micro-batch, got ${v1.size}")
+    // delta semantics: each version holds its batch; the version log's row
+    // counts must cover the whole stream exactly once
+    assert(v1.map(_.rows).sum == 90, v1)
+
+    // restart on the SAME checkpoint: no batches re-delivered, no versions
+    run(ckpt1)
+    assert(store.versions("c", "ev").size == 3)
+
+    // restart on a FRESH checkpoint: every batch re-delivered, but the
+    // txids already committed — exactly-once holds without the checkpoint
+    run(Files.createTempDirectory("graft-sink-ckpt2").toString)
+    val v3 = store.versions("c", "ev")
+    assert(v3.size == 3)
+    assert(v3.map(_.rows).sum == 90)
+  }
+
+  test("writeIdempotent: re-delivery and the log-appended-but-uncommitted crash window") {
+    import graft.core.SysCtx
+    import graft.store.TableStore
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-idem-store").toString, spark)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+    assert(store.writeIdempotent("c", "t", df, "job-1").isDefined)
+    // replay of the same unit of work: no-op
+    assert(store.writeIdempotent("c", "t", df, "job-1").isEmpty)
+    assert(store.versions("c", "t").size == 1)
+
+    // crash window: a prior attempt appended its log entry and staged data
+    // but died before commit (simulated: stage with the same deterministic
+    // version id, then lose the staged dir as a crashed process would its
+    // in-memory move map)
+    val versionId = java.security.MessageDigest.getInstance("MD5")
+      .digest("job-2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ctx = SysCtx.fresh().copy(transaction = "job-2", version = versionId)
+    store.stageWrite("c", "t", df, ctx)
+    store.abortTransaction("job-2") // staged dir gone, log entry remains
+    assert(store.versions("c", "t").size == 1) // uncommitted => invisible
+
+    // the retry must yield exactly ONE visible, scannable version
+    assert(store.writeIdempotent("c", "t", df, "job-2").isDefined)
+    val vs = store.versions("c", "t")
+    assert(vs.size == 2, s"duplicate log entries surfaced: $vs")
+    assert(store.scan("c/t").get.df.count() == 2)
+  }
+
   test("pub/sub piping: stream a table dir into a sink dir") {
     val in = Files.createTempDirectory("graft-pipe-in")
     val out = Files.createTempDirectory("graft-pipe-out")
