@@ -452,6 +452,11 @@ object PipelineOracles {
         |  CAST(length(nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g')))
         |    AS INTEGER) AS n_composed
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "q_tokenize_bpe_exact" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INTEGER)
+        |    AS n_tokens
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       // CAST the window sum: DuckDB sum(BIGINT) widens to HUGEINT
       """WITH c AS (

@@ -454,6 +454,32 @@ object PipelineQueries {
             .as("n_composed"))
         .orderBy("doc_id")
     }),
+    // BPE tokenization: merges learned on the aggregated word-frequency
+    // vocabulary (one corpus shuffle), applied row-local with the ranks
+    // broadcast. The per-word merge loop is data-dependent iteration — no
+    // SQL analog, so this gate is rows-only; PipelineSpec holds the
+    // Sennrich-example differential, the round-trip/partition-invariance
+    // properties, and q_tokenize_bpe_exact is the zero-merge exact twin.
+    "q_tokenize_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // 20 merges against the driver data's 31-word vocabulary: enough to
+      // fuse frequent subwords, few enough that tokenization stays partial
+      // (fertility strictly between 1 and chars/word)
+      val merges = graft.pipeline.Tokenize.learnBpeMerges(docs, "text",
+        numMerges = 20, minFreq = 2)
+      graft.pipeline.Tokenize.fertilityByGroup(docs, "text", "lang", merges)
+        .orderBy("lang")
+    }),
+    // Zero merges degenerate BPE: every token is one character, so
+    // n_tokens is exactly the non-whitespace character count — the
+    // SQL-expressible twin pinning the application plumbing.
+    "q_tokenize_bpe_exact" -> ((s, dir) => {
+      graft.pipeline.Tokenize.withBpeTokens(
+          t(s, dir, "documents").where(F.col("doc_id") < 100), "text",
+          merges = Seq.empty)
+        .select(F.col("doc_id"), F.col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       graft.pipeline.Packing.packByBudget(
           t(s, dir, "documents").select("doc_id", "n_chars"),

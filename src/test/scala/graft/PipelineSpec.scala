@@ -1399,6 +1399,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unstamped"))
   }
 
+  test("BPE training reproduces the Sennrich worked example, application round-trips") {
+    import graft.pipeline.Tokenize
+    import spark.implicits._
+    // the classic vocabulary {low:5, lower:2, newest:6, widest:3}: pair
+    // counts give e-s=9 and s-t=9 (tie -> lexicographically smaller), then
+    // es-t=9; after est fuses, l-o and o-w tie at 7 -> (l,o)
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Tokenize.learnBpeMerges(corpus, "text", numMerges = 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")), merges)
+    // greedy-by-rank application on "newest": (e,s) fuses first giving
+    // n e w es t, then (es,t) gives n e w est; (l,o) never matches
+    val enc = Tokenize.encodeWord("newest", merges.zipWithIndex.toMap)
+    assert(enc == Seq("n", "e", "w", "est"), enc)
+    assert(enc.mkString == "newest", enc)      // round-trip: no chars lost
+    // real corpus: learned merges round-trip every document and the
+    // token stream is invariant to partitioning
+    val docMerges = Tokenize.learnBpeMerges(docs, "text", 50, minFreq = 2)
+    val a = Tokenize.withBpeTokens(docs, "text", docMerges)
+      .select(F.col("doc_id"), F.concat_ws("", F.col("tokens")).as("joined"),
+        F.regexp_replace(F.col("text"), "\\s+", "").as("nows"))
+    assert(a.where(F.col("joined") =!= F.col("nows")).count() == 0)
+    val t1 = Tokenize.withBpeTokens(docs, "text", docMerges)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val t2 = Tokenize.withBpeTokens(docs.repartition(7), "text", docMerges)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t1 == t2)
+    // more merges can only compress: total tokens monotonically non-increasing
+    val few = Tokenize.withBpeTokens(docs, "text", docMerges.take(10))
+      .agg(F.sum("n_tokens")).head().getLong(0)
+    val many = Tokenize.withBpeTokens(docs, "text", docMerges)
+      .agg(F.sum("n_tokens")).head().getLong(0)
+    assert(many <= few, s"$many > $few")
+  }
+
   test("splitByKey: every key lands in exactly one split, stable to partitioning") {
     import graft.pipeline.DataMix
     val out = DataMix.splitByKey(docs, "source", valFrac = 0.2, testFrac = 0.2)

@@ -108,6 +108,9 @@ class SurfaceSpec extends AnyFunSuite {
       "q_approx_nunique",
       "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic",
       "q_dedup_incremental_near",
+      // data-dependent per-word merge loop, no SQL analog; PipelineSpec
+      // holds the Sennrich differential + q_tokenize_bpe_exact twin
+      "q_tokenize_bpe",
       // xxhash64-seeded signature estimates; StreamingSpec holds the
       // batch-band-index differential and the planted-rewrite assertions
       "q_stream_neardup")
