@@ -338,4 +338,28 @@ object DataMix {
       .where(bucket(F.col(idCol)) < F.col("`$td.__thr`"))
       .drop("$td.__g", "$td.__thr")
   }
+
+  /** Curriculum phase assignment: cut the corpus into `phases` difficulty
+    * tiers at EXACT score quantiles (the easy→hard ordering of curriculum
+    * training recipes — Bengio et al. 2009 — at corpus scale). Appends
+    * `phase` in [1, phases]: phase(x) = 1 + |{cutpoints c : c < x}|, so a
+    * row scoring exactly a cutpoint lands in the LOWER phase and the
+    * assignment depends only on data values — deterministic across
+    * engines, runs, and partitionings.
+    *
+    * Cutpoints come from [[graft.operators.Quantiles.exactQuantiles]]
+    * (order statistics via one range shuffle, no single-reducer sort); the
+    * (phases-1)-row cut list broadcasts back as one array, and the
+    * assignment itself is a row-local projection. */
+  def curriculumPhases(df: DataFrame, scoreCol: String, phases: Int,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2, got $phases")
+    val cuts = graft.operators.Quantiles.exactQuantiles(df, scoreCol,
+        (1 until phases).map(_.toDouble / phases), tiebreakers)
+      .agg(F.sort_array(F.collect_list(F.col("value"))).as("$td.__cuts"))
+    df.crossJoin(F.broadcast(cuts))
+      .withColumn("phase",
+        F.lit(1) + F.size(F.filter(F.col("`$td.__cuts`"), c => c < F.col(scoreCol))))
+      .drop("$td.__cuts")
+  }
 }

@@ -502,6 +502,27 @@ object PipelineOracles {
         |SELECT split, count(*) AS n_docs,
         |  count(DISTINCT source) AS n_sources
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q_curriculum_phases" ->
+      // same order-statistic contract as Quantiles.exactQuantiles:
+      // cut_q = value at rank max(1, ceil(q*n)) under (value, id) order;
+      // phase = 1 + count(cuts strictly below the score)
+      """WITH t AS (SELECT doc_id, n_chars FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |r AS (SELECT n_chars,
+        |        row_number() OVER (ORDER BY n_chars, doc_id) AS rk FROM t),
+        |cuts AS (
+        |  SELECT n_chars AS cut FROM r, n
+        |  WHERE rk IN (greatest(1, CAST(ceil(0.25 * n) AS BIGINT)),
+        |               greatest(1, CAST(ceil(0.5 * n) AS BIGINT)),
+        |               greatest(1, CAST(ceil(0.75 * n) AS BIGINT)))),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    1 + CAST((SELECT count(*) FROM cuts WHERE cut < n_chars)
+        |             AS INTEGER) AS phase
+        |  FROM t)
+        |SELECT phase, count(*) AS n_docs, min(n_chars) AS min_score,
+        |  max(n_chars) AS max_score
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_match_distribution" ->
       // Mirrors DataMix.matchDistribution step for step: exact counts,
       // N* = min(C_g/t_g) in DOUBLE, thr = floor(least(1, t*N*/C)*1e6),

@@ -510,6 +510,17 @@ object PipelineQueries {
           F.countDistinct(F.col("source")).as("n_sources"))
         .orderBy("split")
     }),
+    // Curriculum phases: quartile tiers of document length via the exact
+    // order-statistic cutpoints, boundary rows to the lower phase.
+    "q_curriculum_phases" -> ((s, dir) => {
+      graft.pipeline.DataMix.curriculumPhases(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "n_chars", phases = 4, tiebreakers = Seq("doc_id"))
+        .groupBy("phase")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.min("n_chars").as("min_score"), F.max("n_chars").as("max_score"))
+        .orderBy("phase")
+    }),
     // Distribution matching: downsample so the surviving lang mix equals
     // the target (en .5 / fr .3 / de .2; zh/es dropped), keeping the
     // binding group at 100%.

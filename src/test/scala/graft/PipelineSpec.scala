@@ -1455,6 +1455,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("curriculumPhases: boundary to lower phase, balanced tiers, partition-stable") {
+    import graft.pipeline.DataMix
+    import spark.implicits._
+    // hand case: scores 1..8, 2 phases -> cut = rank ceil(0.5*8)=4 -> value 4;
+    // score 4 (== cut) lands in phase 1, score 5 in phase 2
+    val small = (1L to 8L).map(i => (i, i)).toDF("id", "score")
+    val got = DataMix.curriculumPhases(small, "score", phases = 2,
+        tiebreakers = Seq("id"))
+      .select("score", "phase").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(4L) == 1 && got(5L) == 2, got)
+    assert(got.count(_._2 == 1) == 4 && got.count(_._2 == 2) == 4, got)
+    // corpus: 4 phases cover every row, each phase non-empty, phases are
+    // score-monotone (max of phase k <= min of phase k+1)
+    val scored = docs.select(F.col("doc_id"), F.col("n_chars"))
+    val p = DataMix.curriculumPhases(scored, "n_chars", 4, Seq("doc_id"))
+    val agg = p.groupBy("phase")
+      .agg(F.count(F.lit(1)).as("n"), F.min("n_chars").as("lo"), F.max("n_chars").as("hi"))
+      .orderBy("phase").collect()
+    assert(agg.length == 4 && agg.forall(_.getLong(1) > 0), agg.mkString(","))
+    agg.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2), s"phases not monotone: $a $b")
+    }
+    assert(p.count() == scored.count())
+    // stable under partitioning
+    val a = p.select("doc_id", "phase").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = DataMix.curriculumPhases(scored.repartition(7), "n_chars", 4, Seq("doc_id"))
+      .select("doc_id", "phase").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
   test("matchDistribution: achieved mix tracks the target, binding group kept whole") {
     import graft.pipeline.DataMix
     val target = Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2)
