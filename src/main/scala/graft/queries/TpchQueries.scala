@@ -58,11 +58,14 @@ object TpchQueries {
         .where(F.col("r_name") === "EUROPE")
       val euro = ps.join(F.broadcast(suppGeo),
         F.col("l_suppkey") === F.col("s_suppkey"))
-      val minCost = euro.groupBy(F.col("l_partkey").as("mc_partkey"))
-        .agg(F.min(F.col("supplycost")).as("mc"))
+      // per-part min via a KEYED window over the (part, supplier) supply
+      // relation — one lineitem scan total; the agg+self-join formulation
+      // re-scanned and re-aggregated lineitem for the min branch (no
+      // exchange reuse: the subtrees feed different parents)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
       euro
-        .join(minCost, F.col("l_partkey") === F.col("mc_partkey") &&
-          F.col("supplycost") === F.col("mc"))
+        .withColumn("mc", F.min(F.col("supplycost")).over(w))
+        .where(F.col("supplycost") === F.col("mc"))
         .join(F.broadcast(t(s, dir, "part")
             .where(F.col("p_size").between(10, 15) &&
               F.col("p_type") === "LARGE")),
@@ -308,10 +311,12 @@ object TpchQueries {
         .join(F.broadcast(red), F.col("l_partkey") === F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_partkey"), F.col("l_suppkey"))
         .agg(F.sum(d("l_quantity")).as("sq"))
-      val tot = shipped.groupBy(F.col("l_partkey").as("t_partkey"))
-        .agg(F.sum(F.col("sq")).as("tq"))
-      val bigShare = shipped.join(tot, F.col("l_partkey") === F.col("t_partkey"))
-        // 30% share in DOUBLE over the exact DECIMAL sums (see q_tpch_q11).
+      // per-part total via a KEYED window (see q_tpch_q2 on why not a
+      // second aggregation); 30% share in DOUBLE over the exact DECIMAL
+      // sums (see q_tpch_q11)
+      val w20 = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      val bigShare = shipped
+        .withColumn("tq", F.sum(F.col("sq")).over(w20))
         .where(F.col("sq").cast(DoubleType) * 10.0 >
           F.col("tq").cast(DoubleType) * 3.0)
         .select("l_suppkey")

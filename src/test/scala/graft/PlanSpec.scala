@@ -487,11 +487,18 @@ class PlanSpec extends AnyFunSuite {
     val q11 = plan(graft.SparkEntry.queries("q_tpch_q11")(spark, sf))
     assert(!q11.contains("CartesianProduct"), q11)
     assert(count(q11, "BroadcastNestedLoopJoin") <= 1, q11)
-    // Q2: derived supply relation aggregates once; supplier-geo and the
-    // filtered part side broadcast into it
+    // Q2: the correlated per-part min rides a KEYED window over the
+    // derived supply relation — lineitem is scanned exactly once (the
+    // agg+self-join formulation scanned and re-aggregated it twice)
     val q2 = plan(graft.SparkEntry.queries("q_tpch_q2")(spark, sf))
     assert(count(q2, "BroadcastHashJoin") >= 2, q2)
     assert(!q2.contains("CartesianProduct"), q2)
+    assert(count(q2, "lineitem.parquet") == 1, q2)
+    assert(q2.contains("Window"), q2)
+    // Q20 shares the shape: one lineitem scan, per-part total via window
+    val q20 = plan(graft.SparkEntry.queries("q_tpch_q20")(spark, sf))
+    assert(count(q20, "lineitem.parquet") == 1, q20)
+    assert(!q20.contains("CartesianProduct"), q20)
   }
 
   test("store partition pruning: partition filter never reaches row scan") {
