@@ -328,30 +328,27 @@ object TpchQueries {
         .orderBy("s_name")
     }),
     // Q21: suppliers who kept orders waiting — a late line on a finished
-    // multi-supplier order where NO other supplier was late: one semi-join
-    // (exists another supplier) + one anti-join (no other late supplier),
-    // both with conditions spanning the joined sides.
+    // multi-supplier order where NO other supplier was late. The spec's
+    // EXISTS/NOT-EXISTS pair would scan lineitem three times; both
+    // predicates are per-ORDER set facts, so ONE keyed window over the
+    // orders join computes them from a single scan: distinct suppliers in
+    // the order >= 2, distinct LATE suppliers == 1 (only l1's). The window
+    // partitions on the join key, so it rides the join's shuffle — one
+    // lineitem scan, one orderkey exchange, per-order sets bounded by
+    // suppliers-per-order.
     "q_tpch_q21" -> ((s, dir) => {
-      val late = F.col("l1.l_shipdate") >
+      val late = F.col("l_shipdate") >
         F.col("o_orderdate") + F.expr("interval 90 days")
-      val l1 = t(s, dir, "lineitem").as("l1")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      t(s, dir, "lineitem")
         .join(t(s, dir, "orders").where(F.col("o_orderstatus") === "F"),
-          F.col("l1.l_orderkey") === F.col("o_orderkey"))
-        .where(late)
-      val l2 = t(s, dir, "lineitem")
-        .select(F.col("l_orderkey").as("l2_orderkey"), F.col("l_suppkey").as("l2_suppkey"))
-      val l3 = t(s, dir, "lineitem")
-        .select(F.col("l_orderkey").as("l3_orderkey"), F.col("l_suppkey").as("l3_suppkey"),
-          F.col("l_shipdate").as("l3_shipdate"))
-      l1
-        .join(l2, F.col("l2_orderkey") === F.col("l1.l_orderkey") &&
-          F.col("l2_suppkey") =!= F.col("l1.l_suppkey"), "left_semi")
-        .join(l3, F.col("l3_orderkey") === F.col("l1.l_orderkey") &&
-          F.col("l3_suppkey") =!= F.col("l1.l_suppkey") &&
-          F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"),
-          "left_anti")
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .withColumn("n_supp", F.size(F.collect_set(F.col("l_suppkey")).over(w)))
+        .withColumn("n_late_supp",
+          F.size(F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)))
+        .where(late && F.col("n_supp") >= 2 && F.col("n_late_supp") === 1)
         .join(F.broadcast(t(s, dir, "supplier")),
-          F.col("s_suppkey") === F.col("l1.l_suppkey"))
+          F.col("s_suppkey") === F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).as("numwait"))
         .orderBy(F.col("numwait").desc, F.col("s_name"))

@@ -474,12 +474,12 @@ class PlanSpec extends AnyFunSuite {
     val q9 = plan(graft.SparkEntry.queries("q_tpch_q9")(spark, sf))
     assert(count(q9, "BroadcastHashJoin") >= 3, q9)
     assert(!q9.contains("CartesianProduct"), q9)
-    // Q21: EXISTS/NOT EXISTS compile to equi-keyed LeftSemi/LeftAnti hash
-    // joins (key = orderkey, inequality as residual condition) — never a
-    // nested-loop over the fact table
+    // Q21: the EXISTS/NOT-EXISTS pair rides ONE keyed window over the
+    // orders join — a single lineitem scan, no nested-loop, and the
+    // window partitions on the join key (no extra exchange beyond it)
     val q21 = plan(graft.SparkEntry.queries("q_tpch_q21")(spark, sf))
-    assert(q21.contains("LeftSemi"), q21)
-    assert(q21.contains("LeftAnti"), q21)
+    assert(count(q21, "lineitem.parquet") == 1, q21)
+    assert(q21.contains("Window"), q21)
     assert(!q21.contains("BroadcastNestedLoopJoin"), q21)
     assert(!q21.contains("CartesianProduct"), q21)
     // Q11: the global-total threshold crosses in as a broadcast 1-row side
