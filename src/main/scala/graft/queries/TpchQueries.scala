@@ -83,7 +83,12 @@ object TpchQueries {
       val ord = t(s, dir, "orders")
         .where(F.col("o_orderdate") >= F.lit("1996-07-01").cast(TimestampType) &&
           F.col("o_orderdate") < F.lit("1996-10-01").cast(TimestampType))
+      // derived constraint: late means shipped > o_orderdate + 60d and the
+      // window floors o_orderdate at 1996-07-01, so no qualifying line
+      // ships on or before 1996-08-30 — a pushable scan filter Catalyst
+      // cannot infer across the join condition itself
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .where(F.col("l_shipdate") > F.lit("1996-08-30").cast(TimestampType))
       ord.join(li,
           F.col("l_orderkey") === F.col("o_orderkey") &&
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days"),
