@@ -141,9 +141,58 @@ final class TableStore(val root: String, spark: SparkSession) {
     * are invisible, so a function re-run against a past execution resolves
     * the same inputs the original plan saw (version_resolver.rs:29-37
     * resolves every selector "at" the execution's `triggered_on`). */
-  def versions(coll: String, table: String, asOf: Option[Long] = None): Seq[VersionEntry] =
+  def versions(coll: String, table: String, asOf: Option[Long] = None): Seq[VersionEntry] = {
+    val pruned = prunedIds(coll, table)
     readLog(coll, table).filter(e =>
-      isCommitted(e.transaction) && asOf.forall(e.timestampMs <= _))
+      isCommitted(e.transaction) && asOf.forall(e.timestampMs <= _) &&
+        !pruned(e.id))
+  }
+
+  // ---- retention ----
+  private def prunedPath(coll: String, table: String): Path =
+    tableDir(coll, table).resolve("_pruned.jsonl")
+
+  private def prunedIds(coll: String, table: String): Set[String] = {
+    val p = prunedPath(coll, table)
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).toSet
+  }
+
+  /** Retention vacuum: physically delete all but the newest `keepLast`
+    * committed versions of a table — the storage-lifecycle knob without
+    * which a versioned 100 TB table grows monotonically (every publisher
+    * run and every streaming micro-batch is a full version dir on disk).
+    *
+    * The metadata log stays append-only: pruned ids land in a `_pruned`
+    * tombstone sidecar consulted by [[versions]], so HEAD/`HEAD~n`
+    * selectors re-resolve over the survivors and a FIXED id that was
+    * pruned fails resolution the same loud way a never-existed id does.
+    * Tombstone first, then data deletion — a crash between the two leaves
+    * an invisible orphan dir (re-vacuum removes it), never a visible
+    * version with missing data. Returns the pruned version ids. */
+  def vacuum(coll: String, table: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(coll, table)
+    val prune = vs.dropRight(keepLast)
+    if (prune.nonEmpty) {
+      Files.writeString(prunedPath(coll, table),
+        prune.map(_.id + "\n").mkString, StandardCharsets.UTF_8,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      prune.foreach { e =>
+        val dir = tableDir(coll, table).resolve(e.id)
+        if (Files.exists(dir)) TableStore.deleteTree(dir)
+      }
+    }
+    // sweep: a crash between tombstone and deletion leaves orphan dirs —
+    // any previously tombstoned id still on disk goes now
+    prunedIds(coll, table).foreach { id =>
+      val dir = tableDir(coll, table).resolve(id)
+      if (Files.exists(dir)) TableStore.deleteTree(dir)
+    }
+    prune.map(_.id)
+  }
 
   // ---- write path ----
   /** Stage a new version's data (distributed parquet write). Invisible until

@@ -176,6 +176,39 @@ object ScalingProbe {
         // distinct-token relation grows with the salted copies, probing the
         // cumsum machinery, not just the count shuffle
         graft.pipeline.Vocab.byCoverage(d, "text", 0.95).count()
+      }),
+      ("bpe_apply", 100, { d =>
+        // merges learned once on the x1 vocabulary (O(k) metadata, fixed);
+        // the probed cost is the row-local broadcast-rank application
+        val merges = graft.pipeline.Tokenize.learnBpeMerges(base, "text", 20)
+        graft.pipeline.Tokenize.withBpeTokens(d, "text", merges)
+          .where(F.col("n_tokens") > 0).count()
+      }),
+      ("curriculum", 100, { d =>
+        // exact cutpoints = one range shuffle (ScalableRank) + row-local
+        // phase assignment against the broadcast cut list
+        graft.pipeline.DataMix.curriculumPhases(
+          d.withColumn("score", F.length(F.col("text"))), "score", 4,
+          tiebreakers = Seq("doc_id")).where(F.col("phase") === 4).count()
+      }),
+      // x30 like the other explode-heavy probes: the composed chain keeps
+      // the 3-gram shingle relation AND the dedup/quality stages in flight
+      // at once, and the x100 leg exceeds this container's shared
+      // driver+executor heap (the stages individually probe x100 fine)
+      ("curation_e2e", 30, { d =>
+        // the full composed path: dedup keep-ids semi-join + quality
+        // kernel + 3-gram decontamination + md5 source split, one DAG
+        val dd = d.withColumn("lang", F.lit("en"))
+          .withColumn("source", (F.col("doc_id") % 20).cast("string"))
+        val keep = graft.pipeline.Dedup.exact(dd, "text", "doc_id")
+          .select(F.col("keep_id").as("doc_id"))
+        val scored = graft.pipeline.QualityFilters.withQualityScore(
+            dd.join(keep, Seq("doc_id"), "left_semi"), "text",
+            keep = Seq("doc_id", "lang", "source", "text"))
+          .where(F.col("passes_quality"))
+        val clean = graft.pipeline.Decontaminate.removeContaminated(
+          scored, "text", "doc_id", base.where(F.col("doc_id") < 20), "text", 3)
+        graft.pipeline.DataMix.splitByKey(clean, "source", 0.1, 0.1).count()
       }))
 
     // embedding-side ops scale over a self-unioned embeddings table

@@ -73,6 +73,32 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(store.schema("c/missing").isEmpty)
   }
 
+  test("store: vacuum retains the newest k versions, prunes the rest loudly") {
+    val store = freshStore()
+    import spark.implicits._
+    val ids = (1 to 5).map(i => store.write("c", "t", Seq(i).toDF("x")).id)
+    val pruned = store.vacuum("c", "t", keepLast = 2)
+    assert(pruned == ids.take(3), pruned)
+    assert(store.versions("c", "t").map(_.id) == ids.drop(3))
+    // survivors resolve and scan; HEAD~1 is the 4th write
+    assert(store.resolveOne("c", "t", Version.Head(1)).get.id == ids(3))
+    assert(store.scan("c/t@HEAD").get.df.select("x").head().getInt(0) == 5)
+    // a pruned FIXED id fails resolution the same way a never-existed one does
+    assert(store.resolveOne("c", "t", Version.Fixed(ids.head)).isEmpty)
+    intercept[Exception](store.resolve("c", "t", Versions.parse(ids.head)))
+    // pruned data dirs are gone from disk; survivors remain
+    val tdir = java.nio.file.Paths.get(store.root, "c", "t")
+    ids.take(3).foreach(id =>
+      assert(!java.nio.file.Files.exists(tdir.resolve(id)), id))
+    ids.drop(3).foreach(id =>
+      assert(java.nio.file.Files.exists(tdir.resolve(id)), id))
+    // idempotent: nothing more to prune at the same retention
+    assert(store.vacuum("c", "t", keepLast = 2).isEmpty)
+    // new writes keep flowing after a vacuum
+    val v6 = store.write("c", "t", Seq(6).toDF("x"))
+    assert(store.versions("c", "t").map(_.id) == (ids.drop(3) :+ v6.id))
+  }
+
   test("store: uncommitted transactions are invisible") {
     val store = freshStore()
     import spark.implicits._
