@@ -404,16 +404,25 @@ object PipelineQueries {
     // fully reproduced by the DuckDB oracle.
     "q_curation_e2e" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Every filter derives from the RAW scan and intersects at the end:
+      // chaining them (dedup -> quality -> decontaminate) compounds —
+      // each unmaterialized branch re-executes the whole upstream chain,
+      // and the composed probe measured 216x cost at 30x data; with all
+      // branches rooted at the scan, each recompute is one parquet read.
+      // Same result either way: copies share text, so the dedup survivor
+      // set and the per-text contamination/quality predicates commute.
       val keepIds = graft.pipeline.Dedup.exact(docs, "text", "doc_id")
         .select(F.col("keep_id").as("doc_id"))
-      val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
-      val scored = graft.pipeline.QualityFilters.withQualityScore(deduped,
-          "text", keep = Seq("doc_id", "lang", "source", "text"))
+      val contaminated = graft.pipeline.Decontaminate
+        .overlapFlags(docs, "text", "doc_id", docs.where(F.col("doc_id") < 20),
+          "text", n = 3)
+        .where(F.col("contaminated")).select(F.col("id").as("doc_id"))
+      val curated = graft.pipeline.QualityFilters.withQualityScore(
+          docs.join(keepIds, Seq("doc_id"), "left_semi")
+            .join(contaminated, Seq("doc_id"), "left_anti"),
+          "text", keep = Seq("doc_id", "lang", "source"))
         .where(F.col("passes_quality"))
-      val evals = docs.where(F.col("doc_id") < 20)
-      val clean = graft.pipeline.Decontaminate.removeContaminated(
-        scored, "text", "doc_id", evals, "text", n = 3)
-      graft.pipeline.DataMix.splitByKey(clean, "source",
+      graft.pipeline.DataMix.splitByKey(curated, "source",
           valFrac = 0.1, testFrac = 0.1)
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).as("n_docs"), F.min("doc_id").as("first_id"))

@@ -191,24 +191,24 @@ object ScalingProbe {
           d.withColumn("score", F.length(F.col("text"))), "score", 4,
           tiebreakers = Seq("doc_id")).where(F.col("phase") === 4).count()
       }),
-      // x30 like the other explode-heavy probes: the composed chain keeps
-      // the 3-gram shingle relation AND the dedup/quality stages in flight
-      // at once, and the x100 leg exceeds this container's shared
-      // driver+executor heap (the stages individually probe x100 fine)
       ("curation_e2e", 30, { d =>
-        // the full composed path: dedup keep-ids semi-join + quality
-        // kernel + 3-gram decontamination + md5 source split, one DAG
+        // the full composed path, every filter rooted at the raw scan and
+        // intersected (the q_curation_e2e shape — the chained version
+        // compounded branch recomputation: 216x at 30x)
         val dd = d.withColumn("lang", F.lit("en"))
           .withColumn("source", (F.col("doc_id") % 20).cast("string"))
         val keep = graft.pipeline.Dedup.exact(dd, "text", "doc_id")
           .select(F.col("keep_id").as("doc_id"))
-        val scored = graft.pipeline.QualityFilters.withQualityScore(
-            dd.join(keep, Seq("doc_id"), "left_semi"), "text",
-            keep = Seq("doc_id", "lang", "source", "text"))
+        val contaminated = graft.pipeline.Decontaminate
+          .overlapFlags(dd, "text", "doc_id",
+            base.where(F.col("doc_id") < 20), "text", 3)
+          .where(F.col("contaminated")).select(F.col("id").as("doc_id"))
+        val curated = graft.pipeline.QualityFilters.withQualityScore(
+            dd.join(keep, Seq("doc_id"), "left_semi")
+              .join(contaminated, Seq("doc_id"), "left_anti"),
+            "text", keep = Seq("doc_id", "lang", "source"))
           .where(F.col("passes_quality"))
-        val clean = graft.pipeline.Decontaminate.removeContaminated(
-          scored, "text", "doc_id", base.where(F.col("doc_id") < 20), "text", 3)
-        graft.pipeline.DataMix.splitByKey(clean, "source", 0.1, 0.1).count()
+        graft.pipeline.DataMix.splitByKey(curated, "source", 0.1, 0.1).count()
       }))
 
     // embedding-side ops scale over a self-unioned embeddings table
