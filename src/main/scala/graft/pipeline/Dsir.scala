@@ -37,10 +37,16 @@ object Dsir {
     1L << (4 * chars)
   }
 
-  /** Hashed-bigram bucket keys of one text value (with multiplicity —
-    * DSIR counts feature instances, not distinct features). */
-  def featureBuckets(text: Column, chars: Int = 4): Column = {
-    val toks = Dedup.tokens(text)
+  /** Hashed-bigram bucket keys of one TOKEN-ARRAY column (with
+    * multiplicity — DSIR counts feature instances, not distinct
+    * features). Takes the tokens as a materialized column, NOT the raw
+    * text: `element_at` inside a transform lambda re-inlines its producer
+    * per element (no CSE in lambda bodies — the same trap PERF.md records
+    * for the SQ8 reconstruct), so building bigrams directly over
+    * `split(text)` re-tokenizes the whole document for every bigram
+    * element: O(words²) per document. Measured on the sf0.1 corpus:
+    * the features pass dropped 5.9 s → 0.6 s when the split was staged. */
+  def featureBucketsOfTokens(toks: Column, chars: Int = 4): Column = {
     val bigrams = F.transform(
       F.sequence(F.lit(0), F.size(toks) - 2),
       i => F.concat(F.element_at(toks, i + 1), F.lit(" "),
@@ -50,11 +56,22 @@ object Dsir {
       .otherwise(F.array())
   }
 
-  /** (id, bucket) feature-instance rows for a corpus. */
+  /** [[featureBucketsOfTokens]] over raw text — only safe where the input
+    * is already a per-row literal or a staged column; corpus paths must go
+    * through [[features]], which stages the split first. */
+  def featureBuckets(text: Column, chars: Int = 4): Column =
+    featureBucketsOfTokens(Dedup.tokens(text), chars)
+
+  /** (id, bucket) feature-instance rows for a corpus. The token array is
+    * materialized in its own projection so the bigram lambda reads a
+    * bound array instead of re-running the split per element. */
   def features(df: DataFrame, textCol: String, idCol: String,
       chars: Int = 4): DataFrame =
     df.select(F.col(idCol).as("id"),
-        F.explode(featureBuckets(F.col(textCol), chars)).as("bucket"))
+        Dedup.tokens(F.col(textCol)).as("$td.__toks"))
+      .select(F.col("id"),
+        F.explode(featureBucketsOfTokens(F.col("`$td.__toks`"), chars))
+          .as("bucket"))
 
   /** (bucket, cnt) exact feature counts plus the corpus feature total from
     * an existing (id, bucket) features relation — the sufficient statistics
