@@ -56,12 +56,6 @@ object Dsir {
       .otherwise(F.array())
   }
 
-  /** [[featureBucketsOfTokens]] over raw text — only safe where the input
-    * is already a per-row literal or a staged column; corpus paths must go
-    * through [[features]], which stages the split first. */
-  def featureBuckets(text: Column, chars: Int = 4): Column =
-    featureBucketsOfTokens(Dedup.tokens(text), chars)
-
   /** (id, bucket) feature-instance rows for a corpus. The token array is
     * materialized in its own projection so the bigram lambda reads a
     * bound array instead of re-running the split per element. */
