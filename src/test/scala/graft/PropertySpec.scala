@@ -364,4 +364,63 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect)
     }
   }
+
+  test("matchDistribution == brute-force threshold replay on random corpora") {
+    import spark.implicits._
+    val corpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(20, 200)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 100000L)
+        g <- Gen.oneOf("a", "b", "c", "d")
+      } yield (id, g))
+    } yield rows.distinctBy(_._1)
+    val target = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    def bucket(id: Long): Long = ((id % 1000003L) * 2654435761L) % 1000000L
+    for (rows <- samples(corpus)) {
+      val df = rows.toDF("id", "g")
+      val got = graft.pipeline.DataMix
+        .matchDistribution(df, "id", "g", target)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // brute-force replay of the documented arithmetic
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val present = target.filter { case (g, t) => t > 0 && counts.contains(g) }
+      val expect: Set[Long] =
+        if (present.isEmpty) Set.empty
+        else {
+          val nStar = present.map { case (g, t) => counts(g).toDouble / t }.min
+          val thr = present.map { case (g, t) =>
+            g -> math.floor(math.min(1.0, t * nStar / counts(g).toDouble) * 1000000L).toLong
+          }
+          rows.collect { case (id, g) if thr.contains(g) && bucket(id) < thr(g) => id }.toSet
+        }
+      assert(got == expect)
+    }
+  }
+
+  test("splitByKey == md5-bucket replay; co-assignment holds on random keys") {
+    import spark.implicits._
+    val corpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(10, 120)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 100000L)
+        k <- Gen.oneOf((1 to 12).map(i => s"key$i"))
+      } yield (id, k))
+    } yield rows.distinctBy(_._1)
+    def keyBucket(k: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+    }
+    for (rows <- samples(corpus)) {
+      val got = graft.pipeline.DataMix
+        .splitByKey(rows.toDF("id", "k"), "k", valFrac = 0.25, testFrac = 0.25)
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = rows.map { case (id, k) =>
+        val b = keyBucket(k)
+        id -> (if (b < 250000) "val" else if (b < 500000) "test" else "train")
+      }.toMap
+      assert(got == expect)
+    }
+  }
 }
