@@ -237,17 +237,41 @@ object DataMix {
   def sampleWeightedN(df: DataFrame, idCol: String, weightCol: String,
       n: Int, salt: String = "es"): DataFrame = {
     require(n >= 0, s"n must be >= 0, got $n")
+    df.where(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
+      .withColumn("$td.__eskey", esKey(idCol, weightCol, salt))
+      .orderBy(F.col("`$td.__eskey`").desc, F.col(idCol))
+      .limit(n)
+      .drop("$td.__eskey")
+  }
+
+  /** The A-ES selection key ln(u)/w (see [[sampleWeightedN]]): u is the
+    * exact dyadic rational from 24 md5 bits of "id:salt", ln the
+    * libm-consistent kernel — bit-reproducible across engines. */
+  private def esKey(idCol: String, weightCol: String, salt: String): Column = {
     val b = F.conv(F.substring(
       F.md5(F.concat(F.col(idCol).cast("string"), F.lit(":" + salt))
         .cast("binary")), 1, 6), 16, 10).cast("long")
     val u = (b.cast("double") + F.lit(0.5)) / F.lit((1L << 24).toDouble)
-    val key = graft.expressions.MathKernels.ln(u) /
-      F.col(weightCol).cast("double")
-    df.where(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
-      .withColumn("$td.__eskey", key)
+    graft.expressions.MathKernels.ln(u) / F.col(weightCol).cast("double")
+  }
+
+  /** STRATIFIED weighted sampling without replacement: the `n` largest
+    * A-ES keys per group (fewer when a group is smaller) — "the best n
+    * documents per language/source, weight-proportional" in one pass.
+    * Same key arithmetic as [[sampleWeightedN]], so the winner set stays
+    * bit-reproducible and oracle-checkable; one shuffle on the group key,
+    * per-group windows rank in parallel (a pathologically hot group sorts
+    * within one partition — cap it upstream or sample it globally). */
+  def sampleWeightedNPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, n: Int, salt: String = "es"): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(F.col("`$td.__eskey`").desc, F.col(idCol))
-      .limit(n)
-      .drop("$td.__eskey")
+    df.where(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
+      .withColumn("$td.__eskey", esKey(idCol, weightCol, salt))
+      .withColumn("$td.__rn", F.row_number().over(w))
+      .where(F.col("`$td.__rn`") <= n)
+      .drop("$td.__eskey", "$td.__rn")
   }
 
   /** Per-group kept/total counts for a candidate mix — the audit table a

@@ -699,6 +699,22 @@ object PipelineOracles {
         |  FROM w WHERE wt > 0),
         |top AS (SELECT doc_id, wt FROM k ORDER BY key DESC, doc_id LIMIT 100)
         |SELECT doc_id, wt FROM top ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted_group" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS wt,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':es'), 1, 6))::BIGINT AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, wt,
+        |    ln((CAST(b AS DOUBLE) + 0.5e0) / 16777216.0e0) / wt AS key
+        |  FROM w WHERE wt > 0),
+        |r AS (
+        |  SELECT doc_id, lang, wt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
+        |      AS rn
+        |  FROM k)
+        |SELECT doc_id, lang, wt FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_shuffle_epoch" ->
       """WITH k AS (
         |  SELECT doc_id, md5(doc_id::VARCHAR || ':7') AS key FROM documents),

@@ -563,6 +563,17 @@ object PipelineQueries {
         .select("doc_id", "wt")
         .orderBy("doc_id")
     }),
+    // Stratified weighted carve: the 20 highest A-ES keys per language —
+    // same bit-reproducible key arithmetic as q_sample_weighted, ranked
+    // inside per-group windows.
+    "q_sample_weighted_group" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("wt", F.char_length(F.col("text")).cast("double"))
+      graft.pipeline.DataMix.sampleWeightedNPerGroup(
+          docs, "doc_id", "lang", "wt", n = 20)
+        .select("doc_id", "lang", "wt")
+        .orderBy("lang", "doc_id")
+    }),
     "q_shuffle_epoch" -> ((s, dir) => {
       // deterministic training-epoch shuffle: (shard, pos) is a pure
       // function of (id, seed) — same seed bit-identical across engines,
