@@ -230,14 +230,20 @@ object QualityFilters {
       vocabSize: Int = 100000, lambda: Double = 0.75,
       out: String = "avg_nll2"): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
-    val toksArr = F.filter(
-      F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => t =!= "")
-    val bigrams = F.when(F.size(toksArr) >= 2,
-      F.transform(F.sequence(F.lit(0), F.size(toksArr) - 2),
-        i => F.struct(F.element_at(toksArr, i + 1).as("w1"),
-          F.element_at(toksArr, i + 2).as("w2"))))
+    // stage the token array before the bigram lambda: element_at inside a
+    // transform re-inlines its producer per element (the DSIR/SQ8 no-CSE
+    // trap), which would re-split the document once per bigram
+    val toksStaged = F.col("`$td.__btoks`")
+    val bigrams = F.when(F.size(toksStaged) >= 2,
+      F.transform(F.sequence(F.lit(0), F.size(toksStaged) - 2),
+        i => F.struct(F.element_at(toksStaged, i + 1).as("w1"),
+          F.element_at(toksStaged, i + 2).as("w2"))))
       .otherwise(F.array())
-    val big = docs.select(F.col(idCol), F.explode(bigrams).as("bg"))
+    val big = docs
+      .select(F.col(idCol), F.filter(
+        F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => t =!= "")
+        .as("$td.__btoks"))
+      .select(F.col(idCol), F.explode(bigrams).as("bg"))
       .select(F.col(idCol), F.col("bg.w1").as("w1"), F.col("bg.w2").as("w2"))
     val c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(F.sum("c12").as("c1"))
