@@ -40,7 +40,72 @@ object MediaHeaders {
       Some(ImageDims("gif", le16(bytes, 6), le16(bytes, 8), gifFrames(bytes)))
     else if (isJpeg(bytes)) jpegDims(bytes)
     else if (isBmp(bytes)) bmpDims(bytes)
+    else if (isWebp(bytes)) webpDims(bytes)
     else None
+  }
+
+  // ---- WebP (RIFF container; public container spec) ----
+  private def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** Dims from the first chunk: VP8X (extended, 24-bit canvas minus-one),
+    * VP8L (lossless, 14-bit packed minus-one), or "VP8 " (lossy key frame:
+    * sync code 9D 01 2A then 14-bit LE dims). */
+  private def webpDims(b: Array[Byte]): Option[ImageDims] = {
+    def le24(i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+    val tag = new String(b.slice(12, 16), "US-ASCII")
+    tag match {
+      case "VP8X" if b.length >= 30 =>
+        Some(ImageDims("webp", le24(24) + 1, le24(27) + 1))
+      case "VP8L" if b.length >= 25 && u8(b, 20) == 0x2f =>
+        val bits = le32(b, 21)
+        Some(ImageDims("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+      case "VP8 " if b.length >= 30 &&
+          u8(b, 23) == 0x9d && u8(b, 24) == 0x01 && u8(b, 25) == 0x2a =>
+        Some(ImageDims("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff))
+      case _ => None
+    }
+  }
+
+  /** FLAC STREAMINFO (the mandatory first metadata block; public format
+    * spec): sample rate 20 bits, channels-1 3 bits, bits-per-sample-1
+    * 5 bits, total samples 36 bits, packed at STREAMINFO offsets 10-17
+    * (file offsets 18-25 — "fLaC" + 4-byte block header before it). */
+  def sniffFlac(b: Array[Byte]): Option[AudioMeta] = {
+    if (b == null || b.length < 26) return None
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    if ((u8(b, 4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val rate = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+    val ch = ((u8(b, 20) >> 1) & 0x7) + 1
+    val bits = (((u8(b, 20) & 1) << 4) | (u8(b, 21) >> 4)) + 1
+    val total = ((u8(b, 21) & 0xf).toLong << 32) |
+      ((be32(b, 22).toLong) & 0xffffffffL)
+    if (rate > 0) Some(AudioMeta("flac", rate, ch, bits, total)) else None
+  }
+
+  /** Ogg first-page codec identification (public Ogg framing + Vorbis I /
+    * Opus specs): page = 27-byte header + segment table + payload; the
+    * first packet is "\1vorbis" (channels at packet offset 11, rate LE at
+    * 12) or "OpusHead" (channels at 9, input rate LE at 12). Total frames
+    * need the last page — reported 0 from a header-only sniff. */
+  def sniffOgg(b: Array[Byte]): Option[AudioMeta] = {
+    if (b == null || b.length < 28) return None
+    if (!(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
+    val nsegs = u8(b, 26)
+    val p = 27 + nsegs // payload start
+    if (b.length >= p + 16 && b(p) == 0x01 && b(p + 1) == 'v' && b(p + 2) == 'o' &&
+        b(p + 3) == 'r' && b(p + 4) == 'b' && b(p + 5) == 'i' && b(p + 6) == 's') {
+      val ch = u8(b, p + 11)
+      val rate = le32(b, p + 12)
+      if (rate > 0 && ch > 0) Some(AudioMeta("vorbis", rate, ch, 0, 0L)) else None
+    } else if (b.length >= p + 16 && b(p) == 'O' && b(p + 1) == 'p' &&
+        b(p + 2) == 'u' && b(p + 3) == 's' && b(p + 4) == 'H' && b(p + 5) == 'e' &&
+        b(p + 6) == 'a' && b(p + 7) == 'd') {
+      val ch = u8(b, p + 9)
+      val rate = le32(b, p + 12)
+      if (rate > 0 && ch > 0) Some(AudioMeta("opus", rate, ch, 0, 0L)) else None
+    } else None
   }
 
   /** GIF frame count via the real data-stream block walk (GIF89a spec,

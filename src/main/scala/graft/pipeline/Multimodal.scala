@@ -44,13 +44,14 @@ object Multimodal {
   private def clampInt(v: Long): Int = math.min(v, Int.MaxValue.toLong).toInt
 
   /** Decode media metadata — all real header walks, no codec libraries:
-    * images (PNG/JPEG/GIF/BMP) get true dimensions; WAV gets sample
-    * rate/channels/bit depth with the sample-frame count as `n_frames`;
-    * MP3 gets sample rate/channels with the MPEG frame count as
-    * `n_frames`; MP4 gets tkhd dimensions with the stts sample count as
-    * `n_frames`; GIF gets its real frame count from the data-stream block
-    * walk (1 for stills). Only unrecognized bytes fall back to the
-    * stub. */
+    * images (PNG/JPEG/GIF/BMP/WebP) get true dimensions; WAV/FLAC get
+    * sample rate/channels/bit depth with the sample-frame count as
+    * `n_frames`; Ogg (Vorbis/Opus identification headers) gets sample
+    * rate/channels; MP3 gets sample rate/channels with the MPEG frame
+    * count as `n_frames`; MP4 gets tkhd dimensions with the stts sample
+    * count as `n_frames`; GIF gets its real frame count from the
+    * data-stream block walk (1 for stills). Only unrecognized bytes fall
+    * back to the stub. */
   def decode(kind: String, bytes: Array[Byte]): Row = {
     val len = if (bytes == null) 0L else bytes.length.toLong
     MediaHeaders.sniff(bytes).map { d =>
@@ -58,6 +59,12 @@ object Multimodal {
     }.orElse(MediaHeaders.sniffWav(bytes).map { a =>
       Row(a.format, null, null, clampInt(a.nSampleFrames), len,
         a.sampleRate, a.channels, a.bitsPerSample)
+    }).orElse(MediaHeaders.sniffFlac(bytes).map { a =>
+      Row(a.format, null, null, clampInt(a.nSampleFrames), len,
+        a.sampleRate, a.channels, a.bitsPerSample)
+    }).orElse(MediaHeaders.sniffOgg(bytes).map { a =>
+      Row(a.format, null, null, clampInt(a.nSampleFrames), len,
+        a.sampleRate, a.channels, null)
     }).orElse(MediaHeaders.sniffMp3(bytes).map { m =>
       Row("mp3", null, null, m.nFrames, len, m.sampleRate, m.channels, null)
     }).orElse(MediaHeaders.sniffMp4(bytes).map { v =>

@@ -453,6 +453,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaHeaders.sniffWav(corrupt).isEmpty)
   }
 
+  test("multimodal: real FLAC/Ogg/WebP header decode") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le24(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+
+    // FLAC: fLaC + last-block STREAMINFO header + 34-byte STREAMINFO
+    // (44100 Hz, 2ch, 16-bit, 1000 total samples; packed per the spec)
+    val flac: Array[Byte] =
+      "fLaC".getBytes ++ Array(0x80.toByte, 0.toByte, 0.toByte, 34.toByte) ++
+        le16(4096).reverse ++ le16(4096).reverse ++ // min/max block (BE)
+        Array.fill(6)(0.toByte) ++                  // min/max frame size
+        Array(0x0a.toByte, 0xc4.toByte, 0x42.toByte, 0xf0.toByte) ++
+        be32(1000) ++ Array.fill(16)(0.toByte)      // total low 32 + md5
+    assert(MediaHeaders.sniffFlac(flac).get ==
+      MediaHeaders.AudioMeta("flac", 44100, 2, 16, 1000L))
+    val flacRow = Multimodal.decode("audio", flac)
+    assert(flacRow.getString(0) == "flac" && flacRow.getInt(5) == 44100 &&
+      flacRow.getInt(6) == 2 && flacRow.getInt(7) == 16 && flacRow.getInt(3) == 1000)
+
+    // Ogg Vorbis: one page, one segment, identification packet
+    val vorbisPkt: Array[Byte] = Array(0x01.toByte) ++ "vorbis".getBytes ++
+      le32(0) ++ Array(2.toByte) ++ le32(48000) ++ Array.fill(14)(0.toByte)
+    val ogg: Array[Byte] = "OggS".getBytes ++ Array(0.toByte, 2.toByte) ++
+      Array.fill(8)(0.toByte) ++ le32(1) ++ le32(0) ++ le32(0) ++
+      Array(1.toByte, vorbisPkt.length.toByte) ++ vorbisPkt
+    assert(MediaHeaders.sniffOgg(ogg).get ==
+      MediaHeaders.AudioMeta("vorbis", 48000, 2, 0, 0L))
+
+    // Ogg Opus: OpusHead (version 1, 2ch, preskip, 48000 input rate)
+    val opusPkt: Array[Byte] = "OpusHead".getBytes ++
+      Array(1.toByte, 2.toByte) ++ le16(312) ++ le32(48000) ++
+      Array.fill(3)(0.toByte)
+    val oggOpus: Array[Byte] = "OggS".getBytes ++ Array(0.toByte, 2.toByte) ++
+      Array.fill(8)(0.toByte) ++ le32(2) ++ le32(0) ++ le32(0) ++
+      Array(1.toByte, opusPkt.length.toByte) ++ opusPkt
+    assert(MediaHeaders.sniffOgg(oggOpus).get ==
+      MediaHeaders.AudioMeta("opus", 48000, 2, 0, 0L))
+
+    // WebP VP8L (lossless): 0x2F + packed 14-bit minus-one dims
+    val bits = (200 - 1) | ((100 - 1) << 14)
+    val vp8l: Array[Byte] = "RIFF".getBytes ++ le32(17) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ le32(5) ++ Array(0x2f.toByte) ++ le32(bits)
+    assert(MediaHeaders.sniff(vp8l).get ==
+      MediaHeaders.ImageDims("webp", 200, 100))
+
+    // WebP VP8X (extended): 24-bit LE canvas minus-one dims
+    val vp8x: Array[Byte] = "RIFF".getBytes ++ le32(22) ++ "WEBP".getBytes ++
+      "VP8X".getBytes ++ le32(10) ++ le32(0) ++ le24(639) ++ le24(479)
+    assert(MediaHeaders.sniff(vp8x).get ==
+      MediaHeaders.ImageDims("webp", 640, 480))
+
+    // WebP lossy ("VP8 "): sync code then 14-bit LE dims
+    val vp8: Array[Byte] = "RIFF".getBytes ++ le32(22) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ le32(10) ++ Array(0, 0, 0).map(_.toByte) ++
+      Array(0x9d.toByte, 0x01.toByte, 0x2a.toByte) ++ le16(320) ++ le16(240)
+    assert(MediaHeaders.sniff(vp8).get ==
+      MediaHeaders.ImageDims("webp", 320, 240))
+    val webpRow = Multimodal.decode("image", vp8)
+    assert(webpRow.getString(0) == "webp" && webpRow.getInt(1) == 320 &&
+      webpRow.getInt(2) == 240)
+
+    // truncated/garbage bytes refuse loudly
+    assert(MediaHeaders.sniffFlac("fLaC".getBytes).isEmpty)
+    assert(MediaHeaders.sniffOgg("OggS".getBytes ++ Array.fill(30)(9.toByte)).isEmpty)
+  }
+
   test("incremental dedup: history rejection + in-batch collapse, exactly") {
     import spark.implicits._
     val history = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "text")
