@@ -17,6 +17,11 @@ import graft.expressions.UuidV7
   * readers never re-infer types — in particular hive partition-directory
   * values, which plain `spark.read.parquet` would re-type from the directory
   * names (string "01" → int 1). */
+/** One [[TableStore.fsck]] finding. `kind` ∈ missing-data / row-mismatch /
+  * orphan-dir / staging-leak / staging-debris / pruned-residue. */
+final case class FsckIssue(kind: String, collection: String, table: String,
+  detail: String)
+
 final case class VersionEntry(
     id: String,
     execution: String,
@@ -453,6 +458,74 @@ final class TableStore(val root: String, spark: SparkSession) {
   def listTables(coll: String): Seq[String] = {
     TableStore.requireSafeName("collection", coll)
     listDirs(Paths.get(root, coll))
+  }
+
+  /** Store integrity check (fsck): walks every table and reports, per
+    * issue kind:
+    *   - `missing-data`    — a committed version whose data dir is gone
+    *     (the scan-breaking corruption; vacuum tombstones are NOT this);
+    *   - `row-mismatch`    — committed data whose parquet row count
+    *     disagrees with the version log (only with `verifyCounts`, which
+    *     costs one count job per version);
+    *   - `orphan-dir`      — an on-disk version dir no log entry names;
+    *   - `staging-leak`    — a `.staging` child whose transaction IS
+    *     committed (the move never happened — readers see a committed
+    *     version with its data still hidden);
+    *   - `staging-debris`  — a `.staging` child of an uncommitted
+    *     transaction (crashed or in-flight run; harmless but unswept);
+    *   - `pruned-residue`  — a vacuum-tombstoned version still on disk
+    *     (crash between tombstone and delete; the next vacuum sweeps it).
+    * Read-only: fsck REPORTS, the caller decides (re-publish, vacuum,
+    * delete) — the split any 100 TB ops runbook wants. */
+  def fsck(verifyCounts: Boolean = false): Seq[FsckIssue] = {
+    val issues = Seq.newBuilder[FsckIssue]
+    for (coll <- listCollections(); table <- listTables(coll)) {
+      val dir = tableDir(coll, table)
+      val log = readLog(coll, table)
+      val byId = log.map(e => e.id -> e).toMap
+      val pruned = prunedIds(coll, table)
+      versions(coll, table).foreach { e =>
+        val vd = dir.resolve(e.id)
+        if (!Files.exists(vd))
+          issues += FsckIssue("missing-data", coll, table,
+            s"committed version ${e.id} has no data dir")
+        else if (verifyCounts) {
+          val n = spark.read.parquet(vd.toString).count()
+          if (n != e.rows)
+            issues += FsckIssue("row-mismatch", coll, table,
+              s"version ${e.id}: log says ${e.rows} rows, data has $n")
+        }
+      }
+      val onDisk =
+        if (!Files.exists(dir)) Seq.empty[String]
+        else Using.resource(Files.list(dir))(_.iterator().asScala
+          .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+          .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq)
+      onDisk.foreach { id =>
+        if (!byId.contains(id))
+          issues += FsckIssue("orphan-dir", coll, table,
+            s"version dir $id appears in no log entry")
+        else if (pruned(id))
+          issues += FsckIssue("pruned-residue", coll, table,
+            s"version $id is vacuum-tombstoned but still on disk")
+      }
+      val stagingDir = dir.resolve(".staging")
+      val staged =
+        if (!Files.exists(stagingDir)) Seq.empty[String]
+        else Using.resource(Files.list(stagingDir))(_.iterator().asScala
+          .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq)
+      staged.foreach { id =>
+        byId.get(id) match {
+          case Some(e) if isCommitted(e.transaction) =>
+            issues += FsckIssue("staging-leak", coll, table,
+              s"version $id: transaction ${e.transaction} committed but data still staged")
+          case _ =>
+            issues += FsckIssue("staging-debris", coll, table,
+              s"staged dir $id belongs to no committed transaction")
+        }
+      }
+    }
+    issues.result()
   }
 
   /** Non-hidden child directories, stream closed (these back per-request

@@ -99,6 +99,46 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(store.versions("c", "t").map(_.id) == (ids.drop(3) :+ v6.id))
   }
 
+  test("store: fsck reports each corruption kind, clean store reports none") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val store = freshStore()
+    val v1 = store.write("c", "t", Seq(1, 2, 3).toDF("x"))
+    val v2 = store.write("c", "t", Seq(4, 5).toDF("x"))
+    assert(store.fsck(verifyCounts = true).isEmpty)
+
+    val tdir = JPaths.get(store.root, "c", "t")
+    // orphan: a hex-named dir no log entry references
+    JFiles.createDirectories(tdir.resolve("deadbeefcafe"))
+    // staging-leak: v1 is committed but a staged copy lingers
+    JFiles.createDirectories(tdir.resolve(".staging").resolve(v1.id))
+    // missing-data: v2's data dir removed out-of-band
+    graft.store.TableStore.deleteTree(tdir.resolve(v2.id))
+    val kinds = store.fsck().groupBy(_.kind).view.mapValues(_.size).toMap
+    assert(kinds == Map("orphan-dir" -> 1, "staging-leak" -> 1,
+      "missing-data" -> 1), kinds)
+
+    // row-mismatch: delete one part file from a healthy version
+    val store2 = freshStore()
+    val w = store2.write("c", "t", spark.range(100).toDF("x").repartition(4))
+    val wdir = JPaths.get(store2.root, "c", "t", w.id)
+    val part = Using.resource(JFiles.list(wdir))(_.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq).head
+    graft.store.TableStore.deleteTree(part)
+    val issues2 = store2.fsck(verifyCounts = true)
+    assert(issues2.map(_.kind) == Seq("row-mismatch"), issues2)
+    assert(store2.fsck().isEmpty) // without count verification: silent
+
+    // pruned-residue: tombstoned version resurrected on disk
+    store2.write("c", "t", Seq(9).toDF("x"))
+    store2.vacuum("c", "t", keepLast = 1)
+    JFiles.createDirectories(JPaths.get(store2.root, "c", "t", w.id))
+    val issues3 = store2.fsck()
+    assert(issues3.map(_.kind) == Seq("pruned-residue"), issues3)
+  }
+
   test("store: uncommitted transactions are invisible") {
     val store = freshStore()
     import spark.implicits._
