@@ -272,14 +272,17 @@ object TpchQueries {
     // cross-multiplied (2*qty*cnt < sum) into exact DECIMAL so no rounding
     // of an average can flip a row.
     "q_tpch_q17" -> ((s, dir) => {
-      val perPart = t(s, dir, "lineitem")
-        .groupBy(F.col("l_partkey").as("pp_partkey"))
-        .agg(F.sum(d("l_quantity")).as("sum_qty"), F.count(F.lit(1)).as("cnt"))
+      // The correlated per-part average only needs rows of the FILTERED
+      // parts, so the broadcast part join comes first and the aggregate
+      // rides a keyed window over the ~2.5% survivor rows — one lineitem
+      // scan, no second aggregation pass (see q_tpch_q2).
+      val w17 = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
       t(s, dir, "lineitem")
         .join(F.broadcast(t(s, dir, "part")
             .where(F.col("p_brand") === "Brand#23" && F.col("p_size") <= 10)),
           F.col("p_partkey") === F.col("l_partkey"))
-        .join(perPart, F.col("l_partkey") === F.col("pp_partkey"))
+        .withColumn("sum_qty", F.sum(d("l_quantity")).over(w17))
+        .withColumn("cnt", F.count(F.lit(1)).over(w17))
         // qty < 0.5*avg cross-multiplied; compared in DOUBLE over the exact
         // DECIMAL sum (see q_tpch_q11 on why not DECIMAL-times-DECIMAL).
         .where(F.col("l_quantity").cast(DoubleType) * 2.0 * F.col("cnt") <

@@ -495,10 +495,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!q2.contains("CartesianProduct"), q2)
     assert(count(q2, "lineitem.parquet") == 1, q2)
     assert(q2.contains("Window"), q2)
-    // Q20 shares the shape: one lineitem scan, per-part total via window
+    // Q20 and Q17 share the shape: one lineitem scan, per-part aggregate
+    // via keyed window (Q17's additionally AFTER the broadcast part filter)
     val q20 = plan(graft.SparkEntry.queries("q_tpch_q20")(spark, sf))
     assert(count(q20, "lineitem.parquet") == 1, q20)
     assert(!q20.contains("CartesianProduct"), q20)
+    val q17 = plan(graft.SparkEntry.queries("q_tpch_q17")(spark, sf))
+    assert(count(q17, "lineitem.parquet") == 1, q17)
+    assert(q17.contains("Window"), q17)
   }
 
   test("store partition pruning: partition filter never reaches row scan") {
