@@ -24,10 +24,19 @@ object Export {
     * a DataFrame. `partitionBy` threads through to the writer for
     * directory-partitioned exports. */
   def writeSharded(df: DataFrame, path: String, format: String = "jsonl",
-      maxRecordsPerFile: Long = 100000, partitionBy: Seq[String] = Nil): DataFrame = {
+      maxRecordsPerFile: Long = 100000, partitionBy: Seq[String] = Nil,
+      bloomFilterCols: Seq[String] = Nil): DataFrame = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    require(bloomFilterCols.isEmpty || format == "parquet",
+      "bloomFilterCols requires format=parquet")
     var w = df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    // per-column parquet bloom filters: point lookups (id probes, dedup
+    // audits, contamination spot checks) prune whole row groups without
+    // reading them — the per-file companion of partition pruning at 100 TB
+    bloomFilterCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     format match {
       case "jsonl" | "json" | "ndjson" => w.json(path)

@@ -453,6 +453,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaHeaders.sniffWav(corrupt).isEmpty)
   }
 
+  test("sharded export: per-column parquet bloom filters land in the footer") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    graft.pipeline.Export.writeSharded(
+      docs.select("doc_id", "lang", "text"), out, format = "parquet",
+      maxRecordsPerFile = 1000, bloomFilterCols = Seq("doc_id"))
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.map(_.toString)
+      .find(p => p.contains("part-") && p.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val cols = reader.getRowGroups.get(0).getColumns.asScala
+      val idCol = cols.find(_.getPath.toDotString == "doc_id").get
+      assert(reader.readBloomFilter(idCol) != null,
+        "doc_id must carry a bloom filter")
+      val langCol = cols.find(_.getPath.toDotString == "lang").get
+      assert(reader.readBloomFilter(langCol) == null,
+        "lang must NOT carry one — the option is per-column")
+    } finally reader.close()
+    // non-parquet formats refuse the option instead of silently ignoring it
+    intercept[IllegalArgumentException](graft.pipeline.Export.writeSharded(
+      docs, out, format = "jsonl", bloomFilterCols = Seq("doc_id")))
+  }
+
   test("multimodal: real FLAC/Ogg/WebP header decode") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
