@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 
 /** Corpus vocabulary statistics — the token-frequency steps of tokenizer
@@ -54,5 +54,52 @@ object Vocab {
     counts.crossJoin(F.broadcast(total))
       .where(F.col("cnt").cast("double") >= F.lit(minFrac) * F.col("total").cast("double"))
       .select("token", "cnt")
+  }
+
+  /** Zipf rank-frequency fit over the top-`topK` tokens: least-squares
+    * slope of ln(freq) on ln(rank); `alpha` = −slope (≈1 for natural
+    * language, far off for templated/degenerate corpora — a dataset-card
+    * health statistic). Output 1 row: (alpha, intercept, n_terms).
+    *
+    * Deterministic to the bit: ranks are (cnt desc, token asc)
+    * row_numbers over the LIMITed top-k relation (k is a bounded
+    * parameter, so the single-partition window is O(k) — documented,
+    * same class as a collected centroid table), logs route through the
+    * libm-consistent kernel, and every Σ folds over the rank-sorted list
+    * — so the DuckDB oracle states the identical arithmetic. The corpus
+    * itself is touched exactly once (the counts aggregation); everything
+    * after is O(topK). */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val top = tokenCounts(docs, textCol)
+      .orderBy(F.col("cnt").desc, F.col("token").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("cnt").desc, F.col("token").asc)
+    val ln = graft.expressions.MathKernels.ln _
+    val ranked = top
+      .withColumn("$td.__r", F.row_number().over(w))
+      .select(
+        F.col("`$td.__r`").as("r"),
+        ln(F.col("`$td.__r`").cast("double")).as("x"),
+        ln(F.col("cnt").cast("double")).as("y"))
+    // one rank-sorted list, four folds from it — a single aggregation so
+    // the corpus-touching counts relation is computed exactly once
+    val lst = F.array_sort(
+      F.collect_list(F.struct(F.col("r"), F.col("x"), F.col("y"))))
+    def fold(f: Column => Column) = F.aggregate(
+      F.transform(F.col("`$td.__l`"), f), F.lit(0.0), (acc, v) => acc + v)
+    val slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
+      (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ranked.agg(lst.as("$td.__l"), F.count(F.lit(1)).cast("double").as("n"))
+      .select(F.col("n"),
+        fold(_.getField("x")).as("sx"),
+        fold(_.getField("y")).as("sy"),
+        fold(s => s.getField("x") * s.getField("y")).as("sxy"),
+        fold(s => s.getField("x") * s.getField("x")).as("sxx"))
+      .select(
+        (-slope).as("alpha"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).as("intercept"),
+        F.col("n").cast("int").as("n_terms"))
   }
 }

@@ -143,5 +143,35 @@ object CurationOracles {
         |SELECT token, CAST(cnt AS BIGINT) AS cnt
         |FROM tc, t
         |WHERE CAST(cnt AS DOUBLE) >= 0.001 * CAST(total AS DOUBLE)
-        |ORDER BY cnt DESC, token""".stripMargin)
+        |ORDER BY cnt DESC, token""".stripMargin,
+    "q_vocab_zipf" ->
+      // identical arithmetic to Vocab.zipfFit: top-20 (cnt desc, token)
+      // ranks, x = ln(rank), y = ln(cnt), rank-ordered sequential folds,
+      // slope = (n·sxy − sx·sy)/(n·sxx − sx²), alpha = −slope
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT unnest(w) AS token FROM w),
+        |tc AS (SELECT token, count(*) AS cnt FROM tok
+        |       WHERE length(token) > 0 GROUP BY 1),
+        |top AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 20),
+        |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, token) AS r,
+        |        ln(CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+        |        ln(CAST(cnt AS DOUBLE)) AS y
+        |      FROM top),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(x ORDER BY r)), (a, b) -> a + b) AS sx,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(y ORDER BY r)), (a, b) -> a + b) AS sy,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(x * y ORDER BY r)), (a, b) -> a + b) AS sxy,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(x * x ORDER BY r)), (a, b) -> a + b) AS sxx
+        |      FROM r),
+        |f AS (SELECT n, sx, sy,
+        |        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |      FROM s)
+        |SELECT -slope AS alpha, (sy - slope * sx) / n AS intercept,
+        |  CAST(n AS INTEGER) AS n_terms
+        |FROM f""".stripMargin)
 }

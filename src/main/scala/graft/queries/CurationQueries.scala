@@ -97,5 +97,11 @@ object CurationQueries {
     "q_heavy_hitters" -> ((s, dir) => {
       graft.pipeline.Vocab.heavyHitters(docs(s, dir), "text", minFrac = 0.001)
         .orderBy(F.col("cnt").desc, F.col("token"))
+    }),
+    // Zipf rank-frequency fit: least-squares ln(freq) ~ ln(rank) over the
+    // top-20 tokens, libm ln + rank-sorted folds — alpha hash-matches the
+    // identical arithmetic in SQL.
+    "q_vocab_zipf" -> ((s, dir) => {
+      graft.pipeline.Vocab.zipfFit(docs(s, dir), "text", topK = 20)
     }))
 }
