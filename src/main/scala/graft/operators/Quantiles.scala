@@ -26,14 +26,18 @@ object Quantiles {
     * `tiebreakers` to pin which of several equal-rank candidates is
     * reported when `valueCol` has duplicates (any deterministic unique
     * key works; the VALUE reported is the same either way — only the
-    * physical row picked differs). */
+    * physical row picked differs). Two quantiles that round to the same
+    * order statistic (n < |qs| territory) each get their own output row
+    * carrying that shared value. `knownN` skips the count job when the
+    * caller already holds the exact row count (same contract as
+    * SemDedup's knownN). */
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
-      tiebreakers: Seq[String] = Nil): DataFrame = {
+      tiebreakers: Seq[String] = Nil, knownN: Option[Long] = None): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
     val spark = df.sparkSession
     import spark.implicits._
-    val n = df.count()
+    val n = knownN.getOrElse(df.count())
     require(n > 0, "exactQuantiles over an empty relation")
     val qk = qs.distinct.sorted
       .map(q => (q, math.max(1L, math.ceil(q * n).toLong)))

@@ -378,8 +378,16 @@ object DataMix {
   def curriculumPhases(df: DataFrame, scoreCol: String, phases: Int,
       tiebreakers: Seq[String] = Nil): DataFrame = {
     require(phases >= 2, s"phases must be >= 2, got $phases")
+    // a corpus smaller than `phases` would collide quantile ranks and
+    // collect duplicate cutpoints (inflating phase numbers vs the
+    // distinct-rank oracle) — fail loudly instead; the count feeds
+    // exactQuantiles via knownN so the corpus is still counted once
+    val n = df.count()
+    require(n >= phases,
+      s"curriculumPhases needs at least `phases` rows: n=$n, phases=$phases")
     val cuts = graft.operators.Quantiles.exactQuantiles(df, scoreCol,
-        (1 until phases).map(_.toDouble / phases), tiebreakers)
+        (1 until phases).map(_.toDouble / phases), tiebreakers,
+        knownN = Some(n))
       .agg(F.sort_array(F.collect_list(F.col("value"))).as("$td.__cuts"))
     df.crossJoin(F.broadcast(cuts))
       .withColumn("phase",

@@ -98,8 +98,11 @@ object Vocab {
         fold(s => s.getField("x") * s.getField("y")).as("sxy"),
         fold(s => s.getField("x") * s.getField("x")).as("sxx"))
       .select(
-        (-slope).as("alpha"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).as("intercept"),
+        // a degenerate corpus (fewer than 2 distinct tokens) has a zero
+        // slope denominator — report an explicit NULL fit, never NaN
+        F.when(F.col("n") >= 2, -slope).as("alpha"),
+        F.when(F.col("n") >= 2,
+          (F.col("sy") - slope * F.col("sx")) / F.col("n")).as("intercept"),
         F.col("n").cast("int").as("n_terms"))
   }
 }

@@ -247,13 +247,21 @@ final class TableStore(val root: String, spark: SparkSession) {
     * e.g. derived from (query name, micro-batch id) — and re-delivery of
     * the same unit of work becomes a no-op instead of a duplicate version.
     *
+    * The idempotence scope is (collection, table, txid): the version id AND
+    * the transaction marker are both md5(coll/table/txid), so two producers
+    * reusing one txid against different tables each commit their own write
+    * instead of the second silently no-opping (and any txid content is
+    * filename-safe once hashed — the marker file and the store→stream glob
+    * `[0-9a-f]*` both see a hex-leading name).
+    *
     * Idempotence across every crash window:
-    *   - txid already committed → `None`, nothing touched (the normal
-    *     foreachBatch re-delivery after a post-commit failure);
-    *   - crashed between log append and commit → the version id is also
-    *     txid-derived, so the retry overwrites the SAME staged dir and
-    *     skips the duplicate log append; the single entry becomes visible
-    *     exactly once at commit;
+    *   - txid already committed for this table → `None`, nothing touched
+    *     (the normal foreachBatch re-delivery after a post-commit failure);
+    *   - crashed between log append and commit → the retry finds the logged
+    *     entry, re-stages the SAME version dir under the ORIGINAL entry's
+    *     execution id and timestamp (so data stamps and log metadata agree),
+    *     skips the duplicate log append, and the single entry becomes
+    *     visible exactly once at commit;
     *   - crashed mid-staging → the partial staged dir is hidden under
     *     `.staging` and simply overwritten by the retry.
     *
@@ -261,19 +269,25 @@ final class TableStore(val root: String, spark: SparkSession) {
     * [[stageWrite]]); only the txid/versionId derivation is new. */
   def writeIdempotent(coll: String, table: String, df: DataFrame,
       txid: String): Option[VersionEntry] = {
-    if (isCommitted(txid)) None
+    val versionId = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$coll/$table/$txid".getBytes(StandardCharsets.UTF_8))
+      d.map("%02x".format(_)).mkString
+    }
+    if (isCommitted(versionId)) None
     else {
-      // hex md5 of the txid: deterministic, filename-safe, hex-leading
-      // (the store→stream glob `[0-9a-f]*` must see it)
-      val versionId = {
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(txid.getBytes(StandardCharsets.UTF_8))
-        d.map("%02x".format(_)).mkString
+      val prior = readLog(coll, table).find(_.id == versionId)
+      val ctx = prior match {
+        // retry of a log-appended-but-uncommitted attempt: reconstruct the
+        // context from the logged entry so the re-staged data's
+        // $td.execution/$td.timestamp stamps match the entry that will
+        // become visible
+        case Some(e) => SysCtx(e.execution, versionId, versionId,
+          new java.sql.Timestamp(e.timestampMs))
+        case None => SysCtx.fresh().copy(transaction = versionId, version = versionId)
       }
-      val already = readLog(coll, table).exists(_.id == versionId)
-      val ctx = SysCtx.fresh().copy(transaction = txid, version = versionId)
-      val e = stageWrite(coll, table, df, ctx, Nil, appendLogEntry = !already)
-      commitTransaction(txid)
+      val e = stageWrite(coll, table, df, ctx, Nil, appendLogEntry = prior.isEmpty)
+      commitTransaction(versionId)
       Some(e)
     }
   }

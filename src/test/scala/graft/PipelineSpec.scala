@@ -1580,6 +1580,23 @@ class PipelineSpec extends AnyFunSuite {
     val b = DataMix.curriculumPhases(scored.repartition(7), "n_chars", 4, Seq("doc_id"))
       .select("doc_id", "phase").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b)
+    // a corpus smaller than `phases` would collide quantile ranks — loud
+    // failure, not silently inflated phase numbers
+    val tiny = (1L to 3L).map(i => (i, i)).toDF("id", "score")
+    val ex = intercept[IllegalArgumentException] {
+      DataMix.curriculumPhases(tiny, "score", phases = 4, tiebreakers = Seq("id"))
+    }
+    assert(ex.getMessage.contains("phases"), ex.getMessage)
+  }
+
+  test("zipfFit: degenerate single-token corpus reports NULL, never NaN") {
+    import graft.pipeline.Vocab
+    import spark.implicits._
+    val mono = Seq.fill(5)(Tuple1("word word word")).toDF("body")
+    val r = Vocab.zipfFit(mono, "body", topK = 10).collect()
+    assert(r.length == 1)
+    assert(r(0).getInt(2) == 1, r(0))
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1), r(0))
   }
 
   test("matchDistribution: achieved mix tracks the target, binding group kept whole") {

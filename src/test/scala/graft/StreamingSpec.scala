@@ -411,10 +411,10 @@ class StreamingSpec extends AnyFunSuite {
     // version id, then lose the staged dir as a crashed process would its
     // in-memory move map)
     val versionId = java.security.MessageDigest.getInstance("MD5")
-      .digest("job-2".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val ctx = SysCtx.fresh().copy(transaction = "job-2", version = versionId)
+      .digest("c/t/job-2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ctx = SysCtx.fresh().copy(transaction = versionId, version = versionId)
     store.stageWrite("c", "t", df, ctx)
-    store.abortTransaction("job-2") // staged dir gone, log entry remains
+    store.abortTransaction(versionId) // staged dir gone, log entry remains
     assert(store.versions("c", "t").size == 1) // uncommitted => invisible
 
     // the retry must yield exactly ONE visible, scannable version
@@ -422,6 +422,33 @@ class StreamingSpec extends AnyFunSuite {
     val vs = store.versions("c", "t")
     assert(vs.size == 2, s"duplicate log entries surfaced: $vs")
     assert(store.scan("c/t").get.df.count() == 2)
+
+    // the retry re-staged under the FIRST attempt's execution/timestamp, so
+    // the data's system-column stamps agree with the visible log entry
+    val logged = vs.find(_.id == versionId).get
+    assert(logged.execution == ctx.execution)
+    assert(logged.timestampMs == ctx.timestamp.getTime)
+    val stamped = store.scan("c/t@HEAD").get.df
+      .select("`$td.ver.execution`", "`$td.ver.timestamp`").distinct().collect()
+    assert(stamped.length == 1)
+    assert(stamped(0).getString(0) == logged.execution)
+    assert(stamped(0).getTimestamp(1).getTime == logged.timestampMs)
+  }
+
+  test("writeIdempotent: idempotence scope is per (collection, table)") {
+    import graft.store.TableStore
+    import spark.implicits._
+    val store = new TableStore(
+      Files.createTempDirectory("graft-idem-scope").toString, spark)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // two producers reuse one txid against DIFFERENT tables: both commit
+    assert(store.writeIdempotent("c", "t1", df, "job-1").isDefined)
+    assert(store.writeIdempotent("c", "t2", df, "job-1").isDefined)
+    assert(store.scan("c/t1").get.df.count() == 2)
+    assert(store.scan("c/t2").get.df.count() == 2)
+    // while replay against the SAME table stays a no-op
+    assert(store.writeIdempotent("c", "t1", df, "job-1").isEmpty)
+    assert(store.versions("c", "t1").size == 1)
   }
 
   test("pub/sub piping: stream a table dir into a sink dir") {
