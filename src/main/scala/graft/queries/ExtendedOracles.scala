@@ -135,6 +135,45 @@ object ExtendedOracles {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stateful_counts" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_version_diff" ->
+      s"""$VersionDiffSql ORDER BY o_orderkey""",
+    "q_version_diff_summary" ->
+      s"""SELECT
+         |  count(*) FILTER (WHERE op = 'insert') AS inserted,
+         |  count(*) FILTER (WHERE op = 'delete') AS deleted,
+         |  count(*) FILTER (WHERE op = 'update') AS updated,
+         |  count(*) AS changed
+         |FROM ($VersionDiffSql) d""".stripMargin
   )
+
+  /** The CDC change set between the two deterministic order "versions"
+    * (see ExtendedQueries.versionPair) — stated as the same null-safe
+    * FULL OUTER JOIN classification the Spark operator performs. */
+  private def VersionDiffSql: String =
+    """SELECT o_orderkey, op,
+      |  CASE WHEN op = 'update' THEN changed END AS changed_cols
+      |FROM (
+      |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+      |    CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+      |         WHEN v2.o_orderkey IS NULL THEN 'delete'
+      |         WHEN concat_ws(',',
+      |           CASE WHEN v1.o_custkey IS DISTINCT FROM v2.o_custkey THEN 'o_custkey' END,
+      |           CASE WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus THEN 'o_orderstatus' END,
+      |           CASE WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice THEN 'o_totalprice' END) <> ''
+      |         THEN 'update' END AS op,
+      |    concat_ws(',',
+      |      CASE WHEN v1.o_custkey IS DISTINCT FROM v2.o_custkey THEN 'o_custkey' END,
+      |      CASE WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus THEN 'o_orderstatus' END,
+      |      CASE WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice THEN 'o_totalprice' END) AS changed
+      |  FROM
+      |    (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |     FROM orders WHERE o_orderkey % 7 <> 0) v1
+      |  FULL OUTER JOIN
+      |    (SELECT o_orderkey, o_custkey,
+      |       CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |     FROM orders WHERE o_orderkey % 5 <> 0) v2
+      |  ON v1.o_orderkey = v2.o_orderkey) c
+      |WHERE op IS NOT NULL""".stripMargin
 }

@@ -218,6 +218,46 @@ object ExtendedQueries {
       graft.streaming.Streams.runningTotals(ev)
         .toDF().select(F.col("key"), F.col("events"))
         .orderBy("key")
+    }),
+    "q_version_diff" -> ((s, dir) => {
+      // CDC between two stored versions, END TO END through the versioned
+      // store (write v1, write v2, scan @HEAD~1 vs @HEAD, diff): the two
+      // versions derive deterministically from `orders`, so the oracle
+      // states the identical FULL OUTER JOIN change set over the same
+      // derivations. strict=true also exercises the key-uniqueness guard.
+      val (v1, v2) = versionPair(s, dir)
+      val store = tempStore(s)
+      store.write("g", "orders", v1)
+      store.write("g", "orders", v2)
+      graft.store.VersionDiff.diffVersions(store,
+          "g/orders@HEAD~1", "g/orders@HEAD", Seq("o_orderkey"), strict = true)
+        .orderBy("o_orderkey")
+    }),
+    "q_version_diff_summary" -> ((s, dir) => {
+      val (v1, v2) = versionPair(s, dir)
+      graft.store.VersionDiff.summary(v1, v2, Seq("o_orderkey"))
     })
   )
+
+  /** Two deterministic "versions" of orders for the CDC gates: v2 drops a
+    * different key subset than v1, doubles some prices, flips some
+    * statuses — so the diff exercises insert, delete, update, and
+    * multi-column changed_cols in one pass. */
+  private def versionPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val orders = t(s, dir, "orders").df
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val v1 = orders.where(F.col("o_orderkey") % 7 =!= 0)
+    val v2 = orders.where(F.col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 === 0, F.lit("X"))
+          .otherwise(F.col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        F.when(F.col("o_orderkey") % 3 === 0, F.col("o_totalprice") * 2)
+          .otherwise(F.col("o_totalprice")))
+    (v1, v2)
+  }
+
+  private def tempStore(s: SparkSession): graft.store.TableStore =
+    new graft.store.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-vdiff").toString, s)
 }

@@ -1,0 +1,115 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+import graft.core.SystemColumns
+
+/** Row-level change set between two versions of a table — the versioned
+  * store's CDC surface. The reference keeps every publish as an immutable
+  * version addressable by `name@HEAD~n` (version_resolver.rs:29-37); this
+  * operator answers the natural follow-up "what changed between two
+  * publishes" without any change capture at write time: it is derived
+  * purely from the two stored snapshots, so it works retroactively over
+  * any version pair (the same snapshot-differencing shape as a
+  * table-format changelog scan).
+  *
+  * Semantics, keyed by a caller-supplied natural key:
+  *   - key only in `newer`            → op = "insert"
+  *   - key only in `older`            → op = "delete"
+  *   - key in both, any non-key user column differing under null-safe
+  *     equality                       → op = "update", with `changed_cols`
+  *     naming the differing columns in schema order (csv)
+  *   - key in both, all equal         → omitted
+  *
+  * System (`$td.*`) columns never participate: two versions ALWAYS differ
+  * on their stamps, so they are neither compared nor keyable.
+  *
+  * Scale shape: one shuffle per side on the key (a plain sort-merge full
+  * outer join); the per-row classification is a codegen'd null-safe
+  * comparison chain — no window, no driver materialization, linear in
+  * |older| + |newer|. At 100 TB this is the cost of co-partitioning the
+  * two snapshots, which is the floor for any exact diff.
+  */
+object VersionDiff {
+
+  /** Diff two version snapshots. `keys` must identify rows uniquely within
+    * each side — duplicate keys would cross-multiply in the join; pass
+    * `strict = true` to spend one aggregation job per side asserting
+    * uniqueness loudly (recommended for untrusted inputs). Columns present
+    * on only one side are treated as differing whenever the present side's
+    * value is non-null. Output: keys ++ (op, changed_cols), one row per
+    * changed key. */
+  def diff(older: DataFrame, newer: DataFrame, keys: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    val o = older.select(SystemColumns.userColumns(older).map(c => F.col(s"`$c`")): _*)
+    val n = newer.select(SystemColumns.userColumns(newer).map(c => F.col(s"`$c`")): _*)
+    keys.foreach { k =>
+      require(o.columns.contains(k), s"key '$k' missing from older side")
+      require(n.columns.contains(k), s"key '$k' missing from newer side")
+    }
+    if (strict) Seq(("older", o), ("newer", n)).foreach { case (side, df) =>
+      val dup = df.groupBy(keys.map(c => F.col(s"`$c`")): _*)
+        .count().where(F.col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"$side side has duplicate keys ${keys.mkString(",")}: ${dup.head}")
+    }
+    // compared columns in a stable order: older's schema order, then any
+    // newer-only columns in newer's schema order
+    val oCols = o.columns.filterNot(keys.contains).toSeq
+    val nCols = n.columns.filterNot(keys.contains).toSeq
+    val compared = oCols ++ nCols.filterNot(oCols.contains)
+
+    val ol = o.select(
+      keys.map(c => F.col(s"`$c`")) ++
+        compared.map(c => (if (oCols.contains(c)) F.col(s"`$c`")
+          else F.lit(null)).as(s"$$td.__o_$c")): _*)
+    val nw = n.select(
+      keys.map(c => F.col(s"`$c`")) ++
+        Seq(F.lit(true).as("$td.__nw")) ++
+        compared.map(c => (if (nCols.contains(c)) F.col(s"`$c`")
+          else F.lit(null)).as(s"$$td.__n_$c")): _*)
+    // the older side carries its own presence marker too (a key column can
+    // be legitimately null, so key-nullness cannot signal absence)
+    val olM = ol.withColumn("$td.__ol", F.lit(true))
+
+    val joined = olM.join(nw, keys, "full_outer")
+    val inOld = F.col("`$td.__ol`").isNotNull
+    val inNew = F.col("`$td.__nw`").isNotNull
+    def differs(c: String): Column =
+      !(F.col(s"`$$td.__o_$c`") <=> F.col(s"`$$td.__n_$c`"))
+    val changed = F.concat_ws(",",
+      compared.map(c => F.when(differs(c), F.lit(c))): _*)
+    joined.select(
+        keys.map(c => F.col(s"`$c`")) ++ Seq(
+          F.when(!inOld, F.lit("insert"))
+            .when(!inNew, F.lit("delete"))
+            .when(changed =!= F.lit(""), F.lit("update"))
+            .as("op"),
+          F.when(inOld && inNew && changed =!= F.lit(""), changed)
+            .as("changed_cols")): _*)
+      .where(F.col("op").isNotNull)
+  }
+
+  /** One-row roll-up of a diff: inserted/deleted/updated counts plus the
+    * total — the version-to-version health line a publish pipeline logs. */
+  def summary(older: DataFrame, newer: DataFrame, keys: Seq[String],
+      strict: Boolean = false): DataFrame =
+    diff(older, newer, keys, strict)
+      .agg(
+        F.count(F.when(F.col("op") === "insert", 1)).as("inserted"),
+        F.count(F.when(F.col("op") === "delete", 1)).as("deleted"),
+        F.count(F.when(F.col("op") === "update", 1)).as("updated"),
+        F.count(F.lit(1)).as("changed"))
+
+  /** Diff two stored versions of one table by reference — e.g.
+    * `diffVersions(store, "c/orders@HEAD~1", "c/orders@HEAD", Seq("id"))`.
+    * Each ref must resolve to a version (loud failure otherwise). */
+  def diffVersions(store: TableStore, olderRef: String, newerRef: String,
+      keys: Seq[String], strict: Boolean = false): DataFrame = {
+    def scanOf(ref: String): DataFrame =
+      store.scan(ref).getOrElse(
+        throw new IllegalArgumentException(s"unresolvable table ref: $ref")).df
+    diff(scanOf(olderRef), scanOf(newerRef), keys, strict)
+  }
+}

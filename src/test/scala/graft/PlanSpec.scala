@@ -505,6 +505,19 @@ class PlanSpec extends AnyFunSuite {
     assert(q17.contains("Window"), q17)
   }
 
+  test("version diff: one sort-merge join, no cartesian, no window") {
+    // the CDC diff must be exactly the co-partitioning cost of the two
+    // snapshots: one equi-join on the key, classification in projection
+    val a = spark.range(1000).select(F.col("id"),
+      (F.col("id") % 7).as("x"), (F.col("id") % 3).cast("string").as("s"))
+    val b = spark.range(900).select(F.col("id"),
+      (F.col("id") % 5).as("x"), (F.col("id") % 3).cast("string").as("s"))
+    val p = plan(graft.store.VersionDiff.diff(a, b, Seq("id")))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty

@@ -409,4 +409,54 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(tf.df.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
     assert(tf.columns("system").nonEmpty) // raw wrap stamped fresh ids
   }
+
+  test("version diff: ops, null-safe compares, one-side columns, strict keys") {
+    import graft.store.VersionDiff
+    import spark.implicits._
+    val old = Seq[(Long, Option[String], Option[Double])](
+      (1L, Some("a"), Some(1.0)),   // unchanged
+      (2L, Some("b"), None),        // null -> value  => update v
+      (3L, None, Some(3.0)),        // deleted
+      (4L, Some("d"), Some(4.0)),   // both change    => update s,v
+      (5L, None, None)              // nulls unchanged
+    ).toDF("id", "s", "v")
+    val neu = Seq[(Long, Option[String], Option[Double])](
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(2.0)),
+      (4L, Some("D"), Some(40.0)),
+      (5L, None, None),
+      (6L, Some("f"), Some(6.0))    // inserted
+    ).toDF("id", "s", "v")
+    val got = VersionDiff.diff(old, neu, Seq("id"), strict = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      (2L, "update", Some("v")),
+      (3L, "delete", None),
+      (4L, "update", Some("s,v")),
+      (6L, "insert", None)), got.mkString(","))
+    // summary agrees
+    val sm = VersionDiff.summary(old, neu, Seq("id")).collect()(0)
+    assert((sm.getLong(0), sm.getLong(1), sm.getLong(2), sm.getLong(3)) ==
+      ((1L, 1L, 2L, 4L)))
+    // a column on only one side differs exactly where its values are non-null
+    val widened = neu.withColumn("extra",
+      F.when(F.col("id") === 1L, F.lit("x")))
+    val got2 = VersionDiff.diff(old, widened, Seq("id")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got2.head == ((1L, "update", Some("extra"))), got2.mkString(","))
+    // duplicate keys fail loudly under strict
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "s")
+    val ex = intercept[IllegalArgumentException] {
+      VersionDiff.diff(dup, neu.select("id", "s"), Seq("id"), strict = true)
+    }
+    assert(ex.getMessage.contains("duplicate keys"), ex.getMessage)
+    // unresolvable refs fail loudly
+    val store = new TableStore(
+      java.nio.file.Files.createTempDirectory("graft-vd").toString, spark)
+    val ex2 = intercept[IllegalArgumentException] {
+      VersionDiff.diffVersions(store, "c/none@HEAD", "c/none@HEAD", Seq("id"))
+    }
+    assert(ex2.getMessage.contains("unresolvable"), ex2.getMessage)
+  }
 }
