@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.types._
 
 /** Text analysis operators for training-data pipelines: token statistics,
@@ -149,5 +149,38 @@ object TextAnalysis {
     val windows = F.transform(F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(0))),
       i => F.xxhash64(F.array_join(F.slice(toks, i + 1, F.lit(w)), " ")))
     F.array_min(windows)
+  }
+
+  /** Cross-document n-gram novelty: for each document, how much of its
+    * content exists elsewhere in the corpus — `shared` counts the doc's
+    * distinct word n-grams that appear in at least one OTHER document,
+    * `novelty` = 1 − shared/n_ngrams. The corpus-level memorization-
+    * exposure statistic behind duplicate-driven memorization analyses
+    * (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" measures the same overlap the other way around); unlike the
+    * dedup operators it scores EVERY document rather than extracting
+    * pairs, so it feeds quality filtering and dataset cards directly.
+    *
+    * Shape: one exploded (id, shingle) relation off the codegen'd
+    * [[graft.expressions.WordShingles]] kernel (tokens staged once), a
+    * count per shingle (one shuffle with map-side combine), a join back
+    * on the shingle key (hot boilerplate shingles are single-key rows on
+    * the frequency side — AQE skew-join splits the probe side), and a
+    * final per-doc aggregation. Linear in total shingles; nothing
+    * quadratic, nothing driver-side. Documents shorter than n tokens
+    * contribute their whole text as one shingle (kernel semantics). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val pairs = graft.pipeline.Dedup.shingled(
+      docs.select(F.col(idCol), F.col(textCol)), textCol, idCol, n)
+    val freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).as("$td.__df"))
+    pairs.join(freq, "shingle")
+      .groupBy("id")
+      .agg(
+        F.count(F.lit(1)).as("n_ngrams"),
+        F.count(F.when(F.col("`$td.__df`") > 1, 1)).as("shared"))
+      .select(F.col("id").as(idCol), F.col("n_ngrams"), F.col("shared"),
+        (F.lit(1.0) - F.col("shared").cast("double") /
+          F.col("n_ngrams").cast("double")).as("novelty"))
   }
 }

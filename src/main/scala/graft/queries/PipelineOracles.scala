@@ -294,6 +294,15 @@ object PipelineOracles {
         |       (x,y) -> x+y) AS DOUBLE)
         |    / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""$shinglesCte,
+         |fr AS (SELECT shingle, count(*) AS dfc FROM ex GROUP BY 1)
+         |SELECT ex.doc_id, count(*) AS n_ngrams,
+         |  count(*) FILTER (WHERE fr.dfc > 1) AS shared,
+         |  1.0 - CAST(count(*) FILTER (WHERE fr.dfc > 1) AS DOUBLE)
+         |      / count(*) AS novelty
+         |FROM ex JOIN fr USING (shingle)
+         |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

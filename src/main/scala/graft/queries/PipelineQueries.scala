@@ -296,6 +296,13 @@ object PipelineQueries {
         TextAnalysis.meanTokenLengthFromTokens(F.col("toks")).as("mean_tok_len"))
         .orderBy("doc_id")
     }),
+    "q_ngram_novelty" -> ((s, dir) => {
+      // cross-doc memorization exposure: distinct 3-grams per doc vs the
+      // corpus-wide shingle frequency — full oracle states the identical
+      // inverted-index join
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
     "q_text_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(F.col("doc_id"), F.col("lang"),
