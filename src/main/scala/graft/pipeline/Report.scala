@@ -30,4 +30,54 @@ object Report {
       .withColumnRenamed("0.95", "p95_chars")
     stats.join(qs, Seq(groupCol))
   }
+
+  /** EXACT corpus-to-corpus overlap at two granularities — the
+    * dataset-card line answering "how much of B is already in A" before a
+    * merge, and "did my eval set leak into training" at the corpus level
+    * (the between-dataset view of what [[Decontaminate]] flags per doc):
+    *
+    *   - document level: distinct normalized-text keys
+    *     ([[TextAnalysis.normalizeText]] md5 — the CCNet canonical key),
+    *   - n-gram level: distinct word n-gram shingles (same kernel and
+    *     short-doc fallback as the dedup family).
+    *
+    * One row out: per granularity the distinct-unit counts of each side,
+    * the intersection, containment in each direction (|∩|/|A|, |∩|/|B|)
+    * and Jaccard. Shape: per side one distinct (map-side combined), then
+    * one co-partitioned full outer join per granularity counted in a
+    * single aggregation — linear, no driver materialization; the two
+    * 1-row aggregates broadcast-cross at the end. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+      n: Int = 3): DataFrame = {
+    def docKeys(df: DataFrame, mark: String) = df
+      .select(F.md5(TextAnalysis.normalizeText(F.col(textCol))
+        .cast(org.apache.spark.sql.types.BinaryType)).as("$td.__k"))
+      .distinct().withColumn(mark, F.lit(1))
+    def gramKeys(df: DataFrame, mark: String) = df
+      .select(TextAnalysis.tokens(F.col(textCol)).as("$td.__toks"))
+      .select(Dedup.shinglesFromTokens(F.col("`$td.__toks`"), n).as("$td.__sh"))
+      .select(F.explode(F.col("`$td.__sh`")).as("$td.__k"))
+      .distinct().withColumn(mark, F.lit(1))
+    def overlap(ka: DataFrame, kb: DataFrame, pfx: String) =
+      ka.join(kb, Seq("$td.__k"), "full_outer").agg(
+        F.count(F.col("`$td.__a`")).as(s"${pfx}_a"),
+        F.count(F.col("`$td.__b`")).as(s"${pfx}_b"),
+        F.count(F.when(F.col("`$td.__a`").isNotNull &&
+          F.col("`$td.__b`").isNotNull, 1)).as(s"${pfx}_common"))
+    def ratios(pfx: String) = Seq(
+      (F.col(s"${pfx}_common").cast("double") /
+        F.col(s"${pfx}_a").cast("double")).as(s"${pfx}_contain_a"),
+      (F.col(s"${pfx}_common").cast("double") /
+        F.col(s"${pfx}_b").cast("double")).as(s"${pfx}_contain_b"),
+      (F.col(s"${pfx}_common").cast("double") /
+        (F.col(s"${pfx}_a") + F.col(s"${pfx}_b") - F.col(s"${pfx}_common"))
+          .cast("double")).as(s"${pfx}_jaccard"))
+    overlap(docKeys(a, "$td.__a"), docKeys(b, "$td.__b"), "docs")
+      .crossJoin(F.broadcast(
+        overlap(gramKeys(a, "$td.__a"), gramKeys(b, "$td.__b"), "ngrams")))
+      .select(
+        Seq("docs_a", "docs_b", "docs_common").map(F.col) ++ ratios("docs") ++
+          Seq("ngrams_a", "ngrams_b", "ngrams_common").map(F.col) ++
+          ratios("ngrams"): _*)
+  }
 }

@@ -294,6 +294,44 @@ object PipelineOracles {
         |       (x,y) -> x+y) AS DOUBLE)
         |    / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_overlap" ->
+      """WITH na AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text), '[0-9]', '0', 'g'), '[\p{P}\p{S}]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS k
+        |  FROM documents WHERE lang = 'en'),
+        |nb AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(text), '[0-9]', '0', 'g'), '[\p{P}\p{S}]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS k
+        |  FROM documents WHERE lang <> 'en'),
+        |ga AS (SELECT DISTINCT unnest(CASE WHEN len(w) < 3
+        |         THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle
+        |       FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |             FROM documents WHERE lang = 'en') t),
+        |gb AS (SELECT DISTINCT unnest(CASE WHEN len(w) < 3
+        |         THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END) AS shingle
+        |       FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |             FROM documents WHERE lang <> 'en') t),
+        |dk AS (SELECT (SELECT count(*) FROM na) AS docs_a,
+        |              (SELECT count(*) FROM nb) AS docs_b,
+        |              (SELECT count(*) FROM na JOIN nb USING (k)) AS docs_common),
+        |gk AS (SELECT (SELECT count(*) FROM ga) AS ngrams_a,
+        |              (SELECT count(*) FROM gb) AS ngrams_b,
+        |              (SELECT count(*) FROM ga JOIN gb USING (shingle)) AS ngrams_common)
+        |SELECT docs_a, docs_b, docs_common,
+        |  CAST(docs_common AS DOUBLE) / docs_a AS docs_contain_a,
+        |  CAST(docs_common AS DOUBLE) / docs_b AS docs_contain_b,
+        |  CAST(docs_common AS DOUBLE) / (docs_a + docs_b - docs_common) AS docs_jaccard,
+        |  ngrams_a, ngrams_b, ngrams_common,
+        |  CAST(ngrams_common AS DOUBLE) / ngrams_a AS ngrams_contain_a,
+        |  CAST(ngrams_common AS DOUBLE) / ngrams_b AS ngrams_contain_b,
+        |  CAST(ngrams_common AS DOUBLE) / (ngrams_a + ngrams_b - ngrams_common) AS ngrams_jaccard
+        |FROM dk, gk""".stripMargin,
     "q_ngram_novelty" ->
       s"""$shinglesCte,
          |fr AS (SELECT shingle, count(*) AS dfc FROM ex GROUP BY 1)

@@ -296,6 +296,14 @@ object PipelineQueries {
         TextAnalysis.meanTokenLengthFromTokens(F.col("toks")).as("mean_tok_len"))
         .orderBy("doc_id")
     }),
+    "q_corpus_overlap" -> ((s, dir) => {
+      // dataset-to-dataset contamination card: EXACT doc-key and shingle
+      // containment between the English and non-English slices
+      val d = t(s, dir, "documents")
+      graft.pipeline.Report.corpusOverlap(
+        d.where(F.col("lang") === "en"), d.where(F.col("lang") =!= "en"),
+        "text", n = 3)
+    }),
     "q_ngram_novelty" -> ((s, dir) => {
       // cross-doc memorization exposure: distinct 3-grams per doc vs the
       // corpus-wide shingle frequency — full oracle states the identical
