@@ -273,6 +273,66 @@ object QualityFilters {
     docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
   }
 
+  /** Interpolated Kneser-Ney bigram scoring — the top rung of the
+    * smoothing ladder (Chen & Goodman 1998 §4.1.6; Kneser & Ney 1995):
+    *
+    *   p(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *              + (D/c(w1·)) · N1+(w1·) · p_cont(w2)
+    *   p_cont(w2) = N1+(·w2) / N1+(··)
+    *
+    * with absolute discount D and the continuation distribution built
+    * from bigram TYPE counts (how many distinct contexts a word follows)
+    * rather than token counts — the property that makes KN the standard
+    * for perplexity-style corpus filtering. Scores are the mean −ln p
+    * over a document's bigram instances against the corpus-wide counts
+    * (so every probed bigram is observed and the discounted term is
+    * strictly positive); documents with <2 tokens score null. D defaults
+    * to 0.75 (exactly representable — the oracle's folds match bit for
+    * bit).
+    *
+    * Scale: everything derives from the single (w1,w2) count relation —
+    * context totals AND forward type counts in one groupBy(w1), backward
+    * type counts in one groupBy(w2), the type total as a 1-row aggregate;
+    * no second corpus pass. The probe joins the doc bigram stream on its
+    * natural keys; per-doc means fold sorted for partition invariance. */
+  def knBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, out: String = "avg_nll_kn"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val toksStaged = F.col("`$td.__ktoks`")
+    val bigrams = F.when(F.size(toksStaged) >= 2,
+      F.transform(F.sequence(F.lit(0), F.size(toksStaged) - 2),
+        i => F.struct(F.element_at(toksStaged, i + 1).as("w1"),
+          F.element_at(toksStaged, i + 2).as("w2"))))
+      .otherwise(F.array())
+    val big = docs
+      .select(F.col(idCol), F.filter(
+        F.split(F.lower(F.trim(F.col(textCol))), "\\s+"), t => t =!= "")
+        .as("$td.__ktoks"))
+      .select(F.col(idCol), F.explode(bigrams).as("bg"))
+      .select(F.col(idCol), F.col("bg.w1").as("w1"), F.col("bg.w2").as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).as("c12"))
+    // context totals and forward continuation counts in ONE pass over c12
+    val ctx = c12.groupBy("w1").agg(
+      F.sum("c12").as("c1"), F.count(F.lit(1)).as("n1f"))
+    val n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).as("n1b"))
+    val typesRow = c12.agg(F.count(F.lit(1))).head
+    val nTypes = typesRow.getLong(0)
+    val c1d = F.col("c1").cast("double")
+    val p = (F.greatest(F.col("c12").cast("double") - F.lit(discount), F.lit(0.0)) / c1d) +
+      (((F.lit(discount) / c1d) * F.col("n1f").cast("double")) *
+        (F.col("n1b").cast("double") / F.lit(nTypes.toDouble)))
+    val nll = "$td.__nllkn"
+    val scored = big
+      .join(c12, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(n1b, Seq("w2"))
+      .withColumn(nll, -graft.expressions.MathKernels.ln(p.cast("double")))
+      .groupBy(F.col(idCol)).agg(
+        (F.aggregate(F.array_sort(F.collect_list(F.col(s"`$nll`"))),
+          F.lit(0.0), (acc, x) => acc + x) / F.count(F.lit(1))).as(out))
+    docs.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
   // ----------------------------------------------------------- repetition
 
   /** Per-document top word-n-gram and the fraction of characters it covers

@@ -125,6 +125,38 @@ object QualityOracles {
         |SELECT d.doc_id, ag.avg_nll2
         |FROM documents d LEFT JOIN ag USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_quality_kn_lm" ->
+      // interpolated Kneser-Ney with D=0.75: discounted ML term plus the
+      // type-count continuation distribution, every division and fold
+      // parenthesized exactly as the Spark side computes it
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+        |       FROM w0 WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM c12 GROUP BY 1),
+        |n1b AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM c12),
+        |nl AS (SELECT b.doc_id,
+        |         -ln((greatest(CAST(c12.c12 AS DOUBLE) - 0.75e0, 0.0e0)
+        |              / CAST(ctx.c1 AS DOUBLE)) +
+        |             (((0.75e0 / CAST(ctx.c1 AS DOUBLE)) * CAST(ctx.n1f AS DOUBLE))
+        |              * (CAST(n1b.n1b AS DOUBLE) / CAST(nt.nt AS DOUBLE)))) AS nll
+        |       FROM b JOIN c12 USING (w1, w2) JOIN ctx USING (w1)
+        |       JOIN n1b USING (w2), nt),
+        |ag AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(nll))),
+        |                     (x, y) -> x + y) / count(*) AS avg_nll_kn
+        |       FROM nl GROUP BY doc_id)
+        |SELECT d.doc_id, ag.avg_nll_kn
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_repetition_topgram" ->
       """WITH toks AS (
         |  SELECT doc_id, length(text) AS n_chars_total,

@@ -46,6 +46,10 @@ object QualityQueries {
       QualityFilters.bigramLogProb(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 2000).orderBy("doc_id")
     }),
+    "q_quality_kn_lm" -> ((s, dir) => {
+      QualityFilters.knBigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_repetition_topgram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .where(QualityFilters.wordCount(F.col("text")) >= 2)
