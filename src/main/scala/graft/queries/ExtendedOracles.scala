@@ -136,6 +136,13 @@ object ExtendedOracles {
     "q_stateful_counts" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts - INTERVAL 12 HOUR AND v.ts <= c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
     "q_version_diff" ->
       s"""$VersionDiffSql ORDER BY o_orderkey""",
     "q_version_diff_summary" ->

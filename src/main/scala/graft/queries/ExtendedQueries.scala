@@ -210,6 +210,29 @@ object ExtendedQueries {
           F.col("event_type"), F.col("n"))
         .orderBy("hour_epoch", "event_type")
     }),
+    "q_stream_interval_join" -> ((s, dir) => {
+      // stream-stream attribution: clicks joined to same-user views within
+      // the preceding 12 hours, THROUGH Structured Streaming (two file
+      // streams, watermarked interval join, append mode); the bounded
+      // replay with a generous watermark emits every match, so the oracle
+      // is the plain batch interval self-join
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      def side(tpe: String, u: String, ts: String, id: String) =
+        graft.streaming.Streams.readParquetStream(s, tmp, schema)
+          .where(F.col("event_type") === tpe)
+          .select(F.col("user_id").as(u), F.col("ts").as(ts),
+            F.col("event_id").as(id))
+      val j = graft.streaming.Streams.intervalJoin(
+        side("click", "c_user", "c_ts", "click_id"),
+        side("view", "v_user", "v_ts", "view_id"),
+        F.col("c_user") === F.col("v_user"),
+        "c_ts", "v_ts", before = "12 HOURS", after = "0 SECONDS",
+        watermark = "60 days")
+      graft.streaming.StreamStage.runToMemory(
+          j.select("click_id", "view_id"), "q_stream_ij_", "append")
+        .orderBy("click_id", "view_id")
+    }),
     "q_stateful_counts" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events").df

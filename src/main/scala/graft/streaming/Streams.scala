@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession, functions => F}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -55,6 +55,29 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .groupBy(F.window(F.col(tsCol), window, slide) +: keys.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("n"), F.sum(F.col(valueCol)).as("value_sum"))
+
+  /** Watermarked stream-stream interval join (append mode): emit every
+    * (left, right) pair sharing `on` with `rightTs` inside
+    * [leftTs − before, leftTs + after] — the click-to-view attribution /
+    * impression-to-conversion shape. Structured Streaming bounds BOTH
+    * sides' state from the watermark plus the interval bounds (each side
+    * can evict rows older than watermark + interval), so the join runs
+    * indefinitely with finite state; a tighter `watermark` trades late
+    * matches for memory exactly like the windowed aggregations. Column
+    * names must be disjoint across the two inputs (rename before joining
+    * — the usual stream-stream join discipline, since both sides keep
+    * their columns in the output). Inner joins emit as matches arrive;
+    * pass `joinType` = left_outer/right_outer/full_outer for the
+    * watermark-finalized outer variants. */
+  def intervalJoin(left: DataFrame, right: DataFrame, on: Column,
+      leftTs: String, rightTs: String, before: String, after: String,
+      watermark: String, joinType: String = "inner"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        on &&
+          F.col(rightTs) >= F.col(leftTs) - F.expr(s"INTERVAL $before") &&
+          F.col(rightTs) <= F.col(leftTs) + F.expr(s"INTERVAL $after"),
+        joinType)
 
   /** Gap-based streaming sessionization: the streaming face of the batch
     * `session_window` operator (q_sessionize) — a session extends while

@@ -42,6 +42,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotRows.subsetOf(expRows))
   }
 
+  test("stream-stream interval join across micro-batches equals the batch join") {
+    // clicks and their views land in DIFFERENT micro-batches (many files,
+    // maxFilesPerTrigger=1), so matches must come out of buffered join
+    // state, not single-batch co-presence
+    val dir = Files.createTempDirectory("graft-ssj-in")
+    val batch = eventsBatch.limit(2000).cache()
+    batch.repartition(8).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    def side(tpe: String, u: String, ts: String, id: String) =
+      Streams.readParquetStream(spark, dir.toString, schema, maxFilesPerTrigger = 1)
+        .where(F.col("event_type") === tpe)
+        .select(F.col("user_id").as(u), F.col("ts").as(ts), F.col("event_id").as(id))
+    val j = Streams.intervalJoin(
+      side("click", "c_user", "c_ts", "click_id"),
+      side("view", "v_user", "v_ts", "view_id"),
+      F.col("c_user") === F.col("v_user"),
+      "c_ts", "v_ts", before = "12 HOURS", after = "0 SECONDS",
+      watermark = "60 days")
+    val q = Streams.runToMemory(j.select("click_id", "view_id"), "ssj_out")
+    q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = batch.where(F.col("event_type") === "click")
+      .select(F.col("user_id").as("u"), F.col("ts").as("cts"), F.col("event_id").as("cid"))
+      .join(batch.where(F.col("event_type") === "view")
+          .select(F.col("user_id").as("u"), F.col("ts").as("vts"), F.col("event_id").as("vid")),
+        Seq("u"))
+      .where(F.col("vts") >= F.col("cts") - F.expr("INTERVAL 12 HOURS") &&
+        F.col("vts") <= F.col("cts"))
+      .select("cid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exp.nonEmpty)
+    assert(got == exp, s"stream ${got.size} vs batch ${exp.size}")
+  }
+
   test("streaming sessionization matches the batch session_window computation") {
     val dir = Files.createTempDirectory("graft-stream-sess")
     val batch = eventsBatch.select("user_id", "ts")
