@@ -56,6 +56,62 @@ object Vocab {
       .select("token", "cnt")
   }
 
+  /** EXACT heavy hitters WITHOUT a vocabulary-wide shuffle — the scale
+    * path when the token space itself is enormous (raw web n-grams,
+    * URLs): [[heavyHitters]] shuffles every distinct token once, which is
+    * linear but pays a full-vocabulary exchange; this variant never
+    * shuffles the vocabulary at all.
+    *
+    * Pass 1: per-partition Misra-Gries sketches of `sketchK` counters
+    * (Misra & Gries 1982) via mapPartitions — O(k) memory, one linear
+    * scan. The MG guarantee is that any token with partition frequency
+    * > n_p/(k+1) survives its partition's sketch; summed over partitions,
+    * every token with GLOBAL frequency > n/(k+1) must exceed that ratio
+    * in at least one partition, so with (k+1)·minFrac > 1 the union of
+    * survivors (≤ partitions·k tokens, collected as driver metadata) is a
+    * superset of every minFrac-heavy token. Pass 2: exact counts of ONLY
+    * the candidates (broadcast semi-join, keyed agg over ≤ partitions·k
+    * keys) against the 1-row corpus token total; the exact ≥ filter then
+    * emits precisely the true heavy hitters — output identical to
+    * [[heavyHitters]], proven by the shared oracle and the repartitioning
+    * differential in PipelineSpec. The mapPartitions is the justified
+    * sketch escape hatch: a counter dictionary has no Catalyst analog. */
+  def heavyHittersTwoPass(docs: DataFrame, textCol: String, minFrac: Double,
+      sketchK: Int = 0): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac in (0,1], got $minFrac")
+    val k = if (sketchK > 0) sketchK else math.ceil(1.0 / minFrac).toInt
+    require((k + 1) * minFrac > 1.0,
+      s"sketchK=$k cannot guarantee minFrac=$minFrac (need (k+1)*minFrac > 1)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(F.explode(Dedup.tokens(F.col(textCol))).as("token"))
+      .where(F.length(F.col("token")) > 0)
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None =>
+            // classic MG step: decrement every counter, evict zeros
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters(key) = c - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.distinct().collect()
+    val total = toks.agg(F.count(F.lit(1)).as("total"))
+    toks.join(F.broadcast(candidates.toSeq.toDF("token")), Seq("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+      .crossJoin(F.broadcast(total))
+      .where(F.col("cnt").cast("double") >=
+        F.lit(minFrac) * F.col("total").cast("double"))
+      .select("token", "cnt")
+  }
+
   /** Zipf rank-frequency fit over the top-`topK` tokens: least-squares
     * slope of ln(freq) on ln(rank); `alpha` = −slope (≈1 for natural
     * language, far off for templated/degenerate corpora — a dataset-card

@@ -144,6 +144,17 @@ object CurationOracles {
         |FROM tc, t
         |WHERE CAST(cnt AS DOUBLE) >= 0.001 * CAST(total AS DOUBLE)
         |ORDER BY cnt DESC, token""".stripMargin,
+    "q_heavy_hitters_twopass" ->
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT unnest(w) AS token FROM w),
+        |tc AS (SELECT token, count(*) AS cnt FROM tok
+        |       WHERE length(token) > 0 GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM tc)
+        |SELECT token, CAST(cnt AS BIGINT) AS cnt
+        |FROM tc, t
+        |WHERE CAST(cnt AS DOUBLE) >= 0.001 * CAST(total AS DOUBLE)
+        |ORDER BY cnt DESC, token""".stripMargin,
     "q_vocab_zipf" ->
       // identical arithmetic to Vocab.zipfFit: top-20 (cnt desc, token)
       // ranks, x = ln(rank), y = ln(cnt), rank-ordered sequential folds,

@@ -98,6 +98,13 @@ object CurationQueries {
       graft.pipeline.Vocab.heavyHitters(docs(s, dir), "text", minFrac = 0.001)
         .orderBy(F.col("cnt").desc, F.col("token"))
     }),
+    // the Misra-Gries sketch + exact-verify path must emit the IDENTICAL
+    // heavy-hitter set — same oracle as q_heavy_hitters
+    "q_heavy_hitters_twopass" -> ((s, dir) => {
+      graft.pipeline.Vocab.heavyHittersTwoPass(docs(s, dir), "text",
+          minFrac = 0.001)
+        .orderBy(F.col("cnt").desc, F.col("token"))
+    }),
     // Zipf rank-frequency fit: least-squares ln(freq) ~ ln(rank) over the
     // top-20 tokens, libm ln + rank-sorted folds — alpha hash-matches the
     // identical arithmetic in SQL.

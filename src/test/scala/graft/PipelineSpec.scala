@@ -1589,6 +1589,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("phases"), ex.getMessage)
   }
 
+  test("heavyHittersTwoPass: equals the one-shuffle exact op under any partitioning") {
+    import graft.pipeline.Vocab
+    val d = docs.select("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = norm(Vocab.heavyHitters(d, "text", minFrac = 0.002))
+    assert(exact.nonEmpty)
+    // the MG candidate union is partitioning-dependent; the verified
+    // output must not be
+    for (p <- Seq(1, 3, 13)) {
+      val got = norm(Vocab.heavyHittersTwoPass(d.repartition(p), "text",
+        minFrac = 0.002))
+      assert(got == exact, s"partitions=$p: ${got.size} vs ${exact.size}")
+    }
+    // an undersized sketch cannot guarantee the frequency floor: loud
+    val ex = intercept[IllegalArgumentException] {
+      Vocab.heavyHittersTwoPass(d, "text", minFrac = 0.002, sketchK = 100)
+    }
+    assert(ex.getMessage.contains("sketchK"), ex.getMessage)
+  }
+
   test("zipfFit: degenerate single-token corpus reports NULL, never NaN") {
     import graft.pipeline.Vocab
     import spark.implicits._
