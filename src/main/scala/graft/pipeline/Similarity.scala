@@ -82,4 +82,38 @@ object Similarity {
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cos")
   }
+
+  /** Johnson-Lindenstrauss random projection: embed `inDim`-dimensional
+    * vectors into `outDim` dimensions with a seeded ±1/√outDim sign matrix
+    * (Achlioptas 2001 database-friendly projections) — the standard
+    * dimensionality squeeze before ANN indexing or pairwise scoring at
+    * corpus scale. Distances are preserved within (1±ε) for
+    * outDim = O(ln n / ε²), and the projection is a row-local codegen'd
+    * projection: zero shuffles, linear scan, outDim·inDim multiply-adds
+    * per row.
+    *
+    * Determinism across engines and runs: sign(i,j) is taken from the
+    * first hex digit of md5("seed:i,j") — the same portable-hash
+    * convention as the DSIR feature buckets, so an external system (or
+    * the SQL oracle) can reproduce the exact matrix; components fold in
+    * ascending index order with a 0.0 seed, giving bit-identical doubles
+    * everywhere. */
+  def randomProjection(df: DataFrame, vecCol: String, outCol: String,
+      inDim: Int, outDim: Int, seed: String = "jl"): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive: $inDim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val h = md.digest(s"$seed:$i,$j".getBytes("UTF-8"))
+      // first hex digit < '8' <=> top bit of the first byte is 0
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val signs = F.lit(Array.tabulate(inDim)(i => sign(i, j)))
+      F.aggregate(
+        F.zip_with(F.col(vecCol), signs, (a, b) => a.cast("double") * b),
+        F.lit(0.0), (acc, x) => acc + x) * F.lit(scale)
+    }
+    df.withColumn(outCol, F.array(comps: _*))
+  }
 }

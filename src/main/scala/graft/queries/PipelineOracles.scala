@@ -294,6 +294,16 @@ object PipelineOracles {
         |       (x,y) -> x+y) AS DOUBLE)
         |    / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_project" ->
+      """SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, 64), i ->
+        |      CAST(embedding[i] AS DOUBLE) *
+        |      (CASE WHEN substr(md5('jl:' || (i-1) || ',' || j), 1, 1) < '8'
+        |            THEN 1.0e0 ELSE -1.0e0 END))),
+        |    (x, y) -> x + y) * 0.25e0 AS y
+        |FROM embeddings CROSS JOIN generate_series(0, 15) AS t(j)
+        |ORDER BY vec_id, j""".stripMargin,
     "q_corpus_overlap" ->
       """WITH na AS (
         |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(regexp_replace(

@@ -135,6 +135,17 @@ object PipelineQueries {
           "vec_id", "embedding", "vec_id", k = 10)
         .orderBy("query_id", "rank")
     }),
+    "q_embed_project" -> ((s, dir) => {
+      // JL sign-matrix projection 64 -> 16, flattened to (vec_id, j, y)
+      // rows; the md5-seeded matrix and ascending folds make the oracle
+      // state the identical arithmetic (scale 1/sqrt(16) = 0.25, exact)
+      Similarity.randomProjection(t(s, dir, "embeddings"), "embedding",
+          "proj", inDim = 64, outDim = 16)
+        .select(F.col("vec_id"), F.posexplode(F.col("proj")))
+        .select(F.col("vec_id"), F.col("pos").cast("int").as("j"),
+          F.col("col").as("y"))
+        .orderBy("vec_id", "j")
+    }),
     "q_ann_sq8" -> ((s, dir) => {
       // asymmetric scalar quantization: corpus side 8-bit codes, query
       // full precision — closed-form, so the gate is a FULL value oracle

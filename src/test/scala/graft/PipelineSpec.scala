@@ -1589,6 +1589,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("phases"), ex.getMessage)
   }
 
+  test("randomProjection: norms preserved in expectation, distances correlate") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").where(F.col("vec_id") < 100)
+    val rows = Similarity.randomProjection(emb, "embedding", "proj", 64, 16)
+      .select("vec_id", "embedding", "proj").collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Double](2).toArray))
+    def sq(a: Array[Double]) = a.map(x => x * x).sum
+    // E[||Px||^2] = ||x||^2 — the per-vector ratio concentrates around 1
+    val ratios = rows.map { case (x, p) => sq(p) / sq(x) }
+    val meanR = ratios.sum / ratios.length
+    assert(meanR > 0.8 && meanR < 1.2, s"mean norm ratio $meanR")
+    // the JL guarantee is (1±ε) DISTORTION of each pairwise distance, with
+    // ε shrinking as outDim grows — assert the ratio concentration at 16
+    // and that doubling the target dimension four-fold tightens it
+    def d2(a: Array[Double], b: Array[Double]) =
+      sq(a.zip(b).map { case (u, v) => u - v })
+    val rows64 = Similarity.randomProjection(emb, "embedding", "proj", 64, 64)
+      .select("vec_id", "embedding", "proj").collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Double](2).toArray))
+    def ratioStd(rs: Array[(Array[Double], Array[Double])]): (Double, Double) = {
+      val ratios = (for (i <- rs.indices.take(40); j <- i + 1 until 40)
+        yield d2(rs(i)._2, rs(j)._2) / d2(rs(i)._1, rs(j)._1)).toArray
+      val m = ratios.sum / ratios.length
+      (m, math.sqrt(ratios.map(r => (r - m) * (r - m)).sum / ratios.length))
+    }
+    val (m16, s16) = ratioStd(rows)
+    val (m64, s64) = ratioStd(rows64)
+    assert(m16 > 0.8 && m16 < 1.2, s"distortion mean@16 $m16")
+    assert(m64 > 0.9 && m64 < 1.1, s"distortion mean@64 $m64")
+    assert(s64 < s16, s"distortion must tighten with outDim: $s64 vs $s16")
+  }
+
   test("heavyHittersTwoPass: equals the one-shuffle exact op under any partitioning") {
     import graft.pipeline.Vocab
     val d = docs.select("doc_id", "text")
