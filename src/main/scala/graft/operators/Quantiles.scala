@@ -48,6 +48,30 @@ object Quantiles {
       .select(F.col("q"), F.col(valueCol).as("value"))
   }
 
+  /** Winsorize: clip `valueCol` into its own exact [pLo, pHi] quantile
+    * window — the standard outlier treatment for numeric quality signals
+    * before scoring/mixing (values below the pLo order statistic move up
+    * to it, values above pHi move down). Exact quantiles, not
+    * percentile_approx: the clip bounds are values that occur in the
+    * data, and the oracle states the same k = ceil(q·n) definition. The
+    * bounds travel as a broadcast 1-row relation; the clip itself is a
+    * row-local codegen'd projection, so the cost is one [[exactQuantiles]]
+    * pass plus a linear scan. */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double, pHi: Double,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = exactQuantiles(df, valueCol, Seq(pLo, pHi), tiebreakers)
+      .agg(
+        F.min(F.when(F.col("q") === pLo, F.col("value"))).as("$td.__lo"),
+        F.min(F.when(F.col("q") === pHi, F.col("value"))).as("$td.__hi"))
+    df.crossJoin(F.broadcast(bounds))
+      .withColumn(valueCol,
+        F.greatest(F.least(F.col(valueCol), F.col("`$td.__hi`")),
+          F.col("`$td.__lo`")))
+      .drop("$td.__lo", "$td.__hi")
+  }
+
   /** Per-group exact quantiles: for every group, quantile q is the
     * k = max(1, ceil(q·n_g)) order statistic of that group's values —
     * the per-language / per-source length distributions of a dataset

@@ -151,8 +151,36 @@ object ExtendedOracles {
          |  count(*) FILTER (WHERE op = 'delete') AS deleted,
          |  count(*) FILTER (WHERE op = 'update') AS updated,
          |  count(*) AS changed
-         |FROM ($VersionDiffSql) d""".stripMargin
+         |FROM ($VersionDiffSql) d""".stripMargin,
+    "q_version_history" -> versionHistorySql
   )
+
+  private def versionHistorySql: String =
+    """WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |            FROM orders WHERE o_orderkey % 7 <> 0),
+      |v2 AS (SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |       FROM orders WHERE o_orderkey % 5 <> 0),
+      |v3 AS (SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |       FROM orders WHERE o_orderkey % 4 <> 0),
+      |u AS (SELECT 1 AS v, * FROM v1 UNION ALL SELECT 2, * FROM v2
+      |      UNION ALL SELECT 3, * FROM v3),
+      |m AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v - 1
+      |        OR lag(ROW(o_custkey, o_orderstatus, o_totalprice)) OVER w
+      |           IS DISTINCT FROM ROW(o_custkey, o_orderstatus, o_totalprice)
+      |      THEN 1 ELSE 0 END AS chg
+      |      FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY v)),
+      |g AS (SELECT *, sum(chg) OVER (PARTITION BY o_orderkey ORDER BY v) AS run
+      |      FROM m)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(min(v) AS BIGINT) AS valid_from, CAST(max(v) AS BIGINT) AS valid_to,
+      |  max(v) = 3 AS is_current
+      |FROM g
+      |GROUP BY o_orderkey, o_custkey, o_orderstatus, o_totalprice, run
+      |ORDER BY o_orderkey, valid_from""".stripMargin
 
   /** The CDC change set between the two deterministic order "versions"
     * (see ExtendedQueries.versionPair) — stated as the same null-safe

@@ -259,6 +259,24 @@ object ExtendedQueries {
     "q_version_diff_summary" -> ((s, dir) => {
       val (v1, v2) = versionPair(s, dir)
       graft.store.VersionDiff.summary(v1, v2, Seq("o_orderkey"))
+    }),
+    "q_version_history" -> ((s, dir) => {
+      // SCD2 unroll over three stored versions: runs of constant values
+      // per key with valid_from/valid_to version ordinals
+      val (v1, v2) = versionPair(s, dir)
+      val v3 = t(s, dir, "orders")
+        .df.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .where(F.col("o_orderkey") % 4 =!= 0)
+        .withColumn("o_orderstatus",
+          F.when(F.col("o_orderkey") % 11 === 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          F.when(F.col("o_orderkey") % 3 === 0, F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")))
+      val store = tempStore(s)
+      Seq(v1, v2, v3).foreach(store.write("g", "orders", _))
+      graft.store.VersionDiff.historyOf(store, "g", "orders", Seq("o_orderkey"))
+        .orderBy("o_orderkey", "valid_from")
     })
   )
 

@@ -119,6 +119,19 @@ object ScaleOracles {
         |  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.95, 0.99]) AS q), n)
         |SELECT qk.q AS q, s.n_chars AS value
         |FROM qk JOIN s ON s.rk = qk.k ORDER BY q""".stripMargin,
+    "q_winsorize" ->
+      """WITH s AS (
+        |  SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |n AS (SELECT count(*) AS c FROM documents),
+        |b AS (SELECT
+        |  (SELECT n_chars FROM s, n
+        |   WHERE rk = GREATEST(1, CAST(ceil(0.05e0 * c) AS BIGINT))) AS lo,
+        |  (SELECT n_chars FROM s, n
+        |   WHERE rk = GREATEST(1, CAST(ceil(0.95e0 * c) AS BIGINT))) AS hi)
+        |SELECT doc_id, GREATEST(LEAST(n_chars, hi), lo) AS n_chars
+        |FROM documents, b ORDER BY doc_id""".stripMargin,
     "q_select_budget" ->
       """WITH c AS (
         |  SELECT doc_id, n_chars,

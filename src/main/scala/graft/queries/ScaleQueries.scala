@@ -135,6 +135,14 @@ object ScaleQueries {
           tiebreakers = Seq("doc_id"))
         .orderBy("q")
     }),
+    "q_winsorize" -> ((s, dir) => {
+      // clip document lengths into their exact [p05, p95] order-statistic
+      // window; bounds broadcast, clip row-local
+      graft.operators.Quantiles.winsorize(
+          d(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+          pLo = 0.05, pHi = 0.95, tiebreakers = Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
     "q_select_budget" -> ((s, dir) => {
       // token-budget corpus selection: fill a 100k-char training budget
       // from the longest documents down (n_chars doubles as the

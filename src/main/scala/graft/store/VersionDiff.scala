@@ -112,4 +112,64 @@ object VersionDiff {
         throw new IllegalArgumentException(s"unresolvable table ref: $ref")).df
     diff(scanOf(olderRef), scanOf(newerRef), keys, strict)
   }
+
+  /** Per-key change history across an ordered sequence of snapshots — the
+    * SCD2 "unroll" of a versioned table: one output row per maximal run
+    * of versions in which a key held the same values, with
+    * `valid_from`/`valid_to` as 1-based version ordinals and `is_current`
+    * marking runs reaching the newest version. A key absent from a
+    * version ends its run; reappearing starts a new one.
+    *
+    * Shape: one union of the snapshots (each stamped with its ordinal),
+    * ONE shuffle on the key for the lag/running-sum window pair that
+    * marks change points and numbers runs, then a keyed aggregation over
+    * (key, run, values) — values are constant within a run, so they ride
+    * the grouping key. Linear in Σ|versions|; the window is per-key, never
+    * global. */
+  def history(snapshots: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(snapshots.nonEmpty, "history needs at least one snapshot")
+    require(keys.nonEmpty, "history needs at least one key column")
+    val cleaned = snapshots.map(df =>
+      df.select(SystemColumns.userColumns(df).map(c => F.col(s"`$c`")): _*))
+    val cols = cleaned.head.columns.toSeq
+    cleaned.foreach(df => require(df.columns.toSeq == cols,
+      s"snapshots must share one schema: $cols vs ${df.columns.toSeq}"))
+    val valCols = cols.filterNot(keys.contains)
+    val u = cleaned.zipWithIndex
+      .map { case (df, i) => df.withColumn("$td.__v", F.lit((i + 1).toLong)) }
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(c => F.col(s"`$c`")): _*).orderBy(F.col("`$td.__v`"))
+    val vals = F.struct(valCols.map(c => F.col(s"`$c`")): _*)
+    val prevV = F.lag(F.col("`$td.__v`"), 1).over(w)
+    val chg = F.when(
+      prevV.isNull || (prevV =!= F.col("`$td.__v`") - 1) ||
+        !(F.lag(vals, 1).over(w) <=> vals), 1L).otherwise(0L)
+    val runs = u.withColumn("$td.__chg", chg)
+      .withColumn("$td.__run", F.sum(F.col("`$td.__chg`")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    runs.groupBy((keys ++ valCols).map(c => F.col(s"`$c`")) :+
+        F.col("`$td.__run`"): _*)
+      .agg(
+        F.min(F.col("`$td.__v`")).as("valid_from"),
+        F.max(F.col("`$td.__v`")).as("valid_to"))
+      .withColumn("is_current", F.col("valid_to") === F.lit(snapshots.size.toLong))
+      .drop("$td.__run")
+      .select((keys ++ valCols).map(c => F.col(s"`$c`")) ++
+        Seq(F.col("valid_from"), F.col("valid_to"), F.col("is_current")): _*)
+  }
+
+  /** [[history]] over every committed version of a stored table,
+    * oldest → newest (resolved via `HEAD~n`, which every version id
+    * scheme supports). */
+  def historyOf(store: TableStore, coll: String, table: String,
+      keys: Seq[String]): DataFrame = {
+    val vs = store.versions(coll, table)
+    require(vs.nonEmpty, s"no committed versions in $coll/$table")
+    history(vs.indices.map { i =>
+      val ref = s"$coll/$table@HEAD~${vs.size - 1 - i}"
+      store.scan(ref).getOrElse(
+        throw new IllegalStateException(s"unscannable version: $ref")).df
+    }, keys)
+  }
 }

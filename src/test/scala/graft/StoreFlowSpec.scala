@@ -410,6 +410,38 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(tf.columns("system").nonEmpty) // raw wrap stamped fresh ids
   }
 
+  test("version history: runs split on change, absence, and reappearance") {
+    import graft.store.VersionDiff
+    import spark.implicits._
+    // key 1: constant through all three -> one current run [1,3]
+    // key 2: value flips in v2, back in v3 -> three runs (flip-back is a NEW run)
+    // key 3: absent in v2, same value back in v3 -> two runs [1,1], [3,3]
+    // key 4: appears in v3 only -> one current run [3,3]
+    val v1 = Seq((1L, "a"), (2L, "x"), (3L, "c")).toDF("id", "s")
+    val v2 = Seq((1L, "a"), (2L, "y")).toDF("id", "s")
+    val v3 = Seq((1L, "a"), (2L, "x"), (3L, "c"), (4L, "d")).toDF("id", "s")
+    val got = VersionDiff.history(Seq(v1, v2, v3), Seq("id"))
+      .orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 1L, 3L, true),
+      (2L, "x", 1L, 1L, false),
+      (2L, "y", 2L, 2L, false),
+      (2L, "x", 3L, 3L, true),
+      (3L, "c", 1L, 1L, false),
+      (3L, "c", 3L, 3L, true),
+      (4L, "d", 3L, 3L, true)), got.mkString(","))
+    // store-backed variant agrees
+    val store = freshStore()
+    Seq(v1, v2, v3).foreach(store.write("c", "h", _))
+    val viaStore = VersionDiff.historyOf(store, "c", "h", Seq("id"))
+      .orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(viaStore.toSeq == got.toSeq)
+  }
+
   test("version diff: ops, null-safe compares, one-side columns, strict keys") {
     import graft.store.VersionDiff
     import spark.implicits._
