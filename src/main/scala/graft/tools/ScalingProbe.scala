@@ -191,6 +191,50 @@ object ScalingProbe {
           d.withColumn("score", F.length(F.col("text"))), "score", 4,
           tiebreakers = Seq("doc_id")).where(F.col("phase") === 4).count()
       }),
+      ("novelty", 100, { d =>
+        // inverted shingle index + count join-back + per-doc agg — the
+        // copies share no shingles, so the frequency relation scales
+        // linearly with the corpus
+        graft.pipeline.TextAnalysis.ngramNovelty(d, "doc_id", "text", 3)
+          .where(F.col("novelty") < 1.0).count()
+      }),
+      ("hh_twopass", 100, { d =>
+        // per-partition MG sketches (no vocab shuffle) + candidate verify
+        graft.pipeline.Vocab.heavyHittersTwoPass(d, "text", 0.001).count()
+      }),
+      ("kn_lm", 30, { d =>
+        graft.pipeline.QualityFilters.knBigramLogProb(d, "doc_id", "text")
+          .where(F.col("avg_nll_kn") > 0).count()
+      }),
+      ("winsorize", 100, { d =>
+        graft.operators.Quantiles.winsorize(
+          d.withColumn("n", F.length(F.col("text"))), "n",
+          0.05, 0.95, tiebreakers = Seq("doc_id")).count()
+      }),
+      ("version_diff", 100, { d =>
+        // CDC between two derived snapshots: the co-partitioning join
+        val s0 = d.withColumn("n", F.length(F.col("text"))).select("doc_id", "n")
+        graft.store.VersionDiff.diff(
+          s0.where(F.col("doc_id") % 7 =!= 0),
+          s0.where(F.col("doc_id") % 5 =!= 0)
+            .withColumn("n", F.when(F.col("doc_id") % 3 === 0,
+              F.col("n") * 2).otherwise(F.col("n"))),
+          Seq("doc_id")).count()
+      }),
+      ("version_history", 100, { d =>
+        // three snapshots through the keyed lag/run-sum unroll
+        val s0 = d.withColumn("n", F.length(F.col("text"))).select("doc_id", "n")
+        val s2 = s0.where(F.col("doc_id") % 5 =!= 0)
+          .withColumn("n", F.when(F.col("doc_id") % 3 === 0,
+            F.col("n") * 2).otherwise(F.col("n")))
+        val s3 = s0.where(F.col("doc_id") % 4 =!= 0)
+        graft.store.VersionDiff.history(Seq(s0, s2, s3), Seq("doc_id")).count()
+      }),
+      ("corpus_overlap", 100, { d =>
+        graft.pipeline.Report.corpusOverlap(
+          d.where(F.col("doc_id") % 2 === 0),
+          d.where(F.col("doc_id") % 2 === 1), "text", 3).count()
+      }),
       ("curation_e2e", 30, { d =>
         // the full composed path, every filter rooted at the raw scan and
         // intersected (the q_curation_e2e shape — the chained version
@@ -227,6 +271,11 @@ object ScalingProbe {
         val p = graft.pipeline.Quantize.trainSq8(e, "embedding")
         graft.pipeline.Quantize.sq8TopK(e, embQ,
           "vec_id", "embedding", "vec_id", 10, p).count()
+      }),
+      ("jl_project", 100, { e =>
+        // row-local codegen projection: zero shuffles, linear
+        graft.pipeline.Similarity.randomProjection(e, "embedding", "proj",
+          64, 16).where(F.element_at(F.col("proj"), 1) > 0).count()
       }),
       ("ann_ivfpq", 100, { e =>
         // IVF build + PQ train + encode + routed ADC search — the encode
