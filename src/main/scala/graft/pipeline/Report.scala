@@ -31,6 +31,35 @@ object Report {
     stats.join(qs, Seq(groupCol))
   }
 
+  /** Exact equi-width histogram of a numeric column — the length/score
+    * distribution plot behind every dataset card, computed exactly: the
+    * [min, max] range rides as a broadcast 1-row relation, each row maps
+    * to bin = min(bins−1, floor((x−mn)·bins/(mx−mn))) in a codegen'd
+    * projection, and one keyed aggregation counts per bin (≤ `bins`
+    * output rows). A constant column degenerates to a single bin 0. All
+    * arithmetic in IEEE doubles with a fixed operation order, so an
+    * external engine states the identical bin function. Output:
+    * (bin, lo, hi, n) for non-empty bins. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val x = F.col(valueCol).cast("double")
+    val bounds = df.agg(F.min(x).as("$td.__mn"), F.max(x).as("$td.__mx"))
+    val mn = F.col("`$td.__mn`")
+    val mx = F.col("`$td.__mx`")
+    val bin = F.when(mx === mn, F.lit(0L)).otherwise(
+      F.least(F.lit((bins - 1).toLong),
+        F.floor((x - mn) * F.lit(bins.toDouble) / (mx - mn))))
+    df.crossJoin(F.broadcast(bounds))
+      .select(bin.as("bin"), mn, mx)
+      .groupBy(F.col("bin"), mn, mx)
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("bin"),
+        (mn + F.col("bin").cast("double") * (mx - mn) / F.lit(bins.toDouble)).as("lo"),
+        (mn + (F.col("bin") + F.lit(1L)).cast("double") * (mx - mn) /
+          F.lit(bins.toDouble)).as("hi"),
+        F.col("n"))
+  }
+
   /** EXACT corpus-to-corpus overlap at two granularities — the
     * dataset-card line answering "how much of B is already in A" before a
     * merge, and "did my eval set leak into training" at the corpus level

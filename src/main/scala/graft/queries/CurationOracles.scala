@@ -59,6 +59,19 @@ object CurationOracles {
       """SELECT doc_id, domain FROM r
         |WHERE domain NOT IN ('site1.com', 'site4.co.uk', 'site7.org')
         |ORDER BY doc_id""".stripMargin),
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+        |                  CAST(max(n_chars) AS DOUBLE) AS mx FROM documents),
+        |m AS (SELECT CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |        ELSE LEAST(CAST(19 AS BIGINT),
+        |          CAST(floor((CAST(n_chars AS DOUBLE) - mn) * 20.0e0 / (mx - mn))
+        |            AS BIGINT)) END AS bin, mn, mx
+        |      FROM documents, b)
+        |SELECT bin,
+        |  mn + CAST(bin AS DOUBLE) * (mx - mn) / 20.0e0 AS lo,
+        |  mn + CAST(bin + 1 AS DOUBLE) * (mx - mn) / 20.0e0 AS hi,
+        |  count(*) AS n
+        |FROM m GROUP BY bin, mn, mx ORDER BY bin""".stripMargin,
     "q_corpus_card" ->
       """WITH s AS (
         |  SELECT lang, doc_id, length(text) AS len FROM documents),

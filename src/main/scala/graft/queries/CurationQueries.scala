@@ -65,6 +65,13 @@ object CurationQueries {
       graft.pipeline.Report.corpusCard(docs(s, dir), "lang", "text", "doc_id")
         .orderBy("lang")
     }),
+    "q_histogram" -> ((s, dir) => {
+      // exact equi-width length histogram (20 bins): range broadcast,
+      // row-local bin function, one keyed count
+      graft.pipeline.Report.histogram(
+          docs(s, dir).select("n_chars"), "n_chars", bins = 20)
+        .orderBy("bin")
+    }),
     "q_text_scripts" -> ((s, dir) => {
       // script-mix profiling: per-doc writing-system fractions + dominant
       // script over deterministically mixed-script text (the documents
