@@ -152,7 +152,10 @@ object ExtendedOracles {
          |  count(*) FILTER (WHERE op = 'update') AS updated,
          |  count(*) AS changed
          |FROM ($VersionDiffSql) d""".stripMargin,
-    "q_version_history" -> versionHistorySql
+    "q_version_history" -> versionHistorySql,
+    "q_store_compact" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   private def versionHistorySql: String =

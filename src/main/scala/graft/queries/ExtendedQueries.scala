@@ -260,6 +260,18 @@ object ExtendedQueries {
       val (v1, v2) = versionPair(s, dir)
       graft.store.VersionDiff.summary(v1, v2, Seq("o_orderkey"))
     }),
+    "q_store_compact" -> ((s, dir) => {
+      // small-file maintenance end to end: publish a 24-file layout,
+      // compact to one file, scan the compacted HEAD — rows must be the
+      // verbatim source relation
+      val store = tempStore(s)
+      store.write("g", "docs", Tables.load(s, dir, "documents").repartition(24))
+      val compacted = store.compact("g", "docs", targetBytes = 64L << 20)
+      require(compacted.isDefined, "compaction should have run on 24 files")
+      store.scan("g/docs@HEAD").get.df
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "q_version_history" -> ((s, dir) => {
       // SCD2 unroll over three stored versions: runs of constant values
       // per key with valid_from/valid_to version ordinals

@@ -378,6 +378,65 @@ final class TableStore(val root: String, spark: SparkSession) {
   def pathOf(coll: String, table: String, e: VersionEntry): String =
     tableDir(coll, table).resolve(e.id).toString
 
+  /** Compact the HEAD version's data files — maintenance for the
+    * small-file problem (many tiny parquet files from a high-frequency
+    * producer slow every later scan: task-per-file scheduling, footer
+    * reads, no row-group locality). Rewrites HEAD's rows VERBATIM — all
+    * columns including the `$td.*` stamps, because compaction is a
+    * physical re-layout, not a new publish — into
+    * max(1, ceil(bytes/targetBytes)) files via a narrow `coalesce` (no
+    * shuffle), committed as a NEW version through the same staged-write
+    * transaction as any publish; the old layout stays addressable at
+    * `@HEAD~1` until [[vacuum]] prunes it. Row count is re-verified
+    * against the source entry — a mismatch aborts loudly before commit.
+    * Returns None when HEAD is already within the file budget.
+    * Hive-partitioned versions are refused (their file budget is
+    * per-partition; re-write those with `stageWrite(partitionBy)`). */
+  def compact(coll: String, table: String,
+      targetBytes: Long = 128L << 20): Option[VersionEntry] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val vs = versions(coll, table)
+    require(vs.nonEmpty, s"no committed versions in $coll/$table")
+    val e = vs.last
+    val dir = java.nio.file.Paths.get(pathOf(coll, table, e))
+    val parts = Using.resource(Files.walk(dir))(_.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toVector)
+    require(!parts.exists(_.getParent != dir),
+      s"$coll/$table@HEAD is hive-partitioned — compact is per-partition there; " +
+        "rewrite with stageWrite(partitionBy) instead")
+    val totalBytes = parts.map(Files.size).sum
+    val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (parts.size <= targetFiles) None
+    else {
+      val schema = e.schema.getOrElse(spark.read.parquet(dir.toString).schema)
+      val df = spark.read.schema(schema).parquet(dir.toString)
+      val ctx = SysCtx.fresh().copy(version = newId())
+      val finalDir = tableDir(coll, table).resolve(ctx.version)
+      val staging = tableDir(coll, table).resolve(".staging").resolve(ctx.version)
+      try df.coalesce(targetFiles).write.mode("overwrite").parquet(staging.toString)
+      catch { case ex: Throwable =>
+        if (Files.exists(staging)) TableStore.deleteTree(staging)
+        throw ex
+      }
+      val rows = spark.read.schema(schema).parquet(staging.toString).count()
+      if (rows != e.rows) {
+        TableStore.deleteTree(staging)
+        throw new IllegalStateException(
+          s"compaction row mismatch for $coll/$table@${e.id}: ${e.rows} -> $rows")
+      }
+      val ne = VersionEntry(ctx.version, ctx.execution, ctx.transaction,
+        ctx.timestamp.getTime, e.schemaHash, rows, e.schemaB64)
+      stagedMoves.synchronized {
+        stagedMoves(ctx.transaction) =
+          (staging, finalDir) :: stagedMoves.getOrElse(ctx.transaction, Nil)
+      }
+      appendLog(coll, table, ne)
+      commitTransaction(ctx.transaction)
+      Some(ne)
+    }
+  }
+
   /** Scan a table reference; multiple versions union vertically. Returns a
     * TableFrame in mode="tab" (system columns preserved from storage).
     * Each version is read with its staged schema from the log, so hive

@@ -410,6 +410,47 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(tf.columns("system").nonEmpty) // raw wrap stamped fresh ids
   }
 
+  test("compact: fewer files, verbatim rows, old layout addressable, loud guards") {
+    import spark.implicits._
+    val store = freshStore()
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v").repartition(16)
+    store.write("c", "t", df)
+    import scala.jdk.CollectionConverters._
+    def files(): Int = {
+      val e = store.versions("c", "t").last
+      scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(store.pathOf("c", "t", e))))(
+        _.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")))
+    }
+    val before = files()
+    assert(before > 1, s"expected a multi-file layout, got $before")
+    val pre = store.scan("c/t").get.df.collect().map(_.toString).sorted.toSeq
+
+    val ne = store.compact("c", "t", targetBytes = 64L << 20)
+    assert(ne.isDefined)
+    assert(store.versions("c", "t").size == 2)
+    assert(files() == 1)
+    // rows verbatim, including the ORIGINAL system-column stamps
+    val post = store.scan("c/t@HEAD").get.df.collect().map(_.toString).sorted.toSeq
+    assert(post == pre)
+    // the pre-compaction layout is still addressable
+    val old = store.scan("c/t@HEAD~1").get.df.collect().map(_.toString).sorted.toSeq
+    assert(old == pre)
+    // already within budget: no-op
+    assert(store.compact("c", "t", targetBytes = 64L << 20).isEmpty)
+    assert(store.versions("c", "t").size == 2)
+    // hive-partitioned versions are refused loudly
+    val store2 = freshStore()
+    val pdf = (1L to 100L).map(i => (i, i % 4, s"v$i")).toDF("id", "p", "v")
+    val ctx = graft.core.SysCtx.fresh().copy(version = store2.newId())
+    store2.stageWrite("c", "pt", pdf, ctx, partitionBy = Seq("p"))
+    store2.commitTransaction(ctx.transaction)
+    val ex = intercept[IllegalArgumentException] {
+      store2.compact("c", "pt")
+    }
+    assert(ex.getMessage.contains("partition"), ex.getMessage)
+  }
+
   test("version history: runs split on change, absence, and reappearance") {
     import graft.store.VersionDiff
     import spark.implicits._
