@@ -69,4 +69,52 @@ object SeriesOps {
     * files. */
   def mergeSorted(a: DataFrame, b: DataFrame, key: String): DataFrame =
     a.unionByName(b).sort(F.col(key).asc)
+
+  /** Resample an event stream onto a regular time grid: per key, one row
+    * per `stepSeconds` bucket from the GLOBAL min bucket to the global
+    * max, with `n` events and the `valueCol` sum per bucket — empty
+    * buckets carry n = 0 and (with `locf = true`) the last observed sum
+    * forward-filled, else NULL. The gap-filling step every dashboard /
+    * feature-extraction pipeline needs before windowed math, done without
+    * a driver loop:
+    *
+    *   - bucket = floor(epoch/step)·step in a row-local projection,
+    *   - one keyed aggregation for the per-bucket sums,
+    *   - the [min, max] bucket range as a broadcast 1-row relation,
+    *   - the grid = distinct keys × `sequence(mn, mx, step)` exploded —
+    *     per-key work is O(span/step), generated, never shuffled,
+    *   - a left join of grid to sums co-partitioned on (key, bucket),
+    *   - LOCF as a keyed running `last(ignoreNulls)` window.
+    *
+    * Output: keys ++ (bucket_epoch, n, value_sum) — the bucket as epoch
+    * seconds, which is timezone-proof across engines. */
+  def resample(df: DataFrame, tsCol: String, valueCol: String,
+      stepSeconds: Long, keys: Seq[String], locf: Boolean = false): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    require(keys.nonEmpty, "resample needs at least one key column")
+    val bucket = (F.floor(F.unix_timestamp(F.col(tsCol)) / stepSeconds) *
+      stepSeconds).as("bucket_epoch")
+    val agg = df.select(keys.map(F.col) :+ bucket :+ F.col(valueCol).as("$td.__v"): _*)
+      .groupBy(keys.map(F.col) :+ F.col("bucket_epoch"): _*)
+      .agg(F.count(F.lit(1)).as("$td.__n"), F.sum(F.col("`$td.__v`")).as("$td.__s"))
+    val bounds = agg.agg(F.min("bucket_epoch").as("$td.__mn"),
+      F.max("bucket_epoch").as("$td.__mx"))
+    val grid = df.select(keys.map(F.col): _*).distinct()
+      .crossJoin(F.broadcast(bounds))
+      .select(keys.map(F.col) :+ F.explode(F.sequence(F.col("`$td.__mn`"),
+        F.col("`$td.__mx`"), F.lit(stepSeconds))).as("bucket_epoch"): _*)
+    val joined = grid.join(agg, keys :+ "bucket_epoch", "left")
+      .withColumn("n", F.coalesce(F.col("`$td.__n`"), F.lit(0L)))
+    val filled =
+      if (!locf) joined.withColumn("value_sum", F.col("`$td.__s`"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(F.col): _*).orderBy(F.col("bucket_epoch"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        joined.withColumn("value_sum",
+          F.last(F.col("`$td.__s`"), ignoreNulls = true).over(w))
+      }
+    filled.select(keys.map(F.col) ++
+      Seq(F.col("bucket_epoch"), F.col("n"), F.col("value_sum")): _*)
+  }
 }

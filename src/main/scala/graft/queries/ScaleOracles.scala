@@ -119,6 +119,22 @@ object ScaleOracles {
         |  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.95, 0.99]) AS q), n)
         |SELECT qk.q AS q, s.n_chars AS value
         |FROM qk JOIN s ON s.rk = qk.k ORDER BY q""".stripMargin,
+    "q_resample" ->
+      """WITH a AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)/21600) AS BIGINT)*21600 AS bucket_epoch,
+        |    count(*) AS n0, CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(bucket_epoch) AS mn, max(bucket_epoch) AS mx FROM a),
+        |k AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT event_type, unnest(generate_series(mn, mx, 21600)) AS bucket_epoch
+        |      FROM k, b),
+        |j AS (SELECT g.event_type, g.bucket_epoch, coalesce(a.n0, 0) AS n, a.s
+        |      FROM g LEFT JOIN a USING (event_type, bucket_epoch))
+        |SELECT event_type, bucket_epoch, n,
+        |  last_value(s IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY bucket_epoch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
+        |FROM j ORDER BY event_type, bucket_epoch""".stripMargin,
     "q_winsorize" ->
       """WITH s AS (
         |  SELECT n_chars,

@@ -57,6 +57,15 @@ object ScaleQueries {
             .cast(DoubleType).as("price_sum"))
         .orderBy("c_custkey")
     }),
+    "q_resample" -> ((s, dir) => {
+      // gap-filled 6-hour grid per event type with LOCF sums (value
+      // floored to long so per-bucket sums are order-exact vs the oracle)
+      val ev = d(s, dir, "events")
+        .withColumn("v", F.floor(F.col("value")).cast(LongType))
+      graft.operators.SeriesOps.resample(ev, "ts", "v",
+          stepSeconds = 21600L, keys = Seq("event_type"), locf = true)
+        .orderBy("event_type", "bucket_epoch")
+    }),
     "q_rolling" -> ((s, dir) => {
       Rolling.rolling(
           d(s, dir, "events").withColumn("sec", F.col("ts").cast(LongType)),
