@@ -518,6 +518,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("round-10 ops: broadcast verify, no cartesians, keyed-only windows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // two-pass heavy hitters: the verify pass joins the corpus tokens to
+    // the BROADCAST candidate list — never a vocabulary-wide shuffle join
+    val hh = plan(graft.pipeline.Vocab.heavyHittersTwoPass(docs, "text", 0.001))
+    assert(hh.contains("BroadcastHashJoin"), hh)
+    assert(!hh.contains("SortMergeJoin") && !hh.contains("CartesianProduct"), hh)
+    // n-gram novelty: inverted-index joins only, no nested loop, no window
+    val nv = plan(graft.pipeline.TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3))
+    assert(!nv.contains("CartesianProduct") && !nv.contains("BroadcastNestedLoop"), nv)
+    assert(!nv.contains("Window"), nv)
+    // resample: the only window is keyed (LOCF), the only nested loop is
+    // the broadcast 1-row bounds cross
+    val ev = graft.queries.Tables.load(spark, sf, "events")
+      .withColumn("v", F.floor(F.col("value")).cast("long"))
+    val rs = plan(graft.operators.SeriesOps.resample(ev, "ts", "v", 21600L,
+      Seq("event_type"), locf = true))
+    assert(!rs.contains("CartesianProduct"), rs)
+    assert(rs.contains("Window"), rs)
+    assert(!rs.contains("Window [") || !rs.contains("windowspecdefinition()"), rs)
+    // histogram: bounds agg + one keyed count, no window
+    val hg = plan(graft.pipeline.Report.histogram(
+      docs.select("n_chars"), "n_chars", 20))
+    assert(!hg.contains("Window") && !hg.contains("CartesianProduct"), hg)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty
