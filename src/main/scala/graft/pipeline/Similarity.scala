@@ -83,6 +83,29 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Element-wise mean of embedding vectors per group — chunk-to-document
+    * pooling (a document embedded chunk-by-chunk gets one vector), class
+    * centroids, dataset-level embedding summaries. Exact and
+    * partition-invariant: each (group, component) cell folds its values
+    * in sorted order (bounded by the group's member count — chunks per
+    * doc, not the corpus), then components reassemble positionally.
+    * Two keyed shuffles ((group, pos) then group), no window, no driver
+    * materialization. Output: (groupCol, vec: array<double>). */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val exploded = df.select(F.col(groupCol),
+        F.posexplode(F.col(vecCol)).as(Seq("$td.__p", "$td.__x")))
+      .select(F.col(groupCol), F.col("`$td.__p`"),
+        F.col("`$td.__x`").cast("double").as("$td.__x"))
+    exploded
+      .groupBy(F.col(groupCol), F.col("`$td.__p`"))
+      .agg((F.aggregate(F.array_sort(F.collect_list(F.col("`$td.__x`"))),
+        F.lit(0.0), (acc, x) => acc + x) / F.count(F.lit(1))).as("$td.__m"))
+      .groupBy(F.col(groupCol))
+      .agg(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("`$td.__p`"), F.col("`$td.__m`")))),
+        s => s.getField("$td.__m")).as("vec"))
+  }
+
   /** Johnson-Lindenstrauss random projection: embed `inDim`-dimensional
     * vectors into `outDim` dimensions with a seeded ±1/√outDim sign matrix
     * (Achlioptas 2001 database-friendly projections) — the standard

@@ -112,6 +112,71 @@ object Vocab {
       .select("token", "cnt")
   }
 
+  /** Smoothed token-distribution divergence between two corpora — the
+    * dataset-card drift statistic (did the crawl's language shift? does
+    * the eval set's vocabulary match training?): KL(A‖B) and KL(B‖A) over
+    * the top-`topK` tokens by combined count plus one lumped OTHER tail
+    * category, with add-one smoothing over the category set so both
+    * directions are finite.
+    *
+    *   p_side(cat) = (c_side(cat) + 1) / (T_side + nCat)
+    *   kl_ab = Σ_cat p_a · ln(p_a / p_b)
+    *
+    * Exact and engine-portable by the same discipline as the LM gates:
+    * every count is a long (deterministic sums), the category set is
+    * bounded (≤ topK + 1), the per-category doubles fold in (other,
+    * token)-sorted order, and the log goes through the libm kernel.
+    * Corpus cost: one token-count aggregation per side (map-side
+    * combined), one full outer join of the two count relations, a
+    * bounded top-k; everything after is O(topK) riding broadcast 1-row
+    * totals. Output 1 row: (kl_ab, kl_ba, n_categories, tokens_a,
+    * tokens_b). */
+  def tokenKlDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ca = tokenCounts(a, textCol).withColumnRenamed("cnt", "ca")
+    val cb = tokenCounts(b, textCol).withColumnRenamed("cnt", "cb")
+    val j = ca.join(cb, Seq("token"), "full_outer")
+      .select(F.col("token"),
+        F.coalesce(F.col("ca"), F.lit(0L)).as("ca"),
+        F.coalesce(F.col("cb"), F.lit(0L)).as("cb"))
+    val vocab = j.orderBy((F.col("ca") + F.col("cb")).desc, F.col("token").asc)
+      .limit(topK)
+    val totals = j.agg(F.sum("ca").as("ta"), F.sum("cb").as("tb"))
+    val vocTotals = vocab.agg(F.sum("ca").as("va"), F.sum("cb").as("vb"),
+      F.count(F.lit(1)).as("nv"))
+    val cats = vocab
+      .select(F.lit(false).as("other"), F.col("token"), F.col("ca"), F.col("cb"))
+      .unionByName(totals.crossJoin(vocTotals).select(
+        F.lit(true).as("other"), F.lit("").as("token"),
+        (F.col("ta") - F.col("va")).as("ca"),
+        (F.col("tb") - F.col("vb")).as("cb")))
+    val pa = (F.col("ca") + F.lit(1L)).cast("double") /
+      (F.col("ta") + F.col("nv") + F.lit(1L)).cast("double")
+    val pb = (F.col("cb") + F.lit(1L)).cast("double") /
+      (F.col("tb") + F.col("nv") + F.lit(1L)).cast("double")
+    val ln = graft.expressions.MathKernels.ln _
+    val terms = cats
+      .crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(vocTotals))
+      .select(F.col("other"), F.col("token"),
+        (pa * ln((pa / pb).cast("double"))).as("$td.__tab"),
+        (pb * ln((pb / pa).cast("double"))).as("$td.__tba"),
+        F.col("nv"), F.col("ta"), F.col("tb"))
+    def fold(field: String) = F.aggregate(
+      F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("other"), F.col("token"),
+          F.col(s"`$field`").as("x")))),
+        s => s.getField("x")),
+      F.lit(0.0), (acc, x) => acc + x)
+    terms.groupBy()
+      .agg(
+        fold("$td.__tab").as("kl_ab"),
+        fold("$td.__tba").as("kl_ba"),
+        (F.max(F.col("nv")) + F.lit(1L)).cast("int").as("n_categories"),
+        F.max(F.col("ta")).as("tokens_a"),
+        F.max(F.col("tb")).as("tokens_b"))
+  }
+
   /** Zipf rank-frequency fit over the top-`topK` tokens: least-squares
     * slope of ln(freq) on ln(rank); `alpha` = −slope (≈1 for natural
     * language, far off for templated/degenerate corpora — a dataset-card

@@ -168,6 +168,44 @@ object CurationOracles {
         |FROM tc, t
         |WHERE CAST(cnt AS DOUBLE) >= 0.001 * CAST(total AS DOUBLE)
         |ORDER BY cnt DESC, token""".stripMargin,
+    "q_token_kl" ->
+      """WITH wa AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |            FROM documents WHERE lang = 'en'),
+        |wb AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |       FROM documents WHERE lang <> 'en'),
+        |ca AS (SELECT token, count(*) AS ca FROM (SELECT unnest(w) AS token FROM wa)
+        |       WHERE length(token) > 0 GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS cb FROM (SELECT unnest(w) AS token FROM wb)
+        |       WHERE length(token) > 0 GROUP BY 1),
+        |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |v AS (SELECT * FROM j ORDER BY (ca + cb) DESC, token ASC LIMIT 500),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+        |      FROM j),
+        |vt AS (SELECT CAST(sum(ca) AS BIGINT) AS va, CAST(sum(cb) AS BIGINT) AS vb,
+        |         count(*) AS nv FROM v),
+        |cats AS (SELECT false AS other, token, ca, cb FROM v
+        |         UNION ALL
+        |         SELECT true, '', ta - va, tb - vb FROM t, vt),
+        |terms AS (SELECT other, token,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(ta + nv + 1 AS DOUBLE) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(tb + nv + 1 AS DOUBLE) AS pb
+        |  FROM cats, t, vt),
+        |tt AS (SELECT other, token,
+        |         pa * ln(pa / pb) AS tab, pb * ln(pb / pa) AS tba
+        |       FROM terms)
+        |SELECT
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_sort(list({'o': other, 't': token, 'x': tab})),
+        |      s -> s.x)), (x, y) -> x + y) AS kl_ab,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_sort(list({'o': other, 't': token, 'x': tba})),
+        |      s -> s.x)), (x, y) -> x + y) AS kl_ba,
+        |  CAST((SELECT nv + 1 FROM vt) AS INTEGER) AS n_categories,
+        |  (SELECT ta FROM t) AS tokens_a,
+        |  (SELECT tb FROM t) AS tokens_b
+        |FROM tt""".stripMargin,
     "q_vocab_zipf" ->
       // identical arithmetic to Vocab.zipfFit: top-20 (cnt desc, token)
       // ranks, x = ln(rank), y = ln(cnt), rank-ordered sequential folds,

@@ -112,6 +112,14 @@ object CurationQueries {
           minFrac = 0.001)
         .orderBy(F.col("cnt").desc, F.col("token"))
     }),
+    "q_token_kl" -> ((s, dir) => {
+      // corpus-drift card: smoothed KL divergence in both directions over
+      // the top-500 combined vocabulary + lumped tail (en vs non-en)
+      val d = docs(s, dir)
+      graft.pipeline.Vocab.tokenKlDivergence(
+        d.where(F.col("lang") === "en"), d.where(F.col("lang") =!= "en"),
+        "text", topK = 500)
+    }),
     // Zipf rank-frequency fit: least-squares ln(freq) ~ ln(rank) over the
     // top-20 tokens, libm ln + rank-sorted folds — alpha hash-matches the
     // identical arithmetic in SQL.

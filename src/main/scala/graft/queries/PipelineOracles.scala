@@ -294,6 +294,15 @@ object PipelineOracles {
         |       (x,y) -> x+y) AS DOUBLE)
         |    / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_meanpool" ->
+      """WITH e AS (SELECT label, j, CAST(embedding[j + 1] AS DOUBLE) AS x
+        |           FROM embeddings CROSS JOIN generate_series(0, 63) AS t(j)),
+        |m AS (SELECT label, j,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(x))),
+        |                    (a, b) -> a + b) / count(*) AS v
+        |      FROM e GROUP BY label, j)
+        |SELECT label, CAST(j AS INTEGER) AS j, v
+        |FROM m ORDER BY label, j""".stripMargin,
     "q_embed_project" ->
       """SELECT vec_id, CAST(j AS INTEGER) AS j,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -146,6 +146,15 @@ object PipelineQueries {
           F.col("col").as("y"))
         .orderBy("vec_id", "j")
     }),
+    "q_embed_meanpool" -> ((s, dir) => {
+      // chunk-to-document pooling: element-wise mean per label, flattened
+      // to (label, j, v); per-cell sorted folds keep doubles exact
+      Similarity.meanPool(t(s, dir, "embeddings"), "label", "embedding")
+        .select(F.col("label"), F.posexplode(F.col("vec")))
+        .select(F.col("label"), F.col("pos").cast("int").as("j"),
+          F.col("col").as("v"))
+        .orderBy("label", "j")
+    }),
     "q_ann_sq8" -> ((s, dir) => {
       // asymmetric scalar quantization: corpus side 8-bit codes, query
       // full precision — closed-form, so the gate is a FULL value oracle
