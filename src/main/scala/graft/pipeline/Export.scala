@@ -25,11 +25,19 @@ object Export {
     * directory-partitioned exports. */
   def writeSharded(df: DataFrame, path: String, format: String = "jsonl",
       maxRecordsPerFile: Long = 100000, partitionBy: Seq[String] = Nil,
-      bloomFilterCols: Seq[String] = Nil): DataFrame = {
+      bloomFilterCols: Seq[String] = Nil, sortBy: Seq[String] = Nil): DataFrame = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
     require(bloomFilterCols.isEmpty || format == "parquet",
       "bloomFilterCols requires format=parquet")
-    var w = df.write.mode("overwrite")
+    // sortBy: range-partition + sort within, so shards hold DISJOINT key
+    // ranges and the manifest's per-shard min/max become a zone map — a
+    // reader (or this library) can prune whole shards from the manifest
+    // alone, before any file IO. The range exchange is the one extra
+    // shuffle a sorted export costs.
+    val src = if (sortBy.isEmpty) df
+      else df.repartitionByRange(sortBy.map(F.col): _*)
+        .sortWithinPartitions(sortBy.map(F.col): _*)
+    var w = src.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     // per-column parquet bloom filters: point lookups (id probes, dedup
     // audits, contamination spot checks) prune whole row groups without
@@ -46,7 +54,8 @@ object Export {
       case other => throw new IllegalArgumentException(
         s"unsupported export format: $other")
     }
-    val manifest = buildManifest(df.sparkSession, path, format)
+    val manifest = buildManifest(df.sparkSession, path, format,
+      statsCols = sortBy)
     manifest.coalesce(1).write.mode("overwrite")
       .json(s"$path/_manifest.jsonl")
     manifest
@@ -65,7 +74,7 @@ object Export {
     * and fan out the byte join, silently corrupting the manifest for any
     * partitioned export. */
   def buildManifest(spark: SparkSession, path: String,
-      format: String = "jsonl"): DataFrame = {
+      format: String = "jsonl", statsCols: Seq[String] = Nil): DataFrame = {
     val reader = format match {
       case "jsonl" | "json" | "ndjson" => spark.read.json(path)
       case "parquet"                   => spark.read.parquet(path)
@@ -79,10 +88,14 @@ object Export {
     // contains the root verbatim, so everything after `<rootPath>/` is the
     // root-relative shard key (partition dirs included)
     val rootPath = new Path(path).toUri.getPath
+    // per-shard zone-map stats (min/max of each statsCol) ride the same
+    // grouped scan as the row counts — zero extra passes
     val counts = reader
       .groupBy(F.substring_index(F.input_file_name(), rootPath + "/", -1)
         .as("shard"))
-      .agg(F.count(F.lit(1)).as("rows"))
+      .agg(F.count(F.lit(1)).as("rows"),
+        statsCols.flatMap(c => Seq(
+          F.min(F.col(c)).as(s"min_$c"), F.max(F.col(c)).as(s"max_$c"))): _*)
     // byte sizes: one driver-side listing, O(#shards) entries
     val fs = new Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -91,8 +104,10 @@ object Export {
     import spark.implicits._
     counts.join(
       F.broadcast(sizes.toDF("shard", "bytes")), Seq("shard"), "left")
-      .select(F.col("shard"), F.col("rows"),
-        F.coalesce(F.col("bytes"), F.lit(0L)).as("bytes"))
+      .select(Seq(F.col("shard"), F.col("rows"),
+        F.coalesce(F.col("bytes"), F.lit(0L)).as("bytes")) ++
+        statsCols.flatMap(c =>
+          Seq(F.col(s"min_$c"), F.col(s"max_$c"))): _*)
       .orderBy("shard")
   }
 

@@ -947,6 +947,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(back == (0L until 10L).map(i => (i, s"doc $i")).toSet)
   }
 
+  test("sorted export: disjoint shard key ranges, zone-map manifest prunes to one shard") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-export-z").toString + "/corpus"
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(7) // scrambled input: the sort must impose the layout
+    val manifest = graft.pipeline.Export.writeSharded(
+        df, out, format = "parquet", maxRecordsPerFile = 40L,
+        sortBy = Seq("doc_id"))
+      .select("shard", "rows", "min_doc_id", "max_doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.map(_._2).sum == 200L)
+    // within each shard min <= max; across shards the key ranges are DISJOINT
+    manifest.foreach { case (s, _, mn, mx) => assert(mn <= mx, s) }
+    val ranges = manifest.map(m => (m._3, m._4)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlap: $a $b")
+      case _ =>
+    }
+    // zone-map pruning: a point probe selects exactly one shard
+    val probe = 137L
+    val hit = manifest.filter(m => m._3 <= probe && probe <= m._4)
+    assert(hit.length == 1, hit.mkString(","))
+    // and the shard actually holds the row
+    val back = spark.read.parquet(s"$out/${hit.head._1}")
+      .where(F.col("doc_id") === probe).count()
+    assert(back == 1L)
+    // stats also land in the stored manifest
+    val stored = spark.read.json(s"$out/_manifest.jsonl")
+    assert(stored.columns.contains("min_doc_id") &&
+      stored.columns.contains("max_doc_id"))
+  }
+
   test("semantic decontamination: planted paraphrase flagged, orthogonal doc clean, self excluded") {
     import spark.implicits._
     val corpus = Seq(
