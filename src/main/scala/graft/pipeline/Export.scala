@@ -111,6 +111,44 @@ object Export {
       .orderBy("shard")
   }
 
+  /** Read an export back through its zone-map manifest: only shards whose
+    * [min_key, max_key] interval intersects [lo, hi] are handed to the
+    * reader — whole files skipped from the manifest alone, before any
+    * data IO or footer reads (the coarse-grained layer above parquet's
+    * own row-group stats; works for jsonl/csv exports that have no
+    * stats of their own). The manifest is O(#shards) driver metadata.
+    * Requires an export written with `sortBy` including `keyCol`; fails
+    * loudly when the manifest carries no stats for it. A range selecting
+    * zero shards returns an empty frame with the export's schema. */
+  def readPruned(spark: SparkSession, path: String, format: String,
+      keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val manifest = spark.read.json(s"$path/_manifest.jsonl")
+    require(manifest.columns.contains(s"min_$keyCol") &&
+      manifest.columns.contains(s"max_$keyCol"),
+      s"manifest at $path carries no zone-map stats for '$keyCol' — " +
+        "write the export with sortBy including it")
+    val shards = manifest
+      .where(F.col(s"min_$keyCol") <= hi && F.col(s"max_$keyCol") >= lo)
+      .select("shard").collect().map(_.getString(0))
+    def reader = format match {
+      case "jsonl" | "json" | "ndjson" => spark.read.json(_: String)
+      case "parquet"                   => spark.read.parquet(_: String)
+      case "orc"                       => spark.read.orc(_: String)
+      case "csv" => spark.read.option("header", "true").csv(_: String)
+      case other => throw new IllegalArgumentException(
+        s"unsupported export format: $other")
+    }
+    if (shards.isEmpty) reader(path).limit(0)
+    else spark.read
+      .schema(reader(path).schema) // stable schema even for a shard subset
+      .format(format match {
+        case "jsonl" | "ndjson" => "json"
+        case f => f
+      })
+      .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
+      .load(shards.map(s => s"$path/$s"): _*)
+  }
+
   /** Recursive (rootRelativePath, bytes) listing of data files — skips
     * hidden files and the manifest itself. */
   private def collectFiles(fs: org.apache.hadoop.fs.FileSystem,

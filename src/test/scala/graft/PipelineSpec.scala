@@ -977,6 +977,26 @@ class PipelineSpec extends AnyFunSuite {
     val stored = spark.read.json(s"$out/_manifest.jsonl")
     assert(stored.columns.contains("min_doc_id") &&
       stored.columns.contains("max_doc_id"))
+    // manifest-pruned read: correct rows, and ONLY the matching shards
+    // appear as input files of the pruned scan
+    val pruned = graft.pipeline.Export.readPruned(spark, out, "parquet",
+      "doc_id", 120L, 150L)
+    assert(pruned.where(F.col("doc_id").between(120, 150)).count() == 31L)
+    val inputs = pruned.select(F.input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = manifest.filter(m => m._3 <= 150L && m._4 >= 120L).map(_._1).toSet
+    assert(inputs.map(_.split('/').last) == expected.map(_.split('/').last),
+      s"$inputs vs $expected")
+    assert(inputs.size < manifest.length) // strictly fewer files than the export
+    // empty intersection: empty frame, schema intact
+    val none = graft.pipeline.Export.readPruned(spark, out, "parquet",
+      "doc_id", 1000L, 2000L)
+    assert(none.count() == 0L && none.columns.toSeq == pruned.columns.toSeq)
+    // loud when the manifest has no stats for the key
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.Export.readPruned(spark, out, "parquet", "text", 0L, 1L)
+    }
+    assert(ex.getMessage.contains("zone-map"), ex.getMessage)
   }
 
   test("semantic decontamination: planted paraphrase flagged, orthogonal doc clean, self excluded") {
