@@ -126,11 +126,20 @@ object VersionDiff {
     * (key, run, values) — values are constant within a run, so they ride
     * the grouping key. Linear in Σ|versions|; the window is per-key, never
     * global. */
-  def history(snapshots: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+  def history(snapshots: Seq[DataFrame], keys: Seq[String],
+      strict: Boolean = false): DataFrame = {
     require(snapshots.nonEmpty, "history needs at least one snapshot")
     require(keys.nonEmpty, "history needs at least one key column")
     val cleaned = snapshots.map(df =>
       df.select(SystemColumns.userColumns(df).map(c => F.col(s"`$c`")): _*))
+    // like diff: keys must identify rows uniquely WITHIN each snapshot —
+    // duplicates would interleave arbitrarily in the per-key window
+    if (strict) cleaned.zipWithIndex.foreach { case (df, i) =>
+      val dup = df.groupBy(keys.map(c => F.col(s"`$c`")): _*)
+        .count().where(F.col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"snapshot ${i + 1} has duplicate keys ${keys.mkString(",")}: ${dup.head}")
+    }
     val cols = cleaned.head.columns.toSeq
     cleaned.foreach(df => require(df.columns.toSeq == cols,
       s"snapshots must share one schema: $cols vs ${df.columns.toSeq}"))
