@@ -31,6 +31,35 @@ object Report {
     stats.join(qs, Seq(groupCol))
   }
 
+  /** MERGEABLE distinct-count sketches per group (Apache DataSketches
+    * HLL, the engine Spark ships for `approx_count_distinct`'s persisted
+    * sibling): one binary sketch + its estimate per group. The point is
+    * the algebra, not the single estimate — sketches persist as plain
+    * binary parquet columns and [[mergeDistinctSketches]] unions them
+    * WITHOUT rescanning the data, so per-version / per-shard cardinality
+    * rolls up incrementally across a 100 TB corpus's history (the
+    * distinct-count analog of the Bloom membership index and the LSH band
+    * index). Deterministic for a given input set (HLL register updates
+    * are order-insensitive), estimate within the standard ~1.6%/√(2^lgK)
+    * HLL error. */
+  def distinctSketch(df: DataFrame, groupCol: String, col: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(F.col(groupCol))
+      .agg(F.expr(s"hll_sketch_agg(`$col`, $lgK)").as("sketch"))
+      .select(F.col(groupCol), F.col("sketch"),
+        F.expr("hll_sketch_estimate(sketch)").as("estimate"))
+
+  /** Union previously-built sketches (e.g. loaded from per-version
+    * parquet) into one estimate — no data rescan.
+    * `allowDifferentLgK` permits unioning sketches built at different
+    * precisions (the union downgrades to the coarsest). */
+  def mergeDistinctSketches(sketches: DataFrame, sketchCol: String = "sketch",
+      allowDifferentLgK: Boolean = false): Long =
+    sketches.agg(F.expr(
+        s"hll_sketch_estimate(hll_union_agg(`$sketchCol`, $allowDifferentLgK))")
+        .as("est"))
+      .head().getLong(0)
+
   /** Exact equi-width histogram of a numeric column — the length/score
     * distribution plot behind every dataset card, computed exactly: the
     * [min, max] range rides as a broadcast 1-row relation, each row maps

@@ -1641,6 +1641,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("phases"), ex.getMessage)
   }
 
+  test("distinct sketches: accurate per group, mergeable across persisted parts") {
+    import spark.implicits._
+    import graft.pipeline.Report
+    // two disjoint halves with a known overlap structure
+    val a = (0L until 20000L).map(i => ("a", i)).toDF("g", "x")
+    val b = (10000L until 30000L).map(i => ("b", i)).toDF("g", "x")
+    val sk = Report.distinctSketch(a.unionByName(b), "g", "x")
+    val est = sk.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(math.abs(est("a") - 20000L) < 600, est)
+    assert(math.abs(est("b") - 20000L) < 600, est)
+    // merge WITHOUT rescanning: union of the two groups' sketches must
+    // estimate |A ∪ B| = 30000, not the 40000 a sum would claim
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    sk.select("sketch").write.mode("overwrite").parquet(dir) // persistence
+    val merged = Report.mergeDistinctSketches(spark.read.parquet(dir))
+    assert(math.abs(merged - 30000L) < 900, merged)
+    // determinism: same input under different partitionings, same sketch estimate
+    val re = Report.distinctSketch(a.repartition(13).unionByName(b.repartition(3)),
+      "g", "x").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(re == est)
+  }
+
   test("randomProjection: norms preserved in expectation, distances correlate") {
     import graft.pipeline.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").where(F.col("vec_id") < 100)
