@@ -79,4 +79,24 @@ object ScalableRank {
       .withColumn(as, F.col("offset") + F.col("`$td.__local`"))
       .drop("$td.__pid", "$td.__local", "pid", "offset")
   }
+
+  /** Percentile-rank normalization: map `key` onto [0, 1] as
+    * (rank − 1)/(n − 1) with min-ranks, so tied values share one
+    * percentile and the extremes land exactly on 0 and 1 — the standard
+    * calibration before mixing heterogeneous quality signals (each score
+    * becomes its position in its own distribution, immune to scale and
+    * outliers; compare [[graft.operators.Quantiles.winsorize]], which
+    * clips instead of re-mapping). One [[withRank]] range shuffle; the
+    * row count rides as a broadcast 1-row relation. A single-row frame
+    * maps to 0.0. */
+  def percentileRank(df: DataFrame, key: String,
+      as: String = "pct_rank"): DataFrame = {
+    val ranked = withRank(df, key, "$td.__rk", method = "min")
+    val n = df.agg(F.count(F.lit(1)).as("$td.__n"))
+    ranked.crossJoin(F.broadcast(n))
+      .withColumn(as, F.when(F.col("`$td.__n`") === 1L, F.lit(0.0))
+        .otherwise((F.col("`$td.__rk`") - F.lit(1L)).cast("double") /
+          (F.col("`$td.__n`") - F.lit(1L)).cast("double")))
+      .drop("$td.__rk", "$td.__n")
+  }
 }

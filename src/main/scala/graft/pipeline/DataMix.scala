@@ -363,6 +363,42 @@ object DataMix {
       .drop("$td.__g", "$td.__thr")
   }
 
+  /** Deterministic weighted interleave — the training-order schedule for
+    * a multi-source mix: source g's i-th example (1-based within-group
+    * rank under `tiebreakers`) gets `order_key` = i / w_g, and reading
+    * the corpus in (order_key, tiebreaker) order yields the classic
+    * stride schedule (a weight-2 source appears twice as often, all
+    * sources interleave smoothly from the start instead of concatenating)
+    * — deterministic across runs and partitionings, no RNG.
+    *
+    * Scale shape: within-group ranks come from ONE global
+    * [[graft.operators.ScalableRank]] range shuffle on (group,
+    * tiebreakers) — groups sort contiguously, never inside one partition
+    * — minus a broadcast per-group min-rank offset (k rows). Rows whose
+    * group has no weight are dropped (emit an explicit weight for every
+    * source you want scheduled). */
+  def interleave(df: DataFrame, groupCol: String,
+      weights: Map[String, Double], tiebreakers: Seq[String]): DataFrame = {
+    require(weights.nonEmpty, "interleave needs at least one weight")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    require(tiebreakers.nonEmpty,
+      "interleave needs tiebreakers for a deterministic within-group order")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = graft.operators.ScalableRank.withRank(
+      df, groupCol, "$td.__r", method = "ordinal", tiebreakers = tiebreakers)
+    val offsets = ranked.groupBy(F.col(groupCol))
+      .agg(F.min(F.col("`$td.__r`")).as("$td.__r0"))
+    val w = weights.toSeq.toDF(groupCol, "$td.__w")
+    ranked
+      .join(F.broadcast(offsets), Seq(groupCol))
+      .join(F.broadcast(w), Seq(groupCol))
+      .withColumn("order_key",
+        (F.col("`$td.__r`") - F.col("`$td.__r0`") + F.lit(1L)).cast("double") /
+          F.col("`$td.__w`"))
+      .drop("$td.__r", "$td.__r0", "$td.__w")
+  }
+
   /** Curriculum phase assignment: cut the corpus into `phases` difficulty
     * tiers at EXACT score quantiles (the easy→hard ordering of curriculum
     * training recipes — Bengio et al. 2009 — at corpus scale). Appends

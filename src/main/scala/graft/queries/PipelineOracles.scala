@@ -313,6 +313,22 @@ object PipelineOracles {
         |    (x, y) -> x + y) * 0.25e0 AS y
         |FROM embeddings CROSS JOIN generate_series(0, 15) AS t(j)
         |ORDER BY vec_id, j""".stripMargin,
+    "q_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |w AS (SELECT * FROM (VALUES ('en', 3.0), ('de', 2.0), ('fr', 1.0),
+        |                            ('es', 1.0), ('zh', 1.0)) t(lang, wt))
+        |SELECT doc_id, lang,
+        |  CAST(rk AS DOUBLE) / CAST(wt AS DOUBLE) AS order_key
+        |FROM r JOIN w USING (lang)
+        |ORDER BY order_key, doc_id""".stripMargin,
+    "q_pct_rank" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(rank() OVER (ORDER BY n_chars) - 1 AS DOUBLE)
+        |    / CAST(c - 1 AS DOUBLE) AS pct_rank
+        |FROM documents, n ORDER BY doc_id""".stripMargin,
     "q_corpus_overlap" ->
       """WITH na AS (
         |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(regexp_replace(

@@ -316,6 +316,21 @@ object PipelineQueries {
         TextAnalysis.meanTokenLengthFromTokens(F.col("toks")).as("mean_tok_len"))
         .orderBy("doc_id")
     }),
+    "q_interleave" -> ((s, dir) => {
+      // deterministic stride schedule across language sources: en appears
+      // 3x as often as fr from the very start
+      graft.pipeline.DataMix.interleave(
+          t(s, dir, "documents").select("doc_id", "lang"), "lang",
+          Map("en" -> 3.0, "de" -> 2.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 1.0),
+          tiebreakers = Seq("doc_id"))
+        .orderBy("order_key", "doc_id")
+    }),
+    "q_pct_rank" -> ((s, dir) => {
+      // percentile-rank score calibration: min-ranks onto [0,1]
+      graft.operators.ScalableRank.percentileRank(
+          t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars")
+        .orderBy("doc_id")
+    }),
     "q_corpus_overlap" -> ((s, dir) => {
       // dataset-to-dataset contamination card: EXACT doc-key and shingle
       // containment between the English and non-English slices
