@@ -72,6 +72,29 @@ object Quantiles {
       .drop("$td.__lo", "$td.__hi")
   }
 
+  /** Robust scale statistics: the exact median and the exact median
+    * absolute deviation (MAD = median of |x − median|) as one 1-row
+    * relation — the outlier-immune (location, scale) pair behind robust
+    * z-scores ((x − med)/MAD), where mean/stddev would be dragged by the
+    * heavy tails every web-scale quality signal has. Cost: two
+    * [[exactQuantiles]] passes (the second over the derived deviations)
+    * — each one range shuffle; the first median travels as a broadcast
+    * 1-row relation into the deviation projection. `tiebreakers` pins
+    * order-statistic determinism exactly as in [[exactQuantiles]]. */
+  def medianMad(df: DataFrame, valueCol: String,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    val med = exactQuantiles(df, valueCol, Seq(0.5), tiebreakers)
+      .select(F.col("value").as("median"))
+    // dot-free internal name: rank/quantile helpers resolve plain columns
+    val dev = df.crossJoin(F.broadcast(med))
+      .select(F.abs(F.col(valueCol).cast("double") -
+        F.col("median").cast("double")).as("td_dev") +:
+        tiebreakers.map(F.col): _*)
+    val mad = exactQuantiles(dev, "td_dev", Seq(0.5), tiebreakers)
+      .select(F.col("value").as("mad"))
+    med.crossJoin(F.broadcast(mad))
+  }
+
   /** Per-group exact quantiles: for every group, quantile q is the
     * k = max(1, ceil(q·n_g)) order statistic of that group's values —
     * the per-language / per-source length distributions of a dataset

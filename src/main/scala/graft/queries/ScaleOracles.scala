@@ -135,6 +135,19 @@ object ScaleOracles {
         |    ORDER BY bucket_epoch
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
         |FROM j ORDER BY event_type, bucket_epoch""".stripMargin,
+    "q_median_mad" ->
+      """WITH s AS (SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk FROM documents),
+        |n AS (SELECT count(*) AS c FROM documents),
+        |m AS (SELECT n_chars AS median FROM s, n
+        |      WHERE rk = GREATEST(1, CAST(ceil(0.5e0 * c) AS BIGINT))),
+        |d AS (SELECT abs(CAST(n_chars AS DOUBLE) - CAST(median AS DOUBLE)) AS dv,
+        |        doc_id
+        |      FROM documents, m),
+        |s2 AS (SELECT dv, row_number() OVER (ORDER BY dv, doc_id) AS rk FROM d)
+        |SELECT (SELECT median FROM m) AS median,
+        |       (SELECT dv FROM s2, n
+        |        WHERE rk = GREATEST(1, CAST(ceil(0.5e0 * c) AS BIGINT))) AS mad""".stripMargin,
     "q_winsorize" ->
       """WITH s AS (
         |  SELECT n_chars,

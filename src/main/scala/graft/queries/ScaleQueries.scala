@@ -144,6 +144,12 @@ object ScaleQueries {
           tiebreakers = Seq("doc_id"))
         .orderBy("q")
     }),
+    "q_median_mad" -> ((s, dir) => {
+      // robust (location, scale): exact median + exact MAD in one row
+      graft.operators.Quantiles.medianMad(
+        d(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+        tiebreakers = Seq("doc_id"))
+    }),
     "q_winsorize" -> ((s, dir) => {
       // clip document lengths into their exact [p05, p95] order-statistic
       // window; bounds broadcast, clip row-local

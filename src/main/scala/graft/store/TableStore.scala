@@ -179,7 +179,23 @@ final class TableStore(val root: String, spark: SparkSession) {
   def vacuum(coll: String, table: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val vs = versions(coll, table)
-    val prune = vs.dropRight(keepLast)
+    pruneVersions(coll, table, vs.dropRight(keepLast))
+  }
+
+  /** Age-based retention: prune versions stamped BEFORE `cutoffMs` (epoch
+    * ms, exclusive), always keeping the newest `keepLast` regardless of
+    * age so the table never loses its HEAD lineage. Same tombstone-first
+    * crash discipline as [[vacuum]]. */
+  def vacuumOlderThan(coll: String, table: String, cutoffMs: Long,
+      keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(coll, table)
+    pruneVersions(coll, table,
+      vs.dropRight(keepLast).filter(_.timestampMs < cutoffMs))
+  }
+
+  private def pruneVersions(coll: String, table: String,
+      prune: Seq[VersionEntry]): Seq[String] = {
     if (prune.nonEmpty) {
       Files.writeString(prunedPath(coll, table),
         prune.map(_.id + "\n").mkString, StandardCharsets.UTF_8,

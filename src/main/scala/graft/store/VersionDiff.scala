@@ -168,6 +168,40 @@ object VersionDiff {
         Seq(F.col("valid_from"), F.col("valid_to"), F.col("is_current")): _*)
   }
 
+  final case class SchemaChange(column: String, change: String,
+      olderType: Option[String], newerType: Option[String])
+
+  /** Schema drift between two version refs, answered from the VERSION LOG
+    * alone — no parquet footer reads, no Spark job (the same
+    * metadata-only path as `TableStore.schema`): one [[SchemaChange]] per
+    * added / removed / retyped user column, in older-schema order with
+    * additions appended. The publish-pipeline guard that runs BEFORE a
+    * data diff: a retyped column usually explains every "update" the
+    * row diff would report. */
+  def schemaDiff(store: TableStore, olderRef: String,
+      newerRef: String): Seq[SchemaChange] = {
+    def schemaOf(ref: String) = store.schema(ref).getOrElse(
+      throw new IllegalArgumentException(s"unresolvable table ref: $ref"))
+    def userFields(ref: String) = schemaOf(ref).fields.toSeq
+      .filterNot(f => SystemColumns.isSystem(f.name))
+      .map(f => f.name -> f.dataType.sql)
+    val o = userFields(olderRef)
+    val n = userFields(newerRef)
+    val om = o.toMap
+    val nm = n.toMap
+    val fromOld = o.flatMap { case (c, t) =>
+      nm.get(c) match {
+        case None => Some(SchemaChange(c, "removed", Some(t), None))
+        case Some(t2) if t2 != t =>
+          Some(SchemaChange(c, "retyped", Some(t), Some(t2)))
+        case _ => None
+      }
+    }
+    val added = n.collect { case (c, t) if !om.contains(c) =>
+      SchemaChange(c, "added", None, Some(t)) }
+    fromOld ++ added
+  }
+
   /** [[history]] over every committed version of a stored table,
     * oldest → newest (resolved via `HEAD~n`, which every version id
     * scheme supports). */

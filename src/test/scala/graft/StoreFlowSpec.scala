@@ -410,6 +410,43 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(tf.columns("system").nonEmpty) // raw wrap stamped fresh ids
   }
 
+  test("vacuumOlderThan: age-based retention always keeps the newest lineage") {
+    import spark.implicits._
+    val store = freshStore()
+    val ids = (1 to 4).map(i => store.write("c", "t", Seq(i).toDF("x")).id)
+    val vs = store.versions("c", "t")
+    // cutoff strictly after v2's stamp: v1 and v2 are "old", but keepLast=2
+    // shields v3/v4 regardless of age
+    val cutoff = vs(1).timestampMs + 1
+    val pruned = store.vacuumOlderThan("c", "t", cutoff, keepLast = 2)
+    assert(pruned == ids.take(2), pruned)
+    assert(store.versions("c", "t").map(_.id) == ids.drop(2))
+    // a far-future cutoff still cannot take the protected tail
+    assert(store.vacuumOlderThan("c", "t", Long.MaxValue, keepLast = 2).isEmpty)
+    // nothing old enough: no-op
+    assert(store.vacuumOlderThan("c", "t", 0L, keepLast = 1).isEmpty)
+  }
+
+  test("schemaDiff: added/removed/retyped from the version log alone") {
+    import graft.store.VersionDiff
+    import spark.implicits._
+    val store = freshStore()
+    store.write("c", "t", Seq((1, "a", 0.5)).toDF("x", "label", "score"))
+    store.write("c", "t", Seq((1L, "a", true)).toDF("x", "keep", "flag")
+      .select(F.col("x"), F.col("keep"), F.col("flag")))
+    val got = VersionDiff.schemaDiff(store, "c/t@HEAD~1", "c/t@HEAD")
+    assert(got == Seq(
+      VersionDiff.SchemaChange("x", "retyped", Some("INT"), Some("BIGINT")),
+      VersionDiff.SchemaChange("label", "removed", Some("STRING"), None),
+      VersionDiff.SchemaChange("score", "removed", Some("DOUBLE"), None),
+      VersionDiff.SchemaChange("keep", "added", None, Some("STRING")),
+      VersionDiff.SchemaChange("flag", "added", None, Some("BOOLEAN"))), got)
+    // identical schemas: empty drift
+    assert(VersionDiff.schemaDiff(store, "c/t@HEAD", "c/t@HEAD").isEmpty)
+    intercept[IllegalArgumentException](
+      VersionDiff.schemaDiff(store, "c/none@HEAD", "c/t@HEAD"))
+  }
+
   test("compact: fewer files, verbatim rows, old layout addressable, loud guards") {
     import spark.implicits._
     val store = freshStore()
