@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Ordered conversion-funnel analysis over an event stream — how many
+  * users reached step k IN ORDER (view → click → purchase), the product
+  * analytics staple next to sessionization and windowed aggregation.
+  *
+  * Semantics: a user reaches step 1 at their EARLIEST step-1 event; step
+  * i at their earliest step-i event at-or-after their step-(i−1) reach
+  * time (ties allowed — an event at exactly the prior reach time counts,
+  * matching the inclusive convention of time-window joins here). The
+  * earliest-qualifying-time choice is what makes the result well defined
+  * and maximal: any other witness sequence can be shifted earlier
+  * step-by-step.
+  *
+  * Shape: one filtered min-aggregation per step keyed on the user (k
+  * keyed shuffles for a k-step funnel, each over only that step's
+  * events), joined user-to-user — no windows, no ordering of whole event
+  * histories, nothing quadratic. Output: (step, event_type, users),
+  * one row per step. */
+object Funnel {
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached: DataFrame = null // (userCol, $td.__t) reach times of the previous step
+    val counts = steps.zipWithIndex.map { case (s, i) =>
+      val ev = df.where(F.col(typeCol) === s)
+        .select(F.col(userCol), F.col(tsCol))
+      val matched =
+        if (i == 0) ev.groupBy(F.col(userCol)).agg(F.min(F.col(tsCol)).as("$td.__t"))
+        else ev
+          .join(reached.withColumnRenamed("$td.__t", "$td.__prev"), Seq(userCol))
+          .where(F.col(tsCol) >= F.col("`$td.__prev`"))
+          .groupBy(F.col(userCol)).agg(F.min(F.col(tsCol)).as("$td.__t"))
+      reached = matched
+      matched.agg(F.count(F.lit(1)).as("users"))
+        .select(F.lit(i + 1).as("step"), F.lit(s).as("event_type"),
+          F.col("users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+}

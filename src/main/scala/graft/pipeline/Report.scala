@@ -89,6 +89,34 @@ object Report {
         F.col("n"))
   }
 
+  /** Per-group exact equi-width histograms — one [[histogram]] per slice
+    * (language, source) over EACH GROUP'S OWN [min, max] range, the way
+    * a dataset card plots per-language length distributions. The group
+    * ranges come from one keyed aggregation (k rows, broadcast back);
+    * binning stays row-local; one keyed count per (group, bin). Output:
+    * (group, bin, lo, hi, n). */
+  def histogramByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val x = F.col(valueCol).cast("double")
+    val bounds = df.groupBy(F.col(groupCol))
+      .agg(F.min(x).as("$td.__mn"), F.max(x).as("$td.__mx"))
+    val mn = F.col("`$td.__mn`")
+    val mx = F.col("`$td.__mx`")
+    val bin = F.when(mx === mn, F.lit(0L)).otherwise(
+      F.least(F.lit((bins - 1).toLong),
+        F.floor((x - mn) * F.lit(bins.toDouble) / (mx - mn))))
+    df.join(F.broadcast(bounds), Seq(groupCol))
+      .select(F.col(groupCol), bin.as("bin"), mn, mx)
+      .groupBy(F.col(groupCol), F.col("bin"), mn, mx)
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col(groupCol), F.col("bin"),
+        (mn + F.col("bin").cast("double") * (mx - mn) / F.lit(bins.toDouble)).as("lo"),
+        (mn + (F.col("bin") + F.lit(1L)).cast("double") * (mx - mn) /
+          F.lit(bins.toDouble)).as("hi"),
+        F.col("n"))
+  }
+
   /** EXACT corpus-to-corpus overlap at two granularities — the
     * dataset-card line answering "how much of B is already in A" before a
     * merge, and "did my eval set leak into training" at the corpus level

@@ -59,6 +59,21 @@ object CurationOracles {
       """SELECT doc_id, domain FROM r
         |WHERE domain NOT IN ('site1.com', 'site4.co.uk', 'site7.org')
         |ORDER BY doc_id""".stripMargin),
+    "q_histogram_group" ->
+      """WITH b AS (SELECT lang, CAST(min(n_chars) AS DOUBLE) AS mn,
+        |                  CAST(max(n_chars) AS DOUBLE) AS mx
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT d.lang,
+        |        CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |          ELSE LEAST(CAST(9 AS BIGINT),
+        |            CAST(floor((CAST(n_chars AS DOUBLE) - mn) * 10.0e0 / (mx - mn))
+        |              AS BIGINT)) END AS bin, mn, mx
+        |      FROM documents d JOIN b ON d.lang = b.lang)
+        |SELECT lang, bin,
+        |  mn + CAST(bin AS DOUBLE) * (mx - mn) / 10.0e0 AS lo,
+        |  mn + CAST(bin + 1 AS DOUBLE) * (mx - mn) / 10.0e0 AS hi,
+        |  count(*) AS n
+        |FROM m GROUP BY lang, bin, mn, mx ORDER BY lang, bin""".stripMargin,
     "q_histogram" ->
       """WITH b AS (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
         |                  CAST(max(n_chars) AS DOUBLE) AS mx FROM documents),

@@ -65,6 +65,12 @@ object CurationQueries {
       graft.pipeline.Report.corpusCard(docs(s, dir), "lang", "text", "doc_id")
         .orderBy("lang")
     }),
+    "q_histogram_group" -> ((s, dir) => {
+      // per-language length histograms over each language's own range
+      graft.pipeline.Report.histogramByGroup(
+          docs(s, dir).select("lang", "n_chars"), "lang", "n_chars", bins = 10)
+        .orderBy("lang", "bin")
+    }),
     "q_histogram" -> ((s, dir) => {
       // exact equi-width length histogram (20 bins): range broadcast,
       // row-local bin function, one keyed count

@@ -135,6 +135,21 @@ object ScaleOracles {
         |    ORDER BY bucket_epoch
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
         |FROM j ORDER BY event_type, bucket_epoch""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+        |ORDER BY step""".stripMargin,
     "q_median_mad" ->
       """WITH s AS (SELECT n_chars,
         |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk FROM documents),

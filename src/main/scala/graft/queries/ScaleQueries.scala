@@ -144,6 +144,12 @@ object ScaleQueries {
           tiebreakers = Seq("doc_id"))
         .orderBy("q")
     }),
+    "q_funnel" -> ((s, dir) => {
+      // ordered conversion funnel: signup -> view -> click -> purchase
+      graft.operators.Funnel.funnel(d(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("signup", "view", "click", "purchase"))
+        .orderBy("step")
+    }),
     "q_median_mad" -> ((s, dir) => {
       // robust (location, scale): exact median + exact MAD in one row
       graft.operators.Quantiles.medianMad(
