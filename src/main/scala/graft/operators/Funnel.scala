@@ -40,4 +40,32 @@ object Funnel {
     }
     counts.reduce(_ unionByName _)
   }
+
+  /** Weekly cohort retention matrix: users grouped by their first-event
+    * week (the cohort), counted in every subsequent week they were
+    * active — the (cohort, week-offset) grid behind every retention
+    * curve. Weeks are `date_trunc("week", …)` (Monday-aligned in both
+    * Spark and the oracle engine), the offset is exact (both ends are
+    * week-truncated, so the day difference is always a multiple of 7),
+    * and cohorts are reported as epoch seconds (timezone-proof).
+    *
+    * Shape: one keyed min-aggregation for first events, one distinct
+    * over (user, week), one user-keyed join, one keyed count — all
+    * linear, no windows. Output: (cohort_epoch, week_offset, users). */
+  def cohortRetention(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = df.groupBy(F.col(userCol))
+      .agg(F.date_trunc("week", F.min(F.col(tsCol))).as("$td.__cw"))
+    val active = df
+      .select(F.col(userCol), F.date_trunc("week", F.col(tsCol)).as("$td.__aw"))
+      .distinct()
+    first.join(active, Seq(userCol))
+      .where(F.col("`$td.__aw`") >= F.col("`$td.__cw`"))
+      .select(
+        F.unix_timestamp(F.col("`$td.__cw`")).as("cohort_epoch"),
+        (F.datediff(F.col("`$td.__aw`"), F.col("`$td.__cw`")) / 7)
+          .cast("int").as("week_offset"))
+      .groupBy("cohort_epoch", "week_offset")
+      .agg(F.count(F.lit(1)).as("users"))
+  }
 }

@@ -135,6 +135,16 @@ object ScaleOracles {
         |    ORDER BY bucket_epoch
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
         |FROM j ORDER BY event_type, bucket_epoch""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+        |j AS (SELECT f.user_id, cw, aw FROM f JOIN a USING (user_id)
+        |      WHERE aw >= cw)
+        |SELECT CAST(epoch(cw) AS BIGINT) AS cohort_epoch,
+        |  CAST(date_diff('day', cw, aw) / 7 AS INTEGER) AS week_offset,
+        |  count(*) AS users
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'signup' GROUP BY 1),

@@ -144,6 +144,12 @@ object ScaleQueries {
           tiebreakers = Seq("doc_id"))
         .orderBy("q")
     }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // weekly cohort x week-offset retention grid
+      graft.operators.Funnel.cohortRetention(d(s, dir, "events"),
+          "user_id", "ts")
+        .orderBy("cohort_epoch", "week_offset")
+    }),
     "q_funnel" -> ((s, dir) => {
       // ordered conversion funnel: signup -> view -> click -> purchase
       graft.operators.Funnel.funnel(d(s, dir, "events"), "user_id", "ts",
