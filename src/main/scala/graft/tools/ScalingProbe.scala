@@ -235,6 +235,30 @@ object ScalingProbe {
           d.where(F.col("doc_id") % 2 === 0),
           d.where(F.col("doc_id") % 2 === 1), "text", 3).count()
       }),
+      ("median_mad", 100, { d =>
+        // two exact-quantile range shuffles (median, then MAD)
+        graft.operators.Quantiles.medianMad(
+          d.withColumn("n", F.length(F.col("text"))).select("doc_id", "n"),
+          "n", tiebreakers = Seq("doc_id")).count()
+      }),
+      ("interleave", 100, { d =>
+        // one global range shuffle + broadcast per-group offsets
+        graft.pipeline.DataMix.interleave(
+          d.withColumn("src", (F.col("doc_id") % 5).cast("string")),
+          "src", Map("0" -> 3.0, "1" -> 2.0, "2" -> 1.0, "3" -> 1.0, "4" -> 1.0),
+          tiebreakers = Seq("doc_id")).count()
+      }),
+      ("pct_rank", 100, { d =>
+        graft.operators.ScalableRank.percentileRank(
+          d.withColumn("n", F.length(F.col("text"))).select("doc_id", "n"), "n")
+          .where(F.col("pct_rank") > 0.99).count()
+      }),
+      ("histogram_group", 100, { d =>
+        graft.pipeline.Report.histogramByGroup(
+          d.withColumn("g", (F.col("doc_id") % 20).cast("string"))
+            .withColumn("n", F.length(F.col("text"))),
+          "g", "n", bins = 20).count()
+      }),
       ("curation_e2e", 30, { d =>
         // the full composed path, every filter rooted at the raw scan and
         // intersected (the q_curation_e2e shape — the chained version
@@ -253,6 +277,30 @@ object ScalingProbe {
             "text", keep = Seq("doc_id", "lang", "source"))
           .where(F.col("passes_quality"))
         graft.pipeline.DataMix.splitByKey(curated, "source", 0.1, 0.1).count()
+      }))
+
+    // event-shaped ops scale over a self-unioned events table with
+    // shifted user ids (each copy is a disjoint user population, so
+    // per-user work stays constant and only the population grows)
+    val evBase = graft.queries.Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select("user_id", "ts", "event_type", "value")
+    def scaledEv(n: Int): DataFrame =
+      (0 until n).map { i =>
+        evBase.select((F.col("user_id") + F.lit(i.toLong * 1000000L)).as("user_id"),
+          F.col("ts"), F.col("event_type"), F.col("value"))
+      }.reduce(_ union _)
+    val evOps: Seq[(String, Int, DataFrame => Long)] = Seq(
+      ("funnel", 100, { e =>
+        graft.operators.Funnel.funnel(e, "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase")).count()
+      }),
+      ("cohort", 100, { e =>
+        graft.operators.Funnel.cohortRetention(e, "user_id", "ts").count()
+      }),
+      ("resample", 100, { e =>
+        graft.operators.SeriesOps.resample(
+          e.withColumn("v", F.floor(F.col("value")).cast("long")), "ts", "v",
+          21600L, Seq("event_type"), locf = true).count()
       }))
 
     // embedding-side ops scale over a self-unioned embeddings table
@@ -296,6 +344,13 @@ object ScalingProbe {
       val (t1, _) = time(op(scaled(1)))
       val (t10, _) = time(op(scaled(10)))
       val (tBig, nBig) = time(op(scaled(big)))
+      println(f"$name%-14s $t1%9.2fs $t10%9.2fs $tBig%9.2fs  ${t10 / t1}%7.1fx ${tBig / t1}%8.1fx   (big=x$big rows=$nBig)")
+    }
+    for ((name, big, op) <- if (opFilter.isEmpty) evOps else evOps.filter(o => opFilter(o._1))) {
+      op(scaledEv(1))
+      val (t1, _) = time(op(scaledEv(1)))
+      val (t10, _) = time(op(scaledEv(10)))
+      val (tBig, nBig) = time(op(scaledEv(big)))
       println(f"$name%-14s $t1%9.2fs $t10%9.2fs $tBig%9.2fs  ${t10 / t1}%7.1fx ${tBig / t1}%8.1fx   (big=x$big rows=$nBig)")
     }
     for ((name, big, op) <- if (opFilter.isEmpty) embOps else embOps.filter(o => opFilter(o._1))) {
