@@ -41,6 +41,24 @@ object Funnel {
     counts.reduce(_ unionByName _)
   }
 
+  /** Behavioral transition matrix: counts of consecutive event-type
+    * pairs per user in time order — the Markov-chain view of an event
+    * stream (which actions follow which). `tiebreaker` pins the order of
+    * same-timestamp events so the matrix is deterministic. One keyed
+    * window (per-user lag — users sort in parallel, never globally) and
+    * one keyed count. Output: (from_type, to_type, n). */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tiebreaker: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(userCol))
+      .orderBy(F.col(tsCol).asc, F.col(tiebreaker).asc)
+    df.select(F.col(userCol), F.col(typeCol).as("to_type"),
+        F.lag(F.col(typeCol), 1).over(w).as("from_type"))
+      .where(F.col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
   /** Weekly cohort retention matrix: users grouped by their first-event
     * week (the cohort), counted in every subsequent week they were
     * active — the (cohort, week-offset) grid behind every retention

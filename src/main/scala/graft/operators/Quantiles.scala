@@ -95,6 +95,20 @@ object Quantiles {
     med.crossJoin(F.broadcast(mad))
   }
 
+  /** Robust z-score: (x − median)/MAD appended as `as` — the
+    * outlier-immune standardization ([[medianMad]]'s statistics applied
+    * row-locally; the classic 1.4826 normal-consistency factor is NOT
+    * baked in — multiply downstream if you need σ-equivalents, keeping
+    * the op's arithmetic exactly representable). A zero MAD (over half
+    * the values identical) yields NULL scores rather than ±Infinity. */
+  def robustZ(df: DataFrame, valueCol: String, as: String = "robust_z",
+      tiebreakers: Seq[String] = Nil): DataFrame =
+    df.crossJoin(F.broadcast(medianMad(df, valueCol, tiebreakers)))
+      .withColumn(as, F.when(F.col("mad") =!= 0.0,
+        (F.col(valueCol).cast("double") - F.col("median").cast("double")) /
+          F.col("mad")))
+      .drop("median", "mad")
+
   /** Per-group exact quantiles: for every group, quantile q is the
     * k = max(1, ceil(q·n_g)) order statistic of that group's values —
     * the per-language / per-source length distributions of a dataset

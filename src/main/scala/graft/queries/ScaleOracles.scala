@@ -135,6 +135,30 @@ object ScaleOracles {
         |    ORDER BY bucket_epoch
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum
         |FROM j ORDER BY event_type, bucket_epoch""".stripMargin,
+    "q_robust_z" ->
+      """WITH s AS (SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk FROM documents),
+        |n AS (SELECT count(*) AS c FROM documents),
+        |m AS (SELECT n_chars AS median FROM s, n
+        |      WHERE rk = GREATEST(1, CAST(ceil(0.5e0 * c) AS BIGINT))),
+        |d0 AS (SELECT abs(CAST(n_chars AS DOUBLE) - CAST(median AS DOUBLE)) AS dv,
+        |         doc_id
+        |       FROM documents, m),
+        |s2 AS (SELECT dv, row_number() OVER (ORDER BY dv, doc_id) AS rk FROM d0),
+        |md AS (SELECT dv AS mad FROM s2, n
+        |       WHERE rk = GREATEST(1, CAST(ceil(0.5e0 * c) AS BIGINT)))
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN mad <> 0.0 THEN
+        |    (CAST(n_chars AS DOUBLE) - CAST(median AS DOUBLE)) / mad END AS robust_z
+        |FROM documents, m, md ORDER BY doc_id""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH t AS (SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cohort_retention" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
         |           FROM events GROUP BY 1),

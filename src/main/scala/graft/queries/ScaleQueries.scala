@@ -144,6 +144,19 @@ object ScaleQueries {
           tiebreakers = Seq("doc_id"))
         .orderBy("q")
     }),
+    "q_robust_z" -> ((s, dir) => {
+      // (x - median)/MAD standardization; zero-MAD guard yields NULL
+      graft.operators.Quantiles.robustZ(
+          d(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+          tiebreakers = Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+    "q_transition_matrix" -> ((s, dir) => {
+      // Markov view of the event stream: consecutive event-type pairs
+      graft.operators.Funnel.transitionMatrix(d(s, dir, "events"),
+          "user_id", "ts", "event_type", tiebreaker = "event_id")
+        .orderBy("from_type", "to_type")
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // weekly cohort x week-offset retention grid
       graft.operators.Funnel.cohortRetention(d(s, dir, "events"),
