@@ -139,14 +139,24 @@ object Export {
         s"unsupported export format: $other")
     }
     if (shards.isEmpty) reader(path).limit(0)
-    else spark.read
-      .schema(reader(path).schema) // stable schema even for a shard subset
-      .format(format match {
-        case "jsonl" | "ndjson" => "json"
-        case f => f
-      })
-      .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
-      .load(shards.map(s => s"$path/$s"): _*)
+    else {
+      val r = spark.read
+        .format(format match {
+          case "jsonl" | "ndjson" => "json"
+          case f => f
+        })
+        .options(if (format == "csv") Map("header" -> "true")
+          else Map.empty[String, String])
+      // parquet/orc are self-describing: the subset carries the full
+      // schema, no extra IO. Text formats infer by scanning — pin the
+      // whole export's schema there (one inference pass over the export;
+      // without it a subset missing a sparse field would silently narrow)
+      val pinned = format match {
+        case "parquet" | "orc" => r
+        case _ => r.schema(reader(path).schema)
+      }
+      pinned.load(shards.map(s => s"$path/$s"): _*)
+    }
   }
 
   /** Recursive (rootRelativePath, bytes) listing of data files — skips
