@@ -29,19 +29,25 @@ object Quantiles {
     * physical row picked differs). Two quantiles that round to the same
     * order statistic (n < |qs| territory) each get their own output row
     * carrying that shared value. `knownN` skips the count job when the
-    * caller already holds the exact row count (same contract as
-    * SemDedup's knownN). */
+    * caller already holds the exact NON-NULL row count (same contract as
+    * SemDedup's knownN).
+    *
+    * NULL values are ignored — the SQL convention every quantile/
+    * percentile function follows. Without the filter a NULL would rank
+    * FIRST (nulls-first ascending order) and silently shift every order
+    * statistic, and a low quantile could "be" NULL. */
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
       tiebreakers: Seq[String] = Nil, knownN: Option[Long] = None): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
     val spark = df.sparkSession
     import spark.implicits._
-    val n = knownN.getOrElse(df.count())
-    require(n > 0, "exactQuantiles over an empty relation")
+    val nonNull = df.where(F.col(valueCol).isNotNull)
+    val n = knownN.getOrElse(nonNull.count())
+    require(n > 0, "exactQuantiles over an empty (or all-NULL) relation")
     val qk = qs.distinct.sorted
       .map(q => (q, math.max(1L, math.ceil(q * n).toLong)))
-    val ranked = ScalableRank.withRank(df, valueCol, "$td.__rk", "ordinal",
+    val ranked = ScalableRank.withRank(nonNull, valueCol, "$td.__rk", "ordinal",
       tiebreakers = tiebreakers)
     ranked
       .join(F.broadcast(qk.toDF("q", "$td.__rk")), Seq("$td.__rk"))
@@ -65,10 +71,15 @@ object Quantiles {
       .agg(
         F.min(F.when(F.col("q") === pLo, F.col("value"))).as("$td.__lo"),
         F.min(F.when(F.col("q") === pHi, F.col("value"))).as("$td.__hi"))
+    // explicit when-chain, NOT least/greatest: Spark's least/greatest SKIP
+    // null operands, so least(NULL, hi) = hi would silently rewrite a NULL
+    // value to the upper clip bound. Here a NULL x falls through every
+    // comparison (NULL predicates are falsy) into otherwise(x) = NULL.
     df.crossJoin(F.broadcast(bounds))
       .withColumn(valueCol,
-        F.greatest(F.least(F.col(valueCol), F.col("`$td.__hi`")),
-          F.col("`$td.__lo`")))
+        F.when(F.col(valueCol) < F.col("`$td.__lo`"), F.col("`$td.__lo`"))
+          .when(F.col(valueCol) > F.col("`$td.__hi`"), F.col("`$td.__hi`"))
+          .otherwise(F.col(valueCol)))
       .drop("$td.__lo", "$td.__hi")
   }
 
@@ -124,7 +135,8 @@ object Quantiles {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(F.col(valueCol).asc +: tiebreakers.map(F.col(_).asc): _*)
-    val ranked = df
+    // same NULL rule as exactQuantiles: NULL values are not order statistics
+    val ranked = df.where(F.col(valueCol).isNotNull)
       .withColumn("$td.__rk", F.row_number().over(w).cast("long"))
       .withColumn("$td.__n",
         F.count(F.lit(1)).over(

@@ -54,11 +54,46 @@ object Export {
       case other => throw new IllegalArgumentException(
         s"unsupported export format: $other")
     }
+    // stamp the export's schema beside the manifest (same pattern as the
+    // BM25/IVF param stamps): readers of text formats pin their schema
+    // from this O(1) file instead of paying a full-export inference scan
+    // — on a 100 TB jsonl export that inference pass would cost a corpus
+    // read, defeating the zone map it serves
+    writeSchemaStamp(df.sparkSession, path, df.schema)
     val manifest = buildManifest(df.sparkSession, path, format,
       statsCols = sortBy)
     manifest.coalesce(1).write.mode("overwrite")
       .json(s"$path/_manifest.jsonl")
     manifest
+  }
+
+  private def writeSchemaStamp(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(path, "_schema.json"), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The schema stamped by [[writeSharded]], if present (exports written
+    * before the stamp existed have none — callers fall back to
+    * inference). */
+  def readSchemaStamp(spark: SparkSession,
+      path: String): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(path, "_schema.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
   }
 
   /** (shard, rows, bytes) for every data file under an export — exact row
@@ -138,7 +173,20 @@ object Export {
       case other => throw new IllegalArgumentException(
         s"unsupported export format: $other")
     }
-    if (shards.isEmpty) reader(path).limit(0)
+    // text formats (jsonl/csv) are not self-describing: without a pinned
+    // schema a subset missing a sparse field would silently narrow. The
+    // schema comes from the O(1) `_schema.json` stamp writeSharded left
+    // beside the manifest — NOT from `reader(path).schema`, whose
+    // inference scans the ENTIRE export (a corpus read to serve a pruned
+    // query). Inference remains only as a fallback for legacy exports
+    // written before the stamp existed.
+    lazy val textSchema = readSchemaStamp(spark, path)
+      .getOrElse(reader(path).schema)
+    if (shards.isEmpty) format match {
+      case "parquet" | "orc" => reader(path).limit(0)
+      case _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], textSchema)
+    }
     else {
       val r = spark.read
         .format(format match {
@@ -147,13 +195,14 @@ object Export {
         })
         .options(if (format == "csv") Map("header" -> "true")
           else Map.empty[String, String])
-      // parquet/orc are self-describing: the subset carries the full
-      // schema, no extra IO. Text formats infer by scanning — pin the
-      // whole export's schema there (one inference pass over the export;
-      // without it a subset missing a sparse field would silently narrow)
+        // basePath makes Spark resolve partition directories relative to
+        // the export root even though only leaf shard files are listed —
+        // without it a partitionBy export's partition columns silently
+        // vanish (parquet/orc) or come back all-NULL (text formats)
+        .option("basePath", path)
       val pinned = format match {
         case "parquet" | "orc" => r
-        case _ => r.schema(reader(path).schema)
+        case _ => r.schema(textSchema)
       }
       pinned.load(shards.map(s => s"$path/$s"): _*)
     }

@@ -78,7 +78,10 @@ object Report {
     val bin = F.when(mx === mn, F.lit(0L)).otherwise(
       F.least(F.lit((bins - 1).toLong),
         F.floor((x - mn) * F.lit(bins.toDouble) / (mx - mn))))
-    df.crossJoin(F.broadcast(bounds))
+    // NULL values carry no bin: least() skips the NULL floor and would
+    // silently count them in the top bin — drop them before binning (the
+    // min/max bounds already ignore NULLs, so this is the matching rule)
+    df.where(x.isNotNull).crossJoin(F.broadcast(bounds))
       .select(bin.as("bin"), mn, mx)
       .groupBy(F.col("bin"), mn, mx)
       .agg(F.count(F.lit(1)).as("n"))
@@ -106,7 +109,8 @@ object Report {
     val bin = F.when(mx === mn, F.lit(0L)).otherwise(
       F.least(F.lit((bins - 1).toLong),
         F.floor((x - mn) * F.lit(bins.toDouble) / (mx - mn))))
-    df.join(F.broadcast(bounds), Seq(groupCol))
+    // same NULL rule as [[histogram]]: a NULL value has no bin
+    df.where(x.isNotNull).join(F.broadcast(bounds), Seq(groupCol))
       .select(F.col(groupCol), bin.as("bin"), mn, mx)
       .groupBy(F.col(groupCol), F.col("bin"), mn, mx)
       .agg(F.count(F.lit(1)).as("n"))

@@ -64,16 +64,30 @@ object VersionDiff {
       keys.map(c => F.col(s"`$c`")) ++
         compared.map(c => (if (oCols.contains(c)) F.col(s"`$c`")
           else F.lit(null)).as(s"$$td.__o_$c")): _*)
+    // newer side's keys are renamed so the join can be stated as an
+    // explicit NULL-SAFE condition: a key column can be legitimately null,
+    // and a plain equi-join would never match such a row against its
+    // counterpart — an unchanged null-keyed row would surface as a
+    // spurious delete+insert pair. `<=>` per key keeps the condition an
+    // equi-join Catalyst still plans as one sort-merge join.
     val nw = n.select(
-      keys.map(c => F.col(s"`$c`")) ++
+      keys.map(c => F.col(s"`$c`").as(s"$$td.__k_$c")) ++
         Seq(F.lit(true).as("$td.__nw")) ++
         compared.map(c => (if (nCols.contains(c)) F.col(s"`$c`")
           else F.lit(null)).as(s"$$td.__n_$c")): _*)
-    // the older side carries its own presence marker too (a key column can
-    // be legitimately null, so key-nullness cannot signal absence)
+    // the older side carries its own presence marker too (key-nullness
+    // cannot signal absence, for the same reason)
     val olM = ol.withColumn("$td.__ol", F.lit(true))
 
-    val joined = olM.join(nw, keys, "full_outer")
+    val joinCond = keys.map(k =>
+      F.col(s"`$k`") <=> F.col(s"`$$td.__k_$k`")).reduce(_ && _)
+    val joined = olM.join(nw, joinCond, "full_outer")
+      .select(
+        keys.map(k => F.coalesce(F.col(s"`$k`"), F.col(s"`$$td.__k_$k`"))
+          .as(k)) ++
+          Seq(F.col("`$td.__ol`"), F.col("`$td.__nw`")) ++
+          compared.flatMap(c =>
+            Seq(F.col(s"`$$td.__o_$c`"), F.col(s"`$$td.__n_$c`"))): _*)
     val inOld = F.col("`$td.__ol`").isNotNull
     val inNew = F.col("`$td.__nw`").isNotNull
     def differs(c: String): Column =

@@ -49,6 +49,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize clips into the quantile window and passes NULLs through") {
+    import spark.implicits._
+    val df = (Seq.tabulate(20)(i => (i.toLong, Some((i + 1).toLong))) :+
+      (99L, Option.empty[Long])).toDF("id", "v")
+    val got = graft.operators.Quantiles
+      .winsorize(df, "v", pLo = 0.1, pHi = 0.9, tiebreakers = Seq("id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // NULLs are ignored by the quantiles (SQL convention): n=20 non-null,
+    // k_lo=ceil(.1*20)=2 -> bound 2, k_hi=ceil(.9*20)=18 -> bound 18
+    assert(got(0L) == Some(2L) && got(1L) == Some(2L))
+    assert(got(2L) == Some(3L) && got(10L) == Some(11L) && got(16L) == Some(17L))
+    assert(got(17L) == Some(18L) && got(18L) == Some(18L) && got(19L) == Some(18L))
+    // the regression: a NULL value must stay NULL, not become the hi bound
+    assert(got(99L).isEmpty, s"NULL was rewritten to ${got(99L)}")
+    // and a NULL never shifts medianMad's order statistics
+    val mm = graft.operators.Quantiles.medianMad(df, "v", tiebreakers = Seq("id"))
+      .collect().head
+    assert(mm.getLong(0) == 10L, s"median drifted: $mm") // k=ceil(.5*20)=10
+  }
+
   test("grouped exact quantiles pick per-group order statistics") {
     import spark.implicits._
     val df = (Seq.tabulate(10)(i => ("a", i.toLong, (i + 1).toLong * 10)) ++

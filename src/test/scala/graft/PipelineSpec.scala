@@ -925,6 +925,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(re == got) // bit-identical under repartitioning
   }
 
+  test("histogram: NULL values carry no bin (not silently counted in the top bin)") {
+    import spark.implicits._
+    import graft.pipeline.Report
+    val df = (Seq.tabulate(10)(i => Some(i.toDouble)) ++
+      Seq(None, None)).toDF("x")
+    val got = Report.histogram(df, "x", bins = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // 0..9 over [0,9] in 3 bins: [0,3)→0,1,2; [3,6)→3,4,5; [6,9]→6,7,8,9.
+    // The two NULLs must appear NOWHERE — before the fix they landed in bin 2.
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 4L), got.toString)
+    assert(got.values.sum == 10L)
+    // grouped variant: same rule per group
+    val gdf = (Seq.tabulate(6)(i => ("a", Some(i.toDouble))) :+
+      (("a", None)) :+ (("b", Some(1.0)))).toDF("g", "x")
+    val gg = Report.histogramByGroup(gdf, "g", "x", bins = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(gg == Map(("a", 0L) -> 3L, ("a", 1L) -> 3L, ("b", 0L) -> 1L), gg.toString)
+  }
+
   test("sharded export: row-bounded shards, exact manifest, lossless round-trip") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-export").toString + "/corpus"
@@ -997,6 +1016,81 @@ class PipelineSpec extends AnyFunSuite {
       graft.pipeline.Export.readPruned(spark, out, "parquet", "text", 0L, 1L)
     }
     assert(ex.getMessage.contains("zone-map"), ex.getMessage)
+  }
+
+  test("pruned jsonl read: schema from the stamp, no inference over unselected shards") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-export-s").toString
+    val out = root + "/corpus"
+    val df = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(7)
+    val manifest = graft.pipeline.Export.writeSharded(
+        df, out, format = "jsonl", maxRecordsPerFile = 40L,
+        sortBy = Seq("doc_id"))
+      .select("shard", "min_doc_id", "max_doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tamper an UNSELECTED shard with a line carrying an extra field: any
+    // schema-inference pass over the whole export would pick `extra` up,
+    // so its absence from the pruned schema PROVES no inference ran there
+    val victim = manifest.filter(_._3 < 120L).head._1
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/$victim"),
+      """{"doc_id":999,"text":"x","extra":1}""".getBytes("UTF-8"))
+    // the raw overwrite invalidates Hadoop's CRC sidecar and Spark's
+    // cached file listing — drop both
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$out/.$victim.crc"))
+    spark.catalog.refreshByPath(out)
+    val pruned = graft.pipeline.Export.readPruned(spark, out, "jsonl",
+      "doc_id", 120L, 150L)
+    assert(pruned.schema.fieldNames.toSeq == Seq("doc_id", "text"),
+      s"inference leaked: ${pruned.schema.fieldNames.mkString(",")}")
+    assert(pruned.where(F.col("doc_id").between(120, 150)).count() == 31L)
+    // input-file set == exactly the manifest-selected shards
+    val inputs = pruned.select(F.input_file_name()).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    val expected = manifest.filter(m => m._2 <= 150L && m._3 >= 120L)
+      .map(_._1.split('/').last).toSet
+    assert(inputs == expected, s"$inputs vs $expected")
+    // empty selection still answers the stamped schema without inference
+    val none = graft.pipeline.Export.readPruned(spark, out, "jsonl",
+      "doc_id", 5000L, 6000L)
+    assert(none.count() == 0L &&
+      none.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    // legacy export (no stamp): falls back to inference, which by
+    // construction now sees the tampered shard's extra field
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out, "_schema.json"), false)
+    val legacy = graft.pipeline.Export.readPruned(spark, out, "jsonl",
+      "doc_id", 120L, 150L)
+    assert(legacy.schema.fieldNames.contains("extra"),
+      "fallback should have inferred over the whole export")
+  }
+
+  test("partitioned export: partition columns survive a pruned read (basePath)") {
+    import spark.implicits._
+    def check(format: String): Unit = {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-export-p$format").toString + "/corpus"
+      val df = (0L until 100L)
+        .map(i => (i, if (i % 2 == 0) "en" else "de", s"doc $i"))
+        .toDF("doc_id", "lang", "text")
+      graft.pipeline.Export.writeSharded(df, out, format = format,
+        maxRecordsPerFile = 20L, partitionBy = Seq("lang"),
+        sortBy = Seq("doc_id"))
+      val pruned = graft.pipeline.Export.readPruned(spark, out, format,
+        "doc_id", 40L, 59L)
+      // the regression: without basePath the partition column vanished
+      // (parquet) or came back all-NULL (jsonl)
+      assert(pruned.columns.contains("lang"), s"$format lost the partition column")
+      val got = pruned.where(F.col("doc_id").between(40, 59))
+        .select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = (40L until 60L).map(i => (i, if (i % 2 == 0) "en" else "de")).toSet
+      assert(got == want, s"$format: ${got.toSeq.sortBy(_._1).take(5)}...")
+    }
+    check("parquet")
+    check("jsonl")
   }
 
   test("semantic decontamination: planted paraphrase flagged, orthogonal doc clean, self excluded") {

@@ -569,4 +569,35 @@ class StoreFlowSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("unresolvable"), ex2.getMessage)
   }
+
+  test("version diff/history: NULL key values match null-safely") {
+    import graft.store.VersionDiff
+    import spark.implicits._
+    // a legitimately-null key must pair with its counterpart, not surface
+    // as a spurious delete+insert; composite keys with one null leg too
+    val old = Seq[(Option[Long], Option[String], String)](
+      (None, Some("k"), "same"),      // null key, unchanged -> omitted
+      (Some(1L), None, "old"),        // composite w/ null leg -> update
+      (Some(2L), Some("b"), "gone"))  // deleted
+      .toDF("k1", "k2", "v")
+    val neu = Seq[(Option[Long], Option[String], String)](
+      (None, Some("k"), "same"),
+      (Some(1L), None, "new"),
+      (Some(3L), None, "fresh"))      // inserted, null key leg
+      .toDF("k1", "k2", "v")
+    val got = VersionDiff.diff(old, neu, Seq("k1", "k2"), strict = true)
+      .orderBy(F.col("k1").asc_nulls_first).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (Some(1L), None, "update"),
+      (Some(2L), Some("b"), "delete"),
+      (Some(3L), None, "insert")), got.mkString(","))
+    // history: a null-keyed row's runs track like any other key's
+    val v1 = Seq[(Option[Long], String)]((None, "a"), (Some(1L), "x")).toDF("id", "s")
+    val v2 = Seq[(Option[Long], String)]((None, "b"), (Some(1L), "x")).toDF("id", "s")
+    val h = VersionDiff.history(Seq(v1, v2), Seq("id"))
+      .where(F.col("id").isNull).orderBy("valid_from").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(h.toSeq == Seq(("a", 1L, 1L), ("b", 2L, 2L)), h.mkString(","))
+  }
 }
