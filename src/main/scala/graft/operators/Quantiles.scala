@@ -124,27 +124,58 @@ object Quantiles {
     * k = max(1, ceil(q·n_g)) order statistic of that group's values —
     * the per-language / per-source length distributions of a dataset
     * card, exact. One shuffle on the group key; groups rank in parallel
-    * keyed windows (a single pathologically hot group sorts within one
-    * partition — split such a group upstream or use the global
-    * [[exactQuantiles]] on its rows alone). Output: (group, q, value). */
+    * keyed windows. Output: (group, q, value).
+    *
+    * Hot-group fallback: the keyed window sorts each group inside one
+    * partition, so a pathologically skewed group (more rows than fit one
+    * task) would bottleneck — or OOM — the whole job. Groups whose
+    * NON-NULL row count exceeds `hotGroupThreshold` are therefore routed
+    * through the global [[exactQuantiles]] path automatically (one range
+    * shuffle per hot group, parallel across partitions); by construction
+    * there are at most n/threshold such groups, so the driver loop and
+    * the per-group key list are O(n/threshold) metadata. Pass
+    * `Long.MaxValue` to force the single-pass window plan. */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[Double], tiebreakers: Seq[String] = Nil): DataFrame = {
+      qs: Seq[Double], tiebreakers: Seq[String] = Nil,
+      hotGroupThreshold: Long = 4000000L): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
+    require(hotGroupThreshold > 0, "hotGroupThreshold must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // same NULL rule as exactQuantiles: NULL values are not order statistics
+    val nonNull = df.where(F.col(valueCol).isNotNull)
+    // one map-side-combined count pass finds the hot groups (k rows out)
+    val hot: Array[(Any, Long)] =
+      if (hotGroupThreshold == Long.MaxValue) Array.empty
+      else nonNull.groupBy(F.col(groupCol))
+        .agg(F.count(F.lit(1)).as("$td.__n"))
+        .where(F.col("`$td.__n`") > hotGroupThreshold)
+        .collect().map(r => (r.get(0), r.getLong(1)))
+    val hotPred = hot.map(_._1).map {
+      case null => F.col(groupCol).isNull
+      case v    => F.col(groupCol) <=> F.lit(v)
+    }.reduceOption(_ || _).getOrElse(F.lit(false))
+
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(F.col(valueCol).asc +: tiebreakers.map(F.col(_).asc): _*)
-    // same NULL rule as exactQuantiles: NULL values are not order statistics
-    val ranked = df.where(F.col(valueCol).isNotNull)
+    val ranked = nonNull.where(!hotPred)
       .withColumn("$td.__rk", F.row_number().over(w).cast("long"))
       .withColumn("$td.__n",
         F.count(F.lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
     val qDf = qs.distinct.sorted.toDF("q")
-    ranked.join(F.broadcast(qDf),
+    val cold = ranked.join(F.broadcast(qDf),
         F.col("`$td.__rk`") ===
           F.greatest(F.lit(1L), F.ceil(F.col("q") * F.col("`$td.__n`"))))
       .select(F.col(groupCol), F.col("q"), F.col(valueCol).as("value"))
+    hot.foldLeft(cold) { case (acc, (g, n)) =>
+      val pred = if (g == null) F.col(groupCol).isNull
+        else F.col(groupCol) <=> F.lit(g)
+      acc.unionByName(
+        exactQuantiles(nonNull.where(pred), valueCol, qs,
+            tiebreakers = tiebreakers, knownN = Some(n))
+          .select(F.lit(g).as(groupCol), F.col("q"), F.col("value")))
+    }
   }
 }

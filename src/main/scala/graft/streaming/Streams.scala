@@ -378,22 +378,48 @@ object Streams {
   }
 
   final case class SessionUpdate(key: String, events: Long, valueSum: Double)
+  final case class TotalsState(events: Long, valueSum: Double, lastMs: Long)
 
-  /** Keyed running state via mapGroupsWithState: per-key event count and
-    * value sum, updated each micro-batch (the custom-state escape hatch —
-    * KeyValueGroupedDataset.mapGroupsWithState). */
-  def runningTotals(ds: Dataset[(String, Double)]): Dataset[SessionUpdate] = {
+  /** Keyed running state via flatMapGroupsWithState: per-key event count
+    * and value sum, updated each micro-batch (the custom-state escape
+    * hatch — KeyValueGroupedDataset.[flat]mapGroupsWithState).
+    *
+    * State lifecycle (same contract as [[nearDupHits]]): by default one
+    * state row per distinct key lives forever — tiny per key, correct
+    * for all-history totals, but unbounded on an unbounded key space.
+    * Pass `stateTtlMs = Some(ms)` to evict keys idle past the TTL via
+    * `ProcessingTimeTimeout` (sliding: every arrival refreshes it); a
+    * key arriving after its state expired restarts its totals from zero
+    * — checked lazily at arrival too, so correctness never waits on the
+    * engine firing the timeout. Same trigger caveat as nearDupHits:
+    * pair a TTL with a processing-time trigger or `Trigger.Once`, not
+    * `AvailableNow` + `processAllAvailable()`. */
+  def runningTotals(ds: Dataset[(String, Double)],
+      stateTtlMs: Option[Long] = None): Dataset[SessionUpdate] = {
     import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_._1)
-      .mapGroupsWithState[SessionUpdate, SessionUpdate](GroupStateTimeout.NoTimeout) {
-        case (key, rows, state: GroupState[SessionUpdate]) =>
-          val prev = state.getOption.getOrElse(SessionUpdate(key, 0L, 0.0))
+      .flatMapGroupsWithState[TotalsState, SessionUpdate](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[TotalsState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (key, rows, state: GroupState[TotalsState]) =>
+          val now = stateTtlMs.map(_ => state.getCurrentProcessingTimeMs())
+            .getOrElse(0L)
+          // a state row idle past the TTL is stale even if the engine has
+          // not fired its timeout yet: restart from zero
+          val prev = state.getOption
+            .filter(s => stateTtlMs.forall(t => now - s.lastMs <= t))
+            .getOrElse(TotalsState(0L, 0.0, now))
           var n = prev.events
           var s = prev.valueSum
           rows.foreach { r => n += 1; s += r._2 }
-          val next = SessionUpdate(key, n, s)
-          state.update(next)
-          next
+          state.update(TotalsState(n, s, now))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          Iterator.single(SessionUpdate(key, n, s))
       }
   }
 }

@@ -230,6 +230,19 @@ object ScalingProbe {
         val s3 = s0.where(F.col("doc_id") % 4 =!= 0)
         graft.store.VersionDiff.history(Seq(s0, s2, s3), Seq("doc_id")).count()
       }),
+      ("group_quantiles_skew", 100, { d =>
+        // one pathologically hot group (~70% of all rows) + 9 cold groups:
+        // the hot group must route through the global range-shuffle
+        // fallback (threshold exceeded from x1 up) while cold groups stay
+        // on parallel keyed windows — the skew case the per-group window
+        // alone cannot survive
+        val g = F.when(F.col("doc_id") % 10 < 7, F.lit("hot"))
+          .otherwise((F.col("doc_id") % 10).cast("string"))
+        graft.operators.Quantiles.exactQuantilesByGroup(
+          d.withColumn("g", g).withColumn("n", F.length(F.col("text"))),
+          "g", "n", Seq(0.5, 0.9, 0.99), tiebreakers = Seq("doc_id"),
+          hotGroupThreshold = 200000L).count()
+      }),
       ("corpus_overlap", 100, { d =>
         graft.pipeline.Report.corpusOverlap(
           d.where(F.col("doc_id") % 2 === 0),

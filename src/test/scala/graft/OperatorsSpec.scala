@@ -49,6 +49,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped quantiles: hot-group fallback equals the window path exactly") {
+    import spark.implicits._
+    // group "big" is pathologically hot (deterministically scrambled so the
+    // fallback's range shuffle does real ordering work); "small" is cold;
+    // a NULL group key exercises the null-safe hot routing
+    val rows = (0L until 5000L).map(i =>
+      (Some("big"), i, (i * 2654435761L) % 5000L)) ++
+      Seq((Some("small"), 9001L, 7L), (Some("small"), 9002L, 3L),
+        (Option.empty[String], 9003L, 1L), (Option.empty[String], 9004L, 2L))
+    val df = rows.toDF("g", "id", "v")
+    val qs = Seq(0.25, 0.5, 0.99, 1.0)
+    def run(threshold: Long) = graft.operators.Quantiles
+      .exactQuantilesByGroup(df, "g", "v", qs,
+        tiebreakers = Seq("id"), hotGroupThreshold = threshold)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val window = run(Long.MaxValue)   // pure keyed-window plan
+    val hybrid = run(10L)             // "big" (and the NULL group? no: 2 rows) -> global path
+    assert(hybrid == window, s"hybrid $hybrid vs window $window")
+    // and the values themselves are the right order statistics
+    assert(window.contains((Some("big"), 0.5, 2499L)) ||
+      window.contains((Some("big"), 0.5, 2500L))) // k = ceil(.5*5000) = 2500 -> 2499 in 0..4999 scramble
+    assert(window.contains((Some("small"), 1.0, 7L)))
+    assert(window.contains((None, 1.0, 2L)))
+    // a 1-row hot threshold routes even the NULL group through the fallback
+    assert(run(1L) == window)
+  }
+
   test("winsorize clips into the quantile window and passes NULLs through") {
     import spark.implicits._
     val df = (Seq.tabulate(20)(i => (i.toLong, Some((i + 1).toLong))) :+

@@ -76,6 +76,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp, s"stream ${got.size} vs batch ${exp.size}")
   }
 
+  test("outer stream-stream interval join: watermark-finalized null matches equal batch") {
+    import spark.implicits._
+    // Null-match emission is the subtle case: an unmatched row may only be
+    // emitted once the watermark proves no future partner can arrive. A
+    // far-future "pusher" row on each side (arriving in a LATER micro-batch
+    // via mtime ordering) advances the watermark past every data row; the
+    // pushers themselves are never finalized and are excluded from both
+    // sides of the differential.
+    val base = 1700000000000L
+    def ts(h: Double) = new java.sql.Timestamp(base + (h * 3600000L).toLong)
+    def writeDf(dir: java.nio.file.Path, df: org.apache.spark.sql.DataFrame,
+        name: String, mtime: Long): Unit = {
+      val stage = Files.createTempDirectory("graft-oij-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    // clicks: users 1..6 at hours 1..6; views: users 1..3 five minutes
+    // before their click (inside [c_ts−12h, c_ts]) + an unmatched user 7
+    val clicks = (1 to 6).map(i => (i.toLong, ts(i), 100L + i))
+      .toDF("c_user", "c_ts", "click_id")
+    val views = ((1 to 3).map(i => (i.toLong, ts(i - 1.0 / 12), 200L + i)) :+
+      (7L, ts(2), 207L)).toDF("v_user", "v_ts", "view_id")
+    val clickPush = Seq((99L, ts(100), 999L)).toDF("c_user", "c_ts", "click_id")
+    val viewPush = Seq((98L, ts(100), 998L)).toDF("v_user", "v_ts", "view_id")
+    def results(joinType: String): Set[(Option[Long], Option[Long])] = {
+      val cDir = Files.createTempDirectory(s"graft-oij-c-$joinType")
+      val vDir = Files.createTempDirectory(s"graft-oij-v-$joinType")
+      writeDf(cDir, clicks, "b0.parquet", 1700000000000L)
+      writeDf(vDir, views, "b0.parquet", 1700000000000L)
+      writeDf(cDir, clickPush, "b1.parquet", 1700000060000L)
+      writeDf(vDir, viewPush, "b1.parquet", 1700000060000L)
+      val j = Streams.intervalJoin(
+        Streams.readParquetStream(spark, cDir.toString, clicks.schema, maxFilesPerTrigger = 1),
+        Streams.readParquetStream(spark, vDir.toString, views.schema, maxFilesPerTrigger = 1),
+        F.col("c_user") === F.col("v_user"),
+        "c_ts", "v_ts", before = "12 HOURS", after = "0 SECONDS",
+        watermark = "1 minute", joinType = joinType)
+      val q = Streams.runToMemory(j.select("click_id", "view_id"), s"oij_$joinType")
+      q.stop()
+      spark.table(s"oij_$joinType").collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .filter(p => !p._1.contains(999L) && !p._2.contains(998L)).toSet
+    }
+    def batchExp(joinType: String): Set[(Option[Long], Option[Long])] =
+      clicks.join(views,
+          F.col("c_user") === F.col("v_user") &&
+            F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 12 HOURS") &&
+            F.col("v_ts") <= F.col("c_ts"), joinType)
+        .select("click_id", "view_id").collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    val lo = results("left_outer")
+    assert(lo == batchExp("left_outer"), s"left_outer: $lo")
+    // matched 1..3 plus null-view rows for 4..6 — both shapes present
+    assert(lo.count(_._2.isEmpty) == 3 && lo.count(_._2.nonEmpty) == 3)
+    val fo = results("full_outer")
+    assert(fo == batchExp("full_outer"), s"full_outer: $fo")
+    // full outer additionally finalizes the unmatched view (user 7)
+    assert(fo.contains((None, Some(207L))), s"full_outer missing null-left row: $fo")
+  }
+
   test("streaming sessionization matches the batch session_window computation") {
     val dir = Files.createTempDirectory("graft-stream-sess")
     val batch = eventsBatch.select("user_id", "ts")
@@ -389,6 +455,68 @@ class StreamingSpec extends AnyFunSuite {
     val hits3 = spark.read.parquet(out3).where(F.col("id") === 10L).collect()
     assert(hits3.nonEmpty && hits3.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 1.0),
       s"in-window copy must match canonical, got ${hits3.mkString(",")}")
+  }
+
+  test("running totals TTL evicts idle keys and restarts expired totals") {
+    import spark.implicits._
+    val kvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def writeKv(dir: java.nio.file.Path, rows: Seq[(String, Double)],
+        name: String, mtime: Long): Unit = {
+      val stage = Files.createTempDirectory("graft-rt-stage")
+      rows.toDF("key", "value").coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    @annotation.nowarn("cat=deprecation")
+    def runOnce(dir: String, out: String, ckpt: String,
+        ttlMs: Option[Long]): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = Streams.readParquetStream(spark, dir, kvSchema,
+        maxFilesPerTrigger = 1).as[(String, Double)]
+      val totals = Streams.runningTotals(stream, stateTtlMs = ttlMs)
+      val q = totals.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination()
+      q
+    }
+    val ttl = Some(500L)
+    val dir = Files.createTempDirectory("graft-rt-ttl")
+    val out = Files.createTempDirectory("graft-rt-ttl-out").toString
+    val ck = Files.createTempDirectory("graft-rt-ttl-ck").toString
+    writeKv(dir, Seq("a" -> 1.0, "b" -> 2.0), "b0.parquet", 1700000000000L)
+    runOnce(dir.toString, out, ck, ttl).stop()
+    Thread.sleep(1200)
+    // after the TTL: 'a' restarts from zero (stale state), 'b' is evicted
+    writeKv(dir, Seq("a" -> 5.0), "b1.parquet", 1700000060000L)
+    val q = runOnce(dir.toString, out, ck, ttl)
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    q.stop()
+    assert(stateRows.contains(1L), s"state rows after eviction: $stateRows")
+    val a2 = spark.read.parquet(out).as[Streams.SessionUpdate].collect()
+      .filter(_.key == "a").map(u => (u.events, u.valueSum)).toSet
+    // run 1 emitted (1, 1.0); run 2 must RESTART at (1, 5.0), never (2, 6.0)
+    assert(a2 == Set((1L, 1.0), (1L, 5.0)),
+      s"expired totals must restart from zero, got $a2")
+    // in-window (generous TTL): totals accumulate across the same gap
+    val dir2 = Files.createTempDirectory("graft-rt-ttl2")
+    val out2 = Files.createTempDirectory("graft-rt-ttl2-out").toString
+    val ck2 = Files.createTempDirectory("graft-rt-ttl2-ck").toString
+    writeKv(dir2, Seq("a" -> 1.0), "b0.parquet", 1700000000000L)
+    runOnce(dir2.toString, out2, ck2, Some(3600000L)).stop()
+    Thread.sleep(600)
+    writeKv(dir2, Seq("a" -> 5.0), "b1.parquet", 1700000060000L)
+    runOnce(dir2.toString, out2, ck2, Some(3600000L)).stop()
+    val a3 = spark.read.parquet(out2).as[Streams.SessionUpdate].collect()
+      .filter(_.key == "a").maxBy(_.events)
+    assert(a3.events == 2L && a3.valueSum == 6.0, s"in-window must accumulate: $a3")
   }
 
   test("exactly-once store sink: one version per batch, replay publishes nothing") {
