@@ -154,6 +154,44 @@ final case class FileSource(
       Map("last_modified" -> java.time.Instant.ofEpochMilli(maxMtime).toString)
     }
   }
+
+  /** Reference uri-setter semantics (file_inputs.py `@uri.setter`, proven
+    * by `test_input_s3_modified_uri`): re-pointing a source at a new
+    * location RE-DERIVES the implicit format from the new extension — a
+    * source built for `data.parquet` then moved to `data.csv` reads CSV.
+    * Only meaningful on sources whose format was implicit ([[FileSource.auto]]);
+    * a format pinned explicitly for an extension-less path should not be
+    * retargeted through this. */
+  def retargeted(newPattern: String): FileSource =
+    copy(pattern = newPattern, format = FileSource.implicitFormat(newPattern))
+}
+
+object FileSource {
+  /** Implicit format from the location's extension (reference:
+    * `_format.py get_implicit_format_from_list` — csv, parquet, avro,
+    * ndjson/jsonl, log are the recognized implicit formats; anything else
+    * must pass an explicit format object). */
+  def implicitFormat(pattern: String): String = {
+    val name = pattern.split('/').last
+    val ext = if (name.contains('.')) name.split('.').last.toLowerCase else ""
+    ext match {
+      case "csv"                       => "csv"
+      case "parquet"                   => "parquet"
+      case "avro"                      => "avro"
+      case "ndjson" | "jsonl" | "json" => "ndjson"
+      case "log" | "txt"               => "log"
+      case "orc"                       => "orc"
+      case other => throw new IllegalArgumentException(
+        s"cannot derive an implicit format from '$pattern' " +
+          s"(extension '$other') — pass an explicit format")
+    }
+  }
+
+  /** [[FileSource]] with its format derived from the extension, the
+    * reference's default construction path (format=None → implicit). */
+  def auto(pattern: String, options: Map[String, String] = Map.empty,
+      modifiedAfter: Option[String] = None): FileSource =
+    FileSource(pattern, implicitFormat(pattern), options, modifiedAfter)
 }
 
 /** Multi-URI file input (reference: file_inputs.py URI-list form,

@@ -1421,4 +1421,185 @@ class GoldenSpec extends AnyFunSuite {
     paths.foreach(p => check(spark.read.json(p),
       s"$golden/output_multiple_files/expected_result.json"))
   }
+
+  test("golden: initial_last_modified selects one file; empty second run falls back (rs input_s3_select_datetime)") {
+    // the reference publisher handles all three listing outcomes: exactly
+    // one file newer than initial_last_modified (drop_nulls it), none
+    // (publish the literal fallback frame {"answer": 42} — its
+    // expected_result_second_run.json), several (raise). Run 1 must see
+    // ONLY the newer file (the initial watermark excludes the old one,
+    // unlike file_incremental, which starts unfiltered); run 2 sees
+    // nothing new and publishes the fallback.
+    import graft.sources.FileSource
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-golden-seldt")
+    def stage(name: String, at: java.time.Instant): Unit = {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$golden/select_datetime_runs/$name"),
+        in.resolve(name))
+      Files.setLastModifiedTime(in.resolve(name),
+        java.nio.file.attribute.FileTime.from(at))
+    }
+    stage("data_old.csv", java.time.Instant.parse("2024-09-04T00:00:00Z"))
+    stage("data_new.csv", java.time.Instant.parse("2024-09-06T00:00:00Z"))
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-seldt-store").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val src = FileSource(s"$in/*.csv", "csv",
+      modifiedAfter = Some("2024-09-05T01:01:00.01Z"))
+    engine.publisher("pub", "c", Seq("t")) { ctx =>
+      val dfs = src.load(spark, ctx.offsets)
+      src.nextOffsets(dfs).foreach { case (k, v) => ctx.setOffset(k, v) }
+      dfs match {
+        case Seq(one) => Seq(TableFrame.fromRaw(one).drop_nulls())
+        case Seq()    => Seq(TableFrame.fromRaw(Seq(42L).toDF("answer")))
+        case many => throw new IllegalStateException(
+          s"Expected exactly one file or none to be imported, ${many.length} found instead.")
+      }
+    }
+    engine.trigger("pub")
+    check(store.scan("c/t").get.df,
+      s"$golden/select_datetime_runs/expected_result.json")
+    engine.trigger("pub") // nothing new: the fallback frame publishes
+    check(store.scan("c/t").get.df,
+      s"$golden/select_datetime_runs/expected_result_second_run.json")
+  }
+
+  test("golden: typed CSVFormat OBJECT on an extension-less file (rs input_s3_explicit_format_object)") {
+    // the string-format twin is `explicit_format`; here the format is the
+    // typed object with its defaults (td.CSVFormat()), proving the object
+    // surface carries the same read behavior field-for-field
+    import graft.sources.{CsvFormat, FileFormatSpec}
+    val df = FileFormatSpec.read(spark,
+      s"$golden/explicit_format_object/data_no_extension", CsvFormat())
+    check(TableFrame.fromRaw(df).drop_nulls().df,
+      s"$golden/explicit_format_object/expected_result.json")
+  }
+
+  test("golden: retargeted uri re-derives the implicit format (rs input_s3_modified_uri)") {
+    // the reference builds an S3Source for data.parquet then mutates
+    // source.uri to data.csv — the uri setter re-derives the implicit
+    // format, so the read parses CSV (file_inputs.py @uri.setter)
+    import graft.sources.FileSource
+    val src = FileSource.auto("/nonexistent/staging/data.parquet")
+    assert(src.format == "parquet")
+    val moved = src.retargeted(s"$golden/modified_uri/data.csv")
+    assert(moved.format == "csv")
+    val df = moved.load(spark, Map.empty).head
+    check(TableFrame.fromRaw(df).drop_nulls().df,
+      s"$golden/modified_uri/expected_result.json")
+    // an extension the reference cannot derive fails loudly
+    intercept[IllegalArgumentException](FileSource.auto("/x/data.xlsx"))
+  }
+
+  test("golden: catalog sink appends into an existing table (rs output_s3_catalog_append)") {
+    // if_table_exists="append" against a pre-existing catalog table: the
+    // new rows join the old ones, schema unchanged (session catalog
+    // standing in for Glue — CatalogSpec proves the strategy matrix; this
+    // corpus case pins the resulting table CONTENT)
+    import spark.implicits._
+    val table = s"golden_append_${System.nanoTime()}"
+    graft.sources.CatalogSink(table).write(
+      Seq(("quito", 2011)).toDF("city", "pop"))
+    graft.sources.CatalogSink(table, ifTableExists = "append").write(
+      FileSource(s"$golden/catalog_append/data.csv", "csv")
+        .load(spark, Map.empty).head)
+    check(spark.table(table), s"$golden/catalog_append/expected_result.json")
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("golden: strict schema strategy appends same-schema rows, rejects drift (rs output_s3_catalog_schema_strategy)") {
+    import spark.implicits._
+    val table = s"golden_strict_${System.nanoTime()}"
+    graft.sources.CatalogSink(table).write(Seq(("bolt", 1)).toDF("sku", "qty"))
+    val sink = graft.sources.CatalogSink(table, ifTableExists = "append",
+      schemaStrategy = "strict")
+    sink.write(FileSource(s"$golden/catalog_schema_strategy/data.csv", "csv")
+      .load(spark, Map.empty).head)
+    check(spark.table(table),
+      s"$golden/catalog_schema_strategy/expected_result_catalog.json")
+    // drift under strict: a new incoming column is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      sink.write(Seq(("nut", 9, "steel")).toDF("sku", "qty", "material"))
+    }
+    assert(ex.getMessage.contains("strict schema"), ex.getMessage)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("golden: environment-resolved credentials reach the connection (rs input_s3_environment_secret)") {
+    // the reference resolves EnvironmentSecret lazily in the backend
+    // (_secret.py:262-275); here the same pair flows into a JDBC roundtrip
+    // (embedded Derby accepts any user/password — what's proven is that
+    // resolution happens at CONNECTION time and the properties carry the
+    // resolved values, plus the loud missing-variable failure)
+    import spark.implicits._
+    import graft.sources.{EnvironmentSecret, JdbcSink, JdbcSource, Secret,
+      UserPasswordCredentials}
+    val creds = UserPasswordCredentials(
+      Secret("app"), EnvironmentSecret("HOME"))
+    val props = creds.jdbcProperties
+    assert(props("user") == "app" && props("password") == sys.env("HOME"))
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-golden-envsec")}/db;create=true"
+    JdbcSink(url, "stock", mode = "append", properties = props)
+      .write(Seq(("widget", 4), ("gear", 7)).toDF("sku", "qty"))
+    val back = JdbcSource(url, Seq("""SELECT "sku", "qty" FROM stock"""),
+        properties = props)
+      .load(spark, Map.empty).head
+    check(back, s"$golden/environment_secret/expected_result.json")
+    // a missing variable fails loudly at resolution, not silently empty
+    val missing = intercept[NoSuchElementException](
+      EnvironmentSecret("GRAFT_NO_SUCH_VAR_42").secretValue)
+    assert(missing.getMessage.contains("GRAFT_NO_SUCH_VAR_42"))
+    // secrets never print their material
+    assert(!creds.toString.contains("app") ||
+      creds.toString.contains("DirectSecret(***)"))
+    assert(!graft.sources.DirectSecret("hunter2").toString.contains("hunter2"))
+    // HashiCorp env contract (rs input_s3_hashicorp_secret): without
+    // TDS_<vault>_URL/TOKEN resolution fails loudly naming the variable
+    val hv = intercept[Exception](
+      graft.sources.HashiCorpSecret("path/to", "key", "MYVAULT").secretValue)
+    def chainHas(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) || chainHas(t.getCause, s))
+    assert(chainHas(hv, "TDS_MYVAULT_URL"), hv.toString)
+    intercept[IllegalArgumentException](
+      graft.sources.HashiCorpSecret("p", "n", "9bad"))
+  }
+
+  test("golden: basic source plugin stages a file and feeds one table (rs input_plugin)") {
+    // the reference Importer(folder, file) copies source_1.csv into the
+    // plugin working dir and the engine loads it; another_file.csv in the
+    // same folder must NOT leak in (the plugin picks its file, not a glob)
+    import graft.sources.FileSource
+    val store = new TableStore(
+      Files.createTempDirectory("graft-golden-pbasic").toString, spark)
+    val engine = new FlowEngine(store, spark)
+    val src = new graft.sources.Source {
+      override def load(s: org.apache.spark.sql.SparkSession,
+          offsets: Map[String, String]) = {
+        val work = Files.createTempDirectory("graft-plugin-work")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$golden/input_plugin_basic/source_1.csv"),
+          work.resolve("staged.csv"))
+        FileSource(s"$work/staged.csv", "csv").load(s, Map.empty)
+      }
+    }
+    engine.publisher("pub", "c", Seq("t")) { ctx =>
+      src.load(spark, ctx.offsets).map(TableFrame.fromRaw(_))
+    }
+    engine.trigger("pub")
+    check(store.scan("c/t").get.df,
+      s"$golden/input_plugin_basic/expected_result.json")
+  }
+
+  test("golden: single parquet file destination round-trips drop_nulls (rs output_file)") {
+    // the reference subscriber writes output_file_parquet.parquet via
+    // LocalFileDestination; the parquet read-back equals the dropped frame
+    val out = Files.createTempDirectory("graft-golden-outparquet").toString
+    val result = TableFrame.fromRaw(
+      readCase("output_parquet", "data.csv", "csv")).drop_nulls()
+    FileSink(s"$out/output_file_parquet.parquet", format = "parquet")
+      .write(result.df)
+    check(spark.read.parquet(s"$out/output_file_parquet.parquet"),
+      s"$golden/output_parquet/expected_result.json")
+  }
 }
