@@ -143,6 +143,13 @@ object ExtendedOracles {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts >= c.ts - INTERVAL 12 HOUR AND v.ts <= c.ts
         |ORDER BY click_id, view_id""".stripMargin,
+    "q_stream_interval_join_outer" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 12 HOUR AND v.ts <= c.ts
+        |ORDER BY click_id, view_id NULLS FIRST""".stripMargin,
     "q_version_diff" ->
       s"""$VersionDiffSql ORDER BY o_orderkey""",
     "q_version_diff_summary" ->

@@ -233,6 +233,40 @@ object ExtendedQueries {
           j.select("click_id", "view_id"), "q_stream_ij_", "append")
         .orderBy("click_id", "view_id")
     }),
+    "q_stream_interval_join_outer" -> ((s, dir) => {
+      // left_outer attribution THROUGH Structured Streaming: a null match
+      // may only emit once the watermark proves no partner can arrive, so
+      // a far-future pusher row on each side (its own LATER micro-batch
+      // via mtime-ordered staging + maxFilesPerTrigger=1) advances the
+      // watermark past every data row. The pushers themselves are not
+      // watermark-finalized (nothing outruns them) and are filtered; the
+      // emitted rows then equal the plain batch LEFT OUTER interval join.
+      import graft.streaming.{StreamStage, Streams}
+      val ev = t(s, dir, "events").df
+      val maxTs = ev.agg(F.max("ts")).head.getTimestamp(0) // 1-row scalar
+      val pushTs = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+      import s.implicits._
+      val (ldir, lsch) = StreamStage.stageOrdered(s, s"$dir/oij_left", Seq(
+        () => ev.where(F.col("event_type") === "click")
+          .select(F.col("user_id").as("c_user"), F.col("ts").as("c_ts"),
+            F.col("event_id").as("click_id")),
+        () => Seq((-1L, pushTs, -1L)).toDF("c_user", "c_ts", "click_id")))
+      val (rdir, rsch) = StreamStage.stageOrdered(s, s"$dir/oij_right", Seq(
+        () => ev.where(F.col("event_type") === "view")
+          .select(F.col("user_id").as("v_user"), F.col("ts").as("v_ts"),
+            F.col("event_id").as("view_id")),
+        () => Seq((-2L, pushTs, -2L)).toDF("v_user", "v_ts", "view_id")))
+      val j = Streams.intervalJoin(
+        Streams.readParquetStream(s, ldir, lsch, maxFilesPerTrigger = 1),
+        Streams.readParquetStream(s, rdir, rsch, maxFilesPerTrigger = 1),
+        F.col("c_user") === F.col("v_user"),
+        "c_ts", "v_ts", before = "12 HOURS", after = "0 SECONDS",
+        watermark = "1 minute", joinType = "left_outer")
+      StreamStage.runToMemory(
+          j.select("click_id", "view_id"), "q_stream_oij_", "append")
+        .where(F.col("click_id") >= 0L)
+        .orderBy(F.col("click_id").asc, F.col("view_id").asc_nulls_first)
+    }),
     "q_stateful_counts" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events").df

@@ -255,6 +255,20 @@ object ScaleOracles {
         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0
         |  UNION ALL
         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 1)
-        |ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC""".stripMargin
+        |ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC""".stripMargin,
+    "q_group_quantiles_hot" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT lang, q, n_chars AS value
+        |FROM s JOIN qv ON s.rk = GREATEST(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY lang, q""".stripMargin,
+    "q_export_pruned_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -254,6 +254,37 @@ object ScaleQueries {
     // bounds its error against the exact count
     "q_approx_nunique" -> ((s, dir) => {
       t(s, dir, "lineitem").approx_n_unique("l_partkey").df
+    }),
+    "q_group_quantiles_hot" -> ((s, dir) => {
+      // the same per-group order statistics as q_group_quantiles, but with
+      // hotGroupThreshold forced low so EVERY language routes through the
+      // ScalableRank global fallback — the skew path must be bit-identical
+      // to the keyed-window plan (and to the SQL definition)
+      graft.operators.Quantiles.exactQuantilesByGroup(
+          d(s, dir, "documents"), "lang", "n_chars",
+          qs = Seq(0.5, 0.9, 0.99), tiebreakers = Seq("doc_id"),
+          hotGroupThreshold = 100L)
+        .orderBy("lang", "q")
+    }),
+    "q_export_pruned_partitioned" -> ((s, dir) => {
+      // the round-11 export path END TO END: sharded jsonl export
+      // partitioned by lang and range-sorted by doc_id (zone-map
+      // manifest + schema stamp), then a manifest-pruned read of one
+      // doc_id range — partition columns recovered via basePath, schema
+      // pinned from the O(1) stamp (no inference scan). The zone map is
+      // shard-granular, so an exact range filter tightens to the oracle's
+      // BETWEEN; the result is the plain relational subset.
+      val docs = d(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-gate-export").toString + "/corpus"
+      graft.pipeline.Export.writeSharded(docs, out, format = "jsonl",
+        maxRecordsPerFile = 100L, partitionBy = Seq("lang"),
+        sortBy = Seq("doc_id"))
+      graft.pipeline.Export.readPruned(s, out, "jsonl",
+          "doc_id", 100L, 299L)
+        .where(F.col("doc_id").between(100L, 299L))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 }

@@ -28,6 +28,34 @@ object StreamStage {
     (dir, s.read.parquet(dir).schema)
   }
 
+  /** Stage an ORDERED sequence of parts as one parquet stream-source dir:
+    * each part's files carry strictly increasing mtimes, so a reader with
+    * `maxFilesPerTrigger = 1` replays the parts as separate micro-batches
+    * in sequence — the watermark-pusher harness outer-join finalization
+    * needs (a null match only emits once the watermark proves no partner
+    * can arrive, and the watermark only advances BETWEEN batches). Cached
+    * once per key, like [[stage]]. */
+  def stageOrdered(s: SparkSession, key: String,
+      parts: Seq[() => DataFrame]): (String, StructType) = {
+    val dir = staged.getOrElseUpdate(key, {
+      val tmp = Files.createTempDirectory("graft-stage-ord")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val st = Files.createTempDirectory("graft-stage-part")
+        p().coalesce(1).write.mode("overwrite").parquet(st.toString)
+        st.toFile.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .zipWithIndex.foreach { case (f, j) =>
+            val dst = tmp.resolve(f"part-$i%03d-$j%02d.parquet")
+            java.nio.file.Files.copy(f.toPath, dst)
+            require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+          }
+      }
+      tmp.toString
+    })
+    (dir, s.read.parquet(dir).schema)
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the sink table.
     *
