@@ -60,6 +60,112 @@ object Report {
         .as("est"))
       .head().getLong(0)
 
+  /** MERGEABLE quantile sketch: a fixed-grid histogram over [lo, hi) with
+    * explicit underflow/overflow tails — the quantile-family sibling of
+    * [[distinctSketch]]'s HLL algebra. One pass builds per-group count
+    * arrays (`bins + 2` longs: [underflow, bin 0..bins-1, overflow]);
+    * sketches persist as plain parquet array columns, and
+    * [[mergeQuantileSketches]] adds them ELEMENTWISE without rescanning
+    * the data — per-version / per-shard length distributions roll up
+    * incrementally across a corpus's history. Unlike percentile_approx
+    * (not persistable) or KLL (not shipped in Spark), this sketch is
+    * DETERMINISTIC: the same rows give the same array under any
+    * partitioning, so its quantile answers are oracle-checkable, with
+    * error bounded by the grid width (hi−lo)/bins. The grid is chosen
+    * a priori (domain knowledge, or a first-pass min/max); values
+    * landing outside it are COUNTED in the tails, never dropped, so
+    * n is exact and a mis-sized grid is visible in the tail counts.
+    * NULL values carry no bin (same rule as [[histogram]]).
+    * Output: (group?, counts: array<long>, n: long). */
+  def quantileSketch(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int, groupCol: Option[String] = None): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val x = F.col(valueCol).cast("double")
+    // bin index in [0, bins+1]: 0 = underflow, 1..bins = grid, bins+1 = overflow
+    val idx = (F.when(x < lo, F.lit(0L))
+      .when(x >= hi, F.lit((bins + 1).toLong))
+      .otherwise(F.least(F.lit(bins.toLong),
+        F.floor((x - F.lit(lo)) * F.lit(bins.toDouble) / F.lit(hi - lo)) + 1L)))
+      .as("td_bin")
+    val keyCols = groupCol.toSeq.map(F.col)
+    val binned = df.where(x.isNotNull)
+      .select(keyCols :+ idx: _*)
+      .groupBy(keyCols :+ F.col("td_bin"): _*)
+      .agg(F.count(F.lit(1)).as("td_n"))
+    // dense (bins+2)-array per group: scatter the sparse (bin, n) pairs
+    // into a map, read every slot (absent -> 0) — k rows per group in,
+    // one row per group out, no window, no driver materialization
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(F.col("td_bin"), F.col("td_n"))))
+    val counts = F.transform(
+      F.sequence(F.lit(0L), F.lit((bins + 1).toLong)),
+      i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
+    val grouped =
+      if (groupCol.isDefined) binned.groupBy(keyCols: _*).agg(m.as("td_m"))
+      else binned.agg(m.as("td_m"))
+    grouped
+      .select(keyCols ++ Seq(counts.as("counts")): _*)
+      .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
+  }
+
+  /** Union previously-built quantile sketches (same grid) into one:
+    * elementwise array addition — no data rescan, the same algebra as
+    * [[mergeDistinctSketches]]. Input: any relation of `counts` arrays
+    * (e.g. one per stored version); output: one (counts, n) row. */
+  def mergeQuantileSketches(sketches: DataFrame,
+      countsCol: String = "counts"): DataFrame = {
+    val len = F.size(F.col(countsCol))
+    val summed = sketches
+      .select(F.col(countsCol), len.as("td_len"))
+      .groupBy(F.col("td_len"))
+      .agg(F.array_sort(F.collect_list(F.col(countsCol))).as("td_all"))
+    // grids must agree: differing array lengths mean different sketches
+    val one = summed.agg(F.count(F.lit(1)).as("k")).head().getLong(0)
+    require(one <= 1, "cannot merge quantile sketches with different grids")
+    summed.select(
+        F.aggregate(F.col("td_all"),
+          F.array_repeat(F.lit(0L), 0).cast("array<long>"),
+          (acc, arr) => F.when(F.size(acc) === 0, arr)
+            .otherwise(F.zip_with(acc, arr, _ + _))).as(countsCol))
+      .withColumn("n", F.aggregate(F.col(countsCol), F.lit(0L), _ + _))
+  }
+
+  /** Answer quantiles FROM a sketch: for each q, the lower edge of the
+    * first grid cell whose cumulative count reaches ceil(q·n) — a
+    * deterministic under-estimate within one grid width of the exact
+    * order statistic (the underflow tail answers lo; an overflow hit
+    * answers hi). One row per q: (q, value). */
+  def sketchQuantiles(sketch: DataFrame, lo: Double, hi: Double,
+      qs: Seq[Double], countsCol: String = "counts"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val bins = sketch.select(F.size(F.col(countsCol))).head().getInt(0) - 2
+    val width = (hi - lo) / bins
+    val qDf = qs.distinct.sorted.toDF("q")
+    sketch.select(F.col(countsCol), F.col("n"))
+      .crossJoin(F.broadcast(qDf))
+      .select(F.col("q"), F.col("n"),
+        // first index with cumsum >= k, via a running-total scan
+        F.aggregate(F.col(countsCol),
+          F.struct(F.lit(0L).as("cum"), F.lit(-1).as("hit"), F.lit(0).as("i")),
+          (st, c) => F.struct(
+            (st("cum") + c).as("cum"),
+            F.when(st("hit") >= 0, st("hit"))
+              .when(st("cum") + c >=
+                F.greatest(F.lit(1L), F.ceil(F.col("q") * F.col("n"))), st("i"))
+              .otherwise(F.lit(-1)).as("hit"),
+            (st("i") + 1).as("i")),
+          st => st("hit")).as("td_idx"))
+      .select(F.col("q"),
+        F.when(F.col("td_idx") <= 0, F.lit(lo))
+          .when(F.col("td_idx") >= bins + 1, F.lit(hi))
+          .otherwise(F.lit(lo) + (F.col("td_idx") - 1).cast("double") * F.lit(width))
+          .as("value"))
+  }
+
   /** Exact equi-width histogram of a numeric column — the length/score
     * distribution plot behind every dataset card, computed exactly: the
     * [min, max] range rides as a broadcast 1-row relation, each row maps

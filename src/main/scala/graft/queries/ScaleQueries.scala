@@ -266,6 +266,23 @@ object ScaleQueries {
           hotGroupThreshold = 100L)
         .orderBy("lang", "q")
     }),
+    "q_quantile_sketch" -> ((s, dir) => {
+      // mergeable quantile sketch END TO END: two half-corpus sketches
+      // (fixed 64-cell grid over [0, 640)) merged ELEMENTWISE, then
+      // quantiles answered from the merged counts — the oracle states the
+      // same deterministic binning + cumulative walk over the WHOLE
+      // corpus, so the gate also proves merge(a, b) == sketch(a ∪ b)
+      import graft.pipeline.Report
+      val docs = d(s, dir, "documents").select("doc_id", "n_chars")
+      val a = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 0), "n_chars", 0.0, 640.0, 64)
+      val b = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 1), "n_chars", 0.0, 640.0, 64)
+      val merged = Report.mergeQuantileSketches(
+        a.select("counts").unionByName(b.select("counts")))
+      Report.sketchQuantiles(merged, 0.0, 640.0, Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
     "q_export_pruned_partitioned" -> ((s, dir) => {
       // the round-11 export path END TO END: sharded jsonl export
       // partitioned by lang and range-sorted by doc_id (zone-map

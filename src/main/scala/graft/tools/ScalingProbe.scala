@@ -230,6 +230,14 @@ object ScalingProbe {
         val s3 = s0.where(F.col("doc_id") % 4 =!= 0)
         graft.store.VersionDiff.history(Seq(s0, s2, s3), Seq("doc_id")).count()
       }),
+      ("quantile_sketch", 100, { d =>
+        // one-pass mergeable grid sketch per 20-way group: two keyed aggs,
+        // k·(bins+2) output cells, no window, no sort
+        graft.pipeline.Report.quantileSketch(
+          d.withColumn("g", (F.col("doc_id") % 20).cast("string"))
+            .withColumn("n", F.length(F.col("text"))),
+          "n", 0.0, 4096.0, 256, groupCol = Some("g")).count()
+      }),
       ("group_quantiles_skew", 100, { d =>
         // one pathologically hot group (~70% of all rows) + 9 cold groups:
         // the hot group must route through the global range-shuffle

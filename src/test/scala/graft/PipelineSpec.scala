@@ -925,6 +925,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(re == got) // bit-identical under repartitioning
   }
 
+  test("quantile sketch: mergeable, persistable, deterministic, grid-width error bound") {
+    import spark.implicits._
+    import graft.pipeline.Report
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars")
+    val (lo, hi, bins) = (0.0, 640.0, 64)
+    // merge algebra: sketch(A) ⊕ sketch(B) == sketch(A ∪ B), bit-exact
+    val whole = Report.quantileSketch(docs, "n_chars", lo, hi, bins)
+      .select("counts", "n").head()
+    val a = Report.quantileSketch(
+      docs.where(F.col("doc_id") % 2 === 0).repartition(7), "n_chars", lo, hi, bins)
+    val b = Report.quantileSketch(
+      docs.where(F.col("doc_id") % 2 === 1).repartition(3), "n_chars", lo, hi, bins)
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsketch").toString
+    a.select("counts").unionByName(b.select("counts"))
+      .write.mode("overwrite").parquet(dir) // persists as plain parquet
+    val merged = Report.mergeQuantileSketches(spark.read.parquet(dir)).head()
+    assert(merged.getSeq[Long](0) == whole.getSeq[Long](0))
+    assert(merged.getLong(1) == whole.getLong(1) && whole.getLong(1) == docs.count())
+    // sketch answers are within one grid width of the exact order statistic
+    val exact = graft.operators.Quantiles.exactQuantiles(
+        docs, "n_chars", Seq(0.5, 0.9, 0.99), tiebreakers = Seq("doc_id"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1).toDouble).toMap
+    val est = Report.sketchQuantiles(
+        Report.mergeQuantileSketches(spark.read.parquet(dir)), lo, hi,
+        Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val width = (hi - lo) / bins
+    est.foreach { case (q, v) =>
+      assert(math.abs(v - exact(q)) <= width,
+        s"q=$q sketch $v vs exact ${exact(q)} beyond one cell ($width)")
+      assert(v <= exact(q), "lower-edge answer must not overshoot")
+    }
+    // tails COUNT out-of-grid and NULL values carry no bin
+    val edge = Seq(Some(-5L), Some(5L), Some(9999L), None).toDF("x")
+    val sk = Report.quantileSketch(edge, "x", lo, hi, bins).head()
+    val counts = sk.getSeq[Long](0)
+    assert(counts.head == 1L && counts.last == 1L && sk.getLong(1) == 3L,
+      s"tails/nulls wrong: $counts n=${sk.getLong(1)}")
+    // per-group variant: one array per group, each summing to the group size
+    val grouped = Report.quantileSketch(
+        spark.read.parquet(s"$sf/documents.parquet"), "n_chars", lo, hi, bins,
+        groupCol = Some("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val sizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == sizes)
+    // grids must agree to merge
+    val other = Report.quantileSketch(docs, "n_chars", lo, hi, 32)
+    val ex = intercept[IllegalArgumentException] {
+      Report.mergeQuantileSketches(
+        a.select("counts").unionByName(other.select("counts"))).collect()
+    }
+    assert(ex.getMessage.contains("different grids"), ex.getMessage)
+  }
+
   test("histogram: NULL values carry no bin (not silently counted in the top bin)") {
     import spark.implicits._
     import graft.pipeline.Report

@@ -542,6 +542,12 @@ class PlanSpec extends AnyFunSuite {
     val hg = plan(graft.pipeline.Report.histogram(
       docs.select("n_chars"), "n_chars", 20))
     assert(!hg.contains("Window") && !hg.contains("CartesianProduct"), hg)
+    // quantile sketch: keyed aggregations only — no window, no sort-merge
+    // join, no cartesian; the dense-array scatter is a row-local transform
+    val qs = plan(graft.pipeline.Report.quantileSketch(
+      docs, "n_chars", 0.0, 640.0, 64, groupCol = Some("lang")))
+    assert(!qs.contains("Window") && !qs.contains("CartesianProduct") &&
+      !qs.contains("SortMergeJoin"), qs)
   }
 
   test("store partition pruning: partition filter never reaches row scan") {
