@@ -94,7 +94,23 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full)
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val regressions = regressionsVsPrevRound(byName.view.mapValues(_.min).toMap)
+    // Burst-adjudicating tripwire: any query whose min exceeds the prior
+    // round's is a SUSPECT, re-timed ONCE at the very END of the run (the
+    // quietest tail moment — all gates done, sentinel history known). A
+    // contamination burst during the main loop can inflate all three
+    // repeats of one alphabetical neighborhood while the 20-gate sentinel
+    // stays flat (round 11: q_text_stats read 13× slow on untouched code);
+    // a code regression reproduces at the tail, a burst does not — so
+    // `regressions` lists only END-OF-RUN-CONFIRMED entries and `suspects`
+    // records the evidence [prev, now, retime] either way.
+    val regressions = adjudicatedRegressions(
+      byName.view.mapValues(_.min).toMap,
+      q => {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(q)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      })
     val sentinelJson = (for (f <- sentinelFirst; w <- sentinelWorst) yield
       s""""sentinel":{"first":${fmt(f)},"worst":${fmt(w)}},""").getOrElse("")
     println(s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","n_queries":${results.size},"n_repeats":$repeats,"failed":$failedJson,"interference":$interference,$sentinelJson"queries":${span(_.median)},"queries_min":${span(_.min)},$regressions"sf":"$sfDir"}""")
@@ -109,20 +125,69 @@ object Bench {
   private val SentinelEvery = 20
   private val SentinelDriftFactor = 1.5
 
-  /** Regression tripwire: compare this run's per-query MINIMA against the
-    * newest `BENCH_r*.json` in the working directory (the driver's record of
-    * the previous round; override with SPARK_GRAFT_BENCH_PREV). Minima, not
-    * medians: one-sided CPU contention inflates the median of 3 (rounds 4-6
-    * each produced driver-side median "regressions" of 2-10× on unchanged
-    * queries) but rarely all three repeats, so the min survives contaminated
-    * runs that medians don't. The prior round's minima are read from its
-    * `queries_min` span when present, falling back to `queries` (medians)
-    * for pre-r7 files — an upper bound on the prior cost, so the fallback
-    * only under-flags. A query is flagged when it is both >1.5× and >0.25 s
-    * slower — the absolute floor keeps sub-second jitter out. Emits
-    * `"regressions":{"q":[prev,now]},` (empty object when clean, empty
-    * string when no prior file). */
-  private def regressionsVsPrevRound(now: Map[String, Double]): String = {
+  /** A query is suspect when it is both >1.5× and >0.25 s slower than the
+    * prior round's min — the absolute floor keeps sub-second jitter out. */
+  private[graft] def exceedsPrior(prev: Double, now: Double): Boolean =
+    now > prev * 1.5 && now - prev > 0.25
+
+  /** Compare this run's per-query MINIMA against the prior round's, then
+    * ADJUDICATE each suspect with one end-of-run retime (`retime` returns
+    * the quiet-tail seconds, None on failure → the suspicion stands).
+    * Minima, not medians: one-sided CPU contention inflates the median of
+    * 3 (rounds 4-6 produced driver-side median "regressions" of 2-10× on
+    * unchanged queries) but rarely all three repeats — and when a burst DOES
+    * catch all three (round 11), the tail retime refutes it in-artifact
+    * instead of costing a manual re-measure. Emits
+    * `"regressions_vs":"file","sentinel_prev":s,
+    * "suspects":{"q":[prev,now,retime]},
+    * "regressions":{confirmed only: [prev,retime]},` — empty objects when
+    * clean, empty string when no prior file.
+    *
+    * `sentinel_prev` (the prior file's first-sentinel seconds, when
+    * recorded) is the cross-ROUND ambient anchor: a uniformly slow
+    * machine inflates every query AND the sentinel by the same factor —
+    * the one contamination shape neither the in-run drift check nor the
+    * tail retime can see (both run inside the slow state). Confirmed
+    * entries stay raw — same-machine round-over-round comparison is the
+    * driver's contract — but the artifact now carries the evidence to
+    * adjudicate a cross-machine or whole-run-ambient skew at a glance
+    * (this round: a local replay read sentinel 0.795 vs the r11 driver's
+    * 0.322 with a flat ~1.45× median ratio across all headline queries —
+    * machine state, not code). */
+  private[graft] def adjudicatedRegressions(now: Map[String, Double],
+      retime: String => Option[Double],
+      prior: Option[PriorBench] = prevRoundMinima()): String = {
+    prior match {
+      case None => ""
+      case Some(PriorBench(file, prev, sentinelPrev)) =>
+        def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        val suspects = prev.toSeq.sortBy(_._1).flatMap { case (q, pv) =>
+          now.get(q).filter(nv => exceedsPrior(pv, nv)).map { nv =>
+            val rt = retime(q).getOrElse(nv)
+            (q, pv, nv, rt)
+          }
+        }
+        val suspectsJson = suspects
+          .map { case (q, pv, nv, rt) => s""""$q":[${f3(pv)},${f3(nv)},${f3(rt)}]""" }
+          .mkString("{", ",", "}")
+        val confirmed = suspects.filter { case (_, pv, _, rt) => exceedsPrior(pv, rt) }
+          .map { case (q, pv, _, rt) => s""""$q":[${f3(pv)},${f3(rt)}]""" }
+          .mkString("{", ",", "}")
+        val sentinelPrevJson =
+          sentinelPrev.map(s => s""""sentinel_prev":${f3(s)},""").getOrElse("")
+        s""""regressions_vs":"$file",$sentinelPrevJson"suspects":$suspectsJson,"regressions":$confirmed,"""
+    }
+  }
+
+  private[graft] final case class PriorBench(file: String,
+      minima: Map[String, Double], sentinelFirst: Option[Double])
+
+  /** The prior round's per-query minima: the newest `BENCH_r*.json` in the
+    * working directory (the driver's record of the previous round; override
+    * with SPARK_GRAFT_BENCH_PREV), reading its `queries_min` span when
+    * present and falling back to `queries` (medians) for pre-r7 files — an
+    * upper bound on the prior cost, so the fallback only under-flags. */
+  private def prevRoundMinima(): Option[PriorBench] = {
     val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .map(java.nio.file.Paths.get(_))
       .orElse {
@@ -132,7 +197,7 @@ object Bench {
           .maxByOption(n => n.replaceAll("\\D", "").toInt)
           .map(java.nio.file.Paths.get(_))
       }
-    prevFile.filter(java.nio.file.Files.exists(_)).map { p =>
+    prevFile.filter(java.nio.file.Files.exists(_)).flatMap { p =>
       val text = java.nio.file.Files.readString(p)
       // the driver file wraps the contract line inside a "tail" string;
       // recover the per-query map from the LAST span of the preferred tag
@@ -144,18 +209,19 @@ object Bench {
         else Some(text.substring(start, math.min(text.length,
           text.indexOf("}", start).max(start) + 1)))
       }
-      lastSpan("queries_min").orElse(lastSpan("queries")) match {
-        case None => ""
-        case Some(span) =>
-          val m = java.util.regex.Pattern.compile("\"(q_\\w+)\\\\?\":([0-9.]+)").matcher(span)
-          val prev = scala.collection.mutable.Map[String, Double]()
-          while (m.find()) prev(m.group(1)) = m.group(2).toDouble
-          val flagged = prev.toSeq.sortBy(_._1).flatMap { case (q, pv) =>
-            now.get(q).filter(nv => nv > pv * 1.5 && nv - pv > 0.25)
-              .map(nv => s""""$q":[${BigDecimal(pv).setScale(3, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(nv).setScale(3, BigDecimal.RoundingMode.HALF_UP)}]""")
-          }
-          s""""regressions_vs":"${p.getFileName}","regressions":${flagged.mkString("{", ",", "}")},"""
+      lastSpan("queries_min").orElse(lastSpan("queries")).map { span =>
+        val m = java.util.regex.Pattern.compile("\"(q_\\w+)\\\\?\":([0-9.]+)").matcher(span)
+        val prev = scala.collection.mutable.Map[String, Double]()
+        while (m.find()) prev(m.group(1)) = m.group(2).toDouble
+        // the prior run's FIRST sentinel value — the cross-round ambient
+        // anchor (present from r7 files on)
+        val sm = java.util.regex.Pattern
+          .compile("\"sentinel\\\\?\":\\{\\\\?\"first\\\\?\":([0-9.]+)")
+          .matcher(text)
+        var sent: Option[Double] = None
+        while (sm.find()) sent = Some(sm.group(1).toDouble)
+        PriorBench(p.getFileName.toString, prev.toMap, sent)
       }
-    }.getOrElse("")
+    }
   }
 }

@@ -134,13 +134,24 @@ object Quantiles {
     * shuffle per hot group, parallel across partitions); by construction
     * there are at most n/threshold such groups, so the driver loop and
     * the per-group key list are O(n/threshold) metadata. Pass
-    * `Long.MaxValue` to force the single-pass window plan. */
+    * `Long.MaxValue` to force the single-pass window plan.
+    *
+    * Breadth guard: each hot group contributes one range-shuffle subplan
+    * to a union, so a corpus where THOUSANDS of groups exceed the
+    * threshold would build a thousands-way union — a driver/analysis-time
+    * bomb even though every branch executes fine. `maxHotGroups` (default
+    * 64) fails loudly instead (same pattern as
+    * [[graft.pipeline.DataMix.curriculumPhases]]' row guard); the fix at
+    * that shape is a higher `hotGroupThreshold` (the per-task sort bound
+    * genuinely needed) — with that many genuinely-huge groups, per-group
+    * range shuffles stop being a rescue and sizing tasks to the data is. */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], tiebreakers: Seq[String] = Nil,
-      hotGroupThreshold: Long = 4000000L): DataFrame = {
+      hotGroupThreshold: Long = 4000000L, maxHotGroups: Int = 64): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
     require(hotGroupThreshold > 0, "hotGroupThreshold must be positive")
+    require(maxHotGroups >= 0, "maxHotGroups must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
     // same NULL rule as exactQuantiles: NULL values are not order statistics
@@ -152,6 +163,11 @@ object Quantiles {
         .agg(F.count(F.lit(1)).as("$td.__n"))
         .where(F.col("`$td.__n`") > hotGroupThreshold)
         .collect().map(r => (r.get(0), r.getLong(1)))
+    require(hot.length <= maxHotGroups,
+      s"exactQuantilesByGroup: ${hot.length} groups exceed " +
+        s"hotGroupThreshold=$hotGroupThreshold (max $maxHotGroups) — the " +
+        "per-hot-group fallback would build an unbounded union plan; raise " +
+        "hotGroupThreshold (and executor task sizing) for this shape")
     val hotPred = hot.map(_._1).map {
       case null => F.col(groupCol).isNull
       case v    => F.col(groupCol) <=> F.lit(v)

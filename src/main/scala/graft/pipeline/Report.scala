@@ -76,7 +76,14 @@ object Report {
     * landing outside it are COUNTED in the tails, never dropped, so
     * n is exact and a mis-sized grid is visible in the tail counts.
     * NULL values carry no bin (same rule as [[histogram]]).
-    * Output: (group?, counts: array<long>, n: long). */
+    *
+    * The grid rides WITH the sketch: (lo, hi, bins) are stamped as
+    * columns, so a persisted sketch is self-describing —
+    * [[mergeQuantileSketches]] refuses mismatched stamps (same-length
+    * arrays over different ranges would otherwise merge silently into a
+    * wrong distribution) and [[sketchQuantiles]] reads the grid from the
+    * sketch instead of trusting caller-supplied parameters.
+    * Output: (group?, counts: array<long>, n: long, lo, hi, bins). */
   def quantileSketch(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       bins: Int, groupCol: Option[String] = None): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
@@ -107,47 +114,87 @@ object Report {
     grouped
       .select(keyCols ++ Seq(counts.as("counts")): _*)
       .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
+      .withColumn("lo", F.lit(lo))
+      .withColumn("hi", F.lit(hi))
+      .withColumn("bins", F.lit(bins))
   }
 
   /** Union previously-built quantile sketches (same grid) into one:
     * elementwise array addition — no data rescan, the same algebra as
-    * [[mergeDistinctSketches]]. Input: any relation of `counts` arrays
-    * (e.g. one per stored version); output: one (counts, n) row. */
+    * [[mergeDistinctSketches]]. Input: any relation of [[quantileSketch]]
+    * rows — the (lo, hi, bins) stamp columns are REQUIRED, and the merge
+    * raises at action time when the inputs carry more than one distinct
+    * grid (same-length arrays over different ranges are the silent
+    * corruption this guards against). The identity check rides the merge
+    * aggregation itself — no separate driver job. Shape: one posexplode +
+    * one (bins+2)-key sum — elementwise addition stays fully parallel, no
+    * single-task collect of all sketches. Output: one
+    * (counts, n, lo, hi, bins) row. */
   def mergeQuantileSketches(sketches: DataFrame,
       countsCol: String = "counts"): DataFrame = {
-    val len = F.size(F.col(countsCol))
-    val summed = sketches
-      .select(F.col(countsCol), len.as("td_len"))
-      .groupBy(F.col("td_len"))
-      .agg(F.array_sort(F.collect_list(F.col(countsCol))).as("td_all"))
-    // grids must agree: differing array lengths mean different sketches
-    val one = summed.agg(F.count(F.lit(1)).as("k")).head().getLong(0)
-    require(one <= 1, "cannot merge quantile sketches with different grids")
-    summed.select(
-        F.aggregate(F.col("td_all"),
-          F.array_repeat(F.lit(0L), 0).cast("array<long>"),
-          (acc, arr) => F.when(F.size(acc) === 0, arr)
-            .otherwise(F.zip_with(acc, arr, _ + _))).as(countsCol))
+    val gridCols = Seq("lo", "hi", "bins")
+    require(gridCols.forall(sketches.columns.contains),
+      s"sketches must carry their grid stamp ${gridCols.mkString("(", ", ", ")")}" +
+        " — (re)build them with quantileSketch")
+    val exploded = sketches.select(
+      F.col("lo"), F.col("hi"), F.col("bins"),
+      F.posexplode(F.col(countsCol)).as(Seq("td_pos", "td_c")))
+    val byPos = exploded.groupBy(F.col("td_pos")).agg(
+      F.sum(F.col("td_c")).as("td_c"),
+      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins")))
+        .as("td_g"),
+      F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
+      F.first(F.col("bins")).as("bins"))
+    // assemble the dense array from the ≤ bins+2 per-position rows; the
+    // grid guard fires lazily (raise_error) so the whole merge is one plan
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(F.col("td_pos"), F.col("td_c"))))
+    byPos.agg(
+        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+        F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
+        F.first(F.col("bins")).as("bins"))
+      .select(
+        F.when(F.col("td_g") === 1,
+            F.transform(F.sequence(F.lit(0), F.col("bins") + 1),
+              i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+          .otherwise(F.raise_error(
+            F.when(F.col("td_g").isNull,
+                F.lit("cannot merge an empty set of quantile sketches"))
+              .otherwise(F.lit("cannot merge quantile sketches with " +
+                "different grids: more than one distinct (lo, hi, bins) " +
+                "stamp in the input"))))
+          .as(countsCol),
+        F.col("lo"), F.col("hi"), F.col("bins"))
       .withColumn("n", F.aggregate(F.col(countsCol), F.lit(0L), _ + _))
+      .select(F.col(countsCol), F.col("n"),
+        F.col("lo"), F.col("hi"), F.col("bins"))
   }
 
   /** Answer quantiles FROM a sketch: for each q, the lower edge of the
     * first grid cell whose cumulative count reaches ceil(q·n) — a
     * deterministic under-estimate within one grid width of the exact
     * order statistic (the underflow tail answers lo; an overflow hit
-    * answers hi). One row per q: (q, value). */
-  def sketchQuantiles(sketch: DataFrame, lo: Double, hi: Double,
-      qs: Seq[Double], countsCol: String = "counts"): DataFrame = {
+    * answers hi). The grid comes from the sketch's own (lo, hi, bins)
+    * stamp — no trust-me parameters, no driver probe of the array width.
+    * The cell-edge arithmetic is lo + (idx−1)·((hi−lo)/bins): width
+    * parenthesized first, in IEEE doubles, so an external engine states
+    * the identical value. One row per q: (q, value). */
+  def sketchQuantiles(sketch: DataFrame, qs: Seq[Double],
+      countsCol: String = "counts"): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
+    val gridCols = Seq("lo", "hi", "bins")
+    require(gridCols.forall(sketch.columns.contains),
+      s"sketch must carry its grid stamp ${gridCols.mkString("(", ", ", ")")}" +
+        " — (re)build it with quantileSketch/mergeQuantileSketches")
     val spark = sketch.sparkSession
     import spark.implicits._
-    val bins = sketch.select(F.size(F.col(countsCol))).head().getInt(0) - 2
-    val width = (hi - lo) / bins
     val qDf = qs.distinct.sorted.toDF("q")
-    sketch.select(F.col(countsCol), F.col("n"))
+    sketch.select(F.col(countsCol), F.col("n"),
+        F.col("lo"), F.col("hi"), F.col("bins"))
       .crossJoin(F.broadcast(qDf))
       .select(F.col("q"), F.col("n"),
+        F.col("lo"), F.col("hi"), F.col("bins"),
         // first index with cumsum >= k, via a running-total scan
         F.aggregate(F.col(countsCol),
           F.struct(F.lit(0L).as("cum"), F.lit(-1).as("hit"), F.lit(0).as("i")),
@@ -160,9 +207,10 @@ object Report {
             (st("i") + 1).as("i")),
           st => st("hit")).as("td_idx"))
       .select(F.col("q"),
-        F.when(F.col("td_idx") <= 0, F.lit(lo))
-          .when(F.col("td_idx") >= bins + 1, F.lit(hi))
-          .otherwise(F.lit(lo) + (F.col("td_idx") - 1).cast("double") * F.lit(width))
+        F.when(F.col("td_idx") <= 0, F.col("lo"))
+          .when(F.col("td_idx") >= F.col("bins") + 1, F.col("hi"))
+          .otherwise(F.col("lo") + (F.col("td_idx") - 1).cast("double") *
+            ((F.col("hi") - F.col("lo")) / F.col("bins").cast("double")))
           .as("value"))
   }
 

@@ -268,19 +268,20 @@ object ScaleQueries {
     }),
     "q_quantile_sketch" -> ((s, dir) => {
       // mergeable quantile sketch END TO END: two half-corpus sketches
-      // (fixed 64-cell grid over [0, 640)) merged ELEMENTWISE, then
-      // quantiles answered from the merged counts — the oracle states the
-      // same deterministic binning + cumulative walk over the WHOLE
-      // corpus, so the gate also proves merge(a, b) == sketch(a ∪ b)
+      // (fixed 64-cell grid over [0, 640), stamped into the rows) merged
+      // ELEMENTWISE under the stamp-identity guard, then quantiles
+      // answered from the merged counts reading the grid FROM the sketch
+      // — the oracle states the same deterministic binning + cumulative
+      // walk over the WHOLE corpus, so the gate also proves
+      // merge(a, b) == sketch(a ∪ b)
       import graft.pipeline.Report
       val docs = d(s, dir, "documents").select("doc_id", "n_chars")
       val a = Report.quantileSketch(
         docs.where(F.col("doc_id") % 2 === 0), "n_chars", 0.0, 640.0, 64)
       val b = Report.quantileSketch(
         docs.where(F.col("doc_id") % 2 === 1), "n_chars", 0.0, 640.0, 64)
-      val merged = Report.mergeQuantileSketches(
-        a.select("counts").unionByName(b.select("counts")))
-      Report.sketchQuantiles(merged, 0.0, 640.0, Seq(0.5, 0.9, 0.99))
+      val merged = Report.mergeQuantileSketches(a.unionByName(b))
+      Report.sketchQuantiles(merged, Seq(0.5, 0.9, 0.99))
         .orderBy("q")
     }),
     "q_export_pruned_partitioned" -> ((s, dir) => {

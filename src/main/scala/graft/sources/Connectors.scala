@@ -42,6 +42,28 @@ object Connectors {
     "com.microsoft.sqlserver.jdbc.SQLServerDriver",
     Map("encrypt" -> "true", "trustServerCertificate" -> "false"))
 
+  /** MariaDB (reference `sql_outputs.py:800-816` MariaDBDestination over
+    * a `mariadb://host:port/db` URI; user `charset=`/`collation=` query
+    * params ride the URI — rs output_mariadb_with_{charset,collation}). */
+  val MariaDb: JdbcVendor = JdbcVendor(
+    "mariadb", "jdbc:mariadb://", "org.mariadb.jdbc.Driver")
+
+  /** The reference's default MariaDB collation, applied to every MariaDB
+    * URI that does not already choose one
+    * (`_tabsserver/function/sql_utils.py:9` MARIADB_COLLATION). */
+  val MariaDbCollation = "utf8mb4_unicode_520_ci"
+
+  /** Normalize a MariaDB URI the way the reference's writer does
+    * (`sql_utils.py:12-24` add_mariadb_collation): if no `collation`
+    * parameter is present, append `collation=utf8mb4_unicode_520_ci` —
+    * with `&` when the URI already has a query string (e.g. a user
+    * `charset=utf8mb4`), `?` otherwise. A user-chosen collation (or any
+    * URI already mentioning one) passes through untouched. */
+  def addMariadbCollation(uri: String): String =
+    if (uri.contains("collation")) uri
+    else if (uri.contains("?")) s"$uri&collation=$MariaDbCollation"
+    else s"$uri?collation=$MariaDbCollation"
+
   /** Databricks SQL warehouse (reference `tabsdata_databricks/_connector
     * .py:62` targets a warehouse + unity catalog volume; over JDBC the
     * warehouse is the `httpPath`). */
@@ -84,8 +106,11 @@ object Connectors {
       case other => throw new IllegalArgumentException(
         s"if_table_exists must be append|replace, got: $other")
     }
+    // the reference normalizes ONLY the destination URI (`sql_outputs
+    // .py:813-814`): the driver misbehaves without an explicit collation
+    val base = vendor.urlPrefix + hostAndDb
     JdbcSink(
-      url = vendor.urlPrefix + hostAndDb,
+      url = if (vendor.name == "mariadb") addMariadbCollation(base) else base,
       table = table,
       mode = mode,
       properties = vendor.defaults ++ Map(

@@ -19,6 +19,19 @@ sealed trait Secret {
   def secretValue: String
 }
 
+/** Environment indirection for the env-backed secrets: resolution reads
+  * THROUGH the (normally empty) test override map before the real
+  * process environment. Production never sets overrides, so the
+  * reference's `TDS_*` env contract is byte-identical; the seam exists
+  * because a JVM cannot mutate its own environment, and the KV-v2 happy
+  * path (loopback vault stub on an ephemeral port) needs a URL that is
+  * only known at test runtime. */
+private[graft] object SecretEnv {
+  @volatile private[graft] var overrides: Map[String, String] = Map.empty
+  def get(name: String): Option[String] =
+    overrides.get(name).orElse(sys.env.get(name))
+}
+
 object Secret {
   /** The reference's `build_secret`: a plain string becomes a
     * DirectSecret (`_secret.py:279-292`). */
@@ -55,14 +68,14 @@ final case class HashiCorpSecret(path: String, name: String,
 
   private def envOrFail(suffix: String): String = {
     val v = s"TDS_${vault}_$suffix"
-    sys.env.getOrElse(v,
+    SecretEnv.get(v).getOrElse(
       throw new NoSuchElementException(s"Environment variable $v not found."))
   }
 
   override def secretValue: String = {
     val url = envOrFail("URL")
     val token = envOrFail("TOKEN")
-    val namespace = sys.env.get(s"TDS_${vault}_NAMESPACE")
+    val namespace = SecretEnv.get(s"TDS_${vault}_NAMESPACE")
     try {
       val builder = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"${url.stripSuffix("/")}/v1/secret/data/$path"))

@@ -259,7 +259,18 @@ final case class JdbcSource(
           ":" + java.util.regex.Pattern.quote(k) + "(?![A-Za-z0-9_])",
           java.util.regex.Matcher.quoteReplacement(v))
       }
-      var r = spark.read.format("jdbc").option("url", url).option("query", sql)
+      // Parallel extract: Spark's JDBC partitioned read (partitionColumn +
+      // lowerBound/upperBound/numPartitions) is incompatible with the
+      // `query` option, so a partitioned source wraps the query as a
+      // derived-table `dbtable` — each executor then issues its own
+      // stride `WHERE` against the subquery instead of one cursor pulling
+      // everything (the fan-out a 100 TB warehouse extract rides;
+      // reference pulls rows through a single client cursor,
+      // `connectors/python/tabsdata_mssql/_connector.py:35-280`).
+      var r = spark.read.format("jdbc").option("url", url)
+      r = if (properties.contains("partitionColumn"))
+        r.option("dbtable", s"($sql) TD_SUBQ")
+      else r.option("query", sql)
       properties.foreach { case (k, v) => r = r.option(k, v) }
       r.load()
     }

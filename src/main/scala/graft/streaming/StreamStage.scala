@@ -69,7 +69,14 @@ object StreamStage {
   def runToMemory(df: DataFrame, prefix: String, outputMode: String,
       statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
-    val name = prefix + java.util.UUID.randomUUID.toString.replace("-", "")
+    // a FIXED per-prefix sink name, replacing the previous run's table:
+    // UUID-per-run names leaked one memory-sink table (and its rows) per
+    // invocation — 3 bench repeats × the streaming gates accumulated ~30
+    // result tables per JVM, a leak that scales with SF and repeats.
+    // Dropping the old temp view first releases the old MemorySink rows to
+    // GC and frees the name for this run's query.
+    val name = (prefix + "_sink").replaceAll("[^A-Za-z0-9_]", "_")
+    s.catalog.dropTempView(name)
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, statePartitions.toString)

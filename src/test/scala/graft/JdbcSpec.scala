@@ -102,6 +102,27 @@ class JdbcSpec extends AnyFunSuite {
     assert(back.toSeq == Seq(("a", 4), ("b", 9)))
   }
 
+  test("partitioned JDBC read: stride scan equals single-cursor read, fans out") {
+    import spark.implicits._
+    // every 100 TB warehouse ingest rides partitionColumn/numPartitions —
+    // prove the pass-through against live Derby: same rows as the single
+    // read, and the scan actually splits into numPartitions JDBC strides
+    val url = freshDb()
+    JdbcSink(url, "wide", mode = "append")
+      .write((1 to 97).map(i => (i, s"v$i")).toDF("id", "v"))
+    val q = """SELECT "id", "v" FROM wide WHERE "id" <= 90"""
+    val single = JdbcSource(url, Seq(q)).load(spark, Map.empty).head
+    val parted = JdbcSource(url, Seq(q), properties = Map(
+        "partitionColumn" -> "id", "lowerBound" -> "1",
+        "upperBound" -> "91", "numPartitions" -> "4"))
+      .load(spark, Map.empty).head
+    assert(parted.rdd.getNumPartitions == 4, // the fan-out is real
+      s"expected 4 JDBC stride partitions, got ${parted.rdd.getNumPartitions}")
+    assert(parted.collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      == single.collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq)
+    assert(parted.count() == 90)
+  }
+
   test("JdbcSource $offset$ substitution drives incremental re-runs") {
     import spark.implicits._
     val url = freshDb()
@@ -153,6 +174,34 @@ class JdbcSpec extends AnyFunSuite {
     val mg = Connectors.mongoSink("mongodb://h", "db", "coll",
       idField = Some("_id"), ifCollectionExists = "replace")
     assert(mg.options("operationType") == "replace" && mg.mode == "overwrite")
+  }
+
+  test("mariadb destination URI: collation default + user charset/collation " +
+      "(rs output_mariadb_with_charset / output_mariadb_with_collation)") {
+    // reference `sql_utils.py:12-24`: the writer appends the default
+    // collation unless the URI already picks one — `?` vs `&` joining
+    // depends on whether a query string exists
+    assert(Connectors.addMariadbCollation("mariadb://127.0.0.1:3307/testing")
+      == "mariadb://127.0.0.1:3307/testing?collation=utf8mb4_unicode_520_ci")
+    // the charset golden: user charset param rides untouched, collation
+    // appended with '&' (`sql_outputs.py:800-816` MariaDBDestination URI)
+    assert(Connectors.addMariadbCollation(
+        "mariadb://127.0.0.1:3307/testing?charset=utf8mb4")
+      == "mariadb://127.0.0.1:3307/testing?charset=utf8mb4" +
+        "&collation=utf8mb4_unicode_520_ci")
+    // the collation golden: a user collation wins — URI unchanged
+    val userChoice = "mariadb://127.0.0.1:3307/testing?collation=utf8mb4_bin"
+    assert(Connectors.addMariadbCollation(userChoice) == userChoice)
+    // the sink preset applies the normalization (destinations only, like
+    // the reference); sources pass the URI through untouched
+    val snk = Connectors.jdbcSink(Connectors.MariaDb,
+      "127.0.0.1:3307/testing?charset=utf8mb4", "out_t", "u", "p")
+    assert(snk.url == "jdbc:mariadb://127.0.0.1:3307/testing" +
+      "?charset=utf8mb4&collation=utf8mb4_unicode_520_ci")
+    assert(snk.properties("driver") == "org.mariadb.jdbc.Driver")
+    val src = Connectors.jdbcSource(Connectors.MariaDb,
+      "127.0.0.1:3307/testing", Seq("SELECT 1"), "u", "p")
+    assert(src.url == "jdbc:mariadb://127.0.0.1:3307/testing")
   }
 
   test("connector chunk-size tails: fetchsize/batchsize presets + live batched write") {

@@ -77,6 +77,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(1L) == window)
   }
 
+  test("grouped quantiles: hot-group breadth guard fails loudly, not a plan bomb") {
+    import spark.implicits._
+    // 100 groups of 3 rows each with a 2-row threshold: every group is
+    // "hot", so the per-group union fallback would build a 100-way plan —
+    // the guard must refuse before any union is assembled
+    val df = (0L until 300L).map(i => (s"g${i % 100}", i, i % 7)).toDF("g", "id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.exactQuantilesByGroup(
+        df, "g", "v", Seq(0.5), tiebreakers = Seq("id"),
+        hotGroupThreshold = 2L)
+    }
+    assert(ex.getMessage.contains("100 groups exceed"), ex.getMessage)
+    // a raised maxHotGroups admits the same shape (bounded, caller's call)
+    val ok = graft.operators.Quantiles.exactQuantilesByGroup(
+      df, "g", "v", Seq(0.5), tiebreakers = Seq("id"),
+      hotGroupThreshold = 2L, maxHotGroups = 128)
+    assert(ok.count() == 100L)
+  }
+
   test("winsorize clips into the quantile window and passes NULLs through") {
     import spark.implicits._
     val df = (Seq.tabulate(20)(i => (i.toLong, Some((i + 1).toLong))) :+

@@ -939,17 +939,20 @@ class PipelineSpec extends AnyFunSuite {
     val b = Report.quantileSketch(
       docs.where(F.col("doc_id") % 2 === 1).repartition(3), "n_chars", lo, hi, bins)
     val dir = java.nio.file.Files.createTempDirectory("graft-qsketch").toString
-    a.select("counts").unionByName(b.select("counts"))
-      .write.mode("overwrite").parquet(dir) // persists as plain parquet
+    // persists as plain parquet WITH the (lo, hi, bins) grid stamp riding
+    // in the rows — a reloaded sketch is self-describing
+    a.unionByName(b).write.mode("overwrite").parquet(dir)
     val merged = Report.mergeQuantileSketches(spark.read.parquet(dir)).head()
     assert(merged.getSeq[Long](0) == whole.getSeq[Long](0))
     assert(merged.getLong(1) == whole.getLong(1) && whole.getLong(1) == docs.count())
+    assert(merged.getDouble(2) == lo && merged.getDouble(3) == hi &&
+      merged.getInt(4) == bins) // merge preserves the stamp
     // sketch answers are within one grid width of the exact order statistic
     val exact = graft.operators.Quantiles.exactQuantiles(
         docs, "n_chars", Seq(0.5, 0.9, 0.99), tiebreakers = Seq("doc_id"))
       .collect().map(r => r.getDouble(0) -> r.getLong(1).toDouble).toMap
     val est = Report.sketchQuantiles(
-        Report.mergeQuantileSketches(spark.read.parquet(dir)), lo, hi,
+        Report.mergeQuantileSketches(spark.read.parquet(dir)),
         Seq(0.5, 0.9, 0.99))
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     val width = (hi - lo) / bins
@@ -973,13 +976,29 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(grouped == sizes)
-    // grids must agree to merge
+    // grids must agree to merge: different bin counts raise loudly
     val other = Report.quantileSketch(docs, "n_chars", lo, hi, 32)
-    val ex = intercept[IllegalArgumentException] {
-      Report.mergeQuantileSketches(
-        a.select("counts").unionByName(other.select("counts"))).collect()
+    val ex = intercept[Exception] {
+      Report.mergeQuantileSketches(a.unionByName(other)).collect()
     }
     assert(ex.getMessage.contains("different grids"), ex.getMessage)
+    // ...and SAME-LENGTH arrays over a different range — the silent
+    // corruption the length-only check missed — raise just as loudly
+    val halfRange = Report.quantileSketch(docs, "n_chars", lo, hi / 2, bins)
+    val ex2 = intercept[Exception] {
+      Report.mergeQuantileSketches(a.unionByName(halfRange)).collect()
+    }
+    assert(ex2.getMessage.contains("different grids"), ex2.getMessage)
+    // a stampless relation is rejected up front (plan time, not silently)
+    val ex3 = intercept[IllegalArgumentException] {
+      Report.mergeQuantileSketches(a.select("counts"))
+    }
+    assert(ex3.getMessage.contains("grid stamp"), ex3.getMessage)
+    // merging zero sketches is loud, not an empty result
+    val ex4 = intercept[Exception] {
+      Report.mergeQuantileSketches(a.where(F.lit(false))).collect()
+    }
+    assert(ex4.getMessage.contains("empty set"), ex4.getMessage)
   }
 
   test("histogram: NULL values carry no bin (not silently counted in the top bin)") {

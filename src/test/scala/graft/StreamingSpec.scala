@@ -11,6 +11,22 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import TestSession.sf
 
+  test("memory-sink hygiene: repeated gate runs hold one sink table, same result") {
+    // the bench loop invokes each streaming gate 3×+ per JVM — sink tables
+    // must be REPLACED per run (fixed per-prefix name), not accumulated
+    // (the old UUID-per-run names leaked one table of rows per invocation)
+    def run() = SparkEntry.queries("q_stream_window")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val first = run()
+    val second = run()
+    val third = run()
+    assert(first.nonEmpty && first == second && second == third)
+    val sinks = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("q_stream_window_"))
+    assert(sinks.toSeq == Seq("q_stream_window__sink"),
+      s"expected exactly one sink table, got: ${sinks.mkString(", ")}")
+  }
+
   // Watermarks demand TIMESTAMP (ltz) — the testdata's parquet ts arrives
   // as TIMESTAMP_NTZ; the session tz is UTC so the cast is value-identity.
   private def eventsBatch = graft.queries.Tables.load(spark, sf, "events")
