@@ -170,6 +170,48 @@ object Report {
         F.col("lo"), F.col("hi"), F.col("bins"))
   }
 
+  /** Per-group [[mergeQuantileSketches]]: elementwise addition of each
+    * group's sketches — the per-slice (language, source) roll-up of a
+    * dataset card across stored versions, still with zero data rescan.
+    * The grid-stamp identity guard applies PER GROUP (every group's
+    * sketches must share one (lo, hi, bins)); different groups may use
+    * different grids. Output: one (group, counts, n, lo, hi, bins) row
+    * per group. */
+  def mergeQuantileSketchesByGroup(sketches: DataFrame, groupCol: String,
+      countsCol: String = "counts"): DataFrame = {
+    val gridCols = Seq("lo", "hi", "bins")
+    require(gridCols.forall(sketches.columns.contains),
+      s"sketches must carry their grid stamp ${gridCols.mkString("(", ", ", ")")}" +
+        " — (re)build them with quantileSketch")
+    val g = F.col(groupCol)
+    val exploded = sketches.select(
+      g, F.col("lo"), F.col("hi"), F.col("bins"),
+      F.posexplode(F.col(countsCol)).as(Seq("td_pos", "td_c")))
+    val byPos = exploded.groupBy(g, F.col("td_pos")).agg(
+      F.sum(F.col("td_c")).as("td_c"),
+      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins")))
+        .as("td_g"),
+      F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
+      F.first(F.col("bins")).as("bins"))
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(F.col("td_pos"), F.col("td_c"))))
+    byPos.groupBy(g).agg(
+        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+        F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
+        F.first(F.col("bins")).as("bins"))
+      .select(g,
+        F.when(F.col("td_g") === 1,
+            F.transform(F.sequence(F.lit(0), F.col("bins") + 1),
+              i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+          .otherwise(F.raise_error(F.concat(F.lit("cannot merge quantile " +
+            "sketches with different grids in group "), g.cast("string"))))
+          .as(countsCol),
+        F.col("lo"), F.col("hi"), F.col("bins"))
+      .withColumn("n", F.aggregate(F.col(countsCol), F.lit(0L), _ + _))
+      .select(g, F.col(countsCol), F.col("n"),
+        F.col("lo"), F.col("hi"), F.col("bins"))
+  }
+
   /** Answer quantiles FROM a sketch: for each q, the lower edge of the
     * first grid cell whose cumulative count reaches ceil(q·n) — a
     * deterministic under-estimate within one grid width of the exact
@@ -180,7 +222,20 @@ object Report {
     * parenthesized first, in IEEE doubles, so an external engine states
     * the identical value. One row per q: (q, value). */
   def sketchQuantiles(sketch: DataFrame, qs: Seq[Double],
-      countsCol: String = "counts"): DataFrame = {
+      countsCol: String = "counts"): DataFrame =
+    sketchQuantileWalk(sketch, qs, countsCol, keyCols = Nil)
+
+  /** [[sketchQuantiles]] over a GROUPED sketch (one per-group row, e.g.
+    * from `quantileSketch(..., groupCol)` or
+    * [[mergeQuantileSketchesByGroup]]): the per-slice quantile answers of
+    * a dataset card straight from persisted sketches. Output: one row per
+    * (group, q). */
+  def sketchQuantilesByGroup(sketch: DataFrame, groupCol: String,
+      qs: Seq[Double], countsCol: String = "counts"): DataFrame =
+    sketchQuantileWalk(sketch, qs, countsCol, keyCols = Seq(groupCol))
+
+  private def sketchQuantileWalk(sketch: DataFrame, qs: Seq[Double],
+      countsCol: String, keyCols: Seq[String]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
     val gridCols = Seq("lo", "hi", "bins")
@@ -189,11 +244,12 @@ object Report {
         " — (re)build it with quantileSketch/mergeQuantileSketches")
     val spark = sketch.sparkSession
     import spark.implicits._
+    val keys = keyCols.map(F.col)
     val qDf = qs.distinct.sorted.toDF("q")
-    sketch.select(F.col(countsCol), F.col("n"),
-        F.col("lo"), F.col("hi"), F.col("bins"))
+    sketch.select(keys ++ Seq(F.col(countsCol), F.col("n"),
+        F.col("lo"), F.col("hi"), F.col("bins")): _*)
       .crossJoin(F.broadcast(qDf))
-      .select(F.col("q"), F.col("n"),
+      .select(keys ++ Seq(F.col("q"), F.col("n"),
         F.col("lo"), F.col("hi"), F.col("bins"),
         // first index with cumsum >= k, via a running-total scan
         F.aggregate(F.col(countsCol),
@@ -205,13 +261,13 @@ object Report {
                 F.greatest(F.lit(1L), F.ceil(F.col("q") * F.col("n"))), st("i"))
               .otherwise(F.lit(-1)).as("hit"),
             (st("i") + 1).as("i")),
-          st => st("hit")).as("td_idx"))
-      .select(F.col("q"),
+          st => st("hit")).as("td_idx")): _*)
+      .select(keys ++ Seq(F.col("q"),
         F.when(F.col("td_idx") <= 0, F.col("lo"))
           .when(F.col("td_idx") >= F.col("bins") + 1, F.col("hi"))
           .otherwise(F.col("lo") + (F.col("td_idx") - 1).cast("double") *
             ((F.col("hi") - F.col("lo")) / F.col("bins").cast("double")))
-          .as("value"))
+          .as("value")): _*)
   }
 
   /** Exact equi-width histogram of a numeric column — the length/score

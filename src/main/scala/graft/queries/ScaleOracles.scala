@@ -284,6 +284,36 @@ object ScaleOracles {
         |SELECT q, CASE WHEN idx <= 0 THEN 0.0 WHEN idx >= 65 THEN 640.0
         |            ELSE 0.0 + CAST(idx - 1 AS DOUBLE) * 10.0 END AS value
         |FROM hit ORDER BY q""".stripMargin,
+    "q_quantile_sketch_grouped" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(n_chars AS DOUBLE) >= 640.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |                * 64.0) / 640.0) AS BIGINT) + 1) END AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |nn AS (SELECT lang, count(*) AS n FROM b GROUP BY 1),
+        |g AS (SELECT lang, unnest(generate_series(0, 65)) AS bin
+        |      FROM (SELECT DISTINCT lang FROM b)),
+        |d AS (SELECT g.lang, g.bin, coalesce(c.cnt, 0) AS cnt
+        |      FROM g LEFT JOIN c ON g.lang = c.lang AND g.bin = c.bin),
+        |cum AS (SELECT lang, bin,
+        |          sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+        |        FROM d),
+        |qv AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+        |kk AS (SELECT lang, q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS k
+        |       FROM nn, qv),
+        |hit AS (SELECT kk.lang, q, min(bin) AS idx
+        |        FROM kk JOIN cum ON cum.lang = kk.lang AND cum.cum >= kk.k
+        |        GROUP BY 1, 2)
+        |SELECT lang, q, CASE WHEN idx <= 0 THEN 0.0 WHEN idx >= 65 THEN 640.0
+        |            ELSE 0.0 + CAST(idx - 1 AS DOUBLE) * 10.0 END AS value
+        |FROM hit ORDER BY lang, q""".stripMargin,
+    "q_jdbc_partitioned" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_custkey <= 1200
+        |ORDER BY c_custkey""".stripMargin,
     "q_export_pruned_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 299

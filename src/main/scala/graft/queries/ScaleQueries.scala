@@ -284,6 +284,52 @@ object ScaleQueries {
       Report.sketchQuantiles(merged, Seq(0.5, 0.9, 0.99))
         .orderBy("q")
     }),
+    "q_quantile_sketch_grouped" -> ((s, dir) => {
+      // the sketch family PER SLICE, end to end: per-language sketches of
+      // two corpus halves (same stamped grid), merged elementwise BY GROUP
+      // under the per-group stamp guard, then per-language quantiles
+      // answered from the merged counts — the dataset-card
+      // per-slice-length roll-up across stored versions, zero data rescan
+      // at merge time. Oracle: the same binning + per-language cumulative
+      // walk over the whole corpus, proving
+      // mergeByGroup(a, b) == sketch(a ∪ b) for every group.
+      import graft.pipeline.Report
+      val docs = d(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val a = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 0), "n_chars", 0.0, 640.0, 64,
+        groupCol = Some("lang"))
+      val b = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 1), "n_chars", 0.0, 640.0, 64,
+        groupCol = Some("lang"))
+      val merged = Report.mergeQuantileSketchesByGroup(
+        a.unionByName(b), "lang")
+      Report.sketchQuantilesByGroup(merged, "lang", Seq(0.5, 0.95))
+        .orderBy("lang", "q")
+    }),
+    "q_jdbc_partitioned" -> ((s, dir) => {
+      // the warehouse-ingest fan-out END TO END: seed an embedded Derby
+      // database (the same engine the vendor-twin specs ride) from the
+      // customer table, then read it back through the PARTITIONED JDBC
+      // source — partitionColumn/lowerBound/upperBound/numPartitions
+      // stride scans, one cursor per executor slot instead of a single
+      // cursor pulling everything (the shape every 100 TB warehouse
+      // extract depends on). The result is the plain relational subset
+      // the oracle states from parquet.
+      val db = java.nio.file.Files
+        .createTempDirectory("graft-gate-jdbc").toString + "/db"
+      val url = s"jdbc:derby:$db;create=true"
+      val cust = d(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .where(F.col("c_custkey") <= 1200)
+      graft.sources.JdbcSink(url, "cust", mode = "append").write(cust)
+      graft.sources.JdbcSource(url,
+          Seq("""SELECT "c_custkey", "c_mktsegment", "c_acctbal" FROM cust"""),
+          properties = Map(
+            "partitionColumn" -> "c_custkey", "lowerBound" -> "0",
+            "upperBound" -> "1201", "numPartitions" -> "4"))
+        .load(s, Map.empty).head
+        .orderBy("c_custkey")
+    }),
     "q_export_pruned_partitioned" -> ((s, dir) => {
       // the round-11 export path END TO END: sharded jsonl export
       // partitioned by lang and range-sorted by doc_id (zone-map

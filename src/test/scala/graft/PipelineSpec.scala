@@ -1001,6 +1001,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex4.getMessage.contains("empty set"), ex4.getMessage)
   }
 
+  test("per-group sketch merge: mergeByGroup(a,b) == sketch(a ∪ b) per slice") {
+    import graft.pipeline.Report
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val (lo, hi, bins) = (0.0, 640.0, 64)
+    def half(m: Int) = Report.quantileSketch(
+      docs.where(F.col("doc_id") % 2 === m), "n_chars", lo, hi, bins,
+      groupCol = Some("lang"))
+    val merged = Report.mergeQuantileSketchesByGroup(
+        half(0).unionByName(half(1)), "lang")
+      .collect().map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val whole = Report.quantileSketch(docs, "n_chars", lo, hi, bins,
+        groupCol = Some("lang"))
+      .collect().map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(merged == whole)
+    // grouped quantile answers match the ungrouped walk applied per slice
+    val grouped = Report.sketchQuantilesByGroup(
+        Report.mergeQuantileSketchesByGroup(half(0).unionByName(half(1)), "lang"),
+        "lang", Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    whole.keys.foreach { lang =>
+      val one = Report.sketchQuantiles(
+          Report.quantileSketch(docs.where(F.col("lang") === lang), "n_chars",
+            lo, hi, bins), Seq(0.5, 0.95))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      one.foreach { case (q, v) => assert(grouped((lang, q)) == v, s"$lang q=$q") }
+    }
+    // the guard is PER GROUP: one slice on a different grid fails loudly,
+    // naming the group
+    val conflicting = half(0).unionByName(
+      Report.quantileSketch(docs.where(F.col("doc_id") % 2 === 1), "n_chars",
+        lo, hi / 2, bins, groupCol = Some("lang")))
+    val ex = intercept[Exception] {
+      Report.mergeQuantileSketchesByGroup(conflicting, "lang").collect()
+    }
+    assert(ex.getMessage.contains("different grids in group"), ex.getMessage)
+  }
+
   test("histogram: NULL values carry no bin (not silently counted in the top bin)") {
     import spark.implicits._
     import graft.pipeline.Report

@@ -548,6 +548,14 @@ class PlanSpec extends AnyFunSuite {
       docs, "n_chars", 0.0, 640.0, 64, groupCol = Some("lang")))
     assert(!qs.contains("Window") && !qs.contains("CartesianProduct") &&
       !qs.contains("SortMergeJoin"), qs)
+    // sketch merge: posexplode + keyed sums — elementwise addition stays
+    // parallel (no window, no single-task collect of all sketches, no
+    // join); the grid guard rides the same aggregation
+    val sk = graft.pipeline.Report.quantileSketch(
+      docs, "n_chars", 0.0, 640.0, 64, groupCol = Some("lang"))
+    val mg = plan(graft.pipeline.Report.mergeQuantileSketchesByGroup(sk, "lang"))
+    assert(!mg.contains("Window") && !mg.contains("CartesianProduct") &&
+      !mg.contains("SortMergeJoin"), mg)
   }
 
   test("store partition pruning: partition filter never reaches row scan") {
