@@ -130,28 +130,18 @@ object Quantiles {
     * partition, so a pathologically skewed group (more rows than fit one
     * task) would bottleneck — or OOM — the whole job. Groups whose
     * NON-NULL row count exceeds `hotGroupThreshold` are therefore routed
-    * through the global [[exactQuantiles]] path automatically (one range
-    * shuffle per hot group, parallel across partitions); by construction
-    * there are at most n/threshold such groups, so the driver loop and
-    * the per-group key list are O(n/threshold) metadata. Pass
-    * `Long.MaxValue` to force the single-pass window plan.
-    *
-    * Breadth guard: each hot group contributes one range-shuffle subplan
-    * to a union, so a corpus where THOUSANDS of groups exceed the
-    * threshold would build a thousands-way union — a driver/analysis-time
-    * bomb even though every branch executes fine. `maxHotGroups` (default
-    * 64) fails loudly instead (same pattern as
-    * [[graft.pipeline.DataMix.curriculumPhases]]' row guard); the fix at
-    * that shape is a higher `hotGroupThreshold` (the per-task sort bound
-    * genuinely needed) — with that many genuinely-huge groups, per-group
-    * range shuffles stop being a rescue and sizing tasks to the data is. */
+    * through ONE composite-key [[ScalableRank.withRankByGroup]] pass
+    * (a single (group, value) range shuffle shared by ALL hot groups, each
+    * spread over as many partitions as its size needs) — so ANY number of
+    * simultaneously-huge groups rides one extra subplan, not one per
+    * group. The collected hot-key list is O(n/threshold) driver metadata.
+    * Pass `Long.MaxValue` to force the single-pass window plan. */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], tiebreakers: Seq[String] = Nil,
-      hotGroupThreshold: Long = 4000000L, maxHotGroups: Int = 64): DataFrame = {
+      hotGroupThreshold: Long = 4000000L): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
     require(hotGroupThreshold > 0, "hotGroupThreshold must be positive")
-    require(maxHotGroups >= 0, "maxHotGroups must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
     // same NULL rule as exactQuantiles: NULL values are not order statistics
@@ -163,11 +153,6 @@ object Quantiles {
         .agg(F.count(F.lit(1)).as("$td.__n"))
         .where(F.col("`$td.__n`") > hotGroupThreshold)
         .collect().map(r => (r.get(0), r.getLong(1)))
-    require(hot.length <= maxHotGroups,
-      s"exactQuantilesByGroup: ${hot.length} groups exceed " +
-        s"hotGroupThreshold=$hotGroupThreshold (max $maxHotGroups) — the " +
-        "per-hot-group fallback would build an unbounded union plan; raise " +
-        "hotGroupThreshold (and executor task sizing) for this shape")
     val hotPred = hot.map(_._1).map {
       case null => F.col(groupCol).isNull
       case v    => F.col(groupCol) <=> F.lit(v)
@@ -185,13 +170,32 @@ object Quantiles {
         F.col("`$td.__rk`") ===
           F.greatest(F.lit(1L), F.ceil(F.col("q") * F.col("`$td.__n`"))))
       .select(F.col(groupCol), F.col("q"), F.col(valueCol).as("value"))
-    hot.foldLeft(cold) { case (acc, (g, n)) =>
-      val pred = if (g == null) F.col(groupCol).isNull
-        else F.col(groupCol) <=> F.lit(g)
-      acc.unionByName(
-        exactQuantiles(nonNull.where(pred), valueCol, qs,
-            tiebreakers = tiebreakers, knownN = Some(n))
-          .select(F.lit(g).as(groupCol), F.col("q"), F.col("value")))
+    if (hot.isEmpty) cold
+    else {
+      // ONE composite-key range-shuffle rank over ALL hot groups at once;
+      // the per-group sizes were already collected above (k rows of
+      // metadata), so they ride back in as a broadcast relation instead
+      // of a second count pass
+      val gField = df.schema(groupCol)
+      val ns = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          hot.toSeq.map { case (g, n) =>
+            org.apache.spark.sql.Row(g, n)
+          }, numSlices = 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          gField.copy(name = "$td.__g"),
+          org.apache.spark.sql.types.StructField("$td.__hn",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val hotRanked = ScalableRank.withRankByGroup(
+        nonNull.where(hotPred), groupCol, valueCol, "$td.__rk",
+        tiebreakers = tiebreakers)
+      val hotRes = hotRanked
+        .join(F.broadcast(ns), F.col(groupCol) <=> F.col("`$td.__g`"))
+        .join(F.broadcast(qDf),
+          F.col("`$td.__rk`") ===
+            F.greatest(F.lit(1L), F.ceil(F.col("q") * F.col("`$td.__hn`"))))
+        .select(F.col(groupCol), F.col("q"), F.col(valueCol).as("value"))
+      cold.unionByName(hotRes)
     }
   }
 }

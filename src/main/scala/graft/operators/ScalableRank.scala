@@ -80,6 +80,63 @@ object ScalableRank {
       .drop("$td.__pid", "$td.__local", "pid", "offset")
   }
 
+  /** Per-GROUP ordinal rank for MANY simultaneously-huge groups — the
+    * composite-key generalization of [[withRank]]. A keyed window
+    * (`Window.partitionBy(group)`) sorts each group inside ONE task, so a
+    * corpus where many groups each exceed task-sized row counts cannot
+    * ride it; running one [[withRank]] per group builds one subplan per
+    * group (a driver/analysis-time bomb past a few dozen). This is the
+    * one-pass form:
+    *
+    *  1. range-repartition by (group, key, tiebreakers) — each group's
+    *     rows occupy a contiguous RUN of partitions, large groups span
+    *     many, small groups share one;
+    *  2. row_number within (partition, group) — parallel windows;
+    *  3. per-(partition, group) row counts → per-group cumulative offsets
+    *     (≈ numPartitions + numGroups rows of metadata, broadcast back);
+    *  4. group rank = group's offset at this partition + local rank.
+    *
+    * Ordinal (row_number) semantics: supply `tiebreakers` that make
+    * (key, tiebreakers) total within every group for a deterministic
+    * result — the contract quantile extraction needs. NULL group keys
+    * form one group (null-safe offset join). */
+  def withRankByGroup(df: DataFrame, groupCol: String, key: String,
+      as: String = "rank", tiebreakers: Seq[String] = Nil): DataFrame = {
+    val order = F.col(key).asc +: tiebreakers.map(F.col(_).asc)
+    val partCols = F.col(groupCol).asc +: order
+    // localCheckpoint pins partition ids across the two consuming branches
+    // (rank + offsets), same reasoning as [[withRank]]
+    val parted = df
+      .repartitionByRange(partCols: _*)
+      .sortWithinPartitions(partCols: _*)
+      .withColumn("$td.__pid", F.spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(F.col("`$td.__pid`"), F.col(groupCol))
+      .orderBy(order: _*)
+    val withLocal = parted
+      .withColumn("$td.__local", F.row_number().over(w).cast(LongType))
+    // offsets: how many of MY group's rows live in earlier partitions.
+    // The aggregate is (pid, group)-keyed — ≈ partitions + groups rows —
+    // and the cumulative window runs over that metadata, not the data.
+    val offsets = withLocal
+      .groupBy(F.col("`$td.__pid`").as("$td.__opid"),
+        F.col(groupCol).as("$td.__og"))
+      .agg(F.count(F.lit(1)).as("$td.__sz"))
+      .withColumn("$td.__off",
+        F.coalesce(F.sum(F.col("`$td.__sz`")).over(
+          Window.partitionBy(F.col("`$td.__og`"))
+            .orderBy(F.col("`$td.__opid`"))
+            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
+      .select(F.col("`$td.__opid`"), F.col("`$td.__og`"), F.col("`$td.__off`"))
+    withLocal
+      .join(F.broadcast(offsets),
+        F.col("`$td.__pid`") === F.col("`$td.__opid`") &&
+          (F.col(groupCol) <=> F.col("`$td.__og`")))
+      .withColumn(as, F.col("`$td.__off`") + F.col("`$td.__local`"))
+      .drop("$td.__pid", "$td.__local", "$td.__opid", "$td.__og",
+        "$td.__sz", "$td.__off")
+  }
+
   /** Percentile-rank normalization: map `key` onto [0, 1] as
     * (rank − 1)/(n − 1) with min-ranks, so tied values share one
     * percentile and the extremes land exactly on 0 and 1 — the standard

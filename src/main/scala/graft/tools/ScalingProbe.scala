@@ -251,6 +251,17 @@ object ScalingProbe {
           "g", "n", Seq(0.5, 0.9, 0.99), tiebreakers = Seq("doc_id"),
           hotGroupThreshold = 200000L).count()
       }),
+      ("group_quantiles_manyhot", 100, { d =>
+        // EVERY one of 40 groups exceeds the hot threshold simultaneously
+        // — the shape that would have built a 40-way union of per-group
+        // subplans; all 40 must ride the ONE composite-key rank pass
+        // (withRankByGroup) and stay sub-linear together
+        graft.operators.Quantiles.exactQuantilesByGroup(
+          d.withColumn("g", (F.col("doc_id") % 40).cast("string"))
+            .withColumn("n", F.length(F.col("text"))),
+          "g", "n", Seq(0.5, 0.99), tiebreakers = Seq("doc_id"),
+          hotGroupThreshold = 100L).count()
+      }),
       ("corpus_overlap", 100, { d =>
         graft.pipeline.Report.corpusOverlap(
           d.where(F.col("doc_id") % 2 === 0),

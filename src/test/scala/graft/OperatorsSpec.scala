@@ -77,23 +77,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(1L) == window)
   }
 
-  test("grouped quantiles: hot-group breadth guard fails loudly, not a plan bomb") {
+  test("grouped quantiles: MANY hot groups ride one composite pass, not a plan bomb") {
     import spark.implicits._
     // 100 groups of 3 rows each with a 2-row threshold: every group is
-    // "hot", so the per-group union fallback would build a 100-way plan —
-    // the guard must refuse before any union is assembled
+    // "hot" simultaneously — the shape that would have built a 100-way
+    // union of per-group subplans must now ride ONE composite-key rank
+    // pass and still produce every group's exact order statistics
     val df = (0L until 300L).map(i => (s"g${i % 100}", i, i % 7)).toDF("g", "id", "v")
-    val ex = intercept[IllegalArgumentException] {
-      graft.operators.Quantiles.exactQuantilesByGroup(
-        df, "g", "v", Seq(0.5), tiebreakers = Seq("id"),
+    val hot = graft.operators.Quantiles.exactQuantilesByGroup(
+        df, "g", "v", Seq(0.5, 1.0), tiebreakers = Seq("id"),
         hotGroupThreshold = 2L)
-    }
-    assert(ex.getMessage.contains("100 groups exceed"), ex.getMessage)
-    // a raised maxHotGroups admits the same shape (bounded, caller's call)
-    val ok = graft.operators.Quantiles.exactQuantilesByGroup(
-      df, "g", "v", Seq(0.5), tiebreakers = Seq("id"),
-      hotGroupThreshold = 2L, maxHotGroups = 128)
-    assert(ok.count() == 100L)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val window = graft.operators.Quantiles.exactQuantilesByGroup(
+        df, "g", "v", Seq(0.5, 1.0), tiebreakers = Seq("id"),
+        hotGroupThreshold = Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(hot.size == 200 && hot == window)
+  }
+
+  test("withRankByGroup: per-group ordinal ranks match the keyed window exactly") {
+    import spark.implicits._
+    // groups of wildly different sizes + a NULL group key, scrambled values
+    val rows = (0L until 4000L).map(i =>
+      (Some(s"g${i % 3}"), i, (i * 2654435761L) % 1000L)) ++
+      (0L until 5L).map(i => (Option.empty[String], 9000L + i, 5L - i))
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    val got = graft.operators.ScalableRank
+      .withRankByGroup(df, "g", "v", "r", tiebreakers = Seq("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val expect = df.withColumn("r",
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "id")).cast("long"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == expect)
   }
 
   test("winsorize clips into the quantile window and passes NULLs through") {
