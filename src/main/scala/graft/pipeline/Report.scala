@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Dataset-card corpus reporting — the per-slice summary table every
   * training-data release publishes (docs, bytes, length distribution per
@@ -60,6 +60,20 @@ object Report {
         .as("est"))
       .head().getLong(0)
 
+  /** Per-group [[mergeDistinctSketches]]: union each group's sketches
+    * (e.g. one per stored version) into one estimate per group — the
+    * distinct-count sibling of [[mergeQuantileSketchesByGroup]], still
+    * with zero data rescan. Deterministic (HLL register unions are
+    * order-insensitive), so merged-vs-whole-corpus equality is exact.
+    * Output: (group, estimate). */
+  def mergeDistinctSketchesByGroup(sketches: DataFrame, groupCol: String,
+      sketchCol: String = "sketch",
+      allowDifferentLgK: Boolean = false): DataFrame =
+    sketches.groupBy(F.col(groupCol))
+      .agg(F.expr(
+        s"hll_sketch_estimate(hll_union_agg(`$sketchCol`, $allowDifferentLgK))")
+        .as("estimate"))
+
   /** MERGEABLE quantile sketch: a fixed-grid histogram over [lo, hi) with
     * explicit underflow/overflow tails — the quantile-family sibling of
     * [[distinctSketch]]'s HLL algebra. One pass builds per-group count
@@ -84,17 +98,26 @@ object Report {
     * wrong distribution) and [[sketchQuantiles]] reads the grid from the
     * sketch instead of trusting caller-supplied parameters.
     * Output: (group?, counts: array<long>, n: long, lo, hi, bins). */
-  def quantileSketch(df: DataFrame, valueCol: String, lo: Double, hi: Double,
-      bins: Int, groupCol: Option[String] = None): DataFrame = {
+  /** The deterministic fixed-grid bin of `x` over [lo, hi): 0 =
+    * underflow, 1..bins = grid cells, bins+1 = overflow — the shared
+    * binning of [[quantileSketch]] and the streaming distribution monitor
+    * ([[graft.streaming.Streams.windowedDistribution]]). IEEE doubles
+    * with a fixed operation order ((x−lo)·bins, then /(hi−lo)), so an
+    * external engine states the identical cell. */
+  def gridBin(x: Column, lo: Double, hi: Double, bins: Int): Column = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
-    val x = F.col(valueCol).cast("double")
-    // bin index in [0, bins+1]: 0 = underflow, 1..bins = grid, bins+1 = overflow
-    val idx = (F.when(x < lo, F.lit(0L))
+    F.when(x < lo, F.lit(0L))
       .when(x >= hi, F.lit((bins + 1).toLong))
       .otherwise(F.least(F.lit(bins.toLong),
-        F.floor((x - F.lit(lo)) * F.lit(bins.toDouble) / F.lit(hi - lo)) + 1L)))
-      .as("td_bin")
+        F.floor((x - F.lit(lo)) * F.lit(bins.toDouble) / F.lit(hi - lo)) + 1L))
+  }
+
+  def quantileSketch(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int, groupCol: Option[String] = None): DataFrame = {
+    val x = F.col(valueCol).cast("double")
+    // bin index in [0, bins+1]: 0 = underflow, 1..bins = grid, bins+1 = overflow
+    val idx = gridBin(x, lo, hi, bins).as("td_bin")
     val keyCols = groupCol.toSeq.map(F.col)
     val binned = df.where(x.isNotNull)
       .select(keyCols :+ idx: _*)

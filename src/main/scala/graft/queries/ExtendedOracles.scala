@@ -133,6 +133,15 @@ object ExtendedOracles {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_distribution" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+        |       WHEN CAST(value AS DOUBLE) >= 512.0 THEN 65
+        |       ELSE LEAST(64, CAST(floor(((CAST(value AS DOUBLE) - 0.0)
+        |         * 64.0) / 512.0) AS BIGINT) + 1) END AS bin,
+        |  count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stateful_counts" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -210,6 +210,23 @@ object ExtendedQueries {
           F.col("event_type"), F.col("n"))
         .orderBy("hour_epoch", "event_type")
     }),
+    "q_stream_distribution" -> ((s, dir) => {
+      // live distribution monitoring THROUGH Structured Streaming: hourly
+      // fixed-grid binned counts of event value (the same deterministic
+      // cell function as the mergeable quantile sketch, so each window
+      // row-set IS a sketch mergeable with batch history) — the oracle
+      // states the identical binning + hourly counts over the whole table
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val dist = graft.streaming.Streams.windowedDistribution(
+        stream, "ts", "value", "1 hour", "1 hour", 0.0, 512.0, 64)
+      graft.streaming.StreamStage.runToMemory(dist, "q_stream_distribution_",
+          "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("bin"), F.col("n"))
+        .orderBy("hour_epoch", "bin")
+    }),
     "q_stream_interval_join" -> ((s, dir) => {
       // stream-stream attribution: clicks joined to same-user views within
       // the preceding 12 hours, THROUGH Structured Streaming (two file

@@ -56,6 +56,28 @@ object Streams {
       .groupBy(F.window(F.col(tsCol), window, slide) +: keys.map(F.col): _*)
       .agg(F.count(F.lit(1)).as("n"), F.sum(F.col(valueCol)).as("value_sum"))
 
+  /** Streaming fixed-grid distribution monitor: per-event-time-window
+    * counts over [[graft.pipeline.Report.gridBin]]'s [lo, hi) grid — the
+    * streaming face of the mergeable quantile sketch. The binning is the
+    * SAME deterministic cell function batch sketches use, so a window's
+    * (bin, n) rows pivot into a stamped sketch row and merge with batch
+    * history via `mergeQuantileSketches` — live distribution drift
+    * monitoring (p50/p95 length or score per hour) against a persisted
+    * baseline, with no re-read of the stream. State is one count per
+    * (window, bin): ≤ bins + 2 rows per open window, watermark-bounded
+    * like every windowed aggregate here. NULL values carry no bin (the
+    * batch rule). */
+  def windowedDistribution(df: DataFrame, tsCol: String, valueCol: String,
+      window: String, watermark: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    val x = F.col(valueCol).cast("double")
+    df.where(x.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window),
+        graft.pipeline.Report.gridBin(x, lo, hi, bins).as("bin"))
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
   /** Watermarked stream-stream interval join (append mode): emit every
     * (left, right) pair sharing `on` with `rightTs` inside
     * [leftTs − before, leftTs + after] — the click-to-view attribution /

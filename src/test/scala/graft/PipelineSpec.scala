@@ -1869,6 +1869,17 @@ class PipelineSpec extends AnyFunSuite {
     val re = Report.distinctSketch(a.repartition(13).unionByName(b.repartition(3)),
       "g", "x").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(re == est)
+    // per-group merge: each group's half-sketches union to the group's
+    // whole-corpus estimate EXACTLY (HLL register unions are
+    // order-insensitive), with no data rescan
+    val halves = Report.distinctSketch(
+        a.unionByName(b).where(F.col("x") % 2 === 0), "g", "x")
+      .unionByName(Report.distinctSketch(
+        a.unionByName(b).where(F.col("x") % 2 === 1), "g", "x"))
+    val byGroup = Report.mergeDistinctSketchesByGroup(
+        halves.select("g", "sketch"), "g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == est, s"per-group merge drifted: $byGroup vs $est")
   }
 
   test("randomProjection: norms preserved in expectation, distances correlate") {

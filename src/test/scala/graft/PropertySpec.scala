@@ -45,6 +45,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("withRankByGroup == per-group sorted position on random keyed data") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (s"g$k", i.toLong, v.toLong) }
+        .toDF("g", "id", "v").repartition(5)
+      val got = ScalableRank.withRankByGroup(df, "g", "v", "r",
+          tiebreakers = Seq("id"))
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+      // driver-side truth: position in the group's (v, id)-sorted list
+      val exp = rows.zipWithIndex.groupBy(_._1._1).values.flatMap { grp =>
+        grp.map { case ((_, v), i) => (v.toLong, i.toLong) }.sorted.zipWithIndex
+          .map { case ((_, id), pos) => id -> (pos + 1).toLong }
+      }.toMap
+      assert(got == exp, s"sample=$si rows=${rows.size}")
+    }
+  }
+
+  test("quantile sketch merge: any random split merges to the whole-corpus sketch") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      import graft.pipeline.Report
+      import org.apache.spark.sql.{functions => F}
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v.toLong) }.toDF("id", "part", "v")
+      val whole = Report.quantileSketch(df, "v", -100.0, 100.0, 16)
+        .select("counts", "n").head()
+      // split on the random key into up to 5 shards, sketch each, merge
+      val shards = (0 to 4).map(k =>
+        Report.quantileSketch(df.where(F.col("part") === k), "v",
+          -100.0, 100.0, 16))
+      val nonEmpty = shards.filter(_.head(1).nonEmpty)
+      val merged = Report.mergeQuantileSketches(
+        nonEmpty.reduce(_ unionByName _)).head()
+      assert(merged.getSeq[Long](0) == whole.getSeq[Long](0), s"sample=$si")
+      assert(merged.getLong(1) == whole.getLong(1), s"sample=$si")
+    }
+  }
+
   test("running sum + budget selection == driver-side prefix scan on random data") {
     for ((rows, si) <- samples(keyed).zipWithIndex) {
       import spark.implicits._

@@ -32,6 +32,55 @@ class StreamingSpec extends AnyFunSuite {
   private def eventsBatch = graft.queries.Tables.load(spark, sf, "events")
     .withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
 
+  test("windowed distribution monitor: streamed bins merge with a batch sketch") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("graft-stream-dist")
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val dist = Streams.windowedDistribution(
+      stream, "ts", "value", "1 hour", "1 hour", 0.0, 512.0, 64)
+    val q = Streams.runToMemory(dist, "dist_bins", outputMode = "complete")
+    q.stop()
+    val got = spark.table("dist_bins")
+      .select(F.unix_timestamp(F.col("window.start")).as("h"), F.col("bin"), F.col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = batch.where(F.col("value").isNotNull)
+      .groupBy(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).as("h"),
+        graft.pipeline.Report.gridBin(F.col("value").cast("double"), 0.0, 512.0, 64)
+          .as("bin"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect && got.nonEmpty)
+    // the streamed window rows ARE sketches: pivot one window into a
+    // stamped counts array and merge it with a batch sketch of the same
+    // window's rows — identical counts prove stream/batch interoperability
+    val firstHour = got.keys.map(_._1).min
+    val winBins = got.collect { case ((h, b), n) if h == firstHour => (b, n) }.toMap
+    val counts = (0L to 65L).map(b => winBins.getOrElse(b, 0L))
+    val streamedSketch = spark.createDataFrame(
+      java.util.List.of(Row(counts, 0.0, 512.0, 64)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("counts",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, false)),
+        org.apache.spark.sql.types.StructField("lo",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("hi",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("bins",
+          org.apache.spark.sql.types.IntegerType))))
+    val batchSketch = graft.pipeline.Report.quantileSketch(
+      batch.where(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) === firstHour),
+      "value", 0.0, 512.0, 64)
+    val merged = graft.pipeline.Report.mergeQuantileSketches(
+        streamedSketch.unionByName(
+          batchSketch.select("counts", "lo", "hi", "bins")))
+      .head()
+    assert(merged.getSeq[Long](0) == counts.map(_ * 2), "stream+batch merge drifted")
+  }
+
   test("windowed streaming agg matches the batch computation") {
     val dir = Files.createTempDirectory("graft-stream-in")
     val batch = eventsBatch
