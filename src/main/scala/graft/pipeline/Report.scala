@@ -293,6 +293,101 @@ object Report {
           .as("value")): _*)
   }
 
+  /** Distribution drift between two stamped sketches over the SAME grid
+    * — the "did the new crawl shift my corpus?" check every dataset
+    * release runs, answered straight from persisted [[quantileSketch]]
+    * rows with zero data rescan. Three standard statistics in one pass
+    * over the (bins+2)-cell arrays:
+    *
+    *  - `psi`  — population stability index, Σ (p−q)·ln(p/q) with
+    *    Jeffreys (+0.5/cell) smoothing so empty cells contribute finite
+    *    terms: p_i = (c_i + 0.5)/(n + 0.5·(bins+2)). Industry folklore
+    *    reads <0.1 as stable, >0.25 as shifted.
+    *  - `ks`   — Kolmogorov–Smirnov statistic over the grid ECDFs,
+    *    max_i |Σ≤i c_a/n_a − Σ≤i c_b/n_b| (raw proportions, no
+    *    smoothing), resolved to grid precision.
+    *  - `tvd`  — total variation distance, ½·Σ |c_a/n_a − c_b/n_b|
+    *    (raw proportions).
+    *
+    * All folds run in bin-index order over the dense arrays (IEEE
+    * doubles, fixed operation order, [[graft.expressions.MathKernels.ln]]
+    * for the log), so an external engine states the identical values.
+    * The grid-identity guard rides the plan (raise_error on any row whose
+    * two stamps differ) — merging incomparable grids cannot yield a
+    * silent number. Inputs are one sketch row each (or one per group for
+    * [[sketchDriftByGroup]]); the work is O(groups·bins) in one
+    * broadcast join — nothing rescans the corpus. Output:
+    * (group?, psi, ks, tvd, n_a, n_b). */
+  def sketchDrift(a: DataFrame, b: DataFrame,
+      countsCol: String = "counts"): DataFrame =
+    sketchDriftImpl(a, b, countsCol, keyCols = Nil)
+
+  /** [[sketchDrift]] per group (e.g. per-language length drift between
+    * two corpus versions): inner join on `groupCol` — groups absent from
+    * either side have no drift row. */
+  def sketchDriftByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      countsCol: String = "counts"): DataFrame =
+    sketchDriftImpl(a, b, countsCol, keyCols = Seq(groupCol))
+
+  private def sketchDriftImpl(a: DataFrame, b: DataFrame,
+      countsCol: String, keyCols: Seq[String]): DataFrame = {
+    val gridCols = Seq("lo", "hi", "bins")
+    require(gridCols.forall(a.columns.contains) &&
+        gridCols.forall(b.columns.contains),
+      s"both sketches must carry their grid stamp " +
+        s"${gridCols.mkString("(", ", ", ")")} — (re)build them with " +
+        "quantileSketch/mergeQuantileSketches")
+    def side(df: DataFrame, sfx: String) = df.select(
+      keyCols.map(F.col) ++ Seq(
+        F.col(countsCol).as(s"td_c$sfx"), F.col("n").as(s"n_$sfx"),
+        F.col("lo").as(s"td_lo$sfx"), F.col("hi").as(s"td_hi$sfx"),
+        F.col("bins").as(s"td_bins$sfx")): _*)
+    val joined =
+      if (keyCols.isEmpty) side(a, "a").crossJoin(F.broadcast(side(b, "b")))
+      else side(a, "a").join(F.broadcast(side(b, "b")), keyCols)
+    val sameGrid = F.col("td_loa") === F.col("td_lob") &&
+      F.col("td_hia") === F.col("td_hib") &&
+      F.col("td_binsa") === F.col("td_binsb")
+    // stage the zipped (ca, cb) array as a bound attribute BEFORE the
+    // folds (lambda bodies re-inline unbound producers per element)
+    val staged = joined.select(keyCols.map(F.col) ++ Seq(
+      F.when(sameGrid,
+          F.zip_with(F.col("td_ca"), F.col("td_cb"),
+            (x, y) => F.struct(x.as("ca"), y.as("cb"))))
+        .otherwise(F.raise_error(F.lit("cannot diff sketches with " +
+          "different grids: (lo, hi, bins) stamps disagree")))
+        .as("td_z"),
+      F.col("n_a"), F.col("n_b"), F.col("td_binsa")): _*)
+    val naD = F.col("n_a").cast("double")
+    val nbD = F.col("n_b").cast("double")
+    val cellsD = (F.col("td_binsa") + 2).cast("double")
+    val ln = graft.expressions.MathKernels.ln _
+    def smoothed(c: Column, n: Column) =
+      (c.cast("double") + F.lit(0.5)) / (n + F.lit(0.5) * cellsD)
+    val psi = F.aggregate(F.col("td_z"), F.lit(0.0), (acc, s) => {
+      val pa = smoothed(s.getField("ca"), naD)
+      val pb = smoothed(s.getField("cb"), nbD)
+      acc + (pa - pb) * ln((pa / pb).cast("double"))
+    })
+    val ks = F.aggregate(F.col("td_z"),
+      F.struct(F.lit(0L).as("ca"), F.lit(0L).as("cb"),
+        F.lit(0.0).as("maxd")),
+      (st, s) => {
+        val ca = st.getField("ca") + s.getField("ca")
+        val cb = st.getField("cb") + s.getField("cb")
+        F.struct(ca.as("ca"), cb.as("cb"),
+          F.greatest(st.getField("maxd"),
+            F.abs(ca.cast("double") / naD - cb.cast("double") / nbD))
+            .as("maxd"))
+      },
+      st => st.getField("maxd"))
+    val tvd = F.lit(0.5) * F.aggregate(F.col("td_z"), F.lit(0.0),
+      (acc, s) => acc + F.abs(s.getField("ca").cast("double") / naD -
+        s.getField("cb").cast("double") / nbD))
+    staged.select(keyCols.map(F.col) ++ Seq(psi.as("psi"), ks.as("ks"),
+      tvd.as("tvd"), F.col("n_a"), F.col("n_b")): _*)
+  }
+
   /** Exact equi-width histogram of a numeric column — the length/score
     * distribution plot behind every dataset card, computed exactly: the
     * [min, max] range rides as a broadcast 1-row relation, each row maps

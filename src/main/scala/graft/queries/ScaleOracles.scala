@@ -310,6 +310,98 @@ object ScaleOracles {
         |SELECT lang, q, CASE WHEN idx <= 0 THEN 0.0 WHEN idx >= 65 THEN 640.0
         |            ELSE 0.0 + CAST(idx - 1 AS DOUBLE) * 10.0 END AS value
         |FROM hit ORDER BY lang, q""".stripMargin,
+    "q_distribution_drift" ->
+      // identical arithmetic to Report.sketchDrift: fixed-grid bins over
+      // [0, 512) ×64, Jeffreys +0.5/cell smoothing for PSI, raw-proportion
+      // ECDF fold for KS, raw-proportion TVD — every fold in bin order
+      """WITH ba AS (
+        |  SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(value AS DOUBLE) >= 512.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(value AS DOUBLE) - 0.0)
+        |                * 64.0) / 512.0) AS BIGINT) + 1) END AS bin
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |bb AS (
+        |  SELECT CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(value AS DOUBLE) >= 512.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(value AS DOUBLE) - 0.0)
+        |                * 64.0) / 512.0) AS BIGINT) + 1) END AS bin
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+        |ca_ AS (SELECT bin, count(*) AS c FROM ba GROUP BY 1),
+        |cb_ AS (SELECT bin, count(*) AS c FROM bb GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 65)) AS bin),
+        |dd AS (SELECT g.bin, coalesce(ca_.c, 0) AS ca, coalesce(cb_.c, 0) AS cb
+        |       FROM g LEFT JOIN ca_ USING (bin) LEFT JOIN cb_ USING (bin)),
+        |nn AS (SELECT (SELECT count(*) FROM ba) AS na,
+        |              (SELECT count(*) FROM bb) AS nb),
+        |terms AS (SELECT bin, ca, cb, na, nb,
+        |    (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * 66.0) AS pa,
+        |    (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * 66.0) AS pb
+        |  FROM dd, nn),
+        |cum AS (SELECT bin, na, nb,
+        |    sum(ca) OVER (ORDER BY bin) AS cca,
+        |    sum(cb) OVER (ORDER BY bin) AS ccb FROM terms),
+        |ksv AS (SELECT max(abs(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks FROM cum),
+        |agg AS (SELECT
+        |    list((pa - pb) * ln(pa / pb) ORDER BY bin) AS psiterms,
+        |    list(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) ORDER BY bin) AS tvdterms,
+        |    max(na) AS na, max(nb) AS nb FROM terms)
+        |SELECT
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), psiterms),
+        |    (x, y) -> x + y) AS psi,
+        |  (SELECT ks FROM ksv) AS ks,
+        |  0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), tvdterms),
+        |    (x, y) -> x + y) AS tvd,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM agg""".stripMargin,
+    "q_distribution_drift_grouped" ->
+      """WITH ba AS (
+        |  SELECT lang, CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(n_chars AS DOUBLE) >= 640.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |                * 64.0) / 640.0) AS BIGINT) + 1) END AS bin
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |bb AS (
+        |  SELECT lang, CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(n_chars AS DOUBLE) >= 640.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |                * 64.0) / 640.0) AS BIGINT) + 1) END AS bin
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |langs AS (SELECT DISTINCT lang FROM ba
+        |          INTERSECT SELECT DISTINCT lang FROM bb),
+        |ca_ AS (SELECT lang, bin, count(*) AS c FROM ba GROUP BY 1, 2),
+        |cb_ AS (SELECT lang, bin, count(*) AS c FROM bb GROUP BY 1, 2),
+        |g AS (SELECT lang, unnest(generate_series(0, 65)) AS bin FROM langs),
+        |dd AS (SELECT g.lang, g.bin, coalesce(ca_.c, 0) AS ca,
+        |         coalesce(cb_.c, 0) AS cb
+        |       FROM g LEFT JOIN ca_ USING (lang, bin)
+        |              LEFT JOIN cb_ USING (lang, bin)),
+        |na_ AS (SELECT lang, count(*) AS na FROM ba GROUP BY 1),
+        |nb_ AS (SELECT lang, count(*) AS nb FROM bb GROUP BY 1),
+        |terms AS (SELECT dd.lang, bin, ca, cb, na, nb,
+        |    (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * 66.0) AS pa,
+        |    (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * 66.0) AS pb
+        |  FROM dd JOIN na_ USING (lang) JOIN nb_ USING (lang)),
+        |cum AS (SELECT lang, bin, na, nb,
+        |    sum(ca) OVER (PARTITION BY lang ORDER BY bin) AS cca,
+        |    sum(cb) OVER (PARTITION BY lang ORDER BY bin) AS ccb FROM terms),
+        |ksv AS (SELECT lang, max(abs(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks
+        |  FROM cum GROUP BY 1),
+        |agg AS (SELECT lang,
+        |    list((pa - pb) * ln(pa / pb) ORDER BY bin) AS psiterms,
+        |    list(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) ORDER BY bin) AS tvdterms,
+        |    max(na) AS na, max(nb) AS nb FROM terms GROUP BY 1)
+        |SELECT agg.lang,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), psiterms),
+        |    (x, y) -> x + y) AS psi,
+        |  ksv.ks AS ks,
+        |  0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), tvdterms),
+        |    (x, y) -> x + y) AS tvd,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM agg JOIN ksv ON agg.lang = ksv.lang ORDER BY agg.lang""".stripMargin,
     "q_jdbc_partitioned" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey <= 1200

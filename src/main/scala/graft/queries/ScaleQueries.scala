@@ -306,6 +306,36 @@ object ScaleQueries {
       Report.sketchQuantilesByGroup(merged, "lang", Seq(0.5, 0.95))
         .orderBy("lang", "q")
     }),
+    "q_distribution_drift" -> ((s, dir) => {
+      // distribution drift STRAIGHT FROM STAMPED SKETCHES: PSI + KS + TVD
+      // between the purchase-value and click-value distributions, answered
+      // from two (bins+2)-cell sketch rows with zero data rescan — the
+      // "did the new crawl shift my corpus?" check of every dataset
+      // release. The oracle states the identical binning, Jeffreys
+      // smoothing, libm ln, and bin-ordered folds over the whole table.
+      import graft.pipeline.Report
+      val ev = d(s, dir, "events").select("event_type", "value")
+      val a = Report.quantileSketch(
+        ev.where(F.col("event_type") === "purchase"), "value", 0.0, 512.0, 64)
+      val b = Report.quantileSketch(
+        ev.where(F.col("event_type") === "click"), "value", 0.0, 512.0, 64)
+      Report.sketchDrift(a, b)
+    }),
+    "q_distribution_drift_grouped" -> ((s, dir) => {
+      // per-slice drift: per-language PSI/KS/TVD of document length
+      // between the two corpus halves (even vs odd doc_id) — the
+      // per-language version-over-version drift row of a dataset card,
+      // computed from per-group stamped sketches via one broadcast join.
+      import graft.pipeline.Report
+      val docs = d(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val a = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 0), "n_chars", 0.0, 640.0, 64,
+        groupCol = Some("lang"))
+      val b = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 1), "n_chars", 0.0, 640.0, 64,
+        groupCol = Some("lang"))
+      Report.sketchDriftByGroup(a, b, "lang").orderBy("lang")
+    }),
     "q_jdbc_partitioned" -> ((s, dir) => {
       // the warehouse-ingest fan-out END TO END: seed an embedded Derby
       // database (the same engine the vendor-twin specs ride) from the

@@ -1001,6 +1001,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex4.getMessage.contains("empty set"), ex4.getMessage)
   }
 
+  test("sketch drift: zero on self, hand-checked PSI/KS/TVD, shift-sensitive, grid-guarded") {
+    import spark.implicits._
+    import graft.pipeline.Report
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val (lo, hi, bins) = (0.0, 640.0, 64)
+    val a = Report.quantileSketch(docs, "n_chars", lo, hi, bins)
+    // identical distributions drift by exactly zero on every statistic
+    val self = Report.sketchDrift(a, a).head()
+    assert(self.getDouble(0) == 0.0 && self.getDouble(1) == 0.0 &&
+      self.getDouble(2) == 0.0, s"self-drift not zero: $self")
+    // hand-checked small case: grid [0,2)x2 -> 4 cells, counts
+    // a=[0,3,1,0] b=[0,1,3,0], n=4 each, smoothing denom 4+0.5*4=6:
+    // psi = 2 * (2/6) * ln(3.5/1.5); ks = |3/4 - 1/4| = 0.5; tvd = 0.5
+    val da = Seq(0.5, 0.5, 0.5, 1.5).toDF("x")
+    val db = Seq(0.5, 1.5, 1.5, 1.5).toDF("x")
+    val drift = Report.sketchDrift(
+      Report.quantileSketch(da, "x", 0.0, 2.0, 2),
+      Report.quantileSketch(db, "x", 0.0, 2.0, 2)).head()
+    val psiExp = 2.0 * (2.0 / 6.0) * math.log(3.5 / 1.5)
+    assert(math.abs(drift.getDouble(0) - psiExp) < 1e-12, s"psi ${drift.getDouble(0)}")
+    assert(drift.getDouble(1) == 0.5 && drift.getDouble(2) == 0.5, drift.toString)
+    assert(drift.getLong(3) == 4L && drift.getLong(4) == 4L)
+    // a real shift moves every statistic well past the folklore thresholds
+    val shifted = Report.quantileSketch(
+      docs.withColumn("n_chars", F.col("n_chars") + 200), "n_chars", lo, hi, bins)
+    val moved = Report.sketchDrift(a, shifted).head()
+    assert(moved.getDouble(0) > 0.25 && moved.getDouble(1) > 0.1 &&
+      moved.getDouble(2) > 0.1, s"shift not detected: $moved")
+    // per-group vs global parity: one group's drift row equals the global
+    // drift of that group's rows
+    def byLang(m: Int) = Report.quantileSketch(
+      docs.where(F.col("doc_id") % 2 === m), "n_chars", lo, hi, bins,
+      groupCol = Some("lang"))
+    val grouped = Report.sketchDriftByGroup(byLang(0), byLang(1), "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val en = docs.where(F.col("lang") === "en")
+    val enGlobal = Report.sketchDrift(
+      Report.quantileSketch(en.where(F.col("doc_id") % 2 === 0), "n_chars", lo, hi, bins),
+      Report.quantileSketch(en.where(F.col("doc_id") % 2 === 1), "n_chars", lo, hi, bins))
+      .head()
+    assert(grouped("en") == ((enGlobal.getDouble(0), enGlobal.getDouble(1),
+      enGlobal.getDouble(2))), s"grouped vs global: ${grouped("en")} vs $enGlobal")
+    // incomparable grids cannot yield a silent number
+    val otherGrid = Report.quantileSketch(docs, "n_chars", lo, hi / 2, bins)
+    val ex = intercept[Exception] {
+      Report.sketchDrift(a, otherGrid).collect()
+    }
+    assert(ex.getMessage.contains("different grids"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      Report.sketchDrift(a, otherGrid.select("counts", "n"))
+    }
+    assert(ex2.getMessage.contains("grid stamp"), ex2.getMessage)
+  }
+
   test("per-group sketch merge: mergeByGroup(a,b) == sketch(a ∪ b) per slice") {
     import graft.pipeline.Report
     val docs = spark.read.parquet(s"$sf/documents.parquet")

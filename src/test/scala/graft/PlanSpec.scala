@@ -556,6 +556,14 @@ class PlanSpec extends AnyFunSuite {
     val mg = plan(graft.pipeline.Report.mergeQuantileSketchesByGroup(sk, "lang"))
     assert(!mg.contains("Window") && !mg.contains("CartesianProduct") &&
       !mg.contains("SortMergeJoin"), mg)
+    // sketch drift: O(groups·bins) rows through ONE broadcast hash join —
+    // the statistics are array folds in a projection, never a shuffle of
+    // the corpus, never a window, never a sort-merge join
+    val sk2 = graft.pipeline.Report.quantileSketch(
+      docs, "n_chars", 0.0, 640.0, 64, groupCol = Some("lang"))
+    val dr = plan(graft.pipeline.Report.sketchDriftByGroup(sk, sk2, "lang"))
+    assert(dr.contains("BroadcastHashJoin") && !dr.contains("Window") &&
+      !dr.contains("SortMergeJoin") && !dr.contains("CartesianProduct"), dr)
   }
 
   test("store partition pruning: partition filter never reaches row scan") {
