@@ -388,6 +388,164 @@ object Report {
       tvd.as("tvd"), F.col("n_a"), F.col("n_b")): _*)
   }
 
+  /** MERGEABLE embedding-centroid sketch: per-dimension FIXED-POINT sums
+    * of an `Array[Float]` column — the embedding-space face of the sketch
+    * algebra ([[distinctSketch]], [[quantileSketch]]). Each coordinate
+    * maps to round-half-up fixed point via floor(x·2^scaleBits + 0.5)
+    * (pure IEEE ops — the ·2^k product is exact, so an external engine
+    * states the identical long), and the per-dimension LONG sums are
+    * order-insensitive and overflow-safe (|x|≤2^10, 2^20 scale, 2^33
+    * rows before a long saturates). Because the algebra is exact integer
+    * addition, [[mergeEmbeddingSketches]] == whole-corpus BIT-EXACTLY —
+    * unlike float mean merging, shard/version roll-ups lose nothing. The
+    * plan is `dim` map-side partial sums in ONE aggregation — no explode,
+    * no per-dimension shuffle; output one (dim+stamp) row per group.
+    * Output: (group?, sums: array<long>, n, dim, scale_bits). */
+  def embeddingSketch(df: DataFrame, vecCol: String, dim: Int,
+      scaleBits: Int = 20, groupCol: Option[String] = None): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(scaleBits >= 0 && scaleBits <= 30,
+      s"scaleBits must be in [0, 30], got $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val v = F.col(vecCol)
+    val sums = (0 until dim).map { i =>
+      F.sum(F.floor(F.element_at(v, i + 1).cast("double") * F.lit(scale) +
+        F.lit(0.5)).cast("long")).as(s"td_s$i")
+    }
+    val aggs = sums :+ F.count(F.lit(1)).as("n")
+    val keyCols = groupCol.toSeq.map(F.col)
+    val base = df.where(v.isNotNull)
+    val agged =
+      if (groupCol.isDefined)
+        base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      else base.agg(aggs.head, aggs.tail: _*)
+    agged.select(keyCols ++ Seq(
+      F.array((0 until dim).map(i => F.col(s"td_s$i")): _*).as("sums"),
+      F.col("n"), F.lit(dim).as("dim"),
+      F.lit(scaleBits).as("scale_bits")): _*)
+  }
+
+  /** Union embedding-centroid sketches: elementwise long addition under
+    * the (dim, scale_bits) stamp guard — exact, so merge(a, b) ==
+    * sketch(a ∪ b) bit-identically (proven in PipelineSpec). Same
+    * posexplode + keyed-sum shape as [[mergeQuantileSketches]]. */
+  def mergeEmbeddingSketches(sketches: DataFrame): DataFrame =
+    mergeEmbSketchImpl(sketches, keyCols = Nil)
+
+  /** Per-group [[mergeEmbeddingSketches]] (e.g. per-label or per-source
+    * centroid roll-up across stored versions). */
+  def mergeEmbeddingSketchesByGroup(sketches: DataFrame,
+      groupCol: String): DataFrame =
+    mergeEmbSketchImpl(sketches, keyCols = Seq(groupCol))
+
+  private def mergeEmbSketchImpl(sketches: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val stampCols = Seq("dim", "scale_bits")
+    require((stampCols ++ Seq("sums", "n")).forall(sketches.columns.contains),
+      "embedding sketches must carry (sums, n, dim, scale_bits) — " +
+        "(re)build them with embeddingSketch")
+    val keys = keyCols.map(F.col)
+    val exploded = sketches.select(
+      keys ++ Seq(F.col("dim"), F.col("scale_bits"), F.col("n"),
+        F.posexplode(F.col("sums")).as(Seq("td_pos", "td_s"))): _*)
+    // n rides position 0 so the total rolls up in the same keyed sum
+    val byPos = exploded
+      .groupBy(keys :+ F.col("td_pos"): _*).agg(
+        F.sum(F.col("td_s")).as("td_s"),
+        F.sum(F.when(F.col("td_pos") === 0, F.col("n"))
+          .otherwise(F.lit(0L))).as("td_n"),
+        F.countDistinct(F.struct(F.col("dim"), F.col("scale_bits")))
+          .as("td_g"),
+        F.first(F.col("dim")).as("dim"),
+        F.first(F.col("scale_bits")).as("scale_bits"))
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(F.col("td_pos"), F.col("td_s"))))
+    val assembled =
+      if (keys.isEmpty) byPos.agg(
+        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+        F.sum(F.col("td_n")).as("n"),
+        F.first(F.col("dim")).as("dim"),
+        F.first(F.col("scale_bits")).as("scale_bits"))
+      else byPos.groupBy(keys: _*).agg(
+        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+        F.sum(F.col("td_n")).as("n"),
+        F.first(F.col("dim")).as("dim"),
+        F.first(F.col("scale_bits")).as("scale_bits"))
+    assembled.select(keys ++ Seq(
+      F.when(F.col("td_g") === 1,
+          F.transform(F.sequence(F.lit(0), F.col("dim") - 1),
+            i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+        .otherwise(F.raise_error(
+          F.when(F.col("td_g").isNull,
+              F.lit("cannot merge an empty set of embedding sketches"))
+            .otherwise(F.lit("cannot merge embedding sketches with " +
+              "different stamps: more than one distinct (dim, scale_bits) " +
+              "in the input"))))
+        .as("sums"),
+      F.col("n"), F.col("dim"), F.col("scale_bits")): _*)
+  }
+
+  /** Embedding-space drift between two centroid sketches: cosine of the
+    * mean vectors, L2 centroid shift, and the largest per-dimension mean
+    * shift — the "did my embedding distribution move?" release check,
+    * answered from two (dim+stamp) rows with zero corpus rescan. Means
+    * decode as (sum/n)/2^scaleBits in a fixed order; the cosine and L2
+    * folds run in dimension order, so an external engine states the
+    * identical doubles. Stamp guard rides the plan like [[sketchDrift]].
+    * Output: (group?, cos_means, l2_shift, max_dim_shift, n_a, n_b). */
+  def embeddingDrift(a: DataFrame, b: DataFrame): DataFrame =
+    embeddingDriftImpl(a, b, keyCols = Nil)
+
+  /** [[embeddingDrift]] per group — inner join on `groupCol`. */
+  def embeddingDriftByGroup(a: DataFrame, b: DataFrame,
+      groupCol: String): DataFrame =
+    embeddingDriftImpl(a, b, keyCols = Seq(groupCol))
+
+  private def embeddingDriftImpl(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    Seq(a, b).foreach(df => require(
+      Seq("sums", "n", "dim", "scale_bits").forall(df.columns.contains),
+      "embedding sketches must carry (sums, n, dim, scale_bits) — " +
+        "(re)build them with embeddingSketch"))
+    def side(df: DataFrame, sfx: String) = df.select(
+      keyCols.map(F.col) ++ Seq(
+        F.col("sums").as(s"td_s$sfx"), F.col("n").as(s"n_$sfx"),
+        F.col("dim").as(s"td_dim$sfx"),
+        F.col("scale_bits").as(s"td_sb$sfx")): _*)
+    val joined =
+      if (keyCols.isEmpty) side(a, "a").crossJoin(F.broadcast(side(b, "b")))
+      else side(a, "a").join(F.broadcast(side(b, "b")), keyCols)
+    val sameStamp = F.col("td_dima") === F.col("td_dimb") &&
+      F.col("td_sba") === F.col("td_sbb")
+    val scaleD = F.pow(F.lit(2.0), F.col("td_sba").cast("double"))
+    def means(sums: Column, n: Column) =
+      F.transform(sums, s => (s.cast("double") / n.cast("double")) / scaleD)
+    // stage the zipped mean arrays as a bound attribute before the folds
+    val staged = joined.select(keyCols.map(F.col) ++ Seq(
+      F.when(sameStamp,
+          F.zip_with(means(F.col("td_sa"), F.col("n_a")),
+            means(F.col("td_sb"), F.col("n_b")),
+            (x, y) => F.struct(x.as("ma"), y.as("mb"))))
+        .otherwise(F.raise_error(F.lit("cannot diff embedding sketches " +
+          "with different stamps: (dim, scale_bits) disagree")))
+        .as("td_z"),
+      F.col("n_a"), F.col("n_b")): _*)
+    def fold(term: Column => Column) =
+      F.aggregate(F.col("td_z"), F.lit(0.0), (acc, s) => acc + term(s))
+    val dot = fold(s => s.getField("ma") * s.getField("mb"))
+    val na2 = fold(s => s.getField("ma") * s.getField("ma"))
+    val nb2 = fold(s => s.getField("mb") * s.getField("mb"))
+    val l2 = F.sqrt(fold(s =>
+      (s.getField("ma") - s.getField("mb")) *
+        (s.getField("ma") - s.getField("mb"))))
+    val maxShift = F.aggregate(F.col("td_z"), F.lit(0.0), (acc, s) =>
+      F.greatest(acc, F.abs(s.getField("ma") - s.getField("mb"))))
+    staged.select(keyCols.map(F.col) ++ Seq(
+      (dot / (F.sqrt(na2) * F.sqrt(nb2))).as("cos_means"),
+      l2.as("l2_shift"), maxShift.as("max_dim_shift"),
+      F.col("n_a"), F.col("n_b")): _*)
+  }
+
   /** Exact equi-width histogram of a numeric column — the length/score
     * distribution plot behind every dataset card, computed exactly: the
     * [min, max] range rides as a broadcast 1-row relation, each row maps

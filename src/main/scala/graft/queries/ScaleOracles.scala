@@ -402,6 +402,88 @@ object ScaleOracles {
         |    (x, y) -> x + y) AS tvd,
         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
         |FROM agg JOIN ksv ON agg.lang = ksv.lang ORDER BY agg.lang""".stripMargin,
+    "q_embedding_drift" ->
+      // identical arithmetic to Report.embeddingSketch + embeddingDrift:
+      // fixed-point floor(x·2^20 + 0.5) longs, (s/n)/2^20 means,
+      // dimension-ordered folds for dot/norm/L2, order-free max
+      """WITH sa AS (SELECT i,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY i),
+        |sb AS (SELECT i,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  WHERE vec_id % 2 = 1 AND embedding IS NOT NULL GROUP BY i),
+        |na AS (SELECT count(*) AS n FROM embeddings
+        |       WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+        |nb AS (SELECT count(*) AS n FROM embeddings
+        |       WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+        |z AS (SELECT sa.i,
+        |        (CAST(sa.s AS DOUBLE) / CAST(na.n AS DOUBLE)) / 1048576.0 AS x,
+        |        (CAST(sb.s AS DOUBLE) / CAST(nb.n AS DOUBLE)) / 1048576.0 AS y
+        |      FROM sa JOIN sb USING (i), na, nb),
+        |agg AS (SELECT
+        |    list(x * y ORDER BY i) AS dots,
+        |    list(x * x ORDER BY i) AS xs,
+        |    list(y * y ORDER BY i) AS ys,
+        |    list((x - y) * (x - y) ORDER BY i) AS d2s,
+        |    max(abs(x - y)) AS maxshift FROM z)
+        |SELECT
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), dots), (p, q) -> p + q)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+        |        (p, q) -> p + q))
+        |      * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), ys),
+        |        (p, q) -> p + q))) AS cos_means,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), d2s),
+        |    (p, q) -> p + q)) AS l2_shift,
+        |  maxshift AS max_dim_shift,
+        |  (SELECT CAST(n AS BIGINT) FROM na) AS n_a,
+        |  (SELECT CAST(n AS BIGINT) FROM nb) AS n_b
+        |FROM agg""".stripMargin,
+    "q_embedding_drift_grouped" ->
+      """WITH sa AS (SELECT label, i,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY 1, 2),
+        |sb AS (SELECT label, i,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  WHERE vec_id % 2 = 1 AND embedding IS NOT NULL GROUP BY 1, 2),
+        |na AS (SELECT label, count(*) AS n FROM embeddings
+        |       WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY 1),
+        |nb AS (SELECT label, count(*) AS n FROM embeddings
+        |       WHERE vec_id % 2 = 1 AND embedding IS NOT NULL GROUP BY 1),
+        |z AS (SELECT sa.label, sa.i,
+        |        (CAST(sa.s AS DOUBLE) / CAST(na.n AS DOUBLE)) / 1048576.0 AS x,
+        |        (CAST(sb.s AS DOUBLE) / CAST(nb.n AS DOUBLE)) / 1048576.0 AS y
+        |      FROM sa JOIN sb USING (label, i)
+        |        JOIN na USING (label) JOIN nb ON nb.label = sa.label),
+        |agg AS (SELECT label,
+        |    list(x * y ORDER BY i) AS dots,
+        |    list(x * x ORDER BY i) AS xs,
+        |    list(y * y ORDER BY i) AS ys,
+        |    list((x - y) * (x - y) ORDER BY i) AS d2s,
+        |    max(abs(x - y)) AS maxshift FROM z GROUP BY 1)
+        |SELECT agg.label,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), dots), (p, q) -> p + q)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+        |        (p, q) -> p + q))
+        |      * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), ys),
+        |        (p, q) -> p + q))) AS cos_means,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), d2s),
+        |    (p, q) -> p + q)) AS l2_shift,
+        |  maxshift AS max_dim_shift,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+        |FROM agg JOIN na USING (label) JOIN nb USING (label)
+        |ORDER BY agg.label""".stripMargin,
     "q_jdbc_partitioned" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey <= 1200

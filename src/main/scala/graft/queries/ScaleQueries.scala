@@ -336,6 +336,31 @@ object ScaleQueries {
         groupCol = Some("lang"))
       Report.sketchDriftByGroup(a, b, "lang").orderBy("lang")
     }),
+    "q_embedding_drift" -> ((s, dir) => {
+      // embedding-space drift THROUGH THE EXACT MERGE ALGEBRA: quarter
+      // sketches (fixed-point per-dimension sums) merged into halves,
+      // then cosine-of-means / L2 / max-dim shift between the halves —
+      // integer sums make merge == whole bit-exact, so the oracle can
+      // state the identical arithmetic from the raw table
+      import graft.pipeline.Report
+      val emb = d(s, dir, "embeddings").select("vec_id", "embedding")
+      def quarter(m: Int) = Report.embeddingSketch(
+        emb.where(F.col("vec_id") % 4 === m), "embedding", 64)
+      val a = Report.mergeEmbeddingSketches(quarter(0).unionByName(quarter(2)))
+      val b = Report.mergeEmbeddingSketches(quarter(1).unionByName(quarter(3)))
+      Report.embeddingDrift(a, b)
+    }),
+    "q_embedding_drift_grouped" -> ((s, dir) => {
+      // per-label centroid drift between the two corpus halves — the
+      // per-slice "did my clusters move?" row of an embedding release
+      import graft.pipeline.Report
+      val emb = d(s, dir, "embeddings")
+      def half(m: Int) = Report.embeddingSketch(
+        emb.where(F.col("vec_id") % 2 === m), "embedding", 64,
+        groupCol = Some("label"))
+      Report.embeddingDriftByGroup(half(0), half(1), "label")
+        .orderBy("label")
+    }),
     "q_jdbc_partitioned" -> ((s, dir) => {
       // the warehouse-ingest fan-out END TO END: seed an embedded Derby
       // database (the same engine the vendor-twin specs ride) from the

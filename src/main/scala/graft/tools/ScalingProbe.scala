@@ -238,6 +238,18 @@ object ScalingProbe {
             .withColumn("n", F.length(F.col("text"))),
           "n", 0.0, 4096.0, 256, groupCol = Some("g")).count()
       }),
+      ("embedding_sketch", 100, { d =>
+        // fixed-point centroid sketch per 10-way label over synthesized
+        // 64-dim vectors (hash-derived — the measured cost is the scan ×
+        // dim map-side partial sums, no explode, one shuffle of ≤10 rows)
+        val emb = d.select(F.col("doc_id"),
+          F.transform(F.sequence(F.lit(1), F.lit(64)),
+            i => (F.hash(F.col("doc_id"), i).cast("double") /
+              F.lit(2.147483647e9)).cast("float")).as("embedding"),
+          (F.col("doc_id") % 10).cast("int").as("label"))
+        graft.pipeline.Report.embeddingSketch(emb, "embedding", 64,
+          groupCol = Some("label")).count()
+      }),
       ("group_quantiles_skew", 100, { d =>
         // one pathologically hot group (~70% of all rows) + 9 cold groups:
         // the hot group must route through the global range-shuffle

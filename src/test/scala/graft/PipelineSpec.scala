@@ -1057,6 +1057,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("grid stamp"), ex2.getMessage)
   }
 
+  test("embedding sketch: exact merge algebra, drift stats, stamp guards") {
+    import graft.pipeline.Report
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // merge(a, b) == sketch(a ∪ b) BIT-EXACTLY — integer sums, not floats
+    val whole = Report.embeddingSketch(emb, "embedding", 64).head()
+    val a = Report.embeddingSketch(
+      emb.where(F.col("vec_id") % 2 === 0).repartition(7), "embedding", 64)
+    val b = Report.embeddingSketch(
+      emb.where(F.col("vec_id") % 2 === 1).repartition(3), "embedding", 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-esketch").toString
+    a.unionByName(b).write.mode("overwrite").parquet(dir)
+    val merged = Report.mergeEmbeddingSketches(spark.read.parquet(dir)).head()
+    assert(merged.getSeq[Long](0) == whole.getSeq[Long](0))
+    assert(merged.getLong(1) == whole.getLong(1) &&
+      whole.getLong(1) == emb.count())
+    assert(merged.getInt(2) == 64 && merged.getInt(3) == 20)
+    // per-group merge == per-group whole, every label
+    val byLabel = Report.mergeEmbeddingSketchesByGroup(
+        Report.embeddingSketch(emb.where(F.col("vec_id") % 2 === 0),
+          "embedding", 64, groupCol = Some("label"))
+          .unionByName(Report.embeddingSketch(
+            emb.where(F.col("vec_id") % 2 === 1), "embedding", 64,
+            groupCol = Some("label"))), "label")
+      .collect().map(r => r.getInt(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val wholeByLabel = Report.embeddingSketch(emb, "embedding", 64,
+        groupCol = Some("label"))
+      .collect().map(r => r.getInt(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(byLabel == wholeByLabel)
+    // self-drift: cos == 1 (identical mean vectors), zero shift
+    val self = Report.embeddingDrift(a, a).head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-12 &&
+      self.getDouble(1) == 0.0 && self.getDouble(2) == 0.0, self.toString)
+    // an injected +0.25 shift on dimension 3 is detected and located
+    val shifted = Report.embeddingSketch(
+      emb.withColumn("embedding", F.transform(F.col("embedding"),
+        (x, i) => F.when(i === 2, x + F.lit(0.25f)).otherwise(x))),
+      "embedding", 64)
+    val wholeDf = Report.embeddingSketch(emb, "embedding", 64)
+    val moved = Report.embeddingDrift(wholeDf, shifted).head()
+    assert(moved.getDouble(1) > 0.2 && moved.getDouble(1) < 0.3,
+      s"l2 ${moved.getDouble(1)}") // one dim moved ~0.25
+    assert(math.abs(moved.getDouble(2) - 0.25) < 1e-3,
+      s"max_dim_shift ${moved.getDouble(2)}")
+    // incompatible stamps refuse to merge or diff
+    val otherStamp = Report.embeddingSketch(emb, "embedding", 64, scaleBits = 16)
+    val ex = intercept[Exception] {
+      Report.mergeEmbeddingSketches(a.unionByName(otherStamp)).collect()
+    }
+    assert(ex.getMessage.contains("different stamps"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      Report.embeddingDrift(a, otherStamp).collect()
+    }
+    assert(ex2.getMessage.contains("different stamps"), ex2.getMessage)
+    val ex3 = intercept[IllegalArgumentException] {
+      Report.embeddingDrift(a, otherStamp.select("sums", "n"))
+    }
+    assert(ex3.getMessage.contains("embeddingSketch"), ex3.getMessage)
+  }
+
   test("per-group sketch merge: mergeByGroup(a,b) == sketch(a ∪ b) per slice") {
     import graft.pipeline.Report
     val docs = spark.read.parquet(s"$sf/documents.parquet")

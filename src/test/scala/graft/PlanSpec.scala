@@ -564,6 +564,20 @@ class PlanSpec extends AnyFunSuite {
     val dr = plan(graft.pipeline.Report.sketchDriftByGroup(sk, sk2, "lang"))
     assert(dr.contains("BroadcastHashJoin") && !dr.contains("Window") &&
       !dr.contains("SortMergeJoin") && !dr.contains("CartesianProduct"), dr)
+    // embedding sketch: dim map-side partial sums in ONE aggregation —
+    // no explode (no per-dimension row blow-up), no window, no join
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val es = plan(graft.pipeline.Report.embeddingSketch(
+      emb, "embedding", 64, groupCol = Some("label")))
+    assert(!es.contains("Generate") && !es.contains("Window") &&
+      !es.contains("Join"), es)
+    assert(es.contains("partial_sum") || es.contains("HashAggregate"), es)
+    // embedding drift: one broadcast join over (dim+stamp)-sized rows
+    val eda = graft.pipeline.Report.embeddingSketch(
+      emb, "embedding", 64, groupCol = Some("label"))
+    val ed = plan(graft.pipeline.Report.embeddingDriftByGroup(eda, eda, "label"))
+    assert(ed.contains("BroadcastHashJoin") && !ed.contains("Window") &&
+      !ed.contains("SortMergeJoin") && !ed.contains("CartesianProduct"), ed)
   }
 
   test("store partition pruning: partition filter never reaches row scan") {
