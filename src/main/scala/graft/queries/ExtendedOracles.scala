@@ -168,6 +168,54 @@ object ExtendedOracles {
          |  count(*) FILTER (WHERE op = 'update') AS updated,
          |  count(*) AS changed
          |FROM ($VersionDiffSql) d""".stripMargin,
+    "q_version_drift" ->
+      // the q_distribution_drift arithmetic over the two store-version
+      // derivations (v1: doc_id % 7 <> 0; v2: doc_id % 5 <> 0 with a
+      // third of docs 40 chars longer), grid [0, 640) x 64
+      """WITH ba AS (
+        |  SELECT CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(n_chars AS DOUBLE) >= 640.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |                * 64.0) / 640.0) AS BIGINT) + 1) END AS bin
+        |  FROM documents WHERE doc_id % 7 <> 0 AND n_chars IS NOT NULL),
+        |v2 AS (SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars + 40
+        |              ELSE n_chars END AS n_chars
+        |       FROM documents WHERE doc_id % 5 <> 0),
+        |bb AS (
+        |  SELECT CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(n_chars AS DOUBLE) >= 640.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |                * 64.0) / 640.0) AS BIGINT) + 1) END AS bin
+        |  FROM v2 WHERE n_chars IS NOT NULL),
+        |ca_ AS (SELECT bin, count(*) AS c FROM ba GROUP BY 1),
+        |cb_ AS (SELECT bin, count(*) AS c FROM bb GROUP BY 1),
+        |g AS (SELECT unnest(generate_series(0, 65)) AS bin),
+        |dd AS (SELECT g.bin, coalesce(ca_.c, 0) AS ca, coalesce(cb_.c, 0) AS cb
+        |       FROM g LEFT JOIN ca_ USING (bin) LEFT JOIN cb_ USING (bin)),
+        |nn AS (SELECT (SELECT count(*) FROM ba) AS na,
+        |              (SELECT count(*) FROM bb) AS nb),
+        |terms AS (SELECT bin, ca, cb, na, nb,
+        |    (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * 66.0) AS pa,
+        |    (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * 66.0) AS pb
+        |  FROM dd, nn),
+        |cum AS (SELECT bin, na, nb,
+        |    sum(ca) OVER (ORDER BY bin) AS cca,
+        |    sum(cb) OVER (ORDER BY bin) AS ccb FROM terms),
+        |ksv AS (SELECT max(abs(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks FROM cum),
+        |agg AS (SELECT
+        |    list((pa - pb) * ln(pa / pb) ORDER BY bin) AS psiterms,
+        |    list(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) ORDER BY bin) AS tvdterms,
+        |    max(na) AS na, max(nb) AS nb FROM terms)
+        |SELECT
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), psiterms),
+        |    (x, y) -> x + y) AS psi,
+        |  (SELECT ks FROM ksv) AS ks,
+        |  0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), tvdterms),
+        |    (x, y) -> x + y) AS tvd,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM agg""".stripMargin,
     "q_version_history" -> versionHistorySql,
     "q_store_compact" ->
       """SELECT doc_id, lang, source, n_chars

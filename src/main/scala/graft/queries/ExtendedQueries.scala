@@ -323,6 +323,28 @@ object ExtendedQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    "q_version_drift" -> ((s, dir) => {
+      // the release drift report END TO END through the versioned store:
+      // write corpus v1, write v2 (a deterministic re-crawl derivation:
+      // some docs dropped, a third of the rest 40 chars longer), sketch
+      // each STORED version via @HEAD~1/@HEAD refs, and answer PSI/KS/TVD
+      // from the two stamped sketch rows — the oracle states the same
+      // derivations + the same drift arithmetic over the raw table
+      import graft.pipeline.Report
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val v1 = docs.where(F.col("doc_id") % 7 =!= 0)
+      val v2 = docs.where(F.col("doc_id") % 5 =!= 0)
+        .withColumn("n_chars",
+          F.when(F.col("doc_id") % 3 === 0, F.col("n_chars") + 40)
+            .otherwise(F.col("n_chars")))
+      val store = tempStore(s)
+      store.write("g", "docs", v1)
+      store.write("g", "docs", v2)
+      val sk = (ref: String) => Report.quantileSketch(
+        store.scan(ref).get.df, "n_chars", 0.0, 640.0, 64)
+      Report.sketchDrift(sk("g/docs@HEAD~1"), sk("g/docs@HEAD"))
+    }),
     "q_version_history" -> ((s, dir) => {
       // SCD2 unroll over three stored versions: runs of constant values
       // per key with valid_from/valid_to version ordinals

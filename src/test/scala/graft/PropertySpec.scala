@@ -84,6 +84,91 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sketch drift == driver-side PSI/KS/TVD from binned counts on random data") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      import graft.pipeline.Report
+      import org.apache.spark.sql.{functions => F}
+      val df = rows.map { case (k, v) => (k, v.toDouble) }.toDF("part", "v")
+      val aRows = rows.filter(_._1 % 2 == 0).map(_._2.toDouble)
+      val bRows = rows.filter(_._1 % 2 == 1).map(_._2.toDouble)
+      if (aRows.nonEmpty && bRows.nonEmpty) {
+        val (lo, hi, bins) = (-100.0, 100.0, 8)
+        val drift = Report.sketchDrift(
+          Report.quantileSketch(df.where(F.col("part") % 2 === 0), "v", lo, hi, bins),
+          Report.quantileSketch(df.where(F.col("part") % 2 === 1), "v", lo, hi, bins))
+          .head()
+        // driver truth: same binning, same smoothing, same fold order
+        def binOf(x: Double): Int =
+          if (x < lo) 0
+          else if (x >= hi) bins + 1
+          else math.min(bins, (((x - lo) * bins) / (hi - lo)).floor.toInt + 1)
+        def counts(xs: Seq[Double]) = {
+          val m = xs.groupBy(binOf).view.mapValues(_.size.toLong).toMap
+          (0 to bins + 1).map(i => m.getOrElse(i, 0L))
+        }
+        val (ca, cb) = (counts(aRows), counts(bRows))
+        val (na, nb) = (aRows.size.toDouble, bRows.size.toDouble)
+        val cells = (bins + 2).toDouble
+        var psi = 0.0; var tvd = 0.0; var maxd = 0.0
+        var cum_a = 0L; var cum_b = 0L
+        ca.zip(cb).foreach { case (x, y) =>
+          val pa = (x.toDouble + 0.5) / (na + 0.5 * cells)
+          val pb = (y.toDouble + 0.5) / (nb + 0.5 * cells)
+          psi += (pa - pb) * math.log(pa / pb)
+          tvd += math.abs(x.toDouble / na - y.toDouble / nb)
+          cum_a += x; cum_b += y
+          maxd = math.max(maxd, math.abs(cum_a.toDouble / na - cum_b.toDouble / nb))
+        }
+        assert(math.abs(drift.getDouble(0) - psi) < 1e-12, s"sample=$si psi")
+        assert(drift.getDouble(1) == maxd, s"sample=$si ks")
+        assert(math.abs(drift.getDouble(2) - 0.5 * tvd) < 1e-12, s"sample=$si tvd")
+        assert(drift.getLong(3) == aRows.size.toLong &&
+          drift.getLong(4) == bRows.size.toLong, s"sample=$si n")
+      }
+    }
+  }
+
+  test("embedding drift == driver-side fixed-point centroid stats on random data") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      import graft.pipeline.Report
+      import org.apache.spark.sql.{functions => F}
+      val dim = 4
+      // derive a deterministic small vector per row from (k, v)
+      val vecs = rows.zipWithIndex.map { case ((k, v), i) =>
+        (i.toLong, k, Array.tabulate(dim)(j => ((v * (j + 1) + k) % 97) / 97.0f))
+      }
+      val aV = vecs.filter(_._2 % 2 == 0)
+      val bV = vecs.filter(_._2 % 2 == 1)
+      if (aV.nonEmpty && bV.nonEmpty) {
+        val df = vecs.toDF("id", "part", "vec")
+        val drift = Report.embeddingDrift(
+          Report.embeddingSketch(df.where(F.col("part") % 2 === 0), "vec", dim),
+          Report.embeddingSketch(df.where(F.col("part") % 2 === 1), "vec", dim))
+          .head()
+        val scale = (1L << 20).toDouble
+        def mean(side: Seq[(Long, Int, Array[Float])]) = {
+          val sums = Array.fill(dim)(0L)
+          side.foreach(t => (0 until dim).foreach(j =>
+            sums(j) += math.floor(t._3(j).toDouble * scale + 0.5).toLong))
+          sums.map(s => (s.toDouble / side.size.toDouble) / scale)
+        }
+        val (ma, mb) = (mean(aV), mean(bV))
+        var dot = 0.0; var a2 = 0.0; var b2 = 0.0; var d2 = 0.0; var mx = 0.0
+        (0 until dim).foreach { j =>
+          dot += ma(j) * mb(j); a2 += ma(j) * ma(j); b2 += mb(j) * mb(j)
+          d2 += (ma(j) - mb(j)) * (ma(j) - mb(j))
+          mx = math.max(mx, math.abs(ma(j) - mb(j)))
+        }
+        assert(drift.getDouble(0) == dot / (math.sqrt(a2) * math.sqrt(b2)),
+          s"sample=$si cos")
+        assert(drift.getDouble(1) == math.sqrt(d2), s"sample=$si l2")
+        assert(drift.getDouble(2) == mx, s"sample=$si max")
+      }
+    }
+  }
+
   test("running sum + budget selection == driver-side prefix scan on random data") {
     for ((rows, si) <- samples(keyed).zipWithIndex) {
       import spark.implicits._
