@@ -293,6 +293,42 @@ object Report {
           .as("value")): _*)
   }
 
+  /** Pivot sparse (group?, bin, n) rows — e.g. a window of
+    * [[graft.streaming.Streams.windowedDistribution]] output — into
+    * stamped [[quantileSketch]] rows, so live windows join the batch
+    * sketch algebra (merge with history, [[sketchDrift]] against a
+    * baseline). The caller states the grid the bins were computed over;
+    * it is stamped into the rows exactly as quantileSketch stamps it.
+    * Bins outside [0, bins+1] raise (they cannot come from
+    * [[gridBin]]'s cell function). */
+  def binsToSketch(df: DataFrame, lo: Double, hi: Double, bins: Int,
+      binCol: String = "bin", nCol: String = "n",
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val keys = groupCols.map(F.col)
+    val checked = F.when(
+        F.col(binCol) >= 0 && F.col(binCol) <= bins + 1,
+        F.col(binCol).cast("long"))
+      .otherwise(F.raise_error(F.concat(
+        F.lit(s"bin out of range [0, ${bins + 1}]: "),
+        F.col(binCol).cast("string"))))
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(checked.as("td_bin"), F.col(nCol).cast("long").as("td_n"))))
+    val grouped =
+      if (groupCols.nonEmpty) df.groupBy(keys: _*).agg(m.as("td_m"))
+      else df.agg(m.as("td_m"))
+    grouped
+      .select(keys :+ F.transform(
+        F.sequence(F.lit(0L), F.lit((bins + 1).toLong)),
+        i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
+        .as("counts"): _*)
+      .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
+      .withColumn("lo", F.lit(lo))
+      .withColumn("hi", F.lit(hi))
+      .withColumn("bins", F.lit(bins))
+  }
+
   /** Distribution drift between two stamped sketches over the SAME grid
     * — the "did the new crawl shift my corpus?" check every dataset
     * release runs, answered straight from persisted [[quantileSketch]]
@@ -329,22 +365,37 @@ object Report {
       countsCol: String = "counts"): DataFrame =
     sketchDriftImpl(a, b, countsCol, keyCols = Seq(groupCol))
 
+  /** Drift of EVERY group/window in `a` against ONE global `baseline`
+    * sketch row — the live-monitoring shape: per-hour (or per-slice)
+    * sketches each compared to the corpus baseline, one broadcast of the
+    * single baseline row. Output: one (group, psi, ks, tvd, n_a, n_b)
+    * row per group of `a`. */
+  def sketchDriftVsBaseline(a: DataFrame, baseline: DataFrame,
+      groupCol: String, countsCol: String = "counts"): DataFrame =
+    sketchDriftImpl(a, baseline, countsCol, keyCols = Seq(groupCol),
+      joinOnKeys = false)
+
   private def sketchDriftImpl(a: DataFrame, b: DataFrame,
-      countsCol: String, keyCols: Seq[String]): DataFrame = {
+      countsCol: String, keyCols: Seq[String],
+      joinOnKeys: Boolean = true): DataFrame = {
     val gridCols = Seq("lo", "hi", "bins")
     require(gridCols.forall(a.columns.contains) &&
         gridCols.forall(b.columns.contains),
       s"both sketches must carry their grid stamp " +
         s"${gridCols.mkString("(", ", ", ")")} — (re)build them with " +
         "quantileSketch/mergeQuantileSketches")
-    def side(df: DataFrame, sfx: String) = df.select(
-      keyCols.map(F.col) ++ Seq(
+    def side(df: DataFrame, sfx: String, keys: Seq[String]) = df.select(
+      keys.map(F.col) ++ Seq(
         F.col(countsCol).as(s"td_c$sfx"), F.col("n").as(s"n_$sfx"),
         F.col("lo").as(s"td_lo$sfx"), F.col("hi").as(s"td_hi$sfx"),
         F.col("bins").as(s"td_bins$sfx")): _*)
     val joined =
-      if (keyCols.isEmpty) side(a, "a").crossJoin(F.broadcast(side(b, "b")))
-      else side(a, "a").join(F.broadcast(side(b, "b")), keyCols)
+      if (keyCols.isEmpty)
+        side(a, "a", Nil).crossJoin(F.broadcast(side(b, "b", Nil)))
+      else if (joinOnKeys)
+        side(a, "a", keyCols).join(F.broadcast(side(b, "b", keyCols)), keyCols)
+      else // keyed `a` vs one global baseline row
+        side(a, "a", keyCols).crossJoin(F.broadcast(side(b, "b", Nil)))
     val sameGrid = F.col("td_loa") === F.col("td_lob") &&
       F.col("td_hia") === F.col("td_hib") &&
       F.col("td_binsa") === F.col("td_binsb")

@@ -142,6 +142,54 @@ object ExtendedOracles {
         |  count(*) AS n
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_drift" ->
+      // per-hour distribution vs the global baseline, the
+      // q_distribution_drift arithmetic grouped by hour
+      """WITH ba AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+        |         WHEN CAST(value AS DOUBLE) >= 512.0 THEN 65
+        |         ELSE LEAST(64, CAST(floor(((CAST(value AS DOUBLE) - 0.0)
+        |           * 64.0) / 512.0) AS BIGINT) + 1) END AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |hours AS (SELECT DISTINCT hour_epoch FROM ba),
+        |ca_ AS (SELECT hour_epoch, bin, count(*) AS c FROM ba GROUP BY 1, 2),
+        |cb_ AS (SELECT bin, count(*) AS c FROM ba GROUP BY 1),
+        |g AS (SELECT hour_epoch, unnest(generate_series(0, 65)) AS bin
+        |      FROM hours),
+        |dd AS (SELECT g.hour_epoch, g.bin, coalesce(ca_.c, 0) AS ca,
+        |         coalesce(cb_.c, 0) AS cb
+        |       FROM g LEFT JOIN ca_ USING (hour_epoch, bin)
+        |              LEFT JOIN cb_ USING (bin)),
+        |na_ AS (SELECT hour_epoch, count(*) AS na FROM ba GROUP BY 1),
+        |nbv AS (SELECT count(*) AS nb FROM ba),
+        |terms AS (SELECT dd.hour_epoch, bin, ca, cb, na, nb,
+        |    (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * 66.0) AS pa,
+        |    (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * 66.0) AS pb
+        |  FROM dd JOIN na_ USING (hour_epoch), nbv),
+        |cum AS (SELECT hour_epoch, bin, na, nb,
+        |    sum(ca) OVER (PARTITION BY hour_epoch ORDER BY bin) AS cca,
+        |    sum(cb) OVER (PARTITION BY hour_epoch ORDER BY bin) AS ccb
+        |  FROM terms),
+        |ksv AS (SELECT hour_epoch,
+        |    max(abs(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks
+        |  FROM cum GROUP BY 1),
+        |agg AS (SELECT hour_epoch,
+        |    list((pa - pb) * ln(pa / pb) ORDER BY bin) AS psiterms,
+        |    list(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) ORDER BY bin)
+        |      AS tvdterms,
+        |    max(na) AS na, max(nb) AS nb FROM terms GROUP BY 1)
+        |SELECT agg.hour_epoch,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), psiterms),
+        |    (x, y) -> x + y) AS psi,
+        |  ksv.ks AS ks,
+        |  0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), tvdterms),
+        |    (x, y) -> x + y) AS tvd,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM agg JOIN ksv USING (hour_epoch)
+        |ORDER BY agg.hour_epoch""".stripMargin,
     "q_stateful_counts" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

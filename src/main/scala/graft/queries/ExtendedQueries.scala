@@ -227,6 +227,30 @@ object ExtendedQueries {
           F.col("bin"), F.col("n"))
         .orderBy("hour_epoch", "bin")
     }),
+    "q_stream_drift" -> ((s, dir) => {
+      // LIVE drift monitoring end to end: every streamed hourly window's
+      // value distribution, pivoted from windowedDistribution (bin, n)
+      // rows into a stamped sketch via binsToSketch, drifted against the
+      // whole-corpus batch baseline — one broadcast of the single
+      // baseline row, one PSI/KS/TVD row per hour. The oracle states the
+      // same hourly binning vs the same global distribution.
+      import graft.pipeline.Report
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val dist = graft.streaming.Streams.windowedDistribution(
+        stream, "ts", "value", "1 hour", "1 hour", 0.0, 512.0, 64)
+      val winBins = graft.streaming.StreamStage.runToMemory(dist,
+          "q_stream_drift_", "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("bin"), F.col("n"))
+      val perHour = Report.binsToSketch(winBins, 0.0, 512.0, 64,
+        groupCols = Seq("hour_epoch"))
+      val baseline = Report.quantileSketch(
+        t(s, dir, "events").df.select("value"), "value", 0.0, 512.0, 64)
+      Report.sketchDriftVsBaseline(perHour, baseline, "hour_epoch")
+        .orderBy("hour_epoch")
+    }),
     "q_stream_interval_join" -> ((s, dir) => {
       // stream-stream attribution: clicks joined to same-user views within
       // the preceding 12 hours, THROUGH Structured Streaming (two file

@@ -1057,6 +1057,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("grid stamp"), ex2.getMessage)
   }
 
+  test("binsToSketch + drift-vs-baseline: round-trip and slice/global parity") {
+    import graft.pipeline.Report
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val (lo, hi, bins) = (0.0, 640.0, 64)
+    // round-trip: explode a grouped sketch into sparse (bin, n) rows and
+    // pivot back — bit-identical counts and stamp
+    val sk = Report.quantileSketch(docs, "n_chars", lo, hi, bins,
+      groupCol = Some("lang"))
+    val sparse = sk.select(F.col("lang"),
+        F.posexplode(F.col("counts")).as(Seq("bin", "n")))
+      .where(F.col("n") > 0)
+    val back = Report.binsToSketch(sparse, lo, hi, bins,
+      groupCols = Seq("lang"))
+    val origM = sk.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val backM = back.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(backM == origM)
+    // vs-baseline drift: each slice's row equals the global drift of
+    // (slice sketch, baseline sketch)
+    val baseline = Report.quantileSketch(docs, "n_chars", lo, hi, bins)
+    val vs = Report.sketchDriftVsBaseline(sk, baseline, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val en = Report.sketchDrift(
+      Report.quantileSketch(docs.where(F.col("lang") === "en"), "n_chars",
+        lo, hi, bins), baseline).head()
+    assert(vs("en") == ((en.getDouble(0), en.getDouble(1), en.getDouble(2))))
+    // a bin the grid cannot produce raises instead of silently shifting
+    import spark.implicits._
+    val bad = Seq(("x", 99, 5L)).toDF("g", "bin", "n")
+    val ex = intercept[Exception] {
+      Report.binsToSketch(bad, lo, hi, bins, groupCols = Seq("g")).collect()
+    }
+    assert(ex.getMessage.contains("out of range"), ex.getMessage)
+  }
+
   test("embedding sketch: exact merge algebra, drift stats, stamp guards") {
     import graft.pipeline.Report
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
