@@ -227,6 +227,24 @@ object ExtendedQueries {
           F.col("bin"), F.col("n"))
         .orderBy("hour_epoch", "bin")
     }),
+    "q_stream_distinct" -> ((s, dir) => {
+      // per-hour distinct users THROUGH Structured Streaming via
+      // mergeable HLL sketches (streaming cannot countDistinct; the HLL
+      // buffer bounds state at 2^lgK registers per open window).
+      // Rows-only by contract (binary DataSketches estimates have no
+      // DuckDB analog); StreamingSpec holds the exact streamed==batch
+      // per-hour differential and the windows-union-to-corpus equality.
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val wd = graft.streaming.Streams.windowedDistinct(
+        stream, "ts", "user_id", "1 hour", "1 hour")
+      graft.streaming.StreamStage.runToMemory(wd, "q_stream_distinct_",
+          "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("estimate"))
+        .orderBy("hour_epoch")
+    }),
     "q_stream_drift" -> ((s, dir) => {
       // LIVE drift monitoring end to end: every streamed hourly window's
       // value distribution, pivoted from windowedDistribution (bin, n)

@@ -78,6 +78,27 @@ object Streams {
       .agg(F.count(F.lit(1)).as("n"))
   }
 
+  /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
+    * the live-dashboard metric Structured Streaming cannot express with
+    * `countDistinct` (distinct aggregates are unsupported on streams).
+    * Per event-time window, one DataSketches HLL sketch + its estimate:
+    * state per open window is ONE sketch buffer (2^lgK registers), not
+    * the value set, so a window with 10^9 distinct users costs the same
+    * 4 KB as one with 10. The binary sketches are the SAME algebra as
+    * the batch [[graft.pipeline.Report.distinctSketch]] family —
+    * window rows union with batch history via `mergeDistinctSketches`
+    * (StreamingSpec proves streamed-per-window == batch-per-window
+    * estimates exactly, and that the windows union to the whole-corpus
+    * estimate). Output: (window, sketch, estimate). */
+  def windowedDistinct(df: DataFrame, tsCol: String, col: String,
+      window: String, watermark: String, lgK: Int = 12): DataFrame =
+    df.where(F.col(col).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window))
+      .agg(F.expr(s"hll_sketch_agg(`$col`, $lgK)").as("sketch"))
+      .select(F.col("window"), F.col("sketch"),
+        F.expr("hll_sketch_estimate(sketch)").as("estimate"))
+
   /** Watermarked stream-stream interval join (append mode): emit every
     * (left, right) pair sharing `on` with `rightTs` inside
     * [leftTs − before, leftTs + after] — the click-to-view attribution /

@@ -81,6 +81,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged.getSeq[Long](0) == counts.map(_ * 2), "stream+batch merge drifted")
   }
 
+  test("windowed distinct: streamed per-hour HLL == batch, windows union to corpus") {
+    val dir = Files.createTempDirectory("graft-stream-wdist")
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val wd = Streams.windowedDistinct(stream, "ts", "user_id", "1 hour", "1 hour")
+    val q = Streams.runToMemory(wd, "wdist_hll", outputMode = "complete")
+    q.stop()
+    // per-hour estimates equal the batch HLL over the same hour slices
+    // EXACTLY (same DataSketches algebra, order-insensitive updates)
+    val got = spark.table("wdist_hll")
+      .select(F.unix_timestamp(F.col("window.start")).as("h"), F.col("estimate"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = graft.pipeline.Report.distinctSketch(
+        batch.where(F.col("user_id").isNotNull).withColumn("h",
+          F.unix_timestamp(F.date_trunc("hour", F.col("ts")))), "h", "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect && got.nonEmpty)
+    // ...and the per-window binary sketches union to the whole-corpus
+    // estimate with no rescan — live windows join batch history
+    val unioned = graft.pipeline.Report.mergeDistinctSketches(
+      spark.table("wdist_hll").select("sketch"))
+    val whole = batch
+      .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
+      .head().getLong(0)
+    assert(unioned == whole, s"union $unioned vs whole $whole")
+  }
+
   test("windowed streaming agg matches the batch computation") {
     val dir = Files.createTempDirectory("graft-stream-in")
     val batch = eventsBatch

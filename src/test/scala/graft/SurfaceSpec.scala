@@ -98,7 +98,7 @@ class SurfaceSpec extends AnyFunSuite {
     // an oracle whose gate name drifted would silently vanish from the
     // driver's hash check — fail here instead
     assert((o -- q).isEmpty, s"oracles without a gate query: ${(o -- q).toSeq.sorted}")
-    assert(q.size >= 230, s"gate count dropped to ${q.size}")
+    assert(q.size >= 231, s"gate count dropped to ${q.size}")
     // only the hash-seeded/probabilistic/centroid-routed ops may skip the
     // value-hash oracle; anything else appearing here is a coverage bug
     val rowsOnly = q -- o
@@ -113,7 +113,11 @@ class SurfaceSpec extends AnyFunSuite {
       "q_tokenize_bpe",
       // xxhash64-seeded signature estimates; StreamingSpec holds the
       // batch-band-index differential and the planted-rewrite assertions
-      "q_stream_neardup")
+      "q_stream_neardup",
+      // binary DataSketches HLL estimates (same family as
+      // q_approx_nunique); StreamingSpec holds the exact streamed==batch
+      // per-hour differential + windows-union-to-corpus equality
+      "q_stream_distinct")
     assert(rowsOnly == justified,
       s"unexpected rows-only gates: ${(rowsOnly -- justified).toSeq.sorted}; " +
         s"missing: ${(justified -- rowsOnly).toSeq.sorted}")
