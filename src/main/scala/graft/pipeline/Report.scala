@@ -293,6 +293,101 @@ object Report {
           .as("value")): _*)
   }
 
+  /** MERGEABLE moment sketch: (n, Σx, Σx², min, max) in FIXED POINT —
+    * the mean/std/range row of every dataset card, with exact merge
+    * algebra. x and x² map to longs via floor(v·2^scaleBits + 0.5)
+    * (pure IEEE ops, externally stateable), and the sums accumulate as
+    * DECIMAL(38,0) so no row count overflows them (a long Σx² would
+    * saturate near 2^25 rows at |x|≈512); min/max stay longs (monotone
+    * under the encoding, so min of codes == code of min). Merging adds
+    * the decimals and folds min/max — [[mergeMomentSketches]] ==
+    * whole-corpus bit-exactly, like the other integer-algebra sketches.
+    * Output: (group?, n, sx, sxx, mn, mx, scale_bits). */
+  def momentSketch(df: DataFrame, valueCol: String, scaleBits: Int = 20,
+      groupCol: Option[String] = None): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 30,
+      s"scaleBits must be in [0, 30], got $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val x = F.col(valueCol).cast("double")
+    val fp = F.floor(x * F.lit(scale) + F.lit(0.5)).cast("long")
+    val fpp = F.floor(x * x * F.lit(scale) + F.lit(0.5)).cast("long")
+    val aggs = Seq(
+      F.count(F.lit(1)).as("n"),
+      F.sum(fp.cast("decimal(38,0)")).as("sx"),
+      F.sum(fpp.cast("decimal(38,0)")).as("sxx"),
+      F.min(fp).as("mn"), F.max(fp).as("mx"))
+    val keyCols = groupCol.toSeq.map(F.col)
+    val base = df.where(x.isNotNull)
+    val agged =
+      if (groupCol.isDefined)
+        base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      else base.agg(aggs.head, aggs.tail: _*)
+    agged.select(keyCols ++ Seq(F.col("n"), F.col("sx"), F.col("sxx"),
+      F.col("mn"), F.col("mx"), F.lit(scaleBits).as("scale_bits")): _*)
+  }
+
+  /** Union moment sketches: decimal adds + min/max folds under the
+    * scale_bits stamp guard — merge == whole bit-exactly. */
+  def mergeMomentSketches(sketches: DataFrame): DataFrame =
+    mergeMomentImpl(sketches, keyCols = Nil)
+
+  /** Per-group [[mergeMomentSketches]]. */
+  def mergeMomentSketchesByGroup(sketches: DataFrame,
+      groupCol: String): DataFrame =
+    mergeMomentImpl(sketches, keyCols = Seq(groupCol))
+
+  private def mergeMomentImpl(sketches: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(Seq("n", "sx", "sxx", "mn", "mx", "scale_bits")
+        .forall(sketches.columns.contains),
+      "moment sketches must carry (n, sx, sxx, mn, mx, scale_bits) — " +
+        "(re)build them with momentSketch")
+    val keys = keyCols.map(F.col)
+    val aggs = Seq(
+      F.sum(F.col("n")).as("n"),
+      F.sum(F.col("sx")).cast("decimal(38,0)").as("sx"),
+      F.sum(F.col("sxx")).cast("decimal(38,0)").as("sxx"),
+      F.min(F.col("mn")).as("mn"), F.max(F.col("mx")).as("mx"),
+      F.countDistinct(F.col("scale_bits")).as("td_g"),
+      F.first(F.col("scale_bits")).as("scale_bits"))
+    val agged =
+      if (keys.isEmpty) sketches.agg(aggs.head, aggs.tail: _*)
+      else sketches.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    agged.select(keys ++ Seq(
+      F.when(F.col("td_g") === 1, F.col("n"))
+        .otherwise(F.raise_error(
+          F.when(F.col("td_g").isNull || F.col("td_g") === 0,
+              F.lit("cannot merge an empty set of moment sketches"))
+            .otherwise(F.lit("cannot merge moment sketches with " +
+              "different stamps: more than one distinct scale_bits"))))
+        .as("n"),
+      F.col("sx"), F.col("sxx"), F.col("mn"), F.col("mx"),
+      F.col("scale_bits")): _*)
+  }
+
+  /** Decode (mean, std, min, max) from moment-sketch rows: mean =
+    * (sx/n)/2^s, population std = sqrt(max(0, E[x²] − mean²)), min/max
+    * decode directly — fixed IEEE operation order throughout, so an
+    * external engine states the identical doubles. Works on built OR
+    * merged rows, grouped or global. Output:
+    * (group?, n, mean, std, min, max). */
+  def momentStats(sketch: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    require(Seq("n", "sx", "sxx", "mn", "mx", "scale_bits")
+        .forall(sketch.columns.contains),
+      "moment sketches must carry (n, sx, sxx, mn, mx, scale_bits) — " +
+        "(re)build them with momentSketch")
+    val keys = keyCols.map(F.col)
+    val scaleD = F.pow(F.lit(2.0), F.col("scale_bits").cast("double"))
+    val nD = F.col("n").cast("double")
+    val mean = (F.col("sx").cast("double") / nD) / scaleD
+    val ex2 = (F.col("sxx").cast("double") / nD) / scaleD
+    sketch.select(keys ++ Seq(F.col("n"),
+      mean.as("mean"),
+      F.sqrt(F.greatest(F.lit(0.0), ex2 - mean * mean)).as("std"),
+      (F.col("mn").cast("double") / scaleD).as("min"),
+      (F.col("mx").cast("double") / scaleD).as("max")): _*)
+  }
+
   /** Pivot sparse (group?, bin, n) rows — e.g. a window of
     * [[graft.streaming.Streams.windowedDistribution]] output — into
     * stamped [[quantileSketch]] rows, so live windows join the batch

@@ -402,6 +402,45 @@ object ScaleOracles {
         |    (x, y) -> x + y) AS tvd,
         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
         |FROM agg JOIN ksv ON agg.lang = ksv.lang ORDER BY agg.lang""".stripMargin,
+    "q_moment_sketch" ->
+      // identical arithmetic to momentSketch + momentStats: fixed-point
+      // floor(x·2^20 + 0.5) codes, exact integer sums, (s/n)/2^20 decode
+      """WITH fp AS (SELECT event_type,
+        |    CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v,
+        |    CAST(floor(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      * 1048576.0 + 0.5) AS BIGINT) AS vv
+        |  FROM events WHERE value IS NOT NULL),
+        |agg AS (SELECT event_type, count(*) AS n, sum(v) AS sx,
+        |    sum(vv) AS sxx, min(v) AS mn, max(v) AS mx FROM fp GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 AS mean,
+        |  sqrt(greatest(0.0,
+        |    (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0
+        |    - ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0)
+        |      * ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0)))
+        |    AS std,
+        |  CAST(mn AS DOUBLE) / 1048576.0 AS "min",
+        |  CAST(mx AS DOUBLE) / 1048576.0 AS "max"
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q_stream_moments" ->
+      """WITH fp AS (SELECT
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS v,
+        |    CAST(floor(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      * 1048576.0 + 0.5) AS BIGINT) AS vv
+        |  FROM events WHERE value IS NOT NULL),
+        |agg AS (SELECT hour_epoch, count(*) AS n, sum(v) AS sx,
+        |    sum(vv) AS sxx, min(v) AS mn, max(v) AS mx FROM fp GROUP BY 1)
+        |SELECT hour_epoch, CAST(n AS BIGINT) AS n,
+        |  (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0 AS mean,
+        |  sqrt(greatest(0.0,
+        |    (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0
+        |    - ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0)
+        |      * ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0)))
+        |    AS std,
+        |  CAST(mn AS DOUBLE) / 1048576.0 AS "min",
+        |  CAST(mx AS DOUBLE) / 1048576.0 AS "max"
+        |FROM agg ORDER BY hour_epoch""".stripMargin,
     "q_embedding_drift" ->
       // identical arithmetic to Report.embeddingSketch + embeddingDrift:
       // fixed-point floor(x·2^20 + 0.5) longs, (s/n)/2^20 means,

@@ -336,6 +336,40 @@ object ScaleQueries {
         groupCol = Some("lang"))
       Report.sketchDriftByGroup(a, b, "lang").orderBy("lang")
     }),
+    "q_moment_sketch" -> ((s, dir) => {
+      // the mean/std/range dataset-card row THROUGH THE EXACT MERGE:
+      // per-event-type moment sketches of two halves (fixed-point Σx/Σx²
+      // as DECIMAL(38,0), min/max as codes), merged by group, decoded by
+      // momentStats — integer algebra makes merge == whole bit-exact, so
+      // the oracle states identical arithmetic over the raw table
+      import graft.pipeline.Report
+      val ev = d(s, dir, "events").select("event_id", "event_type", "value")
+      def half(m: Int) = Report.momentSketch(
+        ev.where(F.col("event_id") % 2 === m), "value",
+        groupCol = Some("event_type"))
+      val merged = Report.mergeMomentSketchesByGroup(
+        half(0).unionByName(half(1)), "event_type")
+      Report.momentStats(merged, keyCols = Seq("event_type"))
+        .orderBy("event_type")
+    }),
+    "q_stream_moments" -> ((s, dir) => {
+      // live mean/std/range monitoring THROUGH Structured Streaming:
+      // hourly fixed-point moment sketches (the exact batch encoding, so
+      // every window row merges with stored history), decoded per hour
+      import graft.pipeline.Report
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val wm = graft.streaming.Streams.windowedMoments(
+        stream, "ts", "value", "1 hour", "1 hour")
+      val rows = graft.streaming.StreamStage.runToMemory(wm,
+          "q_stream_moments_", "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("n"), F.col("sx"), F.col("sxx"), F.col("mn"), F.col("mx"),
+          F.col("scale_bits"))
+      Report.momentStats(rows, keyCols = Seq("hour_epoch"))
+        .orderBy("hour_epoch")
+    }),
     "q_embedding_drift" -> ((s, dir) => {
       // embedding-space drift THROUGH THE EXACT MERGE ALGEBRA: quarter
       // sketches (fixed-point per-dimension sums) merged into halves,

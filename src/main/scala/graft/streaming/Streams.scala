@@ -78,6 +78,31 @@ object Streams {
       .agg(F.count(F.lit(1)).as("n"))
   }
 
+  /** Streaming moment monitor: per event-time window, the EXACT
+    * fixed-point moment sketch (n, Σx, Σx², min, max at 2^scaleBits —
+    * [[graft.pipeline.Report.momentSketch]]'s encoding), so each window
+    * row merges with batch history via `mergeMomentSketches` and decodes
+    * through `momentStats` — live mean/std/range drift against a stored
+    * baseline with zero rescans. State per open window is one 5-number
+    * row. Output: (window, n, sx, sxx, mn, mx, scale_bits). */
+  def windowedMoments(df: DataFrame, tsCol: String, valueCol: String,
+      window: String, watermark: String, scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 30,
+      s"scaleBits must be in [0, 30], got $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val x = F.col(valueCol).cast("double")
+    val fp = F.floor(x * F.lit(scale) + F.lit(0.5)).cast("long")
+    val fpp = F.floor(x * x * F.lit(scale) + F.lit(0.5)).cast("long")
+    df.where(x.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(fp.cast("decimal(38,0)")).as("sx"),
+        F.sum(fpp.cast("decimal(38,0)")).as("sxx"),
+        F.min(fp).as("mn"), F.max(fp).as("mx"))
+      .withColumn("scale_bits", F.lit(scaleBits))
+  }
+
   /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
     * the live-dashboard metric Structured Streaming cannot express with
     * `countDistinct` (distinct aggregates are unsupported on streams).

@@ -1095,6 +1095,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("out of range"), ex.getMessage)
   }
 
+  test("moment sketch: exact merge, stats decode vs driver truth, stamp guard") {
+    import graft.pipeline.Report
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "event_type", "value")
+    // merge == whole bit-exactly, global and per group
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Report.momentSketch(df, "value", groupCol = Some("event_type"))
+    val whole = sk(ev).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val merged = Report.mergeMomentSketchesByGroup(
+        sk(ev.where(F.col("event_id") % 2 === 0).repartition(5))
+          .unionByName(sk(ev.where(F.col("event_id") % 2 === 1))),
+        "event_type")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged == whole)
+    // stats decode equals a driver-side recomputation from the codes
+    val rows = ev.where(F.col("value").isNotNull)
+      .select(F.col("value").cast("double")).collect().map(_.getDouble(0))
+    val scale = (1L << 20).toDouble
+    val codes = rows.map(v => math.floor(v * scale + 0.5).toLong)
+    val codes2 = rows.map(v => math.floor(v * v * scale + 0.5).toLong)
+    val n = rows.length.toDouble
+    val mean = (codes.map(BigInt(_)).sum.toDouble / n) / scale
+    val ex2 = (codes2.map(BigInt(_)).sum.toDouble / n) / scale
+    val stats = Report.momentStats(Report.momentSketch(ev, "value")).head()
+    assert(stats.getLong(0) == rows.length.toLong)
+    assert(stats.getDouble(1) == mean, s"mean ${stats.getDouble(1)} vs $mean")
+    assert(stats.getDouble(2) ==
+      math.sqrt(math.max(0.0, ex2 - mean * mean)), "std")
+    assert(stats.getDouble(3) == codes.min.toDouble / scale &&
+      stats.getDouble(4) == codes.max.toDouble / scale, "min/max")
+    // mixed scale_bits refuse to merge
+    val ex1 = intercept[Exception] {
+      Report.mergeMomentSketches(
+        Report.momentSketch(ev, "value")
+          .unionByName(Report.momentSketch(ev, "value", scaleBits = 16)))
+        .collect()
+    }
+    assert(ex1.getMessage.contains("different stamps"), ex1.getMessage)
+    val ex2g = intercept[IllegalArgumentException] {
+      Report.momentStats(Report.momentSketch(ev, "value").select("n", "sx"))
+    }
+    assert(ex2g.getMessage.contains("momentSketch"), ex2g.getMessage)
+  }
+
   test("embedding sketch: exact merge algebra, drift stats, stamp guards") {
     import graft.pipeline.Report
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

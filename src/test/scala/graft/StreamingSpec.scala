@@ -110,6 +110,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(unioned == whole, s"union $unioned vs whole $whole")
   }
 
+  test("windowed moments: streamed sketch rows merge with batch bit-exactly") {
+    val dir = Files.createTempDirectory("graft-stream-wmom")
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val wm = Streams.windowedMoments(stream, "ts", "value", "1 hour", "1 hour")
+    val q = Streams.runToMemory(wm, "wmom", outputMode = "complete")
+    q.stop()
+    // the streamed window rows ARE batch-encoding sketch rows: merging
+    // them all equals the whole-corpus batch sketch bit-exactly
+    val mergedAll = graft.pipeline.Report.mergeMomentSketches(
+      spark.table("wmom").drop("window")).head()
+    val whole = graft.pipeline.Report.momentSketch(batch, "value").head()
+    assert(mergedAll.toSeq == whole.toSeq,
+      s"streamed-union vs batch: $mergedAll vs $whole")
+  }
+
   test("windowed streaming agg matches the batch computation") {
     val dir = Files.createTempDirectory("graft-stream-in")
     val batch = eventsBatch
