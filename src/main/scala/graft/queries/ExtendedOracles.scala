@@ -267,7 +267,45 @@ object ExtendedOracles {
     "q_version_history" -> versionHistorySql,
     "q_store_compact" ->
       """SELECT doc_id, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // streaming CMS: hourly windows partition events by ts and the merge
+    // is integer elementwise addition, so the streamed rollup is
+    // bit-equal to the whole-corpus sketch the oracle states — identical
+    // md5 row-salted buckets, estimate = min over the 4 rows
+    "q_stream_freq" ->
+      """WITH ks AS (SELECT user_id::VARCHAR AS k, user_id FROM events
+        |            WHERE user_id IS NOT NULL),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact FROM ks
+        |        GROUP BY user_id ORDER BY exact DESC, user_id ASC LIMIT 10),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |bkt AS (SELECT r,
+        |          ('0x' || substr(md5(r::VARCHAR || ':' || k), 1, 8))::BIGINT
+        |            % 256 AS b,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM ks CROSS JOIN rs GROUP BY 1, 2)
+        |SELECT t.user_id, t.exact, min(bk.n) AS estimate
+        |FROM top t CROSS JOIN rs r
+        |JOIN bkt bk ON bk.r = r.r
+        |  AND bk.b = ('0x' || substr(md5(r.r::VARCHAR || ':' || t.user_id::VARCHAR), 1, 8))::BIGINT
+        |    % 256
+        |GROUP BY t.user_id, t.exact
+        |ORDER BY t.user_id""".stripMargin,
+    // the store rollup merges three disjoint per-version bottom-128
+    // sketches; determinism makes that bit-equal to bottom-128 over the
+    // whole corpus
+    "q_kmv_store_rollup" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL),
+        |bk AS (SELECT h FROM hs ORDER BY h LIMIT 128),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+        |        FROM bk)
+        |SELECT n_kept,
+        |  CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE (CAST(128 AS DOUBLE) - 1.0) /
+        |         (CAST(('0x' || substr(kth, 1, 15))::BIGINT AS DOUBLE)
+        |           / 1152921504606846976.0) END AS estimate
+        |FROM agg""".stripMargin
   )
 
   private def versionHistorySql: String =

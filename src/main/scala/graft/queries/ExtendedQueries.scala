@@ -387,6 +387,51 @@ object ExtendedQueries {
         store.scan(ref).get.df, "n_chars", 0.0, 640.0, 64)
       Report.sketchDrift(sk("g/docs@HEAD~1"), sk("g/docs@HEAD"))
     }),
+    "q_stream_freq" -> ((s, dir) => {
+      // live frequency monitoring THROUGH Structured Streaming: hourly
+      // count-min cells (md5 row-salted buckets, the exact batch
+      // encoding), pivoted into per-hour sketch rows, merged ELEMENTWISE
+      // across all hours — integer algebra makes the union of the
+      // windows bit-equal to the whole-corpus sketch, so point queries
+      // for the ten busiest users answer from streamed state alone and
+      // the oracle states the identical counters over the raw table
+      import graft.pipeline.Sketches
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val cells = graft.streaming.Streams.windowedCms(
+        stream, "ts", "user_id", "1 hour", "1 hour", depth = 4, width = 256)
+      val winCells = graft.streaming.StreamStage.runToMemory(cells,
+          "q_stream_freq_", "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("r"), F.col("b"), F.col("n"))
+      val merged = Sketches.mergeCmsSketches(Sketches.cellsToCms(
+        winCells, depth = 4, width = 256, groupCols = Seq("hour_epoch")))
+      val top = t(s, dir, "events").df
+        .groupBy("user_id").agg(F.count(F.lit(1)).as("exact"))
+        .orderBy(F.col("exact").desc, F.col("user_id").asc).limit(10)
+      Sketches.cmsEstimate(merged, top, "user_id").orderBy("user_id")
+    }),
+    "q_kmv_store_rollup" -> ((s, dir) => {
+      // the incremental dataset-card distinct count END TO END through
+      // the versioned store: three disjoint crawl shards published as
+      // three versions, a bottom-128 KMV sketch built PER STORED VERSION
+      // via @HEAD~n refs, the three sketch rows merged with zero rescan
+      // of history — determinism makes the rollup bit-equal to sketching
+      // the union, so the oracle states bottom-k over the whole corpus
+      import graft.pipeline.Sketches
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val store = tempStore(s)
+      (0 until 3).foreach { m =>
+        store.write("g", "docs", docs.where(F.col("doc_id") % 3 === m))
+      }
+      val sk = (ref: String) => Sketches.kmvSketch(
+        store.scan(ref).get.df, "text", 128)
+      val merged = Sketches.mergeKmvSketches(
+        sk("g/docs@HEAD~2").unionByName(sk("g/docs@HEAD~1"))
+          .unionByName(sk("g/docs@HEAD")))
+      Sketches.kmvEstimate(merged)
+    }),
     "q_version_history" -> ((s, dir) => {
       // SCD2 unroll over three stored versions: runs of constant values
       // per key with valid_from/valid_to version ordinals

@@ -530,6 +530,115 @@ object ScaleOracles {
     "q_export_pruned_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 299
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // KMV bottom-k sketches: determinism (md5 order) makes
+    // merge(a, b) == sketch(a ∪ b) EXACT, so the oracle states the
+    // bottom-k + estimator over the whole corpus. The uniform fraction
+    // is the repo-wide md5-prefix convention: first 15 hex chars as an
+    // integer over 16^15 = 1152921504606846976 (2^60, BIGINT-safe).
+    "q_kmv_sketch" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL),
+        |bk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+        |        FROM bk)
+        |SELECT n_kept,
+        |  CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE (CAST(256 AS DOUBLE) - 1.0) /
+        |         (CAST(('0x' || substr(kth, 1, 15))::BIGINT AS DOUBLE)
+        |           / 1152921504606846976.0) END AS estimate
+        |FROM agg""".stripMargin,
+    "q_kmv_sketch_grouped" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT lang, md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL),
+        |rk AS (SELECT lang, h,
+        |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |       FROM hs),
+        |bk AS (SELECT lang, h FROM rk WHERE rn <= 32),
+        |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |          max(h) AS kth
+        |        FROM bk GROUP BY lang)
+        |SELECT lang, n_kept,
+        |  CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE (CAST(32 AS DOUBLE) - 1.0) /
+        |         (CAST(('0x' || substr(kth, 1, 15))::BIGINT AS DOUBLE)
+        |           / 1152921504606846976.0) END AS estimate
+        |FROM agg ORDER BY lang""".stripMargin,
+    "q_kmv_jaccard" ->
+      """WITH ta AS (
+        |  SELECT DISTINCT t AS tok FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE t <> ''),
+        |tb AS (
+        |  SELECT DISTINCT t AS tok FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE t <> ''),
+        |ha AS (SELECT md5(tok) AS h FROM ta ORDER BY h LIMIT 256),
+        |hb AS (SELECT md5(tok) AS h FROM tb ORDER BY h LIMIT 256),
+        |u AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |        SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+        |        UNION ALL SELECT h, 0, 1 FROM hb)
+        |      GROUP BY h),
+        |m AS (SELECT * FROM u ORDER BY h LIMIT 256)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        |  CAST(CAST(sum(in_a * in_b) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS jaccard
+        |FROM m""".stripMargin,
+    "q_kmv_sample" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT lang, md5(text) AS h, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |rk AS (SELECT lang, h, text,
+        |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |       FROM hs)
+        |SELECT lang, h, text AS sample_key FROM rk WHERE rn <= 8
+        |ORDER BY lang, h""".stripMargin,
+    // count-min: deterministic md5 row-salted buckets, so the oracle
+    // reproduces the exact counters — estimate = min over the 4 rows of
+    // the bucket counter, always >= exact
+    "q_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT t AS tok FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM toks
+        |        GROUP BY tok ORDER BY exact DESC, tok ASC LIMIT 10),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |bkt AS (SELECT r,
+        |          ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8))::BIGINT
+        |            % 1024 AS b,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM toks CROSS JOIN rs GROUP BY 1, 2)
+        |SELECT t.tok, t.exact, min(bk.n) AS estimate
+        |FROM top t CROSS JOIN rs r
+        |JOIN bkt bk ON bk.r = r.r
+        |  AND bk.b = ('0x' || substr(md5(r.r::VARCHAR || ':' || t.tok), 1, 8))::BIGINT
+        |    % 1024
+        |GROUP BY t.tok, t.exact
+        |ORDER BY t.tok""".stripMargin,
+    // A-ES weighted sampling in log form: priority = ln(u)/w with the
+    // md5-prefix uniform and libm ln on both engines; the k largest
+    // priorities per language are the sample — deterministic, so the
+    // exact rows (and the priority doubles) are the oracle relation
+    "q_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT lang, doc_id,
+        |    ln(CAST(('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |        AS DOUBLE) / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) AS priority
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0),
+        |r AS (SELECT lang, doc_id, priority,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY priority DESC, doc_id::VARCHAR ASC) AS rn
+        |      FROM c)
+        |SELECT lang, doc_id, priority FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin
   )
 }

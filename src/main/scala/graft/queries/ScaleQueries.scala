@@ -438,6 +438,95 @@ object ScaleQueries {
         .where(F.col("doc_id").between(100L, 299L))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+    "q_kmv_sketch" -> ((s, dir) => {
+      // bottom-k distinct sketch END TO END: two half-corpus KMV
+      // sketches of the distinct text set (k = 256 md5-smallest hashes,
+      // kept with their keys), merged under the k-stamp guard, then the
+      // classic (k−1)/u(h_k) estimator — determinism makes
+      // merge(a, b) == sketch(a ∪ b) exact, so the oracle states the
+      // same bottom-k + estimator over the WHOLE corpus
+      import graft.pipeline.Sketches
+      val docs = d(s, dir, "documents").select("doc_id", "text")
+      def half(m: Int) = Sketches.kmvSketch(
+        docs.where(F.col("doc_id") % 2 === m), "text", 256)
+      val merged = Sketches.mergeKmvSketches(half(0).unionByName(half(1)))
+      Sketches.kmvEstimate(merged)
+    }),
+    "q_kmv_sketch_grouped" -> ((s, dir) => {
+      // the distinct sketch PER SLICE: per-language bottom-32 sketches
+      // of the two corpus halves, merged by group, estimated per
+      // language — the per-slice distinct-docs row of a dataset card
+      // with zero rescan at merge time
+      import graft.pipeline.Sketches
+      val docs = d(s, dir, "documents").select("doc_id", "lang", "text")
+      def half(m: Int) = Sketches.kmvSketch(
+        docs.where(F.col("doc_id") % 2 === m), "text", 32,
+        groupCol = Some("lang"))
+      val merged = Sketches.mergeKmvSketchesByGroup(
+        half(0).unionByName(half(1)), "lang")
+      Sketches.kmvEstimate(merged, keyCols = Seq("lang")).orderBy("lang")
+    }),
+    "q_kmv_jaccard" -> ((s, dir) => {
+      // set similarity FROM SKETCHES ALONE: vocabulary overlap between
+      // the even and odd corpus halves — bottom-256 sketches of each
+      // half's distinct token set, then the KMV Jaccard estimator over
+      // the union's bottom-k (deterministic, so the estimator itself is
+      // the oracle relation, not just its expectation)
+      import graft.pipeline.Sketches
+      val toks = d(s, dir, "documents").select(F.col("doc_id"),
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+          t => t =!= "")).as("tok"))
+      def half(m: Int) = Sketches.kmvSketch(
+        toks.where(F.col("doc_id") % 2 === m), "tok", 256)
+      Sketches.kmvJaccard(half(0), half(1))
+    }),
+    "q_kmv_sample" -> ((s, dir) => {
+      // the sketch AS a mergeable uniform sample: per-language bottom-8
+      // kept keys — md5 order is data-independent, so these 8 texts per
+      // language are a uniform without-replacement draw that any engine
+      // reproduces exactly
+      import graft.pipeline.Sketches
+      val docs = d(s, dir, "documents").select("lang", "text")
+      val sk = Sketches.kmvSketch(docs, "text", 8, groupCol = Some("lang"))
+      Sketches.kmvSample(sk, keyCols = Seq("lang"))
+        .withColumnRenamed("key", "sample_key")
+        .orderBy("lang", "h")
+    }),
+    "q_cms_freq" -> ((s, dir) => {
+      // count-min frequency sketch END TO END: 4×1024 token-count
+      // sketches of the two corpus halves, merged ELEMENTWISE under the
+      // (depth, width) stamp guard, then point queries for the ten most
+      // frequent tokens next to their exact counts — integer algebra
+      // makes merge == whole bit-exact, and the md5 row-salted buckets
+      // let the oracle state the identical counters (collisions and all)
+      import graft.pipeline.Sketches
+      val toks = d(s, dir, "documents").select(F.col("doc_id"),
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+          t => t =!= "")).as("tok"))
+      def half(m: Int) = Sketches.cmsSketch(
+        toks.where(F.col("doc_id") % 2 === m), "tok", depth = 4,
+        width = 1024)
+      val merged = Sketches.mergeCmsSketches(half(0).unionByName(half(1)))
+      val top = toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).as("exact"))
+        .orderBy(F.col("exact").desc, F.col("tok").asc).limit(10)
+      Sketches.cmsEstimate(merged, top, "tok").orderBy("tok")
+    }),
+    "q_weighted_sample" -> ((s, dir) => {
+      // deterministic weighted sampling (A-ES priorities in log form):
+      // five docs per language, inclusion probability tracking n_chars —
+      // priority = libm ln(md5-prefix uniform)/weight, so the exact
+      // sample (not just its distribution) is the oracle relation
+      import graft.pipeline.Sketches
+      Sketches.weightedSample(
+          d(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+          keyCol = "doc_id", weightCol = "n_chars", k = 5,
+          groupCol = Some("lang"))
+        .select("lang", "doc_id", "priority")
+        .orderBy("lang", "doc_id")
     })
   )
 }

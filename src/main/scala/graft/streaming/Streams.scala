@@ -103,6 +103,31 @@ object Streams {
       .withColumn("scale_bits", F.lit(scaleBits))
   }
 
+  /** Streaming frequency monitor: per event-time window, the SPARSE
+    * cells of a deterministic count-min sketch ([[graft.pipeline
+    * .Sketches.cmsSketch]]'s md5 row-salted buckets) — the streaming
+    * face of the mergeable frequency family. Emitted (window, r, b, n)
+    * rows assemble into dense per-window sketch rows via
+    * [[graft.pipeline.Sketches.cellsToCms]] and merge with stored batch
+    * history through `mergeCmsSketches`; integer algebra makes the
+    * union of the windows bit-equal to the whole-corpus sketch. State
+    * per open window is ≤ depth·width counters, watermark-bounded.
+    * NULL keys carry no counter (the batch rule). */
+  def windowedCms(df: DataFrame, tsCol: String, keyCol: String,
+      window: String, watermark: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad CMS shape ($depth x $width)")
+    val key = F.col(keyCol).cast("string")
+    df.where(key.isNotNull)
+      .select(F.col(tsCol), key.as("td_key"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).as("r"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window), F.col("r"),
+        graft.pipeline.Sketches.cmsBucket(F.col("r"), F.col("td_key"), width)
+          .as("b"))
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
   /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
     * the live-dashboard metric Structured Streaming cannot express with
     * `countDistinct` (distinct aggregates are unsupported on streams).

@@ -238,6 +238,29 @@ object ScalingProbe {
             .withColumn("n", F.length(F.col("text"))),
           "n", 0.0, 4096.0, 256, groupCol = Some("g")).count()
       }),
+      ("kmv_sketch", 100, { d =>
+        // bottom-k distinct sketch per 20-way group: one distinct
+        // shuffle + one keyed-window top-k over the distinct set; the
+        // assembled output is k entries per group regardless of n
+        graft.pipeline.Sketches.kmvSketch(
+          d.withColumn("g", (F.col("doc_id") % 20).cast("string")),
+          "text", 256, groupCol = Some("g")).count()
+      }),
+      ("cms_sketch", 100, { d =>
+        // depth×width count-min build: the depth-explode collapses
+        // map-side (partial agg to ≤ depth·width cells per partition),
+        // then one keyed agg + dense-array assembly of depth rows
+        graft.pipeline.Sketches.cmsSketch(d, "text", depth = 4,
+          width = 1024).count()
+      }),
+      ("weighted_sample", 100, { d =>
+        // priority sampling per 20-way group: row-local priorities +
+        // one keyed window; output bounded at k per group
+        graft.pipeline.Sketches.weightedSample(
+          d.withColumn("g", (F.col("doc_id") % 20).cast("string"))
+            .withColumn("n", F.length(F.col("text"))),
+          "doc_id", "n", 100, groupCol = Some("g")).count()
+      }),
       ("embedding_sketch", 100, { d =>
         // fixed-point centroid sketch per 10-way label over synthesized
         // 64-dim vectors (hash-derived — the measured cost is the scan ×
