@@ -290,6 +290,20 @@ object ExtendedOracles {
         |    % 256
         |GROUP BY t.user_id, t.exact
         |ORDER BY t.user_id""".stripMargin,
+    // per-hour bottom-8: the streamed KmvAgg buffer is deterministic, so
+    // the oracle is the identical per-hour md5 rank over the raw table
+    "q_stream_kmv" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |      AS hour_epoch,
+        |    md5(user_id::VARCHAR) AS h, user_id::VARCHAR AS sample_key
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rk AS (SELECT hour_epoch, h, sample_key,
+        |         row_number() OVER (PARTITION BY hour_epoch ORDER BY h)
+        |           AS rn
+        |       FROM hs)
+        |SELECT hour_epoch, h, sample_key FROM rk WHERE rn <= 8
+        |ORDER BY hour_epoch, h""".stripMargin,
     // the store rollup merges three disjoint per-version bottom-128
     // sketches; determinism makes that bit-equal to bottom-128 over the
     // whole corpus

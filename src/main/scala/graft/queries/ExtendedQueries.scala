@@ -412,6 +412,25 @@ object ExtendedQueries {
         .orderBy(F.col("exact").desc, F.col("user_id").asc).limit(10)
       Sketches.cmsEstimate(merged, top, "user_id").orderBy("user_id")
     }),
+    "q_stream_kmv" -> ((s, dir) => {
+      // live distinct sampling THROUGH Structured Streaming: per-hour
+      // bottom-8 KMV sketches via the bounded-state KmvAgg aggregate
+      // (state <= k entries per open window, never the user set) —
+      // deterministic md5 order makes each streamed window sketch
+      // bit-equal to the batch bottom-k of that hour, so the oracle
+      // states the identical per-hour rank over the raw table
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val wk = graft.streaming.Streams.windowedKmv(
+        stream, "ts", "user_id", "1 hour", "1 hour", k = 8)
+      graft.streaming.StreamStage.runToMemory(wk, "q_stream_kmv_", "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.explode(F.col("entries")).as("e"))
+        .select(F.col("hour_epoch"), F.col("e.h").as("h"),
+          F.col("e.key").as("sample_key"))
+        .orderBy("hour_epoch", "h")
+    }),
     "q_kmv_store_rollup" -> ((s, dir) => {
       // the incremental dataset-card distinct count END TO END through
       // the versioned store: three disjoint crawl shards published as

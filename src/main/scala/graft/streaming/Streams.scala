@@ -103,6 +103,27 @@ object Streams {
       .withColumn("scale_bits", F.lit(scaleBits))
   }
 
+  /** Streaming bottom-k (KMV) distinct sketch: per event-time window,
+    * the k md5-smallest distinct keys WITH their keys, built by the
+    * bounded-state [[KmvAgg]] aggregate — state per open window is ≤ k
+    * entries no matter how many distinct keys flow through (a raw
+    * collect_set would grow with the key set). Deterministic, so the
+    * streamed window sketch is bit-equal to the batch
+    * [[graft.pipeline.Sketches.kmvSketch]] of the same rows, and the
+    * windows merge to the whole-corpus sketch via `mergeKmvSketches`
+    * after stamping `k` — live distinct-count estimates AND a live
+    * uniform sample per window, from one aggregate.
+    * Output: (window, entries: array<struct<h, key>>, k). */
+  def windowedKmv(df: DataFrame, tsCol: String, keyCol: String,
+      window: String, watermark: String, k: Int): DataFrame = {
+    val agg = F.udaf(new KmvAgg(k), org.apache.spark.sql.Encoders.STRING)
+    df.where(F.col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window))
+      .agg(agg(F.col(keyCol).cast("string")).as("entries"))
+      .withColumn("k", F.lit(k))
+  }
+
   /** Streaming frequency monitor: per event-time window, the SPARSE
     * cells of a deterministic count-min sketch ([[graft.pipeline
     * .Sketches.cmsSketch]]'s md5 row-salted buckets) — the streaming

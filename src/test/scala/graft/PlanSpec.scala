@@ -580,6 +580,45 @@ class PlanSpec extends AnyFunSuite {
       !ed.contains("SortMergeJoin") && !ed.contains("CartesianProduct"), ed)
   }
 
+  test("round-12 sketches: partial aggs, bounded windows, broadcast probes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // CMS build: the depth-explode must collapse map-side — partial
+    // aggregation BEFORE the (r, bucket) exchange, no window, no join
+    val cms = plan(graft.pipeline.Sketches.cmsSketch(docs, "text", 4, 1024))
+    assert(cms.contains("partial_count"), cms)
+    assert(!cms.contains("Window") && !cms.contains("Join"), cms)
+    // CMS point queries: the depth-row sketch BROADCASTS onto the probe
+    // relation — never a shuffle of the probes against the sketch
+    val sk = graft.pipeline.Sketches.cmsSketch(docs, "text", 4, 1024)
+    val probes = docs.select(F.col("text")).limit(50)
+    val est = plan(graft.pipeline.Sketches.cmsEstimate(sk, probes, "text"))
+    assert(est.contains("BroadcastNestedLoopJoin") ||
+      est.contains("BroadcastHashJoin"), est)
+    assert(!est.contains("SortMergeJoin"), est)
+    // KMV grouped build: ONE keyed window over the distinct set (the
+    // top-k filter) with map-side WindowGroupLimit pruning — each
+    // partition ships at most k rows per group into the window sort —
+    // no join, no cartesian; the array assembly is a bounded keyed
+    // collect_list after the <= k filter
+    val kmv = plan(graft.pipeline.Sketches.kmvSketch(
+      docs, "text", 64, groupCol = Some("lang")))
+    assert(count(kmv, "Window [") == 1, kmv)
+    assert(kmv.contains("WindowGroupLimit"), kmv)
+    assert(!kmv.contains("Join") && !kmv.contains("CartesianProduct"), kmv)
+    // weighted sample, grouped: row-local priorities + one keyed window,
+    // again WindowGroupLimit-pruned map-side
+    val ws = plan(graft.pipeline.Sketches.weightedSample(
+      docs.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", 5,
+      groupCol = Some("lang")))
+    assert(count(ws, "Window [") == 1 && !ws.contains("Join"), ws)
+    assert(ws.contains("WindowGroupLimit"), ws)
+    // weighted sample, global: TakeOrderedAndProject, never a global sort
+    val wg = plan(graft.pipeline.Sketches.weightedSample(
+      docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 5))
+    assert(wg.contains("TakeOrderedAndProject"), wg)
+    assert(!wg.contains("Window"), wg)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty

@@ -110,6 +110,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(unioned == whole, s"union $unioned vs whole $whole")
   }
 
+  test("windowed KMV: streamed == batch per hour, windows merge to corpus") {
+    val dir = Files.createTempDirectory("graft-stream-wkmv")
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val wk = Streams.windowedKmv(stream, "ts", "user_id", "1 hour",
+      "1 hour", k = 8)
+    val q = Streams.runToMemory(wk, "wkmv", outputMode = "complete")
+    q.stop()
+    // determinism: every streamed window's entry list equals the batch
+    // bottom-8 of that hour's rows BIT-exactly
+    val got = spark.table("wkmv")
+      .select(F.unix_timestamp(F.col("window.start")).as("h"),
+        F.col("entries"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+          (e.getString(0), e.getString(1))))
+      .toMap
+    val hourly = batch.withColumn("h",
+      F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+    val expect = graft.pipeline.Sketches.kmvSketch(
+        hourly, "user_id", 8, groupCol = Some("h"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+          (e.getString(0), e.getString(1))))
+      .toMap
+    assert(got == expect && got.nonEmpty)
+    // mergeability through time: the union of the window sketches is the
+    // whole-corpus sketch (any global bottom-k hash ranks in the top-k
+    // of its own window)
+    val merged = graft.pipeline.Sketches.mergeKmvSketches(
+      spark.table("wkmv").select("entries", "k"))
+    val whole = graft.pipeline.Sketches.kmvSketch(batch, "user_id", 8)
+    assert(merged.collect().toSeq == whole.collect().toSeq)
+  }
+
   test("windowed moments: streamed sketch rows merge with batch bit-exactly") {
     val dir = Files.createTempDirectory("graft-stream-wmom")
     val batch = eventsBatch
