@@ -39,7 +39,36 @@ case class LibmLn(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** e^x via `java.lang.Math.exp` (the HotSpot dexp intrinsic) — the
+  * inverse kernel of [[LibmLn]], with the same rationale: Spark's `exp`
+  * codegens to StrictMath.exp (fdlibm), which can sit 1 ulp off the
+  * platform libm that DuckDB's `exp` rides; the log-scaled quantile
+  * sketch decodes grid indices through exp, so its oracle parity needs
+  * the libm-consistent kernel. */
+case class LibmExp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "libm_exp"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a double argument, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Math.exp(input.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.exp($c)")
+
+  override protected def withNewChildInternal(c: Expression): LibmExp =
+    copy(child = c)
+}
+
 object MathKernels {
   /** Natural log matching the platform libm (see [[LibmLn]]). */
   def ln(c: Column): Column = Bridge.column(LibmLn(Bridge.expression(c)))
+  /** e^x matching the platform libm (see [[LibmExp]]). */
+  def exp(c: Column): Column = Bridge.column(LibmExp(Bridge.expression(c)))
 }

@@ -140,6 +140,50 @@ object Report {
       .withColumn("lo", F.lit(lo))
       .withColumn("hi", F.lit(hi))
       .withColumn("bins", F.lit(bins))
+      .withColumn("scale", F.lit("linear"))
+  }
+
+  /** LOG-scaled [[quantileSketch]]: bins equi-width in ln(x) over
+    * [ln lo, ln hi) — RELATIVE-error quantiles for heavy-tailed values
+    * (lengths, counts, latencies), where a linear grid wastes its cells
+    * on the bulk and answers the tail at grid-width absolute error. With
+    * 64 cells over [1, 4096) every quantile answer is within a factor
+    * 4096^(1/64) ≈ 1.14 of the exact order statistic at ANY magnitude.
+    * The stamp carries the GRID-space bounds (lo = ln lo, hi = ln hi,
+    * scale = "log"), so the merge guard cannot silently combine log and
+    * linear sketches, and [[sketchQuantiles]] decodes cells through the
+    * libm-consistent exp kernel — fully oracle-checkable. Values ≤ 0
+    * (un-loggable) are COUNTED in the underflow tail, never dropped;
+    * NULLs carry no bin (the family rule). Requires 0 < lo < hi. */
+  def logQuantileSketch(df: DataFrame, valueCol: String, lo: Double,
+      hi: Double, bins: Int, groupCol: Option[String] = None): DataFrame = {
+    require(lo > 0 && lo < hi, s"need 0 < lo < hi, got [$lo, $hi)")
+    val lnLo = java.lang.Math.log(lo)
+    val lnHi = java.lang.Math.log(hi)
+    val x = F.col(valueCol).cast("double")
+    val lnX = graft.expressions.MathKernels.ln(x)
+    val idx = F.when(x <= 0.0d, F.lit(0L))
+      .otherwise(gridBin(lnX, lnLo, lnHi, bins)).as("td_bin")
+    val keyCols = groupCol.toSeq.map(F.col)
+    val binned = df.where(x.isNotNull)
+      .select(keyCols :+ idx: _*)
+      .groupBy(keyCols :+ F.col("td_bin"): _*)
+      .agg(F.count(F.lit(1)).as("td_n"))
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(F.col("td_bin"), F.col("td_n"))))
+    val counts = F.transform(
+      F.sequence(F.lit(0L), F.lit((bins + 1).toLong)),
+      i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
+    val grouped =
+      if (groupCol.isDefined) binned.groupBy(keyCols: _*).agg(m.as("td_m"))
+      else binned.agg(m.as("td_m"))
+    grouped
+      .select(keyCols ++ Seq(counts.as("counts")): _*)
+      .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
+      .withColumn("lo", F.lit(lnLo))
+      .withColumn("hi", F.lit(lnHi))
+      .withColumn("bins", F.lit(bins))
+      .withColumn("scale", F.lit("log"))
   }
 
   /** Union previously-built quantile sketches (same grid) into one:
@@ -155,19 +199,16 @@ object Report {
     * (counts, n, lo, hi, bins) row. */
   def mergeQuantileSketches(sketches: DataFrame,
       countsCol: String = "counts"): DataFrame = {
-    val gridCols = Seq("lo", "hi", "bins")
-    require(gridCols.forall(sketches.columns.contains),
-      s"sketches must carry their grid stamp ${gridCols.mkString("(", ", ", ")")}" +
-        " — (re)build them with quantileSketch")
+    requireGridStamp(sketches)
     val exploded = sketches.select(
-      F.col("lo"), F.col("hi"), F.col("bins"),
+      F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"),
       F.posexplode(F.col(countsCol)).as(Seq("td_pos", "td_c")))
     val byPos = exploded.groupBy(F.col("td_pos")).agg(
       F.sum(F.col("td_c")).as("td_c"),
-      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins")))
-        .as("td_g"),
+      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins"),
+        F.col("scale"))).as("td_g"),
       F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
-      F.first(F.col("bins")).as("bins"))
+      F.first(F.col("bins")).as("bins"), F.first(F.col("scale")).as("scale"))
     // assemble the dense array from the ≤ bins+2 per-position rows; the
     // grid guard fires lazily (raise_error) so the whole merge is one plan
     val m = F.map_from_entries(F.collect_list(
@@ -175,7 +216,8 @@ object Report {
     byPos.agg(
         m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
         F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
-        F.first(F.col("bins")).as("bins"))
+        F.first(F.col("bins")).as("bins"),
+        F.first(F.col("scale")).as("scale"))
       .select(
         F.when(F.col("td_g") === 1,
             F.transform(F.sequence(F.lit(0), F.col("bins") + 1),
@@ -184,13 +226,24 @@ object Report {
             F.when(F.col("td_g").isNull,
                 F.lit("cannot merge an empty set of quantile sketches"))
               .otherwise(F.lit("cannot merge quantile sketches with " +
-                "different grids: more than one distinct (lo, hi, bins) " +
-                "stamp in the input"))))
+                "different grids: more than one distinct " +
+                "(lo, hi, bins, scale) stamp in the input"))))
           .as(countsCol),
-        F.col("lo"), F.col("hi"), F.col("bins"))
+        F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"))
       .withColumn("n", F.aggregate(F.col(countsCol), F.lit(0L), _ + _))
       .select(F.col(countsCol), F.col("n"),
-        F.col("lo"), F.col("hi"), F.col("bins"))
+        F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"))
+  }
+
+  /** The full sketch stamp: the (lo, hi, bins) grid plus the `scale`
+    * marker ("linear" | "log") that keeps same-bounds grids over
+    * DIFFERENT axes from silently combining. */
+  private def requireGridStamp(df: DataFrame): Unit = {
+    val stampCols = Seq("lo", "hi", "bins", "scale")
+    require(stampCols.forall(df.columns.contains),
+      s"sketches must carry their grid stamp " +
+        s"${stampCols.mkString("(", ", ", ")")} — (re)build them with " +
+        "quantileSketch/logQuantileSketch/binsToSketch")
   }
 
   /** Per-group [[mergeQuantileSketches]]: elementwise addition of each
@@ -202,26 +255,24 @@ object Report {
     * per group. */
   def mergeQuantileSketchesByGroup(sketches: DataFrame, groupCol: String,
       countsCol: String = "counts"): DataFrame = {
-    val gridCols = Seq("lo", "hi", "bins")
-    require(gridCols.forall(sketches.columns.contains),
-      s"sketches must carry their grid stamp ${gridCols.mkString("(", ", ", ")")}" +
-        " — (re)build them with quantileSketch")
+    requireGridStamp(sketches)
     val g = F.col(groupCol)
     val exploded = sketches.select(
-      g, F.col("lo"), F.col("hi"), F.col("bins"),
+      g, F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"),
       F.posexplode(F.col(countsCol)).as(Seq("td_pos", "td_c")))
     val byPos = exploded.groupBy(g, F.col("td_pos")).agg(
       F.sum(F.col("td_c")).as("td_c"),
-      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins")))
-        .as("td_g"),
+      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins"),
+        F.col("scale"))).as("td_g"),
       F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
-      F.first(F.col("bins")).as("bins"))
+      F.first(F.col("bins")).as("bins"), F.first(F.col("scale")).as("scale"))
     val m = F.map_from_entries(F.collect_list(
       F.struct(F.col("td_pos"), F.col("td_c"))))
     byPos.groupBy(g).agg(
         m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
         F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
-        F.first(F.col("bins")).as("bins"))
+        F.first(F.col("bins")).as("bins"),
+        F.first(F.col("scale")).as("scale"))
       .select(g,
         F.when(F.col("td_g") === 1,
             F.transform(F.sequence(F.lit(0), F.col("bins") + 1),
@@ -229,10 +280,10 @@ object Report {
           .otherwise(F.raise_error(F.concat(F.lit("cannot merge quantile " +
             "sketches with different grids in group "), g.cast("string"))))
           .as(countsCol),
-        F.col("lo"), F.col("hi"), F.col("bins"))
+        F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"))
       .withColumn("n", F.aggregate(F.col(countsCol), F.lit(0L), _ + _))
       .select(g, F.col(countsCol), F.col("n"),
-        F.col("lo"), F.col("hi"), F.col("bins"))
+        F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"))
   }
 
   /** Answer quantiles FROM a sketch: for each q, the lower edge of the
@@ -261,19 +312,16 @@ object Report {
       countsCol: String, keyCols: Seq[String]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
-    val gridCols = Seq("lo", "hi", "bins")
-    require(gridCols.forall(sketch.columns.contains),
-      s"sketch must carry its grid stamp ${gridCols.mkString("(", ", ", ")")}" +
-        " — (re)build it with quantileSketch/mergeQuantileSketches")
+    requireGridStamp(sketch)
     val spark = sketch.sparkSession
     import spark.implicits._
     val keys = keyCols.map(F.col)
     val qDf = qs.distinct.sorted.toDF("q")
     sketch.select(keys ++ Seq(F.col(countsCol), F.col("n"),
-        F.col("lo"), F.col("hi"), F.col("bins")): _*)
+        F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale")): _*)
       .crossJoin(F.broadcast(qDf))
       .select(keys ++ Seq(F.col("q"), F.col("n"),
-        F.col("lo"), F.col("hi"), F.col("bins"),
+        F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"),
         // first index with cumsum >= k, via a running-total scan
         F.aggregate(F.col(countsCol),
           F.struct(F.lit(0L).as("cum"), F.lit(-1).as("hit"), F.lit(0).as("i")),
@@ -285,12 +333,18 @@ object Report {
               .otherwise(F.lit(-1)).as("hit"),
             (st("i") + 1).as("i")),
           st => st("hit")).as("td_idx")): _*)
-      .select(keys ++ Seq(F.col("q"),
-        F.when(F.col("td_idx") <= 0, F.col("lo"))
+      .select(keys ++ {
+        // grid-space cell edge; a log sketch decodes it back through the
+        // libm-consistent exp kernel (its stamp holds ln-space bounds)
+        val gridVal = F.when(F.col("td_idx") <= 0, F.col("lo"))
           .when(F.col("td_idx") >= F.col("bins") + 1, F.col("hi"))
           .otherwise(F.col("lo") + (F.col("td_idx") - 1).cast("double") *
             ((F.col("hi") - F.col("lo")) / F.col("bins").cast("double")))
-          .as("value")): _*)
+        Seq(F.col("q"),
+          F.when(F.col("scale") === "log",
+              graft.expressions.MathKernels.exp(gridVal))
+            .otherwise(gridVal).as("value"))
+      }: _*)
   }
 
   /** MERGEABLE moment sketch: (n, Σx, Σx², min, max) in FIXED POINT —
@@ -398,7 +452,9 @@ object Report {
     * [[gridBin]]'s cell function). */
   def binsToSketch(df: DataFrame, lo: Double, hi: Double, bins: Int,
       binCol: String = "bin", nCol: String = "n",
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil, scale: String = "linear"): DataFrame = {
+    require(scale == "linear" || scale == "log",
+      s"scale must be linear|log, got $scale")
     require(bins >= 1, s"bins must be >= 1, got $bins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val keys = groupCols.map(F.col)
@@ -422,6 +478,7 @@ object Report {
       .withColumn("lo", F.lit(lo))
       .withColumn("hi", F.lit(hi))
       .withColumn("bins", F.lit(bins))
+      .withColumn("scale", F.lit(scale))
   }
 
   /** Distribution drift between two stamped sketches over the SAME grid
@@ -473,17 +530,13 @@ object Report {
   private def sketchDriftImpl(a: DataFrame, b: DataFrame,
       countsCol: String, keyCols: Seq[String],
       joinOnKeys: Boolean = true): DataFrame = {
-    val gridCols = Seq("lo", "hi", "bins")
-    require(gridCols.forall(a.columns.contains) &&
-        gridCols.forall(b.columns.contains),
-      s"both sketches must carry their grid stamp " +
-        s"${gridCols.mkString("(", ", ", ")")} — (re)build them with " +
-        "quantileSketch/mergeQuantileSketches")
+    requireGridStamp(a); requireGridStamp(b)
     def side(df: DataFrame, sfx: String, keys: Seq[String]) = df.select(
       keys.map(F.col) ++ Seq(
         F.col(countsCol).as(s"td_c$sfx"), F.col("n").as(s"n_$sfx"),
         F.col("lo").as(s"td_lo$sfx"), F.col("hi").as(s"td_hi$sfx"),
-        F.col("bins").as(s"td_bins$sfx")): _*)
+        F.col("bins").as(s"td_bins$sfx"),
+        F.col("scale").as(s"td_scale$sfx")): _*)
     val joined =
       if (keyCols.isEmpty)
         side(a, "a", Nil).crossJoin(F.broadcast(side(b, "b", Nil)))
@@ -493,7 +546,8 @@ object Report {
         side(a, "a", keyCols).crossJoin(F.broadcast(side(b, "b", Nil)))
     val sameGrid = F.col("td_loa") === F.col("td_lob") &&
       F.col("td_hia") === F.col("td_hib") &&
-      F.col("td_binsa") === F.col("td_binsb")
+      F.col("td_binsa") === F.col("td_binsb") &&
+      F.col("td_scalea") === F.col("td_scaleb")
     // stage the zipped (ca, cb) array as a bound attribute BEFORE the
     // folds (lambda bodies re-inline unbound producers per element)
     val staged = joined.select(keyCols.map(F.col) ++ Seq(
@@ -501,7 +555,7 @@ object Report {
           F.zip_with(F.col("td_ca"), F.col("td_cb"),
             (x, y) => F.struct(x.as("ca"), y.as("cb"))))
         .otherwise(F.raise_error(F.lit("cannot diff sketches with " +
-          "different grids: (lo, hi, bins) stamps disagree")))
+          "different grids: (lo, hi, bins, scale) stamps disagree")))
         .as("td_z"),
       F.col("n_a"), F.col("n_b"), F.col("td_binsa")): _*)
     val naD = F.col("n_a").cast("double")

@@ -284,6 +284,31 @@ object ScaleOracles {
         |SELECT q, CASE WHEN idx <= 0 THEN 0.0 WHEN idx >= 65 THEN 640.0
         |            ELSE 0.0 + CAST(idx - 1 AS DOUBLE) * 10.0 END AS value
         |FROM hit ORDER BY q""".stripMargin,
+    "q_log_quantile_sketch" ->
+      // identical arithmetic to Report.logQuantileSketch: x <= 0 counts
+      // in the underflow tail; otherwise the fixed-grid bin of ln(x)
+      // over [ln 1, ln 1024) with the same ((lnx - lo) * bins) / span
+      // parenthesization; the quantile decode exponentiates the
+      // grid-space lower edge (libm exp on both engines)
+      """WITH b AS (
+        |  SELECT CASE WHEN CAST(n_chars AS DOUBLE) <= 0.0 THEN 0
+        |              WHEN ln(CAST(n_chars AS DOUBLE)) < 0.0 THEN 0
+        |              WHEN ln(CAST(n_chars AS DOUBLE)) >= ln(1024.0) THEN 65
+        |              ELSE LEAST(64, CAST(floor(((ln(CAST(n_chars AS DOUBLE)) - 0.0)
+        |                * 64.0) / (ln(1024.0) - 0.0)) AS BIGINT) + 1) END AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT unnest(generate_series(0, 65)) AS bin),
+        |d AS (SELECT g.bin, coalesce(c.cnt, 0) AS cnt FROM g LEFT JOIN c USING (bin)),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM d),
+        |qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |kk AS (SELECT q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS k FROM qv, nn),
+        |hit AS (SELECT q, min(bin) AS idx FROM kk JOIN cum ON cum.cum >= kk.k GROUP BY q)
+        |SELECT q, CASE WHEN idx <= 0 THEN exp(0.0) WHEN idx >= 65 THEN exp(ln(1024.0))
+        |            ELSE exp(0.0 + CAST(idx - 1 AS DOUBLE)
+        |              * ((ln(1024.0) - 0.0) / CAST(64 AS DOUBLE))) END AS value
+        |FROM hit ORDER BY q""".stripMargin,
     "q_quantile_sketch_grouped" ->
       """WITH b AS (
         |  SELECT lang,

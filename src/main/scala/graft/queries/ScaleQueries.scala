@@ -284,6 +284,26 @@ object ScaleQueries {
       Report.sketchQuantiles(merged, Seq(0.5, 0.9, 0.99))
         .orderBy("q")
     }),
+    "q_log_quantile_sketch" -> ((s, dir) => {
+      // RELATIVE-error mergeable quantiles: the same merge-equals-whole
+      // proof as q_quantile_sketch but on the LOG grid — 64 cells
+      // equi-width in ln(x) over [1, 1024), so every answer is within a
+      // factor 1024^(1/64) ≈ 1.11 of the exact order statistic at ANY
+      // magnitude (the right sketch for heavy-tailed lengths, where a
+      // linear grid wastes its cells on the bulk). The stamp carries
+      // ln-space bounds + scale="log", so the merge guard separates it
+      // from linear sketches, and the decode rides the libm-consistent
+      // exp kernel — DuckDB states the identical cell edge.
+      import graft.pipeline.Report
+      val docs = d(s, dir, "documents").select("doc_id", "n_chars")
+      val a = Report.logQuantileSketch(
+        docs.where(F.col("doc_id") % 2 === 0), "n_chars", 1.0, 1024.0, 64)
+      val b = Report.logQuantileSketch(
+        docs.where(F.col("doc_id") % 2 === 1), "n_chars", 1.0, 1024.0, 64)
+      val merged = Report.mergeQuantileSketches(a.unionByName(b))
+      Report.sketchQuantiles(merged, Seq(0.5, 0.9, 0.99))
+        .orderBy("q")
+    }),
     "q_quantile_sketch_grouped" -> ((s, dir) => {
       // the sketch family PER SLICE, end to end: per-language sketches of
       // two corpus halves (same stamped grid), merged elementwise BY GROUP

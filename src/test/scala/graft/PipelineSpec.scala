@@ -1001,6 +1001,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex4.getMessage.contains("empty set"), ex4.getMessage)
   }
 
+  test("log quantile sketch: relative-error bound, un-loggable tail, scale-guarded merge") {
+    import spark.implicits._
+    import graft.pipeline.Report
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars")
+    val (lo, hi, bins) = (1.0, 1024.0, 64)
+    // merge algebra holds on the log grid: sketch(A) ⊕ sketch(B) == sketch(A ∪ B)
+    val whole = Report.logQuantileSketch(docs, "n_chars", lo, hi, bins).head()
+    val a = Report.logQuantileSketch(
+      docs.where(F.col("doc_id") % 2 === 0).repartition(7), "n_chars", lo, hi, bins)
+    val b = Report.logQuantileSketch(
+      docs.where(F.col("doc_id") % 2 === 1).repartition(3), "n_chars", lo, hi, bins)
+    val merged = Report.mergeQuantileSketches(a.unionByName(b)).head()
+    assert(merged.getSeq[Long](0) == whole.getSeq[Long](0))
+    assert(merged.getLong(1) == whole.getLong(1))
+    assert(merged.getString(5) == "log") // merge preserves the scale stamp
+    // RELATIVE error bound: lower-edge answer v has v <= exact <= v * step
+    // where step = (hi/lo)^(1/bins) — constant ratio at every magnitude
+    val exact = graft.operators.Quantiles.exactQuantiles(
+        docs, "n_chars", Seq(0.5, 0.9, 0.99), tiebreakers = Seq("doc_id"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1).toDouble).toMap
+    val est = Report.sketchQuantiles(
+        Report.mergeQuantileSketches(a.unionByName(b)), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val step = math.pow(hi / lo, 1.0 / bins)
+    est.foreach { case (q, v) =>
+      assert(v <= exact(q) + 1e-9, s"q=$q lower edge $v overshoots ${exact(q)}")
+      assert(exact(q) <= v * step * (1 + 1e-12),
+        s"q=$q sketch $v vs exact ${exact(q)} beyond one log cell (×$step)")
+    }
+    // un-loggable values (x <= 0) COUNT in the underflow tail; NULLs carry
+    // no bin; the far tail catches magnitudes beyond hi
+    val edge = Seq(Some(-5L), Some(0L), Some(5L), Some(999999L), None).toDF("x")
+    val sk = Report.logQuantileSketch(edge, "x", lo, hi, bins).head()
+    val counts = sk.getSeq[Long](0)
+    assert(counts.head == 2L && counts.last == 1L && sk.getLong(1) == 4L,
+      s"tails/nulls wrong: $counts n=${sk.getLong(1)}")
+    // the scale stamp separates grids the numeric stamp cannot: a LINEAR
+    // sketch over [0, ln hi) carries the same (lo, hi, bins) numbers as
+    // the log sketch's ln-space stamp — merging them must raise loudly
+    val linSameStamp = Report.quantileSketch(
+      docs, "n_chars", 0.0, math.log(hi), bins)
+    val ex = intercept[Exception] {
+      Report.mergeQuantileSketches(a.unionByName(linSameStamp)).collect()
+    }
+    assert(ex.getMessage.contains("different grids"), ex.getMessage)
+    // ...and the drift guard refuses the same cross-scale pair
+    val ex2 = intercept[Exception] {
+      Report.sketchDrift(a, linSameStamp).collect()
+    }
+    assert(ex2.getMessage.contains("different grids"), ex2.getMessage)
+    // a non-positive lower bound cannot define a log grid
+    val ex3 = intercept[IllegalArgumentException] {
+      Report.logQuantileSketch(docs, "n_chars", 0.0, hi, bins)
+    }
+    assert(ex3.getMessage.contains("0 < lo"), ex3.getMessage)
+  }
+
   test("sketch drift: zero on self, hand-checked PSI/KS/TVD, shift-sensitive, grid-guarded") {
     import spark.implicits._
     import graft.pipeline.Report

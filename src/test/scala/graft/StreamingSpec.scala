@@ -60,7 +60,7 @@ class StreamingSpec extends AnyFunSuite {
     val winBins = got.collect { case ((h, b), n) if h == firstHour => (b, n) }.toMap
     val counts = (0L to 65L).map(b => winBins.getOrElse(b, 0L))
     val streamedSketch = spark.createDataFrame(
-      java.util.List.of(Row(counts, 0.0, 512.0, 64)),
+      java.util.List.of(Row(counts, 0.0, 512.0, 64, "linear")),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("counts",
           org.apache.spark.sql.types.ArrayType(
@@ -70,13 +70,15 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("hi",
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("bins",
-          org.apache.spark.sql.types.IntegerType))))
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("scale",
+          org.apache.spark.sql.types.StringType))))
     val batchSketch = graft.pipeline.Report.quantileSketch(
       batch.where(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) === firstHour),
       "value", 0.0, 512.0, 64)
     val merged = graft.pipeline.Report.mergeQuantileSketches(
         streamedSketch.unionByName(
-          batchSketch.select("counts", "lo", "hi", "bins")))
+          batchSketch.select("counts", "lo", "hi", "bins", "scale")))
       .head()
     assert(merged.getSeq[Long](0) == counts.map(_ * 2), "stream+batch merge drifted")
   }
