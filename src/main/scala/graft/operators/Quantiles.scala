@@ -198,4 +198,34 @@ object Quantiles {
       cold.unionByName(hotRes)
     }
   }
+
+  /** EQUI-DEPTH histogram: `buckets` bins each holding (as near as
+    * integer arithmetic allows) n/buckets rows — the complement of
+    * [[graft.pipeline.Report.histogram]]'s equi-WIDTH grid, and the
+    * binning a dataset card wants for heavy-tailed columns where fixed
+    * cells leave most bins empty. Row r (1-based rank by (value,
+    * tiebreakers)) lands in bucket floor((r−1)·buckets / n) — the exact
+    * NTILE-style split, stated in doubles whose operands stay below
+    * 2^53, so an external engine reproduces every boundary. Ranking
+    * rides [[ScalableRank.withRank]] (range shuffle, no single-task
+    * sort), NULLs are excluded (the quantile-family rule). Output:
+    * (bucket, cnt, lo, hi) ascending. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val nonNull = df.where(F.col(valueCol).isNotNull)
+    val n = nonNull.count()
+    require(n > 0, "equiDepthHistogram over an empty (or all-NULL) relation")
+    val ranked = ScalableRank.withRank(nonNull, valueCol, "$td.__rk",
+      method = "ordinal", tiebreakers = tiebreakers)
+    ranked
+      .withColumn("bucket",
+        F.floor(((F.col("`$td.__rk`") - 1L) * buckets.toLong).cast("double") /
+          F.lit(n.toDouble)).cast("long"))
+      .groupBy(F.col("bucket"))
+      .agg(F.count(F.lit(1)).as("cnt"),
+        F.min(F.col(valueCol)).as("lo"),
+        F.max(F.col(valueCol)).as("hi"))
+      .orderBy(F.col("bucket").asc)
+  }
 }

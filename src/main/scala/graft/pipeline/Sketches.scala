@@ -341,6 +341,227 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Bloom membership sketch
+  // ---------------------------------------------------------------------
+
+  /** Deterministic Bloom filter (Bloom 1970) as a parquet row: `m` bits
+    * packed 32 per BIGINT word, hash i of a key setting bit
+    * md5(i ":" key)-prefix mod m (the [[cmsBucket]] function — the
+    * repo's portable bucket). Membership answers are one-sided: every
+    * inserted key reads true; an absent key false-positives with
+    * probability ≈ (1 − e^(−kn/m))^k — and because the hash is
+    * deterministic, even the COLLISION PATTERN is reproducible, so an
+    * external engine states the identical member bit for every probe,
+    * false positives included. Merge is bitwise OR ([[mergeBloomSketches]]),
+    * exactly the sketch of the union. 32-bit packing keeps every word
+    * value in [0, 2^32): positive in both engines' BIGINT with no
+    * sign-bit edge. NULL keys set no bit (the family rule). Output: one
+    * (words: array<long>, m, k, bits_set) row per `groupCols` value
+    * (none → one global row). Shape: one explode to k·n bit positions
+    * (collapsed map-side by partial bit_or), one keyed agg, one dense
+    * assembly — the [[cmsSketch]] scatter pattern. */
+  def bloomSketch(df: DataFrame, keyCol: String, mBits: Int,
+      kHashes: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(mBits >= 1 && kHashes >= 1, s"bad Bloom shape ($mBits, $kHashes)")
+    val keys = groupCols.map(F.col)
+    val key = F.col(keyCol).cast("string")
+    val pos = cmsBucket(F.col("td_i"), F.col("td_key"), mBits)
+    val sparse = df.where(key.isNotNull)
+      .select(keys ++ Seq(key.as("td_key"),
+        F.explode(F.sequence(F.lit(0), F.lit(kHashes - 1))).as("td_i")): _*)
+      .select(keys ++ Seq(
+        F.floor(pos.cast("double") / 32.0d).cast("int").as("td_w"),
+        // 2^bit is exact in a double for bit in [0, 31]
+        F.pow(F.lit(2.0d), (pos % 32L).cast("double")).cast("long")
+          .as("td_v")): _*)
+      .groupBy(keys :+ F.col("td_w"): _*)
+      .agg(F.bit_or(F.col("td_v")).as("td_bits"))
+    wordsToBloom(sparse, mBits, kHashes, keys)
+  }
+
+  /** Dense Bloom row(s) from sparse (word, bits) cells — shared by
+    * [[bloomSketch]] and [[cellsToBloom]]. */
+  private def wordsToBloom(sparse: DataFrame, mBits: Int, kHashes: Int,
+      keys: Seq[Column]): DataFrame = {
+    val nWords = (mBits + 31) / 32
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(F.col("td_w"), F.col("td_bits"))))
+    sparse.groupBy(keys: _*).agg(m.as("td_m"))
+      .select(keys :+ F.transform(F.sequence(F.lit(0), F.lit(nWords - 1)),
+        i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
+        .as("words"): _*)
+      .withColumn("m", F.lit(mBits))
+      .withColumn("k", F.lit(kHashes))
+      .withColumn("bits_set",
+        F.aggregate(F.col("words"), F.lit(0L),
+          (acc, w) => acc + F.bit_count(w).cast("long")))
+  }
+
+  /** Assemble dense Bloom rows from SPARSE (word, bits) cells — the
+    * pivot for [[graft.streaming.Streams.windowedBloom]]'s streamed
+    * windows, the membership-family sibling of [[cellsToCms]]. Cells
+    * outside [0, ceil(m/32)) or carrying bits outside the 32-bit word
+    * range raise loudly; absent words are zero. */
+  def cellsToBloom(df: DataFrame, mBits: Int, kHashes: Int,
+      wordCol: String = "td_w", bitsCol: String = "td_bits",
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(mBits >= 1 && kHashes >= 1, s"bad Bloom shape ($mBits, $kHashes)")
+    val nWords = (mBits + 31) / 32
+    val checkedW = F.when(
+        F.col(wordCol) >= 0 && F.col(wordCol) < nWords,
+        F.col(wordCol).cast("int"))
+      .otherwise(F.raise_error(F.concat(
+        F.lit(s"Bloom word out of range [0, ${nWords - 1}]: "),
+        F.col(wordCol).cast("string"))))
+    val checkedB = F.when(
+        F.col(bitsCol) >= 0L && F.col(bitsCol) < 4294967296L,
+        F.col(bitsCol).cast("long"))
+      .otherwise(F.raise_error(F.concat(
+        F.lit("Bloom word bits outside 32-bit packing: "),
+        F.col(bitsCol).cast("string"))))
+    val sparse = df
+      .select(groupCols.map(F.col) ++ Seq(
+        checkedW.as("td_w"), checkedB.as("td_bits")): _*)
+      .groupBy(groupCols.map(F.col) :+ F.col("td_w"): _*)
+      .agg(F.bit_or(F.col("td_bits")).as("td_bits"))
+    wordsToBloom(sparse, mBits, kHashes, groupCols.map(F.col))
+  }
+
+  /** Union Bloom sketches by elementwise bitwise OR — zero data rescan,
+    * and (bit algebra) merge == whole-corpus bit-exact. All inputs must
+    * share one (m, k) stamp; the guard rides the aggregation (raise_error
+    * at action time), as in [[mergeCmsSketches]]. */
+  def mergeBloomSketches(sketches: DataFrame,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val stampCols = Seq("m", "k")
+    require(stampCols.forall(sketches.columns.contains) &&
+        sketches.columns.contains("words"),
+      "Bloom sketches must carry (words, m, k) — (re)build with bloomSketch")
+    val keys = groupCols.map(F.col)
+    val exploded = sketches.select(keys ++ Seq(F.col("m"), F.col("k"),
+      F.posexplode(F.col("words")).as(Seq("td_pos", "td_bits"))): _*)
+    val byPos = exploded.groupBy(keys :+ F.col("td_pos"): _*).agg(
+      F.bit_or(F.col("td_bits")).as("td_bits"),
+      F.countDistinct(F.struct(F.col("m"), F.col("k"))).as("td_g"),
+      F.first(F.col("m")).as("m"), F.first(F.col("k")).as("k"))
+    val m = F.map_from_entries(F.collect_list(
+      F.struct(F.col("td_pos"), F.col("td_bits"))))
+    byPos.groupBy(keys: _*).agg(
+        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+        F.first(F.col("m")).as("m"), F.first(F.col("k")).as("k"))
+      .select(keys ++ Seq(
+        F.when(F.col("td_g") === 1,
+            F.transform(F.sequence(F.lit(0),
+                F.floor((F.col("m") + 31).cast("double") / 32.0d)
+                  .cast("int") - 1),
+              i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+          .otherwise(F.raise_error(F.lit(
+            "cannot merge Bloom sketches with different (m, k) stamps")))
+          .as("words"),
+        F.col("m"), F.col("k")): _*)
+      .withColumn("bits_set",
+        F.aggregate(F.col("words"), F.lit(0L),
+          (acc, w) => acc + F.bit_count(w).cast("long")))
+  }
+
+  /** Membership answers from a Bloom sketch: for each probe key, true
+    * iff ALL k bit positions are set — inserted keys always true,
+    * absent keys true only on the (deterministic, oracle-stateable)
+    * false-positive pattern. The sketch is one row (or one per join
+    * key) — broadcast onto the probes, so the probe relation can be a
+    * full candidate corpus with no shuffle of the sketch. Output:
+    * probes ++ (member: boolean). */
+  def bloomProbe(sketch: DataFrame, probes: DataFrame,
+      keyCol: String): DataFrame = {
+    val rows = sketch.select(F.col("words").as("td_words"),
+      F.col("m").as("td_m"), F.col("k").as("td_k"))
+    val key = F.col(keyCol).cast("string")
+    probes
+      .join(F.broadcast(rows))
+      .withColumn("member",
+        F.aggregate(F.sequence(F.lit(0), F.col("td_k") - 1),
+          F.lit(true),
+          (acc, i) => {
+            val pos = F.conv(F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit(":"), key)), 1, 8),
+              16, 10).cast("long") % F.col("td_m").cast("long")
+            val word = F.element_at(F.col("td_words"),
+              F.floor(pos.cast("double") / 32.0d).cast("int") + 1)
+            val bitVal = F.pow(F.lit(2.0d), (pos % 32L).cast("double"))
+              .cast("long")
+            acc && word.bitwiseAND(bitVal) =!= 0L
+          }))
+      .select(probes.columns.map(F.col).toSeq :+ F.col("member"): _*)
+  }
+
+  /** Cardinality estimate from a Bloom sketch's fill ratio
+    * (Swamidass & Baldi 2007): n̂ = −(m/k) · ln(1 − X/m) for X set
+    * bits — ln through the libm kernel so the double is engine-portable.
+    * A full filter (X = m) answers +Infinity honestly. Output: one
+    * (bits_set, m, k, estimate) row per input sketch row. */
+  def bloomEstimate(sketch: DataFrame,
+      keyCols: Seq[String] = Nil): DataFrame =
+    sketch.select(keyCols.map(F.col) ++ Seq(
+      F.col("bits_set"), F.col("m"), F.col("k"),
+      (-(F.col("m").cast("double") / F.col("k").cast("double")) *
+        graft.expressions.MathKernels.ln(
+          F.lit(1.0d) - F.col("bits_set").cast("double") /
+            F.col("m").cast("double"))).as("estimate")): _*)
+
+  /** Set-operation cardinalities from two KMV sketches alone (Beyer et
+    * al. 2007): over the union's bottom-k M, K_∩ = |{h ∈ M in both}|
+    * estimates Jaccard ρ = K_∩/|M|, the union cardinality comes from
+    * M's k-th smallest hash ((k−1)/u(h_k), exact when the union kept
+    * fewer than k), and the derived estimates follow the inclusion–
+    * exclusion algebra: |A∩B| ≈ ρ·|A∪B|, |A\B| ≈ |A| − |A∩B| with |A|
+    * from a's own sketch. Every term is deterministic given the two
+    * sketches, so the estimATOR — not just its expectation — is
+    * oracle-checkable. Both sketches must carry the same k stamp.
+    * Output: one (n_kept, n_common, jaccard, union_est, intersect_est,
+    * diff_ab_est, diff_ba_est) row. */
+  def kmvSetOps(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, mark: String) = df
+      .select(F.col("k"), F.explode(F.col("entries")).as("e"))
+      .select(F.col("k"), F.col("e.h").as("td_h"),
+        F.lit(mark).as("td_side"))
+    val both = side(a, "a").unionByName(side(b, "b"))
+    val perHash = both
+      .groupBy(F.col("td_h"))
+      .agg(F.max(F.when(F.col("td_side") === "a", 1).otherwise(0)).as("in_a"),
+        F.max(F.when(F.col("td_side") === "b", 1).otherwise(0)).as("in_b"),
+        F.when(F.countDistinct(F.col("k")) === 1, F.first(F.col("k")))
+          .otherwise(F.raise_error(F.lit(
+            "cannot compare KMV sketches with different k stamps")))
+          .as("k"))
+    val w = Window.orderBy(F.col("td_h").asc)
+    val union = perHash.withColumn("td_rn", F.row_number().over(w))
+      .where(F.col("td_rn") <= F.col("k"))
+      .agg(F.count(F.lit(1)).as("n_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).as("n_common"),
+        F.max(F.col("td_h")).as("td_kth"),
+        F.first(F.col("k")).as("td_k"))
+      .select(F.col("n_kept"), F.col("n_common"), F.col("td_k"),
+        (F.col("n_common").cast("double") / F.col("n_kept").cast("double"))
+          .as("jaccard"),
+        F.when(F.col("n_kept") < F.col("td_k").cast("long"),
+            F.col("n_kept").cast("double"))
+          .otherwise((F.col("td_k").cast("double") - 1.0d) /
+            (F.conv(F.substring(F.col("td_kth"), 1, 15), 16, 10)
+              .cast("long").cast("double") / F.lit(HexDenom)))
+          .as("union_est"))
+    def est(df: DataFrame, name: String) =
+      kmvEstimate(df).select(F.col("estimate").as(name))
+    union
+      .crossJoin(F.broadcast(est(a, "td_a_est")))
+      .crossJoin(F.broadcast(est(b, "td_b_est")))
+      .withColumn("intersect_est", F.col("jaccard") * F.col("union_est"))
+      .select(F.col("n_kept"), F.col("n_common"), F.col("jaccard"),
+        F.col("union_est"), F.col("intersect_est"),
+        (F.col("td_a_est") - F.col("intersect_est")).as("diff_ab_est"),
+        (F.col("td_b_est") - F.col("intersect_est")).as("diff_ba_est"))
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic weighted sample (priority / A-ES)
   // ---------------------------------------------------------------------
 

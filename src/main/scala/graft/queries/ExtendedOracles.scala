@@ -272,6 +272,29 @@ object ExtendedOracles {
     // is integer elementwise addition, so the streamed rollup is
     // bit-equal to the whole-corpus sketch the oracle states — identical
     // md5 row-salted buckets, estimate = min over the 4 rows
+    "q_stream_bloom" ->
+      // the streamed windows OR to the whole-corpus filter, so the
+      // oracle probes the batch position set over the raw table —
+      // member(p) iff all 3 md5 positions of p were set by some user_id
+      """WITH ks AS (SELECT DISTINCT user_id::VARCHAR AS k FROM events
+        |            WHERE user_id IS NOT NULL),
+        |hs AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || k), 1, 8))::BIGINT
+        |      % 2048 AS pos
+        |  FROM ks, hs),
+        |probes AS (
+        |  SELECT k AS probe FROM ks
+        |  UNION ALL
+        |  SELECT 'ghost:' || CAST(x AS VARCHAR) AS probe
+        |  FROM (SELECT unnest(generate_series(0, 49)) AS x)),
+        |pp AS (SELECT probe,
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || probe), 1, 8))::BIGINT
+        |      % 2048 AS pos
+        |  FROM probes, hs)
+        |SELECT probe, bool_and(bits.pos IS NOT NULL) AS member
+        |FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+        |GROUP BY probe ORDER BY probe""".stripMargin,
     "q_stream_freq" ->
       """WITH ks AS (SELECT user_id::VARCHAR AS k, user_id FROM events
         |            WHERE user_id IS NOT NULL),
@@ -307,6 +330,27 @@ object ExtendedOracles {
     // the store rollup merges three disjoint per-version bottom-128
     // sketches; determinism makes that bit-equal to bottom-128 over the
     // whole corpus
+    "q_bloom_store_rollup" ->
+      """WITH ks AS (SELECT DISTINCT text FROM documents
+        |            WHERE text IS NOT NULL),
+        |hs AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || text), 1, 8))::BIGINT
+        |      % 4096 AS pos
+        |  FROM ks, hs),
+        |probes AS (
+        |  SELECT DISTINCT text AS probe FROM documents
+        |  WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'uncrawled:' || CAST(x AS VARCHAR) AS probe
+        |  FROM (SELECT unnest(generate_series(0, 99)) AS x)),
+        |pp AS (SELECT probe,
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || probe), 1, 8))::BIGINT
+        |      % 4096 AS pos
+        |  FROM probes, hs)
+        |SELECT probe, bool_and(bits.pos IS NOT NULL) AS member
+        |FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+        |GROUP BY probe ORDER BY probe""".stripMargin,
     "q_kmv_store_rollup" ->
       """WITH hs AS (
         |  SELECT DISTINCT md5(text) AS h FROM documents

@@ -431,6 +431,35 @@ object ExtendedQueries {
           F.col("e.key").as("sample_key"))
         .orderBy("hour_epoch", "h")
     }),
+    "q_stream_bloom" -> ((s, dir) => {
+      // live membership THROUGH Structured Streaming: hourly Bloom words
+      // (md5 bit positions, the exact batch encoding; state per open
+      // window <= ceil(m/32) longs), pivoted into per-hour filters,
+      // OR-merged across all hours — bit algebra makes the union of the
+      // windows bit-equal to the whole-corpus filter, so membership
+      // probes (every seen user + 50 never-seen ids) answer from
+      // streamed state alone and the oracle states the identical member
+      // bit, false positives included
+      import graft.pipeline.Sketches
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val cells = graft.streaming.Streams.windowedBloom(
+        stream, "ts", "user_id", "1 hour", "1 hour", 2048, 3)
+      val winCells = graft.streaming.StreamStage.runToMemory(cells,
+          "q_stream_bloom_", "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("td_w"), F.col("td_bits"))
+      val merged = Sketches.mergeBloomSketches(Sketches.cellsToBloom(
+        winCells, 2048, 3, groupCols = Seq("hour_epoch")))
+      val present = t(s, dir, "events").df
+        .where(F.col("user_id").isNotNull)
+        .select(F.col("user_id").cast("string").as("probe")).distinct()
+      val absent = s.range(50).select(
+        F.concat(F.lit("ghost:"), F.col("id").cast("string")).as("probe"))
+      Sketches.bloomProbe(merged, present.unionByName(absent), "probe")
+        .orderBy("probe")
+    }),
     "q_kmv_store_rollup" -> ((s, dir) => {
       // the incremental dataset-card distinct count END TO END through
       // the versioned store: three disjoint crawl shards published as
@@ -450,6 +479,33 @@ object ExtendedQueries {
         sk("g/docs@HEAD~2").unionByName(sk("g/docs@HEAD~1"))
           .unionByName(sk("g/docs@HEAD")))
       Sketches.kmvEstimate(merged)
+    }),
+    "q_bloom_store_rollup" -> ((s, dir) => {
+      // the incremental membership index END TO END through the
+      // versioned store: three disjoint crawl shards published as three
+      // versions, a Bloom filter built PER STORED VERSION via @HEAD~n
+      // refs, OR-merged with zero rescan of history, then probed with
+      // every 7th document plus never-crawled keys — bit algebra makes
+      // the rollup bit-equal to filtering the union, so the oracle
+      // states membership over the whole corpus (false positives too)
+      import graft.pipeline.Sketches
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val store = tempStore(s)
+      (0 until 3).foreach { m =>
+        store.write("g", "bdocs", docs.where(F.col("doc_id") % 3 === m))
+      }
+      val sk = (ref: String) => Sketches.bloomSketch(
+        store.scan(ref).get.df, "text", 4096, 3)
+      val merged = Sketches.mergeBloomSketches(
+        sk("g/bdocs@HEAD~2").unionByName(sk("g/bdocs@HEAD~1"))
+          .unionByName(sk("g/bdocs@HEAD")))
+      val present = docs.where(F.col("doc_id") % 7 === 0)
+        .where(F.col("text").isNotNull)
+        .select(F.col("text").as("probe")).distinct()
+      val absent = s.range(100).select(
+        F.concat(F.lit("uncrawled:"), F.col("id").cast("string")).as("probe"))
+      Sketches.bloomProbe(merged, present.unionByName(absent), "probe")
+        .orderBy("probe")
     }),
     "q_version_history" -> ((s, dir) => {
       // SCD2 unroll over three stored versions: runs of constant values

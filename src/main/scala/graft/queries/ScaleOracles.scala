@@ -614,6 +614,175 @@ object ScaleOracles {
         |  CAST(CAST(sum(in_a * in_b) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS jaccard
         |FROM m""".stripMargin,
+    "q_kmv_setops" ->
+      // identical bottom-k algebra to q_kmv_jaccard plus the union
+      // estimator from the merged bottom-k's k-th hash and each side's
+      // own (k−1)/u(h_k); derived estimates state Spark's exact double
+      // order: intersect = jaccard * union, diff_ab = a_est − intersect
+      """WITH ta AS (
+        |  SELECT DISTINCT t AS tok FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id % 2 = 0)
+        |  WHERE t <> ''),
+        |tb AS (
+        |  SELECT DISTINCT t AS tok FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE t <> ''),
+        |ha AS (SELECT md5(tok) AS h FROM ta ORDER BY h LIMIT 256),
+        |hb AS (SELECT md5(tok) AS h FROM tb ORDER BY h LIMIT 256),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS kth FROM ha),
+        |eb AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS kth FROM hb),
+        |aest AS (SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE (CAST(256 AS DOUBLE) - 1.0) /
+        |      (CAST(('0x' || substr(kth, 1, 15))::BIGINT AS DOUBLE)
+        |        / 1152921504606846976.0) END AS a_est FROM ea),
+        |best AS (SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE (CAST(256 AS DOUBLE) - 1.0) /
+        |      (CAST(('0x' || substr(kth, 1, 15))::BIGINT AS DOUBLE)
+        |        / 1152921504606846976.0) END AS b_est FROM eb),
+        |u AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |        SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+        |        UNION ALL SELECT h, 0, 1 FROM hb)
+        |      GROUP BY h),
+        |m AS (SELECT * FROM u ORDER BY h LIMIT 256),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |          CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        |          max(h) AS kth FROM m),
+        |base AS (SELECT n_kept, n_common,
+        |    CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jaccard,
+        |    CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+        |         ELSE (CAST(256 AS DOUBLE) - 1.0) /
+        |           (CAST(('0x' || substr(kth, 1, 15))::BIGINT AS DOUBLE)
+        |             / 1152921504606846976.0) END AS union_est
+        |  FROM agg)
+        |SELECT n_kept, n_common, jaccard, union_est,
+        |  jaccard * union_est AS intersect_est,
+        |  a_est - (jaccard * union_est) AS diff_ab_est,
+        |  b_est - (jaccard * union_est) AS diff_ba_est
+        |FROM base, aest, best""".stripMargin,
+    // Bloom: the dense word array is lossless packaging of the set-bit
+    // POSITIONS, so the oracle probes the position set directly —
+    // member(p) iff all k of p's md5 positions were set by some inserted
+    // key (false positives reproduced exactly)
+    "q_bloom_filter" ->
+      """WITH ks AS (SELECT DISTINCT text FROM documents
+        |            WHERE text IS NOT NULL),
+        |hs AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || text), 1, 8))::BIGINT
+        |      % 4096 AS pos
+        |  FROM ks, hs),
+        |probes AS (
+        |  SELECT DISTINCT text AS probe FROM documents
+        |  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'absent:' || CAST(x AS VARCHAR) AS probe
+        |  FROM (SELECT unnest(generate_series(0, 199)) AS x)),
+        |pp AS (SELECT probe,
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || probe), 1, 8))::BIGINT
+        |      % 4096 AS pos
+        |  FROM probes, hs)
+        |SELECT probe, bool_and(bits.pos IS NOT NULL) AS member
+        |FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+        |GROUP BY probe ORDER BY probe""".stripMargin,
+    "q_bloom_estimate" ->
+      """WITH ks AS (SELECT DISTINCT text FROM documents
+        |            WHERE text IS NOT NULL),
+        |hs AS (SELECT unnest(generate_series(0, 2)) AS i),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(i::VARCHAR || ':' || text), 1, 8))::BIGINT
+        |      % 4096 AS pos
+        |  FROM ks, hs),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+        |SELECT bits_set, 4096 AS m, 3 AS k,
+        |  (-(CAST(4096 AS DOUBLE) / CAST(3 AS DOUBLE))) *
+        |    ln(1.0 - CAST(bits_set AS DOUBLE) / CAST(4096 AS DOUBLE))
+        |    AS estimate
+        |FROM x""".stripMargin,
+    "q_skew_topk" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS key,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |t AS (SELECT key, cnt FROM c
+        |      ORDER BY cnt DESC, key ASC NULLS FIRST LIMIT 3)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
+        |FROM t, n ORDER BY cnt DESC, key ASC NULLS FIRST""".stripMargin,
+    // skew stats: the entropy fold runs over the top-k counts in
+    // (cnt asc, key asc) order with a 0.0 seed, then the OTHER bucket
+    // last — Spark's exact left-fold order, so the double matches
+    "q_skew_stats" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS key,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |          CAST(count(*) AS BIGINT) AS n_keys,
+        |          max(cnt) AS max_cnt FROM c),
+        |t AS (SELECT key, cnt FROM c
+        |      ORDER BY cnt DESC, key ASC NULLS FIRST LIMIT 4),
+        |lst AS (SELECT list(cnt ORDER BY cnt ASC, key ASC NULLS FIRST)
+        |          AS top FROM t),
+        |s AS (SELECT n, n_keys, max_cnt, top,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), top),
+        |          (a, b) -> a + b) AS BIGINT) AS topsum
+        |      FROM lst, tot)
+        |SELECT n, n_keys, max_cnt,
+        |  CAST(max_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS max_share,
+        |  CAST(topsum AS DOUBLE) / CAST(n AS DOUBLE) AS topk_share,
+        |  list_reduce(list_prepend(0.0, list_transform(top, x ->
+        |      CASE WHEN x > 0 THEN
+        |        -((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      ELSE 0.0 END)), (a, b) -> a + b) +
+        |    (CASE WHEN (n - topsum) > 0 THEN
+        |       -((CAST(n - topsum AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |         ln(CAST(n - topsum AS DOUBLE) / CAST(n AS DOUBLE)))
+        |     ELSE 0.0 END) AS entropy
+        |FROM s""".stripMargin,
+    "q_salt_factors" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS key,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM documents GROUP BY 1)
+        |SELECT key, cnt,
+        |  CAST(floor(CAST(cnt + 59 AS DOUBLE) / 60.0) AS BIGINT)
+        |    AS salt_factor
+        |FROM c WHERE cnt > 60
+        |ORDER BY cnt DESC, key ASC NULLS FIRST""".stripMargin,
+    // the salted two-phase aggregation is bit-equal to the direct one
+    // because both ride exact DECIMAL algebra — the oracle IS the
+    // direct aggregation
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_equidepth_hist" ->
+      """WITH nn AS (SELECT n_chars, doc_id FROM documents
+        |            WHERE n_chars IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
+        |r AS (SELECT n_chars,
+        |        row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn
+        |      FROM nn)
+        |SELECT CAST(floor(CAST((rn - 1) * 8 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM r, n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_kmv_sample" ->
       """WITH hs AS (
         |  SELECT DISTINCT lang, md5(text) AS h, text FROM documents

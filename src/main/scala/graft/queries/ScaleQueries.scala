@@ -502,6 +502,123 @@ object ScaleQueries {
         toks.where(F.col("doc_id") % 2 === m), "tok", 256)
       Sketches.kmvJaccard(half(0), half(1))
     }),
+    "q_kmv_setops" -> ((s, dir) => {
+      // FULL set algebra from two sketches alone: |A∪B| from the union's
+      // bottom-k k-th hash, |A∩B| = jaccard · |A∪B|, |A\B| = |A| − |A∩B|
+      // with |A| from a's own sketch — the contamination-triage numbers
+      // (how much eval vocabulary is inside train?) without ever joining
+      // the corpora. Deterministic md5 order makes the estimATOR the
+      // oracle relation, not just its expectation.
+      import graft.pipeline.Sketches
+      val toks = d(s, dir, "documents").select(F.col("doc_id"),
+        F.explode(F.filter(
+          F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+          t => t =!= "")).as("tok"))
+      def half(m: Int) = Sketches.kmvSketch(
+        toks.where(F.col("doc_id") % 2 === m), "tok", 256)
+      Sketches.kmvSetOps(half(0), half(1))
+    }),
+    "q_bloom_filter" -> ((s, dir) => {
+      // deterministic Bloom membership END TO END: two half-corpus
+      // filters (m = 4096 bits, k = 3 md5 positions), OR-merged under
+      // the (m, k) stamp guard, probed with every fifth document's text
+      // plus 200 never-inserted keys — no false negatives by
+      // construction, and the false-positive PATTERN is deterministic,
+      // so the oracle states the identical member bit for every probe
+      import graft.pipeline.Sketches
+      val docs = d(s, dir, "documents").select("doc_id", "text")
+      def half(m: Int) = Sketches.bloomSketch(
+        docs.where(F.col("doc_id") % 2 === m), "text", 4096, 3)
+      val merged = Sketches.mergeBloomSketches(
+        half(0).unionByName(half(1)))
+      val present = docs.where(F.col("doc_id") % 5 === 0)
+        .where(F.col("text").isNotNull)
+        .select(F.col("text").as("probe")).distinct()
+      val absent = s.range(200).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).as("probe"))
+      Sketches.bloomProbe(merged, present.unionByName(absent), "probe")
+        .orderBy("probe")
+    }),
+    "q_bloom_estimate" -> ((s, dir) => {
+      // cardinality FROM THE FILTER's fill ratio: X set bits in the
+      // merged filter estimate n̂ = −(m/k)·ln(1 − X/m) (Swamidass &
+      // Baldi 2007) — the free distinct-count a membership index already
+      // paid for; libm ln keeps the double engine-portable
+      import graft.pipeline.Sketches
+      val docs = d(s, dir, "documents").select("doc_id", "text")
+      def half(m: Int) = Sketches.bloomSketch(
+        docs.where(F.col("doc_id") % 2 === m), "text", 4096, 3)
+      Sketches.bloomEstimate(Sketches.mergeBloomSketches(
+        half(0).unionByName(half(1))))
+    }),
+    "q_skew_topk" -> ((s, dir) => {
+      // the skew instrument, step 1: which keys are hot — one
+      // map-side-combined count shuffle, TakeOrderedAndProject for the
+      // top slice (no global sort), shares against the broadcast total
+      graft.operators.SkewDiag.skewTopKeys(
+        d(s, dir, "documents"), "lang", 3)
+    }),
+    "q_skew_stats" -> ((s, dir) => {
+      // step 2: HOW skewed — max/top-k share and the entropy of the
+      // (top-k + OTHER) bucketing, folded over a pinned bounded order so
+      // the corpus-wide double is engine-portable (the repo's
+      // bounded-category convention for unbounded key sets)
+      graft.operators.SkewDiag.skewStats(
+        d(s, dir, "documents"), "lang", 4)
+    }),
+    "q_salt_factors" -> ((s, dir) => {
+      // step 3: the salting plan — exactly how many slices each
+      // over-budget key needs (feed into saltedJoin / a two-phase agg);
+      // output is bounded by n/target, broadcast-sized by construction
+      graft.operators.SkewDiag.saltFactors(
+        d(s, dir, "documents"), "lang", 60L)
+    }),
+    "q_salted_agg" -> ((s, dir) => {
+      // the two-phase salted aggregation the plan feeds: phase 1 spreads
+      // each hot group over 8 salt slices (no reducer sees a whole hot
+      // key), phase 2 folds the 8 partials — exact DECIMAL algebra makes
+      // the result bit-equal to the direct aggregation the oracle states
+      d(s, dir, "lineitem")
+        .withColumn("td_salt", F.col("l_linenumber") % 8)
+        .groupBy(F.col("l_returnflag"), F.col("td_salt"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+          .as("td_part"))
+        .groupBy(F.col("l_returnflag"))
+        .agg(F.sum(F.col("td_part")).cast("double").as("total_price"))
+        .orderBy("l_returnflag")
+    }),
+    "q_equidepth_hist" -> ((s, dir) => {
+      // equi-DEPTH histogram: 8 bins of ~n/8 rows each over the
+      // heavy-tailed length column — ScalableRank's range shuffle (no
+      // single-task sort), NTILE-style floor((r−1)·B/n) boundaries the
+      // oracle states row for row
+      graft.operators.Quantiles.equiDepthHistogram(
+        d(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", 8, tiebreakers = Seq("doc_id"))
+    }),
+    "q_rollup_pricing" -> ((s, dir) => {
+      // multi-level aggregation in ONE pass: (flag, status), per-flag
+      // subtotals, and the grand total from the same shuffle — the
+      // dataset-card slice table without three separate jobs
+      d(s, dir, "lineitem")
+        .rollup(F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          F.count(F.lit(1)).as("cnt"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first,
+          F.col("l_linestatus").asc_nulls_first)
+    }),
+    "q_cube_pricing" -> ((s, dir) => {
+      // the full lattice: every (flag, status) grouping-set combination
+      // including per-status subtotals — one shuffle, four grouping sets
+      d(s, dir, "lineitem")
+        .cube(F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          F.count(F.lit(1)).as("cnt"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first,
+          F.col("l_linestatus").asc_nulls_first)
+    }),
     "q_kmv_sample" -> ((s, dir) => {
       // the sketch AS a mergeable uniform sample: per-language bottom-8
       // kept keys — md5 order is data-independent, so these 8 texts per

@@ -149,6 +149,34 @@ object Streams {
       .agg(F.count(F.lit(1)).as("n"))
   }
 
+  /** Streaming membership monitor: per event-time window, the SPARSE
+    * (word, bits) cells of a deterministic Bloom filter
+    * ([[graft.pipeline.Sketches.bloomSketch]]'s md5 bit positions,
+    * 32-bit word packing) — the streaming face of the mergeable
+    * membership family. Emitted (window, td_w, td_bits) rows assemble
+    * into dense per-window sketches via [[graft.pipeline.Sketches
+    * .cellsToBloom]] and OR-merge with stored batch history through
+    * `mergeBloomSketches`; bit algebra makes the union of the windows
+    * bit-equal to the whole-corpus filter. State per open window is
+    * ≤ ceil(m/32) words, watermark-bounded. NULL keys set no bit. */
+  def windowedBloom(df: DataFrame, tsCol: String, keyCol: String,
+      window: String, watermark: String, mBits: Int,
+      kHashes: Int): DataFrame = {
+    require(mBits >= 1 && kHashes >= 1, s"bad Bloom shape ($mBits, $kHashes)")
+    val key = F.col(keyCol).cast("string")
+    val pos = graft.pipeline.Sketches.cmsBucket(
+      F.col("td_i"), F.col("td_key"), mBits)
+    df.where(key.isNotNull)
+      .select(F.col(tsCol), key.as("td_key"),
+        F.explode(F.sequence(F.lit(0), F.lit(kHashes - 1))).as("td_i"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window),
+        F.floor(pos.cast("double") / 32.0d).cast("int").as("td_w"))
+      .agg(F.bit_or(
+        F.pow(F.lit(2.0d), (pos % 32L).cast("double")).cast("long"))
+        .as("td_bits"))
+  }
+
   /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
     * the live-dashboard metric Structured Streaming cannot express with
     * `countDistinct` (distinct aggregates are unsupported on streams).

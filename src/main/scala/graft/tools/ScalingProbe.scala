@@ -253,6 +253,39 @@ object ScalingProbe {
         graft.pipeline.Sketches.cmsSketch(d, "text", depth = 4,
           width = 1024).count()
       }),
+      ("bloom_sketch", 100, { d =>
+        // Bloom build + whole-corpus probe: the k-hash explode collapses
+        // map-side (partial bit_or to ≤ ceil(m/32) words per partition),
+        // the filter broadcasts onto the probes — both passes linear,
+        // no shuffle grows with n
+        val sk = graft.pipeline.Sketches.bloomSketch(d, "text", 65536, 3)
+        graft.pipeline.Sketches.bloomProbe(sk,
+          d.select(F.col("text").as("probe")), "probe")
+          .where(F.col("member")).count()
+      }),
+      ("kmv_setops", 100, { d =>
+        // two bottom-k sketches + set algebra over their ≤ 2k entries:
+        // the estimate stage is constant-size regardless of n
+        val a = graft.pipeline.Sketches.kmvSketch(
+          d.where(F.col("doc_id") % 2 === 0), "text", 256)
+        val b = graft.pipeline.Sketches.kmvSketch(
+          d.where(F.col("doc_id") % 2 === 1), "text", 256)
+        graft.pipeline.Sketches.kmvSetOps(a, b).count()
+      }),
+      ("skew_stats", 100, { d =>
+        // one map-side-combined count shuffle; everything downstream is
+        // bounded by topK — the diagnosis costs one pass at any scale
+        graft.operators.SkewDiag.skewStats(
+          d.withColumn("k", (F.col("doc_id") % 1000).cast("string")),
+          "k", 16).count()
+      }),
+      ("equidepth_hist", 100, { d =>
+        // ScalableRank range shuffle + one keyed agg: no single-task
+        // sort, bins assembled from bounded per-bucket extrema
+        graft.operators.Quantiles.equiDepthHistogram(
+          d.withColumn("n", F.length(F.col("text"))), "n", 32,
+          tiebreakers = Seq("doc_id")).count()
+      }),
       ("weighted_sample", 100, { d =>
         // priority sampling per 20-way group: row-local priorities +
         // one keyed window; output bounded at k per group

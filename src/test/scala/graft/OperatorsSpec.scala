@@ -362,4 +362,60 @@ class OperatorsSpec extends AnyFunSuite {
       orders.filter(F.col("o_orderstatus") === "F").count())
     assert(plan.contains("PartitionFilters") || plan.contains("o_orderstatus"))
   }
+
+  test("skew diagnostics: top keys, concentration stats, salt plan") {
+    import spark.implicits._
+    // 100 a, 40 b, 8 c, 2 null — a known concentration profile
+    val rows = Seq.fill(100)(Option("a")) ++ Seq.fill(40)(Option("b")) ++
+      Seq.fill(8)(Option("c")) ++ Seq.fill(2)(Option.empty[String])
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    val top = graft.operators.SkewDiag.skewTopKeys(df, "k", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(top.toSeq == Seq(("a", 100L, 100.0 / 150.0),
+      ("b", 40L, 40.0 / 150.0)))
+    val st = graft.operators.SkewDiag.skewStats(df, "k", 2).collect().head
+    assert(st.getAs[Long]("n") == 150L && st.getAs[Long]("n_keys") == 4L)
+    assert(st.getAs[Long]("max_cnt") == 100L)
+    assert(st.getAs[Double]("max_share") == 100.0 / 150.0)
+    assert(st.getAs[Double]("topk_share") == 140.0 / 150.0)
+    // entropy vs a driver-side fold in the same pinned order:
+    // top-2 in (cnt asc) order = (40, 100), then OTHER = 10
+    val n = 150.0
+    def t(c: Double) = { val p = c / n; -(p * math.log(p)) }
+    val expectH = ((0.0 + t(40)) + t(100)) + t(10)
+    assert(st.getAs[Double]("entropy") == expectH)
+    // all mass in one key → entropy 0; uniform over 4 → ln 4 with k=4
+    val one = Seq.fill(10)("x").zipWithIndex.map(_.swap).toDF("id", "k")
+    assert(graft.operators.SkewDiag.skewStats(one, "k", 3)
+      .collect().head.getAs[Double]("entropy") == 0.0)
+    val uni = (0 until 40).map(i => (i, s"k${i % 4}")).toDF("id", "k")
+    val hUni = graft.operators.SkewDiag.skewStats(uni, "k", 4)
+      .collect().head.getAs[Double]("entropy")
+    assert(math.abs(hUni - math.log(4.0)) < 1e-12, s"$hUni")
+    // salt plan: only over-budget keys, exact ceil
+    val plan = graft.operators.SkewDiag.saltFactors(df, "k", 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plan.toSeq == Seq(("a", 100L, 4L), ("b", 40L, 2L)))
+  }
+
+  test("equi-depth histogram: near-equal bins, exact NTILE boundaries, null-excluded") {
+    import spark.implicits._
+    val df = (1 to 103).map(i => (i.toLong, Option(i.toLong * 10))).toDF("id", "v")
+      .unionByName(Seq((999L, Option.empty[Long])).toDF("id", "v"))
+    val h = graft.operators.Quantiles
+      .equiDepthHistogram(df, "v", 4, tiebreakers = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 103 rows into 4 bins: sizes differ by at most 1 and sum to n
+    assert(h.map(_._2).sum == 103L)
+    assert(h.map(_._2).max - h.map(_._2).min <= 1)
+    // boundaries: bucket of row r is floor((r-1)*4/103) over the sorted order
+    val expected = (1 to 103).groupBy(r => ((r - 1) * 4) / 103)
+      .map { case (b, rs) =>
+        (b.toLong, rs.size.toLong, rs.min.toLong * 10, rs.max.toLong * 10) }
+      .toSeq.sortBy(_._1)
+    assert(h.toSeq == expected)
+    // contiguous, non-overlapping coverage
+    h.sliding(2).foreach { case Array(a, b) => assert(a._4 < b._3); case _ => }
+  }
 }

@@ -619,6 +619,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!wg.contains("Window"), wg)
   }
 
+  test("bloom probe: filter broadcasts onto the probes, no shuffle, no sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sk = graft.pipeline.Sketches.bloomSketch(docs, "text", 4096, 3)
+    val p = plan(graft.pipeline.Sketches.bloomProbe(
+      sk, docs.select(F.col("text").as("probe")), "probe"))
+    // the one-row filter rides a broadcast nested-loop (trivial side);
+    // the probe corpus is never exchanged or sorted
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly the sketch build's SHUFFLES; the probe side adds only the
+    // broadcast of the one-row filter, never a repartition of the probes
+    def shuffles(s: String) = count(s, "Exchange") - count(s, "BroadcastExchange")
+    assert(shuffles(p) == shuffles(plan(sk)), p)
+  }
+
+  test("skew diagnostics: map-side combined count, top slice never a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.operators.SkewDiag.skewTopKeys(docs, "lang", 3))
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val ps = plan(graft.operators.SkewDiag.skewStats(docs, "lang", 4))
+    assert(ps.contains("TakeOrderedAndProject"), ps)
+    assert(!ps.contains("Sort ["), ps) // no global sort anywhere
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty

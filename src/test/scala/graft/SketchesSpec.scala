@@ -169,4 +169,116 @@ class SketchesSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 4L))
   }
+
+  // ---------------------------------------------------------- Bloom
+
+  test("Bloom merge of split sketches equals the whole-corpus filter bit-exactly") {
+    val (m, k) = (2048, 3)
+    val whole = Sketches.bloomSketch(docs, "text", m, k)
+    val merged = Sketches.mergeBloomSketches(
+      Sketches.bloomSketch(docs.where(F.col("doc_id") % 2 === 0), "text", m, k)
+        .unionByName(Sketches.bloomSketch(
+          docs.where(F.col("doc_id") % 2 === 1), "text", m, k)))
+    assert(merged.collect().toSeq == whole.collect().toSeq)
+    // partitioning-invariant (the determinism claim)
+    val re = Sketches.bloomSketch(docs.repartition(7), "text", m, k)
+    assert(re.collect().toSeq == whole.collect().toSeq)
+  }
+
+  test("Bloom probe: no false negatives; false positives deterministic; fill estimate tracks n") {
+    import spark.implicits._
+    val (m, k) = (2048, 3)
+    val sk = Sketches.bloomSketch(docs, "text", m, k)
+    // every inserted key reads true — the one-sided guarantee
+    val present = docs.select(F.col("text").as("probe")).distinct()
+    assert(Sketches.bloomProbe(sk, present, "probe")
+      .where(!F.col("member")).count() == 0)
+    // absent probes answer the SAME member bit on every run/partitioning
+    val absent = (0 until 500).map(i => s"never inserted $i").toDF("probe")
+    val a1 = Sketches.bloomProbe(sk, absent, "probe")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val a2 = Sketches.bloomProbe(sk, absent.repartition(5), "probe")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(a1 == a2)
+    // with 250 distinct keys in 2048 bits the fp rate should be modest
+    val fp = a1.values.count(identity).toDouble / a1.size
+    assert(fp < 0.25, s"false-positive rate $fp implausible for n=250 m=$m")
+    // fill-ratio estimate lands near the true distinct count
+    val est = Sketches.bloomEstimate(sk).collect().head.getAs[Double]("estimate")
+    assert(math.abs(est - 250.0) / 250.0 < 0.15, s"estimate $est vs 250")
+  }
+
+  test("cellsToBloom rebuilds the exact filter from sparse words and range-checks") {
+    import spark.implicits._
+    val (m, k) = (1024, 4)
+    val whole = Sketches.bloomSketch(docs, "text", m, k)
+    val cells = whole.select(
+        F.posexplode(F.col("words")).as(Seq("td_w", "td_bits")))
+      .where(F.col("td_bits") =!= 0L)
+    assert(Sketches.cellsToBloom(cells, m, k).collect().toSeq
+      == whole.collect().toSeq)
+    val badW = Seq((99, 1L)).toDF("td_w", "td_bits")
+    val ex = intercept[Exception] {
+      Sketches.cellsToBloom(badW, m, k).collect()
+    }
+    assert(ex.getMessage != null)
+    val badBits = Seq((0, 4294967296L)).toDF("td_w", "td_bits")
+    val ex2 = intercept[Exception] {
+      Sketches.cellsToBloom(badBits, m, k).collect()
+    }
+    assert(ex2.getMessage != null)
+  }
+
+  test("Bloom merge refuses mismatched (m, k) stamps") {
+    val a = Sketches.bloomSketch(docs, "text", 1024, 3)
+    val b = Sketches.bloomSketch(docs, "text", 2048, 3)
+    val ex = intercept[Exception] {
+      Sketches.mergeBloomSketches(a.unionByName(b)).collect()
+    }
+    assert(ex.getMessage.contains("(m, k)"), ex.getMessage)
+  }
+
+  // ---------------------------------------------------------- KMV set ops
+
+  test("KMV set ops track exact union/intersection/difference cardinalities") {
+    import spark.implicits._
+    // two overlapping key sets with known algebra: A = 0..599,
+    // B = 400..999 → |A|=600 |B|=600 |A∪B|=1000 |A∩B|=200
+    val a = (0 until 600).map(i => s"key $i").toDF("key")
+    val b = (400 until 1000).map(i => s"key $i").toDF("key")
+    val ops = Sketches.kmvSetOps(
+      Sketches.kmvSketch(a, "key", 256), Sketches.kmvSketch(b, "key", 256))
+      .collect().head
+    val union = ops.getAs[Double]("union_est")
+    val inter = ops.getAs[Double]("intersect_est")
+    val dab = ops.getAs[Double]("diff_ab_est")
+    val dba = ops.getAs[Double]("diff_ba_est")
+    assert(math.abs(union - 1000.0) / 1000.0 < 0.2, s"union $union")
+    assert(math.abs(inter - 200.0) / 200.0 < 0.4, s"intersect $inter")
+    assert(math.abs(dab - 400.0) / 400.0 < 0.4, s"diff A\\B $dab")
+    assert(math.abs(dba - 400.0) / 400.0 < 0.4, s"diff B\\A $dba")
+    // jaccard consistent with the standalone estimator
+    val j = Sketches.kmvJaccard(
+        Sketches.kmvSketch(a, "key", 256), Sketches.kmvSketch(b, "key", 256))
+      .collect().head.getAs[Double]("jaccard")
+    assert(ops.getAs[Double]("jaccard") == j)
+    // below-k exactness: tiny disjoint sets answer exact integers
+    val tiny = Sketches.kmvSetOps(
+      Sketches.kmvSketch((0 until 10).map(i => s"a$i").toDF("key"), "key", 256),
+      Sketches.kmvSketch((0 until 5).map(i => s"b$i").toDF("key"), "key", 256))
+      .collect().head
+    assert(tiny.getAs[Double]("union_est") == 15.0)
+    assert(tiny.getAs[Double]("intersect_est") == 0.0)
+    assert(tiny.getAs[Double]("diff_ab_est") == 10.0)
+    assert(tiny.getAs[Double]("diff_ba_est") == 5.0)
+  }
+
+  test("KMV set ops refuse mismatched k stamps") {
+    val ex = intercept[Exception] {
+      Sketches.kmvSetOps(
+        Sketches.kmvSketch(docs, "text", 64),
+        Sketches.kmvSketch(docs, "text", 128)).collect()
+    }
+    assert(ex.getMessage.contains("k stamps"), ex.getMessage)
+  }
 }

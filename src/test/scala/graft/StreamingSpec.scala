@@ -151,6 +151,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged.collect().toSeq == whole.collect().toSeq)
   }
 
+  test("windowed Bloom: streamed words == batch per hour, windows OR to corpus") {
+    val dir = Files.createTempDirectory("graft-stream-wbloom")
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val (m, k) = (1024, 3)
+    val wb = Streams.windowedBloom(stream, "ts", "user_id", "1 hour",
+      "1 hour", m, k)
+    val q = Streams.runToMemory(wb, "wbloom", outputMode = "complete")
+    q.stop()
+    // per-hour determinism: the streamed sparse words assemble into the
+    // exact batch filter of that hour's rows
+    val hCol = F.unix_timestamp(F.col("window.start")).as("h")
+    val streamedPerHour = graft.pipeline.Sketches.cellsToBloom(
+      spark.table("wbloom").select(hCol, F.col("td_w"), F.col("td_bits")),
+      m, k, groupCols = Seq("h"))
+    val hourly = batch.withColumn("h",
+      F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+    val batchPerHour = graft.pipeline.Sketches.bloomSketch(
+      hourly, "user_id", m, k, groupCols = Seq("h"))
+    assert(streamedPerHour.orderBy("h").collect().toSeq
+      == batchPerHour.orderBy("h").collect().toSeq)
+    assert(streamedPerHour.count() > 1)
+    // OR across the windows == the whole-corpus filter, so probes read
+    // the identical member bit from live state and batch history
+    val merged = graft.pipeline.Sketches.mergeBloomSketches(
+      streamedPerHour.drop("h"))
+    val whole = graft.pipeline.Sketches.bloomSketch(batch, "user_id", m, k)
+    assert(merged.collect().toSeq == whole.collect().toSeq)
+  }
+
   test("windowed moments: streamed sketch rows merge with batch bit-exactly") {
     val dir = Files.createTempDirectory("graft-stream-wmom")
     val batch = eventsBatch
