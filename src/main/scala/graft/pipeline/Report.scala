@@ -856,4 +856,59 @@ object Report {
           Seq("ngrams_a", "ngrams_b", "ngrams_common").map(F.col) ++
           ratios("ngrams"): _*)
   }
+
+  /** One-pass column profiler — the ANALYZE-style dataset card: for
+    * every column, rows / nulls / EXACT distinct count plus typed
+    * extrema (numeric min/max/sum/mean as doubles; everything else
+    * min/max through a string cast — ISO date/string order is
+    * lexicographic, so the extrema are the true ones). ONE aggregation
+    * job over the corpus: the distinct counts ride Spark's expand
+    * (ncols× row amplification inside the pass — the documented price
+    * of exactness; profile a column subset via `cols` when that
+    * matters), the unpivot to one-row-per-column explodes the SINGLE
+    * aggregated row, so nothing rescans. Numeric sums run in exact
+    * DECIMAL then cast — mean = sum/count stated as one double
+    * division, engine-portable. Output: (column, dtype, n_rows,
+    * n_nulls, n_distinct, min_num, max_num, min_str, max_str, sum_num,
+    * mean) ordered by column name. */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = (if (cols.nonEmpty) cols else df.columns.toSeq).sorted
+    require(targets.nonEmpty, "profile of zero columns")
+    val nullD = F.lit(null).cast("double")
+    val nullS = F.lit(null).cast("string")
+    def isNum(c: String) = df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val aggs = targets.flatMap { c =>
+      val col = F.col(c)
+      Seq(F.count(col).as(s"td_cnt_$c"),
+        F.count_distinct(col).as(s"td_dis_$c")) ++
+        (if (isNum(c)) Seq(
+          F.min(col).cast("double").as(s"td_min_$c"),
+          F.max(col).cast("double").as(s"td_max_$c"),
+          F.sum(col.cast("decimal(28,4)")).cast("double").as(s"td_sum_$c"))
+        else Seq(
+          F.min(col.cast("string")).as(s"td_mins_$c"),
+          F.max(col.cast("string")).as(s"td_maxs_$c")))
+    }
+    val one = df.agg(F.count(F.lit(1)).as("td_n"), aggs: _*)
+    val entries = targets.map { c =>
+      val mean = F.when(F.col(s"td_cnt_$c") > 0L,
+          F.col(s"td_sum_$c") / F.col(s"td_cnt_$c").cast("double"))
+        .otherwise(nullD)
+      F.struct(
+        F.lit(c).as("column"),
+        F.lit(df.schema(c).dataType.simpleString).as("dtype"),
+        F.col("td_n").as("n_rows"),
+        (F.col("td_n") - F.col(s"td_cnt_$c")).as("n_nulls"),
+        F.col(s"td_dis_$c").as("n_distinct"),
+        (if (isNum(c)) F.col(s"td_min_$c") else nullD).as("min_num"),
+        (if (isNum(c)) F.col(s"td_max_$c") else nullD).as("max_num"),
+        (if (isNum(c)) nullS else F.col(s"td_mins_$c")).as("min_str"),
+        (if (isNum(c)) nullS else F.col(s"td_maxs_$c")).as("max_str"),
+        (if (isNum(c)) F.col(s"td_sum_$c") else nullD).as("sum_num"),
+        (if (isNum(c)) mean else nullD).as("mean"))
+    }
+    one.select(F.explode(F.array(entries: _*)).as("td_p"))
+      .select("td_p.*")
+  }
 }

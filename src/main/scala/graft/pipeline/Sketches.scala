@@ -558,7 +558,16 @@ object Sketches {
       .select(F.col("n_kept"), F.col("n_common"), F.col("jaccard"),
         F.col("union_est"), F.col("intersect_est"),
         (F.col("td_a_est") - F.col("intersect_est")).as("diff_ab_est"),
-        (F.col("td_b_est") - F.col("intersect_est")).as("diff_ba_est"))
+        (F.col("td_b_est") - F.col("intersect_est")).as("diff_ba_est"),
+        // containment: what fraction of A is inside B (and vice versa) —
+        // the decontamination-triage reading ("how much of eval is in
+        // train?"); guarded for an empty side
+        F.when(F.col("td_a_est") > 0.0d,
+            (F.col("jaccard") * F.col("union_est")) / F.col("td_a_est"))
+          .otherwise(F.lit(0.0d)).as("containment_ab"),
+        F.when(F.col("td_b_est") > 0.0d,
+            (F.col("jaccard") * F.col("union_est")) / F.col("td_b_est"))
+          .otherwise(F.lit(0.0d)).as("containment_ba"))
   }
 
   // ---------------------------------------------------------------------

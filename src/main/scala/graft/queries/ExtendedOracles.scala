@@ -268,6 +268,11 @@ object ExtendedOracles {
     "q_store_compact" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // restore is metadata-only: HEAD after restoring @HEAD~2 IS the
+    // first publish — the raw table
+    "q_store_restore" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // streaming CMS: hourly windows partition events by ts and the merge
     // is integer elementwise addition, so the streamed rollup is
     // bit-equal to the whole-corpus sketch the oracle states — identical

@@ -365,6 +365,25 @@ object ExtendedQueries {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+    "q_store_restore" -> ((s, dir) => {
+      // the "bad publish" runbook end to end: publish the good corpus,
+      // then two deterministic bad publishes (rows dropped / lengths
+      // corrupted), RESTORE @HEAD~2 — one metadata line, zero bytes
+      // moved — and scan HEAD: the relation must be the original
+      // publish, which is exactly what the oracle states
+      val store = tempStore(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      store.write("g", "rdocs", docs)
+      store.write("g", "rdocs", docs.where(F.col("doc_id") % 5 =!= 0))
+      store.write("g", "rdocs",
+        docs.withColumn("n_chars", F.col("n_chars") * 2))
+      require(store.restore("g", "rdocs", "HEAD~2").isDefined,
+        "restore should publish a new HEAD")
+      store.scan("g/rdocs@HEAD").get.df
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "q_version_drift" -> ((s, dir) => {
       // the release drift report END TO END through the versioned store:
       // write corpus v1, write v2 (a deterministic re-crawl derivation:

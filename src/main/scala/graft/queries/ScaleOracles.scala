@@ -659,7 +659,13 @@ object ScaleOracles {
         |SELECT n_kept, n_common, jaccard, union_est,
         |  jaccard * union_est AS intersect_est,
         |  a_est - (jaccard * union_est) AS diff_ab_est,
-        |  b_est - (jaccard * union_est) AS diff_ba_est
+        |  b_est - (jaccard * union_est) AS diff_ba_est,
+        |  CASE WHEN a_est > 0.0
+        |       THEN (jaccard * union_est) / a_est ELSE 0.0 END
+        |    AS containment_ab,
+        |  CASE WHEN b_est > 0.0
+        |       THEN (jaccard * union_est) / b_est ELSE 0.0 END
+        |    AS containment_ba
         |FROM base, aest, best""".stripMargin,
     // Bloom: the dense word array is lossless packaging of the set-bit
     // POSITIONS, so the oracle probes the position set directly —
@@ -700,6 +706,60 @@ object ScaleOracles {
         |    ln(1.0 - CAST(bits_set AS DOUBLE) / CAST(4096 AS DOUBLE))
         |    AS estimate
         |FROM x""".stripMargin,
+    // per-column profile: one UNION ALL branch per column stating the
+    // identical aggregates; numeric sums in exact DECIMAL(28,4), mean
+    // as one double division, string extrema through the same cast
+    "q_profile" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'c_acctbal' AS "column", 'double' AS dtype, nn.n AS n_rows,
+        |    nn.n - CAST(count(c_acctbal) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct,
+        |    CAST(min(c_acctbal) AS DOUBLE) AS min_num,
+        |    CAST(max(c_acctbal) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_num,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(c_acctbal) AS DOUBLE) AS mean
+        |  FROM customer, nn GROUP BY nn.n
+        |  UNION ALL
+        |  SELECT 'c_custkey', 'bigint', nn.n,
+        |    nn.n - CAST(count(c_custkey) AS BIGINT),
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT),
+        |    CAST(min(c_custkey) AS DOUBLE), CAST(max(c_custkey) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(sum(CAST(c_custkey AS DECIMAL(28,4))) AS DOUBLE),
+        |    CAST(sum(CAST(c_custkey AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(c_custkey) AS DOUBLE)
+        |  FROM customer, nn GROUP BY nn.n
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', 'string', nn.n,
+        |    nn.n - CAST(count(c_mktsegment) AS BIGINT),
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(CAST(c_mktsegment AS VARCHAR)),
+        |    max(CAST(c_mktsegment AS VARCHAR)),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM customer, nn GROUP BY nn.n
+        |  UNION ALL
+        |  SELECT 'c_name', 'string', nn.n,
+        |    nn.n - CAST(count(c_name) AS BIGINT),
+        |    CAST(count(DISTINCT c_name) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(CAST(c_name AS VARCHAR)), max(CAST(c_name AS VARCHAR)),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM customer, nn GROUP BY nn.n
+        |  UNION ALL
+        |  SELECT 'c_nationkey', 'int', nn.n,
+        |    nn.n - CAST(count(c_nationkey) AS BIGINT),
+        |    CAST(count(DISTINCT c_nationkey) AS BIGINT),
+        |    CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(sum(CAST(c_nationkey AS DECIMAL(28,4))) AS DOUBLE),
+        |    CAST(sum(CAST(c_nationkey AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(c_nationkey) AS DOUBLE)
+        |  FROM customer, nn GROUP BY nn.n)
+        |ORDER BY "column"""".stripMargin,
     "q_skew_topk" ->
       """WITH c AS (SELECT CAST(lang AS VARCHAR) AS key,
         |             CAST(count(*) AS BIGINT) AS cnt

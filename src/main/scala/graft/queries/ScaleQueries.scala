@@ -551,6 +551,13 @@ object ScaleQueries {
       Sketches.bloomEstimate(Sketches.mergeBloomSketches(
         half(0).unionByName(half(1))))
     }),
+    "q_profile" -> ((s, dir) => {
+      // the ANALYZE card in ONE aggregation job: per-column rows /
+      // nulls / exact distinct / typed extrema / exact-DECIMAL mean —
+      // the unpivot explodes the single aggregated row, nothing rescans
+      graft.pipeline.Report.profile(d(s, dir, "customer"))
+        .orderBy("column")
+    }),
     "q_skew_topk" -> ((s, dir) => {
       // the skew instrument, step 1: which keys are hot — one
       // map-side-combined count shuffle, TakeOrderedAndProject for the

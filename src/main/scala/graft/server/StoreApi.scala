@@ -26,6 +26,8 @@ import graft.store.{TableRef, TableStore}
   *   - `DELETE /collections/{c}/tables/{t}`                — drop the table
   *   - `GET    /collections`                               — collections
   *   - `GET    /collections/{c}/tables/{t}/data-versions`  — version log
+  *   - `POST   /collections/{c}/tables/{t}/restore?to=ref` — metadata-only
+  *     rollback ([[graft.store.TableStore.restore]])
   *   - `GET    /transactions`                              — committed txns
   *   - `GET    /status`                                    — health probe
   *   - `GET    /collections/{c}/functions` and
@@ -209,6 +211,23 @@ final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
         scanAt(c, t, q) match {
           case None => respondJson(ex, 404, s"""{"error":"table not found: $c/$t"}""")
           case Some(df) => respondParquet(ex, df)
+        }
+
+      case ("POST", Seq("collections", c, "tables", t, "restore")) =>
+        // metadata-only rollback: ?to=<selector> (HEAD~n / fixed id)
+        q.get("to") match {
+          case None => respondJson(ex, 400,
+            """{"error":"missing required query parameter: to"}""")
+          case Some(ref) =>
+            try store.restore(c, t, ref) match {
+              case Some(e) => respondJson(ex, 200,
+                s"""{"data":{"version":"${e.id}","dataOf":"${e.dataRef}"}}""")
+              case None => respondJson(ex, 200,
+                """{"data":"noop: HEAD already reads that version"}""")
+            } catch {
+              case iae: IllegalArgumentException => respondJson(ex, 404,
+                s"""{"error":"${iae.getMessage}"}""")
+            }
         }
 
       case ("DELETE", Seq("collections", c, "tables", t)) =>

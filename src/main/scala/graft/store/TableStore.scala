@@ -29,7 +29,14 @@ final case class VersionEntry(
     timestampMs: Long,
     schemaHash: String,
     rows: Long,
-    schemaB64: Option[String] = None) {
+    schemaB64: Option[String] = None,
+    // data indirection for metadata-only RESTOREs: when set, this
+    // version READS the named version's data directory instead of its
+    // own (no dir exists under this entry's id). Absent for every
+    // written version — old log lines parse unchanged.
+    dataOf: Option[String] = None) {
+  /** The version id whose data directory this entry reads. */
+  def dataRef: String = dataOf.getOrElse(id)
   def schema: Option[org.apache.spark.sql.types.StructType] = schemaB64.map { b =>
     org.apache.spark.sql.types.DataType.fromJson(
       new String(java.util.Base64.getDecoder.decode(b), StandardCharsets.UTF_8))
@@ -88,7 +95,8 @@ final class TableStore(val root: String, spark: SparkSession) {
     }
     VersionEntry(str("id"), str("execution"), str("transaction"),
       str("ts").toLong, str("schemaHash"), str("rows").toLong,
-      Option(n.get("schema")).map(_.asText()))
+      Option(n.get("schema")).map(_.asText()),
+      Option(n.get("dataOf")).map(_.asText()))
   }
 
   private[graft] def renderEntry(e: VersionEntry): String = {
@@ -99,6 +107,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     n.put("schemaHash", e.schemaHash)
     n.put("rows", e.rows)
     e.schemaB64.foreach(b => n.put("schema", b))
+    e.dataOf.foreach(d => n.put("dataOf", d))
     TableStore.jsonMapper.writeValueAsString(n)
   }
 
@@ -201,16 +210,21 @@ final class TableStore(val root: String, spark: SparkSession) {
         prune.map(_.id + "\n").mkString, StandardCharsets.UTF_8,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-      prune.foreach { e =>
-        val dir = tableDir(coll, table).resolve(e.id)
-        if (Files.exists(dir)) TableStore.deleteTree(dir)
-      }
+    }
+    // a data dir stays alive while ANY surviving version reads it —
+    // a [[restore]] entry references an OLDER id's directory, and
+    // pruning that id must not strand the restored HEAD (the id stops
+    // RESOLVING the moment it is tombstoned; only its bytes survive)
+    val referenced = versions(coll, table).map(_.dataRef).toSet
+    prune.foreach { e =>
+      val dir = tableDir(coll, table).resolve(e.id)
+      if (!referenced(e.id) && Files.exists(dir)) TableStore.deleteTree(dir)
     }
     // sweep: a crash between tombstone and deletion leaves orphan dirs —
-    // any previously tombstoned id still on disk goes now
+    // any previously tombstoned id still on disk (and unreferenced) goes
     prunedIds(coll, table).foreach { id =>
       val dir = tableDir(coll, table).resolve(id)
-      if (Files.exists(dir)) TableStore.deleteTree(dir)
+      if (!referenced(id) && Files.exists(dir)) TableStore.deleteTree(dir)
     }
     prune.map(_.id)
   }
@@ -392,7 +406,37 @@ final class TableStore(val root: String, spark: SparkSession) {
   }
 
   def pathOf(coll: String, table: String, e: VersionEntry): String =
-    tableDir(coll, table).resolve(e.id).toString
+    tableDir(coll, table).resolve(e.dataRef).toString
+
+  /** RESTORE: republish an older version as the new HEAD without
+    * touching data — the "bad publish, roll the table back" maintenance
+    * op (the versioned-store analog of Delta RESTORE / Iceberg
+    * rollback). Appends ONE metadata log line whose `dataOf` points at
+    * the target's data directory (indirections chase to the ORIGINAL
+    * writer, so chains never build), committed through the same
+    * transaction marker as any publish; every selector keeps working —
+    * the restored relation is `@HEAD`, the mistaken publish is
+    * `@HEAD~1`. O(bytes) cost: zero. [[vacuum]] keeps a data directory
+    * alive while ANY surviving version references it (see
+    * [[pruneVersions]]), so restoring then pruning the source id never
+    * strands the new HEAD. Returns None when the target already IS
+    * HEAD's data (a no-op restore). */
+  def restore(coll: String, table: String, ref: String): Option[VersionEntry] = {
+    val target = resolveOne(coll, table, Version.parse(ref))
+      .getOrElse(throw new IllegalArgumentException(
+        s"restore target not found: $coll/$table@$ref"))
+    val head = versions(coll, table).lastOption
+    if (head.exists(_.dataRef == target.dataRef)) None
+    else {
+      val ctx = SysCtx.fresh().copy(version = newId())
+      val e = VersionEntry(ctx.version, ctx.execution, ctx.transaction,
+        System.currentTimeMillis(), target.schemaHash, target.rows,
+        target.schemaB64, dataOf = Some(target.dataRef))
+      appendLog(coll, table, e)
+      commitTransaction(ctx.transaction)
+      Some(e)
+    }
+  }
 
   /** Compact the HEAD version's data files — maintenance for the
     * small-file problem (many tiny parquet files from a high-frequency
@@ -574,7 +618,8 @@ final class TableStore(val root: String, spark: SparkSession) {
       val byId = log.map(e => e.id -> e).toMap
       val pruned = prunedIds(coll, table)
       versions(coll, table).foreach { e =>
-        val vd = dir.resolve(e.id)
+        // a restore entry reads an older id's directory (dataRef)
+        val vd = dir.resolve(e.dataRef)
         if (!Files.exists(vd))
           issues += FsckIssue("missing-data", coll, table,
             s"committed version ${e.id} has no data dir")
@@ -590,11 +635,14 @@ final class TableStore(val root: String, spark: SparkSession) {
         else Using.resource(Files.list(dir))(_.iterator().asScala
           .filter(Files.isDirectory(_)).map(_.getFileName.toString)
           .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSeq)
+      // a tombstoned id's directory is LEGITIMATE residue while a
+      // surviving restore entry reads it (see pruneVersions)
+      val referenced = versions(coll, table).map(_.dataRef).toSet
       onDisk.foreach { id =>
         if (!byId.contains(id))
           issues += FsckIssue("orphan-dir", coll, table,
             s"version dir $id appears in no log entry")
-        else if (pruned(id))
+        else if (pruned(id) && !referenced(id))
           issues += FsckIssue("pruned-residue", coll, table,
             s"version $id is vacuum-tombstoned but still on disk")
       }

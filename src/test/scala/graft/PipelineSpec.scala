@@ -1059,6 +1059,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("0 < lo"), ex3.getMessage)
   }
 
+  test("column profiler: one-pass card matches hand-computed facts, typed extrema") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(2L), Some("a"), Some(-1.0)),
+      (Some(2L), None, Some(0.5)),
+      (None, Some("c"), None)
+    ).toDF("id", "s", "x")
+    val got = graft.pipeline.Report.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("id", "s", "x"))
+    val id = got("id")
+    assert(id.getString(1) == "bigint" && id.getLong(2) == 4L &&
+      id.getLong(3) == 1L && id.getLong(4) == 2L)
+    assert(id.getDouble(5) == 1.0 && id.getDouble(6) == 2.0)
+    assert(id.getDouble(9) == 5.0 && id.getDouble(10) == 5.0 / 3.0)
+    val s = got("s")
+    assert(s.getString(1) == "string" && s.getLong(3) == 1L &&
+      s.getLong(4) == 3L)
+    assert(s.getString(7) == "a" && s.getString(8) == "c")
+    assert(s.isNullAt(5) && s.isNullAt(6) && s.isNullAt(9) && s.isNullAt(10))
+    val x = got("x")
+    assert(x.getDouble(5) == -1.0 && x.getDouble(6) == 2.5 &&
+      x.getDouble(9) == 2.0 && x.getDouble(10) == 2.0 / 3.0)
+    // column subset + all-null mean guard
+    val sub = graft.pipeline.Report.profile(
+      Seq((Option.empty[Long], "k")).toDF("v", "k"), Seq("v")).collect().head
+    assert(sub.getLong(3) == 1L && sub.isNullAt(10))
+  }
+
   test("sketch drift: zero on self, hand-checked PSI/KS/TVD, shift-sensitive, grid-guarded") {
     import spark.implicits._
     import graft.pipeline.Report

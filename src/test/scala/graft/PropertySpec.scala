@@ -84,6 +84,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom filter: random splits OR to the whole filter; membership == position-set replay") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      import graft.pipeline.Sketches
+      import org.apache.spark.sql.{functions => F}
+      val (m, kh) = (256, 3)
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, s"key-$v") }
+        .toDF("id", "part", "s")
+      val whole = Sketches.bloomSketch(df, "s", m, kh)
+      val shards = (0 to 4).map(k =>
+        Sketches.bloomSketch(df.where(F.col("part") === k), "s", m, kh))
+        .filter(_.head(1).nonEmpty)
+      val merged = Sketches.mergeBloomSketches(
+        shards.reduce(_ unionByName _)).head()
+      assert(merged.getSeq[Long](0) == whole.head().getSeq[Long](0),
+        s"sample=$si")
+      // driver-side replay: member(p) iff all kh md5 positions are in
+      // the inserted position set — false positives reproduced exactly
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def positions(key: String) = (0 until kh).map(i =>
+        java.lang.Long.parseLong(md5hex(s"$i:$key").take(8), 16) % m)
+      val inserted = rows.map(r => s"key-${r._2}").distinct
+        .flatMap(positions).toSet
+      val probes = (-120 to 120).map(v => s"key-$v")
+      val got = Sketches.bloomProbe(whole, probes.toDF("probe"), "probe")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      probes.foreach { p =>
+        assert(got(p) == positions(p).forall(inserted),
+          s"sample=$si probe=$p")
+      }
+    }
+  }
+
+  test("kmv set ops: estimator bounds and exact small-set algebra on random data") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      import graft.pipeline.Sketches
+      val a = rows.map(r => s"k${r._1 * 100 + r._2}").distinct.toDF("key")
+      val b = rows.map(r => s"k${r._2 * 3}").distinct.toDF("key")
+      // k far above the value range → sketches are exhaustive → EXACT
+      val ops = Sketches.kmvSetOps(
+        Sketches.kmvSketch(a, "key", 4096),
+        Sketches.kmvSketch(b, "key", 4096)).collect().head
+      val sa = rows.map(r => s"k${r._1 * 100 + r._2}").toSet
+      val sb = rows.map(r => s"k${r._2 * 3}").toSet
+      // exact up to one ulp chain: (c/n)*n is not always c in IEEE
+      def near(x: Double, e: Int): Unit =
+        assert(math.abs(x - e) <= 1e-9 * math.max(1, e),
+          s"sample=$si: $x vs $e")
+      near(ops.getAs[Double]("union_est"), (sa ++ sb).size)
+      near(ops.getAs[Double]("intersect_est"), (sa intersect sb).size)
+      near(ops.getAs[Double]("diff_ab_est"), (sa diff sb).size)
+      val j = ops.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0, s"sample=$si")
+    }
+  }
+
   test("sketch drift == driver-side PSI/KS/TVD from binned counts on random data") {
     for ((rows, si) <- samples(keyed).zipWithIndex) {
       import spark.implicits._

@@ -257,6 +257,9 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(inter - 200.0) / 200.0 < 0.4, s"intersect $inter")
     assert(math.abs(dab - 400.0) / 400.0 < 0.4, s"diff A\\B $dab")
     assert(math.abs(dba - 400.0) / 400.0 < 0.4, s"diff B\\A $dba")
+    // containment |A∩B|/|A| ≈ 200/600
+    val cab = ops.getAs[Double]("containment_ab")
+    assert(math.abs(cab - 1.0 / 3.0) < 0.15, s"containment $cab")
     // jaccard consistent with the standalone estimator
     val j = Sketches.kmvJaccard(
         Sketches.kmvSketch(a, "key", 256), Sketches.kmvSketch(b, "key", 256))

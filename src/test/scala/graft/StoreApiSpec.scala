@@ -97,6 +97,33 @@ class StoreApiSpec extends AnyFunSuite {
     }
   }
 
+  test("restore over HTTP: rollback publishes, noop answered, bad target 404") {
+    import spark.implicits._
+    val store = freshStore()
+    store.write("c", "t", Seq((1, "good")).toDF("id", "v"))
+    store.write("c", "t", Seq((1, "bad")).toDF("id", "v"))
+    withApi(store) { port =>
+      def post(path: String) = http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val r = post("/collections/c/tables/t/restore?to=HEAD~1")
+      assert(r.statusCode() == 200)
+      assert(json(r).get("data").get("version") != null)
+      val head = parquetRows(
+        get(port, "/collections/c/tables/t/download").body())
+      assert(head.select("v").collect().map(_.getString(0)).toSeq == Seq("good"))
+      // the same target again is a no-op, not a new version
+      val noop = post("/collections/c/tables/t/restore?to=HEAD")
+      assert(noop.statusCode() == 200 &&
+        json(noop).get("data").asText().startsWith("noop"))
+      assert(post("/collections/c/tables/t/restore?to=HEAD~9")
+        .statusCode() == 404)
+      assert(post("/collections/c/tables/t/restore")
+        .statusCode() == 400)
+    }
+  }
+
   test("404 on unknown table, 405 on unsupported method, delete drops") {
     import spark.implicits._
     val store = freshStore()

@@ -447,6 +447,47 @@ class StoreFlowSpec extends AnyFunSuite {
       VersionDiff.schemaDiff(store, "c/none@HEAD", "c/t@HEAD"))
   }
 
+  test("restore: metadata-only rollback, selectors shift, vacuum keeps referenced data") {
+    import spark.implicits._
+    val store = freshStore()
+    def v(n: Int) = (1L to 10L).map(i => (i, s"gen$n-$i")).toDF("id", "v")
+    val e1 = store.write("c", "t", v(1))
+    store.write("c", "t", v(2))
+    store.write("c", "t", v(3))
+    def headVals() = store.scan("c/t").get.df.select("v")
+      .collect().map(_.getString(0)).toSet
+    assert(headVals() == (1L to 10L).map(i => s"gen3-$i").toSet)
+    // restore to the first publish: HEAD now reads v1's bytes, the
+    // mistaken publishes shift to HEAD~1 / HEAD~2
+    val r = store.restore("c", "t", "HEAD~2").get
+    assert(r.dataOf.contains(e1.id) && r.rows == e1.rows)
+    assert(headVals() == (1L to 10L).map(i => s"gen1-$i").toSet)
+    assert(store.scan("c/t@HEAD~1").get.df.select("v")
+      .collect().map(_.getString(0)).toSet ==
+      (1L to 10L).map(i => s"gen3-$i").toSet)
+    // restoring what HEAD already reads is a no-op...
+    assert(store.restore("c", "t", "HEAD").isEmpty)
+    // ...including through the indirection (restore of the restore)
+    assert(store.restore("c", "t", e1.id).isEmpty)
+    // a restore OF a restore chases to the original writer: no chains
+    store.write("c", "t", v(4))
+    val r2 = store.restore("c", "t", "HEAD~1").get // the restore entry
+    assert(r2.dataOf.contains(e1.id))
+    // vacuum prunes the source id but its data dir survives while the
+    // restored HEAD references it; the pruned id stops resolving
+    val pruned = store.vacuum("c", "t", keepLast = 1)
+    assert(pruned.contains(e1.id))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store.root, "c", "t", e1.id)))
+    assert(scala.util.Try(store.scan(s"c/t@${e1.id}"))
+      .toOption.flatten.isEmpty)
+    assert(headVals() == (1L to 10L).map(i => s"gen1-$i").toSet)
+    // fsck sees a healthy table through the indirection
+    assert(store.fsck(verifyCounts = true).isEmpty)
+    // a bad target fails loudly
+    intercept[IllegalArgumentException](store.restore("c", "t", "HEAD~9"))
+  }
+
   test("compact: fewer files, verbatim rows, old layout addressable, loud guards") {
     import spark.implicits._
     val store = freshStore()
