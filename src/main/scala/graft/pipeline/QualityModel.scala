@@ -1,0 +1,269 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+import graft.expressions.MathKernels
+
+/** Model-based quality filtering — the trainable stage of a curation
+  * pipeline (FineWeb/DataComp-style: engineered signals → a tiny linear
+  * model → corpus-wide scores), built so the TRAINING ITSELF is
+  * deterministic and oracle-checkable across engines:
+  *
+  *   - batch gradient descent for logistic regression, one aggregation
+  *     job per iteration; the driver holds only the (k+1)-vector of
+  *     weights (O(k) metadata, never rows);
+  *   - gradients are corpus-wide sums of doubles — the one thing IEEE
+  *     addition refuses to make order-independent — so each per-row
+  *     gradient term is rounded into FIXED POINT (floor(t·2^20 + 0.5)
+  *     as DECIMAL(38,0), the [[Report.momentSketch]] trick): integer
+  *     addition commutes, so any partitioning, any engine, any merge
+  *     order produces the SAME gradient, and the whole training
+  *     trajectory replays bit-for-bit from SQL;
+  *   - the logistic σ rides the libm exp kernel
+  *     ([[graft.expressions.MathKernels.exp]]) for cross-engine parity.
+  *
+  * At 100 TB each iteration is one map-side-combined aggregation over
+  * the corpus — the same shape as a count — and k stays tiny (a handful
+  * of engineered signals), so the driver never sees data. */
+object QualityModel {
+
+  /** Fixed-point scale for gradient terms: 2^20 (exactly representable;
+    * |term| ≤ max|x|, so DECIMAL(38,0) holds corpus-scale sums with
+    * ~10^17 headroom at a billion rows). */
+  val GradScale: Double = 1048576.0d
+
+  /** σ(z) = 1 / (1 + e^(−z)) through the libm kernel. */
+  def sigmoid(z: Column): Column =
+    F.lit(1.0d) / (F.lit(1.0d) + MathKernels.exp(-z))
+
+  /** The linear score w0 + Σ_j w_j·x_j with PINNED left-to-right
+    * association — the exact double every engine must state. */
+  def linear(weights: Seq[Double], features: Seq[Column]): Column = {
+    require(weights.length == features.length + 1,
+      s"need ${features.length + 1} weights (intercept first), got ${weights.length}")
+    features.zip(weights.tail).foldLeft(F.lit(weights.head).cast("double")) {
+      case (acc, (x, w)) => acc + F.lit(w) * x
+    }
+  }
+
+  /** Train logistic regression by full-batch gradient descent: `iters`
+    * passes, each ONE aggregation job summing fixed-point gradient
+    * terms (σ(w·x) − y)·x_j; update w_j ← w_j − lr·(G_j/2^20)/n with
+    * every double op stated once. Weights start at zero (σ = 0.5 —
+    * deterministic first step). Rows with a NULL feature or label are
+    * excluded. Returns intercept-first weights. */
+  def trainLogistic(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, iters: Int = 3, lr: Double = 1.0): Array[Double] = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val feats = featureCols.map(c => F.col(c).cast("double"))
+    val y = F.col(labelCol).cast("double")
+    val clean = df.where(feats.map(_.isNotNull).reduce(_ && _) && y.isNotNull)
+    val w = Array.fill(featureCols.length + 1)(0.0d)
+    for (_ <- 0 until iters) {
+      val resid = sigmoid(linear(w.toSeq, feats)) - y
+      val terms = (F.lit(1.0d) +: feats).zipWithIndex.map { case (x, j) =>
+        F.sum(F.floor(resid * x * F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as(s"g$j")
+      }
+      val row = clean.agg(F.count(F.lit(1)).as("n"), terms: _*).head()
+      val n = row.getLong(0).toDouble
+      require(n > 0, "trainLogistic over an empty (or all-NULL) relation")
+      for (j <- w.indices) {
+        val g = row.getDecimal(j + 1).doubleValue()
+        w(j) = w(j) - lr * ((g / GradScale) / n)
+      }
+    }
+    w
+  }
+
+  /** Score every row with a trained model: input columns +
+    * (score = σ(w·x)). Row-local, codegen arithmetic — zero shuffles. */
+  def scoreLogistic(df: DataFrame, featureCols: Seq[String],
+      weights: Seq[Double], as: String = "score"): DataFrame =
+    df.withColumn(as,
+      sigmoid(linear(weights, featureCols.map(c => F.col(c).cast("double")))))
+
+  /** Exact ROC AUC by rank statistics (Mann–Whitney with midrank tie
+    * handling): AUC = (Σ_{positives} avgrank − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    * Ranking rides [[graft.operators.ScalableRank]]'s range shuffle
+    * (min-rank; the midrank of a tie group is min + (cnt−1)/2), so no
+    * single task ever sorts the corpus, and every quantity before the
+    * final division is an exact integer or half-integer — one double
+    * division at the end, engine-portable. NULL scores/labels excluded.
+    * Output: one (n_pos, n_neg, auc) row. */
+  /** Per-slice [[aucOf]] — the fairness/robustness read of a quality
+    * model: the same midrank algebra per group (one composite range
+    * shuffle via [[graft.operators.ScalableRank.withRankByGroup]], no
+    * per-group jobs). Groups with only one class answer NULL auc
+    * honestly (0/0). Output: (group, n_pos, n_neg, auc) ascending. */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val y = F.col(labelCol).cast("int")
+    val clean = df
+      .where(F.col(scoreCol).isNotNull && F.col(labelCol).isNotNull &&
+        F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).cast("string").as("td_g"),
+        F.col(scoreCol).cast("double").as("td_s"), y.as("td_y"))
+    // ordinal ranks give ties arbitrary consecutive positions, but the
+    // per-(group, score) MIN is the block start — tie-order-independent —
+    // and every tied row shares the midrank (2·min + cnt − 1)/2
+    val ranked = graft.operators.ScalableRank.withRankByGroup(
+      clean, "td_g", "td_s", "td_rk")
+    val perScore = ranked.groupBy(F.col("td_g"), F.col("td_s"))
+      .agg(F.min(F.col("td_rk")).as("td_min"),
+        F.count(F.lit(1)).as("td_c"),
+        F.sum(F.col("td_y")).cast("long").as("td_pos"))
+    perScore.groupBy(F.col("td_g").as("group"))
+      .agg(
+        F.sum(F.col("td_pos")).cast("long").as("n_pos"),
+        F.sum(F.col("td_c") - F.col("td_pos")).cast("long").as("n_neg"),
+        F.sum(F.col("td_pos") *
+            (F.lit(2L) * F.col("td_min") + F.col("td_c") - 1L))
+          .cast("long").as("td_r2"))
+      .select(F.col("group"), F.col("n_pos"), F.col("n_neg"),
+        F.when(F.col("n_pos") > 0L && F.col("n_neg") > 0L,
+          (F.col("td_r2").cast("double") / 2.0d -
+            (F.col("n_pos") * (F.col("n_pos") + 1L)).cast("double") / 2.0d) /
+            (F.col("n_pos") * F.col("n_neg")).cast("double")).as("auc"))
+      .orderBy(F.col("group").asc)
+  }
+
+  /** Calibration curve: scores bucketed on the [[Report.gridBin]] fixed
+    * grid over [0, 1); per bin the row count, positive count, exact
+    * observed rate, and the fixed-point mean score — "when the model
+    * says 0.8, is it right 80% of the time?". Everything is integer
+    * algebra plus two stated divisions per bin. Output:
+    * (bin, n, n_pos, frac_pos, mean_score) ascending by bin. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("int")
+    val clean = df.where(s.isNotNull && y.isNotNull)
+    clean
+      .select(Report.gridBin(s, 0.0, 1.0, bins).as("bin"),
+        y.as("td_y"),
+        // fixed-point score (2^20) so the per-bin mean is exact algebra
+        F.floor(s * F.lit(GradScale) + F.lit(0.5d)).cast("long").as("td_sq"))
+      .groupBy(F.col("bin"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("td_y")).cast("long").as("n_pos"),
+        F.sum(F.col("td_sq")).as("td_sqs"))
+      .select(F.col("bin"), F.col("n"), F.col("n_pos"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+          .as("frac_pos"),
+        ((F.col("td_sqs").cast("double") / F.lit(GradScale)) /
+          F.col("n").cast("double")).as("mean_score"))
+      .orderBy(F.col("bin").asc)
+  }
+
+  /** Confusion counts and P/R/F1 at a decision threshold (score ≥ t →
+    * predicted positive): the numbers a filtering pipeline actually
+    * acts on. One aggregation; exact integers plus stated divisions
+    * (empty denominators answer NULL honestly). Output: one (tp, fp,
+    * tn, fn, precision, recall, f1) row. */
+  def prAtThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double): DataFrame = {
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("int")
+    val pred = (s >= F.lit(threshold)).cast("int")
+    val agg = df.where(s.isNotNull && y.isNotNull).agg(
+      F.sum(pred * y).cast("long").as("tp"),
+      F.sum(pred * (F.lit(1) - y)).cast("long").as("fp"),
+      F.sum((F.lit(1) - pred) * (F.lit(1) - y)).cast("long").as("tn"),
+      F.sum((F.lit(1) - pred) * y).cast("long").as("fn"))
+    val p = F.col("tp").cast("double") /
+      (F.col("tp") + F.col("fp")).cast("double")
+    val r = F.col("tp").cast("double") /
+      (F.col("tp") + F.col("fn")).cast("double")
+    agg.select(F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn"),
+        F.when(F.col("tp") + F.col("fp") > 0L, p).as("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0L, r).as("recall"))
+      .withColumn("f1",
+        F.when(F.col("precision").isNotNull && F.col("recall").isNotNull &&
+            F.col("precision") + F.col("recall") > 0.0d,
+          (F.lit(2.0d) * F.col("precision") * F.col("recall")) /
+            (F.col("precision") + F.col("recall"))))
+  }
+
+  /** The full P/R sweep in ONE pass: broadcast the threshold list onto
+    * the rows (k-fold row amplification for a handful of thresholds —
+    * the corpus is read once), then the [[prAtThreshold]] algebra per
+    * threshold. Output: (threshold, tp, fp, tn, fn, precision, recall,
+    * f1) ascending by threshold. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("int")
+    val t = thresholds.distinct.sorted.toDF("threshold")
+    val pred = (s >= F.col("threshold")).cast("int")
+    val agg = df.where(s.isNotNull && y.isNotNull)
+      .crossJoin(F.broadcast(t))
+      .groupBy(F.col("threshold"))
+      .agg(
+        F.sum(pred * y).cast("long").as("tp"),
+        F.sum(pred * (F.lit(1) - y)).cast("long").as("fp"),
+        F.sum((F.lit(1) - pred) * (F.lit(1) - y)).cast("long").as("tn"),
+        F.sum((F.lit(1) - pred) * y).cast("long").as("fn"))
+    val p = F.col("tp").cast("double") /
+      (F.col("tp") + F.col("fp")).cast("double")
+    val r = F.col("tp").cast("double") /
+      (F.col("tp") + F.col("fn")).cast("double")
+    agg.select(F.col("threshold"), F.col("tp"), F.col("fp"),
+        F.col("tn"), F.col("fn"),
+        F.when(F.col("tp") + F.col("fp") > 0L, p).as("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0L, r).as("recall"))
+      .withColumn("f1",
+        F.when(F.col("precision").isNotNull && F.col("recall").isNotNull &&
+            F.col("precision") + F.col("recall") > 0.0d,
+          (F.lit(2.0d) * F.col("precision") * F.col("recall")) /
+            (F.col("precision") + F.col("recall"))))
+      .orderBy(F.col("threshold").asc)
+  }
+
+  /** Brier score — mean squared error of probabilistic scores — with
+    * the squared terms in fixed point (floor(d²·2^20 + 0.5)), so the
+    * corpus-wide sum commutes and the answer is engine-exact: one
+    * aggregation, one stated division. Output: one (n, brier) row. */
+  def brierScore(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("double")
+    val d = s - y
+    df.where(s.isNotNull && y.isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.floor(d * d * F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_q"))
+      .select(F.col("n"),
+        ((F.col("td_q").cast("double") / F.lit(GradScale)) /
+          F.col("n").cast("double")).as("brier"))
+  }
+
+  def aucOf(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val y = F.col(labelCol).cast("int")
+    val clean = df
+      .where(F.col(scoreCol).isNotNull && F.col(labelCol).isNotNull)
+      .select(F.col(scoreCol).cast("double").as("td_s"), y.as("td_y"))
+    val ranked = graft.operators.ScalableRank.withRank(
+      clean, "td_s", "td_rk", method = "min")
+    val withCnt = ranked
+      .join(clean.groupBy(F.col("td_s")).agg(F.count(F.lit(1)).as("td_c")),
+        Seq("td_s"))
+    // Σ avgrank over positives in HALF-UNITS (2·avgrank = 2·min + cnt − 1
+    // is an exact long), so the sum is integer algebra until the end
+    withCnt.agg(
+        F.sum(F.col("td_y")).cast("long").as("n_pos"),
+        F.sum(F.lit(1) - F.col("td_y")).cast("long").as("n_neg"),
+        F.sum(F.when(F.col("td_y") === 1,
+            F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
+          .otherwise(F.lit(0L))).cast("long").as("td_r2"))
+      .select(F.col("n_pos"), F.col("n_neg"),
+        ((F.col("td_r2").cast("double") / 2.0d -
+          (F.col("n_pos") * (F.col("n_pos") + 1L)).cast("double") / 2.0d) /
+          (F.col("n_pos") * F.col("n_neg")).cast("double")).as("auc"))
+  }
+}

@@ -14,6 +14,39 @@ object ScaleOracles {
     """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
       |FROM events""".stripMargin
 
+  /** The logistic-training replay shared by q_quality_lr*: engineered
+    * features, then three gradient-descent iterations with fixed-point
+    * gradient sums — each g(k)/w(k) pair states EXACTLY the arithmetic
+    * of QualityModel.trainLogistic's k-th pass (σ through libm exp,
+    * pinned ((w0 + w1·x1) + w2·x2) association, floor(t·2^20 + 0.5)
+    * gradient terms, w − ((G/2^20)/n) updates). */
+  private def lrIter(k: Int, prev: String): String =
+    s"""g$k AS (SELECT
+       |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * 1.0) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS ga,
+       |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x1) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gb,
+       |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x2) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gc
+       |  FROM f, $prev),
+       |w$k AS (SELECT
+       |  wa - ((CAST(ga AS DOUBLE) / 1048576.0) / nn.n) AS wa,
+       |  wb - ((CAST(gb AS DOUBLE) / 1048576.0) / nn.n) AS wb,
+       |  wc - ((CAST(gc AS DOUBLE) / 1048576.0) / nn.n) AS wc
+       |  FROM g$k, $prev, nn),
+       |""".stripMargin
+
+  private val lrOraclePrefix: String =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '')) AS DOUBLE) / 100.0 AS x2,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+      |w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc),
+      |""".stripMargin +
+      (lrIter(1, "w0") + lrIter(2, "w1") + lrIter(3, "w2"))
+        .stripSuffix(",\n") + "\n"
+
   def oracleSql: Map[String, String] = Map(
     "q_join_asof" ->
       s"""WITH p AS ($purchases), e AS ($eventsSec)
@@ -706,6 +739,131 @@ object ScaleOracles {
         |    ln(1.0 - CAST(bits_set AS DOUBLE) / CAST(4096 AS DOUBLE))
         |    AS estimate
         |FROM x""".stripMargin,
+    // logistic training replayed iteration for iteration: fixed-point
+    // gradient sums (floor(t·2^20 + 0.5) as DECIMAL) commute, σ rides
+    // libm exp on both engines, every double op stated in Spark's order
+    "q_quality_lr" -> (lrOraclePrefix +
+      """SELECT wa AS w0, wb AS w1, wc AS w2 FROM w3""").stripMargin,
+    "q_quality_lr_scores" -> (lrOraclePrefix +
+      """SELECT doc_id,
+        |  (1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) AS score
+        |FROM f, w3 ORDER BY score DESC, doc_id ASC LIMIT 10""").stripMargin,
+    "q_quality_auc" ->
+      """WITH c AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |           FROM documents
+        |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT s, y, rank() OVER (ORDER BY s) AS rk FROM c),
+        |cc AS (SELECT s, count(*) AS c FROM c GROUP BY s),
+        |j AS (SELECT r.y, r.rk, cc.c FROM r JOIN cc USING (s)),
+        |a AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+        |        CAST(sum(1 - y) AS BIGINT) AS n_neg,
+        |        CAST(sum(CASE WHEN y = 1 THEN 2 * rk + c - 1 ELSE 0 END)
+        |          AS BIGINT) AS r2
+        |      FROM j)
+        |SELECT n_pos, n_neg,
+        |  ((CAST(r2 AS DOUBLE) / 2.0 -
+        |    CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+        |   CAST(n_pos * n_neg AS DOUBLE)) AS auc
+        |FROM a""".stripMargin,
+    "q_quality_auc_grouped" ->
+      """WITH c AS (SELECT lang, CAST(n_chars AS DOUBLE) AS s,
+        |             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |           FROM documents
+        |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT lang, s, y,
+        |        rank() OVER (PARTITION BY lang ORDER BY s) AS rk FROM c),
+        |ps AS (SELECT lang, s, CAST(min(rk) AS BIGINT) AS mn,
+        |         CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(y) AS BIGINT) AS pos
+        |       FROM r GROUP BY lang, s),
+        |a AS (SELECT lang AS "group",
+        |        CAST(sum(pos) AS BIGINT) AS n_pos,
+        |        CAST(sum(c - pos) AS BIGINT) AS n_neg,
+        |        CAST(sum(pos * (2 * mn + c - 1)) AS BIGINT) AS r2
+        |      FROM ps GROUP BY lang)
+        |SELECT "group", n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    ((CAST(r2 AS DOUBLE) / 2.0 -
+        |      CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+        |     CAST(n_pos * n_neg AS DOUBLE)) END AS auc
+        |FROM a ORDER BY "group" ASC""".stripMargin,
+    "q_quality_pr_curve" ->
+      """WITH f AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+        |t AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+        |        AS threshold),
+        |cm AS (SELECT threshold,
+        |    CAST(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END * y) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END * (1 - y)) AS BIGINT) AS fp,
+        |    CAST(sum((1 - CASE WHEN s >= threshold THEN 1 ELSE 0 END) * (1 - y)) AS BIGINT) AS tn,
+        |    CAST(sum((1 - CASE WHEN s >= threshold THEN 1 ELSE 0 END) * y) AS BIGINT) AS fn
+        |  FROM f, t GROUP BY threshold),
+        |pr AS (SELECT threshold, tp, fp, tn, fn,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+        |  FROM cm)
+        |SELECT threshold, tp, fp, tn, fn, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |        AND precision + recall > 0.0 THEN
+        |    ((2.0 * precision) * recall) / (precision + recall) END AS f1
+        |FROM pr ORDER BY threshold ASC""".stripMargin,
+    "q_quality_brier" -> (lrOraclePrefix +
+      """, sc AS (SELECT
+        |    (1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) AS s, y
+        |  FROM f, w3)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  ((CAST(sum(CAST(floor(((s - y) * (s - y)) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0)
+        |    / CAST(count(*) AS DOUBLE)) AS brier
+        |FROM sc""").stripMargin,
+    "q_quality_calibration" ->
+      ("""WITH f AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+        |sc AS (SELECT x1 AS s, CAST(y AS INTEGER) AS y FROM f),
+        |b AS (SELECT
+        |    CASE WHEN s < 0.0 THEN 0 WHEN s >= 1.0 THEN 11
+        |         ELSE LEAST(10, CAST(floor(((s - 0.0) * 10.0) / 1.0)
+        |           AS BIGINT) + 1) END AS bin,
+        |    y, CAST(floor(s * 1048576.0 + 0.5) AS BIGINT) AS sq
+        |  FROM sc)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS frac_pos,
+        |  ((CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE) / 1048576.0)
+        |    / CAST(count(*) AS DOUBLE)) AS mean_score
+        |FROM b GROUP BY bin ORDER BY bin ASC""").stripMargin,
+    "q_quality_pr" -> (lrOraclePrefix +
+      """, sc AS (SELECT
+        |    (1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) AS s,
+        |    CAST(y AS INTEGER) AS y
+        |  FROM f, w3),
+        |cm AS (SELECT
+        |    CAST(sum(CASE WHEN s >= 0.4 THEN 1 ELSE 0 END * y) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s >= 0.4 THEN 1 ELSE 0 END * (1 - y)) AS BIGINT) AS fp,
+        |    CAST(sum((1 - CASE WHEN s >= 0.4 THEN 1 ELSE 0 END) * (1 - y)) AS BIGINT) AS tn,
+        |    CAST(sum((1 - CASE WHEN s >= 0.4 THEN 1 ELSE 0 END) * y) AS BIGINT) AS fn
+        |  FROM sc),
+        |pr AS (SELECT tp, fp, tn, fn,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+        |  FROM cm)
+        |SELECT tp, fp, tn, fn, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |        AND precision + recall > 0.0 THEN
+        |    ((2.0 * precision) * recall) / (precision + recall) END AS f1
+        |FROM pr""").stripMargin,
     // per-column profile: one UNION ALL branch per column stating the
     // identical aggregates; numeric sums in exact DECIMAL(28,4), mean
     // as one double division, string extrema through the same cast

@@ -15,6 +15,20 @@ object ScaleQueries {
   private def d(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // engineered signals for the trainable quality model (q_quality_lr*):
+  // scaled length + token count, is-English label — every expression
+  // stated identically by the DuckDB oracle
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    d(s, dir, "documents")
+      .where(F.col("n_chars").isNotNull && F.col("text").isNotNull &&
+        F.col("lang").isNotNull)
+      .select(F.col("doc_id"),
+        (F.col("n_chars").cast("double") / 1000.0d).as("x1"),
+        (F.size(F.filter(
+          F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+          t => t =!= "")).cast("double") / 100.0d).as("x2"),
+        F.when(F.col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+
   // purchases deduped to one row per (user_id, sec) so as-of tie-breaking
   // is well-defined on both engines
   private def purchases(s: SparkSession, dir: String): DataFrame =
@@ -550,6 +564,94 @@ object ScaleQueries {
         docs.where(F.col("doc_id") % 2 === m), "text", 4096, 3)
       Sketches.bloomEstimate(Sketches.mergeBloomSketches(
         half(0).unionByName(half(1))))
+    }),
+    "q_quality_lr" -> ((s, dir) => {
+      // model-based quality filtering, TRAINED IN-ENGINE: 3 full-batch
+      // GD iterations of logistic regression on engineered signals
+      // (scaled length, token count) vs an is-English label — gradient
+      // sums in fixed point, so the whole trajectory is deterministic
+      // and the oracle replays it iteration for iteration in SQL
+      import graft.pipeline.QualityModel
+      import s.implicits._
+      val w = QualityModel.trainLogistic(
+        lrFeatures(s, dir), Seq("x1", "x2"), "y", iters = 3, lr = 1.0)
+      Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
+    }),
+    "q_quality_lr_scores" -> ((s, dir) => {
+      // the trained model applied corpus-wide (row-local codegen
+      // arithmetic, zero shuffles): the ten most English-looking docs
+      import graft.pipeline.QualityModel
+      val feat = lrFeatures(s, dir)
+      val w = QualityModel.trainLogistic(
+        feat, Seq("x1", "x2"), "y", iters = 3, lr = 1.0)
+      QualityModel.scoreLogistic(feat, Seq("x1", "x2"), w.toSeq)
+        .select(F.col("doc_id"), F.col("score"))
+        .orderBy(F.col("score").desc, F.col("doc_id").asc)
+        .limit(10)
+    }),
+    "q_quality_auc" -> ((s, dir) => {
+      // exact ROC AUC by rank statistics (Mann–Whitney, midrank ties):
+      // does raw length predict English? — integer algebra until one
+      // final double division, ranks from the range-shuffle rank
+      import graft.pipeline.QualityModel
+      val docs = d(s, dir, "documents")
+        .where(F.col("n_chars").isNotNull && F.col("lang").isNotNull)
+        .select(F.col("n_chars").cast("double").as("s"),
+          F.when(F.col("lang") === "en", 1).otherwise(0).as("y"))
+      QualityModel.aucOf(docs, "s", "y")
+    }),
+    "q_quality_auc_grouped" -> ((s, dir) => {
+      // per-slice model eval (the fairness read): the same midrank
+      // algebra per language from ONE composite range shuffle — groups
+      // stay comparable because nothing samples
+      import graft.pipeline.QualityModel
+      val docs = d(s, dir, "documents")
+        .where(F.col("n_chars").isNotNull && F.col("lang").isNotNull)
+        .select(F.col("lang"),
+          F.col("n_chars").cast("double").as("s"),
+          F.when(F.col("doc_id") % 2 === 0, 1).otherwise(0).as("y"))
+      QualityModel.aucByGroup(docs, "lang", "s", "y")
+    }),
+    "q_quality_calibration" -> ((s, dir) => {
+      // is a heuristic quality score honest? the scaled-length signal
+      // bucketed on the fixed grid over [0,1) (lengths past 1000 chars
+      // land in the overflow bin): per bin the observed is-English rate
+      // next to the fixed-point mean score — exact algebra end to end
+      import graft.pipeline.QualityModel
+      QualityModel.calibration(
+        lrFeatures(s, dir).select(F.col("x1").as("score"), F.col("y")),
+        "score", "y", bins = 10)
+    }),
+    "q_quality_pr" -> ((s, dir) => {
+      // the numbers the filter acts on: confusion counts + P/R/F1 at
+      // the 0.4 decision threshold over the trained scores
+      import graft.pipeline.QualityModel
+      val feat = lrFeatures(s, dir)
+      val w = QualityModel.trainLogistic(
+        feat, Seq("x1", "x2"), "y", iters = 3, lr = 1.0)
+      QualityModel.prAtThreshold(
+        QualityModel.scoreLogistic(feat, Seq("x1", "x2"), w.toSeq),
+        "score", "y", threshold = 0.4)
+    }),
+    "q_quality_pr_curve" -> ((s, dir) => {
+      // the operating-point sweep a filter is tuned on: P/R/F1 at five
+      // thresholds from ONE corpus pass (thresholds broadcast onto the
+      // rows) over the scaled-length heuristic score
+      import graft.pipeline.QualityModel
+      QualityModel.prCurve(
+        lrFeatures(s, dir).select(F.col("x1").as("score"), F.col("y")),
+        "score", "y", Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    }),
+    "q_quality_brier" -> ((s, dir) => {
+      // probabilistic honesty in one number: fixed-point mean squared
+      // error of the trained model's scores against the label
+      import graft.pipeline.QualityModel
+      val feat = lrFeatures(s, dir)
+      val w = QualityModel.trainLogistic(
+        feat, Seq("x1", "x2"), "y", iters = 3, lr = 1.0)
+      QualityModel.brierScore(
+        QualityModel.scoreLogistic(feat, Seq("x1", "x2"), w.toSeq),
+        "score", "y")
     }),
     "q_profile" -> ((s, dir) => {
       // the ANALYZE card in ONE aggregation job: per-column rows /

@@ -253,6 +253,29 @@ object ScalingProbe {
         graft.pipeline.Sketches.cmsSketch(d, "text", depth = 4,
           width = 1024).count()
       }),
+      ("quality_lr", 100, { d =>
+        // 3 GD iterations × one map-side-combined fixed-point agg each —
+        // the count shape; driver holds only the weight vector
+        val feat = d.select(
+          (F.length(F.col("text")).cast("double") / 1000.0d).as("x1"),
+          ((F.col("doc_id") % 7).cast("double") / 7.0d).as("x2"),
+          F.when(F.col("doc_id") % 3 === 0, 1.0d).otherwise(0.0d).as("y"))
+        val w = graft.pipeline.QualityModel.trainLogistic(
+          feat, Seq("x1", "x2"), "y", iters = 3)
+        graft.pipeline.QualityModel.scoreLogistic(feat, Seq("x1", "x2"),
+          w.toSeq).where(F.col("score") > 0.5d).count()
+      }),
+      ("auc", 100, { d =>
+        // one range-shuffle rank + one keyed count join + one agg
+        graft.pipeline.QualityModel.aucOf(
+          d.select(F.length(F.col("text")).cast("double").as("s"),
+            F.when(F.col("doc_id") % 3 === 0, 1).otherwise(0).as("y")),
+          "s", "y").count()
+      }),
+      ("profile", 100, { d =>
+        // one aggregation job; distinct counts ride the expand
+        graft.pipeline.Report.profile(d).count()
+      }),
       ("bloom_sketch", 100, { d =>
         // Bloom build + whole-corpus probe: the k-hash explode collapses
         // map-side (partial bit_or to ≤ ceil(m/32) words per partition),

@@ -1059,6 +1059,131 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("0 < lo"), ex3.getMessage)
   }
 
+  test("logistic quality model: training replays bit-for-bit on the driver, learns separable data") {
+    import spark.implicits._
+    import graft.pipeline.QualityModel
+    // separable-ish: y correlates with x1
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 50) / 10.0
+      val x2 = ((i * 7) % 30) / 10.0
+      val y = if (x1 + 0.1 * x2 > 2.5) 1.0 else 0.0
+      (i.toLong, x1, x2, y)
+    }
+    val df = rows.toDF("id", "x1", "x2", "y")
+    val got = QualityModel.trainLogistic(df, Seq("x1", "x2"), "y",
+      iters = 3, lr = 1.0)
+    // driver-side replay of the EXACT fixed-point arithmetic
+    var w = Array(0.0, 0.0, 0.0)
+    val S = QualityModel.GradScale
+    for (_ <- 0 until 3) {
+      val g = Array(0L, 0L, 0L)
+      rows.foreach { case (_, x1, x2, y) =>
+        val z = (w(0) + w(1) * x1) + w(2) * x2
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val r = p - y
+        g(0) += math.floor(r * 1.0 * S + 0.5).toLong
+        g(1) += math.floor(r * x1 * S + 0.5).toLong
+        g(2) += math.floor(r * x2 * S + 0.5).toLong
+      }
+      w = w.zip(g).map { case (wj, gj) =>
+        wj - 1.0 * ((gj.toDouble / S) / rows.size) }
+    }
+    assert(got.toSeq == w.toSeq, s"${got.toSeq} vs ${w.toSeq}")
+    // and the model actually separates: AUC of its scores over the label
+    val scored = QualityModel.scoreLogistic(df, Seq("x1", "x2"), got)
+    val auc = QualityModel.aucOf(scored, "score", "y")
+      .collect().head.getAs[Double]("auc")
+    assert(auc > 0.95, s"auc $auc")
+    // partitioning invariance: fixed-point gradients commute
+    val got2 = QualityModel.trainLogistic(df.repartition(13),
+      Seq("x1", "x2"), "y", iters = 3, lr = 1.0)
+    assert(got2.toSeq == got.toSeq)
+  }
+
+  test("exact AUC: midrank tie handling == brute-force pair counting") {
+    import spark.implicits._
+    import graft.pipeline.QualityModel
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(20).toDouble, rnd.nextInt(2)) }
+    val df = rows.toDF("id", "s", "y")
+    val got = QualityModel.aucOf(df, "s", "y").collect().head
+    val pos = rows.filter(_._3 == 1).map(_._2)
+    val neg = rows.filter(_._3 == 0).map(_._2)
+    val pairs = for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val brute = pairs.sum / (pos.size.toDouble * neg.size.toDouble)
+    assert(got.getLong(0) == pos.size && got.getLong(1) == neg.size)
+    assert(math.abs(got.getDouble(2) - brute) < 1e-12,
+      s"${got.getDouble(2)} vs $brute")
+  }
+
+  test("model eval suite: grouped AUC, calibration bins, P/R/F1 vs hand computation") {
+    import spark.implicits._
+    import graft.pipeline.QualityModel
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 240).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        rnd.nextInt(12).toDouble, rnd.nextInt(2)) }
+    val df = rows.toDF("id", "g", "s", "y")
+    // grouped AUC == per-group brute-force pair counting with ties
+    val got = QualityModel.aucByGroup(df, "g", "s", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { g =>
+      val in = rows.filter(_._2 == g)
+      val pos = in.filter(_._4 == 1).map(_._3)
+      val neg = in.filter(_._4 == 0).map(_._3)
+      val brute = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+        (pos.size.toDouble * neg.size.toDouble)
+      assert(got(g).getLong(1) == pos.size && got(g).getLong(2) == neg.size)
+      assert(math.abs(got(g).getDouble(3) - brute) < 1e-12, s"group $g")
+    }
+    // single-class group answers NULL auc honestly
+    val degen = Seq((1L, "x", 1.0, 1), (2L, "x", 2.0, 1)).toDF("id", "g", "s", "y")
+    assert(QualityModel.aucByGroup(degen, "g", "s", "y")
+      .collect().head.isNullAt(3))
+    // calibration: hand-binned fractions and fixed-point means
+    val cal = Seq((0.05, 0), (0.08, 1), (0.55, 1), (0.58, 1), (0.52, 0), (1.0, 1))
+      .toDF("score", "y")
+    val bins = QualityModel.calibration(cal, "score", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(bins(1L) == ((2L, 1L, 0.5)))       // [0, 0.1)
+    assert(bins(6L) == ((3L, 2L, 2.0 / 3.0))) // [0.5, 0.6)
+    assert(bins(11L) == ((1L, 1L, 1.0)))      // overflow: score == 1.0
+    val mean6 = bins.keys.toSeq
+    assert(mean6.sorted == Seq(1L, 6L, 11L))
+    // P/R/F1 at 0.5: predictions {0.55, 0.58, 0.52, 1.0} positive
+    val pr = QualityModel.prAtThreshold(cal, "score", "y", 0.5)
+      .collect().head
+    assert((pr.getLong(0), pr.getLong(1), pr.getLong(2), pr.getLong(3))
+      == ((3L, 1L, 1L, 1L)))
+    assert(pr.getDouble(4) == 3.0 / 4.0 && pr.getDouble(5) == 3.0 / 4.0)
+    assert(math.abs(pr.getDouble(6) - 0.75) < 1e-12)
+    // empty-denominator honesty
+    val allNeg = Seq((0.9, 0), (0.8, 0)).toDF("score", "y")
+    val pn = QualityModel.prAtThreshold(allNeg, "score", "y", 0.95)
+      .collect().head
+    assert(pn.isNullAt(4) && pn.isNullAt(6)) // no predicted positives
+    // the curve rows == prAtThreshold at each threshold
+    val curve = QualityModel.prCurve(cal, "score", "y", Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.toSeq.tail).toMap
+    Seq(0.5, 0.9).foreach { t =>
+      val one = QualityModel.prAtThreshold(cal, "score", "y", t)
+        .collect().head.toSeq
+      assert(curve(t) == one, s"t=$t")
+    }
+    // brier == hand fold in the same fixed point
+    val br = QualityModel.brierScore(cal, "score", "y").collect().head
+    val handQ = Seq((0.05, 0), (0.08, 1), (0.55, 1), (0.58, 1), (0.52, 0),
+        (1.0, 1))
+      .map { case (s, y) =>
+        math.floor((s - y) * (s - y) * 1048576.0 + 0.5).toLong }.sum
+    assert(br.getLong(0) == 6L &&
+      br.getDouble(1) == (handQ.toDouble / 1048576.0) / 6.0)
+  }
+
   test("column profiler: one-pass card matches hand-computed facts, typed extrema") {
     import spark.implicits._
     val df = Seq(
