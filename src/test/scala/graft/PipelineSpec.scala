@@ -1059,6 +1059,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("0 < lo"), ex3.getMessage)
   }
 
+  test("z-order export: zone maps prune BOTH dimensions; linear sort only its own") {
+    import spark.implicits._
+    import graft.pipeline.Export
+    // a 64×64 grid of two independent dimensions
+    val df = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "a", "b")
+    def dir() = java.nio.file.Files.createTempDirectory("graft-zmap").toString
+    val (dFlat, dLin, dZ) = (dir(), dir(), dir())
+    Export.writeSharded(df.repartition(16), dFlat, "parquet",
+      maxRecordsPerFile = 256)
+    Export.writeSharded(df, dLin, "parquet",
+      maxRecordsPerFile = 256, sortBy = Seq("a"))
+    val z = graft.operators.ZOrder.clusterByZOrder(df, Seq("a", "b"),
+      Seq((0.0, 64.0), (0.0, 64.0)), bits = 6, numPartitions = Some(16))
+    Export.writeSharded(z, dZ, "parquet",
+      maxRecordsPerFile = 256, sortBy = Seq("z_key"))
+    // zone maps over BOTH dims for every layout, from the public manifest
+    def hits(path: String, col: String): Long = {
+      val m = Export.buildManifest(spark, path, "parquet",
+        statsCols = Seq("a", "b"))
+      m.where(F.col(s"min_$col") <= 7L && F.col(s"max_$col") >= 0L).count()
+    }
+    val (flatA, flatB) = (hits(dFlat, "a"), hits(dFlat, "b"))
+    val (linA, linB) = (hits(dLin, "a"), hits(dLin, "b"))
+    val (zA, zB) = (hits(dZ, "a"), hits(dZ, "b"))
+    // unordered shards span everything — a range prunes nothing
+    assert(flatA >= 12 && flatB >= 12, s"flat: $flatA/$flatB")
+    // linear sort prunes its own dimension hard, the other not at all
+    assert(linA <= 3, s"linear a-hits $linA")
+    assert(linB >= 12, s"linear b-hits $linB")
+    // the z-curve localizes BOTH: a 1/8-span range on either dimension
+    // touches about a quarter of the shards (top interleaved bits)
+    assert(zA <= 8 && zB <= 8, s"zorder hits: a=$zA b=$zB of 16")
+  }
+
   test("logistic quality model: training replays bit-for-bit on the driver, learns separable data") {
     import spark.implicits._
     import graft.pipeline.QualityModel
