@@ -277,6 +277,29 @@ object ExtendedOracles {
     // is integer elementwise addition, so the streamed rollup is
     // bit-equal to the whole-corpus sketch the oracle states — identical
     // md5 row-salted buckets, estimate = min over the 4 rows
+    "q_stream_confusion" ->
+      """WITH sc AS (SELECT ts,
+        |    CAST(value AS DOUBLE) / 512.0 AS s,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |cm AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |          AS hour_epoch,
+        |    CAST(sum(CASE WHEN s >= 0.3 THEN 1 ELSE 0 END * y) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s >= 0.3 THEN 1 ELSE 0 END * (1 - y)) AS BIGINT) AS fp,
+        |    CAST(sum((1 - CASE WHEN s >= 0.3 THEN 1 ELSE 0 END) * (1 - y)) AS BIGINT) AS tn,
+        |    CAST(sum((1 - CASE WHEN s >= 0.3 THEN 1 ELSE 0 END) * y) AS BIGINT) AS fn
+        |  FROM sc GROUP BY 1),
+        |pr AS (SELECT hour_epoch, tp, fp, tn, fn,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+        |  FROM cm)
+        |SELECT hour_epoch, tp, fp, tn, fn, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |        AND precision + recall > 0.0 THEN
+        |    ((2.0 * precision) * recall) / (precision + recall) END AS f1
+        |FROM pr ORDER BY hour_epoch""".stripMargin,
     "q_stream_bloom" ->
       // the streamed windows OR to the whole-corpus filter, so the
       // oracle probes the batch position set over the raw table —

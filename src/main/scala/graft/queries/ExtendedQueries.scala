@@ -479,6 +479,28 @@ object ExtendedQueries {
       Sketches.bloomProbe(merged, present.unionByName(absent), "probe")
         .orderBy("probe")
     }),
+    "q_stream_confusion" -> ((s, dir) => {
+      // live model monitoring THROUGH Structured Streaming: hourly
+      // confusion counts + guarded P/R/F1 of a deployed score (value
+      // rescaled to [0,1]) against an arriving label, at the 0.3
+      // decision threshold — stateless four-counter windows, and the
+      // algebra is prAtThreshold's exactly, so the oracle states each
+      // hour's batch answer over the raw table
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+        .withColumn("td_score", F.col("value").cast("double") / 512.0d)
+        .withColumn("td_label",
+          F.when(F.col("user_id") % 2 === 0, 1).otherwise(0))
+      val cm = graft.streaming.Streams.windowedConfusion(
+        stream, "ts", "td_score", "td_label", "1 hour", "1 hour", 0.3)
+      graft.streaming.StreamStage.runToMemory(cm, "q_stream_confusion_",
+          "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn"),
+          F.col("precision"), F.col("recall"), F.col("f1"))
+        .orderBy("hour_epoch")
+    }),
     "q_kmv_store_rollup" -> ((s, dir) => {
       // the incremental dataset-card distinct count END TO END through
       // the versioned store: three disjoint crawl shards published as

@@ -177,6 +177,43 @@ object Streams {
         .as("td_bits"))
   }
 
+  /** Live model monitoring: per event-time window, the confusion counts
+    * of a DEPLOYED score column against an arriving label at a fixed
+    * decision threshold, plus guarded precision/recall/F1 — the
+    * streaming face of [[graft.pipeline.QualityModel.prAtThreshold]]
+    * (identical algebra, so a window's row equals the batch answer over
+    * that window's rows exactly). Stateless aggregation: state per open
+    * window is four counters, watermark-bounded. Rows with NULL
+    * score/label carry no count. */
+  def windowedConfusion(df: DataFrame, tsCol: String, scoreCol: String,
+      labelCol: String, window: String, watermark: String,
+      threshold: Double): DataFrame = {
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("int")
+    val pred = (s >= F.lit(threshold)).cast("int")
+    val agg = df.where(s.isNotNull && y.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window))
+      .agg(
+        F.sum(pred * y).cast("long").as("tp"),
+        F.sum(pred * (F.lit(1) - y)).cast("long").as("fp"),
+        F.sum((F.lit(1) - pred) * (F.lit(1) - y)).cast("long").as("tn"),
+        F.sum((F.lit(1) - pred) * y).cast("long").as("fn"))
+    val p = F.col("tp").cast("double") /
+      (F.col("tp") + F.col("fp")).cast("double")
+    val r = F.col("tp").cast("double") /
+      (F.col("tp") + F.col("fn")).cast("double")
+    agg.select(F.col("window"), F.col("tp"), F.col("fp"), F.col("tn"),
+        F.col("fn"),
+        F.when(F.col("tp") + F.col("fp") > 0L, p).as("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0L, r).as("recall"))
+      .withColumn("f1",
+        F.when(F.col("precision").isNotNull && F.col("recall").isNotNull &&
+            F.col("precision") + F.col("recall") > 0.0d,
+          (F.lit(2.0d) * F.col("precision") * F.col("recall")) /
+            (F.col("precision") + F.col("recall"))))
+  }
+
   /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
     * the live-dashboard metric Structured Streaming cannot express with
     * `countDistinct` (distinct aggregates are unsupported on streams).

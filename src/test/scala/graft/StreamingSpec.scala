@@ -183,6 +183,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged.collect().toSeq == whole.collect().toSeq)
   }
 
+  test("windowed confusion: streamed P/R per hour equals batch prAtThreshold") {
+    val dir = Files.createTempDirectory("graft-stream-wcm")
+    val batch = eventsBatch
+      .withColumn("td_score", F.col("value").cast("double") / 512.0d)
+      .withColumn("td_label",
+        F.when((F.col("user_id") % 2) === 0, 1).otherwise(0))
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val cm = Streams.windowedConfusion(stream, "ts", "td_score", "td_label",
+      "1 hour", "1 hour", 0.4)
+    val q = Streams.runToMemory(cm, "wcm", outputMode = "complete")
+    q.stop()
+    val got = spark.table("wcm")
+      .select(F.unix_timestamp(F.col("window.start")).as("h"),
+        F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn"),
+        F.col("precision"), F.col("recall"), F.col("f1"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got.size > 1)
+    got.keys.foreach { h =>
+      val slice = batch.where(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) === h)
+      val exp = graft.pipeline.QualityModel.prAtThreshold(
+        slice, "td_score", "td_label", 0.4).collect().head.toSeq
+      assert(got(h) == exp, s"hour $h")
+    }
+  }
+
   test("windowed moments: streamed sketch rows merge with batch bit-exactly") {
     val dir = Files.createTempDirectory("graft-stream-wmom")
     val batch = eventsBatch
