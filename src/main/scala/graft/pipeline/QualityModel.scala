@@ -225,6 +225,79 @@ object QualityModel {
       .orderBy(F.col("threshold").asc)
   }
 
+  /** Cumulative gains / lift table: rows ranked by score DESCENDING
+    * (deterministic via `tiebreakers`), split into `buckets` near-equal
+    * NTILE slices (the [[graft.operators.Quantiles.equiDepthHistogram]]
+    * boundary arithmetic), then per slice the positives captured so far
+    * — "contact the top 20% by model score and reach X% of the
+    * positives at Y× random". Ranking rides the range shuffle; the
+    * cumulative window runs over `buckets` rows of metadata, never the
+    * corpus. Output: (bucket, n, n_pos, cum_n, cum_pos, gain, lift)
+    * ascending — gain = cum_pos/total_pos, lift = rate-so-far over the
+    * base rate, each one stated division chain. */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int, tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("int")
+    val clean = df.where(s.isNotNull && y.isNotNull)
+    val n = clean.count()
+    require(n > 0, "gainsTable over an empty (or all-NULL) relation")
+    val ranked = graft.operators.ScalableRank.withRank(clean, scoreCol,
+      "$td.__rk", method = "ordinal", descending = true,
+      tiebreakers = tiebreakers)
+    val per = ranked
+      .withColumn("bucket",
+        F.floor(((F.col("`$td.__rk`") - 1L) * buckets.toLong).cast("double") /
+          F.lit(n.toDouble)).cast("long"))
+      .groupBy(F.col("bucket"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(y).cast("long").as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = per.agg(F.sum(F.col("n")).as("td_tn"),
+      F.sum(F.col("n_pos")).as("td_tp"))
+    per
+      .withColumn("cum_n", F.sum(F.col("n")).over(w).cast("long"))
+      .withColumn("cum_pos", F.sum(F.col("n_pos")).over(w).cast("long"))
+      .crossJoin(F.broadcast(totals))
+      .select(F.col("bucket"), F.col("n"), F.col("n_pos"),
+        F.col("cum_n"), F.col("cum_pos"),
+        F.when(F.col("td_tp") > 0L,
+          F.col("cum_pos").cast("double") / F.col("td_tp").cast("double"))
+          .as("gain"),
+        F.when(F.col("td_tp") > 0L,
+          (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double")) /
+            (F.col("td_tp").cast("double") / F.col("td_tn").cast("double")))
+          .as("lift"))
+      .orderBy(F.col("bucket").asc)
+  }
+
+  /** Persist a trained model as a one-row parquet stamp (features +
+    * intercept-first weights + the fixed-point scale it was trained
+    * under) — the same build-once-score-nightly pattern as the BM25 /
+    * IVF persistence stamps. */
+  def saveLogistic(spark: org.apache.spark.sql.SparkSession, path: String,
+      featureCols: Seq[String], weights: Seq[Double]): Unit = {
+    require(weights.length == featureCols.length + 1,
+      s"need ${featureCols.length + 1} weights, got ${weights.length}")
+    import spark.implicits._
+    Seq((featureCols, weights, GradScale))
+      .toDF("features", "weights", "grad_scale")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model: (featureCols, intercept-first weights).
+    * Refuses a stamp trained under a different fixed-point scale. */
+  def loadLogistic(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Seq[Double]) = {
+    val row = spark.read.parquet(path).head()
+    require(row.getDouble(2) == GradScale,
+      s"model stamp at $path was trained under grad_scale " +
+        s"${row.getDouble(2)}, this build uses $GradScale")
+    (row.getSeq[String](0), row.getSeq[Double](1))
+  }
+
   /** Brier score — mean squared error of probabilistic scores — with
     * the squared terms in fixed point (floor(d²·2^20 + 0.5)), so the
     * corpus-wide sum commutes and the answer is engine-exact: one

@@ -788,6 +788,34 @@ object ScaleOracles {
         |      CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
         |     CAST(n_pos * n_neg AS DOUBLE)) END AS auc
         |FROM a ORDER BY "group" ASC""".stripMargin,
+    "q_quality_gains" ->
+      """WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |           FROM documents
+        |           WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT y, row_number() OVER (ORDER BY s DESC, doc_id ASC)
+        |        AS rk FROM c),
+        |per AS (SELECT CAST(floor(CAST((rk - 1) * 10 AS DOUBLE)
+        |            / CAST(nn.n AS DOUBLE)) AS BIGINT) AS bucket,
+        |          CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(y) AS BIGINT) AS n_pos
+        |        FROM r, nn GROUP BY 1),
+        |cum AS (SELECT bucket, n, n_pos,
+        |          CAST(sum(n) OVER (ORDER BY bucket
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |          CAST(sum(n_pos) OVER (ORDER BY bucket
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |        FROM per),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |          CAST(sum(n_pos) AS BIGINT) AS tp FROM per)
+        |SELECT bucket, n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN tp > 0 THEN
+        |    CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) END AS gain,
+        |  CASE WHEN tp > 0 THEN
+        |    (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+        |    (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) END AS lift
+        |FROM cum, tot ORDER BY bucket ASC""".stripMargin,
     "q_quality_pr_curve" ->
       """WITH f AS (
         |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS s,

@@ -653,6 +653,20 @@ object ScaleQueries {
         QualityModel.scoreLogistic(feat, Seq("x1", "x2"), w.toSeq),
         "score", "y")
     }),
+    "q_quality_gains" -> ((s, dir) => {
+      // the targeting read: rank by the heuristic score descending, ten
+      // near-equal slices, positives captured so far and lift over the
+      // base rate — rank from the range shuffle, cumulative window over
+      // ten metadata rows
+      import graft.pipeline.QualityModel
+      QualityModel.gainsTable(
+        d(s, dir, "documents")
+          .where(F.col("n_chars").isNotNull && F.col("lang").isNotNull)
+          .select(F.col("doc_id"),
+            F.col("n_chars").cast("double").as("score"),
+            F.when(F.col("lang") === "en", 1).otherwise(0).as("y")),
+        "score", "y", buckets = 10, tiebreakers = Seq("doc_id"))
+    }),
     "q_profile" -> ((s, dir) => {
       // the ANALYZE card in ONE aggregation job: per-column rows /
       // nulls / exact distinct / typed extrema / exact-DECIMAL mean —

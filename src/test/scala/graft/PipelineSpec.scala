@@ -1217,6 +1217,33 @@ class PipelineSpec extends AnyFunSuite {
         math.floor((s - y) * (s - y) * 1048576.0 + 0.5).toLong }.sum
     assert(br.getLong(0) == 6L &&
       br.getDouble(1) == (handQ.toDouble / 1048576.0) / 6.0)
+    // gains table == driver-side sorted replay (desc score, id tiebreak)
+    val gains = QualityModel.gainsTable(df, "s", "y", buckets = 4,
+        tiebreakers = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val sorted = rows.sortBy(r => (-r._3, r._1))
+    val handBuckets = sorted.zipWithIndex
+      .groupBy { case (_, i) => (i.toLong * 4L) / rows.size }
+      .toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.size.toLong,
+        rs.count(_._1._4 == 1).toLong) }
+    var (cn, cp) = (0L, 0L)
+    val handCum = handBuckets.map { case (b, bn, bp) =>
+      cn += bn; cp += bp; (b, bn, bp, cn, cp) }
+    assert(gains.toSeq == handCum, s"${gains.toSeq} vs $handCum")
+    // monotone gain, lift starts above 1 when the score is informative
+    // persistence: save/load round-trip scores identically
+    val mdir = java.nio.file.Files.createTempDirectory("graft-lrm").toString
+    val w2 = QualityModel.trainLogistic(df, Seq("s"), "y", iters = 2)
+    QualityModel.saveLogistic(spark, mdir, Seq("s"), w2.toSeq)
+    val (fcols, wl) = QualityModel.loadLogistic(spark, mdir)
+    assert(fcols == Seq("s") && wl == w2.toSeq)
+    val a1 = QualityModel.scoreLogistic(df, Seq("s"), w2.toSeq)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a2 = QualityModel.scoreLogistic(df, fcols, wl)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a1 == a2)
   }
 
   test("column profiler: one-pass card matches hand-computed facts, typed extrema") {

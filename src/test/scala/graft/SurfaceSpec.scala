@@ -98,7 +98,7 @@ class SurfaceSpec extends AnyFunSuite {
     // an oracle whose gate name drifted would silently vanish from the
     // driver's hash check — fail here instead
     assert((o -- q).isEmpty, s"oracles without a gate query: ${(o -- q).toSeq.sorted}")
-    assert(q.size >= 266, s"gate count dropped to ${q.size}")
+    assert(q.size >= 267, s"gate count dropped to ${q.size}")
     // only the hash-seeded/probabilistic/centroid-routed ops may skip the
     // value-hash oracle; anything else appearing here is a coverage bug
     val rowsOnly = q -- o
