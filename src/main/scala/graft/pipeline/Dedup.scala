@@ -502,6 +502,46 @@ object Dedup {
       (acc, b) => acc + F.when(F.element_at(votes, b + 1) > 0, shl(F.lit(1L), b)).otherwise(0L))
   }
 
+  /** Engine-portable SimHash: a 60-bit signature whose per-token hash is
+    * the md5-prefix long ([[Sketches.hexPrefix]] — the repo's portable
+    * hash, statable verbatim in external SQL), so unlike [[simhash64]]
+    * (xxhash64, engine-specific) the SIGNATURE ITSELF is oracle-checkable,
+    * not just its clustering behavior. Same algorithm: each token
+    * occurrence votes ±1 per bit position by its hash bit; the sign of the
+    * accumulated vote becomes the signature bit (ties → 0); 60 bits
+    * because the md5 prefix is 15 hex chars. NULL text answers 0L (the
+    * [[graft.expressions.SimHash64Expr]] convention).
+    *
+    * Shape: entirely row-local HOF arithmetic — zero shuffles at any
+    * scale. The token hash and the vote array are each BOUND through a
+    * single-element `aggregate` wrapper so neither re-evaluates per lambda
+    * element (Catalyst has no CSE inside HOF lambda bodies: an inline md5
+    * referenced by the 60-wide bit transform would otherwise run 60× per
+    * token). */
+  def simhash60Md5(text: Column): Column = {
+    def shr(v: Column, bits: Column) = F.call_function("shiftright", v, bits)
+    def shl(v: Column, bits: Column) = F.call_function("shiftleft", v, bits)
+    val votes = F.aggregate(
+      tokens(text),
+      F.array_repeat(F.lit(0L), 60),
+      (acc, t) => F.aggregate(
+        // binds h = hexPrefix(md5(t)) ONCE per token
+        F.array(Sketches.hexPrefix(t)), acc,
+        (a, h) => F.zip_with(a,
+          F.transform(F.sequence(F.lit(0), F.lit(59)),
+            b => F.when(shr(h, b).bitwiseAND(F.lit(1L)) =!= 0, 1L)
+              .otherwise(-1L)),
+          (x, v) => x + v)))
+    val sig = F.aggregate(
+      // binds the vote array ONCE for the 60-wide sign fold
+      F.array(votes), F.lit(0L),
+      (acc0, vs) => F.aggregate(F.sequence(F.lit(0), F.lit(59)), acc0,
+        (acc, b) => acc +
+          F.when(F.element_at(vs, b + 1) > 0, shl(F.lit(1L), b))
+            .otherwise(0L)))
+    F.coalesce(sig, F.lit(0L))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 

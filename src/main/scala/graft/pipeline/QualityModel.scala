@@ -118,14 +118,19 @@ object QualityModel {
       .agg(
         F.sum(F.col("td_pos")).cast("long").as("n_pos"),
         F.sum(F.col("td_c") - F.col("td_pos")).cast("long").as("n_neg"),
-        F.sum(F.col("td_pos") *
-            (F.lit(2L) * F.col("td_min") + F.col("td_c") - 1L))
-          .cast("long").as("td_r2"))
+        // DECIMAL(38,0) accumulation: the rank sum grows as n² per group
+        // and would wrap a LongType sum at ~3e9 rows (see aucOf)
+        F.sum(F.col("td_pos").cast("decimal(19,0)") *
+            (F.lit(2L) * F.col("td_min") + F.col("td_c") - 1L)
+              .cast("decimal(19,0)")).as("td_r2"))
       .select(F.col("group"), F.col("n_pos"), F.col("n_neg"),
         F.when(F.col("n_pos") > 0L && F.col("n_neg") > 0L,
           (F.col("td_r2").cast("double") / 2.0d -
-            (F.col("n_pos") * (F.col("n_pos") + 1L)).cast("double") / 2.0d) /
-            (F.col("n_pos") * F.col("n_neg")).cast("double")).as("auc"))
+            (F.col("n_pos").cast("decimal(19,0)") *
+              (F.col("n_pos") + 1L).cast("decimal(19,0)"))
+              .cast("double") / 2.0d) /
+            (F.col("n_pos").cast("decimal(19,0)") *
+              F.col("n_neg").cast("decimal(19,0)")).cast("double")).as("auc"))
       .orderBy(F.col("group").asc)
   }
 
@@ -328,15 +333,23 @@ object QualityModel {
         Seq("td_s"))
     // Σ avgrank over positives in HALF-UNITS (2·avgrank = 2·min + cnt − 1
     // is an exact long), so the sum is integer algebra until the end
+    // the half-unit rank sum Σ(2·rank + cnt − 1) grows as n², so at the
+    // multi-billion-row scale this module documents a LongType sum would
+    // silently wrap (~3e9 rows); accumulate in DECIMAL(38,0) — the same
+    // commutative-exactness convention as the gradient sums — as must the
+    // n⁺(n⁺+1) product before the final double division
     withCnt.agg(
         F.sum(F.col("td_y")).cast("long").as("n_pos"),
         F.sum(F.lit(1) - F.col("td_y")).cast("long").as("n_neg"),
         F.sum(F.when(F.col("td_y") === 1,
             F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
-          .otherwise(F.lit(0L))).cast("long").as("td_r2"))
+          .otherwise(F.lit(0L)).cast("decimal(38,0)")).as("td_r2"))
       .select(F.col("n_pos"), F.col("n_neg"),
         ((F.col("td_r2").cast("double") / 2.0d -
-          (F.col("n_pos") * (F.col("n_pos") + 1L)).cast("double") / 2.0d) /
-          (F.col("n_pos") * F.col("n_neg")).cast("double")).as("auc"))
+          (F.col("n_pos").cast("decimal(19,0)") *
+            (F.col("n_pos") + 1L).cast("decimal(19,0)"))
+            .cast("double") / 2.0d) /
+          (F.col("n_pos").cast("decimal(19,0)") *
+            F.col("n_neg").cast("decimal(19,0)")).cast("double")).as("auc"))
   }
 }

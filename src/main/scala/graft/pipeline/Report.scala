@@ -911,4 +911,141 @@ object Report {
     one.select(F.explode(F.array(entries: _*)).as("td_p"))
       .select("td_p.*")
   }
+
+  /** MERGEABLE per-column profile stamp — the versioned-store face of
+    * [[profile]]: the same one-pass aggregation, but every statistic is
+    * kept in its merge-closed form (counts, min/max, and the numeric sum
+    * still in exact DECIMAL, no finishing divisions), so per-version
+    * stamps roll up through [[mergeProfiles]] with zero rescan of
+    * history, bit-equal to profiling the union. `n_distinct` is
+    * deliberately ABSENT: exact distinct counts do not merge (shards can
+    * share values); pair the stamp with a KMV/Bloom sketch when the
+    * rollup needs distinct counts — that family already has all three
+    * faces. Output: (column, dtype, n_rows, n_cnt, min_num, max_num,
+    * min_str, max_str, sum_dec) — one row per profiled column. */
+  def profileStamp(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = (if (cols.nonEmpty) cols else df.columns.toSeq).sorted
+    require(targets.nonEmpty, "profileStamp of zero columns")
+    val nullD = F.lit(null).cast("double")
+    val nullS = F.lit(null).cast("string")
+    val nullDec = F.lit(null).cast("decimal(38,4)")
+    def isNum(c: String) = df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val aggs = targets.flatMap { c =>
+      val col = F.col(c)
+      Seq(F.count(col).as(s"td_cnt_$c")) ++
+        (if (isNum(c)) Seq(
+          F.min(col).cast("double").as(s"td_min_$c"),
+          F.max(col).cast("double").as(s"td_max_$c"),
+          // DECIMAL(38,4) carries the (28,4) per-version sums with merge
+          // headroom; exact integer/fixed-point algebra commutes, so
+          // Σ_versions Σ_rows == Σ_union bit-for-bit
+          F.sum(col.cast("decimal(28,4)")).cast("decimal(38,4)")
+            .as(s"td_sum_$c"))
+        else Seq(
+          F.min(col.cast("string")).as(s"td_mins_$c"),
+          F.max(col.cast("string")).as(s"td_maxs_$c")))
+    }
+    val one = df.agg(F.count(F.lit(1)).as("td_n"), aggs: _*)
+    val entries = targets.map { c =>
+      F.struct(
+        F.lit(c).as("column"),
+        F.lit(df.schema(c).dataType.simpleString).as("dtype"),
+        F.col("td_n").as("n_rows"),
+        F.col(s"td_cnt_$c").as("n_cnt"),
+        (if (isNum(c)) F.col(s"td_min_$c") else nullD).as("min_num"),
+        (if (isNum(c)) F.col(s"td_max_$c") else nullD).as("max_num"),
+        (if (isNum(c)) nullS else F.col(s"td_mins_$c")).as("min_str"),
+        (if (isNum(c)) nullS else F.col(s"td_maxs_$c")).as("max_str"),
+        (if (isNum(c)) F.col(s"td_sum_$c") else nullDec).as("sum_dec"))
+    }
+    one.select(F.explode(F.array(entries: _*)).as("td_p"))
+      .select("td_p.*")
+  }
+
+  /** Roll up [[profileStamp]] rows from several versions/shards into the
+    * union's profile WITHOUT rescanning data: counts add, min/max fold,
+    * decimal sums add exactly, and the finishing arithmetic (n_nulls,
+    * double cast, one stated mean division) matches [[profile]]'s — so
+    * for disjoint shards the rollup is bit-equal to profiling the union
+    * (minus `n_distinct`, which does not merge; see [[profileStamp]]).
+    * Stamps disagreeing on a column's dtype raise loudly (the
+    * [[mergeQuantileSketches]] stamp-identity convention — a profile of
+    * a recast column must not silently fold into the old one). Output:
+    * (column, dtype, n_rows, n_nulls, min_num, max_num, min_str,
+    * max_str, sum_num, mean) ascending by column. */
+  def mergeProfiles(stamps: DataFrame): DataFrame = {
+    val need = Seq("column", "dtype", "n_rows", "n_cnt", "sum_dec")
+    require(need.forall(stamps.columns.contains),
+      "profile stamps must carry (column, dtype, n_rows, n_cnt, sum_dec) " +
+        "— (re)build with profileStamp")
+    val dtypeGuard = F.when(F.countDistinct(F.col("dtype")) === 1,
+        F.first(F.col("dtype")))
+      .otherwise(F.raise_error(F.concat(
+        F.lit("cannot merge profile stamps with different dtypes for "),
+        F.first(F.col("column")))))
+    stamps
+      .groupBy(F.col("column"))
+      .agg(dtypeGuard.as("dtype"),
+        F.sum(F.col("n_rows")).cast("long").as("n_rows"),
+        F.sum(F.col("n_cnt")).cast("long").as("td_cnt"),
+        F.min(F.col("min_num")).as("min_num"),
+        F.max(F.col("max_num")).as("max_num"),
+        F.min(F.col("min_str")).as("min_str"),
+        F.max(F.col("max_str")).as("max_str"),
+        F.sum(F.col("sum_dec")).as("td_sum"))
+      .select(F.col("column"), F.col("dtype"), F.col("n_rows"),
+        (F.col("n_rows") - F.col("td_cnt")).as("n_nulls"),
+        F.col("min_num"), F.col("max_num"),
+        F.col("min_str"), F.col("max_str"),
+        F.col("td_sum").cast("double").as("sum_num"),
+        F.when(F.col("td_cnt") > 0L && F.col("td_sum").isNotNull,
+          F.col("td_sum").cast("double") / F.col("td_cnt").cast("double"))
+          .as("mean"))
+      .orderBy(F.col("column").asc)
+  }
+
+  /** Column-profile drift between two stamp sets (e.g. HEAD vs HEAD~1 of
+    * a stored table, each a [[profileStamp]] output or a union of them):
+    * the schema-and-stats delta a publish review wants — did a column
+    * appear/vanish or change type, did the null rate move, did the mean
+    * shift, did the value range widen? FULL OUTER on column (an added or
+    * dropped column IS drift), every fraction stated once, deltas NULL
+    * when a side is missing. `range_widened` reads the typed extrema
+    * (numeric for numeric columns, lexicographic for the rest) and
+    * answers false when nothing widened or nothing is comparable.
+    * Output: (column, schema_changed, n_rows_cur, n_rows_base,
+    * null_frac_cur, null_frac_base, mean_cur, mean_base, mean_delta,
+    * range_widened) ascending by column. */
+  def profileDrift(cur: DataFrame, base: DataFrame): DataFrame = {
+    def side(stamps: DataFrame, sfx: String) =
+      mergeProfiles(stamps).select(
+        F.col("column"),
+        F.col("dtype").as(s"td_dtype_$sfx"),
+        F.col("n_rows").as(s"n_rows_$sfx"),
+        F.when(F.col("n_rows") > 0L,
+          F.col("n_nulls").cast("double") / F.col("n_rows").cast("double"))
+          .as(s"null_frac_$sfx"),
+        F.col("min_num").as(s"td_minn_$sfx"),
+        F.col("max_num").as(s"td_maxn_$sfx"),
+        F.col("min_str").as(s"td_mins_$sfx"),
+        F.col("max_str").as(s"td_maxs_$sfx"),
+        F.col("mean").as(s"mean_$sfx"))
+    side(cur, "cur").join(side(base, "base"), Seq("column"), "full_outer")
+      .select(F.col("column"),
+        (F.col("td_dtype_cur").isNull || F.col("td_dtype_base").isNull ||
+          F.col("td_dtype_cur") =!= F.col("td_dtype_base"))
+          .as("schema_changed"),
+        F.col("n_rows_cur"), F.col("n_rows_base"),
+        F.col("null_frac_cur"), F.col("null_frac_base"),
+        F.col("mean_cur"), F.col("mean_base"),
+        (F.col("mean_cur") - F.col("mean_base")).as("mean_delta"),
+        F.coalesce(
+          (F.col("td_minn_cur") < F.col("td_minn_base")) ||
+            (F.col("td_maxn_cur") > F.col("td_maxn_base")) ||
+            (F.col("td_mins_cur") < F.col("td_mins_base")) ||
+            (F.col("td_maxs_cur") > F.col("td_maxs_base")),
+          F.lit(false)).as("range_widened"))
+      .orderBy(F.col("column").asc)
+  }
 }

@@ -110,19 +110,22 @@ object Sketches {
       .select(keyCols ++ Seq(F.col("k"),
         F.col("e.h").as("td_h"), F.col("e.key").as("td_key")): _*)
       .distinct()
-    val w = Window.partitionBy(keyCols: _*).orderBy(F.col("td_h").asc)
+    // the k-stamp identity guard aggregates over EVERY exploded entry —
+    // BEFORE any bottom-k selection — so sketches with disagreeing stamps
+    // raise even when their hash sets are disjoint (a per-hash or
+    // post-filter guard would pass silently in that case); the union
+    // bottom-k is a sorted fold over ≤ (#sketches · k) entries per group
+    // (sketch rows, never corpus), sliced to k — no window, no
+    // single-partition stage
     val kGuard = F.when(F.countDistinct(F.col("k")) === 1,
         F.first(F.col("k")))
       .otherwise(F.raise_error(F.lit(
         "cannot merge KMV sketches with different k stamps")))
-    exploded.withColumn("td_rn", F.row_number().over(w))
-      // rn bound uses the row's own k; the merge-wide identity guard
-      // fires in the aggregate below if stamps disagree
-      .where(F.col("td_rn") <= F.col("k"))
+    exploded
       .groupBy(keyCols: _*)
-      .agg(F.sort_array(F.collect_list(
-          F.struct(F.col("td_h").as("h"), F.col("td_key").as("key"))))
-          .as("entries"),
+      .agg(F.slice(F.sort_array(F.collect_list(
+            F.struct(F.col("td_h").as("h"), F.col("td_key").as("key")))),
+          F.lit(1), kGuard).as("entries"),
         kGuard.as("k"))
       .select(keyCols ++ Seq(F.col("entries"), F.col("k")): _*)
   }
@@ -178,21 +181,38 @@ object Sketches {
       .select(keyCols ++ Seq(F.col("k"), F.col("e.h").as("td_h"),
         F.lit(mark).as("td_side")): _*)
     val both = side(a, "a").unionByName(side(b, "b"))
-    val perHash = both
+    // stamp identity is validated across ALL entry rows in the final
+    // aggregate below, not per hash — two sketches with different k
+    // stamps but DISJOINT hash sets must still raise (a per-hash guard
+    // sees a single k per group and passes silently); carrying min AND
+    // max of k through the per-hash agg lets the group-level guard see
+    // every stamp even when a hash appears on both sides
+    val perHash2 = both
       .groupBy(keyCols :+ F.col("td_h"): _*)
       .agg(F.max(F.when(F.col("td_side") === "a", 1).otherwise(0))
           .as("in_a"),
         F.max(F.when(F.col("td_side") === "b", 1).otherwise(0)).as("in_b"),
-        F.when(F.countDistinct(F.col("k")) === 1, F.first(F.col("k")))
-          .otherwise(F.raise_error(F.lit(
-            "cannot compare KMV sketches with different k stamps")))
-          .as("k"))
-    val w = Window.partitionBy(keyCols: _*).orderBy(F.col("td_h").asc)
-    perHash.withColumn("td_rn", F.row_number().over(w))
-      .where(F.col("td_rn") <= F.col("k"))
+        F.min(F.col("k")).as("td_kmin"), F.max(F.col("k")).as("td_kmax"))
+    val kGuard = F.when(
+        F.countDistinct(F.col("td_kmin")) === 1 &&
+          F.countDistinct(F.col("td_kmax")) === 1 &&
+          F.min(F.col("td_kmin")) === F.max(F.col("td_kmax")),
+        F.first(F.col("td_kmin")))
+      .otherwise(F.raise_error(F.lit(
+        "cannot compare KMV sketches with different k stamps")))
+    // union bottom-k: sorted fold over the ≤ 2k per-hash rows per group
+    // (sketch entries, never corpus), sliced to k — no window
+    perHash2
       .groupBy(keyCols: _*)
-      .agg(F.count(F.lit(1)).as("n_kept"),
-        F.sum(F.col("in_a") * F.col("in_b")).as("n_common"))
+      .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+            F.col("td_h"), F.col("in_a"), F.col("in_b")))),
+          F.lit(1), kGuard).as("td_m"))
+      .select(keyCols ++ Seq(
+        F.size(F.col("td_m")).cast("long").as("n_kept"),
+        F.aggregate(F.col("td_m"), F.lit(0L),
+          (acc, e) => acc +
+            (e.getField("in_a") * e.getField("in_b")).cast("long"))
+          .as("n_common")): _*)
       .withColumn("jaccard",
         F.col("n_common").cast("double") / F.col("n_kept").cast("double"))
       .select(keyCols ++ Seq(F.col("n_kept"), F.col("n_common"),
@@ -320,24 +340,40 @@ object Sketches {
 
   /** Point-query frequencies from a CMS: for each probe key, min over
     * the sketch's depth rows of the counter at that row's bucket. The
-    * sketch is depth rows — broadcast onto the probes, so the probe
-    * relation can be arbitrarily large (a full candidate vocabulary)
-    * with no shuffle of the sketch. Output: probes ++ (estimate). */
+    * sketch collapses to ONE broadcast row (an r → counts map of depth
+    * small arrays), so each probe row stays exactly one output row —
+    * duplicate probe rows keep their cardinality (the former
+    * probe-relation groupBy both collapsed duplicates AND cost a probe-
+    * wide shuffle; this has neither), and the probe relation can be
+    * arbitrarily large (a full candidate vocabulary) with zero shuffles.
+    * Sketch rows disagreeing on (depth, width) raise loudly. Output:
+    * probes ++ (estimate). */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame,
       keyCol: String): DataFrame = {
-    val rows = sketch.select(F.col("r").as("td_r"),
-      F.col("counts").as("td_counts"), F.col("width").as("td_w"))
+    val one = sketch.agg(
+      F.map_from_entries(F.collect_list(
+        F.struct(F.col("r"), F.col("counts")))).as("td_rows"),
+      F.when(F.countDistinct(F.struct(F.col("depth"), F.col("width"))) === 1,
+          F.first(F.col("depth")))
+        .otherwise(F.raise_error(F.lit(
+          "CMS sketch rows disagree on (depth, width)"))).as("td_d"),
+      F.first(F.col("width")).as("td_w"))
+    val key = F.col(keyCol).cast("string")
     probes
-      .join(F.broadcast(rows))
-      .withColumn("td_b",
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("td_r").cast("string"), F.lit(":"),
-              F.col(keyCol).cast("string"))), 1, 8),
-          16, 10).cast("long") % F.col("td_w"))
-      .withColumn("td_c",
-        F.element_at(F.col("td_counts"), (F.col("td_b") + 1L).cast("int")))
-      .groupBy(probes.columns.map(F.col).toSeq: _*)
-      .agg(F.min(F.col("td_c")).as("estimate"))
+      .join(F.broadcast(one))
+      .withColumn("estimate",
+        F.array_min(F.transform(
+          F.sequence(F.lit(0), F.col("td_d") - 1),
+          r => {
+            // key and td_rows are bound attributes, so only the md5 (which
+            // genuinely depends on the lambda variable r) runs per element
+            val b = F.conv(F.substring(
+                F.md5(F.concat(r.cast("string"), F.lit(":"), key)), 1, 8),
+              16, 10).cast("long") % F.col("td_w")
+            F.element_at(F.element_at(F.col("td_rows"), r),
+              (b + 1L).cast("int"))
+          })))
+      .drop("td_rows", "td_d", "td_w")
   }
 
   // ---------------------------------------------------------------------
@@ -525,21 +561,41 @@ object Sketches {
       .select(F.col("k"), F.col("e.h").as("td_h"),
         F.lit(mark).as("td_side"))
     val both = side(a, "a").unionByName(side(b, "b"))
+    // same whole-sketch stamp guard as kmvJaccardImpl: min AND max of k
+    // survive the per-hash agg so the global guard sees every stamp, and
+    // two sketches with different k but disjoint hashes raise loudly
+    // instead of building an ill-defined union bottom-k
     val perHash = both
       .groupBy(F.col("td_h"))
       .agg(F.max(F.when(F.col("td_side") === "a", 1).otherwise(0)).as("in_a"),
         F.max(F.when(F.col("td_side") === "b", 1).otherwise(0)).as("in_b"),
-        F.when(F.countDistinct(F.col("k")) === 1, F.first(F.col("k")))
-          .otherwise(F.raise_error(F.lit(
-            "cannot compare KMV sketches with different k stamps")))
-          .as("k"))
-    val w = Window.orderBy(F.col("td_h").asc)
-    val union = perHash.withColumn("td_rn", F.row_number().over(w))
-      .where(F.col("td_rn") <= F.col("k"))
-      .agg(F.count(F.lit(1)).as("n_kept"),
-        F.sum(F.col("in_a") * F.col("in_b")).as("n_common"),
-        F.max(F.col("td_h")).as("td_kth"),
-        F.first(F.col("k")).as("td_k"))
+        F.min(F.col("k")).as("td_kmin"), F.max(F.col("k")).as("td_kmax"))
+    val kGuard = F.when(
+        F.countDistinct(F.col("td_kmin")) === 1 &&
+          F.countDistinct(F.col("td_kmax")) === 1 &&
+          F.min(F.col("td_kmin")) === F.max(F.col("td_kmax")),
+        F.first(F.col("td_kmin")))
+      .otherwise(F.raise_error(F.lit(
+        "cannot compare KMV sketches with different k stamps")))
+    // union bottom-k as a sorted fold over the ≤ 2k per-hash rows (sketch
+    // entries by construction, never corpus data), sliced to k — replaces
+    // the former unpartitioned row_number window, so the boundedness is
+    // structural (collect_list over sketch entries) rather than implicit,
+    // and the bench tail loses the single-partition WindowExec warning
+    val union = perHash
+      .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+            F.col("td_h"), F.col("in_a"), F.col("in_b")))),
+          F.lit(1), kGuard).as("td_m"),
+        kGuard.as("td_k"))
+      .select(
+        F.size(F.col("td_m")).cast("long").as("n_kept"),
+        F.aggregate(F.col("td_m"), F.lit(0L),
+          (acc, e) => acc +
+            (e.getField("in_a") * e.getField("in_b")).cast("long"))
+          .as("n_common"),
+        F.get(F.col("td_m"), F.size(F.col("td_m")) - 1)
+          .getField("td_h").as("td_kth"),
+        F.col("td_k"))
       .select(F.col("n_kept"), F.col("n_common"), F.col("td_k"),
         (F.col("n_common").cast("double") / F.col("n_kept").cast("double"))
           .as("jaccard"),

@@ -142,6 +142,23 @@ object TextAnalysis {
   def winnowFingerprint(text: Column, w: Int = 4): Column =
     graft.expressions.TextKernels.winnowMinHash(tokens(text), w)
 
+  /** Engine-portable winnowing fingerprint: min over the md5-prefix long
+    * ([[Sketches.hexPrefix]] — the repo's portable hash) of every `w`-token
+    * window (space-joined; fewer than `w` tokens hash the whole joined
+    * array once, mirroring [[winnowFingerprint]]'s clamping). Unlike the
+    * xxhash64 kernel, the FINGERPRINT ITSELF is statable in external SQL,
+    * so the gate carries a full value-hash oracle.
+    *
+    * `toks` MUST be a BOUND attribute (stage `tokens(text)` in its own
+    * projection first): the per-window slice references it inside the
+    * lambda, and Catalyst re-inlines an unbound producer per element —
+    * an inline split would re-tokenize once per window position. */
+  def winnowFingerprintMd5(toks: Column, w: Int = 4): Column =
+    F.array_min(F.transform(
+      F.sequence(F.lit(0), F.greatest(F.size(toks) - w, F.lit(0))),
+      i => Sketches.hexPrefix(
+        F.array_join(F.slice(toks, i + 1, F.lit(w)), " "))))
+
   /** Reference HOF formulation of [[winnowFingerprint]] — parity oracle
     * only (interpreted lambdas, fresh slice per window). */
   private[graft] def winnowFingerprintHof(text: Column, w: Int = 4): Column = {

@@ -277,6 +277,175 @@ object ExtendedOracles {
     // is integer elementwise addition, so the streamed rollup is
     // bit-equal to the whole-corpus sketch the oracle states — identical
     // md5 row-salted buckets, estimate = min over the 4 rows
+    // streaming calibration: hourly windows partition events by ts and
+    // the per-(window, bin) algebra is QualityModel.calibration's exactly
+    // (gridBin fixed grid, integer counts, fixed-point mean score), so
+    // the oracle states each hour's batch calibration over the raw table
+    "q_stream_calibration" ->
+      """WITH sc AS (SELECT ts,
+        |    CAST(value AS DOUBLE) / 512.0 AS s,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |b AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |          AS hour_epoch,
+        |    CASE WHEN s < 0.0 THEN 0 WHEN s >= 1.0 THEN 11
+        |         ELSE LEAST(10, CAST(floor(((s - 0.0) * 10.0) / 1.0)
+        |           AS BIGINT) + 1) END AS bin,
+        |    y, CAST(floor(s * 1048576.0 + 0.5) AS BIGINT) AS sq
+        |  FROM sc)
+        |SELECT hour_epoch, bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS frac_pos,
+        |  ((CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE) / 1048576.0)
+        |    / CAST(count(*) AS DOUBLE)) AS mean_score
+        |FROM b GROUP BY hour_epoch, bin
+        |ORDER BY hour_epoch, bin""".stripMargin,
+    // profile drift: HEAD holds shard doc_id%3=2, HEAD~1 shard
+    // doc_id%3=1; same stats arithmetic as the rollup oracle per shard,
+    // then the same delta algebra (every fraction/delta stated once,
+    // range_widened through the identical 3-valued OR + coalesce)
+    "q_profile_drift" ->
+      """WITH cur AS (
+        |  SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+        |    CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |    CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(sum(CAST(doc_id AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(doc_id) AS DOUBLE) AS mean
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 'lang', 'string', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(lang) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(lang), max(lang),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 'n_chars', 'bigint', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(sum(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(n_chars) AS DOUBLE)
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 'source', 'string', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(source) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(source), max(source),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |base AS (
+        |  SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+        |    CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |    CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(sum(CAST(doc_id AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(doc_id) AS DOUBLE) AS mean
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'lang', 'string', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(lang) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(lang), max(lang),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'n_chars', 'bigint', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(sum(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(n_chars) AS DOUBLE)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'source', 'string', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(source) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(source), max(source),
+        |    CAST(NULL AS DOUBLE)
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT c."column",
+        |  (c.dtype IS NULL OR b.dtype IS NULL OR c.dtype <> b.dtype)
+        |    AS schema_changed,
+        |  c.n_rows AS n_rows_cur, b.n_rows AS n_rows_base,
+        |  CASE WHEN c.n_rows > 0 THEN
+        |    CAST(c.n_nulls AS DOUBLE) / CAST(c.n_rows AS DOUBLE) END
+        |    AS null_frac_cur,
+        |  CASE WHEN b.n_rows > 0 THEN
+        |    CAST(b.n_nulls AS DOUBLE) / CAST(b.n_rows AS DOUBLE) END
+        |    AS null_frac_base,
+        |  c.mean AS mean_cur, b.mean AS mean_base,
+        |  c.mean - b.mean AS mean_delta,
+        |  coalesce(c.min_num < b.min_num OR c.max_num > b.max_num
+        |      OR c.min_str < b.min_str OR c.max_str > b.max_str, false)
+        |    AS range_widened
+        |FROM cur c FULL OUTER JOIN base b ON c."column" = b."column"
+        |ORDER BY c."column"""".stripMargin,
+    // CMS store rollup: disjoint shards make the union the whole table
+    // and elementwise addition makes the rollup bit-equal to the
+    // whole-corpus sketch — identical md5 row-salted buckets, estimate =
+    // min over the 4 rows, never-crawled probes read empty buckets (0)
+    "q_cms_store_rollup" ->
+      """WITH src AS (SELECT source FROM documents),
+        |probes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS exact
+        |  FROM src GROUP BY source
+        |  UNION ALL
+        |  SELECT 'uncrawled://' || i::VARCHAR, CAST(0 AS BIGINT)
+        |  FROM generate_series(0, 4) AS g(i)),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |bkt AS (SELECT r,
+        |          ('0x' || substr(md5(r::VARCHAR || ':' || source), 1, 8))::BIGINT
+        |            % 256 AS b,
+        |          CAST(count(*) AS BIGINT) AS n
+        |        FROM src CROSS JOIN rs GROUP BY 1, 2)
+        |SELECT p.source, p.exact, min(coalesce(bk.n, 0)) AS estimate
+        |FROM probes p CROSS JOIN rs r
+        |LEFT JOIN bkt bk ON bk.r = r.r
+        |  AND bk.b = ('0x' || substr(md5(r.r::VARCHAR || ':' || p.source), 1, 8))::BIGINT
+        |    % 256
+        |GROUP BY p.source, p.exact
+        |ORDER BY p.source""".stripMargin,
+    // profile rollup: disjoint shards make the union the whole table;
+    // counts add, min/max fold, DECIMAL sums add exactly — so the
+    // per-version stamps roll up bit-equal to these whole-corpus stats
+    "q_profile_rollup" ->
+      """WITH p1 AS (SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+        |    CAST(min(doc_id) AS DOUBLE) AS min_num,
+        |    CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str,
+        |    CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(sum(CAST(doc_id AS DECIMAL(28,4))) AS DOUBLE) AS sum_num,
+        |    CAST(sum(CAST(doc_id AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(doc_id) AS DOUBLE) AS mean
+        |  FROM documents),
+        |p2 AS (SELECT 'lang', 'string', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(lang) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(lang), max(lang),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM documents),
+        |p3 AS (SELECT 'n_chars', 'bigint', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(sum(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE),
+        |    CAST(sum(CAST(n_chars AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(n_chars) AS DOUBLE)
+        |  FROM documents),
+        |p4 AS (SELECT 'source', 'string', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(source) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(source), max(source),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM documents)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+        |ORDER BY "column"""".stripMargin,
     "q_stream_confusion" ->
       """WITH sc AS (SELECT ts,
         |    CAST(value AS DOUBLE) / 512.0 AS s,

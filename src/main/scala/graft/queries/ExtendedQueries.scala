@@ -501,6 +501,99 @@ object ExtendedQueries {
           F.col("precision"), F.col("recall"), F.col("f1"))
         .orderBy("hour_epoch")
     }),
+    "q_stream_calibration" -> ((s, dir) => {
+      // live calibration monitoring THROUGH Structured Streaming: hourly
+      // per-bin (n, n_pos, frac_pos, mean_score) of a deployed score
+      // (value rescaled to [0,1]) against an arriving label — the
+      // score-calibration sibling of q_stream_drift, and the algebra is
+      // QualityModel.calibration's exactly, so the oracle states each
+      // hour's batch calibration over the raw table
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s, s"$dir/events",
+        t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+        .withColumn("td_score", F.col("value").cast("double") / 512.0d)
+        .withColumn("td_label",
+          F.when(F.col("user_id") % 2 === 0, 1).otherwise(0))
+      val cal = graft.streaming.Streams.windowedCalibration(
+        stream, "ts", "td_score", "td_label", "1 hour", "1 hour", bins = 10)
+      graft.streaming.StreamStage.runToMemory(cal, "q_stream_calibration_",
+          "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("bin"), F.col("n"), F.col("n_pos"),
+          F.col("frac_pos"), F.col("mean_score"))
+        .orderBy("hour_epoch", "bin")
+    }),
+    "q_profile_rollup" -> ((s, dir) => {
+      // the dataset-card column profile END TO END through the versioned
+      // store: three disjoint crawl shards published as three versions, a
+      // mergeable profile stamp built PER STORED VERSION via @HEAD~n refs,
+      // rolled up with zero rescan of history — counts add, min/max fold,
+      // decimal sums add exactly, so the rollup is bit-equal to profiling
+      // the union and the oracle states each column's stats over the
+      // whole corpus (n_distinct is absent by design: exact distincts do
+      // not merge — the KMV rollup gate carries that face)
+      import graft.pipeline.Report
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      val store = tempStore(s)
+      (0 until 3).foreach { m =>
+        store.write("g", "prdocs", docs.where(F.col("doc_id") % 3 === m))
+      }
+      // explicit column list: the stored scan carries $td.* system
+      // columns, which are not part of the card
+      val st = (ref: String) => Report.profileStamp(
+        store.scan(ref).get.df, Seq("doc_id", "lang", "source", "n_chars"))
+      Report.mergeProfiles(
+        st("g/prdocs@HEAD~2").unionByName(st("g/prdocs@HEAD~1"))
+          .unionByName(st("g/prdocs@HEAD")))
+    }),
+    "q_profile_drift" -> ((s, dir) => {
+      // publish review between two stored versions: HEAD (shard 2) vs
+      // HEAD~1 (shard 1) profile stamps compared column-by-column —
+      // null-rate moves, mean shifts, range widening, schema change —
+      // with zero rescan of the base version's data; the oracle states
+      // both shards' stats and the same delta arithmetic
+      import graft.pipeline.Report
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      val store = tempStore(s)
+      (0 until 3).foreach { m =>
+        store.write("g", "pddocs", docs.where(F.col("doc_id") % 3 === m))
+      }
+      val st = (ref: String) => Report.profileStamp(
+        store.scan(ref).get.df, Seq("doc_id", "lang", "source", "n_chars"))
+      Report.profileDrift(st("g/pddocs@HEAD"), st("g/pddocs@HEAD~1"))
+    }),
+    "q_cms_store_rollup" -> ((s, dir) => {
+      // the incremental frequency sketch END TO END through the
+      // versioned store: three disjoint crawl shards published as three
+      // versions, a 4×256 count-min sketch of the source column built
+      // PER STORED VERSION via @HEAD~n refs, merged ELEMENTWISE with
+      // zero rescan of history, then point-queried for every observed
+      // source plus never-crawled keys — integer algebra makes the
+      // rollup bit-equal to sketching the union, so the oracle states
+      // the whole-corpus counters (collisions and all); completes the
+      // batch + streaming + store-rollup symmetry for the CMS family
+      // (KMV and Bloom already have all three faces)
+      import graft.pipeline.Sketches
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "source")
+      val store = tempStore(s)
+      (0 until 3).foreach { m =>
+        store.write("g", "cdocs", docs.where(F.col("doc_id") % 3 === m))
+      }
+      val sk = (ref: String) => Sketches.cmsSketch(
+        store.scan(ref).get.df, "source", depth = 4, width = 256)
+      val merged = Sketches.mergeCmsSketches(
+        sk("g/cdocs@HEAD~2").unionByName(sk("g/cdocs@HEAD~1"))
+          .unionByName(sk("g/cdocs@HEAD")))
+      val probes = docs.groupBy("source")
+        .agg(F.count(F.lit(1)).as("exact"))
+        .unionByName(s.range(5).select(
+          F.concat(F.lit("uncrawled://"), F.col("id").cast("string"))
+            .as("source"),
+          F.lit(0L).as("exact")))
+      Sketches.cmsEstimate(merged, probes, "source").orderBy("source")
+    }),
     "q_kmv_store_rollup" -> ((s, dir) => {
       // the incremental dataset-card distinct count END TO END through
       // the versioned store: three disjoint crawl shards published as

@@ -176,6 +176,39 @@ object PipelineOracles {
     // IVF-PQ with nprobe = k AND m = 1, ks = N: both approximations vanish
     // and the ADC arithmetic reduces to the same flat fold → brute force
     "q_ann_ivfpq_exact" -> exactAnnOracle,
+    // pure PQ with m = 1, ks = N (iters = 0): every vector is its own
+    // single-subspace centroid → zero quantization error → brute force
+    "q_ann_pq_exact" -> exactAnnOracle,
+    // md5-prefix SimHash: per-token-occurrence ±1 votes per bit of the
+    // 60-bit portable hash; sign of the accumulated vote → signature bit
+    "q_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+        |v AS (SELECT doc_id, g.b,
+        |        SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> g.b) & 1) = 1
+        |            THEN 1 ELSE -1 END) AS votes
+        |      FROM tok CROSS JOIN generate_series(0, 59) AS g(b)
+        |      GROUP BY doc_id, g.b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // equal-signature buckets over the same portable signature
+    "q_dedup_simhash_groups" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+        |v AS (SELECT doc_id, g.b,
+        |        SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> g.b) & 1) = 1
+        |            THEN 1 ELSE -1 END) AS votes
+        |      FROM tok CROSS JOIN generate_series(0, 59) AS g(b)
+        |      GROUP BY doc_id, g.b),
+        |sig AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM v GROUP BY doc_id)
+        |SELECT sig, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM sig GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
     // SemDedup with k = 1 is exact all-pairs cosine
     "q_dedup_semantic_exact" ->
       s"""SELECT a, b, cos FROM (
@@ -421,6 +454,17 @@ object PipelineOracles {
       """SELECT doc_id,
         |  md5(array_to_string(string_split_regex(lower(trim(text)), '\s+')[1:8], ' ')) AS prefix_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // md5-prefix winnowing: min over the portable hash of every 4-token
+    // window; fewer than 4 tokens hash the whole joined array once
+    // (list_slice clamps exactly like the Spark slice)
+    "q_text_winnow" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_min(list_transform(generate_series(0, greatest(len(toks) - 4, 0)),
+        |    i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 4), ' ')), 1, 15))::BIGINT))
+        |    AS BIGINT) AS winnow_fp
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
@@ -525,7 +569,9 @@ object PipelineOracles {
     // the streaming gate must reproduce the batch verdicts exactly —
     // one oracle text for both
     "q_stream_decontaminate" -> decontaminateSql,
-    "q_text_normalize" ->
+    // renamed from a duplicate "q_text_normalize" key (the CCNet
+    // canonical-key oracle was shadowing this NFC one)
+    "q_text_unicode_nfc" ->
       """SELECT doc_id,
         |  nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))
         |    AS norm,

@@ -118,9 +118,26 @@ object PipelineQueries {
         .orderBy("a", "b")
     }),
     "q_dedup_simhash" -> ((s, dir) => {
+      // md5-prefix-seeded signature (Dedup.simhash60Md5): same ±1-vote
+      // algorithm as the xxhash64 kernel, but the portable hash makes the
+      // signature itself hash-oracle-checkable; the codegen'd kernel keeps
+      // its KernelParitySpec coverage
       val docs = t(s, dir, "documents")
-      docs.select(F.col("doc_id"), Dedup.simhash64(F.col("text")).as("simhash"))
+      docs.select(F.col("doc_id"),
+          Dedup.simhash60Md5(F.col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+    "q_dedup_simhash_groups" -> ((s, dir) => {
+      // the clustering face of the portable signature: equal-signature
+      // buckets (hamming 0) with the survivor and the bucket size —
+      // fully oracle-checkable because the md5-seeded signature itself is
+      val docs = t(s, dir, "documents")
+      docs.select(F.col("doc_id"),
+          Dedup.simhash60Md5(F.col("text")).as("sig"))
+        .groupBy("sig")
+        .agg(F.min("doc_id").as("keep_id"), F.count(F.lit(1)).as("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("sig")
     }),
     "q_dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -186,6 +203,23 @@ object PipelineQueries {
       val emb = t(s, dir, "embeddings")
       val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
         m = 16, ks = 128, iters = 2)
+      val enc = graft.pipeline.Quantize.encodePq(emb, "vec_id", "embedding", cb)
+      graft.pipeline.Quantize.pqTopK(enc, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, cb)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_pq_exact" -> ((s, dir) => {
+      // m = 1 with ks = N (iters = 0: the seed centroids ARE the corpus
+      // vectors) makes every vector its own single-subspace centroid —
+      // zero quantization error, and the ADC table-lookup machinery
+      // reproduces the flat seed-0 left-fold dot product — so pure-PQ
+      // search hash-matches the brute-force oracle verbatim; q_ann_pq
+      // keeps the approximate m=16/ks=128 configuration under its
+      // measured-recall spec
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count().toInt
+      val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+        m = 1, ks = n, iters = 0)
       val enc = graft.pipeline.Quantize.encodePq(emb, "vec_id", "embedding", cb)
       graft.pipeline.Quantize.pqTopK(enc, emb.filter(F.col("vec_id") < 5),
           "vec_id", "embedding", k = 10, cb)
@@ -375,10 +409,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
     "q_text_winnow" -> ((s, dir) => {
-      // xxhash-based winnowing sketch → rows-only check
+      // md5-prefix-seeded winnowing sketch (portable hash → full value
+      // oracle); tokens staged as a bound column first — the per-window
+      // slice would otherwise re-tokenize per position (HOF-CSE trap).
+      // The xxhash64 kernel keeps its KernelParitySpec coverage.
       val d = t(s, dir, "documents")
       d.select(F.col("doc_id"),
-        TextAnalysis.winnowFingerprint(F.col("text"), 4).as("winnow_fp"))
+          TextAnalysis.tokens(F.col("text")).as("td_toks"))
+        .select(F.col("doc_id"),
+          TextAnalysis.winnowFingerprintMd5(F.col("td_toks"), 4)
+            .as("winnow_fp"))
         .orderBy("doc_id")
     }),
 
@@ -500,10 +540,13 @@ object PipelineQueries {
       graft.streaming.StreamStage.runToMemory(flags, "q_stream_decon_", "append")
         .orderBy("id")
     }),
-    "q_text_normalize" -> ((s, dir) => {
+    "q_text_unicode_nfc" -> ((s, dir) => {
       // inject combining accents ('a' -> 'a' + U+0301) so NFC has real
       // composition work; DuckDB's nfc_normalize implements the same
-      // UAX#15 form, so the normalized strings hash-match
+      // UAX#15 form, so the normalized strings hash-match.
+      // (Previously keyed "q_text_normalize", a DUPLICATE of the CCNet
+      // canonical-key gate below: in a Map literal the last entry wins,
+      // so this gate and its oracle were silently dead for rounds.)
       val decomposed = F.regexp_replace(F.col("text"), "a", "a\u0301")
       t(s, dir, "documents").where(F.col("doc_id") < 50)
         .select(F.col("doc_id"),

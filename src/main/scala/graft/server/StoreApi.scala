@@ -219,14 +219,26 @@ final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
           case None => respondJson(ex, 400,
             """{"error":"missing required query parameter: to"}""")
           case Some(ref) =>
-            try store.restore(c, t, ref) match {
-              case Some(e) => respondJson(ex, 200,
-                s"""{"data":{"version":"${e.id}","dataOf":"${e.dataRef}"}}""")
-              case None => respondJson(ex, 200,
-                """{"data":"noop: HEAD already reads that version"}""")
-            } catch {
-              case iae: IllegalArgumentException => respondJson(ex, 404,
-                s"""{"error":"${iae.getMessage}"}""")
+            // a selector that does not PARSE is the caller's malformed
+            // request (400); a selector that parses but resolves to no
+            // version is a missing resource (404) — and either message
+            // embeds the user-supplied ref, so it must be JSON-escaped
+            val parseError =
+              try { graft.store.Version.parse(ref); None }
+              catch { case iae: IllegalArgumentException => Some(iae) }
+            parseError match {
+              case Some(iae) => respondJson(ex, 400,
+                s"""{"error":${jsonString(iae.getMessage)}}""")
+              case None =>
+                try store.restore(c, t, ref) match {
+                  case Some(e) => respondJson(ex, 200,
+                    s"""{"data":{"version":"${e.id}","dataOf":"${e.dataRef}"}}""")
+                  case None => respondJson(ex, 200,
+                    """{"data":"noop: HEAD already reads that version"}""")
+                } catch {
+                  case iae: IllegalArgumentException => respondJson(ex, 404,
+                    s"""{"error":${jsonString(iae.getMessage)}}""")
+                }
             }
         }
 
@@ -261,6 +273,13 @@ final class StoreApi(store: TableStore, engine: Option[FlowEngine] = None,
         val Array(k, v) = kv.split("=", 2)
         java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
+
+  /** A string as a JSON string literal (quoted + escaped) — any text that
+    * can embed user input must pass through here, or a quote/backslash in
+    * the input produces a malformed response body. */
+  private def jsonString(s: String): String =
+    TableStore.jsonMapper.writeValueAsString(
+      Option(s).getOrElse("(no message)"))
 
   private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

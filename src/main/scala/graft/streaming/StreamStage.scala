@@ -77,18 +77,33 @@ object StreamStage {
     // GC and frees the name for this run's query.
     val name = (prefix + "_sink").replaceAll("[^A-Za-z0-9_]", "_")
     s.catalog.dropTempView(name)
+    // a failed prior run can leave the fixed-name query active (its stop
+    // never reached); stop it first so this run can reuse the name instead
+    // of failing "query name already active" forever after
+    s.streams.active.filter(q => Option(q.name).contains(name))
+      .foreach(_.stop())
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, statePartitions.toString)
+    // per-run scratch: state-store files are useless once the AvailableNow
+    // run completes (the memory sink holds the result), so the dir is
+    // deleted afterwards — without this every invocation leaked a
+    // checkpoint dir with its state files (3 bench repeats × ~15 streaming
+    // gates ≈ 45 orphan dirs per bench run)
+    val ckpt = Files.createTempDirectory(s"$prefix-ckpt")
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation",
-          Files.createTempDirectory(s"$prefix-ckpt").toString)
+        .option("checkpointLocation", ckpt.toString)
         .start()
-      q.processAllAvailable(); q.stop()
-    } finally s.conf.set(key, old)
+      // stop in finally: a throwing processAllAvailable must not leave the
+      // named query active (it would poison every later run of this gate)
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      s.conf.set(key, old)
+      graft.store.TableStore.deleteTree(ckpt)
+    }
     s.table(name)
   }
 }

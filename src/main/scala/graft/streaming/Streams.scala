@@ -214,6 +214,43 @@ object Streams {
             (F.col("precision") + F.col("recall"))))
   }
 
+  /** Live calibration monitoring: per event-time window, the
+    * [[graft.pipeline.QualityModel.calibration]] table of a DEPLOYED
+    * score against arriving labels — identical algebra (the
+    * [[graft.pipeline.Report.gridBin]] fixed grid over [0, 1), exact
+    * integer counts, the fixed-point mean score), so a window's rows
+    * equal the batch calibration over that window's rows EXACTLY, and a
+    * drifting window is directly comparable bin-by-bin against a stored
+    * batch baseline (the score-calibration sibling of the
+    * distribution-drift monitor). Stateless aggregation: state per open
+    * window is ≤ bins+2 rows of three counters, watermark-bounded.
+    * Rows with NULL score/label carry no count. Output: (window, bin,
+    * n, n_pos, frac_pos, mean_score). */
+  def windowedCalibration(df: DataFrame, tsCol: String, scoreCol: String,
+      labelCol: String, window: String, watermark: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("int")
+    df.where(s.isNotNull && y.isNotNull)
+      .select(F.col(tsCol),
+        graft.pipeline.Report.gridBin(s, 0.0, 1.0, bins).as("bin"),
+        y.as("td_y"),
+        F.floor(s * F.lit(graft.pipeline.QualityModel.GradScale) +
+          F.lit(0.5d)).cast("long").as("td_sq"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window), F.col("bin"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("td_y")).cast("long").as("n_pos"),
+        F.sum(F.col("td_sq")).as("td_sqs"))
+      .select(F.col("window"), F.col("bin"), F.col("n"), F.col("n_pos"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+          .as("frac_pos"),
+        ((F.col("td_sqs").cast("double") /
+          F.lit(graft.pipeline.QualityModel.GradScale)) /
+          F.col("n").cast("double")).as("mean_score"))
+  }
+
   /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
     * the live-dashboard metric Structured Streaming cannot express with
     * `countDistinct` (distinct aggregates are unsupported on streams).

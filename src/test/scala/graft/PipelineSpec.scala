@@ -1276,6 +1276,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(sub.getLong(3) == 1L && sub.isNullAt(10))
   }
 
+  test("profile stamps roll up bit-equal to profiling the union") {
+    import spark.implicits._
+    import graft.pipeline.Report
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    val shards = (0 until 3).map(m => docs.where(F.col("doc_id") % 3 === m))
+    val merged = Report.mergeProfiles(
+      shards.map(Report.profileStamp(_)).reduce(_ unionByName _))
+    // profile of the union minus n_distinct (exact distincts do not
+    // merge — deliberately absent from the stamp)
+    val expected = Report.profile(docs).drop("n_distinct")
+      .orderBy("column")
+    assert(merged.collect().toSeq == expected.collect().toSeq,
+      "rollup diverged from profiling the union")
+    // dtype drift between stamps must raise, not silently fold
+    val recast = Report.profileStamp(
+      docs.withColumn("n_chars", F.col("n_chars").cast("int")))
+    val ex = intercept[Exception] {
+      Report.mergeProfiles(
+        Report.profileStamp(docs).unionByName(recast)).collect()
+    }
+    assert(ex.getMessage.contains("dtypes"), ex.getMessage)
+  }
+
+  test("profile drift flags schema changes, added columns, range widening") {
+    import spark.implicits._
+    import graft.pipeline.Report
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "x")
+    val cur = Seq((0L, "a", 35.0, true), (5L, "c", 5.0, false))
+      .toDF("id", "s", "x", "flag")
+    val d = Report.profileDrift(
+        Report.profileStamp(cur), Report.profileStamp(base))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d.keySet == Set("flag", "id", "s", "x"))
+    // added column: schema drift, base side all-NULL
+    assert(d("flag").getBoolean(1) && d("flag").isNullAt(3))
+    // numeric range widened both ends (0 < 1, 5 > 2); exact mean delta
+    assert(!d("id").getBoolean(1) && d("id").getBoolean(9))
+    assert(d("id").getDouble(8) == 2.5 - 1.5)
+    // string extrema widened lexicographically ("c" > "b")
+    assert(d("s").getBoolean(9))
+    assert(d("x").getBoolean(9) && d("x").getDouble(8) == 20.0 - 15.0)
+    // a dtype change alone flags schema_changed
+    val d2 = Report.profileDrift(
+        Report.profileStamp(base.withColumn("x", F.col("x").cast("float"))),
+        Report.profileStamp(base))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d2("x").getBoolean(1) && !d2("id").getBoolean(1))
+  }
+
   test("sketch drift: zero on self, hand-checked PSI/KS/TVD, shift-sensitive, grid-guarded") {
     import spark.implicits._
     import graft.pipeline.Report

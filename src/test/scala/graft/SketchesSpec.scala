@@ -284,4 +284,37 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("k stamps"), ex.getMessage)
   }
+
+  test("mismatched k stamps raise even when the sketches share no hashes") {
+    import spark.implicits._
+    // disjoint key sets → disjoint md5 hash sets: a per-hash stamp guard
+    // sees a single k in every group and would pass silently, producing
+    // an ill-defined union bottom-k — the guard must aggregate over the
+    // WHOLE sketch rows instead
+    val a = Sketches.kmvSketch(
+      (0 until 50).map(i => s"left $i").toDF("key"), "key", 16)
+    val b = Sketches.kmvSketch(
+      (0 until 50).map(i => s"right $i").toDF("key"), "key", 64)
+    val e1 = intercept[Exception] { Sketches.kmvSetOps(a, b).collect() }
+    assert(e1.getMessage.contains("k stamps"), e1.getMessage)
+    val e2 = intercept[Exception] { Sketches.kmvJaccard(a, b).collect() }
+    assert(e2.getMessage.contains("k stamps"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Sketches.mergeKmvSketches(a.unionByName(b)).collect()
+    }
+    assert(e3.getMessage.contains("k stamps"), e3.getMessage)
+  }
+
+  test("cmsEstimate preserves duplicate probe rows") {
+    import spark.implicits._
+    val sk = Sketches.cmsSketch(docs, "text", depth = 3, width = 64)
+    val probes = Seq("p1", "p1", "p2").toDF("text")
+    val est = Sketches.cmsEstimate(sk, probes, "text")
+    // one output row per probe ROW (the probe relation's cardinality is
+    // not the operator's to change), duplicates answering identically
+    assert(est.count() == 3)
+    val p1 = est.where(F.col("text") === "p1")
+      .select("estimate").collect().map(_.getLong(0)).toSeq
+    assert(p1.size == 2 && p1.distinct.size == 1, p1.toString)
+  }
 }

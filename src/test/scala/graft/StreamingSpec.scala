@@ -211,6 +211,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed calibration: streamed per-hour bins equal batch calibration") {
+    val dir = Files.createTempDirectory("graft-stream-wcal")
+    val batch = eventsBatch
+      .withColumn("td_score", F.col("value").cast("double") / 512.0d)
+      .withColumn("td_label",
+        F.when((F.col("user_id") % 2) === 0, 1).otherwise(0))
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema)
+    val cal = Streams.windowedCalibration(stream, "ts", "td_score",
+      "td_label", "1 hour", "1 hour", bins = 10)
+    val q = Streams.runToMemory(cal, "wcal", outputMode = "complete")
+    q.stop()
+    val got = spark.table("wcal")
+      .select(F.unix_timestamp(F.col("window.start")).as("h"),
+        F.col("bin"), F.col("n"), F.col("n_pos"),
+        F.col("frac_pos"), F.col("mean_score"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.toSeq.tail).toSet).toMap
+    assert(got.size > 1)
+    got.keys.foreach { h =>
+      val slice = batch.where(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) === h)
+      val exp = graft.pipeline.QualityModel.calibration(
+          slice, "td_score", "td_label", 10)
+        .collect().map(_.toSeq).toSet
+      assert(got(h) == exp, s"hour $h")
+    }
+  }
+
   test("windowed moments: streamed sketch rows merge with batch bit-exactly") {
     val dir = Files.createTempDirectory("graft-stream-wmom")
     val batch = eventsBatch

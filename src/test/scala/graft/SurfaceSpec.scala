@@ -92,21 +92,72 @@ class SurfaceSpec extends AnyFunSuite {
     assert(tf.inspect(1) eq tf) // passthrough returns the same frame
   }
 
+  test("no gate or oracle key is silently shadowed by a duplicate") {
+    import scala.jdk.CollectionConverters._
+    // (a) cross-object shadowing: SparkEntry composes the maps with ++,
+    // which silently keeps the LAST binding of a repeated key
+    val qParts = Seq(
+      graft.queries.RelationalQueries.queries,
+      graft.queries.PipelineQueries.queries,
+      graft.queries.ExtendedQueries.queries,
+      graft.queries.ParityQueries.queries,
+      graft.queries.ScaleQueries.queries,
+      graft.queries.QualityQueries.queries,
+      graft.queries.CurationQueries.queries,
+      graft.queries.AnalyticsQueries.queries,
+      graft.queries.TpchQueries.queries)
+    assert(qParts.map(_.keySet).reduce(_ ++ _).size == qParts.map(_.size).sum,
+      "a gate key is defined in two query objects (one silently shadowed)")
+    val oParts = Seq(
+      graft.queries.RelationalOracles.oracleSql,
+      graft.queries.PipelineOracles.oracleSql,
+      graft.queries.ExtendedOracles.oracleSql,
+      graft.queries.ParityOracles.oracleSql,
+      graft.queries.ScaleOracles.oracleSql,
+      graft.queries.QualityOracles.oracleSql,
+      graft.queries.CurationOracles.oracleSql,
+      graft.queries.AnalyticsOracles.oracleSql,
+      graft.queries.TpchOracles.oracleSql)
+    assert(oParts.map(_.keySet).reduce(_ ++ _).size == oParts.map(_.size).sum,
+      "an oracle key is defined in two oracle objects (one silently shadowed)")
+    // (b) within-literal duplicates are INVISIBLE at runtime (a Map
+    // literal keeps the last duplicate with no error — this silently
+    // killed the NFC-normalization gate for several rounds), so scan the
+    // source for anchored key lines; loop-generated keys won't appear
+    // here, so the scan is a no-duplicates check, not a completeness one
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    assume(java.nio.file.Files.isDirectory(dir), s"no source at $dir")
+    val keyLine = """^\s*"(q_\w+)" ->.*$""".r
+    def dupKeysIn(suffix: String): Seq[String] =
+      java.nio.file.Files.list(dir).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(suffix)).toSeq
+        .flatMap(p => java.nio.file.Files.readAllLines(p).asScala.collect {
+          case keyLine(k) => k
+        })
+        .groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dupKeysIn("Queries.scala").isEmpty,
+      s"duplicate gate keys in source: ${dupKeysIn("Queries.scala")}")
+    assert(dupKeysIn("Oracles.scala").isEmpty,
+      s"duplicate oracle keys in source: ${dupKeysIn("Oracles.scala")}")
+  }
+
   test("gate contract: every oracle has a gate; rows-only set is exactly the documented ops") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     // an oracle whose gate name drifted would silently vanish from the
     // driver's hash check — fail here instead
     assert((o -- q).isEmpty, s"oracles without a gate query: ${(o -- q).toSeq.sorted}")
-    assert(q.size >= 267, s"gate count dropped to ${q.size}")
+    assert(q.size >= 274, s"gate count dropped to ${q.size}")
     // only the hash-seeded/probabilistic/centroid-routed ops may skip the
     // value-hash oracle; anything else appearing here is a coverage bug
+    // (q_dedup_simhash and q_text_winnow left this set in r13: their
+    // md5-prefix-seeded formulations carry full value-hash oracles)
     val rowsOnly = q -- o
     val justified = Set("q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_ann_ivfpq",
       // deflate has no SQL analog; CurationSpec pins known-ratio orderings
       "q_compression_ratio",
       "q_approx_nunique",
-      "q_dedup_minhash", "q_dedup_simhash", "q_text_winnow", "q_dedup_semantic",
+      "q_dedup_minhash", "q_dedup_semantic",
       "q_dedup_incremental_near",
       // data-dependent per-word merge loop, no SQL analog; PipelineSpec
       // holds the Sennrich differential + q_tokenize_bpe_exact twin
