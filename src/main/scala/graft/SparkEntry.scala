@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.QualityQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
+      graft.queries.ModelQueries.queries ++
       graft.queries.TpchQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.QualityOracles.oracleSql ++
       graft.queries.CurationOracles.oracleSql ++
       graft.queries.AnalyticsOracles.oracleSql ++
+      graft.queries.ModelOracles.oracleSql ++
       graft.queries.TpchOracles.oracleSql
 }

@@ -1,0 +1,260 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank-style link-graph importance — the graph-centrality stage of
+  * a curation pipeline (rank documents/hosts by citation structure, the
+  * web-graph quality signal of Page et al. 1999; complements the
+  * similarity-graph operators in [[Clustering]]).
+  *
+  * Deterministic and oracle-checkable across engines, like
+  * [[QualityModel]]/[[Pca]]:
+  *
+  *   - each iteration is ONE join + aggregation pass: edge contribution
+  *     r_u/outdeg(u), summed per destination — the per-edge term is
+  *     rounded into FIXED POINT (floor(t·2^20 + 0.5) as DECIMAL(38,0)),
+  *     so the per-node sum commutes across any partitioning and the
+  *     whole trajectory replays bit-for-bit in SQL;
+  *   - the update r_v = (1−d)/N + d·(S_v/2^20) states every double op
+  *     once, identically on both engines.
+  *
+  * Simplified treatment of dangling nodes (no out-edges): their mass is
+  * not redistributed, the standard "PageRank prime" simplification —
+  * callers that need a stochastic matrix should symmetrize or add
+  * self-loops before calling (the gate builds a symmetric bipartite
+  * graph, which has no dangling nodes).
+  *
+  * At 100 TB the rank relation is corpus-sized and the per-iteration
+  * join shuffles on the edge key — PageRank's inherent cost; AQE handles
+  * skewed hubs and picks broadcast when the node relation is small.
+  * Iterates feed exactly one consumer each, so the fixed iteration
+  * count composes into ONE linear plan with no per-round barrier (the
+  * shared edge/node relations are cached; contrast Clustering's
+  * multi-consumer rounds, which need a checkpoint). The driver holds
+  * only scalars. */
+object GraphRank {
+
+  import QualityModel.GradScale
+
+  /** Run `iters` PageRank passes over a directed edge list. Returns
+    * (node, rank) ascending by node. Self-loops and duplicate edges are
+    * used as given (dedupe upstream if unwanted); NULL endpoints are
+    * dropped. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val n = nodes.count().toDouble
+    require(n > 0, "pagerank over an empty edge list")
+    // out-degree joined onto each edge once, up front: the per-iteration
+    // work is then rank-join + fixed-point agg only
+    val outdeg = e.groupBy(F.col("td_u"))
+      .agg(F.count(F.lit(1)).cast("double").as("td_deg"))
+    val eDeg = e.join(outdeg, "td_u")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    eDeg.count() // materialize; e itself no longer needed per iteration
+    e.unpersist(blocking = false)
+
+    val base = (1.0d - damping) / n
+    // NO per-iteration materialization: unlike the connected-components
+    // contraction (whose rounds feed SEVERAL consumers and need a
+    // checkpoint barrier — Clustering.scala), each PageRank iterate
+    // feeds exactly ONE consumer (the next iteration's contribution
+    // join), so the composed plan grows LINEARLY in the fixed iteration
+    // count and one action at the end executes the whole chain —
+    // removing 2·iters jobs of barrier fixed cost. The shared edge and
+    // node relations ARE cached (read every iteration).
+    var ranks = nodes.select(F.col("node"),
+      (F.lit(1.0d) / F.lit(n)).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "td_u"), "td_u")
+        .groupBy(F.col("td_v"))
+        .agg(F.sum(F.floor((F.col("rank") / F.col("td_deg")) *
+            F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("td_v", "node"), Seq("node"), "left")
+        .select(F.col("node"),
+          (F.lit(base) + F.lit(damping) *
+            (F.coalesce(F.col("td_s"), F.lit(0L)).cast("decimal(38,0)")
+              .cast("double") / F.lit(GradScale))).as("rank"))
+    }
+    ranks.orderBy(F.col("node").asc)
+  }
+
+  /** Weighted PageRank: contributions proportional to edge weight —
+    * r_u · (w_uv / W_u), with the per-edge SHARE w/W computed once at
+    * build (one stated double division) and the per-iteration term in
+    * fixed point like [[pagerank]]. Non-positive/NULL weights drop the
+    * edge. */
+  def pagerankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull &&
+        F.col(weightCol).isNotNull && F.col(weightCol).cast("double") > 0.0d)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"),
+        F.col(weightCol).cast("double").as("td_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val n = nodes.count().toDouble
+    require(n > 0, "pagerankWeighted over an empty edge list")
+    // total outgoing weight per source in exact DECIMAL(28,4) (the
+    // profile-sum convention), then ONE stated share division per edge
+    val wsum = e.groupBy(F.col("td_u"))
+      .agg(F.sum(F.col("td_w").cast("decimal(28,4)")).cast("decimal(38,4)")
+        .as("td_wsum"))
+    val eShare = e.join(wsum, "td_u")
+      .select(F.col("td_u"), F.col("td_v"),
+        (F.col("td_w") / F.col("td_wsum").cast("double")).as("td_share"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    eShare.count()
+    e.unpersist(blocking = false)
+
+    val base = (1.0d - damping) / n
+    // single-consumer iterates: composed plan, no per-iteration barrier
+    // (see pagerank)
+    var ranks = nodes.select(F.col("node"),
+      (F.lit(1.0d) / F.lit(n)).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = eShare
+        .join(ranks.withColumnRenamed("node", "td_u"), "td_u")
+        .groupBy(F.col("td_v"))
+        .agg(F.sum(F.floor((F.col("rank") * F.col("td_share")) *
+            F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("td_v", "node"), Seq("node"), "left")
+        .select(F.col("node"),
+          (F.lit(base) + F.lit(damping) *
+            (F.coalesce(F.col("td_s"), F.lit(0L)).cast("decimal(38,0)")
+              .cast("double") / F.lit(GradScale))).as("rank"))
+    }
+    ranks.orderBy(F.col("node").asc)
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999): per iteration the
+    * authority pass a_v = Σ_{u→v} h_u and the hub pass h_u = Σ_{u→v} a_v,
+    * each ONE join + fixed-point aggregation, each followed by an
+    * L2 normalization whose squared norm is ITSELF a fixed-point
+    * corpus sum (so the whole trajectory replays in SQL — the same
+    * determinism contract as [[pagerank]]/[[Pca]]). Scores start at
+    * 1.0 per node (the classic init); the first normalization makes
+    * the scale canonical. Output: (node, hub, authority) ascending by
+    * node. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    nodes.count()
+
+    // one fixed-point pass: per-node sums of the other score over edges,
+    // missing nodes at 0, then L2-normalize via a fixed-point Σx²
+    def pass(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val raw = e
+        .join(scores.withColumnRenamed("node", joinKey), joinKey)
+        .groupBy(F.col(outKey).as("node"))
+        .agg(F.sum(F.floor(F.col("score") * F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_s"))
+      val unnorm = nodes.join(raw, Seq("node"), "left")
+        .select(F.col("node"),
+          (F.coalesce(F.col("td_s"), F.lit(0L)).cast("decimal(38,0)")
+            .cast("double") / F.lit(GradScale)).as("td_x"))
+      val nrm = math.sqrt(unnorm.agg(
+        F.sum(F.floor((F.col("td_x") * F.col("td_x")) * F.lit(GradScale) +
+            F.lit(0.5d)).cast("decimal(38,0)")).as("q"))
+        .head().getDecimal(0).doubleValue() / GradScale)
+      require(nrm > 0.0d, "HITS collapsed to the zero vector")
+      unnorm.select(F.col("node"), (F.col("td_x") / F.lit(nrm)).as("score"))
+    }
+
+    var hubs = nodes.select(F.col("node"), F.lit(1.0d).as("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var auth = hubs
+    for (_ <- 0 until iters) {
+      val a2 = pass(hubs, "td_u", "td_v")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      a2.count()
+      if (!(auth eq hubs)) auth.unpersist(blocking = false)
+      auth = a2
+      val h2 = pass(auth, "td_v", "td_u")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      h2.count()
+      hubs.unpersist(blocking = false)
+      hubs = h2
+    }
+    val out = hubs.withColumnRenamed("score", "hub")
+      .join(auth.withColumnRenamed("score", "authority"), Seq("node"))
+      .select(F.col("node"), F.col("hub"), F.col("authority"))
+      .orderBy(F.col("node").asc)
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-node triangle counts + local clustering coefficients over an
+    * undirected graph. Edges are canonicalized (least, greatest),
+    * deduplicated, loops dropped; triangles enumerate ONCE each via the
+    * oriented three-way join e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c (the
+    * standard orientation trick — candidate pairs are bounded by
+    * per-node oriented degrees, not total degrees, and no triangle is
+    * counted six times). Exact integer counts throughout; coefficient
+    * = 2T / (deg·(deg−1)), NULL for degree < 2. Output:
+    * (node, degree, triangles, clustering_coeff) ascending. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("a"),
+        F.col(dstCol).cast("string").as("b"))
+    val e = raw
+      .select(F.least(F.col("a"), F.col("b")).as("a"),
+        F.greatest(F.col("a"), F.col("b")).as("b"))
+      .where(F.col("a") =!= F.col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = e.select(F.col("a").as("node"))
+      .union(e.select(F.col("b").as("node")))
+      .groupBy(F.col("node"))
+      .agg(F.count(F.lit(1)).as("degree"))
+    val t1 = e.select(F.col("a"), F.col("b"))
+    val t2 = e.select(F.col("a").as("b"), F.col("b").as("c"))
+    val t3 = e.select(F.col("a"), F.col("b").as("c"))
+    val tri = t1.join(t2, "b").join(t3, Seq("a", "c"))
+    val perNode = tri.select(F.explode(F.array(
+        F.col("a"), F.col("b"), F.col("c"))).as("node"))
+      .groupBy(F.col("node"))
+      .agg(F.count(F.lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(F.col("node"), F.col("degree"),
+        F.coalesce(F.col("triangles"), F.lit(0L)).as("triangles"),
+        F.when(F.col("degree") >= 2L,
+          (F.lit(2L) * F.coalesce(F.col("triangles"), F.lit(0L)))
+            .cast("double") /
+            (F.col("degree") * (F.col("degree") - 1L)).cast("double"))
+          .as("clustering_coeff"))
+      .orderBy(F.col("node").asc)
+    out
+  }
+}

@@ -352,4 +352,71 @@ object QualityModel {
           (F.col("n_pos").cast("decimal(19,0)") *
             F.col("n_neg").cast("decimal(19,0)")).cast("double")).as("auc"))
   }
+
+  /** Engine-portable fold assignment: first-8-hex md5 of the id string
+    * as a long (the repo's portable-hash convention — DuckDB states it
+    * as `('0x' || substr(md5(id), 1, 8))::BIGINT`), mod k. Non-negative
+    * by construction, uniform, and independent of row order or
+    * partitioning. */
+  def foldOf(id: Column, k: Int): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    F.conv(F.substring(F.md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % F.lit(k.toLong)
+  }
+
+  /** k-fold cross-validation of the logistic quality model: hash-fold
+    * the corpus with [[foldOf]], train on the other k−1 folds
+    * ([[trainLogistic]] — the same fixed-point deterministic GD), score
+    * and exact-AUC the held-out fold. The generalization read of
+    * q_quality_lr: does the model rank UNSEEN documents correctly?
+    *
+    * Cost: k·iters map-side-combined aggregation passes plus k ranked
+    * AUC evaluations over 1/k of the corpus each; the featurized frame
+    * is persisted once across them. The driver holds k·(features+1)
+    * weights — O(k) metadata, never rows. Output one row per fold:
+    * (fold, n_train, n_pos, n_neg, auc, w0..wn) ascending by fold. */
+  def crossValidate(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, idCol: String, k: Int = 3, iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    val folded = df
+      .withColumn("td_fold", foldOf(F.col(idCol), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val rows = (0 until k).map { f =>
+      val train = folded.where(F.col("td_fold") =!= f.toLong)
+      val nTrain = train.count()
+      val w = trainLogistic(train, featureCols, labelCol, iters, lr)
+      val holdout = scoreLogistic(
+        folded.where(F.col("td_fold") === f.toLong), featureCols, w.toSeq,
+        "td_score")
+      val a = aucOf(holdout, "td_score", labelCol).head()
+      val nPos = if (a.isNullAt(0)) 0L else a.getLong(0)
+      val nNeg = if (a.isNullAt(1)) 0L else a.getLong(1)
+      val auc: Any = if (a.isNullAt(2)) null else a.getDouble(2)
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(f, nTrain, nPos, nNeg, auc) ++ w.toSeq)
+    }
+    folded.unpersist(blocking = false)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("fold",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_train",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_pos",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_neg",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("auc",
+          org.apache.spark.sql.types.DoubleType, nullable = true)) ++
+        w0Names(featureCols.length).map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(F.col("fold").asc)
+  }
+
+  private def w0Names(nFeatures: Int): Seq[String] =
+    (0 to nFeatures).map(j => s"w$j")
 }

@@ -926,15 +926,25 @@ object Report {
   def profileStamp(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val targets = (if (cols.nonEmpty) cols else df.columns.toSeq).sorted
     require(targets.nonEmpty, "profileStamp of zero columns")
-    val nullD = F.lit(null).cast("double")
-    val nullS = F.lit(null).cast("string")
-    val nullDec = F.lit(null).cast("decimal(38,4)")
-    def isNum(c: String) = df.schema(c).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val aggs = targets.flatMap { c =>
+    val one = df.agg(F.count(F.lit(1)).as("td_n"),
+      stampAggs(df.schema, targets): _*)
+    one.select(F.explode(F.array(stampEntries(df.schema, targets): _*))
+        .as("td_p"))
+      .select("td_p.*")
+  }
+
+  /** The per-column aggregate expressions behind [[profileStamp]] —
+    * shared with the streaming face ([[graft.streaming.Streams
+    * .windowedProfile]]), so a window stamp and a version stamp are the
+    * same algebra and merge interchangeably. */
+  private[graft] def stampAggs(schema: org.apache.spark.sql.types.StructType,
+      targets: Seq[String]): Seq[Column] =
+    targets.flatMap { c =>
       val col = F.col(c)
+      val num = schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       Seq(F.count(col).as(s"td_cnt_$c")) ++
-        (if (isNum(c)) Seq(
+        (if (num) Seq(
           F.min(col).cast("double").as(s"td_min_$c"),
           F.max(col).cast("double").as(s"td_max_$c"),
           // DECIMAL(38,4) carries the (28,4) per-version sums with merge
@@ -946,21 +956,28 @@ object Report {
           F.min(col.cast("string")).as(s"td_mins_$c"),
           F.max(col.cast("string")).as(s"td_maxs_$c")))
     }
-    val one = df.agg(F.count(F.lit(1)).as("td_n"), aggs: _*)
-    val entries = targets.map { c =>
+
+  /** The stamp-entry structs assembled from [[stampAggs]] output columns
+    * (plus `td_n`); shared with the streaming face. */
+  private[graft] def stampEntries(schema: org.apache.spark.sql.types.StructType,
+      targets: Seq[String]): Seq[Column] = {
+    val nullD = F.lit(null).cast("double")
+    val nullS = F.lit(null).cast("string")
+    val nullDec = F.lit(null).cast("decimal(38,4)")
+    targets.map { c =>
+      val num = schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       F.struct(
         F.lit(c).as("column"),
-        F.lit(df.schema(c).dataType.simpleString).as("dtype"),
+        F.lit(schema(c).dataType.simpleString).as("dtype"),
         F.col("td_n").as("n_rows"),
         F.col(s"td_cnt_$c").as("n_cnt"),
-        (if (isNum(c)) F.col(s"td_min_$c") else nullD).as("min_num"),
-        (if (isNum(c)) F.col(s"td_max_$c") else nullD).as("max_num"),
-        (if (isNum(c)) nullS else F.col(s"td_mins_$c")).as("min_str"),
-        (if (isNum(c)) nullS else F.col(s"td_maxs_$c")).as("max_str"),
-        (if (isNum(c)) F.col(s"td_sum_$c") else nullDec).as("sum_dec"))
+        (if (num) F.col(s"td_min_$c") else nullD).as("min_num"),
+        (if (num) F.col(s"td_max_$c") else nullD).as("max_num"),
+        (if (num) nullS else F.col(s"td_mins_$c")).as("min_str"),
+        (if (num) nullS else F.col(s"td_maxs_$c")).as("max_str"),
+        (if (num) F.col(s"td_sum_$c") else nullDec).as("sum_dec"))
     }
-    one.select(F.explode(F.array(entries: _*)).as("td_p"))
-      .select("td_p.*")
   }
 
   /** Roll up [[profileStamp]] rows from several versions/shards into the
@@ -1047,5 +1064,143 @@ object Report {
             (F.col("td_maxs_cur") > F.col("td_maxs_base")),
           F.lit(false)).as("range_widened"))
       .orderBy(F.col("column").asc)
+  }
+
+  /** Pairwise Pearson correlations over numeric columns in ONE
+    * aggregation pass — the feature-diagnostics face of the dataset
+    * card (which engineered quality signals are redundant?). Every
+    * corpus-wide sum is fixed point (floor(t·2^20 + 0.5) DECIMAL(38,0),
+    * the [[QualityModel]] convention), so the matrix is partitioning-
+    * invariant and engine-replayable; the finishing algebra
+    * (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²)) is O(d²)
+    * driver-side metadata with every double op stated once. Rows with
+    * a NULL in ANY target column are excluded (complete-case — the
+    * contract that keeps one shared n). Zero-variance columns answer
+    * NULL. Output: (col_a, col_b, n, corr) for a < b, ascending. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val targets = cols.sorted
+    val scale = QualityModel.GradScale
+    def fixed(t: Column) =
+      F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
+    val xs = targets.map(c => F.col(c).cast("double"))
+    val clean = df.where(xs.map(_.isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- targets.indices; j <- targets.indices if i <= j
+    } yield (i, j)
+    val aggs = targets.indices.map(i => fixed(xs(i)).as(s"td_s$i")) ++
+      pairs.map { case (i, j) => fixed(xs(i) * xs(j)).as(s"td_p${i}_$j") }
+    val row = clean.agg(F.count(F.lit(1)).as("td_n"), aggs: _*).head()
+    val n = row.getLong(0).toDouble
+    val s = targets.indices.map(i =>
+      row.getDecimal(1 + i).doubleValue() / scale)
+    val p = pairs.zipWithIndex.map { case (ij, k) =>
+      ij -> (row.getDecimal(1 + targets.size + k).doubleValue() / scale)
+    }.toMap
+    def varTerm(i: Int): Double = (n * p((i, i))) - (s(i) * s(i))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = for {
+      i <- targets.indices; j <- targets.indices if i < j
+    } yield {
+      val num = (n * p((i, j))) - (s(i) * s(j))
+      val d1 = math.sqrt(varTerm(i)); val d2 = math.sqrt(varTerm(j))
+      val corr: Option[Double] =
+        if (d1 > 0.0d && d2 > 0.0d) Some(num / (d1 * d2)) else None
+      (targets(i), targets(j), row.getLong(0), corr)
+    }
+    out.toDF("col_a", "col_b", "n", "corr")
+      .select(F.col("col_a"), F.col("col_b"), F.col("n"),
+        F.col("corr").cast("double").as("corr"))
+      .orderBy(F.col("col_a").asc, F.col("col_b").asc)
+  }
+
+  /** Per-group Pearson correlation of one column pair — the fully
+    * IN-PLAN face of [[correlationMatrix]] (group count is unbounded, so
+    * the finishing algebra rides the projection instead of the driver):
+    * one map-side-combined aggregation of fixed-point sums per group,
+    * then the same stated (n·Sxy − Sx·Sy)/(√·√) arithmetic per row.
+    * NULL group/x/y rows excluded; zero-variance groups answer NULL.
+    * Output: (group, n, corr) ascending. */
+  def corrByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val scale = QualityModel.GradScale
+    def fixed(t: Column) =
+      F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
+    val x = F.col(xCol).cast("double"); val y = F.col(yCol).cast("double")
+    val clean = df.where(x.isNotNull && y.isNotNull &&
+      F.col(groupCol).isNotNull)
+    val agg = clean.groupBy(F.col(groupCol).cast("string").as("group"))
+      .agg(F.count(F.lit(1)).as("n"),
+        fixed(x).as("td_sx"), fixed(y).as("td_sy"),
+        fixed(x * x).as("td_sxx"), fixed(x * y).as("td_sxy"),
+        fixed(y * y).as("td_syy"))
+    def dbl(c: String) = F.col(c).cast("double") / F.lit(scale)
+    val nD = F.col("n").cast("double")
+    val num = (nD * dbl("td_sxy")) - (dbl("td_sx") * dbl("td_sy"))
+    val vx = (nD * dbl("td_sxx")) - (dbl("td_sx") * dbl("td_sx"))
+    val vy = (nD * dbl("td_syy")) - (dbl("td_sy") * dbl("td_sy"))
+    agg.select(F.col("group"), F.col("n"),
+      F.when(vx > 0.0d && vy > 0.0d,
+        num / (F.sqrt(vx) * F.sqrt(vy))).as("corr"))
+      .orderBy(F.col("group").asc)
+  }
+
+  /** Mutual information between two CATEGORICAL columns, with marginal
+    * entropies and the normalized coefficient — "does source predict
+    * language?", the dependence read a dataset card wants next to the
+    * correlation matrix. One shuffle builds the joint cell counts;
+    * marginals fold from the cells; the MI/entropy sums ride the
+    * [[graft.operators.SkewDiag]] bounded-fold convention (sort_array
+    * pins the order, libm ln) so the doubles are engine-stated. The
+    * cell relation is |A|·|B| — the categorical contract; NULL in
+    * either column excludes the row. Output one row:
+    * (n, n_cells, mi, h_a, h_b, nmi) with nmi = mi/√(h_a·h_b), NULL
+    * when either entropy is zero. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = F.col(aCol).cast("string"); val b = F.col(bCol).cast("string")
+    val joint = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("td_a"), b.as("td_b"))
+      .agg(F.count(F.lit(1)).as("td_c"))
+    val ma = joint.groupBy(F.col("td_a"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_ca"))
+    val mb = joint.groupBy(F.col("td_b"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_cb"))
+    val cells = joint.join(ma, "td_a").join(mb, "td_b")
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_a"), F.col("td_b"), F.col("td_c"),
+        F.col("td_ca"), F.col("td_cb")))).as("td_cells"))
+    val nL = F.aggregate(F.col("td_cells"), F.lit(0L),
+      (acc, e) => acc + e.getField("td_c"))
+    def miOver(nD: Column) = F.aggregate(F.col("td_cells"), F.lit(0.0d),
+      (acc, e) => {
+        val c = e.getField("td_c").cast("double")
+        val ca = e.getField("td_ca").cast("double")
+        val cb = e.getField("td_cb").cast("double")
+        acc + (c / nD) * graft.expressions.MathKernels.ln(
+          (c * nD) / (ca * cb))
+      })
+    // marginal entropies from the distinct (key, marginal-count) pairs
+    // (each cell repeats its marginal; dedup, sort, fold)
+    def entOver(keyF: String, cntF: String, nD: Column) = {
+      val marg = F.array_sort(F.array_distinct(F.transform(
+        F.col("td_cells"),
+        e => F.struct(e.getField(keyF).as("k"), e.getField(cntF).as("c")))))
+      F.aggregate(marg, F.lit(0.0d), (acc, e) => {
+        val pp = e.getField("c").cast("double") / nD
+        acc - pp * graft.expressions.MathKernels.ln(pp)
+      })
+    }
+    cells
+      .withColumn("n", nL)
+      .withColumn("n_cells", F.size(F.col("td_cells")).cast("long"))
+      .withColumn("td_nd", F.col("n").cast("double"))
+      .select(F.col("n"), F.col("n_cells"),
+        miOver(F.col("td_nd")).as("mi"),
+        entOver("td_a", "td_ca", F.col("td_nd")).as("h_a"),
+        entOver("td_b", "td_cb", F.col("td_nd")).as("h_b"))
+      .withColumn("nmi",
+        F.when(F.col("h_a") > 0.0d && F.col("h_b") > 0.0d,
+          F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b"))))
   }
 }

@@ -159,6 +159,47 @@ object TextAnalysis {
       i => Sketches.hexPrefix(
         F.array_join(F.slice(toks, i + 1, F.lit(w)), " "))))
 
+  /** Vowel-group syllable heuristic: runs of `[aeiouy]` in the lowered
+    * text. Vowel groups never span whitespace, so counting them over the
+    * whole text equals summing per word — one regex pass, no split. */
+  def syllableCount(text: Column): Column =
+    F.regexp_count(F.lower(text), F.lit("[aeiouy]+"))
+
+  /** Sentence terminator runs (`[.!?]+`), floored at 1 so ratio
+    * denominators stay defined for fragment documents. */
+  def sentenceCount(text: Column): Column =
+    F.greatest(F.lit(1), F.regexp_count(text, F.lit("[.!?]+")))
+
+  /** Classic readability scores (Flesch 1948 reading ease; Kincaid et
+    * al. 1975 grade level) from the three regex counters above — the
+    * audience-level quality signal dataset cards report alongside the
+    * Gopher/C4 filters. Row-local codegen arithmetic with PINNED
+    * association (each ratio divided once, terms combined left to
+    * right), so the doubles are engine-portable; the regex classes are
+    * ones Java regex and RE2 read identically. Documents with zero
+    * words answer NULL (not a sentinel). Output: (id, n_words,
+    * n_sentences, n_syllables, flesch, fkgl). */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val staged = docs.where(t.isNotNull).select(
+      F.col(idCol),
+      tokenCount(t).cast("long").as("n_words"),
+      sentenceCount(t).cast("long").as("n_sentences"),
+      syllableCount(t).cast("long").as("n_syllables"))
+    val w = F.col("n_words").cast(DoubleType)
+    val wps = w / F.col("n_sentences").cast(DoubleType)
+    val spw = F.col("n_syllables").cast(DoubleType) / w
+    staged.select(F.col(idCol), F.col("n_words"), F.col("n_sentences"),
+      F.col("n_syllables"),
+      F.when(F.col("n_words") > 0L,
+        F.lit(206.835d) - F.lit(1.015d) * wps - F.lit(84.6d) * spw)
+        .as("flesch"),
+      F.when(F.col("n_words") > 0L,
+        F.lit(0.39d) * wps + F.lit(11.8d) * spw - F.lit(15.59d))
+        .as("fkgl"))
+  }
+
   /** Reference HOF formulation of [[winnowFingerprint]] — parity oracle
     * only (interpreted lambdas, fresh slice per window). */
   private[graft] def winnowFingerprintHof(text: Column, w: Int = 4): Column = {

@@ -1,0 +1,277 @@
+package graft.queries
+
+/** DuckDB oracles for the round-13 model/analysis gates. The PCA,
+  * cross-validation, and PageRank oracles REPLAY the full iterative
+  * trajectory (the [[graft.pipeline.QualityModel]] fixed-point
+  * convention: corpus-wide double sums as floor(t·2^20 + 0.5)
+  * DECIMAL(38,0); bounded double folds as `list(x ORDER BY i)` +
+  * `list_reduce(list_prepend(0.0, …))`, matching the Spark side's
+  * pinned ascending-index association). */
+object ModelOracles {
+
+  /** Shared PCA replay: means, centered values, and three power-
+    * iteration (sᵏ → gᵏ → uᵏ → ‖uᵏ‖ → vᵏ) blocks, each stating exactly
+    * the arithmetic of [[graft.pipeline.Pca.fit]]'s k-th pass. The v0
+    * start is uniform 1/√64 = 0.125 (exact). Ends after the v3 CTE
+    * (no trailing comma — re-add `,` when appending CTEs). */
+  private val pcaPrefix: String = {
+    val iters = (1 to 3).map { k =>
+      s"""s$k AS (SELECT vec_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(xc.xc * vv.v ORDER BY xc.i)), (a, b) -> a + b) AS s
+         |  FROM xc JOIN v${k - 1} vv USING (i) GROUP BY vec_id),
+         |g$k AS (SELECT xc.i,
+         |  sum(CAST(floor((xc.xc * sk.s) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS g
+         |  FROM xc JOIN s$k sk USING (vec_id) GROUP BY xc.i),
+         |u$k AS (SELECT i, CAST(g AS DOUBLE) / 1048576.0 AS u FROM g$k),
+         |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(u * u ORDER BY i)), (a, b) -> a + b)) AS nrm FROM u$k),
+         |v$k AS (SELECT i, u / nrm AS v FROM u$k, n$k),
+         |""".stripMargin
+    }.mkString
+    ("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |x AS (SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM e, range(1, 65) t(i)),
+       |ms AS (SELECT i, sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
+       |  FROM x GROUP BY i),
+       |m AS (SELECT i, (CAST(s AS DOUBLE) / 1048576.0) / nn.n AS m FROM ms, nn),
+       |xc AS (SELECT vec_id, x.i, x.x - m.m AS xc FROM x JOIN m USING (i)),
+       |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(1, 65) t(i)),
+       |""".stripMargin + iters).stripSuffix(",\n") + "\n"
+  }
+
+  /** One cross-validation fold: train-set count, three GD iterations
+    * filtered to the other folds (the q_quality_lr algebra), then the
+    * exact midrank AUC of the trained scores on the held-out fold. */
+  private def cvFold(f: Int): String = {
+    def iter(k: Int): String = {
+      val prev = s"w${f}_${k - 1}"
+      s"""g${f}_$k AS (SELECT
+         |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * 1.0) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS ga,
+         |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x1) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gb,
+         |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x2) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gc
+         |  FROM f, $prev WHERE f.fold <> $f),
+         |w${f}_$k AS (SELECT
+         |  wa - ((CAST(ga AS DOUBLE) / 1048576.0) / nt$f.n) AS wa,
+         |  wb - ((CAST(gb AS DOUBLE) / 1048576.0) / nt$f.n) AS wb,
+         |  wc - ((CAST(gc AS DOUBLE) / 1048576.0) / nt$f.n) AS wc
+         |  FROM g${f}_$k, $prev, nt$f),
+         |""".stripMargin
+    }
+    s"""nt$f AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f WHERE fold <> $f),
+       |w${f}_0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc),
+       |""".stripMargin + iter(1) + iter(2) + iter(3) +
+      s"""h$f AS (SELECT
+         |    (1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) AS s, y
+         |  FROM f, w${f}_3 WHERE f.fold = $f),
+         |r$f AS (SELECT s, y, rank() OVER (ORDER BY s) AS rk FROM h$f),
+         |cc$f AS (SELECT s, count(*) AS c FROM h$f GROUP BY s),
+         |a$f AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         |    CAST(sum(CASE WHEN y = 1 THEN 2 * r.rk + cc.c - 1 ELSE 0 END) AS BIGINT) AS r2
+         |  FROM r$f r JOIN cc$f cc USING (s)),
+         |row$f AS (SELECT $f AS fold, CAST(nt$f.n AS BIGINT) AS n_train,
+         |    n_pos, n_neg,
+         |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |      ((CAST(r2 AS DOUBLE) / 2.0 -
+         |        CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0) /
+         |       CAST(n_pos * n_neg AS DOUBLE)) END AS auc,
+         |    wa AS w0, wb AS w1, wc AS w2
+         |  FROM a$f, w${f}_3, nt$f),
+         |""".stripMargin
+  }
+
+  /** PageRank replay: symmetric trade graph, degrees, then five damped
+    * iterations with fixed-point per-edge contribution sums. */
+  private val prPrefix: String = {
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (SELECT ed.v AS node,
+         |  sum(CAST(floor((r."rank" / dg.deg) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
+         |  FROM ed JOIN dg USING (u) JOIN r${k - 1} r ON r.node = ed.u
+         |  GROUP BY ed.v),
+         |r$k AS (SELECT n.node,
+         |  ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n) + 0.85 *
+         |    (CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0) AS "rank"
+         |  FROM nodes n LEFT JOIN c$k c USING (node), nn),
+         |""".stripMargin
+    }.mkString
+    ("""WITH ed0 AS (SELECT DISTINCT
+       |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+       |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ed AS (SELECT u, v FROM ed0 UNION ALL SELECT v AS u, u AS v FROM ed0),
+       |nodes AS (SELECT DISTINCT u AS node FROM ed),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |dg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM ed GROUP BY u),
+       |r0 AS (SELECT node, 1.0 / nn.n AS "rank" FROM nodes, nn),
+       |""".stripMargin + iters).stripSuffix(",\n") + "\n"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pca_component" -> (pcaPrefix +
+      """SELECT CAST(i AS INT) AS dim, v AS weight FROM v3 ORDER BY dim ASC"""),
+    "q_pca_scores" -> (pcaPrefix.stripSuffix("\n") +
+      """
+        |SELECT xc.vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(xc.xc * vv.v ORDER BY xc.i)), (a, b) -> a + b) AS score
+        |FROM xc JOIN v3 vv USING (i)
+        |GROUP BY xc.vec_id ORDER BY vec_id ASC""".stripMargin),
+    "q_pca_variance" -> (pcaPrefix.stripSuffix("\n") + ",\n" +
+      """q AS (SELECT i,
+        |    sum(CAST(floor((xc * xc) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS qq
+        |  FROM xc GROUP BY i),
+        |tv AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((CAST(qq AS DOUBLE) / 1048576.0) / (nn.n - 1.0) ORDER BY i)),
+        |    (a, b) -> a + b) AS total_var FROM q, nn),
+        |lam AS (SELECT nrm / (nn.n - 1.0) AS eigenvalue FROM n3, nn)
+        |SELECT lam.eigenvalue, tv.total_var,
+        |  lam.eigenvalue / tv.total_var AS explained_ratio FROM lam, tv""".stripMargin),
+    "q_quality_cv" -> {
+      ("""WITH f AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         |      t -> t <> '')) AS DOUBLE) / 100.0 AS x2,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3 AS fold
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+         |""".stripMargin + cvFold(0) + cvFold(1) + cvFold(2))
+        .stripSuffix(",\n") + "\n" +
+      """SELECT * FROM row0 UNION ALL SELECT * FROM row1
+        |UNION ALL SELECT * FROM row2 ORDER BY fold ASC""".stripMargin
+    },
+    "q_graph_pagerank" -> (prPrefix +
+      """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),
+    "q_privacy_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  (count(*) < 10) AS violates
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_privacy_kanon_summary" ->
+      """WITH g AS (SELECT count(*) AS n FROM customer
+        |           GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(min(n) AS BIGINT) AS k_effective,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  CAST(sum(n) AS BIGINT) AS rows_total
+        |FROM g""".stripMargin,
+    "q_privacy_ldiv" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l,
+        |  (count(DISTINCT o_orderstatus) < 3) AS violates
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH c AS (SELECT CAST(l_discount AS DOUBLE) AS x0,
+        |    CAST(l_extendedprice AS DOUBLE) AS x1,
+        |    CAST(l_quantity AS DOUBLE) AS x2
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(x0 * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s0,
+        |    sum(CAST(floor(x1 * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(floor(x2 * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s2,
+        |    sum(CAST(floor((x0 * x0) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS p00,
+        |    sum(CAST(floor((x0 * x1) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS p01,
+        |    sum(CAST(floor((x0 * x2) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS p02,
+        |    sum(CAST(floor((x1 * x1) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS p11,
+        |    sum(CAST(floor((x1 * x2) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS p12,
+        |    sum(CAST(floor((x2 * x2) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS p22
+        |  FROM c),
+        |d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s0 AS DOUBLE) / 1048576.0 AS s0,
+        |    CAST(s1 AS DOUBLE) / 1048576.0 AS s1,
+        |    CAST(s2 AS DOUBLE) / 1048576.0 AS s2,
+        |    CAST(p00 AS DOUBLE) / 1048576.0 AS p00,
+        |    CAST(p01 AS DOUBLE) / 1048576.0 AS p01,
+        |    CAST(p02 AS DOUBLE) / 1048576.0 AS p02,
+        |    CAST(p11 AS DOUBLE) / 1048576.0 AS p11,
+        |    CAST(p12 AS DOUBLE) / 1048576.0 AS p12,
+        |    CAST(p22 AS DOUBLE) / 1048576.0 AS p22
+        |  FROM agg)
+        |SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, n,
+        |  ((nd * p01) - (s0 * s1)) /
+        |    (sqrt((nd * p00) - (s0 * s0)) * sqrt((nd * p11) - (s1 * s1))) AS corr
+        |FROM d
+        |UNION ALL
+        |SELECT 'l_discount', 'l_quantity', n,
+        |  ((nd * p02) - (s0 * s2)) /
+        |    (sqrt((nd * p00) - (s0 * s0)) * sqrt((nd * p22) - (s2 * s2)))
+        |FROM d
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_quantity', n,
+        |  ((nd * p12) - (s1 * s2)) /
+        |    (sqrt((nd * p11) - (s1 * s1)) * sqrt((nd * p22) - (s2 * s2)))
+        |FROM d
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY b),
+        |cells AS (SELECT j.a, j.b, j.c, ma.ca, mb.cb
+        |  FROM j JOIN ma USING (a) JOIN mb USING (b)),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |mi AS (SELECT nn.n, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+        |      ln((CAST(c AS DOUBLE) * CAST(nn.n AS DOUBLE)) /
+        |        (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+        |      ORDER BY a, b)), (x, y) -> x + y) AS mi
+        |  FROM cells, nn GROUP BY nn.n),
+        |ha AS (SELECT nn.n, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(-((CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+        |      ln(CAST(ca AS DOUBLE) / CAST(nn.n AS DOUBLE))) ORDER BY a)),
+        |    (x, y) -> x + y) AS h_a
+        |  FROM ma, nn GROUP BY nn.n),
+        |hb AS (SELECT nn.n, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(-((CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+        |      ln(CAST(cb AS DOUBLE) / CAST(nn.n AS DOUBLE))) ORDER BY b)),
+        |    (x, y) -> x + y) AS h_b
+        |  FROM mb, nn GROUP BY nn.n)
+        |SELECT nn.n, cnt.n_cells, mi.mi, ha.h_a, hb.h_b,
+        |  CASE WHEN ha.h_a > 0.0 AND hb.h_b > 0.0 THEN
+        |    mi.mi / sqrt(ha.h_a * hb.h_b) END AS nmi
+        |FROM nn, cnt, mi, ha, hb""".stripMargin,
+    "q_stream_profile" ->
+      """WITH p1 AS (SELECT 'event_type' AS "column", 'string' AS dtype,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls,
+        |    CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+        |    min(event_type) AS min_str, max(event_type) AS max_str,
+        |    CAST(NULL AS DOUBLE) AS sum_num, CAST(NULL AS DOUBLE) AS mean
+        |  FROM events),
+        |p2 AS (SELECT 'user_id', 'bigint', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(user_id) AS BIGINT),
+        |    CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(sum(CAST(user_id AS DECIMAL(28,4))) AS DOUBLE),
+        |    CAST(sum(CAST(user_id AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(user_id) AS DOUBLE)
+        |  FROM events)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |ORDER BY "column"""".stripMargin,
+    "q_text_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  END AS flesch,
+        |  CASE WHEN n_words > 0 THEN
+        |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |      - 15.59
+        |  END AS fkgl
+        |FROM t ORDER BY doc_id ASC""".stripMargin)
+}

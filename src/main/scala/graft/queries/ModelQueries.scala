@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.pipeline.{GraphRank, Pca, Privacy, QualityModel, TextAnalysis}
+
+/** Gate queries for the round-13 model/analysis operators: PCA power
+  * iteration over embeddings, k-fold cross-validation of the logistic
+  * quality model, PageRank graph importance, k-anonymity/l-diversity
+  * privacy checks, and readability scores. */
+object ModelQueries {
+  private def d(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // the same engineered quality signals as q_quality_lr (ScaleQueries),
+  // restated here with doc_id kept as the fold key for cross-validation
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    d(s, dir, "documents")
+      .where(F.col("n_chars").isNotNull && F.col("text").isNotNull &&
+        F.col("lang").isNotNull)
+      .select(F.col("doc_id"),
+        (F.col("n_chars").cast("double") / 1000.0d).as("x1"),
+        (F.size(F.filter(
+          F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+          t => t =!= "")).cast("double") / 100.0d).as("x2"),
+        F.when(F.col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+
+  // symmetric customer↔supplier trade graph: who transacted with whom,
+  // via orders ⋈ lineitem — symmetrizing removes dangling nodes, so the
+  // simplified PageRank is exactly the stochastic one
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = d(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = d(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).as("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+  }
+
+  private val Dim = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_component" -> ((s, dir) => {
+      // top principal component of the embedding table by 3 power-
+      // iteration passes — fixed-point gradient-style sums, so the
+      // oracle replays every iterate bit-for-bit (see pipeline.Pca)
+      import s.implicits._
+      val m = Pca.fit(d(s, dir, "embeddings"), "embedding", Dim, iters = 3)
+      (1 to Dim).map(i => (i, m.weights(i - 1))).toDF("dim", "weight")
+        .orderBy(F.col("dim").asc)
+    }),
+    "q_pca_scores" -> ((s, dir) => {
+      // the fitted component applied corpus-wide: centered projection
+      // per vector (row-local pinned-fold arithmetic, zero shuffles)
+      val emb = d(s, dir, "embeddings")
+      val m = Pca.fit(emb, "embedding", Dim, iters = 3)
+      Pca.score(emb, "vec_id", "embedding", m)
+        .orderBy(F.col("vec_id").asc)
+    }),
+    "q_pca_variance" -> ((s, dir) => {
+      // eigenvalue vs total variance: how much of the embedding space
+      // the first component explains (one extra fixed-point pass)
+      val emb = d(s, dir, "embeddings")
+      val m = Pca.fit(emb, "embedding", Dim, iters = 3)
+      Pca.explainedVariance(emb, "embedding", m)
+    }),
+    "q_quality_cv" -> ((s, dir) => {
+      // 3-fold cross-validation of the trainable quality model:
+      // portable md5 folds, per-fold fixed-point GD training + exact
+      // held-out AUC — the oracle replays all three trainings AND all
+      // three holdout rankings
+      QualityModel.crossValidate(lrFeatures(s, dir), Seq("x1", "x2"), "y",
+        idCol = "doc_id", k = 3, iters = 3, lr = 1.0)
+    }),
+    "q_graph_pagerank" -> ((s, dir) => {
+      // PageRank over the symmetric customer↔supplier trade graph,
+      // 5 damped iterations with fixed-point contribution sums — the
+      // oracle replays the trajectory
+      GraphRank.pagerank(tradeEdges(s, dir), "src", "dst",
+        iters = 5, damping = 0.85)
+    }),
+    "q_privacy_kanon" -> ((s, dir) => {
+      // k-anonymity equivalence classes over (nation, market segment)
+      Privacy.kAnonymity(d(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+    "q_privacy_kanon_summary" -> ((s, dir) => {
+      Privacy.kAnonymitySummary(d(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+    }),
+    "q_privacy_ldiv" -> ((s, dir) => {
+      // distinct l-diversity of order status within
+      // (priority, order year) classes — old years have no 'O' rows,
+      // so real violations appear
+      Privacy.lDiversity(
+        d(s, dir, "orders").withColumn("o_year", F.year(F.col("o_orderdate"))),
+        Seq("o_orderpriority", "o_year"), "o_orderstatus", l = 3L)
+    }),
+    "q_corr_matrix" -> ((s, dir) => {
+      // pairwise Pearson over lineitem's pricing columns in ONE
+      // fixed-point aggregation pass — the finishing algebra is O(d²)
+      // driver metadata, every double op stated once for the oracle
+      graft.pipeline.Report.correlationMatrix(d(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+    "q_mutual_info" -> ((s, dir) => {
+      // does source predict language? MI + marginal entropies + NMI
+      // over the bounded (lang, source) cell relation — SkewDiag's
+      // pinned bounded-fold convention, libm ln
+      graft.pipeline.Report.mutualInformation(
+        d(s, dir, "documents"), "lang", "source")
+    }),
+    "q_stream_profile" -> ((s, dir) => {
+      // the dataset-card profile LIVE: per-hour mergeable column stamps
+      // through Structured Streaming, exploded and rolled up with
+      // Report.mergeProfiles — bit-equal to profiling the whole corpus,
+      // so the oracle states each column's batch stats directly (the
+      // third face of the profile family: batch, store rollup, stream)
+      val (tmp, schema) = graft.streaming.StreamStage.stage(
+        s, s"$dir/events", d(s, dir, "events"))
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val wp = graft.streaming.Streams.windowedProfile(stream, "ts",
+        Seq("event_type", "user_id"), "1 hour", "1 hour")
+      val res = graft.streaming.StreamStage.runToMemory(
+        wp, "q_stream_profile_", "complete")
+      graft.pipeline.Report.mergeProfiles(
+        res.select(F.explode(F.col("entries")).as("td_p")).select("td_p.*"))
+    }),
+    "q_text_readability" -> ((s, dir) => {
+      // Flesch reading ease + Flesch-Kincaid grade from three regex
+      // counters — row-local, engine-portable arithmetic
+      TextAnalysis.readability(
+        d(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy(F.col("doc_id").asc)
+    }))
+}

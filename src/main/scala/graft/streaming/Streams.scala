@@ -251,6 +251,30 @@ object Streams {
           F.col("n").cast("double")).as("mean_score"))
   }
 
+  /** Streaming dataset-card profile — the live face of the
+    * [[graft.pipeline.Report.profileStamp]] family (batch stamp +
+    * versioned-store rollup + this): per event-time window, the SAME
+    * mergeable per-column stats (counts, typed min/max, exact
+    * DECIMAL(38,4) sums), packed as one entries array per window (a
+    * post-aggregation generate is not allowed on streams; explode after
+    * collection). Exploded window stamps roll up through
+    * `Report.mergeProfiles` bit-equal to profiling the whole corpus —
+    * counts add, min/max fold, decimal sums add exactly. State per open
+    * window is one row of O(columns) aggregates, watermark-bounded.
+    * Output: (window, entries: array<profile-stamp struct>). */
+  def windowedProfile(df: DataFrame, tsCol: String, cols: Seq[String],
+      window: String, watermark: String): DataFrame = {
+    require(cols.nonEmpty, "windowedProfile of zero columns")
+    val targets = cols.sorted
+    val aggs = graft.pipeline.Report.stampAggs(df.schema, targets)
+    df.withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window))
+      .agg(F.count(F.lit(1)).as("td_n"), aggs: _*)
+      .select(F.col("window"),
+        F.array(graft.pipeline.Report.stampEntries(df.schema, targets): _*)
+          .as("entries"))
+  }
+
   /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
     * the live-dashboard metric Structured Streaming cannot express with
     * `countDistinct` (distinct aggregates are unsupported on streams).

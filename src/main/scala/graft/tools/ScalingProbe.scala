@@ -382,6 +382,32 @@ object ScalingProbe {
             .withColumn("n", F.length(F.col("text"))),
           "g", "n", bins = 20).count()
       }),
+      ("pagerank", 100, { d =>
+        // chain edges within blocks of 100, symmetrized (the graph gate's
+        // shape): 3 damped iterations, each one rank-join + fixed-point
+        // agg — edge count linear in n, iteration count fixed
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        graft.pipeline.GraphRank.pagerank(ed, "src", "dst", iters = 3).count()
+      }),
+      ("quality_cv", 100, { d =>
+        // 3 folds × 2 GD iterations (six map-side-combined aggs) + three
+        // holdout AUC range shuffles over n/3 rows each
+        val feats = d.select(F.col("doc_id"),
+          (F.length(F.col("text")).cast("double") / 1000.0d).as("x1"),
+          (F.col("doc_id") % 2).cast("double").as("y"))
+        graft.pipeline.QualityModel.crossValidate(
+          feats, Seq("x1"), "y", "doc_id", k = 3, iters = 2).count()
+      }),
+      ("readability", 100, { d =>
+        // three regex counters + row-local arithmetic: zero shuffles
+        graft.pipeline.TextAnalysis.readability(d, "doc_id", "text")
+          .where(F.col("fkgl") > 12.0).count()
+      }),
       ("curation_e2e", 30, { d =>
         // the full composed path, every filter rooted at the raw scan and
         // intersected (the q_curation_e2e shape — the chained version
@@ -447,6 +473,13 @@ object ScalingProbe {
         // row-local codegen projection: zero shuffles, linear
         graft.pipeline.Similarity.randomProjection(e, "embedding", "proj",
           64, 16).where(F.element_at(F.col("proj"), 1) > 0).count()
+      }),
+      ("pca", 100, { e =>
+        // 1 means pass + 2 power-iteration aggs (each n·d work, one
+        // map-side-combined shuffle of d decimal sums) + the scoring scan
+        val m = graft.pipeline.Pca.fit(e, "embedding", 64, iters = 2)
+        graft.pipeline.Pca.score(e, "vec_id", "embedding", m)
+          .where(F.col("score") > 0.0).count()
       }),
       ("ann_ivfpq", 100, { e =>
         // IVF build + PQ train + encode + routed ADC search — the encode

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+/** Specs for the round-13 model/analysis operators: PCA power iteration,
+  * k-fold cross-validation, PageRank, privacy checks, readability. */
+class ModelSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import TestSession.sf
+
+  def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("pca: component is unit norm and stable across refits") {
+    val m = Pca.fit(emb, "embedding", 64, iters = 3)
+    val norm = math.sqrt(m.weights.map(w => w * w).sum)
+    assert(math.abs(norm - 1.0) < 1e-12, s"norm $norm")
+    val m2 = Pca.fit(emb, "embedding", 64, iters = 3)
+    assert(m.weights.toSeq == m2.weights.toSeq, "refit must be bit-identical")
+    assert(m.lambda > 0.0)
+  }
+
+  test("pca: recovers the dominant axis of an anisotropic cloud") {
+    import spark.implicits._
+    // x-axis variance 100× the y-axis: component ≈ ±e1
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(400)(Array(rnd.nextGaussian() * 10.0,
+      rnd.nextGaussian() * 1.0, 0.0))
+    val df = pts.map(a => Tuple1(a)).toDF("embedding")
+    val m = Pca.fit(df, "embedding", 3, iters = 8)
+    assert(math.abs(m.weights(0)) > 0.99, m.weights.toSeq.toString)
+    assert(math.abs(m.weights(2)) < 1e-9, "constant dim has zero loading")
+    // eigenvalue ≈ dominant variance (σ²=100), total ≈ 101
+    val ev = Pca.explainedVariance(df, "embedding", m).head()
+    assert(ev.getDouble(2) > 0.95 && ev.getDouble(2) <= 1.0)
+  }
+
+  test("pca: scores are the centered projection (driver cross-check)") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(3.0, 6.0)),
+      Tuple1(Array(5.0, 10.0))).toDF("embedding")
+      .withColumn("id", F.monotonically_increasing_id())
+    val m = Pca.fit(df, "embedding", 2, iters = 6)
+    val got = Pca.score(df, "id", "embedding", m)
+      .orderBy("id").collect().map(_.getDouble(1))
+    // perfectly collinear data: scores proportional to distance from mean
+    assert(math.abs(got(1)) < 1e-9, "mean point projects to ~0")
+    assert(math.abs(got(0) + got(2)) < 1e-9, "symmetric points cancel")
+  }
+
+  test("crossValidate: folds partition the corpus; aucs in range") {
+    val feats = spark.read.parquet(s"$sf/documents.parquet")
+      .where(F.col("n_chars").isNotNull && F.col("lang").isNotNull)
+      .select(F.col("doc_id"),
+        (F.col("n_chars").cast("double") / 1000.0d).as("x1"),
+        F.when(F.col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
+    val cv = QualityModel.crossValidate(feats, Seq("x1"), "y", "doc_id",
+      k = 3, iters = 2)
+    val rows = cv.collect()
+    assert(rows.length == 3)
+    val total = feats.count()
+    rows.foreach { r =>
+      val held = r.getLong(2) + r.getLong(3) // n_pos + n_neg
+      assert(r.getLong(1) + held == total, "train + holdout = corpus")
+      val auc = r.getDouble(4)
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+    // fold ids 0,1,2 exactly once
+    assert(rows.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("pagerank: star graph ranks center above leaves; mass ≈ 1") {
+    import spark.implicits._
+    // undirected star: center 0 ↔ leaves 1..6 (symmetric edge list)
+    val e0 = (1 to 6).map(i => ("n0", s"n$i"))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val pr = GraphRank.pagerank(edges, "src", "dst", iters = 10)
+    val ranks = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks("n0") > ranks("n1") * 2, ranks.toString)
+    assert((1 to 6).map(i => ranks(s"n$i")).distinct.size == 1,
+      "leaves are symmetric")
+    val mass = ranks.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass")
+    // deterministic across runs
+    val pr2 = GraphRank.pagerank(edges, "src", "dst", iters = 10)
+    assert(pr2.collect().map(r => r.getDouble(1)).toSeq ==
+      pr.orderBy("node").collect().map(_.getDouble(1)).toSeq)
+  }
+
+  test("pagerankWeighted: heavier edges carry more rank") {
+    import spark.implicits._
+    // s splits mass 3:1 between a and b; a and b return it equally
+    val edges = Seq(("s", "a", 3.0), ("s", "b", 1.0),
+      ("a", "s", 1.0), ("b", "s", 1.0)).toDF("src", "dst", "w")
+    val pr = GraphRank.pagerankWeighted(edges, "src", "dst", "w", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("a") > pr("b"), pr.toString)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3)
+    // zero/negative-weight edges are dropped
+    val pr2 = GraphRank.pagerankWeighted(
+      edges.union(Seq(("s", "b", -5.0)).toDF("src", "dst", "w")),
+      "src", "dst", "w", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2 == pr)
+  }
+
+  test("hits: star endorsement graph separates hubs from authorities") {
+    import spark.implicits._
+    val edges = Seq(("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "dst")
+    val h = GraphRank.hits(edges, "src", "dst", iters = 6)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // b links to both authorities → best hub; c has two endorsers → best
+    // authority; pure authorities have zero hub score and vice versa
+    assert(h("b")._1 > h("a")._1, h.toString)
+    assert(h("c")._2 > h("d")._2, h.toString)
+    assert(h("c")._1 == 0.0 && h("d")._1 == 0.0)
+    assert(h("a")._2 == 0.0 && h("b")._2 == 0.0)
+    // hub and authority vectors are unit L2 (up to fixed-point rounding)
+    val hubNorm = math.sqrt(h.values.map(v => v._1 * v._1).sum)
+    assert(math.abs(hubNorm - 1.0) < 1e-4, s"hub norm $hubNorm")
+  }
+
+  test("triangles: K3 + pendant, exact counts and coefficients") {
+    import spark.implicits._
+    // duplicate + reversed + self-loop edges must canonicalize away
+    val edges = Seq(("1", "2"), ("2", "1"), ("2", "3"), ("1", "3"),
+      ("3", "4"), ("4", "4")).toDF("src", "dst")
+    val t = GraphRank.triangles(edges, "src", "dst")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(t("1") == ((2L, 1L, Some(1.0))))
+    assert(t("3") == ((3L, 1L, Some(1.0 / 3.0))))
+    assert(t("4") == ((1L, 0L, None)), "pendant: degree 1, no coefficient")
+  }
+
+  test("corrByGroup: per-group signs match the matrix") {
+    import spark.implicits._
+    val df = Seq(("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 6.0),
+      ("g2", 1.0, 3.0), ("g2", 2.0, 2.0), ("g2", 3.0, 1.0),
+      ("g3", 1.0, 5.0), ("g3", 2.0, 5.0)).toDF("g", "x", "y")
+    val m = graft.pipeline.Report.corrByGroup(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(m("g1").get > 0.999999)
+    assert(m("g2").get < -0.999999)
+    assert(m("g3").isEmpty, "zero y-variance answers NULL")
+  }
+
+  test("privacy: k-anonymity and l-diversity on a hand-built frame") {
+    import spark.implicits._
+    val df = Seq(
+      ("US", "a", "x"), ("US", "a", "y"), ("US", "a", "x"),
+      ("DE", "b", "x"), ("DE", "b", "x"),
+      ("FR", "c", "z")).toDF("country", "seg", "diag")
+    val ka = Privacy.kAnonymity(df, Seq("country", "seg"), 3).collect()
+    assert(ka.length == 3)
+    val byKey = ka.map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(byKey == Set(("US", 3L, false), ("DE", 2L, true), ("FR", 1L, true)))
+    val sum = Privacy.kAnonymitySummary(df, Seq("country", "seg"), 3).head()
+    assert(sum.getLong(0) == 1L && sum.getLong(1) == 3L &&
+      sum.getLong(2) == 3L && sum.getLong(3) == 6L)
+    val ld = Privacy.lDiversity(df, Seq("country"), "diag", 2).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(ld == Set(("US", 2L, false), ("DE", 1L, true), ("FR", 1L, true)))
+  }
+
+  test("correlationMatrix: exact signs, null on zero variance") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0, 5.0), (2.0, 4.0, 2.0, 5.0),
+      (3.0, 6.0, 1.0, 5.0)).toDF("x", "y", "z", "w")
+    val m = graft.pipeline.Report.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m(("x", "y")).get > 0.999999, "y = 2x is perfectly correlated")
+    assert(m(("x", "z")).get < -0.999999, "z is anti-correlated")
+    assert(m(("w", "x")).isEmpty, "constant column has no correlation")
+    assert(m.size == 6)
+    // complete-case n: a row with a null in a TARGET column is excluded
+    val withNull = df.union(Seq(
+      (Option(4.0), Option.empty[Double], Option(0.0), Option(5.0)))
+      .toDF("x", "y", "z", "w"))
+    val n2 = graft.pipeline.Report.correlationMatrix(withNull, Seq("x", "y"))
+      .head().getLong(2)
+    assert(n2 == 3L)
+  }
+
+  test("mutualInformation: zero for independent, H for identical") {
+    import spark.implicits._
+    // perfectly factorized 2×2 grid: joint = product of marginals → MI 0
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("p", "q")
+    val r0 = graft.pipeline.Report.mutualInformation(indep, "p", "q").head()
+    assert(r0.getDouble(2) == 0.0, s"MI ${r0.getDouble(2)}")
+    assert(r0.isNullAt(5) == false && math.abs(r0.getDouble(5)) < 1e-15)
+    // y == x: MI = H(x), NMI = 1
+    val same = Seq("a", "a", "b", "c").map(x => (x, x)).toDF("p", "q")
+    val r1 = graft.pipeline.Report.mutualInformation(same, "p", "q").head()
+    assert(math.abs(r1.getDouble(2) - r1.getDouble(3)) < 1e-12)
+    assert(math.abs(r1.getDouble(5) - 1.0) < 1e-12)
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 3L)
+  }
+
+  test("readability: hand-computed counters and scores") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat sat on the mat. It was flat!"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text").head()
+    assert(r.getLong(1) == 9L, s"words ${r.getLong(1)}")      // 9 tokens
+    assert(r.getLong(2) == 2L, s"sentences ${r.getLong(2)}")
+    // the-cat-sat-on-the-mat: 6; it-was-flat: 3  (one vowel group each)
+    assert(r.getLong(3) == 9L, s"syllables ${r.getLong(3)}")
+    val wps = 9.0 / 2.0; val spw = 9.0 / 9.0
+    assert(r.getDouble(4) == 206.835 - 1.015 * wps - 84.6 * spw)
+    assert(r.getDouble(5) == 0.39 * wps + 11.8 * spw - 15.59)
+    // zero-word doc: NULL scores, floor-1 sentence count
+    val z = TextAnalysis.readability(
+      Seq((2L, "")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(z.getLong(1) == 0L && z.isNullAt(4) && z.isNullAt(5))
+  }
+}
