@@ -171,7 +171,15 @@ object GraphRank {
     nodes.count()
 
     // one fixed-point pass: per-node sums of the other score over edges,
-    // missing nodes at 0, then L2-normalize via a fixed-point Σx²
+    // missing nodes at 0, then L2-normalize via a fixed-point Σx². The
+    // norm is a driver scalar per pass — an unavoidable action (an
+    // in-plan broadcast-norm variant was measured 14× SLOWER at sf0.1:
+    // each pass's broadcast subtree nests every earlier pass's, and the
+    // racing broadcast threads re-execute the chain instead of sharing
+    // the caches). The unnormalized iterate is CACHED before the norm
+    // action reads it, so the final output reuses every pass instead of
+    // re-executing it. Iterate caches are node-sized and bounded by the
+    // fixed iteration count; the context cleaner reclaims them.
     def pass(scores: DataFrame, joinKey: String, outKey: String): DataFrame = {
       val raw = e
         .join(scores.withColumnRenamed("node", joinKey), joinKey)
@@ -182,6 +190,7 @@ object GraphRank {
         .select(F.col("node"),
           (F.coalesce(F.col("td_s"), F.lit(0L)).cast("decimal(38,0)")
             .cast("double") / F.lit(GradScale)).as("td_x"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val nrm = math.sqrt(unnorm.agg(
         F.sum(F.floor((F.col("td_x") * F.col("td_x")) * F.lit(GradScale) +
             F.lit(0.5d)).cast("decimal(38,0)")).as("q"))
@@ -191,27 +200,15 @@ object GraphRank {
     }
 
     var hubs = nodes.select(F.col("node"), F.lit(1.0d).as("score"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var auth = hubs
     for (_ <- 0 until iters) {
-      val a2 = pass(hubs, "td_u", "td_v")
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      a2.count()
-      if (!(auth eq hubs)) auth.unpersist(blocking = false)
-      auth = a2
-      val h2 = pass(auth, "td_v", "td_u")
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      h2.count()
-      hubs.unpersist(blocking = false)
-      hubs = h2
+      auth = pass(hubs, "td_u", "td_v")
+      hubs = pass(auth, "td_v", "td_u")
     }
-    val out = hubs.withColumnRenamed("score", "hub")
+    hubs.withColumnRenamed("score", "hub")
       .join(auth.withColumnRenamed("score", "authority"), Seq("node"))
       .select(F.col("node"), F.col("hub"), F.col("authority"))
       .orderBy(F.col("node").asc)
-    nodes.unpersist(blocking = false)
-    e.unpersist(blocking = false)
-    out
   }
 
   /** Per-node triangle counts + local clustering coefficients over an

@@ -109,7 +109,121 @@ object ModelOracles {
        |""".stripMargin + iters).stripSuffix(",\n") + "\n"
   }
 
+  /** Weighted-PageRank replay: per-edge share w/W computed once, then
+    * five damped fixed-point iterations. */
+  private val prwPrefix: String = {
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (SELECT es.v AS node,
+         |  sum(CAST(floor((r."rank" * es.share) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
+         |  FROM es JOIN r${k - 1} r ON r.node = es.u
+         |  GROUP BY es.v),
+         |r$k AS (SELECT n.node,
+         |  ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n) + 0.85 *
+         |    (CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0) AS "rank"
+         |  FROM nodes n LEFT JOIN c$k c USING (node), nn),
+         |""".stripMargin
+    }.mkString
+    ("""WITH e0 AS (SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+       |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v,
+       |    CAST(count(*) AS DOUBLE) AS w
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1, 2),
+       |ed AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+       |nodes AS (SELECT DISTINCT u AS node FROM ed),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |ws AS (SELECT u, CAST(sum(CAST(w AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS wsum
+       |  FROM ed GROUP BY u),
+       |es AS (SELECT ed.u, ed.v, ed.w / CAST(ws.wsum AS DOUBLE) AS share
+       |  FROM ed JOIN ws USING (u)),
+       |r0 AS (SELECT node, 1.0 / nn.n AS "rank" FROM nodes, nn),
+       |""".stripMargin + iters).stripSuffix(",\n") + "\n"
+  }
+
+  /** HITS replay: three (authority, hub) pass pairs, each a fixed-point
+    * per-node sum plus a fixed-point L2 normalization. */
+  private val hitsPrefix: String = {
+    def block(out: String, src: String, joinEdge: String, groupEdge: String) =
+      s"""${out}r AS (SELECT ed.$groupEdge AS node,
+         |  sum(CAST(floor(p.score * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
+         |  FROM ed JOIN $src p ON p.node = ed.$joinEdge
+         |  GROUP BY ed.$groupEdge),
+         |${out}u AS (SELECT n.node,
+         |  CAST(coalesce(r.s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0 AS x
+         |  FROM nodes n LEFT JOIN ${out}r r USING (node)),
+         |${out}n AS (SELECT sqrt(CAST(sum(CAST(floor((x * x) * 1048576.0 + 0.5)
+         |    AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0) AS nrm FROM ${out}u),
+         |$out AS (SELECT node, x / nrm AS score FROM ${out}u, ${out}n),
+         |""".stripMargin
+    val iters = (1 to 3).map { k =>
+      block(s"a$k", if (k == 1) "h0" else s"h${k - 1}", "u", "v") +
+        block(s"h$k", s"a$k", "v", "u")
+    }.mkString
+    ("""WITH ed AS (SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+       |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |nodes AS (SELECT u AS node FROM ed UNION SELECT v FROM ed),
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+       |""".stripMargin + iters).stripSuffix(",\n") + "\n"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank_weighted" -> (prwPrefix +
+      """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),
+    "q_graph_hits" -> (hitsPrefix +
+      """SELECT h3.node, h3.score AS hub, a3.score AS authority
+        |FROM h3 JOIN a3 USING (node) ORDER BY node ASC""".stripMargin),
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |e0 AS (SELECT CAST(x.l_partkey AS VARCHAR) AS a,
+        |    CAST(y.l_partkey AS VARCHAR) AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM e0 WHERE a <> b),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |tri AS (SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    CAST(2 * coalesce(pn.triangles, 0) AS DOUBLE) /
+        |      CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END
+        |    AS clustering_coeff
+        |FROM deg LEFT JOIN pn USING (node) ORDER BY node ASC""".stripMargin,
+    "q_corr_by_group" ->
+      """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(floor(y * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(floor((x * x) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(floor((x * y) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(floor((y * y) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS syy
+        |  FROM c GROUP BY g),
+        |d AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / 1048576.0 AS sx,
+        |    CAST(sy AS DOUBLE) / 1048576.0 AS sy,
+        |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx,
+        |    CAST(sxy AS DOUBLE) / 1048576.0 AS sxy,
+        |    CAST(syy AS DOUBLE) / 1048576.0 AS syy
+        |  FROM a)
+        |SELECT g AS "group", n,
+        |  CASE WHEN ((nd * sxx) - (sx * sx)) > 0.0
+        |        AND ((nd * syy) - (sy * sy)) > 0.0 THEN
+        |    ((nd * sxy) - (sx * sy)) /
+        |      (sqrt((nd * sxx) - (sx * sx)) * sqrt((nd * syy) - (sy * sy)))
+        |  END AS corr
+        |FROM d ORDER BY "group" ASC""".stripMargin,
     "q_pca_component" -> (pcaPrefix +
       """SELECT CAST(i AS INT) AS dim, v AS weight FROM v3 ORDER BY dim ASC"""),
     "q_pca_scores" -> (pcaPrefix.stripSuffix("\n") +

@@ -25,18 +25,37 @@ object ModelQueries {
           t => t =!= "")).cast("double") / 100.0d).as("x2"),
         F.when(F.col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
 
-  // symmetric customer↔supplier trade graph: who transacted with whom,
-  // via orders ⋈ lineitem — symmetrizing removes dangling nodes, so the
-  // simplified PageRank is exactly the stochastic one
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+  // customer→supplier trade edges via orders ⋈ lineitem (distinct pairs)
+  private def tradeEdgesOneWay(s: SparkSession, dir: String): DataFrame = {
     val o = d(s, dir, "orders").select("o_orderkey", "o_custkey")
     val l = d(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(
         F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).as("src"),
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).as("dst"))
       .distinct()
+  }
+
+  // symmetric customer↔supplier trade graph: who transacted with whom —
+  // symmetrizing removes dangling nodes, so the simplified PageRank is
+  // exactly the stochastic one
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdgesOneWay(s, dir)
     e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+  }
+
+  // the same graph with edge weight = number of line items transacted
+  // between the pair, symmetrized with the weight carried both ways
+  private def tradeEdgesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val o = d(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = d(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).as("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).as("dst"))
+      .agg(F.count(F.lit(1)).cast("double").as("w"))
+    e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst"),
+      F.col("w")))
   }
 
   private val Dim = 64
@@ -80,6 +99,37 @@ object ModelQueries {
       // oracle replays the trajectory
       GraphRank.pagerank(tradeEdges(s, dir), "src", "dst",
         iters = 5, damping = 0.85)
+    }),
+    "q_graph_pagerank_weighted" -> ((s, dir) => {
+      // PageRank with transaction-volume edge weights: contribution
+      // proportional to the lineitem count between the pair
+      GraphRank.pagerankWeighted(tradeEdgesWeighted(s, dir), "src", "dst",
+        "w", iters = 5, damping = 0.85)
+    }),
+    "q_graph_hits" -> ((s, dir) => {
+      // HITS on the DIRECTED customer→supplier graph: customers are
+      // pure hubs, suppliers pure authorities; 3 iterations, every
+      // fixed-point pass and L2 norm replayed by the oracle
+      GraphRank.hits(tradeEdgesOneWay(s, dir), "src", "dst", iters = 3)
+    }),
+    "q_graph_triangles" -> ((s, dir) => {
+      // co-purchase triangles: parts appearing in the same order (10%
+      // order sample) — exact per-node triangle counts and local
+      // clustering coefficients via the oriented three-way join
+      val li = d(s, dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").as("src"),
+          F.col("y.l_partkey").as("dst"))
+      GraphRank.triangles(e, "src", "dst")
+    }),
+    "q_corr_by_group" -> ((s, dir) => {
+      // per-returnflag quantity↔price correlation, fully in-plan (the
+      // unbounded-group face of q_corr_matrix)
+      graft.pipeline.Report.corrByGroup(d(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")
     }),
     "q_privacy_kanon" -> ((s, dir) => {
       // k-anonymity equivalence classes over (nation, market segment)
