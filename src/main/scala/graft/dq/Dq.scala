@@ -51,4 +51,29 @@ object Dq {
       .reduce(_ && _)
     tf.with_columns(as -> Expr(combined))
   }
+
+  /** Referential-integrity check: how many non-NULL child foreign keys
+    * have no matching parent row — the cross-TABLE complement of the
+    * column checks above. One left join against the DISTINCT parent
+    * keys (AQE broadcasts dimension-sized parents) + one aggregation;
+    * NULL child keys are excluded (a null FK is a nullness finding, not
+    * an orphan). Output one row: (fk, n_rows, n_orphans, orphan_frac).
+    * Union several calls for a whole-schema report. */
+  def fkOrphans(child: org.apache.spark.sql.DataFrame, childCol: String,
+      parent: org.apache.spark.sql.DataFrame, parentCol: String,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val keys = parent.where(F.col(parentCol).isNotNull)
+      .select(F.col(parentCol).as("td_k")).distinct()
+      .withColumn("td_hit", F.lit(1))
+    child.where(F.col(childCol).isNotNull)
+      .select(F.col(childCol).as("td_k"))
+      .join(keys, Seq("td_k"), "left")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.sum(F.when(F.col("td_hit").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_orphans"))
+      .select(F.lit(name).as("fk"), F.col("n_rows"), F.col("n_orphans"),
+        F.when(F.col("n_rows") > 0L,
+          F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"))
+          .as("orphan_frac"))
+  }
 }

@@ -102,6 +102,44 @@ object Pca {
     PcaModel(dim, n, means, v, lambda)
   }
 
+  /** The SECOND principal component by deflation: the same power
+    * iteration run on the residual after projecting out `prior` —
+    * xd = xc − (xc·w)·w — with the deflation applied IN-EXPRESSION per
+    * row (the deflated matrix is never materialized; each pass stays
+    * one aggregation of d fixed-point sums, now with two pinned
+    * per-row folds: the prior projection p, then the deflated
+    * projection s). Same bit-replay contract as [[fit]]. */
+  def fitDeflated(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int, prior: PcaModel): PcaModel = {
+    require(prior.dim == dim, s"prior model has dim ${prior.dim}, not $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val means = prior.means; val w1 = prior.weights
+    val base = df.where(F.col(vecCol).isNotNull).select(F.col(vecCol).as("td_e"))
+    def xdTerm(i: Int, p: Column): Column =
+      (elem(F.col("td_e"), i) - F.lit(means(i - 1))) - (p * F.lit(w1(i - 1)))
+    var v = Array.fill(dim)(1.0d / math.sqrt(dim.toDouble))
+    var lambda = 0.0d
+    for (_ <- 0 until iters) {
+      val stage1 = base.select(F.col("td_e"),
+        centeredDot(F.col("td_e"), means, w1).as("td_p"))
+      val sExpr = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, j) =>
+        acc + xdTerm(j, F.col("td_p")) * F.lit(v(j - 1))
+      }
+      val staged = stage1.select(F.col("td_e"), F.col("td_p"),
+        sExpr.as("td_s"))
+      val terms = (1 to dim).map { i =>
+        fixedTerm(xdTerm(i, F.col("td_p")) * F.col("td_s")).as(s"g$i")
+      }
+      val row = staged.agg(terms.head, terms.tail: _*).head()
+      val u = Array.tabulate(dim)(i => row.getDecimal(i).doubleValue() / GradScale)
+      val nrm = math.sqrt(u.indices.foldLeft(0.0d)((a, i) => a + u(i) * u(i)))
+      require(nrm > 0.0d, "deflated power iteration collapsed to zero")
+      v = u.map(_ / nrm)
+      lambda = nrm / (prior.n.toDouble - 1.0d)
+    }
+    PcaModel(dim, prior.n, means, v, lambda)
+  }
+
   /** Project every row onto the component: input columns +
     * (score = (x − m)·w, pinned fold). Row-local codegen arithmetic —
     * zero shuffles. */

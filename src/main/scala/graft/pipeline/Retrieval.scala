@@ -361,4 +361,79 @@ object Retrieval {
       .reduce(_ + _)
     joined.withColumn("rrf", rrf.cast(DoubleType))
   }
+
+  /** Top-k TF-IDF keywords per document — the lightweight per-document
+    * term salience read (tag clouds, boilerplate spotting, dataset-card
+    * vocabulary summaries) next to the corpus-level BM25 machinery.
+    * tfidf = tf · ln(N / df) with exact integer tf/df/N and the libm ln
+    * kernel, so every score replays; ranks ride the map-side
+    * WindowGroupLimit path ([[graft.operators.SeriesOps.topKPerGroup]]),
+    * ties pinned by term ascending. N counts documents with non-NULL
+    * text (tokenless documents count — the denominator is the corpus).
+    * Output: (id, term, tf, tfidf, rk) with rk in 1..k. */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.where(F.col(textCol).isNotNull).count()
+    require(n > 0, "tfidfKeywords over an empty corpus")
+    val tf = termFrequencies(
+      df.where(F.col(textCol).isNotNull), textCol, idCol)
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("td_df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", F.col("tf").cast(DoubleType) *
+        graft.expressions.MathKernels.ln(
+          F.lit(n.toDouble) / F.col("td_df").cast(DoubleType)))
+    graft.operators.SeriesOps.topKPerGroup(scored, Seq("id"), "tfidf", k,
+        descending = true, tiebreakers = Seq("term"))
+      .select(F.col("id"), F.col("term"), F.col("tf"), F.col("tfidf"),
+        F.col("rk"))
+  }
+
+  /** Top-N bigram collocations by pointwise mutual information — phrase
+    * mining over the corpus (Church & Hanks 1990): PMI =
+    * ln(p(ab) / (p(a)·p(b))) with p(ab) = c_ab/B over bigram positions
+    * and p(·) = c/T over token positions, stated as ONE ln of exact
+    * integer ratios: ln(((c_ab·T)·T) / ((B·c_a)·c_b)). Rare pairs below
+    * `minCount` are dropped (PMI's classic low-frequency pathology);
+    * the final top-N is a TakeOrdered slice (PMI desc, bigram asc), not
+    * a global sort. Tokens are the [[Dedup.tokens]] convention with
+    * empties removed BEFORE pairing, so bigrams never span an empty
+    * token. Output: (bigram, n_pair, n_left, n_right, pmi). */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val toks = df.where(F.col(textCol).isNotNull)
+      // stage the filtered token array: the bigram lambda reads it per
+      // element (the element_at/CSE hazard — see Dsir.features)
+      .select(F.filter(Dedup.tokens(F.col(textCol)), t => t =!= "")
+        .as("td_toks"))
+    val pairsCol = F.when(F.size(F.col("td_toks")) >= 2,
+      F.transform(
+        F.sequence(F.lit(1), F.size(F.col("td_toks")) - 1),
+        i => F.struct(
+          F.element_at(F.col("td_toks"), i).as("a"),
+          F.element_at(F.col("td_toks"), i + 1).as("b"))))
+      .otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    val uni = toks.select(F.explode(F.col("td_toks")).as("t"))
+      .groupBy(F.col("t")).agg(F.count(F.lit(1)).as("c"))
+    val bi = toks.select(F.explode(pairsCol).as("p"))
+      .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .groupBy(F.col("a"), F.col("b")).agg(F.count(F.lit(1)).as("cp"))
+    val tTot = uni.agg(F.sum(F.col("c")).cast("long")).head().getLong(0)
+    val bTot = bi.agg(F.sum(F.col("cp")).cast("long")).head().getLong(0)
+    require(bTot > 0, "pmiCollocations needs at least one bigram")
+    val tD = F.lit(tTot.toDouble); val bD = F.lit(bTot.toDouble)
+    bi.where(F.col("cp") >= minCount)
+      .join(uni.select(F.col("t").as("a"), F.col("c").as("ca")), "a")
+      .join(uni.select(F.col("t").as("b"), F.col("c").as("cb")), "b")
+      .select(F.concat(F.col("a"), F.lit(" "), F.col("b")).as("bigram"),
+        F.col("cp").as("n_pair"), F.col("ca").as("n_left"),
+        F.col("cb").as("n_right"),
+        graft.expressions.MathKernels.ln(
+          ((F.col("cp").cast(DoubleType) * tD) * tD) /
+            ((bD * F.col("ca").cast(DoubleType)) *
+              F.col("cb").cast(DoubleType))).as("pmi"))
+      .orderBy(F.col("pmi").desc, F.col("bigram").asc)
+      .limit(topN)
+  }
 }

@@ -14,30 +14,35 @@ object ModelOracles {
     * the arithmetic of [[graft.pipeline.Pca.fit]]'s k-th pass. The v0
     * start is uniform 1/√64 = 0.125 (exact). Ends after the v3 CTE
     * (no trailing comma — re-add `,` when appending CTEs). */
+  /** One power-iteration CTE block (projection fold, fixed-point grad,
+    * norm, normalized iterate) over a (vec_id, i, xc) source relation;
+    * `pfx` namespaces the chain so the deflated second-component run
+    * can follow the first in the same query. */
+  private def pcaIter(k: Int, pfx: String, src: String): String =
+    s"""${pfx}s$k AS MATERIALIZED (SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(xc.xc * vv.v ORDER BY xc.i)), (a, b) -> a + b) AS s
+       |  FROM $src xc JOIN ${pfx}v${k - 1} vv USING (i) GROUP BY vec_id),
+       |${pfx}g$k AS MATERIALIZED (SELECT xc.i,
+       |  sum(CAST(floor((xc.xc * sk.s) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS g
+       |  FROM $src xc JOIN ${pfx}s$k sk USING (vec_id) GROUP BY xc.i),
+       |${pfx}u$k AS MATERIALIZED (SELECT i, CAST(g AS DOUBLE) / 1048576.0 AS u FROM ${pfx}g$k),
+       |${pfx}n$k AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(u * u ORDER BY i)), (a, b) -> a + b)) AS nrm FROM ${pfx}u$k),
+       |${pfx}v$k AS MATERIALIZED (SELECT i, u / nrm AS v FROM ${pfx}u$k, ${pfx}n$k),
+       |""".stripMargin
+
   private val pcaPrefix: String = {
-    val iters = (1 to 3).map { k =>
-      s"""s$k AS (SELECT vec_id,
-         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list(xc.xc * vv.v ORDER BY xc.i)), (a, b) -> a + b) AS s
-         |  FROM xc JOIN v${k - 1} vv USING (i) GROUP BY vec_id),
-         |g$k AS (SELECT xc.i,
-         |  sum(CAST(floor((xc.xc * sk.s) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS g
-         |  FROM xc JOIN s$k sk USING (vec_id) GROUP BY xc.i),
-         |u$k AS (SELECT i, CAST(g AS DOUBLE) / 1048576.0 AS u FROM g$k),
-         |n$k AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list(u * u ORDER BY i)), (a, b) -> a + b)) AS nrm FROM u$k),
-         |v$k AS (SELECT i, u / nrm AS v FROM u$k, n$k),
-         |""".stripMargin
-    }.mkString
+    val iters = (1 to 3).map(k => pcaIter(k, "", "xc")).mkString
     ("""WITH e AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE embedding IS NOT NULL),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
-       |x AS (SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |x AS MATERIALIZED (SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
        |  FROM e, range(1, 65) t(i)),
        |ms AS (SELECT i, sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
        |  FROM x GROUP BY i),
-       |m AS (SELECT i, (CAST(s AS DOUBLE) / 1048576.0) / nn.n AS m FROM ms, nn),
-       |xc AS (SELECT vec_id, x.i, x.x - m.m AS xc FROM x JOIN m USING (i)),
+       |m AS MATERIALIZED (SELECT i, (CAST(s AS DOUBLE) / 1048576.0) / nn.n AS m FROM ms, nn),
+       |xc AS MATERIALIZED (SELECT vec_id, x.i, x.x - m.m AS xc FROM x JOIN m USING (i)),
        |v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(1, 65) t(i)),
        |""".stripMargin + iters).stripSuffix(",\n") + "\n"
   }
@@ -109,6 +114,38 @@ object ModelOracles {
        |""".stripMargin + iters).stripSuffix(",\n") + "\n"
   }
 
+  /** Model-registry replay: version 1's training (even doc_ids only,
+    * three fixed-point GD iterations) and the corpus-wide scoring the
+    * gate performs with the @HEAD~1-loaded weights. */
+  private val registryOracle: String = {
+    def iter(k: Int): String =
+      s"""g$k AS (SELECT
+         |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * 1.0) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS ga,
+         |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x1) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gb,
+         |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x2) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gc
+         |  FROM f, w${k - 1} WHERE doc_id % 2 = 0),
+         |w$k AS (SELECT
+         |  wa - ((CAST(ga AS DOUBLE) / 1048576.0) / nn.n) AS wa,
+         |  wb - ((CAST(gb AS DOUBLE) / 1048576.0) / nn.n) AS wb,
+         |  wc - ((CAST(gc AS DOUBLE) / 1048576.0) / nn.n) AS wc
+         |  FROM g$k, w${k - 1}, nn),
+         |""".stripMargin
+    """WITH f AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |      t -> t <> '')) AS DOUBLE) / 100.0 AS x2,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f WHERE doc_id % 2 = 0),
+      |w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc),
+      |""".stripMargin + iter(1) + iter(2) + iter(3).stripSuffix(",\n") + "\n" +
+      """SELECT doc_id,
+        |  (1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) AS score
+        |FROM f, w3
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Weighted-PageRank replay: per-edge share w/W computed once, then
     * five damped fixed-point iterations. */
   private val prwPrefix: String = {
@@ -167,6 +204,7 @@ object ModelOracles {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_model_registry" -> registryOracle,
     "q_graph_pagerank_weighted" -> (prwPrefix +
       """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),
     "q_graph_hits" -> (hitsPrefix +
@@ -233,6 +271,18 @@ object ModelOracles {
         |    list(xc.xc * vv.v ORDER BY xc.i)), (a, b) -> a + b) AS score
         |FROM xc JOIN v3 vv USING (i)
         |GROUP BY xc.vec_id ORDER BY vec_id ASC""".stripMargin),
+    "q_pca_component2" -> (pcaPrefix.stripSuffix("\n") + ",\n" +
+      """p2 AS MATERIALIZED (SELECT xc.vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(xc.xc * w.v ORDER BY xc.i)), (a, b) -> a + b) AS p
+        |  FROM xc JOIN v3 w USING (i) GROUP BY xc.vec_id),
+        |xd AS MATERIALIZED (SELECT xc.vec_id, xc.i, xc.xc - (p2.p * w.v) AS xc
+        |  FROM xc JOIN p2 USING (vec_id) JOIN v3 w USING (i)),
+        |dv0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(1, 65) t(i)),
+        |""".stripMargin +
+      ((1 to 3).map(k => pcaIter(k, "d", "xd")).mkString.stripSuffix(",\n")) +
+      "\n" +
+      """SELECT CAST(i AS INT) AS dim, v AS weight FROM dv3 ORDER BY dim ASC"""),
     "q_pca_variance" -> (pcaPrefix.stripSuffix("\n") + ",\n" +
       """q AS (SELECT i,
         |    sum(CAST(floor((xc * xc) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS qq
@@ -369,6 +419,91 @@ object ModelOracles {
         |  FROM events)
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2
         |ORDER BY "column"""".stripMargin,
+    "q_text_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        |tf AS (SELECT doc_id AS id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(l) AS t FROM tok) GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY term),
+        |sc AS (SELECT tf.id, tf.term, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * ln(nn.n / CAST(dfq.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfq USING (term), nn),
+        |r AS (SELECT id, term, tf, tfidf,
+        |    row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC)
+        |      AS rk
+        |  FROM sc)
+        |SELECT id, term, tf, tfidf, CAST(rk AS INT) AS rk FROM r
+        |WHERE rk <= 5 ORDER BY id ASC, rk ASC""".stripMargin,
+    "q_text_collocations" ->
+      """WITH tok AS (SELECT
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(l) AS t FROM tok) GROUP BY t),
+        |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cp
+        |  FROM (SELECT l[i] AS a, l[i + 1] AS b
+        |        FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tok))
+        |  GROUP BY a, b),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+        |bt AS (SELECT CAST(sum(cp) AS DOUBLE) AS b FROM bi)
+        |SELECT bi.a || ' ' || bi.b AS bigram, bi.cp AS n_pair,
+        |  ua.c AS n_left, ub.c AS n_right,
+        |  ln(((CAST(bi.cp AS DOUBLE) * tt.t) * tt.t) /
+        |     ((bt.b * CAST(ua.c AS DOUBLE)) * CAST(ub.c AS DOUBLE))) AS pmi
+        |FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b, tt, bt
+        |WHERE bi.cp >= 5
+        |ORDER BY pmi DESC, bigram ASC LIMIT 50""".stripMargin,
+    "q_dq_referential" ->
+      """SELECT 'customer.c_nationkey->nation' AS fk,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphans,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) END AS orphan_frac
+        |FROM (SELECT c_nationkey AS k FROM customer
+        |      WHERE c_nationkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation
+        |           WHERE n_nationkey IS NOT NULL) p ON c.k = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) END
+        |FROM (SELECT l_orderkey AS k FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
+        |           WHERE o_orderkey IS NOT NULL) p ON c.k = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) END
+        |FROM (SELECT l_partkey AS k FROM lineitem
+        |      WHERE l_partkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part
+        |           WHERE p_partkey IS NOT NULL) p ON c.k = p.k
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) END
+        |FROM (SELECT o_custkey AS k FROM orders
+        |      WHERE o_custkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+        |           WHERE c_custkey IS NOT NULL) p ON c.k = p.k
+        |ORDER BY fk ASC""".stripMargin,
     "q_text_readability" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,

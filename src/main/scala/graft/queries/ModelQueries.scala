@@ -60,6 +60,10 @@ object ModelQueries {
 
   private val Dim = 64
 
+  private def tempStore(s: SparkSession): graft.store.TableStore =
+    new graft.store.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-model").toString, s)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_component" -> ((s, dir) => {
       // top principal component of the embedding table by 3 power-
@@ -77,6 +81,16 @@ object ModelQueries {
       val m = Pca.fit(emb, "embedding", Dim, iters = 3)
       Pca.score(emb, "vec_id", "embedding", m)
         .orderBy(F.col("vec_id").asc)
+    }),
+    "q_pca_component2" -> ((s, dir) => {
+      // the second component by in-expression deflation: power
+      // iteration on xc − (xc·w1)·w1, trajectory replayed by the oracle
+      import s.implicits._
+      val emb = d(s, dir, "embeddings")
+      val m1 = Pca.fit(emb, "embedding", Dim, iters = 3)
+      val m2 = Pca.fitDeflated(emb, "embedding", Dim, iters = 3, m1)
+      (1 to Dim).map(i => (i, m2.weights(i - 1))).toDF("dim", "weight")
+        .orderBy(F.col("dim").asc)
     }),
     "q_pca_variance" -> ((s, dir) => {
       // eigenvalue vs total variance: how much of the embedding space
@@ -99,6 +113,32 @@ object ModelQueries {
       // oracle replays the trajectory
       GraphRank.pagerank(tradeEdges(s, dir), "src", "dst",
         iters = 5, damping = 0.85)
+    }),
+    "q_model_registry" -> ((s, dir) => {
+      // a model REGISTRY on the versioned store: train v1 on half the
+      // corpus, publish; retrain v2 on all of it, publish; then load
+      // the PREVIOUS version via @HEAD~1 (the rollback read) and score
+      // the corpus with it. The store is transport — the oracle replays
+      // v1's training trajectory and the scoring arithmetic directly
+      import graft.pipeline.QualityModel
+      import s.implicits._
+      val feats = lrFeatures(s, dir)
+      val store = tempStore(s)
+      def publish(w: Array[Double]): Unit =
+        store.write("m", "quality",
+          Seq((Seq("x1", "x2"), w.toSeq, QualityModel.GradScale))
+            .toDF("features", "weights", "grad_scale"))
+      publish(QualityModel.trainLogistic(
+        feats.where(F.col("doc_id") % 2 === 0), Seq("x1", "x2"), "y",
+        iters = 3, lr = 1.0))
+      publish(QualityModel.trainLogistic(
+        feats, Seq("x1", "x2"), "y", iters = 3, lr = 1.0))
+      val prev = store.scan("m/quality@HEAD~1").get.df
+      val w = prev.select("weights").head().getSeq[Double](0)
+      QualityModel.scoreLogistic(feats, Seq("x1", "x2"), w, "score")
+        .select(F.col("doc_id"), F.col("score"))
+        .orderBy(F.col("score").desc, F.col("doc_id").asc)
+        .limit(10)
     }),
     "q_graph_pagerank_weighted" -> ((s, dir) => {
       // PageRank with transaction-volume edge weights: contribution
@@ -177,6 +217,36 @@ object ModelQueries {
         wp, "q_stream_profile_", "complete")
       graft.pipeline.Report.mergeProfiles(
         res.select(F.explode(F.col("entries")).as("td_p")).select("td_p.*"))
+    }),
+    "q_text_keywords" -> ((s, dir) => {
+      // top-5 TF-IDF keywords per document: exact tf/df/N, libm ln,
+      // ranks through the map-side WindowGroupLimit path
+      graft.pipeline.Retrieval.tfidfKeywords(
+        d(s, dir, "documents").select("doc_id", "text"), "text", "doc_id", 5)
+        .orderBy(F.col("id").asc, F.col("rk").asc)
+    }),
+    "q_text_collocations" -> ((s, dir) => {
+      // top-50 bigram collocations by PMI (min pair count 5): phrase
+      // mining with one stated ln of exact integer ratios
+      graft.pipeline.Retrieval.pmiCollocations(
+        d(s, dir, "documents"), "text", minCount = 5L, topN = 50)
+    }),
+    "q_dq_referential" -> ((s, dir) => {
+      // cross-table DQ: orphaned foreign keys over four relationships
+      // (one left join vs distinct parent keys + one agg each)
+      import graft.dq.Dq
+      val li = d(s, dir, "lineitem"); val o = d(s, dir, "orders")
+      val c = d(s, dir, "customer"); val p = d(s, dir, "part")
+      val na = d(s, dir, "nation")
+      Dq.fkOrphans(li, "l_orderkey", o, "o_orderkey",
+          "lineitem.l_orderkey->orders")
+        .unionByName(Dq.fkOrphans(o, "o_custkey", c, "c_custkey",
+          "orders.o_custkey->customer"))
+        .unionByName(Dq.fkOrphans(li, "l_partkey", p, "p_partkey",
+          "lineitem.l_partkey->part"))
+        .unionByName(Dq.fkOrphans(c, "c_nationkey", na, "n_nationkey",
+          "customer.c_nationkey->nation"))
+        .orderBy(F.col("fk").asc)
     }),
     "q_text_readability" -> ((s, dir) => {
       // Flesch reading ease + Flesch-Kincaid grade from three regex

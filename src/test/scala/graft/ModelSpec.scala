@@ -37,6 +37,21 @@ class ModelSpec extends AnyFunSuite {
     assert(ev.getDouble(2) > 0.95 && ev.getDouble(2) <= 1.0)
   }
 
+  test("pca: deflated second component is orthogonal, finds axis two") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(500)(Array(rnd.nextGaussian() * 10.0,
+      rnd.nextGaussian() * 4.0, rnd.nextGaussian() * 0.5))
+    val df = pts.map(a => Tuple1(a)).toDF("embedding")
+    val m1 = Pca.fit(df, "embedding", 3, iters = 8)
+    val m2 = Pca.fitDeflated(df, "embedding", 3, iters = 8, m1)
+    assert(math.abs(m1.weights(0)) > 0.99)
+    assert(math.abs(m2.weights(1)) > 0.99, m2.weights.toSeq.toString)
+    val dot = (0 until 3).map(i => m1.weights(i) * m2.weights(i)).sum
+    assert(math.abs(dot) < 1e-6, s"components not orthogonal: $dot")
+    assert(m2.lambda < m1.lambda && m2.lambda > 0.0)
+  }
+
   test("pca: scores are the centered projection (driver cross-check)") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(3.0, 6.0)),
