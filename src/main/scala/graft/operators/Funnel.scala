@@ -41,6 +41,83 @@ object Funnel {
     counts.reduce(_ unionByName _)
   }
 
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * user-value read of an event stream. Per user: seconds since their
+    * last event relative to the corpus' latest event (broadcast
+    * scalar), event count, and the exact-DECIMAL value total; each
+    * dimension then scored 1..5 by equi-depth quintile (5 = most
+    * recent / most frequent / highest spend) via ONE composite ordinal
+    * rank per dimension ([[ScalableRank]] — no single-reducer sort),
+    * bucket = floor((rk−1)·5/n)+1 capped at 5, ties pinned by user id
+    * so the segmentation is deterministic; an all-NULL-value user's
+    * monetary total is 0.0 (not NULL — NULL ordering differs across
+    * engines). Output: (userCol, recency_sec,
+    * frequency, monetary, r, f, m, segment=r·100+f·10+m) ascending. */
+  def rfm(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val sec = F.unix_timestamp(F.col(tsCol))
+    val clean = df.where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull)
+    val perUser = clean
+      .groupBy(F.col(userCol))
+      .agg(F.max(sec).as("td_last"),
+        F.count(F.lit(1)).as("frequency"),
+        F.coalesce(
+          F.sum(F.col(valueCol).cast("decimal(18,4)")).cast("double"),
+          F.lit(0.0d)).as("monetary"))
+    val nowRow = clean.agg(F.max(sec).as("td_now"))
+    val base = perUser.crossJoin(F.broadcast(nowRow))
+      .select(F.col(userCol),
+        (F.col("td_now") - F.col("td_last")).as("recency_sec"),
+        F.col("frequency"), F.col("monetary"))
+    val n = base.count()
+    // score 1..5: rank users by "goodness" ascending (stale→recent,
+    // rare→frequent, low→high spend), bucket the ordinal rank
+    def score(c: String, descGoodness: Boolean, as: String,
+        in: DataFrame): DataFrame = {
+      val ranked = graft.operators.ScalableRank.withRank(
+        in, c, "td_rk", method = "ordinal", descending = descGoodness,
+        tiebreakers = Seq(userCol))
+      ranked.withColumn(as,
+        F.least(F.lit(5L), F.floor((F.col("td_rk") - 1L) * 5L / F.lit(n)) + 1L))
+        .drop("td_rk")
+    }
+    val scored = score("monetary", descGoodness = false, "m",
+      score("frequency", descGoodness = false, "f",
+        score("recency_sec", descGoodness = true, "r", base)))
+    scored.select(F.col(userCol), F.col("recency_sec"), F.col("frequency"),
+        F.col("monetary"), F.col("r"), F.col("f"), F.col("m"),
+        (F.col("r") * 100L + F.col("f") * 10L + F.col("m")).as("segment"))
+      .orderBy(F.col(userCol).asc)
+  }
+
+  /** Gap-based sessionization, batch face (the streaming face is
+    * [[graft.streaming.Streams]]' stateful sessionizer): a new session
+    * starts when a user's inter-event gap exceeds `gapSec`. One keyed
+    * window pass (lag + running sum of session starts — users sort in
+    * parallel) and one keyed aggregation; `tiebreaker` pins
+    * same-timestamp order. Output per session: (userCol, session_idx,
+    * n_events, start_sec, end_sec, duration_sec) ascending. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long, tiebreaker: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(userCol))
+      .orderBy(F.col("td_sec").asc, F.col(tiebreaker).asc)
+    val wRun = w.rowsBetween(Long.MinValue, 0)
+    df.where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull)
+      .select(F.col(userCol), F.col(tiebreaker),
+        F.unix_timestamp(F.col(tsCol)).as("td_sec"))
+      .withColumn("td_new",
+        F.when(F.col("td_sec") - F.lag(F.col("td_sec"), 1).over(w)
+          > gapSec, 1L).otherwise(0L))
+      .withColumn("session_idx", F.sum(F.col("td_new")).over(wRun))
+      .groupBy(F.col(userCol), F.col("session_idx"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.min(F.col("td_sec")).as("start_sec"),
+        F.max(F.col("td_sec")).as("end_sec"))
+      .withColumn("duration_sec", F.col("end_sec") - F.col("start_sec"))
+      .orderBy(F.col(userCol).asc, F.col("session_idx").asc)
+  }
+
   /** Behavioral transition matrix: counts of consecutive event-type
     * pairs per user in time order — the Markov-chain view of an event
     * stream (which actions follow which). `tiebreaker` pins the order of

@@ -1146,6 +1146,45 @@ object Report {
       .orderBy(F.col("group").asc)
   }
 
+  /** Merge-closed correlation stamp for one column pair: the six
+    * fixed-point sums [[corrByGroup]] finishes from, KEPT AS
+    * DECIMAL(38,0) (no finishing divisions) so stamps from shards /
+    * store versions / stream windows add exactly — the correlation
+    * family's analog of [[profileStamp]]. Output one row:
+    * (n, sx, sy, sxx, sxy, syy). */
+  def corrStamp(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val scale = QualityModel.GradScale
+    def fixed(t: Column) =
+      F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
+    val x = F.col(xCol).cast("double"); val y = F.col(yCol).cast("double")
+    df.where(x.isNotNull && y.isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        fixed(x).as("sx"), fixed(y).as("sy"), fixed(x * x).as("sxx"),
+        fixed(x * y).as("sxy"), fixed(y * y).as("syy"))
+  }
+
+  /** Roll [[corrStamp]] rows up to the union's correlation WITHOUT
+    * rescanning data: integer/decimal sums add exactly, then the SAME
+    * finishing algebra as [[corrByGroup]] — so for disjoint shards the
+    * rollup is bit-equal to correlating the union. Output one row:
+    * (n, corr). */
+  def mergeCorrStamps(stamps: DataFrame): DataFrame = {
+    val scale = QualityModel.GradScale
+    val agg = stamps.agg(
+      F.sum(F.col("n")).cast("long").as("n"),
+      F.sum(F.col("sx")).as("sx"), F.sum(F.col("sy")).as("sy"),
+      F.sum(F.col("sxx")).as("sxx"), F.sum(F.col("sxy")).as("sxy"),
+      F.sum(F.col("syy")).as("syy"))
+    def dbl(c: String) = F.col(c).cast("double") / F.lit(scale)
+    val nD = F.col("n").cast("double")
+    val num = (nD * dbl("sxy")) - (dbl("sx") * dbl("sy"))
+    val vx = (nD * dbl("sxx")) - (dbl("sx") * dbl("sx"))
+    val vy = (nD * dbl("syy")) - (dbl("sy") * dbl("sy"))
+    agg.select(F.col("n"),
+      F.when(vx > 0.0d && vy > 0.0d,
+        num / (F.sqrt(vx) * F.sqrt(vy))).as("corr"))
+  }
+
   /** Mutual information between two CATEGORICAL columns, with marginal
     * entropies and the normalized coefficient — "does source predict
     * language?", the dependence read a dataset card wants next to the

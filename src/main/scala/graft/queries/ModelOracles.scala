@@ -203,7 +203,97 @@ object ModelOracles {
        |""".stripMargin + iters).stripSuffix(",\n") + "\n"
   }
 
+  /** Shared Pearson finishing over hour-grouped fixed-point sums —
+    * states exactly the corrStamp/windowedCorr arithmetic. */
+  private def corrSql(src: String, groupCols: String): String = {
+    val g = if (groupCols.isEmpty) "" else s"$groupCols, "
+    val grp = if (groupCols.isEmpty) "" else s"GROUP BY $groupCols"
+    s"""a AS (SELECT ${g}CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(floor(y * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(floor((x * x) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(floor((x * y) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(floor((y * y) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS syy
+       |  FROM $src $grp),
+       |dd AS (SELECT ${g}n, CAST(n AS DOUBLE) AS nd,
+       |    CAST(sx AS DOUBLE) / 1048576.0 AS sx,
+       |    CAST(sy AS DOUBLE) / 1048576.0 AS sy,
+       |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx,
+       |    CAST(sxy AS DOUBLE) / 1048576.0 AS sxy,
+       |    CAST(syy AS DOUBLE) / 1048576.0 AS syy
+       |  FROM a)
+       |SELECT ${g}n,
+       |  CASE WHEN ((nd * sxx) - (sx * sx)) > 0.0
+       |        AND ((nd * syy) - (sy * sy)) > 0.0 THEN
+       |    ((nd * sxy) - (sx * sy)) /
+       |      (sqrt((nd * sxx) - (sx * sx)) * sqrt((nd * syy) - (sy * sy)))
+       |  END AS corr
+       |FROM dd""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_corr_merge" ->
+      ("""WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+         |    CAST(l_extendedprice AS DOUBLE) AS y
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |""".stripMargin + corrSql("c", "")),
+    "q_stream_corr" ->
+      ("""WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+         |      AS hour_epoch,
+         |    CAST(value AS DOUBLE) AS x, CAST(user_id AS DOUBLE) AS y
+         |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         |""".stripMargin + corrSql("c", "hour_epoch") +
+        "\nORDER BY hour_epoch ASC"),
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |u AS (SELECT user_id, max(sec) AS last,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    coalesce(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 0.0)
+        |      AS monetary
+        |  FROM e GROUP BY 1),
+        |nw AS (SELECT max(sec) AS now FROM e),
+        |b AS (SELECT user_id, nw.now - u.last AS recency_sec, frequency,
+        |    monetary FROM u, nw),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |s1 AS (SELECT user_id, recency_sec, frequency, monetary,
+        |    least(5, CAST(floor(((rk - 1) * 5) / nn.n) AS BIGINT) + 1) AS r
+        |  FROM (SELECT *, row_number()
+        |          OVER (ORDER BY recency_sec DESC, user_id ASC) AS rk
+        |        FROM b), nn),
+        |s2 AS (SELECT user_id, recency_sec, frequency, monetary, r,
+        |    least(5, CAST(floor(((rk - 1) * 5) / nn.n) AS BIGINT) + 1) AS f
+        |  FROM (SELECT *, row_number()
+        |          OVER (ORDER BY frequency ASC, user_id ASC) AS rk
+        |        FROM s1), nn),
+        |s3 AS (SELECT user_id, recency_sec, frequency, monetary, r, f,
+        |    least(5, CAST(floor(((rk - 1) * 5) / nn.n) AS BIGINT) + 1) AS m
+        |  FROM (SELECT *, row_number()
+        |          OVER (ORDER BY monetary ASC, user_id ASC) AS rk
+        |        FROM s2), nn)
+        |SELECT user_id, recency_sec, frequency, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS segment
+        |FROM s3 ORDER BY user_id ASC""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT user_id, event_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER
+        |      (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) > 1800
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM e),
+        |c AS (SELECT user_id, sec,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id
+        |      ORDER BY sec ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(sec) AS start_sec, max(sec) AS end_sec,
+        |  max(sec) - min(sec) AS duration_sec
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_model_registry" -> registryOracle,
     "q_graph_pagerank_weighted" -> (prwPrefix +
       """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),

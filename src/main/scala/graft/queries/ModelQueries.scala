@@ -114,6 +114,46 @@ object ModelQueries {
       GraphRank.pagerank(tradeEdges(s, dir), "src", "dst",
         iters = 5, damping = 0.85)
     }),
+    "q_corr_merge" -> ((s, dir) => {
+      // three disjoint shards stamped independently, rolled up with
+      // zero rescan: decimal sums add exactly, so the merged Pearson is
+      // bit-equal to correlating the union — the oracle states the
+      // whole-corpus correlation directly
+      import graft.pipeline.Report
+      val li = d(s, dir, "lineitem")
+      val stamps = (0 until 3).map(m =>
+        Report.corrStamp(li.where(F.col("l_orderkey") % 3 === m),
+          "l_quantity", "l_extendedprice")).reduce(_ unionByName _)
+      Report.mergeCorrStamps(stamps)
+    }),
+    "q_stream_corr" -> ((s, dir) => {
+      // live feature-coupling monitor: per-hour Pearson of value vs
+      // user id through Structured Streaming — the same fixed-point
+      // stamp algebra as the batch family, finished in-plan per window
+      val (tmp, schema) = graft.streaming.StreamStage.stage(
+        s, s"$dir/events", d(s, dir, "events"))
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val wc = graft.streaming.Streams.windowedCorr(stream, "ts",
+        "value", "user_id", "1 hour", "1 hour")
+      graft.streaming.StreamStage.runToMemory(wc, "q_stream_corr_",
+          "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("n"), F.col("corr"))
+        .orderBy(F.col("hour_epoch").asc)
+    }),
+    "q_rfm" -> ((s, dir) => {
+      // RFM user segmentation: recency/frequency/monetary with
+      // deterministic equi-depth quintile scores (ordinal ranks via the
+      // range shuffle, ties pinned by user id)
+      graft.operators.Funnel.rfm(d(s, dir, "events"), "user_id", "ts",
+        "value")
+    }),
+    "q_sessionize_batch" -> ((s, dir) => {
+      // gap-based sessionization, batch face (30-minute gap): keyed
+      // lag + running session counter, per-session rollup
+      graft.operators.Funnel.sessionize(d(s, dir, "events"), "user_id",
+        "ts", gapSec = 1800L, tiebreaker = "event_id")
+    }),
     "q_model_registry" -> ((s, dir) => {
       // a model REGISTRY on the versioned store: train v1 on half the
       // corpus, publish; retrain v2 on all of it, publish; then load

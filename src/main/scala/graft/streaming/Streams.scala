@@ -275,6 +275,36 @@ object Streams {
           .as("entries"))
   }
 
+  /** Streaming correlation monitor — per event-time window the SAME
+    * six fixed-point sums as [[graft.pipeline.Report.corrStamp]]
+    * (decimal algebra, so window stamps also merge with batch history),
+    * finished in-plan to a per-window Pearson coefficient: "did the
+    * coupling between two signals drift this hour?" — the
+    * feature-interaction sibling of the distribution-drift monitor.
+    * Stateless per-window counters, watermark-bounded. Output:
+    * (window, n, corr) with NULL corr for zero-variance windows. */
+  def windowedCorr(df: DataFrame, tsCol: String, xCol: String, yCol: String,
+      window: String, watermark: String): DataFrame = {
+    val scale = graft.pipeline.QualityModel.GradScale
+    def fixed(t: Column) =
+      F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
+    val x = F.col(xCol).cast("double"); val y = F.col(yCol).cast("double")
+    val agg = df.where(x.isNotNull && y.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window))
+      .agg(F.count(F.lit(1)).as("n"),
+        fixed(x).as("sx"), fixed(y).as("sy"), fixed(x * x).as("sxx"),
+        fixed(x * y).as("sxy"), fixed(y * y).as("syy"))
+    def dbl(c: String) = F.col(c).cast("double") / F.lit(scale)
+    val nD = F.col("n").cast("double")
+    val num = (nD * dbl("sxy")) - (dbl("sx") * dbl("sy"))
+    val vx = (nD * dbl("sxx")) - (dbl("sx") * dbl("sx"))
+    val vy = (nD * dbl("syy")) - (dbl("sy") * dbl("sy"))
+    agg.select(F.col("window"), F.col("n"),
+      F.when(vx > 0.0d && vy > 0.0d,
+        num / (F.sqrt(vx) * F.sqrt(vy))).as("corr"))
+  }
+
   /** Streaming windowed DISTINCT counting via mergeable HLL sketches —
     * the live-dashboard metric Structured Streaming cannot express with
     * `countDistinct` (distinct aggregates are unsupported on streams).

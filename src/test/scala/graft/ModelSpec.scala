@@ -219,6 +219,58 @@ class ModelSpec extends AnyFunSuite {
     assert(r1.getLong(0) == 4L && r1.getLong(1) == 3L)
   }
 
+  test("corr stamps: shard rollup is bit-equal to the direct matrix") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextDouble() * 10.0, rnd.nextDouble() * 5.0))
+      .toDF("id", "x", "y")
+    val direct = graft.pipeline.Report.correlationMatrix(df, Seq("x", "y"))
+      .head().getDouble(3)
+    val stamps = (0 until 3).map(m =>
+      graft.pipeline.Report.corrStamp(df.where(F.col("id") % 3 === m),
+        "x", "y")).reduce(_ unionByName _)
+    val merged = graft.pipeline.Report.mergeCorrStamps(stamps).head()
+    assert(merged.getLong(0) == 300L)
+    assert(merged.getDouble(1) == direct, "rollup must be bit-equal")
+  }
+
+  test("rfm: distinct metrics score as clean quintile permutations") {
+    import spark.implicits._
+    // 5 users, one event each at increasing times and values: user u5
+    // is most recent AND highest spend; frequency ties (all 1) break
+    // by user id
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (1 to 5).map(i => (s"u$i",
+      new java.sql.Timestamp(base.getTime + i * 3600L * 1000L),
+      i.toDouble)).toDF("user_id", "ts", "value")
+    val r = graft.operators.Funnel.rfm(ev, "user_id", "ts", "value")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    assert(r("u5") == ((5L, 5L, 5L)), r.toString)   // newest, top spend
+    assert(r("u1")._1 == 1L && r("u1")._3 == 1L)    // stalest, lowest
+    assert(r.values.map(_._1).toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    // tied frequency: quintiles come from the user-id tiebreak, still a
+    // permutation of 1..5
+    assert(r.values.map(_._2).toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("sessionize: gap splits sessions, rollup is exact") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      ("a", 1L, ts(0L)), ("a", 2L, ts(100L)), ("a", 3L, ts(2000L)),
+      ("b", 4L, ts(50L))).toDF("user_id", "event_id", "ts")
+    val out = graft.operators.Funnel.sessionize(ev, "user_id", "ts",
+      gapSec = 1800L, tiebreaker = "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(out(("a", 0L)) == ((2L, 100L)), out.toString) // events 1,2
+    assert(out(("a", 1L)) == ((1L, 0L)))                 // event 3 alone
+    assert(out(("b", 0L)) == ((1L, 0L)))
+    assert(out.size == 3)
+  }
+
   test("readability: hand-computed counters and scores") {
     import spark.implicits._
     val df = Seq((1L, "The cat sat on the mat. It was flat!"))
