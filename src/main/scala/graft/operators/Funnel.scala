@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Ordered conversion-funnel analysis over an event stream — how many
   * users reached step k IN ORDER (view → click → purchase), the product
@@ -116,6 +116,54 @@ object Funnel {
         F.max(F.col("td_sec")).as("end_sec"))
       .withColumn("duration_sec", F.col("end_sec") - F.col("start_sec"))
       .orderBy(F.col(userCol).asc, F.col("session_idx").asc)
+  }
+
+  /** Association rules over per-basket item sets (market-basket
+    * analysis, Agrawal & Srikant 1994): for every ordered item pair
+    * that co-occurs in at least `minBoth` baskets, the support,
+    * confidence, and lift — "users who view also purchase?". Baskets
+    * are the DISTINCT (basket, item) pairs; the pair search self-joins
+    * on the basket key with a<b orientation, so candidates are bounded
+    * by per-basket item-set sizes (small by the categorical contract),
+    * never the corpus. Exact integer counts; each ratio one stated
+    * division, lift = (n_both·N)/(n_ant·n_cons) as
+    * ((cab·N) / (ca·cb)) doubles. Both rule directions are emitted.
+    * Output: (antecedent, consequent, n_both, n_ant, n_cons, support,
+    * confidence, lift) ascending by (antecedent, consequent). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minBoth: Long = 1L): DataFrame = {
+    val ut = df
+      .where(F.col(basketCol).isNotNull && F.col(itemCol).isNotNull)
+      .select(F.col(basketCol).as("td_b"),
+        F.col(itemCol).cast("string").as("td_i"))
+      .distinct()
+    val n = ut.select(F.col("td_b")).distinct().count()
+    require(n > 0, "associationRules over an empty relation")
+    val cnt = ut.groupBy(F.col("td_i")).agg(F.count(F.lit(1)).as("td_c"))
+    val pairs = ut.as("x").join(ut.as("y"), "td_b")
+      .where(F.col("x.td_i") < F.col("y.td_i"))
+      .groupBy(F.col("x.td_i").as("td_a"), F.col("y.td_i").as("td_bb"))
+      .agg(F.count(F.lit(1)).as("td_cab"))
+      .where(F.col("td_cab") >= minBoth)
+    def rules(antecedent: Column, consequent: Column) = pairs
+      .select(antecedent.as("antecedent"), consequent.as("consequent"),
+        F.col("td_cab"))
+      .join(cnt.select(F.col("td_i").as("antecedent"),
+        F.col("td_c").as("n_ant")), "antecedent")
+      .join(cnt.select(F.col("td_i").as("consequent"),
+        F.col("td_c").as("n_cons")), "consequent")
+    val nD = F.lit(n.toDouble)
+    rules(F.col("td_a"), F.col("td_bb"))
+      .unionByName(rules(F.col("td_bb"), F.col("td_a")))
+      .select(F.col("antecedent"), F.col("consequent"),
+        F.col("td_cab").as("n_both"), F.col("n_ant"), F.col("n_cons"),
+        (F.col("td_cab").cast("double") / nD).as("support"),
+        (F.col("td_cab").cast("double") / F.col("n_ant").cast("double"))
+          .as("confidence"),
+        ((F.col("td_cab").cast("double") * nD) /
+          (F.col("n_ant").cast("double") * F.col("n_cons").cast("double")))
+          .as("lift"))
+      .orderBy(F.col("antecedent").asc, F.col("consequent").asc)
   }
 
   /** Behavioral transition matrix: counts of consecutive event-type

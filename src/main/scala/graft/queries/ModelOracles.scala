@@ -245,6 +245,26 @@ object ModelOracles {
          |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
          |""".stripMargin + corrSql("c", "hour_epoch") +
         "\nORDER BY hour_epoch ASC"),
+    "q_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS b,
+        |    CAST(event_type AS VARCHAR) AS i
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nn AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM ut),
+        |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY i),
+        |p AS (SELECT x.i AS a, y.i AS bb, CAST(count(*) AS BIGINT) AS cab
+        |  FROM ut x JOIN ut y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |r AS (SELECT a AS antecedent, bb AS consequent, cab FROM p
+        |      UNION ALL SELECT bb, a, cab FROM p)
+        |SELECT r.antecedent, r.consequent, r.cab AS n_both,
+        |  ca.c AS n_ant, cb.c AS n_cons,
+        |  CAST(r.cab AS DOUBLE) / nn.n AS support,
+        |  CAST(r.cab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+        |  (CAST(r.cab AS DOUBLE) * nn.n) /
+        |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+        |FROM r JOIN cnt ca ON ca.i = r.antecedent
+        |JOIN cnt cb ON cb.i = r.consequent, nn
+        |ORDER BY antecedent ASC, consequent ASC""".stripMargin,
     "q_rfm" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |    value

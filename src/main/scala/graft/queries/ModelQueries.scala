@@ -141,6 +141,12 @@ object ModelQueries {
           F.col("n"), F.col("corr"))
         .orderBy(F.col("hour_epoch").asc)
     }),
+    "q_assoc_rules" -> ((s, dir) => {
+      // market-basket rules over per-user event-type sets: support /
+      // confidence / lift with exact counts, both rule directions
+      graft.operators.Funnel.associationRules(d(s, dir, "events"),
+        "user_id", "event_type", minBoth = 5L)
+    }),
     "q_rfm" -> ((s, dir) => {
       // RFM user segmentation: recency/frequency/monetary with
       // deterministic equi-depth quintile scores (ordinal ranks via the

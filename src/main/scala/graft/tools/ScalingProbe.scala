@@ -394,6 +394,38 @@ object ScalingProbe {
         val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
         graft.pipeline.GraphRank.pagerank(ed, "src", "dst", iters = 3).count()
       }),
+      ("hits", 30, { d =>
+        // directed chain-block graph, 2 HITS iterations (4 fixed-point
+        // passes + 4 norm scalars); edges linear in n
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        graft.pipeline.GraphRank.hits(e0, "src", "dst", iters = 2).count()
+      }),
+      ("triangles", 100, { d =>
+        // complete graph per 10-doc block: 45 edges / 120 triangles per
+        // block, so edges AND triangles grow linearly with n while the
+        // oriented join's per-node candidate sets stay constant
+        val ids = d.select(F.col("doc_id"),
+          (F.col("doc_id") / 10L).cast("long").as("blk"))
+        val e = ids.as("x").join(ids.as("y"), "blk")
+          .where(F.col("x.doc_id") < F.col("y.doc_id"))
+          .select(F.col("x.doc_id").as("src"), F.col("y.doc_id").as("dst"))
+        graft.pipeline.GraphRank.triangles(e, "src", "dst").count()
+      }),
+      ("tfidf", 100, { d =>
+        // postings build + df join + map-side window limit: linear
+        graft.pipeline.Retrieval.tfidfKeywords(d, "text", "doc_id", 5)
+          .count()
+      }),
+      ("pmi", 100, { d =>
+        // unigram + bigram counts (two map-side-combined shuffles) +
+        // a TakeOrdered top slice: linear in total tokens
+        graft.pipeline.Retrieval.pmiCollocations(d, "text",
+          minCount = 5L, topN = 100).count()
+      }),
       ("quality_cv", 100, { d =>
         // 3 folds × 2 GD iterations (six map-side-combined aggs) + three
         // holdout AUC range shuffles over n/3 rows each
@@ -445,6 +477,22 @@ object ScalingProbe {
       }),
       ("cohort", 100, { e =>
         graft.operators.Funnel.cohortRetention(e, "user_id", "ts").count()
+      }),
+      ("rfm", 100, { e =>
+        // one keyed agg + three composite range-shuffle rank passes
+        // over the (smaller) per-user relation
+        graft.operators.Funnel.rfm(e, "user_id", "ts", "value").count()
+      }),
+      ("sessionize", 100, { e =>
+        // keyed window (users sort in parallel) + keyed rollup
+        graft.operators.Funnel.sessionize(e, "user_id", "ts", 1800L,
+          tiebreaker = "value").count()
+      }),
+      ("assoc_rules", 100, { e =>
+        // distinct (user, type) + per-basket a<b self-join: candidates
+        // bounded by per-user type-set size (constant per copy)
+        graft.operators.Funnel.associationRules(e, "user_id",
+          "event_type", minBoth = 5L).count()
       }),
       ("resample", 100, { e =>
         graft.operators.SeriesOps.resample(
