@@ -238,6 +238,12 @@ object ModelOracles {
          |  FROM lineitem WHERE l_quantity IS NOT NULL
          |    AND l_extendedprice IS NOT NULL),
          |""".stripMargin + corrSql("c", "")),
+    "q_corr_store_rollup" ->
+      ("""WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+         |    CAST(l_extendedprice AS DOUBLE) AS y
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |""".stripMargin + corrSql("c", "")),
     "q_stream_corr" ->
       ("""WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
          |      AS hour_epoch,

@@ -126,6 +126,23 @@ object ModelQueries {
           "l_quantity", "l_extendedprice")).reduce(_ unionByName _)
       Report.mergeCorrStamps(stamps)
     }),
+    "q_corr_store_rollup" -> ((s, dir) => {
+      // the correlation family's STORE face (profile/KMV/Bloom/CMS all
+      // have one): three crawl shards published as store versions,
+      // stamped per version via @HEAD~n refs, rolled up with zero
+      // rescan of history — bit-equal to correlating the union
+      import graft.pipeline.Report
+      val li = d(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val store = tempStore(s)
+      (0 until 3).foreach(m =>
+        store.write("g", "crli", li.where(F.col("l_orderkey") % 3 === m)))
+      val stamps = Seq("g/crli@HEAD~2", "g/crli@HEAD~1", "g/crli@HEAD")
+        .map(r => Report.corrStamp(store.scan(r).get.df,
+          "l_quantity", "l_extendedprice"))
+        .reduce(_ unionByName _)
+      Report.mergeCorrStamps(stamps)
+    }),
     "q_stream_corr" -> ((s, dir) => {
       // live feature-coupling monitor: per-hour Pearson of value vs
       // user id through Structured Streaming — the same fixed-point
