@@ -88,31 +88,41 @@ object ModelOracles {
          |""".stripMargin
   }
 
-  /** PageRank replay: symmetric trade graph, degrees, then five damped
-    * iterations with fixed-point per-edge contribution sums. */
-  private val prPrefix: String = {
+  /** PageRank replay chain: symmetric trade graph, degrees, then five
+    * damped iterations with fixed-point per-edge contribution sums.
+    * `pfx` namespaces the chain (drift oracles run two); `orderWhere`
+    * optionally restricts the order snapshot. Ends with a trailing
+    * comma. */
+  private def prChain(pfx: String, orderWhere: String): String = {
     val iters = (1 to 5).map { k =>
-      s"""c$k AS (SELECT ed.v AS node,
+      s"""c$pfx$k AS MATERIALIZED (SELECT ed.v AS node,
          |  sum(CAST(floor((r."rank" / dg.deg) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
-         |  FROM ed JOIN dg USING (u) JOIN r${k - 1} r ON r.node = ed.u
+         |  FROM ed$pfx ed JOIN dg$pfx dg USING (u)
+         |  JOIN r$pfx${k - 1} r ON r.node = ed.u
          |  GROUP BY ed.v),
-         |r$k AS (SELECT n.node,
-         |  ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n) + 0.85 *
+         |r$pfx$k AS MATERIALIZED (SELECT n.node,
+         |  ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn$pfx.n) + 0.85 *
          |    (CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0) AS "rank"
-         |  FROM nodes n LEFT JOIN c$k c USING (node), nn),
+         |  FROM nodes$pfx n LEFT JOIN c$pfx$k c USING (node), nn$pfx),
          |""".stripMargin
     }.mkString
-    ("""WITH ed0 AS (SELECT DISTINCT
+    s"""ed0$pfx AS (SELECT DISTINCT
        |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
        |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
-       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |ed AS (SELECT u, v FROM ed0 UNION ALL SELECT v AS u, u AS v FROM ed0),
-       |nodes AS (SELECT DISTINCT u AS node FROM ed),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-       |dg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM ed GROUP BY u),
-       |r0 AS (SELECT node, 1.0 / nn.n AS "rank" FROM nodes, nn),
-       |""".stripMargin + iters).stripSuffix(",\n") + "\n"
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  $orderWhere),
+       |ed$pfx AS (SELECT u, v FROM ed0$pfx
+       |  UNION ALL SELECT v AS u, u AS v FROM ed0$pfx),
+       |nodes$pfx AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed$pfx),
+       |nn$pfx AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes$pfx),
+       |dg$pfx AS MATERIALIZED (SELECT u, CAST(count(*) AS DOUBLE) AS deg
+       |  FROM ed$pfx GROUP BY u),
+       |r${pfx}0 AS (SELECT node, 1.0 / nn$pfx.n AS "rank" FROM nodes$pfx, nn$pfx),
+       |""".stripMargin + iters
   }
+
+  private val prPrefix: String =
+    ("WITH " + prChain("", "")).stripSuffix(",\n") + "\n"
 
   /** Model-registry replay: version 1's training (even doc_ids only,
     * three fixed-point GD iterations) and the corpus-wide scoring the
@@ -425,6 +435,13 @@ object ModelOracles {
     },
     "q_graph_pagerank" -> (prPrefix +
       """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),
+    "q_graph_rank_drift" ->
+      (("WITH " + prChain("a", "WHERE o.o_orderkey % 2 = 0") +
+        prChain("b", "")).stripSuffix(",\n") + "\n" +
+        """SELECT node, ra."rank" AS rank_past, rb."rank" AS rank_cur,
+          |  rb."rank" - ra."rank" AS rank_delta
+          |FROM ra5 ra FULL OUTER JOIN rb5 rb USING (node)
+          |ORDER BY node ASC""".stripMargin),
     "q_privacy_kanon" ->
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  (count(*) < 10) AS violates

@@ -38,11 +38,23 @@ object ModelQueries {
 
   // symmetric customer↔supplier trade graph: who transacted with whom —
   // symmetrizing removes dangling nodes, so the simplified PageRank is
-  // exactly the stochastic one
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val e0 = tradeEdgesOneWay(s, dir)
+  // exactly the stochastic one; `evenOrdersOnly` restricts the order
+  // snapshot (the "past" graph of the rank-drift gate)
+  private def tradeEdgesSym(s: SparkSession, dir: String,
+      evenOrdersOnly: Boolean): DataFrame = {
+    val o0 = d(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val o = if (evenOrdersOnly) o0.where(F.col("o_orderkey") % 2 === 0) else o0
+    val l = d(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).as("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
     e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
   }
+
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    tradeEdgesSym(s, dir, evenOrdersOnly = false)
 
   // the same graph with edge weight = number of line items transacted
   // between the pair, symmetrized with the weight carried both ways
@@ -202,6 +214,24 @@ object ModelQueries {
         .select(F.col("doc_id"), F.col("score"))
         .orderBy(F.col("score").desc, F.col("doc_id").asc)
         .limit(10)
+    }),
+    "q_graph_rank_drift" -> ((s, dir) => {
+      // importance drift on an EVOLVING graph: PageRank over the
+      // half-order "past" snapshot vs the full graph, full-outer on
+      // node with the delta — which entities gained standing as the
+      // graph grew (nodes absent in the past answer NULL honestly)
+      val past = GraphRank.pagerank(
+        tradeEdgesSym(s, dir, evenOrdersOnly = true), "src", "dst",
+        iters = 5, damping = 0.85)
+      val cur = GraphRank.pagerank(
+        tradeEdgesSym(s, dir, evenOrdersOnly = false), "src", "dst",
+        iters = 5, damping = 0.85)
+      past.withColumnRenamed("rank", "rank_past")
+        .join(cur.withColumnRenamed("rank", "rank_cur"),
+          Seq("node"), "full_outer")
+        .select(F.col("node"), F.col("rank_past"), F.col("rank_cur"),
+          (F.col("rank_cur") - F.col("rank_past")).as("rank_delta"))
+        .orderBy(F.col("node").asc)
     }),
     "q_graph_pagerank_weighted" -> ((s, dir) => {
       // PageRank with transaction-volume edge weights: contribution

@@ -645,6 +645,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!ps.contains("Sort ["), ps) // no global sort anywhere
   }
 
+  test("round-13 ops: map-side keyword ranks, broadcast FK parents, partial corr aggs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // TF-IDF ranks ride the map-side WindowGroupLimit path (k rows per
+    // group per partition cross the shuffle, not the postings relation)
+    val pk = plan(graft.pipeline.Retrieval.tfidfKeywords(docs, "text", "doc_id", 5))
+    assert(pk.contains("WindowGroupLimit") && pk.contains("Partial"), pk)
+    // FK orphan check: the DISTINCT parent-key side broadcasts
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+    val pf = plan(graft.dq.Dq.fkOrphans(li, "l_orderkey", ords,
+      "o_orderkey", "t"))
+    assert(pf.contains("BroadcastHashJoin"), pf)
+    // grouped correlation: ONE aggregation (partial then final), the
+    // finishing algebra rides the projection — no second shuffle
+    val pc = plan(graft.pipeline.Report.corrByGroup(li, "l_returnflag",
+      "l_quantity", "l_extendedprice"))
+    assert(pc.contains("partial_"), pc)
+    assert(!pc.contains("CartesianProduct"), pc)
+  }
+
   test("store partition pruning: partition filter never reaches row scan") {
     // partitioned write + partition-column filter => PartitionFilters
     // carries the predicate and PushedFilters stays empty

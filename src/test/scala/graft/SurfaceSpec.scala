@@ -105,6 +105,7 @@ class SurfaceSpec extends AnyFunSuite {
       graft.queries.QualityQueries.queries,
       graft.queries.CurationQueries.queries,
       graft.queries.AnalyticsQueries.queries,
+      graft.queries.ModelQueries.queries,
       graft.queries.TpchQueries.queries)
     assert(qParts.map(_.keySet).reduce(_ ++ _).size == qParts.map(_.size).sum,
       "a gate key is defined in two query objects (one silently shadowed)")
@@ -117,6 +118,7 @@ class SurfaceSpec extends AnyFunSuite {
       graft.queries.QualityOracles.oracleSql,
       graft.queries.CurationOracles.oracleSql,
       graft.queries.AnalyticsOracles.oracleSql,
+      graft.queries.ModelOracles.oracleSql,
       graft.queries.TpchOracles.oracleSql)
     assert(oParts.map(_.keySet).reduce(_ ++ _).size == oParts.map(_.size).sum,
       "an oracle key is defined in two oracle objects (one silently shadowed)")
@@ -147,7 +149,7 @@ class SurfaceSpec extends AnyFunSuite {
     // an oracle whose gate name drifted would silently vanish from the
     // driver's hash check — fail here instead
     assert((o -- q).isEmpty, s"oracles without a gate query: ${(o -- q).toSeq.sorted}")
-    assert(q.size >= 301, s"gate count dropped to ${q.size}")
+    assert(q.size >= 302, s"gate count dropped to ${q.size}")
     // only the hash-seeded/probabilistic/centroid-routed ops may skip the
     // value-hash oracle; anything else appearing here is a coverage bug
     // (q_dedup_simhash and q_text_winnow left this set in r13: their
