@@ -228,4 +228,78 @@ object Quantiles {
         F.max(F.col(valueCol)).as("hi"))
       .orderBy(F.col("bucket").asc)
   }
+
+  /** Gini coefficient of a non-negative column — HOW CONCENTRATED is
+    * the corpus (do 1% of documents hold half the tokens?), the
+    * composition-skew diagnostic next to [[graft.operators.SkewDiag]]'s
+    * key skew. Rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with
+    * ordinal ranks from the range shuffle (ties pinned by
+    * `tiebreakers`) and both corpus sums in fixed point
+    * (floor(t·2^20 + 0.5) DECIMAL(38,0) — partitioning-invariant,
+    * engine-replayable); the finishing arithmetic states each double op
+    * once. Negative values are rejected (Gini is undefined there);
+    * NULLs excluded. Output one row: (n, total, gini). */
+  def gini(df: DataFrame, valueCol: String,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    val scale = graft.pipeline.QualityModel.GradScale
+    def fixed(t: org.apache.spark.sql.Column) =
+      F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(x.isNotNull && x >= 0.0d)
+    val ranked = ScalableRank.withRank(clean, valueCol, "$td.__rk",
+      method = "ordinal", tiebreakers = tiebreakers)
+    val agg = ranked.agg(F.count(F.lit(1)).as("n"),
+      fixed(x).as("td_s1"),
+      fixed(F.col("`$td.__rk`").cast("double") * x).as("td_s2"))
+    val nD = F.col("n").cast("double")
+    val s1 = F.col("td_s1").cast("double") / F.lit(scale)
+    val s2 = F.col("td_s2").cast("double") / F.lit(scale)
+    agg.select(F.col("n"), s1.as("total"),
+      F.when(F.col("n") > 0L && F.col("td_s1") > 0L,
+        ((F.lit(2.0d) * s2) / (nD * s1)) - ((nD + F.lit(1.0d)) / nD))
+        .as("gini"))
+  }
+
+  /** Lorenz curve in `buckets` equi-depth slices: per slice the row
+    * count, exact value sum, and the CUMULATIVE share of the total —
+    * "the bottom 80% of documents hold x% of the tokens". Slicing rides
+    * the same ordinal range-shuffle rank as [[equiDepthHistogram]];
+    * cumulative sums stay DECIMAL-exact over the ≤`buckets` slice rows
+    * (a bounded unpartitioned window, the gains-table convention), with
+    * one stated share division per row. Output:
+    * (bucket, cnt, value_sum, cum_share) ascending. */
+  def lorenzCurve(df: DataFrame, valueCol: String, buckets: Int = 10,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val scale = graft.pipeline.QualityModel.GradScale
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(x.isNotNull && x >= 0.0d)
+    val n = clean.count()
+    require(n > 0, "lorenzCurve over an empty (or all-negative) relation")
+    val ranked = ScalableRank.withRank(clean, valueCol, "$td.__rk",
+      method = "ordinal", tiebreakers = tiebreakers)
+    val per = ranked
+      .withColumn("bucket",
+        F.floor(((F.col("`$td.__rk`") - 1L) * buckets.toLong).cast("double") /
+          F.lit(n.toDouble)).cast("long"))
+      .groupBy(F.col("bucket"))
+      .agg(F.count(F.lit(1)).as("cnt"),
+        F.sum(F.floor(x * F.lit(scale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_s"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("bucket").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("bucket").asc)
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    per
+      .withColumn("td_cum", F.sum(F.col("td_s")).over(wCum))
+      .withColumn("td_tot", F.sum(F.col("td_s")).over(wAll))
+      .select(F.col("bucket"), F.col("cnt"),
+        (F.col("td_s").cast("double") / F.lit(scale)).as("value_sum"),
+        F.when(F.col("td_tot") > 0L,
+          F.col("td_cum").cast("double") / F.col("td_tot").cast("double"))
+          .as("cum_share"))
+      .orderBy(F.col("bucket").asc)
+  }
 }

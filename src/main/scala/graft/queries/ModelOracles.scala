@@ -460,6 +460,44 @@ object ModelOracles {
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l,
         |  (count(DISTINCT o_orderstatus) < 3) AS violates
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_gini" ->
+      """WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND CAST(n_chars AS DOUBLE) >= 0.0),
+        |r AS (SELECT doc_id, x,
+        |    row_number() OVER (ORDER BY x ASC, doc_id ASC) AS rk FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(floor((CAST(rk AS DOUBLE) * x) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS s2
+        |  FROM r)
+        |SELECT n, CAST(s1 AS DOUBLE) / 1048576.0 AS total,
+        |  CASE WHEN n > 0 AND s1 > 0 THEN
+        |    ((2.0 * (CAST(s2 AS DOUBLE) / 1048576.0)) /
+        |     (CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / 1048576.0)))
+        |      - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+        |  END AS gini
+        |FROM a""".stripMargin,
+    "q_lorenz" ->
+      """WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND CAST(n_chars AS DOUBLE) >= 0.0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT x,
+        |    row_number() OVER (ORDER BY x ASC, doc_id ASC) AS rk FROM c),
+        |p AS (SELECT CAST(floor(CAST((rk - 1) * 10 AS DOUBLE)
+        |      / CAST(nn.n AS DOUBLE)) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
+        |  FROM r, nn GROUP BY 1),
+        |w AS (SELECT bucket, cnt, s,
+        |    sum(s) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(s) OVER () AS tot
+        |  FROM p)
+        |SELECT bucket, cnt, CAST(s AS DOUBLE) / 1048576.0 AS value_sum,
+        |  CASE WHEN tot > 0 THEN
+        |    CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) END AS cum_share
+        |FROM w ORDER BY bucket ASC""".stripMargin,
     "q_corr_matrix" ->
       """WITH c AS (SELECT CAST(l_discount AS DOUBLE) AS x0,
         |    CAST(l_extendedprice AS DOUBLE) AS x1,

@@ -281,6 +281,20 @@ object ModelQueries {
         d(s, dir, "orders").withColumn("o_year", F.year(F.col("o_orderdate"))),
         Seq("o_orderpriority", "o_year"), "o_orderstatus", l = 3L)
     }),
+    "q_gini" -> ((s, dir) => {
+      // corpus-composition concentration: Gini of document lengths
+      // (rank formula, fixed-point sums, range-shuffle ordinal ranks)
+      graft.operators.Quantiles.gini(
+        d(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+        tiebreakers = Seq("doc_id"))
+    }),
+    "q_lorenz" -> ((s, dir) => {
+      // the matching Lorenz deciles: cumulative token share of the
+      // bottom k/10 of documents, DECIMAL-exact cumulative sums
+      graft.operators.Quantiles.lorenzCurve(
+        d(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+        buckets = 10, tiebreakers = Seq("doc_id"))
+    }),
     "q_corr_matrix" -> ((s, dir) => {
       // pairwise Pearson over lineitem's pricing columns in ONE
       // fixed-point aggregation pass — the finishing algebra is O(d²)
