@@ -260,6 +260,36 @@ object Quantiles {
         .as("gini"))
   }
 
+  /** Per-group [[gini]]: within-group ranks from ONE composite-key
+    * range shuffle ([[ScalableRank.withRankByGroup]] — any number of
+    * groups is one extra subplan, never a per-group job), then one
+    * keyed aggregation and the same stated finishing per row. Output:
+    * (group, n, total, gini) ascending. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    val scale = graft.pipeline.QualityModel.GradScale
+    def fixed(t: org.apache.spark.sql.Column) =
+      F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(x.isNotNull && x >= 0.0d &&
+      F.col(groupCol).isNotNull)
+    val ranked = ScalableRank.withRankByGroup(clean, groupCol, valueCol,
+      "$td.__rk", tiebreakers = tiebreakers)
+    val agg = ranked
+      .groupBy(F.col(groupCol).cast("string").as("group"))
+      .agg(F.count(F.lit(1)).as("n"),
+        fixed(x).as("td_s1"),
+        fixed(F.col("`$td.__rk`").cast("double") * x).as("td_s2"))
+    val nD = F.col("n").cast("double")
+    val s1 = F.col("td_s1").cast("double") / F.lit(scale)
+    val s2 = F.col("td_s2").cast("double") / F.lit(scale)
+    agg.select(F.col("group"), F.col("n"), s1.as("total"),
+      F.when(F.col("n") > 0L && F.col("td_s1") > 0L,
+        ((F.lit(2.0d) * s2) / (nD * s1)) - ((nD + F.lit(1.0d)) / nD))
+        .as("gini"))
+      .orderBy(F.col("group").asc)
+  }
+
   /** Lorenz curve in `buckets` equi-depth slices: per slice the row
     * count, exact value sum, and the CUMULATIVE share of the total —
     * "the bottom 80% of documents hold x% of the tokens". Slicing rides

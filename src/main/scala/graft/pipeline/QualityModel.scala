@@ -53,9 +53,24 @@ object QualityModel {
     * deterministic first step). Rows with a NULL feature or label are
     * excluded. Returns intercept-first weights. */
   def trainLogistic(df: DataFrame, featureCols: Seq[String],
-      labelCol: String, iters: Int = 3, lr: Double = 1.0): Array[Double] = {
+      labelCol: String, iters: Int = 3, lr: Double = 1.0): Array[Double] =
+    trainLogisticL2(df, featureCols, labelCol, iters, lr, l2 = 0.0)
+
+  /** [[trainLogistic]] with ridge (L2) regularization: the update adds
+    * the shrinkage term λ·w_j for every FEATURE weight (the intercept
+    * is conventionally unpenalized) — w_j ← w_j − lr·((G_j/2^20)/n +
+    * λ·w_j), still one aggregation per pass, still bit-replayable
+    * (the penalty is driver-side double arithmetic stated once; λ = 0
+    * degenerates EXACTLY to the unregularized trajectory because the
+    * branch keeps the original expression — not a `+ 0.0` rewrite,
+    * which would be bit-identical anyway but states a different
+    * formula). */
+  def trainLogisticL2(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, iters: Int = 3, lr: Double = 1.0,
+      l2: Double = 0.0): Array[Double] = {
     require(featureCols.nonEmpty, "need at least one feature")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(l2 >= 0.0, s"l2 must be >= 0, got $l2")
     val feats = featureCols.map(c => F.col(c).cast("double"))
     val y = F.col(labelCol).cast("double")
     val clean = df.where(feats.map(_.isNotNull).reduce(_ && _) && y.isNotNull)
@@ -71,7 +86,10 @@ object QualityModel {
       require(n > 0, "trainLogistic over an empty (or all-NULL) relation")
       for (j <- w.indices) {
         val g = row.getDecimal(j + 1).doubleValue()
-        w(j) = w(j) - lr * ((g / GradScale) / n)
+        if (l2 == 0.0 || j == 0)
+          w(j) = w(j) - lr * ((g / GradScale) / n)
+        else
+          w(j) = w(j) - lr * (((g / GradScale) / n) + l2 * w(j))
       }
     }
     w

@@ -460,6 +460,50 @@ object ModelOracles {
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l,
         |  (count(DISTINCT o_orderstatus) < 3) AS violates
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_quality_lr_l2" -> {
+      def iter(k: Int): String =
+        s"""g$k AS (SELECT
+           |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * 1.0) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS ga,
+           |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x1) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gb,
+           |  sum(CAST(floor((((1.0 / (1.0 + exp(-((wa + (wb * x1)) + (wc * x2))))) - y) * x2) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS gc
+           |  FROM f, w${k - 1}),
+           |w$k AS (SELECT
+           |  wa - ((CAST(ga AS DOUBLE) / 1048576.0) / nn.n) AS wa,
+           |  wb - (((CAST(gb AS DOUBLE) / 1048576.0) / nn.n) + (0.05 * wb)) AS wb,
+           |  wc - (((CAST(gc AS DOUBLE) / 1048576.0) / nn.n) + (0.05 * wc)) AS wc
+           |  FROM g$k, w${k - 1}, nn),
+           |""".stripMargin
+      ("""WITH f AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         |      t -> t <> '')) AS DOUBLE) / 100.0 AS x2,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         |w0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc),
+         |""".stripMargin + iter(1) + iter(2) + iter(3)).stripSuffix(",\n") +
+        "\nSELECT wa AS w0, wb AS w1, wc AS w2 FROM w3"
+    },
+    "q_gini_by_group" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS g, doc_id,
+        |    CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND CAST(n_chars AS DOUBLE) >= 0.0 AND lang IS NOT NULL),
+        |r AS (SELECT g, x, row_number()
+        |    OVER (PARTITION BY g ORDER BY x ASC, doc_id ASC) AS rk FROM c),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(floor((CAST(rk AS DOUBLE) * x) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS s2
+        |  FROM r GROUP BY g)
+        |SELECT g AS "group", n, CAST(s1 AS DOUBLE) / 1048576.0 AS total,
+        |  CASE WHEN n > 0 AND s1 > 0 THEN
+        |    ((2.0 * (CAST(s2 AS DOUBLE) / 1048576.0)) /
+        |     (CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / 1048576.0)))
+        |      - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+        |  END AS gini
+        |FROM a ORDER BY "group" ASC""".stripMargin,
     "q_gini" ->
       """WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
         |  FROM documents WHERE n_chars IS NOT NULL

@@ -281,6 +281,22 @@ object ModelQueries {
         d(s, dir, "orders").withColumn("o_year", F.year(F.col("o_orderdate"))),
         Seq("o_orderpriority", "o_year"), "o_orderstatus", l = 3L)
     }),
+    "q_quality_lr_l2" -> ((s, dir) => {
+      // ridge-regularized training: the same fixed-point GD trajectory
+      // with λ·w shrinkage on the feature weights (intercept
+      // unpenalized) — the oracle replays the regularized updates
+      import s.implicits._
+      val w = QualityModel.trainLogisticL2(lrFeatures(s, dir),
+        Seq("x1", "x2"), "y", iters = 3, lr = 1.0, l2 = 0.05)
+      Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
+    }),
+    "q_gini_by_group" -> ((s, dir) => {
+      // per-language concentration: one composite-key rank pass for
+      // all groups, one keyed aggregation
+      graft.operators.Quantiles.giniByGroup(
+        d(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", tiebreakers = Seq("doc_id"))
+    }),
     "q_gini" -> ((s, dir) => {
       // corpus-composition concentration: Gini of document lengths
       // (rank formula, fixed-point sums, range-shuffle ordinal ranks)

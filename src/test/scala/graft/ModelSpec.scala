@@ -219,6 +219,39 @@ class ModelSpec extends AnyFunSuite {
     assert(r1.getLong(0) == 4L && r1.getLong(1) == 3L)
   }
 
+  test("trainLogisticL2: shrinks feature weights, l2=0 is bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = Seq.tabulate(400) { i =>
+      val x = rnd.nextGaussian()
+      (x, if (x + rnd.nextGaussian() * 0.3 > 0) 1.0 else 0.0)
+    }.toDF("x1", "y")
+    val w0 = QualityModel.trainLogistic(df, Seq("x1"), "y", iters = 5)
+    val wSame = QualityModel.trainLogisticL2(df, Seq("x1"), "y", iters = 5,
+      lr = 1.0, l2 = 0.0)
+    assert(w0.toSeq == wSame.toSeq, "l2=0 must replay the base trajectory")
+    val wReg = QualityModel.trainLogisticL2(df, Seq("x1"), "y", iters = 5,
+      lr = 1.0, l2 = 0.5)
+    assert(math.abs(wReg(1)) < math.abs(w0(1)),
+      s"ridge must shrink the slope: ${wReg(1)} vs ${w0(1)}")
+  }
+
+  test("gini: uniform is near zero, concentrated is near one; groups split") {
+    import spark.implicits._
+    val uniform = Seq.tabulate(100)(i => (i.toLong, "u", 10.0))
+      .toDF("id", "g", "v")
+    val skewed = Seq.tabulate(100)(i =>
+      (100L + i, "s", if (i == 99) 1000.0 else 0.0)).toDF("id", "g", "v")
+    val g = graft.operators.Quantiles.giniByGroup(
+      uniform.union(skewed), "g", "v", tiebreakers = Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(g("u")) < 1e-9, s"uniform gini ${g("u")}")
+    assert(g("s") > 0.98, s"concentrated gini ${g("s")}")
+    val whole = graft.operators.Quantiles.gini(uniform, "v", Seq("id"))
+      .head()
+    assert(whole.getLong(0) == 100L && math.abs(whole.getDouble(2)) < 1e-9)
+  }
+
   test("corr stamps: shard rollup is bit-equal to the direct matrix") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
