@@ -97,6 +97,36 @@ object SkewDiag {
       .orderBy(F.col("cnt").desc, F.col("key").asc_nulls_first)
   }
 
+  /** Herfindahl–Hirschman concentration of a CATEGORICAL key:
+    * HHI = Σ_k share_k² over ALL keys (the categorical contract — for
+    * unbounded keys use [[skewStats]]' top-k view), plus the
+    * k-normalized form (HHI − 1/k)/(1 − 1/k) ∈ [0,1]. One count
+    * shuffle; the share² sum folds over the bounded sorted key list
+    * (the [[skewStats]] entropy convention) so the double is
+    * engine-stated. NULL is a key like any other. Output one row:
+    * (n, n_groups, hhi, hhi_normalized — NULL for a single group). */
+  def hhi(df: DataFrame, keyCol: String): DataFrame = {
+    val one = keyCounts(df, keyCol)
+      .agg(F.sort_array(F.collect_list(
+        F.struct(F.col("cnt"), F.col("key")))).as("td_cells"))
+    val nL = F.aggregate(F.col("td_cells"), F.lit(0L),
+      (acc, e) => acc + e.getField("cnt"))
+    one
+      .withColumn("n", nL)
+      .withColumn("n_groups", F.size(F.col("td_cells")).cast("long"))
+      .withColumn("td_nd", F.col("n").cast("double"))
+      .withColumn("hhi", F.aggregate(F.col("td_cells"), F.lit(0.0d),
+        (acc, e) => {
+          val share = e.getField("cnt").cast("double") / F.col("td_nd")
+          acc + (share * share)
+        }))
+      .select(F.col("n"), F.col("n_groups"), F.col("hhi"),
+        F.when(F.col("n_groups") > 1L,
+          (F.col("hhi") - F.lit(1.0d) / F.col("n_groups").cast("double")) /
+            (F.lit(1.0d) - F.lit(1.0d) / F.col("n_groups").cast("double")))
+          .as("hhi_normalized"))
+  }
+
   private def keyCounts(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(F.col(keyCol).cast("string").as("key"))
       .agg(F.count(F.lit(1)).as("cnt"))

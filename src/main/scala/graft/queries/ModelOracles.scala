@@ -504,6 +504,22 @@ object ModelOracles {
         |      - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
         |  END AS gini
         |FROM a ORDER BY "group" ASC""".stripMargin,
+    "q_hhi" ->
+      """WITH k AS (SELECT CAST(source AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM k),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM k),
+        |h AS (SELECT nn.n, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+        |         (CAST(c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |      ORDER BY c, key)), (a, b) -> a + b) AS hhi
+        |  FROM k, nn GROUP BY nn.n)
+        |SELECT nn.n, kk.ng AS n_groups, h.hhi,
+        |  CASE WHEN kk.ng > 1 THEN
+        |    (h.hhi - 1.0 / CAST(kk.ng AS DOUBLE)) /
+        |    (1.0 - 1.0 / CAST(kk.ng AS DOUBLE)) END AS hhi_normalized
+        |FROM nn, kk, h""".stripMargin,
     "q_gini" ->
       """WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
         |  FROM documents WHERE n_chars IS NOT NULL

@@ -297,6 +297,11 @@ object ModelQueries {
         d(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "lang", "n_chars", tiebreakers = Seq("doc_id"))
     }),
+    "q_hhi" -> ((s, dir) => {
+      // Herfindahl concentration of corpus sources — the market-share
+      // read next to Gini (one count shuffle, bounded sorted fold)
+      graft.operators.SkewDiag.hhi(d(s, dir, "documents"), "source")
+    }),
     "q_gini" -> ((s, dir) => {
       // corpus-composition concentration: Gini of document lengths
       // (rank formula, fixed-point sums, range-shuffle ordinal ranks)
