@@ -110,34 +110,97 @@ object Pca {
     * per-row folds: the prior projection p, then the deflated
     * projection s). Same bit-replay contract as [[fit]]. */
   def fitDeflated(df: DataFrame, vecCol: String, dim: Int,
-      iters: Int, prior: PcaModel): PcaModel = {
-    require(prior.dim == dim, s"prior model has dim ${prior.dim}, not $dim")
+      iters: Int, prior: PcaModel): PcaModel =
+    fitDeflatedK(df, vecCol, dim, iters, Seq(prior))
+
+  /** Power iteration on the residual after projecting out ALL `priors`
+    * (component j of a top-k fit): per row the deflated value is
+    * xd_i = ((xc_i − p_1·w_1i) − p_2·w_2i) − … with every prior
+    * projection p_l = xc·w_l a pinned ascending fold over the ORIGINAL
+    * centered vector, and the subtractions applied LEFT TO RIGHT in
+    * prior order — the exact double sequence the oracle restates. The
+    * deflated matrix is never materialized: each pass stays ONE
+    * aggregation of d fixed-point sums; the per-row stage carries
+    * |priors| staged projection columns plus the deflated projection s
+    * (all multi-referenced, so CollapseProject keeps each evaluated
+    * once — the [[graft.pipeline.Dsir]] lambda-CSE discipline). Same
+    * bit-replay contract as [[fit]]; one-prior calls are bit-identical
+    * to the r13 [[fitDeflated]]. */
+  def fitDeflatedK(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int, priors: Seq[PcaModel]): PcaModel = {
+    require(priors.nonEmpty, "fitDeflatedK needs at least one prior")
+    priors.foreach(p =>
+      require(p.dim == dim, s"prior model has dim ${p.dim}, not $dim"))
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val means = prior.means; val w1 = prior.weights
+    val means = priors.head.means
+    val ws = priors.map(_.weights)
+    val n = priors.head.n
     val base = df.where(F.col(vecCol).isNotNull).select(F.col(vecCol).as("td_e"))
-    def xdTerm(i: Int, p: Column): Column =
-      (elem(F.col("td_e"), i) - F.lit(means(i - 1))) - (p * F.lit(w1(i - 1)))
+    // xd_i from the staged projection columns: left-to-right deflation
+    def xdTerm(i: Int): Column =
+      ws.zipWithIndex.foldLeft(
+        elem(F.col("td_e"), i) - F.lit(means(i - 1))) { case (acc, (w, l)) =>
+        acc - (F.col(s"td_p${l + 1}") * F.lit(w(i - 1)))
+      }
     var v = Array.fill(dim)(1.0d / math.sqrt(dim.toDouble))
     var lambda = 0.0d
     for (_ <- 0 until iters) {
-      val stage1 = base.select(F.col("td_e"),
-        centeredDot(F.col("td_e"), means, w1).as("td_p"))
+      val stage1 = base.select(F.col("td_e") +:
+        ws.zipWithIndex.map { case (w, l) =>
+          centeredDot(F.col("td_e"), means, w).as(s"td_p${l + 1}")
+        }: _*)
       val sExpr = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, j) =>
-        acc + xdTerm(j, F.col("td_p")) * F.lit(v(j - 1))
+        acc + xdTerm(j) * F.lit(v(j - 1))
       }
-      val staged = stage1.select(F.col("td_e"), F.col("td_p"),
-        sExpr.as("td_s"))
+      val staged = stage1.select(F.col("td_e") +:
+        ws.indices.map(l => F.col(s"td_p${l + 1}")) :+ sExpr.as("td_s"): _*)
       val terms = (1 to dim).map { i =>
-        fixedTerm(xdTerm(i, F.col("td_p")) * F.col("td_s")).as(s"g$i")
+        fixedTerm(xdTerm(i) * F.col("td_s")).as(s"g$i")
       }
       val row = staged.agg(terms.head, terms.tail: _*).head()
       val u = Array.tabulate(dim)(i => row.getDecimal(i).doubleValue() / GradScale)
       val nrm = math.sqrt(u.indices.foldLeft(0.0d)((a, i) => a + u(i) * u(i)))
       require(nrm > 0.0d, "deflated power iteration collapsed to zero")
       v = u.map(_ / nrm)
-      lambda = nrm / (prior.n.toDouble - 1.0d)
+      lambda = nrm / (n.toDouble - 1.0d)
     }
-    PcaModel(dim, prior.n, means, v, lambda)
+    PcaModel(dim, n, means, v, lambda)
+  }
+
+  /** Top-k principal components by ITERATED deflation — the real
+    * embedding-whitening fit (SemDedup-style pipelines whiten with the
+    * top 8–32 components, not two): component 1 from [[fit]], then each
+    * component j from [[fitDeflatedK]] against all j−1 priors. k·iters
+    * aggregation passes total, each one corpus scan with a map-side
+    * combine; the driver holds k·d doubles. Components 1 and 2 are
+    * bit-identical to the r13 [[fit]]/[[fitDeflated]] pair. */
+  def fitK(df: DataFrame, vecCol: String, dim: Int, k: Int,
+      iters: Int = 3): Seq[PcaModel] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k <= dim, s"k must be <= dim, got k=$k dim=$dim")
+    (2 to k).foldLeft(Vector(fit(df, vecCol, dim, iters))) { (acc, _) =>
+      acc :+ fitDeflatedK(df, vecCol, dim, iters, acc)
+    }
+  }
+
+  /** PCA whitening: project every row onto each fitted component and
+    * scale by 1/√λ_l — output columns y1..yk with unit variance along
+    * each principal axis (the embedding normalization SemDedup-style
+    * clustering runs on). Scores are the ORIGINAL centered projections
+    * xc·w_l (components are orthogonal, so no re-deflation), each a
+    * pinned ascending fold, divided by the driver-computed √λ_l — one
+    * stated double op each, row-local codegen arithmetic, zero
+    * shuffles. */
+  def whitenK(df: DataFrame, idCol: String, vecCol: String,
+      models: Seq[PcaModel]): DataFrame = {
+    require(models.nonEmpty, "whitenK needs at least one component")
+    val means = models.head.means
+    val cols = models.zipWithIndex.map { case (m, l) =>
+      (centeredDot(F.col(vecCol), means, m.weights) /
+        F.lit(math.sqrt(m.lambda))).as(s"y${l + 1}")
+    }
+    df.where(F.col(vecCol).isNotNull)
+      .select(F.col(idCol) +: cols: _*)
   }
 
   /** Project every row onto the component: input columns +

@@ -124,6 +124,40 @@ object ModelOracles {
   private val prPrefix: String =
     ("WITH " + prChain("", "")).stripSuffix(",\n") + "\n"
 
+  /** Deflated SECOND-component chain (prior projection p2, residual xd,
+    * three namespaced power-iteration blocks ending at dv3) — appended
+    * after [[pcaPrefix]]'s stripped chain; ends WITHOUT a trailing
+    * comma. States exactly [[graft.pipeline.Pca.fitDeflatedK]]'s
+    * one-prior arithmetic. */
+  private val pcaChain2: String =
+    """p2 AS MATERIALIZED (SELECT xc.vec_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(xc.xc * w.v ORDER BY xc.i)), (a, b) -> a + b) AS p
+      |  FROM xc JOIN v3 w USING (i) GROUP BY xc.vec_id),
+      |xd AS MATERIALIZED (SELECT xc.vec_id, xc.i, xc.xc - (p2.p * w.v) AS xc
+      |  FROM xc JOIN p2 USING (vec_id) JOIN v3 w USING (i)),
+      |dv0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(1, 65) t(i)),
+      |""".stripMargin +
+      (1 to 3).map(k => pcaIter(k, "d", "xd")).mkString.stripSuffix(",\n")
+
+  /** THIRD-component chain: both prior projections (p2 from
+    * [[pcaChain2]], p3b against dv3), the residual deflated LEFT TO
+    * RIGHT — (xc − p1·w1) − p2·w2, the exact double sequence of
+    * [[graft.pipeline.Pca.fitDeflatedK]] with two priors — then three
+    * more power-iteration blocks ending at ev3. No trailing comma. */
+  private val pcaChain3: String =
+    """p3b AS MATERIALIZED (SELECT xc.vec_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(xc.xc * w.v ORDER BY xc.i)), (a, b) -> a + b) AS p
+      |  FROM xc JOIN dv3 w USING (i) GROUP BY xc.vec_id),
+      |xe AS MATERIALIZED (SELECT xc.vec_id, xc.i,
+      |  (xc.xc - (p2.p * w1.v)) - (p3b.p * w2.v) AS xc
+      |  FROM xc JOIN p2 USING (vec_id) JOIN p3b USING (vec_id)
+      |  JOIN v3 w1 USING (i) JOIN dv3 w2 USING (i)),
+      |ev0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(1, 65) t(i)),
+      |""".stripMargin +
+      (1 to 3).map(k => pcaIter(k, "e", "xe")).mkString.stripSuffix(",\n")
+
   /** Model-registry replay: version 1's training (even doc_ids only,
     * three fixed-point GD iterations) and the corpus-wide scoring the
     * gate performs with the @HEAD~1-loaded weights. */
@@ -397,18 +431,27 @@ object ModelOracles {
         |    list(xc.xc * vv.v ORDER BY xc.i)), (a, b) -> a + b) AS score
         |FROM xc JOIN v3 vv USING (i)
         |GROUP BY xc.vec_id ORDER BY vec_id ASC""".stripMargin),
-    "q_pca_component2" -> (pcaPrefix.stripSuffix("\n") + ",\n" +
-      """p2 AS MATERIALIZED (SELECT xc.vec_id,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list(xc.xc * w.v ORDER BY xc.i)), (a, b) -> a + b) AS p
-        |  FROM xc JOIN v3 w USING (i) GROUP BY xc.vec_id),
-        |xd AS MATERIALIZED (SELECT xc.vec_id, xc.i, xc.xc - (p2.p * w.v) AS xc
-        |  FROM xc JOIN p2 USING (vec_id) JOIN v3 w USING (i)),
-        |dv0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM range(1, 65) t(i)),
-        |""".stripMargin +
-      ((1 to 3).map(k => pcaIter(k, "d", "xd")).mkString.stripSuffix(",\n")) +
+    "q_pca_component2" -> (pcaPrefix.stripSuffix("\n") + ",\n" + pcaChain2 +
       "\n" +
       """SELECT CAST(i AS INT) AS dim, v AS weight FROM dv3 ORDER BY dim ASC"""),
+    "q_pca_topk" -> (pcaPrefix.stripSuffix("\n") + ",\n" + pcaChain2 + ",\n" +
+      pcaChain3 + "\n" +
+      """SELECT CAST(1 AS INT) AS component, CAST(i AS INT) AS dim,
+        |  v AS weight FROM v3
+        |UNION ALL SELECT CAST(2 AS INT), CAST(i AS INT), v FROM dv3
+        |UNION ALL SELECT CAST(3 AS INT), CAST(i AS INT), v FROM ev3
+        |ORDER BY component ASC, dim ASC""".stripMargin),
+    "q_pca_whiten" -> (pcaPrefix.stripSuffix("\n") + ",\n" + pcaChain2 + ",\n" +
+      """pw2 AS MATERIALIZED (SELECT xc.vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(xc.xc * w.v ORDER BY xc.i)), (a, b) -> a + b) AS p
+        |  FROM xc JOIN dv3 w USING (i) GROUP BY xc.vec_id),
+        |lam1 AS (SELECT nrm / (nn.n - 1.0) AS l FROM n3, nn),
+        |lam2 AS (SELECT nrm / (nn.n - 1.0) AS l FROM dn3, nn)
+        |SELECT p2.vec_id, p2.p / sqrt(lam1.l) AS y1,
+        |  pw2.p / sqrt(lam2.l) AS y2
+        |FROM p2 JOIN pw2 USING (vec_id), lam1, lam2
+        |ORDER BY vec_id ASC""".stripMargin),
     "q_pca_variance" -> (pcaPrefix.stripSuffix("\n") + ",\n" +
       """q AS (SELECT i,
         |    sum(CAST(floor((xc * xc) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS qq

@@ -104,6 +104,29 @@ object ModelQueries {
       (1 to Dim).map(i => (i, m2.weights(i - 1))).toDF("dim", "weight")
         .orderBy(F.col("dim").asc)
     }),
+    "q_pca_topk" -> ((s, dir) => {
+      // TOP-3 components by iterated deflation (Pca.fitK): component 1
+      // = q_pca_component, 2 = q_pca_component2 bit-for-bit; component
+      // 3 deflates against both priors left-to-right — the oracle
+      // replays all three power-iteration trajectories
+      import s.implicits._
+      val ms = Pca.fitK(d(s, dir, "embeddings"), "embedding", Dim,
+        k = 3, iters = 3)
+      ms.zipWithIndex.flatMap { case (m, c) =>
+        (1 to Dim).map(i => (c + 1, i, m.weights(i - 1)))
+      }.toDF("component", "dim", "weight")
+        .orderBy(F.col("component").asc, F.col("dim").asc)
+    }),
+    "q_pca_whiten" -> ((s, dir) => {
+      // PCA WHITENING: per-vector scores on the top-2 components scaled
+      // by 1/√λ — unit variance along each principal axis, the
+      // SemDedup-style embedding normalization; row-local folds, zero
+      // shuffles beyond the fit
+      val emb = d(s, dir, "embeddings")
+      val ms = Pca.fitK(emb, "embedding", Dim, k = 2, iters = 3)
+      Pca.whitenK(emb, "vec_id", "embedding", ms)
+        .orderBy(F.col("vec_id").asc)
+    }),
     "q_pca_variance" -> ((s, dir) => {
       // eigenvalue vs total variance: how much of the embedding space
       // the first component explains (one extra fixed-point pass)

@@ -52,6 +52,46 @@ class ModelSpec extends AnyFunSuite {
     assert(m2.lambda < m1.lambda && m2.lambda > 0.0)
   }
 
+  test("pca: fitK reproduces fit/fitDeflated bit-for-bit; component 3 " +
+    "is orthogonal and finds axis three") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.fill(500)(Array(rnd.nextGaussian() * 10.0,
+      rnd.nextGaussian() * 4.0, rnd.nextGaussian() * 1.5,
+      rnd.nextGaussian() * 0.2))
+    val df = pts.map(a => Tuple1(a)).toDF("embedding")
+    val ms = Pca.fitK(df, "embedding", 4, k = 3, iters = 8)
+    assert(ms.length == 3)
+    val m1 = Pca.fit(df, "embedding", 4, iters = 8)
+    val m2 = Pca.fitDeflated(df, "embedding", 4, iters = 8, m1)
+    assert(ms(0).weights.toSeq == m1.weights.toSeq, "component 1 drifted")
+    assert(ms(1).weights.toSeq == m2.weights.toSeq, "component 2 drifted")
+    // component 3 finds the third axis, orthogonal to both priors
+    assert(math.abs(ms(2).weights(2)) > 0.99, ms(2).weights.toSeq.toString)
+    for (l <- 0 to 1) {
+      val dot = (0 until 4).map(i => ms(l).weights(i) * ms(2).weights(i)).sum
+      assert(math.abs(dot) < 1e-6, s"component 3 not orthogonal to ${l + 1}: $dot")
+    }
+    assert(ms(2).lambda < ms(1).lambda && ms(2).lambda > 0.0)
+  }
+
+  test("pca: whitenK yields ~unit variance along each component") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.fill(800)(Array(rnd.nextGaussian() * 10.0,
+      rnd.nextGaussian() * 3.0, rnd.nextGaussian() * 0.5))
+    val df = pts.map(a => Tuple1(a)).toDF("embedding")
+      .withColumn("id", F.monotonically_increasing_id())
+    val ms = Pca.fitK(df, "embedding", 3, k = 2, iters = 8)
+    val w = Pca.whitenK(df, "id", "embedding", ms)
+    val stats = w.agg(
+      F.variance(F.col("y1")).as("v1"), F.variance(F.col("y2")).as("v2"),
+      F.avg(F.col("y1")).as("m1"), F.avg(F.col("y2")).as("m2")).head()
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.05, s"var y1 ${stats.getDouble(0)}")
+    assert(math.abs(stats.getDouble(1) - 1.0) < 0.05, s"var y2 ${stats.getDouble(1)}")
+    assert(math.abs(stats.getDouble(2)) < 0.05 && math.abs(stats.getDouble(3)) < 0.05)
+  }
+
   test("pca: scores are the centered projection (driver cross-check)") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(3.0, 6.0)),
