@@ -92,6 +92,78 @@ object GraphRank {
     ranks.orderBy(F.col("node").asc)
   }
 
+  /** PERSONALIZED PageRank (Page et al. 1999 §6's non-uniform E vector;
+    * the seed-restart quality-propagation read web-corpus curation runs
+    * from a curated seed set): the teleport mass lands ONLY on the seed
+    * nodes — r_v = (1−d)·s_v + d·Σ contributions with s_v = 1/K over
+    * the K seeds present in the graph and 0 elsewhere, r0 = s. Seeds
+    * not in the edge list are ignored (they have no edges to rank
+    * over); K counts the intersection, so the teleport vector still
+    * sums to 1. The per-seed base (1−d)·(1/K) is ONE driver-stated
+    * double product, and iterations keep [[pagerank]]'s fixed-point
+    * contribution sums — the whole trajectory replays in SQL.
+    *
+    * Same scale shape as [[pagerank]]: the seed flag rides the cached
+    * node relation (one broadcast semi-join at build), iterates are
+    * single-consumer so the fixed iteration count composes into one
+    * linear barrier-free plan. Unlike uniform PageRank the rank mass
+    * CONCENTRATES near the seeds — dangling-free graphs conserve mass
+    * exactly as in [[pagerank]]. Output: (node, rank) ascending. */
+  def pagerankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val seedSet = seeds
+      .where(F.col(seedCol).isNotNull)
+      .select(F.col(seedCol).cast("string").as("node"))
+      .distinct()
+    // nodes carry the seed flag: one broadcast-able semi-join at build,
+    // then every iteration reads the flag from cache
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .join(seedSet.withColumn("td_seed", F.lit(true)), Seq("node"), "left")
+      .select(F.col("node"),
+        F.coalesce(F.col("td_seed"), F.lit(false)).as("td_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val k = nodes.where(F.col("td_seed")).count()
+    require(k > 0, "pagerankPersonalized: no seed appears in the graph")
+    val outdeg = e.groupBy(F.col("td_u"))
+      .agg(F.count(F.lit(1)).cast("double").as("td_deg"))
+    val eDeg = e.join(outdeg, "td_u")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    eDeg.count()
+    e.unpersist(blocking = false)
+
+    // the two driver-stated doubles of the trajectory: s = 1/K and the
+    // per-seed base (1−d)·s — each op once, restated in the oracle
+    val sv = 1.0d / k.toDouble
+    val base = (1.0d - damping) * sv
+    var ranks = nodes.select(F.col("node"), F.col("td_seed"),
+      F.when(F.col("td_seed"), F.lit(sv)).otherwise(F.lit(0.0d)).as("rank"))
+    for (_ <- 0 until iters) {
+      val contrib = eDeg
+        .join(ranks.select(F.col("node").as("td_u"), F.col("rank")), "td_u")
+        .groupBy(F.col("td_v"))
+        .agg(F.sum(F.floor((F.col("rank") / F.col("td_deg")) *
+            F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("td_v", "node"), Seq("node"), "left")
+        .select(F.col("node"), F.col("td_seed"),
+          (F.when(F.col("td_seed"), F.lit(base)).otherwise(F.lit(0.0d)) +
+            F.lit(damping) *
+            (F.coalesce(F.col("td_s"), F.lit(0L)).cast("decimal(38,0)")
+              .cast("double") / F.lit(GradScale))).as("rank"))
+    }
+    ranks.select(F.col("node"), F.col("rank")).orderBy(F.col("node").asc)
+  }
+
   /** Weighted PageRank: contributions proportional to edge weight —
     * r_u · (w_uv / W_u), with the per-edge SHARE w/W computed once at
     * build (one stated double division) and the per-iteration term in

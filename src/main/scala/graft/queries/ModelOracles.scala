@@ -158,6 +158,48 @@ object ModelOracles {
       |""".stripMargin +
       (1 to 3).map(k => pcaIter(k, "e", "xe")).mkString.stripSuffix(",\n")
 
+  /** Personalized-PageRank replay: the symmetric trade graph, the
+    * seed flag (nation-0 customers ∩ graph nodes), s = 1/K, and five
+    * damped iterations whose teleport term lands only on seeds —
+    * states exactly [[graft.pipeline.GraphRank.pagerankPersonalized]]'s
+    * arithmetic (base = (1−d)·(1/K) with the literal-difference cast
+    * to DOUBLE, contribution sums in fixed point). */
+  private val pprOracle: String = {
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT ed.v AS node,
+         |  sum(CAST(floor((r."rank" / dg.deg) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s
+         |  FROM ed JOIN dg USING (u)
+         |  JOIN r${k - 1} r ON r.node = ed.u
+         |  GROUP BY ed.v),
+         |r$k AS MATERIALIZED (SELECT n.node,
+         |  (CASE WHEN n.seed THEN
+         |     ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * (1.0 / kk.k))
+         |   ELSE CAST(0.0 AS DOUBLE) END) + 0.85 *
+         |    (CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0) AS "rank"
+         |  FROM ns n LEFT JOIN c$k c USING (node), kk),
+         |""".stripMargin
+    }.mkString
+    ("""WITH ed0 AS (SELECT DISTINCT
+       |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+       |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |ed AS (SELECT u, v FROM ed0
+       |  UNION ALL SELECT v AS u, u AS v FROM ed0),
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed),
+       |sd AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+       |  FROM customer WHERE c_nationkey = 0),
+       |ns AS MATERIALIZED (SELECT n.node, (s.node IS NOT NULL) AS seed
+       |  FROM nodes n LEFT JOIN sd s ON s.node = n.node),
+       |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ns WHERE seed),
+       |dg AS MATERIALIZED (SELECT u, CAST(count(*) AS DOUBLE) AS deg
+       |  FROM ed GROUP BY u),
+       |r0 AS (SELECT node,
+       |  CASE WHEN seed THEN 1.0 / kk.k ELSE CAST(0.0 AS DOUBLE) END AS "rank"
+       |  FROM ns, kk),
+       |""".stripMargin + iters).stripSuffix(",\n") + "\n" +
+      """SELECT node, "rank" FROM r5 ORDER BY node ASC"""
+  }
+
   /** Model-registry replay: version 1's training (even doc_ids only,
     * three fixed-point GD iterations) and the corpus-wide scoring the
     * gate performs with the @HEAD~1-loaded weights. */
@@ -478,6 +520,7 @@ object ModelOracles {
     },
     "q_graph_pagerank" -> (prPrefix +
       """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),
+    "q_graph_ppr" -> pprOracle,
     "q_graph_rank_drift" ->
       (("WITH " + prChain("a", "WHERE o.o_orderkey % 2 = 0") +
         prChain("b", "")).stripSuffix(",\n") + "\n" +

@@ -238,6 +238,18 @@ object ModelQueries {
         .orderBy(F.col("score").desc, F.col("doc_id").asc)
         .limit(10)
     }),
+    "q_graph_ppr" -> ((s, dir) => {
+      // PERSONALIZED PageRank from a curated seed set (nation-0
+      // customers): teleport mass restarts only at the seeds, so
+      // standing propagates outward from them through the trade graph —
+      // the seed-set quality-propagation read; 5 damped iterations,
+      // the whole trajectory replayed by the oracle
+      val seeds = d(s, dir, "customer").where(F.col("c_nationkey") === 0)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+          .as("node"))
+      GraphRank.pagerankPersonalized(tradeEdges(s, dir), "src", "dst",
+        seeds, "node", iters = 5, damping = 0.85)
+    }),
     "q_graph_rank_drift" -> ((s, dir) => {
       // importance drift on an EVOLVING graph: PageRank over the
       // half-order "past" snapshot vs the full graph, full-outer on

@@ -144,6 +144,33 @@ class ModelSpec extends AnyFunSuite {
       pr.orderBy("node").collect().map(_.getDouble(1)).toSeq)
   }
 
+  test("pagerankPersonalized: mass concentrates at seeds; conserved; " +
+    "off-graph seeds ignored") {
+    import spark.implicits._
+    // two symmetric 3-cycles bridged by one symmetric edge a1↔b1
+    val cyc = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("a1", "b1"))
+    val edges = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a1", "zz_not_in_graph").toDF("node")
+    val pr = GraphRank.pagerankPersonalized(edges, "src", "dst",
+      seeds, "node", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // teleports restart at a1: the seeded side outranks the far side
+    assert(pr("a1") > pr("b1"), pr.toString)
+    assert(pr("a2") > pr("b2"), pr.toString)
+    // symmetric graph has no dangling nodes → mass conserved
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3, s"mass ${pr.values.sum}")
+    // the off-graph seed contributed nothing (K counted only a1):
+    // uniform-PageRank by contrast is flat on this vertex-transitive-ish
+    // graph, so the seed concentration must be real
+    assert(pr("a1") > 1.0 / 7.0, pr.toString)
+    // all seeds off-graph → reject
+    intercept[IllegalArgumentException] {
+      GraphRank.pagerankPersonalized(edges, "src", "dst",
+        Seq("nope").toDF("node"), "node", iters = 2)
+    }
+  }
+
   test("pagerankWeighted: heavier edges carry more rank") {
     import spark.implicits._
     // s splits mass 3:1 between a and b; a and b return it equally
