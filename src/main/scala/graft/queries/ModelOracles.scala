@@ -624,6 +624,34 @@ object ModelOracles {
         |      - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
         |  END AS gini
         |FROM a""".stripMargin,
+    "q_gini_drift" -> {
+      def giniBlock(tag: Int, where: String): String =
+        s"""c$tag AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+           |  FROM documents WHERE n_chars IS NOT NULL
+           |    AND CAST(n_chars AS DOUBLE) >= 0.0$where),
+           |r$tag AS (SELECT doc_id, x,
+           |    row_number() OVER (ORDER BY x ASC, doc_id ASC) AS rk FROM c$tag),
+           |a$tag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s1,
+           |    sum(CAST(floor((CAST(rk AS DOUBLE) * x) * 1048576.0 + 0.5)
+           |      AS DECIMAL(38,0))) AS s2
+           |  FROM r$tag),
+           |f$tag AS (SELECT CAST($tag AS INT) AS version, n,
+           |    CAST(s1 AS DOUBLE) / 1048576.0 AS total,
+           |    CASE WHEN n > 0 AND s1 > 0 THEN
+           |      ((2.0 * (CAST(s2 AS DOUBLE) / 1048576.0)) /
+           |       (CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / 1048576.0)))
+           |        - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+           |    END AS gini
+           |  FROM a$tag),
+           |""".stripMargin
+      ("WITH " + giniBlock(1, " AND doc_id % 2 = 0") + giniBlock(2, ""))
+        .stripSuffix(",\n") + "\n" +
+        """, u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+          |SELECT version, n, total, gini,
+          |  gini - lag(gini) OVER (ORDER BY version) AS gini_delta
+          |FROM u ORDER BY version ASC""".stripMargin
+    },
     "q_lorenz" ->
       """WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
         |  FROM documents WHERE n_chars IS NOT NULL

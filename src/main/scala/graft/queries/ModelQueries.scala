@@ -332,6 +332,32 @@ object ModelQueries {
         d(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "lang", "n_chars", tiebreakers = Seq("doc_id"))
     }),
+    "q_gini_drift" -> ((s, dir) => {
+      // concentration drift through the versioned store: Gini of
+      // document lengths PER STORED VERSION via @HEAD~n refs (version 1
+      // = the even-id half, version 2 = the full corpus) with the delta
+      // against the previous version — "did the corpus get more
+      // head-heavy between releases" as one bounded-output query;
+      // completes the concentration family's store face (batch and
+      // per-group faces landed in r13). The 2-row delta window is
+      // bounded by the version count (the Lorenz convention).
+      import graft.operators.Quantiles
+      val docs = d(s, dir, "documents").select("doc_id", "n_chars")
+      val store = tempStore(s)
+      store.write("g", "gdocs", docs.where(F.col("doc_id") % 2 === 0))
+      store.write("g", "gdocs", docs)
+      def g(ref: String, v: Int) =
+        Quantiles.gini(store.scan(ref).get.df, "n_chars",
+            tiebreakers = Seq("doc_id"))
+          .select(F.lit(v).as("version"), F.col("n"), F.col("total"),
+            F.col("gini"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("version").asc)
+      g("g/gdocs@HEAD~1", 1).unionByName(g("g/gdocs@HEAD", 2))
+        .withColumn("gini_delta",
+          F.col("gini") - F.lag(F.col("gini"), 1).over(w))
+        .orderBy(F.col("version").asc)
+    }),
     "q_hhi" -> ((s, dir) => {
       // Herfindahl concentration of corpus sources — the market-share
       // read next to Gini (one count shuffle, bounded sorted fold)
