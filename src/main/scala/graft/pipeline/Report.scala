@@ -12,23 +12,94 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Report {
 
-  /** Per-`groupCol` corpus card: n_docs, total/mean chars, exact p50 and
-    * p95 char lengths. `idCol` pins the quantile tiebreak. */
+  /** Per-`groupCol` corpus card: n_docs, total/mean chars, exact p50/p95
+    * char lengths (order statistics at k = max(1, ceil(q·n)), tiebreak
+    * pinned by `idCol`), the per-group GINI of lengths (the r13
+    * concentration read, same rank formula as [[graft.operators
+    * .Quantiles.giniByGroup]]), the mean Flesch reading ease
+    * ([[TextAnalysis.readability]]'s exact per-doc arithmetic,
+    * fixed-point mean over docs with words), and the mean script-mix
+    * fractions ([[TextAnalysis.scriptFractions]], all six ranges) — the
+    * full dataset-card slice row in ONE ranked pass plus one keyed
+    * aggregation.
+    *
+    * Shape: the per-doc regex counters are evaluated once in a staged
+    * projection, then ONE composite-key range-shuffle rank
+    * ([[graft.operators.ScalableRank.withRankByGroup]] — any number of
+    * simultaneously-huge slices spread over as many partitions as their
+    * size needs, never a one-task-per-group window; the ranked relation
+    * is materialized once by its localCheckpoint and re-read by the
+    * stat/quantile consumers). Rows with NULL text are excluded (their
+    * length would rank nulls-first on Spark and nulls-last on ANSI
+    * engines). Output: one row per slice, groups ascending only if the
+    * caller sorts. */
   def corpusCard(docs: DataFrame, groupCol: String, textCol: String,
       idCol: String): DataFrame = {
-    val sized = docs.select(F.col(groupCol), F.col(idCol),
-      F.length(F.col(textCol)).cast("long").as("td_len"))
-    val stats = sized.groupBy(groupCol).agg(
+    val scale = QualityModel.GradScale
+    def fixed(t: Column): Column =
+      F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
+    def unfix(c: Column): Column = c.cast("double") / F.lit(scale)
+    val t = F.col(textCol)
+    val fracs = TextAnalysis.scriptFractions(t)
+    val counters = docs.where(t.isNotNull).select(
+      F.col(groupCol) +: F.col(idCol) +:
+        F.length(t).cast("long").as("td_len") +:
+        TextAnalysis.tokenCount(t).cast("long").as("td_w") +:
+        TextAnalysis.sentenceCount(t).cast("long").as("td_sent") +:
+        TextAnalysis.syllableCount(t).cast("long").as("td_syl") +:
+        fracs.map { case (n, c) => c.as(s"td_$n") }: _*)
+    // flesch restated from the staged counters — readability's exact
+    // double sequence (each ratio divided once, terms left to right)
+    val wD = F.col("td_w").cast("double")
+    val staged = counters.select(
+      F.col(groupCol) +: F.col(idCol) +: F.col("td_len") +:
+        F.when(F.col("td_w") > 0L,
+          F.lit(206.835d) - F.lit(1.015d) *
+            (wD / F.col("td_sent").cast("double")) -
+            F.lit(84.6d) * (F.col("td_syl").cast("double") / wD))
+          .as("td_flesch") +:
+        fracs.map { case (n, _) => F.col(s"td_$n") }: _*)
+    val ranked = graft.operators.ScalableRank.withRankByGroup(
+      staged, groupCol, "td_len", "$td.__rk", tiebreakers = Seq(idCol))
+    val lenD = F.col("td_len").cast("double")
+    val aggCols = Seq(
       F.count(F.lit(1)).as("n_docs"),
       F.sum(F.col("td_len")).as("n_chars"),
       (F.sum(F.col("td_len")).cast("double") / F.count(F.lit(1)))
-        .as("mean_chars"))
-    val qs = graft.operators.Quantiles.exactQuantilesByGroup(
-        sized, groupCol, "td_len", Seq(0.5, 0.95), tiebreakers = Seq(idCol))
-      .groupBy(groupCol).pivot("q", Seq(0.5, 0.95)).agg(F.first("value"))
-      .withColumnRenamed("0.5", "p50_chars")
-      .withColumnRenamed("0.95", "p95_chars")
-    stats.join(qs, Seq(groupCol))
+        .as("mean_chars"),
+      fixed(lenD).as("td_s1"),
+      fixed(F.col("`$td.__rk`").cast("double") * lenD).as("td_s2"),
+      fixed(F.col("td_flesch")).as("td_fl"),
+      F.count(F.col("td_flesch")).as("td_fln")) ++
+      fracs.map { case (n, _) => fixed(F.col(s"td_$n")).as(s"td_s$n") }
+    val stats = ranked.groupBy(F.col(groupCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // order statistics against the broadcast per-group n (bounded slice
+    // count): k = max(1, ceil(q·n)), the exactQuantilesByGroup contract
+    def kOf(q: Double) =
+      F.greatest(F.lit(1L), F.ceil(F.lit(q) * F.col("td_gn")))
+    val quant = ranked
+      .join(F.broadcast(stats.select(F.col(groupCol),
+        F.col("n_docs").as("td_gn"))), Seq(groupCol))
+      .groupBy(F.col(groupCol))
+      .agg(
+        F.max(F.when(F.col("`$td.__rk`") === kOf(0.5), F.col("td_len")))
+          .as("p50_chars"),
+        F.max(F.when(F.col("`$td.__rk`") === kOf(0.95), F.col("td_len")))
+          .as("p95_chars"))
+    val nD = F.col("n_docs").cast("double")
+    val s1 = unfix(F.col("td_s1")); val s2 = unfix(F.col("td_s2"))
+    stats.join(quant, Seq(groupCol)).select(
+      F.col(groupCol) +: F.col("n_docs") +: F.col("n_chars") +:
+        F.col("mean_chars") +: F.col("p50_chars") +: F.col("p95_chars") +:
+        F.when(F.col("n_docs") > 0L && F.col("td_s1") > 0L,
+          ((F.lit(2.0d) * s2) / (nD * s1)) - ((nD + F.lit(1.0d)) / nD))
+          .as("gini_chars") +:
+        F.when(F.col("td_fln") > 0L,
+          unfix(F.col("td_fl")) / F.col("td_fln").cast("double"))
+          .as("mean_flesch") +:
+        fracs.map { case (n, _) =>
+          (unfix(F.col(s"td_s$n")) / nD).as(s"mean_$n") }: _*)
   }
 
   /** MERGEABLE distinct-count sketches per group (Apache DataSketches

@@ -89,24 +89,70 @@ object CurationOracles {
         |FROM m GROUP BY bin, mn, mx ORDER BY bin""".stripMargin,
     "q_corpus_card" ->
       """WITH s AS (
-        |  SELECT lang, doc_id, length(text) AS len FROM documents),
-        |st AS (
+        |  SELECT lang, doc_id, length(text) AS len,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sent,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl,
+        |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS c_latin,
+        |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS c_cyrillic,
+        |    len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS c_greek,
+        |    len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS c_arabic,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]')) AS c_cjk,
+        |    len(regexp_extract_all(text, '[0-9]')) AS c_digit,
+        |    CAST(GREATEST(length(text), 1) AS DOUBLE) AS total
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT lang, doc_id, len,
+        |    CASE WHEN w > 0 THEN
+        |      206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+        |        - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+        |    END AS flesch,
+        |    CAST(c_latin AS DOUBLE) / total AS f_latin,
+        |    CAST(c_cyrillic AS DOUBLE) / total AS f_cyrillic,
+        |    CAST(c_greek AS DOUBLE) / total AS f_greek,
+        |    CAST(c_arabic AS DOUBLE) / total AS f_arabic,
+        |    CAST(c_cjk AS DOUBLE) / total AS f_cjk,
+        |    CAST(c_digit AS DOUBLE) / total AS f_digit
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM f),
+        |a AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(len) AS BIGINT) AS n_chars,
-        |    CAST(sum(len) AS DOUBLE) / count(*) AS mean_chars
-        |  FROM s GROUP BY 1),
-        |r AS (
-        |  SELECT lang, len,
-        |    row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rk,
-        |    count(*) OVER (PARTITION BY lang) AS n
-        |  FROM s),
-        |q50 AS (SELECT lang, CAST(len AS BIGINT) AS p50_chars FROM r
-        |        WHERE rk = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))),
-        |q95 AS (SELECT lang, CAST(len AS BIGINT) AS p95_chars FROM r
-        |        WHERE rk = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)))
-        |SELECT st.lang, n_docs, n_chars, mean_chars, p50_chars, p95_chars
-        |FROM st JOIN q50 USING (lang) JOIN q95 USING (lang)
-        |ORDER BY lang""".stripMargin,
+        |    CAST(sum(len) AS DOUBLE) / count(*) AS mean_chars,
+        |    CAST(max(CASE WHEN rk = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |      THEN len END) AS BIGINT) AS p50_chars,
+        |    CAST(max(CASE WHEN rk = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |      THEN len END) AS BIGINT) AS p95_chars,
+        |    sum(CAST(floor(CAST(len AS DOUBLE) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(floor((CAST(rk AS DOUBLE) * CAST(len AS DOUBLE)) * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s2,
+        |    sum(CAST(floor(flesch * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS fl,
+        |    CAST(count(flesch) AS BIGINT) AS fln,
+        |    sum(CAST(floor(f_latin * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sf_latin,
+        |    sum(CAST(floor(f_cyrillic * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sf_cyrillic,
+        |    sum(CAST(floor(f_greek * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sf_greek,
+        |    sum(CAST(floor(f_arabic * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sf_arabic,
+        |    sum(CAST(floor(f_cjk * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sf_cjk,
+        |    sum(CAST(floor(f_digit * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sf_digit
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n_docs, n_chars, mean_chars, p50_chars, p95_chars,
+        |  CASE WHEN n_docs > 0 AND s1 > 0 THEN
+        |    ((2.0 * (CAST(s2 AS DOUBLE) / 1048576.0)) /
+        |     (CAST(n_docs AS DOUBLE) * (CAST(s1 AS DOUBLE) / 1048576.0)))
+        |      - ((CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE))
+        |  END AS gini_chars,
+        |  CASE WHEN fln > 0 THEN
+        |    (CAST(fl AS DOUBLE) / 1048576.0) / CAST(fln AS DOUBLE)
+        |  END AS mean_flesch,
+        |  (CAST(sf_latin AS DOUBLE) / 1048576.0) / CAST(n_docs AS DOUBLE) AS mean_frac_latin,
+        |  (CAST(sf_cyrillic AS DOUBLE) / 1048576.0) / CAST(n_docs AS DOUBLE) AS mean_frac_cyrillic,
+        |  (CAST(sf_greek AS DOUBLE) / 1048576.0) / CAST(n_docs AS DOUBLE) AS mean_frac_greek,
+        |  (CAST(sf_arabic AS DOUBLE) / 1048576.0) / CAST(n_docs AS DOUBLE) AS mean_frac_arabic,
+        |  (CAST(sf_cjk AS DOUBLE) / 1048576.0) / CAST(n_docs AS DOUBLE) AS mean_frac_cjk,
+        |  (CAST(sf_digit AS DOUBLE) / 1048576.0) / CAST(n_docs AS DOUBLE) AS mean_frac_digit
+        |FROM a ORDER BY lang""".stripMargin,
     "q_text_scripts" ->
       """WITH a AS (
         |  SELECT doc_id,

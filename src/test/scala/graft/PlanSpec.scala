@@ -363,6 +363,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("corpus card: regex counters and ranks run once (checkpointed pass); " +
+    "no single-task window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val card = graft.pipeline.Report.corpusCard(docs, "lang", "text", "doc_id")
+    val p = plan(card)
+    // the staged counters were materialized once at build (the rank
+    // pass's localCheckpoint); the card's own plan re-reads the pinned
+    // relation — regexes never re-evaluate, rank windows stay keyed by
+    // (pid, group) (parallel), and nothing collapses to a single task
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("windowspecdefinition(td_len"), p) // no unkeyed window
+    assert(!p.contains("regexp_count"), p)
+    // the per-group n relation rides back in as an explicit broadcast
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    // stats + quantile consumers both read the one checkpointed rank pass
+    assert(count(p, "Scan ExistingRDD") >= 2, p)
+  }
+
   test("ivf-pq join-strategy scoring: broadcast joins only, no cartesian") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 1)
