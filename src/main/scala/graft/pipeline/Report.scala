@@ -1267,6 +1267,97 @@ object Report {
     * either column excludes the row. Output one row:
     * (n, n_cells, mi, h_a, h_b, nmi) with nmi = mi/√(h_a·h_b), NULL
     * when either entropy is zero. */
+  /** EWMA baseline over DAILY event counts — the drift/anomaly monitor
+    * read next to [[graft.streaming.Streams.windowedMoments]]: one keyed
+    * count shuffle reduces the corpus to the bounded day grid, then the
+    * exponentially-weighted baseline EWMA_1 = cnt_1,
+    * EWMA_i = (1−α)·EWMA_{i−1} + α·cnt_i rides a per-index PINNED fold
+    * over the sorted day list (the bounded-sorted-fold convention —
+    * O(days²) work on METADATA, never on rows; β = 1−α is stated once
+    * on the driver and the oracle restates the literal difference cast
+    * to DOUBLE). Output: (day, cnt, ewma) ascending. */
+  def ewmaDaily(df: DataFrame, tsCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0d && alpha <= 1.0d, s"alpha must be in (0,1], got $alpha")
+    val beta = 1.0d - alpha
+    val daily = df.where(F.col(tsCol).isNotNull)
+      .groupBy(F.to_date(F.col(tsCol)).as("day"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val packed = daily.agg(F.sort_array(F.collect_list(
+      F.struct(F.col("day"), F.col("cnt")))).as("td_l"))
+    val l = F.col("td_l")
+    packed.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(l)),
+        i => F.struct(
+          F.element_at(l, i).getField("day").as("day"),
+          F.element_at(l, i).getField("cnt").as("cnt"),
+          F.aggregate(F.slice(l, F.lit(2), i - 1),
+            F.element_at(l, 1).getField("cnt").cast("double"),
+            (acc, e) => acc * F.lit(beta) +
+              F.lit(alpha) * e.getField("cnt").cast("double"))
+            .as("ewma")))).as("td_r"))
+      .select(F.col("td_r.day").as("day"), F.col("td_r.cnt").as("cnt"),
+        F.col("td_r.ewma").as("ewma"))
+      .orderBy(F.col("day").asc)
+  }
+
+  /** Pearson chi-squared test of independence between two CATEGORICAL
+    * columns (same bounded-cell contract as [[mutualInformation]]: the
+    * distinct (a, b) cell relation fits one task's memory — the
+    * unbounded-cardinality read is [[corrByGroup]]/MI's in-plan shapes).
+    * One count shuffle builds the cells; marginals are metadata joins;
+    * the statistic is a PINNED ascending fold over the sorted cell list
+    * (χ² = Σ (o−e)²/e with e = ca·cb/n stated once per cell), so the
+    * doubles replay on any engine. Output (one row): n, n_cells, r, c,
+    * dof = (r−1)(c−1), chi2, and Cramér's V = √((χ²/n)/(min(r,c)−1))
+    * (NULL when min(r,c) = 1). No p-value by design — the incomplete
+    * gamma has no cross-engine-exact formulation; compare chi2 against
+    * the caller's critical value. */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = F.col(aCol).cast("string"); val b = F.col(bCol).cast("string")
+    val joint = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("td_a"), b.as("td_b"))
+      .agg(F.count(F.lit(1)).as("td_c"))
+    val ma = joint.groupBy(F.col("td_a"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_ca"))
+    val mb = joint.groupBy(F.col("td_b"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_cb"))
+    val cells = joint.join(ma, "td_a").join(mb, "td_b")
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_a"), F.col("td_b"), F.col("td_c"),
+        F.col("td_ca"), F.col("td_cb")))).as("td_cells"))
+    val nL = F.aggregate(F.col("td_cells"), F.lit(0L),
+      (acc, e) => acc + e.getField("td_c"))
+    // zero-observed cells (o=0, e>0) belong in the statistic and
+    // contribute (0−e)²/e = e; since Σ_all e = n, the fold subtracts e
+    // per OBSERVED cell and adds n back at the end — the whole r×c grid
+    // without materializing absent cells
+    def chi2Over(nD: Column) = F.aggregate(F.col("td_cells"), F.lit(0.0d),
+      (acc, e) => {
+        val o = e.getField("td_c").cast("double")
+        val ed = (e.getField("td_ca").cast("double") *
+          e.getField("td_cb").cast("double")) / nD
+        acc + ((((o - ed) * (o - ed)) / ed) - ed)
+      }) + nD
+    def distinctOf(keyF: String) = F.size(F.array_distinct(F.transform(
+      F.col("td_cells"), e => e.getField(keyF)))).cast("long")
+    cells
+      .withColumn("n", nL)
+      .withColumn("n_cells", F.size(F.col("td_cells")).cast("long"))
+      .withColumn("r", distinctOf("td_a"))
+      .withColumn("c", distinctOf("td_b"))
+      .withColumn("td_nd", F.col("n").cast("double"))
+      .select(F.col("n"), F.col("n_cells"), F.col("r"), F.col("c"),
+        ((F.col("r") - 1L) * (F.col("c") - 1L)).as("dof"),
+        chi2Over(F.col("td_nd")).as("chi2"),
+        F.col("td_nd").as("td_nd"), F.least(F.col("r"), F.col("c")).as("td_m"))
+      .select(F.col("n"), F.col("n_cells"), F.col("r"), F.col("c"),
+        F.col("dof"),
+        F.col("chi2"),
+        F.when(F.col("td_m") > 1L,
+          F.sqrt((F.col("chi2") / F.col("td_nd")) /
+            (F.col("td_m") - 1L).cast("double"))).as("cramers_v"))
+  }
+
   def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val a = F.col(aCol).cast("string"); val b = F.col(bCol).cast("string")
     val joint = df.where(a.isNotNull && b.isNotNull)

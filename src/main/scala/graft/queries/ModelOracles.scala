@@ -715,6 +715,61 @@ object ModelOracles {
         |    (sqrt((nd * p11) - (s1 * s1)) * sqrt((nd * p22) - (s2 * s2)))
         |FROM d
         |ORDER BY col_a, col_b""".stripMargin,
+    "q_chi_squared" -> {
+      // the expected count e = ca·cb/n, written out at each occurrence
+      // (identical double each time)
+      val ed = "((CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) / CAST(nn.n AS DOUBLE))"
+      s"""WITH j AS (SELECT CAST(lang AS VARCHAR) AS a,
+         |    CAST(source AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+         |  GROUP BY 1, 2),
+         |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM j GROUP BY a),
+         |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM j GROUP BY b),
+         |cells AS (SELECT j.a, j.b, j.c, ma.ca, mb.cb
+         |  FROM j JOIN ma USING (a) JOIN mb USING (b)),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+         |rr AS (SELECT CAST(count(*) AS BIGINT) AS r FROM ma),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM mb),
+         |ch AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(((((CAST(c AS DOUBLE) - $ed) * (CAST(c AS DOUBLE) - $ed))
+         |        / $ed) - $ed)
+         |      ORDER BY a, b)), (x, y) -> x + y)
+         |    + CAST(nn.n AS DOUBLE) AS chi2
+         |  FROM cells, nn GROUP BY nn.n)
+         |SELECT nn.n, cnt.n_cells, rr.r, cc.c,
+         |  (rr.r - 1) * (cc.c - 1) AS dof, ch.chi2,
+         |  CASE WHEN least(rr.r, cc.c) > 1 THEN
+         |    sqrt((ch.chi2 / CAST(nn.n AS DOUBLE)) /
+         |      CAST(least(rr.r, cc.c) - 1 AS DOUBLE))
+         |  END AS cramers_v
+         |FROM nn, cnt, rr, cc, ch""".stripMargin
+    },
+    "q_graph_assortativity" ->
+      ("""WITH ed0 AS (SELECT DISTINCT
+         |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+         |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |ed AS (SELECT u, v FROM ed0 UNION ALL SELECT v, u FROM ed0),
+         |dg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg
+         |  FROM ed GROUP BY u),
+         |c AS (SELECT d1.deg AS x, d2.deg AS y
+         |  FROM ed JOIN dg d1 ON d1.u = ed.u JOIN dg d2 ON d2.u = ed.v),
+         |""".stripMargin + corrSql("c", "")),
+    "q_ewma_daily" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |l AS (SELECT list(struct_pack(day := day, cnt := cnt)
+        |    ORDER BY day) AS l,
+        |  list(CAST(cnt AS DOUBLE) ORDER BY day) AS ld FROM d),
+        |ix AS (SELECT l, ld, unnest(range(1, len(l) + 1)) AS i FROM l)
+        |SELECT CAST(l[i].day - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |  l[i].cnt AS cnt,
+        |  list_reduce(list_prepend(ld[1], ld[2:i]),
+        |    (acc, e) -> acc * (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+        |      + CAST(0.3 AS DOUBLE) * e) AS ewma
+        |FROM ix ORDER BY day_num ASC""".stripMargin,
     "q_mutual_info" ->
       """WITH j AS (SELECT CAST(lang AS VARCHAR) AS a,
         |    CAST(source AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS c

@@ -384,6 +384,38 @@ object ModelQueries {
       graft.pipeline.Report.correlationMatrix(d(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
+    "q_chi_squared" -> ((s, dir) => {
+      // does source predict language, as a TEST STATISTIC: Pearson χ²
+      // over the bounded (lang, source) grid — absent cells included
+      // via the Σe=n identity — plus dof and Cramér's V; the
+      // hypothesis-test face of q_mutual_info
+      graft.pipeline.Report.chiSquared(
+        d(s, dir, "documents"), "lang", "source")
+    }),
+    "q_graph_assortativity" -> ((s, dir) => {
+      // degree assortativity of the trade graph (Newman 2002): Pearson
+      // over directed edge endpoints' degrees — negative = hubs attach
+      // to leaves (disassortative). One degree count + two joins, then
+      // the corr-stamp fixed-point algebra
+      val e = tradeEdges(s, dir)
+      val deg = e.groupBy(F.col("src"))
+        .agg(F.count(F.lit(1)).cast("double").as("du"))
+      val dd = e.join(deg, "src")
+        .join(deg.select(F.col("src").as("dst"), F.col("du").as("dv")),
+          "dst")
+      graft.pipeline.Report.mergeCorrStamps(
+        graft.pipeline.Report.corrStamp(dd, "du", "dv"))
+    }),
+    "q_ewma_daily" -> ((s, dir) => {
+      // exponentially-weighted daily-volume baseline (α = 0.3): the
+      // anomaly monitor's expected-traffic curve, bounded-fold exact
+      // (day as epoch days — the hour_epoch comparison convention)
+      graft.pipeline.Report.ewmaDaily(d(s, dir, "events"), "ts",
+          alpha = 0.3)
+        .select(F.unix_date(F.col("day")).cast("long").as("day_num"),
+          F.col("cnt"), F.col("ewma"))
+        .orderBy(F.col("day_num").asc)
+    }),
     "q_mutual_info" -> ((s, dir) => {
       // does source predict language? MI + marginal entropies + NMI
       // over the bounded (lang, source) cell relation — SkewDiag's

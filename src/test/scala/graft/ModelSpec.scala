@@ -297,6 +297,42 @@ class ModelSpec extends AnyFunSuite {
     assert(n2 == 3L)
   }
 
+  test("chiSquared: ~0 for independent, n*(k-1) and V=1 for identical") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // perfectly dependent: b == a over 3 values × 10 rows
+    val dep = (1 to 30).map(i => (s"v${i % 3}", s"v${i % 3}")).toDF("a", "b")
+    val r1 = Report.chiSquared(dep, "a", "b").head()
+    assert(r1.getLong(0) == 30L && r1.getLong(2) == 3L && r1.getLong(3) == 3L)
+    assert(r1.getLong(4) == 4L, "dof = (3-1)*(3-1)")
+    assert(math.abs(r1.getDouble(5) - 60.0) < 1e-9, s"chi2 ${r1.getDouble(5)}")
+    assert(math.abs(r1.getDouble(6) - 1.0) < 1e-12, "cramers_v = 1")
+    // independent: all 9 combos equally likely → chi2 exactly 0
+    val ind = (for (x <- 0 to 2; y <- 0 to 2; _ <- 1 to 4)
+      yield (s"a$x", s"b$y")).toDF("a", "b")
+    val r2 = Report.chiSquared(ind, "a", "b").head()
+    assert(math.abs(r2.getDouble(5)) < 1e-9, s"chi2 ${r2.getDouble(5)}")
+    // absent cells count: 2x2 with one empty cell
+    val sk = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("x", "q")) ++
+      Seq.fill(5)(("y", "p"))).toDF("a", "b")
+    val r3 = Report.chiSquared(sk, "a", "b").head()
+    // chi2 = sum over all 4 cells incl. (y,q) with o=0, e=5/3
+    assert(r3.getDouble(5) > 0.0 && r3.getLong(1) == 3L)
+  }
+
+  test("ewmaDaily: hand-computed recurrence over three days") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    val rows =
+      Seq.fill(10)("2024-01-01 10:00:00") ++
+      Seq.fill(20)("2024-01-02 10:00:00") ++
+      Seq.fill(40)("2024-01-03 10:00:00")
+    val df = rows.toDF("s").select(F.col("s").cast("timestamp").as("ts"))
+    val got = Report.ewmaDaily(df, "ts", alpha = 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 10.0), (20L, 15.0), (40L, 27.5)), got.toSeq)
+  }
+
   test("mutualInformation: zero for independent, H for identical") {
     import spark.implicits._
     // perfectly factorized 2×2 grid: joint = product of marginals → MI 0
