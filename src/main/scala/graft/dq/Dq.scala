@@ -76,4 +76,46 @@ object Dq {
           F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"))
           .as("orphan_frac"))
   }
+
+  /** Benford first-digit profile of a positive numeric column — the
+    * fabricated-data / unit-mixing screen (Benford 1938; Newcomb 1881):
+    * naturally-occurring amounts spread across orders of magnitude put
+    * digit d first with probability log10(1 + 1/d); synthetic or
+    * truncated columns don't. One row-local digit projection (the
+    * magnitude via the libm [[graft.expressions.MathKernels]] ln/exp
+    * pair, so both engines state the IDENTICAL doubles — a boundary
+    * value like 1000 may land a digit off libm-exactly the same way on
+    * both sides, and the result is clamped to [1, 9]), one 9-key count
+    * shuffle, a broadcast total. Rows with NULL or non-positive values
+    * are excluded. Output per digit 1..9: (digit, n, frac, expected)
+    * ascending — compare frac against expected (or feed a chi-squared)
+    * downstream. */
+  def benford(df: org.apache.spark.sql.DataFrame, col: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.expressions.MathKernels
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(col).cast("double")
+    val pos = df.where(x.isNotNull && x > 0.0d).select(x.as("td_x"))
+    val ln10 = MathKernels.ln(F.lit(10.0d))
+    val mag = F.floor(MathKernels.ln(F.col("td_x")) / ln10)
+    val digit = F.least(F.greatest(
+      F.floor(F.col("td_x") / MathKernels.exp(mag.cast("double") * ln10))
+        .cast("long"),
+      F.lit(1L)), F.lit(9L))
+    val counts = pos.select(digit.as("digit"))
+      .groupBy(F.col("digit")).agg(F.count(F.lit(1)).as("n"))
+    val tot = counts.agg(F.sum(F.col("n")).cast("long").as("td_tot"))
+    val grid = (1L to 9L).toDF("digit")
+    grid.join(counts, Seq("digit"), "left")
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("digit"),
+        F.coalesce(F.col("n"), F.lit(0L)).as("n"),
+        (F.coalesce(F.col("n"), F.lit(0L)).cast("double") /
+          F.col("td_tot").cast("double")).as("frac"),
+        (MathKernels.ln(F.lit(1.0d) +
+          (F.lit(1.0d) / F.col("digit").cast("double"))) / ln10)
+          .as("expected"))
+      .orderBy(F.col("digit").asc)
+  }
 }

@@ -184,6 +184,46 @@ object Funnel {
       .agg(F.count(F.lit(1)).as("n"))
   }
 
+  /** Stationary distribution of the per-user event-type Markov chain —
+    * where does user behavior SETTLE (the long-run occupancy of each
+    * event type), the fixed point π = πP of [[transitionMatrix]]'s
+    * row-stochastic normalization. The corpus reduces to the k²-cell
+    * transition relation in one pass (k = |event types|, BOUNDED — the
+    * categorical contract of [[graft.pipeline.Report.mutualInformation]]),
+    * so the power iteration runs on driver METADATA: π0 uniform 1/k,
+    * π_j ← Σ_i π_i·p_ij folded over states in ASCENDING order (adding a
+    * zero cell is an IEEE no-op, so the sparse SQL replay states the
+    * identical doubles); each share p_ij = n_ij/Σn_i is one stated
+    * division. States with no outgoing transitions absorb (p_ii = 1).
+    * Output: (state, prob) ascending. */
+  def markovStationary(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tiebreaker: String, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = transitionMatrix(df, userCol, tsCol, typeCol, tiebreaker)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.nonEmpty, "markovStationary: no transitions observed")
+    val states = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val rowCnt = new Array[Long](k)
+    cells.foreach { case (f, _, n) => rowCnt(idx(f)) += n }
+    val p = Array.ofDim[Double](k, k)
+    cells.foreach { case (f, t, n) =>
+      p(idx(f))(idx(t)) = n.toDouble / rowCnt(idx(f)).toDouble
+    }
+    for (i <- 0 until k) if (rowCnt(i) == 0L) p(i)(i) = 1.0d
+    var pi = Array.fill(k)(1.0d / k.toDouble)
+    for (_ <- 0 until iters) {
+      pi = Array.tabulate(k) { j =>
+        (0 until k).foldLeft(0.0d)((acc, i) => acc + pi(i) * p(i)(j))
+      }
+    }
+    states.zip(pi).toSeq.toDF("state", "prob")
+      .orderBy(F.col("state").asc)
+  }
+
   /** Weekly cohort retention matrix: users grouped by their first-event
     * week (the cohort), counted in every subsequent week they were
     * active — the (cohort, week-offset) grid behind every retention

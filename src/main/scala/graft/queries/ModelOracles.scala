@@ -715,6 +715,52 @@ object ModelOracles {
         |    (sqrt((nd * p11) - (s1 * s1)) * sqrt((nd * p22) - (s2 * s2)))
         |FROM d
         |ORDER BY col_a, col_b""".stripMargin,
+    "q_markov_stationary" -> {
+      val iters = (1 to 10).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT s.state,
+           |  coalesce(agg.x, CAST(0.0 AS DOUBLE)) AS prob
+           |  FROM states s LEFT JOIN (
+           |    SELECT p.j AS state, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list(v.prob * p.share ORDER BY p.i)), (a, b) -> a + b) AS x
+           |    FROM p JOIN v${k - 1} v ON v.state = p.i GROUP BY p.j) agg
+           |  ON agg.state = s.state),
+           |""".stripMargin
+      }.mkString
+      ("""WITH t AS (SELECT event_type AS tt,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS ft
+         |  FROM events),
+         |cnt AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n FROM t
+         |  WHERE ft IS NOT NULL GROUP BY 1, 2),
+         |states AS MATERIALIZED (SELECT DISTINCT ft AS state FROM cnt
+         |  UNION SELECT DISTINCT tt FROM cnt),
+         |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+         |rs AS (SELECT ft, CAST(sum(n) AS BIGINT) AS rn FROM cnt GROUP BY ft),
+         |p AS MATERIALIZED (SELECT cnt.ft AS i, cnt.tt AS j,
+         |    CAST(cnt.n AS DOUBLE) / CAST(rs.rn AS DOUBLE) AS share
+         |  FROM cnt JOIN rs USING (ft)
+         |  UNION ALL SELECT s.state, s.state, CAST(1.0 AS DOUBLE)
+         |  FROM states s WHERE s.state NOT IN (SELECT ft FROM rs)),
+         |v0 AS (SELECT state, 1.0 / kk.k AS prob FROM states, kk),
+         |""".stripMargin + iters).stripSuffix(",\n") + "\n" +
+        """SELECT state, prob FROM v10 ORDER BY state ASC"""
+    },
+    "q_dq_benford" ->
+      """WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(l_extendedprice AS DOUBLE) > 0.0),
+        |d AS (SELECT least(greatest(
+        |    CAST(floor(x / exp(floor(ln(x) / ln(10.0)) * ln(10.0))) AS BIGINT),
+        |    1), 9) AS digit FROM x),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |g AS (SELECT unnest(range(1, 10)) AS digit)
+        |SELECT CAST(g.digit AS BIGINT) AS digit,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) AS frac,
+        |  ln(1.0 + (1.0 / CAST(g.digit AS DOUBLE))) / ln(10.0) AS expected
+        |FROM g LEFT JOIN c ON c.digit = g.digit, tot
+        |ORDER BY digit ASC""".stripMargin,
     "q_chi_squared" -> {
       // the expected count e = ca·cb/n, written out at each occurrence
       // (identical double each time)

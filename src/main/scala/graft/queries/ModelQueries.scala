@@ -384,6 +384,19 @@ object ModelQueries {
       graft.pipeline.Report.correlationMatrix(d(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
+    "q_markov_stationary" -> ((s, dir) => {
+      // long-run behavior profile: the stationary distribution of the
+      // event-type transition chain — 10 power-iteration passes on the
+      // bounded k² transition metadata, the fixed-point companion of
+      // q_transition_matrix; the oracle replays all ten iterates
+      graft.operators.Funnel.markovStationary(d(s, dir, "events"),
+        "user_id", "ts", "event_type", tiebreaker = "event_id", iters = 10)
+    }),
+    "q_dq_benford" -> ((s, dir) => {
+      // first-digit DQ screen on prices: observed digit shares vs
+      // Benford's log10(1+1/d) law, libm-pinned digit extraction
+      graft.dq.Dq.benford(d(s, dir, "lineitem"), "l_extendedprice")
+    }),
     "q_chi_squared" -> ((s, dir) => {
       // does source predict language, as a TEST STATISTIC: Pearson χ²
       // over the bounded (lang, source) grid — absent cells included

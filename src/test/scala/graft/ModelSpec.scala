@@ -333,6 +333,50 @@ class ModelSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 10.0), (20L, 15.0), (40L, 27.5)), got.toSeq)
   }
 
+  test("markovStationary: 2-state alternating chain settles at (0.5, 0.5)") {
+    import graft.operators.Funnel
+    import spark.implicits._
+    // one user alternating A,B,A,B,A,B → P = [[0,1],[1,0]]; the uniform
+    // start is already stationary, every iterate is exactly (0.5, 0.5)
+    val ev = (0 until 6).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        if (i % 2 == 0) "A" else "B", i.toLong))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val pi = Funnel.markovStationary(ev, "user_id", "ts", "event_type",
+      "event_id", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi == Map("A" -> 0.5, "B" -> 0.5), pi.toString)
+    // a biased chain concentrates on the sticky state: A→B always,
+    // B→B three times per B→A → π(B) > π(A)
+    val seq2 = "ABBBBABBBB".zipWithIndex.map { case (c, i) =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        c.toString, i.toLong)
+    }
+    val pi2 = Funnel.markovStationary(seq2.toDF("user_id", "ts",
+        "event_type", "event_id"), "user_id", "ts", "event_type",
+      "event_id", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi2("B") > 0.6 && math.abs(pi2.values.sum - 1.0) < 1e-9, pi2.toString)
+  }
+
+  test("benford: uniform 1-9 digits, expected shares sum to 1") {
+    import spark.implicits._
+    val df = (1 to 9).map(_.toDouble).toDF("v")
+    val rows = graft.dq.Dq.benford(df, "v").collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L)
+      assert(math.abs(r.getDouble(2) - 1.0 / 9.0) < 1e-12)
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12,
+      "Benford expectations sum to 1")
+    // digits stay clamped in [1, 9] across magnitudes incl. boundaries
+    val wide = Seq(0.002, 0.97, 1.0, 9.999, 10.0, 999.0, 1000.0, 123456.0)
+      .toDF("v")
+    val ds = graft.dq.Dq.benford(wide, "v").collect()
+    assert(ds.map(_.getLong(1)).sum == 8L, "all rows binned")
+  }
+
   test("mutualInformation: zero for independent, H for identical") {
     import spark.implicits._
     // perfectly factorized 2×2 grid: joint = product of marginals → MI 0
