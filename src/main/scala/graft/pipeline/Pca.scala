@@ -203,6 +203,38 @@ object Pca {
       .select(F.col(idCol) +: cols: _*)
   }
 
+  /** Per-vector squared RECONSTRUCTION ERROR of a top-k fit — how much
+    * of each embedding the k components fail to carry (the compression-
+    * quality read next to [[explainedVariance]]'s corpus ratio; rank
+    * outliers by it to find embeddings the whitened space represents
+    * poorly). err2 = Σ_i xd_i² where xd is [[fitDeflatedK]]'s residual
+    * (projections of the ORIGINAL centered vector, deflations applied
+    * left to right in component order, the squared terms folded over
+    * ascending i) — every double stated once, row-local codegen
+    * arithmetic, zero shuffles. Output: (id, err2). */
+  def reconstructionError(df: DataFrame, idCol: String, vecCol: String,
+      models: Seq[PcaModel]): DataFrame = {
+    require(models.nonEmpty, "reconstructionError needs at least one component")
+    val means = models.head.means
+    val dim = models.head.dim
+    val ws = models.map(_.weights)
+    val base = df.where(F.col(vecCol).isNotNull)
+      .select(F.col(idCol), F.col(vecCol).as("td_e"))
+    val staged = base.select(F.col(idCol) +: F.col("td_e") +:
+      ws.zipWithIndex.map { case (w, l) =>
+        centeredDot(F.col("td_e"), means, w).as(s"td_p${l + 1}")
+      }: _*)
+    def xdTerm(i: Int): Column =
+      ws.zipWithIndex.foldLeft(
+        elem(F.col("td_e"), i) - F.lit(means(i - 1))) { case (acc, (w, l)) =>
+        acc - (F.col(s"td_p${l + 1}") * F.lit(w(i - 1)))
+      }
+    val err = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, i) =>
+      acc + xdTerm(i) * xdTerm(i)
+    }
+    staged.select(F.col(idCol), err.as("err2"))
+  }
+
   /** Project every row onto the component: input columns +
     * (score = (x − m)·w, pinned fold). Row-local codegen arithmetic —
     * zero shuffles. */

@@ -1267,6 +1267,47 @@ object Report {
     * either column excludes the row. Output one row:
     * (n, n_cells, mi, h_a, h_b, nmi) with nmi = mi/√(h_a·h_b), NULL
     * when either entropy is zero. */
+  /** Two-proportion z-test over per-unit conversion flags — the A/B
+    * readout (did variant A convert more than B, in standard errors):
+    * z = (p_a − p_b) / √(p̂(1−p̂)·(1/n_a + 1/n_b)) with the pooled p̂.
+    * Input is ONE ROW PER UNIT (deduplicate events upstream — the gate
+    * collapses a user's events to a 0/1 flag first); the corpus reduces
+    * to two (variant, n, conversions) rows in one keyed count, and the
+    * finishing arithmetic is a bounded 2-struct sorted fold (each
+    * double op stated once; variants ordered ascending so a is the
+    * lexicographically first). Exactly two non-null variants required —
+    * anything else answers NULL z with the observed variant count.
+    * Output (one row): n_variants, variant_a, variant_b, n_a, n_b,
+    * conv_a, conv_b, p_a, p_b, z (NULL when the pooled rate is 0 or
+    * 1). */
+  def twoProportionZ(df: DataFrame, variantCol: String,
+      successCol: String): DataFrame = {
+    val v = F.col(variantCol).cast("string")
+    val s = F.col(successCol).cast("long")
+    val agg = df.where(v.isNotNull && s.isNotNull)
+      .groupBy(v.as("td_v"))
+      .agg(F.count(F.lit(1)).as("td_n"), F.sum(s).as("td_c"))
+    val packed = agg.agg(F.sort_array(F.collect_list(F.struct(
+      F.col("td_v"), F.col("td_n"), F.col("td_c")))).as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.element_at(l, i).getField(f)
+    val naD = fld(1, "td_n").cast("double"); val nbD = fld(2, "td_n").cast("double")
+    val pa = fld(1, "td_c").cast("double") / naD
+    val pb = fld(2, "td_c").cast("double") / nbD
+    val pp = (fld(1, "td_c") + fld(2, "td_c")).cast("double") /
+      (fld(1, "td_n") + fld(2, "td_n")).cast("double")
+    val se = F.sqrt((pp * (F.lit(1.0d) - pp)) *
+      ((F.lit(1.0d) / naD) + (F.lit(1.0d) / nbD)))
+    packed.select(
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_v").as("variant_a"), fld(2, "td_v").as("variant_b"),
+      fld(1, "td_n").as("n_a"), fld(2, "td_n").as("n_b"),
+      fld(1, "td_c").as("conv_a"), fld(2, "td_c").as("conv_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      F.when(F.size(l) === 2 && pp > 0.0d && pp < 1.0d,
+        (pa - pb) / se).as("z"))
+  }
+
   /** EWMA baseline over DAILY event counts — the drift/anomaly monitor
     * read next to [[graft.streaming.Streams.windowedMoments]]: one keyed
     * count shuffle reduces the corpus to the bounded day grid, then the

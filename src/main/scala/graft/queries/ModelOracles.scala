@@ -715,6 +715,46 @@ object ModelOracles {
         |    (sqrt((nd * p11) - (s1 * s1)) * sqrt((nd * p22) - (s2 * s2)))
         |FROM d
         |ORDER BY col_a, col_b""".stripMargin,
+    "q_pca_recon" -> (pcaPrefix.stripSuffix("\n") + ",\n" + pcaChain2 + ",\n" +
+      """pw2 AS MATERIALIZED (SELECT xc.vec_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(xc.xc * w.v ORDER BY xc.i)), (a, b) -> a + b) AS p
+        |  FROM xc JOIN dv3 w USING (i) GROUP BY xc.vec_id),
+        |xr AS MATERIALIZED (SELECT xc.vec_id, xc.i,
+        |  (xc.xc - (p2.p * w1.v)) - (pw2.p * w2.v) AS xd
+        |  FROM xc JOIN p2 USING (vec_id) JOIN pw2 USING (vec_id)
+        |  JOIN v3 w1 USING (i) JOIN dv3 w2 USING (i))
+        |SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(xd * xd ORDER BY i)), (a, b) -> a + b) AS err2
+        |FROM xr GROUP BY vec_id ORDER BY vec_id ASC""".stripMargin),
+    "q_ab_ztest" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id, 2),
+        |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_variants FROM a),
+        |aa AS (SELECT variant AS v_a, n AS n_a, c AS c_a FROM a
+        |  WHERE variant = 'A'),
+        |bb AS (SELECT variant AS v_b, n AS n_b, c AS c_b FROM a
+        |  WHERE variant = 'B'),
+        |f AS (SELECT nv.n_variants, v_a AS variant_a, v_b AS variant_b,
+        |    n_a, n_b, c_a AS conv_a, c_b AS conv_b,
+        |    CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |    CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |    CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM aa, bb, nv)
+        |SELECT n_variants, variant_a, variant_b, n_a, n_b, conv_a, conv_b,
+        |  p_a, p_b,
+        |  CASE WHEN n_variants = 2 AND pp > 0.0 AND pp < 1.0 THEN
+        |    (p_a - p_b) / sqrt((pp * (CAST(1.0 AS DOUBLE) - pp)) *
+        |      ((CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)) +
+        |       (CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))))
+        |  END AS z
+        |FROM f""".stripMargin,
     "q_markov_stationary" -> {
       val iters = (1 to 10).map { k =>
         s"""v$k AS MATERIALIZED (SELECT s.state,

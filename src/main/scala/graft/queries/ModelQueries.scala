@@ -384,6 +384,27 @@ object ModelQueries {
       graft.pipeline.Report.correlationMatrix(d(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
     }),
+    "q_pca_recon" -> ((s, dir) => {
+      // per-vector squared reconstruction error of the top-2 fit: which
+      // embeddings the compressed space represents worst (row-local
+      // residual folds; the oracle replays both trajectories + the fold)
+      val emb = d(s, dir, "embeddings")
+      val ms = Pca.fitK(emb, "embedding", Dim, k = 2, iters = 3)
+      Pca.reconstructionError(emb, "vec_id", "embedding", ms)
+        .orderBy(F.col("vec_id").asc)
+    }),
+    "q_ab_ztest" -> ((s, dir) => {
+      // A/B readout: even- vs odd-id user cohorts, conversion = at
+      // least one purchase event, pooled two-proportion z statistic
+      val conv = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg(F.max(F.when(F.col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("conv"))
+      graft.pipeline.Report.twoProportionZ(conv, "variant", "conv")
+    }),
     "q_markov_stationary" -> ((s, dir) => {
       // long-run behavior profile: the stationary distribution of the
       // event-type transition chain — 10 power-iteration passes on the

@@ -333,6 +333,45 @@ class ModelSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 10.0), (20L, 15.0), (40L, 27.5)), got.toSeq)
   }
 
+  test("pca: reconstruction error ~0 for a rank-1 cloud under k=1") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(1.0, 2.0)), Tuple1(Array(3.0, 6.0)),
+      Tuple1(Array(5.0, 10.0)), Tuple1(Array(7.0, 14.0)))
+      .toDF("embedding")
+      .withColumn("id", F.monotonically_increasing_id())
+    val ms = Pca.fitK(df, "embedding", 2, k = 1, iters = 8)
+    val errs = Pca.reconstructionError(df, "id", "embedding", ms)
+      .collect().map(_.getDouble(1))
+    errs.foreach(e => assert(math.abs(e) < 1e-12, s"residual $e"))
+    // a genuinely 2-D cloud keeps positive residuals under k=1
+    val rnd = new scala.util.Random(23)
+    val df2 = Seq.fill(100)(Array(rnd.nextGaussian() * 5.0,
+      rnd.nextGaussian() * 2.0)).map(Tuple1(_)).toDF("embedding")
+      .withColumn("id", F.monotonically_increasing_id())
+    val ms2 = Pca.fitK(df2, "embedding", 2, k = 1, iters = 8)
+    val tot = Pca.reconstructionError(df2, "id", "embedding", ms2)
+      .agg(F.sum("err2")).head().getDouble(0)
+    assert(tot > 0.0)
+  }
+
+  test("twoProportionZ: hand-computed pooled z; degenerate pools NULL") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    val units = (Seq.fill(8)(("A", 1L)) ++ Seq.fill(2)(("A", 0L)) ++
+      Seq.fill(4)(("B", 1L)) ++ Seq.fill(6)(("B", 0L)))
+      .toDF("variant", "conv")
+    val r = Report.twoProportionZ(units, "variant", "conv").head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "A" && r.getString(2) == "B")
+    assert(r.getLong(3) == 10L && r.getLong(5) == 8L && r.getLong(6) == 4L)
+    val pp = 12.0 / 20.0
+    val want = (0.8 - 0.4) /
+      math.sqrt((pp * (1.0 - pp)) * ((1.0 / 10.0) + (1.0 / 10.0)))
+    assert(math.abs(r.getDouble(9) - want) < 1e-12, s"z ${r.getDouble(9)}")
+    // all-converted pool → z is NULL, not Infinity
+    val allConv = Seq(("A", 1L), ("B", 1L)).toDF("variant", "conv")
+    assert(Report.twoProportionZ(allConv, "variant", "conv").head().isNullAt(9))
+  }
+
   test("markovStationary: 2-state alternating chain settles at (0.5, 0.5)") {
     import graft.operators.Funnel
     import spark.implicits._
