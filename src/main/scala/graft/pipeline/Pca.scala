@@ -149,13 +149,22 @@ object Pca {
         ws.zipWithIndex.map { case (w, l) =>
           centeredDot(F.col("td_e"), means, w).as(s"td_p${l + 1}")
         }: _*)
+      // the residual dimensions materialize as NAMED columns (each
+      // multi-referenced below, so CollapseProject keeps them evaluated
+      // once): the same doubles as inlining xd into every consumer, but
+      // each codegen unit stays small — one giant fused expression for
+      // component j≥3 was measured to cross the JVM's 64 KB method
+      // limit under a many-way-union input and fall back to interpreted
+      // eval (r14 probe)
+      val stage2 = stage1.select(
+        (1 to dim).map(i => xdTerm(i).as(s"td_x$i")): _*)
       val sExpr = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, j) =>
-        acc + xdTerm(j) * F.lit(v(j - 1))
+        acc + F.col(s"td_x$j") * F.lit(v(j - 1))
       }
-      val staged = stage1.select(F.col("td_e") +:
-        ws.indices.map(l => F.col(s"td_p${l + 1}")) :+ sExpr.as("td_s"): _*)
+      val staged = stage2.select(
+        (1 to dim).map(i => F.col(s"td_x$i")) :+ sExpr.as("td_s"): _*)
       val terms = (1 to dim).map { i =>
-        fixedTerm(xdTerm(i) * F.col("td_s")).as(s"g$i")
+        fixedTerm(F.col(s"td_x$i") * F.col("td_s")).as(s"g$i")
       }
       val row = staged.agg(terms.head, terms.tail: _*).head()
       val u = Array.tabulate(dim)(i => row.getDecimal(i).doubleValue() / GradScale)
@@ -229,10 +238,15 @@ object Pca {
         elem(F.col("td_e"), i) - F.lit(means(i - 1))) { case (acc, (w, l)) =>
         acc - (F.col(s"td_p${l + 1}") * F.lit(w(i - 1)))
       }
+    // residual dims staged as columns (each referenced twice by the
+    // square below — kept evaluated once, codegen units small; the same
+    // 64 KB-ceiling discipline as fitDeflatedK)
+    val staged2 = staged.select(F.col(idCol) +:
+      (1 to dim).map(i => xdTerm(i).as(s"td_x$i")): _*)
     val err = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, i) =>
-      acc + xdTerm(i) * xdTerm(i)
+      acc + F.col(s"td_x$i") * F.col(s"td_x$i")
     }
-    staged.select(F.col(idCol), err.as("err2"))
+    staged2.select(F.col(idCol), err.as("err2"))
   }
 
   /** Project every row onto the component: input columns +

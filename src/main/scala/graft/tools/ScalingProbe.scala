@@ -415,6 +415,55 @@ object ScalingProbe {
           .select(F.col("x.doc_id").as("src"), F.col("y.doc_id").as("dst"))
         graft.pipeline.GraphRank.triangles(e, "src", "dst").count()
       }),
+      ("ppr", 100, { d =>
+        // pagerank's shape + a broadcast seed flag: 3 damped iterations
+        // with the teleport restricted to every 100th node
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        val seeds = ids.where(F.col("doc_id") % 100 === 0)
+          .select(F.col("doc_id").as("node"))
+        graft.pipeline.GraphRank.pagerankPersonalized(ed, "src", "dst",
+          seeds, "node", iters = 3).count()
+      }),
+      ("assortativity", 100, { d =>
+        // degree join ×2 + one fixed-point corr agg over edges: linear
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        val deg = ed.groupBy(F.col("src"))
+          .agg(F.count(F.lit(1)).cast("double").as("du"))
+        val dd2 = ed.join(deg, "src")
+          .join(deg.select(F.col("src").as("dst"), F.col("du").as("dv")), "dst")
+        graft.pipeline.Report.mergeCorrStamps(
+          graft.pipeline.Report.corrStamp(dd2, "du", "dv")).count()
+      }),
+      ("corpus_card", 100, { d =>
+        // staged regex counters once + ONE composite-key rank pass +
+        // one keyed agg; 20 slices constant, rows grow
+        graft.pipeline.Report.corpusCard(
+          d.withColumn("lang", (F.col("doc_id") % 20).cast("string")),
+          "lang", "text", "doc_id").count()
+      }),
+      ("chi_squared", 100, { d =>
+        // one cell-count shuffle; the 7×13 grid is bounded metadata
+        graft.pipeline.Report.chiSquared(
+          d.withColumn("a", (F.col("doc_id") % 7).cast("string"))
+            .withColumn("b", (F.col("doc_id") % 13).cast("string")),
+          "a", "b").count()
+      }),
+      ("benford", 100, { d =>
+        // row-local libm digit + a 9-key count: linear, zero joins of data
+        graft.dq.Dq.benford(
+          d.withColumn("v", F.length(F.col("text")).cast("double")), "v")
+          .count()
+      }),
       ("tfidf", 100, { d =>
         // postings build + df join + map-side window limit: linear
         graft.pipeline.Retrieval.tfidfKeywords(d, "text", "doc_id", 5)
@@ -494,6 +543,27 @@ object ScalingProbe {
         graft.operators.Funnel.associationRules(e, "user_id",
           "event_type", minBoth = 5L).count()
       }),
+      ("ewma_daily", 100, { e =>
+        // one day-keyed count shuffle; the EWMA fold runs on the
+        // bounded day grid (constant as rows grow)
+        graft.pipeline.Report.ewmaDaily(e, "ts").count()
+      }),
+      ("markov", 100, { e =>
+        // keyed lag window + k² cell counts; the power iteration runs
+        // on bounded driver metadata
+        graft.operators.Funnel.markovStationary(e, "user_id", "ts",
+          "event_type", tiebreaker = "value", iters = 5).count()
+      }),
+      ("ab_ztest", 100, { e =>
+        // per-user conversion agg + a 2-variant count: linear
+        val conv = e.where(F.col("user_id").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg(F.max(F.when(F.col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"))
+          .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("conv"))
+        graft.pipeline.Report.twoProportionZ(conv, "variant", "conv").count()
+      }),
       ("resample", 100, { e =>
         graft.operators.SeriesOps.resample(
           e.withColumn("v", F.floor(F.col("value")).cast("long")), "ts", "v",
@@ -528,6 +598,32 @@ object ScalingProbe {
         val m = graft.pipeline.Pca.fit(e, "embedding", 64, iters = 2)
         graft.pipeline.Pca.score(e, "vec_id", "embedding", m)
           .where(F.col("score") > 0.0).count()
+      }),
+      ("pca_topk", 100, { e0 =>
+        // fitK k=3 (1 means pass + 3×2 power-iteration aggs with 0-2
+        // staged prior projections) + the row-local residual scan. The
+        // synthetic input round-trips through parquet first: a row-based
+        // (union/ExistingRDD) input fuses its whole consume chain into
+        // the 64-decimal-sum agg's doAggregateWithoutKey and blows the
+        // JVM's 64 KB method limit (interpreted fallback — a probe-input
+        // artifact; the columnar parquet path, which is how a real
+        // corpus arrives, compiles clean on both the old and staged
+        // formulations). The linear write is included in the timing.
+        val tmp = java.nio.file.Files.createTempDirectory("graft-pcak").toString
+        e0.write.mode("overwrite").parquet(tmp)
+        val ss = e0.sparkSession
+        val e = ss.read.parquet(tmp)
+        val ms = graft.pipeline.Pca.fitK(e, "embedding", 64, k = 3, iters = 2)
+        // action = parquet write, the gate's shape: a count-agg fused
+        // directly over the 64-residual projection inlines the whole
+        // chain into doAggregateWithoutKey and crosses the 64 KB codegen
+        // method limit (interpreted fallback whose Janino attempt alone
+        // costs ~60 s) — the write path lets the projection split
+        // per-expression and compile
+        val out = java.nio.file.Files.createTempDirectory("graft-pcao").toString
+        graft.pipeline.Pca.reconstructionError(e, "vec_id", "embedding", ms)
+          .write.mode("overwrite").parquet(out)
+        ss.read.parquet(out).count()
       }),
       ("ann_ivfpq", 100, { e =>
         // IVF build + PQ train + encode + routed ADC search — the encode
