@@ -367,6 +367,55 @@ object GraphRank {
       .orderBy(F.col("node").asc)
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * made DETERMINISTIC): every node starts as its own label; each
+    * round every node adopts the label most frequent among its
+    * in-neighbors, ties broken by the LEXICOGRAPHICALLY SMALLEST label
+    * (the argmax is `min(struct(-count, label))`, so the pick is
+    * engine-portable EXACT integer/string arithmetic — no doubles
+    * anywhere); nodes with no in-edges keep their previous label.
+    * Symmetrize the edge list upstream for the usual undirected
+    * semantics (the trade-graph gate does).
+    *
+    * Fixed `iters` rounds, two keyed aggregations per round
+    * ((node,label) counts, then the per-node argmax); iterates feed
+    * exactly ONE consumer each, so the rounds compose into one linear
+    * barrier-free plan like [[pagerank]] (contrast the multi-consumer
+    * contraction in Clustering). Output: (node, community) ascending —
+    * community ids are surviving node ids. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    nodes.count()
+    var labels = nodes.select(F.col("node"), F.col("node").as("label"))
+    for (_ <- 0 until iters) {
+      val counts = e
+        .join(labels.withColumnRenamed("node", "td_u"), "td_u")
+        .groupBy(F.col("td_v"), F.col("label"))
+        .agg(F.count(F.lit(1)).as("td_c"))
+      val best = counts
+        .groupBy(F.col("td_v").as("node"))
+        .agg(F.min(F.struct((-F.col("td_c")).as("nc"),
+          F.col("label").as("l"))).as("td_b"))
+        .select(F.col("node"), F.col("td_b.l").as("td_new"))
+      labels = labels
+        .join(best, Seq("node"), "left")
+        .select(F.col("node"),
+          F.coalesce(F.col("td_new"), F.col("label")).as("label"))
+    }
+    labels.select(F.col("node"), F.col("label").as("community"))
+      .orderBy(F.col("node").asc)
+  }
+
   /** Per-node triangle counts + local clustering coefficients over an
     * undirected graph. Edges are canonicalized (least, greatest),
     * deduplicated, loops dropped; triangles enumerate ONCE each via the

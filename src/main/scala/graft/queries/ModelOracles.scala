@@ -521,6 +521,33 @@ object ModelOracles {
     "q_graph_pagerank" -> (prPrefix +
       """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),
     "q_graph_ppr" -> pprOracle,
+    "q_graph_communities" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT ed.v AS node, l.label,
+           |  CAST(count(*) AS BIGINT) AS c
+           |  FROM ed JOIN l${k - 1} l ON l.node = ed.u
+           |  GROUP BY ed.v, l.label),
+           |b$k AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node
+           |    ORDER BY c DESC, label ASC) AS rk FROM c$k)
+           |  WHERE rk = 1),
+           |l$k AS MATERIALIZED (SELECT n.node,
+           |  coalesce(b.label, p.label) AS label
+           |  FROM nodes n LEFT JOIN b$k b ON b.node = n.node
+           |  JOIN l${k - 1} p ON p.node = n.node),
+           |""".stripMargin
+      }.mkString
+      ("""WITH ed0 AS (SELECT DISTINCT
+         |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+         |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |ed AS (SELECT u, v FROM ed0
+         |  UNION ALL SELECT v AS u, u AS v FROM ed0),
+         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |""".stripMargin + rounds).stripSuffix(",\n") + "\n" +
+        """SELECT node, label AS community FROM l3 ORDER BY node ASC"""
+    },
     "q_graph_rank_drift" ->
       (("WITH " + prChain("a", "WHERE o.o_orderkey % 2 = 0") +
         prChain("b", "")).stripSuffix(",\n") + "\n" +

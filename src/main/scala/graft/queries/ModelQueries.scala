@@ -238,6 +238,14 @@ object ModelQueries {
         .orderBy(F.col("score").desc, F.col("doc_id").asc)
         .limit(10)
     }),
+    "q_graph_communities" -> ((s, dir) => {
+      // deterministic label-propagation communities over the symmetric
+      // trade graph (3 synchronous rounds, ties to the smallest label)
+      // — which customer/supplier cliques trade among themselves; exact
+      // integer/string arithmetic, the oracle replays every round
+      GraphRank.labelPropagation(tradeEdges(s, dir), "src", "dst",
+        iters = 3)
+    }),
     "q_graph_ppr" -> ((s, dir) => {
       // PERSONALIZED PageRank from a curated seed set (nation-0
       // customers): teleport mass restarts only at the seeds, so

@@ -221,6 +221,22 @@ class ModelSpec extends AnyFunSuite {
     assert(math.abs(hubNorm - 1.0) < 1e-4, s"hub norm $hubNorm")
   }
 
+  test("labelPropagation: disjoint triangles converge to their min label") {
+    import spark.implicits._
+    val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val t2 = Seq(("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+    val all = t1 ++ t2
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val got = GraphRank.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a1", "a2", "a3").forall(got(_) == "a1"), got.toString)
+    assert(Seq("b1", "b2", "b3").forall(got(_) == "b1"), got.toString)
+    // deterministic across runs
+    val again = GraphRank.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("hitsFused: same hub/authority separation as the gate variant") {
     import spark.implicits._
     val edges = Seq(("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "dst")
