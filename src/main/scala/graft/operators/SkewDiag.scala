@@ -127,6 +127,43 @@ object SkewDiag {
           .as("hhi_normalized"))
   }
 
+  /** Hill estimator of the power-law TAIL INDEX (Hill 1975) — how heavy
+    * is the upper tail of a positive column (doc lengths, domain sizes,
+    * degree distributions): α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over
+    * the k largest order statistics, with x_(k+1) the threshold. Small
+    * α (≈1-2) = very heavy tail (a few giants carry the mass — size
+    * your partitioning for them); large α = tame tail.
+    *
+    * Shape: one [[ScalableRank.withRank]] DESCENDING range-shuffle rank
+    * (ties pinned by `tiebreakers`), a filter to the k+1 head rows, and
+    * a BOUNDED sorted fold over them (list ordered by rank, libm ln per
+    * term, one stated division per term) — the k+1 head is metadata,
+    * never collected unsorted. Rows must satisfy x > 0 (ln); NULLs
+    * excluded. Requires n ≥ k+2. Output (one row): (n, k, x_threshold,
+    * alpha). */
+  def tailIndex(df: DataFrame, valueCol: String, k: Int = 100,
+      tiebreakers: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(x.isNotNull && x > 0.0d)
+    val n = clean.count()
+    require(n >= k + 2, s"tailIndex needs n >= k+2 rows, got n=$n for k=$k")
+    val ranked = ScalableRank.withRank(clean, valueCol, "$td.__rk",
+      method = "ordinal", descending = true, tiebreakers = tiebreakers)
+    val head = ranked.where(F.col("`$td.__rk`") <= (k + 1).toLong)
+      .select(F.col("`$td.__rk`").as("td_rk"), x.as("td_x"))
+    val packed = head.agg(F.sort_array(F.collect_list(
+      F.struct(F.col("td_rk"), F.col("td_x")))).as("td_l"))
+    val l = F.col("td_l")
+    val thr = F.element_at(l, k + 1).getField("td_x")
+    val sumLn = F.aggregate(F.slice(l, 1, k), F.lit(0.0d),
+      (acc, e) => acc + graft.expressions.MathKernels.ln(
+        e.getField("td_x") / thr))
+    packed.select(F.lit(n).as("n"), F.lit(k.toLong).as("k"),
+      thr.as("x_threshold"),
+      F.when(sumLn > 0.0d, F.lit(k.toDouble) / sumLn).as("alpha"))
+  }
+
   private def keyCounts(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(F.col(keyCol).cast("string").as("key"))
       .agg(F.count(F.lit(1)).as("cnt"))

@@ -651,6 +651,21 @@ object ModelOracles {
         |      - ((CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
         |  END AS gini
         |FROM a""".stripMargin,
+    "q_tail_index" ->
+      """WITH c AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND CAST(n_chars AS DOUBLE) > 0.0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT x, row_number()
+        |    OVER (ORDER BY x DESC, doc_id ASC) AS rk FROM c),
+        |h AS (SELECT rk, x FROM r WHERE rk <= 101),
+        |thr AS (SELECT x AS t FROM h WHERE rk = 101),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(ln(x / thr.t) ORDER BY rk)), (a, b) -> a + b) AS sl
+        |  FROM h, thr WHERE rk <= 100)
+        |SELECT nn.n, CAST(100 AS BIGINT) AS k, thr.t AS x_threshold,
+        |  CASE WHEN s.sl > 0.0 THEN 100.0 / s.sl END AS alpha
+        |FROM nn, thr, s""".stripMargin,
     "q_gini_drift" -> {
       def giniBlock(tag: Int, where: String): String =
         s"""c$tag AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x

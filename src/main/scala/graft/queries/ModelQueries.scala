@@ -366,6 +366,14 @@ object ModelQueries {
           F.col("gini") - F.lag(F.col("gini"), 1).over(w))
         .orderBy(F.col("version").asc)
     }),
+    "q_tail_index" -> ((s, dir) => {
+      // Hill estimator over the 100 largest document lengths: how heavy
+      // is the corpus's upper tail (the partition-sizing read next to
+      // q_skew_stats); bounded k+1 head, libm-ln fold
+      graft.operators.SkewDiag.tailIndex(
+        d(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+        k = 100, tiebreakers = Seq("doc_id"))
+    }),
     "q_hhi" -> ((s, dir) => {
       // Herfindahl concentration of corpus sources — the market-share
       // read next to Gini (one count shuffle, bounded sorted fold)

@@ -221,6 +221,25 @@ class ModelSpec extends AnyFunSuite {
     assert(math.abs(hubNorm - 1.0) < 1e-4, s"hub norm $hubNorm")
   }
 
+  test("tailIndex: Hill fold matches a hand computation; small n rejects") {
+    import spark.implicits._
+    val vals = (1 to 20).map(i => (i.toLong, math.pow(1.5, i)))
+    val df = vals.toDF("id", "v")
+    val r = graft.operators.SkewDiag.tailIndex(df, "v", k = 5,
+      tiebreakers = Seq("id")).head()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 5L)
+    // top 5 desc: 1.5^20..1.5^16; threshold 1.5^15
+    val thr = math.pow(1.5, 15)
+    assert(r.getDouble(2) == thr)
+    val want = 5.0 / (16 to 20).reverse
+      .foldLeft(0.0)((a, i) => a + math.log(math.pow(1.5, i) / thr))
+    assert(math.abs(r.getDouble(3) - want) < 1e-12, s"alpha ${r.getDouble(3)}")
+    intercept[IllegalArgumentException] {
+      graft.operators.SkewDiag.tailIndex(df.limit(6), "v", k = 5,
+        tiebreakers = Seq("id"))
+    }
+  }
+
   test("labelPropagation: disjoint triangles converge to their min label") {
     import spark.implicits._
     val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
