@@ -444,6 +444,24 @@ object ScalingProbe {
         graft.pipeline.Report.mergeCorrStamps(
           graft.pipeline.Report.corrStamp(dd2, "du", "dv")).count()
       }),
+      ("lpa", 100, { d =>
+        // label propagation over the chain-block graph: two keyed aggs
+        // per round, single-consumer iterates, barrier-free
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        graft.pipeline.GraphRank.labelPropagation(ed, "src", "dst",
+          iters = 2).count()
+      }),
+      ("tail_index", 100, { d =>
+        // one descending range-shuffle rank + a bounded k+1 head fold
+        graft.operators.SkewDiag.tailIndex(
+          d.withColumn("v", F.length(F.col("text")).cast("double")), "v",
+          k = 100, tiebreakers = Seq("doc_id")).count()
+      }),
       ("corpus_card", 100, { d =>
         // staged regex counters once + ONE composite-key rank pass +
         // one keyed agg; 20 slices constant, rows grow
