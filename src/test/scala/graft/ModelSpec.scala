@@ -75,6 +75,33 @@ class ModelSpec extends AnyFunSuite {
     assert(ms(2).lambda < ms(1).lambda && ms(2).lambda > 0.0)
   }
 
+  test("pca: fitK scales to k=8 — pairwise orthogonal, eigenvalues " +
+    "monotone, residual shrinks with k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // 10-dim cloud with geometrically decaying axis scales
+    val scales = Array.tabulate(10)(i => math.pow(0.72, i) * 8.0)
+    val pts = Seq.fill(600)(Array.tabulate(10)(i =>
+      rnd.nextGaussian() * scales(i)))
+    val df = pts.map(a => Tuple1(a)).toDF("embedding")
+      .withColumn("id", F.monotonically_increasing_id())
+    val ms = Pca.fitK(df, "embedding", 10, k = 8, iters = 6)
+    assert(ms.length == 8)
+    for (a <- ms.indices; b <- ms.indices if a < b) {
+      val dot = (0 until 10).map(i => ms(a).weights(i) * ms(b).weights(i)).sum
+      assert(math.abs(dot) < 1e-4, s"components ${a + 1},${b + 1} dot $dot")
+    }
+    val lams = ms.map(_.lambda)
+    assert(lams.zip(lams.tail).forall { case (x, y) => x > y },
+      s"eigenvalues not decreasing: ${lams.toSeq}")
+    // more components explain more: total residual shrinks with k
+    def resid(k: Int): Double =
+      Pca.reconstructionError(df, "id", "embedding", ms.take(k))
+        .agg(F.sum("err2")).head().getDouble(0)
+    val r2 = resid(2); val r8 = resid(8)
+    assert(r8 < r2 * 0.25, s"k=8 residual $r8 vs k=2 $r2")
+  }
+
   test("pca: whitenK yields ~unit variance along each component") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
