@@ -416,6 +416,48 @@ object GraphRank {
       .orderBy(F.col("node").asc)
   }
 
+  /** Per-community CONDUCTANCE — how well a partition (e.g.
+    * [[labelPropagation]]'s output) actually separates the graph:
+    * φ(C) = cut(C) / min(vol(C), E − vol(C)) with vol the number of
+    * edges leaving nodes of C, cut the number crossing to another
+    * community, and E the total (directed) edge count — on a
+    * symmetrized edge list this is the standard undirected conductance.
+    * Low φ = a real community; φ near 1 = an arbitrary slice. Exact
+    * integer counts with ONE stated division per community (no doubles
+    * until the final ratio); communities whose min side is 0 answer
+    * NULL. Shape: two label joins onto the edge list + one keyed
+    * aggregation; E rides as a broadcast 1-row relation. Output:
+    * (community, n_nodes, vol, cut, conductance) ascending. */
+  def communityConductance(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node",
+      commCol: String = "community"): DataFrame = {
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+    val lu = labels.select(F.col(nodeCol).cast("string").as("td_u"),
+      F.col(commCol).as("td_cu"))
+    val lv = labels.select(F.col(nodeCol).cast("string").as("td_v"),
+      F.col(commCol).as("td_cv"))
+    val el = e.join(lu, "td_u").join(lv, "td_v")
+    val tot = el.agg(F.count(F.lit(1)).as("td_e"))
+    val nNodes = labels.groupBy(F.col(commCol).as("community"))
+      .agg(F.count(F.lit(1)).as("n_nodes"))
+    val per = el.groupBy(F.col("td_cu").as("community"))
+      .agg(F.count(F.lit(1)).as("vol"),
+        F.sum(F.when(F.col("td_cu") =!= F.col("td_cv"), 1L).otherwise(0L))
+          .as("cut"))
+    val den = F.least(F.col("vol"), F.col("td_e") - F.col("vol"))
+    per.join(nNodes, Seq("community"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("community"), F.col("n_nodes"), F.col("vol"),
+        F.col("cut"),
+        F.when(den > 0L,
+          F.col("cut").cast("double") / den.cast("double"))
+          .as("conductance"))
+      .orderBy(F.col("community").asc)
+  }
+
   /** Per-node triangle counts + local clustering coefficients over an
     * undirected graph. Edges are canonicalized (least, greatest),
     * deduplicated, loops dropped; triangles enumerate ONCE each via the

@@ -200,6 +200,39 @@ object ModelOracles {
       """SELECT node, "rank" FROM r5 ORDER BY node ASC"""
   }
 
+  /** Label-propagation replay: the symmetric trade graph, l0 = own
+    * label, three synchronous rounds (per-round (node,label) counts,
+    * the row_number()=1 pick ordered (count desc, label asc) — exactly
+    * [[graft.pipeline.GraphRank.labelPropagation]]'s
+    * min(struct(−count, label)) argmax), ending at l3. Trailing
+    * comma. */
+  private val lpaChain: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT ed.v AS node, l.label,
+         |  CAST(count(*) AS BIGINT) AS c
+         |  FROM ed JOIN l${k - 1} l ON l.node = ed.u
+         |  GROUP BY ed.v, l.label),
+         |b$k AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, label ASC) AS rk FROM c$k)
+         |  WHERE rk = 1),
+         |l$k AS MATERIALIZED (SELECT n.node,
+         |  coalesce(b.label, p.label) AS label
+         |  FROM nodes n LEFT JOIN b$k b ON b.node = n.node
+         |  JOIN l${k - 1} p ON p.node = n.node),
+         |""".stripMargin
+    }.mkString
+    """ed0 AS (SELECT DISTINCT
+      |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+      |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |ed AS (SELECT u, v FROM ed0
+      |  UNION ALL SELECT v AS u, u AS v FROM ed0),
+      |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |""".stripMargin + rounds
+  }
+
   /** Model-registry replay: version 1's training (even doc_ids only,
     * three fixed-point GD iterations) and the corpus-wide scoring the
     * gate performs with the @HEAD~1-loaded weights. */
@@ -521,33 +554,24 @@ object ModelOracles {
     "q_graph_pagerank" -> (prPrefix +
       """SELECT node, "rank" FROM r5 ORDER BY node ASC"""),
     "q_graph_ppr" -> pprOracle,
-    "q_graph_communities" -> {
-      val rounds = (1 to 3).map { k =>
-        s"""c$k AS MATERIALIZED (SELECT ed.v AS node, l.label,
-           |  CAST(count(*) AS BIGINT) AS c
-           |  FROM ed JOIN l${k - 1} l ON l.node = ed.u
-           |  GROUP BY ed.v, l.label),
-           |b$k AS MATERIALIZED (SELECT node, label FROM (
-           |  SELECT node, label, row_number() OVER (PARTITION BY node
-           |    ORDER BY c DESC, label ASC) AS rk FROM c$k)
-           |  WHERE rk = 1),
-           |l$k AS MATERIALIZED (SELECT n.node,
-           |  coalesce(b.label, p.label) AS label
-           |  FROM nodes n LEFT JOIN b$k b ON b.node = n.node
-           |  JOIN l${k - 1} p ON p.node = n.node),
-           |""".stripMargin
-      }.mkString
-      ("""WITH ed0 AS (SELECT DISTINCT
-         |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
-         |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
-         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-         |ed AS (SELECT u, v FROM ed0
-         |  UNION ALL SELECT v AS u, u AS v FROM ed0),
-         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM ed),
-         |l0 AS (SELECT node, node AS label FROM nodes),
-         |""".stripMargin + rounds).stripSuffix(",\n") + "\n" +
-        """SELECT node, label AS community FROM l3 ORDER BY node ASC"""
-    },
+    "q_graph_communities" -> (("WITH " + lpaChain).stripSuffix(",\n") + "\n" +
+      """SELECT node, label AS community FROM l3 ORDER BY node ASC"""),
+    "q_graph_conductance" -> ("WITH " + lpaChain +
+      """el AS MATERIALIZED (SELECT ed.u, ed.v, lu.label AS cu, lv.label AS cv
+        |  FROM ed JOIN l3 lu ON lu.node = ed.u JOIN l3 lv ON lv.node = ed.v),
+        |ee AS (SELECT CAST(count(*) AS BIGINT) AS e FROM el),
+        |cn AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM l3 GROUP BY 1),
+        |ag AS (SELECT cu AS community, CAST(count(*) AS BIGINT) AS vol,
+        |    CAST(sum(CASE WHEN cu <> cv THEN 1 ELSE 0 END) AS BIGINT) AS cut
+        |  FROM el GROUP BY 1)
+        |SELECT ag.community, cn.n_nodes, ag.vol, ag.cut,
+        |  CASE WHEN least(ag.vol, ee.e - ag.vol) > 0 THEN
+        |    CAST(ag.cut AS DOUBLE) /
+        |      CAST(least(ag.vol, ee.e - ag.vol) AS DOUBLE)
+        |  END AS conductance
+        |FROM ag JOIN cn USING (community), ee
+        |ORDER BY community ASC""".stripMargin),
     "q_graph_rank_drift" ->
       (("WITH " + prChain("a", "WHERE o.o_orderkey % 2 = 0") +
         prChain("b", "")).stripSuffix(",\n") + "\n" +

@@ -246,6 +246,15 @@ object ModelQueries {
       GraphRank.labelPropagation(tradeEdges(s, dir), "src", "dst",
         iters = 3)
     }),
+    "q_graph_conductance" -> ((s, dir) => {
+      // did label propagation find REAL communities: per-community
+      // conductance (cut over the smaller side's volume) of the LPA
+      // partition — exact integer counts, one stated division; the
+      // oracle replays the three LPA rounds and the cut/volume algebra
+      val e = tradeEdges(s, dir)
+      val labels = GraphRank.labelPropagation(e, "src", "dst", iters = 3)
+      GraphRank.communityConductance(e, "src", "dst", labels)
+    }),
     "q_graph_ppr" -> ((s, dir) => {
       // PERSONALIZED PageRank from a curated seed set (nation-0
       // customers): teleport mass restarts only at the seeds, so

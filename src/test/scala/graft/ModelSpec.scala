@@ -283,6 +283,25 @@ class ModelSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("communityConductance: bridged triangles — exact cut/vol/ratio") {
+    import spark.implicits._
+    // two triangles bridged by one edge; perfect 2-community partition
+    val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val t2 = Seq(("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+    val all = t1 ++ t2 :+ (("a1", "b1"))
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val labels = Seq("a1", "a2", "a3").map(_ -> "A") ++
+      Seq("b1", "b2", "b3").map(_ -> "B")
+    val got = GraphRank.communityConductance(edges, "src", "dst",
+        labels.toDF("node", "community"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // per side: 6 intra directed edges + 1 outgoing bridge = vol 7,
+    // cut 1, E = 14, min(7, 7) = 7
+    assert(got("A") == ((3L, 7L, 1L, 1.0 / 7.0)), got.toString)
+    assert(got("B") == ((3L, 7L, 1L, 1.0 / 7.0)), got.toString)
+  }
+
   test("hitsFused: same hub/authority separation as the gate variant") {
     import spark.implicits._
     val edges = Seq(("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "dst")

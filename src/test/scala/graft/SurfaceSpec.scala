@@ -149,7 +149,7 @@ class SurfaceSpec extends AnyFunSuite {
     // an oracle whose gate name drifted would silently vanish from the
     // driver's hash check — fail here instead
     assert((o -- q).isEmpty, s"oracles without a gate query: ${(o -- q).toSeq.sorted}")
-    assert(q.size >= 320, s"gate count dropped to ${q.size}")
+    assert(q.size >= 321, s"gate count dropped to ${q.size}")
     // only the hash-seeded/probabilistic/centroid-routed ops may skip the
     // value-hash oracle; anything else appearing here is a coverage bug
     // (q_dedup_simhash and q_text_winnow left this set in r13: their
