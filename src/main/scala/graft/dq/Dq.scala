@@ -105,10 +105,15 @@ object Dq {
       F.lit(1L)), F.lit(9L))
     val counts = pos.select(digit.as("digit"))
       .groupBy(F.col("digit")).agg(F.count(F.lit(1)).as("n"))
-    val tot = counts.agg(F.sum(F.col("n")).cast("long").as("td_tot"))
+    // total via an unpartitioned window over the ≤9-row counts relation
+    // (the Lorenz convention) — a separate broadcast aggregate would
+    // re-execute the corpus scan + digit shuffle a second time
+    val wTot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val grid = (1L to 9L).toDF("digit")
     grid.join(counts, Seq("digit"), "left")
-      .crossJoin(F.broadcast(tot))
+      .withColumn("td_tot",
+        F.sum(F.coalesce(F.col("n"), F.lit(0L))).over(wTot).cast("long"))
       .select(F.col("digit"),
         F.coalesce(F.col("n"), F.lit(0L)).as("n"),
         (F.coalesce(F.col("n"), F.lit(0L)).cast("double") /

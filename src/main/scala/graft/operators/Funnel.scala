@@ -201,7 +201,12 @@ object Funnel {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = df.sparkSession
     import spark.implicits._
+    // cast the (bounded k²) cells to string on collect — transitionMatrix
+    // preserves typeCol's own type, so a non-string column would
+    // otherwise ClassCastException here
     val cells = transitionMatrix(df, userCol, tsCol, typeCol, tiebreaker)
+      .select(F.col("from_type").cast("string"),
+        F.col("to_type").cast("string"), F.col("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     require(cells.nonEmpty, "markovStationary: no transitions observed")
     val states = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted

@@ -416,6 +416,135 @@ object GraphRank {
       .orderBy(F.col("node").asc)
   }
 
+  /** [[labelPropagation]] with a CONVERGENCE SIGNAL: the same
+    * deterministic synchronous rounds, but each iterate materializes
+    * (persist+count — the bounded-multi-consumer barrier taxonomy of
+    * [[communityConductance]]) so the per-round changed-label count is
+    * one cheap agg on the cached relation; with `earlyStop` the loop
+    * ends at the first round that changes nothing (the labels are then
+    * a fixed point — running further rounds is a no-op, which is what
+    * the spec proves). `maxIters` stays the cap so a non-converging
+    * oscillation (possible under synchronous LPA) still terminates.
+    * Returns (final labels ascending, per-round changed counts — one
+    * entry per round actually run). With earlyStop=false and
+    * maxIters=k the labels are BIT-IDENTICAL to
+    * `labelPropagation(iters = k)` (same plan per round, just
+    * materialized). */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 20, earlyStop: Boolean = true)
+      : (DataFrame, Seq[Long]) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    nodes.count()
+    var labels = nodes.select(F.col("node"), F.col("node").as("label"))
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var round = 0
+    var stable = false
+    while (round < maxIters && !(earlyStop && stable)) {
+      val counts = e
+        .join(labels.withColumnRenamed("node", "td_u"), "td_u")
+        .groupBy(F.col("td_v"), F.col("label"))
+        .agg(F.count(F.lit(1)).as("td_c"))
+      val best = counts
+        .groupBy(F.col("td_v").as("node"))
+        .agg(F.min(F.struct((-F.col("td_c")).as("nc"),
+          F.col("label").as("l"))).as("td_b"))
+        .select(F.col("node"), F.col("td_b.l").as("td_new"))
+      val next = labels
+        .join(best, Seq("node"), "left")
+        .select(F.col("node"), F.col("label").as("td_prev"),
+          F.coalesce(F.col("td_new"), F.col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // ONE action per round: materializes the iterate AND reads the
+      // convergence signal off the cached rows
+      val changed = next.where(F.col("td_prev") =!= F.col("label")).count()
+      changes += changed
+      stable = changed == 0L
+      labels = next.select(F.col("node"), F.col("label"))
+      round += 1
+    }
+    (labels.select(F.col("node"), F.col("label").as("community"))
+      .orderBy(F.col("node").asc), changes.toSeq)
+  }
+
+  /** Newman MODULARITY of a partition (Newman 2004): the standard
+    * community-quality score next to [[communityConductance]] — how
+    * much denser inside communities the edges fall than a degree-
+    * preserving random rewiring would put them. On the symmetrized
+    * edge list (E = total directed edges, vol_c = edges leaving nodes
+    * of c, intra_c = vol_c − cut_c the directed intra-community count):
+    * Q = Σ_c (intra_c/E − (vol_c/E)²) — the directed-count form of
+    * Q = Σ_c (L_c/m − (d_c/2m)²), exact integers until the stated
+    * divisions. Q near 0 = no better than random; dense real
+    * communities push toward 1 − 1/k.
+    *
+    * Shape: identical to conductance (two label joins + one keyed
+    * aggregation; the label relation persists once for its three
+    * consumers); E and the Q fold ride the bounded per-community rows
+    * (unpartitioned window + the sort_array-pinned ascending fold — the
+    * chi² finishing convention, so the double sum replays on any
+    * engine). Communities with no outgoing edges contribute dq = 0.
+    * Output: (community, n_nodes, vol, cut, intra, dq, q) ascending —
+    * dq the community's stated contribution, q the total on every
+    * row. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node",
+      commCol: String = "community"): DataFrame = {
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+    val lab = labels
+      .select(F.col(nodeCol).cast("string").as("td_n"),
+        F.col(commCol).as("td_c"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    lab.count()
+    val lu = lab.select(F.col("td_n").as("td_u"), F.col("td_c").as("td_cu"))
+    val lv = lab.select(F.col("td_n").as("td_v"), F.col("td_c").as("td_cv"))
+    val el = e.join(lu, "td_u").join(lv, "td_v")
+    val nNodes = lab.groupBy(F.col("td_c").as("community"))
+      .agg(F.count(F.lit(1)).as("n_nodes"))
+    val per = el.groupBy(F.col("td_cu").as("community"))
+      .agg(F.count(F.lit(1)).as("vol"),
+        F.sum(F.when(F.col("td_cu") =!= F.col("td_cv"), 1L).otherwise(0L))
+          .as("cut"))
+    // left join from the label-derived community list so an all-sink
+    // community (possible on a non-symmetrized input) still answers a
+    // row; vol/cut coalesce to exact zeros
+    val base = nNodes.join(per, Seq("community"), "left")
+      .select(F.col("community"), F.col("n_nodes"),
+        F.coalesce(F.col("vol"), F.lit(0L)).as("vol"),
+        F.coalesce(F.col("cut"), F.lit(0L)).as("cut"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("community").asc)
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val eD = F.col("td_e").cast("double")
+    val withDq = base
+      .withColumn("intra", F.col("vol") - F.col("cut"))
+      .withColumn("td_e", F.sum(F.col("vol")).over(wAll))
+      .withColumn("dq", F.when(F.col("td_e") > 0L,
+        (F.col("intra").cast("double") / eD) -
+          (F.col("vol").cast("double") / eD) *
+          (F.col("vol").cast("double") / eD)).otherwise(F.lit(0.0d)))
+    withDq
+      .withColumn("q", F.aggregate(
+        F.sort_array(F.collect_list(
+          F.struct(F.col("community").as("c"), F.col("dq").as("d")))
+          .over(wAll)),
+        F.lit(0.0d), (acc, s) => acc + s.getField("d")))
+      .select(F.col("community"), F.col("n_nodes"), F.col("vol"),
+        F.col("cut"), F.col("intra"), F.col("dq"), F.col("q"))
+      .orderBy(F.col("community").asc)
+  }
+
   /** Per-community CONDUCTANCE — how well a partition (e.g.
     * [[labelPropagation]]'s output) actually separates the graph:
     * φ(C) = cut(C) / min(vol(C), E − vol(C)) with vol the number of

@@ -131,6 +131,11 @@ object Pca {
     require(priors.nonEmpty, "fitDeflatedK needs at least one prior")
     priors.foreach(p =>
       require(p.dim == dim, s"prior model has dim ${p.dim}, not $dim"))
+    // all priors must come from the SAME fit: deflating with models
+    // centered on different data silently states wrong residuals
+    priors.tail.foreach(p => require(
+      p.n == priors.head.n && p.means.sameElements(priors.head.means),
+      "fitDeflatedK priors disagree on n/means — fit them on the same data"))
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val means = priors.head.means
     val ws = priors.map(_.weights)

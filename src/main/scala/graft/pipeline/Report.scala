@@ -1290,7 +1290,10 @@ object Report {
     val packed = agg.agg(F.sort_array(F.collect_list(F.struct(
       F.col("td_v"), F.col("td_n"), F.col("td_c")))).as("td_l"))
     val l = F.col("td_l")
-    def fld(i: Int, f: String) = F.element_at(l, i).getField(f)
+    // try_element_at, not element_at: with <2 distinct variants the
+    // documented answer is a NULL-z row, and ANSI element_at would
+    // throw INVALID_ARRAY_INDEX instead of yielding NULL
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
     val naD = fld(1, "td_n").cast("double"); val nbD = fld(2, "td_n").cast("double")
     val pa = fld(1, "td_c").cast("double") / naD
     val pb = fld(2, "td_c").cast("double") / nbD
@@ -1306,6 +1309,74 @@ object Report {
       pa.as("p_a"), pb.as("p_b"),
       F.when(F.size(l) === 2 && pp > 0.0d && pp < 1.0d,
         (pa - pb) / se).as("z"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) A/B test — the NONPARAMETRIC
+    * companion to [[twoProportionZ]] for skewed per-unit metrics
+    * (revenue, dwell time), where a mean-based z-test misleads: does
+    * one variant stochastically dominate the other, read from ranks
+    * alone. Midranks ride [[graft.operators.ScalableRank]]'s range
+    * shuffle exactly as the AUC gate's (min-rank + per-value count;
+    * 2·midrank = 2·min + cnt − 1 an exact long), so Σ2R_A accumulates
+    * in DECIMAL(38,0) and 2U_A = Σ2R_A − 2·(n_A(n_A+1)/2) is exact
+    * integer algebra; the tie correction Σ(t³−t) folds from the SAME
+    * pass as Σ_rows(c²−1) — each row of a t-block contributes t²−1.
+    * Normal approximation with tie correction:
+    * z = (U_A − n_A·n_B/2) / √((n_A·n_B/12)·((n+1) − T/(n(n−1)))),
+    * each double op stated once (no continuity correction — state the
+    * same arithmetic when replaying). Exactly two non-null variants
+    * required — anything else answers NULL z with the observed variant
+    * count (try_element_at, the [[twoProportionZ]] ANSI rule); all
+    * values tied (σ = 0) answers NULL z too. Variant A is the
+    * lexicographically first. Output (one row): n_variants, variant_a,
+    * variant_b, n_a, n_b, u_a, u_b, tie_term, z. */
+  def mannWhitneyU(df: DataFrame, variantCol: String,
+      valueCol: String): DataFrame = {
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && x.isNotNull)
+      .select(v.as("td_g"), x.as("td_x"))
+    val ranked = graft.operators.ScalableRank.withRank(
+      clean, "td_x", "td_rk", method = "min")
+    val withCnt = ranked.join(
+      clean.groupBy(F.col("td_x")).agg(F.count(F.lit(1)).as("td_c")),
+      Seq("td_x"))
+    // one keyed pass: per group the size, Σ(2·midrank) and the group's
+    // share of the tie term (both corpus-exact decimals)
+    val perGroup = withCnt.groupBy(F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum((F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
+          .cast("decimal(38,0)")).as("td_r2"),
+        F.sum((F.col("td_c").cast("decimal(19,0)") *
+          F.col("td_c").cast("decimal(19,0)") - 1L).cast("decimal(38,0)"))
+          .as("td_t"))
+    val packed = perGroup.agg(F.sort_array(F.collect_list(F.struct(
+      F.col("td_g"), F.col("td_n"), F.col("td_r2"), F.col("td_t"))))
+      .as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    val na = fld(1, "td_n"); val nb = fld(2, "td_n")
+    val naD = na.cast("double"); val nbD = nb.cast("double")
+    val nD = naD + nbD
+    // 2U_A exact: Σ2R_A − n_A(n_A+1)
+    val u2a = fld(1, "td_r2") -
+      (na.cast("decimal(19,0)") * (na + 1L).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val uA = u2a.cast("double") / F.lit(2.0d)
+    val uB = (na.cast("decimal(19,0)") * nb.cast("decimal(19,0)"))
+      .cast("double") - uA
+    val tie = (fld(1, "td_t") + fld(2, "td_t")).cast("double")
+    val mu = (naD * nbD) / F.lit(2.0d)
+    val sigma = F.sqrt(((naD * nbD) / F.lit(12.0d)) *
+      ((nD + F.lit(1.0d)) - tie / (nD * (nD - F.lit(1.0d)))))
+    packed.select(
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_g").as("variant_a"), fld(2, "td_g").as("variant_b"),
+      na.as("n_a"), nb.as("n_b"),
+      uA.as("u_a"), uB.as("u_b"),
+      (fld(1, "td_t") + fld(2, "td_t")).cast("double").as("tie_term"),
+      F.when(F.size(l) === 2 && sigma > 0.0d,
+        (uA - mu) / sigma).as("z"))
   }
 
   /** EWMA baseline over DAILY event counts — the drift/anomaly monitor
@@ -1326,7 +1397,10 @@ object Report {
     val packed = daily.agg(F.sort_array(F.collect_list(
       F.struct(F.col("day"), F.col("cnt")))).as("td_l"))
     val l = F.col("td_l")
-    packed.select(F.explode(F.transform(
+    // empty input packs an empty list; sequence(1, 0) = [1, 0] would
+    // feed element_at an out-of-range index under ANSI — filter first
+    // so the empty corpus answers zero rows
+    packed.where(F.size(l) > 0).select(F.explode(F.transform(
         F.sequence(F.lit(1), F.size(l)),
         i => F.struct(
           F.element_at(l, i).getField("day").as("day"),

@@ -78,6 +78,42 @@ object Streams {
       .agg(F.count(F.lit(1)).as("n"))
   }
 
+  /** Streaming quantile-sketch face: per event-time window, the SPARSE
+    * (bin, n) cells of the deterministic fixed-grid quantile sketch —
+    * [[windowedDistribution]]'s shape, but under the FULL
+    * [[graft.pipeline.Report.quantileSketch]] cell contract (log scale
+    * included: `scale="log"` bins ln(x) over [ln lo, ln hi) with x ≤ 0
+    * in the underflow tail, exactly [[graft.pipeline.Report
+    * .logQuantileSketch]]). Emitted (window, bin, n) rows assemble into
+    * dense stamped sketches via [[graft.pipeline.Report.binsToSketch]]
+    * (group by the window) and merge with stored batch history through
+    * `mergeQuantileSketches`; integer cell counts make the union of the
+    * windows BIT-EQUAL to the whole-corpus sketch — live percentiles
+    * against a persisted baseline, zero rescans. State per open window
+    * is ≤ bins+2 counters, watermark-bounded. NULL values carry no bin
+    * (the family rule). `lo`/`hi` are DATA-space bounds in both scales;
+    * when assembling log cells with binsToSketch, state the LN-space
+    * bounds (ln lo, ln hi) + scale="log" — the stamp convention
+    * logQuantileSketch writes, which sketchQuantiles decodes through
+    * the exp kernel. */
+  def windowedQuantileSketch(df: DataFrame, tsCol: String, valueCol: String,
+      window: String, watermark: String, lo: Double, hi: Double,
+      bins: Int, scale: String = "linear"): DataFrame = {
+    require(scale == "linear" || scale == "log",
+      s"scale must be linear|log, got $scale")
+    val x = F.col(valueCol).cast("double")
+    val bin = if (scale == "log") {
+      require(lo > 0 && lo < hi, s"need 0 < lo < hi, got [$lo, $hi)")
+      F.when(x <= 0.0d, F.lit(0L)).otherwise(
+        graft.pipeline.Report.gridBin(graft.expressions.MathKernels.ln(x),
+          java.lang.Math.log(lo), java.lang.Math.log(hi), bins))
+    } else graft.pipeline.Report.gridBin(x, lo, hi, bins)
+    df.where(x.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window), bin.as("bin"))
+      .agg(F.count(F.lit(1)).as("n"))
+  }
+
   /** Streaming moment monitor: per event-time window, the EXACT
     * fixed-point moment sketch (n, Σx, Σx², min, max at 2^scaleBits —
     * [[graft.pipeline.Report.momentSketch]]'s encoding), so each window

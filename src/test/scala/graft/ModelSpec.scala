@@ -50,6 +50,14 @@ class ModelSpec extends AnyFunSuite {
     val dot = (0 until 3).map(i => m1.weights(i) * m2.weights(i)).sum
     assert(math.abs(dot) < 1e-6, s"components not orthogonal: $dot")
     assert(m2.lambda < m1.lambda && m2.lambda > 0.0)
+    // priors fitted on different data (disagreeing means/n) are refused
+    // instead of silently deflating with inconsistent centering (r14 advice)
+    val other = pts.map(a => Tuple1(a.map(_ + 100.0))).toDF("embedding")
+    val mOther = Pca.fit(other, "embedding", 3, iters = 4)
+    val err = intercept[IllegalArgumentException] {
+      Pca.fitDeflatedK(df, "embedding", 3, iters = 4, Seq(m1, mOther))
+    }
+    assert(err.getMessage.contains("same data"), err.getMessage)
   }
 
   test("pca: fitK reproduces fit/fitDeflated bit-for-bit; component 3 " +
@@ -412,6 +420,14 @@ class ModelSpec extends AnyFunSuite {
     val got = Report.ewmaDaily(df, "ts", alpha = 0.5)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((10L, 10.0), (20L, 15.0), (40L, 27.5)), got.toSeq)
+    // empty (or all-NULL-ts) input answers zero rows, not an ANSI
+    // element_at crash on the [1, 0] sequence (r14 advice)
+    val none = Seq.empty[String].toDF("s")
+      .select(F.col("s").cast("timestamp").as("ts"))
+    assert(Report.ewmaDaily(none, "ts", alpha = 0.5).count() == 0L)
+    val allNull = Seq[Option[String]](None, None).toDF("s")
+      .select(F.col("s").cast("timestamp").as("ts"))
+    assert(Report.ewmaDaily(allNull, "ts", alpha = 0.5).count() == 0L)
   }
 
   test("pca: reconstruction error ~0 for a rank-1 cloud under k=1") {
@@ -451,6 +467,15 @@ class ModelSpec extends AnyFunSuite {
     // all-converted pool → z is NULL, not Infinity
     val allConv = Seq(("A", 1L), ("B", 1L)).toDF("variant", "conv")
     assert(Report.twoProportionZ(allConv, "variant", "conv").head().isNullAt(9))
+    // fewer than two variants → the documented NULL-z row, not an ANSI
+    // INVALID_ARRAY_INDEX crash (r14 advice)
+    val one = Seq(("A", 1L), ("A", 0L), ("A", 1L)).toDF("variant", "conv")
+    val r1 = Report.twoProportionZ(one, "variant", "conv").head()
+    assert(r1.getLong(0) == 1L && r1.getString(1) == "A" && r1.isNullAt(2))
+    assert(r1.getLong(3) == 3L && r1.isNullAt(4) && r1.isNullAt(9))
+    val empty = Seq.empty[(String, Long)].toDF("variant", "conv")
+    val r0 = Report.twoProportionZ(empty, "variant", "conv").head()
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.isNullAt(9))
   }
 
   test("markovStationary: 2-state alternating chain settles at (0.5, 0.5)") {
@@ -477,6 +502,16 @@ class ModelSpec extends AnyFunSuite {
       "event_id", iters = 20)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(pi2("B") > 0.6 && math.abs(pi2.values.sum - 1.0) < 1e-9, pi2.toString)
+    // non-string type column: collected cells cast to string instead of
+    // ClassCastException (r14 advice)
+    val intTyped = (0 until 6).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        i % 2, i.toLong))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val pi3 = Funnel.markovStationary(intTyped, "user_id", "ts",
+        "event_type", "event_id", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi3 == Map("0" -> 0.5, "1" -> 0.5), pi3.toString)
   }
 
   test("benford: uniform 1-9 digits, expected shares sum to 1") {
