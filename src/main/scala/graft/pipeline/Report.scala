@@ -40,14 +40,17 @@ object Report {
       F.sum(F.floor(t * F.lit(scale) + F.lit(0.5d)).cast("decimal(38,0)"))
     def unfix(c: Column): Column = c.cast("double") / F.lit(scale)
     val t = F.col(textCol)
-    val fracs = TextAnalysis.scriptFractions(t)
+    // the six script fractions read off ONE staged code-point kernel
+    // (ScriptMixStats — was seven regex scans per doc, the card's
+    // heaviest per-byte constant; values bit-identical, oracle unchanged)
+    val fracNames = TextAnalysis.ScriptRanges.map { case (n, _) => s"frac_$n" }
     val counters = docs.where(t.isNotNull).select(
-      F.col(groupCol) +: F.col(idCol) +:
-        F.length(t).cast("long").as("td_len") +:
-        TextAnalysis.tokenCount(t).cast("long").as("td_w") +:
-        TextAnalysis.sentenceCount(t).cast("long").as("td_sent") +:
-        TextAnalysis.syllableCount(t).cast("long").as("td_syl") +:
-        fracs.map { case (n, c) => c.as(s"td_$n") }: _*)
+      F.col(groupCol), F.col(idCol),
+      F.length(t).cast("long").as("td_len"),
+      TextAnalysis.tokenCount(t).cast("long").as("td_w"),
+      TextAnalysis.sentenceCount(t).cast("long").as("td_sent"),
+      TextAnalysis.syllableCount(t).cast("long").as("td_syl"),
+      TextAnalysis.scriptStats(t).as("td_scripts"))
     // flesch restated from the staged counters — readability's exact
     // double sequence (each ratio divided once, terms left to right)
     val wD = F.col("td_w").cast("double")
@@ -58,7 +61,8 @@ object Report {
             (wD / F.col("td_sent").cast("double")) -
             F.lit(84.6d) * (F.col("td_syl").cast("double") / wD))
           .as("td_flesch") +:
-        fracs.map { case (n, _) => F.col(s"td_$n") }: _*)
+        TextAnalysis.scriptFractionsFromStats(F.col("td_scripts"))
+          .map { case (n, c) => c.as(s"td_$n") }: _*)
     val ranked = graft.operators.ScalableRank.withRankByGroup(
       staged, groupCol, "td_len", "$td.__rk", tiebreakers = Seq(idCol))
     val lenD = F.col("td_len").cast("double")
@@ -71,7 +75,7 @@ object Report {
       fixed(F.col("`$td.__rk`").cast("double") * lenD).as("td_s2"),
       fixed(F.col("td_flesch")).as("td_fl"),
       F.count(F.col("td_flesch")).as("td_fln")) ++
-      fracs.map { case (n, _) => fixed(F.col(s"td_$n")).as(s"td_s$n") }
+      fracNames.map(n => fixed(F.col(s"td_$n")).as(s"td_s$n"))
     val stats = ranked.groupBy(F.col(groupCol))
       .agg(aggCols.head, aggCols.tail: _*)
     // order statistics against the broadcast per-group n (bounded slice
@@ -98,8 +102,8 @@ object Report {
         F.when(F.col("td_fln") > 0L,
           unfix(F.col("td_fl")) / F.col("td_fln").cast("double"))
           .as("mean_flesch") +:
-        fracs.map { case (n, _) =>
-          (unfix(F.col(s"td_s$n")) / nD).as(s"mean_$n") }: _*)
+        fracNames.map(n =>
+          (unfix(F.col(s"td_s$n")) / nD).as(s"mean_$n")): _*)
   }
 
   /** MERGEABLE distinct-count sketches per group (Apache DataSketches

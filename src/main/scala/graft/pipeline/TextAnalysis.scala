@@ -43,9 +43,42 @@ object TextAnalysis {
     "cjk"      -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}",
     "digit"    -> "0-9")
 
-  /** Count of characters in one script range. */
+  /** Count of characters in one script range — the regex REFERENCE form
+    * ([[scriptStats]] folds all seven counters into one code-point pass;
+    * KernelParitySpec pins bit-parity between the two). */
   def scriptCharCount(text: Column, range: String): Column =
     F.regexp_count(text, F.lit(s"[$range]"))
+
+  /** All [[ScriptRanges]] counters + total chars in ONE code-point pass
+    * ([[graft.expressions.ScriptMixStats]]) — stage this struct in its
+    * own projection (the [[graft.pipeline.QualityFilters
+    * .withGopherSignals]] staging trick: CollapseProject does not inline
+    * a non-cheap alias referenced seven times), then read fractions /
+    * dominant script off the staged column. */
+  def scriptStats(text: Column): Column =
+    graft.expressions.ScriptMixStats(text)
+
+  /** [[scriptFractions]] restated over a staged [[scriptStats]] column —
+    * identical values (count/total over the same integer counters), one
+    * text scan instead of seven. */
+  def scriptFractionsFromStats(stats: Column): Seq[(String, Column)] = {
+    val total = F.greatest(stats.getField("n_chars"), F.lit(1)).cast(DoubleType)
+    ScriptRanges.map { case (name, _) =>
+      s"frac_$name" ->
+        (stats.getField(s"n_$name").cast(DoubleType) / total)
+    }
+  }
+
+  /** [[dominantScript]] restated over a staged [[scriptStats]] column —
+    * the same argmax (ties to the earlier entry), zero extra scans. */
+  def dominantScriptFromStats(stats: Column): Column = {
+    val counts = ScriptRanges.zipWithIndex.map { case ((name, _), i) =>
+      F.struct(stats.getField(s"n_$name").as("n"), F.lit(-i).as("ni"),
+        F.lit(name).as("s"))
+    }
+    val best = F.array_max(F.array(counts: _*))
+    F.when(best.getField("n") > 0, best.getField("s")).otherwise(F.lit("other"))
+  }
 
   /** (name, fraction-of-chars) columns for every [[ScriptRanges]] entry —
     * the script-mix profile of a document (the writing-system signal a

@@ -88,11 +88,16 @@ object CurationQueries {
           .when(F.col("doc_id") % 4 === 1, F.lit(" 你好世界"))
           .when(F.col("doc_id") % 4 === 2, F.lit(" مرحبا بالعالم"))
           .otherwise(F.lit(" αβγ δέλτα")))
-      val d0 = docs(s, dir).select(F.col("doc_id"), aug.as("aug"))
-      d0.select(
+      // ONE staged code-point kernel pass (ScriptMixStats) feeds the
+      // dominant-script argmax and all six fractions — was 12+ regex
+      // scans per doc; values bit-identical, oracle unchanged
+      val staged = docs(s, dir).select(F.col("doc_id"),
+        TextAnalysis.scriptStats(aug).as("td_ss"))
+      staged.select(
           F.col("doc_id") +:
-            TextAnalysis.dominantScript(F.col("aug")).as("script") +:
-            TextAnalysis.scriptFractions(F.col("aug"))
+            TextAnalysis.dominantScriptFromStats(F.col("td_ss"))
+              .as("script") +:
+            TextAnalysis.scriptFractionsFromStats(F.col("td_ss"))
               .map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
     }),

@@ -572,6 +572,77 @@ object ModelOracles {
         |  END AS conductance
         |FROM ag JOIN cn USING (community), ee
         |ORDER BY community ASC""".stripMargin),
+    "q_graph_modularity" -> ("WITH " + lpaChain +
+      """el AS MATERIALIZED (SELECT ed.u, ed.v, lu.label AS cu, lv.label AS cv
+        |  FROM ed JOIN l3 lu ON lu.node = ed.u JOIN l3 lv ON lv.node = ed.v),
+        |cn AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM l3 GROUP BY 1),
+        |ag AS (SELECT cu AS community, CAST(count(*) AS BIGINT) AS vol,
+        |    CAST(sum(CASE WHEN cu <> cv THEN 1 ELSE 0 END) AS BIGINT) AS cut
+        |  FROM el GROUP BY 1),
+        |base AS (SELECT cn.community, cn.n_nodes,
+        |    CAST(coalesce(ag.vol, 0) AS BIGINT) AS vol,
+        |    CAST(coalesce(ag.cut, 0) AS BIGINT) AS cut
+        |  FROM cn LEFT JOIN ag USING (community)),
+        |ee AS (SELECT CAST(sum(vol) AS BIGINT) AS e FROM base),
+        |dd AS (SELECT community, n_nodes, vol, cut,
+        |    CAST(vol - cut AS BIGINT) AS intra,
+        |    CASE WHEN ee.e > 0 THEN
+        |      (CAST(vol - cut AS DOUBLE) / CAST(ee.e AS DOUBLE))
+        |      - (CAST(vol AS DOUBLE) / CAST(ee.e AS DOUBLE))
+        |        * (CAST(vol AS DOUBLE) / CAST(ee.e AS DOUBLE))
+        |    ELSE 0.0 END AS dq
+        |  FROM base, ee),
+        |qq AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(dq ORDER BY community)), (a, b) -> a + b) AS q FROM dd)
+        |SELECT dd.community, dd.n_nodes, dd.vol, dd.cut, dd.intra, dd.dq,
+        |  qq.q
+        |FROM dd, qq ORDER BY community ASC""".stripMargin),
+    "q_graph_lpa_convergence" -> ("WITH " + lpaChain.stripSuffix(",\n") +
+      "\n" +
+      (1 to 3).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM l${k - 1} p
+           |   JOIN l$k c ON p.node = c.node
+           |   WHERE p.label <> c.label) AS changed""".stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY round ASC"),
+    "q_ab_mannwhitney" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, 2),
+        |r AS (SELECT variant, CAST(revenue AS DOUBLE) AS s FROM u),
+        |rk AS (SELECT variant, s, rank() OVER (ORDER BY s) AS rk FROM r),
+        |cc AS (SELECT s, count(*) AS c FROM r GROUP BY s),
+        |j AS (SELECT rk.variant, rk.rk, cc.c FROM rk JOIN cc USING (s)),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(2 * rk + c - 1) AS BIGINT) AS r2,
+        |    CAST(sum(c * c - 1) AS BIGINT) AS t
+        |  FROM j GROUP BY variant),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_variants FROM g),
+        |ga AS (SELECT n AS n_a, r2 AS r2_a, t AS t_a FROM g
+        |  WHERE variant = 'A'),
+        |gb AS (SELECT n AS n_b, r2 AS r2_b, t AS t_b FROM g
+        |  WHERE variant = 'B'),
+        |f AS (SELECT nv.n_variants, n_a, n_b,
+        |    CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |    CAST(t_a + t_b AS DOUBLE) AS tie,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd
+        |  FROM ga, gb, nv)
+        |SELECT n_variants, 'A' AS variant_a, 'B' AS variant_b, n_a, n_b,
+        |  u_a, (CAST(n_a * n_b AS DOUBLE)) - u_a AS u_b, tie AS tie_term,
+        |  CASE WHEN n_variants = 2 AND
+        |      sqrt(((nad * nbd) / 12.0) *
+        |        ((nd + 1.0) - tie / (nd * (nd - 1.0)))) > 0.0 THEN
+        |    (u_a - ((nad * nbd) / 2.0)) /
+        |      sqrt(((nad * nbd) / 12.0) *
+        |        ((nd + 1.0) - tie / (nd * (nd - 1.0))))
+        |  END AS z
+        |FROM f""".stripMargin,
     "q_graph_rank_drift" ->
       (("WITH " + prChain("a", "WHERE o.o_orderkey % 2 = 0") +
         prChain("b", "")).stripSuffix(",\n") + "\n" +

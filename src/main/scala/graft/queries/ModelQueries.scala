@@ -255,6 +255,44 @@ object ModelQueries {
       val labels = GraphRank.labelPropagation(e, "src", "dst", iters = 3)
       GraphRank.communityConductance(e, "src", "dst", labels)
     }),
+    "q_graph_modularity" -> ((s, dir) => {
+      // community QUALITY as a single score: Newman modularity of the
+      // LPA partition — per-community stated contributions dq and the
+      // pinned ascending fold Q = Σ(intra/E − (vol/E)²); exact integer
+      // (vol, cut, intra) until the stated divisions, so the oracle
+      // replays the three LPA rounds and the whole finishing algebra
+      val e = tradeEdges(s, dir)
+      val labels = GraphRank.labelPropagation(e, "src", "dst", iters = 3)
+      GraphRank.modularity(e, "src", "dst", labels)
+    }),
+    "q_graph_lpa_convergence" -> ((s, dir) => {
+      // did label propagation SETTLE: per-round changed-label counts of
+      // the same three deterministic LPA rounds (one agg per cached
+      // iterate) — the convergence readout a real curation run checks
+      // before trusting the partition; the oracle replays each round
+      // and counts l_{k-1} vs l_k disagreements
+      import s.implicits._
+      val (_, changes) = GraphRank.labelPropagationConverged(
+        tradeEdges(s, dir), "src", "dst", maxIters = 3, earlyStop = false)
+      changes.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c) }
+        .toDF("round", "changed")
+        .orderBy(F.col("round").asc)
+    }),
+    "q_ab_mannwhitney" -> ((s, dir) => {
+      // nonparametric A/B test on a SKEWED metric: per-user fixed-point
+      // event-value totals, even/odd cohorts, Mann-Whitney U with
+      // midranks + tie correction — the rank-based companion of
+      // q_ab_ztest (a mean-based z misleads on heavy-tailed revenue)
+      val rev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("revenue"))
+      graft.pipeline.Report.mannWhitneyU(rev, "variant", "revenue")
+    }),
     "q_graph_ppr" -> ((s, dir) => {
       // PERSONALIZED PageRank from a curated seed set (nation-0
       // customers): teleport mass restarts only at the seeds, so

@@ -480,6 +480,30 @@ object ScaleOracles {
         |  CAST(mn AS DOUBLE) / 1048576.0 AS "min",
         |  CAST(mx AS DOUBLE) / 1048576.0 AS "max"
         |FROM agg ORDER BY event_type""".stripMargin,
+    "q_stream_quantiles" ->
+      // the streamed hourly log-sketch cells roll up BIT-EQUAL to the
+      // whole-corpus sketch (integer cell counts, elementwise merge), so
+      // the oracle is the corpus-wide binning + cumulative walk of
+      // q_log_quantile_sketch stated over events.value
+      """WITH b AS (
+        |  SELECT CASE WHEN CAST(value AS DOUBLE) <= 0.0 THEN 0
+        |              WHEN ln(CAST(value AS DOUBLE)) < 0.0 THEN 0
+        |              WHEN ln(CAST(value AS DOUBLE)) >= ln(1024.0) THEN 65
+        |              ELSE LEAST(64, CAST(floor(((ln(CAST(value AS DOUBLE)) - 0.0)
+        |                * 64.0) / (ln(1024.0) - 0.0)) AS BIGINT) + 1) END AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT unnest(generate_series(0, 65)) AS bin),
+        |d AS (SELECT g.bin, coalesce(c.cnt, 0) AS cnt FROM g LEFT JOIN c USING (bin)),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM d),
+        |qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |kk AS (SELECT q, GREATEST(1, CAST(ceil(q * n) AS BIGINT)) AS k FROM qv, nn),
+        |hit AS (SELECT q, min(bin) AS idx FROM kk JOIN cum ON cum.cum >= kk.k GROUP BY q)
+        |SELECT q, CASE WHEN idx <= 0 THEN exp(0.0) WHEN idx >= 65 THEN exp(ln(1024.0))
+        |            ELSE exp(0.0 + CAST(idx - 1 AS DOUBLE)
+        |              * ((ln(1024.0) - 0.0) / CAST(64 AS DOUBLE))) END AS value
+        |FROM hit ORDER BY q""".stripMargin,
     "q_stream_moments" ->
       """WITH fp AS (SELECT
         |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

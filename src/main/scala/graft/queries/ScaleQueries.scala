@@ -386,6 +386,31 @@ object ScaleQueries {
       Report.momentStats(merged, keyCols = Seq("event_type"))
         .orderBy("event_type")
     }),
+    "q_stream_quantiles" -> ((s, dir) => {
+      // live percentiles THROUGH Structured Streaming: hourly sparse
+      // log-grid sketch cells (the exact batch cell contract), windows
+      // assembled into stamped sketches and rolled up through the
+      // elementwise merge — integer cells make the union of the windows
+      // BIT-EQUAL to the whole-corpus log sketch, so the oracle states
+      // one corpus-wide binning + cumulative walk, no windows at all
+      import graft.pipeline.Report
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s,
+        s"$dir/events", t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val cells = graft.streaming.Streams.windowedQuantileSketch(
+        stream, "ts", "value", "1 hour", "1 hour", 1.0, 1024.0, 64,
+        scale = "log")
+      val rows = graft.streaming.StreamStage.runToMemory(cells,
+          "q_stream_quantiles_", "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("bin"), F.col("n"))
+      val perWindow = Report.binsToSketch(rows, java.lang.Math.log(1.0),
+        java.lang.Math.log(1024.0), 64, groupCols = Seq("hour_epoch"),
+        scale = "log")
+      val merged = Report.mergeQuantileSketches(perWindow)
+      Report.sketchQuantiles(merged, Seq(0.5, 0.9, 0.99))
+        .orderBy(F.col("q").asc)
+    }),
     "q_stream_moments" -> ((s, dir) => {
       // live mean/std/range monitoring THROUGH Structured Streaming:
       // hourly fixed-point moment sketches (the exact batch encoding, so

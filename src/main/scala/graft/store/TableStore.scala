@@ -501,11 +501,32 @@ final class TableStore(val root: String, spark: SparkSession) {
     * TableFrame in mode="tab" (system columns preserved from storage).
     * Each version is read with its staged schema from the log, so hive
     * partition-directory values keep their written types instead of being
-    * re-inferred from directory names. */
+    * re-inferred from directory names. Versions may EVOLVE their schema
+    * between publishes (the log's schema hash is change DETECTION, not a
+    * constraint — the reference's store tolerates per-version schema
+    * change the same way): a range scan aligns columns BY NAME and reads
+    * a column absent from some version as NULL there, instead of failing
+    * the union. A column that changes TYPE between versions still raises
+    * (silently coercing values would corrupt, not evolve). */
   def scan(ref: TableRef): Option[TableFrame] = scan(ref, None)
 
   def scan(ref: TableRef, asOf: Option[Long]): Option[TableFrame] = {
     val es = resolve(ref.collection, ref.table, ref.versions, asOf)
+    // retype guard from the LOG alone (no footer reads): union type
+    // coercion would otherwise cast silently (ANSI off) or fail row by
+    // row at action time (ANSI on) — neither is an evolution read
+    val seen = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.types.DataType]
+    es.flatMap(_.schema).foreach(_.fields.foreach { f =>
+      seen.get(f.name) match {
+        case Some(t) => require(t == f.dataType,
+          s"column '${f.name}' changes type across the scanned versions " +
+            s"of ${ref.collection}/${ref.table} ($t vs ${f.dataType}) — " +
+            "a range scan aligns missing columns by name, it does not " +
+            "retype values")
+        case None => seen(f.name) = f.dataType
+      }
+    })
     if (es.isEmpty) None
     else Some(TableFrame.fromTable(
       es.map { e =>
@@ -514,7 +535,7 @@ final class TableStore(val root: String, spark: SparkSession) {
           case Some(s) => spark.read.schema(s).parquet(path)
           case None    => spark.read.parquet(path)
         }
-      }.reduce(_ unionByName _)))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))))
   }
 
   def scan(refStr: String): Option[TableFrame] = scan(TableRef.parse(refStr))

@@ -154,13 +154,21 @@ object VersionDiff {
       require(dup.isEmpty,
         s"snapshot ${i + 1} has duplicate keys ${keys.mkString(",")}: ${dup.head}")
     }
-    val cols = cleaned.head.columns.toSeq
-    cleaned.foreach(df => require(df.columns.toSeq == cols,
-      s"snapshots must share one schema: $cols vs ${df.columns.toSeq}"))
+    // snapshots may EVOLVE their schema across versions (the store's
+    // schema hash is change detection, not a constraint): align columns
+    // by name in first-seen order, read missing columns as NULL — a
+    // column appearing with a non-null value IS a change (diff's rule);
+    // keys must exist in every snapshot (a row identity can't evolve away)
+    keys.foreach(k => cleaned.zipWithIndex.foreach { case (df, i) =>
+      require(df.columns.contains(k),
+        s"key '$k' missing from snapshot ${i + 1}")
+    })
+    val cols = cleaned.foldLeft(Seq.empty[String])((acc, df) =>
+      acc ++ df.columns.filterNot(acc.contains))
     val valCols = cols.filterNot(keys.contains)
     val u = cleaned.zipWithIndex
       .map { case (df, i) => df.withColumn("$td.__v", F.lit((i + 1).toLong)) }
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(c => F.col(s"`$c`")): _*).orderBy(F.col("`$td.__v`"))
     val vals = F.struct(valCols.map(c => F.col(s"`$c`")): _*)

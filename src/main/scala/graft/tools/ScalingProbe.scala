@@ -456,6 +456,33 @@ object ScalingProbe {
         graft.pipeline.GraphRank.labelPropagation(ed, "src", "dst",
           iters = 2).count()
       }),
+      ("modularity", 100, { d =>
+        // conductance's shape: two label joins + one keyed agg; the Q
+        // fold rides the bounded per-community rows
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        val labels = ids.select(F.col("doc_id").as("node"),
+          (F.col("doc_id") % 50).cast("string").as("community"))
+        graft.pipeline.GraphRank.modularity(ed, "src", "dst", labels).count()
+      }),
+      ("lpa_converged", 100, { d =>
+        // lpa's rounds + one persist+count action per round (the
+        // convergence signal); the extra cost per round is one cached
+        // node-sized count
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        val (labels, _) = graft.pipeline.GraphRank.labelPropagationConverged(
+          ed, "src", "dst", maxIters = 2, earlyStop = false)
+        labels.count()
+      }),
       ("tail_index", 100, { d =>
         // one descending range-shuffle rank + a bounded k+1 head fold
         graft.operators.SkewDiag.tailIndex(
@@ -581,6 +608,18 @@ object ScalingProbe {
           .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
             .as("variant"), F.col("conv"))
         graft.pipeline.Report.twoProportionZ(conv, "variant", "conv").count()
+      }),
+      ("mannwhitney", 100, { e =>
+        // per-user fixed-point totals + ONE range-shuffle rank + a
+        // per-value count join (the AUC machinery); the finishing
+        // algebra is a 2-struct fold
+        val rev = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg(F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+          .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("revenue"))
+        graft.pipeline.Report.mannWhitneyU(rev, "variant", "revenue").count()
       }),
       ("resample", 100, { e =>
         graft.operators.SeriesOps.resample(

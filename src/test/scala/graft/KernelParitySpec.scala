@@ -36,6 +36,51 @@ class KernelParitySpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
   }
 
+  test("scriptStats kernel == regex formulation on mixed-script text") {
+    import graft.pipeline.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the corpus is ASCII — append deterministic non-Latin snippets (the
+    // q_text_scripts augmentation) plus a supplementary-plane char so
+    // code-point totals are exercised beyond the BMP
+    val aug = F.concat(F.col("text"),
+      F.when(F.col("doc_id") % 5 === 0, F.lit(" Привет мир 123"))
+        .when(F.col("doc_id") % 5 === 1, F.lit(" 你好世界 カナ 한글"))
+        .when(F.col("doc_id") % 5 === 2, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 5 === 3, F.lit(" αβγ δέλτα À ɏ 😀"))
+        .otherwise(F.lit(" plain 42")))
+    val staged = docs.select(F.col("doc_id"), aug.as("t"),
+      TextAnalysis.scriptStats(aug).as("ss"))
+    val checks = TextAnalysis.ScriptRanges.map { case (name, range) =>
+      (F.col("ss").getField(s"n_$name") =!=
+        TextAnalysis.scriptCharCount(F.col("t"), range)).as(name)
+    } :+ (F.col("ss").getField("n_chars") =!= F.char_length(F.col("t")))
+      .as("chars")
+    val bad = staged.filter(checks.reduce(_ || _)).count()
+    assert(bad == 0, s"$bad rows diverge from the regex counters")
+    // fraction + dominant-script faces agree with the regex forms
+    val mismCols =
+      Seq(TextAnalysis.dominantScriptFromStats(F.col("ss")).as("k"),
+        TextAnalysis.dominantScript(F.col("t")).as("r")) ++
+        TextAnalysis.scriptFractionsFromStats(F.col("ss"))
+          .map { case (n, c) => c.as(s"k_$n") } ++
+        TextAnalysis.scriptFractions(F.col("t"))
+          .map { case (n, c) => c.as(s"r_$n") }
+    val mism = staged.select(mismCols: _*)
+      .filter(F.col("k") =!= F.col("r") ||
+        TextAnalysis.ScriptRanges.map { case (n, _) =>
+          F.col(s"k_frac_$n") =!= F.col(s"r_frac_$n")
+        }.reduce(_ || _))
+      .count()
+    assert(mism == 0)
+    // null text → null struct (UnaryExpression null propagation)
+    import spark.implicits._
+    val n = Seq((1L, null: String), (2L, "")).toDF("id", "t")
+      .select(F.col("id"), TextAnalysis.scriptStats(F.col("t")).as("ss"))
+      .collect()
+    assert(n.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(n.find(_.getLong(0) == 2L).get.getStruct(1).getInt(6) == 0)
+  }
+
   test("minhashSig kernel == HOF formulation on the documents corpus") {
     import graft.expressions.HashKernels
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -310,6 +310,90 @@ class ModelSpec extends AnyFunSuite {
     assert(got("B") == ((3L, 7L, 1L, 1.0 / 7.0)), got.toString)
   }
 
+  test("modularity: bridged triangles — exact decomposition and Q") {
+    import spark.implicits._
+    val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val t2 = Seq(("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+    val all = t1 ++ t2 :+ (("a1", "b1"))
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val labels = (Seq("a1", "a2", "a3").map(_ -> "A") ++
+      Seq("b1", "b2", "b3").map(_ -> "B")).toDF("node", "community")
+    val got = GraphRank.modularity(edges, "src", "dst", labels)
+      .collect()
+    // per side: vol 7, cut 1, intra 6, E 14;
+    // dq = 6/14 − (7/14)² = 3/7 − 1/4; Q = 2·dq = 5/14
+    val dq = 6.0 / 14.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    got.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 7L &&
+        r.getLong(3) == 1L && r.getLong(4) == 6L, r.toString)
+      assert(math.abs(r.getDouble(5) - dq) < 1e-15, r.toString)
+      assert(math.abs(r.getDouble(6) - 2.0 * dq) < 1e-15, r.toString)
+    }
+    // the all-in-one-community partition scores Q = 0 (intra = vol)
+    val one = (Seq("a1", "a2", "a3", "b1", "b2", "b3").map(_ -> "X"))
+      .toDF("node", "community")
+    val q1 = GraphRank.modularity(edges, "src", "dst", one).head()
+    assert(q1.getDouble(6) == 0.0, q1.toString)
+  }
+
+  test("labelPropagationConverged: early stop equals fixed-iteration " +
+    "labels; change counts non-increasing on the toy graph") {
+    import spark.implicits._
+    val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val t2 = Seq(("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+    val all = t1 ++ t2
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val (labels, changes) = GraphRank.labelPropagationConverged(
+      edges, "src", "dst", maxIters = 10)
+    // converges well before the cap: last round changed nothing
+    assert(changes.length < 10 && changes.last == 0L, changes.toString)
+    assert(changes.zip(changes.tail).forall { case (a, b) => b <= a },
+      s"not non-increasing: $changes")
+    val gotConv = labels.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // equivalent to the plain operator run for the same round count
+    val gotFixed = GraphRank.labelPropagation(
+        edges, "src", "dst", iters = changes.length)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotConv == gotFixed)
+    // earlyStop=false runs exactly maxIters rounds, same labels as the
+    // lazy-plan operator (the gate-trajectory contract)
+    val (l3, c3) = GraphRank.labelPropagationConverged(
+      edges, "src", "dst", maxIters = 3, earlyStop = false)
+    assert(c3.length == 3)
+    val got3 = l3.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val exp3 = GraphRank.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got3 == exp3)
+  }
+
+  test("mannWhitneyU: hand-computed U, ties, and z; degenerate NULLs") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // A = {1, 2, 3}, B = {2, 4, 5}: one tie pair at 2
+    // min-ranks: 1→1, 2→2 (t=2), 3→4, 4→5, 5→6
+    // 2R_A = (2·1+0) + (2·2+1) + (2·4+0) = 15 → R_A = 7.5
+    // U_A = 7.5 − 6 = 1.5; U_B = 9 − 1.5 = 7.5; T = 2³−2 = 6
+    val df = (Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 4.0), ("B", 5.0))).toDF("variant", "x")
+    val r = Report.mannWhitneyU(df, "variant", "x").head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "A" && r.getString(2) == "B")
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 1.5 && r.getDouble(6) == 7.5, r.toString)
+    assert(r.getDouble(7) == 6.0, r.toString)
+    val n = 6.0
+    val sigma = math.sqrt(((3.0 * 3.0) / 12.0) *
+      ((n + 1.0) - 6.0 / (n * (n - 1.0))))
+    assert(math.abs(r.getDouble(8) - (1.5 - 4.5) / sigma) < 1e-15, r.toString)
+    // all values tied → sigma 0 → NULL z
+    val tied = Seq(("A", 7.0), ("A", 7.0), ("B", 7.0)).toDF("variant", "x")
+    assert(Report.mannWhitneyU(tied, "variant", "x").head().isNullAt(8))
+    // one variant → NULL z, observed count 1 (the ANSI-safe rule)
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("variant", "x")
+    val r1 = Report.mannWhitneyU(one, "variant", "x").head()
+    assert(r1.getLong(0) == 1L && r1.isNullAt(2) && r1.isNullAt(8))
+  }
+
   test("hitsFused: same hub/authority separation as the gate variant") {
     import spark.implicits._
     val edges = Seq(("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "dst")

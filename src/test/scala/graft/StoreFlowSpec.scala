@@ -60,6 +60,47 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(both.df.count() == 3)
   }
 
+  test("store: schema evolution — range scan, diff, history across an " +
+    "added column") {
+    val store = freshStore()
+    import spark.implicits._
+    // v1 (a, b); v2 adds c and changes one b — schema hash is change
+    // DETECTION, not a constraint: the range scan aligns by name and
+    // reads v1's missing c as NULL
+    store.write("c", "t", Seq((1L, "x"), (2L, "y")).toDF("a", "b"))
+    store.write("c", "t",
+      Seq((1L, "x", 10L), (2L, "z", 20L)).toDF("a", "b", "c"))
+    val range = store.scan("c/t@INITIAL..HEAD").get.df
+    assert(range.count() == 4)
+    val v1c = range.where(F.col("c").isNull).select("a")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(v1c == Seq(1L, 2L), "v1 rows read c as NULL")
+    // diff across the schema change: key 2 changed b AND gained c; key 1
+    // gained a non-null c (diff's one-sided rule: non-null present side
+    // = changed)
+    val d = graft.store.VersionDiff.diffVersions(
+        store, "c/t@HEAD~1", "c/t@HEAD", Seq("a"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(d(1L)._1 == "update" && d(1L)._2 == "c", d.toString)
+    assert(d(2L)._1 == "update" && d(2L)._2.split(",").toSet == Set("b", "c"),
+      d.toString)
+    // history unrolls across the change: key 2 has two change points
+    val h = graft.store.VersionDiff.historyOf(store, "c", "t", Seq("a"))
+    assert(h.where(F.col("a") === 2L).count() == 2)
+    assert(h.where(F.col("a") === 1L).count() == 2,
+      "gaining a non-null c is a change point for key 1 too")
+    // a column changing TYPE still raises loudly — at plan time, from
+    // the log's staged schemas (union coercion would cast silently with
+    // ANSI off, or fail row-by-row with ANSI on)
+    store.write("c", "u", Seq((1L, 1L)).toDF("a", "b"))
+    store.write("c", "u", Seq((1L, "s")).toDF("a", "b"))
+    val err = intercept[IllegalArgumentException] {
+      store.scan("c/u@INITIAL..HEAD")
+    }
+    assert(err.getMessage.contains("changes type"), err.getMessage)
+  }
+
   test("store: schema probe answers from the log, matches the scanned frame") {
     val store = freshStore()
     import spark.implicits._

@@ -259,6 +259,52 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed-union vs batch: $mergedAll vs $whole")
   }
 
+  test("windowed quantile sketch: multi-micro-batch windows roll up " +
+    "bit-equal to the batch log sketch") {
+    val dir = Files.createTempDirectory("graft-stream-wqs")
+    val batch = eventsBatch
+    // 8 files + maxFilesPerTrigger=1 force the cells out of MANY
+    // micro-batches' window state, not single-batch co-presence
+    batch.repartition(8).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Streams.readParquetStream(spark, dir.toString, schema,
+      maxFilesPerTrigger = 1)
+    val cells = Streams.windowedQuantileSketch(
+      stream, "ts", "value", "1 hour", "1 hour", 1.0, 1024.0, 64,
+      scale = "log")
+    val q = Streams.runToMemory(cells, "wqs", outputMode = "complete")
+    q.stop()
+    val rows = spark.table("wqs")
+      .select(F.unix_timestamp(F.col("window.start")).as("h"),
+        F.col("bin"), F.col("n"))
+    val perWindow = graft.pipeline.Report.binsToSketch(rows,
+      java.lang.Math.log(1.0), java.lang.Math.log(1024.0), 64,
+      groupCols = Seq("h"), scale = "log")
+    assert(perWindow.count() > 1, "expected multiple windows")
+    val merged = graft.pipeline.Report.mergeQuantileSketches(perWindow)
+      .head()
+    val whole = graft.pipeline.Report.logQuantileSketch(
+      batch, "value", 1.0, 1024.0, 64).head()
+    assert(merged.getSeq[Long](0) == whole.getSeq[Long](0),
+      "streamed-window rollup diverged from the batch sketch cells")
+    assert(merged.toSeq.tail == whole.toSeq.tail, "stamp/n diverged")
+    // the linear face shares the cell contract too
+    val linCells = Streams.windowedQuantileSketch(
+      Streams.readParquetStream(spark, dir.toString, schema),
+      "ts", "value", "1 hour", "1 hour", 0.0, 512.0, 64)
+    val q2 = Streams.runToMemory(linCells, "wqs_lin", outputMode = "complete")
+    q2.stop()
+    val linMerged = graft.pipeline.Report.mergeQuantileSketches(
+      graft.pipeline.Report.binsToSketch(
+        spark.table("wqs_lin")
+          .select(F.unix_timestamp(F.col("window.start")).as("h"),
+            F.col("bin"), F.col("n")),
+        0.0, 512.0, 64, groupCols = Seq("h"))).head()
+    val linWhole = graft.pipeline.Report.quantileSketch(
+      batch, "value", 0.0, 512.0, 64).head()
+    assert(linMerged.getSeq[Long](0) == linWhole.getSeq[Long](0))
+  }
+
   test("windowed streaming agg matches the batch computation") {
     val dir = Files.createTempDirectory("graft-stream-in")
     val batch = eventsBatch
