@@ -1383,6 +1383,131 @@ object Report {
         (uA - mu) / sigma).as("z"))
   }
 
+  /** Kruskal–Wallis H — [[mannWhitneyU]] extended to K groups (one-way
+    * rank ANOVA): do any of k variants' metric distributions differ,
+    * read from midranks alone. Same single ranked pass (min-rank +
+    * per-value count; the per-group Σ2R_g and tie shares fold from the
+    * one aggregation), then the bounded per-group finishing fold:
+    * H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1), tie-corrected
+    * H_c = H / (1 − T/(n³−n)) with T = Σ(t³−t) — every double op
+    * stated once, Σ R_g²/n_g a sort_array-pinned ascending fold over
+    * the ≤k group rows (the chi² convention). Fewer than two groups
+    * answers NULL h; all-tied values (correction denominator 0) answer
+    * NULL h_corrected. No p-value by design (the chi² rule: compare H
+    * against the caller's critical value at k−1 dof). Output (one
+    * row): n, n_groups, tie_term, h, h_corrected. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(g.isNotNull && x.isNotNull)
+      .select(g.as("td_g"), x.as("td_x"))
+    val ranked = graft.operators.ScalableRank.withRank(
+      clean, "td_x", "td_rk", method = "min")
+    val withCnt = ranked.join(
+      clean.groupBy(F.col("td_x")).agg(F.count(F.lit(1)).as("td_c")),
+      Seq("td_x"))
+    val perGroup = withCnt.groupBy(F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum((F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
+          .cast("decimal(38,0)")).as("td_r2"),
+        F.sum((F.col("td_c").cast("decimal(19,0)") *
+          F.col("td_c").cast("decimal(19,0)") - 1L).cast("decimal(38,0)"))
+          .as("td_t"))
+    val packed = perGroup.agg(
+      F.count(F.lit(1)).cast("long").as("td_k"),
+      F.sum(F.col("td_n")).cast("long").as("td_nn"),
+      F.sum(F.col("td_t")).cast("double").as("td_tie"),
+      F.sort_array(F.collect_list(F.struct(
+        F.col("td_g"), F.col("td_n"), F.col("td_r2")))).as("td_l"))
+    val nD = F.col("td_nn").cast("double")
+    // Σ_g R_g²/n_g: R_g = (Σ2R_g)/2 stated per group, ascending fold
+    val s = F.aggregate(F.col("td_l"), F.lit(0.0d), (acc, e) =>
+      acc + ((e.getField("td_r2").cast("double") / F.lit(2.0d)) *
+        (e.getField("td_r2").cast("double") / F.lit(2.0d))) /
+        e.getField("td_n").cast("double"))
+    val h = (F.lit(12.0d) / (nD * (nD + F.lit(1.0d)))) * s -
+      F.lit(3.0d) * (nD + F.lit(1.0d))
+    val corr = F.lit(1.0d) -
+      F.col("td_tie") / ((nD * nD * nD) - nD)
+    packed.select(
+      F.col("td_nn").as("n"), F.col("td_k").as("n_groups"),
+      F.col("td_tie").as("tie_term"),
+      F.when(F.col("td_k") >= 2L, h).as("h"),
+      F.when(F.col("td_k") >= 2L && corr > 0.0d, h / corr)
+        .as("h_corrected"))
+  }
+
+  /** Spearman rank correlation — Pearson over MIDRANKS of x and y, the
+    * monotone-association read for skewed/outlier-heavy metrics where
+    * raw Pearson misleads. Two [[graft.operators.ScalableRank]] range
+    * shuffles (one per axis; min-rank + per-value count gives the exact
+    * half-integer midrank (2·min + cnt − 1)/2, tie-order-independent),
+    * then the [[corrStamp]]/[[mergeCorrStamps]] fixed-point algebra on
+    * the midrank pairs — the identical stated doubles on any engine.
+    * NULL in either column excludes the row. Output one row:
+    * (n, corr). */
+  def spearmanCorr(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = F.col(xCol).cast("double"); val y = F.col(yCol).cast("double")
+    val clean = df.where(x.isNotNull && y.isNotNull)
+      .select(x.as("td_x"), y.as("td_y"))
+    def midrank(d: DataFrame, col: String, as: String): DataFrame = {
+      val ranked = graft.operators.ScalableRank.withRank(
+        d, col, "td_rk", method = "min")
+      ranked
+        .join(d.groupBy(F.col(col)).agg(F.count(F.lit(1)).as("td_c")),
+          Seq(col))
+        .withColumn(as,
+          (F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L).cast("double") /
+            F.lit(2.0d))
+        .drop("td_rk", "td_c")
+    }
+    val withRanks = midrank(midrank(clean, "td_x", "td_mx"),
+      "td_y", "td_my")
+    mergeCorrStamps(corrStamp(withRanks, "td_mx", "td_my"))
+  }
+
+  /** Two-sided CUSUM over DAILY event counts — the change-point/anomaly
+    * companion of [[ewmaDaily]] (Page 1954): S⁺ accumulates upward
+    * drift above the grand mean (minus the slack), S⁻ downward, each
+    * clamped at zero, so a sustained shift builds a ramp where noise
+    * dies out. μ is the exact mean of the bounded day grid (one stated
+    * division); `slack` is the caller's per-day allowance in count
+    * units. The per-day values ride per-index PINNED prefix folds over
+    * the sorted day list (the [[ewmaDaily]] convention — O(days²) on
+    * METADATA, never on rows), so every double replays on any engine.
+    * Output: (day, cnt, cusum_hi, cusum_lo) ascending; empty input
+    * answers zero rows. */
+  def cusumDaily(df: DataFrame, tsCol: String,
+      slack: Double = 0.0): DataFrame = {
+    require(slack >= 0.0d, s"slack must be >= 0, got $slack")
+    val daily = df.where(F.col(tsCol).isNotNull)
+      .groupBy(F.to_date(F.col(tsCol)).as("day"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val packed = daily.agg(F.sort_array(F.collect_list(
+      F.struct(F.col("day"), F.col("cnt")))).as("td_l"))
+    val l = F.col("td_l")
+    // μ = Σcnt/days: exact long sum, ONE stated division
+    val mu = F.aggregate(l, F.lit(0L), (a, e) => a + e.getField("cnt"))
+      .cast("double") / F.size(l).cast("double")
+    def ramp(sign: Double): Column => Column = i =>
+      F.aggregate(F.slice(l, F.lit(1), i), F.lit(0.0d), (acc, e) =>
+        F.greatest(F.lit(0.0d), acc +
+          (F.lit(sign) * (e.getField("cnt").cast("double") - mu) -
+            F.lit(slack))))
+    packed.where(F.size(l) > 0).select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(l)),
+        i => F.struct(
+          F.element_at(l, i).getField("day").as("day"),
+          F.element_at(l, i).getField("cnt").as("cnt"),
+          ramp(1.0d)(i).as("cusum_hi"),
+          ramp(-1.0d)(i).as("cusum_lo")))).as("td_r"))
+      .select(F.col("td_r.day").as("day"), F.col("td_r.cnt").as("cnt"),
+        F.col("td_r.cusum_hi").as("cusum_hi"),
+        F.col("td_r.cusum_lo").as("cusum_lo"))
+      .orderBy(F.col("day").asc)
+  }
+
   /** EWMA baseline over DAILY event counts — the drift/anomaly monitor
     * read next to [[graft.streaming.Streams.windowedMoments]]: one keyed
     * count shuffle reduces the corpus to the bounded day grid, then the

@@ -607,6 +607,74 @@ object ModelOracles {
            |   WHERE p.label <> c.label) AS changed""".stripMargin)
         .mkString("\nUNION ALL\n") +
       "\nORDER BY round ASC"),
+    "q_ab_kruskal" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 3 = 0 THEN 'A'
+        |         WHEN user_id % 3 = 1 THEN 'B' ELSE 'C' END AS variant,
+        |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, 2),
+        |r AS (SELECT variant, CAST(revenue AS DOUBLE) AS s FROM u),
+        |rk AS (SELECT variant, s, rank() OVER (ORDER BY s) AS rk FROM r),
+        |cc AS (SELECT s, count(*) AS c FROM r GROUP BY s),
+        |j AS (SELECT rk.variant, rk.rk, cc.c FROM rk JOIN cc USING (s)),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(2 * rk + c - 1) AS BIGINT) AS r2,
+        |    CAST(sum(c * c - 1) AS BIGINT) AS t
+        |  FROM j GROUP BY variant),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn, CAST(sum(t) AS DOUBLE) AS tie
+        |  FROM g),
+        |ss AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(((CAST(r2 AS DOUBLE) / 2.0) * (CAST(r2 AS DOUBLE) / 2.0))
+        |        / CAST(n AS DOUBLE) ORDER BY variant)),
+        |    (a, b) -> a + b) AS s FROM g),
+        |f AS (SELECT tot.k, tot.nn, tot.tie, CAST(tot.nn AS DOUBLE) AS nd,
+        |    ss.s FROM tot, ss),
+        |hh AS (SELECT k, nn, tie,
+        |    (12.0 / (nd * (nd + 1.0))) * s - 3.0 * (nd + 1.0) AS h,
+        |    1.0 - tie / ((nd * nd * nd) - nd) AS corr
+        |  FROM f)
+        |SELECT nn AS n, k AS n_groups, tie AS tie_term,
+        |  CASE WHEN k >= 2 THEN h END AS h,
+        |  CASE WHEN k >= 2 AND corr > 0.0 THEN h / corr END AS h_corrected
+        |FROM hh""".stripMargin,
+    "q_corr_spearman" -> {
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS xv,
+        |    CAST(l_extendedprice AS DOUBLE) AS yv
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r1 AS (SELECT xv, yv, rank() OVER (ORDER BY xv) AS rkx,
+        |    rank() OVER (ORDER BY yv) AS rky FROM c),
+        |cx AS (SELECT xv, count(*) AS cx FROM c GROUP BY xv),
+        |cy AS (SELECT yv, count(*) AS cy FROM c GROUP BY yv),
+        |m AS (SELECT CAST(2 * rkx + cx - 1 AS DOUBLE) / 2.0 AS x,
+        |    CAST(2 * rky + cy - 1 AS DOUBLE) / 2.0 AS y
+        |  FROM r1 JOIN cx USING (xv) JOIN cy USING (yv)),
+        |""".stripMargin + corrSql("m", "")
+    },
+    "q_cusum_daily" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |l AS (SELECT list(struct_pack(day := day, cnt := cnt)
+        |    ORDER BY day) AS l,
+        |  list(CAST(cnt AS DOUBLE) ORDER BY day) AS ld FROM d),
+        |mu AS (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mu FROM d),
+        |ix AS (SELECT l, ld, unnest(range(1, len(l) + 1)) AS i FROM l)
+        |SELECT CAST(l[i].day - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |  l[i].cnt AS cnt,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ld[1:i]),
+        |    (acc, e) -> greatest(CAST(0.0 AS DOUBLE),
+        |      acc + ((CAST(1.0 AS DOUBLE) * (e - mu.mu))
+        |        - CAST(2.0 AS DOUBLE)))) AS cusum_hi,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ld[1:i]),
+        |    (acc, e) -> greatest(CAST(0.0 AS DOUBLE),
+        |      acc + ((CAST(-1.0 AS DOUBLE) * (e - mu.mu))
+        |        - CAST(2.0 AS DOUBLE)))) AS cusum_lo
+        |FROM ix, mu ORDER BY day_num ASC""".stripMargin,
     "q_ab_mannwhitney" ->
       """WITH u AS (SELECT user_id,
         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,

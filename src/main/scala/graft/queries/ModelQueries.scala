@@ -279,6 +279,37 @@ object ModelQueries {
         .toDF("round", "changed")
         .orderBy(F.col("round").asc)
     }),
+    "q_ab_kruskal" -> ((s, dir) => {
+      // k-variant rank ANOVA: Kruskal-Wallis H over three user cohorts'
+      // fixed-point revenue totals — does ANY cohort differ, with the
+      // tie-corrected statistic; one ranked pass, bounded group fold
+      val rev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+        .select(F.when(F.col("user_id") % 3 === 0, "A")
+          .when(F.col("user_id") % 3 === 1, "B").otherwise("C")
+          .as("variant"), F.col("revenue"))
+      graft.pipeline.Report.kruskalWallis(rev, "variant", "revenue")
+    }),
+    "q_corr_spearman" -> ((s, dir) => {
+      // monotone association on skewed pricing columns: Spearman rho =
+      // Pearson over exact midranks (two range shuffles + the corr-stamp
+      // fixed-point algebra) — the rank-based companion of q_corr_merge
+      graft.pipeline.Report.spearmanCorr(
+        d(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+    }),
+    "q_cusum_daily" -> ((s, dir) => {
+      // change-point ramps over daily volume: two-sided CUSUM against
+      // the grand mean with slack 2 — where did traffic SHIFT, not just
+      // spike; bounded-day-grid prefix folds, day as epoch days
+      graft.pipeline.Report.cusumDaily(d(s, dir, "events"), "ts",
+          slack = 2.0)
+        .select(F.unix_date(F.col("day")).cast("long").as("day_num"),
+          F.col("cnt"), F.col("cusum_hi"), F.col("cusum_lo"))
+        .orderBy(F.col("day_num").asc)
+    }),
     "q_ab_mannwhitney" -> ((s, dir) => {
       // nonparametric A/B test on a SKEWED metric: per-user fixed-point
       // event-value totals, even/odd cohorts, Mann-Whitney U with

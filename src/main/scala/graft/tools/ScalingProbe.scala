@@ -621,6 +621,27 @@ object ScalingProbe {
             .as("variant"), F.col("revenue"))
         graft.pipeline.Report.mannWhitneyU(rev, "variant", "revenue").count()
       }),
+      ("kruskal", 100, { e =>
+        // mannwhitney's single ranked pass, k=3 bounded group fold
+        val rev = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg(F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+          .select(F.when(F.col("user_id") % 3 === 0, "A")
+            .when(F.col("user_id") % 3 === 1, "B").otherwise("C")
+            .as("variant"), F.col("revenue"))
+        graft.pipeline.Report.kruskalWallis(rev, "variant", "revenue").count()
+      }),
+      ("spearman", 100, { e =>
+        // two range-shuffle midrank passes + the corr-stamp agg: the
+        // heaviest rank-family shape (everything else is one pass)
+        graft.pipeline.Report.spearmanCorr(e, "value", "user_id").count()
+      }),
+      ("cusum", 100, { e =>
+        // one day-keyed count shuffle; the clamped prefix folds run on
+        // the bounded day grid (constant as rows grow)
+        graft.pipeline.Report.cusumDaily(e, "ts", slack = 2.0).count()
+      }),
       ("resample", 100, { e =>
         graft.operators.SeriesOps.resample(
           e.withColumn("v", F.floor(F.col("value")).cast("long")), "ts", "v",

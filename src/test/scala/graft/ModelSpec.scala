@@ -367,6 +367,88 @@ class ModelSpec extends AnyFunSuite {
     assert(got3 == exp3)
   }
 
+  test("kruskalWallis: hand-computed H on three tie-free groups; " +
+    "degenerate NULLs") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // A={1,2} B={3,4} C={5,6}: ranks 1..6, R=(3,7,11), S=89.5,
+    // H = 12/42·89.5 − 21 = 32/7; no ties → h_corrected == h
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 5.0), ("C", 6.0)).toDF("g", "x")
+    val r = Report.kruskalWallis(df, "g", "x").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getDouble(2) == 0.0)
+    val n = 6.0
+    val sExact = ((6.0 / 2.0) * (6.0 / 2.0)) / 2.0 +
+      ((14.0 / 2.0) * (14.0 / 2.0)) / 2.0 +
+      ((22.0 / 2.0) * (22.0 / 2.0)) / 2.0
+    val h = (12.0 / (n * (n + 1.0))) * sExact - 3.0 * (n + 1.0)
+    assert(r.getDouble(3) == h, s"h ${r.getDouble(3)} vs $h")
+    assert(r.getDouble(4) == h / 1.0, "tie-free correction is identity")
+    // identical groups → H = 0 under full tie correction? all values
+    // tied → correction denominator 0 → NULL h_corrected, h defined
+    val tied = Seq(("A", 5.0), ("B", 5.0), ("C", 5.0)).toDF("g", "x")
+    val rt = Report.kruskalWallis(tied, "g", "x").head()
+    assert(!rt.isNullAt(3) && rt.isNullAt(4), rt.toString)
+    // single group → NULL h (the observed-count rule)
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "x")
+    val r1 = Report.kruskalWallis(one, "g", "x").head()
+    assert(r1.getLong(1) == 1L && r1.isNullAt(3) && r1.isNullAt(4))
+  }
+
+  test("spearmanCorr: monotone nonlinear = 1, reversed = -1, " +
+    "tie midranks exact") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    val mono = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0))
+      .toDF("x", "y")
+    val r = Report.spearmanCorr(mono, "x", "y").head()
+    assert(r.getLong(0) == 4L && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    val anti = Seq((1.0, 64.0), (2.0, 27.0), (3.0, 8.0), (4.0, 1.0))
+      .toDF("x", "y")
+    val ra = Report.spearmanCorr(anti, "x", "y").head()
+    assert(math.abs(ra.getDouble(1) + 1.0) < 1e-12)
+    // Pearson on the same monotone data is NOT 1 (the point of Spearman)
+    val pear = Report.mergeCorrStamps(Report.corrStamp(mono, "x", "y"))
+      .head().getDouble(1)
+    assert(pear < 0.999, s"pearson $pear")
+    // tie block: x=(1,1,2) midranks (1.5,1.5,3) — hand-check via the
+    // stamp algebra on explicit midranks
+    val tied = Seq((1.0, 5.0), (1.0, 6.0), (2.0, 7.0)).toDF("x", "y")
+    val rt = Report.spearmanCorr(tied, "x", "y").head()
+    val byHand = Report.mergeCorrStamps(Report.corrStamp(
+      Seq((1.5, 1.0), (1.5, 2.0), (3.0, 3.0)).toDF("mx", "my"),
+      "mx", "my")).head().getDouble(1)
+    assert(rt.getDouble(1) == byHand, s"${rt.getDouble(1)} vs $byHand")
+  }
+
+  test("cusumDaily: hand-computed two-sided ramps; empty answers no rows") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    val rows =
+      Seq.fill(10)("2024-01-01 10:00:00") ++
+      Seq.fill(20)("2024-01-02 10:00:00") ++
+      Seq.fill(40)("2024-01-03 10:00:00")
+    val df = rows.toDF("s").select(F.col("s").cast("timestamp").as("ts"))
+    val got = Report.cusumDaily(df, "ts", slack = 0.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val mu = 70.0 / 3.0
+    def ramp(sign: Double, cnts: Seq[Long]): Double =
+      cnts.foldLeft(0.0) { (acc, c) =>
+        math.max(0.0, acc + (sign * (c.toDouble - mu) - 0.0))
+      }
+    val cnts = Seq(10L, 20L, 40L)
+    (1 to 3).foreach { i =>
+      assert(got(i - 1)._1 == cnts(i - 1))
+      assert(got(i - 1)._2 == ramp(1.0, cnts.take(i)), s"hi at $i")
+      assert(got(i - 1)._3 == ramp(-1.0, cnts.take(i)), s"lo at $i")
+    }
+    // downward shift accumulates in the LO ramp only
+    assert(got(0)._2 == 0.0 && got(0)._3 > 0.0)
+    val none = Seq.empty[String].toDF("s")
+      .select(F.col("s").cast("timestamp").as("ts"))
+    assert(Report.cusumDaily(none, "ts").count() == 0L)
+  }
+
   test("mannWhitneyU: hand-computed U, ties, and z; degenerate NULLs") {
     import graft.pipeline.Report
     import spark.implicits._
