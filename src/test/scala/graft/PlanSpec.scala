@@ -381,6 +381,74 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Scan ExistingRDD") >= 2, p)
   }
 
+  test("rank-test family: one range shuffle (two for spearman), " +
+    "never a cartesian") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+        .as("variant"), F.col("value"))
+    // ScalableRank pins its range stage as a pid-keyed ExistingRDD scan;
+    // one ranked pass shows exactly TWO pid exchanges (the rank window +
+    // the bounded per-pid offsets agg over the same checkpointed
+    // relation). The finishing fold is a single-row pack, never a corpus
+    // exchange or a product join.
+    val mw = plan(graft.pipeline.Report.mannWhitneyU(ev, "variant", "value"))
+    assert(count(mw, "hashpartitioning($td.__pid") == 2, mw)
+    assert(!mw.contains("CartesianProduct") &&
+      !mw.contains("BroadcastNestedLoopJoin"), mw)
+    val kw = plan(graft.pipeline.Report.kruskalWallis(ev, "variant", "value"))
+    assert(count(kw, "hashpartitioning($td.__pid") == 2, kw)
+    assert(!kw.contains("CartesianProduct"), kw)
+    // spearman ranks BOTH axes — two ranked passes, bounded pid
+    // exchanges only (the exact count varies with checkpoint reuse)
+    val sp = plan(graft.pipeline.Report.spearmanCorr(
+      spark.read.parquet(s"$sf/events.parquet"), "value", "user_id"))
+    val spPid = count(sp, "hashpartitioning($td.__pid")
+    assert(spPid >= 2 && spPid <= 4, sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+  }
+
+  test("benford: ONE corpus scan (window total, not a broadcast re-scan)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = plan(graft.dq.Dq.benford(li, "l_extendedprice"))
+    // the r14-advice fix: the 1-row total rides an unpartitioned window
+    // over the <=9 count rows instead of a second aggregate whose lineage
+    // re-executed the whole scan + digit shuffle
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("script-mix: ONE kernel eval feeds fractions + dominant script") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val staged = docs.select(F.col("doc_id"),
+      graft.pipeline.TextAnalysis.scriptStats(F.col("text")).as("td_ss"))
+    val out = staged.select(
+      F.col("doc_id") +:
+        graft.pipeline.TextAnalysis.dominantScriptFromStats(F.col("td_ss"))
+          .as("script") +:
+        graft.pipeline.TextAnalysis.scriptFractionsFromStats(F.col("td_ss"))
+          .map { case (n, c) => c.as(n) }: _*)
+    val p = plan(out)
+    assert(count(p, "script_mix_stats") == 1, p)
+    assert(!p.contains("regexp_count"), p)
+  }
+
+  test("modularity: persisted label relation, broadcast label joins, " +
+    "no cartesian") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("user_id").cast("string").as("src"),
+        F.col("event_type").as("dst"))
+    val labels = ev.select(F.col("src").as("node")).distinct()
+      .select(F.col("node"), F.substring(F.col("node"), 1, 1).as("community"))
+    val p = plan(graft.pipeline.GraphRank.modularity(
+      ev, "src", "dst", labels))
+    // the node-sized partition materializes once for its three consumers
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // E rides the bounded per-community window — no second edge scan for
+    // a broadcast total
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ivf-pq join-strategy scoring: broadcast joins only, no cartesian") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 1)
