@@ -605,6 +605,49 @@ object GraphRank {
       .orderBy(F.col("community").asc)
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983): each
+    * round drops every node whose (out-)degree is below k, then the
+    * edges touching it; the fixed point is the maximal subgraph where
+    * every node keeps ≥ k neighbors — the standard dense-core read next
+    * to [[communityConductance]] (a spam/bot farm survives a high k; a
+    * star's leaves die in round one). Symmetrize the edge list upstream
+    * for undirected semantics (the trade-graph gates do). Fixed `iters`
+    * rounds so the trajectory replays on any engine (peeling is
+    * MONOTONE — once converged, further rounds are no-ops, so a large
+    * enough cap IS the k-core); exact integer degrees throughout. Each
+    * round is one keyed count + two semi-joins; iterates feed one
+    * consumer each, so the rounds compose into one linear barrier-free
+    * plan like [[labelPropagation]]. Output: surviving (node, degree)
+    * ascending — degree as of the LAST peel. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    for (_ <- 0 until iters) {
+      val keep = e.groupBy(F.col("td_u")).agg(F.count(F.lit(1)).as("td_d"))
+        .where(F.col("td_d") >= k.toLong)
+        .select(F.col("td_u").as("td_keep"))
+      // each iterate feeds THREE consumers next round (the degree count
+      // + both endpoint semi-joins) — persist so the cache substitution
+      // keeps compute and plan size linear in rounds (lazy: the final
+      // action materializes each layer exactly once)
+      e = e
+        .join(keep.select(F.col("td_keep").as("td_u")), Seq("td_u"),
+          "left_semi")
+        .join(keep.select(F.col("td_keep").as("td_v")), Seq("td_v"),
+          "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    e.groupBy(F.col("td_u").as("node"))
+      .agg(F.count(F.lit(1)).as("degree"))
+      .orderBy(F.col("node").asc)
+  }
+
   /** Per-node triangle counts + local clustering coefficients over an
     * undirected graph. Edges are canonicalized (least, greatest),
     * deduplicated, loops dropped; triangles enumerate ONCE each via the

@@ -663,6 +663,56 @@ object Report {
       tvd.as("tvd"), F.col("n_a"), F.col("n_b")): _*)
   }
 
+  /** Jensen–Shannon divergence between two stamped sketches over the
+    * SAME grid — the symmetric, always-finite companion of
+    * [[sketchDrift]]'s PSI (PSI needs smoothing to tolerate empty cells
+    * and is unbounded; JSD is 0 ≤ jsd ≤ ln 2 with NO smoothing: a cell
+    * empty on one side contributes only the present side's term, 0·ln0
+    * = 0 by definition). jsd = ½·Σ_i [p·ln(p/m) + q·ln(q/m)] with
+    * p = c_a/n_a, q = c_b/n_b, m = (p+q)/2 — one bin-ordered fold over
+    * the zipped dense arrays (IEEE doubles, fixed op order, the libm ln
+    * kernel), zero data rescan, the same grid-identity guard as the
+    * drift family. Output one row: (jsd, jsd_norm = jsd/ln 2, n_a,
+    * n_b). */
+  def sketchJsd(a: DataFrame, b: DataFrame,
+      countsCol: String = "counts"): DataFrame = {
+    requireGridStamp(a); requireGridStamp(b)
+    def side(df: DataFrame, sfx: String) = df.select(
+      F.col(countsCol).as(s"td_c$sfx"), F.col("n").as(s"n_$sfx"),
+      F.col("lo").as(s"td_lo$sfx"), F.col("hi").as(s"td_hi$sfx"),
+      F.col("bins").as(s"td_bins$sfx"), F.col("scale").as(s"td_scale$sfx"))
+    val joined = side(a, "a").crossJoin(F.broadcast(side(b, "b")))
+    val sameGrid = F.col("td_loa") === F.col("td_lob") &&
+      F.col("td_hia") === F.col("td_hib") &&
+      F.col("td_binsa") === F.col("td_binsb") &&
+      F.col("td_scalea") === F.col("td_scaleb")
+    val staged = joined.select(
+      F.when(sameGrid,
+          F.zip_with(F.col("td_ca"), F.col("td_cb"),
+            (x, y) => F.struct(x.as("ca"), y.as("cb"))))
+        .otherwise(F.raise_error(F.lit("cannot diff sketches with " +
+          "different grids: (lo, hi, bins, scale) stamps disagree")))
+        .as("td_z"),
+      F.col("n_a"), F.col("n_b"))
+    val naD = F.col("n_a").cast("double")
+    val nbD = F.col("n_b").cast("double")
+    val ln = graft.expressions.MathKernels.ln _
+    val jsd = F.lit(0.5) * F.aggregate(F.col("td_z"), F.lit(0.0),
+      (acc, s) => {
+        val p = s.getField("ca").cast("double") / naD
+        val q = s.getField("cb").cast("double") / nbD
+        val m = (p + q) / F.lit(2.0)
+        acc +
+          (F.when(s.getField("ca") > 0L, p * ln((p / m).cast("double")))
+            .otherwise(F.lit(0.0)) +
+            F.when(s.getField("cb") > 0L, q * ln((q / m).cast("double")))
+              .otherwise(F.lit(0.0)))
+      })
+    staged.select(jsd.as("jsd"),
+      (jsd / ln(F.lit(2.0d))).as("jsd_norm"),
+      F.col("n_a"), F.col("n_b"))
+  }
+
   /** MERGEABLE embedding-centroid sketch: per-dimension FIXED-POINT sums
     * of an `Array[Float]` column — the embedding-space face of the sketch
     * algebra ([[distinctSketch]], [[quantileSketch]]). Each coordinate

@@ -133,6 +133,29 @@ object ExtendedOracles {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_cusum" ->
+      // batch-mode statefulCusum = the seq-ordered fold per key; both
+      // ramps are independent clamped folds, replayed with the gate's
+      // exact step arithmetic (±1·(v − 50) − 5, clamp at 0, alarm at 100)
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |l AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    list(v ORDER BY event_id) AS lv FROM e GROUP BY key),
+        |f AS (SELECT key, n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lv),
+        |      (acc, x) -> greatest(CAST(0.0 AS DOUBLE),
+        |        acc + ((CAST(1.0 AS DOUBLE) * (x - CAST(50.0 AS DOUBLE)))
+        |          - CAST(5.0 AS DOUBLE)))) AS cusum_hi,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lv),
+        |      (acc, x) -> greatest(CAST(0.0 AS DOUBLE),
+        |        acc + ((CAST(-1.0 AS DOUBLE) * (x - CAST(50.0 AS DOUBLE)))
+        |          - CAST(5.0 AS DOUBLE)))) AS cusum_lo
+        |  FROM l)
+        |SELECT key, n, cusum_hi, cusum_lo,
+        |  (cusum_hi > 100.0 OR cusum_lo > 100.0) AS alarm
+        |FROM f ORDER BY key ASC""".stripMargin,
     "q_stream_distribution" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0

@@ -326,6 +326,27 @@ object ExtendedQueries {
         .where(F.col("click_id") >= 0L)
         .orderBy(F.col("click_id").asc, F.col("view_id").asc_nulls_first)
     }),
+    "q_stream_cusum" -> ((s, dir) => {
+      // per-entity ONLINE CUSUM through the custom-state escape hatch:
+      // each user's clamped two-sided ramps against a stated baseline,
+      // rows folded in ascending event_id order — in batch mode the
+      // output IS the seq-ordered fold, which the oracle replays per key
+      import s.implicits._
+      val ev = t(s, dir, "events").df
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull &&
+          F.col("event_id").isNotNull)
+        .select(F.col("user_id").cast(StringType).as("k"),
+          F.col("event_id").cast("long").as("seq"),
+          F.col("value").cast("double").as("v"))
+        .as[(String, Long, Double)]
+      graft.streaming.Streams.statefulCusum(ev,
+          mu = 50.0, slack = 5.0, threshold = 100.0)
+        .toDF()
+        .select(F.col("key"), F.col("n"),
+          F.col("cusumHi").as("cusum_hi"), F.col("cusumLo").as("cusum_lo"),
+          F.col("alarm"))
+        .orderBy("key")
+    }),
     "q_stateful_counts" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events").df

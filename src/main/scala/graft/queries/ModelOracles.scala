@@ -572,6 +572,24 @@ object ModelOracles {
         |  END AS conductance
         |FROM ag JOIN cn USING (community), ee
         |ORDER BY community ASC""".stripMargin),
+    "q_graph_kcore" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""k$r AS (SELECT u FROM e${r - 1} GROUP BY u
+           |  HAVING count(*) >= 5),
+           |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN k$r a ON a.u = e.u JOIN k$r b ON b.u = e.v),
+           |""".stripMargin
+      }.mkString
+      ("""WITH ed0 AS (SELECT DISTINCT
+         |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+         |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e0 AS (SELECT u, v FROM ed0
+         |  UNION ALL SELECT v AS u, u AS v FROM ed0),
+         |""".stripMargin + rounds).stripSuffix(",\n") + "\n" +
+        """SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+          |FROM e3 GROUP BY u ORDER BY node ASC""".stripMargin
+    },
     "q_graph_modularity" -> ("WITH " + lpaChain +
       """el AS MATERIALIZED (SELECT ed.u, ed.v, lu.label AS cu, lv.label AS cv
         |  FROM ed JOIN l3 lu ON lu.node = ed.u JOIN l3 lv ON lv.node = ed.v),

@@ -324,6 +324,12 @@ object ModelQueries {
           .as("variant"), F.col("revenue"))
       graft.pipeline.Report.mannWhitneyU(rev, "variant", "revenue")
     }),
+    "q_graph_kcore" -> ((s, dir) => {
+      // dense-core extraction: 3 peeling rounds at k=5 over the trade
+      // graph — who keeps >= 5 trading partners after the leaves fall
+      // away; exact integer degrees, the oracle replays every round
+      GraphRank.kCore(tradeEdges(s, dir), "src", "dst", k = 5, iters = 3)
+    }),
     "q_graph_ppr" -> ((s, dir) => {
       // PERSONALIZED PageRank from a curated seed set (nation-0
       // customers): teleport mass restarts only at the seeds, so

@@ -480,6 +480,41 @@ object ScaleOracles {
         |  CAST(mn AS DOUBLE) / 1048576.0 AS "min",
         |  CAST(mx AS DOUBLE) / 1048576.0 AS "max"
         |FROM agg ORDER BY event_type""".stripMargin,
+    "q_sketch_jsd" ->
+      """WITH ba AS (
+        |  SELECT CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(n_chars AS DOUBLE) >= 640.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |                * 64.0) / 640.0) AS BIGINT) + 1) END AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id % 2 = 0),
+        |bb AS (
+        |  SELECT CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN 0
+        |              WHEN CAST(n_chars AS DOUBLE) >= 640.0 THEN 65
+        |              ELSE LEAST(64, CAST(floor(((CAST(n_chars AS DOUBLE) - 0.0)
+        |                * 64.0) / 640.0) AS BIGINT) + 1) END AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id % 2 = 1),
+        |ca AS (SELECT bin, count(*) AS cnt FROM ba GROUP BY 1),
+        |cb AS (SELECT bin, count(*) AS cnt FROM bb GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ba),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bb),
+        |g AS (SELECT unnest(generate_series(0, 65)) AS bin),
+        |z AS (SELECT g.bin, coalesce(ca.cnt, 0) AS ca, coalesce(cb.cnt, 0) AS cb
+        |  FROM g LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+        |t AS (SELECT z.bin,
+        |    CAST(z.ca AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
+        |    CAST(z.cb AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q,
+        |    z.ca, z.cb
+        |  FROM z, na, nb),
+        |terms AS (SELECT bin,
+        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+        |     + CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+        |      AS term
+        |  FROM t),
+        |jj AS (SELECT 0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY bin)), (a, b) -> a + b) AS jsd FROM terms)
+        |SELECT jj.jsd, jj.jsd / ln(2.0) AS jsd_norm,
+        |  na.n AS n_a, nb.n AS n_b
+        |FROM jj, na, nb""".stripMargin,
     "q_stream_quantiles" ->
       // the streamed hourly log-sketch cells roll up BIT-EQUAL to the
       // whole-corpus sketch (integer cell counts, elementwise merge), so

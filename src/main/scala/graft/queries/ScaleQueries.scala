@@ -386,6 +386,19 @@ object ScaleQueries {
       Report.momentStats(merged, keyCols = Seq("event_type"))
         .orderBy("event_type")
     }),
+    "q_sketch_jsd" -> ((s, dir) => {
+      // symmetric bounded drift between the corpus halves' length
+      // sketches: Jensen-Shannon divergence straight off the persisted
+      // cell arrays — no smoothing (0·ln0 = 0), 0 <= jsd <= ln 2, the
+      // always-finite companion of q_sketch_drift's PSI
+      import graft.pipeline.Report
+      val docs = d(s, dir, "documents").select("doc_id", "n_chars")
+      val a = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 0), "n_chars", 0.0, 640.0, 64)
+      val b = Report.quantileSketch(
+        docs.where(F.col("doc_id") % 2 === 1), "n_chars", 0.0, 640.0, 64)
+      Report.sketchJsd(a, b)
+    }),
     "q_stream_quantiles" -> ((s, dir) => {
       // live percentiles THROUGH Structured Streaming: hourly sparse
       // log-grid sketch cells (the exact batch cell contract), windows

@@ -700,6 +700,60 @@ object Streams {
     * engine firing the timeout. Same trigger caveat as nearDupHits:
     * pair a TTL with a processing-time trigger or `Trigger.Once`, not
     * `AvailableNow` + `processAllAvailable()`. */
+  final case class CusumUpdate(key: String, n: Long, cusumHi: Double,
+    cusumLo: Double, alarm: Boolean)
+  final case class CusumState(n: Long, hi: Double, lo: Double, lastMs: Long)
+
+  /** Keyed ONLINE CUSUM via flatMapGroupsWithState — the streaming face
+    * of [[graft.pipeline.Report.cusumDaily]] for per-entity drift: each
+    * key carries Page's clamped two-sided ramps against a caller-stated
+    * baseline `mu` (online monitoring states its target up front — the
+    * batch face derives it from the full grid), updated every
+    * micro-batch, with `alarm` raised while either ramp exceeds
+    * `threshold`. Input rows are (key, seq, value); within each batch a
+    * key's rows fold in ASCENDING `seq` order (sorted in the group
+    * function), so given ordered arrival the full fold is deterministic
+    * and an external engine can replay it — in batch mode (one "batch",
+    * all rows per key) the output is exactly the seq-ordered fold, the
+    * q_stream_cusum oracle. Identical step arithmetic to cusumDaily:
+    * S = max(0, S + (±1·(v − mu) − slack)), every double op stated.
+    * State per key is three numbers + a stamp; same TTL contract as
+    * [[runningTotals]]. Memory: a key's rows within ONE micro-batch are
+    * buffered to sort — bound the trigger size for pathological keys. */
+  def statefulCusum(ds: Dataset[(String, Long, Double)], mu: Double,
+      slack: Double, threshold: Double,
+      stateTtlMs: Option[Long] = None): Dataset[CusumUpdate] = {
+    require(slack >= 0.0d, s"slack must be >= 0, got $slack")
+    require(threshold > 0.0d, s"threshold must be > 0, got $threshold")
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[CusumState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (key, rows, state: GroupState[CusumState]) =>
+          val now = stateTtlMs.map(_ => state.getCurrentProcessingTimeMs())
+            .getOrElse(0L)
+          val prev = state.getOption
+            .filter(s => stateTtlMs.forall(t => now - s.lastMs <= t))
+            .getOrElse(CusumState(0L, 0.0, 0.0, now))
+          var n = prev.n; var hi = prev.hi; var lo = prev.lo
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            n += 1
+            hi = math.max(0.0, hi + (1.0 * (r._3 - mu) - slack))
+            lo = math.max(0.0, lo + (-1.0 * (r._3 - mu) - slack))
+          }
+          state.update(CusumState(n, hi, lo, now))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          Iterator.single(CusumUpdate(key, n, hi, lo,
+            hi > threshold || lo > threshold))
+      }
+  }
+
   def runningTotals(ds: Dataset[(String, Double)],
       stateTtlMs: Option[Long] = None): Dataset[SessionUpdate] = {
     import ds.sparkSession.implicits._

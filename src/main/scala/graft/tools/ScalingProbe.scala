@@ -483,6 +483,18 @@ object ScalingProbe {
           ed, "src", "dst", maxIters = 2, earlyStop = false)
         labels.count()
       }),
+      ("kcore", 100, { d =>
+        // 2 peeling rounds at k=2 over the chain-block graph: one keyed
+        // count + two semi-joins per round, iterates cached (3 consumers)
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        graft.pipeline.GraphRank.kCore(ed, "src", "dst", k = 2, iters = 2)
+          .count()
+      }),
       ("tail_index", 100, { d =>
         // one descending range-shuffle rank + a bounded k+1 head fold
         graft.operators.SkewDiag.tailIndex(

@@ -487,6 +487,51 @@ class ModelSpec extends AnyFunSuite {
     assert(h("c")._1 == 0.0 && h("a")._2 == 0.0)
   }
 
+  test("kCore: K4 survives k=2 peeling, the pendant chain dies; " +
+    "converged rounds are no-ops") {
+    import spark.implicits._
+    // K4 on a..d (degree 3 each) + chain d-e-f (e: 2, f: 1)
+    val k4 = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y } yield (x, y)
+    val all = k4 ++ Seq(("d", "e"), ("e", "f"))
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val got = GraphRank.kCore(edges, "src", "dst", k = 2, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1 drops f (deg 1); round 2 drops e (its degree fell to 1);
+    // K4 keeps degree 3 throughout
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), got)
+    // peeling is monotone: extra rounds past convergence change nothing
+    val more = GraphRank.kCore(edges, "src", "dst", k = 2, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(more == got)
+    // k above the max degree empties the graph
+    assert(GraphRank.kCore(edges, "src", "dst", k = 4, iters = 3)
+      .count() == 0L)
+  }
+
+  test("sketchJsd: identical = 0, disjoint = ln 2, grid mismatch raises") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // a fills bins 1..5 (values 1..49), b bins 7..11 (61..100 incl. the
+    // overflow tail) — DISJOINT support, so jsd = ln 2 exactly
+    val a = Report.quantileSketch(
+      (1 to 49).map(_.toDouble).toDF("v"), "v", 0.0, 100.0, 10)
+    val b = Report.quantileSketch(
+      (61 to 100).map(_.toDouble).toDF("v"), "v", 0.0, 100.0, 10)
+    val same = Report.sketchJsd(a, a).head()
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 0.0, same)
+    val dis = Report.sketchJsd(a, b).head()
+    assert(math.abs(dis.getDouble(0) - math.log(2.0)) < 1e-12, dis)
+    assert(math.abs(dis.getDouble(1) - 1.0) < 1e-12, dis)
+    assert(dis.getLong(2) == 49L && dis.getLong(3) == 40L)
+    val other = Report.quantileSketch(
+      (1 to 49).map(_.toDouble).toDF("v"), "v", 0.0, 200.0, 10)
+    val err = intercept[Exception] {
+      Report.sketchJsd(a, other).collect()
+    }
+    assert(err.getMessage.contains("grids"), err.getMessage)
+  }
+
   test("triangles: K3 + pendant, exact counts and coefficients") {
     import spark.implicits._
     // duplicate + reversed + self-loop edges must canonicalize away

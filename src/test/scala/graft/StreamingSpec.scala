@@ -502,6 +502,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == (1L, 2.0))
   }
 
+  test("stateful cusum: seq-ordered fold per key; multi-micro-batch " +
+    "state equals the single-batch fold") {
+    import spark.implicits._
+    // batch mode, hand fold: mu=10, slack=1 — key a sees 15,20 (hi ramps),
+    // key b sees 2,3 (lo ramps); rows given OUT of seq order on purpose
+    val ds = Seq(("a", 2L, 20.0), ("a", 1L, 15.0),
+      ("b", 1L, 2.0), ("b", 2L, 3.0)).toDS()
+    val out = Streams.statefulCusum(ds, mu = 10.0, slack = 1.0,
+        threshold = 10.0)
+      .collect().map(u => u.key -> u).toMap
+    def hi(vs: Seq[Double]) = vs.foldLeft(0.0)((acc, v) =>
+      math.max(0.0, acc + (1.0 * (v - 10.0) - 1.0)))
+    def lo(vs: Seq[Double]) = vs.foldLeft(0.0)((acc, v) =>
+      math.max(0.0, acc + (-1.0 * (v - 10.0) - 1.0)))
+    assert(out("a").n == 2L && out("a").cusumHi == hi(Seq(15.0, 20.0)) &&
+      out("a").cusumLo == 0.0 && out("a").alarm, out.toString)
+    // b's lo ramp: (10−2)−1 = 7, then 7 + (10−3)−1 = 13 > 10 → alarm
+    assert(out("b").n == 2L && out("b").cusumHi == 0.0 &&
+      out("b").cusumLo == lo(Seq(2.0, 3.0)) && out("b").alarm,
+      out.toString)
+    // state carries across micro-batches: two time-split parts replayed
+    // as separate batches end at the same per-key totals as one batch
+    val ev = eventsBatch.limit(3000)
+      .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+      .cache()
+    val mid = ev.agg(F.percentile_approx(F.col("event_id"), F.lit(0.5),
+      F.lit(100))).head().getLong(0)
+    val (dir, schema) = graft.streaming.StreamStage.stageOrdered(spark,
+      "cusum-ordered-" + mid, Seq(
+        () => ev.where(F.col("event_id") <= mid),
+        () => ev.where(F.col("event_id") > mid)))
+    def toDs(df: org.apache.spark.sql.DataFrame) = df
+      .select(F.col("user_id").cast("string"),
+        F.col("event_id").cast("long"), F.col("value").cast("double"))
+      .as[(String, Long, Double)]
+    val stream = Streams.statefulCusum(
+      toDs(Streams.readParquetStream(spark, dir, schema,
+        maxFilesPerTrigger = 1)),
+      mu = 50.0, slack = 5.0, threshold = 100.0)
+    val q = Streams.runToMemory(stream.toDF(), "scusum", "append")
+    q.stop()
+    // LAST emission per key (max n) == the batch fold over all rows,
+    // because part 1's event_ids all precede part 2's (stageOrdered)
+    val streamed = spark.table("scusum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    val batch = Streams.statefulCusum(toDs(ev),
+        mu = 50.0, slack = 5.0, threshold = 100.0)
+      .collect().map(u =>
+        u.key -> ((u.key, u.n, u.cusumHi, u.cusumLo, u.alarm))).toMap
+    assert(streamed.nonEmpty && streamed.size == batch.size)
+    streamed.foreach { case (k, got) =>
+      assert(got == batch(k), s"key $k: $got vs ${batch(k)}")
+    }
+  }
+
   test("streaming near-dup: rewrites flagged against the min-id canonical; differential vs batch band index") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +
