@@ -17,7 +17,15 @@ import org.apache.spark.sql.types._
   * Math.log is intrinsified to the same result the system libm produces
   * (verified in RecallSpec/PipelineSpec gates), keeping scores
   * hash-comparable across engines. Interpreted eval takes the same
-  * Math.log path, so JIT state cannot change a result. */
+  * Math.log path, so JIT state cannot change a result.
+  *
+  * CAVEAT (r15, measured): the intrinsic is NOT glibc-identical on every
+  * argument — at x = 0.5639405471386516 the warmed Math.log intrinsic
+  * answers 1 ulp ABOVE glibc/DuckDB ln (found by the q_stream_jsd_monitor
+  * gate; every prior ln-gated argument had agreed). Operators whose
+  * oracle parity sums raw ln outputs must either tolerate the last ulp
+  * or state one fixed-point rounding on both sides (the jsd family
+  * reports at 2^20 for this reason). */
 case class LibmLn(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable

@@ -675,25 +675,55 @@ object Report {
     * drift family. Output one row: (jsd, jsd_norm = jsd/ln 2, n_a,
     * n_b). */
   def sketchJsd(a: DataFrame, b: DataFrame,
-      countsCol: String = "counts"): DataFrame = {
+      countsCol: String = "counts"): DataFrame =
+    sketchJsdImpl(a, b, countsCol, keyCols = Nil)
+
+  /** Per-group [[sketchJsd]] (inner join on `groupCol` — both sides
+    * must carry the group): per-language length divergence between two
+    * corpus versions, zero rescans. */
+  def sketchJsdByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+      countsCol: String = "counts"): DataFrame =
+    sketchJsdImpl(a, b, countsCol, keyCols = Seq(groupCol))
+
+  /** JSD of EVERY group/window sketch in `a` against ONE global
+    * `baseline` row — the [[sketchDriftVsBaseline]] live-monitoring
+    * shape with the bounded symmetric statistic: per-hour windows from
+    * [[graft.streaming.Streams.windowedQuantileSketch]] each scored
+    * against the stored corpus baseline, one broadcast row. */
+  def sketchJsdVsBaseline(a: DataFrame, baseline: DataFrame,
+      groupCol: String, countsCol: String = "counts"): DataFrame =
+    sketchJsdImpl(a, baseline, countsCol, keyCols = Seq(groupCol),
+      joinOnKeys = false)
+
+  private def sketchJsdImpl(a: DataFrame, b: DataFrame,
+      countsCol: String, keyCols: Seq[String],
+      joinOnKeys: Boolean = true): DataFrame = {
     requireGridStamp(a); requireGridStamp(b)
-    def side(df: DataFrame, sfx: String) = df.select(
-      F.col(countsCol).as(s"td_c$sfx"), F.col("n").as(s"n_$sfx"),
-      F.col("lo").as(s"td_lo$sfx"), F.col("hi").as(s"td_hi$sfx"),
-      F.col("bins").as(s"td_bins$sfx"), F.col("scale").as(s"td_scale$sfx"))
-    val joined = side(a, "a").crossJoin(F.broadcast(side(b, "b")))
+    def side(df: DataFrame, sfx: String, keys: Seq[String]) = df.select(
+      keys.map(F.col) ++ Seq(
+        F.col(countsCol).as(s"td_c$sfx"), F.col("n").as(s"n_$sfx"),
+        F.col("lo").as(s"td_lo$sfx"), F.col("hi").as(s"td_hi$sfx"),
+        F.col("bins").as(s"td_bins$sfx"),
+        F.col("scale").as(s"td_scale$sfx")): _*)
+    val joined =
+      if (keyCols.isEmpty)
+        side(a, "a", Nil).crossJoin(F.broadcast(side(b, "b", Nil)))
+      else if (joinOnKeys)
+        side(a, "a", keyCols).join(F.broadcast(side(b, "b", keyCols)), keyCols)
+      else
+        side(a, "a", keyCols).crossJoin(F.broadcast(side(b, "b", Nil)))
     val sameGrid = F.col("td_loa") === F.col("td_lob") &&
       F.col("td_hia") === F.col("td_hib") &&
       F.col("td_binsa") === F.col("td_binsb") &&
       F.col("td_scalea") === F.col("td_scaleb")
-    val staged = joined.select(
+    val staged = joined.select(keyCols.map(F.col) ++ Seq(
       F.when(sameGrid,
           F.zip_with(F.col("td_ca"), F.col("td_cb"),
             (x, y) => F.struct(x.as("ca"), y.as("cb"))))
         .otherwise(F.raise_error(F.lit("cannot diff sketches with " +
           "different grids: (lo, hi, bins, scale) stamps disagree")))
         .as("td_z"),
-      F.col("n_a"), F.col("n_b"))
+      F.col("n_a"), F.col("n_b")): _*)
     val naD = F.col("n_a").cast("double")
     val nbD = F.col("n_b").cast("double")
     val ln = graft.expressions.MathKernels.ln _
@@ -708,9 +738,19 @@ object Report {
             F.when(s.getField("cb") > 0L, q * ln((q / m).cast("double")))
               .otherwise(F.lit(0.0)))
       })
-    staged.select(jsd.as("jsd"),
-      (jsd / ln(F.lit(2.0d))).as("jsd_norm"),
-      F.col("n_a"), F.col("n_b"))
+    // REPORT AT FIXED POINT 2^20: the Math.log intrinsic was measured
+    // 1 ulp off glibc/DuckDB ln at x=0.5639405471386516 (the first
+    // counterexample to the MathKernels parity note — JSD's p/m ratio
+    // args hit it where PSI's smoothed args had not), so the exact
+    // double sum is NOT engine-portable in its last ulp; one stated
+    // round-half-up at 2^20 (≈6 decimal digits, far beyond any drift
+    // read) makes the answer identical on any libm within 1 ulp.
+    def q20(c: Column) =
+      F.floor(c * F.lit(1048576.0d) + F.lit(0.5d)).cast("long")
+        .cast("double") / F.lit(1048576.0d)
+    staged.select(keyCols.map(F.col) ++ Seq(q20(jsd).as("jsd"),
+      q20(jsd / ln(F.lit(2.0d))).as("jsd_norm"),
+      F.col("n_a"), F.col("n_b")): _*)
   }
 
   /** MERGEABLE embedding-centroid sketch: per-dimension FIXED-POINT sums

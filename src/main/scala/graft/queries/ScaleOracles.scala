@@ -512,9 +512,51 @@ object ScaleOracles {
         |  FROM t),
         |jj AS (SELECT 0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list(term ORDER BY bin)), (a, b) -> a + b) AS jsd FROM terms)
-        |SELECT jj.jsd, jj.jsd / ln(2.0) AS jsd_norm,
+        |SELECT
+        |  CAST(CAST(floor(jj.jsd * 1048576.0 + 0.5) AS BIGINT) AS DOUBLE)
+        |    / 1048576.0 AS jsd,
+        |  CAST(CAST(floor((jj.jsd / ln(2.0)) * 1048576.0 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 1048576.0 AS jsd_norm,
         |  na.n AS n_a, nb.n AS n_b
         |FROM jj, na, nb""".stripMargin,
+    "q_stream_jsd_monitor" ->
+      """WITH e AS (SELECT
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
+        |         WHEN CAST(value AS DOUBLE) >= 512.0 THEN 65
+        |         ELSE LEAST(64, CAST(floor(((CAST(value AS DOUBLE) - 0.0)
+        |           * 64.0) / 512.0) AS BIGINT) + 1) END AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |ca AS (SELECT h, bin, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |na AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |cb AS (SELECT bin, count(*) AS cnt FROM e GROUP BY 1),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |g AS (SELECT na.h, gs.bin FROM na,
+        |  (SELECT unnest(generate_series(0, 65)) AS bin) gs),
+        |z AS (SELECT g.h, g.bin, coalesce(ca.cnt, 0) AS ca,
+        |    coalesce(cb.cnt, 0) AS cb
+        |  FROM g LEFT JOIN ca ON ca.h = g.h AND ca.bin = g.bin
+        |  LEFT JOIN cb ON cb.bin = g.bin),
+        |t AS (SELECT z.h, z.bin, z.ca, z.cb,
+        |    CAST(z.ca AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
+        |    CAST(z.cb AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q
+        |  FROM z JOIN na ON na.h = z.h, nb),
+        |terms AS (SELECT h, bin,
+        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+        |     + CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+        |      AS term
+        |  FROM t),
+        |jj AS (SELECT h, 0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY bin)), (a, b) -> a + b) AS jsd
+        |  FROM terms GROUP BY h)
+        |SELECT jj.h AS hour_epoch,
+        |  CAST(CAST(floor(jj.jsd * 1048576.0 + 0.5) AS BIGINT) AS DOUBLE)
+        |    / 1048576.0 AS jsd,
+        |  CAST(CAST(floor((jj.jsd / ln(2.0)) * 1048576.0 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 1048576.0 AS jsd_norm,
+        |  na.n AS n_a, nb.n AS n_b
+        |FROM jj JOIN na ON na.h = jj.h, nb
+        |ORDER BY hour_epoch ASC""".stripMargin,
     "q_stream_quantiles" ->
       // the streamed hourly log-sketch cells roll up BIT-EQUAL to the
       // whole-corpus sketch (integer cell counts, elementwise merge), so

@@ -399,6 +399,29 @@ object ScaleQueries {
         docs.where(F.col("doc_id") % 2 === 1), "n_chars", 0.0, 640.0, 64)
       Report.sketchJsd(a, b)
     }),
+    "q_stream_jsd_monitor" -> ((s, dir) => {
+      // live distribution monitoring with the BOUNDED statistic: each
+      // hourly window's sketch scored against the whole-corpus baseline
+      // by Jensen-Shannon divergence (one broadcast baseline row, zero
+      // rescans) — "which hours drifted, and by how much, on a 0..ln 2
+      // scale"; the oracle replays every hour's cells + the fold
+      import graft.pipeline.Report
+      val (tmp, schema) = graft.streaming.StreamStage.stage(s,
+        s"$dir/events", t(s, dir, "events").df)
+      val stream = graft.streaming.Streams.readParquetStream(s, tmp, schema)
+      val cells = graft.streaming.Streams.windowedQuantileSketch(
+        stream, "ts", "value", "1 hour", "1 hour", 0.0, 512.0, 64)
+      val rows = graft.streaming.StreamStage.runToMemory(cells,
+          "q_stream_jsdm_", "complete")
+        .select(F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+          F.col("bin"), F.col("n"))
+      val perWindow = Report.binsToSketch(rows, 0.0, 512.0, 64,
+        groupCols = Seq("hour_epoch"))
+      val baseline = Report.quantileSketch(
+        d(s, dir, "events"), "value", 0.0, 512.0, 64)
+      Report.sketchJsdVsBaseline(perWindow, baseline, "hour_epoch")
+        .orderBy(F.col("hour_epoch").asc)
+    }),
     "q_stream_quantiles" -> ((s, dir) => {
       // live percentiles THROUGH Structured Streaming: hourly sparse
       // log-grid sketch cells (the exact batch cell contract), windows

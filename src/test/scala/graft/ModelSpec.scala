@@ -520,9 +520,11 @@ class ModelSpec extends AnyFunSuite {
       (61 to 100).map(_.toDouble).toDF("v"), "v", 0.0, 100.0, 10)
     val same = Report.sketchJsd(a, a).head()
     assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 0.0, same)
+    // outputs are quantized at 2^20 (the engine-portable rounding): the
+    // disjoint case answers round(ln 2 · 2^20)/2^20 and jsd_norm exactly 1
     val dis = Report.sketchJsd(a, b).head()
-    assert(math.abs(dis.getDouble(0) - math.log(2.0)) < 1e-12, dis)
-    assert(math.abs(dis.getDouble(1) - 1.0) < 1e-12, dis)
+    assert(math.abs(dis.getDouble(0) - math.log(2.0)) < 1e-6, dis)
+    assert(dis.getDouble(1) == 1.0, dis)
     assert(dis.getLong(2) == 49L && dis.getLong(3) == 40L)
     val other = Report.quantileSketch(
       (1 to 49).map(_.toDouble).toDF("v"), "v", 0.0, 200.0, 10)
