@@ -1473,6 +1473,68 @@ object Report {
         (uA - mu) / sigma).as("z"))
   }
 
+  /** Per-slice [[mannWhitneyU]] — the fairness/robustness face of the
+    * rank-sum test (did variant A beat B in EVERY segment, or only in
+    * aggregate — the Simpson's-paradox check an A/B readout needs):
+    * the same midrank algebra per slice through ONE composite range
+    * shuffle ([[graft.operators.ScalableRank.withRankByGroup]] on the
+    * slice key — ranks are computed WITHIN each slice, as running the
+    * two-sample test per slice requires; no per-slice jobs), per-value
+    * counts keyed by (slice, value), then the bounded per-slice
+    * 2-struct fold. Slices with ≠2 variants or all-tied values answer
+    * NULL z honestly. Output: (group, n_variants, variant_a, variant_b,
+    * n_a, n_b, u_a, u_b, tie_term, z) ascending by group. */
+  def mannWhitneyUByGroup(df: DataFrame, groupCol: String,
+      variantCol: String, valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(g.isNotNull && v.isNotNull && x.isNotNull)
+      .select(g.as("td_s"), v.as("td_g"), x.as("td_x"))
+    val ranked = graft.operators.ScalableRank.withRankByGroup(
+      clean, "td_s", "td_x", "td_rk")
+    val withCnt = ranked.join(
+      clean.groupBy(F.col("td_s"), F.col("td_x"))
+        .agg(F.count(F.lit(1)).as("td_c")),
+      Seq("td_s", "td_x"))
+    val perGroup = withCnt.groupBy(F.col("td_s"), F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum((F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
+          .cast("decimal(38,0)")).as("td_r2"),
+        F.sum((F.col("td_c").cast("decimal(19,0)") *
+          F.col("td_c").cast("decimal(19,0)") - 1L).cast("decimal(38,0)"))
+          .as("td_t"))
+    val packed = perGroup.groupBy(F.col("td_s").as("group"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_g"), F.col("td_n"), F.col("td_r2"), F.col("td_t"))))
+        .as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    val na = fld(1, "td_n"); val nb = fld(2, "td_n")
+    val naD = na.cast("double"); val nbD = nb.cast("double")
+    val nD = naD + nbD
+    val u2a = fld(1, "td_r2") -
+      (na.cast("decimal(19,0)") * (na + 1L).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val uA = u2a.cast("double") / F.lit(2.0d)
+    val uB = (na.cast("decimal(19,0)") * nb.cast("decimal(19,0)"))
+      .cast("double") - uA
+    val tie = (fld(1, "td_t") + fld(2, "td_t")).cast("double")
+    val mu = (naD * nbD) / F.lit(2.0d)
+    val sigma = F.sqrt(((naD * nbD) / F.lit(12.0d)) *
+      ((nD + F.lit(1.0d)) - tie / (nD * (nD - F.lit(1.0d)))))
+    packed.select(
+      F.col("group"),
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_g").as("variant_a"), fld(2, "td_g").as("variant_b"),
+      na.as("n_a"), nb.as("n_b"),
+      uA.as("u_a"), uB.as("u_b"),
+      (fld(1, "td_t") + fld(2, "td_t")).cast("double").as("tie_term"),
+      F.when(F.size(l) === 2 && sigma > 0.0d,
+        (uA - mu) / sigma).as("z"))
+      .orderBy(F.col("group").asc)
+  }
+
   /** Kruskal–Wallis H — [[mannWhitneyU]] extended to K groups (one-way
     * rank ANOVA): do any of k variants' metric distributions differ,
     * read from midranks alone. Same single ranked pass (min-rank +

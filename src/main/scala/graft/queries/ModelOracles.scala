@@ -616,6 +616,44 @@ object ModelOracles {
         |SELECT dd.community, dd.n_nodes, dd.vol, dd.cut, dd.intra, dd.dq,
         |  qq.q
         |FROM dd, qq ORDER BY community ASC""".stripMargin),
+    "q_graph_modularity_weighted" -> ("WITH " + lpaChain +
+      """ew0 AS (SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+        |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |ew AS (SELECT u, v, w FROM ew0
+        |  UNION ALL SELECT v AS u, u AS v, w FROM ew0),
+        |elw AS (SELECT CAST(ew.w AS DECIMAL(20,6)) AS w,
+        |    lu.label AS cu, lv.label AS cv
+        |  FROM ew JOIN l3 lu ON lu.node = ew.u
+        |  JOIN l3 lv ON lv.node = ew.v),
+        |cn AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM l3 GROUP BY 1),
+        |ag AS (SELECT cu AS community,
+        |    CAST(sum(w) AS DECIMAL(38,6)) AS vol,
+        |    CAST(sum(CASE WHEN cu <> cv THEN w
+        |      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DECIMAL(38,6)) AS cut
+        |  FROM elw GROUP BY 1),
+        |base AS (SELECT cn.community, cn.n_nodes,
+        |    coalesce(ag.vol, CAST(0 AS DECIMAL(38,6))) AS vol,
+        |    coalesce(ag.cut, CAST(0 AS DECIMAL(38,6))) AS cut
+        |  FROM cn LEFT JOIN ag USING (community)),
+        |ee AS (SELECT CAST(sum(vol) AS DECIMAL(38,6)) AS e FROM base),
+        |dd AS (SELECT community, n_nodes, vol, cut,
+        |    CAST(vol - cut AS DECIMAL(38,6)) AS intra,
+        |    CASE WHEN ee.e > CAST(0 AS DECIMAL(38,6)) THEN
+        |      (CAST(vol - cut AS DOUBLE) / CAST(ee.e AS DOUBLE))
+        |      - (CAST(vol AS DOUBLE) / CAST(ee.e AS DOUBLE))
+        |        * (CAST(vol AS DOUBLE) / CAST(ee.e AS DOUBLE))
+        |    ELSE 0.0 END AS dq
+        |  FROM base, ee),
+        |qq AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(dq ORDER BY community)), (a, b) -> a + b) AS q FROM dd)
+        |SELECT dd.community, dd.n_nodes, CAST(dd.vol AS DOUBLE) AS vol,
+        |  CAST(dd.cut AS DOUBLE) AS cut, CAST(dd.intra AS DOUBLE) AS intra,
+        |  dd.dq, qq.q
+        |FROM dd, qq ORDER BY community ASC""".stripMargin),
     "q_graph_lpa_convergence" -> ("WITH " + lpaChain.stripSuffix(",\n") +
       "\n" +
       (1 to 3).map(k =>
@@ -625,6 +663,47 @@ object ModelOracles {
            |   WHERE p.label <> c.label) AS changed""".stripMargin)
         .mkString("\nUNION ALL\n") +
       "\nORDER BY round ASC"),
+    "q_ab_mannwhitney_sliced" ->
+      """WITH u AS (SELECT CAST(event_type AS VARCHAR) AS grp, user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT grp, variant, CAST(revenue AS DOUBLE) AS s FROM u),
+        |rk AS (SELECT grp, variant, s,
+        |    rank() OVER (PARTITION BY grp ORDER BY s) AS rk FROM r),
+        |cc AS (SELECT grp, s, count(*) AS c FROM r GROUP BY grp, s),
+        |j AS (SELECT rk.grp, rk.variant, rk.rk, cc.c
+        |  FROM rk JOIN cc ON cc.grp = rk.grp AND cc.s = rk.s),
+        |g AS (SELECT grp, variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(2 * rk + c - 1) AS BIGINT) AS r2,
+        |    CAST(sum(c * c - 1) AS BIGINT) AS t
+        |  FROM j GROUP BY grp, variant),
+        |nv AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM g GROUP BY grp),
+        |ga AS (SELECT grp, n AS n_a, r2 AS r2_a, t AS t_a FROM g
+        |  WHERE variant = 'A'),
+        |gb AS (SELECT grp, n AS n_b, r2 AS r2_b, t AS t_b FROM g
+        |  WHERE variant = 'B'),
+        |f AS (SELECT nv.grp, nv.n_variants, n_a, n_b,
+        |    CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |    CAST(t_a + t_b AS DOUBLE) AS tie,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd
+        |  FROM nv JOIN ga USING (grp) JOIN gb USING (grp))
+        |SELECT grp AS "group", n_variants, 'A' AS variant_a,
+        |  'B' AS variant_b, n_a, n_b,
+        |  u_a, (CAST(n_a * n_b AS DOUBLE)) - u_a AS u_b, tie AS tie_term,
+        |  CASE WHEN n_variants = 2 AND
+        |      sqrt(((nad * nbd) / 12.0) *
+        |        ((nd + 1.0) - tie / (nd * (nd - 1.0)))) > 0.0 THEN
+        |    (u_a - ((nad * nbd) / 2.0)) /
+        |      sqrt(((nad * nbd) / 12.0) *
+        |        ((nd + 1.0) - tie / (nd * (nd - 1.0))))
+        |  END AS z
+        |FROM f ORDER BY "group" ASC""".stripMargin,
     "q_ab_kruskal" ->
       """WITH u AS (SELECT user_id,
         |    CASE WHEN user_id % 3 = 0 THEN 'A'

@@ -265,6 +265,16 @@ object ModelQueries {
       val labels = GraphRank.labelPropagation(e, "src", "dst", iters = 3)
       GraphRank.modularity(e, "src", "dst", labels)
     }),
+    "q_graph_modularity_weighted" -> ((s, dir) => {
+      // does the LPA partition hold up when edges carry VOLUME: weighted
+      // modularity over the line-item-count trade weights (exact
+      // DECIMAL(38,6) sums until the stated divisions) — the same
+      // partition can score well on the skeleton and poorly on volume
+      val labels = GraphRank.labelPropagation(tradeEdges(s, dir),
+        "src", "dst", iters = 3)
+      GraphRank.modularityWeighted(tradeEdgesWeighted(s, dir),
+        "src", "dst", "w", labels)
+    }),
     "q_graph_lpa_convergence" -> ((s, dir) => {
       // did label propagation SETTLE: per-round changed-label counts of
       // the same three deterministic LPA rounds (one agg per cached
@@ -278,6 +288,22 @@ object ModelQueries {
         .map { case (c, i) => ((i + 1).toLong, c) }
         .toDF("round", "changed")
         .orderBy(F.col("round").asc)
+    }),
+    "q_ab_mannwhitney_sliced" -> ((s, dir) => {
+      // the Simpson's-paradox check: the rank-sum A/B readout PER
+      // event-type slice (per-slice midranks through one composite
+      // range shuffle) — does A beat B everywhere, or only in aggregate
+      val rev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull &&
+          F.col("event_type").isNotNull)
+        .groupBy(F.col("event_type"), F.col("user_id"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+        .select(F.col("event_type"),
+          F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("revenue"))
+      graft.pipeline.Report.mannWhitneyUByGroup(rev, "event_type",
+        "variant", "revenue")
     }),
     "q_ab_kruskal" -> ((s, dir) => {
       // k-variant rank ANOVA: Kruskal-Wallis H over three user cohorts'

@@ -336,6 +336,41 @@ class ModelSpec extends AnyFunSuite {
     assert(q1.getDouble(6) == 0.0, q1.toString)
   }
 
+  test("modularityWeighted: volume-scaled decomposition; all-ones " +
+    "weights equal the unweighted answer") {
+    import spark.implicits._
+    val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val t2 = Seq(("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+    val all = t1 ++ t2 :+ (("a1", "b1"))
+    val sym = all ++ all.map(_.swap)
+    val labels = (Seq("a1", "a2", "a3").map(_ -> "A") ++
+      Seq("b1", "b2", "b3").map(_ -> "B")).toDF("node", "community")
+    // intra edges weigh 2, the bridge 1: vol = 13, cut = 1, intra = 12,
+    // E = 26; dq = 12/26 − (13/26)²
+    val weighted = sym.map { case (u, v) =>
+      (u, v, if (u.head == v.head) 2.0 else 1.0)
+    }.toDF("src", "dst", "w")
+    val got = GraphRank.modularityWeighted(weighted, "src", "dst", "w",
+      labels).collect()
+    val dq = 12.0 / 26.0 - (13.0 / 26.0) * (13.0 / 26.0)
+    got.foreach { r =>
+      assert(r.getDouble(2) == 13.0 && r.getDouble(3) == 1.0 &&
+        r.getDouble(4) == 12.0, r.toString)
+      assert(math.abs(r.getDouble(5) - dq) < 1e-15, r.toString)
+      assert(math.abs(r.getDouble(6) - 2.0 * dq) < 1e-15, r.toString)
+    }
+    // weight ≡ 1 reduces to the unweighted decomposition exactly
+    val ones = sym.map { case (u, v) => (u, v, 1.0) }.toDF("src", "dst", "w")
+    val w1 = GraphRank.modularityWeighted(ones, "src", "dst", "w", labels)
+      .collect().map(r => r.getString(0) -> (r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val u1 = GraphRank.modularity(sym.toDF("src", "dst"), "src", "dst",
+        labels)
+      .collect().map(r => r.getString(0) -> (r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(w1 == u1, s"$w1 vs $u1")
+  }
+
   test("labelPropagationConverged: early stop equals fixed-iteration " +
     "labels; change counts non-increasing on the toy graph") {
     import spark.implicits._
@@ -365,6 +400,28 @@ class ModelSpec extends AnyFunSuite {
     val exp3 = GraphRank.labelPropagation(edges, "src", "dst", iters = 3)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got3 == exp3)
+  }
+
+  test("mannWhitneyUByGroup: each slice equals the single-slice test") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    val s1 = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 4.0), ("B", 5.0))
+    val s2 = s1.map { case (v, x) => (v, -x) } // flipped ordering
+    val df = (s1.map { case (v, x) => ("seg1", v, x) } ++
+      s2.map { case (v, x) => ("seg2", v, x) }).toDF("seg", "variant", "x")
+    val sliced = Report.mannWhitneyUByGroup(df, "seg", "variant", "x")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val g1 = Report.mannWhitneyU(s1.toDF("variant", "x"), "variant", "x")
+      .head().toSeq
+    val g2 = Report.mannWhitneyU(s2.toDF("variant", "x"), "variant", "x")
+      .head().toSeq
+    assert(sliced("seg1") == g1, s"${sliced("seg1")} vs $g1")
+    assert(sliced("seg2") == g2, s"${sliced("seg2")} vs $g2")
+    // the flipped slice answers the opposite-signed z
+    val z1 = sliced("seg1").last.asInstanceOf[Double]
+    val z2 = sliced("seg2").last.asInstanceOf[Double]
+    assert(z1 == -z2 && z1 < 0.0, s"$z1 / $z2")
   }
 
   test("kruskalWallis: hand-computed H on three tie-free groups; " +
