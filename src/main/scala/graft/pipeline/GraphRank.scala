@@ -92,6 +92,77 @@ object GraphRank {
     ranks.orderBy(F.col("node").asc)
   }
 
+  /** [[pagerank]] with a CONVERGENCE SIGNAL — the PageRank analog of
+    * [[labelPropagationConverged]]: the same fixed-point rounds, each
+    * iterate persisted, and the per-round L1 movement read as EXACT
+    * integers: delta_k = Σ_v |fp(r_k) − fp(r_{k−1})| with fp the
+    * trajectory's own 2^20 fixed-point image — so the signal replays
+    * on any engine and `earlyStop` halts at the first round whose
+    * fixed-point image is STATIONARY (delta 0: iterating further
+    * cannot change any oracle-visible digit). `maxIters` caps the
+    * loop. One join+agg action per round (the same join the next round
+    * would do anyway reads the cache). Returns (ranks ascending,
+    * per-round deltas — one entry per round run); earlyStop=false with
+    * maxIters=k is BIT-IDENTICAL to `pagerank(iters = k)`. */
+  def pagerankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20, damping: Double = 0.85,
+      earlyStop: Boolean = true): (DataFrame, Seq[Long]) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val n = nodes.count().toDouble
+    require(n > 0, "pagerank over an empty edge list")
+    val outdeg = e.groupBy(F.col("td_u"))
+      .agg(F.count(F.lit(1)).cast("double").as("td_deg"))
+    val eDeg = e.join(outdeg, "td_u")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    eDeg.count()
+    e.unpersist(blocking = false)
+    val base = (1.0d - damping) / n
+    def fp(c: org.apache.spark.sql.Column) =
+      F.floor(c * F.lit(GradScale) + F.lit(0.5d)).cast("long")
+    var ranks = nodes.select(F.col("node"),
+      (F.lit(1.0d) / F.lit(n)).as("rank"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var round = 0
+    var stable = false
+    while (round < maxIters && !(earlyStop && stable)) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "td_u"), "td_u")
+        .groupBy(F.col("td_v"))
+        .agg(F.sum(F.floor((F.col("rank") / F.col("td_deg")) *
+            F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_s"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("td_v", "node"), Seq("node"), "left")
+        .select(F.col("node"),
+          (F.lit(base) + F.lit(damping) *
+            (F.coalesce(F.col("td_s"), F.lit(0L)).cast("decimal(38,0)")
+              .cast("double") / F.lit(GradScale))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // ONE action per round: materializes the iterate AND reads the
+      // exact L1 movement (sum of |fp deltas| — longs to ~2^43 nodes)
+      val delta = next.select(F.col("node"), F.col("rank").as("td_new"))
+        .join(ranks.select(F.col("node"), F.col("rank").as("td_old")),
+          "node")
+        .agg(F.sum(F.abs(fp(F.col("td_new")) - fp(F.col("td_old"))))
+          .cast("long"))
+        .head().getLong(0)
+      deltas += delta
+      stable = delta == 0L
+      ranks = next
+      round += 1
+    }
+    (ranks.orderBy(F.col("node").asc), deltas.toSeq)
+  }
+
   /** Materialize the final node-sized rank relation (one count action —
     * the same single execution the caller's action would have run), then
     * release the corpus-sized edge/node caches explicitly instead of

@@ -654,6 +654,18 @@ object ModelOracles {
         |  CAST(dd.cut AS DOUBLE) AS cut, CAST(dd.intra AS DOUBLE) AS intra,
         |  dd.dq, qq.q
         |FROM dd, qq ORDER BY community ASC""".stripMargin),
+    "q_graph_pagerank_convergence" -> (("WITH " + prChain("", ""))
+      .stripSuffix(",\n") + "\n" +
+      (1 to 5).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           |  (SELECT CAST(sum(abs(
+           |      CAST(floor(a."rank" * 1048576.0 + 0.5) AS BIGINT) -
+           |      CAST(floor(b."rank" * 1048576.0 + 0.5) AS BIGINT)))
+           |    AS BIGINT)
+           |   FROM r$k a JOIN r${k - 1} b USING (node)) AS delta_fp"""
+          .stripMargin)
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY round ASC"),
     "q_graph_lpa_convergence" -> ("WITH " + lpaChain.stripSuffix(",\n") +
       "\n" +
       (1 to 3).map(k =>

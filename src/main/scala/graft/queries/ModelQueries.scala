@@ -275,6 +275,19 @@ object ModelQueries {
       GraphRank.modularityWeighted(tradeEdgesWeighted(s, dir),
         "src", "dst", "w", labels)
     }),
+    "q_graph_pagerank_convergence" -> ((s, dir) => {
+      // is 5 iterations ENOUGH: per-round exact L1 movement of the
+      // PageRank fixed-point trajectory (Σ|fp(r_k) − fp(r_{k-1})| as
+      // integers) — the signal a real curation run reads before
+      // trusting the ranks; the oracle replays all five deltas
+      import s.implicits._
+      val (_, deltas) = GraphRank.pagerankConverged(tradeEdges(s, dir),
+        "src", "dst", maxIters = 5, earlyStop = false)
+      deltas.zipWithIndex
+        .map { case (d, i) => ((i + 1).toLong, d) }
+        .toDF("round", "delta_fp")
+        .orderBy(F.col("round").asc)
+    }),
     "q_graph_lpa_convergence" -> ((s, dir) => {
       // did label propagation SETTLE: per-round changed-label counts of
       // the same three deterministic LPA rounds (one agg per cached

@@ -336,6 +336,31 @@ class ModelSpec extends AnyFunSuite {
     assert(q1.getDouble(6) == 0.0, q1.toString)
   }
 
+  test("pagerankConverged: deltas shrink, early stop at the stationary " +
+    "fixed-point image, ranks equal the plain operator") {
+    import spark.implicits._
+    val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val edges = (t1 ++ t1.map(_.swap)).toDF("src", "dst")
+    // a symmetric triangle settles after one quantization step (the
+    // first round moves each node by one fp unit — fp(1/6) rounds —
+    // then the image is stationary and early stop fires)
+    val (r1, d1) = GraphRank.pagerankConverged(edges, "src", "dst",
+      maxIters = 10)
+    assert(d1.length < 10 && d1.last == 0L, d1.toString)
+    // an asymmetric graph converges gradually: deltas non-increasing,
+    // and earlyStop=false reproduces pagerank(iters = k) bit-for-bit
+    val star = Seq(("h", "x"), ("h", "y"), ("x", "h"), ("y", "h"),
+      ("x", "y")).toDF("src", "dst")
+    val (rc, dc) = GraphRank.pagerankConverged(star, "src", "dst",
+      maxIters = 4, earlyStop = false)
+    assert(dc.length == 4 && dc.head > 0L)
+    assert(dc.zip(dc.tail).forall { case (a, b) => b <= a }, dc.toString)
+    val got = rc.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = GraphRank.pagerank(star, "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == exp, s"$got vs $exp")
+  }
+
   test("modularityWeighted: volume-scaled decomposition; all-ones " +
     "weights equal the unweighted answer") {
     import spark.implicits._

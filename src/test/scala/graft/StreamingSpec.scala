@@ -559,6 +559,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful cusum TTL: expired ramps restart from zero") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    def writeRows(dir: java.nio.file.Path, rows: Seq[(String, Long, Double)],
+        name: String, mtime: Long): Unit = {
+      val stage = Files.createTempDirectory("graft-cu-stage")
+      rows.toDF("key", "seq", "v").coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    @annotation.nowarn("cat=deprecation")
+    def runOnce(dir: String, out: String, ckpt: String): Unit = {
+      val stream = Streams.readParquetStream(spark, dir, schema,
+        maxFilesPerTrigger = 1).as[(String, Long, Double)]
+      val cus = Streams.statefulCusum(stream, mu = 10.0, slack = 0.0,
+        threshold = 100.0, stateTtlMs = Some(500L))
+      val q = cus.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination(); q.stop()
+    }
+    val dir = Files.createTempDirectory("graft-cu-ttl")
+    val out = Files.createTempDirectory("graft-cu-ttl-out").toString
+    val ck = Files.createTempDirectory("graft-cu-ttl-ck").toString
+    writeRows(dir, Seq(("a", 1L, 15.0)), "b0.parquet", 1700000000000L)
+    runOnce(dir.toString, out, ck)
+    Thread.sleep(1200)
+    // past the TTL: the ramp restarts from zero, not from 5.0
+    writeRows(dir, Seq(("a", 2L, 17.0)), "b1.parquet", 1700000060000L)
+    runOnce(dir.toString, out, ck)
+    val got = spark.read.parquet(out).as[Streams.CusumUpdate].collect()
+      .map(u => (u.n, u.cusumHi)).toSet
+    assert(got == Set((1L, 5.0), (1L, 7.0)),
+      s"expired ramps must restart from zero, got $got")
+  }
+
   test("streaming near-dup: rewrites flagged against the min-id canonical; differential vs batch band index") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +
