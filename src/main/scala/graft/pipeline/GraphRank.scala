@@ -784,6 +784,88 @@ object GraphRank {
       .orderBy(F.col("node").asc)
   }
 
+  /** EXACT k-hop reach: for every node, how many DISTINCT nodes its
+    * out-edges reach within 1..k hops (self included only if a cycle
+    * returns) — the neighborhood-size anomaly signal (spam/bot farms
+    * show outsized 2-hop reach; a leaf shows its degree). Iterates the
+    * distinct pair relation P_{r+1} = P_r ∪ (P_r ⋈ edges), so the
+    * intermediate relation is the k-hop TRANSITIVE PAIR SET — quadratic
+    * on dense graphs: this is the exact-twin face for bounded data and
+    * verification; the 100 TB path is [[kHopReachApprox]] (HyperBall),
+    * whose per-node state is one HLL register set regardless of reach.
+    * Output: (node, reach) ascending, exact integers. */
+  def kHopReach(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var pairs = e
+    for (_ <- 1 until k) {
+      // each iterate feeds TWO consumers (the union's both sides via
+      // the join) — persist keeps compute/plan linear in rounds
+      pairs = pairs
+        .unionByName(pairs.select(F.col("td_u"), F.col("td_v").as("td_m"))
+          .join(e.select(F.col("td_u").as("td_m"), F.col("td_v")), "td_m")
+          .select(F.col("td_u"), F.col("td_v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    pairs.groupBy(F.col("td_u").as("node"))
+      .agg(F.count(F.lit(1)).as("reach"))
+      .orderBy(F.col("node").asc)
+  }
+
+  /** APPROXIMATE k-hop reach by HyperBall (Boldi & Vigna 2013): each
+    * node carries ONE mergeable HLL sketch of its reach ball,
+    * B_{r+1}(u) = B_r(u) ∪ ⋃_{u→v} B_r(v) — every round is one
+    * edge-keyed join + one hll_union_agg, state per node is a fixed
+    * register set NO MATTER how large the ball grows (the pair relation
+    * [[kHopReach]] materializes never exists). Standard ~1.6%/√(2^lgK)
+    * HLL error; deterministic for a given edge set (DataSketches
+    * register updates are order-insensitive), but estimates are
+    * engine-specific — verification rides the exact twin (the RecallSpec
+    * pattern). Balls INCLUDE the node itself (B_0 = {u}; HLL cannot
+    * subtract the self element afterward), so compare `ball_est`
+    * against exact reach + 1 when the node has no self-cycle. Output:
+    * (node, ball_est: double) ascending. */
+  def kHopReachApprox(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, lgK: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    nodes.count()
+    var balls = nodes.groupBy(F.col("node"))
+      .agg(F.expr(s"hll_sketch_agg(node, $lgK)").as("td_ball"))
+    for (_ <- 0 until k) {
+      // neighbor balls union into each source's ball; nodes with no
+      // out-edges keep their own ball (left join + coalesce)
+      val nbr = e.join(balls.withColumnRenamed("node", "td_v"), "td_v")
+        .groupBy(F.col("td_u").as("node"))
+        .agg(F.expr("hll_union_agg(td_ball)").as("td_nbr"))
+      balls = balls.join(nbr, Seq("node"), "left")
+        .select(F.col("node"),
+          F.when(F.col("td_nbr").isNull, F.col("td_ball"))
+            .otherwise(F.expr("hll_union(td_ball, td_nbr)"))
+            .as("td_ball"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    balls.select(F.col("node"),
+        F.expr("hll_sketch_estimate(td_ball)").cast("double").as("ball_est"))
+      .orderBy(F.col("node").asc)
+  }
+
   /** Per-node triangle counts + local clustering coefficients over an
     * undirected graph. Edges are canonicalized (least, greatest),
     * deduplicated, loops dropped; triangles enumerate ONCE each via the

@@ -572,6 +572,20 @@ object ModelOracles {
         |  END AS conductance
         |FROM ag JOIN cn USING (community), ee
         |ORDER BY community ASC""".stripMargin),
+    "q_graph_reach" ->
+      """WITH ed0 AS (SELECT DISTINCT
+        |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+        |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |ed AS (SELECT u, v FROM ed0
+        |  UNION ALL SELECT v AS u, u AS v FROM ed0),
+        |p1 AS (SELECT DISTINCT u, v FROM ed),
+        |p2 AS (SELECT DISTINCT u, v FROM (
+        |  SELECT u, v FROM p1
+        |  UNION ALL
+        |  SELECT p1.u, e.v FROM p1 JOIN p1 e ON e.u = p1.v))
+        |SELECT u AS node, CAST(count(*) AS BIGINT) AS reach
+        |FROM p2 GROUP BY u ORDER BY node ASC""".stripMargin,
     "q_graph_kcore" -> {
       val rounds = (1 to 3).map { r =>
         s"""k$r AS (SELECT u FROM e${r - 1} GROUP BY u

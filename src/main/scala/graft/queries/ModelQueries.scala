@@ -363,6 +363,13 @@ object ModelQueries {
           .as("variant"), F.col("revenue"))
       graft.pipeline.Report.mannWhitneyU(rev, "variant", "revenue")
     }),
+    "q_graph_reach" -> ((s, dir) => {
+      // 2-hop neighborhood size per node, EXACT (the spam-farm reach
+      // anomaly signal): distinct transitive pairs at k=2 — this is the
+      // verification twin; the 100 TB path is the HyperBall HLL variant
+      // whose per-node state never grows (RecallSpec pins its accuracy)
+      GraphRank.kHopReach(tradeEdges(s, dir), "src", "dst", k = 2)
+    }),
     "q_graph_kcore" -> ((s, dir) => {
       // dense-core extraction: 3 peeling rounds at k=5 over the trade
       // graph — who keeps >= 5 trading partners after the leaves fall

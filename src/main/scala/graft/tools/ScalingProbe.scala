@@ -495,6 +495,19 @@ object ScalingProbe {
         graft.pipeline.GraphRank.kCore(ed, "src", "dst", k = 2, iters = 2)
           .count()
       }),
+      ("reach_hll", 100, { d =>
+        // HyperBall: 2 rounds of edge join + hll_union_agg; per-node
+        // state is one register set no matter how large the ball —
+        // the scale path whose exact twin (kHopReach) is quadratic
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val ed = e0.union(e0.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        graft.pipeline.GraphRank.kHopReachApprox(ed, "src", "dst", k = 2)
+          .count()
+      }),
       ("pagerank_conv", 100, { d =>
         // pagerank's 2 rounds + one cached join+agg action per round
         // (the exact L1 signal)

@@ -569,6 +569,47 @@ class ModelSpec extends AnyFunSuite {
     assert(h("c")._1 == 0.0 && h("a")._2 == 0.0)
   }
 
+  test("kHopReach: exact path-graph reach; HyperBall ball tracks " +
+    "exact+1 on small graphs") {
+    import spark.implicits._
+    // path a→b→c→d: reach_2(a)={b,c}, reach_2(b)={c,d}, reach_2(c)={d};
+    // the sink d has no out-pairs and answers no row
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = GraphRank.kHopReach(path, "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L), got.toString)
+    val k3 = GraphRank.kHopReach(path, "src", "dst", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(k3("a") == 3L, k3.toString)
+    // HyperBall: HLL sketches are near-exact at toy cardinalities
+    // (sparse mode), so ball_est == exact reach + 1 (the self element)
+    val est = GraphRank.kHopReachApprox(path, "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq("a" -> 3.0, "b" -> 3.0, "c" -> 2.0, "d" -> 1.0).foreach {
+      case (n, want) =>
+        assert(math.abs(est(n) - want) < 0.01, s"$n: ${est(n)} vs $want")
+    }
+    // the scale path tracks the exact twin on the real graph shape too:
+    // every documents-derived chain-block node within HLL error
+    val ids = spark.range(0, 2000).select(F.col("id"))
+    val e0 = ids.as("a").join(ids.as("b"),
+        F.col("b.id") === F.col("a.id") + 1 && F.col("a.id") % 50 =!= 49)
+      .select(F.col("a.id").cast("string").as("src"),
+        F.col("b.id").cast("string").as("dst"))
+    val edges = e0.union(e0.select(F.col("dst").as("src"),
+      F.col("src").as("dst")))
+    val exact = GraphRank.kHopReach(edges, "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = GraphRank.kHopReachApprox(edges, "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the graph is SYMMETRIC, so every non-isolated node's 2-hop set
+    // already contains itself (u→v→u): ball == exact reach, no +1
+    approx.foreach { case (n, b) =>
+      val want = exact(n).toDouble
+      assert(math.abs(b - want) / want < 0.05, s"$n: $b vs $want")
+    }
+  }
+
   test("kCore: K4 survives k=2 peeling, the pendant chain dies; " +
     "converged rounds are no-ops") {
     import spark.implicits._
