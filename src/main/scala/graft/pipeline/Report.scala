@@ -1619,6 +1619,45 @@ object Report {
     mergeCorrStamps(corrStamp(withRanks, "td_mx", "td_my"))
   }
 
+  /** Seasonal (day-of-week) anomaly baseline over DAILY event counts —
+    * the third face of the volume-anomaly family ([[ewmaDaily]] reads
+    * trend, [[cusumDaily]] sustained shifts, this one the WEEKLY
+    * pattern): each day scored against ITS weekday's mean/std, so a
+    * quiet Sunday doesn't alarm and a quiet Tuesday does. dow is pure
+    * integer arithmetic (epoch-days mod 7 — identical on any engine,
+    * no calendar/locale dependence; 0 = Thursday, the 1970-01-01
+    * anchor), the per-dow moments are exact long sums over the BOUNDED
+    * day grid read back through unpartitioned-per-dow windows (never a
+    * second corpus scan — the benford rule), and mean/std/z state each
+    * double op once. Days whose weekday has std 0 (or a single sample)
+    * answer NULL z honestly. Output:
+    * (day, dow, cnt, dow_mean, dow_std, z) ascending by day. */
+  def seasonalDaily(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df.where(F.col(tsCol).isNotNull)
+      .groupBy(F.to_date(F.col(tsCol)).as("day"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .withColumn("dow", F.unix_date(F.col("day")).cast("long") % 7L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("dow"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val nD = F.count(F.lit(1)).over(w).cast("double")
+    val mean = F.sum(F.col("cnt")).over(w).cast("double") / nD
+    val ex2 = F.sum((F.col("cnt").cast("decimal(19,0)") *
+        F.col("cnt").cast("decimal(19,0)")).cast("decimal(38,0)")).over(w)
+      .cast("double") / nD
+    val staged = daily
+      .withColumn("dow_mean", mean)
+      .withColumn("dow_std",
+        F.sqrt(F.greatest(F.lit(0.0d),
+          ex2 - F.col("dow_mean") * F.col("dow_mean"))))
+    staged.select(F.col("day"), F.col("dow"), F.col("cnt"),
+        F.col("dow_mean"), F.col("dow_std"),
+        F.when(F.col("dow_std") > 0.0d,
+          (F.col("cnt").cast("double") - F.col("dow_mean")) /
+            F.col("dow_std")).as("z"))
+      .orderBy(F.col("day").asc)
+  }
+
   /** Two-sided CUSUM over DAILY event counts — the change-point/anomaly
     * companion of [[ewmaDaily]] (Page 1954): S⁺ accumulates upward
     * drift above the grand mean (minus the slack), S⁻ downward, each

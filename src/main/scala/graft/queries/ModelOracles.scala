@@ -777,6 +777,26 @@ object ModelOracles {
         |  FROM r1 JOIN cx USING (xv) JOIN cy USING (yv)),
         |""".stripMargin + corrSql("m", "")
     },
+    "q_seasonal_daily" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |dd AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |    (CAST(day - DATE '1970-01-01' AS BIGINT) % 7) AS dow, cnt
+        |  FROM d),
+        |st AS (SELECT day_num, dow, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY dow) AS DOUBLE) /
+        |      CAST(count(*) OVER (PARTITION BY dow) AS DOUBLE) AS dow_mean,
+        |    CAST(sum(cnt * cnt) OVER (PARTITION BY dow) AS DOUBLE) /
+        |      CAST(count(*) OVER (PARTITION BY dow) AS DOUBLE) AS ex2
+        |  FROM dd),
+        |fz AS (SELECT day_num, dow, cnt, dow_mean,
+        |    sqrt(greatest(0.0, ex2 - dow_mean * dow_mean)) AS dow_std
+        |  FROM st)
+        |SELECT day_num, dow, cnt, dow_mean, dow_std,
+        |  CASE WHEN dow_std > 0.0 THEN
+        |    (CAST(cnt AS DOUBLE) - dow_mean) / dow_std END AS z
+        |FROM fz ORDER BY day_num ASC""".stripMargin,
     "q_cusum_daily" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS cnt

@@ -339,6 +339,16 @@ object ModelQueries {
       graft.pipeline.Report.spearmanCorr(
         d(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
     }),
+    "q_seasonal_daily" -> ((s, dir) => {
+      // weekday-aware volume anomalies: each day z-scored against ITS
+      // day-of-week mean/std (epoch-days mod 7, calendar-free) — the
+      // seasonal face of the EWMA/CUSUM anomaly family
+      graft.pipeline.Report.seasonalDaily(d(s, dir, "events"), "ts")
+        .select(F.unix_date(F.col("day")).cast("long").as("day_num"),
+          F.col("dow"), F.col("cnt"), F.col("dow_mean"), F.col("dow_std"),
+          F.col("z"))
+        .orderBy(F.col("day_num").asc)
+    }),
     "q_cusum_daily" -> ((s, dir) => {
       // change-point ramps over daily volume: two-sided CUSUM against
       // the grand mean with slack 2 — where did traffic SHIFT, not just

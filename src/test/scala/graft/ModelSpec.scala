@@ -503,6 +503,28 @@ class ModelSpec extends AnyFunSuite {
     assert(rt.getDouble(1) == byHand, s"${rt.getDouble(1)} vs $byHand")
   }
 
+  test("seasonalDaily: per-weekday baseline, hand-computed z; " +
+    "single-sample weekdays answer NULL z") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // two Mondays (2024-01-01, 2024-01-08: counts 10, 20) + one Tuesday
+    val rows =
+      Seq.fill(10)("2024-01-01 10:00:00") ++
+      Seq.fill(20)("2024-01-08 10:00:00") ++
+      Seq.fill(7)("2024-01-02 10:00:00")
+    val df = rows.toDF("s").select(F.col("s").cast("timestamp").as("ts"))
+    val got = Report.seasonalDaily(df, "ts").collect()
+    // Mondays: mean 15, ex2 = (100+400)/2 = 250, std = sqrt(250-225) = 5
+    val m1 = got(0); val tu = got(1); val m2 = got(2)
+    assert(m1.getLong(1) == m2.getLong(1) && m1.getLong(1) != tu.getLong(1))
+    assert(m1.getDouble(3) == 15.0 && m1.getDouble(4) == 5.0, m1.toString)
+    assert(m1.getDouble(5) == -1.0 && m2.getDouble(5) == 1.0,
+      s"$m1 / $m2")
+    // the lone Tuesday: std 0 → NULL z, mean = its own count
+    assert(tu.getDouble(3) == 7.0 && tu.getDouble(4) == 0.0 &&
+      tu.isNullAt(5), tu.toString)
+  }
+
   test("cusumDaily: hand-computed two-sided ramps; empty answers no rows") {
     import graft.pipeline.Report
     import spark.implicits._
