@@ -472,6 +472,15 @@ object PipelineOracles {
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audio" ->
+      """SELECT doc_id, 'wav' AS kind,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 44100 ELSE 48000 END AS INTEGER) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER)
+        |    AS bits_per_sample,
+        |  CAST(doc_id % 1000 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_events_json" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |  count(*) AS n,

@@ -434,6 +434,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_audio" -> ((s, dir) => {
+      // write-then-parse E2E for the AUDIO face: canonical 44-byte
+      // RIFF/WAVE headers synthesized per doc (rate/channels/bits/frames
+      // stated from doc_id per the RIFF spec), decoded back through the
+      // real header walk — the oracle states the synthesis formulas
+      import s.implicits._
+      val rates = Array(8000, 16000, 44100, 48000)
+      val withWav = t(s, dir, "documents").select(F.col("doc_id"))
+        .as[Long].map { id =>
+          val rate = rates((id % 4).toInt)
+          val ch = (id % 2 + 1).toInt
+          val bits = if (id % 3 == 0) 8 else 16
+          val frames = (id % 1000).toInt
+          val dataLen = frames * ch * (bits / 8)
+          val bb = java.nio.ByteBuffer.allocate(44)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+          bb.put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+          bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+          bb.putInt(rate * ch * (bits / 8))
+          bb.putShort((ch * (bits / 8)).toShort); bb.putShort(bits.toShort)
+          bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+          (id, bb.array())
+        }.toDF("doc_id", "content")
+      Multimodal.decodePartitions(withWav, "audio")
+        .select(F.col("doc_id"),
+          F.col("media_meta.kind").as("kind"),
+          F.col("media_meta.sample_rate").as("sample_rate"),
+          F.col("media_meta.channels").as("channels"),
+          F.col("media_meta.bits_per_sample").as("bits_per_sample"),
+          F.col("media_meta.n_frames").as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     // --- dedup clustering / decontamination / mixing ---
     "q_dedup_clusters" -> ((s, dir) => {
       // deterministic multi-hop edge set: consecutive doc ids chain within
