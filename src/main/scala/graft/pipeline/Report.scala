@@ -1735,6 +1735,42 @@ object Report {
       .orderBy(F.col("day").asc)
   }
 
+  /** Per-group [[ewmaDaily]] — one trend baseline PER SLICE (per
+    * event type, per source): the grouped face of the volume-anomaly
+    * family. One (group, day)-keyed count shuffle reduces the corpus to
+    * the bounded slices×days grid; each group's EWMA rides its own
+    * pinned per-index prefix fold over its sorted day list (packed per
+    * group — O(days²) metadata work per slice, never rows). Output:
+    * (group, day, cnt, ewma) ascending by (group, day); empty input
+    * answers zero rows. */
+  def ewmaDailyByGroup(df: DataFrame, groupCol: String, tsCol: String,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0d && alpha <= 1.0d, s"alpha must be in (0,1], got $alpha")
+    val beta = 1.0d - alpha
+    val g = F.col(groupCol).cast("string")
+    val daily = df.where(g.isNotNull && F.col(tsCol).isNotNull)
+      .groupBy(g.as("group"), F.to_date(F.col(tsCol)).as("day"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val packed = daily.groupBy(F.col("group"))
+      .agg(F.sort_array(F.collect_list(
+        F.struct(F.col("day"), F.col("cnt")))).as("td_l"))
+    val l = F.col("td_l")
+    packed.where(F.size(l) > 0)
+      .select(F.col("group"), F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(l)),
+        i => F.struct(
+          F.element_at(l, i).getField("day").as("day"),
+          F.element_at(l, i).getField("cnt").as("cnt"),
+          F.aggregate(F.slice(l, F.lit(2), i - 1),
+            F.element_at(l, 1).getField("cnt").cast("double"),
+            (acc, e) => acc * F.lit(beta) +
+              F.lit(alpha) * e.getField("cnt").cast("double"))
+            .as("ewma")))).as("td_r"))
+      .select(F.col("group"), F.col("td_r.day").as("day"),
+        F.col("td_r.cnt").as("cnt"), F.col("td_r.ewma").as("ewma"))
+      .orderBy(F.col("group").asc, F.col("day").asc)
+  }
+
   /** Pearson chi-squared test of independence between two CATEGORICAL
     * columns (same bounded-cell contract as [[mutualInformation]]: the
     * distinct (a, b) cell relation fits one task's memory — the

@@ -777,6 +777,23 @@ object ModelOracles {
         |  FROM r1 JOIN cx USING (xv) JOIN cy USING (yv)),
         |""".stripMargin + corrSql("m", "")
     },
+    "q_ewma_daily_grouped" ->
+      """WITH d AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |l AS (SELECT grp, list(struct_pack(day := day, cnt := cnt)
+        |    ORDER BY day) AS l,
+        |  list(CAST(cnt AS DOUBLE) ORDER BY day) AS ld
+        |  FROM d GROUP BY grp),
+        |ix AS (SELECT grp, l, ld, unnest(range(1, len(l) + 1)) AS i FROM l)
+        |SELECT grp AS "group",
+        |  CAST(l[i].day - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |  l[i].cnt AS cnt,
+        |  list_reduce(list_prepend(ld[1], ld[2:i]),
+        |    (acc, e) -> acc * (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+        |      + CAST(0.3 AS DOUBLE) * e) AS ewma
+        |FROM ix ORDER BY "group" ASC, day_num ASC""".stripMargin,
     "q_seasonal_daily" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS cnt

@@ -339,6 +339,16 @@ object ModelQueries {
       graft.pipeline.Report.spearmanCorr(
         d(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
     }),
+    "q_ewma_daily_grouped" -> ((s, dir) => {
+      // per-event-type trend baselines: one EWMA per slice off the
+      // bounded slices x days grid — the grouped face of q_ewma_daily
+      graft.pipeline.Report.ewmaDailyByGroup(d(s, dir, "events"),
+          "event_type", "ts", alpha = 0.3)
+        .select(F.col("group"),
+          F.unix_date(F.col("day")).cast("long").as("day_num"),
+          F.col("cnt"), F.col("ewma"))
+        .orderBy(F.col("group").asc, F.col("day_num").asc)
+    }),
     "q_seasonal_daily" -> ((s, dir) => {
       // weekday-aware volume anomalies: each day z-scored against ITS
       // day-of-week mean/std (epoch-days mod 7, calendar-free) — the

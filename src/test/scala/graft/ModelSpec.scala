@@ -786,6 +786,18 @@ class ModelSpec extends AnyFunSuite {
     val allNull = Seq[Option[String]](None, None).toDF("s")
       .select(F.col("s").cast("timestamp").as("ts"))
     assert(Report.ewmaDaily(allNull, "ts", alpha = 0.5).count() == 0L)
+    // grouped face: each slice's recurrence is independent and equals
+    // the single-slice operator on that slice's rows
+    val g = (rows.map(("a", _)) ++
+      Seq(("b", "2024-01-01 09:00:00"), ("b", "2024-01-02 09:00:00")))
+      .toDF("g", "s")
+      .select(F.col("g"), F.col("s").cast("timestamp").as("ts"))
+    val gotG = Report.ewmaDailyByGroup(g, "g", "ts", alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(gotG.filter(_._1 == "a").map(t => (t._2, t._3)).toSeq ==
+      Seq((10L, 10.0), (20L, 15.0), (40L, 27.5)), gotG.toSeq)
+    assert(gotG.filter(_._1 == "b").map(t => (t._2, t._3)).toSeq ==
+      Seq((1L, 1.0), (1L, 1.0)), gotG.toSeq)
   }
 
   test("pca: reconstruction error ~0 for a rank-1 cloud under k=1") {
