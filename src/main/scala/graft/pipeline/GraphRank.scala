@@ -676,6 +676,75 @@ object GraphRank {
       .orderBy(F.col("community").asc)
   }
 
+  /** CATEGORICAL (attribute) assortativity (Newman 2003, eq. 2): do
+    * edges stay within an attribute class — the echo-chamber/mixing
+    * read (do same-nation entities trade with each other; do
+    * same-language docs link each other). Over the bounded class
+    * mixing matrix e_ij (fraction of directed edges from class i to
+    * class j): r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i) with
+    * a_i/b_i the marginals; r = 1 fully assortative, 0 random, < 0
+    * disassortative (NULL when the denominator is 0 — a single class).
+    * Exact integer edge counts build the k² cell relation (the
+    * categorical contract of chiSquared); the traces and marginal
+    * products are sort_array-pinned ascending folds over the bounded
+    * cells, each division stated once. Edges whose endpoints lack an
+    * attribute are EXCLUDED (inner joins — the NULL rule). Output one
+    * row: (n_edges, n_classes, trace, agreement, r) where trace = Σe_ii
+    * and agreement = Σa_i·b_i. */
+  def attributeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String, labels: DataFrame, nodeCol: String = "node",
+      attrCol: String = "attr"): DataFrame = {
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+    val lab = labels
+      .where(F.col(nodeCol).isNotNull && F.col(attrCol).isNotNull)
+      .select(F.col(nodeCol).cast("string").as("td_n"),
+        F.col(attrCol).cast("string").as("td_a"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    lab.count()
+    val lu = lab.select(F.col("td_n").as("td_u"), F.col("td_a").as("td_ai"))
+    val lv = lab.select(F.col("td_n").as("td_v"), F.col("td_a").as("td_aj"))
+    // the k² cell relation is BOUNDED but its lineage is the edge join:
+    // persist+count before its three consumers (trace + both marginals)
+    // — the conductance barrier, never a re-executed corpus scan
+    val cells = e.join(lu, "td_u").join(lv, "td_v")
+      .groupBy(F.col("td_ai"), F.col("td_aj"))
+      .agg(F.count(F.lit(1)).as("td_c"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    cells.count()
+    val out = cells.groupBy(F.col("td_ai").as("td_cls"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_o"))
+    val in = cells.groupBy(F.col("td_aj").as("td_cls"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_i"))
+    val cls = out.join(in, Seq("td_cls"), "full_outer")
+      .select(F.col("td_cls"),
+        F.coalesce(F.col("td_o"), F.lit(0L)).as("td_o"),
+        F.coalesce(F.col("td_i"), F.lit(0L)).as("td_i"))
+    // ONE bounded packed row: total + diagonal exact integers, plus the
+    // sorted per-class marginal list for the pinned agreement fold
+    val packed = cells
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_m"),
+        F.sum(F.when(F.col("td_ai") === F.col("td_aj"), F.col("td_c"))
+          .otherwise(F.lit(0L))).cast("long").as("td_diag"))
+      .crossJoin(F.broadcast(cls.agg(F.sort_array(F.collect_list(
+        F.struct(F.col("td_cls"), F.col("td_o"), F.col("td_i"))))
+        .as("td_l"))))
+    val mD = F.col("td_m").cast("double")
+    val trace = F.col("td_diag").cast("double") / mD
+    val agree = F.aggregate(F.col("td_l"), F.lit(0.0d), (acc, s) =>
+      acc + (s.getField("td_o").cast("double") / mD) *
+        (s.getField("td_i").cast("double") / mD))
+    packed.select(
+      F.col("td_m").as("n_edges"),
+      F.size(F.col("td_l")).cast("long").as("n_classes"),
+      trace.as("trace"),
+      agree.as("agreement"),
+      F.when(F.lit(1.0d) - agree =!= 0.0d,
+        (trace - agree) / (F.lit(1.0d) - agree)).as("r"))
+  }
+
   /** WEIGHTED [[modularity]] (Newman 2004 §V): the same decomposition
     * with every count replaced by the edge-weight sum — w_intra/W −
     * (w_vol/W)², the form that scores a partition of a weighted

@@ -572,6 +572,44 @@ object ModelOracles {
         |  END AS conductance
         |FROM ag JOIN cn USING (community), ee
         |ORDER BY community ASC""".stripMargin),
+    "q_graph_assort_nation" ->
+      """WITH ed0 AS (SELECT DISTINCT
+        |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,
+        |    's:' || CAST(l.l_suppkey AS VARCHAR) AS v
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |ed AS (SELECT u, v FROM ed0
+        |  UNION ALL SELECT v AS u, u AS v FROM ed0),
+        |att AS (SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS n,
+        |    CAST(c_nationkey AS VARCHAR) AS a FROM customer
+        |  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR),
+        |    CAST(s_nationkey AS VARCHAR) FROM supplier),
+        |cells AS (SELECT au.a AS ai, av.a AS aj,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ed JOIN att au ON au.n = ed.u JOIN att av ON av.n = ed.v
+        |  GROUP BY 1, 2),
+        |mm AS (SELECT CAST(sum(c) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN ai = aj THEN c ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells),
+        |oo AS (SELECT ai AS cls, CAST(sum(c) AS BIGINT) AS o
+        |  FROM cells GROUP BY 1),
+        |ii AS (SELECT aj AS cls, CAST(sum(c) AS BIGINT) AS i
+        |  FROM cells GROUP BY 1),
+        |cl AS (SELECT coalesce(oo.cls, ii.cls) AS cls,
+        |    coalesce(oo.o, 0) AS o, coalesce(ii.i, 0) AS i
+        |  FROM oo FULL OUTER JOIN ii ON oo.cls = ii.cls),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(o AS DOUBLE) / CAST(mm.m AS DOUBLE))
+        |        * (CAST(i AS DOUBLE) / CAST(mm.m AS DOUBLE)) ORDER BY cls)),
+        |      (x, y) -> x + y) AS agree
+        |  FROM cl, mm GROUP BY mm.m)
+        |SELECT mm.m AS n_edges, ag.k AS n_classes,
+        |  CAST(mm.diag AS DOUBLE) / CAST(mm.m AS DOUBLE) AS trace,
+        |  ag.agree AS agreement,
+        |  CASE WHEN 1.0 - ag.agree <> 0.0 THEN
+        |    ((CAST(mm.diag AS DOUBLE) / CAST(mm.m AS DOUBLE)) - ag.agree)
+        |      / (1.0 - ag.agree) END AS r
+        |FROM mm, ag""".stripMargin,
     "q_graph_reach" ->
       """WITH ed0 AS (SELECT DISTINCT
         |    'c:' || CAST(o.o_custkey AS VARCHAR) AS u,

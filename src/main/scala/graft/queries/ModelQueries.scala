@@ -383,6 +383,19 @@ object ModelQueries {
           .as("variant"), F.col("revenue"))
       graft.pipeline.Report.mannWhitneyU(rev, "variant", "revenue")
     }),
+    "q_graph_assort_nation" -> ((s, dir) => {
+      // the echo-chamber read: does trade stay WITHIN a nation —
+      // categorical assortativity over the bounded nation mixing matrix
+      // (Newman 2003 eq. 2); exact counts until the stated divisions
+      val cust = d(s, dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).as("node"),
+        F.col("c_nationkey").cast("string").as("attr"))
+      val supp = d(s, dir, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).as("node"),
+        F.col("s_nationkey").cast("string").as("attr"))
+      GraphRank.attributeAssortativity(tradeEdges(s, dir), "src", "dst",
+        cust.unionByName(supp))
+    }),
     "q_graph_reach" -> ((s, dir) => {
       // 2-hop neighborhood size per node, EXACT (the spam-farm reach
       // anomaly signal): distinct transitive pairs at k=2 — this is the

@@ -361,6 +361,37 @@ class ModelSpec extends AnyFunSuite {
     assert(got == exp, s"$got vs $exp")
   }
 
+  test("attributeAssortativity: bridged triangles exact r; " +
+    "single class answers NULL") {
+    import spark.implicits._
+    val t1 = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"))
+    val t2 = Seq(("b1", "b2"), ("b2", "b3"), ("b3", "b1"))
+    val all = t1 ++ t2 :+ (("a1", "b1"))
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val labels = (Seq("a1", "a2", "a3").map(_ -> "A") ++
+      Seq("b1", "b2", "b3").map(_ -> "B")).toDF("node", "attr")
+    // 14 directed edges, 12 intra → trace 6/7; marginals 7/14 each side
+    // per class → agreement 1/2; r = (6/7 − 1/2)/(1 − 1/2) = 5/7
+    val r = GraphRank.attributeAssortativity(edges, "src", "dst", labels)
+      .head()
+    assert(r.getLong(0) == 14L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 12.0 / 14.0, r.toString)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-15, r.toString)
+    assert(math.abs(r.getDouble(4) - 5.0 / 7.0) < 1e-15, r.toString)
+    // one class → agreement 1 → NULL r (0/0 refused honestly)
+    val one = Seq("a1", "a2", "a3", "b1", "b2", "b3").map(_ -> "X")
+      .toDF("node", "attr")
+    val r1 = GraphRank.attributeAssortativity(edges, "src", "dst", one)
+      .head()
+    assert(r1.getDouble(2) == 1.0 && r1.isNullAt(4), r1.toString)
+    // perfectly disassortative: bipartite edges only → trace 0, r < 0
+    val bip = Seq(("a1", "b1"), ("b1", "a1"), ("a2", "b2"), ("b2", "a2"))
+      .toDF("src", "dst")
+    val rb = GraphRank.attributeAssortativity(bip, "src", "dst", labels)
+      .head()
+    assert(rb.getDouble(2) == 0.0 && rb.getDouble(4) < 0.0, rb.toString)
+  }
+
   test("modularityWeighted: volume-scaled decomposition; all-ones " +
     "weights equal the unweighted answer") {
     import spark.implicits._
