@@ -116,8 +116,11 @@ object Dq {
         F.sum(F.coalesce(F.col("n"), F.lit(0L))).over(wTot).cast("long"))
       .select(F.col("digit"),
         F.coalesce(F.col("n"), F.lit(0L)).as("n"),
-        (F.coalesce(F.col("n"), F.lit(0L)).cast("double") /
-          F.col("td_tot").cast("double")).as("frac"),
+        // no positive values → NULL fractions (not 0/0 = NaN): the
+        // degenerate answer the pre-window formulation gave
+        F.when(F.col("td_tot") > 0L,
+          F.coalesce(F.col("n"), F.lit(0L)).cast("double") /
+            F.col("td_tot").cast("double")).as("frac"),
         (MathKernels.ln(F.lit(1.0d) +
           (F.lit(1.0d) / F.col("digit").cast("double"))) / ln10)
           .as("expected"))

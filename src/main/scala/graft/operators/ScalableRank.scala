@@ -96,13 +96,27 @@ object ScalableRank {
     *     (≈ numPartitions + numGroups rows of metadata, broadcast back);
     *  4. group rank = group's offset at this partition + local rank.
     *
-    * Ordinal (row_number) semantics: supply `tiebreakers` that make
-    * (key, tiebreakers) total within every group for a deterministic
-    * result — the contract quantile extraction needs. NULL group keys
-    * form one group (null-safe offset join). */
+    * Methods, mirroring [[withRank]]:
+    *  - `ordinal` (row_number): supply `tiebreakers` that make
+    *    (key, tiebreakers) total within every group for a deterministic
+    *    result — the contract quantile extraction needs;
+    *  - `min` (SQL rank): tied keys within a group share the rank of the
+    *    block's first row — the midrank contract rank statistics need
+    *    ([[graft.pipeline.Report.mannWhitneyUByGroup]]). Ties MUST share
+    *    a partition, so the range partitioner keys on (group, key) alone
+    *    (tiebreakers are ignored, as in [[withRank]]'s min) and offsets
+    *    stay plain row counts — SQL rank continues from row positions.
+    *
+    * NULL group keys form one group (null-safe offset join). */
   def withRankByGroup(df: DataFrame, groupCol: String, key: String,
-      as: String = "rank", tiebreakers: Seq[String] = Nil): DataFrame = {
-    val order = F.col(key).asc +: tiebreakers.map(F.col(_).asc)
+      as: String = "rank", tiebreakers: Seq[String] = Nil,
+      method: String = "ordinal"): DataFrame = {
+    val order = method match {
+      case "ordinal" => F.col(key).asc +: tiebreakers.map(F.col(_).asc)
+      case "min"     => Seq(F.col(key).asc)
+      case other =>
+        throw new IllegalArgumentException(s"group rank method: $other")
+    }
     val partCols = F.col(groupCol).asc +: order
     // localCheckpoint pins partition ids across the two consuming branches
     // (rank + offsets), same reasoning as [[withRank]]
@@ -113,8 +127,11 @@ object ScalableRank {
       .localCheckpoint()
     val w = Window.partitionBy(F.col("`$td.__pid`"), F.col(groupCol))
       .orderBy(order: _*)
-    val withLocal = parted
-      .withColumn("$td.__local", F.row_number().over(w).cast(LongType))
+    val local = method match {
+      case "min" => F.rank().over(w).cast(LongType)
+      case _     => F.row_number().over(w).cast(LongType)
+    }
+    val withLocal = parted.withColumn("$td.__local", local)
     // offsets: how many of MY group's rows live in earlier partitions.
     // The aggregate is (pid, group)-keyed — ≈ partitions + groups rows —
     // and the cumulative window runs over that metadata, not the data.

@@ -133,6 +133,15 @@ object GraphRank {
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
     var round = 0
     var stable = false
+    // DELIBERATELY no release-behind of superseded iterates: measured
+    // r16 (PERF.md) — unpersisting iterate k−1 after round k's action
+    // re-registers round k's cached entry (its plan CONTAINS k−1), and
+    // round k+1 then re-executes the whole prefix chain instead of
+    // reading the cache: 3.553 → 10.068 s min in the BENCH_ONLY shape
+    // (2.8×). Materialization does NOT immunize dependents — the arm-B
+    // hazard (r14) applies to loaded buffers too on this engine.
+    // Iterate caches are node-sized, bounded by maxIters, and reclaimed
+    // by the ContextCleaner.
     while (round < maxIters && !(earlyStop && stable)) {
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "td_u"), "td_u")
@@ -373,6 +382,90 @@ object GraphRank {
       .orderBy(F.col("node").asc)
   }
 
+  /** [[hits]] with a CONVERGENCE SIGNAL — completes the fixed-point
+    * family next to [[pagerankConverged]]/[[labelPropagationConverged]]:
+    * identical pass/normalization arithmetic (with earlyStop=false and
+    * maxIters=k the scores are BIT-IDENTICAL to `hits(iters = k)`), plus
+    * one joint L1 read per round over BOTH vectors' 2^20 fixed-point
+    * images, delta_k = Σ_v |fp(h_k)−fp(h_{k−1})| + Σ_v |fp(a_k)−fp(a_{k−1})|
+    * (a_0 = h_0 = the all-ones init), so the trajectory replays in SQL
+    * and `earlyStop` halts at the first round whose images are BOTH
+    * stationary. The per-pass norm action already materializes each
+    * iterate, so the delta is one extra node-sized 3-join aggregate per
+    * round; superseded iterates stay with the ContextCleaner — the
+    * [[hits]] convention, re-confirmed r16 (PERF.md): release-behind
+    * re-registers dependent cached plans and re-executes the prefix
+    * chain. Returns ((node, hub, authority) ascending, per-round
+    * deltas). */
+  def hitsConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 20, earlyStop: Boolean = true)
+      : (DataFrame, Seq[Long]) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(F.col("td_u").as("node"))
+      .union(e.select(F.col("td_v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    nodes.count()
+
+    def fp(c: org.apache.spark.sql.Column) =
+      F.floor(c * F.lit(GradScale) + F.lit(0.5d)).cast("long")
+    // identical pass to [[hits]] (same caching, same norm action)
+    def pass(scores: DataFrame, joinKey: String, outKey: String)
+        : DataFrame = {
+      val raw = e
+        .join(scores.withColumnRenamed("node", joinKey), joinKey)
+        .groupBy(F.col(outKey).as("node"))
+        .agg(F.sum(F.floor(F.col("score") * F.lit(GradScale) + F.lit(0.5d))
+          .cast("decimal(38,0)")).as("td_s"))
+      val unnorm = nodes.join(raw, Seq("node"), "left")
+        .select(F.col("node"),
+          (F.coalesce(F.col("td_s"), F.lit(0L)).cast("decimal(38,0)")
+            .cast("double") / F.lit(GradScale)).as("td_x"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val nrm = math.sqrt(unnorm.agg(
+        F.sum(F.floor((F.col("td_x") * F.col("td_x")) * F.lit(GradScale) +
+            F.lit(0.5d)).cast("decimal(38,0)")).as("q"))
+        .head().getDecimal(0).doubleValue() / GradScale)
+      require(nrm > 0.0d, "HITS collapsed to the zero vector")
+      unnorm.select(F.col("node"), (F.col("td_x") / F.lit(nrm)).as("score"))
+    }
+
+    var hubs = nodes.select(F.col("node"), F.lit(1.0d).as("score"))
+    var auth = hubs
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var round = 0
+    var stable = false
+    while (round < maxIters && !(earlyStop && stable)) {
+      val nextAuth = pass(hubs, "td_u", "td_v")
+      val nextHub = pass(nextAuth, "td_v", "td_u")
+      // one node-sized aggregate reading both vectors' L1 movement off
+      // the cached iterates (exact longs; the returned scores are
+      // projections over the loaded unnorm caches)
+      val delta = nextHub.select(F.col("node"), F.col("score").as("td_hn"))
+        .join(hubs.select(F.col("node"), F.col("score").as("td_ho")), "node")
+        .join(nextAuth.select(F.col("node"), F.col("score").as("td_an")),
+          "node")
+        .join(auth.select(F.col("node"), F.col("score").as("td_ao")), "node")
+        .agg(F.sum(F.abs(fp(F.col("td_hn")) - fp(F.col("td_ho"))) +
+          F.abs(fp(F.col("td_an")) - fp(F.col("td_ao")))).cast("long"))
+        .head().getLong(0)
+      deltas += delta
+      stable = delta == 0L
+      hubs = nextHub
+      auth = nextAuth
+      round += 1
+    }
+    (hubs.withColumnRenamed("score", "hub")
+      .join(auth.withColumnRenamed("score", "authority"), Seq("node"))
+      .select(F.col("node"), F.col("hub"), F.col("authority"))
+      .orderBy(F.col("node").asc), deltas.toSeq)
+  }
+
   /** EXPERIMENTAL fused-norm HITS (the r14 measured arm, VERDICT r13
     * #5): Kleinberg's ORIGINAL operation order — apply the I and O
     * updates, THEN normalize both score vectors once per iteration —
@@ -519,6 +612,9 @@ object GraphRank {
     val changes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var round = 0
     var stable = false
+    // no release-behind — measured 1.078 → 9.318 s min (8.6×) in the r16
+    // BENCH_ONLY arm: see pagerankConverged's note (the re-registration
+    // cascade re-executes every prefix round)
     while (round < maxIters && !(earlyStop && stable)) {
       val counts = e
         .join(labels.withColumnRenamed("node", "td_u"), "td_u")
@@ -741,7 +837,12 @@ object GraphRank {
       F.size(F.col("td_l")).cast("long").as("n_classes"),
       trace.as("trace"),
       agree.as("agreement"),
-      F.when(F.lit(1.0d) - agree =!= 0.0d,
+      // eps-guarded denominator (stated eps 1e-12, restated in the
+      // oracle): a near-single-class graph can land Σa·b within 1 ulp
+      // of 1 without hitting it — exact-equality would answer r ≈ ±huge
+      // where the honest answer is NULL (r is meaningless without ≥2
+      // materially-mixed classes)
+      F.when(F.abs(F.lit(1.0d) - agree) > F.lit(1e-12d),
         (trace - agree) / (F.lit(1.0d) - agree)).as("r"))
   }
 
@@ -840,7 +941,10 @@ object GraphRank {
       // each iterate feeds THREE consumers next round (the degree count
       // + both endpoint semi-joins) — persist so the cache substitution
       // keeps compute and plan size linear in rounds (lazy: the final
-      // action materializes each layer exactly once)
+      // action materializes each layer exactly once). A finishRanks
+      // materialize-then-release arm was MEASURED 8.1× slower here (r16,
+      // PERF.md): releasing any layer re-registers the cached result and
+      // the gate's action re-executes the whole peel chain uncached.
       e = e
         .join(keep.select(F.col("td_keep").as("td_u")), Seq("td_u"),
           "left_semi")
@@ -873,6 +977,7 @@ object GraphRank {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var pairs = e
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     for (_ <- 1 until k) {
       // each iterate feeds TWO consumers (the union's both sides via
       // the join) — persist keeps compute/plan linear in rounds
@@ -882,10 +987,17 @@ object GraphRank {
           .select(F.col("td_u"), F.col("td_v")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      layers += pairs
     }
-    pairs.groupBy(F.col("td_u").as("node"))
-      .agg(F.count(F.lit(1)).as("reach"))
-      .orderBy(F.col("node").asc)
+    // materialize-then-release (finishRanks): the transitive PAIR layers
+    // are the one graph family whose caches are quadratic-sized, so
+    // holding them to the ContextCleaner costs real memory — and unlike
+    // the node-sized iterate chains (pagerank/LPA/kCore, where the same
+    // arm measured 2.8-8.6× SLOWER, r16 PERF.md) this one measured
+    // 2.6× FASTER in the BENCH_ONLY shape (1.229 → 0.477 s min): the
+    // released pair caches stop evicting everything else
+    finishRanks(pairs.groupBy(F.col("td_u").as("node"))
+      .agg(F.count(F.lit(1)).as("reach")), layers.toSeq)
   }
 
   /** APPROXIMATE k-hop reach by HyperBall (Boldi & Vigna 2013): each
@@ -919,7 +1031,10 @@ object GraphRank {
       .agg(F.expr(s"hll_sketch_agg(node, $lgK)").as("td_ball"))
     for (_ <- 0 until k) {
       // neighbor balls union into each source's ball; nodes with no
-      // out-edges keep their own ball (left join + coalesce)
+      // out-edges keep their own ball (left join + coalesce); iterate
+      // caches are node-sized (one register set per node) and stay with
+      // the ContextCleaner — the kCore rule (r16 PERF.md: releasing a
+      // layer re-registers the cached result and re-executes the chain)
       val nbr = e.join(balls.withColumnRenamed("node", "td_v"), "td_v")
         .groupBy(F.col("td_u").as("node"))
         .agg(F.expr("hll_union_agg(td_ball)").as("td_nbr"))

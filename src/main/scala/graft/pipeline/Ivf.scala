@@ -214,9 +214,38 @@ object Ivf {
     * set whose id space merely overlaps the corpus ids. */
   def topK(index: Index, queries: DataFrame, queryIdCol: String, vecCol: String,
       k: Int, nprobe: Int = 4, excludeSelf: Boolean = true,
+      viaJoin: Option[Boolean] = None): DataFrame =
+    topKImpl(index, queries, queryIdCol, vecCol, k, nprobe, excludeSelf,
+      viaJoin, identity)
+
+  /** Metadata-filtered [[topK]] — "nearest neighbors WITHIN this
+    * language/license/domain", the standard curation probe. The predicate
+    * is pushed into the CANDIDATE stage: `allowed` (the caller-filtered
+    * id relation, e.g. `corpus.where($"lang" === "en").select("doc_id")`)
+    * semi-joins the probed inverted lists BEFORE distance evaluation, so
+    * every one of the k result slots holds a matching neighbor and recall
+    * at fixed nprobe is measured against the filtered brute-force scan.
+    * Post-filtering `topK`'s output instead would rank non-matching
+    * vectors into the k slots first and then drop them — on a skewed
+    * filter most slots die and recall collapses (RecallSpec demonstrates
+    * the divergence). The semi-join runs AFTER cluster routing, so its
+    * left side is the probed lists (partition-pruned on a loaded index),
+    * never the whole corpus. */
+  def topKFiltered(index: Index, queries: DataFrame, queryIdCol: String,
+      vecCol: String, k: Int, allowed: DataFrame, allowedIdCol: String,
+      nprobe: Int = 4, excludeSelf: Boolean = true,
       viaJoin: Option[Boolean] = None): DataFrame = {
+    val ids = allowed.select(F.col(allowedIdCol).as("id")).distinct()
+    topKImpl(index, queries, queryIdCol, vecCol, k, nprobe, excludeSelf,
+      viaJoin, _.join(ids, Seq("id"), "left_semi"))
+  }
+
+  private def topKImpl(index: Index, queries: DataFrame, queryIdCol: String,
+      vecCol: String, k: Int, nprobe: Int, excludeSelf: Boolean,
+      viaJoin: Option[Boolean],
+      restrict: DataFrame => DataFrame): DataFrame = {
     val q = probed(queries, queryIdCol, vecCol, index.centroids, nprobe, viaJoin)
-    val joined = index.assigned.join(F.broadcast(q), Seq("cluster"))
+    val joined = restrict(index.assigned.join(F.broadcast(q), Seq("cluster")))
     val scored = (if (excludeSelf) joined.filter(F.col("query_id") =!= F.col("id"))
                   else joined)
       .withColumn("cos", Similarity.cosine(F.col("qv"), F.col("v")))

@@ -1491,8 +1491,11 @@ object Report {
     val x = F.col(valueCol).cast("double")
     val clean = df.where(g.isNotNull && v.isNotNull && x.isNotNull)
       .select(g.as("td_s"), v.as("td_g"), x.as("td_x"))
+    // method="min": the midrank identity 2·mid = 2·min + cnt − 1 needs
+    // MIN-ranks — row_number would split tie blocks arbitrarily across
+    // variants and desync from the oracle's rank()
     val ranked = graft.operators.ScalableRank.withRankByGroup(
-      clean, "td_s", "td_x", "td_rk")
+      clean, "td_s", "td_x", "td_rk", method = "min")
     val withCnt = ranked.join(
       clean.groupBy(F.col("td_s"), F.col("td_x"))
         .agg(F.count(F.lit(1)).as("td_c")),

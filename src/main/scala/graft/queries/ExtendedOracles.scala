@@ -156,6 +156,27 @@ object ExtendedOracles {
         |SELECT key, n, cusum_hi, cusum_lo,
         |  (cusum_hi > 100.0 OR cusum_lo > 100.0) AS alarm
         |FROM f ORDER BY key ASC""".stripMargin,
+    "q_stream_ewma" ->
+      // batch-mode statefulEwma = the seq-ordered fold per key with the
+      // first value as seed (list_reduce's init IS element 1 — exactly
+      // the EWMA_1 = v_1 convention); baseline folds all rows, the
+      // deviation is the last value minus the fold over the first n−1
+      // (the forecast residual); beta stated as the literal difference
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |l AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    list(v ORDER BY event_id) AS lv FROM e GROUP BY key)
+        |SELECT key, n, lv[n] AS value,
+        |  list_reduce(lv, (acc, x) ->
+        |    acc * (CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE))
+        |      + CAST(0.25 AS DOUBLE) * x) AS baseline,
+        |  CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE lv[n] - list_reduce(lv[:n-1], (acc, x) ->
+        |         acc * (CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE))
+        |           + CAST(0.25 AS DOUBLE) * x) END AS deviation
+        |FROM l ORDER BY key ASC""".stripMargin,
     "q_stream_distribution" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0
@@ -232,6 +253,15 @@ object ExtendedOracles {
         |ORDER BY click_id, view_id NULLS FIRST""".stripMargin,
     "q_version_diff" ->
       s"""$VersionDiffSql ORDER BY o_orderkey""",
+    "q_version_scan_relaxed" ->
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS buyer,
+        |  CAST(NULL AS DOUBLE) AS spend
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS buyer,
+        |  CAST(o_totalprice AS DOUBLE) AS spend
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "q_version_diff_summary" ->
       s"""SELECT
          |  count(*) FILTER (WHERE op = 'insert') AS inserted,

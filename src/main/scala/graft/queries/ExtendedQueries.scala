@@ -347,6 +347,26 @@ object ExtendedQueries {
           F.col("alarm"))
         .orderBy("key")
     }),
+    "q_stream_ewma" -> ((s, dir) => {
+      // per-entity ONLINE EWMA baseline through the custom-state escape
+      // hatch: each user's trend seeds at the first value and folds
+      // EWMA←EWMA·0.75 + 0.25·v in ascending event_id order — in batch
+      // mode the output IS the seq-ordered fold, which the oracle
+      // replays per key with list_reduce (seed = first element)
+      import s.implicits._
+      val ev = t(s, dir, "events").df
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull &&
+          F.col("event_id").isNotNull)
+        .select(F.col("user_id").cast(StringType).as("k"),
+          F.col("event_id").cast("long").as("seq"),
+          F.col("value").cast("double").as("v"))
+        .as[(String, Long, Double)]
+      graft.streaming.Streams.statefulEwma(ev, alpha = 0.25)
+        .toDF()
+        .select(F.col("key"), F.col("n"), F.col("value"),
+          F.col("baseline"), F.col("deviation"))
+        .orderBy("key")
+    }),
     "q_stateful_counts" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events").df
@@ -368,6 +388,26 @@ object ExtendedQueries {
       store.write("g", "orders", v2)
       graft.store.VersionDiff.diffVersions(store,
           "g/orders@HEAD~1", "g/orders@HEAD", Seq("o_orderkey"), strict = true)
+        .orderBy("o_orderkey")
+    }),
+    "q_version_scan_relaxed" -> ((s, dir) => {
+      // type-WIDENING schema evolution end to end through the versioned
+      // store: v1 publishes buyer as int32, v2 as int64 (+ a new spend
+      // column) — the strict range scan refuses, scanRelaxed widens via
+      // the Dtypes supertype lattice (the reference's vertical_relaxed
+      // rule) and reads v1's missing spend as NULL; the oracle states
+      // the identical widened union over the raw table
+      val store = tempStore(s)
+      val orders = Tables.load(s, dir, "orders")
+      store.write("g", "ow", orders.where(F.col("o_orderkey") % 3 === 0)
+        .select(F.col("o_orderkey"),
+          F.col("o_custkey").cast("int").as("buyer")))
+      store.write("g", "ow", orders.where(F.col("o_orderkey") % 3 === 1)
+        .select(F.col("o_orderkey"),
+          F.col("o_custkey").cast("long").as("buyer"),
+          F.col("o_totalprice").cast("double").as("spend")))
+      store.scanRelaxed("g/ow@INITIAL..HEAD").get.df
+        .select("o_orderkey", "buyer", "spend")
         .orderBy("o_orderkey")
     }),
     "q_version_diff_summary" -> ((s, dir) => {

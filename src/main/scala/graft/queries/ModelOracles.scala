@@ -606,7 +606,7 @@ object ModelOracles {
         |SELECT mm.m AS n_edges, ag.k AS n_classes,
         |  CAST(mm.diag AS DOUBLE) / CAST(mm.m AS DOUBLE) AS trace,
         |  ag.agree AS agreement,
-        |  CASE WHEN 1.0 - ag.agree <> 0.0 THEN
+        |  CASE WHEN abs(1.0 - ag.agree) > 1e-12 THEN
         |    ((CAST(mm.diag AS DOUBLE) / CAST(mm.m AS DOUBLE)) - ag.agree)
         |      / (1.0 - ag.agree) END AS r
         |FROM mm, ag""".stripMargin,
@@ -717,6 +717,22 @@ object ModelOracles {
            |   FROM r$k a JOIN r${k - 1} b USING (node)) AS delta_fp"""
           .stripMargin)
         .mkString("\nUNION ALL\n") +
+      "\nORDER BY round ASC"),
+    "q_graph_hits_convergence" -> (hitsPrefix.stripSuffix("\n")
+      .stripSuffix(",") + "\n" +
+      (1 to 3).map { k =>
+        val ao = if (k == 1) "h0" else s"a${k - 1}"
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           |  (SELECT CAST(sum(
+           |      abs(CAST(floor(hn.score * 1048576.0 + 0.5) AS BIGINT) -
+           |          CAST(floor(ho.score * 1048576.0 + 0.5) AS BIGINT)) +
+           |      abs(CAST(floor(an.score * 1048576.0 + 0.5) AS BIGINT) -
+           |          CAST(floor(ao.score * 1048576.0 + 0.5) AS BIGINT)))
+           |    AS BIGINT)
+           |   FROM h$k hn JOIN h${k - 1} ho ON ho.node = hn.node
+           |   JOIN a$k an ON an.node = hn.node
+           |   JOIN $ao ao ON ao.node = hn.node) AS delta_fp""".stripMargin
+      }.mkString("\nUNION ALL\n") +
       "\nORDER BY round ASC"),
     "q_graph_lpa_convergence" -> ("WITH " + lpaChain.stripSuffix(",\n") +
       "\n" +

@@ -302,6 +302,20 @@ object ModelQueries {
         .toDF("round", "changed")
         .orderBy(F.col("round").asc)
     }),
+    "q_graph_hits_convergence" -> ((s, dir) => {
+      // did HITS SETTLE: per-round joint L1 movement of the hub AND
+      // authority fixed-point images (Σ|fp(h_k)−fp(h_{k−1})| +
+      // Σ|fp(a_k)−fp(a_{k−1})|, a_0 = h_0 = the all-ones init) — the
+      // same trajectory-replay contract as q_graph_pagerank_convergence;
+      // the oracle replays all three pass pairs and both deltas
+      import s.implicits._
+      val (_, deltas) = GraphRank.hitsConverged(tradeEdgesOneWay(s, dir),
+        "src", "dst", maxIters = 3, earlyStop = false)
+      deltas.zipWithIndex
+        .map { case (dl, i) => ((i + 1).toLong, dl) }
+        .toDF("round", "delta_fp")
+        .orderBy(F.col("round").asc)
+    }),
     "q_ab_mannwhitney_sliced" -> ((s, dir) => {
       // the Simpson's-paradox check: the rank-sum A/B readout PER
       // event-type slice (per-slice midranks through one composite

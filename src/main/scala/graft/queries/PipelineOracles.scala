@@ -173,6 +173,20 @@ object PipelineOracles {
     // IVF with nprobe = k probes every inverted list → identical to brute
     // force (same ordering, same cosine arithmetic)
     "q_ann_ivf_exact" -> exactAnnOracle,
+    // filtered ANN with nprobe = k: candidates are the label-filtered
+    // corpus, ranking identical to brute force over that subset
+    "q_ann_ivf_filtered" ->
+      s"""SELECT query_id, rank, nbr_id, cos FROM (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
+         |    FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c,
+         |      (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |    WHERE q.vec_id <> c.vec_id) s) r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // IVF-PQ with nprobe = k AND m = 1, ks = N: both approximations vanish
     // and the ADC arithmetic reduces to the same flat fold → brute force
     "q_ann_ivfpq_exact" -> exactAnnOracle,

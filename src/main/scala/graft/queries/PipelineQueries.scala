@@ -279,6 +279,22 @@ object PipelineQueries {
           "vec_id", "embedding", k = 10, nprobe = 8)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf_filtered" -> ((s, dir) => {
+      // metadata-filtered ANN ("neighbors within label % 3 = 0"): the
+      // predicate pre-filters the probed inverted lists BEFORE distance
+      // ranking, so every result slot holds a matching neighbor; nprobe
+      // = k probes every list, so the gate degenerates to the exact
+      // filtered brute-force scan the oracle states (the
+      // q_ann_ivf_exact convention) — the approximate configuration's
+      // recall is pinned by RecallSpec
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.pipeline.Ivf.topKFiltered(idx, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", k = 10,
+          allowed = emb.filter(F.col("label") % 3 === 0), allowedIdCol = "vec_id",
+          nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
     "q_dedup_semantic_exact" -> ((s, dir) => {
       // k = 1 puts the whole corpus in one cluster: the pair search is exact
       // all-pairs cosine, oracle-checkable as a cross join — the demo-scale

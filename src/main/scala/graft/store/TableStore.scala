@@ -510,32 +510,83 @@ final class TableStore(val root: String, spark: SparkSession) {
     * (silently coercing values would corrupt, not evolve). */
   def scan(ref: TableRef): Option[TableFrame] = scan(ref, None)
 
-  def scan(ref: TableRef, asOf: Option[Long]): Option[TableFrame] = {
+  def scan(ref: TableRef, asOf: Option[Long]): Option[TableFrame] =
+    scanMode(ref, asOf, relaxed = false)
+
+  /** [[scan]] with RELAXED type evolution: a column whose type WIDENS
+    * across the scanned versions (int32→int64, float→double, int→decimal
+    * — the [[graft.core.Dtypes.superType]] lattice `concat
+    * (how="vertical_relaxed")` already rides, reference
+    * `tableframe/functions/eager.py:23-117`, `typing.py:23-28`) is read
+    * by casting EVERY version to the least common supertype before the
+    * union, instead of raising. The strict [[scan]] stays the default:
+    * relaxed reads are an explicit opt-in because a cast can lose the
+    * writer's declared type forever downstream. Lossy collisions
+    * (long vs string, …) still unify through the same lattice — the
+    * relaxed contract is "give me one coherent frame", exactly as the
+    * reference's relaxed concat resolves them. */
+  def scanRelaxed(ref: TableRef, asOf: Option[Long] = None): Option[TableFrame] =
+    scanMode(ref, asOf, relaxed = true)
+
+  def scanRelaxed(refStr: String): Option[TableFrame] =
+    scanRelaxed(TableRef.parse(refStr))
+
+  private def scanMode(ref: TableRef, asOf: Option[Long],
+      relaxed: Boolean): Option[TableFrame] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
     val es = resolve(ref.collection, ref.table, ref.versions, asOf)
-    // retype guard from the LOG alone (no footer reads): union type
-    // coercion would otherwise cast silently (ANSI off) or fail row by
-    // row at action time (ANSI on) — neither is an evolution read
-    val seen = scala.collection.mutable.Map
-      .empty[String, org.apache.spark.sql.types.DataType]
-    es.flatMap(_.schema).foreach(_.fields.foreach { f =>
-      seen.get(f.name) match {
-        case Some(t) => require(t == f.dataType,
-          s"column '${f.name}' changes type across the scanned versions " +
-            s"of ${ref.collection}/${ref.table} ($t vs ${f.dataType}) — " +
-            "a range scan aligns missing columns by name, it does not " +
-            "retype values")
-        case None => seen(f.name) = f.dataType
-      }
-    })
-    if (es.isEmpty) None
-    else Some(TableFrame.fromTable(
-      es.map { e =>
-        val path = pathOf(ref.collection, ref.table, e)
-        e.schema match {
-          case Some(s) => spark.read.schema(s).parquet(path)
-          case None    => spark.read.parquet(path)
+    if (es.isEmpty) return None
+    if (es.size == 1) {
+      // single version: nothing to align — read with the staged schema
+      // (no guard, no footer I/O)
+      val e = es.head
+      val path = pathOf(ref.collection, ref.table, e)
+      return Some(TableFrame.fromTable(e.schema match {
+        case Some(s) => spark.read.schema(s).parquet(path)
+        case None    => spark.read.parquet(path)
+      }))
+    }
+    // per-version schema: the LOG's staged schema (no I/O), else the
+    // parquet-inferred one — a schema-less version must still join the
+    // retype guard, or a type change through it would slip past into
+    // the silent-coercion/row-failure path the guard exists to stop
+    val entrySchemas: Seq[(VersionEntry, StructType)] = es.map { e =>
+      val s = e.schema.getOrElse(
+        spark.read.parquet(pathOf(ref.collection, ref.table, e)).schema)
+      (e, s)
+    }
+    // nullability relaxed for comparison: file sources relax it on read,
+    // and a footer schema may disagree with the log's on nullable alone
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    entrySchemas.foreach { case (_, s) =>
+      s.fields.foreach { f =>
+        val t = TableStore.relaxNullability(f.dataType)
+        seen.get(f.name) match {
+          case Some(prev) if prev == t => ()
+          case Some(prev) =>
+            if (relaxed) seen(f.name) = graft.core.Dtypes.superType(prev, t)
+            else throw new IllegalArgumentException(
+              s"column '${f.name}' changes type across the scanned versions " +
+                s"of ${ref.collection}/${ref.table} ($prev vs $t) — " +
+                "a range scan aligns missing columns by name, it does not " +
+                "retype values (scanRelaxed widens via the supertype lattice)")
+          case None => seen(f.name) = t
         }
-      }.reduce(_.unionByName(_, allowMissingColumns = true))))
+      }
+    }
+    val dfs = entrySchemas.map { case (e, s) =>
+      val path = pathOf(ref.collection, ref.table, e)
+      val df = spark.read.schema(s).parquet(path)
+      if (!relaxed) df
+      else df.select(s.fields.map { f =>
+        val target = seen(f.name)
+        val c = df.col(s"`${f.name}`")
+        (if (TableStore.relaxNullability(f.dataType) == target) c
+         else c.cast(target)).as(f.name)
+      }.toIndexedSeq: _*)
+    }
+    Some(TableFrame.fromTable(
+      dfs.reduce(_.unionByName(_, allowMissingColumns = true))))
   }
 
   def scan(refStr: String): Option[TableFrame] = scan(TableRef.parse(refStr))

@@ -754,6 +754,58 @@ object Streams {
       }
   }
 
+  final case class EwmaUpdate(key: String, n: Long, value: Double,
+    baseline: Double, deviation: Double)
+  final case class EwmaState(n: Long, ewma: Double, lastMs: Long)
+
+  /** Keyed ONLINE EWMA anomaly baseline via flatMapGroupsWithState — the
+    * streaming face of [[graft.pipeline.Report.ewmaDaily]] for per-entity
+    * trend: each key's baseline SEEDS at its first value (the ewmaDaily
+    * convention, EWMA_1 = v_1) and then updates
+    * EWMA ← EWMA·(1−α) + α·v per row in ascending `seq` order, every
+    * double op stated once so the fold replays on any engine (in batch
+    * mode the output IS the seq-ordered fold — the q_stream_ewma
+    * oracle). Emitted per key per micro-batch: (key, n, last value,
+    * baseline AFTER the fold, deviation = last value − the baseline
+    * BEFORE it — the forecast residual an alert thresholds on; 0.0 for
+    * a key's very first row, where no forecast exists). State per key
+    * is two numbers + a stamp; same TTL contract and trigger caveat as
+    * [[statefulCusum]]. */
+  def statefulEwma(ds: Dataset[(String, Long, Double)], alpha: Double,
+      stateTtlMs: Option[Long] = None): Dataset[EwmaUpdate] = {
+    require(alpha > 0.0d && alpha <= 1.0d, s"alpha must be in (0,1], got $alpha")
+    val beta = 1.0d - alpha
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[EwmaState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (key, rows, state: GroupState[EwmaState]) =>
+          val now = stateTtlMs.map(_ => state.getCurrentProcessingTimeMs())
+            .getOrElse(0L)
+          val prev = state.getOption
+            .filter(s => stateTtlMs.forall(t => now - s.lastMs <= t))
+            .getOrElse(EwmaState(0L, 0.0, now))
+          var n = prev.n; var ewma = prev.ewma
+          var lastV = 0.0d; var dev = 0.0d
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            val v = r._3
+            if (n == 0L) { dev = 0.0d; ewma = v }
+            else { dev = v - ewma; ewma = ewma * beta + alpha * v }
+            n += 1
+            lastV = v
+          }
+          state.update(EwmaState(n, ewma, now))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          Iterator.single(EwmaUpdate(key, n, lastV, ewma, dev))
+      }
+  }
+
   def runningTotals(ds: Dataset[(String, Double)],
       stateTtlMs: Option[Long] = None): Dataset[SessionUpdate] = {
     import ds.sparkSession.implicits._

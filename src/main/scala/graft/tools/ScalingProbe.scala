@@ -521,6 +521,18 @@ object ScalingProbe {
           ed, "src", "dst", maxIters = 2, earlyStop = false)
         r.count()
       }),
+      ("hits_conv", 30, { d =>
+        // hits' 2 pass pairs + one node-sized 3-join L1 agg per round;
+        // iterates stay with the ContextCleaner (the hits convention)
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        val (hs, _) = graft.pipeline.GraphRank.hitsConverged(
+          e0, "src", "dst", maxIters = 2, earlyStop = false)
+        hs.count()
+      }),
       ("tail_index", 100, { d =>
         // one descending range-shuffle rank + a bounded k+1 head fold
         graft.operators.SkewDiag.tailIndex(
@@ -680,6 +692,16 @@ object ScalingProbe {
         // the bounded day grid (constant as rows grow)
         graft.pipeline.Report.cusumDaily(e, "ts", slack = 2.0).count()
       }),
+      ("ewma_state", 100, { e =>
+        // keyed online EWMA (batch face of the streaming op): one
+        // groupByKey exchange, per-key fold, state 2 numbers/key
+        import e.sparkSession.implicits._
+        val ds = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .select(F.col("user_id").cast("string"),
+            F.col("event_id").cast("long"), F.col("value").cast("double"))
+          .as[(String, Long, Double)]
+        graft.streaming.Streams.statefulEwma(ds, alpha = 0.25).count()
+      }),
       ("resample", 100, { e =>
         graft.operators.SeriesOps.resample(
           e.withColumn("v", F.floor(F.col("value")).cast("long")), "ts", "v",
@@ -702,6 +724,15 @@ object ScalingProbe {
         val p = graft.pipeline.Quantize.trainSq8(e, "embedding")
         graft.pipeline.Quantize.sq8TopK(e, embQ,
           "vec_id", "embedding", "vec_id", 10, p).count()
+      }),
+      ("ann_filtered", 100, { e =>
+        // IVF probe with a 10% metadata pre-filter: the semi-join runs
+        // on the probed lists only; candidate work DROPS vs unfiltered
+        val idx = graft.pipeline.Ivf.build(e, "vec_id", "embedding",
+          k = 16, iters = 1)
+        graft.pipeline.Ivf.topKFiltered(idx, embQ, "vec_id", "embedding",
+          k = 10, allowed = e.where(F.col("vec_id") % 10 === 0),
+          allowedIdCol = "vec_id", nprobe = 4).count()
       }),
       ("jl_project", 100, { e =>
         // row-local codegen projection: zero shuffles, linear

@@ -256,6 +256,28 @@ class ModelSpec extends AnyFunSuite {
     assert(math.abs(hubNorm - 1.0) < 1e-4, s"hub norm $hubNorm")
   }
 
+  test("hitsConverged: bit-identical to hits at the capped iters; " +
+    "early stop halts on a stationary fixed-point image") {
+    import spark.implicits._
+    val edges = Seq(("a", "c"), ("b", "c"), ("b", "d"), ("c", "a"))
+      .toDF("src", "dst")
+    val (scores, deltas) = GraphRank.hitsConverged(edges, "src", "dst",
+      maxIters = 4, earlyStop = false)
+    assert(deltas.length == 4)
+    val got = scores.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = GraphRank.hits(edges, "src", "dst", iters = 4).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == want, s"$got vs $want")
+    // a symmetric 2-cycle settles immediately: round 2's images repeat
+    // round 1's, so earlyStop ends the loop the first time delta == 0
+    val cyc = Seq(("x", "y"), ("y", "x")).toDF("src", "dst")
+    val (_, d2) = GraphRank.hitsConverged(cyc, "src", "dst",
+      maxIters = 10, earlyStop = true)
+    assert(d2.nonEmpty && d2.last == 0L && d2.length < 10,
+      s"deltas $d2")
+  }
+
   test("tailIndex: Hill fold matches a hand computation; small n rejects") {
     import spark.implicits._
     val vals = (1 to 20).map(i => (i.toLong, math.pow(1.5, i)))
@@ -478,6 +500,37 @@ class ModelSpec extends AnyFunSuite {
     val z1 = sliced("seg1").last.asInstanceOf[Double]
     val z2 = sliced("seg2").last.asInstanceOf[Double]
     assert(z1 == -z2 && z1 < 0.0, s"$z1 / $z2")
+  }
+
+  test("mannWhitneyUByGroup: within-slice ties split ACROSS variants " +
+    "still equal the single-slice test (min-ranks, not row_number)") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // tie blocks straddle variants: x=2.0 held by one A and two B rows,
+    // x=3.0 by one of each — row_number ranks would split these blocks
+    // arbitrarily across variants and desync U/z from the min-rank oracle
+    val s1 = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 2.0),
+      ("B", 3.0), ("A", 3.0), ("B", 5.0))
+    val s2 = Seq(("A", 4.0), ("A", 4.0), ("B", 4.0), ("B", 4.0),
+      ("A", 7.0), ("B", 7.0))
+    val df = (s1.map { case (v, x) => ("seg1", v, x) } ++
+      s2.map { case (v, x) => ("seg2", v, x) }).toDF("seg", "variant", "x")
+    val sliced = Report.mannWhitneyUByGroup(df, "seg", "variant", "x")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val g1 = Report.mannWhitneyU(s1.toDF("variant", "x"), "variant", "x")
+      .head().toSeq
+    val g2 = Report.mannWhitneyU(s2.toDF("variant", "x"), "variant", "x")
+      .head().toSeq
+    assert(sliced("seg1") == g1, s"${sliced("seg1")} vs $g1")
+    assert(sliced("seg2") == g2, s"${sliced("seg2")} vs $g2")
+    // hand check seg1: min-ranks 1,(2,2,2),(5,5),7 → 2R = 2·min + c − 1:
+    // A rows x=1→2, x=2→6, x=3→11 ⇒ Σ2R_A = 19,
+    // 2U_A = 19 − n_A(n_A+1) = 7 ⇒ U_A = 3.5
+    val uA = sliced("seg1")(5).asInstanceOf[Double]
+    assert(uA == 3.5, s"u_a $uA")
+    // tie term Σ_rows(c²−1): block of 3 → 3·8, block of 2 → 2·3
+    val tie = sliced("seg1")(7).asInstanceOf[Double]
+    assert(tie == 24.0 + 6.0, s"tie_term $tie")
   }
 
   test("kruskalWallis: hand-computed H on three tie-free groups; " +

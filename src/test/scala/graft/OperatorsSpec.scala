@@ -112,6 +112,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("withRankByGroup method=min: per-group MIN-ranks match the keyed " +
+    "window rank() with ties") {
+    import spark.implicits._
+    // heavy deliberate ties (v = i % 7) across groups of different sizes
+    // + a NULL group key — row_number would split each tie block
+    val rows = (0L until 4000L).map(i =>
+      (Some(s"g${i % 3}"), i, i % 7L)) ++
+      (0L until 6L).map(i => (Option.empty[String], 9000L + i, i % 2L))
+    val df = rows.toDF("g", "id", "v").repartition(7)
+    val got = graft.operators.ScalableRank
+      .withRankByGroup(df, "g", "v", "r", method = "min")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val expect = df.withColumn("r",
+        F.rank().over(Window.partitionBy("g").orderBy("v")).cast("long"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == expect)
+  }
+
   test("winsorize clips into the quantile window and passes NULLs through") {
     import spark.implicits._
     val df = (Seq.tabulate(20)(i => (i.toLong, Some((i + 1).toLong))) :+

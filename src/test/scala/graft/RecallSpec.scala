@@ -190,6 +190,52 @@ class RecallSpec extends AnyFunSuite {
       f"top-$topk recall $topkRecall%.3f < nprobe/k floor $floor%.3f")
   }
 
+  test("ivf filtered probe: pre-filtering the candidate stage keeps recall " +
+    "against the filtered exact scan; post-filtering collapses on a skewed filter") {
+    val corpus = vecDf(corpusVecs.map { case (id, v) => (id, v.toSeq) })
+    val queries = vecDf(queryVecs.map { case (qid, _, q) => (qid, q.toSeq) })
+    val kClusters = 16; val nprobe = 4; val topk = 5
+    val index = Ivf.build(corpus, "id", "v", k = kClusters, iters = 3)
+    // skewed metadata filter: 10% of the corpus qualifies (every planted
+    // source does: src = 20·i ≡ 0 mod 10)
+    val allowed = corpus.where(F.col("id") % 10 === 0)
+    // ground truth: exact top-k over the FILTERED corpus
+    val exact = Similarity.bruteForceTopK(allowed, queries, "id", "v", "id", topk)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(m: Map[Long, Set[Long]]): Double = queryVecs.map {
+      case (qid, _, _) =>
+        val e = exact(qid)
+        (m.getOrElse(qid, Set.empty) intersect e).size.toDouble / e.size
+    }.sum / NQ
+    // PRE-filter: predicate semi-joins the probed lists before ranking
+    val pre = Ivf.topKFiltered(index, queries, "id", "v", k = topk,
+        allowed = allowed, allowedIdCol = "id",
+        nprobe = nprobe, excludeSelf = false)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // POST-filter strawman: rank unfiltered, then drop non-matching rows —
+    // the k slots filled with non-matching neighbors first
+    val post = Ivf.topK(index, queries, "id", "v", k = topk,
+        nprobe = nprobe, excludeSelf = false)
+      .join(allowed.select(F.col("id").as("nbr_id")), Seq("nbr_id"), "left_semi")
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val preRecall = recallOf(pre)
+    val postRecall = recallOf(post)
+    val floor = nprobe.toDouble / kClusters
+    assert(preRecall >= floor,
+      f"pre-filter recall $preRecall%.3f < nprobe/k floor $floor%.3f")
+    assert(preRecall >= postRecall + 0.2,
+      f"pre-filter $preRecall%.3f should dominate post-filter $postRecall%.3f")
+    // the planted source (allowed by construction) still surfaces
+    val plantedRecall = queryVecs.count { case (qid, src, _) =>
+      pre.getOrElse(qid, Set.empty).contains(src)
+    }.toDouble / NQ
+    assert(plantedRecall >= 0.9,
+      f"filtered planted-neighbor recall $plantedRecall%.3f < 0.9")
+  }
+
   test("hyperplane-lsh approximate config: planted-neighbor recall meets the (1-theta/pi)^nbits bound") {
     val corpus = vecDf(corpusVecs.map { case (id, v) => (id, v.toSeq) })
     val queries = vecDf(queryVecs.map { case (qid, _, q) => (qid, q.toSeq) })

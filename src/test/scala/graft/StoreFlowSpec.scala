@@ -101,6 +101,60 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(err.getMessage.contains("changes type"), err.getMessage)
   }
 
+  test("store: type-widening evolution — strict scan raises, scanRelaxed " +
+    "widens via the supertype lattice; schema-less entries join the guard") {
+    val store = freshStore()
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // v1 a:int / v2 a:long (+ new c): int32→int64 is exactly what the
+    // reference's vertical_relaxed concat tolerates
+    store.write("c", "w", Seq((1, "x"), (2, "y")).toDF("a", "b"))
+    store.write("c", "w",
+      Seq((1L, "x", 10.0), (2L, "z", 20.0)).toDF("a", "b", "c"))
+    val err = intercept[IllegalArgumentException] {
+      store.scan("c/w@INITIAL..HEAD")
+    }
+    assert(err.getMessage.contains("changes type"), err.getMessage)
+    val rel = store.scanRelaxed("c/w@INITIAL..HEAD").get.df
+    assert(rel.schema("a").dataType == LongType, rel.schema.treeString)
+    assert(rel.schema("c").dataType == DoubleType)
+    assert(rel.count() == 4)
+    assert(rel.select("a").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 1L, 2L, 2L))
+    assert(rel.where(F.col("c").isNull).count() == 2, "v1 rows read c as NULL")
+    // diff still works across the widened pair (each ref is a
+    // single-version scan; the key join coerces int vs long)
+    val d = graft.store.VersionDiff.diffVersions(
+        store, "c/w@HEAD~1", "c/w@HEAD", Seq("a"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(d(1L)._1 == "update" && d(1L)._2 == "c", d.toString)
+    assert(d(2L)._1 == "update" && d(2L)._2.split(",").toSet == Set("b", "c"),
+      d.toString)
+    // a version whose LOG entry lacks a staged schema (legacy write)
+    // contributes its parquet footer schema to the guard instead of
+    // bypassing it: strip v2's schema field from the log, retype still
+    // raises strictly and still widens relaxed
+    store.write("c", "u", Seq(1).toDF("a"))
+    val v2 = store.write("c", "u", Seq(2L).toDF("a"))
+    val log = java.nio.file.Paths.get(store.root, "c", "u", "_log.jsonl")
+    val rewritten = Files.readString(log).linesIterator.map { ln =>
+      if (ln.contains(v2.id)) ln.replaceAll(",\"schema\":\"[^\"]*\"", "")
+      else ln
+    }.mkString("", "\n", "\n")
+    Files.writeString(log, rewritten)
+    assert(store.versions("c", "u").last.schema.isEmpty,
+      "test setup: v2 must be schema-less in the log")
+    val err2 = intercept[IllegalArgumentException] {
+      store.scan("c/u@INITIAL..HEAD")
+    }
+    assert(err2.getMessage.contains("changes type"), err2.getMessage)
+    val rel2 = store.scanRelaxed("c/u@INITIAL..HEAD").get.df
+    assert(rel2.schema("a").dataType == LongType)
+    assert(rel2.select("a").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("store: schema probe answers from the log, matches the scanned frame") {
     val store = freshStore()
     import spark.implicits._

@@ -559,6 +559,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful ewma: seeds at the first value, folds in seq order; " +
+    "multi-micro-batch state equals the single-batch fold") {
+    import spark.implicits._
+    // rows given OUT of seq order: key a folds 10, 20, 2 → seed 10,
+    // then 10·0.75+0.25·20 = 12.5 (dev 10), then 12.5·0.75+0.25·2 =
+    // 9.875 with dev 2 − 12.5 = −10.5 (the last row's residual)
+    val ds = Seq(("a", 3L, 2.0), ("a", 1L, 10.0), ("a", 2L, 20.0),
+      ("b", 1L, 7.0)).toDS()
+    val out = Streams.statefulEwma(ds, alpha = 0.25)
+      .collect().map(u => u.key -> u).toMap
+    assert(out("a").n == 3L && out("a").value == 2.0 &&
+      out("a").baseline == 9.875 && out("a").deviation == -10.5,
+      out.toString)
+    // a key's very first row has no forecast: deviation 0, baseline = v
+    assert(out("b").n == 1L && out("b").baseline == 7.0 &&
+      out("b").deviation == 0.0, out.toString)
+    // state carries across micro-batches: two time-split parts replayed
+    // as separate batches end at the same per-key baseline as one batch
+    val ev = eventsBatch.limit(3000)
+      .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+      .cache()
+    val mid = ev.agg(F.percentile_approx(F.col("event_id"), F.lit(0.5),
+      F.lit(100))).head().getLong(0)
+    val (dir, schema) = graft.streaming.StreamStage.stageOrdered(spark,
+      "ewma-ordered-" + mid, Seq(
+        () => ev.where(F.col("event_id") <= mid),
+        () => ev.where(F.col("event_id") > mid)))
+    def toDs(df: org.apache.spark.sql.DataFrame) = df
+      .select(F.col("user_id").cast("string"),
+        F.col("event_id").cast("long"), F.col("value").cast("double"))
+      .as[(String, Long, Double)]
+    val stream = Streams.statefulEwma(
+      toDs(Streams.readParquetStream(spark, dir, schema,
+        maxFilesPerTrigger = 1)), alpha = 0.25)
+    val q = Streams.runToMemory(stream.toDF(), "sewma", "append")
+    q.stop()
+    val streamed = spark.table("sewma").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2)._3 }
+    val batch = Streams.statefulEwma(toDs(ev), alpha = 0.25)
+      .collect().map(u => u.key -> u.baseline).toMap
+    assert(streamed.nonEmpty && streamed.size == batch.size)
+    streamed.foreach { case (k, got) =>
+      assert(got == batch(k), s"key $k: $got vs ${batch(k)}")
+    }
+  }
+
   test("stateful cusum TTL: expired ramps restart from zero") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
