@@ -55,4 +55,54 @@ object Privacy {
       .withColumn("violates", F.col("l") < F.lit(l))
       .orderBy(qiCols.map(c => F.col(c).asc_nulls_first): _*)
   }
+
+  /** t-closeness (Li, Li & Venkatasubramanian 2007) with the
+    * equal-distance (total-variation) ground metric — the distribution-
+    * level privacy check l-diversity misses: a class can hold l distinct
+    * sensitive values yet still leak if its MIX differs sharply from
+    * the corpus (99% one disease where the corpus has 10%). Per QI
+    * equivalence class, t = TVD(class distribution, corpus distribution)
+    * = ½(Σ_{v∈class} |c_v/n − g_v/N| + (1 − Σ_{v∈class} g_v/N)) — the
+    * second term is the absent values' mass, folded WITHOUT a dense
+    * class×value grid (only observed cells exist, the chiSquared
+    * categorical contract). One (qi, s)-keyed count shuffle builds the
+    * cells; the per-value corpus marginals broadcast back (bounded
+    * sensitive cardinality); per-class sums ride sort_array-pinned
+    * ascending folds so every double replays on any engine. Rows with
+    * NULL sensitive values are EXCLUDED (the family's NULL rule); NULL
+    * QI values group like any other. Output:
+    * (qi..., n, n_values, t, violates = t > threshold) ascending by the
+    * QI columns. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      threshold: Double): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(threshold > 0.0d && threshold <= 1.0d,
+      s"threshold must be in (0,1], got $threshold")
+    val s = F.col(sensitiveCol).cast("string")
+    val cells = df.where(s.isNotNull)
+      .groupBy(qiCols.map(F.col) :+ s.as("td_s"): _*)
+      .agg(F.count(F.lit(1)).as("td_c"))
+    val gl = cells.groupBy(F.col("td_s"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_g"))
+    val tot = gl.agg(F.sum(F.col("td_g")).cast("long").as("td_nn"))
+    val joined = cells.join(F.broadcast(gl), Seq("td_s"))
+      .crossJoin(F.broadcast(tot))
+    val packed = joined.groupBy(qiCols.map(F.col): _*)
+      .agg(F.sum(F.col("td_c")).cast("long").as("n"),
+        F.count(F.lit(1)).cast("long").as("n_values"),
+        F.first(F.col("td_nn")).as("td_nn"),
+        F.sort_array(F.collect_list(F.struct(F.col("td_s"), F.col("td_c"),
+          F.col("td_g")))).as("td_l"))
+    val nD = F.col("n").cast("double")
+    val bigN = F.col("td_nn").cast("double")
+    val sumAbs = F.aggregate(F.col("td_l"), F.lit(0.0d), (acc, e) =>
+      acc + F.abs(e.getField("td_c").cast("double") / nD -
+        e.getField("td_g").cast("double") / bigN))
+    val sumG = F.aggregate(F.col("td_l"), F.lit(0.0d), (acc, e) =>
+      acc + e.getField("td_g").cast("double") / bigN)
+    val t = F.lit(0.5d) * (sumAbs + (F.lit(1.0d) - sumG))
+    packed.select(qiCols.map(F.col) ++ Seq(F.col("n"), F.col("n_values"),
+      t.as("t"), (t > F.lit(threshold)).as("violates")): _*)
+      .orderBy(qiCols.map(c => F.col(c).asc_nulls_first): _*)
+  }
 }

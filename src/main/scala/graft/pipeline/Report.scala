@@ -1405,6 +1405,122 @@ object Report {
         (pa - pb) / se).as("z"))
   }
 
+  /** Welch's unequal-variance t-test — the PARAMETRIC A/B readout for
+    * mean differences when the two variants' variances (and sizes)
+    * differ, completing the family between [[twoProportionZ]]
+    * (proportions) and [[mannWhitneyU]] (ranks): did variant A's mean
+    * metric beat B's, in standard errors, without the pooled-variance
+    * assumption Student's t makes. The corpus reduces to two
+    * (variant, n, Σfp(v), Σfp(v²)) rows in ONE keyed pass — per-row
+    * 2^20 fixed-point images summed in DECIMAL(38,0), so both engines
+    * state identical doubles — then the bounded 2-struct sorted fold:
+    * m = (Σfp(v)/2^20)/n, s² = (Σfp(v²)/2^20 − n·m²)/(n−1),
+    * t = (m_a − m_b)/√(s²_a/n_a + s²_b/n_b), and the Welch–Satterthwaite
+    * dof = (s²_a/n_a + s²_b/n_b)² / ((s²_a/n_a)²/(n_a−1) +
+    * (s²_b/n_b)²/(n_b−1)) — each double op stated once. ≠2 variants,
+    * either n < 2, or zero standard error answer NULL t/dof with the
+    * observed counts (the family's ANSI rule). Variant A is the
+    * lexicographically first. Output (one row): n_variants, variant_a,
+    * variant_b, n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof. */
+  def welchT(df: DataFrame, variantCol: String,
+      valueCol: String): DataFrame = {
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val fp = F.floor(x * F.lit(1048576.0d) + F.lit(0.5d))
+    val fpp = F.floor((x * x) * F.lit(1048576.0d) + F.lit(0.5d))
+    val agg = df.where(v.isNotNull && x.isNotNull)
+      .groupBy(v.as("td_v"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum(fp.cast("decimal(38,0)")).as("td_sx"),
+        F.sum(fpp.cast("decimal(38,0)")).as("td_sxx"))
+    val packed = agg.agg(F.sort_array(F.collect_list(F.struct(
+      F.col("td_v"), F.col("td_n"), F.col("td_sx"), F.col("td_sxx"))))
+      .as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    def stats(i: Int): (Column, Column, Column) = {
+      val nD = fld(i, "td_n").cast("double")
+      val sx = fld(i, "td_sx").cast("double") / F.lit(1048576.0d)
+      val sxx = fld(i, "td_sxx").cast("double") / F.lit(1048576.0d)
+      val m = sx / nD
+      // n = 1 has no sample variance: answer NULL (ANSI would otherwise
+      // raise DIVIDE_BY_ZERO on the n−1 denominator)
+      val s2 = F.when(fld(i, "td_n") >= 2L,
+        (sxx - nD * m * m) / (nD - F.lit(1.0d)))
+      (nD, m, s2)
+    }
+    val (naD, ma, s2a) = stats(1)
+    val (nbD, mb, s2b) = stats(2)
+    val vna = s2a / naD
+    val vnb = s2b / nbD
+    val se2 = vna + vnb
+    val ok = F.size(l) === 2 && fld(1, "td_n") >= 2L &&
+      fld(2, "td_n") >= 2L && se2 > 0.0d
+    packed.select(
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_v").as("variant_a"), fld(2, "td_v").as("variant_b"),
+      fld(1, "td_n").as("n_a"), fld(2, "td_n").as("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      s2a.as("var_a"), s2b.as("var_b"),
+      F.when(ok, (ma - mb) / F.sqrt(se2)).as("t"),
+      F.when(ok, (se2 * se2) /
+        ((vna * vna) / (naD - F.lit(1.0d)) +
+          (vnb * vnb) / (nbD - F.lit(1.0d)))).as("dof"))
+  }
+
+  /** Cliff's delta — the EFFECT SIZE companion of [[mannWhitneyU]]
+    * (a significant z on a huge corpus can mean a trivial effect; δ
+    * answers HOW MUCH one variant dominates): δ = P(a > b) − P(a < b)
+    * over all cross-variant pairs, computed WITHOUT the quadratic pair
+    * enumeration via the exact rank identity δ = (2U_A − n_A·n_B) /
+    * (n_A·n_B) — the same single ranked pass as the U test (min-rank +
+    * per-value count, Σ2R exact DECIMAL), one stated division at the
+    * end. |δ| banded per Romano et al. 2006: < 0.147 negligible,
+    * < 0.33 small, < 0.474 medium, else large. ≠2 variants answers
+    * NULL δ/magnitude with the observed count. Output (one row):
+    * n_variants, variant_a, variant_b, n_a, n_b, u_a, delta,
+    * magnitude. */
+  def cliffsDelta(df: DataFrame, variantCol: String,
+      valueCol: String): DataFrame = {
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && x.isNotNull)
+      .select(v.as("td_g"), x.as("td_x"))
+    val ranked = graft.operators.ScalableRank.withRank(
+      clean, "td_x", "td_rk", method = "min")
+    val withCnt = ranked.join(
+      clean.groupBy(F.col("td_x")).agg(F.count(F.lit(1)).as("td_c")),
+      Seq("td_x"))
+    val perGroup = withCnt.groupBy(F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum((F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
+          .cast("decimal(38,0)")).as("td_r2"))
+    val packed = perGroup.agg(F.sort_array(F.collect_list(F.struct(
+      F.col("td_g"), F.col("td_n"), F.col("td_r2")))).as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    val na = fld(1, "td_n"); val nb = fld(2, "td_n")
+    // 2U_A exact: Σ2R_A − n_A(n_A+1); numerator 2U_A − n_A·n_B exact too
+    val u2a = fld(1, "td_r2") -
+      (na.cast("decimal(19,0)") * (na + 1L).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val nab = (na.cast("decimal(19,0)") * nb.cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
+    val delta = (u2a - nab).cast("double") / nab.cast("double")
+    val aDelta = F.abs(delta)
+    packed.select(
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_g").as("variant_a"), fld(2, "td_g").as("variant_b"),
+      na.as("n_a"), nb.as("n_b"),
+      (u2a.cast("double") / F.lit(2.0d)).as("u_a"),
+      F.when(F.size(l) === 2, delta).as("delta"),
+      F.when(F.size(l) === 2,
+        F.when(aDelta < 0.147d, "negligible")
+          .when(aDelta < 0.33d, "small")
+          .when(aDelta < 0.474d, "medium")
+          .otherwise("large")).as("magnitude"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) A/B test — the NONPARAMETRIC
     * companion to [[twoProportionZ]] for skewed per-unit metrics
     * (revenue, dwell time), where a mean-based z-test misleads: does
@@ -1659,6 +1775,46 @@ object Report {
           (F.col("cnt").cast("double") - F.col("dow_mean")) /
             F.col("dow_std")).as("z"))
       .orderBy(F.col("day").asc)
+  }
+
+  /** Per-group [[seasonalDaily]] — one weekday baseline PER SLICE (per
+    * event type, per source), completing the grouped anomaly family
+    * next to [[ewmaDailyByGroup]] and [[cusumDaily]]: each slice's days
+    * are z-scored against THAT slice's weekday moments, so a weekend-
+    * quiet event type doesn't borrow a weekday-heavy one's pattern.
+    * One (group, day)-keyed count shuffle reduces the corpus to the
+    * bounded slices×days grid; the per-(group, dow) moments ride
+    * windows over that grid (never a second corpus scan); dow stays
+    * pure integer epoch-days mod 7. Days whose (slice, weekday) cell
+    * has std 0 or a single sample answer NULL z. Output:
+    * (group, day, dow, cnt, dow_mean, dow_std, z) ascending by
+    * (group, day). */
+  def seasonalDailyByGroup(df: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val daily = df.where(g.isNotNull && F.col(tsCol).isNotNull)
+      .groupBy(g.as("group"), F.to_date(F.col(tsCol)).as("day"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .withColumn("dow", F.unix_date(F.col("day")).cast("long") % 7L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("group"), F.col("dow"))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val nD = F.count(F.lit(1)).over(w).cast("double")
+    val mean = F.sum(F.col("cnt")).over(w).cast("double") / nD
+    val ex2 = F.sum((F.col("cnt").cast("decimal(19,0)") *
+        F.col("cnt").cast("decimal(19,0)")).cast("decimal(38,0)")).over(w)
+      .cast("double") / nD
+    val staged = daily
+      .withColumn("dow_mean", mean)
+      .withColumn("dow_std",
+        F.sqrt(F.greatest(F.lit(0.0d),
+          ex2 - F.col("dow_mean") * F.col("dow_mean"))))
+    staged.select(F.col("group"), F.col("day"), F.col("dow"), F.col("cnt"),
+        F.col("dow_mean"), F.col("dow_std"),
+        F.when(F.col("dow_std") > 0.0d,
+          (F.col("cnt").cast("double") - F.col("dow_mean")) /
+            F.col("dow_std")).as("z"))
+      .orderBy(F.col("group").asc, F.col("day").asc)
   }
 
   /** Two-sided CUSUM over DAILY event counts — the change-point/anomaly

@@ -177,6 +177,32 @@ object ExtendedOracles {
         |         acc * (CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE))
         |           + CAST(0.25 AS DOUBLE) * x) END AS deviation
         |FROM l ORDER BY key ASC""".stripMargin,
+    "q_stream_zscore" ->
+      // batch-mode statefulMoments: whole-history exact fixed-point
+      // sums per key (integer aggregates), last value by seq, then the
+      // gate's stated mean/std/z doubles
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |l AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(v * 1048576.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sx,
+        |    CAST(sum(CAST(floor((v * v) * 1048576.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sxx,
+        |    list(v ORDER BY event_id) AS lv
+        |  FROM e GROUP BY key),
+        |s AS (SELECT key, n, lv[len(lv)] AS value,
+        |    (CAST(sx AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(sxx AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE) AS ex2
+        |  FROM l),
+        |t AS (SELECT key, n, value, mean,
+        |    sqrt(greatest(CAST(0.0 AS DOUBLE), ex2 - mean * mean)) AS std
+        |  FROM s)
+        |SELECT key, n, value, mean, std,
+        |  CASE WHEN n >= 2 AND std > 0.0 THEN (value - mean) / std
+        |  END AS z
+        |FROM t ORDER BY key ASC""".stripMargin,
     "q_stream_distribution" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  CASE WHEN CAST(value AS DOUBLE) < 0.0 THEN 0

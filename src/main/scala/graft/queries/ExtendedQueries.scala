@@ -367,6 +367,27 @@ object ExtendedQueries {
           F.col("baseline"), F.col("deviation"))
         .orderBy("key")
     }),
+    "q_stream_zscore" -> ((s, dir) => {
+      // per-entity ONLINE z-score through the custom-state escape
+      // hatch: each user's exact fixed-point moment sums (three longs
+      // of state) score the newest reading against that user's own
+      // history — in batch mode the sums are whole-history exact, so
+      // the oracle replays them as integer aggregates + the stated
+      // mean/std/z doubles
+      import s.implicits._
+      val ev = t(s, dir, "events").df
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull &&
+          F.col("event_id").isNotNull)
+        .select(F.col("user_id").cast(StringType).as("k"),
+          F.col("event_id").cast("long").as("seq"),
+          F.col("value").cast("double").as("v"))
+        .as[(String, Long, Double)]
+      graft.streaming.Streams.statefulMoments(ev)
+        .toDF()
+        .select(F.col("key"), F.col("n"), F.col("value"),
+          F.col("mean"), F.col("std"), F.col("z"))
+        .orderBy("key")
+    }),
     "q_stateful_counts" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events").df

@@ -925,6 +925,105 @@ object ModelOracles {
         |        ((nd + 1.0) - tie / (nd * (nd - 1.0))))
         |  END AS z
         |FROM f""".stripMargin,
+    "q_ab_welch" ->
+      // one keyed fixed-point moments pass per variant, then the gate's
+      // exact finishing doubles: m = (Σfp/2^20)/n, s² = (Σfp²/2^20 −
+      // n·m²)/(n−1), Welch t + Satterthwaite dof, each op stated once
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1048576.0
+        |      AS revenue
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, 2),
+        |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(CAST(revenue AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(floor((CAST(revenue AS DOUBLE) * CAST(revenue AS DOUBLE))
+        |      * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sxx
+        |  FROM u GROUP BY variant),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_variants FROM m),
+        |ga AS (SELECT n AS n_a, CAST(sx AS DOUBLE) / 1048576.0 AS sx_a,
+        |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx_a FROM m
+        |  WHERE variant = 'A'),
+        |gb AS (SELECT n AS n_b, CAST(sx AS DOUBLE) / 1048576.0 AS sx_b,
+        |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx_b FROM m
+        |  WHERE variant = 'B'),
+        |f AS (SELECT nv.n_variants, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    sx_a / CAST(n_a AS DOUBLE) AS ma,
+        |    sx_b / CAST(n_b AS DOUBLE) AS mb, sxx_a, sxx_b
+        |  FROM ga, gb, nv),
+        |s AS (SELECT *, (sxx_a - nad * ma * ma) / (nad - 1.0) AS s2a,
+        |    (sxx_b - nbd * mb * mb) / (nbd - 1.0) AS s2b FROM f),
+        |w AS (SELECT *, s2a / nad AS vna, s2b / nbd AS vnb,
+        |    (s2a / nad) + (s2b / nbd) AS se2 FROM s)
+        |SELECT n_variants, 'A' AS variant_a, 'B' AS variant_b, n_a, n_b,
+        |  ma AS mean_a, mb AS mean_b, s2a AS var_a, s2b AS var_b,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |        AND se2 > 0.0 THEN (ma - mb) / sqrt(se2) END AS t,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |        AND se2 > 0.0 THEN (se2 * se2) /
+        |    ((vna * vna) / (nad - 1.0) + (vnb * vnb) / (nbd - 1.0))
+        |  END AS dof
+        |FROM w""".stripMargin,
+    "q_ab_cliffs_delta" ->
+      // the U test's ranked pass without the tie term; delta via the
+      // exact integer identity (2U_A − n_A·n_B)/(n_A·n_B)
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, 2),
+        |r AS (SELECT variant, CAST(revenue AS DOUBLE) AS s FROM u),
+        |rk AS (SELECT variant, s, rank() OVER (ORDER BY s) AS rk FROM r),
+        |cc AS (SELECT s, count(*) AS c FROM r GROUP BY s),
+        |j AS (SELECT rk.variant, rk.rk, cc.c FROM rk JOIN cc USING (s)),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(2 * rk + c - 1) AS BIGINT) AS r2
+        |  FROM j GROUP BY variant),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_variants FROM g),
+        |ga AS (SELECT n AS n_a, r2 AS r2_a FROM g WHERE variant = 'A'),
+        |gb AS (SELECT n AS n_b FROM g WHERE variant = 'B'),
+        |f AS (SELECT nv.n_variants, n_a, n_b,
+        |    r2_a - n_a * (n_a + 1) AS u2a, n_a * n_b AS nab
+        |  FROM ga, gb, nv),
+        |dl AS (SELECT *, CAST(u2a - nab AS DOUBLE) / CAST(nab AS DOUBLE)
+        |    AS delta FROM f)
+        |SELECT n_variants, 'A' AS variant_a, 'B' AS variant_b, n_a, n_b,
+        |  CAST(u2a AS DOUBLE) / 2.0 AS u_a,
+        |  CASE WHEN n_variants = 2 THEN delta END AS delta,
+        |  CASE WHEN n_variants = 2 THEN
+        |    CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |         WHEN abs(delta) < 0.33 THEN 'small'
+        |         WHEN abs(delta) < 0.474 THEN 'medium'
+        |         ELSE 'large' END
+        |  END AS magnitude
+        |FROM dl""".stripMargin,
+    "q_seasonal_daily_grouped" ->
+      """WITH d AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT grp,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |    (CAST(day - DATE '1970-01-01' AS BIGINT) % 7) AS dow, cnt
+        |  FROM d),
+        |st AS (SELECT grp, day_num, dow, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY grp, dow) AS DOUBLE) /
+        |      CAST(count(*) OVER (PARTITION BY grp, dow) AS DOUBLE)
+        |      AS dow_mean,
+        |    CAST(sum(cnt * cnt) OVER (PARTITION BY grp, dow) AS DOUBLE) /
+        |      CAST(count(*) OVER (PARTITION BY grp, dow) AS DOUBLE) AS ex2
+        |  FROM dd),
+        |fz AS (SELECT grp, day_num, dow, cnt, dow_mean,
+        |    sqrt(greatest(0.0, ex2 - dow_mean * dow_mean)) AS dow_std
+        |  FROM st)
+        |SELECT grp AS "group", day_num, dow, cnt, dow_mean, dow_std,
+        |  CASE WHEN dow_std > 0.0 THEN
+        |    (CAST(cnt AS DOUBLE) - dow_mean) / dow_std END AS z
+        |FROM fz ORDER BY "group" ASC, day_num ASC""".stripMargin,
     "q_graph_rank_drift" ->
       (("WITH " + prChain("a", "WHERE o.o_orderkey % 2 = 0") +
         prChain("b", "")).stripSuffix(",\n") + "\n" +
@@ -950,6 +1049,38 @@ object ModelOracles {
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l,
         |  (count(DISTINCT o_orderstatus) < 3) AS violates
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_privacy_tclose" ->
+      // per-class TVD vs the corpus sensitive mix: observed cells only,
+      // absent values' mass via 1 − Σ_{v∈class} g/N; pinned folds
+      """WITH cells AS (SELECT o_orderpriority AS q1,
+        |    CAST(year(o_orderdate) AS INTEGER) AS q2,
+        |    CAST(o_orderstatus AS VARCHAR) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2, 3),
+        |gl AS (SELECT s, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY s),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gl),
+        |j AS (SELECT cells.q1, cells.q2, cells.s, cells.c, gl.g
+        |  FROM cells JOIN gl USING (s)),
+        |cls AS (SELECT q1, q2, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_values FROM j GROUP BY 1, 2),
+        |jj AS (SELECT j.q1, j.q2, j.s, j.c, j.g, cls.n
+        |  FROM j JOIN cls USING (q1, q2)),
+        |p AS (SELECT q1, q2, any_value(n) AS n,
+        |    list(abs(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(g AS DOUBLE) / CAST(tot.nn AS DOUBLE)) ORDER BY s)
+        |      AS la,
+        |    list(CAST(g AS DOUBLE) / CAST(tot.nn AS DOUBLE) ORDER BY s)
+        |      AS lg
+        |  FROM jj, tot GROUP BY q1, q2),
+        |f AS (SELECT p.q1, p.q2, p.n, cls.n_values,
+        |    0.5 * (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), la),
+        |        (a, b) -> a + b)
+        |      + (1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lg),
+        |        (a, b) -> a + b))) AS t
+        |  FROM p JOIN cls USING (q1, q2))
+        |SELECT q1 AS o_orderpriority, q2 AS o_year, n, n_values, t,
+        |  (t > 0.2) AS violates
+        |FROM f ORDER BY 1, 2""".stripMargin,
     "q_quality_lr_l2" -> {
       def iter(k: Int): String =
         s"""g$k AS (SELECT

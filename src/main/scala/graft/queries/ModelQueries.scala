@@ -397,6 +397,48 @@ object ModelQueries {
           .as("variant"), F.col("revenue"))
       graft.pipeline.Report.mannWhitneyU(rev, "variant", "revenue")
     }),
+    "q_ab_welch" -> ((s, dir) => {
+      // parametric A/B on the same cohorts: Welch's unequal-variance t
+      // over per-user revenue totals (one keyed moments pass, bounded
+      // 2-struct fold, Welch-Satterthwaite dof) — the mean-difference
+      // companion of q_ab_mannwhitney's rank test. Revenue re-scales to
+      // ORIGINAL units (one stated division) so the moments pass's
+      // squared fixed-point image stays inside the family's long domain
+      val rev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg((F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+          F.lit(1048576.0d)).as("revenue"))
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("revenue"))
+      graft.pipeline.Report.welchT(rev, "variant", "revenue")
+    }),
+    "q_ab_cliffs_delta" -> ((s, dir) => {
+      // effect SIZE next to the U test's significance: Cliff's delta
+      // via the exact rank identity (2U_A − n_A·n_B)/(n_A·n_B) — no
+      // quadratic pair enumeration — with the Romano 2006 magnitude band
+      val rev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("revenue"))
+      graft.pipeline.Report.cliffsDelta(rev, "variant", "revenue")
+    }),
+    "q_seasonal_daily_grouped" -> ((s, dir) => {
+      // weekday anomalies PER SLICE: each event type's days z-scored
+      // against that type's own weekday moments — the grouped face of
+      // q_seasonal_daily, completing the per-slice anomaly family
+      graft.pipeline.Report.seasonalDailyByGroup(d(s, dir, "events"),
+          "event_type", "ts")
+        .select(F.col("group"),
+          F.unix_date(F.col("day")).cast("long").as("day_num"),
+          F.col("dow"), F.col("cnt"), F.col("dow_mean"), F.col("dow_std"),
+          F.col("z"))
+        .orderBy(F.col("group").asc, F.col("day_num").asc)
+    }),
     "q_graph_assort_nation" -> ((s, dir) => {
       // the echo-chamber read: does trade stay WITHIN a nation —
       // categorical assortativity over the bounded nation mixing matrix
@@ -500,6 +542,16 @@ object ModelQueries {
       Privacy.lDiversity(
         d(s, dir, "orders").withColumn("o_year", F.year(F.col("o_orderdate"))),
         Seq("o_orderpriority", "o_year"), "o_orderstatus", l = 3L)
+    }),
+    "q_privacy_tclose" -> ((s, dir) => {
+      // t-closeness of order status within (priority, order year)
+      // classes: the distribution-level leak l-diversity misses — a
+      // class can be 3-diverse yet nearly all-'F' where the corpus is
+      // mixed; TVD per class against the corpus mix, absent values'
+      // mass folded without a dense grid
+      Privacy.tCloseness(
+        d(s, dir, "orders").withColumn("o_year", F.year(F.col("o_orderdate"))),
+        Seq("o_orderpriority", "o_year"), "o_orderstatus", threshold = 0.2)
     }),
     "q_quality_lr_l2" -> ((s, dir) => {
       // ridge-regularized training: the same fixed-point GD trajectory

@@ -806,6 +806,62 @@ object Streams {
       }
   }
 
+  final case class MomentsUpdate(key: String, n: Long, value: Double,
+    mean: Double, std: Double, z: Option[Double])
+  final case class MomentsState(n: Long, sx: Long, sxx: Long, lastMs: Long)
+
+  /** Keyed ONLINE z-score via flatMapGroupsWithState — "is this entity's
+    * newest reading an outlier against ITS OWN history": per key the
+    * EXACT 2^20 fixed-point moment sums (n, Σfp(v), Σfp(v²) — the
+    * [[windowedMoments]] encoding, longs so any engine replays them as
+    * integer sums; exact to |Σfp| < 2^63, i.e. ~2^42 rows of magnitude-
+    * ~2000 values per key), updated per micro-batch with rows folded in
+    * ascending `seq` order. Emitted per key per batch: (key, n, last
+    * value, mean, population std, z = (last − mean)/std) — mean/std
+    * decode with one stated division each (m = (Σfp/2^20)/n,
+    * σ² = (Σfp²/2^20)/n − m²), z NULL while n < 2 or σ = 0. State per
+    * key is three longs + a stamp; same TTL contract as
+    * [[statefulCusum]]. */
+  def statefulMoments(ds: Dataset[(String, Long, Double)],
+      stateTtlMs: Option[Long] = None): Dataset[MomentsUpdate] = {
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[MomentsState, MomentsUpdate](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[MomentsState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (key, rows, state: GroupState[MomentsState]) =>
+          val now = stateTtlMs.map(_ => state.getCurrentProcessingTimeMs())
+            .getOrElse(0L)
+          val prev = state.getOption
+            .filter(s => stateTtlMs.forall(t => now - s.lastMs <= t))
+            .getOrElse(MomentsState(0L, 0L, 0L, now))
+          var n = prev.n; var sx = prev.sx; var sxx = prev.sxx
+          var lastV = 0.0d
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            val v = r._3
+            n += 1
+            sx += math.floor(v * 1048576.0d + 0.5d).toLong
+            sxx += math.floor((v * v) * 1048576.0d + 0.5d).toLong
+            lastV = v
+          }
+          state.update(MomentsState(n, sx, sxx, now))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          val nD = n.toDouble
+          val mean = (sx.toDouble / 1048576.0d) / nD
+          val variance = math.max(0.0d,
+            (sxx.toDouble / 1048576.0d) / nD - mean * mean)
+          val std = math.sqrt(variance)
+          val z = if (n >= 2L && std > 0.0d) Some((lastV - mean) / std)
+                  else None
+          Iterator.single(MomentsUpdate(key, n, lastV, mean, std, z))
+      }
+  }
+
   def runningTotals(ds: Dataset[(String, Double)],
       stateTtlMs: Option[Long] = None): Dataset[SessionUpdate] = {
     import ds.sparkSession.implicits._

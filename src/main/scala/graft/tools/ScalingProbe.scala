@@ -659,6 +659,49 @@ object ScalingProbe {
             .as("variant"), F.col("conv"))
         graft.pipeline.Report.twoProportionZ(conv, "variant", "conv").count()
       }),
+      ("welch", 100, { e =>
+        // one keyed fixed-point moments pass + a bounded 2-struct fold
+        val rev = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg((F.sum(F.floor(F.col("value").cast("double") *
+              F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+            F.lit(1048576.0d)).as("revenue"))
+          .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("revenue"))
+        graft.pipeline.Report.welchT(rev, "variant", "revenue").count()
+      }),
+      ("cliffs_delta", 100, { e =>
+        // mannwhitney's single ranked pass without the tie fold
+        val rev = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg(F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+          .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("revenue"))
+        graft.pipeline.Report.cliffsDelta(rev, "variant", "revenue").count()
+      }),
+      ("seasonal_grouped", 100, { e =>
+        // one (group, day)-keyed count shuffle; moments on the bounded grid
+        graft.pipeline.Report.seasonalDailyByGroup(e, "event_type", "ts")
+          .count()
+      }),
+      ("tclose", 100, { e =>
+        // two keyed aggs (cells + per-value marginals broadcast back),
+        // bounded per-class folds — linear, one corpus shuffle
+        graft.pipeline.Privacy.tCloseness(
+          e.withColumn("cohort", (F.col("user_id") % 10).cast("string")),
+          Seq("event_type"), "cohort", threshold = 0.1).count()
+      }),
+      ("zscore_state", 100, { e =>
+        // keyed online moments: one groupByKey exchange, 3 longs/key
+        import e.sparkSession.implicits._
+        val ds = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .select(F.col("user_id").cast("string"),
+            F.unix_micros(F.col("ts")).as("seq"),
+            F.col("value").cast("double"))
+          .as[(String, Long, Double)]
+        graft.streaming.Streams.statefulMoments(ds).count()
+      }),
       ("mannwhitney", 100, { e =>
         // per-user fixed-point totals + ONE range-shuffle rank + a
         // per-value count join (the AUC machinery); the finishing
@@ -695,10 +738,12 @@ object ScalingProbe {
       ("ewma_state", 100, { e =>
         // keyed online EWMA (batch face of the streaming op): one
         // groupByKey exchange, per-key fold, state 2 numbers/key
+        // (seq from the timestamp — the scaled relation carries no id)
         import e.sparkSession.implicits._
         val ds = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
           .select(F.col("user_id").cast("string"),
-            F.col("event_id").cast("long"), F.col("value").cast("double"))
+            F.unix_micros(F.col("ts")).as("seq"),
+            F.col("value").cast("double"))
           .as[(String, Long, Double)]
         graft.streaming.Streams.statefulEwma(ds, alpha = 0.25).count()
       }),

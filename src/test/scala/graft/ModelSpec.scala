@@ -533,6 +533,95 @@ class ModelSpec extends AnyFunSuite {
     assert(tie == 24.0 + 6.0, s"tie_term $tie")
   }
 
+  test("welchT: hand-computed t/dof; degenerate NULLs") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // A={1,2,3}: m=2, s²=1; B={2,4,6,8}: m=5, s²=20/3 — every double
+    // restated below in the operator's exact op order
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 4.0), ("B", 6.0), ("B", 8.0)).toDF("g", "x")
+    val r = Report.welchT(df, "g", "x").head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "A" &&
+      r.getString(2) == "B" && r.getLong(3) == 3L && r.getLong(4) == 4L)
+    val ma = 6.0 / 3.0; val mb = 20.0 / 4.0
+    val s2a = (14.0 - 3.0 * ma * ma) / 2.0
+    val s2b = (120.0 - 4.0 * mb * mb) / 3.0
+    assert(r.getDouble(5) == ma && r.getDouble(6) == mb)
+    assert(r.getDouble(7) == s2a && r.getDouble(8) == s2b,
+      s"${r.getDouble(7)} / ${r.getDouble(8)}")
+    val vna = s2a / 3.0; val vnb = s2b / 4.0; val se2 = vna + vnb
+    assert(r.getDouble(9) == (ma - mb) / math.sqrt(se2), s"t ${r.getDouble(9)}")
+    val dof = (se2 * se2) / ((vna * vna) / 2.0 + (vnb * vnb) / 3.0)
+    assert(r.getDouble(10) == dof, s"dof ${r.getDouble(10)}")
+    // one variant → NULL t/dof with the observed count
+    val one = Report.welchT(df.where(F.col("g") === "A"), "g", "x").head()
+    assert(one.getLong(0) == 1L && one.isNullAt(9) && one.isNullAt(10))
+    // n_b = 1 → NULL (no variance estimate)
+    val tiny = Report.welchT(Seq(("A", 1.0), ("A", 2.0), ("B", 9.0))
+      .toDF("g", "x"), "g", "x").head()
+    assert(tiny.isNullAt(9) && tiny.isNullAt(10))
+    // both variants constant → zero standard error → NULL
+    val flat = Report.welchT(Seq(("A", 5.0), ("A", 5.0), ("B", 7.0),
+      ("B", 7.0)).toDF("g", "x"), "g", "x").head()
+    assert(flat.isNullAt(9) && flat.isNullAt(10))
+  }
+
+  test("cliffsDelta: dominance endpoints, tie midpoint, magnitude bands") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    def delta(rows: Seq[(String, Double)]): (Double, String) = {
+      val r = Report.cliffsDelta(rows.toDF("g", "x"), "g", "x").head()
+      (r.getDouble(6), r.getString(7))
+    }
+    // B completely dominates A: every cross pair a < b → δ = −1
+    assert(delta(Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))) ==
+      (-1.0, "large"))
+    // A completely dominates B → δ = +1
+    assert(delta(Seq(("A", 3.0), ("A", 4.0), ("B", 1.0), ("B", 2.0))) ==
+      (1.0, "large"))
+    // interleaved: pairs (1,2)<, (1,3)<, (4,2)>, (4,3)> → δ = 0
+    assert(delta(Seq(("A", 1.0), ("A", 4.0), ("B", 2.0), ("B", 3.0))) ==
+      (0.0, "negligible"))
+    // a single tied pair contributes ½ to U_A → δ = 0
+    assert(delta(Seq(("A", 2.0), ("B", 2.0))) == (0.0, "negligible"))
+    // A={3,5} vs B={1,2,4,6}: 5 of 8 cross pairs won, 3 lost →
+    // δ = (5−3)/8 = 0.25 → "small" band
+    assert(delta(Seq(("A", 3.0), ("A", 5.0), ("B", 1.0), ("B", 2.0),
+      ("B", 4.0), ("B", 6.0))) == (0.25, "small"))
+    // one variant → NULL δ/magnitude
+    val one = Report.cliffsDelta(Seq(("A", 1.0), ("A", 2.0)).toDF("g", "x"),
+      "g", "x").head()
+    assert(one.getLong(0) == 1L && one.isNullAt(6) && one.isNullAt(7))
+  }
+
+  test("seasonalDailyByGroup: each slice equals the single-slice operator") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    def ts(day: Int, copies: Int): Seq[java.sql.Timestamp] =
+      Seq.fill(copies)(java.sql.Timestamp.valueOf(
+        f"2024-01-${day}%02d 12:00:00"))
+    // slice p: weekday-heavy; slice q: inverted pattern over 2 weeks
+    val p = (1 to 14).flatMap(d => ts(d, if (d % 7 < 2) 1 else 3))
+      .map(("p", _))
+    val q = (1 to 14).flatMap(d => ts(d, if (d % 7 < 2) 4 else 2))
+      .map(("q", _))
+    val df = (p ++ q).toDF("g", "ts")
+    val grouped = Report.seasonalDailyByGroup(df, "g", "ts")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), Option(r.get(6))))
+      .toMap
+    for (slice <- Seq("p", "q")) {
+      val single = Report.seasonalDaily(df.where(F.col("g") === slice), "ts")
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), Option(r.get(5))))
+        .toMap
+      assert(single.nonEmpty)
+      single.foreach { case (day, want) =>
+        assert(grouped((slice, day)) == want, s"$slice/$day")
+      }
+    }
+  }
+
   test("kruskalWallis: hand-computed H on three tie-free groups; " +
     "degenerate NULLs") {
     import graft.pipeline.Report
@@ -806,6 +895,28 @@ class ModelSpec extends AnyFunSuite {
     val ld = Privacy.lDiversity(df, Seq("country"), "diag", 2).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSet
     assert(ld == Set(("US", 2L, false), ("DE", 1L, true), ("FR", 1L, true)))
+  }
+
+  test("privacy: t-closeness — TVD per class incl. absent-value mass; " +
+    "NULL sensitive rows excluded") {
+    import spark.implicits._
+    // global mix x=3, y=3 (p 0.5/0.5). class q=1: x,x,x,y → TVD =
+    // ½(|3/4−½| + |1/4−½|) = 0.25; class q=2: y,y (x ABSENT) → TVD =
+    // ½(|1−½| + ½) = 0.5 — the absent value's mass must count
+    val df = (Seq((1, Some("x")), (1, Some("x")), (1, Some("x")),
+      (1, Some("y")), (2, Some("y")), (2, Some("y")),
+      (2, Option.empty[String]))).toDF("q", "s")
+    val r = Privacy.tCloseness(df, Seq("q"), "s", threshold = 0.3)
+      .collect().map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))
+      .toMap
+    assert(r(1) == (4L, 2L, 0.25, false), r.toString)
+    assert(r(2) == (2L, 1L, 0.5, true), r.toString)
+    // a class matching the corpus mix exactly answers t = 0
+    val even = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y")).toDF("q", "s")
+    val r0 = Privacy.tCloseness(even, Seq("q"), "s", threshold = 0.3)
+      .collect().map(x => x.getInt(0) -> x.getDouble(3)).toMap
+    assert(r0 == Map(1 -> 0.0, 2 -> 0.0), r0.toString)
   }
 
   test("correlationMatrix: exact signs, null on zero variance") {

@@ -606,6 +606,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful moments: exact fixed-point sums, z of the newest " +
+    "reading; multi-micro-batch state equals the single-batch sums") {
+    import spark.implicits._
+    // key a sees 1,2,3 (given out of order): mean 2, pop-var 2/3,
+    // z = (3 − 2)/std — every double restated in the operator's order
+    val ds = Seq(("a", 3L, 3.0), ("a", 1L, 1.0), ("a", 2L, 2.0),
+      ("b", 1L, 9.0), ("c", 1L, 5.0), ("c", 2L, 5.0)).toDS()
+    val out = Streams.statefulMoments(ds)
+      .collect().map(u => u.key -> u).toMap
+    assert(out("a").n == 3L && out("a").value == 3.0)
+    // fp sums exact: Σfp(v) = 6·2^20, Σfp(v²) = 14·2^20
+    val m = ((6291456L.toDouble) / 1048576.0) / 3.0
+    assert(out("a").mean == m, s"mean ${out("a").mean}")
+    val ex2 = ((14680064L.toDouble) / 1048576.0) / 3.0
+    val std = math.sqrt(math.max(0.0, ex2 - m * m))
+    assert(out("a").std == std, s"std ${out("a").std}")
+    assert(out("a").z.contains((3.0 - m) / std), out("a").toString)
+    // first-ever reading: no history → z None
+    assert(out("b").n == 1L && out("b").z.isEmpty)
+    // constant history → std 0 → z None
+    assert(out("c").n == 2L && out("c").std == 0.0 && out("c").z.isEmpty)
+    // state carries across micro-batches: two time-split parts end at
+    // the same per-key sums as one batch
+    val ev = eventsBatch.limit(3000)
+      .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+      .cache()
+    val mid = ev.agg(F.percentile_approx(F.col("event_id"), F.lit(0.5),
+      F.lit(100))).head().getLong(0)
+    val (dir, schema) = graft.streaming.StreamStage.stageOrdered(spark,
+      "moments-ordered-" + mid, Seq(
+        () => ev.where(F.col("event_id") <= mid),
+        () => ev.where(F.col("event_id") > mid)))
+    def toDs(df: org.apache.spark.sql.DataFrame) = df
+      .select(F.col("user_id").cast("string"),
+        F.col("event_id").cast("long"), F.col("value").cast("double"))
+      .as[(String, Long, Double)]
+    val stream = Streams.statefulMoments(
+      toDs(Streams.readParquetStream(spark, dir, schema,
+        maxFilesPerTrigger = 1)))
+    val q = Streams.runToMemory(stream.toDF(), "smoments", "append")
+    q.stop()
+    val streamed = spark.table("smoments").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    val batch = Streams.statefulMoments(toDs(ev))
+      .collect().map(u => u.key -> ((u.key, u.n, u.mean, u.std))).toMap
+    assert(streamed.nonEmpty && streamed.size == batch.size)
+    streamed.foreach { case (k, got) =>
+      assert(got == batch(k), s"key $k: $got vs ${batch(k)}")
+    }
+  }
+
   test("stateful cusum TTL: expired ramps restart from zero") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
