@@ -469,6 +469,52 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** [[minhashLshPairs]] restricted WITHIN a partition column — "near-dups
+    * within the same language/domain/license", the standard curation form.
+    * The group key JOINS the band-bucket key, so two documents in
+    * different groups can never even become a candidate — cheaper AND
+    * cleaner than post-filtering global pairs (a cross-group bucket
+    * collision skips signature-join fan-out and exact-Jaccard
+    * verification entirely; on a corpus dominated by one boilerplate
+    * pattern shared across languages, the global candidate set is mostly
+    * cross-group noise). Rows with a NULL group are excluded. Same
+    * recall/precision contract per group as the global operator.
+    * Output: (group, a, b, jaccard) with a < b. */
+  def minhashLshPairsGrouped(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, k: Int = 32, bands: Int = 8, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val withG = df.where(g.isNotNull)
+      .select(F.col(idCol).as("id"), g.as("td_grp"), F.col(textCol))
+    val banded = minhashBandIndex(withG, textCol, "id", k, bands, n)
+      .join(withG.select(F.col("id"), F.col("td_grp")), Seq("id"))
+    val cand = banded.as("x").join(banded.as("y"),
+        Seq("band", "bh", "td_grp"))
+      .filter(F.col("x.id") < F.col("y.id"))
+      .select(F.col("td_grp"), F.col("x.id").as("a"), F.col("y.id").as("b"))
+      .distinct()
+    // verify: exact jaccard via an inverted index over candidate docs
+    // only (same ids can't repeat across groups — id is the key)
+    val candIds = cand.select(F.col("a").as("id"))
+      .union(cand.select(F.col("b"))).distinct()
+    val candDocs = withG.select(F.col("id"), F.col(textCol))
+      .join(candIds, Seq("id"))
+    val candShingles = shingled(candDocs, textCol, "id", n)
+    val sizes = candShingles.groupBy("id").agg(F.count(F.lit(1)).as("n_sh"))
+    val sided = candShingles.join(sizes, Seq("id"))
+    val common = sided.as("p").join(sided.as("q"), Seq("shingle"))
+      .filter(F.col("p.id") < F.col("q.id"))
+      .select(F.col("p.id").as("a"), F.col("q.id").as("b"),
+        F.col("p.n_sh").as("na"), F.col("q.n_sh").as("nb"))
+      .groupBy("a", "b", "na", "nb").agg(F.count(F.lit(1)).as("common"))
+    cand.join(common, Seq("a", "b"))
+      .withColumn("jaccard",
+        F.col("common").cast(DoubleType) / (F.col("na") + F.col("nb") - F.col("common")))
+      .filter(F.col("jaccard") >= threshold)
+      .select(F.col("td_grp").as("group"), F.col("a"), F.col("b"),
+        F.col("jaccard"))
+  }
+
   /** 64-bit SimHash over word tokens: per-token xxhash64 votes ±1 on each bit
     * position; the sign of each accumulated vote becomes the signature bit.
     * One codegen'd kernel ([[graft.expressions.SimHash64Expr]]); bit-parity

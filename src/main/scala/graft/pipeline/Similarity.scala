@@ -83,6 +83,34 @@ object Similarity {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Metadata-filtered [[lshTopK]] — the hyperplane-LSH face of
+    * [[graft.pipeline.Ivf.topKFiltered]]: `allowed` (the caller-filtered
+    * id relation) semi-joins the BUCKETED corpus side before distance
+    * ranking, so every result slot holds a matching neighbor and recall
+    * at fixed nbits is measured against the filtered brute-force scan
+    * (post-filtering the unfiltered top-k loses recall on a skewed
+    * filter — the Ivf scaladoc's argument, RecallSpec's measurement).
+    * nbits = 0 puts everything in one bucket, degenerating to the exact
+    * filtered scan — the oracle twin. */
+  def lshTopKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, allowed: DataFrame,
+      allowedIdCol: String, nbits: Int = 8): DataFrame = {
+    val ids = allowed.select(F.col(allowedIdCol).as("nbr_id")).distinct()
+    val c = corpus.select(F.col(idCol).as("nbr_id"), F.col(vecCol).as("cv"),
+        lshBucket(F.col(vecCol), nbits).as("bucket"))
+      .join(ids, Seq("nbr_id"), "left_semi")
+    val q = queries.select(F.col(queryIdCol).as("query_id"), F.col(vecCol).as("qv"),
+      lshBucket(F.col(vecCol), nbits).as("bucket"))
+    val scored = c.join(F.broadcast(q), Seq("bucket"))
+      .filter(F.col("query_id") =!= F.col("nbr_id"))
+      .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos").desc, F.col("nbr_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cos")
+  }
+
   /** Element-wise mean of embedding vectors per group — chunk-to-document
     * pooling (a document embedded chunk-by-chunk gets one vector), class
     * centroids, dataset-level embedding summaries. Exact and

@@ -173,6 +173,19 @@ object PipelineOracles {
     // IVF with nprobe = k probes every inverted list → identical to brute
     // force (same ordering, same cosine arithmetic)
     "q_ann_ivf_exact" -> exactAnnOracle,
+    // filtered LSH with nbits = 0 (one bucket): same filtered exact scan
+    "q_ann_lsh_filtered" ->
+      s"""SELECT query_id, rank, nbr_id, cos FROM (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
+         |    FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c,
+         |      (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |    WHERE q.vec_id <> c.vec_id) s) r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // filtered ANN with nprobe = k: candidates are the label-filtered
     // corpus, ranking identical to brute force over that subset
     "q_ann_ivf_filtered" ->
@@ -298,6 +311,32 @@ object PipelineOracles {
          |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
     // bands = k → candidate recall ≈ 1, verification exact → the gate equals
     // this exact batch × history Jaccard join (same construction as the gate)
+    // per-language exact Jaccard pairs: the grouped minhash gate's
+    // bands = k config degenerates to this (miss prob ≤ 2e-10)
+    "q_dedup_minhash_grouped" ->
+      """WITH w AS (SELECT doc_id, CAST(lang AS VARCHAR) AS grp,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE lang IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id, grp,
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM w WHERE len(w) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, grp, [array_to_string(w, ' ')] AS s
+        |  FROM w WHERE len(w) < 3),
+        |ex AS (SELECT doc_id, grp, len(s) AS n, unnest(s) AS shingle
+        |  FROM sh),
+        |j AS (SELECT x.grp, x.doc_id AS a, y.doc_id AS b,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb,
+        |    count(*) AS common
+        |  FROM ex x JOIN ex y ON x.shingle = y.shingle
+        |    AND x.grp = y.grp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT grp AS "group", a, b,
+        |  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+        |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+        |ORDER BY "group", a, b""".stripMargin,
     "q_dedup_incremental_near_exact" ->
       """WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |batch AS (

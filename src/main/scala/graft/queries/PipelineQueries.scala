@@ -117,6 +117,19 @@ object PipelineQueries {
           k = 32, bands = 8, n = 3, threshold = 0.5)
         .orderBy("a", "b")
     }),
+    "q_dedup_minhash_grouped" -> ((s, dir) => {
+      // near-dups WITHIN each language: the group key joins the
+      // band-bucket key, so cross-language candidates never exist.
+      // bands = k makes every signature slot its own band — a
+      // qualifying pair (j ≥ 0.5) is missed only if all 32 independent
+      // slots differ (≤ 2e-10), so the output equals the per-language
+      // exact Jaccard join the oracle states (the incremental_near_exact
+      // convention); q_dedup_minhash keeps the banded approximate config
+      Dedup.minhashLshPairsGrouped(t(s, dir, "documents"),
+          "text", "doc_id", "lang", k = 32, bands = 32, n = 3,
+          threshold = 0.5)
+        .orderBy("group", "a", "b")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // md5-prefix-seeded signature (Dedup.simhash60Md5): same ±1-vote
       // algorithm as the xxhash64 kernel, but the portable hash makes the
@@ -171,6 +184,18 @@ object PipelineQueries {
         .select(F.col("label"), F.col("pos").cast("int").as("j"),
           F.col("col").as("v"))
         .orderBy("label", "j")
+    }),
+    "q_ann_lsh_filtered" -> ((s, dir) => {
+      // metadata-filtered LSH ANN: the predicate semi-joins the
+      // bucketed corpus BEFORE ranking; nbits = 0 is the one-bucket
+      // degenerate → exact filtered brute force (the oracle twin of
+      // the q_ann_ivf_filtered convention)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKFiltered(emb, emb.filter(F.col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", k = 10,
+          allowed = emb.filter(F.col("label") % 3 === 0),
+          allowedIdCol = "vec_id", nbits = 0)
+        .orderBy("query_id", "rank")
     }),
     "q_ann_sq8" -> ((s, dir) => {
       // asymmetric scalar quantization: corpus side 8-bit codes, query

@@ -54,6 +54,12 @@ object ScalingProbe {
       ("dedup_exact", 100, d => graft.pipeline.Dedup.exact(d, "text", "doc_id").count()),
       ("dedup_minhash", 30, d =>
         graft.pipeline.Dedup.minhashLshPairs(d, "text", "doc_id", 32, 8, 3, 0.8).count()),
+      ("dedup_minhash_grp", 30, { d =>
+        // group key joins the band-bucket key: per-group candidates only
+        graft.pipeline.Dedup.minhashLshPairsGrouped(
+          d.withColumn("grp", (F.col("doc_id") % 5).cast("string")),
+          "text", "doc_id", "grp", 32, 8, 3, 0.8).count()
+      }),
       ("dedup_jaccard", 30, d =>
         graft.pipeline.Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5).count()),
       ("topgram", 100, d =>

@@ -64,6 +64,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors == members)
   }
 
+  test("grouped minhash: candidates never cross the group key; within-group " +
+    "pairs equal the single-group operator") {
+    import spark.implicits._
+    // identical near-dup text planted in BOTH langs: the global operator
+    // would pair doc 1 with doc 11 across langs; the grouped one must not
+    val base = (0 until 40).map(i => s"tok${i}a tok${i}b tok${i}c").mkString(" ")
+    val nearDup = base + " one extra trailing clause here"
+    val rows = Seq(
+      (1L, "en", base), (2L, "en", nearDup),
+      (11L, "de", base), (12L, "de", nearDup),
+      (3L, "en", (100 until 140).map(i => s"z$i").mkString(" ")))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val grouped = Dedup.minhashLshPairsGrouped(df, "text", "doc_id", "lang",
+        k = 32, bands = 32, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(grouped == Set(("en", 1L, 2L), ("de", 11L, 12L)), grouped.toString)
+    // each group's pairs == the global operator run on that group alone
+    for (lang <- Seq("en", "de")) {
+      val single = Dedup.minhashLshPairs(df.where(F.col("lang") === lang),
+          "text", "doc_id", k = 32, bands = 32, n = 3, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val mine = Dedup.minhashLshPairsGrouped(df, "text", "doc_id", "lang",
+          k = 32, bands = 32, n = 3, threshold = 0.5)
+        .where(F.col("group") === lang)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(mine == single, s"$lang: $mine vs $single")
+    }
+  }
+
   test("fuzzy pairs: blocked levenshtein finds exactly the near-identical names") {
     import spark.implicits._
     val df = Seq(

@@ -236,6 +236,30 @@ class RecallSpec extends AnyFunSuite {
       f"filtered planted-neighbor recall $plantedRecall%.3f < 0.9")
   }
 
+  test("lsh filtered probe: only allowed neighbors surface; planted recall " +
+    "meets the Charikar bound on the allowed sources") {
+    val corpus = vecDf(corpusVecs.map { case (id, v) => (id, v.toSeq) })
+    val queries = vecDf(queryVecs.map { case (qid, _, q) => (qid, q.toSeq) })
+    val nbits = 8; val topk = 5
+    val allowed = corpus.where(F.col("id") % 10 === 0) // all planted sources
+    val got = Similarity.lshTopKFiltered(corpus, queries, "id", "v", "id",
+        topk, allowed = allowed, allowedIdCol = "id", nbits = nbits)
+      .select("query_id", "nbr_id").collect()
+    // the pre-filter is a hard guarantee: every slot matches the predicate
+    assert(got.nonEmpty && got.forall(_.getLong(1) % 10 == 0))
+    val byQ = got.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val plantedRecall = queryVecs.count { case (qid, src, _) =>
+      byQ.getOrElse(qid, Set.empty).contains(src)
+    }.toDouble / NQ
+    val thetaMax = queryVecs.map { case (_, src, q) =>
+      math.acos(math.min(1.0, cosD(q, corpusVecs(src.toInt)._2)))
+    }.max
+    val bound = math.pow(1.0 - thetaMax / math.Pi, nbits)
+    assert(plantedRecall >= bound - 0.15,
+      f"filtered planted recall $plantedRecall%.3f < bound $bound%.3f - 0.15")
+  }
+
   test("hyperplane-lsh approximate config: planted-neighbor recall meets the (1-theta/pi)^nbits bound") {
     val corpus = vecDf(corpusVecs.map { case (id, v) => (id, v.toSeq) })
     val queries = vecDf(queryVecs.map { case (qid, _, q) => (qid, q.toSeq) })
