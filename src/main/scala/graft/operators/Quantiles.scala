@@ -83,6 +83,36 @@ object Quantiles {
       .drop("$td.__lo", "$td.__hi")
   }
 
+  /** Per-group [[winsorize]]: clip each group's values into THAT group's
+    * exact [pLo, pHi] quantile window — per-language length clipping,
+    * the per-slice outlier treatment a mixed corpus needs (a global clip
+    * window lets one verbose language's tail define every other's). One
+    * [[exactQuantilesByGroup]] pass (its hot-group contract included);
+    * the per-group bounds come back as a broadcast (group, lo, hi)
+    * relation (bounded by group cardinality); the clip itself is a
+    * row-local when-chain. NULL values stay NULL (the winsorize rule);
+    * rows of a group with no non-NULL values pass through unclipped
+    * (NULL bounds fall through every comparison). */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double, tiebreakers: Seq[String] = Nil,
+      hotGroupThreshold: Long = 4000000L): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = exactQuantilesByGroup(df, groupCol, valueCol,
+        Seq(pLo, pHi), tiebreakers, hotGroupThreshold)
+      .groupBy(F.col(groupCol).as("$td.__g"))
+      .agg(
+        F.min(F.when(F.col("q") === pLo, F.col("value"))).as("$td.__lo"),
+        F.min(F.when(F.col("q") === pHi, F.col("value"))).as("$td.__hi"))
+    df.join(F.broadcast(bounds),
+        F.col(groupCol) <=> F.col("`$td.__g`"), "left")
+      .withColumn(valueCol,
+        F.when(F.col(valueCol) < F.col("`$td.__lo`"), F.col("`$td.__lo`"))
+          .when(F.col(valueCol) > F.col("`$td.__hi`"), F.col("`$td.__hi`"))
+          .otherwise(F.col(valueCol)))
+      .drop("$td.__g", "$td.__lo", "$td.__hi")
+  }
+
   /** Robust scale statistics: the exact median and the exact median
     * absolute deviation (MAD = median of |x − median|) as one 1-row
     * relation — the outlier-immune (location, scale) pair behind robust

@@ -230,6 +230,25 @@ object ScaleOracles {
         |SELECT (SELECT median FROM m) AS median,
         |       (SELECT dv FROM s2, n
         |        WHERE rk = GREATEST(1, CAST(ceil(0.5e0 * c) AS BIGINT))) AS mad""".stripMargin,
+    "q_winsorize_grouped" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT lang,
+        |    min(CASE WHEN rk = GREATEST(1, CAST(ceil(0.1e0 * c) AS BIGINT))
+        |      THEN n_chars END) AS lo,
+        |    min(CASE WHEN rk = GREATEST(1, CAST(ceil(0.9e0 * c) AS BIGINT))
+        |      THEN n_chars END) AS hi
+        |  FROM s GROUP BY lang)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN d.n_chars < b.lo THEN b.lo
+        |       WHEN d.n_chars > b.hi THEN b.hi
+        |       ELSE d.n_chars END AS n_chars
+        |FROM documents d LEFT JOIN b ON d.lang = b.lang
+        |ORDER BY d.doc_id""".stripMargin,
     "q_winsorize" ->
       """WITH s AS (
         |  SELECT n_chars,

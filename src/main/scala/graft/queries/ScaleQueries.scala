@@ -197,6 +197,17 @@ object ScaleQueries {
           pLo = 0.05, pHi = 0.95, tiebreakers = Seq("doc_id"))
         .orderBy("doc_id")
     }),
+    "q_winsorize_grouped" -> ((s, dir) => {
+      // per-LANGUAGE clipping: each lang's lengths clip into that lang's
+      // own exact [p10, p90] window (a global window would let one
+      // verbose language's tail define every other's); per-group bounds
+      // broadcast, clip row-local
+      graft.operators.Quantiles.winsorizeByGroup(
+          d(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", pLo = 0.1, pHi = 0.9,
+          tiebreakers = Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
     "q_select_budget" -> ((s, dir) => {
       // token-budget corpus selection: fill a 100k-char training budget
       // from the longest documents down (n_chars doubles as the

@@ -131,6 +131,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("winsorizeByGroup: each group clips into its OWN window; NULLs and " +
+    "empty groups pass through") {
+    import spark.implicits._
+    // group a: 1..20 (window [2, 18] at p10/p90); group b: 101..120
+    // (window [102, 118]) — a global clip would never move b's low end
+    val rows = (1 to 20).map(i => ("a", i.toLong, Some(i.toLong))) ++
+      (1 to 20).map(i => ("b", 100L + i, Some(100L + i))) :+
+      (("a", 99L, Option.empty[Long]))
+    val df = rows.toDF("g", "id", "v")
+    val got = graft.operators.Quantiles.winsorizeByGroup(
+        df, "g", "v", pLo = 0.1, pHi = 0.9, tiebreakers = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2)))
+      .toMap
+    // per-group == the single-group operator on that group alone
+    for (g <- Seq("a", "b")) {
+      val single = graft.operators.Quantiles.winsorize(
+          df.where(F.col("g") === g), "v", pLo = 0.1, pHi = 0.9,
+          tiebreakers = Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2)))
+        .toMap
+      single.foreach { case (k, want) => assert(got(k) == want, k.toString) }
+    }
+    assert(got(("a", 1L)) == Some(2L) && got(("a", 20L)) == Some(18L))
+    assert(got(("b", 101L)) == Some(102L) && got(("b", 120L)) == Some(118L))
+    assert(got(("a", 99L)).isEmpty, "NULL value must stay NULL")
+  }
+
   test("winsorize clips into the quantile window and passes NULLs through") {
     import spark.implicits._
     val df = (Seq.tabulate(20)(i => (i.toLong, Some((i + 1).toLong))) :+
