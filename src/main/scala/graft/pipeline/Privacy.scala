@@ -79,9 +79,16 @@ object Privacy {
     require(threshold > 0.0d && threshold <= 1.0d,
       s"threshold must be in (0,1], got $threshold")
     val s = F.col(sensitiveCol).cast("string")
+    // the BOUNDED cell relation feeds THREE consumers (the join, the
+    // value marginals, the grand total) — persist+count (the conductance
+    // barrier: bounded multi-consumer relations materialize under the
+    // adaptive plan) or each consumer re-executes the corpus scan +
+    // shuffle: measured 3 scans, zero exchange reuse, before this
     val cells = df.where(s.isNotNull)
       .groupBy(qiCols.map(F.col) :+ s.as("td_s"): _*)
       .agg(F.count(F.lit(1)).as("td_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    cells.count()
     val gl = cells.groupBy(F.col("td_s"))
       .agg(F.sum(F.col("td_c")).cast("long").as("td_g"))
     val tot = gl.agg(F.sum(F.col("td_g")).cast("long").as("td_nn"))

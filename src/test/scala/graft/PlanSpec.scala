@@ -407,6 +407,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!sp.contains("CartesianProduct"), sp)
   }
 
+  test("filtered ANN: the metadata semi-join sits BELOW the rank window " +
+    "(pre-filter), queries broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val p = plan(graft.pipeline.Ivf.topKFiltered(idx,
+      emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k = 10,
+      allowed = emb.filter(F.col("label") % 3 === 0),
+      allowedIdCol = "vec_id", nprobe = 8))
+    // plans print top-down: the window (ranking) node must appear ABOVE
+    // the LeftSemi (earlier in the text) — candidates are filtered
+    // BEFORE distance ranking, so recall is measured against the
+    // filtered corpus, not lost to dead slots
+    val winAt = p.indexOf("Window")
+    val semiAt = p.indexOf("LeftSemi")
+    assert(winAt >= 0 && semiAt >= 0 && winAt < semiAt, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("welch t-test: one corpus scan, map-side-combined moments agg, " +
+    "no product join") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+        .as("variant"), F.col("value").cast("double").as("revenue"))
+    val p = plan(graft.pipeline.Report.welchT(ev, "variant", "revenue"))
+    assert(count(p, "Scan parquet") == 1, p)
+    // partial aggregation before the variant exchange (map-side combine)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("benford: ONE corpus scan (window total, not a broadcast re-scan)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val p = plan(graft.dq.Dq.benford(li, "l_extendedprice"))
