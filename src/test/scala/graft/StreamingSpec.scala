@@ -707,6 +707,68 @@ class StreamingSpec extends AnyFunSuite {
       s"expired ramps must restart from zero, got $got")
   }
 
+  test("stateful ewma + moments TTL: expired state restarts (re-seed / " +
+    "fresh sums)") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    def writeRows(dir: java.nio.file.Path, rows: Seq[(String, Long, Double)],
+        name: String, mtime: Long): Unit = {
+      val stage = Files.createTempDirectory("graft-ew-stage")
+      rows.toDF("key", "seq", "v").coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+      assert(dir.resolve(name).toFile.setLastModified(mtime))
+    }
+    @annotation.nowarn("cat=deprecation")
+    def runOnce(dir: String, outE: String, ckE: String,
+        outM: String, ckM: String): Unit = {
+      def stream = Streams.readParquetStream(spark, dir, schema,
+        maxFilesPerTrigger = 1).as[(String, Long, Double)]
+      val e = Streams.statefulEwma(stream, alpha = 0.25,
+        stateTtlMs = Some(500L))
+      val qe = e.toDF().writeStream.format("parquet")
+        .option("path", outE).option("checkpointLocation", ckE)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      qe.awaitTermination(); qe.stop()
+      val m = Streams.statefulMoments(stream, stateTtlMs = Some(500L))
+      val qm = m.toDF().writeStream.format("parquet")
+        .option("path", outM).option("checkpointLocation", ckM)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      qm.awaitTermination(); qm.stop()
+    }
+    val dir = Files.createTempDirectory("graft-ew-ttl")
+    val outE = Files.createTempDirectory("graft-ew-ttl-oe").toString
+    val ckE = Files.createTempDirectory("graft-ew-ttl-ce").toString
+    val outM = Files.createTempDirectory("graft-ew-ttl-om").toString
+    val ckM = Files.createTempDirectory("graft-ew-ttl-cm").toString
+    writeRows(dir, Seq(("a", 1L, 8.0)), "b0.parquet", 1700000000000L)
+    runOnce(dir.toString, outE, ckE, outM, ckM)
+    Thread.sleep(1200)
+    // past the TTL: the EWMA RE-SEEDS at the new value (n back to 1,
+    // deviation 0 — no surviving forecast), the moment sums restart
+    writeRows(dir, Seq(("a", 2L, 20.0)), "b1.parquet", 1700000060000L)
+    runOnce(dir.toString, outE, ckE, outM, ckM)
+    val ew = spark.read.parquet(outE).as[Streams.EwmaUpdate].collect()
+      .map(u => (u.n, u.baseline, u.deviation)).toSet
+    assert(ew == Set((1L, 8.0, 0.0), (1L, 20.0, 0.0)),
+      s"expired EWMA must re-seed, got $ew")
+    val mo = spark.read.parquet(outM).as[Streams.MomentsUpdate].collect()
+      .map(u => (u.n, u.mean, u.z)).toSet
+    assert(mo == Set((1L, 8.0, None), (1L, 20.0, None)),
+      s"expired moments must restart, got $mo")
+  }
+
   test("streaming near-dup: rewrites flagged against the min-id canonical; differential vs batch band index") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +
