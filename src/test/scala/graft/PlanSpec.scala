@@ -440,6 +440,40 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t-closeness: the bounded cell relation materializes ONCE for its " +
+    "three consumers (no re-executed corpus scan)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val df = graft.pipeline.Privacy.tCloseness(
+      orders.withColumn("o_year", F.year(F.col("o_orderdate"))),
+      Seq("o_orderpriority", "o_year"), "o_orderstatus", 0.2)
+    // count LOGICAL nodes, not plan-string occurrences: an
+    // InMemoryRelation's description embeds its build plan's text, so
+    // string-matching "Scan parquet" overcounts cached plans
+    var fileScans = 0; var memScans = 0
+    df.queryExecution.optimizedPlan.foreach { n =>
+      val c = n.getClass.getSimpleName
+      if (c.contains("LogicalRelation")) fileScans += 1
+      if (c.contains("InMemoryRelation")) memScans += 1
+    }
+    // the corpus scan ran once inside the barrier's count; the final
+    // plan reads the bounded cells cache three times (join + marginals
+    // + grand total) and never touches parquet again
+    assert(fileScans == 0, s"corpus re-scan leaked into the final plan")
+    assert(memScans == 3, s"expected 3 bounded cache reads, got $memScans")
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
+  test("grouped minhash: candidate join carries the group key, no product") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.pipeline.Dedup.minhashLshPairsGrouped(
+      docs, "text", "doc_id", "lang", 32, 8, 3, 0.5))
+    // the group key rides the band-bucket hash join — cross-group pairs
+    // are pruned at the JOIN KEY, not post-filtered
+    assert(p.contains("td_grp"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("benford: ONE corpus scan (window total, not a broadcast re-scan)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val p = plan(graft.dq.Dq.benford(li, "l_extendedprice"))
