@@ -1858,6 +1858,50 @@ object Report {
       .orderBy(F.col("day").asc)
   }
 
+  /** Per-group [[cusumDaily]] — per-slice change-point ramps (each
+    * event type / source against ITS OWN grand mean), completing the
+    * grouped anomaly family's third face next to [[ewmaDailyByGroup]]
+    * and [[seasonalDailyByGroup]]: a sustained shift in one slice
+    * builds that slice's ramp without the corpus mean damping it. One
+    * (group, day)-keyed count shuffle to the bounded slices×days grid;
+    * per-group μ is each group's exact mean (one stated division per
+    * group); the clamped prefix folds ride each group's sorted day
+    * list (O(days²) per slice on METADATA). Output:
+    * (group, day, cnt, cusum_hi, cusum_lo) ascending by (group, day);
+    * empty input answers zero rows. */
+  def cusumDailyByGroup(df: DataFrame, groupCol: String, tsCol: String,
+      slack: Double = 0.0): DataFrame = {
+    require(slack >= 0.0d, s"slack must be >= 0, got $slack")
+    val g = F.col(groupCol).cast("string")
+    val daily = df.where(g.isNotNull && F.col(tsCol).isNotNull)
+      .groupBy(g.as("group"), F.to_date(F.col(tsCol)).as("day"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val packed = daily.groupBy(F.col("group"))
+      .agg(F.sort_array(F.collect_list(
+        F.struct(F.col("day"), F.col("cnt")))).as("td_l"))
+    val l = F.col("td_l")
+    val mu = F.aggregate(l, F.lit(0L), (a, e) => a + e.getField("cnt"))
+      .cast("double") / F.size(l).cast("double")
+    def ramp(sign: Double): Column => Column = i =>
+      F.aggregate(F.slice(l, F.lit(1), i), F.lit(0.0d), (acc, e) =>
+        F.greatest(F.lit(0.0d), acc +
+          (F.lit(sign) * (e.getField("cnt").cast("double") - mu) -
+            F.lit(slack))))
+    packed.where(F.size(l) > 0)
+      .select(F.col("group"), F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(l)),
+        i => F.struct(
+          F.element_at(l, i).getField("day").as("day"),
+          F.element_at(l, i).getField("cnt").as("cnt"),
+          ramp(1.0d)(i).as("cusum_hi"),
+          ramp(-1.0d)(i).as("cusum_lo")))).as("td_r"))
+      .select(F.col("group"),
+        F.col("td_r.day").as("day"), F.col("td_r.cnt").as("cnt"),
+        F.col("td_r.cusum_hi").as("cusum_hi"),
+        F.col("td_r.cusum_lo").as("cusum_lo"))
+      .orderBy(F.col("group").asc, F.col("day").asc)
+  }
+
   /** EWMA baseline over DAILY event counts — the drift/anomaly monitor
     * read next to [[graft.streaming.Streams.windowedMoments]]: one keyed
     * count shuffle reduces the corpus to the bounded day grid, then the

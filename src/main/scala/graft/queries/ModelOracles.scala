@@ -889,6 +889,30 @@ object ModelOracles {
         |      acc + ((CAST(-1.0 AS DOUBLE) * (e - mu.mu))
         |        - CAST(2.0 AS DOUBLE)))) AS cusum_lo
         |FROM ix, mu ORDER BY day_num ASC""".stripMargin,
+    "q_cusum_daily_grouped" ->
+      """WITH d AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+        |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |l AS (SELECT grp,
+        |    list(struct_pack(day := day, cnt := cnt) ORDER BY day) AS l,
+        |    list(CAST(cnt AS DOUBLE) ORDER BY day) AS ld,
+        |    CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+        |  FROM d GROUP BY grp),
+        |ix AS (SELECT grp, l, ld, mu, unnest(range(1, len(l) + 1)) AS i
+        |  FROM l)
+        |SELECT grp AS "group",
+        |  CAST(l[i].day - DATE '1970-01-01' AS BIGINT) AS day_num,
+        |  l[i].cnt AS cnt,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ld[1:i]),
+        |    (acc, e) -> greatest(CAST(0.0 AS DOUBLE),
+        |      acc + ((CAST(1.0 AS DOUBLE) * (e - mu))
+        |        - CAST(2.0 AS DOUBLE)))) AS cusum_hi,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ld[1:i]),
+        |    (acc, e) -> greatest(CAST(0.0 AS DOUBLE),
+        |      acc + ((CAST(-1.0 AS DOUBLE) * (e - mu))
+        |        - CAST(2.0 AS DOUBLE)))) AS cusum_lo
+        |FROM ix ORDER BY "group" ASC, day_num ASC""".stripMargin,
     "q_ab_mannwhitney" ->
       """WITH u AS (SELECT user_id,
         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,

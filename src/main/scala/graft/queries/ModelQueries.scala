@@ -383,6 +383,18 @@ object ModelQueries {
           F.col("cnt"), F.col("cusum_hi"), F.col("cusum_lo"))
         .orderBy(F.col("day_num").asc)
     }),
+    "q_cusum_daily_grouped" -> ((s, dir) => {
+      // per-slice change points: each event type's ramps against ITS
+      // OWN grand mean — the grouped face completing the anomaly
+      // family's third leg (EWMA trend / seasonal pattern / CUSUM shift,
+      // each now single + grouped)
+      graft.pipeline.Report.cusumDailyByGroup(d(s, dir, "events"),
+          "event_type", "ts", slack = 2.0)
+        .select(F.col("group"),
+          F.unix_date(F.col("day")).cast("long").as("day_num"),
+          F.col("cnt"), F.col("cusum_hi"), F.col("cusum_lo"))
+        .orderBy(F.col("group").asc, F.col("day_num").asc)
+    }),
     "q_ab_mannwhitney" -> ((s, dir) => {
       // nonparametric A/B test on a SKEWED metric: per-user fixed-point
       // event-value totals, even/odd cohorts, Mann-Whitney U with

@@ -691,6 +691,12 @@ object ScalingProbe {
         graft.pipeline.Report.seasonalDailyByGroup(e, "event_type", "ts")
           .count()
       }),
+      ("cusum_grouped", 100, { e =>
+        // one (group, day)-keyed count shuffle; per-group clamped prefix
+        // folds on the bounded slices×days grid
+        graft.pipeline.Report.cusumDailyByGroup(e, "event_type", "ts",
+          slack = 2.0).count()
+      }),
       ("tclose", 100, { e =>
         // two keyed aggs (cells + per-value marginals broadcast back),
         // bounded per-class folds — linear, one corpus shuffle

@@ -622,6 +622,38 @@ class ModelSpec extends AnyFunSuite {
     }
   }
 
+  test("cusumDailyByGroup: each slice ramps against ITS OWN mean, equals " +
+    "the single-slice operator") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    def ts(day: Int, copies: Int): Seq[java.sql.Timestamp] =
+      Seq.fill(copies)(java.sql.Timestamp.valueOf(
+        f"2024-02-${day}%02d 09:00:00"))
+    // slice p shifts UP mid-series; slice q is flat — a corpus-wide mean
+    // would smear p's shift into q's ramps
+    val p = (1 to 10).flatMap(d => ts(d, if (d > 5) 8 else 2)).map(("p", _))
+    val q = (1 to 10).flatMap(d => ts(d, 4)).map(("q", _))
+    val df = (p ++ q).toDF("g", "ts")
+    val grouped = Report.cusumDailyByGroup(df, "g", "ts", slack = 1.0)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    for (slice <- Seq("p", "q")) {
+      val single = Report.cusumDaily(df.where(F.col("g") === slice), "ts",
+          slack = 1.0)
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(single.nonEmpty)
+      single.foreach { case (day, want) =>
+        assert(grouped((slice, day)) == want, s"$slice/$day")
+      }
+    }
+    // flat slice never ramps (|cnt − mean| = 0 < slack)
+    assert(grouped.filter(_._1._1 == "q").values
+      .forall(v => v._2 == 0.0 && v._3 == 0.0), "flat slice ramped")
+    // the shifted slice's hi ramp is strictly positive at the end
+    assert(grouped(("p", "2024-02-10"))._2 > 0.0, grouped.toString)
+  }
+
   test("kruskalWallis: hand-computed H on three tie-free groups; " +
     "degenerate NULLs") {
     import graft.pipeline.Report
