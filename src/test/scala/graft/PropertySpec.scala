@@ -63,6 +63,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("withRankByGroup method=min == per-group SQL-rank on random keyed " +
+    "data with duplicates") {
+    for ((rows, si) <- samples(keyed).zipWithIndex) {
+      import spark.implicits._
+      // coarsen values to force heavy within-group ties (v mod 7)
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (s"g$k", i.toLong, (v % 7).toLong) }
+        .toDF("g", "id", "v").repartition(5)
+      val got = ScalableRank.withRankByGroup(df, "g", "v", "r",
+          method = "min")
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+      // driver-side truth: SQL rank = 1 + count of strictly-smaller
+      // values in the group (tied rows share the block-start rank)
+      val exp = rows.zipWithIndex.groupBy(_._1._1).values.flatMap { grp =>
+        val vs = grp.map { case ((_, v), i) => ((v % 7).toLong, i.toLong) }
+        vs.map { case (v, id) =>
+          id -> (1L + vs.count(_._1 < v))
+        }
+      }.toMap
+      assert(got == exp, s"sample=$si rows=${rows.size}")
+    }
+  }
+
   test("quantile sketch merge: any random split merges to the whole-corpus sketch") {
     for ((rows, si) <- samples(keyed).zipWithIndex) {
       import spark.implicits._
