@@ -153,6 +153,20 @@ class StoreFlowSpec extends AnyFunSuite {
     assert(rel2.schema("a").dataType == LongType)
     assert(rel2.select("a").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L))
+    // a LOSSY collision (long vs string) still unifies through the
+    // lattice — to string, the relaxed contract's last-resort common
+    // representation (exactly vertical_relaxed's rule)
+    store.write("c", "v", Seq(7L).toDF("a"))
+    store.write("c", "v", Seq("eight").toDF("a"))
+    intercept[IllegalArgumentException](store.scan("c/v@INITIAL..HEAD"))
+    val rel3 = store.scanRelaxed("c/v@INITIAL..HEAD").get.df
+    assert(rel3.schema("a").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(rel3.select("a").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("7", "eight"))
+    // a single-version ref never widens: v1 alone still reads as long
+    assert(store.scanRelaxed("c/v@INITIAL").get.df.schema("a").dataType ==
+      LongType)
   }
 
   test("store: schema probe answers from the log, matches the scanned frame") {
