@@ -92,7 +92,11 @@ object Quantiles {
     * relation (bounded by group cardinality); the clip itself is a
     * row-local when-chain. NULL values stay NULL (the winsorize rule);
     * rows of a group with no non-NULL values pass through unclipped
-    * (NULL bounds fall through every comparison). */
+    * (NULL bounds fall through every comparison). A NULL group key is a
+    * GROUP LIKE ANY OTHER (the Privacy family's NULL rule): the bounds
+    * join is null-safe (`<=>`), so NULL-group rows clip against the NULL
+    * group's own quantile window — the oracle states the same contract
+    * with IS NOT DISTINCT FROM. */
   def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double, pHi: Double, tiebreakers: Seq[String] = Nil,
       hotGroupThreshold: Long = 4000000L): DataFrame = {

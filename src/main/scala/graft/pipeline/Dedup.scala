@@ -494,15 +494,23 @@ object Dedup {
       .select(F.col("td_grp"), F.col("x.id").as("a"), F.col("y.id").as("b"))
       .distinct()
     // verify: exact jaccard via an inverted index over candidate docs
-    // only (same ids can't repeat across groups — id is the key)
+    // only (same ids can't repeat across groups — id is the key). The
+    // group key rides the shingles and JOINS the inverted-index key, so
+    // cross-group doc pairs sharing boilerplate shingles are never even
+    // generated here — the same pre-filter discipline as the candidate
+    // stage (a shingle-only join would re-admit exactly the cross-group
+    // fan-out this operator exists to avoid).
     val candIds = cand.select(F.col("a").as("id"))
       .union(cand.select(F.col("b"))).distinct()
-    val candDocs = withG.select(F.col("id"), F.col(textCol))
-      .join(candIds, Seq("id"))
-    val candShingles = shingled(candDocs, textCol, "id", n)
+    val candDocs = withG.join(candIds, Seq("id"))
+    val candShingles = candDocs
+      .select(F.col("id"), F.col("td_grp"), tokens(F.col(textCol)).as("toks"))
+      .select(F.col("id"), F.col("td_grp"),
+        shinglesFromTokens(F.col("toks"), n).as("sh"))
+      .select(F.col("id"), F.col("td_grp"), F.explode(F.col("sh")).as("shingle"))
     val sizes = candShingles.groupBy("id").agg(F.count(F.lit(1)).as("n_sh"))
     val sided = candShingles.join(sizes, Seq("id"))
-    val common = sided.as("p").join(sided.as("q"), Seq("shingle"))
+    val common = sided.as("p").join(sided.as("q"), Seq("shingle", "td_grp"))
       .filter(F.col("p.id") < F.col("q.id"))
       .select(F.col("p.id").as("a"), F.col("q.id").as("b"),
         F.col("p.n_sh").as("na"), F.col("q.n_sh").as("nb"))

@@ -112,4 +112,81 @@ object Privacy {
       t.as("t"), (t > F.lit(threshold)).as("violates")): _*)
       .orderBy(qiCols.map(c => F.col(c).asc_nulls_first): _*)
   }
+
+  /** t-closeness with the ORDERED-DISTANCE (EMD) ground metric — the
+    * other half of Li, Li & Venkatasubramanian 2007 (§3, Definition 4):
+    * for a NUMERIC sensitive attribute (income, age — the common
+    * release-gating case) a class holding {3k, 4k, 5k} is far closer to
+    * the corpus than one holding {3k, 3k, 3k}, which the equal-distance
+    * TVD of [[tCloseness]] cannot see. Over the corpus's sorted value
+    * grid v_1 < … < v_m, t = (1/(m−1)) · Σ_{i=1..m} |r_i| with the
+    * cumulative difference r_i = Σ_{j≤i} (p_j − q_j) (p = class mix,
+    * q = corpus mix) — the 1-D earth-mover's distance, each unit of
+    * probability mass paying for how FAR it must move.
+    *
+    * Exact integer algebra until one stated division: r_i = (N·C_i −
+    * n·G_i)/(n·N) with C/G the cumulative class/corpus COUNTS, so
+    * Σ|N·C_i − n·G_i| accumulates in DECIMAL(38,0) and
+    * t = Σ/(n·N·(m−1)) is the only double op — bit-replayable on any
+    * engine. Same shape as [[tCloseness]]: one (qi, s) count shuffle
+    * (the persist+count barrier for its two consumers), the BOUNDED
+    * sorted grid broadcast back packed with its cumulative-ready
+    * (value, count) structs, the per-class fold a map lookup over it —
+    * never a dense class×value grid relation. Rows with NULL sensitive
+    * values are EXCLUDED; NULL QI values group like any other; a
+    * single-value grid (m = 1) answers t = 0 (no mass can move).
+    * Output: (qi..., n, n_values, t, violates = t > threshold)
+    * ascending by the QI columns. */
+  def tClosenessOrdered(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, threshold: Double): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(threshold > 0.0d && threshold <= 1.0d,
+      s"threshold must be in (0,1], got $threshold")
+    val s = F.col(sensitiveCol).cast("double")
+    val cells = df.where(s.isNotNull)
+      .groupBy(qiCols.map(F.col) :+ s.as("td_s"): _*)
+      .agg(F.count(F.lit(1)).as("td_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    cells.count()
+    val gl = cells.groupBy(F.col("td_s"))
+      .agg(F.sum(F.col("td_c")).cast("long").as("td_g"))
+    // the WHOLE grid packs into one broadcast row (bounded sensitive
+    // cardinality — the same contract the TVD metric's marginals ride)
+    val glp = gl.agg(
+      F.sum(F.col("td_g")).cast("long").as("td_nn"),
+      F.count(F.lit(1)).cast("long").as("td_m"),
+      F.sort_array(F.collect_list(F.struct(F.col("td_s"), F.col("td_g"))))
+        .as("td_grid"))
+    val packed = cells.groupBy(qiCols.map(F.col): _*)
+      .agg(F.sum(F.col("td_c")).cast("long").as("n"),
+        F.count(F.lit(1)).cast("long").as("n_values"),
+        F.map_from_entries(F.collect_list(
+          F.struct(F.col("td_s"), F.col("td_c")))).as("td_map"))
+    val joined = packed.crossJoin(F.broadcast(glp))
+    val nDec = F.col("n").cast("decimal(18,0)")
+    val nnDec = F.col("td_nn").cast("decimal(18,0)")
+    val zero = F.struct(
+      F.lit(0L).as("cc"), F.lit(0L).as("gg"),
+      F.lit(0).cast("decimal(38,0)").as("acc"))
+    val folded = F.aggregate(F.col("td_grid"), zero,
+      (acc, e) => {
+        val cc = acc.getField("cc") +
+          F.coalesce(F.element_at(F.col("td_map"), e.getField("td_s")),
+            F.lit(0L))
+        val gg = acc.getField("gg") + e.getField("td_g")
+        F.struct(cc.as("cc"), gg.as("gg"),
+          (acc.getField("acc") +
+            F.abs(nnDec * cc.cast("decimal(18,0)") -
+              nDec * gg.cast("decimal(18,0)"))).as("acc"))
+      },
+      acc => acc.getField("acc"))
+    val t = F.when(F.col("td_m") >= 2L,
+        folded.cast("double") / (F.col("n").cast("double") *
+          F.col("td_nn").cast("double") *
+          (F.col("td_m").cast("double") - F.lit(1.0d))))
+      .otherwise(F.lit(0.0d))
+    joined.select(qiCols.map(F.col) ++ Seq(F.col("n"), F.col("n_values"),
+      t.as("t"), (t > F.lit(threshold)).as("violates")): _*)
+      .orderBy(qiCols.map(c => F.col(c).asc_nulls_first): _*)
+  }
 }

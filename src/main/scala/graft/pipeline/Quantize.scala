@@ -117,6 +117,22 @@ object Quantize {
       .select("query_id", "rank", "nbr_id", "cos")
   }
 
+  /** Metadata-filtered [[sq8TopK]] — "nearest neighbors within this
+    * language/license" over the 8-bit corpus: the allowed-id relation
+    * semi-joins the CODE relation before dequantization and distance
+    * eval, so every one of the k result slots holds a matching neighbor
+    * (post-filtering the ranked output would spend slots on non-matching
+    * vectors and return fewer than k — the [[Ivf.topKFiltered]]
+    * contract). Ranges stay corpus-trained: the filter is a query-time
+    * predicate, not a rebuild. */
+  def sq8TopKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, p: Sq8Params,
+      allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val ids = allowed.select(F.col(allowedIdCol).as(idCol)).distinct()
+    sq8TopK(corpus.join(ids, Seq(idCol), "left_semi"), queries, idCol,
+      vecCol, queryIdCol, k, p)
+  }
+
   /** Persist SQ8 ranges as a tiny (dim, mn, mx) parquet with a meta.json
     * dim stamp — same contract as [[savePq]]/[[Ivf.save]]: build once per
     * corpus version, and a loaded range table that disagrees with its
@@ -265,6 +281,18 @@ object Quantize {
     rankTopK(scoreAdc(pairs, cb), k)
   }
 
+  /** Metadata-filtered [[pqTopK]]: the allowed-id relation semi-joins the
+    * PQ code relation BEFORE ADC distance eval — every k slot holds a
+    * matching neighbor, and non-matching codes never pay table lookups.
+    * Same query-time-predicate contract as [[sq8TopKFiltered]]. */
+  def pqTopKFiltered(encoded: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int, cb: PqCodebook,
+      allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val ids = allowed.select(F.col(allowedIdCol).as("id")).distinct()
+    pqTopK(encoded.join(ids, Seq("id"), "left_semi"), queries, queryIdCol,
+      vecCol, k, cb)
+  }
+
   /** Above this codebook volume (m·ks·dsub doubles), ADC scoring switches
     * from a plan-literal codebook to a broadcast-joined one — the same
     * two-strategy design as [[Ivf.JoinThreshold]]: the literal form is
@@ -408,14 +436,39 @@ object Quantize {
 
   def ivfPqTopK(index: Ivf.Index, encoded: DataFrame, queries: DataFrame,
       queryIdCol: String, vecCol: String, k: Int, nprobe: Int,
-      cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {
+      cb: PqCodebook, excludeSelf: Boolean = true): DataFrame =
+    ivfPqTopKImpl(index, encoded, queries, queryIdCol, vecCol, k, nprobe,
+      cb, excludeSelf, identity)
+
+  /** Metadata-filtered [[ivfPqTopK]] — the filtered probe for the
+    * billion-vector composition: the allowed-id relation semi-joins the
+    * PROBED code lists (AFTER cluster routing — on a loaded
+    * cluster-partitioned index the left side is partition-pruned, never
+    * the whole corpus) and BEFORE ADC distance eval, so every k slot
+    * holds a matching neighbor and recall at fixed nprobe is measured
+    * against the filtered brute-force scan ([[Ivf.topKFiltered]]'s
+    * contract; RecallSpec demonstrates the post-filter collapse on a
+    * skewed filter for this path too). */
+  def ivfPqTopKFiltered(index: Ivf.Index, encoded: DataFrame,
+      queries: DataFrame, queryIdCol: String, vecCol: String, k: Int,
+      nprobe: Int, cb: PqCodebook, allowed: DataFrame,
+      allowedIdCol: String, excludeSelf: Boolean = true): DataFrame = {
+    val ids = allowed.select(F.col(allowedIdCol).as("id")).distinct()
+    ivfPqTopKImpl(index, encoded, queries, queryIdCol, vecCol, k, nprobe,
+      cb, excludeSelf, _.join(ids, Seq("id"), "left_semi"))
+  }
+
+  private def ivfPqTopKImpl(index: Ivf.Index, encoded: DataFrame,
+      queries: DataFrame, queryIdCol: String, vecCol: String, k: Int,
+      nprobe: Int, cb: PqCodebook, excludeSelf: Boolean,
+      restrict: DataFrame => DataFrame): DataFrame = {
     // probed keeps qv in the corpus element type; ADC folds must run in
     // double — a float qv would square in FLOAT precision inside the
     // qnorm fold (float*float multiplies before widening) and break the
     // bit-parity the exact-twin oracle asserts
     val q = Ivf.probed(queries, queryIdCol, vecCol, index.centroids, nprobe, None)
       .withColumn("qv", F.col("qv").cast(ArrayType(DoubleType)))
-    val joined = encoded.join(F.broadcast(q), Seq("cluster"))
+    val joined = restrict(encoded.join(F.broadcast(q), Seq("cluster")))
     val filtered =
       if (excludeSelf) joined.filter(F.col("query_id") =!= F.col("id")) else joined
     rankTopK(scoreAdc(filtered.drop("cluster"), cb), k)

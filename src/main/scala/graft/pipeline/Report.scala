@@ -1468,6 +1468,64 @@ object Report {
           (vnb * vnb) / (nbD - F.lit(1.0d)))).as("dof"))
   }
 
+  /** Per-slice [[welchT]] — the parametric face of the Simpson's-paradox
+    * check ([[mannWhitneyUByGroup]] is the rank face): did variant A's
+    * MEAN beat B's in every segment, or only in aggregate. One keyed
+    * fixed-point moments pass over (slice, variant) — never a per-slice
+    * job — then the bounded per-slice 2-struct fold with the identical
+    * finishing doubles as the single-slice operator. Slices with ≠2
+    * variants, n < 2 on either side, or zero standard error answer NULL
+    * t/dof honestly. Same |value| ≤ 2^21 fixed-point domain as
+    * [[welchT]]. Output: (group, n_variants, variant_a, variant_b, n_a,
+    * n_b, mean_a, mean_b, var_a, var_b, t, dof) ascending by group. */
+  def welchTByGroup(df: DataFrame, groupCol: String, variantCol: String,
+      valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val fp = F.floor(x * F.lit(1048576.0d) + F.lit(0.5d))
+    val fpp = F.floor((x * x) * F.lit(1048576.0d) + F.lit(0.5d))
+    val agg = df.where(g.isNotNull && v.isNotNull && x.isNotNull)
+      .groupBy(g.as("td_slice"), v.as("td_v"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum(fp.cast("decimal(38,0)")).as("td_sx"),
+        F.sum(fpp.cast("decimal(38,0)")).as("td_sxx"))
+    val packed = agg.groupBy(F.col("td_slice").as("group"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_v"), F.col("td_n"), F.col("td_sx"), F.col("td_sxx"))))
+        .as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    def stats(i: Int): (Column, Column, Column) = {
+      val nD = fld(i, "td_n").cast("double")
+      val sx = fld(i, "td_sx").cast("double") / F.lit(1048576.0d)
+      val sxx = fld(i, "td_sxx").cast("double") / F.lit(1048576.0d)
+      val m = sx / nD
+      val s2 = F.when(fld(i, "td_n") >= 2L,
+        (sxx - nD * m * m) / (nD - F.lit(1.0d)))
+      (nD, m, s2)
+    }
+    val (naD, ma, s2a) = stats(1)
+    val (nbD, mb, s2b) = stats(2)
+    val vna = s2a / naD
+    val vnb = s2b / nbD
+    val se2 = vna + vnb
+    val ok = F.size(l) === 2 && fld(1, "td_n") >= 2L &&
+      fld(2, "td_n") >= 2L && se2 > 0.0d
+    packed.select(
+      F.col("group"),
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_v").as("variant_a"), fld(2, "td_v").as("variant_b"),
+      fld(1, "td_n").as("n_a"), fld(2, "td_n").as("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      s2a.as("var_a"), s2b.as("var_b"),
+      F.when(ok, (ma - mb) / F.sqrt(se2)).as("t"),
+      F.when(ok, (se2 * se2) /
+        ((vna * vna) / (naD - F.lit(1.0d)) +
+          (vnb * vnb) / (nbD - F.lit(1.0d)))).as("dof"))
+      .orderBy(F.col("group").asc)
+  }
+
   /** Cliff's delta — the EFFECT SIZE companion of [[mannWhitneyU]]
     * (a significant z on a huge corpus can mean a trivial effect; δ
     * answers HOW MUCH one variant dominates): δ = P(a > b) − P(a < b)
@@ -1512,13 +1570,76 @@ object Report {
       F.size(l).cast("long").as("n_variants"),
       fld(1, "td_g").as("variant_a"), fld(2, "td_g").as("variant_b"),
       na.as("n_a"), nb.as("n_b"),
-      (u2a.cast("double") / F.lit(2.0d)).as("u_a"),
+      // u_a only means "A's Mann-Whitney U" when exactly two variants
+      // exist — with 3+ the global min-ranks include the extra variants'
+      // rows and the statistic is cross-contaminated: answer NULL
+      F.when(F.size(l) === 2,
+        u2a.cast("double") / F.lit(2.0d)).as("u_a"),
       F.when(F.size(l) === 2, delta).as("delta"),
       F.when(F.size(l) === 2,
         F.when(aDelta < 0.147d, "negligible")
           .when(aDelta < 0.33d, "small")
           .when(aDelta < 0.474d, "medium")
           .otherwise("large")).as("magnitude"))
+  }
+
+  /** Per-slice [[cliffsDelta]] — effect size PER SEGMENT next to
+    * [[mannWhitneyUByGroup]]'s per-slice significance (a winning
+    * aggregate δ can hide a losing segment — the Simpson's-paradox
+    * check an effect-size readout needs). Ranks are computed WITHIN
+    * each slice through ONE composite range shuffle
+    * ([[graft.operators.ScalableRank.withRankByGroup]] with min-ranks —
+    * the identity 2U_A = Σ2R_A − n_A(n_A+1) needs tie-stable min ranks,
+    * the r16 Mann-Whitney lesson), per-value counts keyed by
+    * (slice, value), then the bounded per-slice 2-struct fold. Slices
+    * with ≠2 variants answer NULL u_a/delta/magnitude with the observed
+    * counts. Output: (group, n_variants, variant_a, variant_b, n_a,
+    * n_b, u_a, delta, magnitude) ascending by group. */
+  def cliffsDeltaByGroup(df: DataFrame, groupCol: String,
+      variantCol: String, valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(g.isNotNull && v.isNotNull && x.isNotNull)
+      .select(g.as("td_s"), v.as("td_g"), x.as("td_x"))
+    val ranked = graft.operators.ScalableRank.withRankByGroup(
+      clean, "td_s", "td_x", "td_rk", method = "min")
+    val withCnt = ranked.join(
+      clean.groupBy(F.col("td_s"), F.col("td_x"))
+        .agg(F.count(F.lit(1)).as("td_c")),
+      Seq("td_s", "td_x"))
+    val perGroup = withCnt.groupBy(F.col("td_s"), F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum((F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
+          .cast("decimal(38,0)")).as("td_r2"))
+    val packed = perGroup.groupBy(F.col("td_s").as("group"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_g"), F.col("td_n"), F.col("td_r2")))).as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    val na = fld(1, "td_n"); val nb = fld(2, "td_n")
+    val u2a = fld(1, "td_r2") -
+      (na.cast("decimal(19,0)") * (na + 1L).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val nab = (na.cast("decimal(19,0)") * nb.cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
+    val delta = (u2a - nab).cast("double") / nab.cast("double")
+    val aDelta = F.abs(delta)
+    packed.select(
+      F.col("group"),
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_g").as("variant_a"), fld(2, "td_g").as("variant_b"),
+      na.as("n_a"), nb.as("n_b"),
+      // the single-slice rule: u_a is only A's U with exactly 2 variants
+      F.when(F.size(l) === 2,
+        u2a.cast("double") / F.lit(2.0d)).as("u_a"),
+      F.when(F.size(l) === 2, delta).as("delta"),
+      F.when(F.size(l) === 2,
+        F.when(aDelta < 0.147d, "negligible")
+          .when(aDelta < 0.33d, "small")
+          .when(aDelta < 0.474d, "medium")
+          .otherwise("large")).as("magnitude"))
+      .orderBy(F.col("group").asc)
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) A/B test — the NONPARAMETRIC
@@ -1652,6 +1773,108 @@ object Report {
       F.when(F.size(l) === 2 && sigma > 0.0d,
         (uA - mu) / sigma).as("z"))
       .orderBy(F.col("group").asc)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D — the DISTRIBUTION-SHAPE companion
+    * of [[mannWhitneyU]] (U reads stochastic dominance, Welch the means;
+    * KS catches variance/shape changes both miss: same median, fatter
+    * tail). D = max_x |F_A(x) − F_B(x)|, exact — no binned approximation
+    * — via the integer identity D = max_v |n_B·C_A(v) − n_A·C_B(v)| /
+    * (n_A·n_B) over the distinct observed values, with C the cumulative
+    * per-variant counts. No p-value by design (the chi² rule: compare
+    * √(n_A·n_B/(n_A+n_B))·D against the caller's Kolmogorov critical
+    * value).
+    *
+    * Scale shape: one (value)-keyed count aggregation, then the
+    * cumulative counts ride a [[graft.operators.ScalableRank]]-style
+    * two-phase prefix (range shuffle → parallel per-partition window →
+    * numPartitions-row offsets broadcast back) — NEVER an unpartitioned
+    * window over the distinct-value relation, which is corpus-sized for
+    * continuous metrics. The variant roster packs into one broadcast row
+    * (the [[mannWhitneyU]] 2-struct convention, variant A lexicographic
+    * first); |n_B·C_A − n_A·C_B| accumulates in DECIMAL and the single
+    * stated division lands at the end. ≠2 variants answers NULL d/d_at
+    * with the observed count. Output (one row): n_variants, variant_a,
+    * variant_b, n_a, n_b, d, d_at (the SMALLEST value attaining the
+    * supremum). */
+  def ksTwoSample(df: DataFrame, variantCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && x.isNotNull)
+      .select(v.as("td_g"), x.as("td_x"))
+    val vl = clean.groupBy(F.col("td_g")).agg(F.count(F.lit(1)).as("td_n"))
+      .agg(F.sort_array(F.collect_list(
+        F.struct(F.col("td_g"), F.col("td_n")))).as("td_l"))
+      .select(
+        F.size(F.col("td_l")).cast("long").as("td_nv"),
+        F.try_element_at(F.col("td_l"), F.lit(1)).getField("td_g").as("td_va"),
+        F.try_element_at(F.col("td_l"), F.lit(2)).getField("td_g").as("td_vb"),
+        F.try_element_at(F.col("td_l"), F.lit(1)).getField("td_n").as("td_na"),
+        F.try_element_at(F.col("td_l"), F.lit(2)).getField("td_n").as("td_nb"))
+    // per-distinct-value variant counts, the 1-row roster riding along
+    val cells = clean.crossJoin(F.broadcast(vl))
+      .groupBy(F.col("td_x"))
+      .agg(
+        F.sum(F.when(F.col("td_g") === F.col("td_va"), 1L).otherwise(0L))
+          .as("td_ca"),
+        F.sum(F.when(F.col("td_g") === F.col("td_vb"), 1L).otherwise(0L))
+          .as("td_cb"),
+        F.first(F.col("td_nv")).as("td_nv"),
+        F.first(F.col("td_va")).as("td_va"),
+        F.first(F.col("td_vb")).as("td_vb"),
+        F.first(F.col("td_na")).as("td_na"),
+        F.first(F.col("td_nb")).as("td_nb"))
+    // two-phase prefix over ascending values — localCheckpoint pins the
+    // range partitioner's sampled bounds for the two consumer branches
+    // (the ScalableRank discipline)
+    val parted = cells.repartitionByRange(F.col("td_x").asc)
+      .sortWithinPartitions(F.col("td_x").asc)
+      .withColumn("$td.__pid", F.spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(F.col("`$td.__pid`"))
+      .orderBy(F.col("td_x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("$td.__la", F.sum(F.col("td_ca")).over(w))
+      .withColumn("$td.__lb", F.sum(F.col("td_cb")).over(w))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(F.col("`$td.__pid`").as("pid"))
+      .agg(F.sum(F.col("td_ca")).as("ta"), F.sum(F.col("td_cb")).as("tb"))
+      .select(F.col("pid"),
+        F.coalesce(F.sum("ta").over(wOff), F.lit(0L)).as("oa"),
+        F.coalesce(F.sum("tb").over(wOff), F.lit(0L)).as("ob"))
+    val cum = local
+      .join(F.broadcast(offsets), F.col("`$td.__pid`") === F.col("pid"))
+      .withColumn("td_cca", F.col("`$td.__la`") + F.col("oa"))
+      .withColumn("td_ccb", F.col("`$td.__lb`") + F.col("ob"))
+    // |n_B·C_A − n_A·C_B| exact; the max struct carries the smallest
+    // attaining value (negated x: ties on the statistic pick max(−x))
+    val av = F.abs(
+      F.col("td_nb").cast("decimal(18,0)") *
+        F.col("td_cca").cast("decimal(18,0)") -
+      F.col("td_na").cast("decimal(18,0)") *
+        F.col("td_ccb").cast("decimal(18,0)"))
+    cum.agg(
+        F.max(F.struct(av.as("av"),
+          (F.lit(0.0d) - F.col("td_x")).as("negx"))).as("td_m"),
+        F.first(F.col("td_nv")).as("td_nv"),
+        F.first(F.col("td_va")).as("td_va"),
+        F.first(F.col("td_vb")).as("td_vb"),
+        F.first(F.col("td_na")).as("td_na"),
+        F.first(F.col("td_nb")).as("td_nb"))
+      .select(
+        F.coalesce(F.col("td_nv"), F.lit(0L)).as("n_variants"),
+        F.col("td_va").as("variant_a"), F.col("td_vb").as("variant_b"),
+        F.col("td_na").as("n_a"), F.col("td_nb").as("n_b"),
+        F.when(F.col("td_nv") === 2L,
+          F.col("td_m").getField("av").cast("double") /
+            (F.col("td_na").cast("double") * F.col("td_nb").cast("double")))
+          .as("d"),
+        F.when(F.col("td_nv") === 2L,
+          F.lit(0.0d) - F.col("td_m").getField("negx")).as("d_at"))
   }
 
   /** Kruskal–Wallis H — [[mannWhitneyU]] extended to K groups (one-way

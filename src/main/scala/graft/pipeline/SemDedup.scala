@@ -65,6 +65,48 @@ object SemDedup {
       Ivf.build(df, idCol, vecCol, kk, iters).copy(nVectors = n), threshold)
   }
 
+  /** [[pairs]] restricted WITHIN a partition column — "semantic near-dups
+    * within the same language/license", the curation form [[graft.pipeline
+    * .Dedup.minhashLshPairsGrouped]] gives the lexical family. The group
+    * key JOINS the cluster key, so two embeddings in different groups can
+    * never pair — a pre-filter, not a post-filter: a cross-group cluster
+    * collision (translations, templated rewrites landing in one k-means
+    * cell) skips cosine evaluation entirely. Clusters stay CORPUS-scoped
+    * (one Lloyd build over all groups — geometry is shared; a tiny group
+    * still gets sound buckets), so [[autoK]]/[[requireAutoKGeometry]]
+    * budgeting is unchanged. Rows with a NULL group are excluded.
+    * Output: (group, a, b, cos) with a < b. */
+  def pairsGrouped(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, k: Int = AutoK, iters: Int = 3,
+      threshold: Double = 0.995, knownN: Long = -1L): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val withG = df.where(g.isNotNull)
+    val n = if (knownN >= 0) knownN else if (k == AutoK) withG.count() else -1L
+    val kk = if (k == AutoK) autoK(n) else k
+    pairsWithIndexGrouped(
+      Ivf.build(withG, idCol, vecCol, kk, iters).copy(nVectors = n),
+      withG.select(F.col(idCol).as("id"), g.as("td_grp")), threshold)
+  }
+
+  /** Grouped pair search over a prebuilt index: `groups` maps each
+    * corpus id to its group (id, td_grp). Same reuse contract as
+    * [[pairsWithIndex]]; the (cluster, group) join key is what confines
+    * the pair fan-out. */
+  def pairsWithIndexGrouped(index: Ivf.Index, groups: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = index.assigned.join(groups, Seq("id"))
+    val l = assigned.select(F.col("td_grp"), F.col("id").as("a"),
+      F.col("v").as("va"), F.col("cluster"))
+    val r = assigned.select(F.col("td_grp"), F.col("id").as("b"),
+      F.col("v").as("vb"), F.col("cluster"))
+    l.join(r, Seq("cluster", "td_grp"))
+      .where(F.col("a") < F.col("b"))
+      .withColumn("cos", VectorKernels.cosine(F.col("va"), F.col("vb")))
+      .where(F.col("cos") >= threshold)
+      .select(F.col("td_grp").as("group"), F.col("a"), F.col("b"),
+        F.col("cos"))
+  }
+
   /** Pair search over a prebuilt (or [[Ivf.load]]ed) index — the reuse
     * path: cluster once per corpus version, sweep thresholds or re-dedup
     * incrementally without re-running Lloyd. */

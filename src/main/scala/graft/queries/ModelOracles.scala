@@ -991,6 +991,120 @@ object ModelOracles {
         |    ((vna * vna) / (nad - 1.0) + (vnb * vnb) / (nbd - 1.0))
         |  END AS dof
         |FROM w""".stripMargin,
+    "q_ab_ks" ->
+      // exact two-sample KS: per-value variant counts, integer window
+      // prefix sums (association-free), the HUGEINT cross-product
+      // identity, ONE stated division; d_at = smallest attaining value
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, 2),
+        |r AS (SELECT variant, CAST(revenue AS DOUBLE) AS s FROM u),
+        |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n FROM r
+        |  GROUP BY variant),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_variants FROM g),
+        |ga AS (SELECT n AS n_a FROM g WHERE variant = 'A'),
+        |gb AS (SELECT n AS n_b FROM g WHERE variant = 'B'),
+        |cells AS (SELECT s,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM r GROUP BY s),
+        |cum AS (SELECT s,
+        |    sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb
+        |  FROM cells WINDOW w AS (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT s, abs(CAST(gb.n_b AS HUGEINT) * cca
+        |    - CAST(ga.n_a AS HUGEINT) * ccb) AS av
+        |  FROM cum, ga, gb),
+        |m AS (SELECT max(av) AS mx FROM a),
+        |loc AS (SELECT min(s) AS d_at FROM a, m WHERE av = mx)
+        |SELECT nv.n_variants, 'A' AS variant_a, 'B' AS variant_b,
+        |  ga.n_a, gb.n_b,
+        |  CASE WHEN nv.n_variants = 2 THEN CAST(m.mx AS DOUBLE) /
+        |    (CAST(ga.n_a AS DOUBLE) * CAST(gb.n_b AS DOUBLE)) END AS d,
+        |  CASE WHEN nv.n_variants = 2 THEN loc.d_at END AS d_at
+        |FROM nv, ga, gb, m, loc""".stripMargin,
+    "q_ab_welch_sliced" ->
+      // per-slice Welch on the tied event-count metric: one keyed
+      // moments pass per (slice, variant), identical finishing doubles
+      """WITH u AS (SELECT CAST(event_type AS VARCHAR) AS grp, user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(count(*) AS DOUBLE) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT grp, variant, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(n_events * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(floor((n_events * n_events) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS sxx
+        |  FROM u GROUP BY 1, 2),
+        |nv AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM m GROUP BY grp),
+        |ga AS (SELECT grp, n AS n_a, CAST(sx AS DOUBLE) / 1048576.0 AS sx_a,
+        |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx_a FROM m
+        |  WHERE variant = 'A'),
+        |gb AS (SELECT grp, n AS n_b, CAST(sx AS DOUBLE) / 1048576.0 AS sx_b,
+        |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx_b FROM m
+        |  WHERE variant = 'B'),
+        |f AS (SELECT nv.grp, nv.n_variants, n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    sx_a / CAST(n_a AS DOUBLE) AS ma,
+        |    sx_b / CAST(n_b AS DOUBLE) AS mb, sxx_a, sxx_b
+        |  FROM nv JOIN ga USING (grp) JOIN gb USING (grp)),
+        |s AS (SELECT *, (sxx_a - nad * ma * ma) / (nad - 1.0) AS s2a,
+        |    (sxx_b - nbd * mb * mb) / (nbd - 1.0) AS s2b FROM f),
+        |w AS (SELECT *, s2a / nad AS vna, s2b / nbd AS vnb,
+        |    (s2a / nad) + (s2b / nbd) AS se2 FROM s)
+        |SELECT grp AS "group", n_variants, 'A' AS variant_a,
+        |  'B' AS variant_b, n_a, n_b,
+        |  ma AS mean_a, mb AS mean_b, s2a AS var_a, s2b AS var_b,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |        AND se2 > 0.0 THEN (ma - mb) / sqrt(se2) END AS t,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |        AND se2 > 0.0 THEN (se2 * se2) /
+        |    ((vna * vna) / (nad - 1.0) + (vnb * vnb) / (nbd - 1.0))
+        |  END AS dof
+        |FROM w ORDER BY "group" ASC""".stripMargin,
+    "q_ab_cliffs_sliced" ->
+      // per-slice delta via the exact rank identity: min-ranks WITHIN
+      // each slice (PARTITION BY grp), per-(slice,value) tie counts
+      """WITH u AS (SELECT CAST(event_type AS VARCHAR) AS grp, user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(count(*) AS DOUBLE) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT grp, variant, s,
+        |    rank() OVER (PARTITION BY grp ORDER BY s) AS rk FROM u),
+        |cc AS (SELECT grp, s, count(*) AS c FROM u GROUP BY grp, s),
+        |j AS (SELECT rk.grp, rk.variant, rk.rk, cc.c
+        |  FROM rk JOIN cc ON cc.grp = rk.grp AND cc.s = rk.s),
+        |g AS (SELECT grp, variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(2 * rk + c - 1) AS BIGINT) AS r2
+        |  FROM j GROUP BY grp, variant),
+        |nv AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM g GROUP BY grp),
+        |ga AS (SELECT grp, n AS n_a, r2 AS r2_a FROM g WHERE variant = 'A'),
+        |gb AS (SELECT grp, n AS n_b FROM g WHERE variant = 'B'),
+        |f AS (SELECT nv.grp, nv.n_variants, n_a, n_b,
+        |    r2_a - n_a * (n_a + 1) AS u2a, n_a * n_b AS nab
+        |  FROM nv JOIN ga USING (grp) JOIN gb USING (grp)),
+        |dl AS (SELECT *, CAST(u2a - nab AS DOUBLE) / CAST(nab AS DOUBLE)
+        |    AS delta FROM f)
+        |SELECT grp AS "group", n_variants, 'A' AS variant_a,
+        |  'B' AS variant_b, n_a, n_b,
+        |  CASE WHEN n_variants = 2 THEN CAST(u2a AS DOUBLE) / 2.0 END AS u_a,
+        |  CASE WHEN n_variants = 2 THEN delta END AS delta,
+        |  CASE WHEN n_variants = 2 THEN
+        |    CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |         WHEN abs(delta) < 0.33 THEN 'small'
+        |         WHEN abs(delta) < 0.474 THEN 'medium'
+        |         ELSE 'large' END
+        |  END AS magnitude
+        |FROM dl ORDER BY "group" ASC""".stripMargin,
     "q_ab_cliffs_delta" ->
       // the U test's ranked pass without the tie term; delta via the
       // exact integer identity (2U_A − n_A·n_B)/(n_A·n_B)
@@ -1088,7 +1202,8 @@ object ModelOracles {
         |cls AS (SELECT q1, q2, CAST(sum(c) AS BIGINT) AS n,
         |    CAST(count(*) AS BIGINT) AS n_values FROM j GROUP BY 1, 2),
         |jj AS (SELECT j.q1, j.q2, j.s, j.c, j.g, cls.n
-        |  FROM j JOIN cls USING (q1, q2)),
+        |  FROM j JOIN cls ON j.q1 IS NOT DISTINCT FROM cls.q1
+        |    AND j.q2 IS NOT DISTINCT FROM cls.q2),
         |p AS (SELECT q1, q2, any_value(n) AS n,
         |    list(abs(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
         |      - CAST(g AS DOUBLE) / CAST(tot.nn AS DOUBLE)) ORDER BY s)
@@ -1101,10 +1216,49 @@ object ModelOracles {
         |        (a, b) -> a + b)
         |      + (1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lg),
         |        (a, b) -> a + b))) AS t
-        |  FROM p JOIN cls USING (q1, q2))
+        |  FROM p JOIN cls ON p.q1 IS NOT DISTINCT FROM cls.q1
+        |    AND p.q2 IS NOT DISTINCT FROM cls.q2)
         |SELECT q1 AS o_orderpriority, q2 AS o_year, n, n_values, t,
         |  (t > 0.2) AS violates
         |FROM f ORDER BY 1, 2""".stripMargin,
+    "q_privacy_tclose_ordered" ->
+      // ordered/EMD metric: per class the cumulative count differences
+      // over the corpus's sorted year grid, Σ|N·C_i − n·G_i| exact in
+      // HUGEINT (window prefix sums of integers are association-free),
+      // one stated division t = Σ/(n·N·(m−1)); null-safe QI joins
+      """WITH cells AS (SELECT o_orderpriority AS q1, o_orderstatus AS q2,
+        |    CAST(year(o_orderdate) AS DOUBLE) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2, 3),
+        |gl AS (SELECT s, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY s),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS m FROM gl),
+        |cls AS (SELECT q1, q2, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_values FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT cls.q1, cls.q2, cls.n, gl.s, gl.g,
+        |    COALESCE(cells.c, 0) AS c
+        |  FROM cls CROSS JOIN gl
+        |  LEFT JOIN cells ON cells.q1 IS NOT DISTINCT FROM cls.q1
+        |    AND cells.q2 IS NOT DISTINCT FROM cls.q2 AND cells.s = gl.s),
+        |pref AS (SELECT q1, q2, n, s,
+        |    CAST(sum(c) OVER w AS HUGEINT) AS ccum,
+        |    CAST(sum(g) OVER w AS HUGEINT) AS gcum
+        |  FROM grid WINDOW w AS (PARTITION BY q1, q2 ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT pref.q1, pref.q2, any_value(pref.n) AS n,
+        |    sum(abs(CAST(tot.nn AS HUGEINT) * ccum
+        |      - CAST(pref.n AS HUGEINT) * gcum)) AS sacc
+        |  FROM pref, tot GROUP BY 1, 2),
+        |r AS (SELECT f.q1, f.q2, f.n, cls.n_values,
+        |    CASE WHEN tot.m >= 2 THEN CAST(sacc AS DOUBLE) /
+        |      (CAST(f.n AS DOUBLE) * CAST(tot.nn AS DOUBLE)
+        |        * (CAST(tot.m AS DOUBLE) - 1.0))
+        |    ELSE 0.0 END AS t
+        |  FROM f JOIN cls ON f.q1 IS NOT DISTINCT FROM cls.q1
+        |    AND f.q2 IS NOT DISTINCT FROM cls.q2, tot)
+        |SELECT q1 AS o_orderpriority, q2 AS o_orderstatus, n, n_values, t,
+        |  (t > 0.01) AS violates
+        |FROM r ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin,
     "q_quality_lr_l2" -> {
       def iter(k: Int): String =
         s"""g$k AS (SELECT

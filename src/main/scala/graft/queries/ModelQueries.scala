@@ -439,6 +439,51 @@ object ModelQueries {
           .as("variant"), F.col("revenue"))
       graft.pipeline.Report.cliffsDelta(rev, "variant", "revenue")
     }),
+    "q_ab_ks" -> ((s, dir) => {
+      // distribution-SHAPE A/B on the same cohorts: exact two-sample KS
+      // D over per-user revenue totals — catches variance/tail changes
+      // the U test (dominance) and Welch (means) both miss; cumulative
+      // counts ride the two-phase range prefix, never an unpartitioned
+      // window
+      val rev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("revenue"))
+      graft.pipeline.Report.ksTwoSample(rev, "variant", "revenue")
+    }),
+    "q_ab_welch_sliced" -> ((s, dir) => {
+      // per-slice parametric A/B with WITHIN-SLICE TIES baked into the
+      // fixture (the r16 advice lesson): the metric is each user's
+      // event COUNT in the slice — small integers, heavily tied — so
+      // the per-slice algebra is exercised on exactly the input that
+      // broke the first sliced rank operator
+      val eng = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("event_type").isNotNull)
+        .groupBy(F.col("event_type"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("double").as("n_events"))
+        .select(F.col("event_type"),
+          F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("n_events"))
+      graft.pipeline.Report.welchTByGroup(eng, "event_type", "variant",
+        "n_events")
+    }),
+    "q_ab_cliffs_sliced" -> ((s, dir) => {
+      // per-slice effect size on the same tied fixture: min-ranks
+      // within each slice, the exact rank identity per slice — did A's
+      // dominance hold in EVERY event type or only in aggregate
+      val eng = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("event_type").isNotNull)
+        .groupBy(F.col("event_type"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("double").as("n_events"))
+        .select(F.col("event_type"),
+          F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("n_events"))
+      graft.pipeline.Report.cliffsDeltaByGroup(eng, "event_type",
+        "variant", "n_events")
+    }),
     "q_seasonal_daily_grouped" -> ((s, dir) => {
       // weekday anomalies PER SLICE: each event type's days z-scored
       // against that type's own weekday moments — the grouped face of
@@ -564,6 +609,19 @@ object ModelQueries {
       Privacy.tCloseness(
         d(s, dir, "orders").withColumn("o_year", F.year(F.col("o_orderdate"))),
         Seq("o_orderpriority", "o_year"), "o_orderstatus", threshold = 0.2)
+    }),
+    "q_privacy_tclose_ordered" -> ((s, dir) => {
+      // ordered/EMD t-closeness for a NUMERIC sensitive attribute: order
+      // YEAR within (priority, status) classes — status encodes order
+      // age ('F' classes sit in the early years, 'O' in the late ones),
+      // so their year mixes sit FAR from the corpus under the ordered
+      // metric while TVD would misprice the distance. Exact integer
+      // prefix algebra over the bounded year grid; one stated division.
+      // Threshold sits inside the observed t range so the violates
+      // column carries a real true/false mix at gate scale
+      Privacy.tClosenessOrdered(
+        d(s, dir, "orders").withColumn("o_year", F.year(F.col("o_orderdate"))),
+        Seq("o_orderpriority", "o_orderstatus"), "o_year", threshold = 0.01)
     }),
     "q_quality_lr_l2" -> ((s, dir) => {
       // ridge-regularized training: the same fixed-point GD trajectory

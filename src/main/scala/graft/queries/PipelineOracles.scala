@@ -50,8 +50,10 @@ object PipelineOracles {
     * ranges must score bit-identically to the ranges they were built
     * from. Asymmetric SQ8: corpus side round-trips through per-dimension
     * 8-bit codes, query side full precision — same arithmetic order as
-    * the Spark side, so both gates hash-match. */
-  private val sq8Sql: String =
+    * the Spark side, so both gates hash-match. `corpusFilter` narrows
+    * the CANDIDATE side only (ranges stay corpus-trained) — the filtered
+    * probe's query-time-predicate contract. */
+  private def sq8SqlWith(candidateJoin: String): String =
     s"""WITH dims AS (
        |  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
        |         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
@@ -75,7 +77,26 @@ object PipelineOracles {
        |  FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
        |      ${cosExpr("q.embedding", "c.v")} AS cos
-       |    FROM cvec c, qs q WHERE q.vec_id <> c.vec_id) s) r
+       |    FROM cvec c $candidateJoin, qs q WHERE q.vec_id <> c.vec_id) s) r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val sq8Sql: String = sq8SqlWith("")
+
+  /** Shared filtered exact-scan text: q_ann_ivf_filtered and the
+    * degenerate-config filtered quantized twins (IVF-PQ nprobe = k with
+    * m = 1/ks = N; pure PQ m = 1/ks = N) all reduce to the exact cosine
+    * top-k over the label-filtered corpus. */
+  private val filteredExactAnnOracle: String =
+    s"""SELECT query_id, rank, nbr_id, cos FROM (
+       |  SELECT query_id, nbr_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |      ${cosExpr("q.embedding", "c.embedding")} AS cos
+       |    FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c,
+       |      (SELECT * FROM embeddings WHERE vec_id < 5) q
+       |    WHERE q.vec_id <> c.vec_id) s) r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** One oracle text for q_bm25, q_bm25_persisted AND q_bm25_incremental:
@@ -188,24 +209,20 @@ object PipelineOracles {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // filtered ANN with nprobe = k: candidates are the label-filtered
     // corpus, ranking identical to brute force over that subset
-    "q_ann_ivf_filtered" ->
-      s"""SELECT query_id, rank, nbr_id, cos FROM (
-         |  SELECT query_id, nbr_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank
-         |  FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-         |      ${cosExpr("q.embedding", "c.embedding")} AS cos
-         |    FROM (SELECT * FROM embeddings WHERE label % 3 = 0) c,
-         |      (SELECT * FROM embeddings WHERE vec_id < 5) q
-         |    WHERE q.vec_id <> c.vec_id) s) r
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_filtered" -> filteredExactAnnOracle,
     // IVF-PQ with nprobe = k AND m = 1, ks = N: both approximations vanish
     // and the ADC arithmetic reduces to the same flat fold → brute force
     "q_ann_ivfpq_exact" -> exactAnnOracle,
     // pure PQ with m = 1, ks = N (iters = 0): every vector is its own
     // single-subspace centroid → zero quantization error → brute force
     "q_ann_pq_exact" -> exactAnnOracle,
+    // the filtered quantized probes at their degenerate configs: same
+    // filtered exact scan (the allowed-id semi-join lands pre-distance)
+    "q_ann_ivfpq_filtered" -> filteredExactAnnOracle,
+    "q_ann_pq_filtered" -> filteredExactAnnOracle,
+    // filtered SQ8: corpus-trained ranges, candidate side label-filtered
+    "q_ann_sq8_filtered" -> sq8SqlWith(
+      "JOIN embeddings e ON e.vec_id = c.vec_id AND (e.label % 3 = 0)"),
     // md5-prefix SimHash: per-token-occurrence ±1 votes per bit of the
     // 60-bit portable hash; sign of the accumulated vote → signature bit
     "q_dedup_simhash" ->
@@ -243,6 +260,16 @@ object PipelineOracles {
          |    ${cosExpr("x.embedding", "y.embedding")} AS cos
          |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) t
          |WHERE cos >= 0.35 ORDER BY a, b""".stripMargin,
+    // grouped SemDedup with k = 1: exact per-label all-pairs cosine —
+    // the group key confines pairs exactly like the label-block join
+    "q_dedup_semantic_grouped" ->
+      s"""SELECT "group", a, b, cos FROM (
+         |  SELECT CAST(x.label AS VARCHAR) AS "group", x.vec_id AS a,
+         |    y.vec_id AS b,
+         |    ${cosExpr("x.embedding", "y.embedding")} AS cos
+         |  FROM embeddings x JOIN embeddings y
+         |    ON x.label = y.label AND x.vec_id < y.vec_id) t
+         |WHERE cos >= 0.35 ORDER BY "group" ASC, a ASC, b ASC""".stripMargin,
     // LSH with nbits = 0 → one bucket → brute force
     "q_ann_lsh_exact" -> exactAnnOracle,
     // duplicated 10-token windows, counted exactly over the constructed

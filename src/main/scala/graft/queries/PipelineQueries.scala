@@ -284,6 +284,54 @@ object PipelineQueries {
           k = 10, nprobe = 8, cb)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivfpq_filtered" -> ((s, dir) => {
+      // metadata-filtered IVF-PQ: the allowed-id semi-join lands on the
+      // probed code lists BEFORE ADC eval, so every k slot matches the
+      // predicate. nprobe = k AND m = 1, ks = N degenerate both
+      // approximations → the exact filtered brute-force scan the oracle
+      // states (the q_ann_ivf_filtered convention); the approximate
+      // config's pre-vs-post divergence is pinned by RecallSpec
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count().toInt
+      val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+        m = 1, ks = n, iters = 0)
+      val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
+      graft.pipeline.Quantize.ivfPqTopKFiltered(idx, enc,
+          emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 8, cb,
+          allowed = emb.filter(F.col("label") % 3 === 0),
+          allowedIdCol = "vec_id")
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_pq_filtered" -> ((s, dir) => {
+      // metadata-filtered pure PQ: the semi-join hits the code relation
+      // before any ADC table lookup; m = 1, ks = N (iters = 0) is the
+      // zero-quantization-error degenerate → filtered brute force
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count().toInt
+      val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+        m = 1, ks = n, iters = 0)
+      val enc = graft.pipeline.Quantize.encodePq(emb, "vec_id", "embedding", cb)
+      graft.pipeline.Quantize.pqTopKFiltered(enc,
+          emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, cb, allowed = emb.filter(F.col("label") % 3 === 0),
+          allowedIdCol = "vec_id")
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_sq8_filtered" -> ((s, dir) => {
+      // metadata-filtered SQ8: corpus-trained ranges (the filter is a
+      // query-time predicate, not a rebuild), allowed ids semi-joined
+      // before dequantization — closed-form, so a FULL value oracle
+      val emb = t(s, dir, "embeddings")
+      val p = graft.pipeline.Quantize.trainSq8(emb, "embedding")
+      graft.pipeline.Quantize.sq8TopKFiltered(emb,
+          emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+          "vec_id", k = 10, p,
+          allowed = emb.filter(F.col("label") % 3 === 0),
+          allowedIdCol = "vec_id")
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // centroid routing is data/init-dependent → rows-only check
       val emb = t(s, dir, "embeddings")
@@ -328,6 +376,20 @@ object PipelineQueries {
       graft.pipeline.SemDedup.pairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", k = 1, iters = 1, threshold = 0.35)
         .orderBy("a", "b")
+    }),
+    "q_dedup_semantic_grouped" -> ((s, dir) => {
+      // WITHIN-GROUP semantic near-dups ("embedding dups within this
+      // label"): the group key joins the cluster key, so cross-group
+      // pairs never form. k = 1 puts the whole corpus in one cluster,
+      // degenerating the machinery to the exact per-label all-pairs
+      // cosine the oracle states (the semantic_exact convention);
+      // q_dedup_semantic keeps the clustered config, and PipelineSpec
+      // proves the clustered grouped face equals the global face
+      // post-filtered to same-group pairs
+      graft.pipeline.SemDedup.pairsGrouped(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 1, iters = 1,
+          threshold = 0.35)
+        .orderBy("group", "a", "b")
     }),
     "q_dedup_incremental_near_exact" -> ((s, dir) => {
       // bands = k makes every signature slot its own band: a qualifying pair

@@ -247,7 +247,7 @@ object ScaleOracles {
         |  CASE WHEN d.n_chars < b.lo THEN b.lo
         |       WHEN d.n_chars > b.hi THEN b.hi
         |       ELSE d.n_chars END AS n_chars
-        |FROM documents d LEFT JOIN b ON d.lang = b.lang
+        |FROM documents d LEFT JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
         |ORDER BY d.doc_id""".stripMargin,
     "q_winsorize" ->
       """WITH s AS (

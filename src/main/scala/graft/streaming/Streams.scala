@@ -821,7 +821,15 @@ object Streams {
     * decode with one stated division each (m = (Σfp/2^20)/n,
     * σ² = (Σfp²/2^20)/n − m²), z NULL while n < 2 or σ = 0. State per
     * key is three longs + a stamp; same TTL contract as
-    * [[statefulCusum]]. */
+    * [[statefulCusum]].
+    *
+    * Domain: |value| ≤ 2^21 (same as the batch face [[graft.pipeline
+    * .Report.welchT]] — the squared fixed-point image floor(v²·2^20)
+    * must stay inside Long). Out-of-domain values RAISE: JVM `toLong`
+    * would otherwise CLAMP at Long.MaxValue and emit a silently wrong
+    * σ/z, where the batch twin fails loud under ANSI on the same
+    * domain. Rescale the metric to original units upstream (the
+    * q_ab_welch gate convention) when totals can exceed the domain. */
   def statefulMoments(ds: Dataset[(String, Long, Double)],
       stateTtlMs: Option[Long] = None): Dataset[MomentsUpdate] = {
     import ds.sparkSession.implicits._
@@ -844,6 +852,15 @@ object Streams {
           var lastV = 0.0d
           rows.toSeq.sortBy(_._2).foreach { r =>
             val v = r._3
+            // loud domain guard: past |v| = 2^21 the squared image
+            // floor(v²·2^20) exceeds Long and JVM toLong CLAMPS silently
+            if (math.abs(v) > 2097152.0d || v.isNaN)
+              throw new IllegalArgumentException(
+                s"statefulMoments value $v for key '$key' is outside the " +
+                "fixed-point domain |v| <= 2^21 (= 2097152): the squared " +
+                "2^20 image would overflow Long and clamp to a silently " +
+                "wrong variance — rescale the metric to original units " +
+                "upstream (the q_ab_welch gate convention)")
             n += 1
             sx += math.floor(v * 1048576.0d + 0.5d).toLong
             sxx += math.floor((v * v) * 1048576.0d + 0.5d).toLong

@@ -704,6 +704,38 @@ object ScalingProbe {
           e.withColumn("cohort", (F.col("user_id") % 10).cast("string")),
           Seq("event_type"), "cohort", threshold = 0.1).count()
       }),
+      ("tclose_ordered", 100, { e =>
+        // same cell shuffle as tclose; the EMD fold walks the BOUNDED
+        // sorted value grid per class (grid size constant as rows grow)
+        graft.pipeline.Privacy.tClosenessOrdered(
+          e.withColumn("cohort", F.col("user_id") % 10),
+          Seq("event_type"), "cohort", threshold = 0.1).count()
+      }),
+      ("ks_twosample", 100, { e =>
+        // one value-keyed count agg + the two-phase range prefix — the
+        // ScalableRank shuffle shape, linear in distinct values
+        val rev = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg(F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("revenue"))
+          .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("revenue"))
+        graft.pipeline.Report.ksTwoSample(rev, "variant", "revenue").count()
+      }),
+      ("cliffs_sliced", 100, { e =>
+        // ONE composite (slice, value) range-shuffle rank for all slices
+        // + keyed aggs — the ByGroup rank machinery (welch_sliced shares
+        // the keyed-moments shape already probed by `welch`)
+        val eng = e.where(F.col("user_id").isNotNull &&
+            F.col("event_type").isNotNull)
+          .groupBy(F.col("event_type"), F.col("user_id"))
+          .agg(F.count(F.lit(1)).cast("double").as("n_events"))
+          .select(F.col("event_type"),
+            F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+              .as("variant"), F.col("n_events"))
+        graft.pipeline.Report.cliffsDeltaByGroup(eng, "event_type",
+          "variant", "n_events").count()
+      }),
       ("zscore_state", 100, { e =>
         // keyed online moments: one groupByKey exchange, 3 longs/key
         import e.sparkSession.implicits._
@@ -838,6 +870,30 @@ object ScalingProbe {
         val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
         graft.pipeline.Quantize.ivfPqTopK(idx, enc, embQ,
           "vec_id", "embedding", 10, 4, cb).count()
+      }),
+      ("ann_ivfpq_filt", 100, { e =>
+        // filtered IVF-PQ probe: the 10% allowed-id semi-join lands on
+        // the probed code lists pre-ADC — candidate work DROPS vs the
+        // unfiltered probe (build+encode dominate, both linear)
+        val idx = graft.pipeline.Ivf.build(e, "vec_id", "embedding", k = 16, iters = 1)
+        val cb = graft.pipeline.Quantize.trainPq(e, "vec_id", "embedding",
+          m = 16, ks = 64, iters = 1)
+        val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
+        graft.pipeline.Quantize.ivfPqTopKFiltered(idx, enc, embQ,
+          "vec_id", "embedding", 10, 4, cb,
+          allowed = e.where(F.col("vec_id") % 10 === 0),
+          allowedIdCol = "vec_id").count()
+      }),
+      ("semantic_grp", 30, { e =>
+        // within-group SemDeDup: the (cluster, group) key confines pair
+        // work to same-copy cells — self-unioned copies are IDENTICAL
+        // vectors, so the UNGROUPED face would pair every copy with
+        // every other (quadratic output); the grouped face's per-cell
+        // fan-out stays bounded by the base cluster size. AutoK keeps
+        // Σ|cell|² ~ linear as copies grow
+        graft.pipeline.SemDedup.pairsGrouped(
+          e.withColumn("grp", F.floor(F.col("vec_id") / 1000000L)),
+          "vec_id", "embedding", "grp", threshold = 0.99).count()
       }))
 
     val ops = if (opFilter.isEmpty) ops0 else ops0.filter(o => opFilter(o._1))

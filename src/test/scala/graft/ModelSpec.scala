@@ -502,6 +502,90 @@ class ModelSpec extends AnyFunSuite {
     assert(z1 == -z2 && z1 < 0.0, s"$z1 / $z2")
   }
 
+  test("ksTwoSample: exact D and smallest attaining value; identical " +
+    "samples → 0; ≠2 variants → NULL") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: |4·C_A − 4·C_B| over the value grid
+    // = 4,8,8,8,4,0 → D = 8/16 = 0.5 first attained at x = 2
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(("B", _))).toDF("variant", "x")
+    val r = Report.ksTwoSample(df, "variant", "x").head()
+    assert(r.getLong(0) == 2L && r.getString(1) == "A" &&
+      r.getString(2) == "B" && r.getLong(3) == 4L && r.getLong(4) == 4L,
+      r.toString)
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 2.0, r.toString)
+    // identical samples: every prefix difference is 0 → D = 0, location
+    // the smallest observed value
+    val same = (Seq(1.0, 2.0, 5.0).map(("A", _)) ++
+      Seq(1.0, 2.0, 5.0).map(("B", _))).toDF("variant", "x")
+    val r0 = Report.ksTwoSample(same, "variant", "x").head()
+    assert(r0.getDouble(5) == 0.0 && r0.getDouble(6) == 1.0, r0.toString)
+    // disjoint supports: D = 1 (total separation)
+    val far = (Seq(1.0, 2.0).map(("A", _)) ++
+      Seq(9.0, 10.0).map(("B", _))).toDF("variant", "x")
+    val r1 = Report.ksTwoSample(far, "variant", "x").head()
+    assert(r1.getDouble(5) == 1.0 && r1.getDouble(6) == 2.0, r1.toString)
+    // three variants: observed count, NULL d/d_at (the family's rule)
+    val three = Seq(("A", 1.0), ("B", 2.0), ("C", 3.0)).toDF("variant", "x")
+    val r3 = Report.ksTwoSample(three, "variant", "x").head()
+    assert(r3.getLong(0) == 3L && r3.isNullAt(5) && r3.isNullAt(6),
+      r3.toString)
+    // agreement with the classical statistic on a mixed random-ish
+    // fixture WITH cross-variant ties
+    val mixed = (Seq(1.0, 2.0, 2.0, 3.0, 7.0).map(("A", _)) ++
+      Seq(2.0, 3.0, 3.0, 8.0).map(("B", _))).toDF("variant", "x")
+    val rm = Report.ksTwoSample(mixed, "variant", "x").head()
+    // hand: grid 1,2,3,7,8; C_A = 1,3,4,5,5; C_B = 0,1,3,3,4;
+    // |4C_A − 5C_B| = 4,7,1,5,0 → D = 7/20 at x = 2
+    assert(rm.getDouble(5) == 7.0 / 20.0 && rm.getDouble(6) == 2.0,
+      rm.toString)
+  }
+
+  test("welchTByGroup / cliffsDeltaByGroup: each slice equals the " +
+    "single-slice operator, WITH within-slice cross-variant ties") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    // tie blocks straddle variants in both slices (the r16 advice
+    // lesson): x=2.0 held by one A and two B rows, x=3.0 by one of each
+    val s1 = Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 2.0),
+      ("B", 3.0), ("A", 3.0), ("B", 5.0))
+    val s2 = Seq(("A", 4.0), ("A", 4.0), ("B", 4.0), ("B", 4.0),
+      ("A", 7.0), ("B", 7.0))
+    val df = (s1.map { case (v, x) => ("seg1", v, x) } ++
+      s2.map { case (v, x) => ("seg2", v, x) }).toDF("seg", "variant", "x")
+    val ws = Report.welchTByGroup(df, "seg", "variant", "x")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(ws("seg1") ==
+      Report.welchT(s1.toDF("variant", "x"), "variant", "x").head().toSeq,
+      ws("seg1").toString)
+    assert(ws("seg2") ==
+      Report.welchT(s2.toDF("variant", "x"), "variant", "x").head().toSeq,
+      ws("seg2").toString)
+    val cs = Report.cliffsDeltaByGroup(df, "seg", "variant", "x")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(cs("seg1") ==
+      Report.cliffsDelta(s1.toDF("variant", "x"), "variant", "x")
+        .head().toSeq, cs("seg1").toString)
+    assert(cs("seg2") ==
+      Report.cliffsDelta(s2.toDF("variant", "x"), "variant", "x")
+        .head().toSeq, cs("seg2").toString)
+    // hand check seg1 delta via min-ranks (same blocks as the U test):
+    // Σ2R_A = 19 ⇒ 2U_A = 7, n_A·n_B = 12 ⇒ δ = (7−12)/12
+    assert(cs("seg1")(6).asInstanceOf[Double] == (7.0 - 12.0) / 12.0,
+      cs("seg1").toString)
+    // a slice with ≠2 variants answers NULL t/dof resp. u_a/δ/magnitude
+    val three = Seq(("seg3", "A", 1.0), ("seg3", "B", 2.0),
+      ("seg3", "C", 3.0), ("seg3", "A", 4.0), ("seg3", "B", 5.0),
+      ("seg3", "C", 6.0)).toDF("seg", "variant", "x")
+    val w3 = Report.welchTByGroup(three, "seg", "variant", "x").head()
+    assert(w3.getLong(1) == 3L && w3.isNullAt(10) && w3.isNullAt(11),
+      w3.toString)
+    val c3 = Report.cliffsDeltaByGroup(three, "seg", "variant", "x").head()
+    assert(c3.getLong(1) == 3L && c3.isNullAt(6) && c3.isNullAt(7) &&
+      c3.isNullAt(8), c3.toString)
+  }
+
   test("mannWhitneyUByGroup: within-slice ties split ACROSS variants " +
     "still equal the single-slice test (min-ranks, not row_number)") {
     import graft.pipeline.Report
@@ -949,6 +1033,41 @@ class ModelSpec extends AnyFunSuite {
     val r0 = Privacy.tCloseness(even, Seq("q"), "s", threshold = 0.3)
       .collect().map(x => x.getInt(0) -> x.getDouble(3)).toMap
     assert(r0 == Map(1 -> 0.0, 2 -> 0.0), r0.toString)
+  }
+
+  test("privacy: ordered (EMD) t-closeness reproduces the Li/Li/V 2007 " +
+    "paper example; degenerate grids answer 0") {
+    import spark.implicits._
+    // the paper's Example 2 (§3): salaries {3k..11k}, class A = {3,4,5}k
+    // → t = 0.375; class B = {6,8,11}k → t = 1/6. Our integer identity:
+    // Σ|N·C_i − n·G_i| = 81 resp. 36, t = Σ/(3·9·8)
+    val df = Seq(("A", 3), ("A", 4), ("A", 5), ("B", 6), ("B", 8),
+      ("B", 11), ("C", 7), ("C", 9), ("C", 10)).toDF("q", "sal")
+    val r = Privacy.tClosenessOrdered(df, Seq("q"), "sal", threshold = 0.3)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))
+      .toMap
+    assert(r("A") == (3L, 3L, 81.0 / 216.0, true), r.toString)
+    assert(r("B") == (3L, 3L, 36.0 / 216.0, false), r.toString)
+    // TVD sees all three classes identically (each holds 3/9 distinct
+    // values at equal mass) — the ordered metric is what separates the
+    // clustered-low class from the spread one
+    val tvd = Privacy.tCloseness(df, Seq("q"), "sal", threshold = 0.3)
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(tvd("A") == tvd("B") && tvd("B") == tvd("C"), tvd.toString)
+    // single-value grid: no mass can move → t = 0, never a 0/0
+    val one = Seq(("A", 5), ("B", 5)).toDF("q", "sal")
+    val r1 = Privacy.tClosenessOrdered(one, Seq("q"), "sal", 0.3)
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r1 == Map("A" -> 0.0, "B" -> 0.0), r1.toString)
+    // NULL sensitive rows excluded; NULL QI groups like any other
+    val withNulls = Seq((Some("A"), Some(3)), (Some("A"), Some(4)),
+      (Option.empty[String], Some(3)), (Option.empty[String], Some(4)),
+      (Some("A"), Option.empty[Int])).toDF("q", "sal")
+    val rn = Privacy.tClosenessOrdered(withNulls, Seq("q"), "sal", 0.3)
+      .collect()
+    assert(rn.length == 2 && rn.map(_.getLong(1)).toSeq == Seq(2L, 2L),
+      rn.mkString(";"))
   }
 
   test("correlationMatrix: exact signs, null on zero variance") {

@@ -693,6 +693,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaKnown == viaCount)
   }
 
+  test("semantic dedup grouped: equals the global face post-filtered to " +
+    "same-group pairs on ONE shared index; NULL groups excluded") {
+    import spark.implicits._
+    def v(base: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(6)(d => (if (d == base) 1.0 else 0.0) + eps * (d + 1))
+    // two geometric clusters × two groups, interleaved: within a k-means
+    // cell both groups coexist, so the (cluster, group) key has real
+    // cross-group collisions to refuse
+    val rows = (0 until 12).map { i =>
+      (i.toLong, if (i % 4 < 2) Some("en") else Some("de"),
+        v(if (i % 2 == 0) 0 else 3, 0.001 * (i / 2)))
+    } :+ ((12L, Option.empty[String], v(0, 0.0)))
+    val df = rows.toDF("id", "grp", "vec")
+    val thr = 0.99
+    val index = graft.pipeline.Ivf.build(df.where(F.col("grp").isNotNull),
+      "id", "vec", k = 2, iters = 2)
+    val groups = df.where(F.col("grp").isNotNull)
+      .select(F.col("id"), F.col("grp").cast("string").as("td_grp"))
+    val grouped = SemDedup.pairsWithIndexGrouped(index, groups, thr)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // candidate sets: grouped = cluster ∩ group; global post-filtered to
+    // same-group = cluster ∩ group too — exact equality, zero recall cost
+    val gmap = rows.collect { case (i, Some(g), _) => i -> g }.toMap
+    val global = SemDedup.pairsWithIndex(index, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => gmap(a) == gmap(b) }
+      .map { case (a, b) => (gmap(a), a, b) }.toSet
+    assert(grouped == global, s"$grouped vs $global")
+    assert(grouped.nonEmpty && grouped.forall { case (g, a, b) =>
+      gmap(a) == g && gmap(b) == g && a < b })
+    // the NULL-group row never pairs
+    assert(!grouped.exists { case (_, a, b) => a == 12L || b == 12L })
+    // the one-shot face with the group column agrees
+    val oneShot = SemDedup.pairsGrouped(df, "id", "vec", "grp", k = 2,
+      iters = 2, threshold = thr)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(oneShot == grouped, s"$oneShot vs $grouped")
+  }
+
   test("packing: exact prefix-sum assignment, partitioning-independent") {
     import spark.implicits._
     val rows = Seq((1L, 100L), (2L, 3000L), (3L, 2000L), (4L, 500L),

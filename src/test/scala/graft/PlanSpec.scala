@@ -472,6 +472,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("td_grp"), p.take(2000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // and the VERIFY stage's inverted-index self-join is group-confined
+    // too: its key is (shingle, td_grp), so cross-group doc pairs that
+    // share boilerplate shingles are never generated pre-join
+    assert("shingle#\\d+, td_grp#".r.findFirstIn(p).isDefined,
+      "verify-stage shingle join lost its group key:\n" + p.take(2000))
   }
 
   test("benford: ONE corpus scan (window total, not a broadcast re-scan)") {

@@ -260,6 +260,52 @@ class RecallSpec extends AnyFunSuite {
       f"filtered planted recall $plantedRecall%.3f < bound $bound%.3f - 0.15")
   }
 
+  test("ivf-pq filtered probe: pre-filtering the probed code lists keeps " +
+    "recall; post-filtering the ranked output collapses on a skewed filter") {
+    val corpus = vecDf(corpusVecs.map { case (id, v) => (id, v.toSeq) })
+    val queries = vecDf(queryVecs.map { case (qid, _, q) => (qid, q.toSeq) })
+    val kClusters = 16; val nprobe = 4; val topk = 5
+    val index = Ivf.build(corpus, "id", "v", k = kClusters, iters = 3)
+    val cb = graft.pipeline.Quantize.trainPq(corpus, "id", "v",
+      m = 2, ks = 32, iters = 2)
+    val enc = graft.pipeline.Quantize.encodePqWithCells(index, cb)
+    // skewed filter: 10% qualifies, every planted source does
+    val allowed = corpus.where(F.col("id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(allowed, queries, "id", "v", "id", topk)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(m: Map[Long, Set[Long]]): Double = queryVecs.map {
+      case (qid, _, _) =>
+        val e = exact(qid)
+        (m.getOrElse(qid, Set.empty) intersect e).size.toDouble / e.size
+    }.sum / NQ
+    val pre = graft.pipeline.Quantize.ivfPqTopKFiltered(index, enc, queries,
+        "id", "v", k = topk, nprobe = nprobe, cb, allowed = allowed,
+        allowedIdCol = "id", excludeSelf = false)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // every slot matches the predicate — the pre-filter hard guarantee
+    assert(pre.values.forall(_.forall(_ % 10 == 0)))
+    val post = graft.pipeline.Quantize.ivfPqTopK(index, enc, queries,
+        "id", "v", k = topk, nprobe = nprobe, cb, excludeSelf = false)
+      .join(allowed.select(F.col("id").as("nbr_id")), Seq("nbr_id"), "left_semi")
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val preRecall = recallOf(pre)
+    val postRecall = recallOf(post)
+    assert(preRecall >= nprobe.toDouble / kClusters,
+      f"pre-filter recall $preRecall%.3f < nprobe/k floor")
+    assert(preRecall >= postRecall + 0.2,
+      f"pre-filter $preRecall%.3f should dominate post-filter $postRecall%.3f")
+    // planted sources (allowed by construction) still surface through the
+    // quantized scorer
+    val plantedRecall = queryVecs.count { case (qid, src, _) =>
+      pre.getOrElse(qid, Set.empty).contains(src)
+    }.toDouble / NQ
+    assert(plantedRecall >= 0.8,
+      f"filtered planted-neighbor recall $plantedRecall%.3f < 0.8")
+  }
+
   test("hyperplane-lsh approximate config: planted-neighbor recall meets the (1-theta/pi)^nbits bound") {
     val corpus = vecDf(corpusVecs.map { case (id, v) => (id, v.toSeq) })
     val queries = vecDf(queryVecs.map { case (qid, _, q) => (qid, q.toSeq) })

@@ -659,6 +659,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful moments: out-of-domain values RAISE instead of " +
+    "silently clamping the squared fixed-point image") {
+    import spark.implicits._
+    // |v| > 2^21: floor(v²·2^20) exceeds Long — JVM toLong would clamp
+    // at Long.MaxValue and emit a silently wrong σ/z; the contract is
+    // the batch face's loud ANSI behavior on the same domain
+    val bad = Seq(("k", 1L, 1.0), ("k", 2L, 3.0e6)).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Streams.statefulMoments(bad).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("fixed-point domain")), ex.toString)
+    // the domain edge itself is fine: |v| = 2^21 exactly still fits
+    val edge = Seq(("k", 1L, 2097152.0), ("k", 2L, -2097152.0)).toDS()
+    val out = Streams.statefulMoments(edge).collect().head
+    assert(out.n == 2L && out.mean == 0.0)
+  }
+
   test("stateful cusum TTL: expired ramps restart from zero") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(

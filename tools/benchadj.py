@@ -42,14 +42,20 @@ def load_bench(path: str) -> dict:
             return wrapper
     except json.JSONDecodeError:
         pass
-    matches = re.findall(r'\{"metric":"total".*?\}(?=\s|$)', text)
-    if not matches:
-        # greedy fallback: the line is one JSON object to end-of-line
-        matches = [ln[ln.index('{"metric":"total"'):]
-                   for ln in text.splitlines() if '{"metric":"total"' in ln]
-    if not matches:
-        sys.exit(f"benchadj: no bench JSON line found in {path}")
-    return json.loads(matches[-1])
+    # newest bench line wins; per line try the greedy to-EOL form first,
+    # then the non-greedy inline form. A candidate truncated by a '} '
+    # inside a string value fails json.loads and falls through instead
+    # of crashing the adjudication on it.
+    lines = [ln for ln in text.splitlines() if '{"metric":"total"' in ln]
+    for ln in reversed(lines):
+        seg = ln[ln.index('{"metric":"total"'):].strip()
+        m = re.match(r'\{"metric":"total".*?\}(?=\s|$)', seg)
+        for cand in ([seg] + ([m.group(0)] if m else [])):
+            try:
+                return json.loads(cand)
+            except json.JSONDecodeError:
+                continue
+    sys.exit(f"benchadj: no bench JSON line found in {path}")
 
 
 def minima(bench: dict) -> dict:
