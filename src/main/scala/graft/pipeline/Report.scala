@@ -1877,6 +1877,111 @@ object Report {
           F.lit(0.0d) - F.col("td_m").getField("negx")).as("d_at"))
   }
 
+  /** Per-slice [[ksTwoSample]] — distribution-shape drift PER SEGMENT
+    * (did the variant change the metric's shape only in one language/
+    * surface, or everywhere): the same exact integer identity per slice
+    * through ONE composite two-phase prefix — range-partition on
+    * (slice, value) so each slice occupies a contiguous partition run
+    * (the [[graft.operators.ScalableRank.withRankByGroup]] recipe),
+    * cumulative counts from per-(partition, slice) windows plus a
+    * bounded per-(partition, slice) offset relation broadcast back;
+    * never a per-slice job, never an unpartitioned window. The
+    * per-slice variant roster is a #slices-row relation joined on the
+    * slice key. Slices with ≠2 variants answer NULL d/d_at with the
+    * observed count. Output: (group, n_variants, variant_a, variant_b,
+    * n_a, n_b, d, d_at) ascending by group. */
+  def ksTwoSampleByGroup(df: DataFrame, groupCol: String,
+      variantCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = F.col(groupCol).cast("string")
+    val v = F.col(variantCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(g.isNotNull && v.isNotNull && x.isNotNull)
+      .select(g.as("td_s"), v.as("td_g"), x.as("td_x"))
+    def fld(l: Column, i: Int, f: String) =
+      F.try_element_at(l, F.lit(i)).getField(f)
+    val vl = clean.groupBy(F.col("td_s"), F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"))
+      .groupBy(F.col("td_s"))
+      .agg(F.sort_array(F.collect_list(
+        F.struct(F.col("td_g"), F.col("td_n")))).as("td_l"))
+      .select(F.col("td_s"),
+        F.size(F.col("td_l")).cast("long").as("td_nv"),
+        fld(F.col("td_l"), 1, "td_g").as("td_va"),
+        fld(F.col("td_l"), 2, "td_g").as("td_vb"),
+        fld(F.col("td_l"), 1, "td_n").as("td_na"),
+        fld(F.col("td_l"), 2, "td_n").as("td_nb"))
+    val cells = clean.groupBy(F.col("td_s"), F.col("td_x"), F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_c"))
+      .join(vl, Seq("td_s"))
+      .groupBy(F.col("td_s"), F.col("td_x"))
+      .agg(
+        F.sum(F.when(F.col("td_g") === F.col("td_va"), F.col("td_c"))
+          .otherwise(0L)).as("td_ca"),
+        F.sum(F.when(F.col("td_g") === F.col("td_vb"), F.col("td_c"))
+          .otherwise(0L)).as("td_cb"),
+        F.first(F.col("td_nv")).as("td_nv"),
+        F.first(F.col("td_va")).as("td_va"),
+        F.first(F.col("td_vb")).as("td_vb"),
+        F.first(F.col("td_na")).as("td_na"),
+        F.first(F.col("td_nb")).as("td_nb"))
+    // composite two-phase prefix: slices occupy contiguous partition
+    // runs, so per-slice offsets accumulate over pid exactly like
+    // withRankByGroup's; localCheckpoint pins the sampled bounds for
+    // the two consumer branches
+    val parted = cells
+      .repartitionByRange(F.col("td_s").asc, F.col("td_x").asc)
+      .sortWithinPartitions(F.col("td_s").asc, F.col("td_x").asc)
+      .withColumn("$td.__pid", F.spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(F.col("`$td.__pid`"), F.col("td_s"))
+      .orderBy(F.col("td_x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("$td.__la", F.sum(F.col("td_ca")).over(w))
+      .withColumn("$td.__lb", F.sum(F.col("td_cb")).over(w))
+    val wOff = Window.partitionBy(F.col("td_os")).orderBy(F.col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(F.col("`$td.__pid`").as("pid"), F.col("td_s").as("td_os"))
+      .agg(F.sum(F.col("td_ca")).as("ta"), F.sum(F.col("td_cb")).as("tb"))
+      .select(F.col("pid"), F.col("td_os"),
+        F.coalesce(F.sum("ta").over(wOff), F.lit(0L)).as("oa"),
+        F.coalesce(F.sum("tb").over(wOff), F.lit(0L)).as("ob"))
+    val cum = local
+      .join(F.broadcast(offsets),
+        F.col("`$td.__pid`") === F.col("pid") &&
+          F.col("td_s") === F.col("td_os"))
+      .withColumn("td_cca", F.col("`$td.__la`") + F.col("oa"))
+      .withColumn("td_ccb", F.col("`$td.__lb`") + F.col("ob"))
+    val av = F.abs(
+      F.col("td_nb").cast("decimal(18,0)") *
+        F.col("td_cca").cast("decimal(18,0)") -
+      F.col("td_na").cast("decimal(18,0)") *
+        F.col("td_ccb").cast("decimal(18,0)"))
+    cum.groupBy(F.col("td_s").as("group"))
+      .agg(
+        F.max(F.struct(av.as("av"),
+          (F.lit(0.0d) - F.col("td_x")).as("negx"))).as("td_m"),
+        F.first(F.col("td_nv")).as("td_nv"),
+        F.first(F.col("td_va")).as("td_va"),
+        F.first(F.col("td_vb")).as("td_vb"),
+        F.first(F.col("td_na")).as("td_na"),
+        F.first(F.col("td_nb")).as("td_nb"))
+      .select(
+        F.col("group"),
+        F.col("td_nv").as("n_variants"),
+        F.col("td_va").as("variant_a"), F.col("td_vb").as("variant_b"),
+        F.col("td_na").as("n_a"), F.col("td_nb").as("n_b"),
+        F.when(F.col("td_nv") === 2L,
+          F.col("td_m").getField("av").cast("double") /
+            (F.col("td_na").cast("double") * F.col("td_nb").cast("double")))
+          .as("d"),
+        F.when(F.col("td_nv") === 2L,
+          F.lit(0.0d) - F.col("td_m").getField("negx")).as("d_at"))
+      .orderBy(F.col("group").asc)
+  }
+
   /** Kruskal–Wallis H — [[mannWhitneyU]] extended to K groups (one-way
     * rank ANOVA): do any of k variants' metric distributions differ,
     * read from midranks alone. Same single ranked pass (min-rank +

@@ -1069,6 +1069,46 @@ object ModelOracles {
         |    ((vna * vna) / (nad - 1.0) + (vnb * vnb) / (nbd - 1.0))
         |  END AS dof
         |FROM w ORDER BY "group" ASC""".stripMargin,
+    "q_ab_ks_sliced" ->
+      // per-slice exact KS on the tied event-count metric: integer
+      // window prefix sums PER SLICE, the HUGEINT identity, one stated
+      // division; d_at = smallest attaining value within the slice
+      """WITH u AS (SELECT CAST(event_type AS VARCHAR) AS grp, user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(count(*) AS DOUBLE) AS s
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |g AS (SELECT grp, variant, CAST(count(*) AS BIGINT) AS n FROM u
+        |  GROUP BY grp, variant),
+        |nv AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_variants
+        |  FROM g GROUP BY grp),
+        |ga AS (SELECT grp, n AS n_a FROM g WHERE variant = 'A'),
+        |gb AS (SELECT grp, n AS n_b FROM g WHERE variant = 'B'),
+        |cells AS (SELECT grp, s,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM u GROUP BY grp, s),
+        |cum AS (SELECT grp, s,
+        |    sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb
+        |  FROM cells WINDOW w AS (PARTITION BY grp ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT cum.grp, cum.s,
+        |    abs(CAST(gb.n_b AS HUGEINT) * cca
+        |      - CAST(ga.n_a AS HUGEINT) * ccb) AS av
+        |  FROM cum JOIN ga USING (grp) JOIN gb USING (grp)),
+        |m AS (SELECT grp, max(av) AS mx FROM a GROUP BY grp),
+        |loc AS (SELECT a.grp, min(a.s) AS d_at
+        |  FROM a JOIN m ON a.grp = m.grp AND a.av = m.mx GROUP BY a.grp)
+        |SELECT nv.grp AS "group", nv.n_variants, 'A' AS variant_a,
+        |  'B' AS variant_b, ga.n_a, gb.n_b,
+        |  CASE WHEN nv.n_variants = 2 THEN CAST(m.mx AS DOUBLE) /
+        |    (CAST(ga.n_a AS DOUBLE) * CAST(gb.n_b AS DOUBLE)) END AS d,
+        |  CASE WHEN nv.n_variants = 2 THEN loc.d_at END AS d_at
+        |FROM nv JOIN ga USING (grp) JOIN gb USING (grp)
+        |  JOIN m ON m.grp = nv.grp JOIN loc ON loc.grp = nv.grp
+        |ORDER BY "group" ASC""".stripMargin,
     "q_ab_cliffs_sliced" ->
       // per-slice delta via the exact rank identity: min-ranks WITHIN
       // each slice (PARTITION BY grp), per-(slice,value) tie counts

@@ -470,6 +470,20 @@ object ModelQueries {
       graft.pipeline.Report.welchTByGroup(eng, "event_type", "variant",
         "n_events")
     }),
+    "q_ab_ks_sliced" -> ((s, dir) => {
+      // per-slice distribution-shape A/B on the tied event-count
+      // metric: exact KS D within each event type through ONE composite
+      // range prefix — which segment's metric actually changed shape
+      val eng = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("event_type").isNotNull)
+        .groupBy(F.col("event_type"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("double").as("n_events"))
+        .select(F.col("event_type"),
+          F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("n_events"))
+      graft.pipeline.Report.ksTwoSampleByGroup(eng, "event_type",
+        "variant", "n_events")
+    }),
     "q_ab_cliffs_sliced" -> ((s, dir) => {
       // per-slice effect size on the same tied fixture: min-ranks
       // within each slice, the exact rank identity per slice — did A's

@@ -722,6 +722,19 @@ object ScalingProbe {
             .as("variant"), F.col("revenue"))
         graft.pipeline.Report.ksTwoSample(rev, "variant", "revenue").count()
       }),
+      ("ks_sliced", 100, { e =>
+        // composite two-phase prefix: slices in contiguous partition
+        // runs, per-(partition, slice) offsets stitch the cumsum
+        val rev = e.where(F.col("user_id").isNotNull &&
+            F.col("event_type").isNotNull)
+          .groupBy(F.col("event_type"), F.col("user_id"))
+          .agg(F.count(F.lit(1)).cast("double").as("n_events"))
+          .select(F.col("event_type"),
+            F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+              .as("variant"), F.col("n_events"))
+        graft.pipeline.Report.ksTwoSampleByGroup(rev, "event_type",
+          "variant", "n_events").count()
+      }),
       ("cliffs_sliced", 100, { e =>
         // ONE composite (slice, value) range-shuffle rank for all slices
         // + keyed aggs — the ByGroup rank machinery (welch_sliced shares

@@ -542,6 +542,42 @@ class ModelSpec extends AnyFunSuite {
       rm.toString)
   }
 
+  test("ksTwoSampleByGroup: each slice equals the single-slice test; " +
+    "many-partition prefix still exact") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    val s1 = Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(("B", _))
+    val s2 = Seq(1.0, 2.0, 2.0, 3.0, 7.0).map(("A", _)) ++
+      Seq(2.0, 3.0, 3.0, 8.0).map(("B", _))
+    val df = (s1.map { case (v, x) => ("seg1", v, x) } ++
+      s2.map { case (v, x) => ("seg2", v, x) }).toDF("seg", "variant", "x")
+    val sliced = Report.ksTwoSampleByGroup(df, "seg", "variant", "x")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(sliced("seg1") ==
+      Report.ksTwoSample(s1.toDF("variant", "x"), "variant", "x")
+        .head().toSeq, sliced("seg1").toString)
+    assert(sliced("seg2") ==
+      Report.ksTwoSample(s2.toDF("variant", "x"), "variant", "x")
+        .head().toSeq, sliced("seg2").toString)
+    // hand values survive the composite prefix: 0.5@2 and 7/20@2
+    assert(sliced("seg1")(5) == 0.5 && sliced("seg1")(6) == 2.0)
+    assert(sliced("seg2")(5) == 7.0 / 20.0 && sliced("seg2")(6) == 2.0)
+    // a wide fixture forces value runs to straddle range partitions:
+    // per-slice offsets must stitch the prefix exactly (D = 1/2 by
+    // construction: A = 1..1000, B = 501..1500 per slice)
+    val wide = (for {
+      seg <- Seq("g1", "g2"); i <- 1 to 1000
+    } yield (seg, "A", i.toDouble)) ++ (for {
+      seg <- Seq("g1", "g2"); i <- 501 to 1500
+    } yield (seg, "B", i.toDouble))
+    val wr = Report.ksTwoSampleByGroup(
+      wide.toDF("seg", "variant", "x").repartition(16), "seg", "variant", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(6), r.getDouble(7)))
+    assert(wr.toSeq == Seq(("g1", 0.5, 500.0), ("g2", 0.5, 500.0)),
+      wr.mkString(";"))
+  }
+
   test("welchTByGroup / cliffsDeltaByGroup: each slice equals the " +
     "single-slice operator, WITH within-slice cross-variant ties") {
     import graft.pipeline.Report
