@@ -479,6 +479,66 @@ class PlanSpec extends AnyFunSuite {
       "verify-stage shingle join lost its group key:\n" + p.take(2000))
   }
 
+  test("ks two-sample: every window is PARTITIONED (the two-phase " +
+    "prefix), offsets broadcast back — no unpartitioned corpus sort") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+        .as("variant"), F.col("value"))
+    val p = plan(graft.pipeline.Report.ksTwoSample(ev, "variant", "value"))
+    // an unpartitioned Window prints TWO bracket groups (`], [order]`),
+    // a partitioned one THREE (`], [cols], [order]`). The corpus-sized
+    // cumsum must ride partitioned (per-pid) windows; the only
+    // unpartitioned window allowed is the numPartitions-row OFFSETS
+    // relation, recognizable by its pid ordering (the ScalableRank
+    // convention)
+    def unpartitioned(s: String): Seq[String] = s.linesIterator
+      .filter(_.contains("Window ["))
+      .filter(l => count(l, "], [") == 1).toSeq
+    assert(unpartitioned(p).nonEmpty && unpartitioned(p).forall(
+        l => l.contains("[pid#")),
+      "a corpus-sized unpartitioned window leaked into the KS plan:\n" +
+        unpartitioned(p).mkString("\n"))
+    // the per-pid prefix windows exist and are partitioned
+    assert(p.linesIterator.exists(l => l.contains("Window [") &&
+      l.contains("], [$td.__pid#")), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the sliced face rides the same discipline, per (pid, slice) —
+    // and even its offsets window is partitioned (by slice)
+    val evS = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("event_type"),
+        F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("value"))
+    val ps = plan(graft.pipeline.Report.ksTwoSampleByGroup(
+      evS, "event_type", "variant", "value"))
+    assert(unpartitioned(ps).isEmpty,
+      "unpartitioned window leaked into the sliced KS plan:\n" +
+        unpartitioned(ps).mkString("\n"))
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
+  }
+
+  test("filtered quantized ANN: the allowed-id semi-join sits BELOW the " +
+    "rank window (pre-distance), never post-filtering ranked output") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
+      m = 2, ks = 8, iters = 1)
+    val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
+    val p = plan(graft.pipeline.Quantize.ivfPqTopKFiltered(idx, enc,
+      emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k = 5,
+      nprobe = 2, cb, allowed = emb.filter(F.col("label") % 3 === 0),
+      allowedIdCol = "vec_id"))
+    // physical plans print root-first: the top-k Window must appear
+    // BEFORE (downstream of) the LeftSemi join in the string — the
+    // predicate prunes candidates before any ADC distance is evaluated
+    val iWin = p.indexOf("Window")
+    val iSemi = p.indexOf("LeftSemi")
+    assert(iWin >= 0 && iSemi >= 0 && iWin < iSemi,
+      s"semi-join not below the rank window (win=$iWin semi=$iSemi):\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("benford: ONE corpus scan (window total, not a broadcast re-scan)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val p = plan(graft.dq.Dq.benford(li, "l_extendedprice"))

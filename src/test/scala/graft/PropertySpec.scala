@@ -629,4 +629,37 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect)
     }
   }
+
+  test("ksTwoSample == brute-force CDF sweep on random tied data, " +
+    "partitioning-independent") {
+    import graft.pipeline.Report
+    import spark.implicits._
+    val twoVariant: Gen[List[(String, Int)]] = for {
+      na <- Gen.choose(2, 30); nb <- Gen.choose(2, 30)
+      as <- Gen.listOfN(na, Gen.choose(-8, 8)) // small domain → many ties
+      bs <- Gen.listOfN(nb, Gen.choose(-8, 8))
+    } yield as.map(("A", _)) ++ bs.map(("B", _))
+    for ((rows, si) <- samples(twoVariant, n = 6).zipWithIndex) {
+      val df = rows.map { case (v, x) => (v, x.toDouble) }
+        .toDF("variant", "x").repartition(7)
+      val r = Report.ksTwoSample(df, "variant", "x").head()
+      // driver-side truth: sweep every distinct value, exact rationals
+      // via the same integer identity
+      val a = rows.collect { case ("A", x) => x }
+      val b = rows.collect { case ("B", x) => x }
+      val grid = (a ++ b).distinct.sorted
+      val avs = grid.map { v =>
+        val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+        (math.abs(b.size * ca - a.size * cb), v)
+      }
+      val mx = avs.map(_._1).max
+      val expD = mx.toDouble / (a.size.toDouble * b.size.toDouble)
+      val expAt = avs.filter(_._1 == mx).map(_._2).min.toDouble
+      assert(r.getLong(3) == a.size.toLong && r.getLong(4) == b.size.toLong,
+        s"sample=$si: $r")
+      assert(r.getDouble(5) == expD && r.getDouble(6) == expAt,
+        s"sample=$si: got (${r.getDouble(5)}, ${r.getDouble(6)}) " +
+          s"want ($expD, $expAt)")
+    }
+  }
 }
