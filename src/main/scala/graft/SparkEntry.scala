@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.ModelQueries.queries ++
+      graft.queries.StatsQueries.queries ++
       graft.queries.TpchQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.CurationOracles.oracleSql ++
       graft.queries.AnalyticsOracles.oracleSql ++
       graft.queries.ModelOracles.oracleSql ++
+      graft.queries.StatsOracles.oracleSql ++
       graft.queries.TpchOracles.oracleSql
 }

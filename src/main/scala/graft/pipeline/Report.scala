@@ -2406,4 +2406,112 @@ object Report {
         F.when(F.col("h_a") > 0.0d && F.col("h_b") > 0.0d,
           F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b"))))
   }
+
+  /** One-way ANOVA F — the k-GROUP parametric companion of [[welchT]]
+    * (two variants) and [[kruskalWallis]] (k-group ranks): did the
+    * group means differ more than within-group noise explains. ONE
+    * keyed fixed-point moments pass per group (the welch family's
+    * floor(v·2^20 + 0.5) DECIMAL(38,0) images, |value| ≤ 2^21 domain),
+    * grand sums reduced EXACTLY in decimal (order-free), and only
+    * T = Σ_g (Σx_g)²/n_g — the one genuinely order-sensitive double
+    * reduction — rides the pinned ascending group fold. Then
+    * SSB = T − (Σx)²/N, SSW = Σx² − T,
+    * F = (SSB/(k−1)) / (SSW/(N−k)), each double op stated once.
+    * k < 2, N ≤ k, or SSW ≤ 0 answer NULL f honestly. Output (one
+    * row): n, n_groups, grand_mean, ssb, ssw, f. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val fp = F.floor(x * F.lit(1048576.0d) + F.lit(0.5d))
+    val fpp = F.floor((x * x) * F.lit(1048576.0d) + F.lit(0.5d))
+    val agg = df.where(g.isNotNull && x.isNotNull)
+      .groupBy(g.as("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum(fp.cast("decimal(38,0)")).as("td_sx"),
+        F.sum(fpp.cast("decimal(38,0)")).as("td_sxx"))
+    val packed = agg.agg(
+      F.count(F.lit(1)).cast("long").as("td_k"),
+      F.sum(F.col("td_n")).cast("long").as("td_nn"),
+      F.sum(F.col("td_sx")).as("td_sxt"),
+      F.sum(F.col("td_sxx")).as("td_sxxt"),
+      F.sort_array(F.collect_list(F.struct(
+        F.col("td_g"), F.col("td_n"), F.col("td_sx")))).as("td_l"))
+    val nD = F.col("td_nn").cast("double")
+    val kD = F.col("td_k").cast("double")
+    val sxD = F.col("td_sxt").cast("double") / F.lit(1048576.0d)
+    val sxxD = F.col("td_sxxt").cast("double") / F.lit(1048576.0d)
+    val t = F.aggregate(F.col("td_l"), F.lit(0.0d), (acc, e) => {
+      val s = e.getField("td_sx").cast("double") / F.lit(1048576.0d)
+      acc + (s * s) / e.getField("td_n").cast("double")
+    })
+    val ssb = t - (sxD * sxD) / nD
+    val ssw = sxxD - t
+    val ok = F.col("td_k") >= 2L && F.col("td_nn") > F.col("td_k") &&
+      ssw > 0.0d
+    packed.select(
+      F.col("td_nn").as("n"), F.col("td_k").as("n_groups"),
+      (sxD / nD).as("grand_mean"),
+      ssb.as("ssb"), ssw.as("ssw"),
+      F.when(ok, (ssb / (kD - F.lit(1.0d))) / (ssw / (nD - kD))).as("f"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test — [[anovaF]] applied
+    * to z = |x − median_g|: did the group SPREADS differ (the
+    * assumption check before trusting a pooled-variance readout;
+    * median centers, not means, so heavy tails don't fake a signal).
+    * One exact per-group median pass (Spark `median` interpolates the
+    * even-count midpoint exactly as ANSI `median` — the q_agg_median
+    * parity), the centered absolute deviations are a row-local
+    * codegen'd projection behind a broadcast-sized medians join, then
+    * the identical ANOVA algebra. Same |z| ≤ 2^21 fixed-point domain.
+    * Output (one row): n, n_groups, grand_mean (of z), ssb, ssw, f. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val x = F.col(valueCol).cast("double")
+    val clean = df.where(g.isNotNull && x.isNotNull)
+      .select(g.as("td_g"), x.as("td_x"))
+    val med = clean.groupBy(F.col("td_g"))
+      .agg(F.median(F.col("td_x")).as("td_med"))
+    val z = clean.join(F.broadcast(med), Seq("td_g"))
+      .select(F.col("td_g"),
+        F.abs(F.col("td_x") - F.col("td_med")).as("td_z"))
+    anovaF(z, "td_g", "td_z")
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction over ONE ROW PER
+    * HYPOTHESIS — the multiple-testing finisher for any per-slice test
+    * family this module emits (run welch/KS/chi² per segment, then BH
+    * the p column before acting on "significant" slices). The input is
+    * tests, not the corpus — a bounded relation by construction (one
+    * row per hypothesis), so the two single-partition windows (ordinal
+    * rank by (p, id); suffix running-min for the monotone adjusted p)
+    * are the honest plan, not a scale hazard. p_adj_i =
+    * min(1, min_{j≥i} m·p_j/j) with each double op stated once; reject
+    * ⇔ p_adj ≤ α (the step-up rule, monotone-equivalent). Output:
+    * (test_id, p_value, rank, p_adj, reject) ascending by rank. */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05d): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = F.col(idCol).cast("string")
+    val p = F.col(pCol).cast("double")
+    val clean = df.where(id.isNotNull && p.isNotNull)
+      .select(id.as("test_id"), p.as("p_value"))
+    val wAsc = Window.orderBy(F.col("p_value").asc, F.col("test_id").asc)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSuf = Window.orderBy(F.col("p_value").desc, F.col("test_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val raw = F.col("td_m").cast("double") * F.col("p_value") /
+      F.col("rank").cast("double")
+    clean
+      .withColumn("rank", F.row_number().over(wAsc).cast("long"))
+      .withColumn("td_m", F.count(F.lit(1)).over(wAll).cast("long"))
+      .withColumn("td_raw", raw)
+      .withColumn("p_adj",
+        F.least(F.lit(1.0d), F.min(F.col("td_raw")).over(wSuf)))
+      .select(F.col("test_id"), F.col("p_value"), F.col("rank"),
+        F.col("p_adj"), (F.col("p_adj") <= F.lit(alpha)).as("reject"))
+      .orderBy(F.col("rank").asc)
+  }
 }

@@ -1,0 +1,209 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Per-series trend diagnostics over keyed time series — the
+  * monotone-drift layer of the volume-anomaly family ([[Report
+  * .ewmaDaily]] reads level, [[Report.cusumDaily]] sustained shifts,
+  * [[Report.seasonalDaily]] weekly shape; this module answers "is the
+  * series RISING, how steeply, and does it remember itself").
+  * Beyond-reference scale analytics, same tier as [[Report]].
+  *
+  * Every operator here works per GROUP over a bounded per-group grid
+  * (calendar days/weeks — quantize upstream), so quadratic pair
+  * enumerations and sequential folds are per-key and the shuffles
+  * partition on the group key. Exact-replay discipline throughout:
+  * integer/decimal reductions where order can't matter, pinned
+  * ascending folds where it can, each double op stated once. */
+object Trend {
+
+  private def cleanSeries(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame =
+    df.where(F.col(groupCol).isNotNull && F.col(tCol).isNotNull &&
+        F.col(xCol).isNotNull)
+      .select(F.col(groupCol).cast("string").as("td_g"),
+        F.col(tCol).cast("long").as("td_t"),
+        F.col(xCol).cast("double").as("td_x"))
+
+  /** Mann–Kendall trend test per group: S = Σ_{i<j} sign(x_j − x_i)
+    * (an exact long — comparisons, not arithmetic), tie term
+    * Σ_v c_v(c_v−1)(2c_v+5), Var(S) = (n(n−1)(2n+5) − ties)/18, and
+    * the continuity-corrected z ((S∓1)/√Var, 0 at S=0). The pair
+    * relation is the group-keyed self-join over the bounded grid —
+    * quadratic per group by design, partitioned across groups. One
+    * (t, x) row per group per instant required (pre-aggregate).
+    * Groups with Var ≤ 0 (all-tied or n < 2) answer NULL z. Output:
+    * (group, n, s, tie_term, var_s, z) ascending by group. */
+  def mannKendall(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val clean = cleanSeries(df, groupCol, tCol, xCol)
+    val a = clean.select(F.col("td_g"), F.col("td_t").as("td_ta"),
+      F.col("td_x").as("td_xa"))
+    val b = clean.select(F.col("td_g"), F.col("td_t").as("td_tb"),
+      F.col("td_x").as("td_xb"))
+    val s = a.join(b, Seq("td_g"))
+      .where(F.col("td_ta") < F.col("td_tb"))
+      .groupBy(F.col("td_g"))
+      .agg(F.sum(F.when(F.col("td_xb") > F.col("td_xa"), 1L)
+        .when(F.col("td_xb") < F.col("td_xa"), -1L)
+        .otherwise(0L)).as("td_s"))
+    val ties = clean.groupBy(F.col("td_g"), F.col("td_x"))
+      .agg(F.count(F.lit(1)).as("td_c"))
+      .groupBy(F.col("td_g"))
+      .agg(F.sum(F.col("td_c") * (F.col("td_c") - 1L) *
+          (F.lit(2L) * F.col("td_c") + 5L)).as("td_tie"),
+        F.sum(F.col("td_c")).as("td_n"))
+    val nL = F.col("td_n")
+    val varNum = (nL * (nL - 1L) * (F.lit(2L) * nL + 5L) -
+      F.col("td_tie"))
+    val varS = varNum.cast("double") / F.lit(18.0d)
+    val sD = F.col("td_s").cast("double")
+    ties.join(s, Seq("td_g"), "left")
+      .select(F.col("td_g").as("group"), nL.as("n"),
+        F.coalesce(F.col("td_s"), F.lit(0L)).as("s"),
+        F.col("td_tie").as("tie_term"), varS.as("var_s"),
+        F.when(varS > 0.0d,
+          F.when(F.col("td_s") > 0L,
+              (sD - F.lit(1.0d)) / F.sqrt(varS))
+            .when(F.col("td_s") < 0L,
+              (sD + F.lit(1.0d)) / F.sqrt(varS))
+            .otherwise(F.lit(0.0d))).as("z"))
+      .orderBy(F.col("group").asc)
+  }
+
+  /** Theil–Sen robust slope per group: the MEDIAN of all pairwise
+    * slopes (x_j − x_i)/(t_j − t_i), i < j — a 29%-breakdown trend
+    * estimate no single outlier day can bend — plus the median-of-
+    * residuals intercept (x − slope·t, slope broadcast back). Same
+    * group-keyed quadratic pair relation as [[mannKendall]]; `median`
+    * interpolates the even midpoint identically on Spark and ANSI
+    * engines (the q_agg_median parity). Output:
+    * (group, n, slope, intercept) ascending by group; groups with no
+    * pair (n < 2 or a single instant) answer NULL slope. */
+  def theilSen(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val clean = cleanSeries(df, groupCol, tCol, xCol)
+    val a = clean.select(F.col("td_g"), F.col("td_t").as("td_ta"),
+      F.col("td_x").as("td_xa"))
+    val b = clean.select(F.col("td_g"), F.col("td_t").as("td_tb"),
+      F.col("td_x").as("td_xb"))
+    val slopes = a.join(b, Seq("td_g"))
+      .where(F.col("td_ta") < F.col("td_tb"))
+      .groupBy(F.col("td_g"))
+      .agg(F.median((F.col("td_xb") - F.col("td_xa")) /
+        (F.col("td_tb") - F.col("td_ta")).cast("double")).as("td_slope"))
+    val n = clean.groupBy(F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"))
+    val resid = clean.join(F.broadcast(slopes), Seq("td_g"))
+      .groupBy(F.col("td_g"))
+      .agg(F.median(F.col("td_x") -
+        F.col("td_slope") * F.col("td_t").cast("double")).as("td_icpt"))
+    n.join(slopes, Seq("td_g"), "left")
+      .join(resid, Seq("td_g"), "left")
+      .select(F.col("td_g").as("group"), F.col("td_n").as("n"),
+        F.col("td_slope").as("slope"), F.col("td_icpt").as("intercept"))
+      .orderBy(F.col("group").asc)
+  }
+
+  /** Sample autocorrelation per group at row-lags 1..`maxLag` over the
+    * t-ordered series — does the series remember itself (inputs for
+    * seasonality/AR diagnostics on the daily volume curves). The
+    * integer-value contract: `xCol` must be LONG (fixed-point daily
+    * totals — the caller's quantization), so every Σ (x·x_lag, heads,
+    * tails, squares) reduces EXACTLY in DECIMAL(38,0)/long, and the
+    * classic expansion states each double op once from exact sums:
+    * r_k = (Σx_t·x_{t−k} − m·Σhead − m·Σtail + n_k·m²) / (Σx² − n·m²)
+    * with m the FULL-series mean. One window pass (partitioned by
+    * group — never an unpartitioned corpus window), one keyed
+    * aggregation, lags exploded from per-k agg columns. Output:
+    * (group, lag, n_pairs, r) ascending; den ≤ 0 answers NULL r. */
+  def acf(df: DataFrame, groupCol: String, tCol: String, xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag in [1,64], got $maxLag")
+    val clean = df.where(F.col(groupCol).isNotNull &&
+        F.col(tCol).isNotNull && F.col(xCol).isNotNull)
+      .select(F.col(groupCol).cast("string").as("td_g"),
+        F.col(tCol).cast("long").as("td_t"),
+        F.col(xCol).cast("long").as("td_x"))
+    val w = Window.partitionBy(F.col("td_g")).orderBy(F.col("td_t").asc)
+    val dec = F.col("td_x").cast("decimal(19,0)")
+    val lagged = (1 to maxLag).foldLeft(clean) { (d, k) =>
+      d.withColumn(s"td_l$k", F.lag(F.col("td_x"), k).over(w))
+    }
+    val baseAggs = Seq(
+      F.count(F.lit(1)).as("td_n"),
+      F.sum(F.col("td_x")).as("td_sx"),
+      F.sum((dec * dec).cast("decimal(38,0)")).as("td_sxx"))
+    val lagAggs = (1 to maxLag).flatMap { k =>
+      val lk = F.col(s"td_l$k")
+      Seq(
+        F.count(lk).as(s"td_nk$k"),
+        F.sum((dec * lk.cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as(s"td_sxy$k"),
+        F.sum(lk).as(s"td_sh$k"),
+        F.sum(F.when(lk.isNotNull, F.col("td_x"))).as(s"td_st$k"))
+    }
+    val agg = lagged.groupBy(F.col("td_g"))
+      .agg(baseAggs.head, (baseAggs.tail ++ lagAggs): _*)
+    val nD = F.col("td_n").cast("double")
+    val m = F.col("td_sx").cast("double") / nD
+    val den = F.col("td_sxx").cast("double") - nD * (m * m)
+    val perLag = F.array((1 to maxLag).map { k =>
+      val nkD = F.col(s"td_nk$k").cast("double")
+      val num = F.col(s"td_sxy$k").cast("double") -
+        m * F.col(s"td_sh$k").cast("double") -
+        m * F.col(s"td_st$k").cast("double") + nkD * (m * m)
+      F.struct(F.lit(k).cast("long").as("lag"),
+        F.col(s"td_nk$k").as("n_pairs"),
+        F.when(den > 0.0d && F.col(s"td_nk$k") > 0L, num / den).as("r"))
+    }: _*)
+    agg.select(F.col("td_g").as("group"), F.explode(perLag).as("td_e"))
+      .select(F.col("group"), F.col("td_e.lag").as("lag"),
+        F.col("td_e.n_pairs").as("n_pairs"), F.col("td_e.r").as("r"))
+      .orderBy(F.col("group").asc, F.col("lag").asc)
+  }
+
+  /** Holt double-exponential smoothing per group — level + TREND state
+    * over the t-ordered series (the [[Report.ewmaDailyByGroup]] fold
+    * grown a second state variable; EWMA flattens a steady climb into
+    * permanent lag, Holt tracks it). Classic init (l₁ = x₁, b₁ = 0),
+    * then for each subsequent point: l ← α·x + (1−α)(l + b),
+    * b ← β(l − l_prev) + (1−β)b — a PINNED ascending fold over the
+    * bounded per-group grid, each double op stated once. Emits the
+    * final state plus the h-step linear forecast. Output:
+    * (group, n, level, trend, forecast) ascending by group. */
+  def holtLinear(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String, alpha: Double, beta: Double,
+      horizon: Int = 1): DataFrame = {
+    require(alpha > 0.0d && alpha <= 1.0d, s"alpha in (0,1], got $alpha")
+    require(beta >= 0.0d && beta <= 1.0d, s"beta in [0,1], got $beta")
+    require(horizon >= 0, s"horizon >= 0, got $horizon")
+    val clean = cleanSeries(df, groupCol, tCol, xCol)
+    val packed = clean.groupBy(F.col("td_g"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_t"), F.col("td_x")))).as("td_l"))
+    val l = F.col("td_l")
+    val zero = F.struct(
+      F.element_at(l, 1).getField("td_x").as("l"),
+      F.lit(0.0d).as("b"))
+    val folded = F.aggregate(F.slice(l, F.lit(2), F.size(l) - 1), zero,
+      (acc, e) => {
+        val nl = F.lit(alpha) * e.getField("td_x") +
+          F.lit(1.0d - alpha) * (acc.getField("l") + acc.getField("b"))
+        val nb = F.lit(beta) * (nl - acc.getField("l")) +
+          F.lit(1.0d - beta) * acc.getField("b")
+        F.struct(nl.as("l"), nb.as("b"))
+      })
+    packed.where(F.size(l) > 0)
+      .withColumn("td_f", folded)
+      .select(F.col("td_g").as("group"),
+        F.size(l).cast("long").as("n"),
+        F.col("td_f").getField("l").as("level"),
+        F.col("td_f").getField("b").as("trend"),
+        (F.col("td_f").getField("l") +
+          F.lit(horizon.toDouble) * F.col("td_f").getField("b"))
+          .as("forecast"))
+      .orderBy(F.col("group").asc)
+  }
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+/** DuckDB oracles for the round-17 statistics gates. Conventions as
+  * [[ModelOracles]]: corpus reductions as exact BIGINT/HUGEINT/
+  * DECIMAL(38,0) sums (order-free), bounded double folds as
+  * `list(x ORDER BY k)` + `list_reduce(list_prepend(zero, …))`
+  * matching the Spark side's pinned ascending association, every
+  * double op stated once in the identical order. Smoothing constants
+  * are stated as the SUBTRACTION (1.0 − α), never the decimal literal
+  * of the difference — 1.0 − 0.4 is not the double 0.6. */
+object StatsOracles {
+
+  // the q_ab_welch revenue fixture widened to three cohorts
+  private val rev3 =
+    """u AS (SELECT user_id,
+      |    CASE WHEN user_id % 3 = 0 THEN 'A'
+      |         WHEN user_id % 3 = 1 THEN 'B' ELSE 'C' END AS variant,
+      |    CAST(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1048576.0
+      |      AS revenue
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY user_id, 2)""".stripMargin
+
+  /** The [[graft.pipeline.Report.anovaF]] finishing algebra over a
+    * (variant, x) relation named `src`: fixed-point moments per group,
+    * exact decimal grand sums, the one order-sensitive T fold pinned
+    * ascending by group, then SSB/SSW/F stated exactly as the gate. */
+  private def anovaSql(src: String): String =
+    s"""m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(floor((x * x) * 1048576.0 + 0.5) AS DECIMAL(38,0)))
+       |      AS sxx
+       |  FROM $src GROUP BY variant),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(sx) AS DOUBLE) / 1048576.0 AS sxd,
+       |    CAST(sum(sxx) AS DOUBLE) / 1048576.0 AS sxxd FROM m),
+       |tt AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(((CAST(sx AS DOUBLE) / 1048576.0) *
+       |          (CAST(sx AS DOUBLE) / 1048576.0)) / CAST(n AS DOUBLE)
+       |      ORDER BY variant)),
+       |    (a, b) -> a + b) AS t FROM m),
+       |ff AS (SELECT k, nn, CAST(k AS DOUBLE) AS kd,
+       |    CAST(nn AS DOUBLE) AS nd, sxd, sxxd, t FROM tot, tt),
+       |gg AS (SELECT *, t - (sxd * sxd) / nd AS ssb, sxxd - t AS ssw
+       |  FROM ff)
+       |SELECT nn AS n, k AS n_groups, sxd / nd AS grand_mean, ssb, ssw,
+       |  CASE WHEN k >= 2 AND nn > k AND ssw > 0.0 THEN
+       |    (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END AS f
+       |FROM gg""".stripMargin
+
+  // per-user survival fixture: duration = days from first sighting to
+  // first purchase, censored at the last sighting for never-purchasers
+  private val perUser =
+    """pu AS (SELECT user_id,
+      |    CAST(min(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT)
+      |      AS fst,
+      |    CAST(max(CAST(ts AS DATE)) - DATE '1970-01-01' AS BIGINT)
+      |      AS lst,
+      |    min(CASE WHEN event_type = 'purchase' THEN
+      |      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) END)
+      |      AS prch
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id),
+      |per AS (SELECT user_id, COALESCE(prch, lst) - fst AS duration,
+      |    CAST(prch IS NOT NULL AS BIGINT) AS event FROM pu)""".stripMargin
+
+  // per-(event_type, day) exact fixed-point daily revenue series
+  private val dailyRev =
+    """dser AS (SELECT event_type AS g,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+      |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS xi
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ab_anova" ->
+      s"""WITH $rev3,
+         |src AS (SELECT variant, revenue AS x FROM u),
+         |${anovaSql("src")}""".stripMargin,
+    "q_ab_levene" ->
+      // Brown–Forsythe: median-centered absolute deviations, then the
+      // identical ANOVA algebra on z
+      s"""WITH $rev3,
+         |md AS (SELECT variant, median(revenue) AS med FROM u
+         |  GROUP BY variant),
+         |src AS (SELECT u.variant, abs(u.revenue - md.med) AS x
+         |  FROM u JOIN md USING (variant)),
+         |${anovaSql("src")}""".stripMargin,
+    "q_fdr_bh" ->
+      // ordinal rank by (p, id), suffix running-min of m·p/rank,
+      // clip at 1, step-up reject at α = 0.2
+      """WITH t AS (SELECT event_type || '_' ||
+        |    CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      % 7) AS VARCHAR) AS test_id,
+        |    CAST((sum(user_id) % 9973) + 1 AS DOUBLE) / 10000.0
+        |      AS p_value
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT test_id, p_value,
+        |    CAST(row_number() OVER (ORDER BY p_value ASC, test_id ASC)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM t),
+        |a AS (SELECT *, CAST(m AS DOUBLE) * p_value /
+        |    CAST(rank AS DOUBLE) AS raw FROM r),
+        |s AS (SELECT *, min(raw) OVER (ORDER BY p_value DESC,
+        |    test_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sufmin FROM a)
+        |SELECT test_id, p_value, rank, least(1.0, sufmin) AS p_adj,
+        |  least(1.0, sufmin) <= 0.2 AS reject
+        |FROM s ORDER BY rank ASC""".stripMargin,
+    "q_survival_km" ->
+      // bounded duration grid, at-risk via exact prefix arrivals, the
+      // (n−d)/n factor list, pinned ascending prefix products
+      s"""WITH $perUser,
+         |g AS (SELECT duration AS t, CAST(count(*) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN event <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d
+         |  FROM per GROUP BY 1),
+         |p AS (SELECT CAST(sum(a) AS BIGINT) AS nn,
+         |    list(struct_pack(t := t, a := a, d := d) ORDER BY t) AS l
+         |  FROM g),
+         |fl AS (SELECT list_transform(range(1, len(l) + 1), j ->
+         |    CAST((nn - list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(l[1:j-1], e -> e.a)), (x, y) -> x + y))
+         |      - l[j].d AS DOUBLE) /
+         |    CAST(nn - list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(l[1:j-1], e -> e.a)), (x, y) -> x + y)
+         |      AS DOUBLE)) AS f
+         |  FROM p),
+         |ix AS (SELECT nn, l, unnest(range(1, len(l) + 1)) AS i FROM p)
+         |SELECT l[i].t AS t,
+         |  nn - list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(l[1:i-1], e -> e.a)), (x, y) -> x + y)
+         |    AS n_risk,
+         |  l[i].d AS d_events, l[i].a - l[i].d AS c_censored,
+         |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fl.f[1:i]),
+         |    (x, y) -> x * y) AS survival
+         |FROM ix, fl ORDER BY t ASC""".stripMargin,
+    "q_survival_logrank" ->
+      // per-time contributions from exact window prefix arrivals, then
+      // SCALAR ascending folds for E and V (never a struct accumulator
+      // — DuckDB 1.0's list_reduce misbinds acc struct fields). A
+      // non-event time contributes +0.0, the exact identity of the
+      // gate's skip, so the stated double sums replay the Spark fold.
+      s"""WITH $perUser,
+         |pc AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+         |    AS cohort, duration, event FROM per),
+         |gr AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n FROM pc
+         |  GROUP BY 1),
+         |gp AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+         |    list(struct_pack(g := cohort, n := n) ORDER BY cohort)
+         |      AS gl FROM gr),
+         |grid AS (SELECT duration AS t, CAST(count(*) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN event <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d,
+         |    CAST(sum(CASE WHEN cohort = (SELECT gl[1].g FROM gp)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS aa,
+         |    CAST(sum(CASE WHEN cohort = (SELECT gl[1].g FROM gp)
+         |      AND event <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS da
+         |  FROM pc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(a) AS BIGINT) AS nn,
+         |    CAST(sum(aa) AS BIGINT) AS na FROM grid),
+         |cum AS (SELECT t, a, d, aa, da,
+         |    CAST(COALESCE(sum(a) OVER (ORDER BY t ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+         |    CAST(COALESCE(sum(aa) OVER (ORDER BY t ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cba
+         |  FROM grid),
+         |con AS (SELECT t, da,
+         |    CASE WHEN d > 0 AND (nn - cb) >= 2 THEN
+         |      CAST(d AS DOUBLE) * (CAST(na - cba AS DOUBLE) /
+         |        CAST(nn - cb AS DOUBLE))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS ec,
+         |    CASE WHEN d > 0 AND (nn - cb) >= 2 THEN
+         |      CAST(d AS DOUBLE) * (CAST(na - cba AS DOUBLE) /
+         |        CAST(nn - cb AS DOUBLE)) *
+         |      (1.0 - (CAST(na - cba AS DOUBLE) /
+         |              CAST(nn - cb AS DOUBLE))) *
+         |      (CAST((nn - cb) - d AS DOUBLE) /
+         |       CAST((nn - cb) - 1 AS DOUBLE))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS vc
+         |  FROM cum, tot),
+         |fold AS (SELECT CAST(sum(da) AS BIGINT) AS o,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(ec ORDER BY t)), (x, y) -> x + y) AS ee,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(vc ORDER BY t)), (x, y) -> x + y) AS vv
+         |  FROM con)
+         |SELECT gp.nv AS n_groups, gl[1].g AS group_a, gl[2].g AS group_b,
+         |  gl[1].n AS n_a, gl[2].n AS n_b, fold.o AS o_a,
+         |  CASE WHEN nv = 2 THEN fold.ee END AS e_a,
+         |  CASE WHEN nv = 2 THEN fold.vv END AS v,
+         |  CASE WHEN nv = 2 AND fold.vv > 0.0 THEN
+         |    (CAST(fold.o AS DOUBLE) - fold.ee) / sqrt(fold.vv) END AS z
+         |FROM fold, gp""".stripMargin,
+    "q_trend_mannkendall" ->
+      // exact integer S over the within-group pair relation, exact tie
+      // term, continuity-corrected z
+      s"""WITH $dailyRev,
+         |ds AS (SELECT g, t, CAST(xi AS DOUBLE) AS x FROM dser),
+         |s AS (SELECT a.g, CAST(sum(CASE WHEN b.x > a.x THEN 1
+         |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM ds a JOIN ds b ON a.g = b.g AND a.t < b.t GROUP BY 1),
+         |tie AS (SELECT g,
+         |    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie,
+         |    CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM ds
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |f AS (SELECT tie.g, tie.n, COALESCE(s.s, 0) AS s, tie.tie,
+         |    CAST(tie.n * (tie.n - 1) * (2 * tie.n + 5) - tie.tie
+         |      AS DOUBLE) / 18.0 AS var_s
+         |  FROM tie LEFT JOIN s ON tie.g = s.g)
+         |SELECT g AS "group", n, s, tie AS tie_term, var_s,
+         |  CASE WHEN var_s > 0.0 THEN
+         |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+         |         WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+         |         ELSE 0.0 END END AS z
+         |FROM f ORDER BY "group" ASC""".stripMargin,
+    "q_trend_theilsen" ->
+      s"""WITH $dailyRev,
+         |ds AS (SELECT g, t, CAST(xi AS DOUBLE) AS x FROM dser),
+         |sl AS (SELECT a.g, median((b.x - a.x) /
+         |    CAST(b.t - a.t AS DOUBLE)) AS slope
+         |  FROM ds a JOIN ds b ON a.g = b.g AND a.t < b.t GROUP BY 1),
+         |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ds
+         |  GROUP BY 1),
+         |ic AS (SELECT ds.g, median(ds.x - sl.slope *
+         |    CAST(ds.t AS DOUBLE)) AS icpt
+         |  FROM ds JOIN sl ON ds.g = sl.g GROUP BY 1)
+         |SELECT n.g AS "group", n.n AS n, sl.slope AS slope,
+         |  ic.icpt AS intercept
+         |FROM n LEFT JOIN sl ON n.g = sl.g LEFT JOIN ic ON n.g = ic.g
+         |ORDER BY "group" ASC""".stripMargin,
+    "q_trend_acf" -> {
+      // exact HUGEINT cross-moments per lag, the classic expansion from
+      // full-series mean, one stated division per lag
+      val lagCols = (1 to 5).map(k =>
+        s"lag(xi, $k) OVER w AS l$k").mkString(",\n         |    ")
+      val aggCols = (1 to 5).map(k =>
+        s"""CAST(count(l$k) AS BIGINT) AS nk$k,
+           |    CAST(sum(CAST(xi AS HUGEINT) * CAST(l$k AS HUGEINT))
+           |      AS HUGEINT) AS sxy$k,
+           |    CAST(sum(l$k) AS BIGINT) AS sh$k,
+           |    CAST(sum(CASE WHEN l$k IS NOT NULL THEN xi END)
+           |      AS BIGINT) AS st$k""".stripMargin)
+        .mkString(",\n    ")
+      val unnested = (1 to 5).map(k =>
+        s"struct_pack(lag := CAST($k AS BIGINT), nk := nk$k, " +
+          s"sxy := sxy$k, sh := sh$k, st := st$k)").mkString(", ")
+      // 2^6-scale daily revenue (NOT dailyRev's 2^20): cross-moment
+      // sums must stay below 2^53 — DuckDB 1.0's HUGEINT→DOUBLE cast
+      // is off by an ulp past that
+      s"""WITH dser AS (SELECT event_type AS g,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+         |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 64.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS xi
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |lg AS (SELECT g, t, xi,
+         |    $lagCols
+         |  FROM dser WINDOW w AS (PARTITION BY g ORDER BY t ASC)),
+         |ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xi) AS BIGINT) AS sx,
+         |    CAST(sum(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT))
+         |      AS HUGEINT) AS sxx,
+         |    $aggCols
+         |  FROM lg GROUP BY g),
+         |u AS (SELECT g, n, sx, sxx, unnest([$unnested]) AS e FROM ag),
+         |fin AS (SELECT g, e.lag AS lag, e.nk AS n_pairs,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         |    CAST(sxx AS DOUBLE) -
+         |      CAST(n AS DOUBLE) * ((CAST(sx AS DOUBLE) /
+         |        CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) /
+         |        CAST(n AS DOUBLE))) AS den,
+         |    e.sxy AS sxy, e.sh AS sh, e.st AS st, e.nk AS nk FROM u)
+         |SELECT g AS "group", lag, n_pairs,
+         |  CASE WHEN den > 0.0 AND nk > 0 THEN
+         |    (CAST(sxy AS DOUBLE) - m * CAST(sh AS DOUBLE) -
+         |      m * CAST(st AS DOUBLE) + CAST(nk AS DOUBLE) * (m * m))
+         |    / den END AS r
+         |FROM fin ORDER BY "group" ASC, lag ASC""".stripMargin
+    },
+    "q_trend_holt" ->
+      // two-state recursion → RECURSIVE CTE stepping the sorted list
+      // index (a struct-accumulator list_reduce would misbind acc
+      // fields on DuckDB 1.0), restating exactly the gate's fold:
+      // l₁ = x₁, b₁ = 0, then the α/β updates with complements stated
+      // as subtractions (1.0 − 0.4 is not the double literal 0.6)
+      """WITH RECURSIVE dc AS (SELECT event_type AS g,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    list(x ORDER BY t) AS xs
+        |  FROM dc GROUP BY g),
+        |it AS (
+        |  SELECT g, n, xs, CAST(1 AS BIGINT) AS i, xs[1] AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM p
+        |  UNION ALL
+        |  SELECT g, n, xs, i + 1,
+        |    CAST(0.4 AS DOUBLE) * xs[i + 1] +
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.4 AS DOUBLE)) * (l + b),
+        |    CAST(0.2 AS DOUBLE) * ((CAST(0.4 AS DOUBLE) * xs[i + 1] +
+        |        (CAST(1.0 AS DOUBLE) - CAST(0.4 AS DOUBLE)) * (l + b))
+        |      - l) +
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * b
+        |  FROM it WHERE i < n)
+        |SELECT g AS "group", n, l AS level, b AS trend,
+        |  l + 7.0 * b AS forecast
+        |FROM it WHERE i = n ORDER BY "group" ASC""".stripMargin)
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.pipeline.{Report, Survival, Trend}
+
+/** Gate queries for the round-17 statistics layer: k-group ANOVA /
+  * Brown–Forsythe, BH multiple-testing correction, Kaplan–Meier +
+  * log-rank survival, and the per-series trend family (Mann–Kendall,
+  * Theil–Sen, ACF, Holt). All over the events table's user/day grids —
+  * the same cohorts as the q_ab_* family so the readouts compose. */
+object StatsQueries {
+  private def d(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // per-user revenue in ORIGINAL units (the q_ab_welch fixture): exact
+  // fixed-point per-user totals, ONE stated division back
+  private def revenue3(s: SparkSession, dir: String): DataFrame =
+    d(s, dir, "events")
+      .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+      .groupBy(F.col("user_id"))
+      .agg((F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+        F.lit(1048576.0d)).as("revenue"))
+      .select(F.when(F.col("user_id") % 3 === 0, "A")
+        .when(F.col("user_id") % 3 === 1, "B").otherwise("C")
+        .as("variant"), F.col("revenue"))
+
+  // per-user survival row: days from first sighting to FIRST PURCHASE
+  // (the event), censored at the last sighting for never-purchasers —
+  // a varied duration grid, unlike first→last spans which all run the
+  // window
+  private def perUser(s: SparkSession, dir: String): DataFrame =
+    d(s, dir, "events")
+      .where(F.col("user_id").isNotNull && F.col("ts").isNotNull)
+      .groupBy(F.col("user_id"))
+      .agg(
+        F.unix_date(F.min(F.to_date(F.col("ts")))).cast("long")
+          .as("td_first"),
+        F.unix_date(F.max(F.to_date(F.col("ts")))).cast("long")
+          .as("td_last"),
+        F.min(F.when(F.col("event_type") === "purchase",
+          F.unix_date(F.to_date(F.col("ts"))).cast("long")))
+          .as("td_purch"))
+      .select(F.col("user_id"),
+        (F.coalesce(F.col("td_purch"), F.col("td_last")) -
+          F.col("td_first")).as("duration"),
+        F.col("td_purch").isNotNull.cast("long").as("event"))
+
+  // per-(event_type, day) series: exact fixed-point daily revenue
+  private def dailyRev(s: SparkSession, dir: String): DataFrame =
+    d(s, dir, "events")
+      .where(F.col("event_type").isNotNull && F.col("ts").isNotNull &&
+        F.col("value").isNotNull)
+      .groupBy(F.col("event_type").as("etype"),
+        F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+      .agg(F.sum(F.floor(F.col("value").cast("double") *
+        F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("rev"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_anova" -> ((s, dir) => {
+      // k-GROUP parametric A/B/C: one-way ANOVA F over per-user revenue
+      // across three user-parity cohorts — the mean-difference readout
+      // q_ab_kruskal rank-tests, on the identical fixture
+      Report.anovaF(revenue3(s, dir), "variant", "revenue")
+    }),
+    "q_ab_levene" -> ((s, dir) => {
+      // variance-homogeneity check for the same cohorts: Brown–Forsythe
+      // (ANOVA on |x − median_g|) — trust (or don't) pooled-variance
+      // readouts before acting on q_ab_anova
+      Report.brownForsythe(revenue3(s, dir), "variant", "revenue")
+    }),
+    "q_fdr_bh" -> ((s, dir) => {
+      // Benjamini–Hochberg over one synthetic p per (event_type, dow)
+      // cell — the multiple-testing finisher: which of 35 slice tests
+      // survive at FDR 0.2. p is deterministic arithmetic (exact long
+      // cell sums), the correction logic is what's under test
+      val tests = d(s, dir, "events")
+        .where(F.col("ts").isNotNull && F.col("user_id").isNotNull &&
+          F.col("event_type").isNotNull)
+        .groupBy(F.concat(F.col("event_type"), F.lit("_"),
+          (F.unix_date(F.to_date(F.col("ts"))).cast("long") % 7L)
+            .cast("string")).as("test_id"))
+        .agg((((F.sum(F.col("user_id")) % 9973L) + 1L).cast("double") /
+          F.lit(10000.0d)).as("p_value"))
+      Report.bhFdr(tests, "test_id", "p_value", alpha = 0.2d)
+    }),
+    "q_survival_km" -> ((s, dir) => {
+      // Kaplan–Meier retention curve: time from first to last sighting,
+      // event = the user purchased; censored users leave the risk set
+      // without dropping the curve
+      Survival.kaplanMeier(perUser(s, dir), "duration", "event")
+    }),
+    "q_survival_logrank" -> ((s, dir) => {
+      // two-cohort log-rank: did even-id users' time-to-purchase curve
+      // differ from odd-id users' beyond chance
+      val cohorts = perUser(s, dir)
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("cohort"), F.col("duration"), F.col("event"))
+      Survival.logRank(cohorts, "duration", "event", "cohort")
+    }),
+    "q_trend_mannkendall" -> ((s, dir) => {
+      // monotone-trend test per event type over daily revenue: exact
+      // integer S over the bounded day grid, tie-corrected variance,
+      // continuity-corrected z
+      Trend.mannKendall(dailyRev(s, dir)
+          .withColumn("rev", F.col("rev").cast("double")),
+        "etype", "day_num", "rev")
+    }),
+    "q_trend_theilsen" -> ((s, dir) => {
+      // robust slope per event type: median of pairwise daily-revenue
+      // slopes + median-residual intercept — the outlier-proof trend
+      // magnitude next to q_trend_mannkendall's direction test
+      Trend.theilSen(dailyRev(s, dir)
+          .withColumn("rev", F.col("rev").cast("double")),
+        "etype", "day_num", "rev")
+    }),
+    "q_trend_acf" -> ((s, dir) => {
+      // autocorrelation at lags 1..5 per event type over fixed-point
+      // daily revenue — does yesterday predict today. 2^6 scale, NOT
+      // the family's 2^20: the cross-moment sums must stay below 2^53
+      // so the decimal→double conversion is exact on every engine
+      // (DuckDB 1.0's HUGEINT→DOUBLE cast rounds off past 2^53)
+      val daily = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull && F.col("ts").isNotNull &&
+          F.col("value").isNotNull)
+        .groupBy(F.col("event_type").as("etype"),
+          F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(64.0d) + F.lit(0.5d)).cast("long")).as("rev"))
+      Trend.acf(daily, "etype", "day_num", "rev", maxLag = 5)
+    }),
+    "q_trend_holt" -> ((s, dir) => {
+      // Holt level+trend state per event type over daily event counts,
+      // with the 7-day-ahead linear forecast
+      val daily = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull && F.col("ts").isNotNull)
+        .groupBy(F.col("event_type").as("etype"),
+          F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+        .agg(F.count(F.lit(1)).cast("double").as("cnt"))
+      Trend.holtLinear(daily, "etype", "day_num", "cnt",
+        alpha = 0.4d, beta = 0.2d, horizon = 7)
+    }))
+}

@@ -787,6 +787,60 @@ object ScalingProbe {
         // heaviest rank-family shape (everything else is one pass)
         graft.pipeline.Report.spearmanCorr(e, "value", "user_id").count()
       }),
+      ("anova", 100, { e =>
+        // ONE keyed fixed-point moments pass over k=3 cohorts; the
+        // finishing T fold is bounded by k — the welch shape widened
+        val rev = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg((F.sum(F.floor(F.col("value").cast("double") *
+              F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+            F.lit(1048576.0d)).as("revenue"))
+          .select(F.when(F.col("user_id") % 3 === 0, "A")
+            .when(F.col("user_id") % 3 === 1, "B").otherwise("C")
+            .as("variant"), F.col("revenue"))
+        graft.pipeline.Report.anovaF(rev, "variant", "revenue").count()
+      }),
+      ("survival", 100, { e =>
+        // per-user keyed agg (linear, one shuffle) → the bounded
+        // duration grid; folds are grid-sized, constant as users grow
+        val per = e.where(F.col("user_id").isNotNull && F.col("ts").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg((F.unix_date(F.max(F.to_date(F.col("ts")))).cast("long") -
+            F.unix_date(F.min(F.to_date(F.col("ts")))).cast("long"))
+            .as("duration"),
+            F.max(F.when(F.col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("event"))
+        graft.pipeline.Survival.kaplanMeier(per, "duration", "event").count() +
+          graft.pipeline.Survival.logRank(
+            per.withColumn("cohort",
+              F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")),
+            "duration", "event", "cohort").count()
+      }),
+      ("mannkendall", 100, { e =>
+        // corpus → daily grid (linear keyed agg); the quadratic pair
+        // join runs on the BOUNDED grid (30 days/group — constant)
+        val daily = e.where(F.col("event_type").isNotNull &&
+            F.col("ts").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("event_type").as("etype"),
+            F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+          .agg(F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long"))
+            .cast("double").as("rev"))
+        graft.pipeline.Trend.mannKendall(daily, "etype", "day_num", "rev")
+          .count() +
+          graft.pipeline.Trend.theilSen(daily, "etype", "day_num", "rev")
+            .count()
+      }),
+      ("acf", 100, { e =>
+        // linear daily agg + group-partitioned lag windows on the grid
+        val daily = e.where(F.col("event_type").isNotNull &&
+            F.col("ts").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("event_type").as("etype"),
+            F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+          .agg(F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(64.0d) + F.lit(0.5d)).cast("long")).as("rev"))
+        graft.pipeline.Trend.acf(daily, "etype", "day_num", "rev", 5).count()
+      }),
       ("cusum", 100, { e =>
         // one day-keyed count shuffle; the clamped prefix folds run on
         // the bounded day grid (constant as rows grow)

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Report, Survival, Trend}
+
+/** Unit specs for the round-17 statistics layer: ANOVA/Brown–Forsythe,
+  * BH-FDR, Kaplan–Meier + log-rank, and the trend family — each checked
+  * against driver-side exact arithmetic on small fixtures (the oracle
+  * gates cover the corpus scale; these pin the algebra and the
+  * degenerate-input honesty rules). */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("anovaF matches the textbook decomposition on a known fixture") {
+    import spark.implicits._
+    // groups: A = (1,2,3), B = (2,4,6), C = (5,5,8)
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 2.0),
+      ("B", 4.0), ("B", 6.0), ("C", 5.0), ("C", 5.0), ("C", 8.0))
+      .toDF("g", "x")
+    val r = Report.anovaF(df, "g", "x").head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    val (ssb, ssw, f) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // driver truth: means 2, 4, 6; grand 4 → SSB = 3·4 + 0 + 3·4 = 24
+    // SSW = 2 + 8 + 6 = 16; F = (24/2)/(16/6) = 4.5
+    assert(math.abs(ssb - 24.0) < 1e-9, s"ssb=$ssb")
+    assert(math.abs(ssw - 16.0) < 1e-9, s"ssw=$ssw")
+    assert(math.abs(f - 4.5) < 1e-9, s"f=$f")
+  }
+
+  test("anovaF degenerate inputs answer NULL f honestly") {
+    import spark.implicits._
+    // one group → k < 2
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "x")
+    assert(Report.anovaF(one, "g", "x").head().isNullAt(5))
+    // two singleton groups → N = k
+    val sing = Seq(("A", 1.0), ("B", 2.0)).toDF("g", "x")
+    assert(Report.anovaF(sing, "g", "x").head().isNullAt(5))
+    // all values identical → SSW = 0
+    val flat = Seq(("A", 3.0), ("A", 3.0), ("B", 3.0), ("B", 3.0))
+      .toDF("g", "x")
+    assert(Report.anovaF(flat, "g", "x").head().isNullAt(5))
+  }
+
+  test("brownForsythe is location-invariant and flags spread changes") {
+    import spark.implicits._
+    val base = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0),
+      ("B", 5.0), ("B", 6.0)).toDF("g", "x")
+    // shifting B by +100 leaves |x − median_B| unchanged → identical F
+    val shifted = base.select(F.col("g"),
+      F.when(F.col("g") === "B", F.col("x") + 100.0d)
+        .otherwise(F.col("x")).as("x"))
+    val f0 = Report.brownForsythe(base, "g", "x").head().getDouble(5)
+    val f1 = Report.brownForsythe(shifted, "g", "x").head().getDouble(5)
+    assert(f0 == f1, s"$f0 vs $f1")
+    // widening B's spread 10× moves the statistic up
+    val wide = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", -5.0),
+      ("B", 5.0), ("B", 25.0)).toDF("g", "x")
+    val f2 = Report.brownForsythe(wide, "g", "x").head().getDouble(5)
+    assert(f2 > f0, s"wide=$f2 base=$f0")
+  }
+
+  test("bhFdr replays the Benjamini–Hochberg 1995 worked example") {
+    import spark.implicits._
+    // the 15 ordered p-values from the original paper, α = 0.05:
+    // the step-up rule rejects exactly the smallest four
+    val ps = Seq(0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278,
+      0.0298, 0.0344, 0.0459, 0.3240, 0.4262, 0.5719, 0.6528, 0.7590,
+      1.0000)
+    val df = ps.zipWithIndex
+      .map { case (p, i) => (f"t$i%02d", p) }.toDF("id", "p")
+    val rows = Report.bhFdr(df, "id", "p", alpha = 0.05d)
+      .collect()
+    assert(rows.length == 15)
+    assert(rows.count(_.getBoolean(4)) == 4, rows.mkString("\n"))
+    // rejections are a prefix of the p-ordering (step-up monotonicity)
+    assert(rows.sortBy(_.getLong(2)).map(_.getBoolean(4)).toSeq ==
+      (Seq.fill(4)(true) ++ Seq.fill(11)(false)))
+    // adjusted p is monotone nondecreasing in rank and clipped at 1
+    val adj = rows.sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b })
+    assert(adj.forall(p => p > 0.0 && p <= 1.0))
+    // spot value: p_adj(rank 1) = min_j m·p_j/j = 15·0.0001/1 = 0.0015
+    assert(math.abs(adj.head - 0.0015) < 1e-12)
+  }
+
+  test("kaplanMeier replays a textbook censored fixture exactly") {
+    import spark.implicits._
+    // durations (†=event, ∘=censored): 1†, 2∘, 3†, 3†, 4∘, 5†
+    val df = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1), (4L, 0), (5L, 1))
+      .toDF("dur", "ev")
+    val rows = Survival.kaplanMeier(df, "dur", "ev").collect()
+    val byT = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // t=1: n=6 d=1 → S = 5/6
+    assert(byT(1L) == ((6L, 1L, 0L, 5.0 / 6.0)))
+    // t=2: censored only, S unchanged
+    assert(byT(2L) == ((5L, 0L, 1L, 5.0 / 6.0 * 1.0)))
+    // t=3: n=4 d=2 → S = 5/6 · 2/4
+    assert(byT(3L)._4 == 5.0 / 6.0 * 1.0 * (2.0 / 4.0))
+    // t=5: n=1 d=1 → S = 0
+    assert(byT(5L)._4 == 0.0)
+    // at-risk counts never increase
+    val nr = rows.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(nr.zip(nr.tail).forall { case (a, b) => a > b })
+  }
+
+  test("logRank matches a driver-side replay and NULLs on ≠2 groups") {
+    import spark.implicits._
+    val data = Seq(("A", 2L, 1), ("A", 3L, 0), ("A", 5L, 1), ("A", 7L, 1),
+      ("B", 1L, 1), ("B", 2L, 1), ("B", 4L, 1), ("B", 6L, 0))
+    val df = data.toDF("g", "dur", "ev")
+    val r = Survival.logRank(df, "dur", "ev", "g").head()
+    // driver replay
+    val grid = data.groupBy(_._2).map { case (t, rs) =>
+      (t, rs.size.toLong, rs.count(_._3 != 0).toLong,
+        rs.count(_._1 == "A").toLong,
+        rs.count(x => x._1 == "A" && x._3 != 0).toLong)
+    }.toSeq.sortBy(_._1)
+    val nn = data.size.toLong; val na = data.count(_._1 == "A").toLong
+    var (cuma, cumaa, o) = (0L, 0L, 0L); var (ee, vv) = (0.0, 0.0)
+    for ((_, a, d, aa, da) <- grid) {
+      val nR = nn - cuma; val nRa = na - cumaa
+      if (d > 0 && nR >= 2) {
+        val pa = nRa.toDouble / nR.toDouble
+        ee += d.toDouble * pa
+        vv += d.toDouble * pa * (1.0 - pa) *
+          ((nR - d).toDouble / (nR - 1).toDouble)
+      }
+      o += da; cuma += a; cumaa += aa
+    }
+    assert(r.getLong(0) == 2L && r.getString(1) == "A" &&
+      r.getString(2) == "B")
+    assert(r.getLong(5) == o && r.getDouble(6) == ee && r.getDouble(7) == vv)
+    assert(r.getDouble(8) == (o.toDouble - ee) / math.sqrt(vv))
+    // one group → NULL z with the observed count
+    val one = df.where(F.col("g") === "A")
+    val r1 = Survival.logRank(one, "dur", "ev", "g").head()
+    assert(r1.getLong(0) == 1L && r1.isNullAt(8))
+  }
+
+  test("mannKendall: exact S/variance on a hand fixture, all-tied NULLs") {
+    import spark.implicits._
+    // series 1,3,2,4 → pairs: (1,3)+ (1,2)+ (1,4)+ (3,2)− (3,4)+ (2,4)+
+    // S = 4; no ties → Var = 4·3·13/18 = 26/3
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 3.0), ("g", 3L, 2.0),
+      ("g", 4L, 4.0)).toDF("k", "t", "x")
+    val r = Trend.mannKendall(df, "k", "t", "x").head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getDouble(4) == 26.0 / 3.0)
+    assert(r.getDouble(5) == 3.0 / math.sqrt(26.0 / 3.0))
+    // all-tied series → S = 0, Var includes the full tie correction → 0
+    val flat = Seq(("g", 1L, 7.0), ("g", 2L, 7.0), ("g", 3L, 7.0))
+      .toDF("k", "t", "x")
+    val rf = Trend.mannKendall(flat, "k", "t", "x").head()
+    assert(rf.getLong(2) == 0L && rf.isNullAt(5))
+  }
+
+  test("theilSen recovers an exact linear trend through outliers") {
+    import spark.implicits._
+    // y = 2t + 1 with one wild outlier at t=5
+    val pts = (1L to 9L).map(t =>
+      ("g", t, if (t == 5) 1000.0 else 2.0 * t + 1.0))
+    val r = Trend.theilSen(pts.toDF("k", "t", "x"), "k", "t", "x").head()
+    // 28 of 36 pairwise slopes are exactly 2 → median 2; intercept 1
+    assert(r.getDouble(2) == 2.0, s"slope=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"icpt=${r.getDouble(3)}")
+  }
+
+  test("acf matches the driver-side expansion on an exact long series") {
+    import spark.implicits._
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("k", "t", "x")
+    val got = Trend.acf(df, "k", "t", "x", maxLag = 3).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    val n = xs.size; val m = xs.sum.toDouble / n.toDouble
+    val den = xs.map(x => x.toDouble).map(x => x * x).sum -
+      n.toDouble * (m * m)
+    for (k <- 1 to 3) {
+      val pairs = xs.drop(k).zip(xs.dropRight(k))
+      val sxy = pairs.map { case (a, b) => a * b }.sum.toDouble
+      val sh = pairs.map(_._2).sum.toDouble
+      val st = pairs.map(_._1).sum.toDouble
+      val num = sxy - m * sh - m * st + pairs.size.toDouble * (m * m)
+      assert(got(k.toLong)._1 == pairs.size.toLong)
+      assert(math.abs(got(k.toLong)._2 - num / den) < 1e-12,
+        s"lag $k: ${got(k.toLong)._2} vs ${num / den}")
+    }
+  }
+
+  test("holtLinear replays the driver recursion and tracks a ramp") {
+    import spark.implicits._
+    val xs = Seq(10.0, 12.0, 14.0, 16.0, 18.0, 20.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("k", "t", "x")
+    val r = Trend.holtLinear(df, "k", "t", "x", alpha = 0.5d,
+      beta = 0.3d, horizon = 2).head()
+    var l = xs.head; var b = 0.0
+    for (x <- xs.tail) {
+      val nl = 0.5 * x + (1.0 - 0.5) * (l + b)
+      b = 0.3 * (nl - l) + (1.0 - 0.3) * b
+      l = nl
+    }
+    assert(r.getLong(1) == 6L)
+    assert(r.getDouble(2) == l && r.getDouble(3) == b)
+    assert(r.getDouble(4) == l + 2.0 * b)
+    // a steady +2/day ramp: the trend state converges toward 2
+    assert(b > 1.0 && b < 3.0, s"trend=$b")
+  }
+}
