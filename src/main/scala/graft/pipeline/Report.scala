@@ -2479,6 +2479,57 @@ object Report {
     anovaF(z, "td_g", "td_z")
   }
 
+  /** Two-feature Mahalanobis outlier ranking — "which rows sit far from
+    * the joint (x, y) cloud, correlation-aware" (a robust-z on one axis
+    * misses points that are individually plausible but jointly absurd).
+    * ONE exact fixed-point moments pass (per-row floor(v·2^10 + 0.5)
+    * images summed in DECIMAL(38,0) — 2^10, not the welch family's
+    * 2^20: the PRODUCT images x·y must keep their corpus sums below
+    * 2^53 so the decimal→double conversion is exact on any engine),
+    * sample covariance entries and the closed-form 2×2 inverse stated
+    * once, then a row-local codegen'd distance behind the broadcast
+    * 1-row stats: d² = (dx²·c_yy − 2·dx·dy·c_xy + dy²·c_xx)/det.
+    * Top `k` by distance (id tiebreak); a degenerate cloud (n < 3 or
+    * det ≤ 0) answers NULL d² honestly. Output:
+    * (id, x, y, d2) descending by d2. */
+  def mahalanobisOutliers2(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val id = F.col(idCol).cast("long")
+    val x = F.col(xCol).cast("double"); val y = F.col(yCol).cast("double")
+    val clean = df.where(id.isNotNull && x.isNotNull && y.isNotNull)
+      .select(id.as("id"), x.as("td_x"), y.as("td_y"))
+    def fixed(t: Column) =
+      F.sum(F.floor(t * F.lit(1024.0d) + F.lit(0.5d)).cast("decimal(38,0)"))
+    val stats = clean.agg(F.count(F.lit(1)).as("td_n"),
+      fixed(F.col("td_x")).as("td_sx"), fixed(F.col("td_y")).as("td_sy"),
+      fixed(F.col("td_x") * F.col("td_x")).as("td_sxx"),
+      fixed(F.col("td_x") * F.col("td_y")).as("td_sxy"),
+      fixed(F.col("td_y") * F.col("td_y")).as("td_syy"))
+    def dbl(c: String) = F.col(c).cast("double") / F.lit(1024.0d)
+    val nD = F.col("td_n").cast("double")
+    val mx = dbl("td_sx") / nD; val my = dbl("td_sy") / nD
+    val den = nD - F.lit(1.0d)
+    val cxx = (dbl("td_sxx") - nD * (mx * mx)) / den
+    val cxy = (dbl("td_sxy") - nD * (mx * my)) / den
+    val cyy = (dbl("td_syy") - nD * (my * my)) / den
+    val det = cxx * cyy - cxy * cxy
+    val enriched = stats.select(F.col("td_n"), mx.as("td_mx"),
+      my.as("td_my"), cxx.as("td_cxx"), cxy.as("td_cxy"),
+      cyy.as("td_cyy"), det.as("td_det"))
+    val dx = F.col("td_x") - F.col("td_mx")
+    val dy = F.col("td_y") - F.col("td_my")
+    val d2 = F.when(F.col("td_n") >= 3L && F.col("td_det") > 0.0d,
+      (dx * dx * F.col("td_cyy") -
+        F.lit(2.0d) * dx * dy * F.col("td_cxy") +
+        dy * dy * F.col("td_cxx")) / F.col("td_det"))
+    clean.crossJoin(F.broadcast(enriched))
+      .select(F.col("id"), F.col("td_x").as("x"), F.col("td_y").as("y"),
+        d2.as("d2"))
+      .orderBy(F.col("d2").desc_nulls_last, F.col("id").asc)
+      .limit(k)
+  }
+
   /** Benjamini–Hochberg step-up FDR correction over ONE ROW PER
     * HYPOTHESIS — the multiple-testing finisher for any per-slice test
     * family this module emits (run welch/KS/chi² per segment, then BH

@@ -436,4 +436,78 @@ object Retrieval {
       .orderBy(F.col("pmi").desc, F.col("bigram").asc)
       .limit(topN)
   }
+
+  /** Ranking-quality evaluation per query — NDCG@k, reciprocal rank, and
+    * average precision over a (query, position, graded relevance)
+    * relation: the scorecard for any retrieval list this module emits
+    * (BM25, RRF fusion, ANN rerank) against labeled judgments. Input
+    * contract: one row per (query, position), positions 1..k within each
+    * query (k ≤ `maxK` — ranked lists, a bounded relation by
+    * construction).
+    *
+    * Exact-replay shape: the log2 discounts 1/log₂(i+1) are DRIVER-SIDE
+    * literals (one libm evaluation per position, embedded identically in
+    * the oracle — no engine-log parity risk), gains (2^rel − 1) are exact
+    * integer shifts, and every per-query reduction is a pinned
+    * ascending-position fold: DCG = Σ gain_i·disc_{pos_i}, IDCG the same
+    * over relevance sorted descending, RR = 1/(first relevant position)
+    * (0.0 when none — the standard MRR convention), AP = (Σ_{rel>0}
+    * prefix-precision)/n_rel (0.0 when n_rel = 0). The prefix counts are
+    * O(k²) slice scans per query — k is the cutoff, not the corpus.
+    * Output: (query, n, n_rel, dcg, idcg, ndcg, rr, ap) ascending by
+    * query; ndcg NULL when idcg = 0. */
+  def rankEval(df: DataFrame, queryCol: String, posCol: String,
+      relCol: String, maxK: Int = 100): DataFrame = {
+    require(maxK >= 1 && maxK <= 1000, s"maxK in [1,1000], got $maxK")
+    val discounts = (1 to maxK).map(i =>
+      1.0d / (java.lang.Math.log(i + 1.0d) / java.lang.Math.log(2.0d)))
+    val disc = F.array(discounts.map(F.lit): _*)
+    val q = F.col(queryCol).cast("string")
+    val p = F.col(posCol).cast("long")
+    val r = F.col(relCol).cast("long")
+    val clean = df.where(q.isNotNull && p.isNotNull && r.isNotNull)
+      .select(q.as("td_q"), p.as("td_p"), r.as("td_r"))
+    val packed = clean.groupBy(F.col("td_q"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum(F.when(F.col("td_r") > 0L, 1L).otherwise(0L)).as("td_nrel"),
+        F.sort_array(F.collect_list(F.struct(
+          F.col("td_p"), F.col("td_r")))).as("td_l"))
+    val l = F.col("td_l")
+    // 2^rel − 1: powers of two are exactly representable, so libm pow
+    // with an integer exponent is exact on any engine (rel ≤ 52 domain)
+    def gain(rel: org.apache.spark.sql.Column) =
+      F.pow(F.lit(2.0d), rel.cast("double")) - F.lit(1.0d)
+    val dcg = F.aggregate(l, F.lit(0.0d), (acc, e) =>
+      acc + gain(e.getField("td_r")) *
+        F.element_at(disc, e.getField("td_p").cast("int")))
+    val relsDesc = F.reverse(F.array_sort(
+      F.transform(l, e => e.getField("td_r"))))
+    val idcg = F.aggregate(F.sequence(F.lit(1), F.size(l)), F.lit(0.0d),
+      (acc, i) => acc + gain(F.element_at(relsDesc, i)) *
+        F.element_at(disc, i))
+    val firstRel = F.array_min(F.transform(
+      F.filter(l, e => e.getField("td_r") > 0L), e => e.getField("td_p")))
+    val rr = F.coalesce(F.lit(1.0d) / firstRel.cast("double"), F.lit(0.0d))
+    val apSum = F.aggregate(F.sequence(F.lit(1), F.size(l)), F.lit(0.0d),
+      (acc, i) => acc + F.when(F.element_at(l, i).getField("td_r") > 0L,
+        F.size(F.filter(F.slice(l, F.lit(1), i),
+            e => e.getField("td_r") > 0L)).cast("double") /
+          F.element_at(l, i).getField("td_p").cast("double"))
+        .otherwise(F.lit(0.0d)))
+    packed.select(F.col("td_q").as("query"), F.col("td_n").as("n"),
+        F.col("td_nrel").as("n_rel"), dcg.as("dcg"), idcg.as("idcg"),
+        F.when(idcg > 0.0d, dcg / idcg).as("ndcg"), rr.as("rr"),
+        F.when(F.col("td_nrel") > 0L,
+            apSum / F.col("td_nrel").cast("double"))
+          .otherwise(F.lit(0.0d)).as("ap"))
+      .orderBy(F.col("query").asc)
+  }
+
+  /** The [[rankEval]] discount literals as SQL text — the oracle embeds
+    * the SAME driver-side doubles (Scala's Double.toString round-trips,
+    * so the parsed value is bit-identical). */
+  def discountSqlList(maxK: Int): String =
+    (1 to maxK).map(i =>
+      (1.0d / (java.lang.Math.log(i + 1.0d) / java.lang.Math.log(2.0d)))
+        .toString).mkString("[", ", ", "]")
 }

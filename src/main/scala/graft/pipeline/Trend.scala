@@ -164,6 +164,103 @@ object Trend {
       .orderBy(F.col("group").asc, F.col("lag").asc)
   }
 
+  /** Single change-point detection per group (binary segmentation, one
+    * split): the t* maximizing the between-segment separation
+    * G_i = (i·(n−i)/n)·(m_L − m_R)² over every prefix/suffix split of
+    * the t-ordered series — the "WHEN did the level shift" answer next
+    * to [[Report.cusumDaily]]'s "did it shift". Integer-value contract
+    * like [[acf]]: `xCol` must be LONG so every prefix sum is exact;
+    * the per-split doubles (two means, their difference, the weight)
+    * are stated once from exact sums, computed through group-partitioned
+    * windows — never an unpartitioned corpus window, never a fold. Ties
+    * on G take the smallest t (the KS d_at convention). Groups with
+    * n < 2 emit no row (no split exists). Output:
+    * (group, n, t_star, gain, mean_left, mean_right) ascending by
+    * group. */
+  def changepoint(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val clean = df.where(F.col(groupCol).isNotNull &&
+        F.col(tCol).isNotNull && F.col(xCol).isNotNull)
+      .select(F.col(groupCol).cast("string").as("td_g"),
+        F.col(tCol).cast("long").as("td_t"),
+        F.col(xCol).cast("long").as("td_x"))
+    val w = Window.partitionBy(F.col("td_g")).orderBy(F.col("td_t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(F.col("td_g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = clean
+      .withColumn("td_i", F.count(F.lit(1)).over(w))
+      .withColumn("td_sl", F.sum(F.col("td_x")).over(w))
+      .withColumn("td_n", F.count(F.lit(1)).over(wAll))
+      .withColumn("td_s", F.sum(F.col("td_x")).over(wAll))
+    val iD = F.col("td_i").cast("double")
+    val nD = F.col("td_n").cast("double")
+    val mL = F.col("td_sl").cast("double") / iD
+    val mR = (F.col("td_s") - F.col("td_sl")).cast("double") /
+      (nD - iD)
+    val d = mL - mR
+    val scored = staged.where(F.col("td_i") < F.col("td_n"))
+      .withColumn("td_gain", (iD * (nD - iD) / nD) * (d * d))
+      .withColumn("td_ml", mL).withColumn("td_mr", mR)
+    val best = scored.groupBy(F.col("td_g"))
+      .agg(F.max(F.col("td_gain")).as("td_mx"))
+    scored.join(best, Seq("td_g"))
+      .where(F.col("td_gain") === F.col("td_mx"))
+      .groupBy(F.col("td_g"), F.col("td_n"), F.col("td_mx"))
+      .agg(F.min(F.col("td_t")).as("td_tstar"),
+        F.min_by(F.struct(F.col("td_ml"), F.col("td_mr")),
+          F.col("td_t")).as("td_m"))
+      .select(F.col("td_g").as("group"), F.col("td_n").as("n"),
+        F.col("td_tstar").as("t_star"), F.col("td_mx").as("gain"),
+        F.col("td_m.td_ml").as("mean_left"),
+        F.col("td_m.td_mr").as("mean_right"))
+      .orderBy(F.col("group").asc)
+  }
+
+  /** Rolling correlation between two integer series per group — "did
+    * volume and revenue decouple this week": Pearson over the trailing
+    * `window`-row frame at every t, from EXACT windowed integer sums
+    * (both columns LONG — the [[acf]] contract; counts/Σx/Σy as longs,
+    * the three cross-moments in DECIMAL(38,0)), finishing doubles
+    * stated once per row (the [[Report.mergeCorrStamps]] algebra).
+    * Group-partitioned frames — never an unpartitioned corpus window.
+    * Frames with degenerate variance (or fewer than 2 rows) answer
+    * NULL. Output: (group, t, n_w, corr) ascending. */
+  def rollingCorr(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String, yCol: String, window: Int): DataFrame = {
+    require(window >= 2 && window <= 100000,
+      s"window in [2,100000], got $window")
+    val clean = df.where(F.col(groupCol).isNotNull &&
+        F.col(tCol).isNotNull && F.col(xCol).isNotNull &&
+        F.col(yCol).isNotNull)
+      .select(F.col(groupCol).cast("string").as("td_g"),
+        F.col(tCol).cast("long").as("td_t"),
+        F.col(xCol).cast("long").as("td_x"),
+        F.col(yCol).cast("long").as("td_y"))
+    val w = Window.partitionBy(F.col("td_g")).orderBy(F.col("td_t").asc)
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val decX = F.col("td_x").cast("decimal(19,0)")
+    val decY = F.col("td_y").cast("decimal(19,0)")
+    val staged = clean
+      .withColumn("td_nw", F.count(F.lit(1)).over(w))
+      .withColumn("td_sx", F.sum(F.col("td_x")).over(w))
+      .withColumn("td_sy", F.sum(F.col("td_y")).over(w))
+      .withColumn("td_sxx", F.sum((decX * decX).cast("decimal(38,0)")).over(w))
+      .withColumn("td_sxy", F.sum((decX * decY).cast("decimal(38,0)")).over(w))
+      .withColumn("td_syy", F.sum((decY * decY).cast("decimal(38,0)")).over(w))
+    val nD = F.col("td_nw").cast("double")
+    val sxD = F.col("td_sx").cast("double")
+    val syD = F.col("td_sy").cast("double")
+    val num = (nD * F.col("td_sxy").cast("double")) - (sxD * syD)
+    val vx = (nD * F.col("td_sxx").cast("double")) - (sxD * sxD)
+    val vy = (nD * F.col("td_syy").cast("double")) - (syD * syD)
+    staged.select(F.col("td_g").as("group"), F.col("td_t").as("t"),
+        F.col("td_nw").as("n_w"),
+        F.when(F.col("td_nw") >= 2L && vx > 0.0d && vy > 0.0d,
+          num / (F.sqrt(vx) * F.sqrt(vy))).as("corr"))
+      .orderBy(F.col("group").asc, F.col("t").asc)
+  }
+
   /** Holt double-exponential smoothing per group — level + TREND state
     * over the t-ordered series (the [[Report.ewmaDailyByGroup]] fold
     * grown a second state variable; EWMA flattens a steady climb into

@@ -285,6 +285,171 @@ object StatsOracles {
          |    / den END AS r
          |FROM fin ORDER BY "group" ASC, lag ASC""".stripMargin
     },
+    "q_trend_changepoint" ->
+      // exact prefix/total sums through group-partitioned windows, the
+      // per-split doubles restated identically, ties → smallest t
+      s"""WITH $dailyRev,
+         |st AS (SELECT g, t, xi,
+         |    CAST(count(*) OVER wc AS BIGINT) AS i,
+         |    CAST(sum(xi) OVER wc AS BIGINT) AS sl,
+         |    CAST(count(*) OVER wa AS BIGINT) AS n,
+         |    CAST(sum(xi) OVER wa AS BIGINT) AS s
+         |  FROM dser WINDOW wc AS (PARTITION BY g ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wa AS (PARTITION BY g ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    UNBOUNDED FOLLOWING)),
+         |sc AS (SELECT g, t, n,
+         |    CAST(sl AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+         |    CAST(s - sl AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) AS mr,
+         |    (CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+         |      / CAST(n AS DOUBLE)) *
+         |    ((CAST(sl AS DOUBLE) / CAST(i AS DOUBLE) -
+         |      CAST(s - sl AS DOUBLE) /
+         |        (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) *
+         |     (CAST(sl AS DOUBLE) / CAST(i AS DOUBLE) -
+         |      CAST(s - sl AS DOUBLE) /
+         |        (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)))) AS gain
+         |  FROM st WHERE i < n),
+         |mx AS (SELECT g, max(gain) AS mx FROM sc GROUP BY g),
+         |pick AS (SELECT sc.g, sc.n, sc.t, sc.gain, sc.ml, sc.mr,
+         |    row_number() OVER (PARTITION BY sc.g ORDER BY sc.t ASC)
+         |      AS rn
+         |  FROM sc JOIN mx ON sc.g = mx.g AND sc.gain = mx.mx)
+         |SELECT g AS "group", n, t AS t_star, gain, ml AS mean_left,
+         |  mr AS mean_right
+         |FROM pick WHERE rn = 1 ORDER BY "group" ASC""".stripMargin,
+    "q_trend_rolling_corr" ->
+      // exact trailing-frame integer sums (HUGEINT cross-moments under
+      // 2^53 at the 2^6 revenue scale), the mergeCorrStamps finishing
+      """WITH dser2 AS (SELECT event_type AS g,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 64.0 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS xi,
+        |    CAST(count(*) AS BIGINT) AS yi
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |st AS (SELECT g, t,
+        |    CAST(count(*) OVER w AS BIGINT) AS nw,
+        |    CAST(sum(xi) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(yi) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT)) OVER w
+        |      AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(xi AS HUGEINT) * CAST(yi AS HUGEINT)) OVER w
+        |      AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(yi AS HUGEINT) * CAST(yi AS HUGEINT)) OVER w
+        |      AS HUGEINT) AS syy
+        |  FROM dser2 WINDOW w AS (PARTITION BY g ORDER BY t ASC
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT g, t, nw,
+        |    (CAST(nw AS DOUBLE) * CAST(sxy AS DOUBLE)) -
+        |      (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+        |    (CAST(nw AS DOUBLE) * CAST(sxx AS DOUBLE)) -
+        |      (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vx,
+        |    (CAST(nw AS DOUBLE) * CAST(syy AS DOUBLE)) -
+        |      (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vy
+        |  FROM st)
+        |SELECT g AS "group", t, nw AS n_w,
+        |  CASE WHEN nw >= 2 AND vx > 0.0 AND vy > 0.0 THEN
+        |    num / (sqrt(vx) * sqrt(vy)) END AS corr
+        |FROM fin ORDER BY "group" ASC, t ASC""".stripMargin,
+    "q_retrieval_ndcg" -> {
+      // the SAME driver-side discount doubles as the gate (Double
+      // .toString round-trips); gains as power(2, rel) − 1 — powers of
+      // two are exact in any libm; per-query pinned ascending-pos folds
+      val disc = graft.pipeline.Retrieval.discountSqlList(10)
+      s"""WITH r0 AS (SELECT event_type AS q, user_id,
+         |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0
+         |      + 0.5) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
+         |rk AS (SELECT q, user_id,
+         |    CAST(row_number() OVER (PARTITION BY q ORDER BY rev DESC,
+         |      user_id ASC) AS BIGINT) AS pos FROM r0),
+         |top AS (SELECT q, pos, CAST(user_id % 3 AS BIGINT) AS rel
+         |  FROM rk WHERE pos <= 10),
+         |mx AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel,
+         |    list(struct_pack(pos := pos, rel := rel) ORDER BY pos) AS l
+         |  FROM top GROUP BY q),
+         |met AS (SELECT q, n, n_rel, l,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(l, e -> (power(2.0, CAST(e.rel AS DOUBLE))
+         |      - 1.0) * ($disc)[e.pos])), (a, b) -> a + b) AS dcg,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(l) + 1), i ->
+         |      (power(2.0, CAST((list_sort(list_transform(l,
+         |        e -> e.rel), 'DESC'))[i] AS DOUBLE)) - 1.0)
+         |      * ($disc)[i])), (a, b) -> a + b) AS idcg,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len(l) + 1), i ->
+         |      CASE WHEN l[i].rel > 0 THEN
+         |        CAST(len(list_filter(l[1:i], e -> e.rel > 0)) AS DOUBLE)
+         |          / CAST(l[i].pos AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END)), (a, b) -> a + b) AS apsum
+         |  FROM mx)
+         |SELECT q AS query, n, n_rel, dcg, idcg,
+         |  CASE WHEN idcg > 0.0 THEN dcg / idcg END AS ndcg,
+         |  COALESCE(1.0 / CAST(list_min(list_transform(list_filter(l,
+         |    e -> e.rel > 0), e -> e.pos)) AS DOUBLE), 0.0) AS rr,
+         |  CASE WHEN n_rel > 0 THEN apsum / CAST(n_rel AS DOUBLE)
+         |    ELSE 0.0 END AS ap
+         |FROM met ORDER BY query ASC""".stripMargin
+    },
+    "q_fuzzy_jaro" ->
+      // the kernel's parity target IS DuckDB's jaro_winkler_similarity
+      // (verified on 3000 fuzzed pairs while building the expression)
+      """SELECT c_custkey,
+        |  jaro_winkler_similarity(c_name,
+        |    substr(c_name, 1, 9) || reverse(substr(c_name, 10, 9)))
+        |    AS jw_twin,
+        |  jaro_winkler_similarity(c_name, c_mktsegment) AS jw_seg
+        |FROM customer
+        |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |  AND c_mktsegment IS NOT NULL
+        |ORDER BY c_custkey ASC LIMIT 500""".stripMargin,
+    "q_outlier_mahalanobis" ->
+      // 2^10 fixed-point moments (product sums stay under 2^53), the
+      // closed-form 2x2 inverse, the distance stated exactly as the gate
+      """WITH per AS (SELECT user_id AS id,
+        |    CAST(count(*) AS DOUBLE) AS x,
+        |    CAST(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1048576.0 AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(x * 1024.0 + 0.5) AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(floor(y * 1024.0 + 0.5) AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(floor((x * x) * 1024.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS sxx,
+        |    sum(CAST(floor((x * y) * 1024.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS sxy,
+        |    sum(CAST(floor((y * y) * 1024.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS syy
+        |  FROM per),
+        |fin AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    (CAST(sx AS DOUBLE) / 1024.0) / CAST(n AS DOUBLE) AS mx,
+        |    (CAST(sy AS DOUBLE) / 1024.0) / CAST(n AS DOUBLE) AS my,
+        |    sxx, sxy, syy FROM st),
+        |cv AS (SELECT n, nd, mx, my,
+        |    (CAST(sxx AS DOUBLE) / 1024.0 - nd * (mx * mx)) / (nd - 1.0)
+        |      AS cxx,
+        |    (CAST(sxy AS DOUBLE) / 1024.0 - nd * (mx * my)) / (nd - 1.0)
+        |      AS cxy,
+        |    (CAST(syy AS DOUBLE) / 1024.0 - nd * (my * my)) / (nd - 1.0)
+        |      AS cyy
+        |  FROM fin),
+        |dd AS (SELECT *, cxx * cyy - cxy * cxy AS det FROM cv)
+        |SELECT per.id, per.x, per.y,
+        |  CASE WHEN dd.n >= 3 AND dd.det > 0.0 THEN
+        |    ((per.x - dd.mx) * (per.x - dd.mx) * dd.cyy
+        |      - 2.0 * (per.x - dd.mx) * (per.y - dd.my) * dd.cxy
+        |      + (per.y - dd.my) * (per.y - dd.my) * dd.cxx) / dd.det
+        |  END AS d2
+        |FROM per, dd
+        |ORDER BY d2 DESC NULLS LAST, per.id ASC LIMIT 20""".stripMargin,
     "q_trend_holt" ->
       // two-state recursion → RECURSIVE CTE stepping the sorted list
       // index (a struct-accumulator list_reduce would misbind acc

@@ -130,6 +130,80 @@ object StatsQueries {
           F.lit(64.0d) + F.lit(0.5d)).cast("long")).as("rev"))
       Trend.acf(daily, "etype", "day_num", "rev", maxLag = 5)
     }),
+    "q_trend_changepoint" -> ((s, dir) => {
+      // WHEN did each event type's daily revenue level shift: the
+      // binary-segmentation split maximizing between-segment separation
+      // over the bounded day grid, exact prefix sums
+      Trend.changepoint(dailyRev(s, dir), "etype", "day_num", "rev")
+    }),
+    "q_trend_rolling_corr" -> ((s, dir) => {
+      // did daily volume and revenue decouple: trailing-7-day Pearson
+      // per event type from exact windowed integer sums (2^6 revenue
+      // scale — the ACF rule: window sums stay under 2^53)
+      val daily = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull && F.col("ts").isNotNull &&
+          F.col("value").isNotNull)
+        .groupBy(F.col("event_type").as("etype"),
+          F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(64.0d) + F.lit(0.5d)).cast("long")).as("rev"),
+          F.count(F.lit(1)).as("cnt"))
+      Trend.rollingCorr(daily, "etype", "day_num", "rev", "cnt",
+        window = 7)
+    }),
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      // ranking-quality scorecard: per event type, the top-10 users by
+      // exact fixed-point revenue form the "retrieved list"; graded
+      // relevance is deterministic (user_id % 3). NDCG@10 / RR / AP per
+      // query with driver-side literal log2 discounts
+      import org.apache.spark.sql.expressions.Window
+      val perUser = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull &&
+          F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("event_type").as("q"), F.col("user_id"))
+        .agg(F.sum(F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("rev"))
+      val w = Window.partitionBy(F.col("q"))
+        .orderBy(F.col("rev").desc, F.col("user_id").asc)
+      val top = perUser
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= 10L)
+        .select(F.col("q"), F.col("pos"),
+          (F.col("user_id") % 3L).as("rel"))
+      graft.pipeline.Retrieval.rankEval(top, "q", "pos", "rel", maxK = 10)
+    }),
+    "q_fuzzy_jaro" -> ((s, dir) => {
+      // the Jaro-Winkler kernel across its regimes on one pass: each
+      // customer name vs its digit-reversed twin (high similarity,
+      // transpositions, the Winkler prefix boost) and vs the market
+      // segment (low similarity, the no-boost path / zero-match floor)
+      val c = d(s, dir, "customer")
+        .where(F.col("c_custkey").isNotNull && F.col("c_name").isNotNull &&
+          F.col("c_mktsegment").isNotNull)
+      val nm = F.col("c_name")
+      val twin = F.concat(F.substring(nm, 1, 9),
+        F.reverse(F.substring(nm, 10, 9)))
+      c.select(F.col("c_custkey"),
+          graft.expressions.StringDistance.jaroWinklerCol(nm, twin)
+            .as("jw_twin"),
+          graft.expressions.StringDistance.jaroWinklerCol(nm,
+            F.col("c_mktsegment")).as("jw_seg"))
+        .orderBy(F.col("c_custkey").asc).limit(500)
+    }),
+    "q_outlier_mahalanobis" -> ((s, dir) => {
+      // joint-outlier ranking over the (events, revenue) cloud per
+      // user: correlation-aware distance catches users whose count and
+      // spend are individually plausible but jointly absurd
+      val per = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("double").as("n_events"),
+          (F.sum(F.floor(F.col("value").cast("double") *
+              F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+            F.lit(1048576.0d)).as("revenue"))
+      Report.mahalanobisOutliers2(per, "user_id", "n_events", "revenue",
+        k = 20)
+    }),
     "q_trend_holt" -> ((s, dir) => {
       // Holt level+trend state per event type over daily event counts,
       // with the 7-day-ahead linear forecast

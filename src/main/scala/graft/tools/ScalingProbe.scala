@@ -831,6 +831,35 @@ object ScalingProbe {
           graft.pipeline.Trend.theilSen(daily, "etype", "day_num", "rev")
             .count()
       }),
+      ("mahalanobis", 100, { e =>
+        // one keyed per-user agg (linear) + a 1-row broadcast + a
+        // row-local distance projection + distributed top-k
+        val per = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg(F.count(F.lit(1)).cast("double").as("n_events"),
+            (F.sum(F.floor(F.col("value").cast("double") *
+                F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+              F.lit(1048576.0d)).as("revenue"))
+        graft.pipeline.Report.mahalanobisOutliers2(per, "user_id",
+          "n_events", "revenue", k = 20).count()
+      }),
+      ("rankeval", 100, { e =>
+        // linear keyed agg → per-query windowed top-k (queries
+        // partition; WindowGroupLimit prunes map-side) → k-bounded folds
+        import org.apache.spark.sql.expressions.Window
+        val perUser = e.where(F.col("event_type").isNotNull &&
+            F.col("user_id").isNotNull && F.col("value").isNotNull)
+          .groupBy(F.col("event_type").as("q"), F.col("user_id"))
+          .agg(F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).as("rev"))
+        val w = Window.partitionBy(F.col("q"))
+          .orderBy(F.col("rev").desc, F.col("user_id").asc)
+        val top = perUser
+          .withColumn("pos", F.row_number().over(w).cast("long"))
+          .where(F.col("pos") <= 10L)
+          .select(F.col("q"), F.col("pos"), (F.col("user_id") % 3L).as("rel"))
+        graft.pipeline.Retrieval.rankEval(top, "q", "pos", "rel", 10).count()
+      }),
       ("acf", 100, { e =>
         // linear daily agg + group-partitioned lag windows on the grid
         val daily = e.where(F.col("event_type").isNotNull &&

@@ -895,4 +895,77 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(p"), p)
     assert(p.contains("PushedFilters: []"), p)
   }
+
+  test("trend family: pair joins keyed on the group, every window " +
+    "partitioned, no cartesian anywhere") {
+    def daily = spark.read.parquet(s"$sf/events.parquet")
+      .where(F.col("event_type").isNotNull && F.col("ts").isNotNull &&
+        F.col("value").isNotNull)
+      .groupBy(F.col("event_type").as("etype"),
+        F.to_date(F.col("ts")).cast("string").as("day"))
+      .agg(F.sum(F.floor(F.col("value") * 64.0 + 0.5).cast("long"))
+        .as("rev"), F.count(F.lit(1)).as("cnt"))
+      .withColumn("day_num", F.unix_date(F.col("day").cast("date"))
+        .cast("long"))
+    // a window is group-partitioned iff its spec leads with the group
+    // key (windowspecdefinition(td_g#..., ...)) — the bracket-count
+    // detector can't tell an order-only window from a partition-only
+    // one (both print two groups)
+    def unpartitioned(s: String): Seq[String] = s.linesIterator
+      .filter(_.contains("Window ["))
+      .filterNot(_.contains("windowspecdefinition(td_g#")).toSeq
+    // the quadratic Mann–Kendall pair relation joins ON the group key —
+    // partitioned across groups, never a cartesian
+    val mk = plan(graft.pipeline.Trend.mannKendall(
+      daily.withColumn("rev", F.col("rev").cast("double")),
+      "etype", "day_num", "rev"))
+    assert(!mk.contains("CartesianProduct"), mk.take(2000))
+    assert(mk.contains("td_g"), mk.take(1000))
+    // ACF lags / changepoint prefixes / rolling frames ride
+    // group-partitioned windows only
+    for ((name, p) <- Seq(
+        "acf" -> plan(graft.pipeline.Trend.acf(
+          daily, "etype", "day_num", "rev", 3)),
+        "changepoint" -> plan(graft.pipeline.Trend.changepoint(
+          daily, "etype", "day_num", "rev")),
+        "rollingCorr" -> plan(graft.pipeline.Trend.rollingCorr(
+          daily, "etype", "day_num", "rev", "cnt", 7)))) {
+      assert(unpartitioned(p).isEmpty,
+        s"$name leaked an unpartitioned window:\n" +
+          unpartitioned(p).mkString("\n"))
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+    }
+  }
+
+  test("mahalanobis: 1-row stats broadcast back, distributed top-k, " +
+    "one moments aggregation") {
+    val per = spark.read.parquet(s"$sf/events.parquet")
+      .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+      .groupBy(F.col("user_id"))
+      .agg(F.count(F.lit(1)).cast("double").as("x"),
+        F.sum(F.col("value")).as("y"))
+    val p = plan(graft.pipeline.Report.mahalanobisOutliers2(
+      per, "user_id", "x", "y", k = 20))
+    // the stats side joins as a broadcast (nested-loop on a 1-row
+    // relation), and the top-k is TakeOrderedAndProject — k rows per
+    // partition then k at the driver, never a global sort
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("GlobalLimit"), p.take(2000))
+  }
+
+  test("rankEval fixture: the per-query top-k filter plans as a " +
+    "WindowGroupLimit (map-side k-pruning before the shuffle)") {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = spark.read.parquet(s"$sf/events.parquet")
+      .where(F.col("event_type").isNotNull && F.col("user_id").isNotNull)
+      .groupBy(F.col("event_type").as("q"), F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("rev"))
+    val w = Window.partitionBy(F.col("q"))
+      .orderBy(F.col("rev").desc, F.col("user_id").asc)
+    val top = perUser.withColumn("pos", F.row_number().over(w).cast("long"))
+      .where(F.col("pos") <= 10L)
+    assert(plan(top).contains("WindowGroupLimit"), plan(top).take(2000))
+  }
 }

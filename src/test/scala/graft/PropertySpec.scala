@@ -630,6 +630,77 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mannKendall == brute-force pair enumeration on random tied " +
+    "series, partitioning-independent") {
+    import graft.pipeline.Trend
+    import spark.implicits._
+    val series: Gen[List[(String, Int)]] = for {
+      na <- Gen.choose(2, 25); nb <- Gen.choose(2, 25)
+      as <- Gen.listOfN(na, Gen.choose(-5, 5)) // small domain → ties
+      bs <- Gen.listOfN(nb, Gen.choose(-5, 5))
+    } yield as.map(("g1", _)) ++ bs.map(("g2", _))
+    for ((rows, si) <- samples(series, n = 6).zipWithIndex) {
+      val byG = rows.groupBy(_._1)
+      val df = rows.zipWithIndex
+        .map { case ((g, x), i) => (g, i.toLong, x.toDouble) }
+        .toDF("g", "t", "x").repartition(7)
+      val got = Trend.mannKendall(df, "g", "t", "x").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+      for ((g, rs0) <- byG) {
+        // brute force in GLOBAL index order (the fixture's t)
+        val xs = rows.zipWithIndex.collect {
+          case ((`g`, x), i) => (i, x) }.sortBy(_._1).map(_._2)
+        val n = xs.size.toLong
+        val s = (for (i <- xs.indices; j <- i + 1 until xs.size)
+          yield java.lang.Long.signum((xs(j) - xs(i)).toLong)).sum
+        val tie = xs.groupBy(identity).values
+          .map(c => c.size.toLong)
+          .map(c => c * (c - 1L) * (2L * c + 5L)).sum
+        val varS = (n * (n - 1L) * (2L * n + 5L) - tie).toDouble / 18.0
+        val (gn, gs, gtie, gvar) = got(g)
+        assert(gn == n && gs == s.toLong && gtie == tie && gvar == varS,
+          s"sample=$si g=$g: got=($gn,$gs,$gtie,$gvar) " +
+            s"want=($n,$s,$tie,$varS)")
+      }
+    }
+  }
+
+  test("kaplanMeier == brute-force product-limit on random censored " +
+    "data across partitions") {
+    import graft.pipeline.Survival
+    import spark.implicits._
+    val cohort: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(3, 40)
+      rows <- Gen.listOfN(n, for {
+        d <- Gen.choose(0, 8)     // small grid → shared event times
+        e <- Gen.oneOf(0, 1)
+      } yield (d, e))
+    } yield rows
+    for ((rows, si) <- samples(cohort, n = 6).zipWithIndex) {
+      val df = rows.map { case (d, e) => (d.toLong, e) }
+        .toDF("dur", "ev").repartition(5)
+      val got = Survival.kaplanMeier(df, "dur", "ev").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      // brute force ascending over the grid
+      val grid = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      var atRisk = rows.size.toLong
+      var surv = 1.0
+      val want = grid.map { case (t, rs) =>
+        val a = rs.size.toLong; val d = rs.count(_._2 != 0).toLong
+        val row = {
+          surv = surv * ((atRisk - d).toDouble / atRisk.toDouble)
+          (t.toLong, atRisk, d, a - d, surv)
+        }
+        atRisk -= a
+        row
+      }
+      assert(got.toSeq == want, s"sample=$si:\n$got\nvs\n$want")
+    }
+  }
+
   test("ksTwoSample == brute-force CDF sweep on random tied data, " +
     "partitioning-independent") {
     import graft.pipeline.Report

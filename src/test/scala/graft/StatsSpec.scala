@@ -190,6 +190,123 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("JaroWinkler: textbook values, boost threshold, empty/null rules") {
+    import spark.implicits._
+    import graft.expressions.StringDistance.{jaroWinkler => jw}
+    def b(s: String) = s.getBytes("UTF-8")
+    // classic worked examples (values = DuckDB's jaro_winkler_similarity,
+    // verified on 3000 fuzzed pairs while building the kernel)
+    assert(jw(b("MARTHA"), b("MARHTA")) == 0.9611111111111111)
+    assert(jw(b("DIXON"), b("DICKSONX")) == 0.8133333333333332)
+    assert(jw(b("JELLYFISH"), b("SMELLYFISH")) == 0.8962962962962964)
+    assert(jw(b("apple"), b("apply")) == 0.92)
+    assert(jw(b("CRATE"), b("TRACE")) == 0.7333333333333334)
+    assert(jw(b("abcdef"), b("abcdef")) == 1.0)
+    // no shared prefix → jaro == jaro-winkler even above the threshold
+    assert(jw(b("ABCVWXYZ"), b("CABVWXYZ")) == 0.9583333333333334)
+    // zero matches / disjoint alphabets → 0
+    assert(jw(b("x"), b("y")) == 0.0)
+    assert(jw(b("ab"), b("ba")) == 0.0) // window 0 blocks both
+    // the ANSI empty rule: EITHER side empty → 0, including both
+    assert(jw(b(""), b("abc")) == 0.0 && jw(b(""), b("")) == 0.0)
+    // the Column face propagates nulls
+    val df = Seq(("abc", "abd"), ("abc", null), (null, "abc"))
+      .toDF("a", "b")
+    val got = df.select(graft.expressions.StringDistance
+      .jaroWinklerCol(F.col("a"), F.col("b")).as("j")).collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
+  test("rankEval: perfect/reversed/degenerate rankings score correctly") {
+    import spark.implicits._
+    // perfect: relevance already descending → ndcg 1, rr 1
+    val perfect = Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 0L), (5L, 0L))
+      .map { case (p, r) => ("q", p, r) }.toDF("q", "pos", "rel")
+    val rp = graft.pipeline.Retrieval.rankEval(perfect, "q", "pos", "rel",
+      maxK = 10).head()
+    assert(rp.getDouble(5) == 1.0 && rp.getDouble(6) == 1.0)
+    // reversed: same gains, worse discounts → ndcg < 1; first relevant
+    // at pos 3 → rr = 1/3; AP = (1/3 + 2/4 + 3/5)/3
+    val rev = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 2L))
+      .map { case (p, r) => ("q", p, r) }.toDF("q", "pos", "rel")
+    val rr = graft.pipeline.Retrieval.rankEval(rev, "q", "pos", "rel",
+      maxK = 10).head()
+    assert(rr.getDouble(5) < 1.0 && rr.getDouble(6) == 1.0 / 3.0)
+    assert(math.abs(rr.getDouble(7) -
+      (1.0 / 3.0 + 2.0 / 4.0 + 3.0 / 5.0) / 3.0) < 1e-12)
+    // same multiset of gains → identical idcg across the two orderings
+    assert(rp.getDouble(4) == rr.getDouble(4))
+    // nothing relevant: ndcg NULL (idcg 0), rr/ap 0.0 by convention
+    val none = Seq((1L, 0L), (2L, 0L)).map { case (p, r) => ("q", p, r) }
+      .toDF("q", "pos", "rel")
+    val rn = graft.pipeline.Retrieval.rankEval(none, "q", "pos", "rel",
+      maxK = 10).head()
+    assert(rn.isNullAt(5) && rn.getDouble(6) == 0.0 && rn.getDouble(7) == 0.0)
+  }
+
+  test("mahalanobisOutliers2 ranks the JOINT outlier above marginal ones") {
+    import spark.implicits._
+    // x and y strongly correlated; id 99 breaks the correlation while
+    // staying inside both marginal ranges — euclidean/robust-z on either
+    // axis would rank the extreme-but-on-trend id 10 higher
+    val onTrend = (1L to 10L).map(i => (i, i.toDouble, 2.0 * i.toDouble))
+    val joint = Seq((99L, 8.0, 4.0)) // x high, y low — off the line
+    val df = (onTrend ++ joint).toDF("id", "x", "y")
+    val top = Report.mahalanobisOutliers2(df, "id", "x", "y", k = 3)
+      .collect()
+    assert(top.head.getLong(0) == 99L,
+      top.map(r => (r.getLong(0), r.getDouble(3))).mkString(", "))
+    assert(top.head.getDouble(3) > top(1).getDouble(3))
+    // degenerate: perfectly collinear cloud → det 0 → NULL distances
+    val line = (1L to 5L).map(i => (i, i.toDouble, 3.0 * i.toDouble))
+      .toDF("id", "x", "y")
+    val dl = Report.mahalanobisOutliers2(line, "id", "x", "y", k = 2)
+      .collect()
+    assert(dl.forall(_.isNullAt(3)))
+  }
+
+  test("changepoint finds the level shift at the exact boundary") {
+    import spark.implicits._
+    // 4 days at 5, then 3 days at 20 → best split after day 4
+    val xs = Seq(5L, 5L, 5L, 5L, 20L, 20L, 20L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong + 1L, x) }
+      .toDF("k", "t", "x")
+    val r = Trend.changepoint(df, "k", "t", "x").head()
+    assert(r.getLong(1) == 7L && r.getLong(2) == 4L,
+      s"t_star=${r.getLong(2)}")
+    assert(r.getDouble(4) == 5.0 && r.getDouble(5) == 20.0)
+    // gain at the true split: (4·3/7)·15² = 2700/7
+    assert(r.getDouble(3) == (4.0 * 3.0 / 7.0) * (15.0 * 15.0))
+    // a flat series: every split has gain 0 → tie → smallest t
+    val flat = Seq(3L, 3L, 3L).zipWithIndex
+      .map { case (x, i) => ("g", i.toLong + 1L, x) }.toDF("k", "t", "x")
+    assert(Trend.changepoint(flat, "k", "t", "x").head().getLong(2) == 1L)
+    // n = 1: no split exists → no row
+    val one = Seq(("g", 1L, 9L)).toDF("k", "t", "x")
+    assert(Trend.changepoint(one, "k", "t", "x").count() == 0L)
+  }
+
+  test("rollingCorr: ±1 on exact linear frames, NULL on flat frames") {
+    import spark.implicits._
+    // y = 2x exactly → every ≥2-row frame correlates 1 (to the ulp:
+    // √v·√v ≠ v exactly, so the quotient can sit one ulp off 1.0)
+    val up = (1L to 10L).map(i => ("g", i, i, 2L * i)).toDF("k", "t", "x", "y")
+    val ru = Trend.rollingCorr(up, "k", "t", "x", "y", window = 4).collect()
+    assert(ru.drop(1).forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-12),
+      ru.map(_.toString).mkString(", "))
+    // first frame has n_w = 1 → NULL
+    assert(ru.head.getLong(2) == 1L && ru.head.isNullAt(3))
+    // y = −x + 100 → −1
+    val dn = (1L to 6L).map(i => ("g", i, i, 100L - i)).toDF("k", "t", "x", "y")
+    assert(Trend.rollingCorr(dn, "k", "t", "x", "y", window = 3)
+      .collect().drop(1)
+      .forall(r => math.abs(r.getDouble(3) + 1.0) < 1e-12))
+    // constant y → zero variance → NULL
+    val fl = (1L to 5L).map(i => ("g", i, i, 7L)).toDF("k", "t", "x", "y")
+    assert(Trend.rollingCorr(fl, "k", "t", "x", "y", window = 3)
+      .collect().forall(_.isNullAt(3)))
+  }
+
   test("holtLinear replays the driver recursion and tracks a ramp") {
     import spark.implicits._
     val xs = Seq(10.0, 12.0, 14.0, 16.0, 18.0, 20.0)
