@@ -181,6 +181,63 @@ object QualityModel {
       .orderBy(F.col("bin").asc)
   }
 
+  /** Isotonic (PAV) calibration over the [[calibration]] bin grid — the
+    * monotone recalibration a raw reliability curve feeds into: fitted
+    * rates never decrease with score, pooling adjacent bins the raw
+    * curve got backwards (Zadrozny & Elkan 2002, public methodology).
+    *
+    * Exact-replay shape: per-bin (weight, positives) are exact longs on
+    * the bounded [[Report.gridBin]] grid (empty bins excluded — PAV
+    * pools OBSERVED bins); the fit uses the MINIMAX closed form
+    * ŷ_i = max_{j≤i} min_{k≥i} mean(j..k) — equal to the sequential
+    * pool-adjacent-violators stack (checked on 300 random weighted
+    * cases) but expressible as bounded nested transforms over exact
+    * integer prefix sums, so both engines state ONE division per (j,k)
+    * window and otherwise only compare. O(bins³) driver-free work — the
+    * grid is the cutoff, not the corpus. Output:
+    * (bin, n, n_pos, rate_raw, rate_iso) ascending by bin; rate_iso is
+    * monotone nondecreasing. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 20): DataFrame = {
+    require(bins >= 1 && bins <= 256, s"bins in [1,256], got $bins")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("int")
+    val binned = df.where(s.isNotNull && y.isNotNull)
+      .select(Report.gridBin(s, 0.0, 1.0, bins).as("bin"), y.as("td_y"))
+      .groupBy(F.col("bin"))
+      .agg(F.count(F.lit(1)).as("td_w"),
+        F.sum(F.col("td_y")).cast("long").as("td_p"))
+    val packed = binned.agg(F.sort_array(F.collect_list(F.struct(
+      F.col("bin"), F.col("td_w"), F.col("td_p")))).as("td_l"))
+    val l = F.col("td_l")
+    def prefix(field: String) =
+      F.transform(F.sequence(F.lit(0), F.size(l)), i =>
+        F.aggregate(F.slice(l, F.lit(1), i), F.lit(0L),
+          (acc, e) => acc + e.getField(field)))
+    val staged = packed.where(F.size(l) > 0)
+      .withColumn("td_pp", prefix("td_p"))
+      .withColumn("td_pw", prefix("td_w"))
+    val pp = F.col("td_pp"); val pw = F.col("td_pw")
+    val fit = F.transform(F.sequence(F.lit(1), F.size(l)), i =>
+      F.array_max(F.transform(F.sequence(F.lit(1), i), j =>
+        F.array_min(F.transform(F.sequence(i, F.size(l)), k =>
+          (F.element_at(pp, k + 1) - F.element_at(pp, j)).cast("double") /
+            (F.element_at(pw, k + 1) - F.element_at(pw, j))
+              .cast("double"))))))
+    staged.withColumn("td_fit", fit)
+      .select(l, F.col("td_fit"),
+        F.explode(F.sequence(F.lit(1), F.size(l))).as("td_i"))
+      .select(
+        F.element_at(l, F.col("td_i")).getField("bin").as("bin"),
+        F.element_at(l, F.col("td_i")).getField("td_w").as("n"),
+        F.element_at(l, F.col("td_i")).getField("td_p").as("n_pos"),
+        (F.element_at(l, F.col("td_i")).getField("td_p").cast("double") /
+          F.element_at(l, F.col("td_i")).getField("td_w").cast("double"))
+          .as("rate_raw"),
+        F.element_at(F.col("td_fit"), F.col("td_i")).as("rate_iso"))
+      .orderBy(F.col("bin").asc)
+  }
+
   /** Confusion counts and P/R/F1 at a decision threshold (score ≥ t →
     * predicted positive): the numbers a filtering pipeline actually
     * acts on. One aggregation; exact integers plus stated divisions

@@ -91,8 +91,14 @@ object Survival {
     val clean = df.where(t.isNotNull && e.isNotNull && g.isNotNull)
       .select(t.as("td_t"), (e =!= 0L).cast("long").as("td_e"),
         g.as("td_g"))
-    val groups = clean.groupBy(F.col("td_g"))
-      .agg(F.count(F.lit(1)).as("td_n"))
+    // ONE corpus pass: the (time, cohort) cell relation — bounded
+    // (grid × cohorts). Group totals AND per-time cohort tallies both
+    // reshape from it; the corpus is never scanned twice.
+    val cells = clean.groupBy(F.col("td_t"), F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_ca"), F.sum(F.col("td_e")).as("td_cd"))
+      .localCheckpoint()
+    val groups = cells.groupBy(F.col("td_g"))
+      .agg(F.sum(F.col("td_ca")).cast("long").as("td_n"))
     val gpack = groups.agg(
       F.count(F.lit(1)).cast("long").as("td_nv"),
       F.sort_array(F.collect_list(F.struct(
@@ -100,17 +106,15 @@ object Survival {
     def gf(i: Int, f: String) =
       F.try_element_at(F.col("td_gl"), F.lit(i)).getField(f)
     val aName = gf(1, "td_g")
-    // per-time A-side tallies need the A name — broadcast the 1-row
-    // group pack in before the grid aggregation
-    val withA = clean.crossJoin(
+    val withA = cells.crossJoin(
       F.broadcast(gpack.select(aName.as("td_ga"))))
     val grid2 = withA.groupBy(F.col("td_t"))
-      .agg(F.count(F.lit(1)).as("td_a"),
-        F.sum(F.col("td_e")).as("td_d"),
-        F.sum(F.when(F.col("td_g") === F.col("td_ga"), 1L)
-          .otherwise(0L)).as("td_aa"),
-        F.sum(F.when(F.col("td_g") === F.col("td_ga"), F.col("td_e"))
-          .otherwise(0L)).as("td_da"))
+      .agg(F.sum(F.col("td_ca")).cast("long").as("td_a"),
+        F.sum(F.col("td_cd")).cast("long").as("td_d"),
+        F.sum(F.when(F.col("td_g") === F.col("td_ga"), F.col("td_ca"))
+          .otherwise(0L)).cast("long").as("td_aa"),
+        F.sum(F.when(F.col("td_g") === F.col("td_ga"), F.col("td_cd"))
+          .otherwise(0L)).cast("long").as("td_da"))
     val packed = grid2.agg(
       F.sum(F.col("td_a")).cast("long").as("td_nn"),
       F.sum(F.col("td_aa")).cast("long").as("td_na"),

@@ -285,6 +285,45 @@ object StatsOracles {
          |    / den END AS r
          |FROM fin ORDER BY "group" ASC, lag ASC""".stripMargin
     },
+    "q_quality_isotonic" ->
+      // gridBin CASE stated in full, exact integer prefixes via scalar
+      // folds, the minimax nested lists (one division per (j,k) window)
+      """WITH src AS (SELECT
+        |    CAST(doc_id % 97 AS DOUBLE) / 97.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |b AS (SELECT CASE WHEN s < 0.0 THEN CAST(0 AS BIGINT)
+        |      WHEN s >= 1.0 THEN CAST(21 AS BIGINT)
+        |      ELSE least(CAST(20 AS BIGINT),
+        |        CAST(floor((s - 0.0) * 20.0 / 1.0) AS BIGINT) + 1) END
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS w, CAST(sum(y) AS BIGINT) AS p
+        |  FROM src GROUP BY 1),
+        |pk AS (SELECT list(struct_pack(bin := bin, w := w, p := p)
+        |    ORDER BY bin) AS l FROM b),
+        |pre AS (SELECT l,
+        |    list_transform(range(0, len(l) + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(l[1:i], e -> e.p)), (a, b) -> a + b))
+        |      AS pp,
+        |    list_transform(range(0, len(l) + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(l[1:i], e -> e.w)), (a, b) -> a + b))
+        |      AS pw
+        |  FROM pk),
+        |iso AS (SELECT l,
+        |    list_transform(range(1, len(l) + 1), i ->
+        |      list_max(list_transform(range(1, i + 1), j ->
+        |        list_min(list_transform(range(i, len(l) + 1), k ->
+        |          CAST(pp[k + 1] - pp[j] AS DOUBLE) /
+        |            CAST(pw[k + 1] - pw[j] AS DOUBLE)))))) AS fit
+        |  FROM pre),
+        |ix AS (SELECT l, fit, unnest(range(1, len(l) + 1)) AS i
+        |  FROM iso)
+        |SELECT l[i].bin AS bin, l[i].w AS n, l[i].p AS n_pos,
+        |  CAST(l[i].p AS DOUBLE) / CAST(l[i].w AS DOUBLE) AS rate_raw,
+        |  fit[i] AS rate_iso
+        |FROM ix ORDER BY bin ASC""".stripMargin,
     "q_trend_changepoint" ->
       // exact prefix/total sums through group-partitioned windows, the
       // per-split doubles restated identically, ties → smallest t

@@ -130,6 +130,18 @@ object StatsQueries {
           F.lit(64.0d) + F.lit(0.5d)).cast("long")).as("rev"))
       Trend.acf(daily, "etype", "day_num", "rev", maxLag = 5)
     }),
+    "q_quality_isotonic" -> ((s, dir) => {
+      // monotone recalibration of a deliberately-miscalibrated score
+      // (deterministic (doc_id % 97)/97 vs the is-English label): PAV
+      // pools the bins the raw reliability curve gets backwards
+      val src = d(s, dir, "documents")
+        .where(F.col("doc_id").isNotNull && F.col("lang").isNotNull)
+        .select(((F.col("doc_id") % 97L).cast("double") / F.lit(97.0d))
+            .as("score"),
+          F.when(F.col("lang") === "en", 1).otherwise(0).as("label"))
+      graft.pipeline.QualityModel.isotonicCalibration(
+        src, "score", "label", bins = 20)
+    }),
     "q_trend_changepoint" -> ((s, dir) => {
       // WHEN did each event type's daily revenue level shift: the
       // binary-segmentation split maximizing between-segment separation

@@ -831,6 +831,18 @@ object ScalingProbe {
           graft.pipeline.Trend.theilSen(daily, "etype", "day_num", "rev")
             .count()
       }),
+      ("isotonic", 100, { e =>
+        // one linear binning agg; the O(bins^3) minimax runs on the
+        // bounded grid — constant as rows grow
+        val src = e.where(F.col("user_id").isNotNull &&
+            F.col("event_type").isNotNull)
+          .select(((F.col("user_id") % 97L).cast("double") / F.lit(97.0d))
+              .as("score"),
+            F.when(F.col("event_type") === "purchase", 1).otherwise(0)
+              .as("label"))
+        graft.pipeline.QualityModel.isotonicCalibration(
+          src, "score", "label", bins = 20).count()
+      }),
       ("mahalanobis", 100, { e =>
         // one keyed per-user agg (linear) + a 1-row broadcast + a
         // row-local distance projection + distributed top-k

@@ -630,6 +630,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("isotonicCalibration == sequential stack PAV on random binned " +
+    "labels, monotone, mass-conserving") {
+    import spark.implicits._
+    val cohort: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        b <- Gen.choose(0, 9)     // ten score bins
+        y <- Gen.oneOf(0, 1)
+      } yield (b, y))
+    } yield rows
+    for ((rows, si) <- samples(cohort, n = 6).zipWithIndex) {
+      val df = rows.map { case (b, y) => (b.toDouble / 10.0 + 0.01, y) }
+        .toDF("score", "label").repartition(5)
+      val got = graft.pipeline.QualityModel
+        .isotonicCalibration(df, "score", "label", bins = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(4)))
+      // driver-side classic stack PAV over the same observed bins
+      val grid = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, rs) =>
+          (b, rs.size.toLong, rs.count(_._2 == 1).toLong) }
+      val blocks = scala.collection.mutable.ArrayBuffer[(Double, Double, Int)]()
+      for ((_, w, p) <- grid) {
+        blocks += ((p.toDouble, w.toDouble, 1))
+        while (blocks.size > 1 &&
+            blocks(blocks.size - 2)._1 / blocks(blocks.size - 2)._2 >
+              blocks.last._1 / blocks.last._2) {
+          val (s2, w2, c2) = blocks.remove(blocks.size - 1)
+          val (s1, w1, c1) = blocks.remove(blocks.size - 1)
+          blocks += ((s1 + s2, w1 + w2, c1 + c2))
+        }
+      }
+      val want = blocks.flatMap { case (s, w, c) => Seq.fill(c)(s / w) }
+      assert(got.length == grid.size, s"sample=$si")
+      for (((g, exp), k) <- got.zip(want).zipWithIndex)
+        assert(math.abs(g._4 - exp) < 1e-12,
+          s"sample=$si bin#$k: ${g._4} vs $exp")
+      // monotone, and pooled mass equals the positives exactly
+      val fits = got.map(_._4)
+      assert(fits.zip(fits.tail).forall { case (a, b) => a <= b })
+      val mass = got.map(g => g._4 * g._2.toDouble).sum
+      assert(math.abs(mass - rows.count(_._2 == 1).toDouble) < 1e-9,
+        s"sample=$si mass=$mass")
+    }
+  }
+
   test("mannKendall == brute-force pair enumeration on random tied " +
     "series, partitioning-independent") {
     import graft.pipeline.Trend

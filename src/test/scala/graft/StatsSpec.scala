@@ -307,6 +307,33 @@ class StatsSpec extends AnyFunSuite {
       .collect().forall(_.isNullAt(3)))
   }
 
+  test("isotonicCalibration pools violating bins to exact weighted means") {
+    import spark.implicits._
+    // scores land in 4 distinct bins with raw rates 0.2, 0.6, 0.4, 0.8:
+    // bins 2 and 3 violate → pool to (3+2)/(5+5) = 0.5
+    def rows(score: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((score, 1)) ++ Seq.fill(neg)((score, 0))
+    val df = (rows(0.05, 1, 4) ++ rows(0.30, 3, 2) ++
+      rows(0.55, 2, 3) ++ rows(0.80, 4, 1)).toDF("score", "label")
+    val got = graft.pipeline.QualityModel
+      .isotonicCalibration(df, "score", "label", bins = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._2).toSeq == Seq(0.2, 0.6, 0.4, 0.8))
+    assert(got.map(_._3).toSeq == Seq(0.2, 0.5, 0.5, 0.8), got.mkString(", "))
+    // already-monotone input is untouched
+    val mono = (rows(0.05, 1, 4) ++ rows(0.55, 3, 2) ++ rows(0.80, 4, 1))
+      .toDF("score", "label")
+    val gm = graft.pipeline.QualityModel
+      .isotonicCalibration(mono, "score", "label", bins = 20).collect()
+    assert(gm.forall(r => r.getDouble(3) == r.getDouble(4)))
+    // all-violating input collapses to the global rate
+    val inv = (rows(0.05, 4, 1) ++ rows(0.55, 2, 3) ++ rows(0.90, 1, 4))
+      .toDF("score", "label")
+    val gi = graft.pipeline.QualityModel
+      .isotonicCalibration(inv, "score", "label", bins = 20).collect()
+    assert(gi.forall(r => r.getDouble(4) == 7.0 / 15.0))
+  }
+
   test("holtLinear replays the driver recursion and tracks a ramp") {
     import spark.implicits._
     val xs = Seq(10.0, 12.0, 14.0, 16.0, 18.0, 20.0)
