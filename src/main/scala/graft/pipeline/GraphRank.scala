@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.storage.StorageLevel
 
 /** PageRank-style link-graph importance — the graph-centrality stage of
@@ -1091,5 +1091,142 @@ object GraphRank {
             (F.col("degree") * (F.col("degree") - 1L)).cast("double"))
           .as("clustering_coeff"))
     finishRanks(out, Seq(e))
+  }
+
+  /** TRUNCATED closeness + harmonic centrality, exact within `maxHops`
+    * (the h-bounded variants — on a 100 TB graph unbounded exact
+    * closeness is a full APSP; bounding the horizon is the standard
+    * honest cut, and the HyperBall scale path [[kHopReachApprox]]
+    * estimates the same ball sizes when even the bounded pair relation
+    * is too large): layered BFS on the distinct pair relation, each
+    * round one join + one anti-join against the seen set, so a pair's
+    * distance is the FIRST round it appears (true shortest distance
+    * ≤ maxHops). Per node over its reached set: n_reach, Σd (exact
+    * longs), closeness = n_reach/Σd, harmonic = Σ 1/d (per-pair terms
+    * through the 2^20 fixed-point image, exact long sums, one division
+    * back — 1/1 and 1/2 are exact images; deeper terms round once per
+    * pair identically on both engines). Self-distances are excluded
+    * (d(u,u) = 0 by convention). Same materialize-then-release cache
+    * rule as [[kHopReach]] — the pair layers are the quadratic-sized
+    * caches. Output: (node, n_reach, sum_dist, closeness, harmonic)
+    * ascending by node. */
+  def closenessTruncated(edges: DataFrame, srcCol: String,
+      dstCol: String, maxHops: Int = 2): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, s"maxHops in [1,8], got $maxHops")
+    val e = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).cast("string").as("td_u"),
+        F.col(dstCol).cast("string").as("td_v"))
+      .where(F.col("td_u") =!= F.col("td_v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var seen = e.withColumn("td_d", F.lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var frontier = e
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame](e, seen)
+    for (r <- 2 to maxHops) {
+      val expanded = frontier
+        .select(F.col("td_u"), F.col("td_v").as("td_m"))
+        .join(e.select(F.col("td_u").as("td_m"), F.col("td_v")), "td_m")
+        .select(F.col("td_u"), F.col("td_v"))
+        .where(F.col("td_u") =!= F.col("td_v"))
+        .distinct()
+      frontier = expanded.join(seen.select(F.col("td_u"), F.col("td_v")),
+          Seq("td_u", "td_v"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      seen = seen.unionByName(frontier.withColumn("td_d", F.lit(r.toLong)))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      layers += frontier
+      layers += seen
+    }
+    def fx(c: Column) = F.floor(c * F.lit(1048576.0d) + F.lit(0.5d))
+      .cast("long")
+    val out = seen.groupBy(F.col("td_u").as("node"))
+      .agg(F.count(F.lit(1)).as("n_reach"),
+        F.sum(F.col("td_d")).as("sum_dist"),
+        F.sum(fx(F.lit(1.0d) / F.col("td_d").cast("double"))).as("td_h"))
+      .select(F.col("node"), F.col("n_reach"), F.col("sum_dist"),
+        (F.col("n_reach").cast("double") /
+          F.col("sum_dist").cast("double")).as("closeness"),
+        (F.col("td_h").cast("double") / F.lit(1048576.0d)).as("harmonic"))
+    finishRanks(out, layers.toSeq)
+  }
+
+  /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    * 2003): for every NON-edge pair (u, v) sharing at least one
+    * neighbor, the three standard scores — common-neighbor count,
+    * Jaccard cn/(deg_u + deg_v − cn), and Adamic–Adar
+    * Σ_{z∈N(u)∩N(v)} 1/ln(deg_z) (plus resource-allocation Σ 1/deg_z)
+    * — the "who should transact next" readout over the trade graph,
+    * and the candidate generator for graph-based dedup blocking.
+    *
+    * Shape: canonical undirected edges once (min/max endpoints,
+    * distinct), degrees in one keyed pass, then the ONLY quadratic
+    * term — pairs through a shared neighbor z — is generated by one
+    * self-join of the adjacency on z with u < v, which AQE skew-splits
+    * on hot intermediates; `maxHubDegree` drops z's above the cap from
+    * pair GENERATION entirely (the [[graft.pipeline.Dedup]] maxDf
+    * lesson: a 10⁶-degree hub would emit 10¹² pairs — and a hub shared
+    * by everyone carries no signal; its 1/ln(deg) term is the smallest
+    * anyway). Per-z score terms are stated once as doubles, mapped
+    * through the 2^20 fixed-point image, and summed as exact longs per
+    * pair (association-free), ONE division back; existing edges leave
+    * by one anti-join on the canonical pair. Output: the top
+    * `k` candidate pairs by (aa DESC, u ASC, v ASC) —
+    * (src, dst, cn, deg_src, deg_dst, jaccard, aa, ra). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 100, maxHubDegree: Long = 100000L): DataFrame = {
+    require(k > 0, s"k > 0, got $k")
+    require(maxHubDegree > 1L, s"maxHubDegree > 1, got $maxHubDegree")
+    val s0 = F.col(srcCol).cast("string")
+    val d0 = F.col(dstCol).cast("string")
+    val e = edges.where(s0.isNotNull && d0.isNotNull && s0 =!= d0)
+      .select(F.least(s0, d0).as("a"), F.greatest(s0, d0).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = e.select(F.col("a").as("node"))
+      .union(e.select(F.col("b").as("node")))
+      .groupBy(F.col("node"))
+      .agg(F.count(F.lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // adjacency with the intermediate's degree attached; hubs above the
+    // cap never enter pair generation
+    val adj = e.select(F.col("a").as("z"), F.col("b").as("n"))
+      .union(e.select(F.col("b").as("z"), F.col("a").as("n")))
+      .join(deg.select(F.col("node").as("z"),
+        F.col("degree").as("z_deg")), Seq("z"))
+      .where(F.col("z_deg") <= maxHubDegree)
+    val l = adj.select(F.col("z"), F.col("n").as("u"), F.col("z_deg"))
+    val r = adj.select(F.col("z"), F.col("n").as("v"))
+    def fx(c: Column) = F.floor(c * F.lit(1048576.0d) + F.lit(0.5d))
+      .cast("long")
+    val zD = F.col("z_deg").cast("double")
+    val pairs = l.join(r, Seq("z"))
+      .where(F.col("u") < F.col("v"))
+      .groupBy(F.col("u"), F.col("v"))
+      .agg(F.count(F.lit(1)).as("cn"),
+        F.sum(fx(F.lit(1.0d) / F.log(zD))).as("td_aa"),
+        F.sum(fx(F.lit(1.0d) / zD)).as("td_ra"))
+    val nonEdges = pairs.join(e,
+      pairs("u") === e("a") && pairs("v") === e("b"), "left_anti")
+    def un(c: Column) = c.cast("double") / F.lit(1048576.0d)
+    val scored = nonEdges
+      .join(deg.select(F.col("node").as("u"),
+        F.col("degree").as("deg_src")), Seq("u"))
+      .join(deg.select(F.col("node").as("v"),
+        F.col("degree").as("deg_dst")), Seq("v"))
+      .select(F.col("u").as("src"), F.col("v").as("dst"), F.col("cn"),
+        F.col("deg_src"), F.col("deg_dst"),
+        (F.col("cn").cast("double") /
+          (F.col("deg_src") + F.col("deg_dst") - F.col("cn"))
+            .cast("double")).as("jaccard"),
+        un(F.col("td_aa")).as("aa"), un(F.col("td_ra")).as("ra"))
+      .orderBy(F.col("aa").desc, F.col("src").asc, F.col("dst").asc)
+      .limit(k)
+    val res = scored.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    res.count()
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    res
   }
 }

@@ -2565,4 +2565,385 @@ object Report {
         F.col("p_adj"), (F.col("p_adj") <= F.lit(alpha)).as("reject"))
       .orderBy(F.col("rank").asc)
   }
+
+  /** CUPED variance-reduced A/B t-test (Deng et al. 2013): adjust the
+    * experiment metric by a PRE-experiment covariate before testing —
+    * y' = y − θ(x − mx̄) with θ the pooled OLS slope of y on x — so the
+    * readout keeps the treatment effect (randomization makes the
+    * covariate mean equal across variants in expectation) but sheds the
+    * covariate-explained variance (the factor 1 − ρ²). ONE keyed pass
+    * reduces the corpus to two (variant, n, Σfp(y), Σfp(x), Σfp(y²),
+    * Σfp(x²), Σfp(xy)) rows — per-row 2^20 fixed-point images summed
+    * in DECIMAL(38,0), so both engines state identical doubles — then
+    * the bounded 2-struct sorted fold: pooled θ and ρ² from the exact
+    * decimal grand sums, each variant's ADJUSTED moments restated
+    * algebraically from the same raw sums (Σy′ = Σy − θ(Σx − n·mx̄);
+    * Σy′² = Σy² − 2θ(Σxy − mx̄Σy) + θ²(Σx² − 2mx̄Σx + n·mx̄²)) — no
+    * second corpus pass — and the Welch t + Satterthwaite dof on the
+    * adjusted moments, each double op stated once. ≠2 variants, either
+    * n < 2, zero pooled covariate variance, or zero adjusted standard
+    * error answer NULL θ/t/dof with the observed counts (the family's
+    * ANSI rule). Variant A is the lexicographically first. Domain:
+    * |y|, |x| ≤ 2^21 and |x·y| ≤ 2^42 (the 2^20 fixed-point image of
+    * the cross term must stay inside long). Output (one row):
+    * n_variants, variant_a, variant_b, n_a, n_b, theta, rho2,
+    * mean_adj_a, mean_adj_b, var_adj_a, var_adj_b, t, dof. */
+  def cupedT(df: DataFrame, variantCol: String, valueCol: String,
+      covCol: String): DataFrame = {
+    val v = F.col(variantCol).cast("string")
+    val y = F.col(valueCol).cast("double")
+    val x = F.col(covCol).cast("double")
+    def fp(c: Column) = F.floor(c * F.lit(1048576.0d) + F.lit(0.5d))
+      .cast("decimal(38,0)")
+    val agg = df.where(v.isNotNull && y.isNotNull && x.isNotNull)
+      .groupBy(v.as("td_v"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum(fp(y)).as("td_sy"), F.sum(fp(x)).as("td_sx"),
+        F.sum(fp(y * y)).as("td_syy"), F.sum(fp(x * x)).as("td_sxx"),
+        F.sum(fp(x * y)).as("td_sxy"))
+    val packed = agg.agg(F.sort_array(F.collect_list(F.struct(
+      F.col("td_v"), F.col("td_n"), F.col("td_sy"), F.col("td_sx"),
+      F.col("td_syy"), F.col("td_sxx"), F.col("td_sxy")))).as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    def un(c: Column) = c.cast("double") / F.lit(1048576.0d)
+    // pooled sums: decimal adds are exact, ONE division per term back
+    def tot(f: String) = un(F.coalesce(fld(1, f), F.lit(0L).cast(
+      "decimal(38,0)")) + F.coalesce(fld(2, f), F.lit(0L).cast(
+      "decimal(38,0)")))
+    val nT = (F.coalesce(fld(1, "td_n"), F.lit(0L)) +
+      F.coalesce(fld(2, "td_n"), F.lit(0L))).cast("double")
+    val mx = tot("td_sx") / nT
+    val my = tot("td_sy") / nT
+    val sxxC = tot("td_sxx") - nT * mx * mx
+    val syyC = tot("td_syy") - nT * my * my
+    val sxyC = tot("td_sxy") - nT * mx * my
+    val theta = F.when(sxxC > 0.0d, sxyC / sxxC)
+    val rho2 = F.when(sxxC > 0.0d && syyC > 0.0d,
+      (sxyC * sxyC) / (sxxC * syyC))
+    // per-variant adjusted moments restated from the SAME raw sums
+    def adj(i: Int): (Column, Column, Column) = {
+      val nD = fld(i, "td_n").cast("double")
+      val sy = un(fld(i, "td_sy")); val sx = un(fld(i, "td_sx"))
+      val syy = un(fld(i, "td_syy")); val sxx = un(fld(i, "td_sxx"))
+      val sxy = un(fld(i, "td_sxy"))
+      val syAdj = sy - theta * (sx - nD * mx)
+      val syyAdj = syy - F.lit(2.0d) * theta * (sxy - mx * sy) +
+        theta * theta * (sxx - F.lit(2.0d) * mx * sx + nD * mx * mx)
+      val m = syAdj / nD
+      val s2 = F.when(fld(i, "td_n") >= 2L,
+        (syyAdj - nD * m * m) / (nD - F.lit(1.0d)))
+      (nD, m, s2)
+    }
+    val (naD, ma, s2a) = adj(1)
+    val (nbD, mb, s2b) = adj(2)
+    val vna = s2a / naD
+    val vnb = s2b / nbD
+    val se2 = vna + vnb
+    val ok = F.size(l) === 2 && fld(1, "td_n") >= 2L &&
+      fld(2, "td_n") >= 2L && sxxC > 0.0d && se2 > 0.0d
+    packed.select(
+      F.size(l).cast("long").as("n_variants"),
+      fld(1, "td_v").as("variant_a"), fld(2, "td_v").as("variant_b"),
+      fld(1, "td_n").as("n_a"), fld(2, "td_n").as("n_b"),
+      F.when(F.size(l) === 2, theta).as("theta"),
+      F.when(F.size(l) === 2, rho2).as("rho2"),
+      F.when(ok, ma).as("mean_adj_a"), F.when(ok, mb).as("mean_adj_b"),
+      F.when(ok, s2a).as("var_adj_a"), F.when(ok, s2b).as("var_adj_b"),
+      F.when(ok, (ma - mb) / F.sqrt(se2)).as("t"),
+      F.when(ok, (se2 * se2) /
+        ((vna * vna) / (naD - F.lit(1.0d)) +
+          (vnb * vnb) / (nbD - F.lit(1.0d)))).as("dof"))
+  }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + the MH common odds
+    * ratio (Mantel & Haenszel 1959): does variant A convert more than
+    * B CONTROLLING for a stratification key — the confounder-proof
+    * companion of [[twoProportionZ]] (which Simpson's paradox can
+    * invert) and the categorical-outcome face of the ByGroup sliced
+    * family. One keyed pass reduces the corpus to per-(stratum,
+    * variant) (successes, failures) integer cells; a bounded per-
+    * stratum 2-struct sorted fold states each stratum's doubles —
+    * E = (a+b)(a+c)/n, V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)),
+    * ad/n, bc/n — once, maps each through the 2^20 fixed-point image,
+    * and ONE exact long sum per term makes the cross-stratum totals
+    * association-free; the finishing doubles are
+    * χ² = (Σa − ΣE)²/ΣV and OR_MH = Σ(ad/n)/Σ(bc/n), each division
+    * stated once. Strata with ≠2 variants or n < 2 carry no
+    * information and are excluded (counted in n_skipped); zero ΣV or
+    * zero Σbc/n answer NULL χ²/OR honestly. Variant A is the
+    * lexicographically first per stratum; if usable strata disagree on
+    * the (A, B) pair the pooled statistics are incoherent and answer
+    * NULL (the counts still report). Output (one row): n_strata,
+    * n_skipped, n_total, sum_a, expected_a, variance, chi2, or_mh. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      variantCol: String, successCol: String): DataFrame = {
+    val st = F.col(stratumCol).cast("string")
+    val v = F.col(variantCol).cast("string")
+    val s = F.col(successCol).cast("boolean")
+    val cells = df.where(st.isNotNull && v.isNotNull && s.isNotNull)
+      .groupBy(st.as("td_s"), v.as("td_v"))
+      .agg(F.sum(s.cast("long")).as("td_succ"),
+        F.sum((!s).cast("long")).as("td_fail"))
+    val folded = cells.groupBy(F.col("td_s"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_v"), F.col("td_succ"), F.col("td_fail")))).as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    val a = fld(1, "td_succ"); val b = fld(1, "td_fail")
+    val c = fld(2, "td_succ"); val d = fld(2, "td_fail")
+    val n = a + b + c + d
+    val usable = F.size(l) === 2 && n >= 2L
+    def dd(c0: Column) = c0.cast("double")
+    val (aD, bD, cD, dD, nD) = (dd(a), dd(b), dd(c), dd(d), dd(n))
+    val e = (aD + bD) * (aD + cD) / nD
+    val vv = (aD + bD) * (cD + dD) * (aD + cD) * (bD + dD) /
+      (nD * nD * (nD - F.lit(1.0d)))
+    val adN = aD * dD / nD
+    val bcN = bD * cD / nD
+    def fx(c0: Column) = F.floor(c0 * F.lit(1048576.0d) + F.lit(0.5d))
+      .cast("long")
+    val strata = folded.select(
+      usable.as("td_ok"),
+      F.when(usable, n).as("td_n"), F.when(usable, a).as("td_a"),
+      F.when(usable, fx(e)).as("td_e"), F.when(usable, fx(vv)).as("td_v2"),
+      F.when(usable, fx(adN)).as("td_ad"),
+      F.when(usable, fx(bcN)).as("td_bc"),
+      F.when(usable, fld(1, "td_v")).as("td_va"),
+      F.when(usable, fld(2, "td_v")).as("td_vb"))
+    val g = strata.agg(
+      F.sum(F.col("td_ok").cast("long")).as("n_strata"),
+      F.sum((!F.col("td_ok")).cast("long")).as("n_skipped"),
+      F.sum(F.col("td_n")).as("n_total"),
+      F.sum(F.col("td_a")).as("sum_a"),
+      F.sum(F.col("td_e")).as("td_se"), F.sum(F.col("td_v2")).as("td_sv"),
+      F.sum(F.col("td_ad")).as("td_sad"),
+      F.sum(F.col("td_bc")).as("td_sbc"),
+      F.count_distinct(F.col("td_va")).as("td_nva"),
+      F.count_distinct(F.col("td_vb")).as("td_nvb"))
+    def un(c0: Column) = c0.cast("double") / F.lit(1048576.0d)
+    val sumE = un(F.col("td_se")); val sumV = un(F.col("td_sv"))
+    val sumAd = un(F.col("td_sad")); val sumBc = un(F.col("td_sbc"))
+    val sumAD = F.col("sum_a").cast("double")
+    val coherent = F.col("td_nva") <= 1L && F.col("td_nvb") <= 1L &&
+      F.col("n_strata") >= 1L
+    g.select(
+      F.col("n_strata"), F.col("n_skipped"),
+      F.coalesce(F.col("n_total"), F.lit(0L)).as("n_total"),
+      F.col("sum_a"),
+      F.when(coherent, sumE).as("expected_a"),
+      F.when(coherent, sumV).as("variance"),
+      F.when(coherent && sumV > 0.0d,
+        (sumAD - sumE) * (sumAD - sumE) / sumV).as("chi2"),
+      F.when(coherent && sumBc > 0.0d, sumAd / sumBc).as("or_mh"))
+  }
+
+  /** Benjamini–Yekutieli step-up (Benjamini & Yekutieli 2001) — the
+    * [[bhFdr]] correction valid under ARBITRARY dependence between the
+    * tests (slice tests over one corpus are anything but independent):
+    * the same suffix running-min machinery with the harmonic penalty
+    * c(m) = Σ_{i=1..m} 1/i multiplied in — p_adj = min over the suffix
+    * of c(m)·m·p/rank, clipped at 1. c(m) folds ascending over
+    * sequence(1..m) (pinned association, both engines); the rest is
+    * [[bhFdr]]'s contract verbatim, including the documented
+    * single-partition window (the input is one row per HYPOTHESIS —
+    * bounded by construction, the benford-grid rule). Output:
+    * (test_id, p_value, rank, p_adj, reject) ascending by rank. */
+  def byFdr(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05d): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = F.col(idCol).cast("string")
+    val p = F.col(pCol).cast("double")
+    val clean = df.where(id.isNotNull && p.isNotNull)
+      .select(id.as("test_id"), p.as("p_value"))
+    val wAsc = Window.orderBy(F.col("p_value").asc, F.col("test_id").asc)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSuf = Window.orderBy(F.col("p_value").desc, F.col("test_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cm = F.aggregate(F.sequence(F.lit(1L), F.col("td_m")),
+      F.lit(0.0d), (a, i) => a + F.lit(1.0d) / i.cast("double"))
+    val raw = F.col("td_cm") * F.col("td_m").cast("double") *
+      F.col("p_value") / F.col("rank").cast("double")
+    clean
+      .withColumn("rank", F.row_number().over(wAsc).cast("long"))
+      .withColumn("td_m", F.count(F.lit(1)).over(wAll).cast("long"))
+      .withColumn("td_cm", cm)
+      .withColumn("td_raw", raw)
+      .withColumn("p_adj",
+        F.least(F.lit(1.0d), F.min(F.col("td_raw")).over(wSuf)))
+      .select(F.col("test_id"), F.col("p_value"), F.col("rank"),
+        F.col("p_adj"), (F.col("p_adj") <= F.lit(alpha)).as("reject"))
+      .orderBy(F.col("rank").asc)
+  }
+
+  /** Wald's sequential probability-ratio test (Wald 1945) per group
+    * over an ordered Bernoulli grid — "on which DAY could this
+    * experiment have stopped": cumulative log-likelihood ratio
+    * LLR_t = k_t·ln(p1/p0) + (n_t − k_t)·ln((1−p1)/(1−p0)) against the
+    * boundaries ln((1−β)/α) (accept H1) and ln(β/(1−α)) (accept H0),
+    * decision at the FIRST crossing. The corpus reduces to the bounded
+    * per-(group, t) (trials, successes) integer grid in one keyed
+    * pass; cumulative k/n are INTEGER prefix sums over per-group
+    * ordered windows (partitioned by group — never an unpartitioned
+    * window; association-free because integers), and each grid row
+    * states the LLR doubles once — the four ln constants are computed
+    * ONCE driver-side and ride as double literals (JVM Math.log and an
+    * engine's libm can differ in the last ulp, and the cumulative k
+    * multiplier amplifies that; a replaying engine must embed the same
+    * literals, which the oracle does by string interpolation). The
+    * boundaries are open intervals: crossing means ≥ upper / ≤ lower.
+    * Output: (group, n_t, trials, successes, llr_final, decision ∈
+    * accept_h1|accept_h0|continue, decision_t — the first crossing
+    * instant, NULL while `continue`) ascending by group. */
+  def sprtBernoulli(df: DataFrame, groupCol: String, tCol: String,
+      successCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05d, beta: Double = 0.2d): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0, p1 in (0,1) and distinct: $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha, beta in (0,1): $alpha, $beta")
+    import org.apache.spark.sql.expressions.Window
+    val g = F.col(groupCol).cast("string")
+    val t = F.col(tCol).cast("long")
+    val s = F.col(successCol).cast("boolean")
+    val grid = df.where(g.isNotNull && t.isNotNull && s.isNotNull)
+      .groupBy(g.as("td_g"), t.as("td_t"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum(s.cast("long")).as("td_k"))
+    val w = Window.partitionBy(F.col("td_g")).orderBy(F.col("td_t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the four ln constants, computed ONCE driver-side — literals in
+    // the plan, so a replaying engine embeds the identical doubles
+    val c1 = F.lit(math.log(p1 / p0))
+    val c0 = F.lit(math.log((1.0d - p1) / (1.0d - p0)))
+    val upper = F.lit(math.log((1.0d - beta) / alpha))
+    val lower = F.lit(math.log(beta / (1.0d - alpha)))
+    val cum = grid
+      .withColumn("td_cn", F.sum(F.col("td_n")).over(w))
+      .withColumn("td_ck", F.sum(F.col("td_k")).over(w))
+      .withColumn("td_llr",
+        F.col("td_ck").cast("double") * c1 +
+          (F.col("td_cn") - F.col("td_ck")).cast("double") * c0)
+    cum.groupBy(F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("n_t"),
+        F.max(F.col("td_cn")).as("trials"),
+        F.max(F.col("td_ck")).as("successes"),
+        F.max_by(F.col("td_llr"), F.col("td_t")).as("llr_final"),
+        F.min(F.when(F.col("td_llr") >= upper, F.col("td_t")))
+          .as("td_up_t"),
+        F.min(F.when(F.col("td_llr") <= lower, F.col("td_t")))
+          .as("td_lo_t"))
+      .select(F.col("td_g").as("group"), F.col("n_t"), F.col("trials"),
+        F.col("successes"), F.col("llr_final"),
+        F.when(F.col("td_up_t").isNotNull &&
+            (F.col("td_lo_t").isNull ||
+              F.col("td_up_t") <= F.col("td_lo_t")), "accept_h1")
+          .when(F.col("td_lo_t").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"),
+        F.when(F.col("td_up_t").isNotNull &&
+            (F.col("td_lo_t").isNull ||
+              F.col("td_up_t") <= F.col("td_lo_t")), F.col("td_up_t"))
+          .otherwise(F.col("td_lo_t")).as("decision_t"))
+      .orderBy(F.col("group").asc)
+  }
+
+  /** Kendall's τ-b (tie-corrected) between two ORDINAL columns — the
+    * rank-association readout where [[spearmanCorr]] ranks continuous
+    * values and [[chiSquared]] ignores order entirely ("do higher
+    * priorities ship in fewer lines"). The corpus reduces to the
+    * bounded (x, y) CELL grid in one keyed pass (the operator's
+    * contract: ordinal/categorical inputs — the grid, not the corpus,
+    * is the quadratic term); concordant/discordant counts come from
+    * one cell-grid self-join on x₁ < x₂ (Σ c₁c₂ split by the y
+    * order), tie terms from the marginals — every count an exact
+    * DECIMAL(38,0), using the UNDIVIDED pair counts P = n(n−1),
+    * T_x = Σc(c−1) (so nothing overflows a long even at 10¹⁰ rows)
+    * and the identity τ-b = 2(C−D)/√((P−T_x)(P−T_y)). One stated
+    * double sequence at the end; zero denominators (a constant
+    * column) answer NULL τ honestly. Output (one row): n, n_cells,
+    * concordant, discordant, ties_x, ties_y (the conventional halved
+    * pair counts), tau_b. */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("td_x"), y.as("td_y"))
+      .agg(F.count(F.lit(1)).as("td_c"))
+      .localCheckpoint()
+    val tot = cells.agg(
+      F.sum(F.col("td_c")).as("td_n"),
+      F.count(F.lit(1)).as("td_cells"))
+    val margX = cells.groupBy(F.col("td_x"))
+      .agg(F.sum(F.col("td_c")).as("td_cx"))
+      .agg(F.sum(dec(F.col("td_cx")) * dec(F.col("td_cx") - F.lit(1L)))
+        .as("td_tx2"))
+    val margY = cells.groupBy(F.col("td_y"))
+      .agg(F.sum(F.col("td_c")).as("td_cy"))
+      .agg(F.sum(dec(F.col("td_cy")) * dec(F.col("td_cy") - F.lit(1L)))
+        .as("td_ty2"))
+    val l = cells.select(F.col("td_x").as("td_x1"),
+      F.col("td_y").as("td_y1"), F.col("td_c").as("td_c1"))
+    val r = cells.select(F.col("td_x").as("td_x2"),
+      F.col("td_y").as("td_y2"), F.col("td_c").as("td_c2"))
+    val pairs = l.join(r, F.col("td_x1") < F.col("td_x2"))
+      .agg(
+        F.sum(F.when(F.col("td_y1") < F.col("td_y2"),
+          dec(F.col("td_c1")) * dec(F.col("td_c2")))
+          .otherwise(dec(F.lit(0L)))).as("td_conc"),
+        F.sum(F.when(F.col("td_y1") > F.col("td_y2"),
+          dec(F.col("td_c1")) * dec(F.col("td_c2")))
+          .otherwise(dec(F.lit(0L)))).as("td_disc"))
+    val j = tot.crossJoin(margX).crossJoin(margY).crossJoin(pairs)
+    // undivided pair counts: P = n(n−1), T = Σc(c−1) — exact decimals
+    val p2 = dec(F.col("td_n")) * dec(F.col("td_n") - F.lit(1L))
+    val denomX = (p2 - F.col("td_tx2")).cast("double")
+    val denomY = (p2 - F.col("td_ty2")).cast("double")
+    val num = F.col("td_conc").cast("double") -
+      F.col("td_disc").cast("double")
+    j.select(
+      F.col("td_n").as("n"), F.col("td_cells").as("n_cells"),
+      F.col("td_conc").cast("long").as("concordant"),
+      F.col("td_disc").cast("long").as("discordant"),
+      (F.col("td_tx2") / F.lit(2L)).cast("long").as("ties_x"),
+      (F.col("td_ty2") / F.lit(2L)).cast("long").as("ties_y"),
+      F.when(denomX > 0.0d && denomY > 0.0d,
+        F.lit(2.0d) * num / F.sqrt(denomX * denomY)).as("tau_b"))
+  }
+
+  /** Quantile treatment effect — the DISTRIBUTIONAL A/B readout next
+    * to the mean ([[welchT]]) and rank ([[mannWhitneyU]]) faces: at
+    * each requested quantile, variant A's exact order statistic minus
+    * B's ("the p90 moved +12 even though the median didn't"). Exact
+    * per-variant order statistics at k = max(1, ceil(q·n)) via
+    * [[graft.operators.Quantiles.exactQuantilesByGroup]] (variant =
+    * group — the hot-group fallback routes giant variants through ONE
+    * composite range shuffle), then one bounded per-q 2-struct sorted
+    * fold. ≠2 observed variants answer NULL shift with the per-variant
+    * values that did arrive. Pass tiebreaker columns for fully pinned
+    * order statistics on tied values. Output: (q, variant_a,
+    * variant_b, value_a, value_b, shift) ascending by q. */
+  def quantileShift(df: DataFrame, variantCol: String, valueCol: String,
+      qs: Seq[Double], tiebreakers: Seq[String] = Nil): DataFrame = {
+    val v = F.col(variantCol).cast("string")
+    val clean = df.where(v.isNotNull)
+      .select(v.as("td_v") +: F.col(valueCol).as("td_x") +:
+        tiebreakers.map(F.col): _*)
+    val quants = graft.operators.Quantiles.exactQuantilesByGroup(
+      clean, "td_v", "td_x", qs, tiebreakers = tiebreakers)
+    val packed = quants.groupBy(F.col("q"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_v"), F.col("value")))).as("td_l"))
+    val l = F.col("td_l")
+    def fld(i: Int, f: String) = F.try_element_at(l, F.lit(i)).getField(f)
+    val ok = F.size(l) === 2
+    packed.select(F.col("q"),
+        fld(1, "td_v").as("variant_a"), fld(2, "td_v").as("variant_b"),
+        fld(1, "value").cast("double").as("value_a"),
+        fld(2, "value").cast("double").as("value_b"),
+        F.when(ok, fld(1, "value").cast("double") -
+          fld(2, "value").cast("double")).as("shift"))
+      .orderBy(F.col("q").asc)
+  }
 }

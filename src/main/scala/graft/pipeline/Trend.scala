@@ -303,4 +303,125 @@ object Trend {
           .as("forecast"))
       .orderBy(F.col("group").asc)
   }
+
+  /** Per-group additive Holt–Winters (triple exponential smoothing,
+    * Winters 1960) — [[holtLinear]] plus a SEASONAL state, the weekly-
+    * shape-aware forecaster ([[graft.pipeline.Report.seasonalDaily]]
+    * reads the shape, this one forecasts THROUGH it). Init from the
+    * first two periods — l₀ = mean(x₁..x_p), b₀ = (Σ₂ − Σ₁)/p²,
+    * s_i = x_i − l₀ — then the recursion consumes t = 2p+1..n with the
+    * seasonal state as a ROTATING list (head = s_{t−p}, the slot due
+    * now; each step drops the head and appends the refreshed slot):
+    * l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(x_t − l_t) + (1−γ)s_{t−p}, complements stated as
+    * subtractions, the fold pinned ascending by t (an exact-replay
+    * recursion like [[holtLinear]]'s, DuckDB side as a RECURSIVE CTE).
+    * The grid must be dense per group (quantize + fill upstream — a
+    * gap would rotate seasons out of phase). Groups with n < 2p have
+    * no second init period and answer NULL states with their observed
+    * n. Forecast h ahead reads l + h·b + the (((h−1) mod p)+1)-th slot
+    * of the final rotated list. Output: (group, n, level, trend,
+    * season_next, forecast) ascending by group. */
+  def holtWinters(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int, horizon: Int = 1): DataFrame = {
+    require(alpha > 0.0d && alpha <= 1.0d, s"alpha in (0,1], got $alpha")
+    require(beta >= 0.0d && beta <= 1.0d, s"beta in [0,1], got $beta")
+    require(gamma >= 0.0d && gamma <= 1.0d, s"gamma in [0,1], got $gamma")
+    require(period >= 2, s"period >= 2, got $period")
+    require(horizon >= 1, s"horizon >= 1, got $horizon")
+    val p = period
+    val clean = cleanSeries(df, groupCol, tCol, xCol)
+    val packed = clean.groupBy(F.col("td_g"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        F.col("td_t"), F.col("td_x")))).as("td_l"))
+    val l = F.col("td_l")
+    val xs = F.transform(l, e => e.getField("td_x"))
+    def foldSum(arr: Column) =
+      F.aggregate(arr, F.lit(0.0d), (a, x) => a + x)
+    val l0 = foldSum(F.slice(xs, 1, p)) / F.lit(p.toDouble)
+    val b0 = (foldSum(F.slice(xs, p + 1, p)) - foldSum(F.slice(xs, 1, p))) /
+      F.lit(p.toDouble * p.toDouble)
+    val s0 = F.transform(F.slice(xs, 1, p), x => x - l0)
+    val zero = F.struct(l0.as("l"), b0.as("b"), s0.as("s"))
+    val rest = F.slice(xs, F.lit(2 * p + 1),
+      F.greatest(F.lit(0), F.size(xs) - F.lit(2 * p)))
+    val folded = F.aggregate(rest, zero, (acc, x) => {
+      val sh = F.element_at(acc.getField("s"), 1)
+      val nl = F.lit(alpha) * (x - sh) +
+        F.lit(1.0d - alpha) * (acc.getField("l") + acc.getField("b"))
+      val nb = F.lit(beta) * (nl - acc.getField("l")) +
+        F.lit(1.0d - beta) * acc.getField("b")
+      val ns = F.lit(gamma) * (x - nl) + F.lit(1.0d - gamma) * sh
+      F.struct(nl.as("l"), nb.as("b"),
+        F.concat(F.slice(acc.getField("s"), 2, p - 1), F.array(ns))
+          .as("s"))
+    })
+    val ok = F.size(l) >= 2 * p
+    val fIdx = ((horizon - 1) % p) + 1
+    packed.where(F.size(l) > 0)
+      .withColumn("td_f", F.when(ok, folded))
+      .select(F.col("td_g").as("group"),
+        F.size(l).cast("long").as("n"),
+        F.col("td_f").getField("l").as("level"),
+        F.col("td_f").getField("b").as("trend"),
+        F.element_at(F.col("td_f").getField("s"), 1).as("season_next"),
+        (F.col("td_f").getField("l") +
+          F.lit(horizon.toDouble) * F.col("td_f").getField("b") +
+          F.element_at(F.col("td_f").getField("s"), fIdx))
+          .as("forecast"))
+      .orderBy(F.col("group").asc)
+  }
+
+  /** Per-group simple OLS of x on t — the PARAMETRIC trend face next
+    * to [[theilSen]]'s robust slope and [[mannKendall]]'s rank test:
+    * slope, intercept, R², and the slope's t-statistic in one keyed
+    * pass. The corpus reduces to per-group (n, Σfp(t), Σfp(x),
+    * Σfp(t²), Σfp(x²), Σfp(tx)) — per-row 2^20 fixed-point images
+    * summed in DECIMAL(38,0), so both engines state identical doubles
+    * — then the finishing sequence per group, each op stated once:
+    * mt = Σt/n, mx = Σx/n, stt = Σt² − n·mt², sxx = Σx² − n·mx²,
+    * stx = Σtx − n·mt·mx, slope = stx/stt, intercept = mx − slope·mt,
+    * r2 = stx²/(stt·sxx), mse = (sxx − slope·stx)/(n−2),
+    * se = √(mse/stt), t_stat = slope/se. Centered-moment cancellation
+    * is deterministic (identical doubles both sides) but still real:
+    * feed a SMALL t origin (days since the corpus epoch, not raw unix
+    * days). Groups with n < 3, zero stt, or mse ≤ 0 answer NULL
+    * slope-inference honestly (slope itself needs only stt > 0).
+    * Domain: |t|, |x| ≤ 2^21 and |t·x| ≤ 2^42. Output: (group, n,
+    * slope, intercept, r2, se_slope, t_stat) ascending by group. */
+  def olsByGroup(df: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val clean = cleanSeries(df, groupCol, tCol, xCol)
+    def fp(c: Column) = F.floor(c * F.lit(1048576.0d) + F.lit(0.5d))
+      .cast("decimal(38,0)")
+    val t = F.col("td_t").cast("double")
+    val x = F.col("td_x")
+    val agg = clean.groupBy(F.col("td_g"))
+      .agg(F.count(F.lit(1)).as("td_n"),
+        F.sum(fp(t)).as("td_st"), F.sum(fp(x)).as("td_sx"),
+        F.sum(fp(t * t)).as("td_stt"), F.sum(fp(x * x)).as("td_sxx"),
+        F.sum(fp(t * x)).as("td_stx"))
+    def un(c: Column) = c.cast("double") / F.lit(1048576.0d)
+    val nD = F.col("td_n").cast("double")
+    val mt = un(F.col("td_st")) / nD
+    val mx = un(F.col("td_sx")) / nD
+    val stt = un(F.col("td_stt")) - nD * mt * mt
+    val sxx = un(F.col("td_sxx")) - nD * mx * mx
+    val stx = un(F.col("td_stx")) - nD * mt * mx
+    val slope = F.when(stt > 0.0d, stx / stt)
+    val mse = F.when(F.col("td_n") >= 3L && stt > 0.0d,
+      (sxx - slope * stx) / (nD - F.lit(2.0d)))
+    val okInf = F.col("td_n") >= 3L && stt > 0.0d && mse > 0.0d
+    agg.select(F.col("td_g").as("group"),
+        F.col("td_n").as("n"),
+        slope.as("slope"),
+        F.when(stt > 0.0d, mx - slope * mt).as("intercept"),
+        F.when(stt > 0.0d && sxx > 0.0d,
+          (stx * stx) / (stt * sxx)).as("r2"),
+        F.when(okInf, F.sqrt(mse / stt)).as("se_slope"),
+        F.when(okInf, slope / F.sqrt(mse / stt)).as("t_stat"))
+      .orderBy(F.col("group").asc)
+  }
 }

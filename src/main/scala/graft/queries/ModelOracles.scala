@@ -471,6 +471,67 @@ object ModelOracles {
         |      CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END
         |    AS clustering_coeff
         |FROM deg LEFT JOIN pn USING (node) ORDER BY node ASC""".stripMargin,
+    "q_graph_closeness" ->
+      // layered BFS unrolled at maxHops=2: hop-1 pairs, hop-2 minus
+      // seen, exact long Σd and 2^20 fixed-point Σ1/d per node
+      """WITH e0 AS (SELECT DISTINCT
+        |    'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src AS u, dst AS v FROM e0
+        |  UNION SELECT dst AS u, src AS v FROM e0),
+        |d1 AS (SELECT u, v FROM e WHERE u <> v),
+        |h2 AS (SELECT DISTINCT d1.u, e.v
+        |  FROM d1 JOIN e ON d1.v = e.u WHERE d1.u <> e.v),
+        |d2 AS (SELECT u, v FROM h2 WHERE NOT EXISTS
+        |  (SELECT 1 FROM d1 WHERE d1.u = h2.u AND d1.v = h2.v)),
+        |al AS (SELECT u, v, CAST(1 AS BIGINT) AS d FROM d1
+        |  UNION ALL SELECT u, v, CAST(2 AS BIGINT) AS d FROM d2)
+        |SELECT u AS node, CAST(count(*) AS BIGINT) AS n_reach,
+        |  CAST(sum(d) AS BIGINT) AS sum_dist,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness,
+        |  CAST(CAST(sum(CAST(floor((1.0 / CAST(d AS DOUBLE)) * 1048576.0
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1048576.0
+        |    AS harmonic
+        |FROM al GROUP BY u ORDER BY node ASC""".stripMargin,
+    "q_graph_linkpred" ->
+      // canonical edges, degrees, hub-capped pair generation through
+      // shared neighbors, 2^20 fixed-point AA/RA term sums (exact
+      // BIGINT adds, one division back), anti-join on existing edges,
+      // the gate's exact (aa DESC, src, dst) top-100
+      """WITH e0 AS (SELECT DISTINCT
+        |    'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's:' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |adj AS (SELECT z, n, degree AS z_deg FROM
+        |    (SELECT a AS z, b AS n FROM e
+        |     UNION ALL SELECT b AS z, a AS n FROM e)
+        |  JOIN deg ON z = deg.node
+        |  WHERE degree <= 60),
+        |pairs AS (SELECT l.n AS u, r.n AS v,
+        |    CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(CAST(floor((1.0 / ln(CAST(l.z_deg AS DOUBLE)))
+        |      * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS aa_fx,
+        |    CAST(sum(CAST(floor((1.0 / CAST(l.z_deg AS DOUBLE))
+        |      * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS ra_fx
+        |  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT * FROM pairs p WHERE NOT EXISTS
+        |  (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.v))
+        |SELECT ne.u AS src, ne.v AS dst, ne.cn,
+        |  du.degree AS deg_src, dv.degree AS deg_dst,
+        |  CAST(ne.cn AS DOUBLE) /
+        |    CAST(du.degree + dv.degree - ne.cn AS DOUBLE) AS jaccard,
+        |  CAST(ne.aa_fx AS DOUBLE) / 1048576.0 AS aa,
+        |  CAST(ne.ra_fx AS DOUBLE) / 1048576.0 AS ra
+        |FROM ne JOIN deg du ON ne.u = du.node
+        |  JOIN deg dv ON ne.v = dv.node
+        |ORDER BY aa DESC, src ASC, dst ASC LIMIT 100""".stripMargin,
     "q_corr_by_group" ->
       """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
         |    CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y

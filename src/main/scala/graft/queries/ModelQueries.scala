@@ -591,6 +591,22 @@ object ModelQueries {
           F.col("y.l_partkey").as("dst"))
       GraphRank.triangles(e, "src", "dst")
     }),
+    "q_graph_closeness" -> ((s, dir) => {
+      // who sits centrally in the trade graph: exact 2-hop-truncated
+      // closeness + harmonic centrality (the honest bounded cut — an
+      // unbounded exact answer is a full APSP; HyperBall estimates the
+      // same balls past this scale)
+      GraphRank.closenessTruncated(tradeEdges(s, dir), "src", "dst",
+        maxHops = 2)
+    }),
+    "q_graph_linkpred" -> ((s, dir) => {
+      // who should transact next: common-neighbor / Jaccard /
+      // Adamic-Adar scores for the top non-edges of the trade graph —
+      // the hub cap (deg ≤ 60) keeps pair generation off the
+      // highest-degree intermediates, the same maxDf lesson as minhash
+      GraphRank.linkPrediction(tradeEdges(s, dir), "src", "dst",
+        k = 100, maxHubDegree = 60L)
+    }),
     "q_corr_by_group" -> ((s, dir) => {
       // per-returnflag quantity↔price correlation, fully in-plan (the
       // unbounded-group face of q_corr_matrix)

@@ -10,6 +10,19 @@ package graft.queries
   * of the difference — 1.0 − 0.4 is not the double 0.6. */
 object StatsOracles {
 
+  // q_ab_sprt's four ln constants — THE gate's driver-side doubles
+  // (Report.sprtBernoulli computes the identical expressions), embedded
+  // as their EXACT decimal expansions: DuckDB's float parser rounds the
+  // shortest-roundtrip string of some doubles to the adjacent ulp
+  // (measured on ln(0.45/0.55)), but an exactly-representable decimal
+  // parses bit-exact on any engine
+  private def exactLit(x: Double): String =
+    new java.math.BigDecimal(x).toPlainString
+  private val sprtC1 = exactLit(math.log(0.55d / 0.45d))
+  private val sprtC0 = exactLit(math.log((1.0d - 0.55d) / (1.0d - 0.45d)))
+  private val sprtUp = exactLit(math.log((1.0d - 0.2d) / 0.05d))
+  private val sprtLo = exactLit(math.log(0.2d / (1.0d - 0.05d)))
+
   // the q_ab_welch revenue fixture widened to three cohorts
   private val rev3 =
     """u AS (SELECT user_id,
@@ -518,5 +531,425 @@ object StatsOracles {
         |  FROM it WHERE i < n)
         |SELECT g AS "group", n, l AS level, b AS trend,
         |  l + 7.0 * b AS forecast
-        |FROM it WHERE i = n ORDER BY "group" ASC""".stripMargin)
+        |FROM it WHERE i = n ORDER BY "group" ASC""".stripMargin,
+    "q_ab_cuped" ->
+      // one keyed 6-sum fixed-point pass per variant, pooled θ/ρ² from
+      // the exact decimal grand sums, each variant's adjusted moments
+      // restated algebraically from the same sums, Welch t +
+      // Satterthwaite dof — every double op in the gate's exact order
+      """WITH per AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(COALESCE(sum(CASE WHEN (CAST(CAST(ts AS DATE)
+        |          - DATE '1970-01-01' AS BIGINT) % 2) <> 0 THEN
+        |        CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |          AS BIGINT) END), 0) AS DOUBLE) / 1048576.0 AS y,
+        |    CAST(COALESCE(sum(CASE WHEN (CAST(CAST(ts AS DATE)
+        |          - DATE '1970-01-01' AS BIGINT) % 2) = 0 THEN
+        |        CAST(floor(CAST(value AS DOUBLE) * 1048576.0 + 0.5)
+        |          AS BIGINT) END), 0) AS DOUBLE) / 1048576.0 AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY user_id, 2),
+        |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(y * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(floor((y * y) * 1048576.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS syy,
+        |    sum(CAST(floor((x * x) * 1048576.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS sxx,
+        |    sum(CAST(floor((x * y) * 1048576.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS sxy
+        |  FROM per GROUP BY variant),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_variants FROM m),
+        |tp AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(sy) AS DOUBLE) / 1048576.0 AS syd,
+        |    CAST(sum(sx) AS DOUBLE) / 1048576.0 AS sxd,
+        |    CAST(sum(syy) AS DOUBLE) / 1048576.0 AS syyd,
+        |    CAST(sum(sxx) AS DOUBLE) / 1048576.0 AS sxxd,
+        |    CAST(sum(sxy) AS DOUBLE) / 1048576.0 AS sxyd
+        |  FROM m),
+        |po AS (SELECT nt, CAST(nt AS DOUBLE) AS ntd,
+        |    sxd / CAST(nt AS DOUBLE) AS mx, syd / CAST(nt AS DOUBLE) AS my,
+        |    syyd, sxxd, sxyd FROM tp),
+        |ce AS (SELECT *, sxxd - ntd * mx * mx AS sxxc,
+        |    syyd - ntd * my * my AS syyc,
+        |    sxyd - ntd * mx * my AS sxyc FROM po),
+        |th AS (SELECT *, sxyc / sxxc AS theta,
+        |    (sxyc * sxyc) / (sxxc * syyc) AS rho2 FROM ce),
+        |ga AS (SELECT n AS n_a, CAST(n AS DOUBLE) AS nad,
+        |    CAST(sy AS DOUBLE) / 1048576.0 AS sy_a,
+        |    CAST(sx AS DOUBLE) / 1048576.0 AS sx_a,
+        |    CAST(syy AS DOUBLE) / 1048576.0 AS syy_a,
+        |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx_a,
+        |    CAST(sxy AS DOUBLE) / 1048576.0 AS sxy_a
+        |  FROM m WHERE variant = 'A'),
+        |gb AS (SELECT n AS n_b, CAST(n AS DOUBLE) AS nbd,
+        |    CAST(sy AS DOUBLE) / 1048576.0 AS sy_b,
+        |    CAST(sx AS DOUBLE) / 1048576.0 AS sx_b,
+        |    CAST(syy AS DOUBLE) / 1048576.0 AS syy_b,
+        |    CAST(sxx AS DOUBLE) / 1048576.0 AS sxx_b,
+        |    CAST(sxy AS DOUBLE) / 1048576.0 AS sxy_b
+        |  FROM m WHERE variant = 'B'),
+        |ad AS (SELECT nv.n_variants, th.theta, th.rho2, th.mx,
+        |    ga.n_a, ga.nad, gb.n_b, gb.nbd,
+        |    sy_a - th.theta * (sx_a - ga.nad * th.mx) AS sya,
+        |    syy_a - 2.0 * th.theta * (sxy_a - th.mx * sy_a) +
+        |      th.theta * th.theta * (sxx_a - 2.0 * th.mx * sx_a
+        |        + ga.nad * th.mx * th.mx) AS syya,
+        |    sy_b - th.theta * (sx_b - gb.nbd * th.mx) AS syb,
+        |    syy_b - 2.0 * th.theta * (sxy_b - th.mx * sy_b) +
+        |      th.theta * th.theta * (sxx_b - 2.0 * th.mx * sx_b
+        |        + gb.nbd * th.mx * th.mx) AS syyb
+        |  FROM ga, gb, th, nv),
+        |ms AS (SELECT *, sya / nad AS ma, syb / nbd AS mb FROM ad),
+        |vs AS (SELECT *, (syya - nad * ma * ma) / (nad - 1.0) AS s2a,
+        |    (syyb - nbd * mb * mb) / (nbd - 1.0) AS s2b FROM ms),
+        |w AS (SELECT *, s2a / nad AS vna, s2b / nbd AS vnb,
+        |    (s2a / nad) + (s2b / nbd) AS se2 FROM vs)
+        |SELECT n_variants, 'A' AS variant_a, 'B' AS variant_b, n_a, n_b,
+        |  theta, rho2,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |    AND se2 > 0.0 THEN ma END AS mean_adj_a,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |    AND se2 > 0.0 THEN mb END AS mean_adj_b,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |    AND se2 > 0.0 THEN s2a END AS var_adj_a,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |    AND se2 > 0.0 THEN s2b END AS var_adj_b,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |    AND se2 > 0.0 THEN (ma - mb) / sqrt(se2) END AS t,
+        |  CASE WHEN n_variants = 2 AND n_a >= 2 AND n_b >= 2
+        |    AND se2 > 0.0 THEN (se2 * se2) /
+        |    ((vna * vna) / (nad - 1.0) + (vnb * vnb) / (nbd - 1.0))
+        |  END AS dof
+        |FROM w""".stripMargin,
+    "q_ab_mantel_haenszel" ->
+      // per-(stratum, variant) integer cells, per-stratum doubles
+      // stated once and mapped through the 2^20 fixed-point image,
+      // exact BIGINT cross-stratum sums, the two finishing divisions
+      """WITH ev AS (SELECT event_type AS stratum,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    (CAST(value AS DOUBLE) > 34.0) AS conv
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT stratum, variant,
+        |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS succ,
+        |    CAST(sum(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT) AS fail
+        |  FROM ev GROUP BY 1, 2),
+        |allst AS (SELECT CAST(count(DISTINCT stratum) AS BIGINT)
+        |    AS tot_strata FROM cells),
+        |sa AS (SELECT stratum, succ AS a, fail AS b FROM cells
+        |  WHERE variant = 'A'),
+        |sb AS (SELECT stratum, succ AS c, fail AS d FROM cells
+        |  WHERE variant = 'B'),
+        |j AS (SELECT sa.stratum, a, b, c, d, a + b + c + d AS n
+        |  FROM sa JOIN sb USING (stratum)),
+        |u AS (SELECT *, CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+        |    CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM j WHERE n >= 2),
+        |terms AS (SELECT stratum, n, a,
+        |    CAST(floor(((ad + bd) * (ad + cd) / nd) * 1048576.0 + 0.5)
+        |      AS BIGINT) AS e_fx,
+        |    CAST(floor(((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd) /
+        |        (nd * nd * (nd - 1.0))) * 1048576.0 + 0.5)
+        |      AS BIGINT) AS v_fx,
+        |    CAST(floor((ad * dd / nd) * 1048576.0 + 0.5) AS BIGINT)
+        |      AS ad_fx,
+        |    CAST(floor((bd * cd / nd) * 1048576.0 + 0.5) AS BIGINT)
+        |      AS bc_fx
+        |  FROM u),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(a) AS BIGINT) AS sum_a,
+        |    CAST(sum(e_fx) AS BIGINT) AS se_fx,
+        |    CAST(sum(v_fx) AS BIGINT) AS sv_fx,
+        |    CAST(sum(ad_fx) AS BIGINT) AS sad_fx,
+        |    CAST(sum(bc_fx) AS BIGINT) AS sbc_fx
+        |  FROM terms),
+        |fin AS (SELECT n_strata, tot_strata - n_strata AS n_skipped,
+        |    n_total, sum_a, CAST(sum_a AS DOUBLE) AS sum_ad,
+        |    CAST(se_fx AS DOUBLE) / 1048576.0 AS sum_e,
+        |    CAST(sv_fx AS DOUBLE) / 1048576.0 AS sum_v,
+        |    CAST(sad_fx AS DOUBLE) / 1048576.0 AS sum_adn,
+        |    CAST(sbc_fx AS DOUBLE) / 1048576.0 AS sum_bcn
+        |  FROM tt, allst)
+        |SELECT n_strata, n_skipped, n_total, sum_a,
+        |  CASE WHEN n_strata >= 1 THEN sum_e END AS expected_a,
+        |  CASE WHEN n_strata >= 1 THEN sum_v END AS variance,
+        |  CASE WHEN n_strata >= 1 AND sum_v > 0.0 THEN
+        |    (sum_ad - sum_e) * (sum_ad - sum_e) / sum_v END AS chi2,
+        |  CASE WHEN n_strata >= 1 AND sum_bcn > 0.0 THEN
+        |    sum_adn / sum_bcn END AS or_mh
+        |FROM fin""".stripMargin,
+    "q_corr_kendall" ->
+      // bounded cell grid, marginal tie terms, one cell self-join on
+      // x1 < x2, the undivided-pair identity τ = 2(C−D)/√((P−Tx)(P−Ty))
+      """WITH src AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_linenumber AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_linenumber IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM src GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |mx AS (SELECT CAST(sum(CAST(cx AS DECIMAL(38,0)) *
+        |      CAST(cx - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tx2
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS cx FROM cells
+        |        GROUP BY x)),
+        |my AS (SELECT CAST(sum(CAST(cy AS DECIMAL(38,0)) *
+        |      CAST(cy - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ty2
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS cy FROM cells
+        |        GROUP BY y)),
+        |pr AS (SELECT
+        |    CAST(sum(CASE WHEN a.y < b.y THEN
+        |      CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS conc,
+        |    CAST(sum(CASE WHEN a.y > b.y THEN
+        |      CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS disc
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |f AS (SELECT n, n_cells, conc, disc, tx2, ty2,
+        |    CAST(CAST(n AS DECIMAL(38,0)) *
+        |      CAST(n - 1 AS DECIMAL(38,0)) - tx2 AS DOUBLE) AS dx,
+        |    CAST(CAST(n AS DECIMAL(38,0)) *
+        |      CAST(n - 1 AS DECIMAL(38,0)) - ty2 AS DOUBLE) AS dy,
+        |    CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE) AS num
+        |  FROM tot, mx, my, pr)
+        |SELECT n, n_cells, CAST(conc AS BIGINT) AS concordant,
+        |  CAST(disc AS BIGINT) AS discordant,
+        |  CAST(tx2 / 2 AS BIGINT) AS ties_x,
+        |  CAST(ty2 / 2 AS BIGINT) AS ties_y,
+        |  CASE WHEN dx > 0.0 AND dy > 0.0 THEN
+        |    CAST(2.0 AS DOUBLE) * num / sqrt(dx * dy) END AS tau_b
+        |FROM f""".stripMargin,
+    "q_stream_sprt" ->
+      // batch-mode statefulSprt: whole-history prefix LLRs per key in
+      // event_id order, the gate's exact interpolated ln constants,
+      // first-crossing latch, final totals for the emitted llr
+      s"""WITH e AS (SELECT event_type AS key,
+         |    CAST(event_id AS BIGINT) AS seq,
+         |    (CAST(value AS DOUBLE) > 34.0) AS s
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND event_id IS NOT NULL AND value IS NOT NULL),
+         |cum AS (SELECT key, seq,
+         |    CAST(row_number() OVER (PARTITION BY key ORDER BY seq ASC)
+         |      AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY key ORDER BY seq ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS k
+         |  FROM e),
+         |lr AS (SELECT key, seq, n, k,
+         |    CAST(k AS DOUBLE) * CAST($sprtC1 AS DOUBLE) +
+         |      CAST(n - k AS DOUBLE) * CAST($sprtC0 AS DOUBLE) AS llr
+         |  FROM cum),
+         |agg AS (SELECT key, CAST(max(n) AS BIGINT) AS trials,
+         |    CAST(max(k) AS BIGINT) AS successes,
+         |    max_by(llr, seq) AS llr,
+         |    min(CASE WHEN llr >= CAST($sprtUp AS DOUBLE) THEN seq END)
+         |      AS up_s,
+         |    min(CASE WHEN llr <= CAST($sprtLo AS DOUBLE) THEN seq END)
+         |      AS lo_s
+         |  FROM lr GROUP BY key)
+         |SELECT key, trials, successes, llr,
+         |  CASE WHEN up_s IS NOT NULL AND (lo_s IS NULL OR up_s <= lo_s)
+         |      THEN 'accept_h1'
+         |    WHEN lo_s IS NOT NULL THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision,
+         |  CASE WHEN up_s IS NOT NULL AND (lo_s IS NULL OR up_s <= lo_s)
+         |    THEN up_s ELSE lo_s END AS decision_seq
+         |FROM agg ORDER BY key ASC""".stripMargin,
+    "q_fdr_by" ->
+      // the q_fdr_bh machinery with the Benjamini–Yekutieli harmonic
+      // penalty c(m) folded ascending over 1..m (pinned association)
+      """WITH t AS (SELECT event_type || '_' ||
+        |    CAST((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      % 7) AS VARCHAR) AS test_id,
+        |    CAST((sum(user_id) % 9973) + 1 AS DOUBLE) / 10000.0
+        |      AS p_value
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT test_id, p_value,
+        |    CAST(row_number() OVER (ORDER BY p_value ASC, test_id ASC)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM t),
+        |c AS (SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, m + 1),
+        |      i -> CAST(1.0 AS DOUBLE) / CAST(i AS DOUBLE))),
+        |    (a, b) -> a + b) AS cm FROM r),
+        |a AS (SELECT *, cm * CAST(m AS DOUBLE) * p_value /
+        |    CAST(rank AS DOUBLE) AS raw FROM c),
+        |s AS (SELECT *, min(raw) OVER (ORDER BY p_value DESC,
+        |    test_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sufmin FROM a)
+        |SELECT test_id, p_value, rank, least(1.0, sufmin) AS p_adj,
+        |  least(1.0, sufmin) <= 0.2 AS reject
+        |FROM s ORDER BY rank ASC""".stripMargin,
+    "q_trend_holtwinters" ->
+      // three-state recursion with the ROTATING seasonal list →
+      // RECURSIVE CTE stepping the sorted index; nl restated inline
+      // where nb/ns need it (deterministic repetition, the holt rule);
+      // complements as subtractions; n<2p groups answer NULL states
+      """WITH RECURSIVE dc AS (SELECT event_type AS g,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    list(x ORDER BY t) AS xs
+        |  FROM dc GROUP BY g),
+        |init AS (SELECT g, n, xs,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs[1:7]),
+        |      (a, b) -> a + b) / 7.0 AS l0,
+        |    (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs[8:14]),
+        |        (a, b) -> a + b)
+        |      - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs[1:7]),
+        |        (a, b) -> a + b)) / 49.0 AS b0
+        |  FROM p WHERE n >= 14),
+        |it AS (
+        |  SELECT g, n, xs, CAST(14 AS BIGINT) AS i, l0 AS l,
+        |    b0 AS b, list_transform(xs[1:7], x -> x - l0) AS s
+        |  FROM init
+        |  UNION ALL
+        |  SELECT g, n, xs, i + 1,
+        |    CAST(0.4 AS DOUBLE) * (xs[i + 1] - s[1]) +
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.4 AS DOUBLE)) * (l + b),
+        |    CAST(0.2 AS DOUBLE) *
+        |      ((CAST(0.4 AS DOUBLE) * (xs[i + 1] - s[1]) +
+        |        (CAST(1.0 AS DOUBLE) - CAST(0.4 AS DOUBLE)) * (l + b))
+        |       - l) +
+        |      (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * b,
+        |    list_concat(s[2:7],
+        |      [CAST(0.3 AS DOUBLE) * (xs[i + 1] -
+        |        (CAST(0.4 AS DOUBLE) * (xs[i + 1] - s[1]) +
+        |          (CAST(1.0 AS DOUBLE) - CAST(0.4 AS DOUBLE)) * (l + b)))
+        |        + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * s[1]])
+        |  FROM it WHERE i < n)
+        |SELECT g AS "group", n, l AS level, b AS trend,
+        |  s[1] AS season_next, l + 7.0 * b + s[7] AS forecast
+        |FROM it WHERE i = n
+        |UNION ALL
+        |SELECT g AS "group", n, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM p WHERE n < 14
+        |ORDER BY "group" ASC""".stripMargin,
+    "q_ab_sprt" ->
+      // integer prefix sums over the per-group day grid; the four ln
+      // constants are the gate's DRIVER-COMPUTED literals interpolated
+      // in (JVM Math.log vs DuckDB libm differ in the last ulp, and
+      // the cumulative-k multiplier amplifies it); first-crossing
+      // selection — the gate's algebra
+      s"""WITH grid AS (SELECT event_type AS g,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN CAST(value AS DOUBLE) > 34.0 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS k
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT g, t,
+        |    sum(n) OVER (PARTITION BY g ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(k) OVER (PARTITION BY g ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+        |  FROM grid),
+        |lr AS (SELECT g, t, cn, ck,
+        |    CAST(ck AS DOUBLE) * CAST($sprtC1 AS DOUBLE) +
+        |      CAST(cn - ck AS DOUBLE) * CAST($sprtC0 AS DOUBLE) AS llr
+        |  FROM cum),
+        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_t,
+        |    CAST(max(cn) AS BIGINT) AS trials,
+        |    CAST(max(ck) AS BIGINT) AS successes,
+        |    max_by(llr, t) AS llr_final,
+        |    min(CASE WHEN llr >= CAST($sprtUp AS DOUBLE) THEN t END)
+        |      AS up_t,
+        |    min(CASE WHEN llr <= CAST($sprtLo AS DOUBLE) THEN t END)
+        |      AS lo_t
+        |  FROM lr GROUP BY g)
+        |SELECT g AS "group", n_t, trials, successes, llr_final,
+        |  CASE WHEN up_t IS NOT NULL AND (lo_t IS NULL OR up_t <= lo_t)
+        |      THEN 'accept_h1'
+        |    WHEN lo_t IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision,
+        |  CASE WHEN up_t IS NOT NULL AND (lo_t IS NULL OR up_t <= lo_t)
+        |    THEN up_t ELSE lo_t END AS decision_t
+        |FROM agg ORDER BY "group" ASC""".stripMargin,
+    "q_ab_quantile_shift" ->
+      // exact per-variant order statistics at k = max(1, ceil(q·n))
+      // with the user_id tiebreak, A/B pivot, one stated subtraction
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1048576.0
+        |      AS revenue
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, 2),
+        |s AS (SELECT variant, revenue, user_id,
+        |    row_number() OVER (PARTITION BY variant
+        |      ORDER BY revenue, user_id) AS rk,
+        |    count(*) OVER (PARTITION BY variant) AS n
+        |  FROM u),
+        |qv AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+        |    AS q),
+        |hits AS (SELECT variant, q, revenue FROM s JOIN qv
+        |  ON s.rk = GREATEST(1, CAST(ceil(q * n) AS BIGINT))),
+        |a AS (SELECT q, revenue AS value_a FROM hits
+        |  WHERE variant = 'A'),
+        |b AS (SELECT q, revenue AS value_b FROM hits
+        |  WHERE variant = 'B')
+        |SELECT a.q, 'A' AS variant_a, 'B' AS variant_b,
+        |  CAST(a.value_a AS DOUBLE) AS value_a,
+        |  CAST(b.value_b AS DOUBLE) AS value_b,
+        |  CAST(a.value_a AS DOUBLE) - CAST(b.value_b AS DOUBLE) AS shift
+        |FROM a JOIN b USING (q) ORDER BY a.q ASC""".stripMargin,
+    "q_trend_ols" ->
+      // per-group 6-sum fixed-point pass over the exact daily-revenue
+      // grid, then the gate's finishing sequence: centered moments,
+      // slope/intercept/R², MSE and the slope t — each double op once
+      """WITH dser AS (SELECT event_type AS g,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS t,
+        |    CAST(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1048576.0 AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(floor(CAST(t AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS s_t,
+        |    sum(CAST(floor(x * 1048576.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS s_x,
+        |    sum(CAST(floor((CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+        |      * 1048576.0 + 0.5) AS DECIMAL(38,0))) AS s_tt,
+        |    sum(CAST(floor((x * x) * 1048576.0 + 0.5) AS DECIMAL(38,0)))
+        |      AS s_xx,
+        |    sum(CAST(floor((CAST(t AS DOUBLE) * x) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS s_tx
+        |  FROM dser GROUP BY g),
+        |f AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    (CAST(s_t AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE) AS mt,
+        |    (CAST(s_x AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE) AS mx,
+        |    CAST(s_tt AS DOUBLE) / 1048576.0 AS std,
+        |    CAST(s_xx AS DOUBLE) / 1048576.0 AS sxd,
+        |    CAST(s_tx AS DOUBLE) / 1048576.0 AS stxd
+        |  FROM m),
+        |ce AS (SELECT *, std - nd * mt * mt AS ctt,
+        |    sxd - nd * mx * mx AS cxx,
+        |    stxd - nd * mt * mx AS ctx FROM f),
+        |sl AS (SELECT *, CASE WHEN ctt > 0.0 THEN ctx / ctt END AS slope
+        |  FROM ce),
+        |ms AS (SELECT *, CASE WHEN n >= 3 AND ctt > 0.0 THEN
+        |    (cxx - slope * ctx) / (nd - 2.0) END AS mse FROM sl)
+        |SELECT g AS "group", n, slope,
+        |  CASE WHEN ctt > 0.0 THEN mx - slope * mt END AS intercept,
+        |  CASE WHEN ctt > 0.0 AND cxx > 0.0 THEN
+        |    (ctx * ctx) / (ctt * cxx) END AS r2,
+        |  CASE WHEN n >= 3 AND ctt > 0.0 AND mse > 0.0 THEN
+        |    sqrt(mse / ctt) END AS se_slope,
+        |  CASE WHEN n >= 3 AND ctt > 0.0 AND mse > 0.0 THEN
+        |    slope / sqrt(mse / ctt) END AS t_stat
+        |FROM ms ORDER BY "group" ASC""".stripMargin)
 }

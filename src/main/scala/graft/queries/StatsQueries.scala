@@ -226,5 +226,146 @@ object StatsQueries {
         .agg(F.count(F.lit(1)).cast("double").as("cnt"))
       Trend.holtLinear(daily, "etype", "day_num", "cnt",
         alpha = 0.4d, beta = 0.2d, horizon = 7)
+    }),
+    "q_ab_cuped" -> ((s, dir) => {
+      // CUPED: per-user ODD-day revenue (the experiment metric)
+      // adjusted by EVEN-day revenue (the pre-period covariate) before
+      // the Welch readout — the variance-reduction face of q_ab_welch
+      // on the same cohorts. Both sides are exact fixed-point per-user
+      // totals re-scaled to original units; users active on only one
+      // side contribute 0 on the silent side (the COALESCE rule)
+      val day = F.unix_date(F.to_date(F.col("ts"))).cast("long")
+      val fpv = F.floor(F.col("value").cast("double") *
+        F.lit(1048576.0d) + F.lit(0.5d)).cast("long")
+      val per = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull &&
+          F.col("ts").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg(
+          (F.coalesce(F.sum(F.when(day % 2 =!= 0L, fpv)), F.lit(0L))
+            .cast("double") / F.lit(1048576.0d)).as("metric"),
+          (F.coalesce(F.sum(F.when(day % 2 === 0L, fpv)), F.lit(0L))
+            .cast("double") / F.lit(1048576.0d)).as("covariate"))
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("metric"), F.col("covariate"))
+      Report.cupedT(per, "variant", "metric", "covariate")
+    }),
+    "q_ab_mantel_haenszel" -> ((s, dir) => {
+      // stratified conversion test: did even-id users' events clear the
+      // value bar more often than odd-id users', CONTROLLING for
+      // event_type — the Simpson's-paradox-proof pooled readout next to
+      // the per-slice q_ab_welch_sliced family
+      val ev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull &&
+          F.col("event_type").isNotNull)
+        .select(F.col("event_type").as("stratum"),
+          F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"),
+          (F.col("value") > 34.0d).as("converted"))
+      Report.mantelHaenszel(ev, "stratum", "variant", "converted")
+    }),
+    "q_corr_kendall" -> ((s, dir) => {
+      // ordinal association: do larger order lines carry larger
+      // quantities — Kendall τ-b over the bounded (quantity, line#)
+      // cell grid, tie-corrected (both columns are small-ordinal, so
+      // Spearman's midranks and χ²'s order-blindness both mislead)
+      Report.kendallTauB(d(s, dir, "lineitem"), "l_quantity",
+        "l_linenumber")
+    }),
+    "q_stream_sprt" -> ((s, dir) => {
+      // the sequential test as a LIVE monitor: per event type the
+      // latched Wald decision through the custom-state escape hatch —
+      // in batch mode the fold consumes the whole history in event_id
+      // order, so the oracle replays the prefix LLRs exactly
+      import s.implicits._
+      val ev = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull &&
+          F.col("event_id").isNotNull && F.col("value").isNotNull)
+        .select(F.col("event_type").as("k"),
+          F.col("event_id").cast("long").as("seq"),
+          (F.col("value") > 34.0d).as("s"))
+        .as[(String, Long, Boolean)]
+      graft.streaming.Streams.statefulSprt(ev, p0 = 0.45d, p1 = 0.55d,
+          alpha = 0.05d, beta = 0.2d)
+        .toDF()
+        .select(F.col("key"), F.col("trials"), F.col("successes"),
+          F.col("llr"), F.col("decision"),
+          F.col("decisionSeq").as("decision_seq"))
+        .orderBy("key")
+    }),
+    "q_fdr_by" -> ((s, dir) => {
+      // Benjamini–Yekutieli on the identical 35-test fixture: the
+      // dependence-proof correction — the harmonic penalty c(m)
+      // shrinks the q_fdr_bh reject set when slices share the corpus
+      val tests = d(s, dir, "events")
+        .where(F.col("ts").isNotNull && F.col("user_id").isNotNull &&
+          F.col("event_type").isNotNull)
+        .groupBy(F.concat(F.col("event_type"), F.lit("_"),
+          (F.unix_date(F.to_date(F.col("ts"))).cast("long") % 7L)
+            .cast("string")).as("test_id"))
+        .agg((((F.sum(F.col("user_id")) % 9973L) + 1L).cast("double") /
+          F.lit(10000.0d)).as("p_value"))
+      Report.byFdr(tests, "test_id", "p_value", alpha = 0.2d)
+    }),
+    "q_trend_holtwinters" -> ((s, dir) => {
+      // weekly-seasonal forecast per event type: additive Holt-Winters
+      // over daily counts (p=7, the q_seasonal_daily shape forecast
+      // THROUGH), 7-day-ahead readout — the dense 30-day grid gives
+      // two init periods + 16 recursion steps
+      val daily = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull && F.col("ts").isNotNull)
+        .groupBy(F.col("event_type").as("etype"),
+          F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+        .agg(F.count(F.lit(1)).cast("double").as("cnt"))
+      Trend.holtWinters(daily, "etype", "day_num", "cnt",
+        alpha = 0.4d, beta = 0.2d, gamma = 0.3d, period = 7,
+        horizon = 7)
+    }),
+    "q_ab_sprt" -> ((s, dir) => {
+      // sequential testing per event type: on which day could the
+      // conversion experiment have stopped — Wald boundaries at
+      // α=.05/β=.2 over the daily (trials, conversions) grid, H0
+      // p=.45 vs H1 p=.55 around the corpus's ~.5 clear rate
+      val ev = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull && F.col("ts").isNotNull &&
+          F.col("value").isNotNull)
+        .select(F.col("event_type").as("etype"),
+          F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"),
+          (F.col("value") > 34.0d).as("converted"))
+      Report.sprtBernoulli(ev, "etype", "day_num", "converted",
+        p0 = 0.45d, p1 = 0.55d, alpha = 0.05d, beta = 0.2d)
+    }),
+    "q_ab_quantile_shift" -> ((s, dir) => {
+      // distributional A/B: did the p90 move even if the median
+      // didn't — exact per-variant order statistics on the q_ab_welch
+      // revenue cohorts, user_id-pinned tiebreak
+      val rev = d(s, dir, "events")
+        .where(F.col("user_id").isNotNull && F.col("value").isNotNull)
+        .groupBy(F.col("user_id"))
+        .agg((F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+          F.lit(1048576.0d)).as("revenue"))
+        .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), F.col("revenue"), F.col("user_id"))
+      Report.quantileShift(rev, "variant", "revenue",
+        qs = Seq(0.25d, 0.5d, 0.75d, 0.9d), tiebreakers = Seq("user_id"))
+    }),
+    "q_trend_ols" -> ((s, dir) => {
+      // parametric trend per event type: OLS slope/R²/t over the exact
+      // fixed-point daily revenue series — the least-squares companion
+      // of q_trend_theilsen's median-of-slopes on the same grid. Day
+      // index is days since the corpus epoch (small t origin: the
+      // centered-moment arithmetic is deterministic but feed it small
+      // coordinates anyway)
+      val daily = d(s, dir, "events")
+        .where(F.col("event_type").isNotNull && F.col("ts").isNotNull &&
+          F.col("value").isNotNull)
+        .groupBy(F.col("event_type").as("etype"),
+          F.datediff(F.to_date(F.col("ts")),
+            F.to_date(F.lit("2024-01-01"))).cast("long").as("day_idx"))
+        .agg((F.sum(F.floor(F.col("value").cast("double") *
+            F.lit(1048576.0d) + F.lit(0.5d)).cast("long")).cast("double") /
+          F.lit(1048576.0d)).as("rev"))
+      Trend.olsByGroup(daily, "etype", "day_idx", "rev")
     }))
 }

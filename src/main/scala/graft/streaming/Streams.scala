@@ -879,6 +879,72 @@ object Streams {
       }
   }
 
+  final case class SprtUpdate(key: String, trials: Long, successes: Long,
+    llr: Double, decision: String, decisionSeq: Option[Long])
+  final case class SprtState(trials: Long, successes: Long,
+    decision: String, decisionSeq: Long, lastMs: Long)
+
+  /** Keyed ONLINE sequential test (Wald's SPRT) via
+    * flatMapGroupsWithState — the streaming face of
+    * [[graft.pipeline.Report.sprtBernoulli]]: per key the cumulative
+    * (trials, successes) integers, the LLR restated per arriving row
+    * (rows folded ascending `seq`), and the decision LATCHED at the
+    * first boundary crossing — a sequential test stops; later rows
+    * keep counting for observability but never flip the verdict. The
+    * four ln constants are computed once driver-side (the same
+    * literals as the batch face — engines replaying this fold must
+    * embed them, not re-derive via their libm). State per key is two
+    * longs + the latched verdict + a stamp; same TTL contract as
+    * [[statefulMoments]]. Emitted per key per batch: (key, trials,
+    * successes, llr, decision ∈ accept_h1|accept_h0|continue,
+    * decisionSeq — the crossing row's seq, None while `continue`). */
+  def statefulSprt(ds: Dataset[(String, Long, Boolean)], p0: Double,
+      p1: Double, alpha: Double = 0.05d, beta: Double = 0.2d,
+      stateTtlMs: Option[Long] = None): Dataset[SprtUpdate] = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0, p1 in (0,1) and distinct: $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha, beta in (0,1): $alpha, $beta")
+    val c1 = math.log(p1 / p0)
+    val c0 = math.log((1.0d - p1) / (1.0d - p0))
+    val upper = math.log((1.0d - beta) / alpha)
+    val lower = math.log(beta / (1.0d - alpha))
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SprtState, SprtUpdate](
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[SprtState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (key, rows, state: GroupState[SprtState]) =>
+          val now = stateTtlMs.map(_ => state.getCurrentProcessingTimeMs())
+            .getOrElse(0L)
+          val prev = state.getOption
+            .filter(s => stateTtlMs.forall(t => now - s.lastMs <= t))
+            .getOrElse(SprtState(0L, 0L, "", -1L, now))
+          var n = prev.trials; var k = prev.successes
+          var decision = prev.decision; var decSeq = prev.decisionSeq
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            n += 1
+            if (r._3) k += 1
+            if (decision.isEmpty) {
+              val llr = k.toDouble * c1 + (n - k).toDouble * c0
+              if (llr >= upper) { decision = "accept_h1"; decSeq = r._2 }
+              else if (llr <= lower) { decision = "accept_h0"; decSeq = r._2 }
+            }
+          }
+          state.update(SprtState(n, k, decision, decSeq, now))
+          stateTtlMs.foreach(state.setTimeoutDuration)
+          val llr = k.toDouble * c1 + (n - k).toDouble * c0
+          Iterator.single(SprtUpdate(key, n, k, llr,
+            if (decision.isEmpty) "continue" else decision,
+            if (decision.isEmpty) None else Some(decSeq)))
+      }
+  }
+
   def runningTotals(ds: Dataset[(String, Double)],
       stateTtlMs: Option[Long] = None): Dataset[SessionUpdate] = {
     import ds.sparkSession.implicits._

@@ -421,6 +421,31 @@ object ScalingProbe {
           .select(F.col("x.doc_id").as("src"), F.col("y.doc_id").as("dst"))
         graft.pipeline.GraphRank.triangles(e, "src", "dst").count()
       }),
+      ("closeness", 100, { d =>
+        // chain blocks again: the 2-hop pair relation is ≤ 2 pairs per
+        // node regardless of n — layers grow linearly, rounds fixed
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        graft.pipeline.GraphRank.closenessTruncated(e0, "src", "dst",
+          maxHops = 2).count()
+      }),
+      ("linkpred", 100, { d =>
+        // chain blocks (path graphs): non-edge candidate pairs (i, i+2)
+        // grow linearly with n while every intermediate has degree ≤ 2
+        // — pair generation, the only quadratic-in-degree term, stays
+        // bounded by construction (the hub cap enforces this on real
+        // graphs)
+        val ids = d.select("doc_id")
+        val e0 = ids.as("a").join(ids.as("b"),
+            F.col("b.doc_id") === F.col("a.doc_id") + 1 &&
+              F.col("a.doc_id") % 100 =!= 99)
+          .select(F.col("a.doc_id").as("src"), F.col("b.doc_id").as("dst"))
+        graft.pipeline.GraphRank.linkPrediction(e0, "src", "dst",
+          k = 100).count()
+      }),
       ("ppr", 100, { d =>
         // pagerank's shape + a broadcast seed flag: 3 damped iterations
         // with the teleport restricted to every 100th node
@@ -676,6 +701,38 @@ object ScalingProbe {
             .as("variant"), F.col("revenue"))
         graft.pipeline.Report.welchT(rev, "variant", "revenue").count()
       }),
+      ("cuped", 100, { e =>
+        // the welch shape with a 6-sum pass: one keyed fixed-point
+        // moments pass (y, x, y², x², xy), pooled θ + adjusted moments
+        // all from the same two variant rows — no second corpus pass
+        val day = F.unix_date(F.to_date(F.col("ts"))).cast("long")
+        val fpv = F.floor(F.col("value").cast("double") *
+          F.lit(1048576.0d) + F.lit(0.5d)).cast("long")
+        val per = e.where(F.col("user_id").isNotNull &&
+            F.col("value").isNotNull && F.col("ts").isNotNull)
+          .groupBy(F.col("user_id"))
+          .agg(
+            (F.coalesce(F.sum(F.when(day % 2 =!= 0L, fpv)), F.lit(0L))
+              .cast("double") / F.lit(1048576.0d)).as("metric"),
+            (F.coalesce(F.sum(F.when(day % 2 === 0L, fpv)), F.lit(0L))
+              .cast("double") / F.lit(1048576.0d)).as("covariate"))
+          .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+            .as("variant"), F.col("metric"), F.col("covariate"))
+        graft.pipeline.Report.cupedT(per, "variant", "metric", "covariate")
+          .count()
+      }),
+      ("mantel_haenszel", 100, { e =>
+        // one (stratum, variant)-keyed integer-cell pass, bounded
+        // per-stratum folds, one global long-sum agg
+        val ev = e.where(F.col("user_id").isNotNull &&
+            F.col("value").isNotNull && F.col("event_type").isNotNull)
+          .select(F.col("event_type").as("stratum"),
+            F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+              .as("variant"),
+            (F.col("value") > 34.0d).as("conv"))
+        graft.pipeline.Report.mantelHaenszel(ev, "stratum", "variant",
+          "conv").count()
+      }),
       ("cliffs_delta", 100, { e =>
         // mannwhitney's single ranked pass without the tie fold
         val rev = e.where(F.col("user_id").isNotNull && F.col("value").isNotNull)
@@ -829,7 +886,22 @@ object ScalingProbe {
         graft.pipeline.Trend.mannKendall(daily, "etype", "day_num", "rev")
           .count() +
           graft.pipeline.Trend.theilSen(daily, "etype", "day_num", "rev")
+            .count() +
+          // the parametric face shares the grid: one keyed 6-sum pass
+          graft.pipeline.Trend.olsByGroup(daily, "etype", "day_num", "rev")
             .count()
+      }),
+      ("holtwinters", 100, { e =>
+        // the holt/acf grid shape + the rotating-list fold: corpus →
+        // bounded daily grid in one keyed agg, recursion grid-sized
+        val daily = e.where(F.col("event_type").isNotNull &&
+            F.col("ts").isNotNull)
+          .groupBy(F.col("event_type").as("etype"),
+            F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+          .agg(F.count(F.lit(1)).cast("double").as("cnt"))
+        graft.pipeline.Trend.holtWinters(daily, "etype", "day_num",
+          "cnt", alpha = 0.4d, beta = 0.2d, gamma = 0.3d, period = 7,
+          horizon = 7).count()
       }),
       ("isotonic", 100, { e =>
         // one linear binning agg; the O(bins^3) minimax runs on the

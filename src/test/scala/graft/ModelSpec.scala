@@ -239,6 +239,58 @@ class ModelSpec extends AnyFunSuite {
     assert(after.size <= 1, s"triangles leaked ${after.size} caches")
   }
 
+  test("closenessTruncated: exact bounded distances, min-dist, no-out rule") {
+    import spark.implicits._
+    // directed path a→b→c→d at maxHops=2
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val rs = GraphRank.closenessTruncated(path, "src", "dst", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rs("a").getLong(1) == 2L && rs("a").getLong(2) == 3L)
+    assert(rs("a").getDouble(3) == 2.0 / 3.0)
+    assert(rs("a").getDouble(4) == 1.5) // 1/1 + 1/2, exact images
+    assert(rs("c").getLong(1) == 1L && rs("c").getDouble(4) == 1.0)
+    // d has no out-edges → zero reach → absent from the readout
+    assert(!rs.contains("d"))
+    // shortcut wins: a→b→c AND a→c directly → c at distance 1
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val a = GraphRank.closenessTruncated(tri, "src", "dst", maxHops = 2)
+      .collect().find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 2L && a.getLong(2) == 2L && a.getDouble(4) == 2.0)
+    // 2-cycle: the round trip back to yourself is NOT a reach
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val c = GraphRank.closenessTruncated(cyc, "src", "dst", maxHops = 2)
+      .collect()
+    assert(c.length == 2 && c.forall(_.getLong(1) == 1L))
+  }
+
+  test("linkPrediction: square fixture scores, edge exclusion, hub cap") {
+    import spark.implicits._
+    // square a-b-c-d-a: the only non-edge pairs are the two diagonals,
+    // each with BOTH off-diagonal corners as common neighbors
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val rs = GraphRank.linkPrediction(sq, "src", "dst").collect()
+    assert(rs.length == 2)
+    val aaTerm =
+      math.floor(1.0 / math.log(2.0) * 1048576.0 + 0.5) / 1048576.0
+    for (r <- rs) {
+      assert(Set(("a", "c"), ("b", "d"))((r.getString(0), r.getString(1))))
+      assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+      assert(r.getDouble(5) == 1.0) // 2/(2+2−2)
+      assert(math.abs(r.getDouble(6) - 2.0 * aaTerm) < 1e-9)
+      assert(r.getDouble(7) == 1.0) // 2 · 1/2
+    }
+    // triangle: every co-neighbor pair is already an edge → no output
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    assert(GraphRank.linkPrediction(tri, "src", "dst").count() == 0L)
+    // 5-leaf star: the center intermediates C(5,2)=10 pairs — unless
+    // the hub cap drops it from pair generation entirely
+    val star = (1 to 5).map(i => ("z", s"l$i")).toDF("src", "dst")
+    assert(GraphRank.linkPrediction(star, "src", "dst").count() == 10L)
+    assert(GraphRank.linkPrediction(star, "src", "dst",
+      maxHubDegree = 4L).count() == 0L)
+  }
+
   test("hits: star endorsement graph separates hubs from authorities") {
     import spark.implicits._
     val edges = Seq(("a", "c"), ("b", "c"), ("b", "d")).toDF("src", "dst")

@@ -968,4 +968,71 @@ class PlanSpec extends AnyFunSuite {
       .where(F.col("pos") <= 10L)
     assert(plan(top).contains("WindowGroupLimit"), plan(top).take(2000))
   }
+
+  test("cuped: ONE corpus scan feeds the 6-sum pass — the adjusted " +
+    "moments never re-read the data") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+        .as("variant"), F.col("value").cast("double").as("metric"),
+        (F.col("value") * 0.5d).as("covariate"))
+    val p = plan(graft.pipeline.Report.cupedT(ev, "variant", "metric",
+      "covariate"))
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mantel-haenszel: one corpus scan, keyed cell agg, no " +
+    "unpartitioned window, no product join") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("event_type").as("stratum"),
+        F.when(F.col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), (F.col("value") > 34.0d).as("conv"))
+    val p = plan(graft.pipeline.Report.mantelHaenszel(ev, "stratum",
+      "variant", "conv"))
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ols trend: one keyed 6-sum pass over the grid, no window at all") {
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(F.col("event_type").as("etype"),
+        F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"))
+      .agg(F.count(F.lit(1)).cast("double").as("cnt"))
+    val p = plan(graft.pipeline.Trend.olsByGroup(daily, "etype",
+      "day_num", "cnt"))
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sprt: the only windows are group-partitioned prefix sums") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("event_type").as("etype"),
+        F.unix_date(F.to_date(F.col("ts"))).cast("long").as("day_num"),
+        (F.col("value") > 34.0d).as("conv"))
+    val df = graft.pipeline.Report.sprtBernoulli(ev, "etype", "day_num",
+      "conv", p0 = 0.45d, p1 = 0.55d)
+    val winSpecs = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.nonEmpty),
+      s"unpartitioned window in sprt: $winSpecs")
+  }
+
+  test("link prediction: pair generation joins on the shared neighbor " +
+    "(never a product), existing edges leave via anti-join") {
+    val ed = spark.read.parquet(s"$sf/events.parquet")
+      .select(F.col("user_id").cast("string").as("src"),
+        F.col("event_type").as("dst"))
+    val df = graft.pipeline.GraphRank.linkPrediction(ed, "src", "dst",
+      k = 10, maxHubDegree = 50L)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
 }

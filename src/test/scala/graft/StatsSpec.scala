@@ -353,4 +353,225 @@ class StatsSpec extends AnyFunSuite {
     // a steady +2/day ramp: the trend state converges toward 2
     assert(b > 1.0 && b < 3.0, s"trend=$b")
   }
+
+  test("cupedT recovers the pooled slope and the adjusted Welch t") {
+    import spark.implicits._
+    // A: y = 2.5(x−1) + 10/3-ish, B: one unit lower — engineered so
+    // pooled sxyC/sxxC = 10/4 = 2.5 exactly and both adjusted
+    // variances are 1/12 (driver truth below)
+    val df = Seq(("A", 1.0, 0.0), ("A", 3.0, 1.0), ("A", 6.0, 2.0),
+      ("B", 0.0, 0.0), ("B", 2.0, 1.0), ("B", 5.0, 2.0))
+      .toDF("v", "y", "x")
+    val r = Report.cupedT(df, "v", "y", "x").head()
+    assert(r.getLong(0) == 2L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+    assert(math.abs(r.getDouble(5) - 2.5) < 1e-9, s"theta=${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(6) - 150.0 / 161.0) < 1e-9)
+    // y' = y − 2.5(x−1): A → (3.5, 3, 3.5), B → (2.5, 2, 2.5)
+    assert(math.abs(r.getDouble(7) - 10.0 / 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(8) - 7.0 / 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(9) - 1.0 / 12.0) < 1e-9)
+    // t = 1/√(2·(1/12)/3) = √18, Satterthwaite dof = 4 (equal cells)
+    assert(math.abs(r.getDouble(11) - math.sqrt(18.0)) < 1e-6)
+    assert(math.abs(r.getDouble(12) - 4.0) < 1e-6)
+  }
+
+  test("cupedT degenerate inputs answer NULL honestly") {
+    import spark.implicits._
+    // constant covariate → zero pooled covariate variance → NULL θ/t
+    val flat = Seq(("A", 1.0, 5.0), ("A", 2.0, 5.0), ("B", 3.0, 5.0),
+      ("B", 4.0, 5.0)).toDF("v", "y", "x")
+    val r0 = Report.cupedT(flat, "v", "y", "x").head()
+    assert(r0.isNullAt(5) && r0.isNullAt(11))
+    // three variants → NULL t with the observed count
+    val three = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0), ("B", 1.0, 2.0),
+      ("B", 3.0, 4.0), ("C", 2.0, 1.0)).toDF("v", "y", "x")
+    val r1 = Report.cupedT(three, "v", "y", "x").head()
+    assert(r1.getLong(0) == 3L && r1.isNullAt(11))
+  }
+
+  test("mantelHaenszel matches the textbook two-stratum arithmetic") {
+    import spark.implicits._
+    def rows(st: String, v: String, succ: Int, fail: Int) =
+      (0 until succ).map(_ => (st, v, true)) ++
+        (0 until fail).map(_ => (st, v, false))
+    // s1: A 10/10, B 5/15; s2: A 8/2, B 4/6
+    val df = (rows("s1", "A", 10, 10) ++ rows("s1", "B", 5, 15) ++
+      rows("s2", "A", 8, 2) ++ rows("s2", "B", 4, 6))
+      .toDF("st", "v", "c")
+    val r = Report.mantelHaenszel(df, "st", "v", "c").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
+    assert(r.getLong(2) == 60L && r.getLong(3) == 18L)
+    // driver truth: E = 7.5 + 6, V = 150000/62400 + 9600/7600,
+    // OR_MH = (3.75 + 2.4)/(1.25 + 0.4), χ² = (18 − 13.5)²/ΣV
+    val vSum = 150000.0 / 62400.0 + 9600.0 / 7600.0
+    assert(math.abs(r.getDouble(4) - 13.5) < 1e-5)
+    assert(math.abs(r.getDouble(5) - vSum) < 1e-5)
+    assert(math.abs(r.getDouble(6) - 4.5 * 4.5 / vSum) < 1e-4)
+    assert(math.abs(r.getDouble(7) - 6.15 / 1.65) < 1e-5)
+  }
+
+  test("mantelHaenszel skips uninformative strata and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "A", true), ("s1", "A", false), ("s1", "B", true),
+      ("s1", "B", false),
+      ("s2", "A", true), ("s2", "A", false)) // single variant → skipped
+      .toDF("st", "v", "c")
+    val r = Report.mantelHaenszel(df, "st", "v", "c").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 4L)
+  }
+
+  test("olsByGroup fits the exact line and answers NULL inference on it") {
+    import spark.implicits._
+    val df = ((0 to 4).map(t => ("exact", t.toLong, 3.0 + 2.0 * t)) ++
+      Seq(("noisy", 0L, 1.0), ("noisy", 1L, 2.0), ("noisy", 2L, 2.0),
+        ("noisy", 3L, 3.0)) ++
+      Seq(("tiny", 0L, 1.0), ("tiny", 1L, 2.0)))
+      .toDF("g", "t", "x")
+    val rs = Trend.olsByGroup(df, "g", "t", "x").collect()
+    val ex = rs.find(_.getString(0) == "exact").get
+    assert(math.abs(ex.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(ex.getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(ex.getDouble(4) - 1.0) < 1e-9)
+    // a perfect fit has mse = 0: slope inference honestly NULL
+    assert(ex.isNullAt(5) && ex.isNullAt(6))
+    val no = rs.find(_.getString(0) == "noisy").get
+    // driver truth: stt=5, stx=3, sxx=2 → slope .6, int 1.1, r2 .9,
+    // mse = (2 − 1.8)/2 = .1, se = √(.1/5), t = .6/se
+    assert(math.abs(no.getDouble(2) - 0.6) < 1e-6)
+    assert(math.abs(no.getDouble(3) - 1.1) < 1e-6)
+    assert(math.abs(no.getDouble(4) - 0.9) < 1e-6)
+    assert(math.abs(no.getDouble(5) - math.sqrt(0.02)) < 1e-6)
+    assert(math.abs(no.getDouble(6) - 0.6 / math.sqrt(0.02)) < 1e-6)
+    // n = 2 → slope exists, inference NULL
+    val ti = rs.find(_.getString(0) == "tiny").get
+    assert(math.abs(ti.getDouble(2) - 1.0) < 1e-9 && ti.isNullAt(5))
+  }
+
+  test("byFdr applies the harmonic penalty over the bhFdr machinery") {
+    import spark.implicits._
+    val ps = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.04), ("t4", 0.5))
+    val df = ps.toDF("id", "p")
+    val rs = Report.byFdr(df, "id", "p", alpha = 0.1d).collect()
+    // driver replay: c(4) folded ascending, raw = c·m·p/rank,
+    // suffix min, clip at 1
+    val cm = (1 to 4).foldLeft(0.0d)((a, i) => a + 1.0 / i)
+    val raws = ps.zipWithIndex.map { case ((_, p), i) =>
+      cm * 4.0 * p / (i + 1).toDouble }
+    val adj = raws.indices.map(i =>
+      math.min(1.0, raws.drop(i).min))
+    for ((r, i) <- rs.zipWithIndex) {
+      assert(r.getLong(2) == i + 1)
+      assert(r.getDouble(3) == adj(i), s"rank ${i + 1}")
+      assert(r.getBoolean(4) == (adj(i) <= 0.1))
+    }
+    // BY is never more permissive than BH on the same input
+    val bh = Report.bhFdr(df, "id", "p", alpha = 0.1d).collect()
+    for ((y, h) <- rs.zip(bh))
+      assert(y.getDouble(3) >= h.getDouble(3))
+  }
+
+  test("holtWinters replays the rotating-seasonal recursion exactly") {
+    import spark.implicits._
+    // p=2, trend +0.5/step, season ±1: two init periods + 4 steps
+    val xs = Seq(1.0, 3.0, 2.0, 4.0, 3.0, 5.0, 4.0, 6.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("k", "t", "x")
+    val r = Trend.holtWinters(df, "k", "t", "x", alpha = 0.5d,
+      beta = 0.3d, gamma = 0.4d, period = 2, horizon = 2).head()
+    // driver truth with the same stated doubles
+    val p = 2
+    val l0 = (xs(0) + xs(1)) / p.toDouble
+    val b0 = ((xs(2) + xs(3)) - (xs(0) + xs(1))) / (p.toDouble * p.toDouble)
+    var l = l0; var b = b0
+    var s = Array(xs(0) - l0, xs(1) - l0)
+    for (x <- xs.drop(2 * p)) {
+      val sh = s(0)
+      val nl = 0.5 * (x - sh) + (1.0 - 0.5) * (l + b)
+      val nb = 0.3 * (nl - l) + (1.0 - 0.3) * b
+      val ns = 0.4 * (x - nl) + (1.0 - 0.4) * sh
+      s = Array(s(1), ns); l = nl; b = nb
+    }
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == l && r.getDouble(3) == b)
+    assert(r.getDouble(4) == s(0))
+    // horizon 2 reads the second rotated slot
+    assert(r.getDouble(5) == l + 2.0 * b + s(1))
+    // n < 2p: states answer NULL with the observed n
+    val short = xs.take(3).zipWithIndex.map { case (x, i) =>
+      ("g", i.toLong, x) }.toDF("k", "t", "x")
+    val r2 = Trend.holtWinters(short, "k", "t", "x", alpha = 0.5d,
+      beta = 0.3d, gamma = 0.4d, period = 2).head()
+    assert(r2.getLong(1) == 3L && r2.isNullAt(2) && r2.isNullAt(5))
+  }
+
+  test("kendallTauB: exact concordance counts, ties, and the ±1 poles") {
+    import spark.implicits._
+    // classic no-tie example: C=5, D=1 → τ = 4/6
+    val m = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0))
+      .toDF("x", "y")
+    val r = Report.kendallTauB(m, "x", "y").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    assert(math.abs(r.getDouble(6) - 2.0 / 3.0) < 1e-12)
+    // perfect reversal → −1
+    val rev = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Report.kendallTauB(rev, "x", "y").head().getDouble(6) == -1.0)
+    // balanced 2×2 with ties on both margins → τ = 0, halved tie counts
+    val t = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0))
+      .toDF("x", "y")
+    val rt = Report.kendallTauB(t, "x", "y").head()
+    assert(rt.getLong(4) == 2L && rt.getLong(5) == 2L)
+    assert(rt.getDouble(6) == 0.0)
+    // constant column → zero denominator → NULL τ, honestly
+    val flat = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    assert(Report.kendallTauB(flat, "x", "y").head().isNullAt(6))
+  }
+
+  test("sprtBernoulli crosses Wald boundaries at the first instant") {
+    import spark.implicits._
+    // p0=.2 vs p1=.8: lnA = ln(.8/.05), lnB = ln(.2/.95)
+    val rows =
+      // "up": day 1 has 3/3 successes → 3·ln4 ≈ 4.16 ≥ ln16 → h1 at 1
+      (1 to 3).map(i => ("up", 1L, true)) ++ Seq(("up", 2L, false)) ++
+        // "down": 0/3 on day 1 → 3·ln(.25) ≤ ln(.2/.95) → h0 at 1
+        (1 to 3).map(i => ("down", 1L, false)) ++
+        // "open": one success then one failure → LLR back to 0, inside
+        Seq(("open", 1L, true), ("open", 2L, false))
+    val r = Report.sprtBernoulli(rows.toDF("g", "t", "s"), "g", "t", "s",
+        p0 = 0.2d, p1 = 0.8d, alpha = 0.05d, beta = 0.2d)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("up").getString(5) == "accept_h1" && r("up").getLong(6) == 1L)
+    assert(r("down").getString(5) == "accept_h0" &&
+      r("down").getLong(6) == 1L)
+    assert(r("open").getString(5) == "continue" && r("open").isNullAt(6))
+    // driver replay of the final LLR on the open group: k=1, n=2
+    val c1 = math.log(0.8 / 0.2); val c0 = math.log((1.0 - 0.8) / (1.0 - 0.2))
+    assert(math.abs(r("open").getDouble(4) - (c1 + c0)) < 1e-12)
+    // the up group keeps accumulating rows past the crossing: the
+    // readout reports the crossing instant, not the last one
+    assert(r("up").getLong(1) == 2L && r("up").getLong(2) == 4L)
+  }
+
+  test("quantileShift reads exact order-statistic shifts per quantile") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("A", i.toDouble, i.toLong)) ++
+      (1 to 10).map(i => ("B", i.toDouble + 5.0, 100L + i)))
+      .toDF("v", "x", "id")
+    val rs = Report.quantileShift(df, "v", "x", qs = Seq(0.5d, 0.9d),
+      tiebreakers = Seq("id")).collect()
+    assert(rs.length == 2)
+    // k = ceil(.5·10) = 5 → A=5, B=10; k = ceil(.9·10) = 9 → A=9, B=14
+    assert(rs(0).getDouble(0) == 0.5 && rs(0).getDouble(3) == 5.0 &&
+      rs(0).getDouble(4) == 10.0 && rs(0).getDouble(5) == -5.0)
+    assert(rs(1).getDouble(0) == 0.9 && rs(1).getDouble(3) == 9.0 &&
+      rs(1).getDouble(4) == 14.0 && rs(1).getDouble(5) == -5.0)
+    // one observed variant: values arrive, shift honestly NULL
+    val one = (1 to 4).map(i => ("A", i.toDouble, i.toLong))
+      .toDF("v", "x", "id")
+    val r1 = Report.quantileShift(one, "v", "x", qs = Seq(0.5d),
+      tiebreakers = Seq("id")).head()
+    assert(r1.getDouble(3) == 2.0 && r1.isNullAt(4) && r1.isNullAt(5))
+  }
 }

@@ -606,6 +606,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful sprt: first-crossing latch survives later evidence " +
+    "AND micro-batch splits") {
+    import spark.implicits._
+    // p0=.2/p1=.8: 2·ln4 == ln16 exactly (in doubles too), so the
+    // SECOND success already crosses the upper bound; the ten failures
+    // after would cross the LOWER bound — the verdict must NOT flip
+    // (a sequential test stops at its first boundary)
+    val rows = (1 to 3).map(i => ("g", i.toLong, true)) ++
+      (4 to 13).map(i => ("g", i.toLong, false))
+    val batch = Streams.statefulSprt(rows.toDS(), p0 = 0.2d, p1 = 0.8d)
+      .collect().head
+    assert(batch.decision == "accept_h1" && batch.decisionSeq == Some(2L))
+    assert(batch.trials == 13L && batch.successes == 3L)
+    // final llr reports the CURRENT evidence even after the latch
+    val c1 = math.log(0.8 / 0.2); val c0 = math.log((1.0 - 0.8) / (1.0 - 0.2))
+    assert(batch.llr == 3.0 * c1 + 10.0 * c0)
+    // split across micro-batches at seq 5: latched in part 1, part 2's
+    // failures keep counting but never flip it
+    val (dir, schema) = graft.streaming.StreamStage.stageOrdered(spark,
+      "sprt-latch", Seq(
+        () => rows.filter(_._2 <= 5).toDF("key", "seq", "s"),
+        () => rows.filter(_._2 > 5).toDF("key", "seq", "s")))
+    val stream = Streams.statefulSprt(
+      Streams.readParquetStream(spark, dir, schema, maxFilesPerTrigger = 1)
+        .as[(String, Long, Boolean)], p0 = 0.2d, p1 = 0.8d)
+    val q = Streams.runToMemory(stream.toDF(), "ssprt", "append")
+    q.stop()
+    val last = spark.table("ssprt").collect()
+      .map(r => (r.getLong(1), r.getString(4), r.get(5)))
+      .maxBy(_._1)
+    assert(last._1 == 13L && last._2 == "accept_h1" && last._3 == 2L,
+      last.toString)
+  }
+
   test("stateful moments: exact fixed-point sums, z of the newest " +
     "reading; multi-micro-batch state equals the single-batch sums") {
     import spark.implicits._
