@@ -199,13 +199,29 @@ object Quantize {
 
   /** Nearest-centroid code per (id, sub): broadcast join against the
     * codebook, min-by (distance, code) — ties to the lowest code id,
-    * deterministic under any partitioning. */
+    * deterministic under any partitioning. The row-local
+    * [[graft.expressions.PqKernels.assign]] kernel replaces this path for
+    * codebooks under [[AdcJoinThreshold]] (bit-identical — QuantizeSpec);
+    * this join strategy remains the O(1)-plan fallback for codebooks too
+    * large to ship as a task reference. */
   private def assignCodes(sv: DataFrame, cb: PqCodebook): DataFrame =
     sv.join(F.broadcast(codebookDf(sv, cb)), Seq("sub"))
       .withColumn("d", graft.expressions.VectorKernels.sqdist(F.col("sv"), F.col("cv")))
       .groupBy("id", "sub")
       .agg(F.min(F.struct(F.col("d"), F.col("code"))).as("best"))
       .select(F.col("id"), F.col("sub"), F.col("best.code").as("code"))
+
+  /** (id, codes) for every corpus row via the row-local assignment kernel —
+    * zero joins, zero shuffles, one primitive loop per row (guide §2.4). */
+  private def assignCodesKernel(corpus: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebook): DataFrame =
+    corpus.select(F.col(idCol).as("id"), graft.expressions.PqKernels.assign(
+      F.col(vecCol).cast(ArrayType(DoubleType)), cb.centroids).as("codes"))
+
+  /** Whether this codebook rides the row-local kernels (task reference
+    * object) or the broadcast-join fallback. */
+  private def kernelFits(cb: PqCodebook): Boolean =
+    cb.m.toLong * cb.ks * cb.dsub <= AdcJoinThreshold
 
   /** Train per-subspace codebooks: deterministic init (each subspace's
     * seed centroids are the `ks` lowest-id vectors' subvectors), then
@@ -219,7 +235,7 @@ object Quantize {
     val dim = corpus.select(F.size(F.col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
-    val sv = subvectors(corpus, idCol, vecCol, m, dsub)
+    lazy val sv = subvectors(corpus, idCol, vecCol, m, dsub)
     val seeds = corpus.orderBy(idCol).limit(ks)
       .select(F.col(vecCol).cast(ArrayType(DoubleType))).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -228,12 +244,34 @@ object Quantize {
       Array.tabulate(m, ks)((s, c) => seeds(c).slice(s * dsub, (s + 1) * dsub))
     var cb = PqCodebook(m, ks, dim, centroids)
     for (_ <- 0 until iters) {
-      val means = assignCodes(sv, cb)
-        .join(sv, Seq("id", "sub"))
-        .select(F.col("sub"), F.col("code"), F.posexplode(F.col("sv")).as(Seq("dim", "x")))
-        .groupBy("sub", "code", "dim")
-        .agg(F.avg("x").as("mean"))
-        .collect()
+      // per-cell means in ONE corpus pass: row-local code assignment
+      // (kernel) rides alongside the element explode, so each Lloyd pass
+      // is a single (sub, code, dim)-keyed map-side-combined aggregation —
+      // the join strategy needed three exchanges (assignment blow-up,
+      // argmin, sv re-join) per pass for the same bounded m·ks·dsub output
+      val means = (if (kernelFits(cb)) {
+        corpus
+          // codes in a projection BELOW the generate — a select that
+          // carries both the kernel and the generator evaluates the
+          // kernel once per EXPLODED row, dim× the work (measured 4×)
+          .select(graft.expressions.PqKernels.assign(
+              F.col(vecCol).cast(ArrayType(DoubleType)), cb.centroids).as("codes"),
+            F.col(vecCol).cast(ArrayType(DoubleType)).as("td_v"))
+          .select(F.col("codes"), F.posexplode(F.col("td_v")).as(Seq("i", "x")))
+          .select(
+            (F.col("i") / dsub).cast(IntegerType).as("sub"),
+            (F.col("i") % dsub).as("dim"),
+            F.col("x"), F.col("codes"))
+          .withColumn("code", F.element_at(F.col("codes"), F.col("sub") + 1))
+          .groupBy("sub", "code", "dim")
+          .agg(F.avg("x").as("mean"))
+      } else {
+        assignCodes(sv, cb)
+          .join(sv, Seq("id", "sub"))
+          .select(F.col("sub"), F.col("code"), F.posexplode(F.col("sv")).as(Seq("dim", "x")))
+          .groupBy("sub", "code", "dim")
+          .agg(F.avg("x").as("mean"))
+      }).collect()
       val byCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
       centroids = Array.tabulate(m, ks) { (s, c) =>
         byCell.get((s, c)) match {
@@ -250,18 +288,34 @@ object Quantize {
     * `normsq` is ‖x̂‖² = Σ_sub ‖centroid(sub)(code)‖², precomputed at
     * encode time so cosine search never reconstructs vectors. */
   def encodePq(corpus: DataFrame, idCol: String, vecCol: String,
-      cb: PqCodebook): DataFrame = {
-    val sv = subvectors(corpus, idCol, vecCol, cb.m, cb.dsub)
-    val cellNorm = F.array((0 until cb.m).map(s => F.array(
-      (0 until cb.ks).map(c => F.lit(cb.centroids(s)(c).map(x => x * x).sum)): _*)): _*)
-    assignCodes(sv, cb)
-      .groupBy("id")
-      .agg(F.transform(F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
-        x => x.getField("code")).as("codes"))
-      .withColumn("normsq", F.aggregate(
-        F.sequence(F.lit(0), F.lit(cb.m - 1)), F.lit(0.0),
-        (acc, s) => acc + F.element_at(F.element_at(cellNorm, s + 1),
-          F.element_at(F.col("codes"), s + 1) + 1)))
+      cb: PqCodebook): DataFrame =
+    encodePqStrategy(corpus, idCol, vecCol, cb, viaJoin = !kernelFits(cb))
+
+  /** Strategy-forced [[encodePq]] — test hook proving the kernel and join
+    * assignment paths emit IDENTICAL code relations. */
+  private[graft] def encodePqStrategy(corpus: DataFrame, idCol: String,
+      vecCol: String, cb: PqCodebook, viaJoin: Boolean): DataFrame = {
+    val withCodes =
+      if (!viaJoin) assignCodesKernel(corpus, idCol, vecCol, cb)
+      else {
+        val sv = subvectors(corpus, idCol, vecCol, cb.m, cb.dsub)
+        assignCodes(sv, cb)
+          .groupBy("id")
+          .agg(F.transform(F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
+            x => x.getField("code")).as("codes"))
+      }
+    withCodes.withColumn("normsq", normsqCol(cb))
+  }
+
+  /** ‖x̂‖² = Σ_sub ‖centroid(sub)(code_sub)‖² from a bound `codes` column:
+    * per-cell norms as ONE typedlit Literal, folded in sub order. */
+  private def normsqCol(cb: PqCodebook): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    val cellNorm = typedlit(cb.centroids.map(_.map(_.map(x => x * x).sum).toSeq).toSeq)
+    F.aggregate(
+      F.sequence(F.lit(0), F.lit(cb.m - 1)), F.lit(0.0),
+      (acc, s) => acc + F.element_at(F.element_at(cellNorm, s + 1),
+        F.element_at(F.col("codes"), s + 1) + 1))
   }
 
   /** Asymmetric-distance PQ top-k over an encoded corpus: each (query,
@@ -293,22 +347,35 @@ object Quantize {
       vecCol, k, cb)
   }
 
-  /** Above this codebook volume (m·ks·dsub doubles), ADC scoring switches
-    * from a plan-literal codebook to a broadcast-joined one — the same
-    * two-strategy design as [[Ivf.JoinThreshold]]: the literal form is
-    * shuffle-free but its expression tree (and codegen) grows with the
-    * codebook; the join form is O(1) in plan size at the cost of one
-    * bounded exchange of the candidate pairs. Both fold sub-partials in
-    * identical order, so results are BIT-IDENTICAL (QuantizeSpec). */
-  val AdcJoinThreshold: Int = 4096
+  /** Above this codebook volume (m·ks·dsub doubles), assignment and ADC
+    * scoring switch from the row-local codegen kernels ([[graft.expressions
+    * .PqKernels]], codebook as a task reference object — zero extra rows,
+    * zero shuffles, O(1) plan size) to the broadcast-join strategy, which
+    * stays O(1) in TASK memory at the cost of the ks× candidate blow-up.
+    * The kernels' reference object costs 8·volume bytes per task binary, so
+    * the cap is a memory bound, not a plan-size bound (the r17 optimization
+    * round replaced the old plan-literal ADC path, whose expression tree
+    * grew with the codebook, with the kernels — measured on q_ann_ivfpq:
+    * 6.3 s → see OPTIMIZATION_r17.md). Both strategies fold sub-partials
+    * in identical order, so results are BIT-IDENTICAL (QuantizeSpec). */
+  val AdcJoinThreshold: Int = 1 << 22
 
   /** Score (query, candidate) pair rows — columns (query_id, qv, id,
     * codes, normsq) — with the ADC cosine, strategy-selected on codebook
     * volume. */
   private def scoreAdc(pairs: DataFrame, cb: PqCodebook): DataFrame =
-    if (cb.m.toLong * cb.ks * cb.dsub <= AdcJoinThreshold)
-      pairs.withColumn("cos", adcCosine(cb))
-    else {
+    scoreAdcStrategy(pairs, cb, viaJoin = !kernelFits(cb))
+
+  /** Strategy-forced [[scoreAdc]] — test hook proving the kernel and join
+    * paths score BIT-IDENTICALLY (the [[Ivf.build]] viaJoin convention). */
+  private[graft] def scoreAdcStrategy(pairs: DataFrame, cb: PqCodebook,
+      viaJoin: Boolean): DataFrame =
+    if (!viaJoin) {
+      val dot = graft.expressions.PqKernels.adcDot(
+        F.col("qv"), F.col("codes"), cb.centroids)
+      val qnorm = F.sqrt(graft.expressions.VectorKernels.dot(F.col("qv"), F.col("qv")))
+      pairs.withColumn("cos", dot / (qnorm * F.sqrt(F.col("normsq"))))
+    } else {
       val keep = pairs.columns.filter(c => c != "codes").toSeq
       val exploded = pairs.select(
         keep.map(F.col) :+ F.posexplode(F.col("codes")).as(Seq("sub", "code")): _*)
@@ -332,24 +399,6 @@ object Quantize {
             F.sqrt(F.col("normsq"))))
     }
 
-  /** Approximate cosine of the bound columns (qv, codes, normsq) under
-    * codebook `cb`: Σ_sub ⟨q_sub, centroid(sub)(code_sub)⟩ over ‖q‖·‖x̂‖,
-    * folding sub = 0..m−1 sequentially (deterministic association). */
-  private def adcCosine(cb: PqCodebook): org.apache.spark.sql.Column = {
-    val cbLit = F.array((0 until cb.m).map(s => F.array(
-      (0 until cb.ks).map(c => F.array(cb.centroids(s)(c).map(F.lit): _*)): _*)): _*)
-    val dot = F.aggregate(F.sequence(F.lit(0), F.lit(cb.m - 1)), F.lit(0.0),
-      (acc, s) => {
-        val cell = F.element_at(F.element_at(cbLit, s + 1),
-          F.element_at(F.col("codes"), s + 1) + 1)
-        val sub = F.slice(F.col("qv"), s * cb.dsub + 1, F.lit(cb.dsub))
-        acc + F.aggregate(F.zip_with(sub, cell, (a, b) => a * b),
-          F.lit(0.0), (a2, x) => a2 + x)
-      })
-    val qnorm = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), (a, x) => a + x * x))
-    dot / (qnorm * F.sqrt(F.col("normsq")))
-  }
-
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cos").desc, F.col("id").asc)
@@ -368,8 +417,18 @@ object Quantize {
   /** PQ-encode an IVF index's corpus, keeping each vector's cell:
     * (id, cluster, codes, normsq). Build once per corpus version. */
   def encodePqWithCells(index: Ivf.Index, cb: PqCodebook): DataFrame =
-    encodePq(index.assigned, "id", "v", cb)
-      .join(index.assigned.select("id", "cluster"), Seq("id"))
+    if (kernelFits(cb))
+      // the cluster column rides the same row-local projection — no
+      // re-join with the assignment relation
+      index.assigned.select(F.col("id"),
+          graft.expressions.PqKernels.assign(
+            F.col("v").cast(ArrayType(DoubleType)), cb.centroids).as("codes"),
+          F.col("cluster"))
+        .withColumn("normsq", normsqCol(cb))
+        .select("id", "codes", "normsq", "cluster")
+    else
+      encodePq(index.assigned, "id", "v", cb)
+        .join(index.assigned.select("id", "cluster"), Seq("id"))
 
   /** IVF-routed PQ top-k: a query meets only the PQ codes in its `nprobe`
     * nearest cells (same probing as [[Ivf.topK]]), scored by asymmetric

@@ -581,16 +581,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("ivf-pq join-strategy scoring: broadcast joins only, no cartesian") {
+  test("ivf-pq kernel scoring: row-local ADC (no per-sub explode/groupBy), " +
+    "broadcast probe join only, no cartesian") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = graft.pipeline.Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 1)
     val cb = graft.pipeline.Quantize.trainPq(emb, "vec_id", "embedding",
-      m = 16, ks = 128, iters = 1) // volume 8192 > threshold → join strategy
+      m = 16, ks = 128, iters = 1) // volume 8192 ≤ AdcJoinThreshold → kernels
     val enc = graft.pipeline.Quantize.encodePqWithCells(idx, cb)
     val p = plan(graft.pipeline.Quantize.ivfPqTopK(idx, enc,
       emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", 5, 2, cb))
+    // the probed-query attach is the only join; scoring is the pq_adc_dot
+    // kernel, so the plan has no code explode and no (query, id) re-agg
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("pq_adc_dot"), p)
+    // no posexplode(codes) blow-up (the one Generate is the query side's
+    // nprobe cluster-list explode — bounded by the query count)
+    assert(!p.contains("explode(codes"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // encode side: assignment is the pq_assign kernel — no codebook join,
+    // no argmin aggregate; exactly one aggregate in the whole search plan
+    // would even be too strict, so pin the kernel's presence instead
+    val pe = plan(enc)
+    assert(pe.contains("pq_assign"), pe)
+    assert(!pe.contains("HashAggregate"), pe)
   }
 
   test("bucketed tables join with zero exchanges (co-located join)") {

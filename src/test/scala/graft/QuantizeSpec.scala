@@ -144,6 +144,36 @@ class QuantizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inconsistent"))
   }
 
+  test("pq kernel and join strategies: identical codes and BIT-IDENTICAL ADC scores") {
+    // the r17 optimization replaced the join-strategy assignment/scoring
+    // with row-local codegen kernels below AdcJoinThreshold; the join path
+    // stays as the large-codebook fallback and must agree bit-for-bit
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 16, ks = 128, iters = 1)
+    val encK = Quantize.encodePqStrategy(emb, "vec_id", "embedding", cb, viaJoin = false)
+    val encJ = Quantize.encodePqStrategy(emb, "vec_id", "embedding", cb, viaJoin = true)
+    val k = encK.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    val j = encJ.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    assert(k.sameElements(j), "kernel/join code relations diverge")
+    val q = emb.filter(F.col("vec_id") < 3)
+      .select(F.col("vec_id").as("query_id"),
+        F.col("embedding").cast("array<double>").as("qv"))
+    val pairs = encK.join(F.broadcast(q), F.col("query_id") =!= F.col("id"))
+    def scores(viaJoin: Boolean): Map[(Long, Long), Double] =
+      Quantize.scoreAdcStrategy(pairs, cb, viaJoin)
+        .select("query_id", "id", "cos").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sk = scores(viaJoin = false)
+    val sj = scores(viaJoin = true)
+    assert(sk.keySet == sj.keySet)
+    val diverged = sk.collect {
+      case (key, v) if java.lang.Double.doubleToLongBits(v) !=
+        java.lang.Double.doubleToLongBits(sj(key)) => key
+    }
+    assert(diverged.isEmpty, s"ADC scores not bit-identical at $diverged")
+  }
+
   test("pq codes relation: one m-length code array per id, codes in [0, ks)") {
     val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
     val enc = Quantize.encodePq(emb, "vec_id", "embedding", cb)
