@@ -80,6 +80,41 @@ object ScalableRank {
       .drop("$td.__pid", "$td.__local", "pid", "offset")
   }
 
+  /** [[withRank]] (method = min) that ALSO emits each key's global tie
+    * count, in the SAME parallel window pass. The former consumers of
+    * this pair (midranks for Spearman/Mann-Whitney/Kruskal/Cliff/AUC)
+    * joined the ranked relation against a `groupBy(key).count()` of the
+    * ORIGINAL relation — a second scan of the input lineage plus a keyed
+    * shuffle and join, per statistic (r17 optimization round). Because
+    * the min-method range partitioner confines ties to one partition,
+    * the tie count is the window PEERS count (RANGE BETWEEN CURRENT ROW
+    * AND CURRENT ROW over the same ordering) — identical values, zero
+    * extra exchanges. */
+  def withMinRankAndTies(df: DataFrame, key: String, rankAs: String,
+      cntAs: String, descending: Boolean = false): DataFrame = {
+    val keyCol = if (descending) F.col(key).desc else F.col(key).asc
+    val parted = df
+      .repartitionByRange(keyCol)
+      .sortWithinPartitions(keyCol)
+      .withColumn("$td.__pid", F.spark_partition_id())
+      .localCheckpoint() // pins pids for the two consumer branches (see withRank)
+    val w = Window.partitionBy(F.col("`$td.__pid`")).orderBy(keyCol)
+    val peers = w.rangeBetween(Window.currentRow, Window.currentRow)
+    val withLocal = parted
+      .withColumn("$td.__local", F.rank().over(w).cast(LongType))
+      .withColumn(cntAs, F.count(F.lit(1)).over(peers))
+    val offsets = withLocal.groupBy(F.col("`$td.__pid`").as("pid"))
+      .agg(F.count(F.lit(1)).as("sz"))
+      .withColumn("offset",
+        F.coalesce(F.sum("sz").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
+      .select("pid", "offset")
+    withLocal
+      .join(F.broadcast(offsets), F.col("`$td.__pid`") === F.col("pid"))
+      .withColumn(rankAs, F.col("offset") + F.col("`$td.__local`"))
+      .drop("$td.__pid", "$td.__local", "pid", "offset")
+  }
+
   /** Per-GROUP ordinal rank for MANY simultaneously-huge groups — the
     * composite-key generalization of [[withRank]]. A keyed window
     * (`Window.partitionBy(group)`) sorts each group inside ONE task, so a

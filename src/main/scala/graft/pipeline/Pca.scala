@@ -43,28 +43,39 @@ object Pca {
     F.element_at(vec, i).cast("double")
 
   /** w0 + Σ_i (x_i − m_i)·v_i with pinned left-to-right association —
-    * the exact double every engine must state (ascending i, seed 0.0). */
+    * the exact double every engine must state (ascending i, seed 0.0).
+    * One codegen kernel node ([[graft.expressions.PcaKernels]]): the r17
+    * optimization round measured the previous INLINE 64-term fold costing
+    * ~0.3 s of ANALYZER/OPTIMIZER time per power-iteration pass (execution
+    * itself was 0.11 s) because every iterate change re-plans a ~2,500-node
+    * tree. The kernel states the identical doubles. */
   private def centeredDot(vec: Column, means: Array[Double],
       v: Array[Double]): Column =
-    v.indices.foldLeft(F.lit(0.0d).cast("double")) { (acc, i) =>
-      acc + (elem(vec, i + 1) - F.lit(means(i))) * F.lit(v(i))
-    }
+    graft.expressions.PcaKernels.centeredDot(vec, means, v)
 
-  /** One fixed-point decimal sum column per dimension:
-    * Σ_rows floor(((x_i − m_i)·s)·2^20 + 0.5) as DECIMAL(38,0). */
-  private def fixedTerm(t: Column): Column =
-    F.sum(F.floor(t * F.lit(GradScale) + F.lit(0.5d)).cast("decimal(38,0)"))
+  /** All `dim` fixed-point sums Σ_rows floor(t_i·2^20+0.5) as ONE
+    * array<decimal(38,0)> aggregate — value-identical to the per-column
+    * decimal sums it replaces (same floor, exact integer addition). */
+  private def fixedVecSum(arr: Column, dim: Int): Column =
+    graft.expressions.PcaKernels.fixedVecSum(arr, dim, GradScale)
+
+  /** The centered (and optionally prior-deflated) residual vector as one
+    * kernel node; `ps` holds the staged prior projections in order. */
+  private def deflated(vec: Column, ps: Column, means: Array[Double],
+      ws: Seq[Array[Double]]): Column =
+    graft.expressions.PcaKernels.deflate(vec, ps, means, ws)
 
   /** Column means in one fixed-point pass: m_i = (Σ floor(x_i·2^20+0.5)
     * / 2^20) / n. Returns (n, means). */
   def colMeans(df: DataFrame, vecCol: String, dim: Int): (Long, Array[Double]) = {
     val base = df.where(F.col(vecCol).isNotNull).select(F.col(vecCol).as("td_e"))
-    val terms = (1 to dim).map(i => fixedTerm(elem(F.col("td_e"), i)).as(s"s$i"))
-    val row = base.agg(F.count(F.lit(1)).as("n"), terms: _*).head()
+    val row = base.agg(F.count(F.lit(1)).as("n"),
+      fixedVecSum(F.col("td_e").cast("array<double>"), dim).as("s")).head()
     val n = row.getLong(0)
     require(n > 0, "Pca over an empty (or all-NULL) relation")
+    val sums = row.getSeq[java.math.BigDecimal](1)
     val m = Array.tabulate(dim) { i =>
-      (row.getDecimal(i + 1).doubleValue() / GradScale) / n.toDouble
+      (sums(i).doubleValue() / GradScale) / n.toDouble
     }
     (n, m)
   }
@@ -82,17 +93,19 @@ object Pca {
     var v = Array.fill(dim)(1.0d / math.sqrt(dim.toDouble))
     var lambda = 0.0d
     for (_ <- 0 until iters) {
-      // stage the projection s in its own select: 64 consumers below —
-      // inlined it would be recomputed per dimension (see the lambda-CSE
-      // note in Dsir.features; same hazard through CollapseProject)
+      // stage the projection s in its own select (multi-referenced below,
+      // CollapseProject keeps it evaluated once); the gradient is ONE
+      // array-valued fixed-point aggregate over the scaled residual —
+      // plan stays a handful of kernel nodes per pass
       val staged = base.select(F.col("td_e"),
         centeredDot(F.col("td_e"), means, v).as("td_s"))
-      val terms = (1 to dim).map { i =>
-        fixedTerm((elem(F.col("td_e"), i) - F.lit(means(i - 1))) *
-          F.col("td_s")).as(s"g$i")
-      }
-      val row = staged.agg(terms.head, terms.tail: _*).head()
-      val u = Array.tabulate(dim)(i => row.getDecimal(i).doubleValue() / GradScale)
+      val row = staged.agg(fixedVecSum(
+        graft.expressions.PcaKernels.vecScale(
+          deflated(F.col("td_e"), F.typedlit(Seq.empty[Double]), means, Nil),
+          F.col("td_s")),
+        dim).as("g")).head()
+      val sums = row.getSeq[java.math.BigDecimal](0)
+      val u = Array.tabulate(dim)(i => sums(i).doubleValue() / GradScale)
       // ‖u‖ with the same pinned ascending fold the oracle states
       val nrm = math.sqrt(u.indices.foldLeft(0.0d)((a, i) => a + u(i) * u(i)))
       require(nrm > 0.0d, "power iteration collapsed to the zero vector")
@@ -141,38 +154,30 @@ object Pca {
     val ws = priors.map(_.weights)
     val n = priors.head.n
     val base = df.where(F.col(vecCol).isNotNull).select(F.col(vecCol).as("td_e"))
-    // xd_i from the staged projection columns: left-to-right deflation
-    def xdTerm(i: Int): Column =
-      ws.zipWithIndex.foldLeft(
-        elem(F.col("td_e"), i) - F.lit(means(i - 1))) { case (acc, (w, l)) =>
-        acc - (F.col(s"td_p${l + 1}") * F.lit(w(i - 1)))
-      }
     var v = Array.fill(dim)(1.0d / math.sqrt(dim.toDouble))
     var lambda = 0.0d
     for (_ <- 0 until iters) {
-      val stage1 = base.select(F.col("td_e") +:
-        ws.zipWithIndex.map { case (w, l) =>
-          centeredDot(F.col("td_e"), means, w).as(s"td_p${l + 1}")
-        }: _*)
-      // the residual dimensions materialize as NAMED columns (each
-      // multi-referenced below, so CollapseProject keeps them evaluated
-      // once): the same doubles as inlining xd into every consumer, but
-      // each codegen unit stays small — one giant fused expression for
-      // component j≥3 was measured to cross the JVM's 64 KB method
-      // limit under a many-way-union input and fall back to interpreted
-      // eval (r14 probe)
+      // stage 1: the prior projections p_l (each a pinned ascending fold),
+      // packed in prior order; stage 2: the residual VECTOR xd from one
+      // deflate kernel (left-to-right prior subtraction — the same double
+      // sequence the per-column formulation stated); stage 3: the deflated
+      // projection s = Σ xd_i·v_i. Every stage is a named multi-referenced
+      // column, so CollapseProject keeps each evaluated once, and the
+      // whole pass plans as a handful of kernel nodes (the r17 planning-
+      // time fix — see centeredDot's doc) instead of dim-wide trees.
+      val stage1 = base.select(F.col("td_e"),
+        F.array(ws.map(w => centeredDot(F.col("td_e"), means, w)): _*)
+          .as("td_ps"))
       val stage2 = stage1.select(
-        (1 to dim).map(i => xdTerm(i).as(s"td_x$i")): _*)
-      val sExpr = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, j) =>
-        acc + F.col(s"td_x$j") * F.lit(v(j - 1))
-      }
-      val staged = stage2.select(
-        (1 to dim).map(i => F.col(s"td_x$i")) :+ sExpr.as("td_s"): _*)
-      val terms = (1 to dim).map { i =>
-        fixedTerm(F.col(s"td_x$i") * F.col("td_s")).as(s"g$i")
-      }
-      val row = staged.agg(terms.head, terms.tail: _*).head()
-      val u = Array.tabulate(dim)(i => row.getDecimal(i).doubleValue() / GradScale)
+        deflated(F.col("td_e"), F.col("td_ps"), means, ws).as("td_xd"))
+      val staged = stage2.select(F.col("td_xd"),
+        graft.expressions.VectorKernels.dot(
+          F.col("td_xd"), F.typedlit(v.toSeq)).as("td_s"))
+      val row = staged.agg(fixedVecSum(
+        graft.expressions.PcaKernels.vecScale(F.col("td_xd"), F.col("td_s")),
+        dim).as("g")).head()
+      val sums = row.getSeq[java.math.BigDecimal](0)
+      val u = Array.tabulate(dim)(i => sums(i).doubleValue() / GradScale)
       val nrm = math.sqrt(u.indices.foldLeft(0.0d)((a, i) => a + u(i) * u(i)))
       require(nrm > 0.0d, "deflated power iteration collapsed to zero")
       v = u.map(_ / nrm)
@@ -234,24 +239,17 @@ object Pca {
     val ws = models.map(_.weights)
     val base = df.where(F.col(vecCol).isNotNull)
       .select(F.col(idCol), F.col(vecCol).as("td_e"))
-    val staged = base.select(F.col(idCol) +: F.col("td_e") +:
-      ws.zipWithIndex.map { case (w, l) =>
-        centeredDot(F.col("td_e"), means, w).as(s"td_p${l + 1}")
-      }: _*)
-    def xdTerm(i: Int): Column =
-      ws.zipWithIndex.foldLeft(
-        elem(F.col("td_e"), i) - F.lit(means(i - 1))) { case (acc, (w, l)) =>
-        acc - (F.col(s"td_p${l + 1}") * F.lit(w(i - 1)))
-      }
-    // residual dims staged as columns (each referenced twice by the
-    // square below — kept evaluated once, codegen units small; the same
-    // 64 KB-ceiling discipline as fitDeflatedK)
-    val staged2 = staged.select(F.col(idCol) +:
-      (1 to dim).map(i => xdTerm(i).as(s"td_x$i")): _*)
-    val err = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, i) =>
-      acc + F.col(s"td_x$i") * F.col(s"td_x$i")
-    }
-    staged2.select(F.col(idCol), err.as("err2"))
+    // prior projections packed in order, residual vector from one deflate
+    // kernel, err2 = Σ xd_i² as the self-dot — identical doubles to the
+    // per-column folds, a handful of plan nodes (r17 planning-time fix)
+    val staged = base.select(F.col(idCol), F.col("td_e"),
+      F.array(ws.map(w => centeredDot(F.col("td_e"), means, w)): _*)
+        .as("td_ps"))
+    val staged2 = staged.select(F.col(idCol),
+      deflated(F.col("td_e"), F.col("td_ps"), means, ws).as("td_xd"))
+    staged2.select(F.col(idCol),
+      graft.expressions.VectorKernels.dot(F.col("td_xd"), F.col("td_xd"))
+        .as("err2"))
   }
 
   /** Project every row onto the component: input columns +
@@ -271,14 +269,14 @@ object Pca {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.where(F.col(vecCol).isNotNull).select(F.col(vecCol).as("td_e"))
-    val terms = (1 to model.dim).map { i =>
-      val xc = elem(F.col("td_e"), i) - F.lit(model.means(i - 1))
-      fixedTerm(xc * xc).as(s"q$i")
-    }
-    val row = base.agg(terms.head, terms.tail: _*).head()
+    val xc = graft.expressions.PcaKernels.deflate(F.col("td_e"),
+      F.typedlit(Seq.empty[Double]), model.means, Nil)
+    val row = base.agg(fixedVecSum(
+      graft.expressions.PcaKernels.vecMul(xc, xc), model.dim).as("q")).head()
+    val sums = row.getSeq[java.math.BigDecimal](0)
     val nm1 = model.n.toDouble - 1.0d
     val tv = (0 until model.dim).foldLeft(0.0d) { (a, i) =>
-      a + (row.getDecimal(i).doubleValue() / GradScale) / nm1
+      a + (sums(i).doubleValue() / GradScale) / nm1
     }
     Seq((model.lambda, tv, model.lambda / tv))
       .toDF("eigenvalue", "total_var", "explained_ratio")

@@ -73,7 +73,16 @@ object QualityModel {
     require(l2 >= 0.0, s"l2 must be >= 0, got $l2")
     val feats = featureCols.map(c => F.col(c).cast("double"))
     val y = F.col(labelCol).cast("double")
+    // materialize the (k+1)-column CASTED feature relation once before
+    // iterating (guide §8: decide on small rows): without this every GD
+    // pass re-evaluates the caller's feature expressions — for the gate
+    // fixtures a regex word-split over the full text column — iters×.
+    // Values are unchanged (same casts, snapshot of the same rows); at
+    // scale the materialized relation is k doubles/row vs the raw corpus.
     val clean = df.where(feats.map(_.isNotNull).reduce(_ && _) && y.isNotNull)
+      .select(featureCols.map(c => F.col(c).cast("double").as(c)) :+
+        y.as(labelCol): _*)
+      .localCheckpoint()
     val w = Array.fill(featureCols.length + 1)(0.0d)
     for (_ <- 0 until iters) {
       val resid = sigmoid(linear(w.toSeq, feats)) - y
@@ -401,11 +410,8 @@ object QualityModel {
     val clean = df
       .where(F.col(scoreCol).isNotNull && F.col(labelCol).isNotNull)
       .select(F.col(scoreCol).cast("double").as("td_s"), y.as("td_y"))
-    val ranked = graft.operators.ScalableRank.withRank(
-      clean, "td_s", "td_rk", method = "min")
-    val withCnt = ranked
-      .join(clean.groupBy(F.col("td_s")).agg(F.count(F.lit(1)).as("td_c")),
-        Seq("td_s"))
+    val withCnt = graft.operators.ScalableRank.withMinRankAndTies(
+      clean, "td_s", "td_rk", "td_c")
     // Σ avgrank over positives in HALF-UNITS (2·avgrank = 2·min + cnt − 1
     // is an exact long), so the sum is integer algebra until the end
     // the half-unit rank sum Σ(2·rank + cnt − 1) grows as n², so at the

@@ -198,19 +198,15 @@ object Report {
       .select(keyCols :+ idx: _*)
       .groupBy(keyCols :+ F.col("td_bin"): _*)
       .agg(F.count(F.lit(1)).as("td_n"))
-    // dense (bins+2)-array per group: scatter the sparse (bin, n) pairs
-    // into a map, read every slot (absent -> 0) — k rows per group in,
-    // one row per group out, no window, no driver materialization
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_bin"), F.col("td_n"))))
-    val counts = F.transform(
-      F.sequence(F.lit(0L), F.lit((bins + 1).toLong)),
-      i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
+    // dense (bins+2)-array per group in ONE scatter aggregate (absent
+    // cells 0, duplicate cells raise) — k rows per group in, one row per
+    // group out, no window, no driver materialization
+    val scatter = graft.expressions.VecAggs.scatterLong(
+      F.col("td_bin"), F.col("td_n"), bins + 2).as("counts")
     val grouped =
-      if (groupCol.isDefined) binned.groupBy(keyCols: _*).agg(m.as("td_m"))
-      else binned.agg(m.as("td_m"))
+      if (groupCol.isDefined) binned.groupBy(keyCols: _*).agg(scatter)
+      else binned.agg(scatter)
     grouped
-      .select(keyCols ++ Seq(counts.as("counts")): _*)
       .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
       .withColumn("lo", F.lit(lo))
       .withColumn("hi", F.lit(hi))
@@ -244,16 +240,12 @@ object Report {
       .select(keyCols :+ idx: _*)
       .groupBy(keyCols :+ F.col("td_bin"): _*)
       .agg(F.count(F.lit(1)).as("td_n"))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_bin"), F.col("td_n"))))
-    val counts = F.transform(
-      F.sequence(F.lit(0L), F.lit((bins + 1).toLong)),
-      i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
+    val scatter = graft.expressions.VecAggs.scatterLong(
+      F.col("td_bin"), F.col("td_n"), bins + 2).as("counts")
     val grouped =
-      if (groupCol.isDefined) binned.groupBy(keyCols: _*).agg(m.as("td_m"))
-      else binned.agg(m.as("td_m"))
+      if (groupCol.isDefined) binned.groupBy(keyCols: _*).agg(scatter)
+      else binned.agg(scatter)
     grouped
-      .select(keyCols ++ Seq(counts.as("counts")): _*)
       .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
       .withColumn("lo", F.lit(lnLo))
       .withColumn("hi", F.lit(lnHi))
@@ -275,30 +267,20 @@ object Report {
   def mergeQuantileSketches(sketches: DataFrame,
       countsCol: String = "counts"): DataFrame = {
     requireGridStamp(sketches)
-    val exploded = sketches.select(
-      F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"),
-      F.posexplode(F.col(countsCol)).as(Seq("td_pos", "td_c")))
-    val byPos = exploded.groupBy(F.col("td_pos")).agg(
-      F.sum(F.col("td_c")).as("td_c"),
-      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins"),
-        F.col("scale"))).as("td_g"),
-      F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
-      F.first(F.col("bins")).as("bins"), F.first(F.col("scale")).as("scale"))
-    // assemble the dense array from the ≤ bins+2 per-position rows; the
-    // grid guard fires lazily (raise_error) so the whole merge is one plan
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_pos"), F.col("td_c"))))
-    byPos.agg(
-        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+    // elementwise exact addition in ONE aggregate (the long_vec_sum
+    // kernel); the grid guard rides the same aggregation lazily
+    // (raise_error at action time) — no per-cell explode (r17)
+    sketches.agg(
+        graft.expressions.VecAggs.longVecSum(F.col(countsCol)).as("td_sum"),
+        F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins"),
+          F.col("scale"))).as("td_g"),
         F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
         F.first(F.col("bins")).as("bins"),
         F.first(F.col("scale")).as("scale"))
       .select(
-        F.when(F.col("td_g") === 1,
-            F.transform(F.sequence(F.lit(0), F.col("bins") + 1),
-              i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+        F.when(F.col("td_g") === 1, F.col("td_sum"))
           .otherwise(F.raise_error(
-            F.when(F.col("td_g").isNull,
+            F.when(F.col("td_g") === 0,
                 F.lit("cannot merge an empty set of quantile sketches"))
               .otherwise(F.lit("cannot merge quantile sketches with " +
                 "different grids: more than one distinct " +
@@ -332,26 +314,15 @@ object Report {
       countsCol: String = "counts"): DataFrame = {
     requireGridStamp(sketches)
     val g = F.col(groupCol)
-    val exploded = sketches.select(
-      g, F.col("lo"), F.col("hi"), F.col("bins"), F.col("scale"),
-      F.posexplode(F.col(countsCol)).as(Seq("td_pos", "td_c")))
-    val byPos = exploded.groupBy(g, F.col("td_pos")).agg(
-      F.sum(F.col("td_c")).as("td_c"),
-      F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins"),
-        F.col("scale"))).as("td_g"),
-      F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
-      F.first(F.col("bins")).as("bins"), F.first(F.col("scale")).as("scale"))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_pos"), F.col("td_c"))))
-    byPos.groupBy(g).agg(
-        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+    sketches.groupBy(g).agg(
+        graft.expressions.VecAggs.longVecSum(F.col(countsCol)).as("td_sum"),
+        F.countDistinct(F.struct(F.col("lo"), F.col("hi"), F.col("bins"),
+          F.col("scale"))).as("td_g"),
         F.first(F.col("lo")).as("lo"), F.first(F.col("hi")).as("hi"),
         F.first(F.col("bins")).as("bins"),
         F.first(F.col("scale")).as("scale"))
       .select(g,
-        F.when(F.col("td_g") === 1,
-            F.transform(F.sequence(F.lit(0), F.col("bins") + 1),
-              i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+        F.when(F.col("td_g") === 1, F.col("td_sum"))
           .otherwise(F.raise_error(F.concat(F.lit("cannot merge quantile " +
             "sketches with different grids in group "), g.cast("string"))))
           .as(countsCol),
@@ -539,16 +510,12 @@ object Report {
       .otherwise(F.raise_error(F.concat(
         F.lit(s"bin out of range [0, ${bins + 1}]: "),
         F.col(binCol).cast("string"))))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(checked.as("td_bin"), F.col(nCol).cast("long").as("td_n"))))
+    val scatter = graft.expressions.VecAggs.scatterLong(
+      checked, F.col(nCol).cast("long"), bins + 2).as("counts")
     val grouped =
-      if (groupCols.nonEmpty) df.groupBy(keys: _*).agg(m.as("td_m"))
-      else df.agg(m.as("td_m"))
+      if (groupCols.nonEmpty) df.groupBy(keys: _*).agg(scatter)
+      else df.agg(scatter)
     grouped
-      .select(keys :+ F.transform(
-        F.sequence(F.lit(0L), F.lit((bins + 1).toLong)),
-        i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
-        .as("counts"): _*)
       .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
       .withColumn("lo", F.lit(lo))
       .withColumn("hi", F.lit(hi))
@@ -810,38 +777,23 @@ object Report {
       "embedding sketches must carry (sums, n, dim, scale_bits) — " +
         "(re)build them with embeddingSketch")
     val keys = keyCols.map(F.col)
-    val exploded = sketches.select(
-      keys ++ Seq(F.col("dim"), F.col("scale_bits"), F.col("n"),
-        F.posexplode(F.col("sums")).as(Seq("td_pos", "td_s"))): _*)
-    // n rides position 0 so the total rolls up in the same keyed sum
-    val byPos = exploded
-      .groupBy(keys :+ F.col("td_pos"): _*).agg(
-        F.sum(F.col("td_s")).as("td_s"),
-        F.sum(F.when(F.col("td_pos") === 0, F.col("n"))
-          .otherwise(F.lit(0L))).as("td_n"),
-        F.countDistinct(F.struct(F.col("dim"), F.col("scale_bits")))
-          .as("td_g"),
-        F.first(F.col("dim")).as("dim"),
-        F.first(F.col("scale_bits")).as("scale_bits"))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_pos"), F.col("td_s"))))
+    // elementwise exact addition in ONE aggregate (the long_vec_sum
+    // kernel); stamp guard rides the same aggregation lazily — no
+    // per-dimension explode (r17)
+    val aggCols = Seq(
+      graft.expressions.VecAggs.longVecSum(F.col("sums")).as("td_sum"),
+      F.sum(F.col("n")).as("n"),
+      F.countDistinct(F.struct(F.col("dim"), F.col("scale_bits")))
+        .as("td_g"),
+      F.first(F.col("dim")).as("dim"),
+      F.first(F.col("scale_bits")).as("scale_bits"))
     val assembled =
-      if (keys.isEmpty) byPos.agg(
-        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
-        F.sum(F.col("td_n")).as("n"),
-        F.first(F.col("dim")).as("dim"),
-        F.first(F.col("scale_bits")).as("scale_bits"))
-      else byPos.groupBy(keys: _*).agg(
-        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
-        F.sum(F.col("td_n")).as("n"),
-        F.first(F.col("dim")).as("dim"),
-        F.first(F.col("scale_bits")).as("scale_bits"))
+      if (keys.isEmpty) sketches.agg(aggCols.head, aggCols.tail: _*)
+      else sketches.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
     assembled.select(keys ++ Seq(
-      F.when(F.col("td_g") === 1,
-          F.transform(F.sequence(F.lit(0), F.col("dim") - 1),
-            i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+      F.when(F.col("td_g") === 1, F.col("td_sum"))
         .otherwise(F.raise_error(
-          F.when(F.col("td_g").isNull,
+          F.when(F.col("td_g") === 0,
               F.lit("cannot merge an empty set of embedding sketches"))
             .otherwise(F.lit("cannot merge embedding sketches with " +
               "different stamps: more than one distinct (dim, scale_bits) " +
@@ -1544,11 +1496,10 @@ object Report {
     val x = F.col(valueCol).cast("double")
     val clean = df.where(v.isNotNull && x.isNotNull)
       .select(v.as("td_g"), x.as("td_x"))
-    val ranked = graft.operators.ScalableRank.withRank(
-      clean, "td_x", "td_rk", method = "min")
-    val withCnt = ranked.join(
-      clean.groupBy(F.col("td_x")).agg(F.count(F.lit(1)).as("td_c")),
-      Seq("td_x"))
+    // rank + tie count in ONE pass (r17: the former groupBy(key)+join
+    // re-scanned the input lineage per statistic)
+    val withCnt = graft.operators.ScalableRank.withMinRankAndTies(
+      clean, "td_x", "td_rk", "td_c")
     val perGroup = withCnt.groupBy(F.col("td_g"))
       .agg(F.count(F.lit(1)).as("td_n"),
         F.sum((F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
@@ -1667,11 +1618,8 @@ object Report {
     val x = F.col(valueCol).cast("double")
     val clean = df.where(v.isNotNull && x.isNotNull)
       .select(v.as("td_g"), x.as("td_x"))
-    val ranked = graft.operators.ScalableRank.withRank(
-      clean, "td_x", "td_rk", method = "min")
-    val withCnt = ranked.join(
-      clean.groupBy(F.col("td_x")).agg(F.count(F.lit(1)).as("td_c")),
-      Seq("td_x"))
+    val withCnt = graft.operators.ScalableRank.withMinRankAndTies(
+      clean, "td_x", "td_rk", "td_c")
     // one keyed pass: per group the size, Σ(2·midrank) and the group's
     // share of the tie term (both corpus-exact decimals)
     val perGroup = withCnt.groupBy(F.col("td_g"))
@@ -2001,11 +1949,8 @@ object Report {
     val x = F.col(valueCol).cast("double")
     val clean = df.where(g.isNotNull && x.isNotNull)
       .select(g.as("td_g"), x.as("td_x"))
-    val ranked = graft.operators.ScalableRank.withRank(
-      clean, "td_x", "td_rk", method = "min")
-    val withCnt = ranked.join(
-      clean.groupBy(F.col("td_x")).agg(F.count(F.lit(1)).as("td_c")),
-      Seq("td_x"))
+    val withCnt = graft.operators.ScalableRank.withMinRankAndTies(
+      clean, "td_x", "td_rk", "td_c")
     val perGroup = withCnt.groupBy(F.col("td_g"))
       .agg(F.count(F.lit(1)).as("td_n"),
         F.sum((F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L)
@@ -2050,17 +1995,12 @@ object Report {
     val x = F.col(xCol).cast("double"); val y = F.col(yCol).cast("double")
     val clean = df.where(x.isNotNull && y.isNotNull)
       .select(x.as("td_x"), y.as("td_y"))
-    def midrank(d: DataFrame, col: String, as: String): DataFrame = {
-      val ranked = graft.operators.ScalableRank.withRank(
-        d, col, "td_rk", method = "min")
-      ranked
-        .join(d.groupBy(F.col(col)).agg(F.count(F.lit(1)).as("td_c")),
-          Seq(col))
+    def midrank(d: DataFrame, col: String, as: String): DataFrame =
+      graft.operators.ScalableRank.withMinRankAndTies(d, col, "td_rk", "td_c")
         .withColumn(as,
           (F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L).cast("double") /
             F.lit(2.0d))
         .drop("td_rk", "td_c")
-    }
     val withRanks = midrank(midrank(clean, "td_x", "td_mx"),
       "td_y", "td_my")
     mergeCorrStamps(corrStamp(withRanks, "td_mx", "td_my"))

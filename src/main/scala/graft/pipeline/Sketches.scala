@@ -251,13 +251,9 @@ object Sketches {
         .as("td_b"))
       .groupBy(F.col("td_r"), F.col("td_b"))
       .agg(F.count(F.lit(1)).as("td_n"))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_b"), F.col("td_n"))))
-    rows.groupBy(F.col("td_r")).agg(m.as("td_m"))
-      .select(F.col("td_r").as("r"),
-        F.transform(F.sequence(F.lit(0L), F.lit((width - 1).toLong)),
-          i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
-          .as("counts"))
+    rows.groupBy(F.col("td_r").as("r"))
+      .agg(graft.expressions.VecAggs.scatterLong(
+        F.col("td_b"), F.col("td_n"), width).as("counts"))
       .withColumn("depth", F.lit(depth))
       .withColumn("width", F.lit(width))
       .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
@@ -279,22 +275,18 @@ object Sketches {
     require(stampCols.forall(sketches.columns.contains) &&
         sketches.columns.contains("r"),
       "CMS sketches must carry (r, depth, width) — (re)build with cmsSketch")
-    val exploded = sketches.select(F.col("r"), F.col("depth"), F.col("width"),
-      F.posexplode(F.col("counts")).as(Seq("td_pos", "td_c")))
-    val byPos = exploded.groupBy(F.col("r"), F.col("td_pos")).agg(
-      F.sum(F.col("td_c")).as("td_c"),
-      F.countDistinct(F.struct(F.col("depth"), F.col("width"))).as("td_g"),
-      F.first(F.col("depth")).as("depth"), F.first(F.col("width")).as("width"))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_pos"), F.col("td_c"))))
-    byPos.groupBy(F.col("r")).agg(
-        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+    // elementwise exact addition per row r in ONE aggregate (the
+    // long_vec_sum kernel) — no per-cell explode (r17: the former
+    // posexplode shape materialized sketches×width rows and probed the
+    // rebuild map linearly per position); stamp guard unchanged, riding
+    // the same aggregation lazily
+    sketches.groupBy(F.col("r")).agg(
+        graft.expressions.VecAggs.longVecSum(F.col("counts")).as("td_sum"),
+        F.countDistinct(F.struct(F.col("depth"), F.col("width"))).as("td_g"),
         F.first(F.col("depth")).as("depth"),
         F.first(F.col("width")).as("width"))
       .select(F.col("r"),
-        F.when(F.col("td_g") === 1,
-            F.transform(F.sequence(F.lit(0), F.col("width") - 1),
-              i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+        F.when(F.col("td_g") === 1, F.col("td_sum"))
           .otherwise(F.raise_error(F.lit(
             "cannot merge count-min sketches with different " +
               "(depth, width) stamps")))
@@ -325,14 +317,11 @@ object Sketches {
       .otherwise(F.raise_error(F.concat(
         F.lit(s"CMS bucket out of range [0, ${width - 1}]: "),
         F.col(bCol).cast("string"))))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(checkedB.as("td_b"), F.col(nCol).cast("long").as("td_n"))))
+    // dense scatter in ONE aggregate (duplicate cells raise, like the
+    // map_from_entries pivot it replaces; absent cells are 0)
     df.groupBy(keys :+ checkedR.as("r"): _*)
-      .agg(m.as("td_m"))
-      .select(keys ++ Seq(F.col("r"),
-        F.transform(F.sequence(F.lit(0L), F.lit((width - 1).toLong)),
-          i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
-          .as("counts")): _*)
+      .agg(graft.expressions.VecAggs.scatterLong(
+        checkedB, F.col(nCol).cast("long"), width).as("counts"))
       .withColumn("depth", F.lit(depth))
       .withColumn("width", F.lit(width))
       .withColumn("n", F.aggregate(F.col("counts"), F.lit(0L), _ + _))
@@ -420,12 +409,9 @@ object Sketches {
   private def wordsToBloom(sparse: DataFrame, mBits: Int, kHashes: Int,
       keys: Seq[Column]): DataFrame = {
     val nWords = (mBits + 31) / 32
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_w"), F.col("td_bits"))))
-    sparse.groupBy(keys: _*).agg(m.as("td_m"))
-      .select(keys :+ F.transform(F.sequence(F.lit(0), F.lit(nWords - 1)),
-        i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L)))
-        .as("words"): _*)
+    sparse.groupBy(keys: _*)
+      .agg(graft.expressions.VecAggs.scatterLong(
+        F.col("td_w"), F.col("td_bits"), nWords).as("words"))
       .withColumn("m", F.lit(mBits))
       .withColumn("k", F.lit(kHashes))
       .withColumn("bits_set",
@@ -474,23 +460,14 @@ object Sketches {
         sketches.columns.contains("words"),
       "Bloom sketches must carry (words, m, k) — (re)build with bloomSketch")
     val keys = groupCols.map(F.col)
-    val exploded = sketches.select(keys ++ Seq(F.col("m"), F.col("k"),
-      F.posexplode(F.col("words")).as(Seq("td_pos", "td_bits"))): _*)
-    val byPos = exploded.groupBy(keys :+ F.col("td_pos"): _*).agg(
-      F.bit_or(F.col("td_bits")).as("td_bits"),
-      F.countDistinct(F.struct(F.col("m"), F.col("k"))).as("td_g"),
-      F.first(F.col("m")).as("m"), F.first(F.col("k")).as("k"))
-    val m = F.map_from_entries(F.collect_list(
-      F.struct(F.col("td_pos"), F.col("td_bits"))))
-    byPos.groupBy(keys: _*).agg(
-        m.as("td_m"), F.max(F.col("td_g")).as("td_g"),
+    // elementwise bitwise OR in ONE aggregate (the long_vec_or kernel) —
+    // no per-word explode; stamp guard unchanged, lazy on the same agg
+    sketches.groupBy(keys: _*).agg(
+        graft.expressions.VecAggs.longVecOr(F.col("words")).as("td_or"),
+        F.countDistinct(F.struct(F.col("m"), F.col("k"))).as("td_g"),
         F.first(F.col("m")).as("m"), F.first(F.col("k")).as("k"))
       .select(keys ++ Seq(
-        F.when(F.col("td_g") === 1,
-            F.transform(F.sequence(F.lit(0),
-                F.floor((F.col("m") + 31).cast("double") / 32.0d)
-                  .cast("int") - 1),
-              i => F.coalesce(F.element_at(F.col("td_m"), i), F.lit(0L))))
+        F.when(F.col("td_g") === 1, F.col("td_or"))
           .otherwise(F.raise_error(F.lit(
             "cannot merge Bloom sketches with different (m, k) stamps")))
           .as("words"),

@@ -137,6 +137,128 @@ object OptProfile {
             graft.pipeline.Pca.fit(emb, "embedding", dim, iters = 3)
           }
           println(s"[prof] n=$n lambda=${m.lambda}")
+          // one iteration job: same DataFrame head()'d twice — planning
+          // amortized on the 2nd call, execution isolated
+          val base = emb.where(F.col("embedding").isNotNull)
+            .select(F.col("embedding").as("td_e"))
+          val v = Array.fill(dim)(1.0d / math.sqrt(dim.toDouble))
+          val cd = (1 to dim).foldLeft(F.lit(0.0d).cast("double")) { (acc, i) =>
+            acc + (F.element_at(F.col("td_e"), i).cast("double") -
+              F.lit(means(i - 1))) * F.lit(v(i - 1))
+          }
+          val staged = base.select(F.col("td_e"), cd.as("td_s"))
+          val terms = (1 to dim).map { i =>
+            F.sum(F.floor((F.element_at(F.col("td_e"), i).cast("double") -
+              F.lit(means(i - 1))) * F.col("td_s") *
+              F.lit(graft.pipeline.QualityModel.GradScale) + F.lit(0.5d))
+              .cast("decimal(38,0)")).as(s"g$i")
+          }
+          val agg = staged.agg(terms.head, terms.tail: _*)
+          time("iter job head 1st (plan+exec)") { agg.head() }
+          time("iter job head 2nd (exec only)") { agg.head() }
+          time("iter job head 3rd (exec only)") { agg.head() }
+          // variant A: 8 decimal terms instead of 64
+          val agg8 = staged.agg(terms.head, terms.tail.take(7): _*)
+          time("8-term decimal 1st") { agg8.head() }
+          time("8-term decimal 2nd") { agg8.head() }
+          // variant B: 64 plain double sums (no floor/decimal)
+          val termsD = (1 to dim).map { i =>
+            F.sum((F.element_at(F.col("td_e"), i).cast("double") -
+              F.lit(means(i - 1))) * F.col("td_s")).as(s"g$i")
+          }
+          val aggD = staged.agg(termsD.head, termsD.tail: _*)
+          time("64-term double 1st") { aggD.head() }
+          time("64-term double 2nd") { aggD.head() }
+          // variant C: 64 decimal terms over a trivial column (no td_s)
+          val termsC = (1 to dim).map { i =>
+            F.sum(F.floor(F.element_at(F.col("td_e"), i).cast("double") *
+              F.lit(graft.pipeline.QualityModel.GradScale) + F.lit(0.5d))
+              .cast("decimal(38,0)")).as(s"g$i")
+          }
+          val aggC = staged.agg(termsC.head, termsC.tail: _*)
+          time("64-term decimal no-dot 1st") { aggC.head() }
+          time("64-term decimal no-dot 2nd") { aggC.head() }
+          val cnt = emb.agg(F.count(F.lit(1)))
+          time("count agg 1st") { cnt.head() }
+          time("count agg 2nd") { cnt.head() }
+          val rng = spark.range(100000L).agg(F.sum("id"))
+          time("range sum 1st") { rng.head() }
+          time("range sum 2nd") { rng.head() }
+          time("iter job collect 1st (plan+exec)") { agg.collect() }
+          time("iter job collect 2nd (exec only)") { agg.collect() }
+          time("iter job collect 3rd (exec only)") { agg.collect() }
+          println("[prof] post-exec WSCG: " +
+            agg.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+          val ep = agg.queryExecution.executedPlan.toString
+          println("[prof] agg plan has WholeStageCodegen: " +
+            ep.contains("WholeStageCodegen") + "; head:\n" +
+            ep.linesIterator.take(8).mkString("\n"))
+          // raise maxFields and re-time
+          spark.conf.set("spark.sql.codegen.maxFields", "400")
+          val agg2 = staged.agg(terms.head, terms.tail: _*)
+          time("64-term maxFields=400 1st") { agg2.head() }
+          time("64-term maxFields=400 2nd") { agg2.head() }
+          println("[prof] maxFields agg plan WSCG: " +
+            agg2.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+          spark.conf.set("spark.sql.codegen.maxFields", "100")
+        }
+      case "streamfreq" =>
+        import graft.pipeline.Sketches
+        val ev = graft.queries.Tables.load(spark, sfDir, "events")
+        for (rep <- 1 to 2) {
+          println(s"--- rep $rep ---")
+          val (tmp, schema) = time("stage") {
+            graft.streaming.StreamStage.stage(spark, s"$sfDir/events", ev)
+          }
+          val stream = graft.streaming.Streams.readParquetStream(spark, tmp, schema)
+          val cells = graft.streaming.Streams.windowedCms(
+            stream, "ts", "user_id", "1 hour", "1 hour", depth = 4, width = 256)
+          val sink = time("runToMemory (streaming agg)") {
+            graft.streaming.StreamStage.runToMemory(cells, "prof_sf_", "complete")
+          }
+          val winCells = sink.select(
+            F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+            F.col("r"), F.col("b"), F.col("n"))
+          println(s"[prof] sink rows ${time("sink count") { winCells.count() }}")
+          val merged = Sketches.mergeCmsSketches(Sketches.cellsToCms(
+            winCells, depth = 4, width = 256, groupCols = Seq("hour_epoch")))
+          val top = ev.groupBy("user_id").agg(F.count(F.lit(1)).as("exact"))
+            .orderBy(F.col("exact").desc, F.col("user_id").asc).limit(10)
+          val out = Sketches.cmsEstimate(merged, top, "user_id").orderBy("user_id")
+          time("post (merge+estimate)") { out.count() }
+          val perHour = Sketches.cellsToCms(
+            winCells, depth = 4, width = 256, groupCols = Seq("hour_epoch"))
+          time("cellsToCms alone") { perHour.count() }
+          time("merge alone") { Sketches.mergeCmsSketches(perHour).count() }
+          time("top10 alone") {
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).as("exact"))
+              .orderBy(F.col("exact").desc, F.col("user_id").asc).limit(10).count()
+          }
+        }
+      case "spearman" =>
+        import graft.operators.ScalableRank
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        for (rep <- 1 to 2) {
+          println(s"--- rep $rep ---")
+          val clean = li.where(F.col("l_quantity").isNotNull &&
+              F.col("l_extendedprice").isNotNull)
+            .select(F.col("l_quantity").cast("double").as("td_x"),
+              F.col("l_extendedprice").cast("double").as("td_y"))
+          time("clean count") { clean.count() }
+          val r1 = ScalableRank.withMinRankAndTies(clean, "td_x", "td_rk", "td_c")
+            .withColumn("td_mx",
+              (F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L).cast("double") /
+                F.lit(2.0d))
+            .drop("td_rk", "td_c")
+          time("midrank1 count") { r1.count() }
+          val r2 = ScalableRank.withMinRankAndTies(r1, "td_y", "td_rk", "td_c")
+            .withColumn("td_my",
+              (F.lit(2L) * F.col("td_rk") + F.col("td_c") - 1L).cast("double") /
+                F.lit(2.0d))
+            .drop("td_rk", "td_c")
+          time("midrank2 count") { r2.count() }
+          val out = graft.pipeline.Report.spearmanCorr(li, "l_quantity", "l_extendedprice")
+          time("full spearman") { out.count() }
         }
       case "gate" =>
         // time any declared gate end to end, 2 reps
