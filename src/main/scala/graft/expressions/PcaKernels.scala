@@ -334,7 +334,15 @@ final class FixedAcc extends Serializable {
   * column, as array<decimal(38,0)> — value-identical to `dim` separate
   * `sum(cast(floor(t·scale + 0.5) as decimal(38,0)))` columns (NULL for a
   * dimension with no non-null input; ArithmeticException past 38 digits,
-  * the ANSI decimal-sum contract). */
+  * the ANSI decimal-sum contract) for every FINITE in-long-range term.
+  *
+  * Intentional divergence on degenerate terms: a NaN or ±Inf (or
+  * out-of-long-range) floored term ABORTS loudly ([[FixedAcc.add]]),
+  * where the replaced non-ANSI decimal sums silently contributed 0 (NaN)
+  * or a clamped extreme (±Inf). A non-finite embedding element means the
+  * upstream data is corrupt and every PCA number derived from it garbage —
+  * the fixed-point family's documented fail-loud contract — so the kernel
+  * refuses rather than reproducing the silent-garbage behavior. */
 case class FixedVecSumAgg(child: Expression, dim: Int, scale: Double,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[FixedAcc]] {
@@ -343,6 +351,16 @@ case class FixedVecSumAgg(child: Expression, dim: Int, scale: Double,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DecimalType(38, 0), containsNull = true)
   override def prettyName: String = "fixed_vec_sum"
+
+  // update() reads elements with getDouble — an array<float> child would be
+  // reinterpreted as doubles and silently sum garbage; fail at analysis
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double> input, got $t")
+    }
 
   override def createAggregationBuffer(): Array[FixedAcc] =
     Array.fill(dim)(new FixedAcc)

@@ -30,21 +30,62 @@ import org.apache.spark.sql.types._
   *     to the running sum — the same association as both the HOF literal
   *     path and the join path's sort-by-sub fold it replaces.
   */
+/** How a kernel's codebook reaches the task: inline in the serialized plan
+  * (small codebooks — zero indirection) or as a Spark `Broadcast` handle
+  * (large codebooks — the task binary carries only the handle; executors
+  * fetch the array once from the block manager instead of once per task,
+  * removing the r17 local-mode assumption of a multi-MB reference object
+  * riding every serialized task). Both resolve to the SAME array values,
+  * so kernel results are bit-identical across transports. */
+sealed trait PqCodebookRef extends Serializable {
+  def m: Int
+  def ks: Int
+  def dsub: Int
+  /** The resolved codebook — called once per task/partition, not per row. */
+  def resolve(): Array[Array[Array[Double]]]
+}
+
+final case class PqCodebookInline(centroids: Array[Array[Array[Double]]])
+    extends PqCodebookRef {
+  override def m: Int = centroids.length
+  override def ks: Int = centroids(0).length
+  override def dsub: Int = centroids(0)(0).length
+  override def resolve(): Array[Array[Array[Double]]] = centroids
+}
+
+final case class PqCodebookBroadcast(
+    handle: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    m: Int, ks: Int, dsub: Int) extends PqCodebookRef {
+  override def resolve(): Array[Array[Array[Double]]] = handle.value
+}
+
 trait PqCodebookKernel {
-  /** centroids(sub)(code) is a dsub-dim vector. */
-  def centroids: Array[Array[Array[Double]]]
-  protected def m: Int = centroids.length
-  protected def ks: Int = centroids(0).length
-  protected def dsub: Int = centroids(0)(0).length
+  /** The codebook transport; centroids(sub)(code) is a dsub-dim vector. */
+  def cbRef: PqCodebookRef
+  @transient protected lazy val centroids: Array[Array[Array[Double]]] =
+    cbRef.resolve()
+  protected def m: Int = cbRef.m
+  protected def ks: Int = cbRef.ks
+  protected def dsub: Int = cbRef.dsub
   protected def dim: Int = m * dsub
+
+  /** Generated-class field holding the resolved codebook: initialized once
+    * per generated instance from the serialized ref, so codegen'd row loops
+    * index a plain double[][][] with no per-row indirection. */
+  protected def codebookVar(ctx: CodegenContext): String = {
+    val refName = ctx.addReferenceObj("pqCodebookRef", cbRef,
+      classOf[PqCodebookRef].getName)
+    ctx.addMutableState("double[][][]", "pqCb",
+      v => s"$v = ((${classOf[PqCodebookRef].getName}) $refName).resolve();",
+      forceInline = true)
+  }
 }
 
 /** codes array<int> (length m) of the nearest per-subspace centroids for a
   * full vector. NULL when the input is null, has the wrong length, or
   * carries a null element (the sliced-subvector formulation it replaces
   * nulls out the same way through zip_with padding). */
-case class PqAssignCodes(child: Expression,
-    centroids: Array[Array[Array[Double]]])
+case class PqAssignCodes(child: Expression, cbRef: PqCodebookRef)
     extends UnaryExpression with PqCodebookKernel {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -100,7 +141,7 @@ case class PqAssignCodes(child: Expression,
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cb = ctx.addReferenceObj("pqCentroids", centroids, "double[][][]")
+    val cb = codebookVar(ctx)
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
       val x = ctx.freshName("x"); val codes = ctx.freshName("codes")
@@ -150,8 +191,7 @@ case class PqAssignCodes(child: Expression,
   * full-precision query vector against an m-length code array. Folds one
   * per-sub subtotal at a time in sub order (see class doc). NULL on null
   * input, wrong query length, code-count mismatch, or null elements. */
-case class PqAdcDot(left: Expression, right: Expression,
-    centroids: Array[Array[Array[Double]]])
+case class PqAdcDot(left: Expression, right: Expression, cbRef: PqCodebookRef)
     extends BinaryExpression with PqCodebookKernel {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -200,7 +240,7 @@ case class PqAdcDot(left: Expression, right: Expression,
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cb = ctx.addReferenceObj("pqCentroids", centroids, "double[][][]")
+    val cb = codebookVar(ctx)
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (q, c) => {
       val dot = ctx.freshName("dot"); val s = ctx.freshName("s")
@@ -234,7 +274,11 @@ case class PqAdcDot(left: Expression, right: Expression,
 
 object PqKernels {
   def assign(vec: Column, centroids: Array[Array[Array[Double]]]): Column =
-    Bridge.column(PqAssignCodes(Bridge.expression(vec), centroids))
+    assign(vec, PqCodebookInline(centroids))
   def adcDot(qv: Column, codes: Column, centroids: Array[Array[Array[Double]]]): Column =
-    Bridge.column(PqAdcDot(Bridge.expression(qv), Bridge.expression(codes), centroids))
+    adcDot(qv, codes, PqCodebookInline(centroids))
+  def assign(vec: Column, ref: PqCodebookRef): Column =
+    Bridge.column(PqAssignCodes(Bridge.expression(vec), ref))
+  def adcDot(qv: Column, codes: Column, ref: PqCodebookRef): Column =
+    Bridge.column(PqAdcDot(Bridge.expression(qv), Bridge.expression(codes), ref))
 }

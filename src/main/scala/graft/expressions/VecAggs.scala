@@ -123,7 +123,15 @@ case class ScatterLongAgg(posChild: Expression, valChild: Expression,
 
   private def posOf(p: Any): Int = p match {
     case i: java.lang.Integer => i.intValue()
-    case l: java.lang.Long => l.intValue()
+    case l: java.lang.Long =>
+      // intValue() would wrap mod 2^32: a corrupt upstream bin like 2^32+5
+      // must raise (the duplicate-cell loud-failure style), never scatter
+      // into cell 5. The documented ignore below stays for in-int-range
+      // positions outside [0, width).
+      if (l.longValue() < Int.MinValue || l.longValue() > Int.MaxValue)
+        throw new RuntimeException(
+          s"scatter_long: position $l outside int range (corrupt sketch cell)")
+      else l.intValue()
     case s: java.lang.Short => s.intValue()
     case other => throw new IllegalArgumentException(
       s"scatter_long position must be integral, got $other")

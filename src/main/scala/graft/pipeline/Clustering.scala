@@ -32,15 +32,24 @@ object Clustering {
     def sym(e: DataFrame): DataFrame =
       e.select(u, v).union(e.select(v.as("u"), u.as("v")))
 
-    // order-independent edge-set signature, computed in ONE job per round
-    // (count + xxhash64 XOR over the canonical distinct set; XOR cannot
-    // overflow under ANSI mode and is partition-order independent). A
-    // colliding signature on a changed set would stop a round early —
-    // astronomically unlikely over distinct 64-bit edge hashes, and the
-    // union-find differential spec guards the semantics.
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // order-independent edge-set signature (count + xxhash64 XOR over the
+    // canonical distinct set; XOR cannot overflow under ANSI mode and is
+    // partition-order independent), observed DURING the checkpoint job via
+    // CollectMetrics instead of a second per-round action — the r18 round
+    // halved the per-round job count this way (the old shape paid one
+    // extra full pass over the checkpointed edge set per round just to
+    // read the signature). A colliding signature on a changed set would
+    // stop a round early — astronomically unlikely over distinct 64-bit
+    // edge hashes, and the union-find differential spec guards the
+    // semantics.
+    def checkpointWithSignature(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = e.observe(obs, F.count(F.lit(1)).as("n"),
+        F.expr("bit_xor(xxhash64(u, v))").as("x")).localCheckpoint()
+      val m = obs.get
+      val x = m("x")
+      (ck, (m("n").asInstanceOf[Long],
+        if (x == null) 0L else x.asInstanceOf[Long]))
     }
 
     // one large-star + small-star pass as a pure plan transform
@@ -62,10 +71,9 @@ object Clustering {
         s2.join(m2, "u").select(v.as("u"), F.col("m").as("v"))
           .union(m2.select(u, F.col("m").as("v"))))
     }
-    var e = canon(edges.select(
-        F.col(srcCol).cast("long").as("u"), F.col(dstCol).cast("long").as("v")))
-      .localCheckpoint() // truncate lineage per round: plans stay O(1)
-    var sig = signature(e)
+    // localCheckpoint truncates lineage per round: plans stay O(1)
+    var (e, sig) = checkpointWithSignature(canon(edges.select(
+      F.col(srcCol).cast("long").as("u"), F.col(dstCol).cast("long").as("v"))))
     var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
@@ -73,8 +81,7 @@ object Clustering {
       // relations each feed several consumers (sym() unions, the min-join),
       // so an un-materialized second round re-executes the first one per
       // consumer — measured 3× slower than paying the checkpoint.
-      val e2 = starRound(e).localCheckpoint()
-      val sig2 = signature(e2)
+      val (e2, sig2) = checkpointWithSignature(starRound(e))
       converged = sig2 == sig
       sig = sig2
       e = e2

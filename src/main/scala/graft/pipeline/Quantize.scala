@@ -216,7 +216,28 @@ object Quantize {
   private def assignCodesKernel(corpus: DataFrame, idCol: String,
       vecCol: String, cb: PqCodebook): DataFrame =
     corpus.select(F.col(idCol).as("id"), graft.expressions.PqKernels.assign(
-      F.col(vecCol).cast(ArrayType(DoubleType)), cb.centroids).as("codes"))
+      F.col(vecCol).cast(ArrayType(DoubleType)),
+      kernelCodebookRef(corpus, cb)).as("codes"))
+
+  /** Above this codebook volume (m·ks·dsub doubles ≈ 1 MB), the kernels'
+    * codebook ships to tasks as a Spark `Broadcast` handle instead of
+    * riding EVERY serialized task binary as a plan reference object — on a
+    * real cluster a multi-MB per-task payload stresses the scheduler at
+    * high task counts (the r17 verdict's local-mode-assumption flag).
+    * Same array values either way → kernel output bit-identical
+    * (QuantizeSpec transport-parity test). */
+  val PqBroadcastThreshold: Long = 1L << 17
+
+  private[graft] def kernelCodebookRef(df: DataFrame, cb: PqCodebook,
+      forceBroadcast: Option[Boolean] = None)
+      : graft.expressions.PqCodebookRef = {
+    val volume = cb.m.toLong * cb.ks * cb.dsub
+    if (forceBroadcast.getOrElse(volume > PqBroadcastThreshold))
+      graft.expressions.PqCodebookBroadcast(
+        df.sparkSession.sparkContext.broadcast(cb.centroids),
+        cb.m, cb.ks, cb.dsub)
+    else graft.expressions.PqCodebookInline(cb.centroids)
+  }
 
   /** Whether this codebook rides the row-local kernels (task reference
     * object) or the broadcast-join fallback. */
@@ -255,7 +276,8 @@ object Quantize {
           // carries both the kernel and the generator evaluates the
           // kernel once per EXPLODED row, dim× the work (measured 4×)
           .select(graft.expressions.PqKernels.assign(
-              F.col(vecCol).cast(ArrayType(DoubleType)), cb.centroids).as("codes"),
+              F.col(vecCol).cast(ArrayType(DoubleType)),
+              kernelCodebookRef(corpus, cb)).as("codes"),
             F.col(vecCol).cast(ArrayType(DoubleType)).as("td_v"))
           .select(F.col("codes"), F.posexplode(F.col("td_v")).as(Seq("i", "x")))
           .select(
@@ -298,11 +320,28 @@ object Quantize {
     val withCodes =
       if (!viaJoin) assignCodesKernel(corpus, idCol, vecCol, cb)
       else {
-        val sv = subvectors(corpus, idCol, vecCol, cb.m, cb.dsub)
-        assignCodes(sv, cb)
+        // degenerate-row parity with the kernel path (ids are unique by the
+        // encode contract): a NULL / wrong-length / null-element vector gets
+        // a row with NULL codes. Unguarded, the join path DIVERGED — a null
+        // vector's row vanished at the explode and a mis-sized vector's
+        // all-NULL distances argmin'd to code 0s — so encodePq output for
+        // malformed rows depended on which strategy the codebook volume
+        // selected (r18 advice fix; QuantizeSpec degenerate-row parity).
+        val vcol = F.col(vecCol).cast(ArrayType(DoubleType))
+        val ok = vcol.isNotNull && F.size(vcol) === F.lit(cb.dim) &&
+          !F.exists(vcol, e => e.isNull)
+        val base = corpus.select(F.col(idCol).as("id"), ok.as("td_ok"),
+          vcol.as("td_v"))
+        val sv = subvectors(base.where(F.col("td_ok")), "id", "td_v",
+          cb.m, cb.dsub)
+        val agg = assignCodes(sv, cb)
           .groupBy("id")
           .agg(F.transform(F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
             x => x.getField("code")).as("codes"))
+        base.select(F.col("id"), F.col("td_ok"))
+          .join(agg, Seq("id"), "left")
+          .select(F.col("id"),
+            F.when(F.col("td_ok"), F.col("codes")).as("codes"))
       }
     withCodes.withColumn("normsq", normsqCol(cb))
   }
@@ -352,11 +391,11 @@ object Quantize {
     * .PqKernels]], codebook as a task reference object — zero extra rows,
     * zero shuffles, O(1) plan size) to the broadcast-join strategy, which
     * stays O(1) in TASK memory at the cost of the ks× candidate blow-up.
-    * The kernels' reference object costs 8·volume bytes per task binary, so
-    * the cap is a memory bound, not a plan-size bound (the r17 optimization
-    * round replaced the old plan-literal ADC path, whose expression tree
-    * grew with the codebook, with the kernels — measured on q_ann_ivfpq:
-    * 6.3 s → see OPTIMIZATION_r17.md). Both strategies fold sub-partials
+    * The cap is an EXECUTOR-memory bound, not a shipping bound: above
+    * [[PqBroadcastThreshold]] (and up to this cap) the kernels receive the
+    * codebook as a Broadcast handle, so the per-task binary stays O(1)
+    * regardless of codebook size (r18; the r17 shape shipped up to 32 MB
+    * inside every serialized task). Both strategies fold sub-partials
     * in identical order, so results are BIT-IDENTICAL (QuantizeSpec). */
   val AdcJoinThreshold: Int = 1 << 22
 
@@ -372,7 +411,7 @@ object Quantize {
       viaJoin: Boolean): DataFrame =
     if (!viaJoin) {
       val dot = graft.expressions.PqKernels.adcDot(
-        F.col("qv"), F.col("codes"), cb.centroids)
+        F.col("qv"), F.col("codes"), kernelCodebookRef(pairs, cb))
       val qnorm = F.sqrt(graft.expressions.VectorKernels.dot(F.col("qv"), F.col("qv")))
       pairs.withColumn("cos", dot / (qnorm * F.sqrt(F.col("normsq"))))
     } else {

@@ -75,7 +75,16 @@ object Retrieval {
         F.pmod(F.xxhash64(F.col("term")), F.lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    index.docLen.write.mode("overwrite").parquet(s"$path/doclen")
+    // doclen derives from the postings JUST WRITTEN instead of from
+    // index.docLen's lazy plan: everywhere this module constructs an index
+    // (build/load/append), docLen ≡ postings.groupBy(id).sum(tf) — identical
+    // values (sum of longs, order-invariant) — and re-deriving it from the
+    // staged files turns the doclen write from a SECOND full tokenization
+    // pass over the corpus into a scan of the (much smaller) postings
+    // parquet (r18 optimization round, guide §2.4 remove repeated passes)
+    index.postings.sparkSession.read.parquet(s"$path/postings")
+      .groupBy("id").agg(F.sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
     val spark = index.postings.sparkSession
     val metaPath = new org.apache.hadoop.fs.Path(path, "meta.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -176,7 +185,13 @@ object Retrieval {
       require(clash == 0L,
         "appendBm25 delta contains ids already in the index")
     }
-    val delta = termFrequencies(df, textCol, idCol)
+    // ONE tokenization pass over the delta: the scalar restamp, the
+    // postings append and the doclen append each consumed the lazy
+    // termFrequencies plan before r18 — three regex-tokenize passes over
+    // the delta for one append. The delta is the small side by contract
+    // (a refresh adds a few percent of the corpus), so materializing its
+    // postings once is the guide-§8 iterate-on-small-rows trade.
+    val delta = termFrequencies(df, textCol, idCol).localCheckpoint()
     val deltaLen = delta.groupBy("id").agg(F.sum("tf").as("dl"))
     val row = deltaLen.agg(
       F.count(F.lit(1)).as("n"), F.sum("dl").as("toks")).head()

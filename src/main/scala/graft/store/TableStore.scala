@@ -247,7 +247,14 @@ final class TableStore(val root: String, spark: SparkSession) {
     // transaction commit moves it into place
     val dir = tableDir(coll, table).resolve(".staging").resolve(versionId)
     val stamped = SystemColumns.addSys(df, ctx)
-    val writer = stamped.write.mode("overwrite")
+    // row count observed DURING the write job (CollectMetrics rides the
+    // plan) — the pre-r18 shape re-read the whole staged directory just to
+    // count it, a full extra scan per version write
+    val obs = org.apache.spark.sql.Observation()
+    val writer = stamped
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite")
     try {
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dir.toString)
@@ -257,7 +264,7 @@ final class TableStore(val root: String, spark: SparkSession) {
       if (Files.exists(dir)) TableStore.deleteTree(dir)
       throw e
     }
-    val rows = spark.read.schema(stamped.schema).parquet(dir.toString).count()
+    val rows = obs.get("n").asInstanceOf[Long]
     val schemaHash = Integer.toHexString(df.schema.filterNot(f =>
       SystemColumns.isSystem(f.name)).map(f => (f.name, f.dataType.sql)).hashCode())
     val schemaB64 = java.util.Base64.getEncoder.encodeToString(

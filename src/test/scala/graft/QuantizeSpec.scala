@@ -174,6 +174,60 @@ class QuantizeSpec extends AnyFunSuite {
     assert(diverged.isEmpty, s"ADC scores not bit-identical at $diverged")
   }
 
+  test("pq kernel and join strategies agree on degenerate rows (null / " +
+      "wrong-length / null-element vectors -> NULL codes in both)") {
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 0)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
+    val good = Array.tabulate(64)(i => (i + 1).toDouble)
+    val withNullElem = good.clone().map(java.lang.Double.valueOf)
+    withNullElem(7) = null
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, good.toSeq),
+      org.apache.spark.sql.Row(2L, null),                       // null vector
+      org.apache.spark.sql.Row(3L, good.take(10).toSeq),        // wrong length
+      org.apache.spark.sql.Row(4L, withNullElem.toSeq))         // null element
+    val weird = spark.createDataFrame(rows.asJava, schema)
+    def codesOf(viaJoin: Boolean): Map[Long, Option[Seq[Int]]] =
+      Quantize.encodePqStrategy(weird, "vec_id", "embedding", cb, viaJoin)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Int](1)))).toMap
+    val k = codesOf(viaJoin = false)
+    val j = codesOf(viaJoin = true)
+    assert(k.keySet == Set(1L, 2L, 3L, 4L) && j.keySet == k.keySet,
+      s"row sets diverge: kernel ${k.keySet}, join ${j.keySet}")
+    assert(k(1L).isDefined && k(2L).isEmpty && k(3L).isEmpty && k(4L).isEmpty)
+    assert(k == j, s"kernel/join degenerate-row codes diverge: $k vs $j")
+  }
+
+  test("pq codebook transports (inline plan object vs Broadcast handle) " +
+      "produce bit-identical codes and ADC dots") {
+    val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 16, ks = 16, iters = 1)
+    val inline = Quantize.kernelCodebookRef(emb, cb, forceBroadcast = Some(false))
+    val bcast = Quantize.kernelCodebookRef(emb, cb, forceBroadcast = Some(true))
+    assert(inline.isInstanceOf[graft.expressions.PqCodebookInline])
+    assert(bcast.isInstanceOf[graft.expressions.PqCodebookBroadcast])
+    val v = F.col("embedding").cast("array<double>")
+    val both = emb.select(F.col("vec_id"),
+        graft.expressions.PqKernels.assign(v, inline).as("ci"),
+        graft.expressions.PqKernels.assign(v, bcast).as("cb"),
+        v.as("qv"))
+      .select(F.col("vec_id"), F.col("ci"), F.col("cb"),
+        graft.expressions.PqKernels.adcDot(F.col("qv"), F.col("ci"), inline).as("di"),
+        graft.expressions.PqKernels.adcDot(F.col("qv"), F.col("cb"), bcast).as("db"))
+    val diverged = both.where(F.col("ci") =!= F.col("cb") ||
+      F.col("di") =!= F.col("db")).count()
+    assert(diverged == 0, "inline vs broadcast codebook transport diverged")
+    // and the auto-selection: tiny codebook inline, >1MB-volume broadcast
+    assert(Quantize.kernelCodebookRef(emb, cb)
+      .isInstanceOf[graft.expressions.PqCodebookInline])
+  }
+
   test("pq codes relation: one m-length code array per id, codes in [0, ks)") {
     val cb = Quantize.trainPq(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 1)
     val enc = Quantize.encodePq(emb, "vec_id", "embedding", cb)

@@ -229,6 +229,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(ex2.getMessage != null)
   }
 
+  test("scatter_long raises on positions outside int range instead of wrapping") {
+    import spark.implicits._
+    // 2^32 + 5 wrapped to cell 5 under the old intValue() truncation
+    val corrupt = Seq((4294967301L, 7L)).toDF("p", "v")
+    val ex = intercept[Exception] {
+      corrupt.agg(graft.expressions.VecAggs.scatterLong(
+        F.col("p"), F.col("v"), 16)).collect()
+    }
+    assert(ex.getMessage != null)
+    // in-int-range positions outside [0, width) keep the documented ignore
+    val ok = Seq((5L, 7L), (100L, 9L), (-3L, 11L)).toDF("p", "v")
+      .agg(graft.expressions.VecAggs.scatterLong(
+        F.col("p"), F.col("v"), 16).as("w"))
+      .head().getSeq[Long](0)
+    assert(ok(5) == 7L && ok.count(_ != 0L) == 1, ok.mkString(","))
+  }
+
+  test("fixed_vec_sum refuses a non-array<double> child at analysis time") {
+    import spark.implicits._
+    val floats = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      floats.agg(graft.expressions.PcaKernels.fixedVecSum(
+        F.col("v"), 2, 64.0).as("s")).collect()
+    }
+    assert(ex.getMessage.contains("array<double>"), ex.getMessage)
+  }
+
   test("Bloom merge refuses mismatched (m, k) stamps") {
     val a = Sketches.bloomSketch(docs, "text", 1024, 3)
     val b = Sketches.bloomSketch(docs, "text", 2048, 3)
