@@ -84,7 +84,14 @@ object Bench {
       "q_dedup_clusters", "q_fuzzy_pairs", "q_decontaminate", "q_data_mix",
       "q_dedup_semantic", "q_dedup_incremental", "q_tpch_q18",
       "q_pack_sequences", "q_dedup_keep_best", "q_stream_enrich",
-      "q_quality_unigram_lm")
+      "q_quality_unigram_lm",
+      // r18: additions-only extension (keeps round-over-round comparability
+      // of the 27 originals) so the driver can confirm the r17/r18
+      // optimization families per-query — the old span contained none of
+      // PQ/PCA/sketch/midrank/store/BM25/contrastive
+      "q_ann_ivfpq", "q_pca_topk", "q_stream_freq", "q_corr_spearman",
+      "q_quality_lr", "q_dedup_minhash_exact", "q_bm25_incremental",
+      "q_version_history", "q_contrastive_pairs")
     val byName = results.toMap
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def span(pick: QTime => Double) = headline

@@ -282,9 +282,113 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit md5-seeded SimHash over a token array — the codegen kernel for
+  * [[graft.pipeline.Dedup.simhash60Md5]]'s HOF formulation, whose lambda
+  * body evaluated INTERPRETED as a 60-wide boxed zip_with/transform per
+  * token (the r18 optimization round measured the HOF at ~4× the md5 cost
+  * itself). One md5 + one primitive 60-bit vote loop per token.
+  *
+  * Bit-parity contract (the q_dedup_simhash signature is hash-oracled):
+  *  - per-token hash = the first 15 md5 hex chars as a long — exactly
+  *    `conv(substring(md5(t), 1, 15), 16, 10)` = the top 60 bits of the
+  *    digest (first 8 bytes big-endian >>> 4);
+  *  - a NULL token hashes to NULL in the HOF, whose `when` then falls to
+  *    the otherwise branch: −1 votes on every bit — reproduced here;
+  *  - NULL token array (NULL text) → 0L (the HOF's outer coalesce);
+  *  - bit b set iff votes(b) > 0 (ties → 0). */
+case class SimHash60Md5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash60_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> input, got $t")
+  }
+
+  private def compute(a: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) {
+        var b = 0
+        while (b < 60) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = SimHash60Md5Expr.md5Top60(a.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else compute(v.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val helper = SimHash60Md5Expr.getClass.getName.stripSuffix("$")
+    val a = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val votes = ctx.freshName("votes"); val h = ctx.freshName("h")
+    val i = ctx.freshName("i"); val b = ctx.freshName("b")
+    val code = code"""
+      ${c.code}
+      long ${ev.value} = 0L;
+      if (!${c.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${c.value};
+        final int $n = $a.numElements();
+        final int[] $votes = new int[60];
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) {
+            for (int $b = 0; $b < 60; $b++) { $votes[$b] -= 1; }
+          } else {
+            final long $h = $helper.md5Top60($a.getUTF8String($i).getBytes());
+            for (int $b = 0; $b < 60; $b++) {
+              $votes[$b] += (($h >>> $b) & 1L) != 0L ? 1 : -1;
+            }
+          }
+        }
+        for (int $b = 0; $b < 60; $b++) {
+          if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+        }
+      }
+    """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Md5Expr =
+    copy(child = newChild)
+}
+
+object SimHash60Md5Expr {
+  /** Top 60 bits of md5(bytes) — the value of the digest's first 15 hex
+    * chars parsed base-16 (what `conv(substring(md5(s),1,15),16,10)`
+    * computes). Called from generated code. */
+  def md5Top60(bytes: Array[Byte]): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
+    top >>> 4
+  }
+}
+
 object HashKernels {
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+  def simhash60Md5(tokens: Column): Column =
+    Bridge.column(SimHash60Md5Expr(Bridge.expression(tokens)))
   def lshBucket(vec: Column, nbits: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(vec), nbits))
   def minhashSig(shingles: Column, k: Int): Column =

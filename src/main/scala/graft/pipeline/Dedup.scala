@@ -566,13 +566,24 @@ object Dedup {
     * because the md5 prefix is 15 hex chars. NULL text answers 0L (the
     * [[graft.expressions.SimHash64Expr]] convention).
     *
-    * Shape: entirely row-local HOF arithmetic — zero shuffles at any
-    * scale. The token hash and the vote array are each BOUND through a
+    * Shape: one row-local codegen kernel ([[graft.expressions
+    * .SimHash60Md5Expr]]) — zero shuffles at any scale, one md5 + one
+    * primitive 60-bit vote loop per token. Replaces the HOF formulation
+    * below (r18): its zip_with/transform lambda bodies evaluated
+    * interpreted, a 60-wide boxed loop per token. Signature values are
+    * BIT-IDENTICAL (KernelParitySpec) — the q_dedup_simhash oracle hashes
+    * the signature itself. */
+  def simhash60Md5(text: Column): Column =
+    graft.expressions.HashKernels.simhash60Md5(tokens(text))
+
+  /** Reference HOF formulation of [[simhash60Md5]] (interpreted lambdas).
+    * Kept only as the parity oracle for the kernel; not used in any
+    * pipeline. The token hash and the vote array are each BOUND through a
     * single-element `aggregate` wrapper so neither re-evaluates per lambda
     * element (Catalyst has no CSE inside HOF lambda bodies: an inline md5
     * referenced by the 60-wide bit transform would otherwise run 60× per
     * token). */
-  def simhash60Md5(text: Column): Column = {
+  private[graft] def simhash60Md5Hof(text: Column): Column = {
     def shr(v: Column, bits: Column) = F.call_function("shiftright", v, bits)
     def shl(v: Column, bits: Column) = F.call_function("shiftleft", v, bits)
     val votes = F.aggregate(

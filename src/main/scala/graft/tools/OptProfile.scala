@@ -260,6 +260,44 @@ object OptProfile {
           val out = graft.pipeline.Report.spearmanCorr(li, "l_quantity", "l_extendedprice")
           time("full spearman") { out.count() }
         }
+      case "streambloom" =>
+        // phase split for the streaming sketch gates (VERDICT r17 #5):
+        // machinery floor (empty AvailableNow cycle) vs streaming agg vs
+        // batch post path
+        import graft.pipeline.Sketches
+        val ev = graft.queries.Tables.load(spark, sfDir, "events")
+        for (rep <- 1 to 2) {
+          println(s"--- rep $rep ---")
+          val (tmp, schema) = time("stage (cached after rep1)") {
+            graft.streaming.StreamStage.stage(spark, s"$sfDir/events", ev)
+          }
+          time("EMPTY micro-batch cycle (machinery floor)") {
+            graft.streaming.StreamStage.runToMemory(
+              graft.streaming.Streams.readParquetStream(spark, tmp, schema)
+                .where(F.lit(false))
+                .groupBy("event_type").agg(F.count(F.lit(1))),
+              "prof_empty_", "complete").count()
+          }
+          val cells = graft.streaming.Streams.windowedBloom(
+            graft.streaming.Streams.readParquetStream(spark, tmp, schema),
+            "ts", "user_id", "1 hour", "1 hour", 2048, 3)
+          val sink = time("windowedBloom streaming agg") {
+            graft.streaming.StreamStage.runToMemory(cells, "prof_sb_", "complete")
+          }
+          val winCells = sink.select(
+            F.unix_timestamp(F.col("window.start")).as("hour_epoch"),
+            F.col("td_w"), F.col("td_bits"))
+          val merged = Sketches.mergeBloomSketches(Sketches.cellsToBloom(
+            winCells, 2048, 3, groupCols = Seq("hour_epoch")))
+          val present = ev.where(F.col("user_id").isNotNull)
+            .select(F.col("user_id").cast("string").as("probe")).distinct()
+          val absent = spark.range(50).select(
+            F.concat(F.lit("ghost:"), F.col("id").cast("string")).as("probe"))
+          val out = Sketches.bloomProbe(merged,
+            present.unionByName(absent), "probe").orderBy("probe")
+          time("post (cellsToBloom+merge+probe)") { out.count() }
+          time("probe side alone (distinct users)") { present.count() }
+        }
       case "gate" =>
         // time any declared gate end to end, 2 reps
         val name = args(1)

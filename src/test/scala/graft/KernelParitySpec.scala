@@ -36,6 +36,36 @@ class KernelParitySpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
   }
 
+  test("simhash60Md5 kernel == HOF formulation on the documents corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = docs.select(
+        Dedup.simhash60Md5(F.col("text")).as("k"),
+        Dedup.simhash60Md5Hof(F.col("text")).as("h"))
+      .filter(F.col("k") =!= F.col("h") || F.col("k").isNull =!= F.col("h").isNull)
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("simhash60Md5 kernel edge cases: null / empty / whitespace text") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, "one"),
+        (5L, "a b a b a"))
+      .toDF("id", "text")
+    val rows = df.select(F.col("id"),
+        Dedup.simhash60Md5(F.col("text")).as("k"),
+        Dedup.simhash60Md5Hof(F.col("text")).as("h"))
+      .collect()
+    rows.foreach { r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}") }
+    // null text → 0L (the HOF's outer coalesce)
+    assert(rows.find(_.getLong(0) == 1L).get.getLong(1) == 0L)
+    // the hash itself matches the stated SQL form (top 60 md5 bits)
+    val sql = df.where(F.col("id") === 4L).select(
+      F.conv(F.substring(F.md5(F.lit("one")), 1, 15), 16, 10).cast("long"))
+      .head().getLong(0)
+    assert(graft.expressions.SimHash60Md5Expr.md5Top60(
+      "one".getBytes("UTF-8")) == sql)
+  }
+
   test("scriptStats kernel == regex formulation on mixed-script text") {
     import graft.pipeline.TextAnalysis
     val docs = spark.read.parquet(s"$sf/documents.parquet")
