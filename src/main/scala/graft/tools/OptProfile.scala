@@ -297,6 +297,23 @@ object OptProfile {
             present.unionByName(absent), "probe").orderBy("probe")
           time("post (cellsToBloom+merge+probe)") { out.count() }
           time("probe side alone (distinct users)") { present.count() }
+          // state-partition sensitivity: same agg at 2/8/32 partitions
+          for (p <- Seq(2, 8, 32)) {
+            val c2 = graft.streaming.Streams.windowedBloom(
+              graft.streaming.Streams.readParquetStream(spark, tmp, schema),
+              "ts", "user_id", "1 hour", "1 hour", 2048, 3)
+            time(s"windowedBloom agg statePartitions=$p") {
+              graft.streaming.StreamStage.runToMemory(
+                c2, s"prof_sb${p}_", "complete", statePartitions = p).count()
+            }
+            val cms = graft.streaming.Streams.windowedCms(
+              graft.streaming.Streams.readParquetStream(spark, tmp, schema),
+              "ts", "user_id", "1 hour", "1 hour", depth = 4, width = 256)
+            time(s"windowedCms agg statePartitions=$p") {
+              graft.streaming.StreamStage.runToMemory(
+                cms, s"prof_sc${p}_", "complete", statePartitions = p).count()
+            }
+          }
         }
       case "gate" =>
         // time any declared gate end to end, 2 reps
